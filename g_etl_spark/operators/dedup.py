@@ -1,0 +1,295 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram
+Jaccard, embedding-cosine (BASELINE.json extension surface).
+
+Design for 100 TB:
+
+- Exact + fingerprint dedup are one hash-shuffle each (groupBy on an
+  md5 key) — the cheapest possible distributed dedup.
+- MinHash-LSH follows the standard shingle → k salted min-hashes →
+  band → bucket-join shape. Candidate generation never compares all
+  pairs: only rows sharing a band hash meet, and the band join is an
+  equi-join Spark shuffles on band keys. The lexicographic-min-of-md5
+  variant keeps every step in built-in SQL (no Python), which also
+  makes it oracle-checkable against DuckDB.
+- The Jaccard refine (reference J4 two-phase exact-refine pattern,
+  docs/H3_POLYGON_ANALYSIS.md:325-355) re-checks candidates exactly.
+- SimHash is a pandas UDF (bit-twiddling is not expressible sanely in
+  SQL); Arrow-batched, used only to produce a 64-bit signature per
+  row — linear, no pairwise work.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Sequence
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from g_etl_spark.operators.text import TOKEN_SPLIT
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_SHINGLE = 3
+DEFAULT_BANDS = 4
+
+
+def exact_dedup(df: DataFrame, cols: Sequence[str], id_col: str) -> DataFrame:
+    """Keep the min-id row per exact content hash.
+
+    Returns the input columns of the kept rows plus ``dup_count``.
+    One shuffle on the content hash; at 100 TB partition count should
+    track input size (AQE coalesces the tail).
+    """
+    content_hash = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
+    keep = (
+        df.withColumn("_h", content_hash)
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+    return keep.join(df, id_col, "inner").drop("_h")
+
+
+def shingles(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
+    """k-token shingles of lowercased text (array<string>)."""
+    toks = F.split(F.lower(F.trim(text)), TOKEN_SPLIT)
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    make = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(k)])
+    )
+    return F.when(F.size(toks) >= k, make).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(
+    text: Column, num_hashes: int = DEFAULT_NUM_HASHES, k: int = DEFAULT_SHINGLE
+) -> Column:
+    """MinHash signature as array<string>: for each salt i, the
+    lexicographic min of md5(salt || md5(shingle)).
+
+    Lexicographic-min-of-md5 is an order-preserving stand-in for the
+    classic integer min-hash (md5 output is uniform, so the min over
+    a random permutation argument still holds), and it is exactly
+    reproducible in any engine with md5 + string min. Shingles are
+    hashed to a 32-char base digest ONCE, then each salted pass
+    re-hashes that short digest — ~k× less hashing of long strings.
+    """
+    base = F.transform(shingles(text, k), lambda s: F.md5(s))
+    return F.array(
+        *[
+            F.array_min(F.transform(base, lambda h: F.md5(F.concat(F.lit(f"salt{i}:"), h))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def band_hashes(signature: Column, bands: int = DEFAULT_BANDS) -> Column:
+    """Split the signature into ``bands`` contiguous bands and hash
+    each — array<string> of band keys for LSH bucketing."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    F.array_join(
+                        F.slice(
+                            signature,
+                            b * (DEFAULT_NUM_HASHES // bands) + 1,
+                            DEFAULT_NUM_HASHES // bands,
+                        ),
+                        "|",
+                    ),
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """LSH candidate pairs: ids sharing at least one band bucket.
+
+    Output: (id_a, id_b, n_shared_bands) with id_a < id_b. The
+    explode → self-equi-join on band key is the scale path: cost is
+    Σ bucket² over buckets, not n².
+
+    Two deliberate physical choices:
+    - the shingle→hash→min→band chain is staged through SEPARATE
+      projections. Higher-order array functions are CodegenFallback
+      (no common-subexpression elimination), so inlining the whole
+      tree would re-evaluate the shingle hashing once per salt per
+      band (~32×). Staged projections are not collapsed by
+      CollapseProject because each expression is non-cheap, so every
+      stage computes exactly once per row.
+    - the band relation is localCheckpoint'ed before the self-join:
+      Spark would otherwise recompute it for BOTH join branches (same
+      reason you'd persist any self-joined derived relation at scale).
+    """
+    k = DEFAULT_SHINGLE
+    toks = F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT)
+    make = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("_toks")) - k),
+        lambda i: F.concat_ws(" ", *[F.get(F.col("_toks"), i + j) for j in range(k)]),
+    )
+    sig = (
+        df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+        .select(
+            "_id",
+            F.when(F.size("_toks") >= k, make)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("_shingles"),
+        )
+        .select("_id", F.transform("_shingles", lambda s: F.md5(s)).alias("_hashes"))
+        .select(
+            "_id",
+            F.array(
+                *[
+                    F.array_min(
+                        F.transform(
+                            "_hashes", lambda h: F.md5(F.concat(F.lit(f"salt{i}:"), h))
+                        )
+                    )
+                    for i in range(num_hashes)
+                ]
+            ).alias("_sig"),
+        )
+        .select("_id", band_hashes(F.col("_sig"), bands).alias("_bands"))
+        # checkpoint BEFORE the explode: Generate pushdown would
+        # otherwise re-inline the whole signature tree per band
+        # (observed 243 md5 nodes in the optimized plan vs 39).
+        .localCheckpoint()
+        .select("_id", F.posexplode("_bands").alias("_band_idx", "_band"))
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._band_idx") == F.col("b._band_idx"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def token_set_jaccard(text_a: Column, text_b: Column) -> Column:
+    """Exact Jaccard similarity of distinct-token sets."""
+    ta = F.array_distinct(F.split(F.lower(F.trim(text_a)), TOKEN_SPLIT))
+    tb = F.array_distinct(F.split(F.lower(F.trim(text_b)), TOKEN_SPLIT))
+    inter = F.size(F.array_intersect(ta, tb)).cast("double")
+    union = F.size(F.array_union(ta, tb)).cast("double")
+    return F.round(inter / F.greatest(union, F.lit(1.0)), 4)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard refine →
+    threshold. The refine join re-reads only candidate rows' texts
+    (two broadcast-or-shuffle hash joins on ids)."""
+    cand = minhash_candidates(df, id_col, text_col)
+    da = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_text_a"))
+    db = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_text_b"))
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared_bands",
+            token_set_jaccard(F.col("_text_a"), F.col("_text_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per row via an Arrow-batched pandas UDF.
+
+    Linear in rows; near-dup lookup then groups by signature or by
+    rotated prefix bands (Hamming-ball search). Python is unavoidable
+    here (per-bit vote accumulation), so it is vectorized per batch.
+    """
+
+    @F.pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            votes = [0] * 64
+            for tok in (t or "").lower().split():
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                for bit in range(64):
+                    votes[bit] += 1 if (h >> bit) & 1 else -1
+            sig = 0
+            for bit in range(64):
+                if votes[bit] > 0:
+                    sig |= 1 << bit
+            # keep within signed int64 for Spark LongType
+            if sig >= 1 << 63:
+                sig -= 1 << 64
+            out.append(sig)
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup pairs above a cosine threshold.
+
+    Brute-force O(n²) cross join — correct baseline for modest n; the
+    scale path buckets by sign-random-projection first (see
+    operators/similarity.srp_bucket_pairs) so only same-bucket pairs
+    are compared.
+    """
+    norm = _l2_norm(F.col(vec_col))
+    v = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+        norm.alias("_n"),
+    )
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot / (F.col("_na") * F.col("_nb")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _l2_norm(vec: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(vec, lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )

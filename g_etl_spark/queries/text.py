@@ -1,0 +1,170 @@
+"""Text-analysis query family (BASELINE.json extension surface) over
+the `documents` table. Backed by operators/text.py; every hot path is
+built-in SQL (split / array lambdas / md5), no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from g_etl_spark.operators import text as T
+from g_etl_spark.queries import register
+from g_etl_spark.tables import load
+
+_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+_STOP_IN = "('the','a','of','and','is','in','to')"
+
+
+@register(
+    "q40_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS})                                         AS n_tokens,
+           len(list_distinct({_TOKS}))                          AS n_distinct_tokens,
+           round(CAST(len(list_filter({_TOKS}, t -> t IN {_STOP_IN})) AS DOUBLE)
+                 / greatest(len({_TOKS}), 1), 4)                AS stopword_ratio,
+           round(CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                 / greatest(len({_TOKS}), 1), 4)                AS type_token_ratio,
+           md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q40_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, lexical-diversity + stopword quality signals,
+    and the order-insensitive document fingerprint."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(t).cast("long").alias("n_tokens"),
+        T.distinct_token_count(t).cast("long").alias("n_distinct_tokens"),
+        F.round(T.stopword_ratio(t), 4).alias("stopword_ratio"),
+        F.round(T.type_token_ratio(t), 4).alias("type_token_ratio"),
+        T.fingerprint(t).alias("fingerprint"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q41_quality_by_source",
+    oracle=f"""
+    WITH scored AS (
+        SELECT source,
+               round(0.4 * least(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0)
+                   + 0.4 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                            / greatest(len({_TOKS}), 1))
+                   + 0.2 * (1.0 - abs(CAST(len(list_filter({_TOKS}, t -> t IN {_STOP_IN})) AS DOUBLE)
+                                      / greatest(len({_TOKS}), 1) - 0.3)), 4) AS quality
+        FROM documents
+    )
+    SELECT source,
+           count(*)                  AS n_docs,
+           round(avg(quality), 3)    AS avg_quality,
+           round(min(quality), 4)    AS min_quality,
+           round(max(quality), 4)    AS max_quality
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q41_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score rolled up per source — the
+    keep/drop/route signal of a training-data pipeline."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select("source", T.quality_score(F.col("text")).alias("quality"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality"), 3).alias("avg_quality"),
+            F.round(F.min("quality"), 4).alias("min_quality"),
+            F.round(F.max("quality"), 4).alias("max_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q42_token_frequencies",
+    oracle=f"""
+    SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 25
+    """,
+)
+def q42_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequencies: UNNEST→rows (reference §2.7 array
+    family, `UNNEST(list)` aab/002:17-19) + top-k.
+
+    Scale: explode multiplies rows ~50×; the groupBy's map-side
+    combine collapses per-partition token counts before the shuffle,
+    so the exchange carries |vocab|·partitions rows, not token count.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(25)
+    )
+
+
+_SCORE = {
+    lang: (
+        f"round(CAST(len(list_filter({_TOKS}, t -> t IN "
+        f"({', '.join(repr(m) for m in marks)}))) AS DOUBLE)"
+        f" / greatest(len({_TOKS}), 1), 4)"
+    )
+    for lang, marks in T.LANG_MARKERS.items()
+}
+
+
+@register(
+    "q43_language_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS labeled_lang,
+               {_SCORE['en']} AS s_en, {_SCORE['de']} AS s_de,
+               {_SCORE['fr']} AS s_fr, {_SCORE['es']} AS s_es,
+               {_SCORE['zh']} AS s_zh
+        FROM documents
+    ),
+    detected AS (
+        SELECT doc_id, labeled_lang, s_en,
+               CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+                    WHEN s_zh = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'zh'
+                    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                    WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                    WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                    ELSE 'de' END AS detected_lang
+        FROM scored
+    )
+    SELECT labeled_lang, detected_lang, count(*) AS n,
+           round(avg(s_en), 4) AS avg_en_score
+    FROM detected
+    GROUP BY labeled_lang, detected_lang
+    ORDER BY labeled_lang, detected_lang
+    """,
+)
+def q43_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (marker-lexicon argmax) cross-tabbed
+    against the labeled lang column. Argmax = array_max over
+    (score, lang) structs — ties break toward the lexicographically
+    greatest language in both engines.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        d.select(
+            F.col("lang").alias("labeled_lang"),
+            T.detect_language(t).alias("detected_lang"),
+            T.lang_score(t, "en").alias("s_en"),
+        )
+        .groupBy("labeled_lang", "detected_lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("s_en"), 4).alias("avg_en_score"))
+        .orderBy("labeled_lang", "detected_lang")
+    )
