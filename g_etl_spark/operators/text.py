@@ -111,17 +111,66 @@ def fingerprint(text: Column) -> Column:
     return F.md5(canonical)
 
 
-def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the full text-analysis column block."""
-    t = F.col(text_col)
-    return df.withColumns(
-        {
-            "n_tokens": token_count(t),
-            "n_distinct_tokens": distinct_token_count(t),
-            "stopword_ratio": F.round(stopword_ratio(t), 4),
-            "type_token_ratio": F.round(type_token_ratio(t), 4),
-            "quality": quality_score(t),
-            "detected_lang": detect_language(t),
-            "fingerprint": fingerprint(t),
-        }
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stage tokenization: attach ``_toks`` and ``_dtoks`` as
+    materialized columns.
+
+    Every downstream stat references these ATTRIBUTES instead of
+    re-inlining the split/distinct expression tree. Higher-order array
+    functions are CodegenFallback (no common-subexpression
+    elimination), so computing the token array once per row instead of
+    once per derived column is ~8× less work — the difference between
+    a usable and an unusable per-row cost at 100 TB.
+    """
+    return df.withColumn("_toks", tokens(F.col(text_col))).withColumn(
+        "_dtoks", F.array_distinct(F.col("_toks"))
     )
+
+
+def staged_stats_columns() -> dict[str, Column]:
+    """Stat columns over staged ``_toks``/``_dtoks`` (see with_tokens)."""
+    toks, dtoks = F.col("_toks"), F.col("_dtoks")
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = n_stop.cast("double") / n
+    ttr = F.size(dtoks).cast("double") / n
+    quality = (
+        F.lit(0.4) * F.least(F.size(toks).cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.4) * ttr
+        + F.lit(0.2) * (F.lit(1.0) - F.abs(stop_ratio - F.lit(0.3)))
+    )
+    return {
+        "n_tokens": F.size(toks).cast("long"),
+        "n_distinct_tokens": F.size(dtoks).cast("long"),
+        "stopword_ratio": F.round(stop_ratio, 4),
+        "type_token_ratio": F.round(ttr, 4),
+        "quality": F.round(quality, 4),
+        "fingerprint": F.md5(F.array_join(F.array_sort(dtoks), " ")),
+    }
+
+
+def staged_detect_language() -> Column:
+    """detect_language over the staged ``_toks`` column."""
+    toks = F.col("_toks")
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    scored = F.array(
+        *[
+            F.struct(
+                (F.size(F.filter(toks, lambda t: t.isin(*marks))).cast("double") / n).alias(
+                    "score"
+                ),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, marks in LANG_MARKERS.items()
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis column block (staged)."""
+    staged = with_tokens(df, text_col)
+    cols = staged_stats_columns()
+    cols["detected_lang"] = staged_detect_language()
+    return staged.withColumns(cols).drop("_toks", "_dtoks")

@@ -33,16 +33,18 @@ _STOP_IN = "('the','a','of','and','is','in','to')"
 )
 def q40_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, lexical-diversity + stopword quality signals,
-    and the order-insensitive document fingerprint."""
-    d = load(spark, sf_dir, "documents")
-    t = F.col("text")
+    and the order-insensitive document fingerprint. Tokenization is
+    staged once per row (operators/text.with_tokens) — the stats read
+    materialized array attributes, not re-inlined split() trees."""
+    d = T.with_tokens(load(spark, sf_dir, "documents"))
+    cols = T.staged_stats_columns()
     return d.select(
         "doc_id",
-        T.token_count(t).cast("long").alias("n_tokens"),
-        T.distinct_token_count(t).cast("long").alias("n_distinct_tokens"),
-        F.round(T.stopword_ratio(t), 4).alias("stopword_ratio"),
-        F.round(T.type_token_ratio(t), 4).alias("type_token_ratio"),
-        T.fingerprint(t).alias("fingerprint"),
+        cols["n_tokens"].alias("n_tokens"),
+        cols["n_distinct_tokens"].alias("n_distinct_tokens"),
+        cols["stopword_ratio"].alias("stopword_ratio"),
+        cols["type_token_ratio"].alias("type_token_ratio"),
+        cols["fingerprint"].alias("fingerprint"),
     ).orderBy("doc_id")
 
 
@@ -71,8 +73,8 @@ def q40_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q41_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite quality score rolled up per source — the
     keep/drop/route signal of a training-data pipeline."""
-    d = load(spark, sf_dir, "documents")
-    scored = d.select("source", T.quality_score(F.col("text")).alias("quality"))
+    d = T.with_tokens(load(spark, sf_dir, "documents"))
+    scored = d.select("source", T.staged_stats_columns()["quality"].alias("quality"))
     return (
         scored.groupBy("source")
         .agg(
@@ -156,13 +158,17 @@ def q43_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (score, lang) structs — ties break toward the lexicographically
     greatest language in both engines.
     """
-    d = load(spark, sf_dir, "documents")
-    t = F.col("text")
+    d = T.with_tokens(load(spark, sf_dir, "documents"))
+    en_marks = T.LANG_MARKERS["en"]
+    n = F.greatest(F.size("_toks"), F.lit(1)).cast("double")
+    s_en = F.round(
+        F.size(F.filter(F.col("_toks"), lambda t: t.isin(*en_marks))).cast("double") / n, 4
+    )
     return (
         d.select(
             F.col("lang").alias("labeled_lang"),
-            T.detect_language(t).alias("detected_lang"),
-            T.lang_score(t, "en").alias("s_en"),
+            T.staged_detect_language().alias("detected_lang"),
+            s_en.alias("s_en"),
         )
         .groupBy("labeled_lang", "detected_lang")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("s_en"), 4).alias("avg_en_score"))

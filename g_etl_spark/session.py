@@ -34,7 +34,14 @@ def get_spark(app_name: str = "g_etl_spark", master: str | None = None) -> Spark
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Many distinct generated classes (one per query) exhaust the
+        # default 240m JIT code cache mid-session; hot interpreted
+        # loops then deoptimize catastrophically.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
