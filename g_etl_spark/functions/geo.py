@@ -1,0 +1,572 @@
+"""Geometry functions: WKT/WKB codec, planar ops, CRS transform.
+
+The reference leans on DuckDB-spatial's ST_* family
+(sql/migrations/003_db_makros.sql; 004_staging_transform_template.sql:
+23-63). Vanilla Spark has no geometry type, so the engine models
+geometry as WKB bytes / WKT text in ordinary columns and computes
+with Arrow-batched pandas UDFs (SURVEY §2.7 "Spatial").
+
+shapely/pyproj are NOT available in this container, so this module
+ships a self-contained implementation built only on public formulas:
+
+- WKT + WKB (ISO) parse/write for Point / LineString / Polygon /
+  MultiPolygon / MultiLineString / MultiPoint
+- centroid, representative point (≙ ST_PointOnSurface), shoelace
+  area, length, geometry type, bbox, point-in-polygon, segment
+  intersection, validity check (ring self-intersection) and a
+  documented make_valid fallback
+- SWEREF99 TM (EPSG:3006) ↔ WGS84 via the Karney–Krüger transverse
+  Mercator series (the standard published formulation)
+
+If shapely IS importable the repair path upgrades to
+``shapely.make_valid`` automatically (import-try at call time); the
+rest is exact arithmetic that needs no library.
+
+Geometries are modeled as ``(type, coords)`` tuples:
+  Point       -> ("Point", (x, y))
+  LineString  -> ("LineString", [(x, y), ...])
+  Polygon     -> ("Polygon", [ring, ...])        ring = [(x, y), ...]
+  Multi*      -> ("MultiX", [coords_of_X, ...])
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from typing import Any, Sequence
+
+Geometry = tuple[str, Any]
+
+# --------------------------------------------------------------------------
+# WKT codec
+# --------------------------------------------------------------------------
+
+
+def _fmt_pt(p: Sequence[float]) -> str:
+    return f"{p[0]:.9g} {p[1]:.9g}"
+
+
+def to_wkt(geom: Geometry) -> str:
+    t, c = geom
+    if t == "Point":
+        return f"POINT ({_fmt_pt(c)})"
+    if t == "LineString":
+        return "LINESTRING (" + ", ".join(_fmt_pt(p) for p in c) + ")"
+    if t == "Polygon":
+        rings = ", ".join("(" + ", ".join(_fmt_pt(p) for p in ring) + ")" for ring in c)
+        return f"POLYGON ({rings})"
+    if t == "MultiPoint":
+        return "MULTIPOINT (" + ", ".join("(" + _fmt_pt(p) + ")" for p in c) + ")"
+    if t == "MultiLineString":
+        parts = ", ".join("(" + ", ".join(_fmt_pt(p) for p in ls) + ")" for ls in c)
+        return f"MULTILINESTRING ({parts})"
+    if t == "MultiPolygon":
+        polys = ", ".join(
+            "(" + ", ".join("(" + ", ".join(_fmt_pt(p) for p in ring) + ")" for ring in poly) + ")"
+            for poly in c
+        )
+        return f"MULTIPOLYGON ({polys})"
+    raise ValueError(f"unsupported geometry type: {t}")
+
+
+def _parse_coords(body: str) -> list[tuple[float, float]]:
+    pts = []
+    for pair in body.split(","):
+        parts = pair.strip().split()
+        pts.append((float(parts[0]), float(parts[1])))
+    return pts
+
+
+def _split_groups(body: str) -> list[str]:
+    """Split '(...), (...)' at top parenthesis level."""
+    groups, depth, start = [], 0, None
+    for i, ch in enumerate(body):
+        if ch == "(":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                groups.append(body[start:i])
+    return groups
+
+
+def from_wkt(wkt: str) -> Geometry:
+    s = wkt.strip()
+    upper = s.upper()
+    if upper.startswith("POINT"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        return ("Point", _parse_coords(body)[0])
+    if upper.startswith("LINESTRING"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        return ("LineString", _parse_coords(body))
+    if upper.startswith("POLYGON"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        return ("Polygon", [_parse_coords(g) for g in _split_groups(body)])
+    if upper.startswith("MULTIPOINT"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        if "(" in body:
+            return ("MultiPoint", [_parse_coords(g)[0] for g in _split_groups(body)])
+        return ("MultiPoint", _parse_coords(body))
+    if upper.startswith("MULTILINESTRING"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        return ("MultiLineString", [_parse_coords(g) for g in _split_groups(body)])
+    if upper.startswith("MULTIPOLYGON"):
+        body = s[s.index("(") + 1 : s.rindex(")")]
+        polys = [
+            [_parse_coords(g) for g in _split_groups(poly_body)]
+            for poly_body in _split_groups(body)
+        ]
+        return ("MultiPolygon", polys)
+    raise ValueError(f"cannot parse WKT: {wkt[:60]}")
+
+
+# --------------------------------------------------------------------------
+# WKB codec (ISO little-endian)
+# --------------------------------------------------------------------------
+
+_WKB_TYPES = {
+    "Point": 1,
+    "LineString": 2,
+    "Polygon": 3,
+    "MultiPoint": 4,
+    "MultiLineString": 5,
+    "MultiPolygon": 6,
+}
+_WKB_NAMES = {v: k for k, v in _WKB_TYPES.items()}
+
+
+def to_wkb(geom: Geometry) -> bytes:
+    t, c = geom
+    out = [b"\x01", struct.pack("<I", _WKB_TYPES[t])]
+    if t == "Point":
+        out.append(struct.pack("<2d", *c))
+    elif t == "LineString":
+        out.append(struct.pack("<I", len(c)))
+        for p in c:
+            out.append(struct.pack("<2d", *p))
+    elif t == "Polygon":
+        out.append(struct.pack("<I", len(c)))
+        for ring in c:
+            out.append(struct.pack("<I", len(ring)))
+            for p in ring:
+                out.append(struct.pack("<2d", *p))
+    elif t in ("MultiPoint", "MultiLineString", "MultiPolygon"):
+        inner = {"MultiPoint": "Point", "MultiLineString": "LineString",
+                 "MultiPolygon": "Polygon"}[t]
+        out.append(struct.pack("<I", len(c)))
+        for part in c:
+            out.append(to_wkb((inner, part)))
+    else:
+        raise ValueError(f"unsupported geometry type: {t}")
+    return b"".join(out)
+
+
+def from_wkb(data: bytes) -> Geometry:
+    geom, _ = _read_wkb(memoryview(data), 0)
+    return geom
+
+
+def _read_wkb(mv: memoryview, off: int) -> tuple[Geometry, int]:
+    little = mv[off] == 1
+    fmt = "<" if little else ">"
+    (type_code,) = struct.unpack_from(fmt + "I", mv, off + 1)
+    type_code &= 0xFF  # strip Z/M/SRID flags
+    t = _WKB_NAMES[type_code]
+    off += 5
+    if t == "Point":
+        x, y = struct.unpack_from(fmt + "2d", mv, off)
+        return ("Point", (x, y)), off + 16
+    if t == "LineString":
+        (n,) = struct.unpack_from(fmt + "I", mv, off)
+        off += 4
+        pts = [struct.unpack_from(fmt + "2d", mv, off + 16 * i) for i in range(n)]
+        return ("LineString", [tuple(p) for p in pts]), off + 16 * n
+    if t == "Polygon":
+        (nr,) = struct.unpack_from(fmt + "I", mv, off)
+        off += 4
+        rings = []
+        for _ in range(nr):
+            (n,) = struct.unpack_from(fmt + "I", mv, off)
+            off += 4
+            ring = [tuple(struct.unpack_from(fmt + "2d", mv, off + 16 * i)) for i in range(n)]
+            rings.append(ring)
+            off += 16 * n
+        return ("Polygon", rings), off
+    # Multi*
+    (n,) = struct.unpack_from(fmt + "I", mv, off)
+    off += 4
+    parts = []
+    for _ in range(n):
+        part, off = _read_wkb(mv, off)
+        parts.append(part[1])
+    return (t, parts), off
+
+
+# --------------------------------------------------------------------------
+# Planar measures
+# --------------------------------------------------------------------------
+
+
+def geometry_type(geom: Geometry) -> str:
+    """≙ ST_GeometryType — returns POINT/LINESTRING/POLYGON/MULTI*."""
+    return geom[0].upper()
+
+
+def ring_area(ring: Sequence[tuple[float, float]]) -> float:
+    """Signed shoelace area (positive = counter-clockwise)."""
+    a = 0.0
+    for i in range(len(ring) - 1):
+        x1, y1 = ring[i]
+        x2, y2 = ring[i + 1]
+        a += x1 * y2 - x2 * y1
+    return a / 2.0
+
+
+def area(geom: Geometry) -> float:
+    """≙ ST_Area: outer rings minus holes (planar units²)."""
+    t, c = geom
+    if t == "Polygon":
+        return abs(ring_area(c[0])) - sum(abs(ring_area(r)) for r in c[1:])
+    if t == "MultiPolygon":
+        return sum(area(("Polygon", p)) for p in c)
+    return 0.0
+
+
+def length(geom: Geometry) -> float:
+    t, c = geom
+    if t == "LineString":
+        return sum(math.dist(c[i], c[i + 1]) for i in range(len(c) - 1))
+    if t == "MultiLineString":
+        return sum(length(("LineString", ls)) for ls in c)
+    return 0.0
+
+
+def centroid(geom: Geometry) -> tuple[float, float]:
+    """≙ ST_Centroid (area-weighted for polygons)."""
+    t, c = geom
+    if t == "Point":
+        return c
+    if t == "MultiPoint":
+        return (sum(p[0] for p in c) / len(c), sum(p[1] for p in c) / len(c))
+    if t == "LineString":
+        sx = sy = sl = 0.0
+        for i in range(len(c) - 1):
+            seg = math.dist(c[i], c[i + 1])
+            sx += (c[i][0] + c[i + 1][0]) / 2 * seg
+            sy += (c[i][1] + c[i + 1][1]) / 2 * seg
+            sl += seg
+        if sl == 0:
+            return c[0]
+        return (sx / sl, sy / sl)
+    if t == "MultiLineString":
+        pts = [p for ls in c for p in ls]
+        return centroid(("LineString", pts))
+    if t == "Polygon":
+        ring = c[0]
+        a = ring_area(ring)
+        if a == 0:
+            return centroid(("MultiPoint", ring[:-1] or ring))
+        cx = cy = 0.0
+        for i in range(len(ring) - 1):
+            x1, y1 = ring[i]
+            x2, y2 = ring[i + 1]
+            cross = x1 * y2 - x2 * y1
+            cx += (x1 + x2) * cross
+            cy += (y1 + y2) * cross
+        return (cx / (6 * a), cy / (6 * a))
+    if t == "MultiPolygon":
+        parts = [(area(("Polygon", p)), centroid(("Polygon", p))) for p in c]
+        total = sum(a for a, _ in parts) or 1.0
+        return (
+            sum(a * p[0] for a, p in parts) / total,
+            sum(a * p[1] for a, p in parts) / total,
+        )
+    raise ValueError(f"unsupported geometry type: {t}")
+
+
+def point_in_polygon(pt: tuple[float, float], geom: Geometry) -> bool:
+    """≙ ST_Intersects(point, polygon) via ray casting (holes honored)."""
+    t, c = geom
+    if t == "Polygon":
+        if not _pt_in_ring(pt, c[0]):
+            return False
+        return not any(_pt_in_ring(pt, hole) for hole in c[1:])
+    if t == "MultiPolygon":
+        return any(point_in_polygon(pt, ("Polygon", p)) for p in c)
+    return False
+
+
+def _pt_in_ring(pt: tuple[float, float], ring: Sequence[tuple[float, float]]) -> bool:
+    x, y = pt
+    inside = False
+    j = len(ring) - 1
+    for i in range(len(ring)):
+        xi, yi = ring[i]
+        xj, yj = ring[j]
+        if (yi > y) != (yj > y) and x < (xj - xi) * (y - yi) / (yj - yi) + xi:
+            inside = not inside
+        j = i
+    return inside
+
+
+def representative_point(geom: Geometry) -> tuple[float, float]:
+    """≙ ST_PointOnSurface: a point guaranteed on the geometry.
+
+    Polygons: centroid if interior, else scan midpoints of a
+    horizontal chord through the bbox midline (the classic
+    point-on-surface construction).
+    """
+    t, c = geom
+    if t in ("Point", "MultiPoint", "LineString", "MultiLineString"):
+        if t == "Point":
+            return c
+        if t == "MultiPoint":
+            return c[0]
+        if t == "LineString":
+            mid = len(c) // 2
+            return c[mid]
+        return c[0][len(c[0]) // 2]
+    cen = centroid(geom)
+    if point_in_polygon(cen, geom):
+        return cen
+    # chord scan at the centroid's y
+    xs: list[float] = []
+    rings = c if t == "Polygon" else [r for poly in c for r in poly]
+    y = cen[1]
+    for ring in rings:
+        for i in range(len(ring) - 1):
+            (x1, y1), (x2, y2) = ring[i], ring[i + 1]
+            if (y1 > y) != (y2 > y):
+                xs.append(x1 + (y - y1) / (y2 - y1) * (x2 - x1))
+    xs.sort()
+    for i in range(0, len(xs) - 1, 2):
+        mid = ((xs[i] + xs[i + 1]) / 2, y)
+        if point_in_polygon(mid, geom):
+            return mid
+    return cen
+
+
+def distance(a: Geometry, b: Geometry) -> float:
+    """≙ ST_Distance for point-vs-point/line/polygon (the shapes the
+    reference queries use, examples:184-188)."""
+    if a[0] != "Point":
+        a, b = b, a
+    if a[0] != "Point":
+        raise ValueError("distance supports point-vs-geometry")
+    p = a[1]
+    t, c = b
+    if t == "Point":
+        return math.dist(p, c)
+    if t == "MultiPoint":
+        return min(math.dist(p, q) for q in c)
+    if t == "LineString":
+        return min(_pt_seg_dist(p, c[i], c[i + 1]) for i in range(len(c) - 1))
+    if t == "MultiLineString":
+        return min(distance(a, ("LineString", ls)) for ls in c)
+    if t in ("Polygon", "MultiPolygon"):
+        if point_in_polygon(p, b):
+            return 0.0
+        rings = c if t == "Polygon" else [r for poly in c for r in poly]
+        return min(
+            _pt_seg_dist(p, ring[i], ring[i + 1])
+            for ring in rings
+            for i in range(len(ring) - 1)
+        )
+    raise ValueError(f"unsupported geometry type: {t}")
+
+
+def _pt_seg_dist(p, a, b) -> float:
+    ax, ay = a
+    bx, by = b
+    px, py = p
+    dx, dy = bx - ax, by - ay
+    if dx == dy == 0:
+        return math.dist(p, a)
+    t = max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / (dx * dx + dy * dy)))
+    return math.dist(p, (ax + t * dx, ay + t * dy))
+
+
+# --------------------------------------------------------------------------
+# Validity / repair (≙ ST_IsValid / ST_MakeValid, 003:25-30)
+# --------------------------------------------------------------------------
+
+
+def _segs_cross(p1, p2, p3, p4) -> bool:
+    """Proper intersection of open segments (shared endpoints ok)."""
+
+    def orient(a, b, c):
+        v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        return 0 if v == 0 else (1 if v > 0 else -1)
+
+    o1, o2 = orient(p1, p2, p3), orient(p1, p2, p4)
+    o3, o4 = orient(p3, p4, p1), orient(p3, p4, p2)
+    return o1 != o2 and o3 != o4 and 0 not in (o1, o2, o3, o4)
+
+
+def is_valid(geom: Geometry) -> bool:
+    """Ring self-intersection check for polygons (the validity issue
+    the reference's fixtures exercise: bowtie quads, FIXTURES.md A1)."""
+    t, c = geom
+    if t == "Polygon":
+        for ring in c:
+            n = len(ring) - 1
+            if n < 3:
+                return False
+            for i in range(n):
+                for j in range(i + 1, n):
+                    if abs(i - j) in (0, 1) or (i == 0 and j == n - 1):
+                        continue
+                    if _segs_cross(ring[i], ring[i + 1], ring[j], ring[j + 1]):
+                        return False
+        return True
+    if t == "MultiPolygon":
+        return all(is_valid(("Polygon", p)) for p in c)
+    return True
+
+
+def make_valid(geom: Geometry) -> Geometry:
+    """≙ ST_MakeValid (003:25-30) / buffer(0) repair
+    (zip_geopackage.py:327-343).
+
+    Upgrades to shapely.make_valid when shapely is importable;
+    otherwise repairs self-intersecting rings with their convex hull —
+    a documented approximation adequate for the bowtie-quad fixtures
+    (SURVEY §7 sharp edge #4: different-but-both-valid outputs are
+    expected between repair implementations).
+    """
+    if is_valid(geom):
+        return geom
+    try:  # pragma: no cover - shapely not in this container
+        import shapely
+        import shapely.validation
+        from shapely import wkt as swkt
+
+        repaired = shapely.validation.make_valid(swkt.loads(to_wkt(geom)))
+        return from_wkt(repaired.wkt)
+    except ImportError:
+        pass
+    t, c = geom
+    if t == "Polygon":
+        return ("Polygon", [_convex_hull(c[0])])
+    if t == "MultiPolygon":
+        return ("MultiPolygon", [[_convex_hull(p[0])] for p in c])
+    return geom
+
+
+def _convex_hull(pts: Sequence[tuple[float, float]]) -> list[tuple[float, float]]:
+    """Andrew's monotone chain; returns a closed ring."""
+    pts = sorted(set(pts))
+    if len(pts) <= 2:
+        return list(pts) + list(pts[:1])
+
+    def half(points):
+        out: list[tuple[float, float]] = []
+        for p in points:
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+            ) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower, upper = half(pts), half(list(reversed(pts)))
+    ring = lower[:-1] + upper[:-1]
+    return ring + ring[:1]
+
+
+# --------------------------------------------------------------------------
+# SWEREF99 TM (EPSG:3006) <-> WGS84 — Karney–Krüger series
+# --------------------------------------------------------------------------
+# GRS80 ellipsoid; central meridian 15°E, k0 = 0.9996, FE = 500000.
+# Series coefficients to n^4 give sub-mm accuracy in Sweden.
+
+_A_GRS80 = 6378137.0
+_F_GRS80 = 1.0 / 298.257222101
+_N = _F_GRS80 / (2.0 - _F_GRS80)
+_A_CAP = _A_GRS80 / (1.0 + _N) * (1.0 + _N**2 / 4.0 + _N**4 / 64.0)
+_K0 = 0.9996
+_FE = 500000.0
+_LON0 = math.radians(15.0)
+
+_ALPHA = (
+    _N / 2 - 2 * _N**2 / 3 + 5 * _N**3 / 16 + 41 * _N**4 / 180,
+    13 * _N**2 / 48 - 3 * _N**3 / 5 + 557 * _N**4 / 1440,
+    61 * _N**3 / 240 - 103 * _N**4 / 140,
+    49561 * _N**4 / 161280,
+)
+_BETA = (
+    _N / 2 - 2 * _N**2 / 3 + 37 * _N**3 / 96 - _N**4 / 360,
+    _N**2 / 48 + _N**3 / 15 - 437 * _N**4 / 1440,
+    17 * _N**3 / 480 - 37 * _N**4 / 840,
+    4397 * _N**4 / 161280,
+)
+_DELTA = (
+    2 * _N - 2 * _N**2 / 3 - 2 * _N**3 + 116 * _N**4 / 45,
+    7 * _N**2 / 3 - 8 * _N**3 / 5 - 227 * _N**4 / 45,
+    56 * _N**3 / 15 - 136 * _N**4 / 35,
+    4279 * _N**4 / 630,
+)
+_E2 = _F_GRS80 * (2 - _F_GRS80)
+_E = math.sqrt(_E2)
+
+
+def sweref99_to_wgs84(easting: float, northing: float) -> tuple[float, float]:
+    """EPSG:3006 (E, N) -> (lat, lng) degrees."""
+    xi = northing / (_K0 * _A_CAP)
+    eta = (easting - _FE) / (_K0 * _A_CAP)
+    xi_p, eta_p = xi, eta
+    for j, b in enumerate(_BETA, start=1):
+        xi_p -= b * math.sin(2 * j * xi) * math.cosh(2 * j * eta)
+        eta_p -= b * math.cos(2 * j * xi) * math.sinh(2 * j * eta)
+    chi = math.asin(math.sin(xi_p) / math.cosh(eta_p))
+    lat = chi
+    for j, d in enumerate(_DELTA, start=1):
+        lat += d * math.sin(2 * j * chi)
+    lng = _LON0 + math.atan2(math.sinh(eta_p), math.cos(xi_p))
+    return (math.degrees(lat), math.degrees(lng))
+
+
+def wgs84_to_sweref99(lat: float, lng: float) -> tuple[float, float]:
+    """(lat, lng) degrees -> EPSG:3006 (E, N)."""
+    phi = math.radians(lat)
+    lam = math.radians(lng) - _LON0
+    # conformal latitude
+    t = math.sinh(
+        math.atanh(math.sin(phi)) - _E * math.atanh(_E * math.sin(phi))
+    )
+    xi_p = math.atan2(t, math.cos(lam))
+    eta_p = math.atanh(math.sin(lam) / math.hypot(1.0, t))
+    xi, eta = xi_p, eta_p
+    for j, a in enumerate(_ALPHA, start=1):
+        xi += a * math.sin(2 * j * xi_p) * math.cosh(2 * j * eta_p)
+        eta += a * math.cos(2 * j * xi_p) * math.sinh(2 * j * eta_p)
+    return (_FE + _K0 * _A_CAP * eta, _K0 * _A_CAP * xi)
+
+
+def transform_geom(geom: Geometry, fn) -> Geometry:
+    """Apply a coordinate transform (x,y)->(x,y) to every vertex."""
+    t, c = geom
+    if t == "Point":
+        return (t, fn(c))
+    if t in ("LineString", "MultiPoint"):
+        return (t, [fn(p) for p in c])
+    if t in ("Polygon", "MultiLineString"):
+        return (t, [[fn(p) for p in part] for part in c])
+    if t == "MultiPolygon":
+        return (t, [[[fn(p) for p in ring] for ring in poly] for poly in c])
+    raise ValueError(f"unsupported geometry type: {t}")
+
+
+def sweref_geom_to_wgs84(geom: Geometry) -> Geometry:
+    """≙ g_to_wgs84 (003:12-23) — note the reference needed PROJ4
+    strings to dodge a DuckDB bug (architecture.md:383-393); we
+    transform directly."""
+
+    def fn(p):
+        lat, lng = sweref99_to_wgs84(p[0], p[1])
+        return (lng, lat)  # geometries store (x=lng, y=lat)
+
+    return transform_geom(geom, fn)

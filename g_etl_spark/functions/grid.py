@@ -40,15 +40,15 @@ X_SHIFT = 29
 MAX_RES = 28
 
 # Reference default resolutions (settings.py:82-86, config/config.yml:19-24)
-# mapped onto quadtree levels of comparable cell edge length:
-#   H3 res 13 ~ 3.6 m edge  -> quad res 23 (~4.8 m at equator)
-#   H3 res 11 ~ 25 m        -> quad res 20 (~38 m)
-#   H3 res 12 ~ 9.4 m       -> quad res 21 (~19 m)
-#   H3 res 8  ~ 460 m       -> quad res 16 (~611 m)
-CENTERPOINT_RES = 23
-POLYGON_RES = 20
-LINE_RES = 21
-POINT_RES = 23
+# mapped onto quadtree levels of comparable CELL AREA at Swedish
+# latitudes (~60°N, where a lng-degree is ~55.8 km):
+#   H3 res 13 ~ 43 m²   -> quad res 22 (~4.8 m cells, ~23 m²)
+#   H3 res 11 ~ 2149 m² -> quad res 19 (~38 m cells, ~1450 m²)
+#   H3 res 12 ~ 307 m²  -> quad res 20 (~19 m cells, ~360 m²)
+CENTERPOINT_RES = 22
+POLYGON_RES = 19
+LINE_RES = 20
+POINT_RES = 22
 # Query/rollup resolution: coarse enough that per-cell stats are
 # non-trivial at the testdata densities (≙ reference's res-8 default
 # relative to its data density, examples:249-263).
@@ -110,6 +110,21 @@ def cell_str(c: Column) -> Column:
     return F.concat_ws("_", r.cast("string"), x.cast("string"), y.cast("string"))
 
 
+def cell_ancestor_sql(col: str, res: int) -> str:
+    """SQL text: ancestor of ``col`` at fixed resolution ``res`` —
+    handles mixed-resolution cell columns (shift amount is per-row).
+    Runs in Spark SQL and DuckDB alike."""
+    mask = (1 << 29) - 1
+    r = f"((({col}) >> {RES_SHIFT}) & 63)"
+    dr = f"({r} - {res})"
+    x = f"((({col}) >> {X_SHIFT}) & {mask})"
+    y = f"(({col}) & {mask})"
+    return (
+        f"((CAST({res} AS BIGINT) << {RES_SHIFT}) | "
+        f"(({x} >> {dr}) << {X_SHIFT}) | ({y} >> {dr}))"
+    )
+
+
 # --- SQL-text builders (for the DuckDB oracle and spark.sql users) ---------
 
 
@@ -132,6 +147,12 @@ def cell_sql(lat_expr: str, lng_expr: str, res: int) -> str:
 # --- driver-side (query-side) cell math ------------------------------------
 # The query side of the cell join is one polygon -> at most a few
 # thousand cells; computed on the driver and broadcast (SURVEY §3.2).
+
+
+def cell_str_py(c: int) -> str:
+    """Python-side ``res_x_y`` form (matches cell_str)."""
+    res, x, y = unpack(c)
+    return f"{res}_{x}_{y}"
 
 
 def pack(res: int, x: int, y: int) -> int:

@@ -1,0 +1,170 @@
+"""H3-style polygon query API — ≙ src/g_etl/h3_query.py:18-95.
+
+``query_polygon(spark, warehouse, polygon_wkt, resolution=...,
+datasets=None, aggregation="objects"|"stats"|"heatmap")``
+
+The input polygon is SWEREF99 TM WKT (like the reference); the cell
+derivation mirrors g_h3_query_cells (003_db_makros.sql:138-146):
+transform to WGS84 → polyfill at the query resolution → ancestors
+matched against the index.
+
+Physical plan (SURVEY §3.2): the polyfill happens ON THE DRIVER (one
+polygon → bounded cell count), becomes a broadcast relation, and the
+index side never shuffles for the join — the 10-100× trick. The
+optional ``exact=True`` re-filter applies the two-phase exact-refine
+pattern (J4, docs/H3_POLYGON_ANALYSIS.md:325-355).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from g_etl_spark import warehouse as wh
+from g_etl_spark.functions import geo, geo_udfs, grid
+
+DEFAULT_QUERY_RES = 14  # ~1.2 km cells (≙ reference res 8, ~0.74 km²)
+
+
+def query_cells(polygon_wkt: str, resolution: int = DEFAULT_QUERY_RES) -> list[int]:
+    """≙ g_h3_query_cells (003:138-146): SWEREF99 WKT → WGS84 ring →
+    polyfill. Driver-side by design."""
+    g = geo.from_wkt(polygon_wkt)
+    if g[0] not in ("Polygon", "MultiPolygon"):
+        raise ValueError("query geometry must be POLYGON/MULTIPOLYGON")
+    rings = [g[1][0]] if g[0] == "Polygon" else [p[0] for p in g[1]]
+    cells: set[int] = set()
+    for ring in rings:
+        wgs_ring = []
+        for x, y in ring:
+            lat, lng = geo.sweref99_to_wgs84(x, y)
+            wgs_ring.append((lng, lat))
+        cells.update(grid.polyfill(wgs_ring, resolution))
+        for lng, lat in wgs_ring:  # boundary cells for thin polygons
+            cells.add(grid.latlng_to_cell(lat, lng, resolution))
+    return sorted(cells)
+
+
+def _join_index(
+    spark: SparkSession,
+    index: DataFrame,
+    polygon_wkt: str,
+    resolution: int,
+    datasets: list[str] | None,
+) -> DataFrame:
+    """Broadcast cell join: index cells are finer than query cells, so
+    match on the index cell's ancestor at the query resolution."""
+    cells = query_cells(polygon_wkt, resolution)
+    cells_df = F.broadcast(
+        spark.createDataFrame([(c,) for c in cells], "q_cell bigint")
+    )
+    idx = index
+    if datasets:
+        idx = idx.filter(F.col("dataset_id").isin(datasets))
+    idx = idx.withColumn(
+        "q_cell_match", F.expr(grid.cell_ancestor_sql("grid_cell", resolution))
+    )
+    return idx.join(cells_df, idx.q_cell_match == cells_df.q_cell, "inner")
+
+
+def query_polygon(
+    spark: SparkSession,
+    warehouse: str,
+    polygon_wkt: str,
+    resolution: int = DEFAULT_QUERY_RES,
+    datasets: list[str] | None = None,
+    aggregation: str = "objects",
+    exact: bool = False,
+) -> DataFrame:
+    """≙ query_polygon (h3_query.py:18-95). Three aggregation modes:
+
+    - objects (:105-119): DISTINCT id/dataset/klass/leverantor + cell
+    - stats   (:129-144): per dataset/klass: objects, cells, lists
+    - heatmap (:154-171): per query cell: counts + dataset list
+      (empty cells kept via left join, ≙ J2)
+    """
+    index = wh.grid_index(spark, warehouse)
+    joined = _join_index(spark, index, polygon_wkt, resolution, datasets)
+    if exact:
+        # two-phase refine: candidate cells → exact containment check
+        # on the representative point (requires geom in the index? the
+        # index carries ids; refine joins back to staging geometry is
+        # left to the caller — here we refine on cell centers)
+        joined = joined.filter(
+            _cell_center_in_polygon(polygon_wkt)(F.col("grid_cell"))
+        )
+
+    if aggregation == "objects":
+        return (
+            joined.select(
+                "id",
+                "dataset_id",
+                "klass",
+                "leverantor",
+                F.col("q_cell").alias("query_cell"),
+            )
+            .distinct()
+            .orderBy("dataset_id", "id", "query_cell")
+        )
+    if aggregation == "stats":
+        return (
+            joined.groupBy("dataset_id", "klass")
+            .agg(
+                F.countDistinct("id").alias("object_count"),
+                F.countDistinct("q_cell").alias("cell_count"),
+                F.sort_array(F.collect_set("leverantor")).alias("leverantorer"),
+            )
+            .orderBy(F.desc("object_count"), F.asc("dataset_id"), F.asc("klass"))
+        )
+    if aggregation == "heatmap":
+        cells = query_cells(polygon_wkt, resolution)
+        cells_df = spark.createDataFrame([(c,) for c in cells], "query_cell bigint")
+        per_cell = (
+            joined.groupBy(F.col("q_cell").alias("query_cell"))
+            .agg(
+                F.countDistinct("id").alias("object_count"),
+                F.sort_array(F.collect_set("dataset_id")).alias("datasets"),
+            )
+        )
+        return (
+            cells_df.join(per_cell, "query_cell", "left")
+            .select(
+                "query_cell",
+                F.coalesce("object_count", F.lit(0)).alias("object_count"),
+                F.coalesce("datasets", F.array().cast("array<string>")).alias("datasets"),
+            )
+            .orderBy("query_cell")
+        )
+    raise ValueError(f"unknown aggregation: {aggregation}")
+
+
+def _cell_center_in_polygon(polygon_wkt: str):
+    """Pandas UDF: grid cell center containment in the query polygon
+    (the exact-refine predicate over candidate cells)."""
+    g = geo.from_wkt(polygon_wkt)
+    rings = [g[1][0]] if g[0] == "Polygon" else [p[0] for p in g[1]]
+    # polygons in (lng, lat) WGS84 vertex order
+    polys = [
+        (
+            "Polygon",
+            [[(lng, lat) for (lat, lng) in (geo.sweref99_to_wgs84(x, y) for x, y in ring)]],
+        )
+        for ring in rings
+    ]
+
+    @F.pandas_udf("boolean")
+    def _udf(cells: pd.Series) -> pd.Series:
+        def fn(c):
+            lat, lng = grid.cell_to_latlng(int(c))
+            return any(geo.point_in_polygon((lng, lat), p) for p in polys)
+
+        return cells.map(fn)
+
+    return _udf
+
+
+def query_polygon_pandas(*args, **kwargs):
+    """pandas-returning wrapper for API parity with the reference
+    (h3_query.py returns pd.DataFrame)."""
+    return query_polygon(*args, **kwargs).toPandas()

@@ -1,0 +1,135 @@
+"""Geo-file source (GeoPackage / Shapefile / zipped variants) with a
+download cache — ≙ plugins/zip_geopackage.py, zip_shapefile.py,
+geopackage.py (S2-S4, S9).
+
+GDAL/pyogrio is not in this container, so the actual file decode is
+import-try gated; everything around it — the download cache with
+per-URL locking, zip extraction, layer selection, encoding option,
+geometry-repair fallback — is implemented and unit-tested with local
+fixtures (geometry repair runs through functions.geo.make_valid, the
+same path S9 exercises via shapely buffer(0)).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+import threading
+import zipfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from g_etl_spark.config import DatasetConfig
+from g_etl_spark.sources import register_plugin
+
+# ≙ module-level download cache + per-URL locks (zip_geopackage.py:15-57)
+_CACHE_DIR = os.path.join(tempfile.gettempdir(), "g_etl_spark_downloads")
+_CACHE: dict[str, str] = {}
+_LOCKS: dict[str, threading.Lock] = {}
+_LOCKS_GUARD = threading.Lock()
+
+
+def _url_lock(url: str) -> threading.Lock:
+    with _LOCKS_GUARD:
+        return _LOCKS.setdefault(url, threading.Lock())
+
+
+def download_cached(
+    url: str, fetcher: Callable[[str, str], None] | None = None
+) -> str:
+    """Download once per URL (streaming, 8KB chunks in the default
+    fetcher — ≙ utils/downloader.py:22-89), serialized per URL so
+    concurrent datasets sharing a source zip fetch it once."""
+    with _url_lock(url):
+        if url in _CACHE and os.path.exists(_CACHE[url]):
+            return _CACHE[url]
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        dest = os.path.join(
+            _CACHE_DIR, hashlib.md5(url.encode()).hexdigest() + "_" + os.path.basename(url)
+        )
+        if url.startswith(("http://", "https://")):  # pragma: no cover - no network
+            (fetcher or _stream_download)(url, dest)
+        else:
+            shutil.copyfile(url, dest)
+        _CACHE[url] = dest
+        return dest
+
+
+def _stream_download(url: str, dest: str) -> None:  # pragma: no cover
+    try:
+        import requests
+    except ImportError as e:
+        raise ImportError("geofile download needs 'requests'") from e
+    with requests.get(url, stream=True, timeout=300) as r:
+        r.raise_for_status()
+        with open(dest, "wb") as f:
+            for chunk in r.iter_content(chunk_size=8192):
+                f.write(chunk)
+
+
+def clear_download_cache() -> None:
+    """≙ cache cleanup after extract (pipeline_runner.py:427)."""
+    _CACHE.clear()
+    shutil.rmtree(_CACHE_DIR, ignore_errors=True)
+
+
+def unzip_to_temp(zip_path: str, suffixes: tuple[str, ...]) -> str:
+    """Extract and return the first member matching ``suffixes``
+    (≙ zip_geopackage.py:96-147 / zip_shapefile.py:61-119)."""
+    out_dir = tempfile.mkdtemp(prefix="g_etl_spark_zip_")
+    with zipfile.ZipFile(zip_path) as zf:
+        zf.extractall(out_dir)
+    for root, _dirs, fnames in os.walk(out_dir):
+        for fname in sorted(fnames):
+            if fname.lower().endswith(suffixes):
+                return os.path.join(root, fname)
+    raise FileNotFoundError(f"no {suffixes} member in {zip_path}")
+
+
+def read_geofile_rows(
+    path: str, layer: str | None = None, encoding: str | None = None
+) -> list[dict]:
+    """pyogrio/GDAL decode (import-try; ≙ ST_Read + the pyogrio
+    fallback S9). Returns rows with ``geom`` WKB."""
+    try:  # pragma: no cover - pyogrio absent in this container
+        import pyogrio
+
+        table = pyogrio.read_arrow(path, layer=layer, encoding=encoding)[1]
+        rows = table.to_pylist()
+        for r in rows:
+            r["geom"] = r.pop("wkb_geometry", r.pop("geometry", None))
+        return rows
+    except ImportError as e:
+        raise ImportError(
+            "geofile decode needs pyogrio/GDAL (absent in this container); "
+            "use the parquet/wfs/memory plugins or provide options.reader"
+        ) from e
+
+
+@register_plugin("zip_geopackage")
+def extract_zip_geopackage(spark: SparkSession, cfg: DatasetConfig) -> DataFrame:
+    local = download_cached(cfg.url, cfg.options.get("fetcher"))
+    gpkg = unzip_to_temp(local, (".gpkg",))
+    reader = cfg.options.get("reader", read_geofile_rows)
+    return spark.createDataFrame(reader(gpkg, layer=cfg.layer, encoding=cfg.encoding))
+
+
+@register_plugin("zip_shapefile")
+def extract_zip_shapefile(spark: SparkSession, cfg: DatasetConfig) -> DataFrame:
+    local = download_cached(cfg.url, cfg.options.get("fetcher"))
+    shp = unzip_to_temp(local, (".shp",))
+    reader = cfg.options.get("reader", read_geofile_rows)
+    # ≙ DBF encoding default LATIN1 (zip_shapefile.py:142-143)
+    return spark.createDataFrame(
+        reader(shp, layer=cfg.layer, encoding=cfg.encoding or "LATIN1")
+    )
+
+
+@register_plugin("geopackage")
+def extract_geopackage(spark: SparkSession, cfg: DatasetConfig) -> DataFrame:
+    local = download_cached(cfg.url, cfg.options.get("fetcher"))
+    reader = cfg.options.get("reader", read_geofile_rows)
+    return spark.createDataFrame(reader(local, layer=cfg.layer, encoding=cfg.encoding))

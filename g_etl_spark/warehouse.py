@@ -1,0 +1,115 @@
+"""Warehouse layout + cross-dataset views.
+
+≙ reference MERGE + post-merge SQL (SURVEY §3.1 steps 5-6;
+pipeline_runner.py:968-1157). The reference copies per-dataset temp
+DuckDB files into warehouse.duckdb; in Spark the "merge" is simply a
+shared directory layout — every dataset writes
+``{warehouse}/{schema}/{dataset_id}[_suffix]`` as parquet, and the
+cross-dataset relations are lazy unions over discovery:
+
+    warehouse/
+      raw/{id}/            staging/{id}/
+      mart/{id}_grid/      mart/{id}_grid_compact/
+      mart/grid_stats/     (materialized rollup)
+
+- ``grid_index``  ≙ mart.h3_index  (dynamic UNION ALL over mart.*_grid,
+  pipeline_runner.py:1083-1137) — a VIEW (lazy union), not a copy.
+- ``grid_stats``  ≙ mart.h3_stats (pipeline_runner.py:1144-1153) —
+  materialized, partitioned by cell prefix for partition pruning.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from g_etl_spark.functions import grid
+
+GRID_SUFFIX = "_grid"
+STATS_TABLE = "grid_stats"
+# cell-prefix partitioning: parent cell at this res buckets the index
+STATS_PARTITION_RES = 6
+
+
+def table_path(warehouse: str, schema: str, name: str) -> str:
+    return os.path.join(warehouse, schema, name)
+
+
+def write_table(df: DataFrame, warehouse: str, schema: str, name: str) -> str:
+    """≙ CREATE OR REPLACE TABLE {{schema}}.{{id}} (every template) —
+    parquet overwrite with zstd (plugins/base.py:107-111)."""
+    path = table_path(warehouse, schema, name)
+    df.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    return path
+
+
+def read_table(spark: SparkSession, warehouse: str, schema: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(warehouse, schema, name))
+
+
+def discover_grid_tables(warehouse: str) -> list[str]:
+    """≙ the mart.*_h3 discovery (pipeline_runner.py:1084-1094):
+    find every dataset's exploded grid output (excluding _compact)."""
+    mart = os.path.join(warehouse, "mart")
+    if not os.path.isdir(mart):
+        return []
+    return sorted(
+        d
+        for d in os.listdir(mart)
+        if d.endswith(GRID_SUFFIX) and not d.endswith("_grid_compact")
+    )
+
+
+def grid_index(spark: SparkSession, warehouse: str) -> DataFrame:
+    """≙ mart.h3_index view (pipeline_runner.py:1116-1137): dynamic
+    UNION ALL over every dataset's exploded cells, with dataset_id
+    tagged. Lazy — Spark unions are views until acted on, so this
+    costs nothing to build (the reference chose views for the same
+    reason, :1129-1143)."""
+    names = discover_grid_tables(warehouse)
+    if not names:
+        raise ValueError(f"no {GRID_SUFFIX} tables under {warehouse}/mart")
+    dfs = []
+    for name in names:
+        dataset_id = name[: -len(GRID_SUFFIX)]
+        dfs.append(
+            read_table(spark, warehouse, "mart", name).withColumn(
+                "dataset_id", F.lit(dataset_id)
+            )
+        )
+    return reduce(DataFrame.unionByName, dfs)
+
+
+def grid_stats(index: DataFrame) -> DataFrame:
+    """≙ mart.h3_stats (pipeline_runner.py:1144-1153): per-cell
+    object_count, dataset_count, sorted distinct datasets / klasser /
+    leverantorer."""
+    return index.groupBy("grid_cell").agg(
+        F.count(F.lit(1)).alias("object_count"),
+        F.countDistinct("dataset_id").alias("dataset_count"),
+        F.sort_array(F.collect_set("dataset_id")).alias("datasets"),
+        F.sort_array(F.collect_set("klass")).alias("klasser"),
+        F.sort_array(F.collect_set("leverantor")).alias("leverantorer"),
+    )
+
+
+def write_grid_stats(spark: SparkSession, warehouse: str) -> str:
+    """Materialize the rollup, partitioned by coarse parent cell so
+    polygon queries prune partitions (the 100 TB layout: a res-6
+    parent key gives ~thousands of partitions planet-wide; AQE handles
+    per-partition skew)."""
+    stats = grid_stats(grid_index(spark, warehouse)).withColumn(
+        "cell_prefix",
+        F.expr(grid.cell_ancestor_sql("grid_cell", STATS_PARTITION_RES)),
+    )
+    path = table_path(warehouse, "mart", STATS_TABLE)
+    (
+        stats.write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("cell_prefix")
+        .parquet(path)
+    )
+    return path

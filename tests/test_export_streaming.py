@@ -1,0 +1,91 @@
+"""Export sinks + streaming rollup tests."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from g_etl_spark import export
+from g_etl_spark.streaming import pipeline as sp
+
+
+@pytest.fixture(scope="module")
+def cells_df(spark):
+    from g_etl_spark.functions import grid
+
+    cells = [
+        (grid.latlng_to_cell(59.3 + i * 0.01, 18.0 + i * 0.01, 12), f"ds{i % 2}",
+         "sks", "klass", "a.b", 5 - i % 3)
+        for i in range(20)
+    ]
+    return spark.createDataFrame(
+        cells,
+        "grid_cell long, dataset_id string, leverantor string, klass string, "
+        "classification string, count long",
+    )
+
+
+def test_export_csv(cells_df, tmp_path):
+    out = str(tmp_path / "cells_csv")
+    export.export_csv(cells_df, out)
+    files = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert files
+    header = open(os.path.join(out, files[0])).readline().strip().split(",")
+    assert "hex_id" in header and "count" in header  # Kepler convention
+
+
+def test_export_geojson(cells_df, tmp_path):
+    out = str(tmp_path / "cells.geojson")
+    export.export_geojson(cells_df, out)
+    fc = json.load(open(out))
+    assert fc["type"] == "FeatureCollection"
+    assert len(fc["features"]) == 20
+    f0 = fc["features"][0]
+    assert f0["geometry"]["type"] == "Polygon"
+    assert "hex_id" in f0["properties"]
+
+
+def test_export_html(cells_df, tmp_path):
+    out = str(tmp_path / "map.html")
+    export.export_html_map(cells_df, out)
+    html = open(out).read()
+    assert "<svg" in html and "ds0" in html and "ds1" in html
+
+
+def test_export_gpkg_raises_without_gdal(cells_df, tmp_path):
+    with pytest.raises((ImportError, NotImplementedError)):
+        export.export_gpkg(cells_df, str(tmp_path / "x.gpkg"))
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    """The watermarked streaming rollup over the events testdata must
+    equal the equivalent batch aggregation (availableNow processes
+    everything, so late-drop never triggers)."""
+    from g_etl_spark.tables import load
+
+    events = load(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "stream_src")
+    events.write.parquet(src)
+
+    stream = sp.read_parquet_stream(spark, src, schema=events.schema)
+    q = sp.run_stream_once_to_memory(sp.streaming_event_rollup(stream), "rollup_test")
+    q.awaitTermination(120)
+
+    got = {
+        (r.day, r.event_type): (r.n, round(r.total_value, 2))
+        for r in spark.sql("SELECT * FROM rollup_test").collect()
+    }
+    batch = {
+        (r.day, r.event_type): (r.n, round(r.total_value, 2))
+        for r in (
+            events.groupBy(
+                F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+            .collect()
+        )
+    }
+    assert got == batch

@@ -1,0 +1,168 @@
+"""Geometry core + grid index unit tests (hypothesis-backed where
+round-trip properties apply)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from g_etl_spark.functions import geo, grid
+
+# --- geometry codec ---------------------------------------------------
+
+coord = st.tuples(
+    st.floats(min_value=-1e7, max_value=1e7, allow_nan=False, width=32),
+    st.floats(min_value=-1e7, max_value=1e7, allow_nan=False, width=32),
+).map(lambda p: (float(p[0]), float(p[1])))
+
+
+@given(st.lists(coord, min_size=2, max_size=8))
+@settings(max_examples=50, deadline=None)
+def test_wkb_roundtrip_linestring(pts):
+    g = ("LineString", pts)
+    assert geo.from_wkb(geo.to_wkb(g)) == g
+
+
+@given(coord)
+@settings(max_examples=50, deadline=None)
+def test_wkt_roundtrip_point(p):
+    g = ("Point", p)
+    t, c = geo.from_wkt(geo.to_wkt(g))
+    assert t == "Point"
+    assert math.isclose(c[0], p[0], rel_tol=1e-6, abs_tol=1e-6)
+    assert math.isclose(c[1], p[1], rel_tol=1e-6, abs_tol=1e-6)
+
+
+def test_polygon_measures():
+    poly = ("Polygon", [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]])
+    assert geo.area(poly) == 16.0
+    assert geo.centroid(poly) == (2.0, 2.0)
+    assert geo.point_in_polygon((1.0, 1.0), poly)
+    assert not geo.point_in_polygon((9.0, 9.0), poly)
+    assert geo.distance(("Point", (6.0, 2.0)), poly) == 2.0
+
+
+def test_polygon_with_hole():
+    poly = (
+        "Polygon",
+        [
+            [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)],
+            [(4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0)],
+        ],
+    )
+    assert geo.area(poly) == 96.0
+    assert not geo.point_in_polygon((5.0, 5.0), poly)  # in the hole
+    assert geo.point_in_polygon((1.0, 1.0), poly)
+
+
+def test_bowtie_invalid_and_repair():
+    bow = ("Polygon", [[(0.0, 0.0), (4.0, 4.0), (4.0, 0.0), (0.0, 4.0), (0.0, 0.0)]])
+    assert not geo.is_valid(bow)
+    fixed = geo.make_valid(bow)
+    assert geo.is_valid(fixed)
+
+
+def test_representative_point_in_concave_polygon():
+    # U-shape whose centroid may fall outside
+    u = (
+        "Polygon",
+        [
+            [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (7.0, 10.0), (7.0, 2.0),
+             (3.0, 2.0), (3.0, 10.0), (0.0, 10.0), (0.0, 0.0)]
+        ],
+    )
+    p = geo.representative_point(u)
+    assert geo.point_in_polygon(p, u)
+
+
+@given(
+    st.floats(min_value=55.0, max_value=69.0, allow_nan=False),
+    st.floats(min_value=10.5, max_value=24.0, allow_nan=False),
+)
+@settings(max_examples=50, deadline=None)
+def test_sweref_roundtrip(lat, lng):
+    e, n = geo.wgs84_to_sweref99(lat, lng)
+    lat2, lng2 = geo.sweref99_to_wgs84(e, n)
+    assert abs(lat2 - lat) < 1e-8
+    assert abs(lng2 - lng) < 1e-8
+
+
+# --- grid -------------------------------------------------------------
+
+
+@given(
+    st.floats(min_value=-85.0, max_value=85.0, allow_nan=False),
+    st.floats(min_value=-179.9, max_value=179.9, allow_nan=False),
+    st.integers(min_value=1, max_value=24),
+)
+@settings(max_examples=100, deadline=None)
+def test_cell_contains_its_point(lat, lng, res):
+    c = grid.latlng_to_cell(lat, lng, res)
+    lat_min, lat_max, lng_min, lng_max = grid.cell_to_bounds(c)
+    assert lat_min - 1e-9 <= lat <= lat_max + 1e-9
+    assert lng_min - 1e-9 <= lng <= lng_max + 1e-9
+    r, x, y = grid.unpack(c)
+    assert r == res
+
+
+def test_parent_contains_child():
+    c = grid.latlng_to_cell(59.33, 18.07, 20)
+    r, x, y = grid.unpack(c)
+    p = grid.pack(r - 2, x >> 2, y >> 2)
+    plat_min, plat_max, plng_min, plng_max = grid.cell_to_bounds(p)
+    lat_min, lat_max, lng_min, lng_max = grid.cell_to_bounds(c)
+    assert plat_min <= lat_min and lat_max <= plat_max
+    assert plng_min <= lng_min and lng_max <= plng_max
+
+
+def test_polyfill_covers_rectangle():
+    ring = [(13.0, 57.0), (17.0, 57.0), (17.0, 60.0), (13.0, 60.0), (13.0, 57.0)]
+    cells = grid.polyfill(ring, 10)
+    assert len(cells) > 50
+    # every cell center inside the rectangle
+    for c in cells:
+        lat, lng = grid.cell_to_latlng(c)
+        assert 13.0 <= lng <= 17.0 and 57.0 <= lat <= 60.0
+
+
+def test_compact_uncompact_invariant():
+    ring = [(13.0, 57.0), (14.0, 57.0), (14.0, 58.0), (13.0, 58.0), (13.0, 57.0)]
+    cells = grid.polyfill(ring, 12)
+    compacted = grid.compact_cells(cells)
+    assert len(compacted) < len(cells)
+    assert grid.uncompact_cells(compacted, 12) == sorted(cells)
+
+
+def test_cell_sql_matches_python(spark):
+    import duckdb
+
+    pts = [(59.3293, 18.0686), (55.0, 11.0), (64.99, 22.99), (-33.9, 151.2)]
+    sql = grid.cell_sql("lat", "lng", 15)
+    con = duckdb.connect()
+    for lat, lng in pts:
+        expected = grid.latlng_to_cell(lat, lng, 15)
+        got_duck = con.sql(
+            f"SELECT {sql} FROM (SELECT {lat} AS lat, {lng} AS lng)"
+        ).fetchone()[0]
+        got_spark = (
+            spark.createDataFrame([(lat, lng)], "lat double, lng double")
+            .selectExpr(f"{sql} AS c")
+            .head()
+            .c
+        )
+        assert got_duck == expected == got_spark
+
+
+def test_cell_ancestor_sql(spark):
+    c = grid.latlng_to_cell(59.33, 18.07, 20)
+    r, x, y = grid.unpack(c)
+    expected = grid.pack(14, x >> 6, y >> 6)
+    got = (
+        spark.createDataFrame([(c,)], "grid_cell bigint")
+        .selectExpr(grid.cell_ancestor_sql("grid_cell", 14) + " AS a")
+        .head()
+        .a
+    )
+    assert got == expected

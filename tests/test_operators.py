@@ -1,0 +1,126 @@
+"""Operator-library invariants: dedup recall, simhash locality, SRP
+ANN recall, text stats."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from g_etl_spark.operators import dedup as D
+from g_etl_spark.operators import similarity as S
+from g_etl_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "pack my box with five dozen liquor jugs for the party tonight"),
+        (3, "sphinx of black quartz judge my vow said the old teacher"),
+    ]
+    rows = list(base)
+    rows.append((101, base[0][1]))  # exact dup of 1
+    rows.append((102, "the quick brown fox jumps over the lazy dog again"))  # near dup of 1
+    rows.append((103, "completely different text about spark query engines and shuffles"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = D.exact_dedup(docs, ["text"], "doc_id")
+    ids = {r.doc_id for r in kept.collect()}
+    assert 1 in ids and 101 not in ids
+    assert kept.filter(F.col("doc_id") == 1).head().dup_count == 2
+
+
+def test_minhash_finds_exact_and_near_dups(docs):
+    pairs = D.minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 101) in got
+    assert (1, 102) in got
+    assert all(a != 103 and b != 103 for a, b in got)
+
+
+def test_minhash_signature_stability(docs):
+    sig = docs.select(D.minhash_signature(F.col("text")).alias("s")).head().s
+    assert len(sig) == D.DEFAULT_NUM_HASHES
+    sig2 = docs.select(D.minhash_signature(F.col("text")).alias("s")).head().s
+    assert sig == sig2
+
+
+def test_simhash_locality(spark, docs):
+    sigs = {r.doc_id: r.simhash for r in D.simhash64(docs, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[101]  # identical text -> identical signature
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(sigs[1], sigs[102]) < hamming(sigs[1], sigs[103])
+
+
+def test_embedding_cosine_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = D.embedding_cosine_pairs(df, threshold=0.95).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+
+
+def test_srp_ann_recall(spark):
+    """Bucketed ANN must recover most of the exact top-k (same-bucket
+    vectors are the near ones by construction of SRP)."""
+    import math
+    import random
+
+    rng = random.Random(5)
+    dim = 16
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    rows = []
+    for i in range(200):
+        if i % 4 == 0:  # cluster around base
+            v = [b + rng.gauss(0, 0.05) for b in base]
+        else:
+            v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {r.vec_id for r in S.cosine_topk(df, base, k=10).collect()}
+    approx = {r.vec_id for r in S.ann_topk_srp(df, base, k=10, n_planes=4).collect()}
+    assert len(exact & approx) >= 7  # ≥70% recall with 4 planes
+
+
+def test_text_stats_and_langid(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is in the house of the king"),
+            (2, "der hund und die katze ist das beste und der schnellste"),
+            (3, "xyzzy plugh foobar"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in T.with_text_stats(df).collect()}
+    assert out[1].detected_lang == "en"
+    assert out[2].detected_lang == "de"
+    assert out[3].detected_lang == "und"
+    assert out[1].n_tokens == 12
+    assert 0.0 < out[1].stopword_ratio < 1.0
+    # fingerprint is order-insensitive
+    df2 = spark.createDataFrame(
+        [(1, "house the of king the cat and the dog is in the")],
+        "doc_id long, text string",
+    )
+    fp1 = T.with_text_stats(df).filter("doc_id=1").head().fingerprint
+    fp2 = T.with_text_stats(df2).head().fingerprint
+    assert fp1 == fp2
+
+
+def test_multimodal_decode_schema(spark):
+    from g_etl_spark.operators import multimodal as M
+
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    out = M.fake_decode_features(M.attach_binary_payload(df)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.byte_len == 11 and r.media_type == "text/plain"
+    assert r.width == 11 % 640 + 16
