@@ -554,3 +554,88 @@ def q15_metadata_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q16_distance_avg",
+    oracle="""
+    SELECT event_type,
+           round(avg(sqrt(((55.0 + ((event_id * 7919) % 1000) * 0.01) - 59.0) * ((55.0 + ((event_id * 7919) % 1000) * 0.01) - 59.0)
+                        + ((11.0 + ((event_id * 104729) % 1200) * 0.01) - 15.0) * ((11.0 + ((event_id * 104729) % 1200) * 0.01) - 15.0))), 4) AS avg_dist,
+           round(min(sqrt(((55.0 + ((event_id * 7919) % 1000) * 0.01) - 59.0) * ((55.0 + ((event_id * 7919) % 1000) * 0.01) - 59.0)
+                        + ((11.0 + ((event_id * 104729) % 1200) * 0.01) - 15.0) * ((11.0 + ((event_id * 104729) % 1200) * 0.01) - 15.0))), 4) AS min_dist
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q16_distance_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVG over a distance expression per group (reference A6
+    `ROUND(AVG(ST_Distance(pt, geom)))`, examples:184-188). Points are
+    the derived event coordinates; the distance here is planar
+    arithmetic (JVM-side) — the WKB ST_Distance path is
+    geo_udfs.st_distance_point, exercised in the pipeline tests."""
+    from g_etl_spark.queries.grid import _points
+
+    pts = _points(spark, sf_dir)
+    dist = F.sqrt(
+        (F.col("lat") - 59.0) * (F.col("lat") - 59.0)
+        + (F.col("lng") - 15.0) * (F.col("lng") - 15.0)
+    )
+    return (
+        pts.groupBy("event_type")
+        .agg(
+            F.round(F.avg(dist), 4).alias("avg_dist"),
+            F.round(F.min(dist), 4).alias("min_dist"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q17_hash_sample",
+    oracle="""
+    SELECT count(*) AS n,
+           round(avg(value), 3) AS avg_value,
+           count(DISTINCT event_type) AS n_types
+    FROM events
+    WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <= '0a'
+    """,
+)
+def q17_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sampling (reference O4 `USING SAMPLE n`,
+    ascii_map.py:207-231). Random SAMPLE is nondeterministic across
+    engines, so the engine's sampling operator is md5-bucket selection
+    (~4%) — deterministic, reproducible, and the standard way to get
+    a STABLE sample at 100 TB (same rows every run, no shuffle)."""
+    e = load(spark, sf_dir, "events")
+    return e.filter(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 2) <= "0a"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 3).alias("avg_value"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@register(
+    "q18_catalog_columns",
+    oracle="""
+    SELECT table_name, CAST(count(*) AS BIGINT) AS n_columns
+    FROM information_schema.columns
+    WHERE table_name IN ('region', 'nation', 'customer', 'supplier', 'part',
+                         'orders', 'lineitem', 'events', 'documents', 'embeddings')
+    GROUP BY table_name
+    ORDER BY table_name
+    """,
+)
+def q18_catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog/metadata introspection (reference J3
+    information_schema joins, admin/screens/explorer.py:291-303) via
+    the Spark schema API."""
+    from g_etl_spark.tables import TABLE_NAMES
+
+    rows = [(t, len(load(spark, sf_dir, t).columns)) for t in sorted(TABLE_NAMES)]
+    return spark.createDataFrame(rows, "table_name string, n_columns bigint").orderBy(
+        "table_name"
+    )
