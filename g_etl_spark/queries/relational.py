@@ -639,3 +639,32 @@ def q18_catalog_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "table_name string, n_columns bigint").orderBy(
         "table_name"
     )
+
+
+@register(
+    "q19_semi_anti_join",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM orders o
+       WHERE EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45))
+        AS n_with_big_items,
+      (SELECT count(*) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                         WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45))
+        AS n_without_big_items
+    """,
+)
+def q19_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins (the closest reference surface is the
+    `dataset_id IN (…)` pre-filters, h3_query.py:101-103; full
+    EXISTS/NOT EXISTS support is table stakes for an analytics
+    engine). Spark plans leftsemi/leftanti — no fan-out, build side
+    deduplicated."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    with_big = o.join(li, o.o_orderkey == li.l_orderkey, "leftsemi").count()
+    without = o.join(li, o.o_orderkey == li.l_orderkey, "leftanti").count()
+    return spark.createDataFrame(
+        [(with_big, without)], "n_with_big_items bigint, n_without_big_items bigint"
+    )

@@ -89,3 +89,33 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
         )
     }
     assert got == batch
+
+
+def test_streaming_staging_transform(spark, tmp_path):
+    """The batch staging transform lifts onto readStream unchanged
+    (stateless per-row): file stream -> staging_transform -> parquet
+    sink; output contract matches batch."""
+    from g_etl_spark import stages
+    from tests import conftest as fx
+
+    raw = spark.createDataFrame(fx.point_rows(20), fx.POINT_SCHEMA)
+    src = str(tmp_path / "raw_stream")
+    raw.write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(raw.schema).parquet(src)
+    )
+    staged = stages.staging_transform(stages.normalize_geometry_column(stream))
+    assert staged.isStreaming
+    out = str(tmp_path / "staged_out")
+    q = (
+        staged.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    result = spark.read.parquet(out)
+    assert result.count() == 20
+    assert "_grid_cells" in result.columns and "_geom_md5" in result.columns
