@@ -201,17 +201,15 @@ def minhash_dedup_pairs(
     cand = minhash_candidates(df, id_col, text_col)
     da = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_text_a"))
     db = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_text_b"))
-    return (
-        cand.join(da, "id_a")
-        .join(db, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            "n_shared_bands",
-            token_set_jaccard(F.col("_text_a"), F.col("_text_b")).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+    scored = cand.join(da, "id_a").join(db, "id_b").select(
+        "id_a",
+        "id_b",
+        "n_shared_bands",
+        token_set_jaccard(F.col("_text_a"), F.col("_text_b")).alias("jaccard"),
     )
+    # filter on the projected attribute — filtering on the expression
+    # would re-evaluate the (interpreted) array ops per row
+    return scored.filter(F.col("jaccard") >= threshold)
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:

@@ -252,3 +252,57 @@ def q24_grid_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("parent_cell"))
         .limit(50)
     )
+
+
+@register(
+    "q25_staging_point_metadata",
+    oracle=f"""
+    SELECT event_id,
+           'POINT (' || printf('%.6f', {LNG_SQL}) || ' ' || printf('%.6f', {LAT_SQL}) || ')' AS geom_wkt,
+           md5('POINT (' || printf('%.6f', {LNG_SQL}) || ' ' || printf('%.6f', {LAT_SQL}) || ')') AS geom_md5,
+           md5(concat_ws('|', CAST(event_id AS VARCHAR), event_type,
+                         CAST(user_id AS VARCHAR)))                  AS attr_md5,
+           round({LAT_SQL}, 6)                                       AS centroid_lat,
+           round({LNG_SQL}, 6)                                       AS centroid_lng,
+           {grid.cell_sql(LAT_SQL, LNG_SQL, 22)}                     AS point_cell
+    FROM events
+    WHERE event_id < 200
+    ORDER BY event_id
+    """,
+)
+def q25_staging_point_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staging-transform metadata block (004:35-58) as a declared
+    oracle query over point features: WKT serialization, `_geom_md5 =
+    MD5(ST_AsText(geom))`, `_attr_md5`, centroid lat/lng, and the
+    point-branch cell dispatch — the SQL-expressible core of P5/P6/P7
+    (`_imported_at` excluded as nondeterministic, SURVEY §7 #1). The
+    WKB/pandas-UDF variant of the same block is covered by the e2e
+    pipeline tests."""
+    pts = _points(spark, sf_dir)
+    wkt = F.concat(
+        F.lit("POINT ("),
+        F.format_string("%.6f", F.col("lng")),
+        F.lit(" "),
+        F.format_string("%.6f", F.col("lat")),
+        F.lit(")"),
+    )
+    return (
+        pts.filter(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            wkt.alias("geom_wkt"),
+            F.md5(wkt).alias("geom_md5"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("event_id").cast("string"),
+                    "event_type",
+                    F.col("user_id").cast("string"),
+                )
+            ).alias("attr_md5"),
+            F.round("lat", 6).alias("centroid_lat"),
+            F.round("lng", 6).alias("centroid_lng"),
+            grid.cell(F.col("lat"), F.col("lng"), 22).alias("point_cell"),
+        )
+        .orderBy("event_id")
+    )

@@ -168,3 +168,11 @@ def query_polygon_pandas(*args, **kwargs):
     """pandas-returning wrapper for API parity with the reference
     (h3_query.py returns pd.DataFrame)."""
     return query_polygon(*args, **kwargs).toPandas()
+
+
+def query_cells_df(spark: SparkSession, polygon_wkt: str, resolution: int = DEFAULT_QUERY_RES) -> DataFrame:
+    """≙ the table macro g_h3_query_table(polygon_wkt, res)
+    (003_db_makros.sql:150-151): the polyfilled cell set as a
+    one-column relation."""
+    cells = query_cells(polygon_wkt, resolution)
+    return spark.createDataFrame([(c,) for c in cells], "grid_cell bigint")

@@ -113,3 +113,24 @@ def write_grid_stats(spark: SparkSession, warehouse: str) -> str:
         .parquet(path)
     )
     return path
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, key: str, buckets: int = 32
+) -> None:
+    """Bucketed managed table — the co-located-join layout for 100 TB.
+
+    Two tables bucketed+sorted on the same key with the same bucket
+    count join WITHOUT a shuffle (tests/test_plans.py pins the
+    no-Exchange plan). This is the Spark equivalent of pre-
+    partitioning fact tables on their join key once at write time and
+    amortizing it over every subsequent join/agg on that key.
+    """
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("compression", "zstd")
+        .saveAsTable(table_name)
+    )

@@ -108,3 +108,30 @@ def test_q22_partial_aggregation(spark, qs):
     idx_exchange = plan.index("Exchange")
     assert "partial" in plan[idx_first_agg:idx_exchange + 200].lower() or \
         plan.count("HashAggregate") >= 2
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key join with NO Exchange —
+    the amortized co-location layout for repeated fact-fact joins."""
+    from g_etl_spark import warehouse as wh
+    from g_etl_spark.tables import load
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        o = load(spark, SF_DIR, "orders")
+        li = load(spark, SF_DIR, "lineitem")
+        wh.write_bucketed(o, "t_orders_b", "o_orderkey", buckets=8)
+        wh.write_bucketed(li, "t_lineitem_b", "l_orderkey", buckets=8)
+        ob = spark.table("t_orders_b")
+        lb = spark.table("t_lineitem_b")
+        joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        # sanity: same result as unbucketed
+        assert joined.count() == o.join(li, o.o_orderkey == li.l_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
