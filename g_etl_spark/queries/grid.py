@@ -306,3 +306,59 @@ def q25_staging_point_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# Multi-area query input (≙ reference multi-polygon queries,
+# sql/examples/h3_polygon_queries.sql:135-148)
+MULTI_RINGS = [
+    [(12.0, 56.0), (13.5, 56.0), (13.5, 57.5), (12.0, 57.5), (12.0, 56.0)],
+    [(19.0, 62.0), (21.0, 62.0), (21.0, 63.5), (19.0, 63.5), (19.0, 62.0)],
+]
+
+
+def _multi_cells_sql_values() -> str:
+    cells = sorted({c for ring in MULTI_RINGS for c in grid.polyfill(ring, QUERY_POLY_RES)})
+    return ", ".join(f"({c})" for c in cells)
+
+
+@register(
+    "q26_grid_multipolygon",
+    oracle=f"""
+    WITH query_cells(q_cell) AS (VALUES {_multi_cells_sql_values()}),
+    indexed AS (
+        SELECT event_type,
+               {grid.cell_sql(LAT_SQL, LNG_SQL, QUERY_POLY_RES)} AS cell_id
+        FROM events
+    )
+    SELECT event_type,
+           count(*)                 AS object_count,
+           count(DISTINCT cell_id)  AS cell_count
+    FROM indexed
+    JOIN query_cells ON cell_id = q_cell
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q26_grid_multipolygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-area query: two disjoint polygons polyfilled into ONE
+    broadcast cell relation (≙ examples:135-148 UNION of query
+    polygons) — the plan is identical to single-polygon, just more
+    broadcast rows."""
+    cells = sorted(
+        {c for ring in MULTI_RINGS for c in grid.polyfill(ring, QUERY_POLY_RES)}
+    )
+    qc = spark.createDataFrame([(c,) for c in cells], "q_cell bigint")
+    pts = _points(spark, sf_dir)
+    indexed = pts.select(
+        "event_type",
+        grid.cell(F.col("lat"), F.col("lng"), QUERY_POLY_RES).alias("cell_id"),
+    )
+    return (
+        indexed.join(F.broadcast(qc), indexed.cell_id == qc.q_cell, "inner")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("object_count"),
+            F.countDistinct("cell_id").alias("cell_count"),
+        )
+        .orderBy("event_type")
+    )

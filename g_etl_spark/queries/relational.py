@@ -668,3 +668,41 @@ def q19_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(with_big, without)], "n_with_big_items bigint, n_without_big_items bigint"
     )
+
+
+@register(
+    "q27_small_quantity_revenue",
+    oracle="""
+    WITH part_avg AS (
+        SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part_avg USING (l_partkey)
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < half_avg
+    """,
+)
+def q27_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery decorrelated into a
+    pre-aggregate + join (the rewrite Catalyst/DuckDB both apply; here
+    it is expressed directly, which is also the 100 TB-safe form —
+    one extra agg on the join key instead of a per-row subquery).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    part_avg = li.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        li.join(part_avg, "l_partkey")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
