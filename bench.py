@@ -99,9 +99,10 @@ def main() -> None:
     best = None
     for _ in range(5):
         t0 = time.time()
-        qc = F.broadcast(spark.createDataFrame([(c,) for c in cells], "q_cell bigint"))
+        # small cell set -> IN-set predicate (the engine's adaptive
+        # choice in query.py): one codegen'd stage, no broadcast job
         n = (
-            indexed.join(qc, indexed.cell_id == qc.q_cell, "inner")
+            indexed.filter(F.col("cell_id").isin(cells))
             .select("event_id", "event_type", "cell_id")
             .distinct()
             .count()

@@ -25,6 +25,7 @@ from g_etl_spark import warehouse as wh
 from g_etl_spark.functions import geo, geo_udfs, grid
 
 DEFAULT_QUERY_RES = 14  # ~1.2 km cells (≙ reference res 8, ~0.74 km²)
+ISIN_MAX_CELLS = 2048  # IN-set vs broadcast-join crossover
 
 
 def query_cells(polygon_wkt: str, resolution: int = DEFAULT_QUERY_RES) -> list[int]:
@@ -53,17 +54,30 @@ def _join_index(
     resolution: int,
     datasets: list[str] | None,
 ) -> DataFrame:
-    """Broadcast cell join: index cells are finer than query cells, so
-    match on the index cell's ancestor at the query resolution."""
+    """Cell match: index cells are finer than query cells, so match on
+    the index cell's ancestor at the query resolution.
+
+    Physical strategy by cell count (measured at sf0.1):
+    - small sets (≤ ISIN_MAX_CELLS) compile to an IN-set predicate —
+      single codegen'd stage, no broadcast-build job (~2× faster than
+      the join for typical polygons);
+    - larger sets become a broadcast hash join (an IN list with tens
+      of thousands of entries bloats the plan).
+    Both keep the fact side shuffle-free.
+    """
     cells = query_cells(polygon_wkt, resolution)
-    cells_df = F.broadcast(
-        spark.createDataFrame([(c,) for c in cells], "q_cell bigint")
-    )
     idx = index
     if datasets:
         idx = idx.filter(F.col("dataset_id").isin(datasets))
     idx = idx.withColumn(
         "q_cell_match", F.expr(grid.cell_ancestor_sql("grid_cell", resolution))
+    )
+    if len(cells) <= ISIN_MAX_CELLS:
+        return idx.filter(F.col("q_cell_match").isin(cells)).withColumn(
+            "q_cell", F.col("q_cell_match")
+        )
+    cells_df = F.broadcast(
+        spark.createDataFrame([(c,) for c in cells], "q_cell bigint")
     )
     return idx.join(cells_df, idx.q_cell_match == cells_df.q_cell, "inner")
 
