@@ -706,3 +706,41 @@ def q27_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "q31_rollup_hierarchy",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*)                      AS n,
+           round(sum(l_quantity), 2)     AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+)
+def q31_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (beyond the reference — SURVEY §2.5 notes
+    it has none; any replacement engine needs them for hierarchy
+    reports). NULL markers coalesced to 'ALL' so both engines hash
+    identically.
+
+    Scale: Catalyst plans rollup as Expand (k+1 rows per input) +
+    single hash agg — one shuffle for all grouping levels.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )

@@ -174,3 +174,117 @@ def q43_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("s_en"), 4).alias("avg_en_score"))
         .orderBy("labeled_lang", "detected_lang")
     )
+
+
+_BPE_PATTERN = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+
+@register(
+    "q44_token_counting",
+    oracle=f"""
+    SELECT lang,
+           CAST(sum(len({_TOKS})) AS BIGINT)                                   AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}'))) AS BIGINT) AS bpe_tokens,
+           CAST(sum(length(text)) AS BIGINT)                                   AS n_chars,
+           round(avg(CAST(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) AS DOUBLE)
+                     / greatest(len({_TOKS}), 1)), 3)                          AS bpe_per_word
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q44_token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (BASELINE.json text-analysis surface):
+    whitespace tokens and a BPE-ish regex lexer (letter runs, single
+    digits, punctuation singletons — the GPT-style pre-tokenizer
+    shape). Both are JVM regex ops; the ratio estimates tokens-per-
+    word for budget planning."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PATTERN), F.lit(0)))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum(ws).cast("long").alias("ws_tokens"),
+            F.sum(bpe).cast("long").alias("bpe_tokens"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+            F.round(
+                F.avg(bpe.cast("double") / F.greatest(ws, F.lit(1)).cast("double")), 3
+            ).alias("bpe_per_word"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q45_winnowing_fingerprints",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM documents WHERE doc_id < 200
+    ),
+    grams AS (
+        SELECT doc_id, t,
+               CASE WHEN length(t) >= 8
+                    THEN list_transform(range(1, length(t) - 8 + 2),
+                                        i -> md5(substr(t, CAST(i AS INTEGER), 8)))
+                    ELSE [md5(t)] END AS hashes
+        FROM norm
+    ),
+    wins AS (
+        SELECT doc_id,
+               CASE WHEN len(hashes) >= 4
+                    THEN list_transform(range(0, len(hashes) - 4 + 1),
+                                        j -> list_aggregate(hashes[j+1:j+4], 'min'))
+                    ELSE hashes END AS windows
+        FROM grams
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(windows)) AS BIGINT)          AS n_fingerprints,
+           md5(array_to_string(list_sort(list_distinct(windows)), '')) AS fingerprint_md5
+    FROM wins
+    ORDER BY doc_id
+    """,
+)
+def q45_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash scheme of
+    Schleimer/Wilkerson/Aiken): char 8-grams → hash → min per sliding
+    window of 4 → distinct selected hashes. Staged projections keep
+    each array pass evaluated once (CodegenFallback, no CSE)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    k, w = 8, 4
+    t = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    staged = (
+        d.select("doc_id", t.alias("_t"))
+        .select(
+            "doc_id",
+            F.when(
+                F.length("_t") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("_t") - k + 1),
+                    lambda i: F.md5(F.col("_t").substr(i, F.lit(k))),
+                ),
+            )
+            .otherwise(F.array(F.md5(F.col("_t"))))
+            .alias("_hashes"),
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.size("_hashes") >= w,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_hashes") - w),
+                    lambda j: F.array_min(F.slice(F.col("_hashes"), j + 1, w)),
+                ),
+            )
+            .otherwise(F.col("_hashes"))
+            .alias("_windows"),
+        )
+    )
+    return staged.select(
+        "doc_id",
+        F.size(F.array_distinct("_windows")).cast("long").alias("n_fingerprints"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct("_windows")), "")).alias(
+            "fingerprint_md5"
+        ),
+    ).orderBy("doc_id")

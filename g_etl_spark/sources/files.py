@@ -43,3 +43,15 @@ def extract_memory(spark: SparkSession, cfg: DatasetConfig) -> DataFrame:
     if rows is None:
         raise ValueError(f"dataset {cfg.id}: memory plugin requires options.rows")
     return spark.createDataFrame(rows, schema=schema)
+
+
+@register_plugin("binary")
+def extract_binary_files(spark: SparkSession, cfg: DatasetConfig) -> DataFrame:
+    """Raw media ingestion for multimodal pipelines: one row per file
+    with (path, modificationTime, length, content BinaryType) via
+    Spark's binaryFile source. Feeds operators/multimodal decode
+    (mapInPandas) directly; pathGlobFilter narrows to one modality."""
+    reader = spark.read.format("binaryFile")
+    if glob := cfg.options.get("pathGlobFilter"):
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(cfg.url)

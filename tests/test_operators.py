@@ -124,3 +124,14 @@ def test_multimodal_decode_schema(spark):
     r = out[0]
     assert r.byte_len == 11 and r.media_type == "text/plain"
     assert r.width == 11 % 640 + 16
+
+
+def test_approx_rollup_close_to_exact(spark):
+    from g_etl_spark.operators import rollup as R
+    from g_etl_spark.tables import load
+
+    li = load(spark, "/root/testdata/sf0.001", "lineitem")
+    exact = li.agg(__import__("pyspark.sql.functions", fromlist=["countDistinct"])
+                   .countDistinct("l_orderkey").alias("nd")).head().nd
+    approx = R.approx_distinct_profile(li, ["l_orderkey"]).head().l_orderkey_approx_nd
+    assert abs(approx - exact) / exact < 0.05

@@ -151,3 +151,34 @@ def test_registry_unknown_plugin():
 def test_geofile_decode_requires_gdal():
     with pytest.raises(ImportError):
         geofile.read_geofile_rows("/tmp/whatever.gpkg")
+
+
+def test_binary_file_source(spark, tmp_path):
+    (tmp_path / "a.img").write_bytes(b"\x89fakepng" * 10)
+    (tmp_path / "b.img").write_bytes(b"\x89other" * 5)
+    (tmp_path / "skip.txt").write_text("no")
+    cfg = DatasetConfig(
+        id="media", plugin="binary", url=str(tmp_path),
+        options={"pathGlobFilter": "*.img"},
+    )
+    df = extract(spark, cfg)
+    rows = df.collect()
+    assert len(rows) == 2
+    assert {"path", "length", "content"} <= set(df.columns)
+    by_name = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in rows}
+    assert by_name["a.img"].startswith(b"\x89fakepng")
+
+    # feed straight into the multimodal decode plumbing
+    import pyspark.sql.functions as F
+    from g_etl_spark.operators import multimodal as M
+
+    prepared = df.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("media_type"),
+            F.col("length").cast("long").alias("byte_len"),
+        ).alias("media_meta"),
+    )
+    feats = M.fake_decode_features(prepared).collect()
+    assert len(feats) == 2 and all(f.width >= 16 for f in feats)
