@@ -190,3 +190,38 @@ def query_cells_df(spark: SparkSession, polygon_wkt: str, resolution: int = DEFA
     one-column relation."""
     cells = query_cells(polygon_wkt, resolution)
     return spark.createDataFrame([(c,) for c in cells], "grid_cell bigint")
+
+
+def query_stats_pruned(
+    spark: SparkSession,
+    warehouse: str,
+    polygon_wkt: str,
+    resolution: int = DEFAULT_QUERY_RES,
+) -> DataFrame:
+    """Polygon stats served from the MATERIALIZED rollup with
+    partition pruning: the query's coarse cell prefixes select
+    parquet partitions before any scan (the serving path at 100 TB —
+    only the touched cell_prefix directories are read).
+
+    Returns per-cell rollup rows inside the polygon.
+    """
+    cells = query_cells(polygon_wkt, resolution)
+    prefixes = sorted(
+        {grid.pack(wh.STATS_PARTITION_RES, *_xy_at(c, wh.STATS_PARTITION_RES)) for c in cells}
+    )
+    stats = wh.read_table(spark, warehouse, "mart", wh.STATS_TABLE)
+    pruned = stats.filter(F.col("cell_prefix").isin(prefixes))
+    pruned = pruned.withColumn(
+        "q_cell_match", F.expr(grid.cell_ancestor_sql("grid_cell", resolution))
+    )
+    if len(cells) <= ISIN_MAX_CELLS:
+        return pruned.filter(F.col("q_cell_match").isin(cells)).drop("q_cell_match")
+    cells_df = F.broadcast(spark.createDataFrame([(c,) for c in cells], "q_cell bigint"))
+    return pruned.join(cells_df, pruned.q_cell_match == cells_df.q_cell).drop(
+        "q_cell_match", "q_cell"
+    )
+
+
+def _xy_at(cell: int, res: int) -> tuple[int, int]:
+    r, x, y = grid.unpack(cell)
+    return x >> (r - res), y >> (r - res)

@@ -232,3 +232,26 @@ def test_avdelning_numeric_pipeline(spark, tmp_path):
     assert unparseable, "TRY_CAST should yield NULL for 'oklart' rows"
     parsed = [r for r in rows if r.area is not None]
     assert all(round(r.area, 2) == r.area for r in parsed)
+
+
+def test_stats_partition_pruning(spark, warehouse_dir):
+    """The materialized rollup is served with parquet PARTITION
+    pruning: the plan's PartitionFilters must carry the cell_prefix
+    predicate, and results must match the unpruned computation."""
+    from g_etl_spark.query import query_stats_pruned
+
+    some = (
+        wh.read_table(spark, warehouse_dir, "staging", "biotop")
+        .select("_centroid_lat", "_centroid_lng")
+        .head()
+    )
+    e, n = geo.wgs84_to_sweref99(some._centroid_lat, some._centroid_lng)
+    d = 3000.0
+    wkt = f"POLYGON(({e-d} {n-d}, {e+d} {n-d}, {e+d} {n+d}, {e-d} {n+d}, {e-d} {n-d}))"
+    pruned = query_stats_pruned(spark, warehouse_dir, wkt)
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cell_prefix" in pf_line and "[]" not in pf_line
+    assert pruned.count() >= 1
