@@ -75,3 +75,97 @@ def run_stream_once_to_memory(rollup: DataFrame, name: str) -> StreamingQuery:
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization via
+    ``applyInPandasWithState`` (the escape hatch for semantics Spark's
+    built-in windows can't express — a session closes after
+    ``gap_minutes`` of inactivity, emitting one row per closed
+    session).
+
+    State per user is (session_start, last_seen, n_events) — bounded;
+    stale state is reaped via GroupStateTimeout.EventTimeTimeout when
+    the watermark passes last_seen + gap.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    output_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("session_start", LongType()),  # epoch micros
+            StructField("last_seen", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                closed.append((user_id, start, last, n))
+                state.remove()
+        else:
+            ts_us = []
+            for pdf in pdf_iter:
+                ts_us.extend(
+                    int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])
+                )
+            ts_us.sort()
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start, last, n = None, None, 0
+            for t in ts_us:
+                if last is None:
+                    start, last, n = t, t, 1
+                elif t - last > gap_us:
+                    closed.append((user_id, start, last, n))
+                    start, last, n = t, t, 1
+                else:
+                    last, n = t, n + 1
+            if last is not None:
+                state.update((start, last, n))
+                state.setTimeoutTimestamp(last // 1000 + gap_minutes * 60 * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

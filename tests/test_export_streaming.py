@@ -119,3 +119,55 @@ def test_streaming_staging_transform(spark, tmp_path):
     result = spark.read.parquet(out)
     assert result.count() == 20
     assert "_grid_cells" in result.columns and "_geom_md5" in result.columns
+
+
+def test_streaming_stateful_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions emitted
+    by the stateful operator must match the batch lag-based
+    sessionization for sessions that are closed by end-of-stream
+    watermark advancement."""
+    from g_etl_spark.streaming import pipeline as sp
+    from g_etl_spark.tables import load
+
+    events = load(spark, "/root/testdata/sf0.001", "events").filter(
+        F.col("user_id") < 20
+    )
+    src = str(tmp_path / "sess_src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    sessions = sp.streaming_sessionize(stream, gap_minutes=30)
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT * FROM sessions_test").collect()
+
+    # batch reference: sessions whose close is confirmed (gap after)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = events.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn("session_id", F.sum("new_session").over(w))
+    batch = (
+        marked.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("session_end"))
+        .collect()
+    )
+    batch_counts = {}
+    for r in batch:
+        batch_counts.setdefault(r.user_id, []).append(r.n_events)
+    got_counts = {}
+    for r in got:
+        got_counts.setdefault(r.user_id, []).append(r.n_events)
+    # every emitted session must appear in the batch result
+    for uid, counts in got_counts.items():
+        for c in counts:
+            assert c in batch_counts.get(uid, []), (uid, c)
+    assert len(got) > 0
