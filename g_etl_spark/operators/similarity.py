@@ -130,3 +130,49 @@ def ann_topk_srp(
     return cosine_topk(
         bucketed.filter(F.col("bucket") == qbits), query, k, id_col, vec_col
     )
+
+
+def srp_bucket_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: SRP-bucket first, compare
+    cosine only WITHIN buckets (near-identical vectors share all sign
+    bits with high probability). Cost is Σ bucket² instead of n² —
+    the LSH analogue of minhash candidate generation for vectors.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine ≥ threshold.
+    Recall vs the brute-force baseline is unit-tested; increase
+    recall by unioning pairs from several independent plane seeds.
+    """
+    bucketed = srp_buckets(df, n_planes, dim, id_col, vec_col).localCheckpoint()
+    v = bucketed.select(
+        F.col(id_col),
+        F.col("bucket"),
+        _as_double(F.col(vec_col)).alias("_v"),
+        _norm(_as_double(F.col(vec_col))).alias("_n"),
+    )
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("bucket"),
+        F.col("_v").alias("_va"), F.col("_n").alias("_na"),
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("bucket").alias("bucket_b"),
+        F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+    )
+    pairs = a.join(
+        b, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    scored = pairs.select(
+        "id_a", "id_b", F.round(dot / (F.col("_na") * F.col("_nb")), 4).alias("cosine")
+    )
+    return scored.filter(F.col("cosine") >= threshold)

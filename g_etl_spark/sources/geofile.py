@@ -38,11 +38,17 @@ def _url_lock(url: str) -> threading.Lock:
 
 
 def download_cached(
-    url: str, fetcher: Callable[[str, str], None] | None = None
+    url: str,
+    fetcher: Callable[[str, str], None] | None = None,
+    progress: Callable[[int, int], None] | None = None,
 ) -> str:
-    """Download once per URL (streaming, 8KB chunks in the default
-    fetcher — ≙ utils/downloader.py:22-89), serialized per URL so
-    concurrent datasets sharing a source zip fetch it once."""
+    """Download once per URL (streaming, 8KB chunks — ≙ utils/
+    downloader.py:22-89 incl. its progress callbacks), serialized per
+    URL so concurrent datasets sharing a source zip fetch it once.
+
+    ``progress(bytes_done, bytes_total)`` fires per chunk
+    (bytes_total = -1 when unknown), for both http and local paths.
+    """
     with _url_lock(url):
         if url in _CACHE and os.path.exists(_CACHE[url]):
             return _CACHE[url]
@@ -51,23 +57,46 @@ def download_cached(
             _CACHE_DIR, hashlib.md5(url.encode()).hexdigest() + "_" + os.path.basename(url)
         )
         if url.startswith(("http://", "https://")):  # pragma: no cover - no network
-            (fetcher or _stream_download)(url, dest)
+            if fetcher is not None:
+                fetcher(url, dest)
+            else:
+                _stream_download(url, dest, progress)
         else:
-            shutil.copyfile(url, dest)
+            _chunked_copy(url, dest, progress)
         _CACHE[url] = dest
         return dest
 
 
-def _stream_download(url: str, dest: str) -> None:  # pragma: no cover
+def _chunked_copy(
+    src: str, dest: str, progress: Callable[[int, int], None] | None = None
+) -> None:
+    total = os.path.getsize(src)
+    done = 0
+    with open(src, "rb") as fin, open(dest, "wb") as fout:
+        while chunk := fin.read(8192):
+            fout.write(chunk)
+            done += len(chunk)
+            if progress:
+                progress(done, total)
+
+
+def _stream_download(
+    url: str, dest: str, progress: Callable[[int, int], None] | None = None
+) -> None:  # pragma: no cover
     try:
         import requests
     except ImportError as e:
         raise ImportError("geofile download needs 'requests'") from e
     with requests.get(url, stream=True, timeout=300) as r:
         r.raise_for_status()
+        total = int(r.headers.get("Content-Length", -1))
+        done = 0
         with open(dest, "wb") as f:
             for chunk in r.iter_content(chunk_size=8192):
                 f.write(chunk)
+                done += len(chunk)
+                if progress:
+                    progress(done, total)
 
 
 def clear_download_cache() -> None:

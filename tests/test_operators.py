@@ -135,3 +135,31 @@ def test_approx_rollup_close_to_exact(spark):
                    .countDistinct("l_orderkey").alias("nd")).head().nd
     approx = R.approx_distinct_profile(li, ["l_orderkey"]).head().l_orderkey_approx_nd
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_srp_bucket_pairs_recall(spark):
+    """The bucketed embedding-dedup scale path must recover the
+    planted near-dup pairs the brute-force baseline finds."""
+    import random
+
+    rng = random.Random(11)
+    dim = 16
+    rows = []
+    for i in range(150):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, v))
+        if i < 30:  # plant a near-dup of the first 30
+            rows.append((1000 + i, [x * 1.02 + rng.gauss(0, 0.005) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    brute = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_cosine_pairs(df, threshold=0.98).collect()
+    }
+    bucketed = {
+        (r.id_a, r.id_b)
+        for r in S.srp_bucket_pairs(df, threshold=0.98, n_planes=6, dim=dim).collect()
+    }
+    planted = {(i, 1000 + i) for i in range(30)}
+    assert planted <= brute
+    assert len(bucketed & planted) >= 27  # ≥90% recall
+    assert bucketed <= brute  # no false positives vs exact refine

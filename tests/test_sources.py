@@ -182,3 +182,15 @@ def test_binary_file_source(spark, tmp_path):
     )
     feats = M.fake_decode_features(prepared).collect()
     assert len(feats) == 2 and all(f.width >= 16 for f in feats)
+
+
+def test_download_progress_callback(tmp_path):
+    big = tmp_path / "big.bin"
+    big.write_bytes(b"x" * 20000)  # > 2 chunks
+    seen = []
+    geofile.clear_download_cache()
+    geofile.download_cached(str(big), progress=lambda d, t: seen.append((d, t)))
+    assert len(seen) >= 3
+    assert seen[-1] == (20000, 20000)
+    assert [d for d, _ in seen] == sorted(d for d, _ in seen)
+    geofile.clear_download_cache()
