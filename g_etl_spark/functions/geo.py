@@ -570,3 +570,63 @@ def sweref_geom_to_wgs84(geom: Geometry) -> Geometry:
         return (lng, lat)  # geometries store (x=lng, y=lat)
 
     return transform_geom(geom, fn)
+
+
+# --------------------------------------------------------------------------
+# Buffering (≙ ST_Buffer; line branch of 004:53-54, examples:165-178)
+# --------------------------------------------------------------------------
+
+
+def buffer_point(
+    pt: tuple[float, float], radius: float, n_segments: int = 32
+) -> Geometry:
+    """Circular buffer around a point as a regular n-gon polygon
+    (≙ ST_Buffer(point, r) — the buffered-point query input,
+    sql/examples/h3_polygon_queries.sql:165-178)."""
+    x, y = pt
+    ring = [
+        (
+            x + radius * math.cos(2 * math.pi * i / n_segments),
+            y + radius * math.sin(2 * math.pi * i / n_segments),
+        )
+        for i in range(n_segments)
+    ]
+    ring.append(ring[0])
+    return ("Polygon", [ring])
+
+
+def buffer_line(
+    coords: Sequence[tuple[float, float]], radius: float, n_segments: int = 16
+) -> Geometry:
+    """Approximate line buffer: convex hull of circles sampled along
+    the line (≙ the ST_Buffer(line, 10 m) branch of the cell
+    dispatch, 004:53-54). Exact for convex paths; an approximation
+    (hull) for concave ones — adequate for cell coverage, and
+    upgraded automatically when shapely is importable."""
+    try:  # pragma: no cover - shapely absent in this container
+        import shapely
+        from shapely import wkt as swkt
+
+        g = swkt.loads(to_wkt(("LineString", list(coords)))).buffer(radius)
+        return from_wkt(g.wkt)
+    except ImportError:
+        pass
+    pts: list[tuple[float, float]] = []
+    step = max(radius / 2.0, 1e-9)
+    sampled = [coords[0]]
+    for i in range(len(coords) - 1):
+        a, b = coords[i], coords[i + 1]
+        seg = math.dist(a, b)
+        n = max(int(seg / step), 1)
+        for j in range(1, n + 1):
+            t = j / n
+            sampled.append((a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1])))
+    for cx, cy in sampled:
+        for i in range(n_segments):
+            pts.append(
+                (
+                    cx + radius * math.cos(2 * math.pi * i / n_segments),
+                    cy + radius * math.sin(2 * math.pi * i / n_segments),
+                )
+            )
+    return ("Polygon", [_convex_hull(pts)])

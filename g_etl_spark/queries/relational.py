@@ -744,3 +744,32 @@ def q31_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag", "linestatus")
     )
+
+
+@register(
+    "q32_from_json_typed",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           count(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50) AS n_high
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q32_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-typed JSON decode: `from_json` with a struct schema
+    (≙ the reference's from_json usage on h3_cells / _json_data,
+    aab/002:17-19) — unlike q13's get_json_object path, the parse
+    happens once per row into a typed struct that all downstream
+    expressions share."""
+    e = load(spark, sf_dir, "events")
+    parsed = e.withColumn("p", F.from_json("props", "k int"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.sum(F.col("p.k")).cast("long").alias("sum_k"),
+            F.count_if(F.col("p.k") > 50).alias("n_high"),
+        )
+        .orderBy("event_type")
+    )

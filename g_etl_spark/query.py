@@ -225,3 +225,22 @@ def query_stats_pruned(
 def _xy_at(cell: int, res: int) -> tuple[int, int]:
     r, x, y = grid.unpack(cell)
     return x >> (r - res), y >> (r - res)
+
+
+def query_point_buffer(
+    spark: SparkSession,
+    warehouse: str,
+    x: float,
+    y: float,
+    radius: float,
+    resolution: int = DEFAULT_QUERY_RES,
+    aggregation: str = "stats",
+    datasets: list[str] | None = None,
+) -> DataFrame:
+    """Buffered-point query (≙ examples:165-178: ST_Buffer(point, 5km)
+    → polygon query): builds the circle polygon driver-side and runs
+    the standard polygon path."""
+    poly = geo.buffer_point((x, y), radius)
+    return query_polygon(
+        spark, warehouse, geo.to_wkt(poly), resolution, datasets, aggregation
+    )

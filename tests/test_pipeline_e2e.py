@@ -255,3 +255,33 @@ def test_stats_partition_pruning(spark, warehouse_dir):
     pf_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "cell_prefix" in pf_line and "[]" not in pf_line
     assert pruned.count() >= 1
+
+
+def test_query_point_buffer(spark, warehouse_dir):
+    """≙ the 5 km buffered-point example (examples:165-178)."""
+    from g_etl_spark.query import query_point_buffer
+
+    some = (
+        wh.read_table(spark, warehouse_dir, "staging", "biotop")
+        .select("_centroid_lat", "_centroid_lng")
+        .head()
+    )
+    e, n = geo.wgs84_to_sweref99(some._centroid_lat, some._centroid_lng)
+    res = query_point_buffer(spark, warehouse_dir, e, n, 5000.0, aggregation="stats")
+    assert res.head().object_count >= 1
+
+
+def test_buffer_geometries():
+    from g_etl_spark.functions import geo as G
+
+    circle = G.buffer_point((0.0, 0.0), 10.0)
+    assert G.is_valid(circle)
+    assert abs(G.area(circle) - 3.14159 * 100) / (3.14159 * 100) < 0.02
+    assert G.point_in_polygon((5.0, 5.0), circle)
+    assert not G.point_in_polygon((9.0, 9.0), circle)
+
+    band = G.buffer_line([(0.0, 0.0), (100.0, 0.0)], 10.0)
+    assert G.is_valid(band)
+    assert G.point_in_polygon((50.0, 5.0), band)
+    assert G.point_in_polygon((50.0, -9.0), band)
+    assert not G.point_in_polygon((50.0, 20.0), band)
