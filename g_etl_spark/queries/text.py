@@ -288,3 +288,78 @@ def q45_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fingerprint_md5"
         ),
     ).orderBy("doc_id")
+
+
+# Deterministic PII-bearing corpus: emails/phone-ish tokens injected
+# in-query so the scrubber has real work in both engines.
+_PII_CORPUS = """
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or +46-70-' || CAST(1000000 + doc_id AS VARCHAR) AS text,
+           source
+    FROM documents WHERE doc_id < 300
+"""
+
+
+@register(
+    "q46_pii_redaction",
+    oracle=f"""
+    WITH corpus AS ({_PII_CORPUS}),
+    red AS (
+        SELECT doc_id, source,
+               regexp_replace(
+                   regexp_replace(text, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+                   '\\+?[0-9][0-9-]{{6,}}', '<PHONE>', 'g') AS redacted,
+               len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.-]+'))   AS n_emails,
+               len(regexp_extract_all(text, '\\+?[0-9][0-9-]{{6,}}'))     AS n_phones
+        FROM corpus
+    )
+    SELECT source,
+           count(*)                          AS n_docs,
+           CAST(sum(n_emails) AS BIGINT)     AS emails_redacted,
+           CAST(sum(n_phones) AS BIGINT)     AS phones_redacted,
+           md5(array_to_string(list_sort(list(md5(redacted))), '')) AS redacted_digest
+    FROM red
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q46_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-data hygiene): email/phone patterns
+    redacted with regexp_replace, redaction counts audited, and a
+    content digest proving byte-identical scrubbed output in both
+    engines. Pure JVM regex — linear, no UDF."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    corpus = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +46-70-"),
+            (F.col("doc_id") + 1000000).cast("string"),
+        ).alias("text"),
+        "source",
+    )
+    email_re = "[a-z0-9._]+@[a-z0-9.-]+"
+    phone_re = r"\+?[0-9][0-9-]{6,}"
+    red = corpus.select(
+        "source",
+        F.regexp_replace(
+            F.regexp_replace("text", email_re, "<EMAIL>"), phone_re, "<PHONE>"
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(email_re), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(phone_re), F.lit(0))).alias("n_phones"),
+    )
+    return (
+        red.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_emails").cast("long").alias("emails_redacted"),
+            F.sum("n_phones").cast("long").alias("phones_redacted"),
+            F.md5(F.array_join(F.array_sort(F.collect_list(F.md5("redacted"))), "")).alias(
+                "redacted_digest"
+            ),
+        )
+        .orderBy("source")
+    )
