@@ -56,12 +56,54 @@ def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(e, _query_vector(spark, sf_dir), k=10)
 
 
-@register("q61_ann_srp_bucket")  # md5-derived hyperplanes — rows-only check
+def _srp_bucket_sql(n_planes: int = 6, dim: int = 64) -> str:
+    """DuckDB expression for the SRP bucket of `embedding` — the
+    SAME md5-derived hyperplanes as operators/similarity, embedded as
+    literal constants so both engines compute identical sign bits."""
+    planes = S.random_hyperplanes(n_planes, dim)
+    bits = []
+    for p, plane in enumerate(planes):
+        arr = ", ".join(repr(v) for v in plane)
+        dot = (
+            f"list_aggregate(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ([{arr}])[i]), 'sum')"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {p})")
+    return "(" + " | ".join(bits) + ")"
+
+
+@register(
+    "q61_ann_srp_bucket",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding, {_srp_bucket_sql()} AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT bucket AS qbucket,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM bucketed WHERE vec_id = 0
+    )
+    SELECT b.vec_id,
+           round(list_aggregate(list_transform(range(1, 65),
+                                               i -> CAST(b.embedding[i] AS DOUBLE) * q.qv[i]),
+                                'sum')
+                 / (sqrt(list_aggregate(list_transform(b.embedding,
+                                                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                        'sum'))
+                    * sqrt(list_aggregate(list_transform(q.qv, x -> x * x), 'sum'))),
+                 3) AS cosine
+    FROM bucketed b, q
+    WHERE b.bucket = q.qbucket
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
 def q61_ann_srp_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via sign-random-projection LSH: probe only
     the query's bucket (operators/similarity.ann_topk_srp). The
-    hyperplanes are md5-derived (not SQL-expressible) → rows-only
-    driver check; recall vs the exact baseline is unit-tested."""
+    hyperplanes are md5-derived Python constants embedded as literals
+    in BOTH engines, so even the LSH path is fully oracle-checked."""
     e = load(spark, sf_dir, "embeddings")
     return S.ann_topk_srp(e, _query_vector(spark, sf_dir), k=10, n_planes=6)
 

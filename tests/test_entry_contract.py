@@ -24,7 +24,7 @@ def test_queries_and_oracles_align():
     assert set(oracles) <= set(qs)
     # rows-only queries are the documented non-SQL-expressible ones
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"q53_simhash_signatures", "q61_ann_srp_bucket"}
+    assert rows_only == {"q53_simhash_signatures"}
     # callables, not results
     assert all(callable(fn) for fn in qs.values())
     assert all(isinstance(sql, str) and "SELECT" in sql.upper() for sql in oracles.values())
