@@ -773,3 +773,36 @@ def q32_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q33_cube_matrix",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+           count(*)                         AS n,
+           round(sum(o_totalprice), 2)      AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY orderstatus, orderpriority
+    """,
+)
+def q33_cube_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all 2^k grouping combinations in one
+    Expand + single shuffle (completes the grouping-sets family next
+    to q31's ROLLUP)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n",
+            "total",
+        )
+        .orderBy("orderstatus", "orderpriority")
+    )

@@ -136,3 +136,56 @@ def q62_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim_idx")
     )
+
+
+@register(
+    "q63_semantic_retrieval",
+    oracle="""
+    WITH q AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+        SELECT e.vec_id,
+               round(list_aggregate(list_transform(range(1, 65),
+                                                   i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]),
+                                    'sum')
+                     / (sqrt(list_aggregate(list_transform(e.embedding,
+                                                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                            'sum'))
+                        * sqrt(list_aggregate(list_transform(q.qv, x -> x * x), 'sum'))),
+                     3) AS cosine
+        FROM embeddings e, q
+        ORDER BY cosine DESC, vec_id
+        LIMIT 10
+    )
+    SELECT s.vec_id, s.cosine, d.lang, d.source,
+           substr(d.text, 1, 40) AS snippet
+    FROM scored s
+    JOIN documents d ON d.doc_id = s.vec_id
+    ORDER BY s.cosine DESC, s.vec_id
+    """,
+)
+def q63_semantic_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval: ANN top-k over embeddings joined back to
+    the document store (vec_id = doc_id) for text + metadata — the
+    RAG-retrieval query shape. The top-k side is tiny → the join
+    broadcasts it into the documents scan."""
+    from g_etl_spark.tables import load as load_t
+
+    top = S.cosine_topk(
+        load_t(spark, sf_dir, "embeddings"), _query_vector(spark, sf_dir), k=10
+    )
+    docs = load_t(spark, sf_dir, "documents")
+    return (
+        F.broadcast(top)
+        .join(docs, top.vec_id == docs.doc_id)
+        .select(
+            "vec_id",
+            "cosine",
+            "lang",
+            "source",
+            F.substring("text", 1, 40).alias("snippet"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+    )
