@@ -19,6 +19,7 @@ Formats:
 
 from __future__ import annotations
 
+import html as _html
 import json
 import os
 from functools import reduce
@@ -97,21 +98,80 @@ def export_geojson(df: DataFrame, path: str, limit: int = 50000) -> None:
         json.dump(fc, f)
 
 
-def export_gpkg(df: DataFrame, path: str) -> None:  # pragma: no cover
-    """K3 GeoPackage — needs GDAL (pyogrio/fiona), absent here."""
+def _load_pyogrio():
+    """Import hook — patched by tests to inject a fake pyogrio."""
     try:
-        import pyogrio  # noqa: F401
-    except ImportError as e:
+        import pyogrio
+    except ImportError as e:  # pragma: no cover - lib absent here
         raise ImportError(
-            "GPKG export needs pyogrio/GDAL (absent in this container); "
-            "use export_geojson/export_parquet"
+            "GPKG/FlatGeobuf export needs pyogrio/GDAL (absent in this "
+            "container); use export_geojson/export_parquet"
         ) from e
-    raise NotImplementedError("wire pyogrio.write_dataframe here when GDAL present")
+    return pyogrio
 
 
-def export_flatgeobuf(df: DataFrame, path: str) -> None:  # pragma: no cover
-    """K3 FlatGeobuf — needs GDAL, absent here."""
-    export_gpkg(df, path)
+def _gdal_rows(df: DataFrame, limit: int = 500_000) -> tuple[list, list[dict]]:
+    """Rows → (WKB cell polygons, property dicts) for the GDAL writers.
+
+    Same content contract as export_geojson: cell boundary polygon +
+    hex_id + the remaining columns as fields.
+    """
+    from g_etl_spark.functions import geo
+
+    rows = [r.asDict() for r in df.limit(limit).collect()]
+    wkbs: list = []
+    props: list[dict] = []
+    for row in rows:
+        cell = row.get("grid_cell")
+        p = {k: v for k, v in row.items() if k != "grid_cell"}
+        if cell is None:
+            wkbs.append(None)
+        else:
+            lat_min, lat_max, lng_min, lng_max = grid.cell_to_bounds(int(cell))
+            ring = [
+                (lng_min, lat_min),
+                (lng_max, lat_min),
+                (lng_max, lat_max),
+                (lng_min, lat_max),
+                (lng_min, lat_min),
+            ]
+            wkbs.append(geo.to_wkb(("Polygon", [ring])))
+            p["hex_id"] = grid.cell_str_py(int(cell))
+        props.append(p)
+    return wkbs, props
+
+
+def export_gpkg(df: DataFrame, path: str, layer: str = "export", driver: str = "GPKG") -> str:
+    """K3 GeoPackage via GDAL (≙ src/g_etl/export.py:284-341).
+
+    Uses ``pyogrio.raw.write`` (WKB + field arrays — no geopandas
+    needed). The lib is absent in this container, so the import is
+    hook-gated; the row→WKB conversion and the write call are
+    exercised by an injected fake in tests/test_export_streaming.py.
+    """
+    import numpy as np
+
+    pyogrio = _load_pyogrio()
+    wkbs, props = _gdal_rows(df)
+    fields = sorted({k for p in props for k in p})
+    field_data = [np.array([p.get(f) for p in props], dtype=object) for f in fields]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    pyogrio.raw.write(
+        path,
+        geometry=np.array(wkbs, dtype=object),
+        field_data=field_data,
+        fields=fields,
+        geometry_type="Polygon",
+        crs="EPSG:4326",
+        driver=driver,
+        layer=layer,
+    )
+    return path
+
+
+def export_flatgeobuf(df: DataFrame, path: str, layer: str = "export") -> str:
+    """K3 FlatGeobuf — same GDAL route, different driver."""
+    return export_gpkg(df, path, layer=layer, driver="FlatGeobuf")
 
 
 _COLORS = ["#1f77b4", "#ff7f0e", "#2ca02c", "#d62728", "#9467bd", "#8c564b",
@@ -146,7 +206,11 @@ def export_html_map(df: DataFrame, path: str, limit: int = DEFAULT_HTML_LIMIT) -
     svg = []
     for r, b in zip(cells, bounds):
         d = r.get("dataset_id", "?")
-        title = ", ".join(f"{k}={v}" for k, v in r.items() if k != "grid_cell")
+        # Escape data-derived text: values containing markup (e.g.
+        # '</title>' or quotes) must not corrupt or script the artifact.
+        title = _html.escape(
+            ", ".join(f"{k}={v}" for k, v in r.items() if k != "grid_cell"), quote=True
+        )
         svg.append(
             f'<rect x="{sx(b[2]):.1f}" y="{sy(b[1]):.1f}" '
             f'width="{max(sx(b[3]) - sx(b[2]), 1):.1f}" '
@@ -156,7 +220,7 @@ def export_html_map(df: DataFrame, path: str, limit: int = DEFAULT_HTML_LIMIT) -
         )
     legend = "".join(
         f'<div><span style="background:{color[d]};display:inline-block;'
-        f'width:12px;height:12px;margin-right:6px"></span>{d}</div>'
+        f'width:12px;height:12px;margin-right:6px"></span>{_html.escape(str(d), quote=True)}</div>'
         for d in datasets
     )
     html = (

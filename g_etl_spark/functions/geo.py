@@ -264,18 +264,28 @@ def centroid(geom: Geometry) -> tuple[float, float]:
         pts = [p for ls in c for p in ls]
         return centroid(("LineString", pts))
     if t == "Polygon":
-        ring = c[0]
-        a = ring_area(ring)
-        if a == 0:
-            return centroid(("MultiPoint", ring[:-1] or ring))
+        # Signed accumulation over ALL rings so holes subtract their
+        # moment (matches area(), which already subtracts holes).
+        # Stored winding is untrusted: normalize each ring to |area|,
+        # then apply +1 for the outer ring, -1 for holes.
+        a_total = 0.0
         cx = cy = 0.0
-        for i in range(len(ring) - 1):
-            x1, y1 = ring[i]
-            x2, y2 = ring[i + 1]
-            cross = x1 * y2 - x2 * y1
-            cx += (x1 + x2) * cross
-            cy += (y1 + y2) * cross
-        return (cx / (6 * a), cy / (6 * a))
+        for ri, ring in enumerate(c):
+            a_r = ring_area(ring)
+            if a_r == 0:
+                continue
+            scale = (1.0 if ri == 0 else -1.0) * (abs(a_r) / a_r)
+            a_total += scale * a_r
+            for i in range(len(ring) - 1):
+                x1, y1 = ring[i]
+                x2, y2 = ring[i + 1]
+                cross = (x1 * y2 - x2 * y1) * scale
+                cx += (x1 + x2) * cross
+                cy += (y1 + y2) * cross
+        if a_total == 0:
+            ring = c[0]
+            return centroid(("MultiPoint", ring[:-1] or ring))
+        return (cx / (6 * a_total), cy / (6 * a_total))
     if t == "MultiPolygon":
         parts = [(area(("Polygon", p)), centroid(("Polygon", p))) for p in c]
         total = sum(a for a, _ in parts) or 1.0

@@ -116,7 +116,9 @@ def cell_ancestor_sql(col: str, res: int) -> str:
     Runs in Spark SQL and DuckDB alike."""
     mask = (1 << 29) - 1
     r = f"((({col}) >> {RES_SHIFT}) & 63)"
-    dr = f"({r} - {res})"
+    # Clamp: a stored cell coarser than `res` would make the shift
+    # negative (engine-dependent result); treat it as already-coarse.
+    dr = f"(greatest({r} - {res}, 0))"
     x = f"((({col}) >> {X_SHIFT}) & {mask})"
     y = f"(({col}) & {mask})"
     return (

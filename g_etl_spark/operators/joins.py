@@ -25,7 +25,15 @@ def salted_count(
     """Two-phase skew-safe COUNT: group on (key, salt) — spreading a
     hot key over ``salt_buckets`` reducers — then re-aggregate per
     key. Identical result to a direct groupBy count; bounded reducer
-    input regardless of key skew."""
+    input regardless of key skew.
+
+    CAVEAT: the salt uses ``F.rand``, which is re-drawn when a task
+    retries — safe ONLY for algebraic aggs (count/sum/min/max) where
+    the final merge is salt-assignment-independent. Do NOT reuse this
+    shape for aggs where row→bucket identity must be stable across
+    retries (collect_set/list, first, any per-bucket sampling); salt
+    with a deterministic hash (e.g. pmod(hash(*cols), buckets)) there.
+    """
     salted = df.withColumn(
         "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )

@@ -118,24 +118,43 @@ def unzip_to_temp(zip_path: str, suffixes: tuple[str, ...]) -> str:
     raise FileNotFoundError(f"no {suffixes} member in {zip_path}")
 
 
+def _load_pyogrio():
+    """Import hook — patched by tests to inject a fake pyogrio."""
+    import pyogrio  # pragma: no cover - lib absent in this container
+
+    return pyogrio  # pragma: no cover
+
+
+def _arrow_rows(table) -> list[dict]:
+    """Arrow table → row dicts with the geometry column renamed to
+    ``geom`` (pyogrio emits ``wkb_geometry`` for OGR sources,
+    ``geometry`` for others — take whichever is present)."""
+    rows = table.to_pylist()
+    for r in rows:
+        geom = r.pop("wkb_geometry", None)
+        if geom is None:
+            geom = r.pop("geometry", None)
+        r["geom"] = geom
+    return rows
+
+
 def read_geofile_rows(
     path: str, layer: str | None = None, encoding: str | None = None
 ) -> list[dict]:
-    """pyogrio/GDAL decode (import-try; ≙ ST_Read + the pyogrio
-    fallback S9). Returns rows with ``geom`` WKB."""
-    try:  # pragma: no cover - pyogrio absent in this container
-        import pyogrio
-
-        table = pyogrio.read_arrow(path, layer=layer, encoding=encoding)[1]
-        rows = table.to_pylist()
-        for r in rows:
-            r["geom"] = r.pop("wkb_geometry", r.pop("geometry", None))
-        return rows
+    """pyogrio/GDAL decode (hook-gated; ≙ ST_Read + the pyogrio
+    fallback S9, plugins/zip_geopackage.py:188-235). Returns rows
+    with ``geom`` WKB. The decode branch is exercised in CI by an
+    injected fake pyogrio (tests/test_sources.py) since GDAL is
+    absent in this container."""
+    try:
+        pyogrio = _load_pyogrio()
     except ImportError as e:
         raise ImportError(
             "geofile decode needs pyogrio/GDAL (absent in this container); "
             "use the parquet/wfs/memory plugins or provide options.reader"
         ) from e
+    _meta, table = pyogrio.read_arrow(path, layer=layer, encoding=encoding)
+    return _arrow_rows(table)
 
 
 @register_plugin("zip_geopackage")

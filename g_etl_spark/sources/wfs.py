@@ -103,10 +103,11 @@ def fetch_paginated(
         url = build_getfeature_url(base_url, type_name, count=page_size, start_index=start)
         page = parse_geojson_page(fetcher(url))
         rows.extend(page)
-        if len(page) < page_size:
-            break
+        # Cap check first: a short final page must not bypass the trim.
         if max_features is not None and len(rows) >= max_features:
             rows = rows[:max_features]
+            break
+        if len(page) < page_size:
             break
         start += page_size
     return rows

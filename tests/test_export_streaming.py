@@ -56,8 +56,62 @@ def test_export_html(cells_df, tmp_path):
 
 
 def test_export_gpkg_raises_without_gdal(cells_df, tmp_path):
-    with pytest.raises((ImportError, NotImplementedError)):
+    with pytest.raises(ImportError):
         export.export_gpkg(cells_df, str(tmp_path / "x.gpkg"))
+
+
+def test_export_gpkg_with_fake_pyogrio(cells_df, tmp_path, monkeypatch):
+    """Exercise the GDAL write branch with an injected fake pyogrio:
+    the rows→WKB conversion, field assembly, and the raw.write call
+    all run for real; only the final GDAL I/O is faked."""
+    from g_etl_spark.functions import geo
+
+    calls = []
+
+    class FakeRaw:
+        @staticmethod
+        def write(path, geometry=None, field_data=None, fields=None, **kw):
+            calls.append(
+                {"path": path, "geometry": geometry, "field_data": field_data,
+                 "fields": fields, **kw}
+            )
+
+    class FakePyogrio:
+        raw = FakeRaw
+
+    monkeypatch.setattr(export, "_load_pyogrio", lambda: FakePyogrio)
+
+    out = str(tmp_path / "cells.gpkg")
+    assert export.export_gpkg(cells_df, out) == out
+    (call,) = calls
+    assert call["path"] == out and call["driver"] == "GPKG"
+    assert call["crs"] == "EPSG:4326" and call["geometry_type"] == "Polygon"
+    assert len(call["geometry"]) == 20
+    g0 = geo.from_wkb(bytes(call["geometry"][0]))
+    assert g0[0] == "Polygon" and len(g0[1][0]) == 5  # closed ring
+    assert "hex_id" in call["fields"] and "count" in call["fields"]
+    idx = list(call["fields"]).index("count")
+    assert sorted(call["field_data"][idx]) == sorted(
+        r["count"] for r in cells_df.collect()
+    )
+
+    export.export_flatgeobuf(cells_df, str(tmp_path / "cells.fgb"))
+    assert calls[-1]["driver"] == "FlatGeobuf"
+
+
+def test_export_html_escapes_markup(spark, tmp_path):
+    """Data containing markup must not corrupt or script the HTML."""
+    from g_etl_spark.functions import grid
+
+    df = spark.createDataFrame(
+        [(grid.latlng_to_cell(59.3, 18.0, 12), '</title><script>alert(1)</script>', 1)],
+        "grid_cell long, dataset_id string, count long",
+    )
+    out = str(tmp_path / "evil.html")
+    export.export_html_map(df, out)
+    content = open(out).read()
+    assert "<script>alert(1)</script>" not in content
+    assert "&lt;script&gt;" in content
 
 
 def test_streaming_rollup_matches_batch(spark, tmp_path):

@@ -57,6 +57,26 @@ def test_polygon_with_hole():
     assert geo.point_in_polygon((1.0, 1.0), poly)
 
 
+def test_centroid_honors_holes():
+    """An off-center hole must pull the centroid away (matching
+    ST_Centroid), regardless of hole winding direction."""
+    # 10×10 square, hole in the lower-left quadrant → centroid moves
+    # up-right of (5, 5).
+    hole_ccw = [(1.0, 1.0), (4.0, 1.0), (4.0, 4.0), (1.0, 4.0), (1.0, 1.0)]
+    outer = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]
+    poly = ("Polygon", [outer, hole_ccw])
+    cx, cy = geo.centroid(poly)
+    # exact: (100*5 - 9*2.5) / 91 = 5.24725...
+    assert math.isclose(cx, (500.0 - 22.5) / 91.0, rel_tol=1e-9)
+    assert math.isclose(cy, cx, rel_tol=1e-9)
+    # same answer with the hole stored clockwise
+    poly_cw = ("Polygon", [outer, list(reversed(hole_ccw))])
+    cx2, cy2 = geo.centroid(poly_cw)
+    assert math.isclose(cx2, cx, rel_tol=1e-12) and math.isclose(cy2, cy, rel_tol=1e-12)
+    # no-hole polygon unchanged
+    assert geo.centroid(("Polygon", [outer])) == (5.0, 5.0)
+
+
 def test_bowtie_invalid_and_repair():
     bow = ("Polygon", [[(0.0, 0.0), (4.0, 4.0), (4.0, 0.0), (0.0, 4.0), (0.0, 0.0)]])
     assert not geo.is_valid(bow)
@@ -166,3 +186,23 @@ def test_cell_ancestor_sql(spark):
         .a
     )
     assert got == expected
+
+
+def test_cell_ancestor_sql_clamps_coarser_cells(spark):
+    """A stored cell COARSER than the target res must pass through
+    unchanged (clamped shift), not produce a negative-shift result."""
+    import duckdb
+
+    coarse = grid.latlng_to_cell(59.33, 18.07, 10)
+    sql = grid.cell_ancestor_sql("grid_cell", 14)
+    got_spark = (
+        spark.createDataFrame([(coarse,)], "grid_cell bigint")
+        .selectExpr(sql + " AS a")
+        .head()
+        .a
+    )
+    got_duck = duckdb.sql(
+        f"SELECT {sql.replace('grid_cell', str(coarse))} AS a"
+    ).fetchone()[0]
+    r10, x, y = grid.unpack(coarse)
+    assert got_spark == got_duck == grid.pack(14, x, y)

@@ -153,6 +153,77 @@ def test_geofile_decode_requires_gdal():
         geofile.read_geofile_rows("/tmp/whatever.gpkg")
 
 
+def test_wfs_short_final_page_respects_max_features():
+    """Regression: a short LAST page must still be trimmed to the cap."""
+
+    def fetcher(url):
+        start = int(url.split("startIndex=")[1].split("&")[0]) if "startIndex" in url else 0
+        n = 5 if start == 0 else 2  # second page short AND crosses the cap
+        return _page([_feat(start + i, 15.0, 59.0) for i in range(n)])
+
+    rows = wfs.fetch_paginated("http://x/wfs", "t", fetcher, page_size=5, max_features=6)
+    assert len(rows) == 6
+
+
+def test_geofile_decode_with_fake_pyogrio(monkeypatch, spark, tmp_path):
+    """Exercise the GDAL decode branch itself (not the options.reader
+    bypass) by injecting a fake pyogrio through the import hook."""
+    import pyarrow as pa
+
+    calls = {}
+
+    class FakePyogrio:
+        @staticmethod
+        def read_arrow(path, layer=None, encoding=None):
+            calls.update(path=path, layer=layer, encoding=encoding)
+            table = pa.table(
+                {
+                    "fid": [1, 2],
+                    "namn": ["å-objekt", "b"],
+                    "wkb_geometry": [
+                        geo.to_wkb(("Point", (674000.0, 6580000.0))),
+                        geo.to_wkb(("Point", (675000.0, 6581000.0))),
+                    ],
+                }
+            )
+            return {"crs": "EPSG:3006"}, table
+
+    monkeypatch.setattr(geofile, "_load_pyogrio", lambda: FakePyogrio)
+
+    rows = geofile.read_geofile_rows("/data/x.gpkg", layer="lager", encoding="LATIN1")
+    assert calls == {"path": "/data/x.gpkg", "layer": "lager", "encoding": "LATIN1"}
+    assert [r["fid"] for r in rows] == [1, 2]
+    assert "wkb_geometry" not in rows[0]
+    assert geo.from_wkb(rows[0]["geom"]) == ("Point", (674000.0, 6580000.0))
+
+    # and through the full zip plugin path (download→unzip→decode)
+    inner = tmp_path / "x.gpkg"
+    inner.write_bytes(b"zz")
+    zpath = tmp_path / "b.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        zf.write(inner, "x.gpkg")
+    cfg = DatasetConfig(id="gf2", plugin="zip_geopackage", url=str(zpath), layer="lager")
+    df = extract(spark, cfg)
+    assert df.count() == 2 and "geom" in df.columns
+    geofile.clear_download_cache()
+
+
+def test_arrow_rows_geometry_column_variants():
+    """pyogrio emits wkb_geometry OR geometry; only the present one is
+    consumed (regression: eager-default pop used to drop both)."""
+    import pyarrow as pa
+
+    both = pa.table(
+        {"fid": [1], "wkb_geometry": [b"\x01"], "geometry": [b"\x02"]}
+    )
+    rows = geofile._arrow_rows(both)
+    assert rows[0]["geom"] == b"\x01"
+    assert rows[0]["geometry"] == b"\x02"  # untouched when wkb_geometry wins
+
+    only_geometry = pa.table({"fid": [1], "geometry": [b"\x02"]})
+    assert geofile._arrow_rows(only_geometry)[0]["geom"] == b"\x02"
+
+
 def test_binary_file_source(spark, tmp_path):
     (tmp_path / "a.img").write_bytes(b"\x89fakepng" * 10)
     (tmp_path / "b.img").write_bytes(b"\x89other" * 5)
