@@ -171,11 +171,56 @@ def q52_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_dedup_pairs(c, "doc_id", "text", threshold=0.7).orderBy("id_a", "id_b")
 
 
-@register("q53_simhash_signatures")  # bit-twiddling UDF — rows-only check
+@register(
+    "q53_simhash_signatures",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    toks AS (
+        SELECT doc_id,
+               unnest(list_filter({_TOKS}, t -> length(t) > 0)) AS tok
+        FROM corpus
+    ),
+    hashes AS (
+        -- token hash = first 8 bytes of md5, big-endian (= first 16
+        -- hex chars parsed as an unsigned 64-bit integer)
+        SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS h
+        FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, b.bit,
+               SUM(CASE WHEN ((h >> b.bit) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+        FROM hashes CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+        GROUP BY doc_id, b.bit
+    ),
+    usig AS (
+        SELECT doc_id,
+               SUM(CASE WHEN vote > 0 THEN 1::HUGEINT << bit ELSE 0::HUGEINT END) AS u
+        FROM votes GROUP BY doc_id
+    ),
+    sig AS (
+        -- reinterpret the unsigned accumulator as signed int64 (bit 63
+        -- set => negative), matching Spark's LongType signature; docs
+        -- with zero tokens vote to all-zero
+        SELECT c.doc_id,
+               CAST(COALESCE(u, 0::HUGEINT)
+                    - CASE WHEN COALESCE(u, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+                           THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+                    AS BIGINT) AS simhash
+        FROM corpus c LEFT JOIN usig ON c.doc_id = usig.doc_id
+    )
+    SELECT simhash, count(*) AS n, min(doc_id) AS keeper_id
+    FROM sig
+    GROUP BY simhash
+    HAVING count(*) > 1
+    ORDER BY keeper_id
+    """,
+)
 def q53_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit signatures (Arrow-batched pandas UDF) grouped to
-    show exact-signature near-dup buckets. Not SQL-expressible →
-    rows-only driver check; the invariant tests live in
+    show exact-signature near-dup buckets. The oracle reproduces the
+    full bit-vote in portable SQL: per-token md5 → unsigned 64-bit →
+    per-bit votes → signed-int64 reinterpretation (DuckDB HUGEINT
+    arithmetic; Spark side is the vectorized UDF). Invariant tests in
     tests/test_operators.py."""
     c = _corpus(spark, sf_dir)
     sigs = D.simhash64(c, "doc_id", "text")
