@@ -806,3 +806,97 @@ def q33_cube_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("orderstatus", "orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery decorrelation family (TPC-H Q2 / Q20 shapes)
+# ---------------------------------------------------------------------------
+
+_Q34_SQL = """
+    SELECT DISTINCT p.p_partkey, p.p_name, s.s_name,
+           round(l.l_extendedprice, 2) AS min_price
+    FROM {part} p
+    JOIN {lineitem} l ON l.l_partkey = p.p_partkey
+    JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+    WHERE p.p_size <= 10
+      AND l.l_extendedprice = (
+          SELECT min(l2.l_extendedprice) FROM {lineitem} l2
+          WHERE l2.l_partkey = p.p_partkey)
+    ORDER BY p_partkey, s_name
+    LIMIT 100
+"""
+
+
+@register(
+    "q34_min_cost_supplier",
+    oracle=_Q34_SQL.replace("{part}", "part")
+    .replace("{lineitem}", "lineitem")
+    .replace("{supplier}", "supplier"),
+)
+def q34_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar-min subquery — for each small
+    part, the supplier(s) charging the global per-part minimum price
+    (≙ the reference's min-cost lookup pattern; partsupp is absent
+    from the testdata so lineitem serves as the price fact).
+
+    Written as the CORRELATED form on purpose: Catalyst's
+    RewriteCorrelatedScalarSubquery decorrelates it into a per-partkey
+    aggregate + equi-join — tests/test_plans.py asserts the physical
+    plan is join-shaped with no per-row subquery execution.
+
+    Scale: the min-aggregate shuffles lineitem once on l_partkey
+    (map-side partial min), the rejoin is partkey-equi; part/supplier
+    dims broadcast.
+    """
+    return spark.sql(
+        _Q34_SQL,
+        part=load(spark, sf_dir, "part"),
+        lineitem=load(spark, sf_dir, "lineitem"),
+        supplier=load(spark, sf_dir, "supplier"),
+    )
+
+
+_Q35_SQL = """
+    SELECT s.s_suppkey, s.s_name
+    FROM {supplier} s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM {lineitem} l
+        WHERE l.l_partkey IN (
+            SELECT p.p_partkey FROM {part} p WHERE p.p_name LIKE '%bolt%')
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1996-06-01'
+          AND l.l_quantity > 1.8 * (
+              SELECT avg(l2.l_quantity) FROM {lineitem} l2
+              WHERE l2.l_partkey = l.l_partkey)
+    )
+    ORDER BY s_suppkey
+"""
+
+
+@register(
+    "q35_nested_semi_join",
+    oracle=_Q35_SQL.replace("{part}", "part")
+    .replace("{lineitem}", "lineitem")
+    .replace("{supplier}", "supplier"),
+)
+def q35_nested_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-joins + correlated scalar agg —
+    suppliers who shipped an unusually large lot (> 1.8× the part's
+    average quantity) of a bolt part in H1-1996.
+
+    Three decorrelation patterns stack: outer IN → left-semi on
+    s_suppkey; inner IN → left-semi on l_partkey; correlated avg →
+    per-partkey aggregate joined back. tests/test_plans.py asserts
+    all three plan as joins (no per-row subquery).
+
+    Scale: the only wide shuffle is the per-partkey avg over the
+    date-windowed lineitem slice; the semi-joins dedup early (semi,
+    not inner) so no row multiplication.
+    """
+    return spark.sql(
+        _Q35_SQL,
+        part=load(spark, sf_dir, "part"),
+        lineitem=load(spark, sf_dir, "lineitem"),
+        supplier=load(spark, sf_dir, "supplier"),
+    )

@@ -135,3 +135,26 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_q34_correlated_scalar_decorrelates(spark, qs):
+    """The correlated scalar-min subquery must rewrite to a per-key
+    aggregate + equi-join — never a per-row subquery execution."""
+    plan = plan_of(qs["q34_min_cost_supplier"](spark, SF_DIR))
+    assert "Subquery" not in plan  # no per-row/one-shot subquery node
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") >= 3
+    assert "HashAggregate" in plan and "min(l_extendedprice" in plan
+    # part-size filter still reaches the scan through the rewrite
+    assert "LessThanOrEqual(p_size,10)" in plan
+
+
+def test_q35_nested_semi_decorrelates(spark, qs):
+    """Both IN-subqueries must plan as LeftSemi joins and the
+    correlated avg as an aggregate joined back — three joins, zero
+    subquery nodes."""
+    plan = plan_of(qs["q35_nested_semi_join"](spark, SF_DIR))
+    assert "Subquery" not in plan
+    assert plan.count("LeftSemi") >= 2  # node lines + detail section repeats
+    assert "avg(l_quantity" in plan and "HashAggregate" in plan
+    # the date window reaches the lineitem scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
