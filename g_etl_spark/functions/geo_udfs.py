@@ -115,15 +115,18 @@ def _line_sample(coords, step: float):
     return pts
 
 
-def _cells_for_geom(b: bytes) -> list[int] | None:
+def _cells_for_geom(b: bytes, idx=grid) -> list[int] | None:
     """Geometry-type dispatch → grid cells (≙ 004:50-58 CASE):
 
     POLYGON  → polyfill at POLYGON_RES (cells covering the area)
     LINESTRING → cells of points sampled at half-cell spacing at
-                 LINE_RES, with 8-neighbor dilation (≙ the 10 m
+                 LINE_RES, with grid_disk(1) dilation (≙ the 10 m
                  buffer + polyfill branch)
     POINT    → single cell at POINT_RES
     other    → NULL
+
+    ``idx`` is any cell-index provider (functions/cellindex.py);
+    default is the quadtree module.
     """
     g = geo.from_wkb(b)
     t = g[0]
@@ -132,11 +135,11 @@ def _cells_for_geom(b: bytes) -> list[int] | None:
         rings = [wgs[1][0]] if t == "Polygon" else [p[0] for p in wgs[1]]
         cells: set[int] = set()
         for ring in rings:
-            cells.update(grid.polyfill(ring, grid.POLYGON_RES))
+            cells.update(idx.polyfill(ring, idx.POLYGON_RES))
             # boundary coverage: polyfill is center-containment, so thin
             # polygons can miss — add cells of the ring vertices
             for lng, lat in ring:
-                cells.add(grid.latlng_to_cell(lat, lng, grid.POLYGON_RES))
+                cells.add(idx.latlng_to_cell(lat, lng, idx.POLYGON_RES))
         return sorted(cells)
     if t in ("LineString", "MultiLineString"):
         lines = [g[1]] if t == "LineString" else g[1]
@@ -146,41 +149,56 @@ def _cells_for_geom(b: bytes) -> list[int] | None:
             # meters before transforming (≙ the 10 m buffer radius)
             for x, y in _line_sample(line, 10.0):
                 lat, lng = geo.sweref99_to_wgs84(x, y)
-                c = grid.latlng_to_cell(lat, lng, grid.LINE_RES)
-                res, cx, cy = grid.unpack(c)
-                for dx in (-1, 0, 1):
-                    for dy in (-1, 0, 1):
-                        cells.add(grid.pack(res, cx + dx, cy + dy))
+                cells.update(idx.grid_disk_py(idx.latlng_to_cell(lat, lng, idx.LINE_RES), 1))
         return sorted(cells)
     if t in ("Point", "MultiPoint"):
         pts = [wgs[1]] if t == "Point" else wgs[1]
         return sorted(
-            {grid.latlng_to_cell(lat, lng, grid.POINT_RES) for lng, lat in pts}
+            {idx.latlng_to_cell(lat, lng, idx.POINT_RES) for lng, lat in pts}
         )
     return None
 
 
-@F.pandas_udf(ArrayType(LongType()))
-def grid_cells_for_geom(wkb: pd.Series) -> pd.Series:
-    return _each(wkb, lambda b: _cells_for_geom(bytes(b)))
+def make_cell_udfs(idx):
+    """Build the three indexing UDFs against a cell-index provider
+    (functions/cellindex.py). Provider objects are captured by value
+    in the closure, so injected/faked backends travel to executors.
+    The module-level UDFs below are this factory applied to the
+    default quadtree."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def cells_for_geom(wkb: pd.Series) -> pd.Series:
+        return _each(wkb, lambda b: _cells_for_geom(bytes(b), idx))
+
+    @F.pandas_udf(LongType())
+    def center_cell(wkb: pd.Series) -> pd.Series:
+        def fn(b):
+            cx, cy = geo.centroid(geo.from_wkb(bytes(b)))
+            lat, lng = geo.sweref99_to_wgs84(cx, cy)
+            return idx.latlng_to_cell(lat, lng, idx.CENTERPOINT_RES)
+
+        return _each(wkb, fn)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def compact_cells(cells: pd.Series) -> pd.Series:
+        return cells.map(lambda v: None if v is None else idx.compact_cells(list(v)))
+
+    return {
+        "cells_for_geom": cells_for_geom,
+        "center_cell": center_cell,
+        "compact_cells": compact_cells,
+    }
 
 
-@F.pandas_udf(LongType())
-def grid_center_cell(wkb: pd.Series) -> pd.Series:
-    """≙ g_h3_center: centroid cell at CENTERPOINT_RES (003:56-61)."""
+_default_cell_udfs = make_cell_udfs(grid)
 
-    def fn(b):
-        cx, cy = geo.centroid(geo.from_wkb(bytes(b)))
-        lat, lng = geo.sweref99_to_wgs84(cx, cy)
-        return grid.latlng_to_cell(lat, lng, grid.CENTERPOINT_RES)
-
-    return _each(wkb, fn)
-
-
-@F.pandas_udf(ArrayType(LongType()))
-def grid_compact_cells(cells: pd.Series) -> pd.Series:
-    """≙ h3_compact_cells (aab_ext_restr/003:14)."""
-    return cells.map(lambda v: None if v is None else grid.compact_cells(list(v)))
+# ≙ g_h3 family bound to the default quadtree index:
+#   grid_cells_for_geom ≙ 004:50-58 CASE dispatch
+#   grid_center_cell    ≙ g_h3_center (003:56-61)
+#   grid_compact_cells  ≙ h3_compact_cells (aab_ext_restr/003:14)
+grid_cells_for_geom = _default_cell_udfs["cells_for_geom"]
+grid_center_cell = _default_cell_udfs["center_cell"]
+grid_compact_cells = _default_cell_udfs["compact_cells"]
 
 
 @F.pandas_udf(DoubleType())

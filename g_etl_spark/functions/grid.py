@@ -183,6 +183,26 @@ def cell_to_bounds(c: int) -> tuple[float, float, float, float]:
     return lat_min, lat_max, lng_min, lng_max
 
 
+def grid_disk_py(c: int, k: int = 1) -> list[int]:
+    """Cells within Chebyshev distance ``k``, center included —
+    ≙ h3 grid_disk/k_ring (the quadtree's k-neighborhood)."""
+    res, x, y = unpack(c)
+    n = 1 << res
+    out = []
+    for dx in range(-k, k + 1):
+        for dy in range(-k, k + 1):
+            nx, ny = x + dx, y + dy
+            if 0 <= nx < n and 0 <= ny < n:
+                out.append(pack(res, nx, ny))
+    return sorted(out)
+
+
+def cell_parent_py(c: int, steps: int = 1) -> int:
+    """Python-side parent (matches cell_parent)."""
+    res, x, y = unpack(c)
+    return pack(res - steps, x >> steps, y >> steps)
+
+
 def cell_to_latlng(c: int) -> tuple[float, float]:
     """Cell center — ≙ h3_cell_to_latlng (aab_ext_restr/002:18)."""
     lat_min, lat_max, lng_min, lng_max = cell_to_bounds(c)

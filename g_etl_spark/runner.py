@@ -63,7 +63,8 @@ class PipelineRunner:
     def _config_fingerprint(self, cfg: DatasetConfig) -> str:
         return repr(
             (cfg.id, cfg.plugin, cfg.pipeline, cfg.url, cfg.layer, cfg.encoding,
-             sorted((cfg.field_mapping or {}).items()))
+             sorted((cfg.field_mapping or {}).items()),
+             cfg.options.get("cell_index"))  # index switch => full reindex
         )
 
     def run_dataset(self, cfg: DatasetConfig, force: bool = False) -> RunResult:
@@ -79,8 +80,10 @@ class PipelineRunner:
             raw = stages.normalize_geometry_column(raw)
             wh.write_table(raw, self.warehouse_dir, "raw", cfg.id)
 
+            cell_index = cfg.options.get("cell_index")  # None -> quadtree
             staged = stages.staging_transform(
-                wh.read_table(self.spark, self.warehouse_dir, "raw", cfg.id)
+                wh.read_table(self.spark, self.warehouse_dir, "raw", cfg.id),
+                index=cell_index,
             )
             wh.write_table(staged, self.warehouse_dir, "staging", cfg.id)
 
@@ -98,7 +101,8 @@ class PipelineRunner:
                 normalized.select(
                     "id", "source_id", "klass", "leverantor",
                     normalized["grid_cells"],
-                )
+                ),
+                index=cell_index,
             )
             wh.write_table(
                 compact, self.warehouse_dir, "mart", cfg.id + "_grid_compact"

@@ -36,7 +36,21 @@ def normalize_geometry_column(df: DataFrame) -> DataFrame:
     raise ValueError(f"no geometry column found among {GEOMETRY_ALIASES}")
 
 
-def staging_transform(df: DataFrame) -> DataFrame:
+def _cell_udfs(index):
+    """Resolve the indexing UDF trio for ``index`` (None → default
+    quadtree module-level UDFs, reused so their codegen caches hit)."""
+    if index is None:
+        return {
+            "cells_for_geom": geo_udfs.grid_cells_for_geom,
+            "center_cell": geo_udfs.grid_center_cell,
+            "compact_cells": geo_udfs.grid_compact_cells,
+        }
+    from g_etl_spark.functions.cellindex import get_index
+
+    return geo_udfs.make_cell_udfs(get_index(index))
+
+
+def staging_transform(df: DataFrame, index=None) -> DataFrame:
     """≙ 004_staging_transform_template.sql:23-63 — the shared
     per-dataset enrichment:
 
@@ -46,9 +60,15 @@ def staging_transform(df: DataFrame) -> DataFrame:
       _json_data, _centroid_lat/_centroid_lng (P5)
     - geometry-type dispatch → grid cells + center cell (P7, :50-58)
 
+    ``index`` selects the cell system (functions/cellindex.py):
+    None/'quadtree' (default), 'h3' (real H3 hexagons, needs the h3
+    lib), or a provider object. Cell ids from different systems are
+    not interchangeable.
+
     One pass, one projection per UDF family; no shuffle at all —
     this stage is embarrassingly parallel at any scale.
     """
+    udfs = _cell_udfs(index)
     attr_cols = [c for c in df.columns if c != "geom"]
     valid = (
         df.filter(F.col("geom").isNotNull())
@@ -64,8 +84,8 @@ def staging_transform(df: DataFrame) -> DataFrame:
             "_json_data": core.json_data({c: F.col(c) for c in attr_cols}),
             "_centroid_lat": geo_udfs.centroid_lat_wgs84(F.col("geom")),
             "_centroid_lng": geo_udfs.centroid_lng_wgs84(F.col("geom")),
-            "_grid_index": geo_udfs.grid_center_cell(F.col("geom")),
-            "_grid_cells": geo_udfs.grid_cells_for_geom(F.col("geom")),
+            "_grid_index": udfs["center_cell"](F.col("geom")),
+            "_grid_cells": udfs["cells_for_geom"](F.col("geom")),
         }
     ).drop("_geom_wkt")
 
@@ -128,14 +148,16 @@ def explode_cells(df: DataFrame) -> DataFrame:
     )
 
 
-def compact_cells_stage(df: DataFrame) -> DataFrame:
+def compact_cells_stage(df: DataFrame, index=None) -> DataFrame:
     """≙ aab_ext_restr/003_mart_h3_compact_template.sql:10-16 —
     per-feature hierarchically compacted cell set (array column,
-    pandas UDF; unit-tested invariant: uncompact == original)."""
+    pandas UDF; unit-tested invariant: uncompact == original).
+    ``index`` must match the one used at staging_transform."""
+    udfs = _cell_udfs(index)
     return df.filter(F.size("grid_cells") > 0).select(
         "id",
         "source_id",
         "klass",
         "leverantor",
-        geo_udfs.grid_compact_cells(F.col("grid_cells")).alias("grid_cells_compact"),
+        udfs["compact_cells"](F.col("grid_cells")).alias("grid_cells_compact"),
     )

@@ -22,9 +22,10 @@ def test_queries_and_oracles_align():
     assert len(qs) >= 45
     # every oracle key must be a declared query
     assert set(oracles) <= set(qs)
-    # rows-only queries are the documented non-SQL-expressible ones
+    # every registered query carries a DuckDB oracle (q53's simhash
+    # gained a portable bit-vote oracle in round 2 — zero rows-only)
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {"q53_simhash_signatures"}
+    assert rows_only == set()
     # callables, not results
     assert all(callable(fn) for fn in qs.values())
     assert all(isinstance(sql, str) and "SELECT" in sql.upper() for sql in oracles.values())
