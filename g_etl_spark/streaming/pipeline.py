@@ -77,6 +77,70 @@ def run_stream_once_to_memory(rollup: DataFrame, name: str) -> StreamingQuery:
     )
 
 
+def start_incremental_grid_ingest(
+    raw_stream: DataFrame,
+    warehouse_dir: str,
+    dataset_id: str,
+    checkpoint: str,
+    field_mapping: dict,
+    index=None,
+    refresh_stats: bool = True,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Continuous grid-index ingest: file-source stream → foreachBatch
+    running the SAME batch stage chain (staging_transform → normalize
+    → explode_cells) → idempotent append to mart/{id}_grid → grid
+    stats refresh.
+
+    Exactly-once contract: foreachBatch is at-least-once on failure
+    replay, so each micro-batch writes into its own ``_batch_id=N``
+    partition with dynamic partition-overwrite — a replayed batch
+    OVERWRITES its own partition instead of duplicating rows. Restart
+    from the checkpoint therefore converges to exactly the batch
+    result (tests/test_export_streaming.py kills and resumes mid-run
+    to pin this).
+
+    Scale: each micro-batch is an independent append job (no state);
+    stats refresh is a full recompute here — at 100 TB you'd refresh
+    incrementally per touched cell_prefix partition, which the
+    partitioned stats layout (warehouse.write_grid_stats) already
+    supports.
+    """
+    from g_etl_spark import stages, warehouse as wh
+
+    out_path = wh.table_path(warehouse_dir, "mart", dataset_id + wh.GRID_SUFFIX)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        staged = stages.staging_transform(
+            stages.normalize_geometry_column(batch_df), index=index
+        )
+        exploded = stages.explode_cells(stages.normalize(staged, field_mapping))
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                exploded.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("compression", "zstd")
+                .partitionBy("_batch_id")
+                .parquet(out_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        if refresh_stats:
+            wh.write_grid_stats(spark, warehouse_dir)
+
+    writer = raw_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_sessionize(
     events: DataFrame,
     gap_minutes: int = 30,

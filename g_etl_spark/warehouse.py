@@ -75,11 +75,10 @@ def grid_index(spark: SparkSession, warehouse: str) -> DataFrame:
     dfs = []
     for name in names:
         dataset_id = name[: -len(GRID_SUFFIX)]
-        dfs.append(
-            read_table(spark, warehouse, "mart", name).withColumn(
-                "dataset_id", F.lit(dataset_id)
-            )
-        )
+        t = read_table(spark, warehouse, "mart", name)
+        if "_batch_id" in t.columns:  # streaming-ingested table (idempotence key)
+            t = t.drop("_batch_id")
+        dfs.append(t.withColumn("dataset_id", F.lit(dataset_id)))
     return reduce(DataFrame.unionByName, dfs)
 
 

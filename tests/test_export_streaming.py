@@ -175,6 +175,82 @@ def test_streaming_staging_transform(spark, tmp_path):
     assert "_grid_cells" in result.columns and "_geom_md5" in result.columns
 
 
+def test_streaming_grid_ingest_restart_and_idempotence(spark, tmp_path):
+    """foreachBatch incremental grid ingest: stop the stream with data
+    still pending, restart from the checkpoint, and the final index +
+    stats must equal the batch run; a full replay with a fresh
+    checkpoint must not duplicate rows (per-batch partition
+    overwrite)."""
+    from g_etl_spark import stages, warehouse as wh
+    from tests import conftest as fx
+
+    mapping = {"source_id_column": "$NVRID", "klass": "naturminne", "leverantor": "nvv"}
+    rows = fx.point_rows(30)
+    src = str(tmp_path / "ingest_src")
+    ckpt = str(tmp_path / "ingest_ckpt")
+    wdir = str(tmp_path / "ingest_wh")
+
+    # batch reference over the FULL input
+    full = spark.createDataFrame(rows, fx.POINT_SCHEMA)
+    expected_df = stages.explode_cells(
+        stages.normalize(
+            stages.staging_transform(stages.normalize_geometry_column(full)), mapping
+        )
+    )
+    expected = {(r.id, r.grid_cell) for r in expected_df.collect()}
+    assert len(expected) == 30
+
+    def write_files(chunks):
+        for lo, hi in chunks:
+            spark.createDataFrame(rows[lo:hi], fx.POINT_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+    def run_once(checkpoint, refresh_stats):
+        stream = sp.read_parquet_stream(
+            spark, src, schema=full.schema, max_files_per_trigger=1
+        )
+        q = sp.start_incremental_grid_ingest(
+            stream, wdir, "pts", checkpoint, mapping,
+            refresh_stats=refresh_stats, available_now=True,
+        )
+        q.awaitTermination(180)
+
+    # phase 1: half the input arrives; stream drains it and STOPS
+    # (offsets committed to the checkpoint = a mid-run kill)
+    write_files([(0, 8), (8, 15)])
+    run_once(ckpt, refresh_stats=False)
+    got1 = {(r.id, r.grid_cell) for r in wh.read_table(spark, wdir, "mart", "pts_grid").collect()}
+    assert len(got1) == 15 and got1 < expected
+
+    # phase 2: more data lands; RESUME from the same checkpoint —
+    # only the new files are processed, final result == batch
+    write_files([(15, 23), (23, 30)])
+    run_once(ckpt, refresh_stats=True)
+    final = wh.read_table(spark, wdir, "mart", "pts_grid")
+    assert {(r.id, r.grid_cell) for r in final.collect()} == expected
+    # multiple independent batch partitions prove incremental appends
+    assert final.select("_batch_id").distinct().count() >= 2
+
+    # stats refresh materialized and matches a batch-side recompute
+    stats = wh.read_table(spark, wdir, "mart", wh.STATS_TABLE)
+    batch_stats = {
+        (r.grid_cell, r.object_count)
+        for r in wh.grid_stats(
+            expected_df.withColumn("dataset_id", F.lit("pts"))
+        ).collect()
+    }
+    assert {(r.grid_cell, r.object_count) for r in stats.collect()} == batch_stats
+
+    # full replay with a FRESH checkpoint: every batch rewrites its own
+    # partition — still exactly the batch result, zero duplicates
+    run_once(str(tmp_path / "ingest_ckpt2"), refresh_stats=False)
+    assert {
+        (r.id, r.grid_cell)
+        for r in wh.read_table(spark, wdir, "mart", "pts_grid").collect()
+    } == expected
+
+
 def test_streaming_stateful_sessionize(spark, tmp_path):
     """applyInPandasWithState sessionization: closed sessions emitted
     by the stateful operator must match the batch lag-based
