@@ -44,6 +44,24 @@ def grouped_cells(spark: SparkSession, warehouse: str, limit: int | None = None)
     return out.limit(limit) if limit else out
 
 
+def cells_to_json(cells_col, cell_str=None):
+    """Serialize a native ``array<long>`` cell column into the
+    reference's ``_h3_cells`` byte format (≙ g_h3_polygon_cells /
+    g_h3_point_cells, 003_db_makros.sql:64-83): DuckDB's
+    ``to_json(list_of_cell_strings)::VARCHAR`` — i.e. a compact JSON
+    array of cell-id strings, ``["7_1_2","7_1_3"]``.
+
+    The engine stores cells natively (SURVEY §1.1) and serializes
+    ONLY at this export border. ``cell_str`` converts one cell id to
+    its string form (default: quadtree grid.cell_str; pass the H3
+    provider's form for real-H3 warehouses). Byte-compat is pinned by
+    a hash-equality test against DuckDB's to_json on a fixed fixture.
+    """
+    if cell_str is None:
+        cell_str = grid.cell_str
+    return F.to_json(F.transform(cells_col, cell_str))
+
+
 def export_parquet(df: DataFrame, path: str) -> None:
     """K1 (plugins/base.py:107-111; export.py:259-281)."""
     df.write.mode("overwrite").option("compression", "zstd").parquet(path)

@@ -57,14 +57,23 @@ def attr_md5(*cols: Column) -> Column:
     return F.md5(F.concat_ws("|", *[c.cast("string") for c in cols]))
 
 
-def json_data(struct_cols: dict[str, Column]) -> Column:
+def json_data(struct_cols: dict[str, Column], include_nulls: bool = False) -> Column:
     """≙ `_json_data = to_json(s)` minus the geometry key (004:39).
 
     Built directly from the non-geometry columns instead of
     regex-stripping the key out of a serialized blob (the reference's
     approach, 003:117-118) — same result, structurally safe.
+
+    ``include_nulls=True`` emits ``"k":null`` entries like DuckDB's
+    ``to_json`` does — required for byte-compat with the reference
+    export format (tests/test_export_streaming.py pins the hash
+    equality); the default omits null keys (Spark's native behavior,
+    what the internal pipeline stores).
     """
-    return F.to_json(F.struct(*[c.alias(name) for name, c in struct_cols.items()]))
+    struct = F.struct(*[c.alias(name) for name, c in struct_cols.items()])
+    if include_nulls:
+        return F.to_json(struct, {"ignoreNullFields": "false"})
+    return F.to_json(struct)
 
 
 def area_to_hectares(area_m2: Column) -> Column:

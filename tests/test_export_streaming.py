@@ -114,6 +114,82 @@ def test_export_html_escapes_markup(spark, tmp_path):
     assert "&lt;script&gt;" in content
 
 
+def test_json_export_byte_compat_with_reference_format(spark):
+    """The exported `_h3_cells` / `_json_data` JSON must be byte-
+    identical to what the reference's DuckDB macros emit
+    (003_db_makros.sql:64-83,117-118; 004 template :38-39): cells as
+    to_json(list-of-strings), row json as to_json(row) with the geom
+    key regex-stripped, nulls INCLUDED. Hash equality on a fixed
+    fixture covering unicode, quotes, backslashes, nulls, ints and
+    doubles."""
+    import duckdb
+
+    from g_etl_spark.functions import core, grid as G
+
+    rows = [
+        (1, 'skog "gammal"', 12.5, None, "POINT (1 2)",
+         [G.latlng_to_cell(59.3, 18.0, 12), G.latlng_to_cell(59.4, 18.1, 12)]),
+        (2, "åäö Ärt\\backe", 0.25, "typ2", "POINT (3 4)",
+         [G.latlng_to_cell(60.0, 15.0, 12)]),
+        (3, None, 7.0, "", "POINT (5 6)", []),
+    ]
+    df = spark.createDataFrame(
+        rows, "fid int, namn string, area double, typ string, geom string, cells array<long>"
+    )
+    got = df.select(
+        "fid",
+        core.json_data(
+            {"fid": F.col("fid"), "namn": F.col("namn"), "area": F.col("area"),
+             "typ": F.col("typ")},
+            include_nulls=True,
+        ).alias("json_data"),
+        export.cells_to_json(F.col("cells")).alias("h3_cells"),
+    ).collect()
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(
+            "(%d, %s, %s, %s, %s, %s)"
+            % (
+                fid,
+                "NULL" if namn is None else "'" + namn.replace("'", "''").replace("\\", "\\") + "'",
+                repr(area),
+                "NULL" if typ is None else f"'{typ}'",
+                f"'{wkt}'",
+                "[" + ",".join(f"'{G.cell_str_py(c)}'" for c in cells) + "]::VARCHAR[]",
+            )
+            for fid, namn, area, typ, wkt, cells in rows
+        )
+        + ") v(fid, namn, area, typ, geom, cells)"
+    )
+    # the literal reference macros: to_json(s) + g_json_without_geom
+    # regex-strip (003:117-118), to_json(cells)::VARCHAR (003:64-83)
+    ref = con.sql(
+        """
+        SELECT fid,
+               regexp_replace(
+                   to_json(struct_pack(fid := fid, namn := namn, area := area,
+                                       typ := typ, geom := geom))::VARCHAR,
+                   ',"geom":"[^"]*"', '') AS json_data,
+               to_json(cells)::VARCHAR AS h3_cells
+        FROM t ORDER BY fid
+        """
+    ).fetchall()
+
+    import hashlib
+
+    for (got_row, ref_row) in zip(sorted(got, key=lambda r: r.fid), ref):
+        assert got_row.fid == ref_row[0]
+        for got_s, ref_s, label in (
+            (got_row.json_data, ref_row[1], "json_data"),
+            (got_row.h3_cells, ref_row[2], "h3_cells"),
+        ):
+            assert hashlib.md5(got_s.encode()).hexdigest() == hashlib.md5(
+                ref_s.encode()
+            ).hexdigest(), f"{label} byte mismatch: {got_s!r} != {ref_s!r}"
+
+
 def test_streaming_rollup_matches_batch(spark, tmp_path):
     """The watermarked streaming rollup over the events testdata must
     equal the equivalent batch aggregation (availableNow processes
