@@ -383,7 +383,7 @@ def q10_scalar_text_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.nullif(F.col("source"), F.lit("")), F.lit("-")),
                 F.coalesce(F.nullif(F.col("lang"), F.lit("")), F.lit("-")),
             ).alias("classification"),
-            F.length("text").alias("text_len"),
+            F.length("text").cast("long").alias("text_len"),  # match DuckDB length()→BIGINT
         )
         .orderBy("doc_id")
     )

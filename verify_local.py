@@ -37,6 +37,25 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def dtype_mismatches(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    """Explicit dtype comparison (catches int32/int64 drift BEFORE the
+    stringified value compare hides it). Exact pandas dtype match is
+    required unless a column contains nulls on either side — null
+    presence promotes ints to float64/object differently per engine,
+    so those columns compare on numeric-kind only."""
+    out = []
+    for c in sorted(set(spark_pdf.columns) & set(duck_pdf.columns)):
+        a, b = spark_pdf[c], duck_pdf[c]
+        if str(a.dtype) == str(b.dtype):
+            continue
+        if a.isna().any() or b.isna().any():
+            ka, kb = a.dtype.kind, b.dtype.kind
+            if {ka, kb} <= {"i", "u", "f", "O"}:  # null-promotion noise
+                continue
+        out.append(f"{c}: spark={a.dtype} duck={b.dtype}")
+    return out
+
+
 def _canon_value(v) -> str:
     import numpy as np
 
@@ -92,8 +111,13 @@ def main() -> int:
             failures.append(name)
             continue
         a, b = canonicalize(spark_pdf), canonicalize(duck_pdf)
+        dt_bad = dtype_mismatches(spark_pdf, duck_pdf)
         if list(a.columns) != list(b.columns):
             print(f"FAIL  {name}: columns differ spark={list(a.columns)} duck={list(b.columns)}")
+            n_fail += 1
+            failures.append(name)
+        elif dt_bad:
+            print(f"FAIL  {name}: dtypes differ: " + "; ".join(dt_bad))
             n_fail += 1
             failures.append(name)
         elif len(a) != len(b):
