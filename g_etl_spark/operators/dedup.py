@@ -26,6 +26,7 @@ from typing import Sequence
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+from pyspark.storagelevel import StorageLevel
 
 from g_etl_spark.operators.text import TOKEN_SPLIT
 
@@ -160,10 +161,15 @@ def minhash_candidates(
             ).alias("_sig"),
         )
         .select("_id", band_hashes(F.col("_sig"), bands).alias("_bands"))
-        # checkpoint BEFORE the explode: Generate pushdown would
-        # otherwise re-inline the whole signature tree per band
-        # (observed 243 md5 nodes in the optimized plan vs 39).
-        .localCheckpoint()
+        # materialization barrier BEFORE the explode: Generate pushdown
+        # would otherwise re-inline the whole signature tree per band
+        # (observed 243 md5 nodes in the optimized plan vs 39), and the
+        # band self-join would recompute it for both branches.
+        # persist(DISK_ONLY) rather than localCheckpoint: same barrier
+        # in the plan, but lineage is KEPT — on a real cluster a lost
+        # executor recomputes its partitions instead of failing the job
+        # (localCheckpoint pins to executor storage with no recovery).
+        .persist(StorageLevel.DISK_ONLY)
         .select("_id", F.posexplode("_bands").alias("_band_idx", "_band"))
     )
     a = sig.alias("a")

@@ -43,6 +43,10 @@ def get_spark(app_name: str = "g_etl_spark", master: str | None = None) -> Spark
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # FAIR scheduling: concurrent queries (multi-tenant / the
+        # bench's concurrency section) share executor slots instead of
+        # head-of-line-blocking behind a long job.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
