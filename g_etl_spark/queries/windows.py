@@ -132,3 +132,189 @@ def q30_running_daily_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_value",
         F.round(F.sum("day_value").over(w), 2).alias("running_value"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "q36_asof_join",
+    oracle="""
+    WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id,
+           p.event_id AS purchase_id,
+           CAST(date_diff('second', p.ts, c.ts) AS BIGINT) AS secs_since_purchase
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    ORDER BY c.event_id
+    """,
+)
+def q36_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (time-series point lookup): each click matched to
+    the same user's most recent purchase at-or-before it. Spark has
+    no ASOF operator; the scalable re-expression is the union+window
+    trick — tag both sides, one window sort per user, carry the last
+    non-null right-side attributes forward:
+
+        sort (ts, side) per user; last(purchase_cols, ignorenulls)
+        over rows unbounded-preceding..current; keep left rows.
+
+    ONE shuffle on user_id, no inequality join, no row explosion —
+    versus a naive range join whose candidate set is |clicks|×|user
+    purchases|. (The DuckDB oracle uses its native ASOF JOIN, so this
+    also pins semantic parity with engines that have the operator.)
+
+    Tie rule: at equal ts the purchase sorts first (side 0 < 1),
+    matching ASOF's inclusive >=; (user_id, ts) is unique in the data
+    so the match is deterministic.
+    """
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"), F.lit(0).alias("side"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast("timestamp").alias("p_ts"), F.lit(1).alias("side"),
+        F.col("event_id").alias("c_id"),
+    )
+    tagged = p.withColumn("c_id", F.lit(None).cast("long")).select(
+        "user_id", "ts", "p_id", "p_ts", "side", "c_id"
+    ).unionByName(c)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumns(
+            {
+                "last_p_id": F.last("p_id", ignorenulls=True).over(w),
+                "last_p_ts": F.last("p_ts", ignorenulls=True).over(w),
+            }
+        )
+        .filter(F.col("side") == 1)
+        .select(
+            F.col("c_id").alias("event_id"),
+            "user_id",
+            F.col("last_p_id").alias("purchase_id"),
+            (F.col("ts").cast("long") - F.col("last_p_ts").cast("long"))
+            .cast("long")
+            .alias("secs_since_purchase"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q37_range_join_bucketed",
+    oracle="""
+    WITH inc AS (SELECT event_id AS incident_id, user_id, ts AS t0,
+                        ts + INTERVAL 24 HOUR AS t1
+                 FROM events WHERE event_type = 'error'),
+         hit AS (SELECT user_id, ts FROM events
+                 WHERE event_type IN ('click', 'view'))
+    SELECT i.incident_id, count(*) AS n_hits
+    FROM inc i JOIN hit h
+      ON i.user_id = h.user_id AND h.ts >= i.t0 AND h.ts < i.t1
+    GROUP BY i.incident_id
+    ORDER BY incident_id
+    """,
+)
+def q37_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big RANGE join via bucketing: per error event, the count of
+    click/view activity in the following 24 h by the same user.
+
+    Spark's inequality join would be a per-user cross product. The
+    scale path buckets time at the window granularity: each incident
+    covers exactly 2 day-buckets, each probe event 1 — so the range
+    condition becomes an EQUI-join on (user_id, day_bucket) plus an
+    exact refine predicate. Candidate cost is Σ per-(user, day)
+    activity², never |errors|×|events|, and the join shuffles on a
+    hashed key like any other equi-join (AQE skew-split applies).
+    """
+    e = load(spark, sf_dir, "events")
+    day = 24 * 3600
+    inc = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        "user_id",
+        F.col("ts").cast("long").alias("t0"),
+        (F.col("ts").cast("long") + day).alias("t1"),
+    )
+    # each [t0, t0+24h) window spans bucket(t0) and bucket(t0)+1
+    inc_b = inc.withColumn(
+        "bucket", F.explode(F.array(F.floor(F.col("t0") / day), F.floor(F.col("t0") / day) + 1))
+    )
+    hit = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").cast("long").alias("h_ts"),
+        F.floor(F.col("ts").cast("long") / day).alias("bucket"),
+    )
+    return (
+        inc_b.join(hit, ["user_id", "bucket"])
+        .filter((F.col("h_ts") >= F.col("t0")) & (F.col("h_ts") < F.col("t1")))
+        .groupBy("incident_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .orderBy("incident_id")
+    )
+
+
+@register(
+    "q38_latest_event_per_user",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, event_id, event_type, ts_us
+    FROM ranked WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def q38_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pick-latest-per-key — the standard CDC/snapshot dedup pattern
+    (keep the newest record per key). row_number + rn=1 plans as
+    WindowGroupLimit in Spark: each shuffle partition retains one row
+    per key during the sort, so the window state is O(keys), not
+    O(rows)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q39_exact_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4)  AS p50,
+           round(quantile_cont(value, 0.9), 4)  AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99,
+           round(avg(value), 4)                 AS mean
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q39_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark
+    `percentile` == DuckDB `quantile_cont` semantics). Exact
+    percentiles shuffle the full value set per group — correct
+    baseline; at 100 TB swap in `percentile_approx` (t-digest sketch,
+    mergeable map-side) and accept bounded rank error, the same
+    trade q05's HLL++ variant documents for distinct counts."""
+    e = load(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(pct[0], 4).alias("p50"),
+            F.round(pct[1], 4).alias("p90"),
+            F.round(pct[2], 4).alias("p99"),
+            F.round(F.avg("value"), 4).alias("mean"),
+        )
+        .orderBy("event_type")
+    )

@@ -158,3 +158,21 @@ def test_q35_nested_semi_decorrelates(spark, qs):
     assert "avg(l_quantity" in plan and "HashAggregate" in plan
     # the date window reaches the lineitem scan
     assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q36_asof_join_is_window_not_range_join(spark, qs):
+    """The as-of join must plan as ONE window over the per-user union
+    — no inequality/nested-loop join, no cartesian anywhere."""
+    plan = plan_of(qs["q36_asof_join"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1  # the user_id window shuffle
+
+
+def test_q37_range_join_is_equi_join(spark, qs):
+    """The 24h range join must plan as an EQUI-join on the
+    (user, bucket) key with the range as a refine condition — never a
+    nested-loop over the inequality."""
+    plan = plan_of(qs["q37_range_join_bucketed"](spark, SF_DIR))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
