@@ -284,3 +284,63 @@ def q54_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = e.select("vec_id", ve.alias("embedding")).unionByName(pert)
     return D.embedding_cosine_pairs(corpus, threshold=0.98).orderBy("id_a", "id_b")
+
+
+@register(
+    "q55_ngram_jaccard_dedup",
+    oracle=f"""
+    WITH half AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    corpus AS (
+        SELECT doc_id, text FROM half
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(toks[1:greatest(len(toks) - 3, 1)], ' ') AS text
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM half)
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(length(s) - 3, 1)),
+                                            i -> substr(s, i, 5))) AS g
+        FROM (SELECT doc_id, lower(trim(text)) AS s FROM corpus)
+    ),
+    pairs AS (
+        -- brute force with the exact size-ratio prefilter: the ground
+        -- truth the prefix-filtered Spark operator must equal
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.g, b.g))::DOUBLE /
+                     len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
+        FROM grams a JOIN grams b
+          ON a.doc_id < b.doc_id
+         AND len(a.g) >= CAST(ceil(0.8 * len(b.g)) AS BIGINT)
+         AND len(b.g) >= CAST(ceil(0.8 * len(a.g)) AS BIGINT)
+    )
+    SELECT id_a, id_b, jaccard FROM pairs
+    WHERE jaccard >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def q55_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-5-gram Jaccard near-dup pairs at t=0.8 via prefix
+    filtering (operators/dedup.ngram_jaccard_pairs) — completes the
+    dedup family (exact / fingerprint / MinHash-LSH / SimHash /
+    n-gram Jaccard / embedding cosine).
+
+    The oracle is BRUTE FORCE (all size-compatible pairs); the Spark
+    side only examines pairs sharing a prefix gram — hash equality
+    proves the prefix filter loses nothing. Corpus: even-id documents
+    plus their tail-truncated near-dup copies.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text"
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), TOKEN_SPLIT)
+    near = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1))), " ").alias(
+            "text"
+        ),
+    )
+    corpus = d.unionByName(near)
+    return D.ngram_jaccard_pairs(corpus, "doc_id", "text", n=5, threshold=0.8).orderBy(
+        "id_a", "id_b"
+    )
