@@ -45,6 +45,12 @@ class StateStore:
             }
             self._save()
 
+    def applied_keys(self, stage: str) -> list[str]:
+        """Dataset ids with an applied entry for ``stage`` (the admin
+        dashboard's 'what has run' list)."""
+        prefix = f"{stage}:"
+        return [k[len(prefix):] for k in self._state if k.startswith(prefix)]
+
     def reset(self, stage: str | None = None, dataset_id: str | None = None) -> None:
         with self._lock:
             keys = [

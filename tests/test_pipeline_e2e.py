@@ -285,3 +285,32 @@ def test_buffer_geometries():
     assert G.point_in_polygon((50.0, 5.0), band)
     assert G.point_in_polygon((50.0, -9.0), band)
     assert not G.point_in_polygon((50.0, 20.0), band)
+
+
+def test_admin_surface(spark, warehouse_dir, capsys):
+    """The admin report surface (≙ the reference TUI's explorer /
+    dashboard queries, src/g_etl/admin/screens/explorer.py:291-410)."""
+    from g_etl_spark import admin
+
+    inv = admin.warehouse_inventory(spark, warehouse_dir)
+    by_key = {(e.schema, e.name): e for e in inv}
+    assert ("staging", "biotop") in by_key
+    assert by_key[("staging", "biotop")].has_geometry
+    assert by_key[("mart", "biotop_grid")].rows > 0
+    assert not by_key[("mart", "grid_stats")].has_geometry
+
+    dtypes, n, sample = admin.table_info(spark, warehouse_dir, "mart", "biotop_grid")
+    assert n == by_key[("mart", "biotop_grid")].rows
+    assert dict(dtypes)["grid_cell"] == "bigint"
+    assert 0 < len(sample) <= 10 and "grid_cell" in sample[0]
+
+    report = admin.status_report(spark, warehouse_dir)
+    assert "staging/biotop" in report and "grid index:" in report
+    assert "applied datasets:" in report and "biotop" in report
+
+    # CLI (reuses the active session via getOrCreate)
+    assert admin.main(["--warehouse", warehouse_dir]) == 0
+    out = capsys.readouterr().out
+    assert "grid index:" in out
+    assert admin.main(["--warehouse", warehouse_dir, "--table", "mart/biotop_grid"]) == 0
+    assert "grid_cell" in capsys.readouterr().out
