@@ -101,10 +101,10 @@ def start_incremental_grid_ingest(
     to pin this).
 
     Scale: each micro-batch is an independent append job (no state);
-    stats refresh is a full recompute here — at 100 TB you'd refresh
-    incrementally per touched cell_prefix partition, which the
-    partitioned stats layout (warehouse.write_grid_stats) already
-    supports.
+    the stats refresh is INCREMENTAL — only cell_prefix partitions
+    the batch touched are recomputed and dynamically overwritten
+    (warehouse.refresh_grid_stats_incremental), so refresh cost
+    follows batch locality, not warehouse size.
     """
     from g_etl_spark import stages, warehouse as wh
 
@@ -131,7 +131,9 @@ def start_incremental_grid_ingest(
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         if refresh_stats:
-            wh.write_grid_stats(spark, warehouse_dir)
+            # incremental: only the cell_prefix partitions this batch
+            # touched are recomputed (O(touched region), not O(index))
+            wh.refresh_grid_stats_incremental(spark, warehouse_dir, exploded)
 
     writer = raw_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint

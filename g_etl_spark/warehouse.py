@@ -114,6 +114,51 @@ def write_grid_stats(spark: SparkSession, warehouse: str) -> str:
     return path
 
 
+def refresh_grid_stats_incremental(
+    spark: SparkSession, warehouse: str, touched: DataFrame
+) -> int:
+    """Refresh ONLY the stats partitions whose cells appear in
+    ``touched`` (a DataFrame with a ``grid_cell`` column — e.g. one
+    micro-batch's appended index rows).
+
+    The 100 TB story: a streaming batch touches a handful of
+    cell_prefix partitions out of thousands; recomputing the whole
+    rollup per batch is O(warehouse), this is O(touched region). The
+    recompute itself still reads the FULL index for those prefixes
+    (stats are per-cell aggregates over all datasets), but the scan
+    prunes on the prefix partition key and the dynamic partition
+    overwrite replaces only those directories atomically.
+
+    Falls back to the full rollup when no stats table exists yet.
+    Returns the number of prefixes refreshed.
+    """
+    path = table_path(warehouse, "mart", STATS_TABLE)
+    prefix_expr = F.expr(grid.cell_ancestor_sql("grid_cell", STATS_PARTITION_RES))
+    prefixes = [
+        r.p for r in touched.select(prefix_expr.alias("p")).distinct().collect()
+    ]
+    if not prefixes or not os.path.isdir(path):
+        write_grid_stats(spark, warehouse)
+        return len(prefixes)
+    idx = grid_index(spark, warehouse).withColumn("cell_prefix", prefix_expr)
+    stats = (
+        grid_stats(idx.filter(F.col("cell_prefix").isin(prefixes)).drop("cell_prefix"))
+        .withColumn("cell_prefix", prefix_expr)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            stats.write.mode("overwrite")
+            .option("compression", "zstd")
+            .partitionBy("cell_prefix")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(prefixes)
+
+
 def write_bucketed(
     df: DataFrame, table_name: str, key: str, buckets: int = 32
 ) -> None:

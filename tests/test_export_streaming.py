@@ -327,6 +327,46 @@ def test_streaming_grid_ingest_restart_and_idempotence(spark, tmp_path):
     } == expected
 
 
+def test_incremental_stats_refresh_equals_full(spark, tmp_path):
+    """refresh_grid_stats_incremental over a second dataset's touched
+    prefixes must leave the stats table equal to a full recompute —
+    including cells in OTHER prefixes remaining untouched."""
+    from g_etl_spark import stages, warehouse as wh
+    from tests import conftest as fx
+
+    wdir = str(tmp_path / "wh")
+    mapping = {"source_id_column": "$NVRID", "klass": "naturminne", "leverantor": "nvv"}
+
+    def ingest(ds_id, rows):
+        raw = stages.normalize_geometry_column(
+            spark.createDataFrame(rows, fx.POINT_SCHEMA)
+        )
+        exploded = stages.explode_cells(
+            stages.normalize(stages.staging_transform(raw), mapping)
+        )
+        wh.write_table(exploded, wdir, "mart", ds_id + wh.GRID_SUFFIX)
+        return exploded
+
+    all_rows = fx.point_rows(40)
+    ingest("ds_a", all_rows[:25])
+    wh.write_grid_stats(spark, wdir)
+
+    # second dataset lands; refresh only its touched prefixes
+    ex_b = ingest("ds_b", all_rows[25:])
+    n_pref = wh.refresh_grid_stats_incremental(spark, wdir, ex_b)
+    assert n_pref >= 1
+
+    got = {
+        (r.grid_cell, r.object_count, r.dataset_count, tuple(r.datasets))
+        for r in wh.read_table(spark, wdir, "mart", wh.STATS_TABLE).collect()
+    }
+    full = {
+        (r.grid_cell, r.object_count, r.dataset_count, tuple(r.datasets))
+        for r in wh.grid_stats(wh.grid_index(spark, wdir)).collect()
+    }
+    assert got == full
+
+
 def test_streaming_stateful_sessionize(spark, tmp_path):
     """applyInPandasWithState sessionization: closed sessions emitted
     by the stateful operator must match the batch lag-based
