@@ -640,3 +640,80 @@ def buffer_line(
                 )
             )
     return ("Polygon", [_convex_hull(pts)])
+
+
+def clip_polygon(geom: Geometry, clip_ring: Sequence[tuple[float, float]]) -> Geometry | None:
+    """≙ ST_Intersection(geom, convex_polygon) — Sutherland–Hodgman
+    clipping (the standard published algorithm). ``clip_ring`` must be
+    CONVEX (query windows — bboxes, buffered points, map viewports —
+    are); subject polygons may be arbitrary simple polygons. Holes are
+    clipped independently. Returns None when the intersection is
+    empty.
+    """
+    ring = list(clip_ring)
+    if ring[0] == ring[-1]:
+        ring = ring[:-1]
+    if ring_area(ring + [ring[0]]) < 0:  # normalize clip to CCW
+        ring = ring[::-1]
+
+    def inside(p, a, b):
+        return (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0]) >= 0
+
+    def isect(p, q, a, b):
+        x1, y1 = p; x2, y2 = q; x3, y3 = a; x4, y4 = b
+        den = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
+        if den == 0:
+            return q
+        t = ((x1 - x3) * (y3 - y4) - (y1 - y3) * (x3 - x4)) / den
+        return (x1 + t * (x2 - x1), y1 + t * (y2 - y1))
+
+    def clip_one(subject: Sequence[tuple[float, float]]):
+        out = list(subject)
+        if out and out[0] == out[-1]:
+            out = out[:-1]
+        for i in range(len(ring)):
+            a, b = ring[i], ring[(i + 1) % len(ring)]
+            if not out:
+                return None
+            nxt = []
+            for j in range(len(out)):
+                p, q = out[j], out[(j + 1) % len(out)]
+                pin, qin = inside(p, a, b), inside(q, a, b)
+                if pin:
+                    nxt.append(p)
+                    if not qin:
+                        nxt.append(isect(p, q, a, b))
+                elif qin:
+                    nxt.append(isect(p, q, a, b))
+            out = nxt
+        if len(out) < 3:
+            return None
+        return out + [out[0]]
+
+    t, c = geom
+    if t == "Polygon":
+        outer = clip_one(c[0])
+        if outer is None:
+            return None
+        rings = [outer]
+        for hole in c[1:]:
+            ch = clip_one(hole)
+            if ch is not None:
+                rings.append(ch)
+        return ("Polygon", rings)
+    if t == "MultiPolygon":
+        parts = []
+        for poly in c:
+            clipped = clip_polygon(("Polygon", poly), clip_ring)
+            if clipped is not None:
+                parts.append(clipped[1])
+        if not parts:
+            return None
+        return ("MultiPolygon", parts)
+    raise ValueError(f"clip_polygon supports polygons, got {t}")
+
+
+def intersection_area(geom: Geometry, clip_ring: Sequence[tuple[float, float]]) -> float:
+    """Area of geom ∩ convex clip polygon (0.0 when disjoint)."""
+    clipped = clip_polygon(geom, clip_ring)
+    return 0.0 if clipped is None else area(clipped)

@@ -213,6 +213,21 @@ def st_distance_point(wkb: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def st_intersection_area(wkt: str):
+    """Column builder: area of (WKB polygon column ∩ CONSTANT convex
+    query polygon) — ≙ ST_Area(ST_Intersection(geom, query)), the
+    exact-refine step for coverage/overlap analytics (clip windows
+    are convex: bboxes, buffers, viewports). Sutherland–Hodgman in
+    the Python core, Arrow-batched here."""
+    ring = geo.from_wkt(wkt)[1][0]
+
+    @F.pandas_udf(DoubleType())
+    def _udf(wkb: pd.Series) -> pd.Series:
+        return _each(wkb, lambda b: geo.intersection_area(geo.from_wkb(bytes(b)), ring))
+
+    return _udf
+
+
 def st_intersects_polygon(wkt: str):
     """Column builder: WKB column intersects a CONSTANT polygon —
     the exact-refine filter of the two-phase H3 pattern (reference J4,

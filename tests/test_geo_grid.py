@@ -188,6 +188,53 @@ def test_cell_ancestor_sql(spark):
     assert got == expected
 
 
+def test_clip_polygon_intersection():
+    """Sutherland–Hodgman clip: exact intersection with convex
+    windows, holes honored, disjoint → None."""
+    square = ("Polygon", [[(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]])
+    clip = [(5.0, 5.0), (15.0, 5.0), (15.0, 15.0), (5.0, 15.0), (5.0, 5.0)]
+    out = geo.clip_polygon(square, clip)
+    assert out is not None and geo.area(out) == 25.0  # overlapping quarter
+    assert geo.intersection_area(square, clip) == 25.0
+    # clip winding must not matter
+    assert geo.intersection_area(square, list(reversed(clip))) == 25.0
+    # fully inside / fully containing
+    assert geo.intersection_area(square, [(-5.0, -5.0), (20.0, -5.0), (20.0, 20.0), (-5.0, 20.0)]) == 100.0
+    inner = [(2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0)]
+    assert geo.intersection_area(square, inner) == 4.0
+    # disjoint
+    assert geo.clip_polygon(square, [(20.0, 20.0), (30.0, 20.0), (30.0, 30.0), (20.0, 30.0)]) is None
+    # hole subtracts from the clipped area
+    holed = (
+        "Polygon",
+        [
+            [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)],
+            [(6.0, 6.0), (8.0, 6.0), (8.0, 8.0), (6.0, 8.0), (6.0, 6.0)],
+        ],
+    )
+    assert geo.intersection_area(holed, clip) == 25.0 - 4.0
+    # triangle clip (non-axis-aligned edges)
+    tri = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)]
+    assert abs(geo.intersection_area(square, tri) - 50.0) < 1e-9
+    # multipolygon: parts clip independently
+    mp = ("MultiPolygon", [square[1], [[(20.0, 0.0), (24.0, 0.0), (24.0, 4.0), (20.0, 4.0), (20.0, 0.0)]]])
+    assert geo.intersection_area(mp, [(-1.0, -1.0), (30.0, -1.0), (30.0, 30.0), (-1.0, 30.0)]) == 116.0
+
+
+def test_st_intersection_area_udf(spark):
+    from g_etl_spark.functions import geo_udfs
+
+    rows = [
+        (1, geo.to_wkb(("Polygon", [[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]]))),
+        (2, geo.to_wkb(("Polygon", [[(10.0, 10.0), (12.0, 10.0), (12.0, 12.0), (10.0, 12.0), (10.0, 10.0)]]))),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, geom binary")
+    area_udf = geo_udfs.st_intersection_area("POLYGON ((2 2, 20 2, 20 20, 2 20, 2 2))")
+    got = {r.id: r.a for r in df.select("id", area_udf("geom").alias("a")).collect()}
+    assert got[1] == 4.0 and got[2] == 4.0 and got[3] is None
+
+
 def test_cell_ancestor_sql_clamps_coarser_cells(spark):
     """A stored cell COARSER than the target res must pass through
     unchanged (clamped shift), not produce a negative-shift result."""
