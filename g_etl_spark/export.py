@@ -68,13 +68,23 @@ def export_parquet(df: DataFrame, path: str) -> None:
 
 
 def export_csv(df: DataFrame, path: str) -> None:
-    """K2 Kepler.gl CSV (export.py:23-48): hex_id + count columns."""
+    """K2 Kepler.gl CSV (export.py:23-48): hex_id + count columns.
+    Arrays join with ';' (≙ the DOUBLE[]→VARCHAR cast, :446-448);
+    geometry binaries serialize as WKT (≙ ST_AsText on geo exports)."""
+    from g_etl_spark.functions import geo_udfs
+
     out = df
     if "grid_cell" in df.columns:
         out = df.withColumn("hex_id", grid.cell_str(F.col("grid_cell"))).drop("grid_cell")
     for fld in out.schema.fields:
-        if fld.dataType.simpleString().startswith("array"):
+        kind = fld.dataType.simpleString()
+        if kind.startswith("array"):
             out = out.withColumn(fld.name, F.array_join(F.col(fld.name).cast("array<string>"), ";"))
+        elif kind == "binary":
+            if fld.name in ("geom", "centerpoint", "geometry"):
+                out = out.withColumn(fld.name, geo_udfs.st_as_text(F.col(fld.name)))
+            else:
+                out = out.withColumn(fld.name, F.hex(F.col(fld.name)))
     out.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
 
 

@@ -97,14 +97,35 @@ def query_polygon(
     - stats   (:129-144): per dataset/klass: objects, cells, lists
     - heatmap (:154-171): per query cell: counts + dataset list
       (empty cells kept via left join, ≙ J2)
+
+    ``exact`` — the two-phase refine (J4, H3_POLYGON_ANALYSIS.md:
+    325-355): cells give candidates, then
+    - exact=True / "cells": drop candidates whose CELL CENTER is
+      outside the polygon (cheap, no extra table);
+    - exact="geometry": join candidate ids back to the objects table
+      and keep only rows whose stored geometry's representative point
+      lies inside — the reference's staging-geometry refine. The
+      join-back is an equi-join on id against a per-candidate-pruned
+      relation, so the geometry scan touches only candidates.
     """
     index = wh.grid_index(spark, warehouse)
     joined = _join_index(spark, index, polygon_wkt, resolution, datasets)
-    if exact:
-        # two-phase refine: candidate cells → exact containment check
-        # on the representative point (requires geom in the index? the
-        # index carries ids; refine joins back to staging geometry is
-        # left to the caller — here we refine on cell centers)
+    if exact == "geometry":
+        # both the stored centerpoint and the query polygon are
+        # SWEREF99 TM — containment tests in the native CRS
+        objs = wh.objects_table(spark, warehouse).select(
+            "dataset_id", "id", "centerpoint"
+        )
+        inside = (
+            objs.join(
+                joined.select("dataset_id", "id").distinct(), ["dataset_id", "id"]
+            )
+            .filter(geo_udfs.st_intersects_polygon(polygon_wkt)(F.col("centerpoint")))
+            .select("dataset_id", "id")
+        )
+        joined = joined.join(inside, ["dataset_id", "id"], "left_semi")
+    elif exact:
+        # cheap refine on candidate cell centers
         joined = joined.filter(
             _cell_center_in_polygon(polygon_wkt)(F.col("grid_cell"))
         )

@@ -97,6 +97,17 @@ class PipelineRunner:
             wh.write_table(
                 exploded, self.warehouse_dir, "mart", cfg.id + wh.GRID_SUFFIX
             )
+            # object table with geometry — serves the exact-refine
+            # phase of polygon queries (≙ the reference's staging-
+            # geometry join, H3_POLYGON_ANALYSIS.md:325-355)
+            wh.write_table(
+                normalized.select(
+                    "id", "source_id", "klass", "leverantor", "geom", "centerpoint"
+                ),
+                self.warehouse_dir,
+                "mart",
+                cfg.id + wh.OBJECTS_SUFFIX,
+            )
             compact = stages.compact_cells_stage(
                 normalized.select(
                     "id", "source_id", "klass", "leverantor",

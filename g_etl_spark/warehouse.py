@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from g_etl_spark.functions import grid
 
 GRID_SUFFIX = "_grid"
+OBJECTS_SUFFIX = "_objects"
 STATS_TABLE = "grid_stats"
 # cell-prefix partitioning: parent cell at this res buckets the index
 STATS_PARTITION_RES = 6
@@ -79,6 +80,29 @@ def grid_index(spark: SparkSession, warehouse: str) -> DataFrame:
         if "_batch_id" in t.columns:  # streaming-ingested table (idempotence key)
             t = t.drop("_batch_id")
         dfs.append(t.withColumn("dataset_id", F.lit(dataset_id)))
+    return reduce(DataFrame.unionByName, dfs)
+
+
+def objects_table(spark: SparkSession, warehouse: str) -> DataFrame:
+    """Union view over every dataset's object table (id + GEOMETRY —
+    ≙ the reference keeping staging geometry queryable for the exact
+    phase of the two-phase polygon query, H3_POLYGON_ANALYSIS.md:
+    325-355). Lazy union like grid_index."""
+    mart = os.path.join(warehouse, "mart")
+    names = sorted(
+        d for d in (os.listdir(mart) if os.path.isdir(mart) else [])
+        if d.endswith(OBJECTS_SUFFIX)
+    )
+    if not names:
+        raise ValueError(f"no {OBJECTS_SUFFIX} tables under {warehouse}/mart")
+    dfs = []
+    for name in names:
+        dataset_id = name[: -len(OBJECTS_SUFFIX)]
+        dfs.append(
+            read_table(spark, warehouse, "mart", name).withColumn(
+                "dataset_id", F.lit(dataset_id)
+            )
+        )
     return reduce(DataFrame.unionByName, dfs)
 
 

@@ -202,6 +202,22 @@ def test_exact_refine_mode(spark, warehouse_dir):
     exact = query_polygon(spark, warehouse_dir, wkt, aggregation="objects", exact=True).count()
     assert 0 < exact <= loose
 
+    # geometry refine: joins candidate ids back to the objects table
+    # and tests the STORED geometry's representative point (the
+    # reference's staging-geometry two-phase, J4)
+    geom_exact = query_polygon(
+        spark, warehouse_dir, wkt, aggregation="objects", exact="geometry"
+    )
+    n_geom = geom_exact.count()
+    assert 0 < n_geom <= loose
+    # every surviving object's centerpoint must be inside the polygon
+    objs = wh.objects_table(spark, warehouse_dir)
+    ids = [r.id for r in geom_exact.select("id").distinct().collect()]
+    poly = geo.from_wkt(wkt)
+    for r in objs.filter(objs.id.isin(ids)).select("centerpoint").collect():
+        pt = geo.from_wkb(bytes(r.centerpoint))
+        assert geo.point_in_polygon(pt[1], poly)
+
 
 def test_avdelning_numeric_pipeline(spark, tmp_path):
     """≙ aaa_avdelning numeric cleanup: round(TRY_CAST(...)) with
