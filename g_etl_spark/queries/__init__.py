@@ -45,6 +45,7 @@ def load_all() -> None:
         grid,
         multimodal,
         relational,
+        sampling,
         similarity,
         text,
         windows,

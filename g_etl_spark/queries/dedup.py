@@ -344,3 +344,88 @@ def q55_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(corpus, "doc_id", "text", n=5, threshold=0.8).orderBy(
         "id_a", "id_b"
     )
+
+
+# Jaccard-refined MinHash pair set, as SQL CTE text (mirrors the q52
+# oracle; q56 builds its transitive closure on the identical pairs).
+_JACC = (
+    "round(CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(text_a)), '\\s+')),"
+    " list_distinct(string_split_regex(lower(trim(text_b)), '\\s+')))) AS DOUBLE)"
+    " / greatest(CAST(len(list_distinct(string_split_regex(lower(trim(text_a)), '\\s+')"
+    " || string_split_regex(lower(trim(text_b)), '\\s+'))) AS DOUBLE), 1.0), 4)"
+)
+
+
+def _pairs_cte_sql() -> str:
+    return f"""
+    corpus AS ({_CORPUS_SQL}),
+    toks AS (SELECT doc_id, text, {_TOKS} AS t FROM corpus),
+    sh AS (
+        SELECT doc_id, text,
+               CASE WHEN len(t) >= 3
+                    THEN list_transform(range(0, len(t) - 2),
+                                        i -> md5(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                    ELSE [] END AS base_hashes
+        FROM toks
+    ),
+    sig AS (SELECT doc_id, text, {_sig_sql()} AS sig FROM sh),
+    bands AS (
+        SELECT doc_id, text, b AS band_idx,
+               md5(CAST(b AS VARCHAR) || '|' || sig[2*b + 1] || '|' || sig[2*b + 2]) AS band
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.text AS text_a, b.text AS text_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_idx = b.band_idx
+                     AND a.doc_id < b.doc_id
+    ),
+    pairs AS (SELECT id_a, id_b FROM cand WHERE {_JACC} >= 0.7)
+    """
+
+
+@register(
+    "q56_near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_pairs_cte_sql()},
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+    SELECT component, count(*) AS n_members,
+           array_to_string(list_sort(list(node)), ',') AS member_ids
+    FROM comp GROUP BY component ORDER BY component
+    """,
+)
+def q56_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash pair generation (q52's pipeline)
+    followed by distributed connected components
+    (operators/graph.connected_components) — the retention decision a
+    dedup pipeline actually needs: keep min-id doc per component.
+
+    The oracle computes the same transitive closure with a recursive
+    CTE over the identical pair set, so the iterative min-label
+    propagation is verified end-to-end, transitivity included.
+
+    Scale: pair generation is the banded LSH join (Σ bucket², not
+    n²); each propagation round is one join + one groupBy-min
+    shuffle, rounds = component diameter (small for near-dup
+    clusters — see operators/graph.py docstring).
+    """
+    from g_etl_spark.operators import graph as G
+
+    c = _corpus(spark, sf_dir)
+    pairs = D.minhash_dedup_pairs(c, "doc_id", "text", threshold=0.7).select(
+        "id_a", "id_b"
+    )
+    return G.component_summary(G.connected_components(pairs))

@@ -900,3 +900,48 @@ def q35_nested_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem=load(spark, sf_dir, "lineitem"),
         supplier=load(spark, sf_dir, "supplier"),
     )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q47_event_pivot",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           {", ".join(
+               f"count(*) FILTER (WHERE event_type = '{t}') AS {t}_n, "
+               f"round(sum(value) FILTER (WHERE event_type = '{t}'), 2) AS {t}_value"
+               for t in _EVENT_TYPES)}
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q47_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: wide per-day matrix of count + value per event type
+    (the reference explorer's crosstab view; ≙ DuckDB PIVOT /
+    conditional aggregation).
+
+    Pivot values are passed EXPLICITLY: Spark otherwise runs an extra
+    collect-distinct job to discover them, and the driver/oracle
+    column order would depend on data. With explicit values this
+    plans as ONE hash aggregate (map-side partial + final), identical
+    to a plain groupBy — the pivot is purely a layout transform.
+    Missing day×type cells: count coalesces to 0, sum stays NULL
+    (matches the FILTER-ed aggregate semantics in the oracle).
+    """
+    e = load(spark, sf_dir, "events")
+    p = (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("value"),
+        )
+    )
+    cols = [F.col("day")]
+    for t in _EVENT_TYPES:
+        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"{t}_n"))
+        cols.append(F.col(f"{t}_value"))
+    return p.select(*cols).orderBy("day")

@@ -163,3 +163,24 @@ def test_srp_bucket_pairs_recall(spark):
     assert planted <= brute
     assert len(bucketed & planted) >= 27  # ≥90% recall
     assert bucketed <= brute  # no false positives vs exact refine
+
+
+def test_connected_components_transitive_chain(spark):
+    """A—B—C chain must collapse to one component even though A—C is
+    not an edge (transitivity); disjoint pairs stay separate."""
+    from g_etl_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    labels = {r.node: r.component for r in G.connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    summary = {
+        r.component: (r.n_members, r.member_ids)
+        for r in G.component_summary(G.connected_components(edges)).collect()
+    }
+    assert summary[1] == (4, "1,2,3,4")
+    assert summary[10] == (2, "10,11")
+    assert summary[20] == (2, "20,21")

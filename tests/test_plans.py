@@ -176,3 +176,23 @@ def test_q37_range_join_is_equi_join(spark, qs):
     plan = plan_of(qs["q37_range_join_bucketed"](spark, SF_DIR))
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q48_quota_sample_plans_window_group_limit(spark, qs):
+    """Stratified quota sampling must push the rank<=k filter below
+    the exchange (WindowGroupLimit): each map task keeps only its
+    local bottom-k per stratum, so a skewed giant stratum shuffles
+    O(tasks*k) rows, not its full size."""
+    plan = plan_of(qs["q48_stratified_quota"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+
+
+def test_q49_rate_sample_is_map_only(spark, qs):
+    """Rate thinning is a scan-stage filter: no exchange before the
+    final rollup's single aggregate shuffle."""
+    import re
+
+    plan = plan_of(qs["q49_stratified_rates"](spark, SF_DIR))
+    # exactly the aggregate exchange + the orderBy's range exchange
+    # (count plan NODES — "(n) Exchange" headers — not tree-art lines)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
