@@ -438,3 +438,71 @@ def _l2_norm(vec: Column) -> Column:
             lambda acc, x: acc + x * x,
         )
     )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """Cross-corpus CHUNK-level dedup with document reconstruction —
+    the paragraph-dedup shape of CCNet/RefinedWeb (dedup below
+    document granularity so boilerplate shared across distinct pages
+    is dropped once), chunked by token count because this corpus has
+    no newline structure.
+
+    Every ``chunk_tokens``-token span keeps exactly its FIRST
+    occurrence corpus-wide (order: (doc_id, chunk_idx) ascending);
+    later occurrences are cut and each doc is re-assembled from its
+    surviving chunks. Returns (id, n_chunks, n_kept, kept_text).
+
+    Scale: chunking is map-only (explode), the first-occurrence
+    choice is one groupBy-min on the chunk hash, reassembly one
+    groupBy on doc id — two narrow-keyed shuffles total, both
+    hash-partitioned, no pairwise work anywhere.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT)
+    t = df.select(F.col(id_col).alias("_id"), toks.alias("_t"))
+    n_chunks = F.greatest(
+        F.ceil(F.size("_t") / F.lit(chunk_tokens)).cast("int"), F.lit(1)
+    )
+    chunks = t.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice("_t", i * chunk_tokens + 1, F.lit(chunk_tokens)), " "
+                ),
+            )
+        ).alias("_idx", "_chunk"),
+    ).select(
+        "_id",
+        "_idx",
+        "_chunk",
+        (F.col("_id") * 1_000_000 + F.col("_idx")).alias("_rank"),
+        F.md5("_chunk").alias("_h"),
+    )
+    firsts = chunks.groupBy("_h").agg(F.min("_rank").alias("_first"))
+    kept = chunks.join(firsts, "_h").filter(F.col("_rank") == F.col("_first"))
+    per_doc = chunks.groupBy("_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    kept_doc = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_chunk"))),
+                lambda x: x["_chunk"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return (
+        per_doc.join(kept_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )

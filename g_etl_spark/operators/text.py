@@ -174,3 +174,22 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     cols = staged_stats_columns()
     cols["detected_lang"] = staged_detect_language()
     return staged.withColumns(cols).drop("_toks", "_dtoks")
+
+
+def dup_bigram_ratio(text: Column) -> Column:
+    """Fraction of word bigrams that are repeats of an earlier bigram
+    in the same document (1 - distinct/total) — the Gopher-style
+    within-document repetition signal; high values flag degenerate
+    boilerplate/spam docs. Pure array lambdas, map-only."""
+    toks = tokens(text)
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n = F.size(grams)
+    return F.when(n > 0, 
+        F.round(F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / n, 4)
+    ).otherwise(F.lit(0.0))

@@ -429,3 +429,55 @@ def q56_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b"
     )
     return G.component_summary(G.connected_components(pairs))
+
+
+@register(
+    "q57_chunk_dedup",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+    idx AS (
+        SELECT doc_id, t,
+               unnest(range(0, greatest(CAST(ceil(len(t) / 20.0) AS BIGINT), 1))) AS i
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id, i AS idx,
+               array_to_string(t[(i*20 + 1):(i*20 + 20)], ' ') AS chunk
+        FROM idx
+    ),
+    firsts AS (
+        SELECT md5(chunk) AS h, min(doc_id * 1000000 + idx) AS first_rank
+        FROM chunks GROUP BY 1
+    ),
+    kept AS (
+        SELECT c.doc_id, c.idx, c.chunk
+        FROM chunks c JOIN firsts f
+          ON md5(c.chunk) = f.h AND c.doc_id * 1000000 + c.idx = f.first_rank
+    )
+    SELECT a.doc_id,
+           a.n_chunks,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.kept_text, '') AS kept_text
+    FROM (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY 1) a
+    LEFT JOIN (SELECT doc_id, count(*) AS n_kept,
+                      string_agg(chunk, ' ' ORDER BY idx) AS kept_text
+               FROM kept GROUP BY 1) k USING (doc_id)
+    ORDER BY a.doc_id
+    """,
+)
+def q57_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (chunk/paragraph) dedup with reconstruction
+    (operators/dedup.chunk_dedup): every 20-token span keeps its
+    first corpus-wide occurrence; docs are re-assembled from
+    surviving spans. On the planted corpus the exact copies
+    (+2,000,000 ids) come back EMPTY and the tail-truncated near-dups
+    keep only their final partial chunk — demonstrating dedup below
+    document granularity (the CCNet/RefinedWeb paragraph-dedup
+    shape).
+
+    Scale: two narrow-keyed shuffles (chunk-hash groupBy-min, doc-id
+    reassembly); chunking itself is a map-only explode.
+    """
+    c = _corpus(spark, sf_dir)
+    return D.chunk_dedup(c, "doc_id", "text", chunk_tokens=20).orderBy("doc_id")

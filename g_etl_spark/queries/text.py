@@ -363,3 +363,135 @@ def q46_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_QUALITY_SQL = f"""
+    round(0.4 * least(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0)
+        + 0.4 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                 / greatest(len({_TOKS}), 1))
+        + 0.2 * (1.0 - abs(CAST(len(list_filter({_TOKS}, t -> t IN {_STOP_IN})) AS DOUBLE)
+                           / greatest(len({_TOKS}), 1) - 0.3)), 4)
+"""
+
+
+@register(
+    "q58_quality_filter_chain",
+    oracle=f"""
+    WITH scored AS (
+        SELECT source, lang, n_chars,
+               len({_TOKS}) AS n_tokens,
+               CAST(len(list_filter({_TOKS}, t -> t IN {_STOP_IN})) AS DOUBLE)
+                   / greatest(len({_TOKS}), 1) AS stop_ratio,
+               {_QUALITY_SQL} AS quality
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM scored
+        WHERE n_tokens BETWEEN 30 AND 1000
+          AND stop_ratio <= 0.6
+          AND quality >= 0.55
+    )
+    SELECT s.source,
+           s.n_docs,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           round(COALESCE(k.n_kept, 0) / CAST(s.n_docs AS DOUBLE), 4) AS keep_rate,
+           k.avg_quality_kept
+    FROM (SELECT source, count(*) AS n_docs FROM scored GROUP BY 1) s
+    LEFT JOIN (SELECT source, count(*) AS n_kept,
+                      round(avg(quality), 4) AS avg_quality_kept
+               FROM kept GROUP BY 1) k USING (source)
+    ORDER BY s.source
+    """,
+)
+def q58_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style heuristic filter CHAIN: length window + stopword-rate
+    cap + composite quality floor, with per-source survival
+    accounting (the keep-rate report a corpus build reviews before
+    committing the filter policy).
+
+    Scale: the whole chain is map-only column math fused into the
+    scan stage; only the per-source rollup shuffles. Filters short-
+    circuit in one pass — no per-filter materialization.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    scored = d.select(
+        "source",
+        F.size(toks).alias("n_tokens"),
+        T.stopword_ratio(F.col("text")).alias("stop_ratio"),
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+    kept = scored.filter(
+        F.col("n_tokens").between(30, 1000)
+        & (F.col("stop_ratio") <= 0.6)
+        & (F.col("quality") >= 0.55)
+    )
+    per_src = scored.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept_src = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.avg("quality"), 4).alias("avg_quality_kept"),
+    )
+    return (
+        per_src.join(kept_src, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            F.round(
+                F.coalesce("n_kept", F.lit(0.0)) / F.col("n_docs").cast("double"), 4
+            ).alias("keep_rate"),
+            "avg_quality_kept",
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q59_repetition_filter",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id, source,
+               CASE WHEN len({_TOKS}) >= 2
+                    THEN list_transform(range(1, len({_TOKS})),
+                                        i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1])
+                    ELSE [] END AS g
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source, len(g) AS n_bigrams,
+               CASE WHEN len(g) > 0
+                    THEN round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 4)
+                    ELSE 0.0 END AS dup_ratio
+        FROM grams
+    )
+    SELECT doc_id, source, n_bigrams, dup_ratio
+    FROM scored
+    WHERE dup_ratio > 0.05
+    ORDER BY doc_id
+    """,
+)
+def q59_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filter: flag docs
+    whose duplicated-bigram fraction exceeds 0.05
+    (operators/text.dup_bigram_ratio) — degenerate boilerplate / spam
+    detection.
+
+    Scale: pure array lambdas in the scan stage (map-only); the only
+    shuffle is the final order.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(grams).cast("long").alias("n_bigrams"),
+        T.dup_bigram_ratio(F.col("text")).alias("dup_ratio"),
+    )
+    return scored.filter(F.col("dup_ratio") > 0.05).orderBy("doc_id")
