@@ -945,3 +945,82 @@ def q47_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"{t}_n"))
         cols.append(F.col(f"{t}_value"))
     return p.select(*cols).orderBy("day")
+
+
+_Q64_SQL = """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey AS c_custkey, count(o.o_orderkey) AS c_count
+        FROM {customer} c
+        LEFT OUTER JOIN {orders} o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register(
+    "q64_order_count_distribution",
+    oracle=_Q64_SQL.replace("{customer}", "customer").replace("{orders}", "orders"),
+)
+def q64_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count distribution per customer via a
+    LEFT OUTER join with an ON-clause filter (the filter must stay in
+    the join condition — pushing it below the outer join as a WHERE
+    would drop zero-order customers) and a two-level aggregate.
+
+    Scale: count(o_orderkey) over the outer join is the only wide
+    shuffle (on custkey); the second aggregate groups the tiny
+    distribution domain. Catalyst keeps the o_orderpriority filter on
+    the orders SCAN side of the join (safe: it's the preserved-row
+    side's opposite), so the join build input is pre-thinned.
+    """
+    return spark.sql(
+        _Q64_SQL,
+        customer=load(spark, sf_dir, "customer"),
+        orders=load(spark, sf_dir, "orders"),
+    )
+
+
+_Q65_SQL = """
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS numcust,
+           round(sum(c.c_acctbal), 2) AS totacctbal
+    FROM {customer} c
+    WHERE c.c_acctbal > (
+            SELECT avg(c2.c_acctbal) FROM {customer} c2
+            WHERE c2.c_acctbal > 0.0)
+      AND NOT EXISTS (
+            SELECT 1 FROM {orders} o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+"""
+
+
+@register(
+    "q65_inactive_rich_customers",
+    oracle=_Q65_SQL.replace("{customer}", "customer").replace("{orders}", "orders"),
+)
+def q65_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no
+    URGENT orders — an uncorrelated scalar subquery (global avg) +
+    an anti-join, rolled up per market segment. (The classic Q22
+    anti-joins ALL orders; this corpus gives every customer at least
+    one order, so the urgency restriction keeps the result
+    non-vacuous without changing the plan shape.)
+
+    Decorrelation: the scalar avg becomes a one-row broadcast
+    (ReusedSubquery/scalar-subquery node), NOT a per-row probe; the
+    NOT EXISTS plans as LeftAnti on o_custkey. Both are single-pass —
+    no nested-loop anywhere (see tests/test_plans.py).
+    """
+    return spark.sql(
+        _Q65_SQL,
+        customer=load(spark, sf_dir, "customer"),
+        orders=load(spark, sf_dir, "orders"),
+    )

@@ -196,3 +196,23 @@ def test_q49_rate_sample_is_map_only(spark, qs):
     # exactly the aggregate exchange + the orderBy's range exchange
     # (count plan NODES — "(n) Exchange" headers — not tree-art lines)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_q64_outer_join_keeps_on_clause_filter(spark, qs):
+    """Q13 shape: the priority filter must act as join-side filter of
+    the LEFT OUTER join (thinning the orders build input), never a
+    post-join WHERE that would drop zero-order customers."""
+    plan = plan_of(qs["q64_order_count_distribution"](spark, SF_DIR))
+    assert "LeftOuter" in plan
+    # orders-side scan is pre-filtered before the join
+    assert "1-URGENT" in plan
+
+
+def test_q65_decorrelates_to_anti_join(spark, qs):
+    """Q22 shape: scalar avg plans as a subquery (one-row broadcast),
+    NOT EXISTS plans as LeftAnti; no nested-loop per-row probing."""
+    plan = plan_of(qs["q65_inactive_rich_customers"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "Subquery" in plan
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
