@@ -53,6 +53,31 @@ def streaming_event_rollup(events: DataFrame, watermark: str = "1 day") -> DataF
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact-dedup: keep the first arrival per key, with
+    state bounded by the event-time watermark
+    (``dropDuplicatesWithinWatermark``) — the streaming counterpart
+    of operators/dedup.exact_dedup.
+
+    Semantics: duplicates arriving within the watermark interval of
+    the first occurrence are dropped; state for a key is reaped once
+    the watermark passes it, so a duplicate arriving LATER than the
+    watermark re-emits. That trade (bounded state vs perfect global
+    dedup) is the only one that survives 100 TB/day streams — an
+    unbounded `dropDuplicates` grows state forever. Exactly-once
+    retention beyond the watermark belongs to the batch compaction
+    pass (exact_dedup over the sink).
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def start_rollup_to_parquet(
     rollup: DataFrame, out_path: str, checkpoint: str
 ) -> StreamingQuery:

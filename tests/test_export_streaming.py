@@ -417,3 +417,35 @@ def test_streaming_stateful_sessionize(spark, tmp_path):
         for c in counts:
             assert c in batch_counts.get(uid, []), (uid, c)
     assert len(got) > 0
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact-dedup: planted duplicate user_id+event_type
+    rows collapse to the first arrival; state is watermark-bounded
+    (dropDuplicatesWithinWatermark). availableNow over one file keeps
+    all dups inside the watermark, so the result must equal batch
+    dropDuplicates."""
+    from g_etl_spark.tables import load
+
+    events = load(spark, "/root/testdata/sf0.001", "events").limit(200)
+    # plant exact duplicates (same key cols, same ts)
+    dup = events.limit(50)
+    corpus = events.unionByName(dup)
+    src = str(tmp_path / "dedup_src")
+    corpus.coalesce(1).write.parquet(src)
+
+    stream = sp.read_parquet_stream(spark, src, schema=corpus.schema)
+    deduped = sp.streaming_dedup(stream, ["event_id"], ts_col="ts", watermark="1 hour")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_test").collect()[0]
+    n_expected = corpus.select("event_id").distinct().count()
+    assert got.n == n_expected  # every duplicate dropped
+    assert got.d == n_expected  # and each key emitted exactly once
