@@ -717,3 +717,65 @@ def intersection_area(geom: Geometry, clip_ring: Sequence[tuple[float, float]]) 
     """Area of geom ∩ convex clip polygon (0.0 when disjoint)."""
     clipped = clip_polygon(geom, clip_ring)
     return 0.0 if clipped is None else area(clipped)
+
+
+def triangulate(ring: Sequence[tuple[float, float]]) -> list[list[tuple[float, float]]]:
+    """Ear-clipping triangulation of a SIMPLE polygon ring (convex or
+    nonconvex, no holes) — the standard published O(n²) algorithm.
+    Returns a list of CCW triangles partitioning the polygon.
+    """
+    pts = list(ring)
+    if pts[0] == pts[-1]:
+        pts = pts[:-1]
+    if ring_area(pts + [pts[0]]) < 0:  # normalize to CCW
+        pts = pts[::-1]
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    def in_triangle(p, a, b, c):
+        # strict interior / edge containment for reflex-vertex checks
+        d1, d2, d3 = cross(a, b, p), cross(b, c, p), cross(c, a, p)
+        return d1 >= 0 and d2 >= 0 and d3 >= 0
+
+    tris: list[list[tuple[float, float]]] = []
+    idx = list(range(len(pts)))
+    guard = 0
+    while len(idx) > 3 and guard < 10_000:
+        guard += 1
+        n = len(idx)
+        for k in range(n):
+            i0, i1, i2 = idx[(k - 1) % n], idx[k], idx[(k + 1) % n]
+            a, b, c = pts[i0], pts[i1], pts[i2]
+            if cross(a, b, c) <= 0:  # reflex or collinear — not an ear
+                continue
+            if any(
+                in_triangle(pts[j], a, b, c)
+                for j in idx
+                if j not in (i0, i1, i2)
+            ):
+                continue
+            tris.append([a, b, c])
+            del idx[k]
+            break
+        else:
+            # numerically stuck (degenerate input): fan out the rest
+            break
+    if len(idx) == 3:
+        tris.append([pts[idx[0]], pts[idx[1]], pts[idx[2]]])
+    else:  # degenerate remainder: fan from the first vertex
+        for k in range(1, len(idx) - 1):
+            tris.append([pts[idx[0]], pts[idx[k]], pts[idx[k + 1]]])
+    return tris
+
+
+def intersection_area_any(
+    geom: Geometry, clip_ring: Sequence[tuple[float, float]]
+) -> float:
+    """Area of geom ∩ ARBITRARY simple clip polygon: ear-clip the
+    window into triangles (each convex), Sutherland–Hodgman the
+    subject against each, and sum — the triangles partition the
+    window, so shared edges contribute zero area. Lifts
+    `intersection_area`'s convex-window restriction (NEXT.md item 1).
+    """
+    return sum(intersection_area(geom, tri) for tri in triangulate(clip_ring))

@@ -245,3 +245,22 @@ def st_intersects_polygon(wkt: str):
         return _each(wkb, fn)
 
     return _udf
+
+
+def st_intersection_area_any(wkt: str):
+    """Column builder: area of (WKB polygon column ∩ CONSTANT simple
+    query polygon, convex OR nonconvex) — the clip window is
+    ear-clipped into triangles ONCE at build time, then each batch
+    clips against the (convex) triangles and sums
+    (geo.intersection_area_any)."""
+    tris = geo.triangulate(geo.from_wkt(wkt)[1][0])
+
+    @F.pandas_udf(DoubleType())
+    def _udf(wkb: pd.Series) -> pd.Series:
+        def one(b):
+            g = geo.from_wkb(bytes(b))
+            return sum(geo.intersection_area(g, t) for t in tris)
+
+        return _each(wkb, one)
+
+    return _udf

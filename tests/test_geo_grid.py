@@ -253,3 +253,26 @@ def test_cell_ancestor_sql_clamps_coarser_cells(spark):
     ).fetchone()[0]
     r10, x, y = grid.unpack(coarse)
     assert got_spark == got_duck == grid.pack(14, x, y)
+
+
+def test_triangulate_and_nonconvex_intersection():
+    """Ear-clipping triangulation partitions simple polygons; the
+    triangle-sum intersection area lifts the convex-window limit."""
+    # L-shape (nonconvex, area 75): triangles must sum to the area
+    L = [(0.0, 0.0), (10.0, 0.0), (10.0, 5.0), (5.0, 5.0), (5.0, 10.0), (0.0, 10.0)]
+    tris = geo.triangulate(L)
+    assert len(tris) == 4  # n-2 triangles for a simple 6-gon
+    assert abs(sum(geo.area(("Polygon", [t + [t[0]]])) for t in tris) - 75.0) < 1e-9
+
+    sq = ("Polygon", [[(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]])
+    # L fully inside the square
+    assert abs(geo.intersection_area_any(sq, L) - 75.0) < 1e-9
+    # U-shape straddling the square edge: only the in-square part counts
+    U = [(2.0, -5.0), (8.0, -5.0), (8.0, 8.0), (6.0, 8.0), (6.0, -2.0),
+         (4.0, -2.0), (4.0, 8.0), (2.0, 8.0)]
+    assert abs(geo.intersection_area_any(sq, U) - 32.0) < 1e-6
+    # convex windows agree with the Sutherland–Hodgman fast path
+    clip = [(5.0, 5.0), (15.0, 5.0), (15.0, 15.0), (5.0, 15.0)]
+    assert geo.intersection_area_any(sq, clip) == geo.intersection_area(sq, clip)
+    # clockwise input is normalized
+    assert abs(geo.intersection_area_any(sq, list(reversed(L))) - 75.0) < 1e-9
