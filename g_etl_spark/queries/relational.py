@@ -1024,3 +1024,64 @@ def q65_inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer=load(spark, sf_dir, "customer"),
         orders=load(spark, sf_dir, "orders"),
     )
+
+
+_Q66_SQL = """
+    SELECT coalesce(o_orderstatus, 'ALL')   AS orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS orderpriority,
+           count(*)                         AS n,
+           round(sum(o_totalprice), 2)      AS total
+    FROM {orders}
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY orderstatus, orderpriority
+"""
+
+
+@register(
+    "q66_grouping_sets",
+    oracle=_Q66_SQL.replace("{orders}", "orders"),
+)
+def q66_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with DISJOINT sets — the one member of
+    the grouping family (q31 ROLLUP, q33 CUBE) neither can express:
+    two independent one-column groupings in a single pass.
+
+    Scale: one Expand (2 rows per input) + ONE hash-agg shuffle —
+    half the input traffic of running the two groupBys separately
+    and unioning.
+    """
+    return spark.sql(_Q66_SQL, orders=load(spark, sf_dir, "orders"))
+
+
+_Q67_SQL = """
+    SELECT event_type, decile,
+           count(*)               AS n,
+           round(min(value), 2)   AS lo,
+           round(max(value), 2)   AS hi,
+           round(avg(value), 3)   AS avg_value
+    FROM (
+        SELECT event_type, value,
+               CAST(ntile(10) OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS BIGINT) AS decile
+        FROM {events}
+    )
+    GROUP BY event_type, decile
+    ORDER BY event_type, decile
+"""
+
+
+@register(
+    "q67_value_deciles",
+    oracle=_Q67_SQL.replace("{events}", "events"),
+)
+def q67_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile profile per event type (the distribution view a
+    monitoring dashboard reads). Spark and DuckDB share the ntile
+    definition (even buckets, earlier buckets take the remainder);
+    event_id tiebreak makes the frame fully deterministic.
+
+    Scale: one hash exchange on event_type for the window, then the
+    decile rollup reuses the same partitioning (no second wide
+    shuffle of raw rows).
+    """
+    return spark.sql(_Q67_SQL, events=load(spark, sf_dir, "events"))
