@@ -165,11 +165,11 @@ def minhash_candidates(
         # would otherwise re-inline the whole signature tree per band
         # (observed 243 md5 nodes in the optimized plan vs 39), and the
         # band self-join would recompute it for both branches.
-        # persist(DISK_ONLY) rather than localCheckpoint: same barrier
+        # persist(MEMORY_AND_DISK) rather than localCheckpoint: same barrier
         # in the plan, but lineage is KEPT — on a real cluster a lost
         # executor recomputes its partitions instead of failing the job
         # (localCheckpoint pins to executor storage with no recovery).
-        .persist(StorageLevel.DISK_ONLY)
+        .persist(StorageLevel.MEMORY_AND_DISK)
         .select("_id", F.posexplode("_bands").alias("_band_idx", "_band"))
     )
     a = sig.alias("a")
@@ -298,7 +298,7 @@ def ngram_jaccard_pairs(
         )
         .select("_id", F.array_distinct("_grams").alias("_g"))
         .select("_id", "_g", F.size("_g").alias("_sz"))
-        .persist(StorageLevel.DISK_ONLY)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # global document frequency per gram -> rarest-first total order
     df_tab = (
