@@ -1085,3 +1085,102 @@ def q67_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of raw rows).
     """
     return spark.sql(_Q67_SQL, events=load(spark, sf_dir, "events"))
+
+
+_Q68_SQL = """
+    WITH purchasers AS (
+        SELECT DISTINCT user_id FROM {events} WHERE event_type = 'purchase'),
+    errorers AS (
+        SELECT DISTINCT user_id FROM {events} WHERE event_type = 'error')
+    SELECT
+      (SELECT count(*) FROM (SELECT user_id FROM purchasers
+                             INTERSECT
+                             SELECT user_id FROM errorers)) AS n_both,
+      (SELECT count(*) FROM (SELECT user_id FROM purchasers
+                             EXCEPT
+                             SELECT user_id FROM errorers)) AS n_purchase_only
+"""
+
+
+@register(
+    "q68_user_set_ops",
+    oracle=_Q68_SQL.replace("{events}", "events"),
+)
+def q68_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators (ANSI set semantics —
+    distinct rows), completing the set-op family next to q08's UNION
+    ALL: cohort overlap and difference.
+
+    Scale: Spark plans both as LeftSemi/LeftAnti joins over
+    pre-deduplicated inputs — same single-shuffle shape as q19; no
+    row-id tricks or full sorts.
+    """
+    return spark.sql(_Q68_SQL, events=load(spark, sf_dir, "events"))
+
+
+_Q69_SQL = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               count(*) AS n, round(sum(value), 2) AS total
+        FROM {events}
+        GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ),
+    calendar AS (
+        SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        FROM bounds
+    )
+    SELECT c.event_type,
+           strftime(c.day, '%Y-%m-%d') AS day,
+           COALESCE(d.n, 0) AS n,
+           COALESCE(d.total, 0.0) AS total
+    FROM calendar c
+    LEFT JOIN daily d ON d.event_type = c.event_type AND d.day = c.day
+    ORDER BY c.event_type, c.day
+"""
+
+
+@register(
+    "q69_daily_gap_fill",
+    oracle=_Q69_SQL.replace("{events}", "events"),
+)
+def q69_daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series GAP FILLING: per-type daily rollup joined onto a
+    generated complete calendar (missing days appear with zeros) —
+    the densification step every dashboard/forecast pipeline needs
+    (≙ the reference's daily exports which assume dense days).
+
+    Spark side: `sequence(d0, d1, interval 1 day)` + explode
+    generates the calendar FROM the per-type bounds — no driver-side
+    date loop; DuckDB's generate_series is the oracle equivalent.
+
+    Scale: the calendar is |types| × days (tiny); the left join
+    broadcasts the rollup, never the raw events.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+    bounds = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    return (
+        calendar.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+            F.coalesce("total", F.lit(0.0)).alias("total"),
+        )
+        .orderBy("event_type", "day")
+    )
