@@ -54,14 +54,15 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    e = e.persist(StorageLevel.DISK_ONLY)
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
 
     labels = (
         e.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .persist(StorageLevel.DISK_ONLY)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    cached = labels  # the persisted handle backing `labels`
     for _ in range(max_iter):
         nbr_min = (
             e.join(
@@ -73,24 +74,25 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("nbr_label").alias("nbr_min"))
         )
-        new_labels = (
+        # one persisted relation carries BOTH the new label and the
+        # old one, so the convergence check is a filter-count on it —
+        # not a second full-size self-join per round (measured 342 s
+        # -> see SCALE_NOTES.md at 20M edges before this restructure)
+        joined = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
+                F.col("component").alias("_old"),
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
             )
-            .persist(StorageLevel.DISK_ONLY)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = joined.filter(F.col("component") != F.col("_old")).count()
+        cached.unpersist()
+        cached = joined
+        labels = joined.select("node", "component")
         if changed == 0:
             break
     e.unpersist()

@@ -129,6 +129,47 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # 5. sub-document chunk dedup at scale (documents replicated —
+    # every replica is an exact copy, so chunk dedup must strip all
+    # but the first replica's chunks; two narrow-keyed shuffles)
+    from g_etl_spark.operators.dedup import chunk_dedup
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs_big = (
+        d.crossJoin(reps)
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 1_000_000)
+        .drop("rep")
+    )
+    n_docs = d.count() * factor
+    t0 = time.time()
+    kept_chunks = chunk_dedup(docs_big, "doc_id").agg(F.sum("n_kept")).head()[0]
+    out["chunk_dedup_sec"] = round(time.time() - t0, 2)
+    print(
+        f"# chunk dedup: {n_docs} docs -> {kept_chunks} surviving chunks in "
+        f"{out['chunk_dedup_sec']}s (replicas fully stripped)",
+        file=sys.stderr,
+    )
+
+    # 6. connected components at scale: 2M-edge graph of 3-node
+    # chains (a-b, b-c) — measures the per-round join+groupBy shuffle
+    # and the fixpoint loop (diameter 2 -> 3 rounds incl. the no-op
+    # convergence round)
+    from g_etl_spark.operators.graph import connected_components
+
+    n_comp = max(n_rows, 1_000_000)
+    base3 = spark.range(n_comp).select((F.col("id") * 3).alias("a"))
+    edges = base3.select("a", (F.col("a") + 1).alias("b")).unionByName(
+        base3.select((F.col("a") + 1).alias("a"), (F.col("a") + 2).alias("b"))
+    ).select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+    t0 = time.time()
+    n_labeled = connected_components(edges).count()
+    out["connected_components_sec"] = round(time.time() - t0, 2)
+    print(
+        f"# connected components: {2 * n_comp} edges, {n_labeled} nodes "
+        f"labeled in {out['connected_components_sec']}s",
+        file=sys.stderr,
+    )
+
     out["rows"] = n_rows
     print(json.dumps(out))
 
