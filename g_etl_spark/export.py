@@ -67,10 +67,19 @@ def export_parquet(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").option("compression", "zstd").parquet(path)
 
 
+# binary columns serialized as WKT in CSV exports; WKB is
+# indistinguishable from other binary payloads by type alone, so the
+# convention is by name (the engine's own tables use these). Callers
+# exporting a differently-named geometry column can extend this set
+# or alias the column; unlisted binary columns hex-encode.
+WKT_CSV_COLUMNS = {"geom", "centerpoint", "geometry"}
+
+
 def export_csv(df: DataFrame, path: str) -> None:
     """K2 Kepler.gl CSV (export.py:23-48): hex_id + count columns.
     Arrays join with ';' (≙ the DOUBLE[]→VARCHAR cast, :446-448);
-    geometry binaries serialize as WKT (≙ ST_AsText on geo exports)."""
+    binary columns named in WKT_CSV_COLUMNS serialize as WKT
+    (≙ ST_AsText on geo exports), other binaries as hex."""
     from g_etl_spark.functions import geo_udfs
 
     out = df
@@ -81,7 +90,7 @@ def export_csv(df: DataFrame, path: str) -> None:
         if kind.startswith("array"):
             out = out.withColumn(fld.name, F.array_join(F.col(fld.name).cast("array<string>"), ";"))
         elif kind == "binary":
-            if fld.name in ("geom", "centerpoint", "geometry"):
+            if fld.name in WKT_CSV_COLUMNS:
                 out = out.withColumn(fld.name, geo_udfs.st_as_text(F.col(fld.name)))
             else:
                 out = out.withColumn(fld.name, F.hex(F.col(fld.name)))

@@ -740,8 +740,12 @@ def triangulate(ring: Sequence[tuple[float, float]]) -> list[list[tuple[float, f
 
     tris: list[list[tuple[float, float]]] = []
     idx = list(range(len(pts)))
+    # each pass clips exactly one ear, so n-3 passes suffice for any
+    # simple polygon — a fixed cap would silently fan-triangulate
+    # (wrongly, if nonconvex) the remainder of large rings. The
+    # for-else below still catches genuinely degenerate input.
     guard = 0
-    while len(idx) > 3 and guard < 10_000:
+    while len(idx) > 3 and guard < len(pts):
         guard += 1
         n = len(idx)
         for k in range(n):

@@ -481,9 +481,17 @@ def chunk_dedup(
         "_id",
         "_idx",
         "_chunk",
-        (F.col("_id") * 1_000_000 + F.col("_idx")).alias("_rank"),
+        # first-occurrence order = (doc id, chunk position), as a
+        # struct so it works for ANY orderable id type and any chunk
+        # count (an arithmetic id*K+idx encoding would collide past K
+        # chunks and null out on string ids)
+        F.struct("_id", "_idx").alias("_rank"),
         F.md5("_chunk").alias("_h"),
     )
+    # chunks feeds THREE consumers (first-occurrence agg, kept-join
+    # probe, per-doc totals): persist or the explode+md5 map stage
+    # runs three times (same discipline as minhash_candidates above)
+    chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
     firsts = chunks.groupBy("_h").agg(F.min("_rank").alias("_first"))
     kept = chunks.join(firsts, "_h").filter(F.col("_rank") == F.col("_first"))
     per_doc = chunks.groupBy("_id").agg(F.count(F.lit(1)).alias("n_chunks"))

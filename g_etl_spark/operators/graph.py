@@ -44,6 +44,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Label each node of the undirected graph ``edges`` with the
     smallest node id in its connected component.
@@ -51,18 +52,45 @@ def connected_components(
     Returns ``(node, component)``. Isolated nodes never appear in an
     edge list, so callers wanting singleton components union them in
     afterwards (component = own id).
+
+    Raises RuntimeError if the fixpoint is not reached within
+    ``max_iter`` rounds (graph diameter > max_iter, e.g. a long
+    chain): returning the partial labeling would silently split true
+    components AND hand back label values that are not component
+    ids. Near-dup graphs converge in single digits; for adversarial
+    diameters raise max_iter or implement the large-star/small-star
+    O(log n) alternation (module docstring).
+
+    Lineage is TRUNCATED every round: each round's plan references
+    the previous round's labels twice, so without truncation the
+    logical plan doubles per round and Catalyst planning time goes
+    exponential past ~6 rounds (persist caches data, not the plan —
+    measured: an 8-edge chain took minutes).
+    ``reliable_checkpoint=False`` (default) truncates with
+    localCheckpoint — measured 62 s at 20M edges, but partitions on a
+    lost executor cannot be recomputed (rerun the job).
+    ``reliable_checkpoint=True`` writes each round to the session's
+    checkpoint dir (``sc.setCheckpointDir``; session.py points it at
+    a temp dir locally, shared storage on a cluster) — lost-executor
+    safe, measured 282 s at the same scale (the round recomputes once
+    more and 30M rows hit storage per round). Flip it on for long
+    cluster runs where a restart costs more than 4.5×.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     e = e.persist(StorageLevel.MEMORY_AND_DISK)
 
-    labels = (
+    def _truncate(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    labels = _truncate(
         e.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cached = labels  # the persisted handle backing `labels`
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             e.join(
@@ -74,28 +102,31 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("nbr_label").alias("nbr_min"))
         )
-        # one persisted relation carries BOTH the new label and the
-        # old one, so the convergence check is a filter-count on it —
-        # not a second full-size self-join per round (measured 342 s
-        # -> see SCALE_NOTES.md at 20M edges before this restructure)
-        joined = (
-            labels.join(nbr_min, "node", "left")
-            .select(
+        # one relation carries BOTH the new label and the old one, so
+        # the convergence check is a filter-count on it — not a
+        # second full-size self-join per round (measured 342 s -> 62 s
+        # at 20M edges; see SCALE_NOTES.md)
+        joined = _truncate(
+            labels.join(nbr_min, "node", "left").select(
                 "node",
                 F.col("component").alias("_old"),
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         changed = joined.filter(F.col("component") != F.col("_old")).count()
-        cached.unpersist()
-        cached = joined
         labels = joined.select("node", "component")
         if changed == 0:
+            converged = True
             break
     e.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); raise max_iter or use a "
+            "log-round scheme for long-chain graphs"
+        )
     return labels
 
 

@@ -176,20 +176,36 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return staged.withColumns(cols).drop("_toks", "_dtoks")
 
 
-def dup_bigram_ratio(text: Column) -> Column:
-    """Fraction of word bigrams that are repeats of an earlier bigram
-    in the same document (1 - distinct/total) — the Gopher-style
-    within-document repetition signal; high values flag degenerate
-    boilerplate/spam docs. Pure array lambdas, map-only."""
+def bigrams(text: Column) -> Column:
+    """Word bigrams of lowercased text (array<string>; empty for
+    docs under two tokens)."""
     toks = tokens(text)
-    grams = F.when(
+    return F.when(
         F.size(toks) >= 2,
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - 2),
             lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ratio_of(grams: Column) -> Column:
+    """1 - distinct/total over an ALREADY-PROJECTED gram array —
+    callers stage `bigrams()` through a projection first so the
+    expensive array build isn't re-evaluated per consumer
+    (higher-order fns are CodegenFallback: no CSE)."""
     n = F.size(grams)
-    return F.when(n > 0, 
-        F.round(F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / n, 4)
+    return F.when(
+        n > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / n, 4),
     ).otherwise(F.lit(0.0))
+
+
+def dup_bigram_ratio(text: Column) -> Column:
+    """Fraction of word bigrams that are repeats of an earlier bigram
+    in the same document (1 - distinct/total) — the Gopher-style
+    within-document repetition signal; high values flag degenerate
+    boilerplate/spam docs. Pure array lambdas, map-only. Prefer
+    bigrams() + dup_ratio_of() through a projection when the gram
+    array has other consumers."""
+    return dup_ratio_of(bigrams(text))

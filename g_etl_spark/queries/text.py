@@ -473,25 +473,22 @@ def q58_quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q59_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-document repetition filter: flag docs
     whose duplicated-bigram fraction exceeds 0.05
-    (operators/text.dup_bigram_ratio) — degenerate boilerplate / spam
+    (operators/text.bigrams + dup_ratio_of) — degenerate boilerplate / spam
     detection.
 
     Scale: pure array lambdas in the scan stage (map-only); the only
     shuffle is the final order.
     """
     d = load(spark, sf_dir, "documents")
-    toks = T.tokens(F.col("text"))
-    grams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    scored = d.select(
+    # stage the gram array ONCE (projection barrier: higher-order fns
+    # are CodegenFallback, no CSE), then derive count + ratio from it
+    staged = d.select(
+        "doc_id", "source", T.bigrams(F.col("text")).alias("_grams")
+    )
+    scored = staged.select(
         "doc_id",
         "source",
-        F.size(grams).cast("long").alias("n_bigrams"),
-        T.dup_bigram_ratio(F.col("text")).alias("dup_ratio"),
+        F.size("_grams").cast("long").alias("n_bigrams"),
+        T.dup_ratio_of(F.col("_grams")).alias("dup_ratio"),
     )
     return scored.filter(F.col("dup_ratio") > 0.05).orderBy("doc_id")

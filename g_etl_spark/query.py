@@ -111,19 +111,38 @@ def query_polygon(
     index = wh.grid_index(spark, warehouse)
     joined = _join_index(spark, index, polygon_wkt, resolution, datasets)
     if exact == "geometry":
-        # both the stored centerpoint and the query polygon are
-        # SWEREF99 TM — containment tests in the native CRS
-        objs = wh.objects_table(spark, warehouse).select(
-            "dataset_id", "id", "centerpoint"
-        )
-        inside = (
-            objs.join(
-                joined.select("dataset_id", "id").distinct(), ["dataset_id", "id"]
+        # datasets WITHOUT a persisted objects table (streaming
+        # ingest, pre-objects warehouses) cannot be geometry-refined:
+        # they fall back to the cell-center refine instead of being
+        # silently dropped by the semi-join.
+        have = wh.objects_datasets(warehouse)
+        if not have:
+            joined = joined.filter(
+                _cell_center_in_polygon(polygon_wkt)(F.col("grid_cell"))
             )
-            .filter(geo_udfs.st_intersects_polygon(polygon_wkt)(F.col("centerpoint")))
-            .select("dataset_id", "id")
-        )
-        joined = joined.join(inside, ["dataset_id", "id"], "left_semi")
+        else:
+            refinable = joined.filter(F.col("dataset_id").isin(have))
+            fallback = joined.filter(~F.col("dataset_id").isin(have)).filter(
+                _cell_center_in_polygon(polygon_wkt)(F.col("grid_cell"))
+            )
+            # both the stored centerpoint and the query polygon are
+            # SWEREF99 TM — containment tests in the native CRS
+            objs = wh.objects_table(spark, warehouse).select(
+                "dataset_id", "id", "centerpoint"
+            )
+            inside = (
+                objs.join(
+                    refinable.select("dataset_id", "id").distinct(),
+                    ["dataset_id", "id"],
+                )
+                .filter(
+                    geo_udfs.st_intersects_polygon(polygon_wkt)(F.col("centerpoint"))
+                )
+                .select("dataset_id", "id")
+            )
+            joined = refinable.join(
+                inside, ["dataset_id", "id"], "left_semi"
+            ).unionByName(fallback)
     elif exact:
         # cheap refine on candidate cell centers
         joined = joined.filter(

@@ -15,6 +15,7 @@ driver entry point all run with the same semantics:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -51,7 +52,21 @@ def get_spark(app_name: str = "g_etl_spark", master: str | None = None) -> Spark
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # reliable checkpoint dir for iterative operators (operators/
+    # graph.py truncates lineage every round): on a cluster point
+    # this at shared storage; locally a temp dir is equivalent.
+    try:
+        if spark.sparkContext.getCheckpointDir() is None:
+            spark.sparkContext.setCheckpointDir(
+                os.environ.get(
+                    "SPARK_GRAFT_CHECKPOINT_DIR",
+                    os.path.join(tempfile.gettempdir(), "g_etl_spark_ckpt"),
+                )
+            )
+    except Exception:
+        pass
+    return spark
 
 
 def tune_for_scale(spark: SparkSession, target_partitions: int) -> None:

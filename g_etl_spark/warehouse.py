@@ -83,6 +83,17 @@ def grid_index(spark: SparkSession, warehouse: str) -> DataFrame:
     return reduce(DataFrame.unionByName, dfs)
 
 
+def objects_datasets(warehouse: str) -> list[str]:
+    """Dataset ids that HAVE a persisted objects table (streaming
+    ingest and pre-round-2 warehouses write only ``_grid`` tables)."""
+    mart = os.path.join(warehouse, "mart")
+    return sorted(
+        d[: -len(OBJECTS_SUFFIX)]
+        for d in (os.listdir(mart) if os.path.isdir(mart) else [])
+        if d.endswith(OBJECTS_SUFFIX)
+    )
+
+
 def objects_table(spark: SparkSession, warehouse: str) -> DataFrame:
     """Union view over every dataset's object table (id + GEOMETRY —
     ≙ the reference keeping staging geometry queryable for the exact

@@ -184,3 +184,20 @@ def test_connected_components_transitive_chain(spark):
     assert summary[1] == (4, "1,2,3,4")
     assert summary[10] == (2, "10,11")
     assert summary[20] == (2, "20,21")
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A chain longer than max_iter rounds must raise, not return a
+    silently-split partial labeling."""
+    import pytest as _pytest
+
+    from g_etl_spark.operators import graph as G
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        G.connected_components(chain, max_iter=3)
+    # and with enough rounds the same chain converges to one component
+    labels = G.connected_components(chain, max_iter=10)
+    assert {r.component for r in labels.collect()} == {0}
