@@ -1184,3 +1184,41 @@ def q69_daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "q73_unpivot_metrics",
+    oracle="""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               round(avg(o_totalprice), 2) AS avg_price,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, metric, value
+    FROM wide
+    UNPIVOT (value FOR metric IN (avg_price, min_price, max_price))
+    ORDER BY o_orderpriority, metric
+    """,
+)
+def q73_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt — wide metric columns to (metric, value) rows,
+    the inverse layout transform of q47's PIVOT (DataFrame.unpivot ≡
+    DuckDB UNPIVOT; reporting sinks want long format).
+
+    Scale: unpivot plans as Expand (k output rows per input row) —
+    map-side only, no shuffle beyond the tiny pre-agg.
+    """
+    o = load(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["avg_price", "min_price", "max_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("o_orderpriority", "metric")

@@ -78,6 +78,53 @@ def streaming_dedup(
     )
 
 
+def streaming_followup_join(
+    events: DataFrame,
+    first_type: str = "click",
+    then_type: str = "purchase",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM inner join: per user, pair each ``first_type``
+    event with ``then_type`` events that follow within ``within``
+    (conversion attribution). Both sides carry event-time watermarks
+    and the join condition time-bounds both directions, so Spark can
+    reap join state once the watermark passes — the bounded-state
+    requirement for joining two unbounded streams.
+
+    Scale: state per key is O(events inside the watermark window);
+    the join shuffles both streams on user_id once. The equivalent
+    batch shape is the bucketed range join (queries q37).
+    """
+    a = (
+        events.filter(F.col("event_type") == first_type)
+        .select(
+            F.col("user_id").alias("a_user"),
+            F.col("event_id").alias("first_id"),
+            F.col("ts").alias("first_ts"),
+        )
+        .withWatermark("first_ts", watermark)
+    )
+    b = (
+        events.filter(F.col("event_type") == then_type)
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("then_id"),
+            F.col("ts").alias("then_ts"),
+        )
+        .withWatermark("then_ts", watermark)
+    )
+    return a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("then_ts") > F.col("first_ts"))
+        & (F.col("then_ts") <= F.col("first_ts") + F.expr(f"interval {within}")),
+        "inner",
+    ).select(
+        F.col("a_user").alias("user_id"), "first_id", "then_id", "first_ts", "then_ts"
+    )
+
+
 def start_rollup_to_parquet(
     rollup: DataFrame, out_path: str, checkpoint: str
 ) -> StreamingQuery:
