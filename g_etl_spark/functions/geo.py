@@ -783,3 +783,19 @@ def intersection_area_any(
     `intersection_area`'s convex-window restriction (NEXT.md item 1).
     """
     return sum(intersection_area(geom, tri) for tri in triangulate(clip_ring))
+
+
+def union_area(a: Geometry, b: Geometry) -> float:
+    """Area of a ∪ b for simple polygons via inclusion–exclusion:
+    |A| + |B| − |A∩B|, with the intersection measured by
+    triangulating A's outer ring and clipping B against each
+    triangle (intersection_area_any — both operands may be
+    nonconvex). Holes in A are handled by subtracting their
+    intersection with B from the overlap term."""
+    t, c = a
+    if t != "Polygon":
+        raise ValueError(f"union_area supports Polygon, got {t}")
+    overlap = intersection_area_any(b, c[0])
+    for hole in c[1:]:
+        overlap -= intersection_area_any(b, hole)
+    return area(a) + area(b) - overlap

@@ -926,8 +926,9 @@ def q47_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pivot values are passed EXPLICITLY: Spark otherwise runs an extra
     collect-distinct job to discover them, and the driver/oracle
     column order would depend on data. With explicit values this
-    plans as ONE hash aggregate (map-side partial + final), identical
-    to a plain groupBy — the pivot is purely a layout transform.
+    plans as the two-phase pivot aggregate — groupBy(day, type)
+    partial agg, then PivotFirst over the tiny pre-agg — so raw rows
+    shuffle ONCE; the pivot itself is a layout transform.
     Missing day×type cells: count coalesces to 0, sum stays NULL
     (matches the FILTER-ed aggregate semantics in the oracle).
     """

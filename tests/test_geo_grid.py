@@ -276,3 +276,20 @@ def test_triangulate_and_nonconvex_intersection():
     assert geo.intersection_area_any(sq, clip) == geo.intersection_area(sq, clip)
     # clockwise input is normalized
     assert abs(geo.intersection_area_any(sq, list(reversed(L))) - 75.0) < 1e-9
+
+
+def test_union_area_inclusion_exclusion():
+    sq = ("Polygon", [[(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]])
+    shifted = ("Polygon", [[(5.0, 0.0), (15.0, 0.0), (15.0, 10.0), (5.0, 10.0), (5.0, 0.0)]])
+    assert abs(geo.union_area(sq, shifted) - 150.0) < 1e-9  # 100+100-50
+    # disjoint: plain sum
+    far = ("Polygon", [[(20.0, 0.0), (25.0, 0.0), (25.0, 5.0), (20.0, 5.0), (20.0, 0.0)]])
+    assert abs(geo.union_area(sq, far) - 125.0) < 1e-9
+    # containment: union = outer
+    inner = ("Polygon", [[(2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0), (2.0, 2.0)]])
+    assert abs(geo.union_area(sq, inner) - 100.0) < 1e-9
+    # L-shaped (nonconvex) ∪ square overlapping one leg
+    L = ("Polygon", [[(0.0, 0.0), (10.0, 0.0), (10.0, 5.0), (5.0, 5.0), (5.0, 10.0), (0.0, 10.0), (0.0, 0.0)]])
+    box = ("Polygon", [[(8.0, 3.0), (12.0, 3.0), (12.0, 7.0), (8.0, 7.0), (8.0, 3.0)]])
+    # box area 16; overlap with L: x 8-10, y 3-5 => 4
+    assert abs(geo.union_area(L, box) - (75.0 + 16.0 - 4.0)) < 1e-9

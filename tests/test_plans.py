@@ -216,3 +216,20 @@ def test_q65_decorrelates_to_anti_join(spark, qs):
     assert "Subquery" in plan
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q47_pivot_is_single_aggregate(spark, qs):
+    """Explicit pivot values → Spark's two-phase pivot aggregate
+    (groupBy(day,type) partial, then PivotFirst over the tiny
+    pre-agg) + the orderBy — and crucially NO distinct-discovery job
+    for the pivot values and no wide shuffle of raw rows twice."""
+    import re
+
+    plan = plan_of(qs["q47_event_pivot"](spark, SF_DIR))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+    assert "pivotfirst" in plan.lower()
+
+
+def test_q73_unpivot_is_expand(spark, qs):
+    plan = plan_of(qs["q73_unpivot_metrics"](spark, SF_DIR))
+    assert "Expand" in plan
