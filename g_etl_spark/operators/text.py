@@ -209,3 +209,45 @@ def dup_bigram_ratio(text: Column) -> Column:
     bigrams() + dup_ratio_of() through a projection when the gram
     array has other consumers."""
     return dup_ratio_of(bigrams(text))
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams over an ALREADY-PROJECTED token array
+    (array<string>; empty for docs under n tokens).
+
+    F.slice accepts a Column start, so the whole construction is one
+    transform over a sequence — JVM-side, no Python. Callers stage the
+    token array through a projection first (CodegenFallback: no CSE).
+    """
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bm25_term_score(
+    tf: Column, df: Column, dl: Column, n_docs: Column, avgdl: Column,
+    k1: float = 1.2, b: float = 0.75,
+) -> Column:
+    """Per-(doc, term) BM25 contribution (Robertson/Sparck Jones,
+    the +1 IDF variant used by Lucene so scores stay positive):
+
+        idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)
+        s = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    All inputs are columns so corpus stats (N, avgdl, df) join in as
+    broadcast literals — the per-doc side never shuffles for them.
+    """
+    idf = F.log(
+        (n_docs.cast("double") - df.cast("double") + F.lit(0.5))
+        / (df.cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfd = tf.cast("double")
+    norm = tfd + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * dl.cast("double") / avgdl.cast("double")
+    )
+    return idf * tfd * F.lit(k1 + 1.0) / norm

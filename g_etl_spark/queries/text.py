@@ -492,3 +492,180 @@ def q59_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.dup_ratio_of(F.col("_grams")).alias("dup_ratio"),
     )
     return scored.filter(F.col("dup_ratio") > 0.05).orderBy("doc_id")
+
+
+# BM25 constants — fixed so Spark and the oracle share literals.
+_BM25_TERMS = ("dup", "spark", "join")
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_IN = "('" + "', '".join(_BM25_TERMS) + "')"
+
+
+@register(
+    "q74_bm25_topk",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, len({_TOKS}) AS dl, {_TOKS} AS t FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+    tf AS (
+        SELECT doc_id, dl, token, count(*) AS tf
+        FROM (SELECT doc_id, dl,
+                     unnest(list_filter(t, x -> x IN {_BM25_IN})) AS token
+              FROM base)
+        GROUP BY doc_id, dl, token
+    ),
+    dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(
+                   ln((CAST(stats.n_docs AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5)
+                      / (CAST(dft.df AS DOUBLE) + 0.5) + 1.0)
+                   * CAST(tf.tf AS DOUBLE) * ({_BM25_K1} + 1.0)
+                   / (CAST(tf.tf AS DOUBLE)
+                      + {_BM25_K1} * (1.0 - {_BM25_B}
+                                      + {_BM25_B} * CAST(tf.dl AS DOUBLE)
+                                        / CAST(stats.avgdl AS DOUBLE)))
+               ) AS bm25,
+               count(*) AS n_terms
+        FROM tf JOIN dft ON tf.token = dft.token CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(bm25, 4) AS bm25, n_terms
+    FROM scored
+    ORDER BY round(bm25, 4) DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q74_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: top-10 documents for a fixed term set
+    (≙ the reference's ranked full-text lookup surface; scoring is
+    the Lucene +1-IDF BM25 variant, operators/text.bm25_term_score).
+
+    Scale: the token array is filtered to query terms BEFORE explode,
+    so row multiplication is bounded by query-term hits, not document
+    length. Corpus stats (N, avgdl — one row) and per-term df
+    (|terms| rows) broadcast back; the only fact-sized shuffle is the
+    groupBy(doc_id), and top-10 is a TakeOrdered, not a global sort.
+    """
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).alias("dl"),
+        T.tokens(F.col("text")).alias("t"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.filter(F.col("t"), lambda x: x.isin(*_BM25_TERMS))
+            ).alias("token"),
+        )
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dft), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                T.bm25_term_score(
+                    F.col("tf"), F.col("df"), F.col("dl"),
+                    F.col("n_docs"), F.col("avgdl"),
+                    k1=_BM25_K1, b=_BM25_B,
+                )
+            ).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+    return (
+        scored.select("doc_id", F.round("bm25", 4).alias("bm25"), "n_terms")
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# Decontamination constants (eval slice + n-gram order + threshold).
+_DECON_N = 5
+_DECON_MOD = 25  # doc_id % 25 == 0 -> held-out eval slice
+_DECON_THRESH = 0.05
+
+
+@register(
+    "q75_decontamination",
+    oracle=f"""
+    WITH grams AS (
+        SELECT DISTINCT doc_id, g
+        FROM (
+            SELECT doc_id,
+                   array_to_string(t[i.i : i.i + {_DECON_N - 1}], ' ') AS g
+            FROM (SELECT doc_id, {_TOKS} AS t FROM documents),
+                 LATERAL (SELECT unnest(generate_series(
+                     1, greatest(len(t) - {_DECON_N - 1}, 0))) AS i) AS i
+        )
+    ),
+    eval_grams AS (
+        SELECT DISTINCT g FROM grams WHERE doc_id % {_DECON_MOD} = 0
+    ),
+    per_doc AS (
+        SELECT t.doc_id,
+               count(*)  AS n_grams,
+               count(e.g) AS n_contaminated
+        FROM (SELECT * FROM grams WHERE doc_id % {_DECON_MOD} <> 0) t
+        LEFT JOIN eval_grams e ON t.g = e.g
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_grams, n_contaminated,
+           round(CAST(n_contaminated AS DOUBLE) / n_grams, 4) AS contamination,
+           CAST(n_contaminated AS DOUBLE) / n_grams >= {_DECON_THRESH} AS flagged
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+)
+def q75_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: fraction of each training doc's
+    distinct word 5-grams that appear anywhere in the held-out eval
+    slice (doc_id % 25 == 0) — the standard benchmark-leakage check a
+    training-data pipeline runs before shipping a corpus.
+
+    Scale: the eval slice is small BY CONSTRUCTION (benchmarks are
+    thousands of docs, the corpus is billions), so its distinct gram
+    universe broadcasts; training grams stream through a map-side
+    broadcast left join and collapse in one groupBy(doc_id). Docs
+    shorter than n tokens have no grams and drop out on both sides.
+    """
+    d = load(spark, sf_dir, "documents")
+    staged = d.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    grams = staged.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(T.word_ngrams(F.col("t"), _DECON_N))
+        ).alias("g"),
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % _DECON_MOD == 0).select("g").distinct()
+    )
+    train = grams.filter(F.col("doc_id") % _DECON_MOD != 0)
+    per_doc = (
+        train.join(
+            F.broadcast(eval_grams.withColumn("_hit", F.lit(1))), "g", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+    )
+    ratio = F.col("n_contaminated").cast("double") / F.col("n_grams")
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_contaminated",
+        F.round(ratio, 4).alias("contamination"),
+        (ratio >= _DECON_THRESH).alias("flagged"),
+    ).orderBy("doc_id")
