@@ -130,6 +130,102 @@ def connected_components(
     return labels
 
 
+def connected_components_logstar(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 40,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — converges in O(log n) rounds regardless of diameter,
+    the scheme ``connected_components`` defers to for long-chain
+    graphs (its rounds = diameter).
+
+    Per round, over the canonically-oriented edge set (u > v):
+
+    - large-star: every node links its strictly-larger neighbors to
+      the minimum of its closed neighborhood;
+    - small-star: every node links its smaller-or-equal neighbors
+      (and itself) to that minimum.
+
+    Each op is one groupBy-min plus one equi-join, both partitioned
+    on node id. At fixpoint the edge set is stars rooted at each
+    component's minimum node, so labels read off the edges directly.
+    Returns ``(node, component)`` with the same contract as
+    ``connected_components`` (isolated nodes absent; component = min
+    member id). Convergence is checked exactly (count equality + one
+    left-anti probe per round — log-many rounds make the extra job
+    affordable where the diameter-bound loop could not).
+    """
+    def _truncate(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    def _sig(df: DataFrame) -> tuple:
+        # one job: (edge count, order-insensitive checksum). Equality
+        # is a cheap NECESSARY condition for set equality; the exact
+        # left-anti probe below only runs on a checksum hit, so the
+        # expensive check executes ~once per call, not per round.
+        row = df.agg(
+            F.count(F.lit(1)).alias("c"), F.sum(F.xxhash64("u", "v")).alias("h")
+        ).first()
+        return (row["c"], row["h"])
+
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+    )
+    e = _truncate(e)
+    sig = _sig(e)
+    converged = False
+    for _ in range(max_iter):
+        # large-star over both directions: (v, m) for neighbors v > u
+        bidir = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = bidir.groupBy("u").agg(F.min("v").alias("m"))
+        mins = mins.select("u", F.least("m", F.col("u")).alias("m"))
+        large = (
+            bidir.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the (u > v)-oriented result: (v, m) per
+        # smaller neighbor plus (u, m) for u itself
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("n"), F.col("m"))
+            .unionByName(mins2.select(F.col("u").alias("n"), F.col("m")))
+            .filter(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        new_e = _truncate(small)
+        new_sig = _sig(new_e)
+        if new_sig == sig and (
+            new_e.join(e, ["u", "v"], "left_anti").limit(1).count() == 0
+        ):
+            converged = True
+            e = new_e
+            break
+        e, sig = new_e, new_sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_logstar did not converge in {max_iter} "
+            "rounds — max_iter is far above the O(log n) bound, so this "
+            "indicates a bug or non-numeric/NULL node ids"
+        )
+    return e.select(F.col("u").alias("node"), F.col("v").alias("component")).unionByName(
+        e.select(F.col("v").alias("node"), F.col("v").alias("component")).distinct()
+    )
+
+
 def component_summary(labels: DataFrame) -> DataFrame:
     """Per-component stats: size + sorted member list. The keeper for
     dedup retention is the component id itself (min member)."""

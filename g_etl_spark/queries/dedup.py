@@ -481,3 +481,56 @@ def q57_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = _corpus(spark, sf_dir)
     return D.chunk_dedup(c, "doc_id", "text", chunk_tokens=20).orderBy("doc_id")
+
+
+@register(
+    "q76_logstar_components",
+    oracle="""
+    WITH RECURSIVE
+    d AS (SELECT doc_id FROM documents),
+    edges0 AS (
+        SELECT d1.doc_id AS a, d2.doc_id AS b
+        FROM d d1 JOIN d d2 ON d2.doc_id = d1.doc_id + 1
+        WHERE d1.doc_id % 100 < 99
+    ),
+    edges AS (
+        SELECT a, b FROM edges0 UNION SELECT b AS a, a AS b FROM edges0
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+    SELECT component, count(*) AS n_members,
+           array_to_string(list_sort(list(node)), ',') AS member_ids
+    FROM comp GROUP BY component ORDER BY component
+    """,
+)
+def q76_logstar_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components on a LONG-CHAIN graph (each run of 100
+    consecutive doc_ids chained pairwise — diameter 99) via the
+    large-star/small-star alternation
+    (operators/graph.connected_components_logstar). Min-label
+    propagation's rounds scale with the diameter (99 here); the
+    alternation converges in O(log n) (~8 rounds), which is the 100 TB
+    answer for adversarial-diameter dedup graphs. The oracle is the
+    generic recursive-CTE reachability closure — it knows nothing
+    about the chain structure, so the hash match proves the labeling,
+    not the construction.
+    """
+    from g_etl_spark.operators import graph as G
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    edges = (
+        d.filter(F.col("doc_id") % 100 < 99)
+        .select(
+            F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+        )
+        .join(
+            F.broadcast(d.select(F.col("doc_id").alias("id_b"))), "id_b", "inner"
+        )
+        .select("id_a", "id_b")
+    )
+    return G.component_summary(G.connected_components_logstar(edges))

@@ -201,3 +201,28 @@ def test_connected_components_raises_on_nonconvergence(spark):
     # and with enough rounds the same chain converges to one component
     labels = G.connected_components(chain, max_iter=10)
     assert {r.component for r in labels.collect()} == {0}
+
+
+def test_logstar_matches_propagation_and_handles_long_chains(spark):
+    """large-star/small-star must produce the identical labeling as
+    min-label propagation on a mixed graph, and converge on a chain
+    whose diameter far exceeds propagation's round budget (the O(log n)
+    claim — Kiveris et al. SoCC'14)."""
+    from g_etl_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20), (5, 4)],
+        "id_a long, id_b long",
+    )
+    want = {r.node: r.component for r in G.connected_components(edges).collect()}
+    got = {r.node: r.component for r in G.connected_components_logstar(edges).collect()}
+    assert got == want
+
+    # 120-node chain: diameter 119 — propagation would need 119 rounds,
+    # the alternation label set must still be exactly one component
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], "id_a long, id_b long"
+    )
+    labels = {r.node: r.component for r in G.connected_components_logstar(chain).collect()}
+    assert set(labels) == set(range(120))
+    assert set(labels.values()) == {0}
