@@ -1223,3 +1223,315 @@ def q73_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     ).orderBy("o_orderpriority", "metric")
+
+
+_Q77_SQL = """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM {orders} o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (
+          SELECT 1 FROM {lineitem} l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL '365' DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+"""
+
+
+@register(
+    "q77_late_order_priority",
+    oracle=_Q77_SQL.replace("{orders}", "orders").replace("{lineitem}", "lineitem"),
+)
+def q77_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of 1996 orders with at least
+    one very late line (shipped >365 days after the order date — this
+    corpus has no l_commitdate/l_receiptdate, so lateness is defined
+    against o_orderdate; cutoff sits between the corpus's median 36 d
+    and p90 1404 d, selecting ~2k of 15k orders at sf0.01).
+
+    The EXISTS is correlated on BOTH an equality (l_orderkey) and a
+    non-equi expression over an outer column (l_shipdate >
+    o_orderdate + 365 d). Catalyst decorrelates to a LEFT SEMI hash
+    join on the equality with the date bound as a residual join
+    condition — no per-row subquery (plan-asserted).
+
+    Scale: semi-join dedups lineitem matches without multiplying
+    order rows; one shuffle on orderkey, then the tiny 5-priority agg.
+    """
+    return spark.sql(
+        _Q77_SQL,
+        orders=load(spark, sf_dir, "orders"),
+        lineitem=load(spark, sf_dir, "lineitem"),
+    )
+
+
+_Q78_SQL = """
+    SELECT c.c_name, o.o_orderkey,
+           CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS orderdate,
+           o.o_totalprice,
+           sum(l.l_quantity) AS total_qty
+    FROM {customer} c
+    JOIN {orders} o ON c.c_custkey = o.o_custkey
+    JOIN {lineitem} l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l2.l_orderkey FROM {lineitem} l2
+        GROUP BY l2.l_orderkey HAVING sum(l2.l_quantity) > 300)
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 100
+"""
+
+
+@register(
+    "q78_large_volume_orders",
+    oracle=_Q78_SQL.replace("{customer}", "customer")
+    .replace("{orders}", "orders")
+    .replace("{lineitem}", "lineitem"),
+)
+def q78_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind large-volume orders — an IN
+    over a GROUP BY ... HAVING subquery (orders whose total quantity
+    exceeds 300; 46 of 15k at sf0.01).
+
+    Decorrelation: the IN-over-aggregate becomes a LEFT SEMI join
+    against the pre-aggregated orderkey set, so lineitem is
+    aggregated ONCE for the filter and once for the output sum —
+    both on the same l_orderkey partitioning, which AQE can reuse.
+    Quantities are integral-valued doubles, so sum() is exact and
+    needs no rounding for the oracle hash.
+
+    Scale: both aggregates and the semi-join share one shuffle key
+    (orderkey); customer joins via broadcast at dim size.
+    """
+    return spark.sql(
+        _Q78_SQL,
+        customer=load(spark, sf_dir, "customer"),
+        orders=load(spark, sf_dir, "orders"),
+        lineitem=load(spark, sf_dir, "lineitem"),
+    )
+
+
+_Q79_SQL = """
+    SELECT l.l_partkey AS partkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS part_value
+    FROM {lineitem} l
+    GROUP BY l.l_partkey
+    HAVING sum(l.l_extendedprice * (1 - l.l_discount)) > (
+        SELECT sum(l2.l_extendedprice * (1 - l2.l_discount)) * 0.0008
+        FROM {lineitem} l2)
+    ORDER BY part_value DESC, partkey
+"""
+
+
+@register(
+    "q79_important_part_value",
+    oracle=_Q79_SQL.replace("{lineitem}", "lineitem"),
+)
+def q79_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value exceeds a fraction of
+    the GLOBAL traded value — an uncorrelated scalar subquery inside
+    HAVING (no partsupp in this corpus, so lineitem value stands in
+    for stock value; 0.0008 ≈ 1.6× the mean per-part share keeps the
+    result a meaningful head, not all-or-nothing).
+
+    The scalar subquery evaluates once (one extra aggregate job) and
+    broadcasts as a literal into the HAVING filter — NOT a per-group
+    probe. Both aggregations scan lineitem; Spark runs them as two
+    jobs sharing the scan's columnar cache at cluster scale.
+
+    Scale: one shuffle on partkey (map-side partial sums); the global
+    sum is a partial-agg tree with a 1-row result.
+    """
+    return spark.sql(_Q79_SQL, lineitem=load(spark, sf_dir, "lineitem"))
+
+
+_Q80_SQL = """
+    WITH revenue AS (
+        SELECT l.l_suppkey AS supplier_no,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                   AS total_revenue
+        FROM {lineitem} l
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l.l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM {supplier} s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(r2.total_revenue) FROM revenue r2)
+    ORDER BY s.s_suppkey
+"""
+
+
+@register(
+    "q80_top_revenue_supplier",
+    oracle=_Q80_SQL.replace("{lineitem}", "lineitem").replace(
+        "{supplier}", "supplier"
+    ),
+)
+def q80_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue
+    — a CTE referenced twice (once as the join input, once under a
+    scalar max) with equality against the scalar.
+
+    Revenue is rounded BEFORE the max/equality so the comparison is
+    on identical values in both engines (raw double sums are
+    order-dependent; a near-tie could otherwise flip cross-engine).
+    The scalar max is one extra 1-row job; the CTE's aggregate is
+    computed per reference — at scale, persist the revenue CTE or
+    let AQE reuse the exchange.
+
+    Scale: one shuffle on suppkey over a date-pruned slice
+    (PushedFilters carries the shipdate bounds to the scan).
+    """
+    return spark.sql(
+        _Q80_SQL,
+        lineitem=load(spark, sf_dir, "lineitem"),
+        supplier=load(spark, sf_dir, "supplier"),
+    )
+
+
+_Q81_SQL = """
+    SELECT s.s_name, count(*) AS numwait
+    FROM {supplier} s
+    JOIN {lineitem} l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN {orders} o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL '365' DAY
+      AND EXISTS (
+          SELECT 1 FROM {lineitem} l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM {lineitem} l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL '365' DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+"""
+
+
+@register(
+    "q81_sole_late_supplier",
+    oracle=_Q81_SQL.replace("{supplier}", "supplier")
+    .replace("{lineitem}", "lineitem")
+    .replace("{orders}", "orders"),
+)
+def q81_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    finished multi-supplier order — the classic stacked
+    EXISTS + NOT EXISTS against the same fact table, both correlated
+    on l1's orderkey, the NOT EXISTS additionally referencing the
+    OUTER order's date (lateness is vs o_orderdate here; see q77).
+
+    Decorrelation: EXISTS → LEFT SEMI on orderkey with the suppkey
+    inequality as residual; NOT EXISTS → LEFT ANTI with the date
+    bound as residual. Both hash joins — no nested loop
+    (plan-asserted).
+
+    Scale: three shuffles on orderkey (l1⋈o, semi, anti) — all the
+    same key, so co-partitioning/AQE reuse applies; supplier dim
+    broadcasts for the name lookup.
+    """
+    return spark.sql(
+        _Q81_SQL,
+        supplier=load(spark, sf_dir, "supplier"),
+        lineitem=load(spark, sf_dir, "lineitem"),
+        orders=load(spark, sf_dir, "orders"),
+    )
+
+
+_Q82_SQL = """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM {lineitem} l
+    JOIN {part} p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register(
+    "q82_disjunctive_revenue",
+    oracle=_Q82_SQL.replace("{lineitem}", "lineitem").replace("{part}", "part"),
+)
+def q82_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate mixing
+    columns from both join sides — the canonical test that the
+    optimizer FACTORS the disjunction instead of evaluating it only
+    post-join.
+
+    Catalyst's constraint propagation derives the single-side
+    implications: p_brand IN (12,23,3) AND p_size <= 35 reaches the
+    part scan, l_quantity BETWEEN 1 AND 30 reaches the lineitem scan
+    (both visible as PushedFilters — plan-asserted), and the full
+    disjunction remains as the join's residual condition.
+
+    Scale: the derived scan filters cut the join inputs ~10× before
+    the broadcast join; without factoring, all of lineitem would
+    flow into the join.
+    """
+    return spark.sql(
+        _Q82_SQL,
+        lineitem=load(spark, sf_dir, "lineitem"),
+        part=load(spark, sf_dir, "part"),
+    )
+
+
+_Q83_SQL = """
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM {supplier} s
+        JOIN {lineitem} l ON s.s_suppkey = l.l_suppkey
+        JOIN {orders} o ON o.o_orderkey = l.l_orderkey
+        JOIN {customer} c ON c.c_custkey = o.o_custkey
+        JOIN {nation} n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN {nation} n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+           OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register(
+    "q83_nation_volume_shipping",
+    oracle=_Q83_SQL.replace("{supplier}", "supplier")
+    .replace("{lineitem}", "lineitem")
+    .replace("{orders}", "orders")
+    .replace("{customer}", "customer")
+    .replace("{nation}", "nation"),
+)
+def q83_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations
+    by year — a 6-way join where the filter is a disjunction over a
+    PAIR of dimension attributes (either trade direction).
+
+    The nation dims broadcast twice (supplier side and customer
+    side); Catalyst derives n_name IN (3,7) for BOTH broadcast
+    builds from the disjunction, so each nation join drops 23/25 of
+    keys before touching the facts. year() is cast to BIGINT in the
+    shared SQL text (Spark's year() is int32, DuckDB's is int64 —
+    the cast pins the driver's dtype compare).
+
+    Scale: lineitem shuffles once on orderkey to meet orders; all
+    dims broadcast. The nation filter semi-prunes supplier/customer
+    before their joins, which AQE converts to broadcasts at dim size.
+    """
+    return spark.sql(
+        _Q83_SQL,
+        supplier=load(spark, sf_dir, "supplier"),
+        lineitem=load(spark, sf_dir, "lineitem"),
+        orders=load(spark, sf_dir, "orders"),
+        customer=load(spark, sf_dir, "customer"),
+        nation=load(spark, sf_dir, "nation"),
+    )

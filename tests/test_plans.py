@@ -233,3 +233,38 @@ def test_q47_pivot_is_single_aggregate(spark, qs):
 def test_q73_unpivot_is_expand(spark, qs):
     plan = plan_of(qs["q73_unpivot_metrics"](spark, SF_DIR))
     assert "Expand" in plan
+
+
+def test_q77_exists_is_semi_join(spark, qs):
+    """The correlated EXISTS (equality + non-equi date bound over an
+    outer column) must decorrelate to a hash LEFT SEMI join — no
+    nested loop, no per-row subquery."""
+    plan = plan_of(qs["q77_late_order_priority"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "Subquery" not in plan
+    assert "NestedLoop" not in plan
+    # the orders date window reaches the scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q81_exists_and_not_exists_are_hash_joins(spark, qs):
+    """Q21-shape stacked EXISTS + NOT EXISTS: both must plan as hash
+    semi/anti joins on the orderkey equality with the inequality
+    conditions residual — never a nested loop."""
+    plan = plan_of(qs["q81_sole_late_supplier"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "NestedLoop" not in plan
+    assert "EqualTo(o_orderstatus,F)" in plan  # status filter pushed
+
+
+def test_q82_disjunction_factors_to_both_scans(spark, qs):
+    """Q19-shape OR-of-ANDs: Catalyst must derive the single-side
+    implications and push them to BOTH scans — the part scan gets the
+    brand disjunction, the lineitem scan the quantity envelope."""
+    plan = plan_of(qs["q82_disjunctive_revenue"](spark, SF_DIR))
+    # part scan: brand/size disjunction pushed (nested Or-of-And form)
+    assert "Or(Or(And(EqualTo(p_brand,Brand#12)" in plan
+    # lineitem scan: the quantity disjunction pushed independently
+    assert "And(GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan
