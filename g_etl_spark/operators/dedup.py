@@ -5,12 +5,12 @@ Design for 100 TB:
 
 - Exact + fingerprint dedup are one hash-shuffle each (groupBy on an
   md5 key) — the cheapest possible distributed dedup.
-- MinHash-LSH follows the standard shingle → k salted min-hashes →
-  band → bucket-join shape. Candidate generation never compares all
-  pairs: only rows sharing a band hash meet, and the band join is an
-  equi-join Spark shuffles on band keys. The lexicographic-min-of-md5
-  variant keeps every step in built-in SQL (no Python), which also
-  makes it oracle-checkable against DuckDB.
+- MinHash-LSH follows the classic shingle → k affine-permutation
+  min-hashes → band → bucket-join shape. Candidate generation never
+  compares all pairs: only rows sharing a band hash meet, and the
+  band join is an equi-join Spark shuffles on band keys. One md5 per
+  shingle feeds integer (a*h+b) mod P permutations — every step is
+  built-in SQL (no Python) and exactly reproducible in DuckDB.
 - The Jaccard refine (reference J4 two-phase exact-refine pattern,
   docs/H3_POLYGON_ANALYSIS.md:325-355) re-checks candidates exactly.
 - SimHash is a pandas UDF (bit-twiddling is not expressible sanely in
@@ -33,6 +33,22 @@ from g_etl_spark.operators.text import TOKEN_SPLIT
 DEFAULT_NUM_HASHES = 8
 DEFAULT_SHINGLE = 3
 DEFAULT_BANDS = 4
+
+# Classic integer min-hash: each "permutation" i is the affine map
+# h -> (a_i*h + b_i) mod P over base hashes in [0, P). P = 2^31-1
+# keeps every intermediate product under 2^62, so the arithmetic is
+# exact in plain BIGINT in BOTH engines (no overflow, no wraparound
+# semantics to reconcile). Params are fixed literals (seeded PRNG) so
+# the DuckDB oracle reproduces signatures bit-for-bit.
+MINHASH_P = (1 << 31) - 1
+import random as _random
+
+_salt_rng = _random.Random(1013904223)
+MINHASH_SALTS: tuple[tuple[int, int], ...] = tuple(
+    (_salt_rng.randrange(1, MINHASH_P), _salt_rng.randrange(0, MINHASH_P))
+    for _ in range(DEFAULT_NUM_HASHES)
+)
+del _salt_rng
 
 
 def exact_dedup(df: DataFrame, cols: Sequence[str], id_col: str) -> DataFrame:
@@ -61,31 +77,46 @@ def shingles(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
     return F.when(F.size(toks) >= k, make).otherwise(F.array().cast("array<string>"))
 
 
+def base_shingle_hash(s: Column) -> Column:
+    """Shingle -> integer in [0, MINHASH_P): the first 8 hex chars of
+    md5 (32 uniform bits) parsed as an int. One md5 per shingle is
+    the ONLY string hashing in the pipeline; everything downstream is
+    integer arithmetic. Reproducible in DuckDB as
+    ``CAST(CAST('0x' || substr(md5(s),1,8) AS UBIGINT) AS BIGINT)``.
+    """
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % MINHASH_P
+
+
 def minhash_signature(
     text: Column, num_hashes: int = DEFAULT_NUM_HASHES, k: int = DEFAULT_SHINGLE
 ) -> Column:
-    """MinHash signature as array<string>: for each salt i, the
-    lexicographic min of md5(salt || md5(shingle)).
+    """MinHash signature as array<long>: for permutation i, the min of
+    (a_i*h + b_i) mod P over the base shingle hashes.
 
-    Lexicographic-min-of-md5 is an order-preserving stand-in for the
-    classic integer min-hash (md5 output is uniform, so the min over
-    a random permutation argument still holds), and it is exactly
-    reproducible in any engine with md5 + string min. Shingles are
-    hashed to a 32-char base digest ONCE, then each salted pass
-    re-hashes that short digest — ~k× less hashing of long strings.
+    The affine maps replace the earlier salted-md5 scheme: identical
+    LSH guarantees (universal hashing over a prime field), but each
+    extra permutation costs two integer ops per shingle instead of an
+    md5 over a 38-char string — measured 6.4 s -> ~2 s on the q52
+    pipeline at sf0.1. NOTE: inlining this single expression
+    evaluates the base-hash transform once PER permutation
+    (CodegenFallback, no CSE) — ``minhash_candidates`` stages the
+    base hashes through a separate projection instead; use this form
+    only where one Column expression is required.
     """
-    base = F.transform(shingles(text, k), lambda s: F.md5(s))
+    base = F.transform(shingles(text, k), base_shingle_hash)
     return F.array(
         *[
-            F.array_min(F.transform(base, lambda h: F.md5(F.concat(F.lit(f"salt{i}:"), h))))
-            for i in range(num_hashes)
+            F.array_min(
+                F.transform(base, lambda h: (h * F.lit(a) + F.lit(b)) % MINHASH_P)
+            )
+            for a, b in MINHASH_SALTS[:num_hashes]
         ]
     )
 
 
 def band_hashes(signature: Column, bands: int = DEFAULT_BANDS) -> Column:
-    """Split the signature into ``bands`` contiguous bands and hash
-    each — array<string> of band keys for LSH bucketing."""
+    """Split the array<long> signature into ``bands`` contiguous bands
+    and hash each — array<string> of band keys for LSH bucketing."""
     return F.array(
         *[
             F.md5(
@@ -93,10 +124,13 @@ def band_hashes(signature: Column, bands: int = DEFAULT_BANDS) -> Column:
                     "|",
                     F.lit(str(b)),
                     F.array_join(
-                        F.slice(
-                            signature,
-                            b * (DEFAULT_NUM_HASHES // bands) + 1,
-                            DEFAULT_NUM_HASHES // bands,
+                        F.transform(
+                            F.slice(
+                                signature,
+                                b * (DEFAULT_NUM_HASHES // bands) + 1,
+                                DEFAULT_NUM_HASHES // bands,
+                            ),
+                            lambda x: x.cast("string"),
                         ),
                         "|",
                     ),
@@ -146,17 +180,17 @@ def minhash_candidates(
             .otherwise(F.array().cast("array<string>"))
             .alias("_shingles"),
         )
-        .select("_id", F.transform("_shingles", lambda s: F.md5(s)).alias("_hashes"))
+        .select("_id", F.transform("_shingles", base_shingle_hash).alias("_hashes"))
         .select(
             "_id",
             F.array(
                 *[
                     F.array_min(
                         F.transform(
-                            "_hashes", lambda h: F.md5(F.concat(F.lit(f"salt{i}:"), h))
+                            "_hashes", lambda h: (h * F.lit(a) + F.lit(b)) % MINHASH_P
                         )
                     )
-                    for i in range(num_hashes)
+                    for a, b in MINHASH_SALTS[:num_hashes]
                 ]
             ).alias("_sig"),
         )

@@ -109,12 +109,24 @@ def q51_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sig_sql() -> str:
-    """DuckDB minhash signature list (mirrors operators/dedup)."""
+    """DuckDB minhash signature list (mirrors operators/dedup: affine
+    (a*h+b) mod P permutations over the integer base hashes — the
+    (a, b) literals come from the same MINHASH_SALTS constants, so
+    the signatures are bit-identical cross-engine)."""
     mins = ", ".join(
-        f"list_aggregate(list_transform(base_hashes, h -> md5('salt{i}:' || h)), 'min')"
-        for i in range(D.DEFAULT_NUM_HASHES)
+        f"list_aggregate(list_transform(base_hashes,"
+        f" h -> (h * {a} + {b}) % {D.MINHASH_P}), 'min')"
+        for a, b in D.MINHASH_SALTS
     )
     return f"[{mins}]"
+
+
+# shingle -> integer base hash in [0, P): first 8 md5 hex chars
+# parsed as an int (mirrors operators/dedup.base_shingle_hash)
+_BASE_HASH_SQL = (
+    "CAST(CAST('0x' || substr(md5(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]), 1, 8)"
+    f" AS UBIGINT) AS BIGINT) % {D.MINHASH_P}"
+)
 
 
 @register(
@@ -126,14 +138,14 @@ def _sig_sql() -> str:
         SELECT doc_id, text,
                CASE WHEN len(t) >= 3
                     THEN list_transform(range(0, len(t) - 2),
-                                        i -> md5(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                                        i -> {_BASE_HASH_SQL})
                     ELSE [] END AS base_hashes
         FROM toks
     ),
     sig AS (SELECT doc_id, text, {_sig_sql()} AS sig FROM sh),
     bands AS (
         SELECT doc_id, text, b AS band_idx,
-               md5(CAST(b AS VARCHAR) || '|' || sig[2*b + 1] || '|' || sig[2*b + 2]) AS band
+               md5(CAST(b AS VARCHAR) || '|' || CAST(sig[2*b + 1] AS VARCHAR) || '|' || CAST(sig[2*b + 2] AS VARCHAR)) AS band
         FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)
     ),
     cand AS (
@@ -160,9 +172,9 @@ def _sig_sql() -> str:
 )
 def q52_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection, full pipeline: shingle → 8
-    salted min-hashes → 4 bands → bucket self-join → exact Jaccard
-    refine ≥ 0.7 (operators/dedup.minhash_dedup_pairs; refine ≙
-    reference's two-phase exact-refine J4 pattern).
+    affine-permutation min-hashes → 4 bands → bucket self-join →
+    exact Jaccard refine ≥ 0.7 (operators/dedup.minhash_dedup_pairs;
+    refine ≙ reference's two-phase exact-refine J4 pattern).
 
     Scale: candidate cost is Σ bucket², not n²; every stage is an
     equi-join or groupBy Spark shuffles on hashed keys.
@@ -364,14 +376,14 @@ def _pairs_cte_sql() -> str:
         SELECT doc_id, text,
                CASE WHEN len(t) >= 3
                     THEN list_transform(range(0, len(t) - 2),
-                                        i -> md5(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                                        i -> {_BASE_HASH_SQL})
                     ELSE [] END AS base_hashes
         FROM toks
     ),
     sig AS (SELECT doc_id, text, {_sig_sql()} AS sig FROM sh),
     bands AS (
         SELECT doc_id, text, b AS band_idx,
-               md5(CAST(b AS VARCHAR) || '|' || sig[2*b + 1] || '|' || sig[2*b + 2]) AS band
+               md5(CAST(b AS VARCHAR) || '|' || CAST(sig[2*b + 1] AS VARCHAR) || '|' || CAST(sig[2*b + 2] AS VARCHAR)) AS band
         FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)
     ),
     cand AS (
