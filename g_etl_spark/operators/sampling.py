@@ -72,3 +72,54 @@ def stratified_quota(
         .filter(F.col("_rn") <= quota)
         .drop("_rn")
     )
+
+
+def _unit_hash_int(id_col: Column) -> Column:
+    """Deterministic draw as an INTEGER in [0, 2^32): first 8 md5 hex
+    chars parsed numerically. Mirrors DuckDB's
+    ``CAST(CAST('0x' || substr(md5(id),1,8) AS UBIGINT) AS BIGINT)``
+    so thresholds compare identically cross-engine."""
+    return F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def mixture_resample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    weights: dict[str, float],
+) -> DataFrame:
+    """Downsample to the LARGEST corpus matching a target mixture.
+
+    Given target weights w_s (must cover every stratum), the largest
+    feasible output size is N = min_s(n_s / w_s); each stratum keeps
+    rate_s = w_s * N / n_s of its rows, deterministically
+    (md5-integer threshold, like ``stratified_rate``). The classic
+    domain-mixing step of an LLM data pipeline (cf. The Pile /
+    DoReMi-style fixed mixtures): the scarcest stratum relative to
+    its target weight is kept whole and everything else thins to
+    match.
+
+    Everything is computed IN the plan — counts, N, and rates live in
+    a stratum-sized aggregate that broadcasts back onto the fact
+    rows; no driver-side collect. Scale: one tiny agg + broadcast
+    join + a map-only filter over the corpus.
+    """
+    w = F.lit(None).cast("double")
+    for s, wt in sorted(weights.items()):
+        w = F.when(F.col(stratum_col) == s, F.lit(float(wt))).otherwise(w)
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    counts = counts.withColumn("_w", w)
+    # feasible size N = min_s(n_s/w_s) attached via an empty-frame
+    # window (counts is stratum-sized — the single-partition window
+    # touches #strata rows, not the corpus; a crossJoin with an agg
+    # of the same frame would hit Spark's self-join ambiguity)
+    n_target = F.min(F.col("_n") / F.col("_w")).over(Window.partitionBy())
+    rates = counts.select(
+        stratum_col,
+        "_n",
+        F.least(F.col("_w") * n_target / F.col("_n"), F.lit(1.0)).alias("_rate"),
+    )
+    thresh = F.floor(F.col("_rate") * F.lit(4294967296.0)).cast("long")
+    return df.join(F.broadcast(rates), stratum_col).filter(
+        _unit_hash_int(F.col(id_col)) < thresh
+    )

@@ -85,3 +85,76 @@ def q49_stratified_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# Target mixture for q84: boost three named sources, spread the rest
+# uniformly. repr() of each weight is embedded in the oracle SQL so
+# both engines parse the identical double.
+_MIX_BOOST = {"src0": 0.25, "src1": 0.15, "src19": 0.10}
+_MIX_REST = [f"src{i}" for i in range(2, 19)]
+_MIX_WEIGHTS = {**_MIX_BOOST, **{s: 0.5 / 17 for s in _MIX_REST}}
+
+
+def _mix_case_sql() -> str:
+    arms = " ".join(
+        f"WHEN '{s}' THEN CAST({w!r} AS DOUBLE)"
+        for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"CASE source {arms} END"
+
+
+@register(
+    "q84_mixture_resample",
+    oracle=f"""
+    WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    w AS (SELECT source, n, {_mix_case_sql()} AS w FROM counts),
+    nt AS (SELECT min(n / w) AS n_feas FROM w),
+    rates AS (
+        SELECT source, n, least(w * n_feas / n, CAST(1.0 AS DOUBLE)) AS rate
+        FROM w, nt),
+    kept AS (
+        SELECT d.source
+        FROM documents d JOIN rates r USING (source)
+        WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS UBIGINT) AS BIGINT)
+              < CAST(floor(rate * 4294967296.0) AS BIGINT)),
+    kc AS (SELECT source, count(*) AS n_kept FROM kept GROUP BY source)
+    SELECT r.source AS source, r.n AS n_total, kc.n_kept AS n_kept,
+           round(r.rate, 6) AS rate,
+           round(CAST(kc.n_kept AS DOUBLE) / sum(kc.n_kept) OVER (), 6)
+               AS achieved_w
+    FROM rates r JOIN kc USING (source)
+    ORDER BY source
+    """,
+)
+def q84_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling (operators/sampling.mixture_resample):
+    thin every source to the LARGEST corpus matching target weights
+    (min_s n_s/w_s feasibility), deterministically. The summary
+    reports per-source keep rate and the achieved mixture.
+
+    Scale: rate derivation is a source-sized aggregate broadcast back
+    onto the corpus; the keep decision is a map-only hash-threshold
+    filter — one pass over 100 TB, no data shuffle. The oracle
+    recomputes the whole plan (counts → feasible N → rates →
+    hash-filtered keep) independently in DuckDB.
+    """
+    d = load(spark, sf_dir, "documents").select("source", "doc_id")
+    kept = S.mixture_resample(d, "source", "doc_id", _MIX_WEIGHTS)
+    kc = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.first("_n").alias("n_total"),
+        F.first("_rate").alias("_rate"),
+    )
+    from pyspark.sql import Window as W
+
+    return kc.select(
+        "source",
+        "n_total",
+        "n_kept",
+        F.round("_rate", 6).alias("rate"),
+        F.round(
+            F.col("n_kept").cast("double") / F.sum("n_kept").over(W.partitionBy()),
+            6,
+        ).alias("achieved_w"),
+    ).orderBy("source")

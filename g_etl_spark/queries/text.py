@@ -669,3 +669,83 @@ def q75_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 4).alias("contamination"),
         (ratio >= _DECON_THRESH).alias("flagged"),
     ).orderBy("doc_id")
+
+
+@register(
+    "q85_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bg AS (
+        SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2
+        FROM (SELECT doc_id, t,
+                     unnest(range(0, greatest(len(t) - 1, 0))) AS i
+              FROM toks)
+    ),
+    c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY w1),
+    cb AS (SELECT w1, w2, count(*) AS nb FROM bg GROUP BY w1, w2),
+    v AS (SELECT count(DISTINCT tok) AS vocab
+          FROM (SELECT unnest(t) AS tok FROM toks)),
+    scored AS (
+        SELECT bg.doc_id,
+               ln((CAST(cb.nb AS DOUBLE) + 1.0)
+                  / (CAST(c1.n1 AS DOUBLE) + vocab)) AS lp
+        FROM bg JOIN cb USING (w1, w2) JOIN c1 USING (w1), v
+    )
+    SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS avg_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q85_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-probability under an add-one-smoothed
+    bigram LM trained on the corpus itself — the CCNet-style
+    perplexity quality signal (low avg_logprob = unusual/degenerate
+    text) without an external model artifact: lp(w1 w2) =
+    ln((c(w1,w2)+1) / (c(w1)+V)), where c(w1) counts bigram-first
+    occurrences so the conditional marginalizes exactly.
+
+    Scale: two count aggregates over the exploded bigram relation
+    (shuffles on the gram keys), the vocab scalar broadcasts, and the
+    scoring join reuses the bigram-key partitioning; the bigram
+    relation is persisted once, not recomputed per consumer.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("_t"))
+    pair = F.when(
+        F.size("_t") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_t") - 2),
+            lambda i: F.struct(
+                F.get("_t", i).alias("w1"), F.get("_t", i + 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    from pyspark.storagelevel import StorageLevel
+
+    bg = (
+        toks.select("doc_id", pair.alias("_bg"))
+        .select("doc_id", F.explode("_bg").alias("_p"))
+        .select("doc_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nb"))
+    vocab = (
+        toks.select(F.explode("_t").alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab"))
+    )
+    lp = F.log(
+        (F.col("nb").cast("double") + F.lit(1.0))
+        / (F.col("n1").cast("double") + F.col("vocab"))
+    )
+    return (
+        bg.join(cb, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
