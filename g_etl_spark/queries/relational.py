@@ -1314,11 +1314,11 @@ def q78_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q79_SQL = """
     SELECT l.l_partkey AS partkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS part_value
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS part_value
     FROM {lineitem} l
     GROUP BY l.l_partkey
-    HAVING sum(l.l_extendedprice * (1 - l.l_discount)) > (
-        SELECT sum(l2.l_extendedprice * (1 - l2.l_discount)) * 0.0008
+    HAVING sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) > (
+        SELECT sum(CAST(l2.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l2.l_discount AS DECIMAL(18,2)))) * 0.0008
         FROM {lineitem} l2)
     ORDER BY part_value DESC, partkey
 """
@@ -1349,13 +1349,13 @@ def q79_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q80_SQL = """
     WITH revenue AS (
         SELECT l.l_suppkey AS supplier_no,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
-                   AS total_revenue
+               round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS total_revenue
         FROM {lineitem} l
         WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
           AND l.l_shipdate <  TIMESTAMP '1996-04-01'
         GROUP BY l.l_suppkey)
-    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
     FROM {supplier} s
     JOIN revenue r ON s.s_suppkey = r.supplier_no
     WHERE r.total_revenue = (SELECT max(r2.total_revenue) FROM revenue r2)
@@ -1443,7 +1443,7 @@ def q81_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q82_SQL = """
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
     FROM {lineitem} l
     JOIN {part} p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
@@ -1483,12 +1483,13 @@ def q82_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q83_SQL = """
-    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation,
                n2.n_name AS cust_nation,
                CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-               l.l_extendedprice * (1 - l.l_discount) AS volume
+               CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume
         FROM {supplier} s
         JOIN {lineitem} l ON s.s_suppkey = l.l_suppkey
         JOIN {orders} o ON o.o_orderkey = l.l_orderkey
@@ -1534,4 +1535,156 @@ def q83_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders=load(spark, sf_dir, "orders"),
         customer=load(spark, sf_dir, "customer"),
         nation=load(spark, sf_dir, "nation"),
+    )
+
+
+_Q86_SQL = """
+    SELECT c.c_custkey, c.c_name,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM {customer} c
+    JOIN {orders} o ON c.c_custkey = o.o_custkey
+    JOIN {lineitem} l ON l.l_orderkey = o.o_orderkey
+    JOIN {nation} n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+"""
+
+
+@register(
+    "q86_returned_item_customers",
+    oracle=_Q86_SQL.replace("{customer}", "customer")
+    .replace("{orders}", "orders")
+    .replace("{lineitem}", "lineitem")
+    .replace("{nation}", "nation"),
+)
+def q86_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue on RETURNED items
+    in a quarter — the "who should support call back" report.
+
+    Ordering is on the ROUNDED revenue with a custkey tiebreak, so
+    the LIMIT boundary is deterministic cross-engine (raw double sums
+    are summation-order-dependent). Scale: lineitem pre-filters on
+    returnflag at the scan, one orderkey shuffle to meet orders, then
+    a custkey-grouped agg; nation broadcasts; top-20 is TakeOrdered,
+    no global sort.
+    """
+    return spark.sql(
+        _Q86_SQL,
+        customer=load(spark, sf_dir, "customer"),
+        orders=load(spark, sf_dir, "orders"),
+        lineitem=load(spark, sf_dir, "lineitem"),
+        nation=load(spark, sf_dir, "nation"),
+    )
+
+
+_Q87_SQL = """
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM {orders} o
+    JOIN {lineitem} l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+"""
+
+
+@register(
+    "q87_priority_line_counts",
+    oracle=_Q87_SQL.replace("{orders}", "orders").replace("{lineitem}", "lineitem"),
+)
+def q87_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per-linestatus counts of high- vs low-priority
+    lines shipped in a year (no l_shipmode in this corpus, so
+    linestatus is the dispatch dimension) — conditional aggregation
+    folded into one pass.
+
+    Scale: the date window prunes lineitem at the scan; one orderkey
+    shuffle; both CASE sums ride the same aggregate (map-side
+    partials) — never two scans for two counts.
+    """
+    return spark.sql(
+        _Q87_SQL,
+        orders=load(spark, sf_dir, "orders"),
+        lineitem=load(spark, sf_dir, "lineitem"),
+    )
+
+
+_Q88_SQL = """
+    SELECT round(
+        CAST(100.0 AS DOUBLE)
+        * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                   THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                   ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 4) AS promo_revenue_pct
+    FROM {lineitem} l
+    JOIN {part} p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-02-01'
+"""
+
+
+@register(
+    "q88_promo_revenue_share",
+    oracle=_Q88_SQL.replace("{lineitem}", "lineitem").replace("{part}", "part"),
+)
+def q88_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo parts' share of a month's revenue — a
+    conditional-numerator / total-denominator ratio in ONE aggregate
+    (the naive form runs two scans or a self-join).
+
+    Scale: month window pruned at the lineitem scan, part broadcast,
+    single partial-aggregated reduction to one row.
+    """
+    return spark.sql(
+        _Q88_SQL,
+        lineitem=load(spark, sf_dir, "lineitem"),
+        part=load(spark, sf_dir, "part"),
+    )
+
+
+_Q89_SQL = """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM {part} p
+    JOIN {lineitem} l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type <> 'ECONOMY'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l.l_suppkey NOT IN (
+          SELECT s.s_suppkey FROM {supplier} s WHERE s.s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
+@register(
+    "q89_supplier_part_counts",
+    oracle=_Q89_SQL.replace("{part}", "part")
+    .replace("{lineitem}", "lineitem")
+    .replace("{supplier}", "supplier"),
+)
+def q89_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per part attribute,
+    excluding a brand/type slice and a NOT IN supplier denylist.
+
+    The NOT IN subquery plans as a null-aware LEFT ANTI join (one
+    broadcast of the tiny denylist), the attribute filters reach the
+    part scan, and count(DISTINCT) expands to the standard two-level
+    aggregate. Scale: one partkey join shuffle + one grouped distinct
+    — no row explosion beyond the lineitem slice.
+    """
+    return spark.sql(
+        _Q89_SQL,
+        part=load(spark, sf_dir, "part"),
+        lineitem=load(spark, sf_dir, "lineitem"),
+        supplier=load(spark, sf_dir, "supplier"),
     )

@@ -318,3 +318,68 @@ def q39_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q90_signup_purchase_funnel",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(ts) AS signup_ts
+        FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS fp
+        FROM events e JOIN s USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+        GROUP BY e.user_id)
+    SELECT s.user_id,
+           CAST(CAST(s.signup_ts AS DATE) AS STRING) AS signup_day,
+           CASE WHEN p.fp IS NOT NULL
+                 AND p.fp <= s.signup_ts + INTERVAL 7 DAY
+                THEN 1 ELSE 0 END AS converted_7d,
+           CASE WHEN p.fp IS NOT NULL
+                 AND p.fp <= s.signup_ts + INTERVAL 7 DAY
+                THEN round((epoch_us(p.fp) - epoch_us(s.signup_ts))
+                           / 3600000000.0, 2) END AS delay_hours
+    FROM s LEFT JOIN p USING (user_id)
+    ORDER BY user_id
+    """,
+)
+def q90_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: per user, first signup -> first subsequent
+    purchase, with 7-day conversion flag and delay in hours — the
+    product-analytics staple (event-sequence matching as two ordered
+    min-aggregates, no MATCH_RECOGNIZE engine needed).
+
+    Scale: both stage aggregates shuffle on user_id (the same key),
+    the purchase stage semi-thins on the signup set first, and the
+    final assembly is a user_id-partitioned left join — three
+    same-key shuffles AQE plans as one exchange reuse; no window over
+    the raw event stream.
+    """
+    e = load(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    j = s.join(p, "user_id", "left")
+    converted = F.col("fp").isNotNull() & (
+        F.col("fp") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")
+    )
+    delay = F.round(
+        (F.unix_micros("fp") - F.unix_micros("signup_ts")) / F.lit(3600000000.0), 2
+    )
+    return j.select(
+        "user_id",
+        F.col("signup_ts").cast("date").cast("string").alias("signup_day"),
+        F.when(converted, 1).otherwise(0).alias("converted_7d"),
+        F.when(converted, delay).alias("delay_hours"),
+    ).orderBy("user_id")
