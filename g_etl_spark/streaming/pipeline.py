@@ -30,7 +30,12 @@ def read_parquet_stream(
     )
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.load(path)
+    df = reader.load(path)
+    # withWatermark rejects TIMESTAMP_NTZ; normalize an event-time
+    # `ts` column exactly as the batch reader does (tables.py).
+    from g_etl_spark.tables import normalize_event_ts
+
+    return normalize_event_ts(df)
 
 
 def streaming_event_rollup(events: DataFrame, watermark: str = "1 day") -> DataFrame:

@@ -28,28 +28,55 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table as a DataFrame (native parquet scan).
+# Sessions already given engine semantics (keyed by the underlying
+# SparkContext applicationId + conf identity); lets callers hand us a
+# foreign session (the verify driver) exactly once per session instead
+# of mutating confs on every load() call.
+_CONFIGURED_SESSIONS: set[int] = set()
 
-    events.parquet carries TIMESTAMP(NANOS) which Spark's reader
-    rejects by default; read nanos as long and truncate to micros —
-    the same µs value DuckDB produces for its TIMESTAMP, so both
-    engines agree.
-    """
-    # Defensive session configs: the caller (e.g. the verify driver)
-    # may hand us a session with Spark 4 ANSI defaults; the engine's
-    # cast/division semantics are the permissive ones (SURVEY §1.2,
-    # TRY_CAST parity with the reference).
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Engine semantics on a possibly-foreign session: permissive casts
+    (ANSI off — TRY_CAST parity with the reference, SURVEY §1.2) and a
+    reader that tolerates TIMESTAMP(NANOS) parquet. Idempotent:
+    applied once per live session object."""
+    key = id(spark)
+    if key in _CONFIGURED_SESSIONS:
+        return
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            import pyspark.sql.functions as F
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _CONFIGURED_SESSIONS.add(key)
 
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TIMESTAMP regardless of
+    how the parquet decodes under the active Spark version:
+
+    - TIMESTAMP(NANOS) + nanosAsLong shim → bigint nanos → truncate to
+      micros (the value DuckDB produces for its TIMESTAMP).
+    - Spark 4.1 reads the same files as TIMESTAMP_NTZ directly →
+      cast to TIMESTAMP. The session TZ is pinned UTC (session.py), so
+      the micros value is identical to the NTZ payload and the DuckDB
+      hash contract is unchanged — but downstream `unix_micros` /
+      `cast(bigint)` / `withWatermark` (which reject NTZ) all work.
+    """
+    import pyspark.sql.functions as F
+
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt is not None and dt.startswith("timestamp_ntz"):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table as a DataFrame (native parquet scan)."""
+    _ensure_session_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
