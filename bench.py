@@ -66,12 +66,12 @@ def main() -> None:
         best, rows = None, []
         # best-of-N: first executions pay one-time codegen/JIT per
         # query shape; steady-state latency is the comparable number
-        # (the reference baseline is a warm repeated query too). The
-        # many-stage LSH pipeline generates far more classes, so its
-        # JIT tail needs an extra trial to reach steady state
-        # (measured 11.4/6.2/4.6 s across three fresh trials).
-        n_trials = 3 if name == "q52_minhash_near_dups" else 2
-        for _ in range(n_trials):
+        # (the reference baseline is a warm repeated query too).
+        # Uniform 3 trials per query since protocol v2: the LSH
+        # pipeline's JIT tail needs the third trial (measured
+        # 11.4/6.2/4.6 s across fresh trials), and a uniform count
+        # keeps per-query numbers comparable round-over-round.
+        for _ in range(3):
             # drop operator-internal persists (q52's signature barrier)
             # so every trial measures FRESH compute, not a cache hit
             spark.catalog.clearCache()
@@ -208,6 +208,12 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": round(total, 3),
                 "unit": "sec",
+                # protocol v2 (since r2): clearCache before EVERY trial
+                # so each number is fresh compute (no operator-internal
+                # persist hits), best of 3 uniform trials. r1 numbers
+                # (warm-cache, best of 2) are NOT comparable; r2 is the
+                # baseline for round-over-round deltas.
+                "protocol": "fresh-compute-v2-bestof3",
                 "queries": timings,
                 "sf": sf,
                 "concurrent_8q_wall_sec": conc_wall,

@@ -47,6 +47,7 @@ def load_all() -> None:
         relational,
         sampling,
         similarity,
+        streaming_equiv,
         text,
         windows,
     )
