@@ -66,14 +66,36 @@ def zorder_value(df: DataFrame, cols: Sequence[str], bits: int = ZORDER_BITS) ->
         raise ValueError("zorder supports 1-3 columns")
     nb = 1 << bits
     probs = [i / nb for i in range(1, nb)]
+    dtypes = dict(df.dtypes)
     out = df
     rank_cols = []
     for c in cols:
+        rc = f"_rank_{c}"
+        if dtypes.get(c) == "string":
+            # Categorical column (e.g. dataset_id): lexical rank over
+            # the distinct catalog. The catalog is collected driver-
+            # side — valid ONLY for bounded-cardinality dimensions
+            # (dataset ids, classes), which is exactly what you
+            # cluster on; guarded so a mistaken high-cardinality
+            # column fails loudly instead of collecting the table.
+            vals = [r[0] for r in out.select(c).distinct().limit(4097).collect()]
+            uniq = sorted(v for v in vals if v is not None)
+            if len(vals) > 4096:
+                raise ValueError(f"zorder string column {c}: cardinality > 4096")
+            if not uniq:
+                raise ValueError(f"zorder string column {c}: all NULL")
+            arr = F.array(*[F.lit(v) for v in uniq])
+            # lexical index (NULL → bucket 0); array_position is 1-based
+            idx = F.coalesce(F.array_position(arr, F.col(c)), F.lit(1)) - 1
+            out = out.withColumn(
+                rc, ((idx.cast("long") * (nb - 1)) / F.lit(len(uniq))).cast("long")
+            )
+            rank_cols.append(rc)
+            continue
         bounds = df.approxQuantile(c, probs, 0.001)
         # dedupe: heavy hitters / low-cardinality columns produce
         # repeated bounds -> empty buckets
         uniq = sorted(set(bounds))
-        rc = f"_rank_{c}"
         barr = F.array(*[F.lit(float(b)) for b in uniq])
         idx = F.size(F.filter(barr, lambda b: b <= F.col(c).cast("double")))
         # rescale onto the FULL [0, 2^bits) range: a low-cardinality

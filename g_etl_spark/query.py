@@ -90,6 +90,7 @@ def query_polygon(
     datasets: list[str] | None = None,
     aggregation: str = "objects",
     exact: bool = False,
+    compact: bool = False,
 ) -> DataFrame:
     """≙ query_polygon (h3_query.py:18-95). Three aggregation modes:
 
@@ -107,8 +108,19 @@ def query_polygon(
       lies inside — the reference's staging-geometry refine. The
       join-back is an equi-join on id against a per-candidate-pruned
       relation, so the geometry scan touches only candidates.
+
+    ``compact`` — serve from the Z-ordered materialized index
+    (warehouse.compact_grid_index) instead of the lazy union view:
+    same rows, but the scan prunes files on the polygon's cell range
+    and any dataset filter via parquet footer stats (the 100 TB
+    serving path). The caller owns freshness — recompact after
+    ingest, exactly like the reference's explicit index rebuild.
     """
-    index = wh.grid_index(spark, warehouse)
+    index = (
+        wh.compact_grid_index_df(spark, warehouse)
+        if compact
+        else wh.grid_index(spark, warehouse)
+    )
     joined = _join_index(spark, index, polygon_wkt, resolution, datasets)
     if exact == "geometry":
         # datasets WITHOUT a persisted objects table (streaming

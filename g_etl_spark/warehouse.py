@@ -194,6 +194,51 @@ def refresh_grid_stats_incremental(
     return len(prefixes)
 
 
+COMPACT_INDEX_TABLE = "grid_index_zorder"
+
+
+def compact_grid_index(
+    spark: SparkSession, warehouse: str, num_files: int = 32
+) -> str:
+    """Materialize the union grid index Z-ordered on
+    (grid_cell, dataset_id) — the serving layout for the polygon path.
+
+    The reference's product IS its prebuilt index
+    (docs/H3_POLYGON_ANALYSIS.md:301-321: build once, query many); the
+    Spark-scale version of "prebuilt" is a compacted parquet layout
+    whose footer min/max envelopes are narrow on BOTH the spatial key
+    and the dataset key, so a polygon query's cell range and a
+    per-dataset filter each skip most files before any row is read.
+    Quadtree cell ids are Morton-ish (x-major), so clustering by
+    grid_cell groups spatial neighbors; Z-interleaving dataset_id
+    keeps per-dataset queries prunable in the SAME layout.
+
+    Scale: sizes shuffle parallelism to the target file count via
+    session.tune_for_scale (at 100 TB, num_files follows data volume
+    so each file lands near 128-200 MB); the write itself is one
+    range-shuffle (operators/layout.write_zordered), amortized over
+    every subsequent polygon query like the reference's one-time
+    index build.
+    """
+    from g_etl_spark.operators import layout
+    from g_etl_spark.session import tune_for_scale
+
+    idx = grid_index(spark, warehouse)
+    path = table_path(warehouse, "mart", COMPACT_INDEX_TABLE)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    tune_for_scale(spark, num_files)
+    try:
+        layout.write_zordered(idx, path, ["grid_cell", "dataset_id"], num_files)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return path
+
+
+def compact_grid_index_df(spark: SparkSession, warehouse: str) -> DataFrame:
+    """Read the compacted serving index (compact_grid_index output)."""
+    return read_table(spark, warehouse, "mart", COMPACT_INDEX_TABLE)
+
+
 def write_bucketed(
     df: DataFrame, table_name: str, key: str, buckets: int = 32
 ) -> None:

@@ -330,3 +330,47 @@ def test_admin_surface(spark, warehouse_dir, capsys):
     assert "grid index:" in out
     assert admin.main(["--warehouse", warehouse_dir, "--table", "mart/biotop_grid"]) == 0
     assert "grid_cell" in capsys.readouterr().out
+
+
+def test_compact_zorder_index_serves_polygon_path(spark, warehouse_dir):
+    """The Z-ordered serving index (warehouse.compact_grid_index) on
+    the REAL warehouse layout: query results identical to the union
+    view, and the parquet footers actually prune — a polygon's cell
+    range and a dataset filter each skip most files (VERDICT r2 next-
+    round #6: the index IS the product, H3_POLYGON_ANALYSIS.md:301-321).
+    """
+    from g_etl_spark.operators import layout as L
+
+    n_files = 16
+    path = wh.compact_grid_index(spark, warehouse_dir, num_files=n_files)
+
+    # same rows served through the compact layout
+    some = (
+        wh.read_table(spark, warehouse_dir, "staging", "biotop")
+        .select("_centroid_lat", "_centroid_lng")
+        .head()
+    )
+    e, n = geo.wgs84_to_sweref99(some._centroid_lat, some._centroid_lng)
+    d = 3000.0
+    wkt = f"POLYGON(({e-d} {n-d}, {e+d} {n-d}, {e+d} {n+d}, {e-d} {n+d}, {e-d} {n-d}))"
+    base = query_polygon(spark, warehouse_dir, wkt, aggregation="objects")
+    served = query_polygon(spark, warehouse_dir, wkt, aggregation="objects", compact=True)
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, served.collect()))
+
+    stats = L.file_stats(path, ["grid_cell", "dataset_id"])
+    assert len(stats) == n_files
+
+    # dataset predicate: one of three datasets -> most files skipped
+    ds_pruned = L.files_pruned_fraction(stats, {"dataset_id": ("naturminnen", "naturminnen")})
+    assert ds_pruned >= 0.4, f"dataset_id pruning too weak: {ds_pruned}"
+
+    # polygon cell-range predicate at the point index resolution: the
+    # 6 km query box is a tiny id range next to the fixture bbox
+    lat_lo, lng_lo = geo.sweref99_to_wgs84(e - d, n - d)
+    lat_hi, lng_hi = geo.sweref99_to_wgs84(e + d, n + d)
+    res = grid.POINT_RES
+    c_lo = grid.latlng_to_cell(min(lat_lo, lat_hi), min(lng_lo, lng_hi), res)
+    c_hi = grid.latlng_to_cell(max(lat_lo, lat_hi), max(lng_lo, lng_hi), res)
+    box = (min(c_lo, c_hi), max(c_lo, c_hi))
+    cell_pruned = L.files_pruned_fraction(stats, {"grid_cell": box})
+    assert cell_pruned >= 0.5, f"grid_cell pruning too weak: {cell_pruned}"
