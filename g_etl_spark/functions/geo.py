@@ -785,6 +785,266 @@ def intersection_area_any(
     return sum(intersection_area(geom, tri) for tri in triangulate(clip_ring))
 
 
+class _GHVertex:
+    """Greiner–Hormann traversal node (doubly-linked ring vertex)."""
+
+    __slots__ = ("pt", "next", "prev", "intersect", "neighbor", "entry", "visited", "alpha")
+
+    def __init__(self, pt, alpha=0.0, intersect=False):
+        self.pt = pt
+        self.next = None
+        self.prev = None
+        self.intersect = intersect
+        self.neighbor = None
+        self.entry = False
+        self.visited = False
+        self.alpha = alpha
+
+
+def _gh_ring(pts) -> "_GHVertex":
+    first = None
+    prev = None
+    for p in pts:
+        v = _GHVertex(p)
+        if first is None:
+            first = v
+        else:
+            prev.next = v
+            v.prev = prev
+        prev = v
+    prev.next = first
+    first.prev = prev
+    return first
+
+
+def _gh_vertices(first):
+    v = first
+    while True:
+        yield v
+        v = v.next
+        if v is first:
+            return
+
+
+def _gh_insert(start, end, vtx):
+    """Insert intersection vtx between start and end (alpha-ordered
+    among existing intersection nodes on that edge)."""
+    cur = start
+    while cur.next is not end and cur.next.alpha <= vtx.alpha:
+        cur = cur.next
+    vtx.next = cur.next
+    vtx.prev = cur
+    cur.next.prev = vtx
+    cur.next = vtx
+
+
+class _GHDegenerate(Exception):
+    pass
+
+
+def _close_ring(pts):
+    pts = list(pts)
+    if pts[0] != pts[-1]:
+        pts.append(pts[0])
+    return pts
+
+
+def _open_ccw(ring):
+    pts = list(ring)
+    if pts[0] == pts[-1]:
+        pts = pts[:-1]
+    if ring_area(pts + [pts[0]]) < 0:
+        pts = pts[::-1]
+    return pts
+
+
+def _gh_union_once(a_pts, b_pts) -> list[list[tuple[float, float]]]:
+    """One Greiner–Hormann union pass over two open CCW rings.
+    Raises _GHDegenerate on non-transversal intersections (vertex on
+    edge, collinear overlap) — the caller perturbs and retries."""
+    eps = 1e-11
+    sub = _gh_ring(a_pts)
+    clp = _gh_ring(b_pts)
+
+    # 1. pairwise edge intersections, inserted into both rings
+    n_inter = 0
+    for sv in [v for v in _gh_vertices(sub) if not v.intersect]:
+        se = sv.next
+        while se.intersect:
+            se = se.next
+        for cv in [v for v in _gh_vertices(clp) if not v.intersect]:
+            ce = cv.next
+            while ce.intersect:
+                ce = ce.next
+            p1, p2, q1, q2 = sv.pt, se.pt, cv.pt, ce.pt
+            den = (p2[0] - p1[0]) * (q2[1] - q1[1]) - (p2[1] - p1[1]) * (q2[0] - q1[0])
+            if abs(den) < 1e-30:
+                # parallel: overlapping collinear edges are degenerate
+                if _pt_seg_dist(q1, p1, p2) < eps or _pt_seg_dist(q2, p1, p2) < eps:
+                    raise _GHDegenerate("collinear edges")
+                continue
+            t = ((q1[0] - p1[0]) * (q2[1] - q1[1]) - (q1[1] - p1[1]) * (q2[0] - q1[0])) / den
+            u = ((q1[0] - p1[0]) * (p2[1] - p1[1]) - (q1[1] - p1[1]) * (p2[0] - p1[0])) / den
+            if -eps < t < eps or 1 - eps < t < 1 + eps or -eps < u < eps or 1 - eps < u < 1 + eps:
+                if -eps < t < 1 + eps and -eps < u < 1 + eps:
+                    raise _GHDegenerate("vertex-on-edge intersection")
+                continue
+            if not (0 < t < 1 and 0 < u < 1):
+                continue
+            pt = (p1[0] + t * (p2[0] - p1[0]), p1[1] + t * (p2[1] - p1[1]))
+            iv_s = _GHVertex(pt, alpha=t, intersect=True)
+            iv_c = _GHVertex(pt, alpha=u, intersect=True)
+            iv_s.neighbor = iv_c
+            iv_c.neighbor = iv_s
+            _gh_insert(sv, se, iv_s)
+            _gh_insert(cv, ce, iv_c)
+            n_inter += 1
+
+    if n_inter == 0:
+        return []  # caller handles containment/disjoint
+    if n_inter % 2 == 1:
+        raise _GHDegenerate("odd intersection count")
+
+    # 2. entry/exit marking (union parameterization: start flag is
+    #    "entry" iff the ring's first vertex is INSIDE the other)
+    a_poly = ("Polygon", [_close_ring(a_pts)])
+    b_poly = ("Polygon", [_close_ring(b_pts)])
+    for first, other in ((sub, b_poly), (clp, a_poly)):
+        entry = point_in_polygon(first.pt, other)
+        for v in _gh_vertices(first):
+            if v.intersect:
+                v.entry = entry
+                entry = not entry
+
+    # 3. traversal: forward through entries, backward through exits,
+    #    switching rings at every intersection
+    rings: list[list[tuple[float, float]]] = []
+    unvisited = [v for v in _gh_vertices(sub) if v.intersect]
+    for start in unvisited:
+        if start.visited:
+            continue
+        ring = [start.pt]
+        node = start
+        guard = 0
+        max_steps = 4 * (len(a_pts) + len(b_pts) + 2 * n_inter)
+        while True:
+            node.visited = True
+            node.neighbor.visited = True
+            # forward through an entry, backward through an exit,
+            # until the next intersection on the current ring
+            forward = node.entry
+            while True:
+                node = node.next if forward else node.prev
+                guard += 1
+                if guard > max_steps:
+                    raise _GHDegenerate("traversal did not close")
+                if node.intersect:
+                    break
+                ring.append(node.pt)
+            # switch rings at the intersection; closed when we are
+            # back at the start node (on either ring)
+            if node is start or node.neighbor is start:
+                break
+            ring.append(node.pt)
+            node = node.neighbor
+        if len(ring) >= 3:
+            rings.append(_close_ring(ring))
+    return rings
+
+
+def polygon_union(a: Geometry, b: Geometry) -> Geometry:
+    """Union SHAPE of two simple hole-free polygons (NEXT.md item 1 —
+    beyond ``union_area``'s measure): Greiner–Hormann clipping
+    (published algorithm, Greiner & Hormann TOG 1998) with the union
+    entry/exit parameterization.
+
+    Degenerate configurations (shared vertices, vertex-on-edge,
+    collinear overlapping edges) are handled by deterministically
+    perturbing B by ~1e-9 of the bbox span and retrying — the result
+    is exact for transversal inputs and correct to the perturbation
+    scale otherwise (snap-rounding semantics).
+
+    Returns ("Polygon", [outer, hole...]) or ("MultiPolygon", ...)
+    for disjoint inputs. Driver-side by design, like the rest of the
+    geometry family: polygons are bounded per-row payloads; the
+    distributed story is a pandas-UDF map over rows.
+    """
+    for t, c in (a, b):
+        if t != "Polygon":
+            raise ValueError(f"polygon_union supports Polygon, got {t}")
+        if len(c) > 1:
+            raise ValueError("polygon_union supports hole-free input polygons")
+    a_pts = _open_ccw(a[1][0])
+    span = max(
+        max(p[0] for p in a_pts) - min(p[0] for p in a_pts),
+        max(p[1] for p in a_pts) - min(p[1] for p in a_pts),
+        1.0,
+    )
+    rings: list[list[tuple[float, float]]] | None = None
+    b_ring = _open_ccw(b[1][0])
+    bcx = sum(p[0] for p in b_ring) / len(b_ring)
+    bcy = sum(p[1] for p in b_ring) / len(b_ring)
+    for attempt in range(7):
+        if attempt == 0:
+            b_pts = b_ring  # exact input first
+        else:
+            # EXPAND b slightly about its centroid (touching edges
+            # become overlaps, so adjacency unions into one ring —
+            # the closure semantics a union wants) plus a tiny
+            # translation for identical-centroid pathologies
+            s = 1.0 + 1e-9 * (4**attempt)
+            jit = span * 1e-10 * (4**attempt)
+            b_pts = [
+                (bcx + (x - bcx) * s + jit, bcy + (y - bcy) * s + jit * 0.7)
+                for x, y in b_ring
+            ]
+        try:
+            rings = _gh_union_once(a_pts, b_pts)
+            break
+        except _GHDegenerate:
+            continue
+    if rings is None:
+        raise ValueError("polygon_union: degenerate input (perturbation exhausted)")
+
+    if not rings:  # no intersections: containment or disjoint
+        if point_in_polygon(b[1][0][0], a):
+            return a
+        if point_in_polygon(a[1][0][0], b):
+            return b
+        return ("MultiPolygon", [[_close_ring(a[1][0])], [_close_ring(b[1][0])]])
+
+    # classify traversal output by NESTING PARITY (robust to the
+    # traversal's ring orientation): probe each ring with one of its
+    # edge midpoints (on the ring, generically on no other ring) —
+    # contained in an even number of other rings → outer boundary,
+    # odd → hole of its innermost container.
+    def _probe(r):
+        return ((r[0][0] + r[1][0]) / 2.0, (r[0][1] + r[1][1]) / 2.0)
+
+    containers: list[list[int]] = []
+    for i, r in enumerate(rings):
+        p = _probe(r)
+        containers.append(
+            [j for j, s in enumerate(rings) if j != i and _pt_in_ring(p, s)]
+        )
+    outer_idx = [i for i, c in enumerate(containers) if len(c) % 2 == 0]
+    polys = {i: [rings[i] if ring_area(rings[i]) > 0 else rings[i][::-1]] for i in outer_idx}
+    for i, c in enumerate(containers):
+        if len(c) % 2 == 1:
+            inner = min(
+                (j for j in c if j in polys),
+                key=lambda j: abs(ring_area(rings[j])),
+                default=None,
+            )
+            hole = rings[i] if ring_area(rings[i]) < 0 else rings[i][::-1]
+            if inner is not None:
+                polys[inner].append(hole)
+    out = list(polys.values())
+    if len(out) == 1:
+        return ("Polygon", out[0])
+    return ("MultiPolygon", out)
+
+
 def union_area(a: Geometry, b: Geometry) -> float:
     """Area of a ∪ b for simple polygons via inclusion–exclusion:
     |A| + |B| − |A∩B|, with the intersection measured by

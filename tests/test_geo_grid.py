@@ -293,3 +293,117 @@ def test_union_area_inclusion_exclusion():
     box = ("Polygon", [[(8.0, 3.0), (12.0, 3.0), (12.0, 7.0), (8.0, 7.0), (8.0, 3.0)]])
     # box area 16; overlap with L: x 8-10, y 3-5 => 4
     assert abs(geo.union_area(L, box) - (75.0 + 16.0 - 4.0)) < 1e-9
+
+
+# --- polygon_union: the union SHAPE (NEXT.md item 1) ----------------------
+
+
+def _sq(x0, y0, x1, y1):
+    return ("Polygon", [[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]])
+
+
+def _union_shape_area(u):
+    if u[0] == "Polygon":
+        return geo.area(u)
+    return sum(geo.area(("Polygon", p)) for p in u[1])
+
+
+def _in_union_shape(pt, u):
+    if u[0] == "Polygon":
+        return geo.point_in_polygon(pt, u)
+    return any(geo.point_in_polygon(pt, ("Polygon", p)) for p in u[1])
+
+
+def _assert_union_matches(a, b, n_samples=500, seed=1):
+    """The shape oracle: ring area equals the independent
+    inclusion-exclusion measure, and sampled point membership equals
+    (in A) OR (in B)."""
+    import random
+
+    u = geo.polygon_union(a, b)
+    want = geo.union_area(a, b)
+    got = _union_shape_area(u)
+    assert abs(got - want) < 1e-6 * max(want, 1.0), (got, want)
+    xs = [p[0] for ring in a[1] + b[1] for p in ring]
+    ys = [p[1] for ring in a[1] + b[1] for p in ring]
+    rng = random.Random(seed)
+    for _ in range(n_samples):
+        pt = (
+            rng.uniform(min(xs) - 1, max(xs) + 1),
+            rng.uniform(min(ys) - 1, max(ys) + 1),
+        )
+        assert _in_union_shape(pt, u) == (
+            geo.point_in_polygon(pt, a) or geo.point_in_polygon(pt, b)
+        ), pt
+    return u
+
+
+def test_polygon_union_basic_shapes():
+    u = _assert_union_matches(_sq(0, 0, 2, 2), _sq(1, 1, 3, 3))
+    assert u[0] == "Polygon" and len(u[1]) == 1  # single outer ring
+
+    u = _assert_union_matches(_sq(0, 0, 1, 1), _sq(3, 3, 4, 4))
+    assert u[0] == "MultiPolygon" and len(u[1]) == 2  # disjoint
+
+    u = _assert_union_matches(_sq(0, 0, 5, 5), _sq(1, 1, 2, 2))
+    assert u[0] == "Polygon"  # containment → the container
+
+    # crossing rectangles (4-armed plus: 8 intersections, nonconvex result)
+    u = _assert_union_matches(_sq(-1, 2, 6, 3), _sq(2, -1, 3, 6))
+    assert u[0] == "Polygon" and len(u[1]) == 1
+
+
+def test_polygon_union_degenerate_adjacency():
+    # shared edge: perturbation EXPANDS b, so adjacency merges (union
+    # closure semantics) instead of drifting apart
+    u = _assert_union_matches(_sq(0, 0, 1, 1), _sq(1, 0, 2, 1))
+    assert u[0] == "Polygon" and len(u[1]) == 1
+    # identical polygons
+    u = _assert_union_matches(_sq(0, 0, 2, 2), _sq(0, 0, 2, 2))
+    assert u[0] == "Polygon"
+    # corner touch
+    u = _assert_union_matches(_sq(0, 0, 2, 2), _sq(2, 2, 4, 4))
+    assert abs(_union_shape_area(u) - 8.0) < 1e-6
+
+
+def test_polygon_union_emits_hole():
+    """U-shape + cap enclose an empty region: the union must carry it
+    as an interior RING, not cover it."""
+    u_shape = ("Polygon", [[(0, 0), (5, 0), (5, 4), (4, 4), (4, 1), (1, 1), (1, 4), (0, 4), (0, 0)]])
+    cap = ("Polygon", [[(0, 3), (5, 3), (5, 5), (0, 5), (0, 3)]])
+    u = _assert_union_matches(u_shape, cap)
+    assert u[0] == "Polygon" and len(u[1]) == 2  # outer + hole
+    assert abs(_union_shape_area(u) - 19.0) < 1e-6
+    # the hole interior is outside the union
+    assert not _in_union_shape((2.5, 2.0), u)
+    assert _in_union_shape((2.5, 4.5), u)
+
+
+def test_polygon_union_fuzz_quads_and_convex():
+    import random
+
+    rng = random.Random(99)
+    for trial in range(60):
+        if trial % 2 == 0:
+            def mk():
+                x0, y0 = rng.uniform(0, 5), rng.uniform(0, 5)
+                return _sq(x0, y0, x0 + rng.uniform(0.5, 4), y0 + rng.uniform(0.5, 4))
+        else:
+            def mk():
+                cx, cy = rng.uniform(0, 5), rng.uniform(0, 5)
+                angs = sorted(rng.uniform(0, 2 * math.pi) for _ in range(rng.randint(3, 8)))
+                r = rng.uniform(0.5, 3)
+                ring = [(cx + r * math.cos(t), cy + r * math.sin(t)) for t in angs]
+                ring.append(ring[0])
+                return ("Polygon", [ring])
+
+        a, b = mk(), mk()
+        u = geo.polygon_union(a, b)
+        want = geo.union_area(a, b)
+        assert abs(_union_shape_area(u) - want) < 1e-6 * max(want, 1.0), (a, b)
+
+
+def test_polygon_union_wkt_roundtrip():
+    u = geo.polygon_union(_sq(0, 0, 2, 2), _sq(1, 1, 3, 3))
+    back = geo.from_wkt(geo.to_wkt(u))
+    assert abs(_union_shape_area(back) - 7.0) < 1e-9
