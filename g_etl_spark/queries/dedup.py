@@ -546,3 +546,60 @@ def q76_logstar_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     return G.component_summary(G.connected_components_logstar(edges))
+
+
+@register(
+    "q99_source_overlap_matrix",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS h
+        FROM documents
+    )
+    SELECT least(a.source, b.source)    AS source_a,
+           greatest(a.source, b.source) AS source_b,
+           count(*)                     AS dup_pairs,
+           count(DISTINCT a.h)          AS shared_fingerprints
+    FROM fp a
+    JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    ORDER BY dup_pairs DESC, source_a, source_b
+    """,
+)
+def q99_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — the curation question behind
+    dedup ("which sources copy from each other, and how much") as a
+    first-class report: pairs of documents sharing a token
+    fingerprint, rolled up per unordered source pair (diagonal =
+    within-source duplication).
+
+    Scale: one shuffle on the fingerprint; the self-join happens
+    WITHIN fingerprint groups, so cost is Σ group² over duplicate
+    multiplicities (bounded by the dup rate), never corpus². The
+    least/greatest fold halves the output and keeps the matrix
+    symmetric-free.
+    """
+    from g_etl_spark.operators.text import fingerprint
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", fingerprint(F.col("text")).alias("h")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    return (
+        pairs.select(
+            F.least("a.source", "b.source").alias("source_a"),
+            F.greatest("a.source", "b.source").alias("source_b"),
+            F.col("a.h").alias("h"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("dup_pairs"),
+            F.countDistinct("h").alias("shared_fingerprints"),
+        )
+        .orderBy(F.desc("dup_pairs"), "source_a", "source_b")
+    )

@@ -1688,3 +1688,206 @@ def q89_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem=load(spark, sf_dir, "lineitem"),
         supplier=load(spark, sf_dir, "supplier"),
     )
+
+
+_Q94_SQL = """
+    SELECT o_year,
+           CAST(round(sum(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END)
+                      / sum(volume), 6) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+               n2.n_name AS nation
+        FROM {part} p
+        JOIN {lineitem} l ON p.p_partkey = l.l_partkey
+        JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+        JOIN {orders} o ON l.l_orderkey = o.o_orderkey
+        JOIN {customer} c ON o.o_custkey = c.c_custkey
+        JOIN {nation} n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN {region} r ON n1.n_regionkey = r.r_regionkey
+        JOIN {nation} n2 ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+          AND p.p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+
+@register(
+    "q94_market_share",
+    oracle=_Q94_SQL.replace("{part}", "part")
+    .replace("{lineitem}", "lineitem")
+    .replace("{supplier}", "supplier")
+    .replace("{orders}", "orders")
+    .replace("{customer}", "customer")
+    .replace("{nation}", "nation")
+    .replace("{region}", "region"),
+)
+def q94_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): an 8-way snowflake join
+    where the SAME dimension (nation) joins twice under different
+    roles (customer side restricts the market, supplier side labels
+    the competitor), and the measure is a conditional-sum ratio.
+
+    Per-row volumes are exact decimals cast to double BEFORE the sum,
+    and the share is a double division rounded once — both engines
+    produce bit-identical IEEE results. Scale: every dim broadcasts;
+    lineitem takes the only shuffle (orderkey) and the p_type filter
+    semi-prunes it through the part join before that shuffle; the
+    final agg is 2 rows (one per year).
+    """
+    return spark.sql(
+        _Q94_SQL,
+        part=load(spark, sf_dir, "part"),
+        lineitem=load(spark, sf_dir, "lineitem"),
+        supplier=load(spark, sf_dir, "supplier"),
+        orders=load(spark, sf_dir, "orders"),
+        customer=load(spark, sf_dir, "customer"),
+        nation=load(spark, sf_dir, "nation"),
+        region=load(spark, sf_dir, "region"),
+    )
+
+
+_Q95_SQL = """
+    SELECT nation, o_year,
+           CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                    - CAST(p.p_retailprice AS DECIMAL(18,2)) * 0.1
+                      * CAST(l.l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,6)) AS amount
+        FROM {part} p
+        JOIN {lineitem} l ON p.p_partkey = l.l_partkey
+        JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+        JOIN {orders} o ON o.o_orderkey = l.l_orderkey
+        JOIN {nation} n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+
+@register(
+    "q95_product_profit",
+    oracle=_Q95_SQL.replace("{part}", "part")
+    .replace("{lineitem}", "lineitem")
+    .replace("{supplier}", "supplier")
+    .replace("{orders}", "orders")
+    .replace("{nation}", "nation"),
+)
+def q95_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year): LIKE
+    pattern filter on the part dimension ('%widget%' — this corpus's
+    p_name vocabulary), profit = revenue minus cost
+    as exact decimal arithmetic, grouped by every (nation, year).
+    partsupp is absent from this corpus, so cost stands in as
+    p_retailprice * 0.1 * quantity (same precedent as q34/Q2).
+
+    The whole profit expression stays DECIMAL until the final
+    rounded sum, so summation order cannot perturb the hash compare.
+    Scale: the LIKE prunes part before its join (pushed to the scan),
+    dims broadcast, lineitem shuffles once on orderkey; the agg is
+    |nations| x |years| rows.
+    """
+    return spark.sql(
+        _Q95_SQL,
+        part=load(spark, sf_dir, "part"),
+        lineitem=load(spark, sf_dir, "lineitem"),
+        supplier=load(spark, sf_dir, "supplier"),
+        orders=load(spark, sf_dir, "orders"),
+        nation=load(spark, sf_dir, "nation"),
+    )
+
+
+_Q98_SQL = """
+    WITH updates AS (
+        SELECT o.o_custkey AS c_custkey,
+               CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 0.01, 2) AS DOUBLE) AS delta
+        FROM {orders} o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+        GROUP BY o.o_custkey
+    )
+    SELECT c.c_custkey,
+           CAST(1 AS BIGINT) AS version,
+           CAST(round(CAST(c.c_acctbal AS DECIMAL(18,2)), 2) AS DOUBLE) AS acctbal,
+           (u.c_custkey IS NULL) AS is_current
+    FROM {customer} c
+    LEFT JOIN updates u ON c.c_custkey = u.c_custkey
+    UNION ALL
+    SELECT c.c_custkey,
+           CAST(2 AS BIGINT) AS version,
+           CAST(round(CAST(c.c_acctbal AS DECIMAL(18,2)) + CAST(u.delta AS DECIMAL(18,2)), 2) AS DOUBLE) AS acctbal,
+           TRUE AS is_current
+    FROM {customer} c
+    JOIN updates u ON c.c_custkey = u.c_custkey
+    ORDER BY c_custkey, version
+"""
+
+
+@register(
+    "q98_scd2_merge",
+    oracle=_Q98_SQL.replace("{orders}", "orders").replace("{customer}", "customer"),
+)
+def q98_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge (the warehouse upsert
+    shape Spark's plain parquet lacks a MERGE INTO for): a batch of
+    per-customer balance updates closes the current version (old row
+    kept, is_current=false) and appends a new current version;
+    untouched customers keep their single current row.
+
+    Semantics match the SQL oracle exactly: version 1 is every
+    customer's original row (current only if no update arrived),
+    version 2 exists only for updated customers. All balance math is
+    decimal until the final rounded cast.
+
+    Scale: this is one custkey-grouped agg over the update window +
+    one broadcast-or-shuffle join against the dimension, then a
+    union — the same plan MERGE INTO compiles to in lakehouse
+    engines; at 100 TB the dimension join shuffles on the same key
+    the agg just produced, so AQE reuses the partitioning.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    updates = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 0.01, 2
+            )
+            .cast("double")
+            .alias("delta")
+        )
+    )
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    v1 = (
+        c.join(updates, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.lit(1).cast("long").alias("version"),
+            F.round(bal, 2).cast("double").alias("acctbal"),
+            F.col("delta").isNull().alias("is_current"),
+        )
+    )
+    v2 = (
+        c.join(updates, "c_custkey", "inner")
+        .select(
+            "c_custkey",
+            F.lit(2).cast("long").alias("version"),
+            F.round(bal + F.col("delta").cast("decimal(18,2)"), 2)
+            .cast("double")
+            .alias("acctbal"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    return v1.unionByName(v2).orderBy("c_custkey", "version")

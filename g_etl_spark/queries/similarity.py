@@ -264,3 +264,99 @@ def q72_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("q_cosine"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "q97_semantic_cluster_assign",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id AS cid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT e.vec_id, c.cid,
+               round(list_aggregate(list_transform(range(1, 65),
+                                                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]),
+                                    'sum')
+                     / (sqrt(list_aggregate(list_transform(e.embedding,
+                                                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                            'sum'))
+                        * sqrt(list_aggregate(list_transform(c.cv, x -> x * x), 'sum'))),
+                     3) AS cosine
+        FROM embeddings e, c
+    ),
+    best AS (
+        SELECT vec_id, cid, cosine,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cid) AS rn
+        FROM scored
+    )
+    SELECT cid AS cluster_id,
+           count(*)             AS n_members,
+           round(min(cosine), 3) AS min_cos,
+           round(max(cosine), 3) AS max_cos
+    FROM best WHERE rn = 1
+    GROUP BY cid
+    ORDER BY cid
+    """,
+)
+def q97_semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering assignment (the SemDeDup first stage:
+    partition the corpus by nearest centroid, then dedup WITHIN
+    clusters so the pairwise phase is n²/k, not n²): every vector is
+    assigned to its nearest of k=8 fixed seed centroids (the stored
+    embeddings of vec_id 0-7) by cosine, ties broken by centroid id.
+
+    Scale: the centroid table broadcasts (k rows), the scan computes
+    k cosines per row JVM-side (zip_with/aggregate — no Python), and
+    the argmax is a size-k per-row reduction, NOT a window over the
+    corpus: one narrow shuffle for the final per-cluster rollup. At
+    100 TB with k in the thousands this becomes the IVF coarse
+    quantizer already benched in operators/similarity_ml.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cast_d = lambda col: F.transform(col, lambda x: x.cast("double"))  # noqa: E731
+    cents = (
+        e.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), cast_d(F.col("embedding")).alias("cv"))
+    )
+    dot = F.aggregate(
+        F.zip_with(cast_d(F.col("embedding")), F.col("cv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(cast_d(col), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cid",
+            F.round(dot / (norm(F.col("embedding")) * norm(F.col("cv"))), 3).alias(
+                "cosine"
+            ),
+        )
+    )
+    # per-row argmax over k candidates: max_by with a composite
+    # (cosine, -cid) preference — no corpus-wide window sort
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cosine"), (-F.col("cid")).alias("neg_cid"))).alias("b")
+    ).select(
+        "vec_id",
+        (-F.col("b.neg_cid")).alias("cluster_id"),
+        F.col("b.cosine").alias("cosine"),
+    )
+    return (
+        best.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.min("cosine"), 3).alias("min_cos"),
+            F.round(F.max("cosine"), 3).alias("max_cos"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -749,3 +749,111 @@ def q85_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q96_boilerplate_grams",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, string_split(trim(text), ' ') AS ws
+        FROM documents
+    ),
+    doc_grams AS (
+        SELECT DISTINCT doc_id, source,
+               unnest(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i + 1])) AS gram
+        FROM toks
+    ),
+    src_docs AS (
+        SELECT source, count(DISTINCT doc_id) AS n_docs FROM doc_grams GROUP BY source
+    ),
+    gram_df AS (
+        SELECT source, gram, count(DISTINCT doc_id) AS df
+        FROM doc_grams GROUP BY source, gram
+    ),
+    boiler AS (
+        SELECT g.source, g.gram
+        FROM gram_df g JOIN src_docs s ON g.source = s.source
+        WHERE g.df * 5 >= s.n_docs
+    ),
+    per_doc AS (
+        SELECT d.doc_id, d.source,
+               count(*) AS total_grams,
+               count(b.gram) AS boiler_grams
+        FROM doc_grams d
+        LEFT JOIN boiler b ON d.source = b.source AND d.gram = b.gram
+        GROUP BY d.doc_id, d.source
+    )
+    SELECT p.source,
+           count(*)                                    AS n_docs,
+           (SELECT count(*) FROM boiler b WHERE b.source = p.source) AS n_boiler_grams,
+           round(avg(CAST(boiler_grams AS DOUBLE) / total_grams), 4) AS avg_boiler_frac
+    FROM per_doc p
+    GROUP BY p.source
+    ORDER BY p.source
+    """,
+)
+def q96_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source boilerplate detection (the RefinedWeb/CCNet
+    repeated-line filter, at gram granularity since this corpus has
+    no line structure): a bigram present in >=20% of a source's
+    documents is template boilerplate (threshold calibrated to this
+    corpus's bigram df distribution — max df is 32%); report per source how much of
+    each document it covers.
+
+    Scale: one (source, gram) shuffle over DISTINCT doc-grams — the
+    explode never materializes duplicate grams per doc — then a
+    broadcast-sized boiler set joins back. At 100 TB the gram
+    dictionary per source is bounded by template size, not corpus
+    size, and the whole pipeline is two hash aggregations + one join
+    on pre-aggregated relations; all array work is JVM-side lambdas.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split(F.trim("text"), " ").alias("ws")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("ws") - 2),
+        lambda i: F.concat_ws(" ", F.element_at("ws", i + 1), F.element_at("ws", i + 2)),
+    )
+    doc_grams = (
+        d.select("doc_id", "source", F.explode(grams).alias("gram")).distinct()
+    )
+    src_docs = doc_grams.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    gram_df = doc_grams.groupBy("source", "gram").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    boiler = (
+        gram_df.join(F.broadcast(src_docs), "source")
+        .filter(F.col("df") * 5 >= F.col("n_docs"))
+        .select("source", "gram")
+    )
+    n_boiler = boiler.groupBy("source").agg(F.count(F.lit(1)).alias("n_boiler_grams"))
+    per_doc = (
+        doc_grams.join(
+            boiler.withColumn("is_boiler", F.lit(1)), ["source", "gram"], "left"
+        )
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("total_grams"),
+            F.count("is_boiler").alias("boiler_grams"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.avg(F.col("boiler_grams").cast("double") / F.col("total_grams")), 4
+            ).alias("avg_boiler_frac"),
+        )
+        .join(F.broadcast(n_boiler), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_boiler_grams", F.lit(0)).alias("n_boiler_grams"),
+            "avg_boiler_frac",
+        )
+        .orderBy("source")
+    )
