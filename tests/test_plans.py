@@ -268,3 +268,56 @@ def test_q82_disjunction_factors_to_both_scans(spark, qs):
     # lineitem scan: the quantity disjunction pushed independently
     assert "And(GreaterThanOrEqual(l_quantity,1.0)" in plan
     assert "LessThanOrEqual(l_quantity,30.0)" in plan
+
+
+def test_q94_dims_broadcast_filters_pushed(spark, qs):
+    """Q8 shape: both role-joins of nation broadcast, and the two
+    selective dim filters reach their scans — the lineitem side keeps
+    the only real shuffle."""
+    plan = plan_of(qs["q94_market_share"](spark, SF_DIR))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "EqualTo(p_type,ECONOMY)" in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_q95_like_filter_reaches_part_scan(spark, qs):
+    """Q9 shape: the p_name LIKE '%widget%' predicate must be a
+    pushed StringContains at the part scan, pruning the fan-out
+    before any join."""
+    plan = plan_of(qs["q95_product_profit"](spark, SF_DIR))
+    assert "StringContains(p_name,widget)" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_q96_boilerplate_stays_jvm_side(spark, qs):
+    plan = plan_of(qs["q96_boilerplate_grams"](spark, SF_DIR))
+    assert "EvalPython" not in plan, "array lambdas fell off the JVM path"
+
+
+def test_q97_cluster_assign_no_window_no_python(spark, qs):
+    """The per-row argmax must be a size-k reduction after a
+    broadcast of the k centroids — no corpus-wide window sort, no
+    Python in the cosine math."""
+    plan = plan_of(qs["q97_semantic_cluster_assign"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan  # the k-row centroid attach
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_q98_scd2_pushes_update_window(spark, qs):
+    """The SCD2 merge's update-batch date window must reach the
+    orders scan, and the dimension meets the (small) update set as a
+    broadcast — the MERGE INTO plan shape."""
+    plan = plan_of(qs["q98_scd2_merge"](spark, SF_DIR))
+    assert "Union" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q99_overlap_join_is_hash_equi_join(spark, qs):
+    """The fingerprint self-join must be a hash equi-join on h (the
+    doc_id inequality as residual) — never a cartesian pair scan."""
+    plan = plan_of(qs["q99_source_overlap_matrix"](spark, SF_DIR))
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
