@@ -17,6 +17,7 @@ from collections.abc import Iterator
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -92,6 +93,107 @@ def fake_decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInPandas(_decode_batch, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    frame_bytes: int = 64,
+    every_n: int = 4,
+) -> DataFrame:
+    """Frame sampling: FAN-OUT mapInPandas — each input row yields one
+    output row per sampled frame (every ``every_n``-th fixed-size
+    chunk of the payload, the video-keyframe access pattern).
+
+    REAL DECODERS NOT AVAILABLE IN THIS CONTAINER: production swaps
+    the byte-slice "frame" for ffmpeg keyframe extraction inside the
+    same batch function; what this exercises for real is the
+    distributed shape — binary column in, Arrow batches through
+    Python once, a typed MULTI-ROW-PER-INPUT result out, partition
+    parallelism preserved (no shuffle: the fan-out happens inside the
+    map stage, exactly where a 100 TB video corpus needs it — frames
+    never travel, only their features do).
+    """
+
+    def _sample_batch(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, sizes, md5s = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = (len(raw) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n_frames, every_n):
+                    chunk = raw[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    ids.append(int(doc_id))
+                    idxs.append(fi)
+                    sizes.append(len(chunk))
+                    md5s.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": pd.Series(sizes, dtype="int64"),
+                    "frame_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(_sample_batch, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def fake_resize(
+    df: DataFrame, id_col: str = "doc_id", target_w: int = 32, target_h: int = 32
+) -> DataFrame:
+    """Resize plumbing: binary-in → binary-OUT mapInPandas (the
+    round-trip shape a thumbnailing pipeline needs — decoded, resized,
+    re-encoded bytes leave the UDF as a binary column that writes
+    straight back to parquet).
+
+    Fake resize = truncate-or-pad the payload to target_w*target_h
+    bytes (deterministic); production swaps in PIL's
+    ``Image.resize`` + re-encode inside the same batch function.
+    """
+    size = target_w * target_h
+
+    def _resize_batch(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            raws = [bytes(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "payload": [
+                        (r + b"\x00" * size)[:size] for r in raws
+                    ],
+                    "width": pd.Series([target_w] * len(raws), dtype="int32"),
+                    "height": pd.Series([target_h] * len(raws), dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(_resize_batch, RESIZED_SCHEMA)
 
 
 def real_decode_stub(*_args, **_kwargs):

@@ -71,3 +71,36 @@ def q71_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     )
     return M.fake_decode_features(d).orderBy("doc_id")
+
+
+@register(
+    "q100_frame_sample",
+    oracle="""
+    WITH frames AS (
+        SELECT doc_id,
+               CAST(unnest(range(0, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 4)) AS INTEGER) AS frame_idx,
+               text
+        FROM documents
+        WHERE doc_id < 100
+    )
+    SELECT doc_id, frame_idx,
+           CAST(octet_length(encode(substr(text, frame_idx * 64 + 1, 64))) AS BIGINT) AS frame_bytes,
+           md5(substr(text, frame_idx * 64 + 1, 64)) AS frame_md5
+    FROM frames
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def q100_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe sampling over binary payloads: every 4th 64-byte
+    frame per document, FAN-OUT inside mapInPandas
+    (operators/multimodal.sample_frames) — one input row yields many
+    typed frame rows without any shuffle; frames are hashed in
+    Python, only features leave the executor. The fake frame decode
+    is a byte slice, so DuckDB reproduces it exactly (ascii corpus:
+    char offsets == byte offsets) and the whole fan-out contract is
+    hash-verified.
+    """
+    d = M.attach_binary_payload(
+        load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    )
+    return M.sample_frames(d).orderBy("doc_id", "frame_idx")

@@ -226,3 +226,24 @@ def test_logstar_matches_propagation_and_handles_long_chains(spark):
     labels = {r.node: r.component for r in G.connected_components_logstar(chain).collect()}
     assert set(labels) == set(range(120))
     assert set(labels.values()) == {0}
+
+
+def test_multimodal_resize_binary_roundtrip(spark):
+    """fake_resize: binary-in → binary-out mapInPandas; the output
+    payload is exactly target_w*target_h bytes, writes back to
+    parquet as BYTE_ARRAY, and survives a read round-trip."""
+    from g_etl_spark.operators import multimodal as M
+
+    d = M.attach_binary_payload(
+        spark.createDataFrame(
+            [(1, "abc"), (2, "x" * 5000)], "doc_id long, text string"
+        )
+    )
+    out = M.fake_resize(d, target_w=32, target_h=32)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows[1].payload) == 32 * 32 == len(rows[2].payload)
+    assert rows[1].width == 32 and rows[1].height == 32
+    # truncate-or-pad semantics
+    assert bytes(rows[1].payload[:3]) == b"abc"
+    assert bytes(rows[2].payload) == b"x" * 1024
+    assert dict(out.dtypes)["payload"] == "binary"
