@@ -603,3 +603,124 @@ def q99_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("dup_pairs"), "source_a", "source_b")
     )
+
+
+_Q101_EDGES_SQL = """
+    SELECT DISTINCT least(l1.l_partkey, l2.l_partkey)    AS a,
+                    greatest(l1.l_partkey, l2.l_partkey) AS b
+    FROM lineitem l1
+    JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+"""
+
+
+@register(
+    "q101_copurchase_triangles",
+    oracle=f"""
+    WITH edges AS ({_Q101_EDGES_SQL})
+    SELECT (SELECT count(*) FROM edges)                      AS n_edges,
+           (SELECT count(DISTINCT a) FROM (SELECT a FROM edges UNION ALL SELECT b FROM edges) v(a)) AS n_vertices,
+           (SELECT count(*)
+            FROM edges e1
+            JOIN edges e2 ON e1.b = e2.a
+            JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)    AS n_triangles
+    """,
+)
+def q101_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the co-purchase graph (parts appearing
+    in the same order) — the graph-analytics primitive behind
+    clustering-coefficient / community features, distinct from the
+    component-finding family (q56/q76).
+
+    The edge orientation a < b makes each triangle count exactly once
+    via the standard two-join wedge-close: e1=(a,b), e2=(b,c) closes
+    iff (a,c) is an edge — no permutation dedup needed.
+
+    Scale: the per-order pair fan-out is Σ lines² per order (bounded
+    by basket size, never corpus²); the wedge join shuffles edges
+    twice on part keys. Degree-skewed parts are exactly what AQE's
+    skew-join split handles; the orientation trick also keeps
+    high-degree hubs on the small side of most wedges.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    edges = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(
+            F.col("l1.l_partkey").alias("a"),
+            F.col("l2.l_partkey").alias("b"),
+        )
+        .distinct()
+    )
+    edges = edges.persist()
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+    tris = wedges.join(
+        e3,
+        (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+    )
+    verts = edges.select(F.col("a").alias("v")).unionAll(
+        edges.select(F.col("b").alias("v"))
+    )
+    n_edges = edges.count()
+    n_vertices = verts.distinct().count()
+    n_triangles = tris.count()
+    edges.unpersist()
+    return spark.createDataFrame(
+        [(n_edges, n_vertices, n_triangles)],
+        "n_edges bigint, n_vertices bigint, n_triangles bigint",
+    )
+
+
+@register(
+    "q102_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               -- Efraimidis-Spirakis key u^(1/w) with a deterministic
+               -- integer-hash u (identical arithmetic cross-engine)
+               pow(CAST((doc_id * 2654435761) % 2147483647 AS DOUBLE) / 2147483647.0,
+                   1.0 / n_chars) AS k
+        FROM documents
+    )
+    SELECT CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS BIGINT) AS rank,
+           doc_id, n_chars
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q102_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES, Inf. Proc. Letters 2006): each row draws key u^(1/weight)
+    from a deterministic per-row uniform u, and the global top-k by
+    key IS a weighted sample — longer documents proportionally more
+    likely, reproducible across engines and runs.
+
+    The float key is used only for ORDERING (doc_id tiebreak); the
+    emitted columns are integers, so the hash compare never rides on
+    pow() ulps. Scale: map-only key computation + TakeOrdered top-k —
+    the same one-pass shape as q17/q48; this is THE distributed
+    weighted-subsampling op (quality-weighted corpus thinning) at any
+    corpus size.
+    """
+    d = load(spark, sf_dir, "documents")
+    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483647)).cast(
+        "double"
+    ) / F.lit(2147483647.0)
+    k = F.pow(u, F.lit(1.0) / F.col("n_chars"))
+    from pyspark.sql import Window
+
+    keyed = d.select("doc_id", "n_chars", k.alias("k"))
+    top = keyed.orderBy(F.desc("k"), "doc_id").limit(20)
+    w = Window.orderBy(F.desc("k"), "doc_id")
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("rank", "doc_id", "n_chars")
