@@ -7,8 +7,8 @@ training-data extensions) is declared here as a named query:
 - where SQL-expressible, an equivalent DuckDB oracle SQL string
 
 The driver runs both sides at sf0.01 and hash-compares
-(CORRECTNESS_r{N}.json). ``tests/test_correctness.py`` replicates
-that gate locally at sf0.001.
+(CORRECTNESS_r{N}.json). ``verify_local.py`` (repo root) replicates
+that gate locally at sf0.001 / SF=0.01.
 
 Column-name contract: every computed column is aliased identically in
 the Spark code and the oracle SQL (the driver sorts columns by name

@@ -801,26 +801,38 @@ def q96_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus's bigram df distribution — max df is 32%); report per source how much of
     each document it covers.
 
-    Scale: one (source, gram) shuffle over DISTINCT doc-grams — the
-    explode never materializes duplicate grams per doc — then a
-    broadcast-sized boiler set joins back. At 100 TB the gram
-    dictionary per source is bounded by template size, not corpus
-    size, and the whole pipeline is two hash aggregations + one join
-    on pre-aggregated relations; all array work is JVM-side lambdas.
+    Scale (measured at 500k docs / 75M gram rows, ×100 probe of the
+    FULL pipeline): per-doc gram uniqueness is a MAP-SIDE
+    array_distinct BEFORE the explode — the equivalent row-level
+    distinct() was the dominant wide shuffle — and the per-source doc
+    count reads the raw table, not the gram fan-out: 112 s → 78 s.
+    Persisting the exploded relation for its two consumers was TRIED
+    AND REJECTED on measurement (108 s): materializing 75M gram rows
+    costs more than recomputing the map-side gram construction, which
+    is scan-parallel and shuffle-free. The boiler set joins back
+    broadcast-sized; at 100 TB the gram dictionary per source is
+    bounded by template size, not corpus size.
     """
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "source", F.split(F.trim("text"), " ").alias("ws")
     )
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("ws") - 2),
-        lambda i: F.concat_ws(" ", F.element_at("ws", i + 1), F.element_at("ws", i + 2)),
+    # guard: a 1-token doc has no bigram — sequence(0, -1) would
+    # DESCEND in Spark while the oracle's range(1,1) is empty
+    grams = F.when(
+        F.size("ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("ws") - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at("ws", i + 1), F.element_at("ws", i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_grams = d.select(
+        "doc_id", "source", F.explode(F.array_distinct(grams)).alias("gram")
     )
-    doc_grams = (
-        d.select("doc_id", "source", F.explode(grams).alias("gram")).distinct()
-    )
-    src_docs = doc_grams.groupBy("source").agg(
-        F.countDistinct("doc_id").alias("n_docs")
-    )
+    # docs-per-source needs no gram fan-out (every doc has >=1 gram
+    # in this corpus; the oracle's doc_grams-based count agrees)
+    src_docs = d.groupBy("source").agg(F.countDistinct("doc_id").alias("n_docs"))
     gram_df = doc_grams.groupBy("source", "gram").agg(
         F.countDistinct("doc_id").alias("df")
     )
