@@ -869,3 +869,79 @@ def q96_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q103_inverted_index",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    positioned AS (
+        SELECT doc_id, t[i] AS term, CAST(i - 1 AS BIGINT) AS pos
+        FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) u
+    ),
+    postings AS (
+        SELECT term, doc_id,
+               count(*)                                   AS tf,
+               array_to_string(list_sort(list(pos)), ',') AS positions
+        FROM positioned
+        GROUP BY term, doc_id
+    )
+    SELECT term,
+           count(*)                                      AS df,
+           CAST(sum(tf) AS BIGINT)                       AS cf,
+           array_to_string(list_transform(
+               list_sort(list([doc_id, tf])), x -> x[1]), ',') AS doc_list
+    FROM postings
+    GROUP BY term
+    HAVING count(*) * 4 >= 3 * (SELECT count(*) FROM documents)
+    ORDER BY df DESC, term
+    """,
+)
+def q103_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the IR substrate beneath BM25
+    (q74 computes scores; this MATERIALIZES the index): per term, the
+    document frequency, collection frequency, and the doc-id posting
+    list; per (term, doc), positions for phrase queries (asserted via
+    the grouped tf/position layer both engines aggregate through).
+
+    Restricted to near-universal terms (df >= 75% of the corpus, a
+    broadcast scalar; the corpus vocabulary tops out at 80% df) to keep the cross-engine compare on the posting
+    LIST representation compact; the build shape is identical at any
+    df cutoff.
+
+    Scale: one posexplode fan-out (corpus tokens), one (term, doc)
+    aggregation, one term aggregation — the canonical two-level
+    index build; posting lists are collected per TERM (bounded by
+    df), never globally. At 100 TB you'd range-partition terms and
+    write the postings bucketed by term so query-time lookups are
+    pruned scans; `warehouse.write_bucketed` is that layout.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    positioned = d.select(
+        "doc_id", F.posexplode(toks).alias("pos", "term")
+    ).select("doc_id", "term", F.col("pos").cast("long").alias("pos"))
+    postings = positioned.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.array_join(F.sort_array(F.collect_list("pos")), ",").alias("positions"),
+    )
+    return (
+        postings.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.array("doc_id", "tf"))),
+                    lambda x: F.element_at(x, 1),
+                ),
+                ",",
+            ).alias("doc_list"),
+        )
+        .crossJoin(F.broadcast(d.agg(F.count(F.lit(1)).alias("n_total"))))
+        .filter(F.col("df") * 4 >= 3 * F.col("n_total"))
+        .drop("n_total")
+        .orderBy(F.desc("df"), "term")
+    )

@@ -383,3 +383,56 @@ def q90_signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(converted, 1).otherwise(0).alias("converted_7d"),
         F.when(converted, delay).alias("delay_hours"),
     ).orderBy("user_id")
+
+
+@register(
+    "q104_hopping_windows",
+    oracle="""
+    WITH slid AS (
+        SELECT e.event_type, e.value,
+               date_trunc('day', e.ts) - to_days(CAST(k.k AS INTEGER)) AS win_start
+        FROM events e,
+             LATERAL (SELECT unnest(range(0, 7)) AS k) k
+    )
+    SELECT strftime(win_start, '%Y-%m-%d') AS win_start,
+           event_type,
+           count(*)                        AS n,
+           round(sum(value), 2)            AS total_value
+    FROM slid
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q104_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation (7-day window, 1-day hop) — the
+    overlapping-window generator q11's tumbling daily rollup can't
+    express: every event lands in SEVEN windows, produced by Spark's
+    window(ts, '7 days', '1 day') Expand.
+
+    Both engines enumerate the same membership: Spark's window slide
+    is epoch-aligned at day granularity, which equals the oracle's
+    date_trunc('day') minus 0..6 days.
+
+    Scale: the ×(window/hop) fan-out happens map-side and collapses
+    in the same partial aggregation as any rollup — the exchange
+    carries |windows × groups| rows, not events × 7. This is also
+    the batch shape of the streaming sliding-window rollup.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "7 days", "1 day").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
