@@ -436,3 +436,51 @@ def q104_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_start", "event_type")
     )
+
+
+@register(
+    "q105_salted_skew_agg",
+    oracle="""
+    WITH skewed AS (
+        SELECT CASE WHEN event_id % 10 < 8 THEN 'HOT' ELSE event_type END AS k,
+               value
+        FROM events
+    )
+    SELECT k, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM skewed
+    GROUP BY k
+    ORDER BY k
+    """,
+)
+def q105_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation under the oracle: 80% of rows
+    are forced onto one HOT key, then aggregated via the salted
+    pattern (operators/joins.salted_count shape — group on
+    (key, salt) so the hot key spreads over 16 reducers, then merge
+    per key). The result is provably identical to the direct GROUP BY
+    the oracle runs; what changes is the physical distribution.
+
+    Scale: THE mitigation for skewed grid cells / group keys that
+    AQE's join-split can't help (it only splits joins): reducer input
+    is bounded by |partition|/buckets for any key frequency. sum and
+    count are algebraic, so the rand() salt is retry-safe.
+    """
+    e = load(spark, sf_dir, "events")
+    skewed = e.select(
+        F.when(F.col("event_id") % 10 < 8, F.lit("HOT"))
+        .otherwise(F.col("event_type"))
+        .alias("k"),
+        "value",
+    )
+    salted = skewed.withColumn("_salt", (F.rand(seed=42) * 16).cast("int"))
+    partial = salted.groupBy("k", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("value").alias("_v")
+    )
+    return (
+        partial.groupBy("k")
+        .agg(
+            F.sum("_n").cast("long").alias("n"),
+            F.round(F.sum("_v"), 2).alias("total_value"),
+        )
+        .orderBy("k")
+    )
