@@ -148,13 +148,16 @@ def test_state_skip_and_force(spark, warehouse_dir):
         fx.POINT_SCHEMA,
         {"source_id_column": "$NVRID", "klass": "naturminne", "leverantor": "nvv"},
     )
-    assert runner.run_dataset(cfg).status == "skipped"
+    r = runner.run_dataset(cfg)
+    assert r.status == "skipped", (r.status, r.error)
     # changed mapping -> checksum differs -> re-runs
     cfg2 = DatasetConfig(**{**cfg.__dict__, "field_mapping": {
         "source_id_column": "$NVRID", "klass": "x", "leverantor": "nvv"}})
-    assert runner.run_dataset(cfg2).status == "ok"
+    r2 = runner.run_dataset(cfg2)
+    assert r2.status == "ok", (r2.status, r2.error)
     # restore original state for other tests
-    assert runner.run_dataset(cfg, force=True).status == "ok"
+    r3 = runner.run_dataset(cfg, force=True)
+    assert r3.status == "ok", (r3.status, r3.error)
 
 
 def test_query_polygon_modes(spark, warehouse_dir):
