@@ -638,9 +638,15 @@ def q101_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the per-order pair fan-out is Σ lines² per order (bounded
     by basket size, never corpus²); the wedge join shuffles edges
-    twice on part keys. Degree-skewed parts are exactly what AQE's
-    skew-join split handles; the orientation trick also keeps
-    high-degree hubs on the small side of most wedges.
+    twice on part keys. Degree-ORDERED orientation (count each
+    triangle at its lowest-degree vertex — the classic wedge
+    reducer) was TRIED AND REJECTED on measurement for this corpus:
+    at sf0.1 (1.2M edges) it cut wedges only 49.28M → 49.19M and ran
+    SLOWER (12.0 s vs 11.1 s) because the co-purchase degree
+    distribution is near-uniform, so the extra degree join buys
+    nothing. On a power-law graph the same plan with the
+    when(deg...)-swapped orientation is the right variant; AQE's
+    skew-join split covers the hub keys either way.
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     l1 = li.alias("l1")
