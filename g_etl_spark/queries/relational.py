@@ -1891,3 +1891,153 @@ def q98_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return v1.unionByName(v2).orderBy("c_custkey", "version")
+
+
+@register(
+    "q106_hierarchy_closure",
+    oracle="""
+    WITH RECURSIVE walk AS (
+        SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth FROM part
+        UNION ALL
+        SELECT node, CAST(floor(cur / 2) AS BIGINT), depth + 1
+        FROM walk WHERE cur > 1
+    ),
+    depths AS (
+        SELECT node, CAST(max(depth) AS BIGINT) AS depth FROM walk GROUP BY node
+    )
+    SELECT depth, count(*) AS n_nodes, min(node) AS min_node, max(node) AS max_node
+    FROM depths
+    GROUP BY depth
+    ORDER BY depth
+    """,
+)
+def q106_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive hierarchy traversal (BOM explosion / org-chart
+    depth) — the RECURSIVE CTE Spark's SQL dialect lacks, provided as
+    an operator: every part sits in the binary tree parent(p) =
+    floor(p/2); compute each node's depth to the root.
+
+    Spark-first shape: POINTER JUMPING, not per-level recursion —
+    each round joins the (node → ancestor, distance) relation with
+    itself so ancestor pointers DOUBLE in reach: an 11-level
+    hierarchy converges in 4 rounds instead of 11 (the same O(log
+    depth) trick as q76's star operations), with per-round lineage
+    truncation (localCheckpoint) against plan blowup — the iterative-
+    operator discipline measured in operators/graph.py. The oracle is
+    the real recursive CTE in DuckDB.
+
+    Scale: each round is ONE self-equi-join on the ancestor key; the
+    relation never exceeds |nodes| rows. At 100 TB this is the only
+    viable closure shape — per-level loops are O(depth) full scans.
+    """
+    nodes = (
+        load(spark, sf_dir, "part")
+        .select(F.col("p_partkey").alias("node"))
+        .distinct()
+    )
+    is_root = F.col("node") <= 1
+    lab = nodes.select(
+        "node",
+        F.when(is_root, F.col("node"))
+        .otherwise(F.floor(F.col("node") / 2).cast("long"))
+        .alias("anc"),
+        F.when(is_root, F.lit(0)).otherwise(F.lit(1)).cast("long").alias("d"),
+    ).localCheckpoint()
+    # pointer jumping: anc <- anc(anc), d <- d + d(anc); roots fix
+    for _ in range(8):  # 2^8 levels >> any partkey hierarchy here
+        if lab.filter(F.col("anc") > 1).isEmpty():
+            break
+        left = lab.alias("l")
+        right = lab.select(
+            F.col("node").alias("r_node"),
+            F.col("anc").alias("r_anc"),
+            F.col("d").alias("r_d"),
+        ).alias("r")
+        lab = (
+            left.join(right, F.col("l.anc") == F.col("r_node"))
+            .select(
+                F.col("l.node").alias("node"),
+                F.col("r_anc").alias("anc"),
+                (F.col("l.d") + F.col("r_d")).alias("d"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        lab.groupBy(F.col("d").alias("depth"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("depth")
+    )
+
+
+_Q107_SQL = """
+    WITH names AS (
+        SELECT DISTINCT p_name FROM {part}
+    ),
+    blocked AS (
+        SELECT a.p_name AS name_a, b.p_name AS name_b
+        FROM names a
+        JOIN names b
+          ON {noun_a} = {noun_b}
+         AND a.p_name < b.p_name
+         AND abs(length(a.p_name) - length(b.p_name)) <= 3
+    )
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+    FROM blocked
+    WHERE levenshtein(name_a, name_b) <= 3
+    ORDER BY dist, name_a, name_b
+"""
+
+
+@register(
+    "q107_fuzzy_name_join",
+    oracle=_Q107_SQL.replace("{part}", "part")
+    .replace("{noun_a}", "string_split(a.p_name, ' ')[-1]")
+    .replace("{noun_b}", "string_split(b.p_name, ' ')[-1]"),
+)
+def q107_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate string self-join (entity-resolution shape): name
+    pairs within edit distance 3, found WITHOUT the all-pairs scan —
+    a BLOCKING key (the name's last token) turns the O(n²)
+    comparison into per-block candidate sets, with the cheap length
+    filter (|len(a)-len(b)| ≤ maxdist, a levenshtein lower bound)
+    pruning before the expensive distance.
+
+    Scale: this is the canonical fuzzy-dedup join discipline —
+    levenshtein() is JVM built-in on both engines; candidates are
+    Σ block² (bounded by block cardinality), never corpus²; at
+    100 TB the block key shuffles once and hot blocks split under
+    AQE. Same pattern as the LSH families, with an exact distance
+    instead of a probabilistic signature.
+    """
+    names = (
+        load(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    noun = lambda c: F.element_at(F.split(c, " "), -1)  # noqa: E731
+    a = names.select(
+        F.col("p_name").alias("name_a"), noun(F.col("p_name")).alias("block_a")
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), noun(F.col("p_name")).alias("block_b")
+    )
+    pairs = a.join(
+        b,
+        (F.col("block_a") == F.col("block_b"))
+        & (F.col("name_a") < F.col("name_b"))
+        & (
+            F.abs(F.length("name_a") - F.length("name_b")) <= 3
+        ),
+    )
+    return (
+        pairs.select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= 3)
+        .orderBy("dist", "name_a", "name_b")
+    )
