@@ -484,3 +484,94 @@ def q105_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+_PSI_BUCKET = """CASE
+        WHEN value < 5 THEN 0 WHEN value < 15 THEN 1 WHEN value < 35 THEN 2
+        WHEN value < 70 THEN 3 WHEN value < 115 THEN 4 ELSE 5 END"""
+
+
+@register(
+    "q109_psi_drift",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'base' ELSE 'cur' END AS win,
+               {_PSI_BUCKET} AS bucket
+        FROM events
+    ),
+    counts AS (
+        SELECT win, bucket, count(*) AS n FROM bucketed GROUP BY win, bucket
+    ),
+    tot AS (SELECT win, sum(n) AS t FROM counts GROUP BY win),
+    frac AS (
+        SELECT c.bucket, c.win, CAST(c.n AS DOUBLE) / t.t AS p
+        FROM counts c JOIN tot t ON c.win = t.win
+    ),
+    sides AS (
+        SELECT bucket,
+               max(CASE WHEN win = 'base' THEN p END) AS p_base,
+               max(CASE WHEN win = 'cur' THEN p END)  AS p_cur
+        FROM frac GROUP BY bucket
+    )
+    SELECT CAST(bucket AS BIGINT)  AS bucket,
+           round(p_base, 6)        AS p_base,
+           round(p_cur, 6)         AS p_cur,
+           round((p_cur - p_base) * ln(p_cur / p_base), 6) AS psi_term
+    FROM sides
+    ORDER BY bucket
+    """,
+)
+def q109_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring (Population Stability Index) —
+    the data-quality gate a continuously-ingesting training pipeline
+    runs between corpus snapshots: bucket the metric on FIXED edges,
+    compare first-half vs second-half window shares, and emit each
+    bucket's PSI term ((p_cur − p_base)·ln(p_cur/p_base); Σ > 0.2 is
+    the standard "investigate" threshold).
+
+    Fixed literal bucket edges (calibrated to this corpus's deciles)
+    rather than learned quantiles keep the monitor deterministic and
+    cross-engine identical — exactly how a production monitor pins
+    its reference binning at baseline time.
+
+    Scale: one scan, map-side CASE bucketing, one tiny two-key agg —
+    the exchange carries windows × buckets rows. The same plan
+    monitors any column at any corpus size.
+    """
+    e = load(spark, sf_dir, "events")
+    win = F.when(
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp"), F.lit("base")
+    ).otherwise(F.lit("cur"))
+    bucket = (
+        F.when(F.col("value") < 5, 0)
+        .when(F.col("value") < 15, 1)
+        .when(F.col("value") < 35, 2)
+        .when(F.col("value") < 70, 3)
+        .when(F.col("value") < 115, 4)
+        .otherwise(5)
+    )
+    counts = (
+        e.select(win.alias("win"), bucket.alias("bucket"))
+        .groupBy("win", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy("win")
+    frac = counts.select(
+        "bucket", "win", (F.col("n").cast("double") / F.sum("n").over(tot)).alias("p")
+    )
+    sides = frac.groupBy("bucket").agg(
+        F.max(F.when(F.col("win") == "base", F.col("p"))).alias("p_base"),
+        F.max(F.when(F.col("win") == "cur", F.col("p"))).alias("p_cur"),
+    )
+    return sides.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.round("p_base", 6).alias("p_base"),
+        F.round("p_cur", 6).alias("p_cur"),
+        F.round(
+            (F.col("p_cur") - F.col("p_base"))
+            * F.log(F.col("p_cur") / F.col("p_base")),
+            6,
+        ).alias("psi_term"),
+    ).orderBy("bucket")
