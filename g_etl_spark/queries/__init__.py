@@ -69,7 +69,7 @@ _DRIVER_PRIORITY_PREFIXES = (
     # new in r3
     "q91_", "q92_", "q93_", "q94_", "q95_", "q96_", "q97_", "q98_", "q99_",
     "q100_", "q101_", "q102_", "q103_", "q104_", "q105_", "q106_", "q107_",
-    "q108_", "q109_",
+    "q108_", "q109_", "q110_", "q111_", "q112_",
 )
 
 

@@ -2041,3 +2041,212 @@ def q107_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 3)
         .orderBy("dist", "name_a", "name_b")
     )
+
+
+@register(
+    "q110_snapshot_diff",
+    oracle="""
+    WITH snap_a AS (
+        SELECT o_custkey AS k, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY o_custkey
+    ),
+    snap_b AS (
+        SELECT o_custkey AS k, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        GROUP BY o_custkey
+    )
+    SELECT CASE WHEN a.k IS NULL THEN 'added'
+                WHEN b.k IS NULL THEN 'removed'
+                WHEN a.n <> b.n OR a.total <> b.total THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           count(*)                           AS n_keys,
+           CAST(sum(coalesce(b.n, 0) - coalesce(a.n, 0)) AS BIGINT) AS row_delta
+    FROM snap_a a
+    FULL OUTER JOIN snap_b b ON a.k = b.k
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q110_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diffing (the CDC / dataset-versioning audit): two
+    per-key aggregates of the same table at two logical versions
+    (1995-97 vs 1998-2001 order windows — natural customer churn
+    exercises every class) FULL OUTER joined on the key, every key
+    classified added / removed / changed / unchanged with the net
+    row delta — what a pipeline reports when a corpus version bumps.
+
+    Scale: both snapshots group on the same key, so the outer join
+    reuses the aggregation partitioning (no extra exchange under
+    AQE); output is one row per change class. The same plan diffs
+    two parquet snapshot directories at 100 TB.
+    """
+    o = load(spark, sf_dir, "orders")
+
+    def snap(df):
+        return df.groupBy(F.col("o_custkey").alias("k")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+
+    cut = F.lit("1998-01-01").cast("timestamp")
+    a = snap(o.filter(F.col("o_orderdate") < cut)).alias("a")
+    b = snap(o.filter(F.col("o_orderdate") >= cut)).alias("b")
+    j = a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
+    change = (
+        F.when(F.col("a.k").isNull(), "added")
+        .when(F.col("b.k").isNull(), "removed")
+        .when(
+            (F.col("a.n") != F.col("b.n")) | (F.col("a.total") != F.col("b.total")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            change.alias("change_type"),
+            (
+                F.coalesce(F.col("b.n"), F.lit(0)) - F.coalesce(F.col("a.n"), F.lit(0))
+            ).alias("delta"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("delta").cast("long").alias("row_delta"),
+        )
+        .orderBy("change_type")
+    )
+
+
+@register(
+    "q111_data_profile",
+    oracle="""
+    SELECT 'o_totalprice' AS column_name,
+           count(*)                                   AS n_rows,
+           count(o_totalprice)                        AS n_nonnull,
+           count(DISTINCT o_totalprice)               AS n_distinct,
+           round(min(o_totalprice), 2)                AS min_val,
+           round(max(o_totalprice), 2)                AS max_val,
+           round(avg(o_totalprice), 4)                AS mean_val,
+           round(stddev_samp(o_totalprice), 4)        AS std_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           count(*), count(o_custkey), count(DISTINCT o_custkey),
+           round(min(o_custkey), 2), round(max(o_custkey), 2),
+           round(avg(o_custkey), 4), round(stddev_samp(o_custkey), 4)
+    FROM orders
+    ORDER BY column_name
+    """,
+)
+def q111_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the Deequ/TFX-style dataset summary a
+    pipeline materializes per snapshot): completeness, cardinality,
+    and moments per column, all in ONE pass per table — every stat
+    here is an algebraic aggregate, so Spark computes the full
+    profile in a single scan with map-side partials.
+
+    Scale: the profile costs one scan regardless of column count
+    (all aggregates fuse into one HashAggregate); count(DISTINCT) is
+    the only expansion and Spark plans the multi-distinct via Expand
+    in the same job. Swap HLL for the distinct at extreme
+    cardinality (operators/rollup.py).
+    """
+    o = load(spark, sf_dir, "orders")
+
+    def profile(col):
+        return o.select(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.round(F.min(col), 2).cast("double").alias("min_val"),
+            F.round(F.max(col), 2).cast("double").alias("max_val"),
+            F.round(F.avg(col), 4).alias("mean_val"),
+            F.round(F.stddev_samp(col), 4).alias("std_val"),
+        )
+
+    return profile("o_totalprice").unionByName(profile("o_custkey")).orderBy(
+        "column_name"
+    )
+
+
+@register(
+    "q112_constraint_violations",
+    oracle="""
+    SELECT 'orderdate_in_range' AS constraint_name,
+           count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1995-01-01'
+                               OR o_orderdate > TIMESTAMP '2001-12-31') AS n_violations,
+           count(*) AS n_checked
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_positive',
+           count(*) FILTER (WHERE o_totalprice <= 0),
+           count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'status_in_domain',
+           count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')),
+           count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique',
+           CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS BIGINT),
+           count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_referential',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+           count(*)
+    FROM orders
+    ORDER BY constraint_name
+    """,
+)
+def q112_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint checking (the Deequ verification suite
+    shape): range, sign, domain, uniqueness, and referential
+    integrity, each reported as violations over checked rows — the
+    gate a pipeline evaluates before publishing a snapshot.
+
+    Scale: the three row-local checks fuse into ONE scan (conditional
+    counts in a single aggregate); uniqueness is a two-level
+    distinct; the referential check is a LEFT ANTI join that
+    broadcasts the dimension's key column. Nothing here is worse
+    than one shuffle.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = o.count()
+    row_local = o.agg(
+        F.count(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") > F.lit("2001-12-31").cast("timestamp")),
+                1,
+            )
+        ).alias("orderdate_in_range"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("totalprice_positive"),
+        F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)).alias(
+            "status_in_domain"
+        ),
+    )
+    uniq = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v")
+    )
+    ref = o.join(
+        c.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_anti"
+    ).count()
+    rl = row_local.head()
+    uv = uniq.head().v
+    rows = [
+        ("orderdate_in_range", int(rl.orderdate_in_range), n),
+        ("totalprice_positive", int(rl.totalprice_positive), n),
+        ("status_in_domain", int(rl.status_in_domain), n),
+        ("orderkey_unique", int(uv), n),
+        ("custkey_referential", int(ref), n),
+    ]
+    return spark.createDataFrame(
+        rows, "constraint_name string, n_violations bigint, n_checked bigint"
+    ).orderBy("constraint_name")
