@@ -321,3 +321,43 @@ def test_q99_overlap_join_is_hash_equi_join(spark, qs):
     plan = plan_of(qs["q99_source_overlap_matrix"](spark, SF_DIR))
     assert "Cartesian" not in plan and "NestedLoop" not in plan
     assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q107_fuzzy_join_blocks_before_levenshtein(spark, qs):
+    """The fuzzy join must be a hash equi-join on the blocking key
+    (levenshtein as post-join projection/filter) — never a cartesian
+    over all name pairs."""
+    plan = plan_of(qs["q107_fuzzy_name_join"](spark, SF_DIR))
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "levenshtein" in plan
+
+
+def test_q110_snapshot_diff_is_full_outer_hash_join(spark, qs):
+    plan = plan_of(qs["q110_snapshot_diff"](spark, SF_DIR))
+    assert "FullOuter" in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    # both snapshot windows reach the orders scan as pushed filters
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q111_profile_is_single_scan_per_branch(spark, qs):
+    """Every profiled stat must fuse into the same aggregate over one
+    scan (per union branch) — a profiler that rescans per stat is
+    wrong at any scale."""
+    import re
+
+    plan = plan_of(qs["q111_data_profile"](spark, SF_DIR))
+    # formatted explain lists each node in the tree AND the details
+    # section: 4 matches == 2 physical scans == one per union branch
+    assert len(re.findall(r"Scan parquet", plan)) <= 4
+    assert "stddev_samp" in plan
+
+
+def test_q109_psi_is_map_side_bucketing(spark, qs):
+    """The drift monitor's bucketing must be a scan-stage CASE (no
+    join, no Python); the only exchanges are the two-key agg + window
+    + orderBy."""
+    plan = plan_of(qs["q109_psi_drift"](spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
