@@ -12,16 +12,26 @@ from g_etl_spark.queries import register
 from g_etl_spark.tables import load
 
 
-def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float] | None:
     """The query vector = stored embedding of vec_id 0 (bounded
-    driver fetch of one row; both engines read the same value)."""
+    driver fetch of one row; both engines read the same value).
+    None on an empty corpus — callers return a schema-correct empty
+    result instead of crashing (the empty-partition contract,
+    tests/test_empty_corpus.py)."""
     row = (
         load(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == 0)
         .select("embedding")
         .head()
     )
-    return [float(x) for x in row[0]]
+    return None if row is None else [float(x) for x in row[0]]
+
+
+_TOPK_SCHEMA = "vec_id bigint, cosine double"
+
+
+def _empty(spark: SparkSession, schema: str) -> DataFrame:
+    return spark.createDataFrame([], schema)
 
 
 @register(
@@ -53,7 +63,10 @@ def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.cosine_topk): one scan, zip_with/aggregate
     dot product JVM-side, TakeOrdered top-k — no global sort."""
     e = load(spark, sf_dir, "embeddings")
-    return S.cosine_topk(e, _query_vector(spark, sf_dir), k=10)
+    q = _query_vector(spark, sf_dir)
+    if q is None:
+        return _empty(spark, _TOPK_SCHEMA)
+    return S.cosine_topk(e, q, k=10)
 
 
 def _srp_bucket_sql(n_planes: int = 6, dim: int = 64) -> str:
@@ -105,7 +118,10 @@ def q61_ann_srp_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplanes are md5-derived Python constants embedded as literals
     in BOTH engines, so even the LSH path is fully oracle-checked."""
     e = load(spark, sf_dir, "embeddings")
-    return S.ann_topk_srp(e, _query_vector(spark, sf_dir), k=10, n_planes=6)
+    q = _query_vector(spark, sf_dir)
+    if q is None:
+        return _empty(spark, _TOPK_SCHEMA)
+    return S.ann_topk_srp(e, q, k=10, n_planes=6)
 
 
 @register(
@@ -173,9 +189,13 @@ def q63_semantic_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts it into the documents scan."""
     from g_etl_spark.tables import load as load_t
 
-    top = S.cosine_topk(
-        load_t(spark, sf_dir, "embeddings"), _query_vector(spark, sf_dir), k=10
-    )
+    q = _query_vector(spark, sf_dir)
+    if q is None:
+        return _empty(
+            spark,
+            _TOPK_SCHEMA + ", lang string, source string, snippet string",
+        )
+    top = S.cosine_topk(load_t(spark, sf_dir, "embeddings"), q, k=10)
     docs = load_t(spark, sf_dir, "documents")
     return (
         F.broadcast(top)
@@ -239,7 +259,10 @@ def q72_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "embeddings")
     quant = e.select("vec_id", S.quantize_int8(F.col("embedding")).alias("qv"))
-    qv = quant.filter(F.col("vec_id") == 0).select("qv").head()[0]
+    qrow = quant.filter(F.col("vec_id") == 0).select("qv").head()
+    if qrow is None:
+        return _empty(spark, _TOPK_SCHEMA)
+    qv = qrow[0]
     lit_q = F.array(*[F.lit(int(x)) for x in qv])
     dot = F.aggregate(
         F.zip_with(F.col("qv"), lit_q, lambda x, y: x.cast("double") * y.cast("double")),
