@@ -47,3 +47,29 @@ def test_query_survives_empty_corpus(spark, empty_dir, name):
     qs = load_queries()
     rows = qs[name](spark, empty_dir).collect()
     assert isinstance(rows, list)  # ran to completion; emptiness is fine
+
+
+def test_concurrent_queries_match_serial(spark):
+    """Eight assorted queries submitted simultaneously from threads
+    (FAIR pools, shared session) must return exactly their serial
+    results — pins thread-safety of the query functions and the
+    session-level state they touch (conf setup, broadcast vars,
+    registry)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = [
+        "q01_pricing_summary", "q05_distinct_counts", "q22_grid_stats",
+        "q40_text_stats", "q50_exact_dedup", "q60_cosine_topk",
+        "q97_semantic_cluster_assign", "q105_salted_skew_agg",
+    ]
+    qs = load_queries()
+
+    def run(name):
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", name)
+        return sorted(map(tuple, qs[name](spark, SF_DIR).collect()))
+
+    serial = {n: run(n) for n in names}
+    with ThreadPoolExecutor(max_workers=len(names)) as ex:
+        concurrent = dict(zip(names, ex.map(run, names)))
+    for n in names:
+        assert concurrent[n] == serial[n], f"{n} diverged under concurrency"
