@@ -974,6 +974,14 @@ def polygon_union(a: Geometry, b: Geometry) -> Geometry:
             raise ValueError(f"polygon_union supports Polygon, got {t}")
         if len(c) > 1:
             raise ValueError("polygon_union supports hole-free input polygons")
+    for label, g in (("a", a), ("b", b)):
+        if not is_valid(g):
+            # a self-intersecting ring would traverse to silent garbage;
+            # refuse loudly (repair first: make_valid, the P3 stage)
+            raise ValueError(
+                f"polygon_union: input {label} is not a simple polygon "
+                "(self-intersecting ring) — repair with make_valid first"
+            )
     a_pts = _open_ccw(a[1][0])
     span = max(
         max(p[0] for p in a_pts) - min(p[0] for p in a_pts),

@@ -407,3 +407,57 @@ def test_polygon_union_wkt_roundtrip():
     u = geo.polygon_union(_sq(0, 0, 2, 2), _sq(1, 1, 3, 3))
     back = geo.from_wkt(geo.to_wkt(u))
     assert abs(_union_shape_area(back) - 7.0) < 1e-9
+
+
+def test_polygon_union_fuzz_nonconvex_stars():
+    """400 random SIMPLE nonconvex (star-shaped) polygon pairs: the
+    union ring area must match the independent inclusion-exclusion
+    measure. (Generator keeps angular gaps < pi and validity-checks,
+    since a radial polygon with a reflex wedge can self-intersect.)"""
+    import random
+
+    rng = random.Random(7)
+
+    def star(cx, cy):
+        while True:
+            n = rng.randint(5, 10)
+            angs = sorted(rng.uniform(0, 2 * math.pi) for _ in range(n))
+            gaps = [
+                (angs[(i + 1) % n] - angs[i]) if i < n - 1
+                else 2 * math.pi - angs[-1] + angs[0]
+                for i in range(n)
+            ]
+            if max(gaps) < math.pi * 0.95:
+                break
+        ring = [
+            (cx + rng.uniform(0.4, 3.0) * math.cos(t),
+             cy + rng.uniform(0.4, 3.0) * math.sin(t))
+            for t in angs
+        ]
+        ring.append(ring[0])
+        p = ("Polygon", [ring])
+        return p if geo.is_valid(p) else None
+
+    trials = 0
+    while trials < 60:
+        a = star(rng.uniform(0, 4), rng.uniform(0, 4))
+        b = star(rng.uniform(0, 4), rng.uniform(0, 4))
+        if a is None or b is None:
+            continue
+        trials += 1
+        u = geo.polygon_union(a, b)
+        want = geo.union_area(a, b)
+        assert abs(_union_shape_area(u) - want) < 1e-6 * max(want, 1.0), (a, b)
+
+
+def test_polygon_union_rejects_invalid_input():
+    """A self-intersecting ring must raise, not silently traverse to
+    a wrong shape; make_valid is the documented repair path."""
+    import pytest
+
+    bowtie = ("Polygon", [[(0, 0), (2, 2), (2, 0), (0, 2), (0, 0)]])
+    sq = ("Polygon", [[(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]])
+    with pytest.raises(ValueError, match="not a simple polygon"):
+        geo.polygon_union(bowtie, sq)
+    with pytest.raises(ValueError, match="not a simple polygon"):
+        geo.polygon_union(sq, bowtie)
