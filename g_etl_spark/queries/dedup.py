@@ -692,8 +692,10 @@ def q101_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, n_chars,
                -- Efraimidis-Spirakis key u^(1/w) with a deterministic
                -- integer-hash u (identical arithmetic cross-engine)
-               pow(CAST((doc_id * 2654435761) % 2147483647 AS DOUBLE) / 2147483647.0,
-                   1.0 / n_chars) AS k
+               -- quantized to 12 digits so ordering never rides on a
+               -- cross-engine pow() ulp (same round in the Spark side)
+               round(pow(CAST((doc_id * 2654435761) % 2147483647 AS DOUBLE) / 2147483647.0,
+                         1.0 / n_chars), 12) AS k
         FROM documents
     )
     SELECT CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS BIGINT) AS rank,
@@ -710,9 +712,11 @@ def q102_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     key IS a weighted sample — longer documents proportionally more
     likely, reproducible across engines and runs.
 
-    The float key is used only for ORDERING (doc_id tiebreak); the
-    emitted columns are integers, so the hash compare never rides on
-    pow() ulps. Scale: map-only key computation + TakeOrdered top-k —
+    The float key is used only for ORDERING (doc_id tiebreak), and it
+    is quantized to 12 decimal digits in BOTH engines before ordering,
+    so top-20 membership and rank can't flip on a cross-engine pow()
+    ulp; the emitted columns are integers, so the hash compare never
+    sees a float at all. Scale: map-only key computation + TakeOrdered top-k —
     the same one-pass shape as q17/q48; this is THE distributed
     weighted-subsampling op (quality-weighted corpus thinning) at any
     corpus size.
@@ -721,7 +725,7 @@ def q102_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483647)).cast(
         "double"
     ) / F.lit(2147483647.0)
-    k = F.pow(u, F.lit(1.0) / F.col("n_chars"))
+    k = F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 12)
     from pyspark.sql import Window
 
     keyed = d.select("doc_id", "n_chars", k.alias("k"))

@@ -57,7 +57,13 @@ def _run_stream(spark: SparkSession, source_df: DataFrame, build, mode: str) -> 
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # awaitTermination returns False on timeout; a partial memory
+        # sink must never masquerade as the complete result, and the
+        # source dir must outlive the query (it may still be reading).
+        if not q.awaitTermination(300):
+            q.stop()
+            q.awaitTermination(30)
+            raise RuntimeError(f"stream {name} did not finish within 300s")
     finally:
         shutil.rmtree(src, ignore_errors=True)
     # the memory sink holds the rows driver-side after the query ends;

@@ -830,9 +830,16 @@ def q96_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_grams = d.select(
         "doc_id", "source", F.explode(F.array_distinct(grams)).alias("gram")
     )
-    # docs-per-source needs no gram fan-out (every doc has >=1 gram
-    # in this corpus; the oracle's doc_grams-based count agrees)
-    src_docs = d.groupBy("source").agg(F.countDistinct("doc_id").alias("n_docs"))
+    # docs-per-source: the oracle derives it from doc_grams, i.e. only
+    # docs with >=1 bigram count. size(ws) >= 2 is that same set by
+    # construction (a >=2-token doc always yields >=1 bigram), so the
+    # engines agree even for 0/1-token docs — while keeping the count
+    # on the raw scan, not the gram fan-out.
+    src_docs = (
+        d.filter(F.size("ws") >= 2)
+        .groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    )
     gram_df = doc_grams.groupBy("source", "gram").agg(
         F.countDistinct("doc_id").alias("df")
     )

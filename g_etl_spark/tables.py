@@ -28,19 +28,20 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# Sessions already given engine semantics (keyed by the underlying
-# SparkContext applicationId + conf identity); lets callers hand us a
-# foreign session (the verify driver) exactly once per session instead
-# of mutating confs on every load() call.
-_CONFIGURED_SESSIONS: set[int] = set()
+# Sessions already given engine semantics, keyed by the underlying
+# SparkContext applicationId (stable for the context's lifetime and
+# never reused by a fresh context, unlike id(spark) after GC); lets
+# callers hand us a foreign session (the verify driver) exactly once
+# instead of mutating confs on every load() call.
+_CONFIGURED_SESSIONS: set[str] = set()
 
 
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Engine semantics on a possibly-foreign session: permissive casts
     (ANSI off — TRY_CAST parity with the reference, SURVEY §1.2) and a
     reader that tolerates TIMESTAMP(NANOS) parquet. Idempotent:
-    applied once per live session object."""
-    key = id(spark)
+    applied once per live SparkContext."""
+    key = spark.sparkContext.applicationId
     if key in _CONFIGURED_SESSIONS:
         return
     spark.conf.set("spark.sql.ansi.enabled", "false")
