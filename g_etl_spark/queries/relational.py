@@ -2210,43 +2210,58 @@ def q112_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     integrity, each reported as violations over checked rows — the
     gate a pipeline evaluates before publishing a snapshot.
 
-    Scale: the three row-local checks fuse into ONE scan (conditional
-    counts in a single aggregate); uniqueness is a two-level
-    distinct; the referential check is a LEFT ANTI join that
-    broadcasts the dimension's key column. Nothing here is worse
-    than one shuffle.
+    Scale: ONE job, zero driver actions. The referential check rides a
+    broadcast LEFT join (deduped dim keys, so row count is preserved
+    and a null probe key == anti-join membership); every constraint —
+    the three row-local conditional counts, the uniqueness
+    count-minus-distinct, and the null-probe referential count — then
+    fuses into a SINGLE aggregate over that joined scan (the
+    countDistinct plans as an Expand in the same job), and the 5-row
+    report shape is a plan-side melt (explode of a struct array), not
+    a driver-side assembly.
     """
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    n = o.count()
-    row_local = o.agg(
+    dim = F.broadcast(
+        c.select(F.col("c_custkey").alias("ck")).dropDuplicates(["ck"])
+    )
+    joined = o.join(dim, o["o_custkey"] == dim["ck"], "left")
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n_checked"),
         F.count(
             F.when(
                 (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
                 | (F.col("o_orderdate") > F.lit("2001-12-31").cast("timestamp")),
                 1,
             )
-        ).alias("orderdate_in_range"),
-        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("totalprice_positive"),
+        ).alias("v_range"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("v_price"),
         F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)).alias(
-            "status_in_domain"
+            "v_status"
         ),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_uniq"),
+        F.count(F.when(F.col("ck").isNull(), 1)).alias("v_ref"),
     )
-    uniq = o.agg(
-        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v")
+
+    def row(name: str, col: str):
+        return F.struct(
+            F.lit(name).alias("constraint_name"),
+            F.col(col).alias("n_violations"),
+            F.col("n_checked").alias("n_checked"),
+        )
+
+    return (
+        agg.select(
+            F.explode(
+                F.array(
+                    row("orderdate_in_range", "v_range"),
+                    row("totalprice_positive", "v_price"),
+                    row("status_in_domain", "v_status"),
+                    row("orderkey_unique", "v_uniq"),
+                    row("custkey_referential", "v_ref"),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .orderBy("constraint_name")
     )
-    ref = o.join(
-        c.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_anti"
-    ).count()
-    rl = row_local.head()
-    uv = uniq.head().v
-    rows = [
-        ("orderdate_in_range", int(rl.orderdate_in_range), n),
-        ("totalprice_positive", int(rl.totalprice_positive), n),
-        ("status_in_domain", int(rl.status_in_domain), n),
-        ("orderkey_unique", int(uv), n),
-        ("custkey_referential", int(ref), n),
-    ]
-    return spark.createDataFrame(
-        rows, "constraint_name string, n_violations bigint, n_checked bigint"
-    ).orderBy("constraint_name")

@@ -361,3 +361,24 @@ def test_q109_psi_is_map_side_bucketing(spark, qs):
     plan = plan_of(qs["q109_psi_drift"](spark, SF_DIR))
     assert "EvalPython" not in plan
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_q112_constraints_build_is_lazy_single_plan(spark, qs):
+    """The constraint suite must be ONE collect-free plan: the
+    computation lives in the RETURNED DataFrame (broadcast-join +
+    fused aggregate + plan-side melt), not in driver actions inside
+    the query fn — a precomputed LocalTableScan result would mean the
+    fn ran its own jobs. All five constraints read the orders scan
+    once."""
+    import re
+
+    df = qs["q112_constraint_violations"](spark, SF_DIR)
+    plan = plan_of(df)
+    # the referential broadcast join must be IN the returned plan —
+    # proof the work is deferred to the consumer, not precomputed
+    assert "BroadcastHashJoin" in plan
+    assert "LocalTableScan" not in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    # one orders scan + one customer scan (each listed in tree +
+    # details of the formatted explain)
+    assert len(re.findall(r"Scan parquet", plan)) <= 4
