@@ -236,6 +236,110 @@ def query_polygon_pandas(*args, **kwargs):
     return query_polygon(*args, **kwargs).toPandas()
 
 
+# Confs baked into prepared serving plans: results are dashboard-sized
+# (one polygon's worth of rows), so a single shuffle partition removes
+# 31 empty-task launches, and AQE's runtime re-planning only adds
+# latency at this result size.
+_SERVING_CONFS = {
+    "spark.sql.adaptive.enabled": "false",
+    "spark.sql.shuffle.partitions": "1",
+}
+
+
+class PolygonServer:
+    """Prepared-plan cache for repeated polygon queries — the serving
+    layer behind the reference's warm-query benchmark
+    (docs/H3_POLYGON_ANALYSIS.md:318-321: prebuilt warehouse, the SAME
+    polygon queried repeatedly, ~50 ms).
+
+    For DuckDB, re-planning identical SQL costs microseconds, so its
+    warm number is execution-only. A naive Spark loop re-pays Python
+    plan construction + Catalyst analysis on every call — measured
+    ~120 ms of the ~180 ms total at sf0.1, vs ~52 ms of actual job
+    execution. A serving layer keeps the ANALYZED PLAN per distinct
+    query instead: first call builds and physically plans the
+    DataFrame under serving confs (AQE off, 1 shuffle partition —
+    baked in at plan time), subsequent calls re-execute it, which is
+    execution-only latency. Results are never cached — every call runs
+    the job against the index.
+
+    Freshness contract: a prepared plan pins the index snapshot (the
+    parquet file listing). Call ``invalidate()`` after ingest or
+    ``compact_grid_index`` — the same explicit-rebuild contract as the
+    reference's index.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        compact: bool = False,
+        max_plans: int = 64,
+    ):
+        from collections import OrderedDict
+
+        self._spark = spark
+        self._warehouse = warehouse
+        self._compact = compact
+        self._max_plans = max_plans
+        self._plans: OrderedDict[tuple, DataFrame] = OrderedDict()
+
+    def query(
+        self,
+        polygon_wkt: str,
+        resolution: int = DEFAULT_QUERY_RES,
+        datasets: list[str] | None = None,
+        aggregation: str = "objects",
+        exact: bool | str = False,
+    ) -> DataFrame:
+        key = (polygon_wkt, resolution, tuple(datasets or ()), aggregation, exact)
+        df = self._plans.get(key)
+        if df is None:
+            df = self._prepare(polygon_wkt, resolution, datasets, aggregation, exact)
+            self._plans[key] = df
+            if len(self._plans) > self._max_plans:
+                self._plans.popitem(last=False)
+        else:
+            self._plans.move_to_end(key)
+        return df
+
+    def _prepare(self, polygon_wkt, resolution, datasets, aggregation, exact) -> DataFrame:
+        spark = self._spark
+        old: dict[str, str | None] = {}
+        for k, v in _SERVING_CONFS.items():
+            try:
+                old[k] = spark.conf.get(k)
+            except Exception:
+                old[k] = None
+            spark.conf.set(k, v)
+        try:
+            df = query_polygon(
+                spark,
+                self._warehouse,
+                polygon_wkt,
+                resolution=resolution,
+                datasets=datasets,
+                aggregation=aggregation,
+                exact=exact,
+                compact=self._compact,
+            )
+            # force analysis + physical planning NOW so the serving
+            # confs are baked in and later calls skip straight to
+            # execution (no job runs here)
+            df._jdf.queryExecution().executedPlan()
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+        return df
+
+    def invalidate(self) -> None:
+        """Drop every prepared plan (call after index rebuild/ingest)."""
+        self._plans.clear()
+
+
 def query_cells_df(spark: SparkSession, polygon_wkt: str, resolution: int = DEFAULT_QUERY_RES) -> DataFrame:
     """≙ the table macro g_h3_query_table(polygon_wkt, res)
     (003_db_makros.sql:150-151): the polyfilled cell set as a

@@ -377,3 +377,50 @@ def test_compact_zorder_index_serves_polygon_path(spark, warehouse_dir):
     box = (min(c_lo, c_hi), max(c_lo, c_hi))
     cell_pruned = L.files_pruned_fraction(stats, {"grid_cell": box})
     assert cell_pruned >= 0.5, f"grid_cell pruning too weak: {cell_pruned}"
+
+
+def test_polygon_server_prepared_plans(spark, warehouse_dir):
+    """PolygonServer must return the same rows as query_polygon, reuse
+    the prepared DataFrame across identical calls (plan-identity, the
+    execution-only warm path), keep the session confs untouched, and
+    drop plans on invalidate()."""
+    from g_etl_spark.query import PolygonServer
+
+    some = (
+        wh.read_table(spark, warehouse_dir, "staging", "biotop")
+        .select("_centroid_lat", "_centroid_lng")
+        .head()
+    )
+    e, n = geo.wgs84_to_sweref99(some._centroid_lat, some._centroid_lng)
+    d = 3000.0
+    wkt = f"POLYGON(({e-d} {n-d}, {e+d} {n-d}, {e+d} {n+d}, {e-d} {n+d}, {e-d} {n-d}))"
+
+    before_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    before_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    srv = PolygonServer(spark, warehouse_dir)
+
+    served = srv.query(wkt, aggregation="objects")
+    direct = query_polygon(spark, warehouse_dir, wkt, aggregation="objects")
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, direct.collect()))
+    # session confs restored after plan build
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before_aqe
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before_parts
+
+    # identical call -> the SAME prepared DataFrame (no re-analysis)
+    assert srv.query(wkt, aggregation="objects") is served
+    # different parameters -> a different plan
+    assert srv.query(wkt, aggregation="stats") is not served
+    # serving confs are baked into the prepared plan: the distinct's
+    # exchange hashes into ONE partition, not the session's 32
+    assert "hashpartitioning" in served._jdf.queryExecution().executedPlan().toString().lower()
+    assert served.rdd.getNumPartitions() == 1
+
+    srv.invalidate()
+    assert srv.query(wkt, aggregation="objects") is not served
+
+    # LRU bound: max_plans=2 evicts the oldest prepared plan
+    small = PolygonServer(spark, warehouse_dir, max_plans=2)
+    a = small.query(wkt, aggregation="objects")
+    small.query(wkt, aggregation="stats")
+    small.query(wkt, aggregation="heatmap")
+    assert small.query(wkt, aggregation="objects") is not a
