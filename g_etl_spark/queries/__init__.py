@@ -47,6 +47,7 @@ def load_all() -> None:
         relational,
         sampling,
         similarity,
+        sketches,
         streaming_equiv,
         text,
         windows,
@@ -54,22 +55,24 @@ def load_all() -> None:
 
 
 # Driver-visibility ordering: the correctness driver samples a prefix
-# of the registry per round (50/round observed), so queries that have
-# never received a driver row — plus any fixed or newly added this
-# round — are emitted FIRST. r1+r2 union left these without a row
-# (VERDICT r2 "What's missing" #1); rotate as rows land.
+# of the registry per round (50/round observed). Rotation policy
+# (VERDICT r3 "Next round" #2): queries with NO driver row ever (the
+# ones added this round) come first, then the queries whose newest
+# driver row is OLDEST — r1-era, then r2-era to fill the 50. The
+# r2-era rows that don't fit (q50-q57, q64-q71, q76) rotate in next
+# round; every query keeps a green row in the cross-round union.
 _DRIVER_PRIORITY_PREFIXES = (
-    # broken in r2, fixed in r3 — need fresh green rows
-    "q28_", "q36_", "q37_", "q38_", "q90_",
-    # never driver-checked through r2
-    "q30_", "q39_", "q48_", "q49_", "q58_", "q59_",
-    "q72_", "q73_", "q74_", "q75_", "q77_", "q78_", "q79_",
-    "q80_", "q81_", "q82_", "q83_", "q84_", "q85_", "q86_",
-    "q87_", "q88_", "q89_",
-    # new in r3
-    "q91_", "q92_", "q93_", "q94_", "q95_", "q96_", "q97_", "q98_", "q99_",
-    "q100_", "q101_", "q102_", "q103_", "q104_", "q105_", "q106_", "q107_",
-    "q108_", "q109_", "q110_", "q111_", "q112_",
+    # new in r4 — no driver row yet
+    "q113_", "q114_", "q115_", "q116_", "q117_",
+    # newest driver row is r1-era
+    "q29_", "q40_", "q41_", "q42_", "q43_", "q44_", "q45_", "q46_",
+    "q60_", "q61_", "q62_", "q63_",
+    # newest driver row is r2-era (first 33; remainder next round)
+    "q01_", "q02_", "q03_", "q04_", "q05_", "q06_", "q07_", "q08_",
+    "q09_", "q10_", "q11_", "q12_", "q13_", "q14_", "q15_", "q16_",
+    "q17_", "q18_", "q19_", "q20_", "q21_", "q22_", "q23_", "q24_",
+    "q25_", "q26_", "q27_", "q31_", "q32_", "q33_", "q34_", "q35_",
+    "q47_",
 )
 
 

@@ -2265,3 +2265,138 @@ def q112_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.*")
         .orderBy("constraint_name")
     )
+
+
+@register(
+    "q115_group_ols_trend",
+    oracle="""
+    WITH xy AS (
+        SELECT event_type,
+               value AS y,
+               CAST(epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')
+                    AS DOUBLE) / 86400000000e0 AS x
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)            AS n,
+           round(regr_slope(y, x), 4)          AS slope,
+           round(regr_intercept(y, x), 4)      AS intercept,
+           round(regr_r2(y, x), 4)             AS r2
+    FROM xy
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q115_group_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend (metric drift over time): slope,
+    intercept, and R^2 of value ~ days-since-epoch for every event
+    type — the one-pass trend fit a monitoring pipeline runs per
+    metric/segment.
+
+    Scale: regr_slope/intercept/r2 are ALGEBRAIC aggregates (sums of
+    x, y, xy, x^2, y^2), so the whole fit is one hash aggregate with
+    map-side partials — no second pass, no window, no driver math.
+    x is centered on a fixed literal epoch ('2024-01-01', the corpus
+    start) so the normal-equation arithmetic isn't cancelling
+    near-identical 1970-based day numbers — the standard
+    numerical-stability guard for streaming regression at any scale.
+    """
+    e = load(spark, sf_dir, "events")
+    xy = e.select(
+        "event_type",
+        F.col("value").alias("y"),
+        (
+            (
+                F.unix_micros("ts")
+                - F.unix_micros(F.lit("2024-01-01").cast("timestamp"))
+            ).cast("double")
+            / F.lit(86400000000.0)
+        ).alias("x"),
+    )
+    return (
+        xy.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("regr_slope(y, x)"), 4).alias("slope"),
+            F.round(F.expr("regr_intercept(y, x)"), 4).alias("intercept"),
+            F.round(F.expr("regr_r2(y, x)"), 4).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q117_pareto_frontier",
+    oracle="""
+    WITH pts AS (
+        SELECT o_totalprice AS price, o_orderdate AS odate,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT round(price, 2) AS price,
+           epoch_us(odate) AS odate_us,
+           n_orders
+    FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.price >= p.price AND q.odate <= p.odate
+          AND (q.price > p.price OR q.odate < p.odate))
+    ORDER BY price DESC, odate_us
+    """,
+)
+def q117_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline): orders not dominated on
+    (higher price, earlier date) — the multi-objective shortlist
+    shape used to pick e.g. highest-quality-earliest-crawl documents
+    without a scalar weighting.
+
+    The oracle is an independent quadratic NOT EXISTS; the engine
+    computes the same set in TWO WINDOW PASSES on the distinct
+    point set: sorted by (price DESC, date ASC), a point is on the
+    frontier iff no PRECEDING point has date <= its date (the
+    preceding set is exactly the points with higher price, or equal
+    price and earlier date, any of which dominates it) — a running
+    MIN instead of an all-pairs join.
+
+    Scale: pass 1 applies that cummin WITHIN hash buckets
+    (partitionBy bucket: local domination is a subset of global, so
+    only certainly-dominated points drop); pass 2 runs the global
+    cummin over the few bucket-survivors. The full point set is
+    never globally sorted on one machine — only the survivor set,
+    which is frontier-sized per bucket. Integer/decimal comparisons
+    only; no floats in the predicate.
+    """
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    # o_orderdate decodes as TIMESTAMP_NTZ under Spark 4.1; the UTC
+    # session makes the cast payload-preserving (same contract as
+    # tables.normalize_event_ts) and unix_micros requires TIMESTAMP
+    pts = o.groupBy(
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").cast("timestamp").alias("odate"),
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+    def survivors(df, part_cols):
+        w = Window.orderBy(F.desc("price"), F.asc("odate")).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        if part_cols:
+            w = (
+                Window.partitionBy(*part_cols)
+                .orderBy(F.desc("price"), F.asc("odate"))
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+        mp = F.min("odate").over(w)
+        return df.withColumn("mp", mp).filter(
+            F.col("mp").isNull() | (F.col("mp") > F.col("odate"))
+        ).drop("mp")
+
+    bucketed = pts.withColumn("bucket", F.pmod(F.hash("price"), F.lit(32)))
+    local = survivors(bucketed, ["bucket"]).drop("bucket")
+    frontier = survivors(local, [])
+    return frontier.select(
+        F.round("price", 2).alias("price"),
+        F.unix_micros("odate").alias("odate_us"),
+        "n_orders",
+    ).orderBy(F.desc("price"), "odate_us")

@@ -1,0 +1,152 @@
+"""Mergeable-sketch operators (beyond-reference extension).
+
+A 100 TB pipeline cannot afford exact COUNT(DISTINCT) per dashboard
+refresh; the standard answer is a mergeable sketch materialized with
+the rollup (the same pattern as the reference's pre-aggregated
+h3_stats — SURVEY §2 A4 — but for cardinality). Spark ships
+approx_count_distinct (HLL++), but its register layout is
+JVM-internal, so an oracle can't reproduce it bit-for-bit. The
+operator here is a from-scratch HyperLogLog (Flajolet et al., AMS
+2007) whose every step is integer-exact and expressible identically
+in Spark SQL and DuckDB SQL, so the driver hash-gate applies to the
+SKETCH itself, not just a tolerance band:
+
+- per-row hashes are 31-bit affine maps mod the Mersenne prime
+  (the q102 trick — identical arithmetic in both engines);
+- the register update is max(rho) where rho = trailing zeros + 1 of
+  an independent hash (Flajolet-Martin's original rho; trailing
+  zeros = log2(h & -h), exact in IEEE for powers of two);
+- the harmonic-mean denominator is computed in INTEGER space
+  (sum of 2^(40 - rho), bounded by 256 * 2^40 << 2^63), so no
+  float-summation-order nondeterminism exists cross-engine;
+- only the final estimate touches doubles, with identical literal
+  constants on both sides.
+
+Scale: registers are max-mergeable — groupBy(bucket).max(rho) IS the
+shard merge, so the sketch composes with any partitioning, streams
+through partial aggregation map-side, and a per-partition sketch
+table is 256 small ints regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from g_etl_spark.queries import register
+from g_etl_spark.tables import load
+
+# m = 256 registers; alpha_256 = 0.7213 / (1 + 1.079/256) as a shared
+# literal so both engines divide the same double
+_M = 256
+_ALPHA = 0.71827
+_POW40 = 1099511627776  # 2^40, the integer scale for the denominator
+
+
+@register(
+    "q113_hll_distinct_sketch",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT event_type,
+               ((user_id * 2654435761) % 2147483647) % {_M} AS bucket,
+               (user_id * 104729 + 12345) % 2147483647 AS h2
+        FROM events
+    ),
+    regs AS (
+        SELECT event_type, bucket,
+               max(least(CAST(CASE WHEN h2 = 0 THEN 32
+                              ELSE log2(h2 & (-h2)) + 1 END AS BIGINT), 40)) AS rho
+        FROM hashed GROUP BY event_type, bucket
+    ),
+    agg AS (
+        SELECT event_type,
+               count(*) AS n_present,
+               sum(CAST(pow(2.0, 40 - rho) AS BIGINT)) AS sum_present
+        FROM regs GROUP BY event_type
+    ),
+    est AS (
+        SELECT event_type,
+               {_M} - n_present AS v,
+               -- e-notation literals force DOUBLE (DuckDB parses
+               -- plain decimals as DECIMAL, which overflows here)
+               {_ALPHA}e0 * {_M * _M} * {_POW40}e0
+                 / (sum_present + ({_M} - n_present) * {_POW40}) AS e_raw
+        FROM agg
+    ),
+    ex AS (
+        SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ex.exact_distinct,
+           CAST(round(CASE WHEN e.e_raw < {2.5 * _M} AND e.v > 0
+                           THEN {_M}.0 * ln({_M}.0 / e.v)
+                           ELSE e.e_raw END, 0) AS BIGINT) AS approx_distinct,
+           round(abs(CAST(round(CASE WHEN e.e_raw < {2.5 * _M} AND e.v > 0
+                                     THEN {_M}.0 * ln({_M}.0 / e.v)
+                                     ELSE e.e_raw END, 0) AS BIGINT)
+                     - ex.exact_distinct) / ex.exact_distinct, 4) AS rel_err
+    FROM est e JOIN ex ON e.event_type = ex.event_type
+    ORDER BY e.event_type
+    """,
+)
+def q113_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HyperLogLog cardinality sketch, oracle-gated on the
+    exact register state (see module docstring). Output carries the
+    exact distinct alongside so the estimate's honesty (rel_err,
+    ~1.04/sqrt(256) = 6.5% expected) is part of the checked result.
+
+    Scale: two narrow hash aggregates — (group, bucket) then (group) —
+    both with map-side partials; the register relation is
+    |groups| * 256 rows however large the input. The exact
+    countDistinct exists only to score the sketch; a production
+    rollup would materialize registers alone and merge them with
+    max() across days/shards (the A4 incremental-refresh pattern).
+    """
+    e = load(spark, sf_dir, "events")
+    hashed = e.select(
+        "event_type",
+        F.expr(f"((user_id * 2654435761) % 2147483647) % {_M}").alias("bucket"),
+        F.expr("(user_id * 104729 + 12345) % 2147483647").alias("h2"),
+    )
+    rho = F.expr(
+        "least(cast(CASE WHEN h2 = 0 THEN 32 "
+        "ELSE log2(h2 & (-h2)) + 1 END AS BIGINT), 40)"
+    )
+    regs = hashed.groupBy("event_type", "bucket").agg(F.max(rho).alias("rho"))
+    agg = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr("cast(pow(2.0, 40 - rho) AS BIGINT)")).alias("sum_present"),
+    )
+    est = agg.select(
+        "event_type",
+        (F.lit(_M) - F.col("n_present")).alias("v"),
+        (
+            F.lit(_ALPHA * _M * _M * float(_POW40))
+            / (
+                F.col("sum_present")
+                + (F.lit(_M) - F.col("n_present")) * F.lit(_POW40)
+            )
+        ).alias("e_raw"),
+    )
+    approx = F.expr(
+        f"cast(round(CASE WHEN e_raw < {2.5 * _M} AND v > 0 "
+        f"THEN {_M}.0 * ln({_M}.0 / v) ELSE e_raw END, 0) AS BIGINT)"
+    )
+    ex = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        est.join(ex, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            approx.alias("approx_distinct"),
+            F.round(
+                F.abs(approx - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )

@@ -575,3 +575,139 @@ def q109_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi_term"),
     ).orderBy("bucket")
+
+
+@register(
+    "q114_rolling_zscore_outliers",
+    oracle="""
+    WITH w AS (
+        SELECT event_id, user_id, value,
+               avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS mu,
+               stddev_samp(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS sd,
+               count(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS n_hist
+        FROM events
+    )
+    SELECT event_id, user_id,
+           round(value, 3) AS value,
+           round((value - mu) / sd, 3) AS z
+    FROM w
+    WHERE n_hist >= 10 AND sd > 1e-9 AND abs((value - mu) / sd) > 2.5
+    ORDER BY event_id
+    """,
+)
+def q114_rolling_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against
+    the mean/stddev of its user's PRECEDING 20 events (the frame
+    excludes the current row, so an outlier can't mask itself), flag
+    |z| > 2.5 with at least 10 history rows — the streaming-friendly
+    outlier gate a metrics pipeline runs per entity.
+
+    Scale: one hash-partition shuffle on user_id, then a single
+    bounded-frame window pass — state per row is 20 values however
+    long the history; no self-join, no global sort (the final
+    orderBy is over the few flagged outliers). The deterministic
+    (ts, event_id) frame order makes the result reproducible under
+    retries and across engines.
+    """
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    e = load(spark, sf_dir, "events")
+    scored = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.avg("value").over(frame).alias("mu"),
+        F.stddev_samp("value").over(frame).alias("sd"),
+        F.count("value").over(frame).alias("n_hist"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        scored.filter(
+            (F.col("n_hist") >= 10) & (F.col("sd") > 1e-9) & (F.abs(z) > 2.5)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 3).alias("value"),
+            F.round(z, 3).alias("z"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q116_merge_intervals",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+        FROM events
+    ),
+    flag AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    isl AS (
+        SELECT user_id, s, e,
+               sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS island
+        FROM flag
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           min(s) AS start_us, max(e) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM isl
+    GROUP BY user_id, island
+    ORDER BY user_id, island
+    """,
+)
+def q116_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval coalescing (the gaps-and-islands merge):
+    each event opens a 30-minute activity interval; intervals that
+    overlap or touch chain into one island via the classic
+    running-max-end trick — `s > max(e) OVER (... 1 PRECEDING)`
+    opens a new island, a prefix sum numbers them, and a groupBy
+    emits the merged spans. The same shape coalesces IP sessions,
+    sensor uptime, or document-span overlaps.
+
+    Scale: one shuffle on user_id, two window passes over the same
+    partitioning (Spark plans them in a single sort), one partial
+    agg — integer micros end to end, so the cross-engine compare is
+    exact. A first row's empty frame yields NULL -> island 0 in both
+    engines.
+    """
+    e = load(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(1_800_000_000)).alias("e"),
+    )
+    order = Window.partitionBy("user_id").orderBy("s", "e")
+    prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    run = order.rowsBetween(Window.unboundedPreceding, 0)
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.max("e").over(prev), 1).otherwise(0),
+    )
+    isl = flagged.withColumn(
+        "island", F.sum("new_island").over(run).cast("long")
+    )
+    return (
+        isl.groupBy("user_id", "island")
+        .agg(
+            F.min("s").alias("start_us"),
+            F.max("e").alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "island")
+    )

@@ -382,3 +382,38 @@ def test_q112_constraints_build_is_lazy_single_plan(spark, qs):
     # one orders scan + one customer scan (each listed in tree +
     # details of the formatted explain)
     assert len(re.findall(r"Scan parquet", plan)) <= 4
+
+
+def test_q113_hll_is_two_hash_aggregates_jvm_side(spark, qs):
+    """The sketch must stay in whole-stage codegen: two hash
+    aggregates (register build, register merge), no Python, no
+    window, no join wider than the broadcast estimate-vs-exact
+    attach."""
+    plan = plan_of(qs["q113_hll_distinct_sketch"](spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_q114_rolling_zscore_single_window_pass(spark, qs):
+    """All three frame stats (mu, sd, n_hist) must come from ONE
+    window operator over one user_id sort — a per-stat window (or a
+    self-join) would triple the shuffle."""
+    import re
+
+    plan = plan_of(qs["q114_rolling_zscore_outliers"](spark, SF_DIR))
+    # formatted explain: node in tree + details => 2 matches per
+    # physical Window operator; the final orderBy adds none
+    assert len(re.findall(r"\bWindow\b", plan)) <= 2
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_q117_pareto_never_joins(spark, qs):
+    """The skyline must be window passes (bucketed then global), not
+    the quadratic NOT EXISTS the oracle uses — no join of any kind
+    in the plan."""
+    plan = plan_of(qs["q117_pareto_frontier"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "EvalPython" not in plan
