@@ -734,3 +734,95 @@ def q102_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).select("rank", "doc_id", "n_chars")
+
+
+@register(
+    "q118_copurchase_pagerank",
+    oracle=f"""
+    WITH pairs AS ({_Q101_EDGES_SQL}),
+    edges AS (
+        SELECT a AS u, b AS v FROM pairs
+        UNION ALL
+        SELECT b AS u, a AS v FROM pairs
+    ),
+    deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY u),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM deg),
+    it0 AS (SELECT u AS node, 1e0 / (SELECT cnt FROM n) AS pr FROM deg),
+    it1 AS (
+        SELECT e.v AS node,
+               0.15e0 / (SELECT cnt FROM n) + 0.85e0 * sum(i.pr / d.d) AS pr
+        FROM edges e JOIN it0 i ON e.u = i.node JOIN deg d ON d.u = e.u
+        GROUP BY e.v
+    ),
+    it2 AS (
+        SELECT e.v AS node,
+               0.15e0 / (SELECT cnt FROM n) + 0.85e0 * sum(i.pr / d.d) AS pr
+        FROM edges e JOIN it1 i ON e.u = i.node JOIN deg d ON d.u = e.u
+        GROUP BY e.v
+    ),
+    it3 AS (
+        SELECT e.v AS node,
+               0.15e0 / (SELECT cnt FROM n) + 0.85e0 * sum(i.pr / d.d) AS pr
+        FROM edges e JOIN it2 i ON e.u = i.node JOIN deg d ON d.u = e.u
+        GROUP BY e.v
+    )
+    SELECT node, round(pr, 8) AS pr
+    FROM it3
+    ORDER BY node
+    """,
+)
+def q118_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 unrolled iterations, damping 0.85, uniform init)
+    over the undirected co-purchase graph — the canonical iterative
+    mass-propagation shape (importance scoring for curriculum /
+    source weighting), distinct from component-finding (q56/q76) and
+    counting (q101).
+
+    The co-purchase graph is symmetric, so there are no dangling
+    nodes and every node receives mass each round; the oracle unrolls
+    the same three iterations as chained CTEs.
+
+    Scale: each iteration is ONE edge⋈rank equi-join + a partial-agg
+    sum — the same per-round shape as the CC propagation in
+    operators/graph.py, which also documents the production controls
+    this declarative unroll omits (per-round localCheckpoint lineage
+    truncation beyond ~6 rounds, reliable checkpoint for
+    lost-executor safety, convergence RAISE). Ranks round to 8
+    decimals so the cross-engine compare never rides on
+    float-summation order (diffs ~1e-15 abs vs a 5e-9 threshold).
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    pairs = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b"))
+        .distinct()
+    )
+    edges = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("double").alias("d"))
+    nn = deg.agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    pr = (
+        deg.crossJoin(F.broadcast(nn))
+        .select(F.col("u").alias("node"), (F.lit(1.0) / F.col("cnt")).alias("pr"))
+    )
+    ew = edges.join(deg, "u")
+    for _ in range(3):
+        contrib = ew.join(pr, ew["u"] == pr["node"]).select(
+            "v", (F.col("pr") / F.col("d")).alias("c")
+        )
+        pr = (
+            contrib.groupBy("v")
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("v").alias("node"),
+                (F.lit(0.15) / F.col("cnt") + F.lit(0.85) * F.col("s")).alias("pr"),
+            )
+        )
+    return pr.select("node", F.round("pr", 8).alias("pr")).orderBy("node")

@@ -150,3 +150,120 @@ def q113_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q119_bloom_join_pruning",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    hp AS (
+        SELECT * FROM (VALUES (CAST(2654435761 AS BIGINT), CAST(1 AS BIGINT)),
+                              (97, 48611),
+                              (104729, 12345)) AS t(a, b)
+    ),
+    words AS (
+        SELECT (((key * a + b) % 2147483647) % 65536) // 63 AS word,
+               bit_or(CAST(1 AS BIGINT)
+                      << ((((key * a + b) % 2147483647) % 65536) % 63)) AS w
+        FROM dim CROSS JOIN hp
+        GROUP BY 1
+    ),
+    op AS (
+        SELECT o_orderkey, o_custkey,
+               ((o_custkey * a + b) % 2147483647) % 65536 AS pos
+        FROM orders CROSS JOIN hp
+    ),
+    hits AS (
+        SELECT o_orderkey, o_custkey, count(*) AS nhit
+        FROM op JOIN words ON words.word = op.pos // 63
+        WHERE (words.w & (CAST(1 AS BIGINT) << (op.pos % 63))) != 0
+        GROUP BY 1, 2
+    ),
+    cand AS (SELECT o_orderkey, o_custkey FROM hits WHERE nhit = 3)
+    SELECT (SELECT count(*) FROM orders)   AS n_orders,
+           (SELECT count(*) FROM cand)     AS n_candidates,
+           (SELECT count(*) FROM orders o JOIN dim d ON o.o_custkey = d.key)
+                                           AS n_members,
+           (SELECT count(*) FROM cand c LEFT JOIN dim d ON c.o_custkey = d.key
+            WHERE d.key IS NULL)           AS n_false_positives,
+           round(CAST((SELECT count(*) FROM cand c LEFT JOIN dim d
+                       ON c.o_custkey = d.key WHERE d.key IS NULL) AS DOUBLE)
+                 / greatest((SELECT count(*) FROM orders)
+                            - (SELECT count(*) FROM orders o JOIN dim d
+                               ON o.o_custkey = d.key), 1), 6) AS fp_rate
+    """,
+)
+def q119_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning, with the filter itself built
+    from deterministic cross-engine arithmetic (k=3 affine hashes mod
+    the Mersenne prime; 65536-bit filter packed 63 bits per BIGINT
+    word so no sign-bit shift exists in either engine). The report
+    counts candidates vs true members vs false positives — the
+    soundness (members ⊆ candidates, a bloom never false-negatives)
+    and the measured fp rate are both part of the hash-gated result.
+
+    Scale: THE standard trick for pruning a 100 TB fact scan against
+    a selective dim without shuffling the fact side — the filter is
+    one tiny aggregate (1041 words regardless of dim size), broadcast
+    everywhere, and the probe is a map-side bitmask test; only
+    bloom-surviving rows reach the exact join. Spark's own
+    runtime-filter feature does this opaquely; here it is explicit,
+    portable, and oracle-checked. The 5-scalar report assembles
+    plan-side from single-row aggregates (no driver actions).
+    """
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("key"))
+    )
+    o = load(spark, sf_dir, "orders")
+    hp = spark.createDataFrame(
+        [(2654435761, 1), (97, 48611), (104729, 12345)], "a bigint, b bigint"
+    )
+    build_pos = F.expr("((key * a + b) % 2147483647) % 65536")
+    words = (
+        c.crossJoin(F.broadcast(hp))
+        .select(build_pos.alias("pos"))
+        .groupBy(F.expr("pos div 63").alias("word"))
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), pos % 63))").alias("w"))
+    )
+    op = o.crossJoin(F.broadcast(hp)).select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("((o_custkey * a + b) % 2147483647) % 65536").alias("pos"),
+    )
+    hits = (
+        op.join(F.broadcast(words), words["word"] == F.expr("pos div 63"))
+        .filter(F.expr("(w & shiftleft(CAST(1 AS BIGINT), pos % 63)) != 0"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("nhit"))
+    )
+    cand = hits.filter(F.col("nhit") == 3).select("o_orderkey", "o_custkey")
+    n_orders = o.agg(F.count(F.lit(1)).alias("n_orders"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_mem = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["key"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+    n_fp = (
+        cand.join(F.broadcast(c), cand["o_custkey"] == c["key"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_false_positives"))
+    )
+    return (
+        n_orders.crossJoin(n_cand)
+        .crossJoin(n_mem)
+        .crossJoin(n_fp)
+        .select(
+            "n_orders",
+            "n_candidates",
+            "n_members",
+            "n_false_positives",
+            F.round(
+                F.col("n_false_positives").cast("double")
+                / F.greatest(F.col("n_orders") - F.col("n_members"), F.lit(1)),
+                6,
+            ).alias("fp_rate"),
+        )
+    )
