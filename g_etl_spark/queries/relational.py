@@ -2400,3 +2400,99 @@ def q117_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("odate").alias("odate_us"),
         "n_orders",
     ).orderBy(F.desc("price"), "odate_us")
+
+
+@register(
+    "q123_point_in_time_lookup",
+    oracle="""
+    WITH updated AS (
+        SELECT DISTINCT o_custkey AS c_custkey
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-07-01'
+    ),
+    versions AS (
+        SELECT c.c_custkey,
+               CAST(1 AS BIGINT) AS version,
+               TIMESTAMP '1990-01-01' AS valid_from,
+               CASE WHEN u.c_custkey IS NOT NULL
+                    THEN TIMESTAMP '1996-07-01' END AS valid_to
+        FROM customer c LEFT JOIN updated u ON c.c_custkey = u.c_custkey
+        UNION ALL
+        SELECT c_custkey, CAST(2 AS BIGINT),
+               TIMESTAMP '1996-07-01', NULL
+        FROM updated
+    ),
+    pit AS (
+        SELECT v.version, o.o_totalprice
+        FROM orders o
+        JOIN versions v
+          ON o.o_custkey = v.c_custkey
+         AND o.o_orderdate >= v.valid_from
+         AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    )
+    SELECT version,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_price
+    FROM pit
+    GROUP BY version
+    ORDER BY version
+    """,
+)
+def q123_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) lookup against an SCD2 dimension: each
+    1996 order joins the dimension VERSION that was valid at its
+    order date (version boundary 1996-07-01, the same update window
+    q98's merge closes) — the temporal-correctness join every
+    feature-store / training-data pipeline needs to avoid leakage
+    from future dimension states.
+
+    Scale: the validity test is an EQUI-join on the dimension key
+    with the interval predicate as a post-join filter — per-key
+    version fan-out is the number of versions (2 here), never a
+    range-join explosion, and the dimension side broadcasts when
+    small. The order-date window is pushed to the orders scan.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    od = F.col("o_orderdate")
+    t = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+    updated = (
+        o.filter((od >= t("1996-01-01")) & (od < t("1996-07-01")))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    v1 = c.join(updated.withColumn("u", F.lit(1)), "c_custkey", "left").select(
+        "c_custkey",
+        F.lit(1).cast("long").alias("version"),
+        t("1990-01-01").alias("valid_from"),
+        F.when(F.col("u").isNotNull(), t("1996-07-01")).alias("valid_to"),
+    )
+    v2 = updated.select(
+        "c_custkey",
+        F.lit(2).cast("long").alias("version"),
+        t("1996-07-01").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    versions = v1.unionByName(v2)
+    pit = (
+        o.filter((od >= t("1996-01-01")) & (od < t("1997-01-01")))
+        .join(versions, o["o_custkey"] == versions["c_custkey"])
+        .filter(
+            (od >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (od < F.col("valid_to")))
+        )
+    )
+    return (
+        pit.groupBy("version")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("version")
+    )

@@ -267,3 +267,106 @@ def q119_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp_rate"),
         )
     )
+
+
+# Rolling 8-char token hash: identical SQL text in both engines
+# (ascii() agrees cross-engine incl. unicode code points and '' -> 0;
+# every term is cast to BIGINT BEFORE multiplying — INT32 would
+# overflow-error in DuckDB and silently WRAP in non-ANSI Spark).
+_TOKHASH = (
+    "("
+    + " + ".join(
+        f"CAST(ascii(substr(t, {i + 1}, 1)) AS BIGINT) * {31 ** i}"
+        for i in range(8)
+    )
+    + ") % 2147483647"
+)
+_CMS_W = 1024  # counters per row
+_CMS_HP = "(VALUES (1, CAST(2654435761 AS BIGINT), CAST(1 AS BIGINT)), (2, 97, 48611), (3, 104729, 12345)) AS hp(i, a, b)"
+
+
+@register(
+    "q120_countmin_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(trim(text), ' ')) AS t FROM documents
+    ),
+    hashed AS (SELECT t, {_TOKHASH} AS h0 FROM tok),
+    cells AS (
+        SELECT i, ((h0 * a + b) % 2147483647) % {_CMS_W} AS pos
+        FROM hashed CROSS JOIN {_CMS_HP}
+    ),
+    counters AS (
+        SELECT i, pos, CAST(count(*) AS BIGINT) AS cnt
+        FROM cells GROUP BY i, pos
+    ),
+    exact AS (
+        SELECT t, h0, CAST(count(*) AS BIGINT) AS exact_count
+        FROM hashed GROUP BY t, h0
+    ),
+    top AS (
+        SELECT t, h0, exact_count FROM exact
+        ORDER BY exact_count DESC, t LIMIT 20
+    ),
+    probe AS (
+        SELECT top.t, top.exact_count, hp.i,
+               ((top.h0 * hp.a + hp.b) % 2147483647) % {_CMS_W} AS pos
+        FROM top CROSS JOIN {_CMS_HP}
+    )
+    SELECT p.t AS token, p.exact_count,
+           min(c.cnt) AS cms_estimate,
+           min(c.cnt) - p.exact_count AS overestimate
+    FROM probe p JOIN counters c ON c.i = p.i AND c.pos = p.pos
+    GROUP BY p.t, p.exact_count
+    ORDER BY p.exact_count DESC, p.t
+    """,
+)
+def q120_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation, scored on the top-20
+    exact heavy hitters: depth 3 x width 1024 counters built from the
+    same portable affine hashes as q113/q119 over a rolling 8-char
+    token hash; estimate = min over the 3 rows; the guaranteed
+    overestimate (CMS never undercounts) is part of the hash-gated
+    output. Completes the sketch family: HLL (cardinality, q113),
+    Bloom (membership, q119), CMS (frequency).
+
+    Scale: the counter table is 3 x 1024 rows regardless of corpus
+    size and is built by ONE map-side-combining aggregate over the
+    token stream — the streaming-compatible answer to "how often does
+    X occur in 100 TB" without materializing a full term dictionary.
+    Counters are sum-mergeable across shards/days exactly like q113's
+    registers. The exact counts here exist only to score the sketch.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.trim("text"), " ")).alias("t"))
+    hashed = toks.select("t", F.expr(_TOKHASH).alias("h0"))
+    hp = spark.createDataFrame(
+        [(1, 2654435761, 1), (2, 97, 48611), (3, 104729, 12345)],
+        "i int, a bigint, b bigint",
+    )
+    cells = hashed.crossJoin(F.broadcast(hp)).select(
+        "i", F.expr(f"((h0 * a + b) % 2147483647) % {_CMS_W}").alias("pos")
+    )
+    counters = cells.groupBy("i", "pos").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = hashed.groupBy("t", "h0").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    top = exact.orderBy(F.desc("exact_count"), "t").limit(20)
+    probe = top.crossJoin(F.broadcast(hp)).select(
+        "t",
+        "exact_count",
+        "i",
+        F.expr(f"((h0 * a + b) % 2147483647) % {_CMS_W}").alias("pos"),
+    )
+    return (
+        probe.join(F.broadcast(counters), ["i", "pos"])
+        .groupBy("t", "exact_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            F.col("t").alias("token"),
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_count"), "token")
+    )

@@ -952,3 +952,232 @@ def q103_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("n_total")
         .orderBy(F.desc("df"), "term")
     )
+
+
+@register(
+    "q121_reciprocal_rank_fusion",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, len({_TOKS}) AS dl, {_TOKS} AS t FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+    tf AS (
+        SELECT doc_id, dl, token, count(*) AS tf
+        FROM (SELECT doc_id, dl,
+                     unnest(list_filter(t, x -> x IN {_BM25_IN})) AS token
+              FROM base)
+        GROUP BY doc_id, dl, token
+    ),
+    dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(
+                   ln((CAST(stats.n_docs AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5)
+                      / (CAST(dft.df AS DOUBLE) + 0.5) + 1.0)
+                   * CAST(tf.tf AS DOUBLE) * ({_BM25_K1} + 1.0)
+                   / (CAST(tf.tf AS DOUBLE)
+                      + {_BM25_K1} * (1.0 - {_BM25_B}
+                                      + {_BM25_B} * CAST(tf.dl AS DOUBLE)
+                                        / CAST(stats.avgdl AS DOUBLE)))
+               ) AS bm25
+        FROM tf JOIN dft ON tf.token = dft.token CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ),
+    bm AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY round(bm25, 4) DESC, doc_id)
+                    AS BIGINT) AS r
+        FROM scored
+        QUALIFY r <= 50
+    ),
+    q AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id = 0
+    ),
+    cs AS (
+        SELECT e.vec_id,
+               round(list_aggregate(list_transform(range(1, 65),
+                                                   i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]),
+                                    'sum')
+                     / (sqrt(list_aggregate(list_transform(e.embedding,
+                                                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                            'sum'))
+                        * sqrt(list_aggregate(list_transform(q.qv, x -> x * x), 'sum'))),
+                     3) AS cosine
+        FROM embeddings e, q
+    ),
+    cr AS (
+        SELECT vec_id AS doc_id,
+               CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)
+                    AS BIGINT) AS r
+        FROM cs
+        QUALIFY r <= 50
+    )
+    SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+           round(COALESCE(1.0 / (60 + b.r), 0) + COALESCE(1.0 / (60 + c.r), 0), 6)
+               AS rrf,
+           b.r AS bm25_rank,
+           c.r AS cosine_rank
+    FROM bm b FULL OUTER JOIN cr c ON b.doc_id = c.doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """,
+)
+def q121_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.,
+    SIGIR 2009): the BM25 keyword list (q74's scorer) and the dense
+    cosine list (q60's scorer, vec_id = doc_id) each contribute
+    1/(60 + rank); the fused top-10 is the standard
+    lexical+semantic RAG retriever. Ranks are integers, so the fused
+    score is a sum of two exact rationals — no float-order hazard.
+
+    Scale: each list is a TakeOrdered top-50 (per-partition heaps, no
+    global sort); rank assignment happens AFTER the limit, on 50
+    rows, so the global row_number window never sees a corpus-sized
+    relation. The fusion join is 50x50 at most.
+    """
+    from pyspark.sql import Window
+
+    from g_etl_spark.operators import similarity as S
+    from g_etl_spark.queries.similarity import _query_vector
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).alias("dl"),
+        T.tokens(F.col("text")).alias("t"),
+    )
+    stats = base.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        base.select(
+            "doc_id",
+            "dl",
+            F.explode(F.filter(F.col("t"), lambda x: x.isin(*_BM25_TERMS))).alias(
+                "token"
+            ),
+        )
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dft), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                T.bm25_term_score(
+                    F.col("tf"), F.col("df"), F.col("dl"),
+                    F.col("n_docs"), F.col("avgdl"),
+                    k1=_BM25_K1, b=_BM25_B,
+                )
+            ).alias("bm25")
+        )
+    )
+    bm_order = [F.round("bm25", 4).desc(), F.col("doc_id").asc()]
+    bm_top = scored.orderBy(*bm_order).limit(50)
+    bm = bm_top.withColumn(
+        "r", F.row_number().over(Window.orderBy(*bm_order)).cast("long")
+    ).select("doc_id", "r")
+
+    e = load(spark, sf_dir, "embeddings")
+    qv = _query_vector(spark, sf_dir)
+    if qv is None:
+        cr = spark.createDataFrame([], "doc_id bigint, r bigint")
+    else:
+        cs_order = [F.col("cosine").desc(), F.col("vec_id").asc()]
+        cr = (
+            S.cosine_topk(e, qv, k=50)
+            .withColumn(
+                "r", F.row_number().over(Window.orderBy(*cs_order)).cast("long")
+            )
+            .select(F.col("vec_id").alias("doc_id"), "r")
+        )
+
+    b, c = bm.alias("b"), cr.alias("c")
+    fused = b.join(c, F.col("b.doc_id") == F.col("c.doc_id"), "full_outer").select(
+        F.coalesce(F.col("b.doc_id"), F.col("c.doc_id")).alias("doc_id"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("b.r")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("c.r")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        F.col("b.r").alias("bm25_rank"),
+        F.col("c.r").alias("cosine_rank"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
+
+
+@register(
+    "q122_source_entropy_kl",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(trim(text), ' ')) AS t
+        FROM documents
+    ),
+    src_tot AS (
+        SELECT source, CAST(count(*) AS DOUBLE) AS n FROM tok GROUP BY source
+    ),
+    corp_tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+    src_cnt AS (
+        SELECT source, t, CAST(count(*) AS DOUBLE) AS c
+        FROM tok GROUP BY source, t
+    ),
+    corp_cnt AS (SELECT t, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY t)
+    SELECT s.source,
+           CAST(st.n AS BIGINT)     AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           round(-sum((s.c / st.n) * log2(s.c / st.n)), 4) AS entropy_bits,
+           round(sum((s.c / st.n) * log2((s.c / st.n) / (cc.c / ct.n))), 4)
+               AS kl_vs_corpus
+    FROM src_cnt s
+    JOIN src_tot st USING (source)
+    JOIN corp_cnt cc ON s.t = cc.t
+    CROSS JOIN corp_tot ct
+    GROUP BY s.source, st.n
+    ORDER BY s.source
+    """,
+)
+def q122_source_entropy_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution diagnostics: Shannon entropy
+    (diversity) and KL divergence vs the corpus mixture (skew) — the
+    information-theoretic source scorecard used for mixture weighting
+    and low-diversity (template/spam) source detection.
+
+    Scale: two term-key aggregates (per-source and corpus term
+    counts) joined on the term key — the same shuffle key, so AQE
+    reuses partitioning — then one per-source fold. Totals broadcast.
+    Both sums are corpus-vocab-bounded per source; round(4) absorbs
+    float-summation-order differences (~1e-13) across engines.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split(F.trim("text"), " ")).alias("t"))
+    src_tot = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    corp_tot = tok.agg(F.count(F.lit(1)).cast("double").alias("cn"))
+    src_cnt = tok.groupBy("source", "t").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    corp_cnt = tok.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("cc"))
+    p = F.col("c") / F.col("n")
+    q = F.col("cc") / F.col("cn")
+    return (
+        src_cnt.join(F.broadcast(src_tot), "source")
+        .join(corp_cnt, "t")
+        .crossJoin(F.broadcast(corp_tot))
+        .groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"),
+            F.round(F.sum(p * F.log2(p / q)), 4).alias("kl_vs_corpus"),
+        )
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_tokens"),
+            "vocab",
+            "entropy_bits",
+            "kl_vs_corpus",
+        )
+        .orderBy("source")
+    )
