@@ -826,3 +826,88 @@ def q118_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return pr.select("node", F.round("pr", 8).alias("pr")).orderBy("node")
+
+
+@register(
+    "q124_bfs_hop_distance",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_Q101_EDGES_SQL}),
+    edges AS (
+        SELECT a AS u, b AS v FROM pairs
+        UNION ALL
+        SELECT b AS u, a AS v FROM pairs
+    ),
+    src AS (SELECT min(a) AS s FROM pairs),
+    walk(node, d) AS (
+        SELECT s, 0 FROM src
+        UNION ALL
+        SELECT e.v, w.d + 1
+        FROM walk w JOIN edges e ON e.u = w.node
+        WHERE w.d < 3
+    )
+    SELECT CAST(d AS BIGINT) AS hops, count(*) AS n_nodes
+    FROM (SELECT node, min(d) AS d FROM walk GROUP BY node)
+    GROUP BY d
+    ORDER BY d
+    """,
+)
+def q124_bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first hop distance from the smallest part in the
+    co-purchase graph, 3 levels deep: nodes-per-hop histogram — the
+    reachability / blast-radius shape (how much of the catalog is
+    within k association hops), complementing component labels
+    (q56/q76), counts (q101), and mass propagation (q118).
+
+    Spark runs true frontier BFS: each level expands ONLY the newly
+    discovered frontier against the edge list, then anti-joins the
+    visited set — so level cost is |frontier ⋈ edges|, not the
+    oracle's unpruned path enumeration (the recursive CTE re-walks
+    all length-k paths, which is fine at oracle scale and
+    exponentially wasteful at ours; min(d) collapses it to the same
+    answer because BFS level = shortest unweighted path).
+
+    Scale: the frontier join shuffles on node id; visited stays a
+    (node, d) relation anti-joined per round (broadcastable while
+    the frontier is small — Spark's planner picks it per AQE
+    stats); depth is a constant 3 rounds, so lineage stays shallow
+    (the unbounded-depth variant would use the localCheckpoint
+    controls documented in operators/graph.py).
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    pairs = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b"))
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .persist()
+    )
+    src = pairs.agg(F.min("a").alias("node")).withColumn("d", F.lit(0))
+    visited = src
+    frontier = src
+    for depth in range(1, 4):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("d", F.lit(depth))
+        )
+        visited = visited.unionAll(nxt).persist()
+        frontier = nxt
+    out = (
+        visited.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.col("d").cast("long").alias("hops"), "n_nodes")
+        .orderBy("hops")
+    )
+    rows = out.collect()  # materialize before unpersist
+    edges.unpersist()
+    return spark.createDataFrame(rows, out.schema).orderBy("hops")

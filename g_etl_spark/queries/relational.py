@@ -2496,3 +2496,52 @@ def q123_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version")
     )
+
+
+@register(
+    "q131_equiwidth_histogram",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(value) AS lo, max(value) AS hi FROM events
+    ),
+    binned AS (
+        SELECT e.event_type,
+               CAST(least(9, floor((e.value - b.lo) / ((b.hi - b.lo) / 10))) AS BIGINT) AS bin
+        FROM events e, bounds b
+    )
+    SELECT event_type, bin, count(*) AS n
+    FROM binned
+    GROUP BY event_type, bin
+    ORDER BY event_type, bin
+    """,
+)
+def q131_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (10 bins over the global [min, max]) of
+    event value per event_type — the distribution-shape profile that
+    q111's moments summary and q109's PSI binning both presuppose; a
+    one-pass answer to "what does this column look like" per
+    category.
+
+    Scale: one scalar min/max agg broadcast back onto the scan
+    (Spark plans the bounds as a broadcast nested-loop of one row —
+    no fact-side shuffle for the bin computation), then a map-side
+    combined count on |event_types| × 10 keys. Two scans total,
+    independent of row count; the identical shape DuckDB's CROSS
+    JOIN of the one-row bounds CTE produces.
+    """
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = e.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.least(
+            F.lit(9),
+            F.floor((F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10)),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bin")
+    )

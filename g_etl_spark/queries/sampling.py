@@ -158,3 +158,63 @@ def q84_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("achieved_w"),
     ).orderBy("source")
+
+
+@register(
+    "q137_hash_split",
+    oracle="""
+    WITH split AS (
+        SELECT source, doc_id, n_chars,
+               CASE WHEN u < 3435973836 THEN 'train'
+                    WHEN u < 3865470565 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT source, doc_id, n_chars,
+                   CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS UBIGINT) AS BIGINT) AS u
+            FROM documents)
+    )
+    SELECT source, split, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           min(doc_id) AS first_doc
+    FROM split
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+)
+def q137_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by content-
+    stable hash of the document id — the split every training
+    pipeline needs to be REPRODUCIBLE across runs, engines, and
+    re-shards (a random() split is none of those). The thresholds
+    are the integer images of 0.8/0.9 in the md5-32-bit space
+    (floor(0.8·2^32) = 3435973836), so membership is an integer
+    compare in both engines.
+
+    Scale: map-only hash + bucket compare (no shuffle before the
+    per-(source, split) rollup); adding a salt string re-splits the
+    corpus without data movement, and the same hash applied to a
+    NEW batch lands each doc in its stable split — the property
+    that keeps eval sets uncontaminated under incremental
+    ingestion (decontamination by construction, complementing
+    q75's n-gram check).
+    """
+    d = load(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    split = (
+        F.when(u < F.lit(3435973836), "train")
+        .when(u < F.lit(3865470565), "val")
+        .otherwise("test")
+    )
+    return (
+        d.select("source", "doc_id", "n_chars", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source", "split")
+    )

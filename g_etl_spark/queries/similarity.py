@@ -517,3 +517,161 @@ def q108_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "q135_kmeans_update_step",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id AS cid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT e.vec_id, c.cid,
+               round(list_aggregate(list_transform(range(1, 65),
+                                                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]),
+                                    'sum')
+                     / (sqrt(list_aggregate(list_transform(e.embedding,
+                                                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                            'sum'))
+                        * sqrt(list_aggregate(list_transform(c.cv, x -> x * x), 'sum'))),
+                     3) AS cosine
+        FROM embeddings e, c
+    ),
+    best AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cid) AS rn
+        FROM scored
+    )
+    SELECT b.cid AS cluster_id, CAST(g.i AS BIGINT) AS pos,
+           round(avg(CAST(e.embedding[g.i] AS DOUBLE)), 6) AS c_val
+    FROM best b
+    JOIN embeddings e USING (vec_id)
+    CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+    WHERE b.rn = 1
+    GROUP BY b.cid, g.i
+    ORDER BY cluster_id, pos
+    """,
+)
+def q135_kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd's iteration of distributed k-means, update step:
+    after assigning every vector to its nearest centroid (q97's
+    broadcast-cosine argmax), recompute each centroid as the
+    element-wise mean of its members — the loop body of
+    SemDeDup-style corpus clustering, emitted as (cluster, pos,
+    value) so the oracle verifies every coordinate.
+
+    Scale: assignment is the q97 map-side argmax (no corpus
+    window); the update posexplodes members into (cluster, pos)
+    cells whose partial aggregation collapses to k·d rows BEFORE the
+    exchange — the classic mergeable-accumulator formulation that
+    lets k-means run over any corpus size with k·d driver-side
+    state per iteration (the next round broadcasts these rows back
+    as centroids).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cast_d = lambda col: F.transform(col, lambda x: x.cast("double"))  # noqa: E731
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(cast_d(col), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"),
+        cast_d(F.col("embedding")).alias("cv"),
+        norm(F.col("embedding")).alias("c_norm"),
+    )
+    vecs = e.select(
+        "vec_id",
+        cast_d(F.col("embedding")).alias("ev"),
+        norm(F.col("embedding")).alias("e_norm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("ev"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        F.round(dot / (F.col("e_norm") * F.col("c_norm")), 3).alias("cosine"),
+    )
+    best = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("cosine"), (-F.col("cid")).alias("neg_cid"))
+            ).alias("b")
+        )
+        .select("vec_id", (-F.col("b.neg_cid")).alias("cluster_id"))
+    )
+    members = best.join(e, "vec_id").select(
+        "cluster_id", F.posexplode(F.col("embedding"))
+    )
+    return (
+        members.groupBy(
+            "cluster_id", (F.col("pos") + 1).cast("long").alias("pos")
+        )
+        .agg(F.round(F.avg(F.col("col").cast("double")), 6).alias("c_val"))
+        .orderBy("cluster_id", "pos")
+    )
+
+
+@register(
+    "q136_gram_matrix",
+    oracle="""
+    SELECT CAST(a.i AS BIGINT) AS i, CAST(b.j AS BIGINT) AS j,
+           round(sum(CAST(embedding[a.i] AS DOUBLE) * CAST(embedding[b.j] AS DOUBLE)), 6) AS xtx
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) a
+    CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) b
+    WHERE b.j >= a.i
+    GROUP BY a.i, b.j
+    ORDER BY i, j
+    """,
+)
+def q136_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed gram matrix X^T X (upper triangle) over the
+    embedding corpus — the primitive beneath PCA / whitening /
+    linear-probe fitting at scale: d(d+1)/2 = 2080 cells for d=64,
+    each the sum over all rows of x_i·x_j.
+
+    Scale: computed map-only — each row expands to its d²/2 local
+    products via a nested array transform (JVM-side, no join, no
+    per-row shuffle), and the partial aggregation collapses every
+    partition to 2080 cells before the single exchange. This is the
+    mergeable-moment formulation: cost is one scan + O(d²) state
+    per partition, independent of row count — exactly how X^T X is
+    accumulated over 100 TB for downstream eigendecomposition on
+    the driver (d² is tiny even when n is not).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cells = F.explode(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: F.transform(
+                    F.sequence(i, F.lit(64)),
+                    lambda j: F.struct(
+                        i.cast("long").alias("i"),
+                        j.cast("long").alias("j"),
+                        (
+                            F.element_at(F.col("ev"), i)
+                            * F.element_at(F.col("ev"), j)
+                        ).alias("p"),
+                    ),
+                ),
+            )
+        )
+    )
+    return (
+        e.select(ev.alias("ev"))
+        .select(cells.alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.round(F.sum("c.p"), 6).alias("xtx"))
+        .orderBy("i", "j")
+    )

@@ -167,3 +167,74 @@ def q93_stream_join_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("first_ts").alias("first_us"),
         F.unix_micros("then_ts").alias("then_us"),
     ).orderBy("first_id", "then_id")
+
+
+@register(
+    "q139_stream_session_equiv",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    ),
+    agg AS (
+        SELECT user_id, session_id,
+               epoch_us(min(ts)) AS start_us,
+               epoch_us(max(ts)) AS end_us,
+               count(*)          AS n_events
+        FROM sess GROUP BY user_id, session_id
+    ),
+    last AS (SELECT user_id, max(session_id) AS mx FROM agg GROUP BY user_id),
+    wm AS (SELECT epoch_us(max(ts)) // 1000 - 3600000 AS wm_ms FROM events)
+    SELECT a.user_id, a.start_us, a.end_us, a.n_events
+    FROM agg a JOIN last l ON a.user_id = l.user_id
+    WHERE a.session_id < l.mx
+       OR a.end_us // 1000 + 1800000 < (SELECT wm_ms FROM wm)
+    ORDER BY a.user_id, a.start_us
+    """,
+)
+def q139_stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator under the oracle gate:
+    per-user sessionization via applyInPandasWithState
+    (streaming/pipeline.streaming_sessionize — the API for semantics
+    built-in streaming windows can't express), equivalent to batch
+    sessionization minus each user's still-open trailing session.
+
+    Emission contract the oracle states exactly: a session emits
+    when a LATER event closes it (gap exceeded within the data
+    batch), OR when its EventTimeTimeout fires in the final
+    watermark-advance micro-batch availableNow runs after the data
+    batch — i.e. last_seen_ms + 30 min < max_event_ms − 1 h (strict,
+    matching FlatMapGroupsWithState's timeout check at millisecond
+    resolution). Each user's trailing session inside that horizon
+    stays in state — precisely what a forever-running stream
+    exhibits at any instant. The compare therefore verifies the
+    session algebra AND both emission boundaries.
+
+    Scale: state per user is one (start, last_seen, n) triple,
+    reaped by EventTimeTimeout when the watermark passes last_seen
+    + gap — bounded regardless of stream length; the Arrow batch
+    path is the same applyInPandas machinery as q129's packer.
+    """
+    events = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    out = _run_stream(
+        spark,
+        events,
+        lambda s: sp.streaming_sessionize(s, gap_minutes=30, watermark="1 hour"),
+        "append",
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+    ).orderBy("user_id", "start_us")

@@ -1181,3 +1181,451 @@ def q122_source_entropy_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q128_tfidf_doc_similarity",
+    oracle=f"""
+    WITH tf AS (
+        SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+        GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, count(*) AS df FROM tf GROUP BY token
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    w AS (
+        SELECT t.doc_id, t.token, t.tf * ln((SELECT n_docs FROM n) / d.df) AS w
+        FROM tf t JOIN df d USING (token)
+        WHERE d.df <= 100
+    ),
+    norms AS (
+        SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id
+    ),
+    dots AS (
+        SELECT w1.doc_id AS doc_a, w2.doc_id AS doc_b, sum(w1.w * w2.w) AS dot
+        FROM w w1 JOIN w w2 ON w1.token = w2.token AND w1.doc_id < w2.doc_id
+        GROUP BY w1.doc_id, w2.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(d.dot / (na.nrm * nb.nrm), 6) AS sim
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc_a
+    JOIN norms nb ON nb.doc_id = d.doc_b
+    ORDER BY round(d.dot / (na.nrm * nb.nrm), 6) DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def q128_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine similarity between documents via the sparse
+    term-partitioned dot product: top-20 most similar pairs. The
+    lexical sibling of the embedding dedup family (q54/q61) and the
+    pairwise complement of BM25 retrieval (q74) — the classic
+    "similar docs without a model" curation signal.
+
+    Terms with df > 100 are pruned before pairing (IDF≈0 terms
+    contribute noise and quadratic fan-out; pruning is part of the
+    operator contract, applied identically in the oracle). The
+    ordering key is quantized (round 6) BEFORE the top-k in both
+    engines, doc-id tiebreak, so rank membership can't flip on a
+    summation-order ulp (q102's rule).
+
+    Scale: this is the textbook sparse all-pairs scheme — the join
+    fans out per TERM with cost Σ df², and the df cap bounds each
+    term's fan-out at 100² regardless of corpus size; weights/norms are
+    two map-side-combined aggs, and the final agg shuffles on the
+    (doc_a, doc_b) pair key. At 100 TB the df cap is the knob that
+    keeps Σ df² linear-ish in corpus size (standard PPJoin-family
+    reasoning, same honesty note as q55).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.count()
+    w = (
+        tf.join(df.filter(F.col("df") <= 100), "token")
+        .withColumn("w", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        .select("doc_id", "token", "w")
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    w1, w2 = w.alias("w1"), w.alias("w2")
+    dots = (
+        w1.join(
+            w2,
+            (F.col("w1.token") == F.col("w2.token"))
+            & (F.col("w1.doc_id") < F.col("w2.doc_id")),
+        )
+        .groupBy(
+            F.col("w1.doc_id").alias("doc_a"), F.col("w2.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("w1.w") * F.col("w2.w")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("sim", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6))
+        .orderBy(F.desc("sim"), "doc_a", "doc_b")
+        .select("doc_a", "doc_b", "sim")
+        .limit(20)
+    )
+
+
+@register(
+    "q129_sequence_packing",
+    oracle=f"""
+    WITH RECURSIVE docs AS (
+        SELECT source, doc_id, len({_TOKS}) AS n_tok,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    pack AS (
+        SELECT source, doc_id, rn, n_tok,
+               CAST(0 AS BIGINT) AS bin, n_tok AS fill
+        FROM docs WHERE rn = 1
+        UNION ALL
+        SELECT d.source, d.doc_id, d.rn, d.n_tok,
+               CASE WHEN p.fill + d.n_tok <= 512 THEN p.bin ELSE p.bin + 1 END,
+               CASE WHEN p.fill + d.n_tok <= 512 THEN p.fill + d.n_tok ELSE d.n_tok END
+        FROM pack p JOIN docs d ON d.source = p.source AND d.rn = p.rn + 1
+    )
+    SELECT source, bin, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tokens,
+           min(doc_id) AS first_doc
+    FROM pack
+    GROUP BY source, bin
+    ORDER BY source, bin
+    """,
+)
+def q129_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: greedy next-fit of
+    documents (in doc_id order, per source) into 512-token context
+    bins — each bin reports its doc count, token fill, and first
+    doc. Packing is THE step between a curated corpus and a token
+    batch; next-fit in a fixed order is the deterministic baseline
+    (oversized docs get their own bin and the next doc starts
+    fresh, matching the oracle's recursive carry).
+
+    The carry (bin, fill) makes this inherently sequential WITHIN a
+    source, so Spark runs it as applyInPandas per source group — a
+    linear pandas scan per group, Arrow-batched. The oracle walks
+    the same order with a recursive CTE.
+
+    Scale: parallelism = number of sources (shards); a real corpus
+    packs within (source, shard-of-doc_id-range) salt keys so no
+    group exceeds executor memory, which changes bin ids only
+    ACROSS shard boundaries — the standard trade documented for
+    per-partition packers. State is O(1) per group beyond the
+    group's own rows; no shuffle after the one groupBy exchange.
+    """
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+    docs = d.select(
+        "source", "doc_id", F.size(T.tokens(F.col("text"))).alias("n_tok")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fills = [], []
+        b, fill = 0, 0
+        for t in pdf["n_tok"]:
+            if fill and fill + t > 512:
+                b, fill = b + 1, 0
+            fill += int(t)
+            bins.append(b)
+            fills.append(fill)
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        g = (
+            pdf.groupby("bin", as_index=False)
+            .agg(
+                source=("source", "first"),
+                n_docs=("doc_id", "count"),
+                tokens=("n_tok", "sum"),
+                first_doc=("doc_id", "min"),
+            )
+        )
+        return g[["source", "bin", "n_docs", "tokens", "first_doc"]]
+
+    out_schema = (
+        "source string, bin bigint, n_docs bigint, tokens bigint, first_doc bigint"
+    )
+    return (
+        docs.groupBy("source")
+        .applyInPandas(pack, schema=out_schema)
+        .orderBy("source", "bin")
+    )
+
+
+@register(
+    "q130_bpe_pair_counts",
+    oracle=f"""
+    WITH words AS (
+        SELECT unnest({_TOKS}) AS w FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                                     i -> substr(w, i, 2))) AS pair
+        FROM words WHERE len(w) >= 2
+    )
+    SELECT pair, count(*) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 30
+    """,
+)
+def q130_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent character-pair frequencies within words — the inner
+    loop of BPE tokenizer training (the top pair is the next merge
+    candidate). Top-30 by corpus count. Tokenizer training is a
+    first-class corpus op for an LLM pipeline; this is its hot
+    kernel expressed as pure SQL arrays (no Python).
+
+    Scale: map-only fan-out (≈word_len pairs per word) into a
+    map-side-combined count on a key space bounded by |alphabet|² —
+    the shuffle carries at most a few thousand distinct pairs per
+    partition no matter the corpus size, which is why pair counting
+    (unlike pair MERGING, which is iterative) parallelizes
+    trivially. An iterative BPE trainer would loop this kernel,
+    re-splitting words against the merge table broadcast each
+    round.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = d.select(F.explode(T.tokens(F.col("text"))).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(30)
+    )
+
+
+@register(
+    "q132_zipf_fit",
+    oracle=f"""
+    WITH counts AS (
+        SELECT token, CAST(count(*) AS DOUBLE) AS n
+        FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+        GROUP BY token
+    ),
+    ranked AS (
+        SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, token) AS DOUBLE)) AS x,
+               ln(n) AS y
+        FROM counts
+        ORDER BY n DESC, token
+        LIMIT 1000
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+           round((sum(x * y) - sum(x) * sum(y) / count(*))
+                 / (sum(x * x) - sum(x) * sum(x) / count(*)), 4) AS zipf_slope,
+           round((sum(y) - ((sum(x * y) - sum(x) * sum(y) / count(*))
+                            / (sum(x * x) - sum(x) * sum(x) / count(*))) * sum(x))
+                 / count(*), 4) AS intercept
+    FROM ranked
+    """,
+)
+def q132_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: OLS slope of
+    ln(frequency) on ln(rank) over the top-1000 tokens (natural text
+    ≈ -1; a far-off slope flags templated/boilerplate or synthetic
+    corpora — a cheap whole-corpus health check used alongside the
+    per-doc quality filters q41/q58).
+
+    Composition of q42's frequency rollup and q115's closed-form OLS
+    moments; the regression runs over a bounded 1000-row aggregate,
+    so the single-partition rank window is safe by construction.
+
+    Scale: token counts are map-side combined (|vocab|·partitions
+    shuffle rows); the top-1000 is a TakeOrdered; the OLS moments
+    fold in one partial agg over 1000 rows. Nothing after the first
+    shuffle scales with corpus size.
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), "token").limit(1000)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), "token")
+    ranked = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log("n").alias("y"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("c")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("c")
+    )
+    return m.select(
+        F.col("c").cast("long").alias("n_tokens"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("c"), 4).alias(
+            "intercept"
+        ),
+    )
+
+
+@register(
+    "q133_cooccurrence_pmi",
+    oracle=f"""
+    WITH dt AS (
+        SELECT DISTINCT doc_id, token
+        FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+    ),
+    tok_n AS (SELECT token, count(*) AS n FROM dt GROUP BY token),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM dt),
+    pair_n AS (
+        SELECT a.token AS tok_a, b.token AS tok_b, count(*) AS n_ab
+        FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+        GROUP BY a.token, b.token
+        HAVING count(*) >= 5
+    )
+    SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab,
+           round(ln(n_ab * (SELECT nd FROM n)
+                    / (CAST(na.n AS DOUBLE) * nb.n)), 6) AS pmi
+    FROM pair_n
+    JOIN tok_n na ON na.token = tok_a
+    JOIN tok_n nb ON nb.token = tok_b
+    ORDER BY round(ln(n_ab * (SELECT nd FROM n)
+                      / (CAST(na.n AS DOUBLE) * nb.n)), 6) DESC, tok_a, tok_b
+    LIMIT 20
+    """,
+)
+def q133_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of token pairs co-occurring in a
+    document (doc-level presence, min support 5): top-20 collocations
+    — the classic phrase/multiword-expression miner (word2vec-era
+    PMI matrix), complementing the frequency (q42) and similarity
+    (q128) views of the same corpus.
+
+    PMI = ln(P(a,b) / (P(a)P(b))) with doc-presence probabilities;
+    the ordering key is quantized before the top-k (q102's rule),
+    token tiebreak.
+
+    Scale: the pair generation is a doc-keyed self-join — fan-out
+    Σ_docs (distinct tokens per doc)², bounded by document length
+    not corpus size, so it scales linearly in docs (same bound as
+    q101's per-order wedge fan-out); marginals and the N scalar ride
+    broadcast joins onto the bounded pair aggregate. The min-support
+    HAVING prunes the long tail before the marginal joins.
+    """
+    d = load(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("token")
+    ).distinct()
+    tok_n = dt.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    nd = dt.select("doc_id").distinct().count()
+    a, b = dt.alias("a"), dt.alias("b")
+    pair_n = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.token") < F.col("b.token")),
+        )
+        .groupBy(F.col("a.token").alias("tok_a"), F.col("b.token").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    na = tok_n.select(F.col("token").alias("tok_a"), F.col("n").alias("na"))
+    nb = tok_n.select(F.col("token").alias("tok_b"), F.col("n").alias("nb"))
+    return (
+        pair_n.join(na, "tok_a")
+        .join(nb, "tok_b")
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    F.col("n_ab") * F.lit(float(nd))
+                    / (F.col("na").cast("double") * F.col("nb"))
+                ),
+                6,
+            ),
+        )
+        .orderBy(F.desc("pmi"), "tok_a", "tok_b")
+        .select("tok_a", "tok_b", F.col("n_ab").cast("long").alias("n_ab"), "pmi")
+        .limit(20)
+    )
+
+
+@register(
+    "q134_linear_quality_scores",
+    oracle=f"""
+    WITH scored AS (
+        SELECT source,
+               list_aggregate(
+                   list_transform({_TOKS},
+                       t -> CAST(CAST('0x' || substr(md5(t), 1, 8) AS UBIGINT) AS BIGINT)
+                            / 4294967296.0 - 0.5),
+                   'sum') / greatest(len({_TOKS}), 1) AS score
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           round(avg(score), 6) AS avg_score
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q134_linear_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering at scan speed: a hashed
+    bag-of-words linear classifier (the fastText/CCNet quality-model
+    shape) applied to every document — each token hashes into a
+    weight table and the doc score is the mean token weight; docs
+    with positive score pass. Here the "model" is a deterministic
+    hash-derived weight (md5 32-bit → uniform in [-0.5, 0.5)) so the
+    oracle can replay it exactly; a real model swaps in a broadcast
+    weight array with the identical plan.
+
+    Scale: the entire classifier is ONE array-lambda projection per
+    row (md5 + arithmetic, JVM-side, no explode, no shuffle) — the
+    token sum happens inside the row, so the only exchange is the
+    per-source rollup. This is the property that makes model-based
+    filtering affordable at 100 TB: inference cost is the scan
+    itself; with a learned model the weight lookup is an
+    element_at into a broadcast array instead of the hash.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    weight = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        / F.lit(4294967296.0)
+        - F.lit(0.5)
+    )
+    score = F.aggregate(
+        F.transform(toks, weight), F.lit(0.0), lambda acc, x: acc + x
+    ) / F.greatest(F.size(toks), F.lit(1))
+    return (
+        d.select("source", score.alias("score"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("score") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_keep"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+        )
+        .orderBy("source")
+    )

@@ -711,3 +711,215 @@ def q116_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "island")
     )
+
+
+@register(
+    "q125_ewma_latest",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    latest AS (SELECT user_id, max(rn) AS n FROM seq GROUP BY user_id)
+    SELECT l.user_id,
+           max(CASE WHEN s.rn = l.n THEN s.event_id END) AS event_id,
+           round(sum(s.value * power(0.7, l.n - s.rn))
+                 / sum(power(0.7, l.n - s.rn)), 6) AS ewma
+    FROM latest l
+    JOIN seq s ON s.user_id = l.user_id AND s.rn BETWEEN l.n - 19 AND l.n
+    GROUP BY l.user_id, l.n
+    ORDER BY l.user_id
+    """,
+)
+def q125_ewma_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted trailing average (decay 0.7, trailing
+    20 events, weights normalized) of event value per user, reported
+    at each user's latest event — the standard smoothed monitoring
+    signal the reference's event-log surface lacks (time-series
+    extension alongside q28/q30/q114).
+
+    The recurrence unrolls inside the bounded frame to
+    sum_j 0.7^j x_{n-j} / sum_j 0.7^j (j = 0..min(n,20)-1); the
+    normalizing denominator makes the short-history boundary exact
+    with no special case. Spark evaluates it as 20 lag() terms over
+    ONE window sort; the oracle evaluates the identical formula by
+    joining each user's trailing 20 rows. Exponents stay in
+    [0.7^19, 1], so both engines' doubles agree far below the
+    round(6) guard.
+
+    Scale: one shuffle on user_id; row_number and all 20 lags share
+    a single WindowExec sort; per-key state is 20 rows (O(1) memory
+    per user), so skewed users cost sort time, not state — the same
+    property that makes this shape safe as a streaming stateful op.
+    """
+    e = load(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_id", "value", F.row_number().over(order).alias("rn")
+    )
+    byrn = Window.partitionBy("user_id").orderBy("rn")
+    num, den = F.lit(0.0), F.lit(0.0)
+    for j in range(20):
+        x = F.col("value") if j == 0 else F.lag("value", j).over(byrn)
+        w = F.pow(F.lit(0.7), F.lit(j))
+        num = num + F.coalesce(x * w, F.lit(0.0))
+        den = den + F.when(x.isNotNull(), w).otherwise(F.lit(0.0))
+    smoothed = seq.withColumn("ewma", F.round(num / den, 6))
+    w_all = Window.partitionBy("user_id")
+    return (
+        smoothed.withColumn("n", F.max("rn").over(w_all))
+        .filter(F.col("rn") == F.col("n"))
+        .select("user_id", "event_id", "ewma")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q126_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           round(max(d.med), 4) AS med,
+           round(max(m.mad), 4) AS mad,
+           CAST(sum(CASE WHEN abs(d.value - d.med) > 3 * 1.4826 * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           count(*) AS n
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+)
+def q126_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event_type via the median
+    absolute deviation: |x - median| > 3 * 1.4826 * MAD (the
+    consistency constant scales MAD to sigma under normality).
+    Median/MAD resist the contamination that wrecks the z-score
+    (q114's rolling z-score is the parametric sibling).
+
+    Spark's exact `percentile` and DuckDB's `quantile_cont` both
+    linearly interpolate, so the medians agree bit-for-bit on the
+    same doubles; round(4) guards the emitted floats and the
+    outlier rule compares against the unrounded values in both
+    engines.
+
+    Scale: two grouped exact percentiles + one final agg = three
+    shuffles on event_type (a handful of groups). Exact percentile
+    buffers each group's values — correct here because cardinality
+    per group is bounded by events/|event_types|; at 100 TB swap in
+    percentile_approx (t-digest, mergeable partial agg) and the plan
+    keeps the same shape with O(1) state. The dims (med, mad) ride
+    broadcast joins back onto the fact scan.
+    """
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 4).alias("med"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > F.lit(3 * 1.4826) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q127_session_transitions",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    ),
+    trans AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id, session_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM sess
+    )
+    SELECT src, dst, count(*) AS n,
+           round(CAST(count(*) AS DOUBLE)
+                 / sum(count(*)) OVER (PARTITION BY src), 4) AS p
+    FROM trans
+    WHERE dst IS NOT NULL
+    GROUP BY src, dst
+    ORDER BY src, dst
+    """,
+)
+def q127_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types within
+    sessions (30-min gap sessionization, q28's rule): for each
+    (src -> dst) adjacent pair, the count and the row-normalized
+    transition probability — the standard clickstream / user-journey
+    model the reference's event surface lacks.
+
+    Scale: sessionize and lead() share ONE user_id shuffle and sort
+    (session_id is a running sum over the same window order, and
+    the lead partition (user_id, session_id) is a refinement of it,
+    so Spark plans a single Exchange + Sort); the transition count
+    is a map-side-combined agg on a |event_types|^2-bounded key
+    space, and the probability normalization is a window over that
+    tiny aggregate — nothing downstream of the first shuffle scales
+    with row count.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    trans = sess.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(ws).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counts = trans.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    wsrc = Window.partitionBy("src")
+    return counts.withColumn(
+        "p", F.round(F.col("n").cast("double") / F.sum("n").over(wsrc), 4)
+    ).orderBy("src", "dst")

@@ -417,3 +417,129 @@ def test_q117_pareto_never_joins(spark, qs):
     assert "Join" not in plan
     assert "Cartesian" not in plan and "NestedLoop" not in plan
     assert "EvalPython" not in plan
+
+
+def test_q125_ewma_single_window_exchange(spark, qs):
+    """row_number and all 20 lag terms must ride ONE user_id
+    exchange/sort pipeline (two Window ops max: rank + lags over the
+    same partitioning reuse the sort); no join, no Python."""
+    import re
+
+    plan = plan_of(qs["q125_ewma_latest"](spark, SF_DIR))
+    # formatted explain prints each Exchange's partitioning once in
+    # its Arguments line; windowspecdefinition lines don't mention
+    # hashpartitioning, so this counts exchanges exactly
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) <= 1
+    assert "EvalPython" not in plan
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+def test_q126_mad_medians_broadcast_back(spark, qs):
+    """Both percentile dims (median, MAD) must attach to the fact
+    scan via broadcast — no fact-side shuffle join, no Python."""
+    plan = plan_of(qs["q126_mad_outliers"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_q127_transitions_single_user_exchange(spark, qs):
+    """Sessionize (lag + running sum) and the per-session lead must
+    share the user_id sort: exactly one fact-side hash exchange on
+    user_id, then only the tiny aggregate's exchanges."""
+    import re
+
+    plan = plan_of(qs["q127_session_transitions"](spark, SF_DIR))
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_q128_tfidf_join_is_hash_equi_join(spark, qs):
+    """The all-pairs dot product must be a TOKEN equi-join (df-capped
+    fan-out), never a cartesian; norms/marginals attach by broadcast
+    or hash join — and the whole pipeline stays JVM-side."""
+    plan = plan_of(qs["q128_tfidf_doc_similarity"](spark, SF_DIR))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "EvalPython" not in plan
+    assert "token" in plan  # join key visible in the equi-join
+
+
+def test_q129_packing_is_single_arrow_group_pass(spark, qs):
+    """The packer is the ONE sanctioned Python stage: a single
+    FlatMapGroupsInPandas over one source exchange — nothing else in
+    the plan may be Python, and no join sneaks in."""
+    plan = plan_of(qs["q129_sequence_packing"](spark, SF_DIR))
+    import re
+
+    # one numbered node in the formatted tree (tree + details each
+    # print the name once; the details line carries the node number)
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", plan)) == 1
+    assert "EvalPython" not in plan  # no row-at-a-time Python anywhere
+    assert "Join" not in plan
+    assert "Cartesian" not in plan
+
+
+def test_q130_bpe_pairs_map_side_combine(spark, qs):
+    """Char-pair counting must be explode → partial agg → exchange on
+    the bounded pair key: one exchange total, JVM-side throughout."""
+    import re
+
+    plan = plan_of(qs["q130_bpe_pair_counts"](spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert len(re.findall(r"\bExchange hashpartitioning\(pair", plan)) <= 1
+    assert "HashAggregate" in plan  # partial+final pair counts
+
+
+def test_q131_histogram_bounds_broadcast(spark, qs):
+    """The one-row bounds aggregate must attach via a broadcast
+    nested loop (one row, no key) — the fact side must NOT shuffle
+    before binning, and binning stays JVM-side."""
+    plan = plan_of(qs["q131_equiwidth_histogram"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "EvalPython" not in plan
+    # only the final (event_type, bin) count may exchange
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+
+
+def test_q133_pmi_pairs_by_doc_equi_join(spark, qs):
+    """Pair generation must equi-join on doc_id (per-doc bounded
+    fan-out), with marginals attached by broadcast — no cartesian,
+    no Python."""
+    plan = plan_of(qs["q133_cooccurrence_pmi"](spark, SF_DIR))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_q134_classifier_is_scan_speed_no_explode(spark, qs):
+    """The hashed linear classifier must be a per-row array lambda:
+    no explode (Generate), no join, no Python — inference cost IS
+    the scan."""
+    plan = plan_of(qs["q134_linear_quality_scores"](spark, SF_DIR))
+    assert "Generate" not in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_q136_gram_matrix_map_only(spark, qs):
+    """X^T X must be computed without any join: nested-transform
+    fan-out + partial agg, one exchange on the (i, j) cell key."""
+    import re
+
+    plan = plan_of(qs["q136_gram_matrix"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2  # cells + orderBy range
+
+
+def test_q137_hash_split_no_shuffle_before_rollup(spark, qs):
+    """Split assignment is map-only (hash + compare); the only hash
+    exchange is the (source, split) rollup."""
+    import re
+
+    plan = plan_of(qs["q137_hash_split"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+    assert len(re.findall(r"hashpartitioning\(source", plan)) <= 1
