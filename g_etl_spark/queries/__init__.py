@@ -67,7 +67,7 @@ _DRIVER_PRIORITY_PREFIXES = (
     "q113_", "q114_", "q115_", "q116_", "q117_", "q118_", "q119_",
     "q120_", "q121_", "q122_", "q123_", "q124_", "q125_", "q126_",
     "q127_", "q128_", "q129_", "q130_", "q131_", "q132_", "q133_",
-    "q134_", "q135_", "q136_", "q137_", "q139_",
+    "q134_", "q135_", "q136_", "q137_", "q138_", "q139_",
     # newest driver row is r1-era
     "q29_", "q40_", "q41_", "q42_", "q43_", "q44_", "q45_", "q46_",
     "q60_", "q61_", "q62_", "q63_",

@@ -1629,3 +1629,85 @@ def q134_linear_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q138_ngram_novelty",
+    oracle=f"""
+    WITH dg AS (
+        SELECT DISTINCT doc_id, g
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len({_TOKS}) - 2),
+                          i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2])) AS g
+            FROM documents
+            WHERE len({_TOKS}) >= 3)
+    ),
+    gdf AS (SELECT g, count(*) AS df FROM dg GROUP BY g),
+    nov AS (
+        SELECT dg.doc_id,
+               avg(CASE WHEN gdf.df = 1 THEN 1.0 ELSE 0.0 END) AS novelty
+        FROM dg JOIN gdf USING (g)
+        GROUP BY dg.doc_id
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           round(avg(n.novelty), 6) AS avg_novelty,
+           CAST(sum(CASE WHEN n.novelty < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_derivative
+    FROM nov n JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def q138_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's distinct
+    word 3-grams that appear in NO other document (df = 1), rolled
+    up per source with a count of low-novelty ("derivative") docs —
+    the corpus-level memorization/near-copy signal used to spot
+    template farms and cross-posted content, sharpening the binary
+    dedup verdicts (q50-q57) into a continuous score.
+
+    Scale: 3-gram fan-out is ~token-count per doc (bounded by doc
+    length); the df aggregate is map-side combined on the gram key;
+    the join back to docs reuses the gram partitioning. Same
+    Σ-per-doc-bounded shape as q96's boilerplate detector — nothing
+    quadratic, nothing corpus-wide beyond two keyed shuffles.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("ws")) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("ws"), i),
+            F.element_at(F.col("ws"), i + 1),
+            F.element_at(F.col("ws"), i + 2),
+        ),
+    )
+    dg = (
+        d.select("doc_id", toks.alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .distinct()
+    )
+    gdf = dg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    nov = (
+        dg.join(gdf, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.avg(F.when(F.col("df") == 1, 1.0).otherwise(0.0)).alias("novelty")
+        )
+    )
+    return (
+        nov.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("novelty"), 6).alias("avg_novelty"),
+            F.sum(F.when(F.col("novelty") < 0.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_derivative"),
+        )
+        .orderBy("source")
+    )

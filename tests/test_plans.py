@@ -524,13 +524,14 @@ def test_q134_classifier_is_scan_speed_no_explode(spark, qs):
 
 
 def test_q136_gram_matrix_map_only(spark, qs):
-    """X^T X must be computed without any join: nested-transform
-    fan-out + partial agg, one exchange on the (i, j) cell key."""
+    """X^T X must be one Arrow GEMM stage + partial agg — no join,
+    no row-at-a-time Python, one exchange on the (i, j) cell key."""
     import re
 
     plan = plan_of(qs["q136_gram_matrix"](spark, SF_DIR))
     assert "Join" not in plan
-    assert "EvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1
+    assert "BatchEvalPython" not in plan  # Arrow batches, not row UDFs
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2  # cells + orderBy range
 
 
