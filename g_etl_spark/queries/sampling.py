@@ -166,7 +166,7 @@ def q84_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH split AS (
         SELECT source, doc_id, n_chars,
                CASE WHEN u < 3435973836 THEN 'train'
-                    WHEN u < 3865470565 THEN 'val'
+                    WHEN u < 3865470566 THEN 'val'
                     ELSE 'test' END AS split
         FROM (
             SELECT source, doc_id, n_chars,
@@ -205,7 +205,7 @@ def q137_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     split = (
         F.when(u < F.lit(3435973836), "train")
-        .when(u < F.lit(3865470565), "val")
+        .when(u < F.lit(3865470566), "val")
         .otherwise("test")
     )
     return (

@@ -49,8 +49,11 @@ def q28_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_session = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    # micros, not seconds: the oracle's INTERVAL compare is full
+    # precision, and a second-truncated gap would merge sessions
+    # whose true gap is 1800.x s (q127 shares this rule)
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_session = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     per_user = (
         e.withColumn("new_session", new_session)
         .groupBy("user_id")
@@ -231,12 +234,16 @@ def q37_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed key like any other equi-join (AQE skew-split applies).
     """
     e = load(spark, sf_dir, "events")
-    day = 24 * 3600
+    # integer MICROS end-to-end: the oracle compares full-precision
+    # timestamps, so a second-truncated t0/h_ts would disagree on
+    # hits landing in the same second as the incident (sub-second
+    # ordering flips) — micros make the refine predicate exact
+    day = 24 * 3600 * 1_000_000
     inc = e.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("incident_id"),
         "user_id",
-        F.col("ts").cast("long").alias("t0"),
-        (F.col("ts").cast("long") + day).alias("t1"),
+        F.unix_micros("ts").alias("t0"),
+        (F.unix_micros("ts") + day).alias("t1"),
     )
     # each [t0, t0+24h) window spans bucket(t0) and bucket(t0)+1
     inc_b = inc.withColumn(
@@ -244,8 +251,8 @@ def q37_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hit = e.filter(F.col("event_type").isin("click", "view")).select(
         "user_id",
-        F.col("ts").cast("long").alias("h_ts"),
-        F.floor(F.col("ts").cast("long") / day).alias("bucket"),
+        F.unix_micros("ts").alias("h_ts"),
+        F.floor(F.unix_micros("ts") / day).alias("bucket"),
     )
     return (
         inc_b.join(hit, ["user_id", "bucket"])
@@ -905,10 +912,12 @@ def q127_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # micros to match the oracle's full-precision INTERVAL compare
+    # (q28's rule)
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
     sess = e.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
     ).withColumn(
         "session_id",
         F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
