@@ -172,7 +172,7 @@ def main() -> None:
     total += best
     print(f"# hot_polygon_query: {n} rows in {best:.3f}s", file=sys.stderr)
 
-    # --- extended families (round-3 operators) --------------------------
+    # --- extended families (round-3/4 operators) ------------------------
     # Timed separately so the headline metric stays comparable across
     # rounds; best-of-2 fresh compute, same protocol.
     extended: dict[str, float] = {}
@@ -182,6 +182,9 @@ def main() -> None:
         "q99_source_overlap_matrix",    # fingerprint self-join
         "q101_copurchase_triangles",    # wedge-close graph joins
         "q104_hopping_windows",         # window() slide Expand
+        "q125_ewma_latest",             # 20-lag window, one exchange
+        "q128_tfidf_doc_similarity",    # df-capped sparse dot product
+        "q136_gram_matrix",             # Arrow GEMM mergeable moments
     ]:
         best = None
         per_trial = []
@@ -283,13 +286,17 @@ def main() -> None:
                 "unit": "sec",
                 # protocol v2 (since r2): clearCache before EVERY trial
                 # so each number is fresh compute (no operator-internal
-                # persist hits), best of 3 trials (5 for the LSH
-                # pipeline whose JIT tail converges at trial 3-4 —
-                # see TRIALS above). Since r4 every per-trial time is
-                # recorded under `trials`, so a headline delta can be
-                # attributed to spread vs a real regression without
-                # re-running. r1 numbers (warm-cache) NOT comparable.
-                "protocol": "fresh-compute-v2-bestof3",
+                # persist hits), best of N trials with N recorded per
+                # query by the `trials` arrays (3 default; 5 for the
+                # LSH pipeline whose JIT tail converges at trial 3-4 —
+                # see TRIALS above). Since r4: per-trial times under
+                # `trials` so a headline delta can be attributed to
+                # spread vs regression without re-running, and
+                # hot_polygon_query measures the SERVED prepared-plan
+                # path (the r3-comparable rebuilt-per-call number
+                # continues under hot_polygon_cold_plan). r1 numbers
+                # (warm-cache) NOT comparable.
+                "protocol": "fresh-compute-v2-bestofN-trials-recorded",
                 "trials": trials_log,
                 "queries": timings,
                 "extended": extended,

@@ -892,6 +892,11 @@ def q124_bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = pairs.agg(F.min("a").alias("node")).withColumn("d", F.lit(0))
     visited = src
     frontier = src
+    # each level's persist is reused twice (next level's anti-join +
+    # the union); without it the lineage re-expands exponentially —
+    # the same trade q101 makes, tracked here so nothing leaks in the
+    # block manager after the bounded result materializes
+    persisted = [edges]
     for depth in range(1, 4):
         nxt = (
             frontier.join(edges, frontier["node"] == edges["u"])
@@ -901,6 +906,7 @@ def q124_bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("d", F.lit(depth))
         )
         visited = visited.unionAll(nxt).persist()
+        persisted.append(visited)
         frontier = nxt
     out = (
         visited.groupBy("d")
@@ -908,6 +914,9 @@ def q124_bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("d").cast("long").alias("hops"), "n_nodes")
         .orderBy("hops")
     )
-    rows = out.collect()  # materialize before unpersist
-    edges.unpersist()
+    # bounded materialize (≤4 rows, q101's pattern) so every cached
+    # level can be dropped before returning
+    rows = out.collect()
+    for df in persisted:
+        df.unpersist()
     return spark.createDataFrame(rows, out.schema).orderBy("hops")

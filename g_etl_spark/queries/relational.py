@@ -2378,15 +2378,10 @@ def q117_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_orders"))
 
     def survivors(df, part_cols):
-        w = Window.orderBy(F.desc("price"), F.asc("odate")).rowsBetween(
+        base = Window.partitionBy(*part_cols) if part_cols else Window
+        w = base.orderBy(F.desc("price"), F.asc("odate")).rowsBetween(
             Window.unboundedPreceding, -1
         )
-        if part_cols:
-            w = (
-                Window.partitionBy(*part_cols)
-                .orderBy(F.desc("price"), F.asc("odate"))
-                .rowsBetween(Window.unboundedPreceding, -1)
-            )
         mp = F.min("odate").over(w)
         return df.withColumn("mp", mp).filter(
             F.col("mp").isNull() | (F.col("mp") > F.col("odate"))

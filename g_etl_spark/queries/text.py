@@ -1332,14 +1332,13 @@ def q129_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        bins, fills = [], []
+        bins = []
         b, fill = 0, 0
         for t in pdf["n_tok"]:
             if fill and fill + t > 512:
                 b, fill = b + 1, 0
             fill += int(t)
             bins.append(b)
-            fills.append(fill)
         pdf["bin"] = pd.Series(bins, dtype="int64")
         g = (
             pdf.groupby("bin", as_index=False)

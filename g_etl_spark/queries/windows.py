@@ -601,7 +601,7 @@ def q109_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(value, 3) AS value,
            round((value - mu) / sd, 3) AS z
     FROM w
-    WHERE n_hist >= 10 AND sd > 1e-9 AND abs((value - mu) / sd) > 2.5
+    WHERE n_hist >= 10 AND sd > 1e-9 AND abs(round((value - mu) / sd, 9)) > 2.5
     ORDER BY event_id
     """,
 )
@@ -634,9 +634,14 @@ def q114_rolling_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("value").over(frame).alias("n_hist"),
     )
     z = (F.col("value") - F.col("mu")) / F.col("sd")
+    # membership is quantized (q102's rule): the two engines compute
+    # the windowed mu/sd by different algorithms, so a raw |z| within
+    # an ulp of 2.5 could be flagged by one and not the other
     return (
         scored.filter(
-            (F.col("n_hist") >= 10) & (F.col("sd") > 1e-9) & (F.abs(z) > 2.5)
+            (F.col("n_hist") >= 10)
+            & (F.col("sd") > 1e-9)
+            & (F.abs(F.round(z, 9)) > 2.5)
         )
         .select(
             "event_id",

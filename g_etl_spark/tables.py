@@ -9,6 +9,7 @@ column pruning, partition pruning all apply).
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -28,25 +29,26 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# Sessions already given engine semantics, keyed by the underlying
-# SparkContext applicationId (stable for the context's lifetime and
-# never reused by a fresh context, unlike id(spark) after GC); lets
-# callers hand us a foreign session (the verify driver) exactly once
-# instead of mutating confs on every load() call.
-_CONFIGURED_SESSIONS: set[str] = set()
+# Sessions already given engine semantics. The confs below are
+# per-SparkSession (spark.newSession() shares the context but NOT SQL
+# confs), so the memo must be per-session too: a WeakSet keyed by the
+# live session object — a dead session drops out on GC, so its slot
+# can never alias a fresh session the way a bare id() (or a
+# context-wide applicationId) key could.
+_CONFIGURED_SESSIONS: weakref.WeakSet = weakref.WeakSet()
 
 
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Engine semantics on a possibly-foreign session: permissive casts
     (ANSI off — TRY_CAST parity with the reference, SURVEY §1.2) and a
     reader that tolerates TIMESTAMP(NANOS) parquet. Idempotent:
-    applied once per live SparkContext."""
-    key = spark.sparkContext.applicationId
-    if key in _CONFIGURED_SESSIONS:
+    applied once per live SparkSession (newSession() siblings each get
+    their own application of the confs)."""
+    if spark in _CONFIGURED_SESSIONS:
         return
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    _CONFIGURED_SESSIONS.add(key)
+    _CONFIGURED_SESSIONS.add(spark)
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
