@@ -920,3 +920,175 @@ def q124_bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in persisted:
         df.unpersist()
     return spark.createDataFrame(rows, out.schema).orderBy("hops")
+
+
+@register(
+    "q141_association_rules",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT l1.l_orderkey AS ok,
+               least(l1.l_partkey, l2.l_partkey)    AS a,
+               greatest(l1.l_partkey, l2.l_partkey) AS b
+        FROM lineitem l1
+        JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    pair_n AS (
+        SELECT a, b, count(DISTINCT ok) AS n_ab FROM pairs GROUP BY a, b
+    ),
+    item_n AS (
+        SELECT l_partkey AS item, count(DISTINCT l_orderkey) AS n
+        FROM lineitem GROUP BY l_partkey
+    ),
+    total AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+              FROM lineitem),
+    scored AS (
+        SELECT p.a, p.b, p.n_ab,
+               round(p.n_ab * (SELECT n_orders FROM total)
+                     / (CAST(na.n AS DOUBLE) * nb.n), 6) AS lift,
+               round(CAST(p.n_ab AS DOUBLE) / na.n, 6) AS conf_a_b
+        FROM pair_n p
+        JOIN item_n na ON na.item = p.a
+        JOIN item_n nb ON nb.item = p.b
+    )
+    SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab, lift, conf_a_b
+    FROM scored
+    ORDER BY lift DESC, a, b
+    LIMIT 20
+    """,
+)
+def q141_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-purchases: per item
+    pair the co-occurrence support, LIFT (observed / expected under
+    independence) and directional confidence P(b|basket∋a) — the
+    classic recommendation signal, turning q101/q118's raw graph
+    into ranked rules. Top-20 by quantized lift (q102's ordering
+    rule), pair tiebreak.
+
+    Scale: the pair generation is the per-order bounded fan-out
+    shared with q101 (Σ basket² per order, never |items|²); the
+    marginals are one groupBy each; the order-count scalar attaches
+    by broadcast. A min-support HAVING would bound the rule table at
+    real corpus sizes — omitted here so the oracle checks the full
+    lattice at test scale.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    pairs = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(
+            F.col("l1.l_orderkey").alias("ok"),
+            F.col("l1.l_partkey").alias("a"),
+            F.col("l2.l_partkey").alias("b"),
+        )
+    )
+    pair_n = pairs.groupBy("a", "b").agg(
+        F.countDistinct("ok").alias("n_ab")
+    )
+    item_n = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    total = li.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    na = item_n.select(F.col("item").alias("a"), F.col("n").alias("na"))
+    nb = item_n.select(F.col("item").alias("b"), F.col("n").alias("nb"))
+    return (
+        pair_n.join(na, "a")
+        .join(nb, "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.col("n_ab") * F.col("n_orders")
+                / (F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("lift"),
+            F.round(F.col("n_ab").cast("double") / F.col("na"), 6).alias(
+                "conf_a_b"
+            ),
+        )
+        .orderBy(F.desc("lift"), "a", "b")
+        .limit(20)
+    )
+
+
+@register(
+    "q143_canonical_collapse",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    fp AS (
+        SELECT doc_id, length(text) AS n_chars,
+               md5(text) AS fingerprint
+        FROM corpus
+    ),
+    ranked AS (
+        SELECT doc_id, n_chars, fingerprint,
+               row_number() OVER (PARTITION BY fingerprint
+                                  ORDER BY n_chars DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY fingerprint) AS group_n,
+               sum(n_chars) OVER (PARTITION BY fingerprint) AS group_chars
+        FROM fp
+    )
+    SELECT fingerprint,
+           doc_id AS canonical_doc,
+           CAST(group_n AS BIGINT) AS n_collapsed,
+           CAST(group_chars - n_chars AS BIGINT) AS chars_saved
+    FROM ranked
+    WHERE rn = 1 AND group_n > 1
+    ORDER BY fingerprint
+    """,
+)
+def q143_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster canonicalization over the planted-dup corpus
+    (q50's corpus — the raw table has no duplicates, which would make
+    this a vacuous 0-row check): for every fingerprint group with >1
+    member, elect the canonical survivor (longest text, doc_id
+    tiebreak — so the ORIGINAL id wins over its planted copy) and
+    report how much the collapse saves — the ACTION step that turns
+    the dedup family's verdicts (q50-q57) into a materialized corpus
+    rewrite plan.
+
+    Scale: one hash shuffle on the fingerprint; the election, the
+    member count, and the byte accounting all ride the same
+    partitioning (single WindowExec sort — rank and both group
+    aggregates share the fingerprint partition). The same shape
+    canonicalizes MinHash cluster ids (q56's labels) in place of
+    exact fingerprints.
+    """
+    from pyspark.sql import Window
+
+    c = _corpus(spark, sf_dir)
+    fp = c.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.md5(F.col("text")).alias("fingerprint"),
+    )
+    wp = Window.partitionBy("fingerprint")
+    wr = wp.orderBy(F.desc("n_chars"), "doc_id")
+    ranked = fp.select(
+        "doc_id",
+        "n_chars",
+        "fingerprint",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("group_n"),
+        F.sum("n_chars").over(wp).alias("group_chars"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("group_n") > 1))
+        .select(
+            "fingerprint",
+            F.col("doc_id").alias("canonical_doc"),
+            F.col("group_n").cast("long").alias("n_collapsed"),
+            (F.col("group_chars") - F.col("n_chars"))
+            .cast("long")
+            .alias("chars_saved"),
+        )
+        .orderBy("fingerprint")
+    )

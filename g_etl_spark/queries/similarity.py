@@ -678,3 +678,60 @@ def q136_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("p"), 6).alias("xtx"))
         .orderBy("i", "j")
     )
+
+
+@register(
+    "q142_feature_standardize",
+    oracle="""
+    WITH cells AS (
+        SELECT vec_id, g.i AS pos, CAST(embedding[g.i] AS DOUBLE) AS x
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+    ),
+    stats AS (
+        SELECT pos, avg(x) AS mu, stddev_samp(x) AS sd
+        FROM cells GROUP BY pos
+    )
+    SELECT c.vec_id, CAST(c.pos AS BIGINT) AS pos,
+           round((c.x - s.mu) / s.sd, 6) AS z
+    FROM cells c JOIN stats s USING (pos)
+    WHERE c.vec_id < 5 AND c.pos <= 8
+    ORDER BY c.vec_id, c.pos
+    """,
+)
+def q142_feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature standardization (z-scaling) of the
+    embedding corpus — the preprocessing step before distance-based
+    ops (q54/q60/q97) when dimensions have unequal variance; emitted
+    as spot-check coordinates (vec_id < 5, first 8 dims) so the
+    oracle verifies the exact standardized values without hashing
+    500×64 rows.
+
+    Scale: the stats are ONE posexplode + map-side-combined agg into
+    d rows (the mergeable-moment shape shared with q136), broadcast
+    back onto the cell stream; nothing after the d-row aggregate
+    scales with corpus size, and in production the d-row stats table
+    is applied inside a single array transform (no explode) on the
+    write path.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cells = e.select(
+        "vec_id", F.posexplode(F.col("embedding"))
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("pos"),
+        F.col("col").cast("double").alias("x"),
+    )
+    stats = cells.groupBy("pos").agg(
+        F.avg("x").alias("mu"), F.stddev_samp("x").alias("sd")
+    )
+    return (
+        cells.join(F.broadcast(stats), "pos")
+        .filter((F.col("vec_id") < 5) & (F.col("pos") <= 8))
+        .select(
+            "vec_id",
+            "pos",
+            F.round((F.col("x") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+        )
+        .orderBy("vec_id", "pos")
+    )

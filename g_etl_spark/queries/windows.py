@@ -937,3 +937,82 @@ def q127_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn(
         "p", F.round(F.col("n").cast("double") / F.sum("n").over(wsrc), 4)
     ).orderBy("src", "dst")
+
+
+@register(
+    "q140_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+    ),
+    weekly AS (
+        SELECT DISTINCT e.user_id,
+               CAST(epoch_us(f.first_ts) // 604800000000 AS BIGINT) AS cohort_week,
+               CAST((epoch_us(e.ts) - epoch_us(f.first_ts)) // 604800000000 AS BIGINT)
+                   AS week_offset
+        FROM events e JOIN firsts f USING (user_id)
+    ),
+    sizes AS (
+        SELECT cohort_week, count(*) AS cohort_size
+        FROM weekly WHERE week_offset = 0 GROUP BY cohort_week
+    )
+    SELECT w.cohort_week, w.week_offset,
+           count(*) AS n_active,
+           round(CAST(count(*) AS DOUBLE) / max(s.cohort_size), 4) AS retention
+    FROM weekly w JOIN sizes s USING (cohort_week)
+    GROUP BY w.cohort_week, w.week_offset
+    ORDER BY w.cohort_week, w.week_offset
+    """,
+)
+def q140_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week
+    (integer week index since epoch — identical arithmetic in both
+    engines, no calendar-truncation divergence), and for each cohort
+    the share still active N weeks later — THE product-analytics
+    rollup over an event log, composing first-touch attribution
+    (q38's latest-per-key mirrored) with distinct-user aggregation.
+
+    Every cohort's week-0 retention is 1.0 by construction (the
+    first event itself), which doubles as a built-in sanity row per
+    cohort.
+
+    Scale: one shuffle to find first_ts per user, a broadcast of
+    nothing — the firsts relation joins back on user_id (hash join,
+    AQE-broadcast when small), then the DISTINCT and the rollup are
+    both map-side combined on (user, cohort, offset) / (cohort,
+    offset) keys bounded by users × weeks, not events.
+    """
+    e = load(spark, sf_dir, "events")
+    week_us = 7 * 24 * 3600 * 1_000_000
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    weekly = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.floor(F.unix_micros("first_ts") / week_us)
+            .cast("long")
+            .alias("cohort_week"),
+            F.floor(
+                (F.unix_micros("ts") - F.unix_micros("first_ts")) / week_us
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = (
+        weekly.filter(F.col("week_offset") == 0)
+        .groupBy("cohort_week")
+        .agg(F.count(F.lit(1)).alias("cohort_size"))
+    )
+    return (
+        weekly.join(sizes, "cohort_week")
+        .groupBy("cohort_week", "week_offset")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.max("cohort_size"), 4
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
