@@ -60,30 +60,30 @@ def main() -> None:
     out["vectors"] = n_emb * factor
 
     def gram():
-        ev = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-        cells = F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(1), F.lit(64)),
-                    lambda i: F.transform(
-                        F.sequence(i, F.lit(64)),
-                        lambda j: F.struct(
-                            i.cast("long").alias("i"),
-                            j.cast("long").alias("j"),
-                            (
-                                F.element_at(F.col("ev"), i)
-                                * F.element_at(F.col("ev"), j)
-                            ).alias("p"),
-                        ),
-                    ),
+        # the SHIPPED q136 formulation (per-batch numpy GEMM); the
+        # rejected pure-SQL nested transform measured 123 s at this
+        # scale vs ~5 s for this path (SCALE_NOTES round 4)
+        import numpy as np
+        import pandas as pd
+
+        def gram_batches(it):
+            iu = np.triu_indices(64)
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                m = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
                 )
-            )
-        )
+                g = m.T @ m
+                yield pd.DataFrame(
+                    {"i": iu[0] + 1, "j": iu[1] + 1, "p": g[iu]}
+                )
+
         return (
-            big_emb.select(ev.alias("ev"))
-            .select(cells.alias("c"))
-            .groupBy(F.col("c.i"), F.col("c.j"))
-            .agg(F.sum("c.p"))
+            big_emb.select("embedding")
+            .mapInPandas(gram_batches, "i long, j long, p double")
+            .groupBy("i", "j")
+            .agg(F.sum("p"))
             .count()
         )
 
