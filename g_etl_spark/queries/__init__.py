@@ -59,8 +59,8 @@ def load_all() -> None:
 # (VERDICT r3 "Next round" #2): queries with NO driver row ever (the
 # ones added this round) come first, then the queries whose newest
 # driver row is OLDEST — r1-era, then r2-era to fill exactly 50
-# (31 new + 12 r1-era + 7 r2-era). The r2-era rows that don't fit
-# (q08-q27, q31-q35, q47, q50-q57, q64-q71, q76) rotate in next
+# (35 new + 12 r1-era + 3 r2-era). The r2-era rows that don't fit
+# (q04-q27, q31-q35, q47, q50-q57, q64-q71, q76) rotate in next
 # round; every query keeps a green row in the cross-round union.
 _DRIVER_PRIORITY_PREFIXES = (
     # new in r4 — no driver row yet
@@ -68,12 +68,12 @@ _DRIVER_PRIORITY_PREFIXES = (
     "q120_", "q121_", "q122_", "q123_", "q124_", "q125_", "q126_",
     "q127_", "q128_", "q129_", "q130_", "q131_", "q132_", "q133_",
     "q134_", "q135_", "q136_", "q137_", "q138_", "q139_", "q140_",
-    "q141_", "q142_", "q143_",
+    "q141_", "q142_", "q143_", "q144_", "q145_", "q146_", "q147_",
     # newest driver row is r1-era
     "q29_", "q40_", "q41_", "q42_", "q43_", "q44_", "q45_", "q46_",
     "q60_", "q61_", "q62_", "q63_",
-    # newest driver row is r2-era (first 7; remainder next round)
-    "q01_", "q02_", "q03_", "q04_", "q05_", "q06_", "q07_",
+    # newest driver row is r2-era (first 3; remainder next round)
+    "q01_", "q02_", "q03_",
 )
 
 assert len(_DRIVER_PRIORITY_PREFIXES) == 50  # the driver's sample size

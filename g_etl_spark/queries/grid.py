@@ -362,3 +362,133 @@ def q26_grid_multipolygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_HAVERSINE_SQL = f"""
+    round(2.0 * 6371000.0 * asin(sqrt(
+        pow(sin(radians(({LAT_SQL} - 57.7) / 2)), 2)
+        + cos(radians(57.7)) * cos(radians({LAT_SQL}))
+          * pow(sin(radians(({LNG_SQL} - 12.0) / 2)), 2)
+    )), 1)
+"""
+
+
+@register(
+    "q144_knn_haversine",
+    oracle=f"""
+    SELECT event_id, event_type, {_HAVERSINE_SQL} AS dist_m
+    FROM events
+    ORDER BY {_HAVERSINE_SQL}, event_id
+    LIMIT 20
+    """,
+)
+def q144_knn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial k-nearest-neighbours: the 20 events closest to a query
+    point (57.7, 12.0) by great-circle (haversine) distance — the
+    "what's near me" lookup every geo engine serves alongside the
+    polygon query (reference §2.7 spatial family; its DuckDB macros
+    lean on H3 ring search for the same need).
+
+    The ordering key is the metre-quantized distance (round 1) with
+    event_id tiebreak — both engines' libm sin/asin agree far below
+    0.1 m at city scale, so the top-k can't flip on an ulp (q102's
+    rule).
+
+    Scale: the brute form is one scan + TakeOrdered (per-partition
+    heaps, no shuffle). The 100 TB path prunes the scan FIRST with
+    the grid index: polyfill an expanding ring of cells around the
+    query point (q21's broadcast cell join) and only haversine the
+    candidates — same two-phase refine as the polygon family
+    (query.py J4); the brute form stays as the oracle-checked
+    baseline exactly like q54 vs q61.
+    """
+    pts = _points(spark, sf_dir)
+    dlat = F.radians((F.col("lat") - F.lit(57.7)) / 2)
+    dlng = F.radians((F.col("lng") - F.lit(12.0)) / 2)
+    h = (
+        F.pow(F.sin(dlat), 2)
+        + F.cos(F.radians(F.lit(57.7)))
+        * F.cos(F.radians(F.col("lat")))
+        * F.pow(F.sin(dlng), 2)
+    )
+    dist = F.round(2.0 * 6371000.0 * F.asin(F.sqrt(h)), 1)
+    return (
+        pts.select("event_id", "event_type", dist.alias("dist_m"))
+        .orderBy("dist_m", "event_id")
+        .limit(20)
+    )
+
+
+_POIS = [(1, 57.7, 12.0), (2, 59.3, 18.1), (3, 55.6, 13.0),
+         (4, 63.8, 20.3), (5, 58.6, 16.2)]
+
+
+@register(
+    "q145_nearest_event_per_poi",
+    oracle=f"""
+    WITH pois(poi_id, plat, plng) AS (VALUES
+        {', '.join(f'({i}, {la}, {lo})' for i, la, lo in _POIS)}
+    ),
+    scored AS (
+        SELECT p.poi_id, e.event_id,
+               round(2.0 * 6371000.0 * asin(sqrt(
+                   pow(sin(radians(({LAT_SQL} - p.plat) / 2)), 2)
+                   + cos(radians(p.plat)) * cos(radians({LAT_SQL}))
+                     * pow(sin(radians(({LNG_SQL} - p.plng) / 2)), 2)
+               )), 1) AS dist_m
+        FROM events e, pois p
+    ),
+    ranked AS (
+        SELECT poi_id, event_id, dist_m,
+               row_number() OVER (PARTITION BY poi_id
+                                  ORDER BY dist_m, event_id) AS rn
+        FROM scored
+    )
+    SELECT poi_id, event_id AS nearest_event, dist_m
+    FROM ranked WHERE rn = 1
+    ORDER BY poi_id
+    """,
+)
+def q145_nearest_event_per_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbour JOIN: for each point of interest, the single
+    closest event — the spatial argmin-per-key shape (store
+    locator / facility assignment), distinct from q144's single-point
+    top-k. Ties break on event_id via the composite min key in both
+    engines.
+
+    Scale: the POI table broadcasts (k rows) onto the point scan —
+    k haversines per row map-side, then a partial-agg min per POI:
+    no fact-side shuffle at any k that fits a broadcast, which is
+    the same plan shape as the centroid assignment (q97). At large
+    k the grid index turns this into a cell equi-join (assign each
+    POI its covering cells, q21's path).
+    """
+    pts = _points(spark, sf_dir)
+    pois = F.broadcast(
+        pts.sparkSession.createDataFrame(
+            _POIS, "poi_id int, plat double, plng double"
+        )
+    )
+    j = pts.crossJoin(pois)
+    dlat = F.radians((F.col("lat") - F.col("plat")) / 2)
+    dlng = F.radians((F.col("lng") - F.col("plng")) / 2)
+    h = (
+        F.pow(F.sin(dlat), 2)
+        + F.cos(F.radians(F.col("plat")))
+        * F.cos(F.radians(F.col("lat")))
+        * F.pow(F.sin(dlng), 2)
+    )
+    dist = F.round(2.0 * 6371000.0 * F.asin(F.sqrt(h)), 1)
+    scored = j.select(
+        "poi_id", "event_id", dist.alias("dist_m")
+    )
+    best = scored.groupBy("poi_id").agg(
+        F.min(
+            F.struct(F.col("dist_m"), F.col("event_id").cast("double").alias("eid"))
+        ).alias("b")
+    )
+    return best.select(
+        "poi_id",
+        F.col("b.eid").cast("long").alias("nearest_event"),
+        F.col("b.dist_m").alias("dist_m"),
+    ).orderBy("poi_id")

@@ -1016,3 +1016,190 @@ def q140_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "q146_funnel_3step",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+    ),
+    c AS (
+        SELECT user_id, event_type, t,
+               min(CASE WHEN event_type = 'click' THEN t END)
+                   OVER (PARTITION BY user_id) AS c_ts
+        FROM base
+    ),
+    v AS (
+        SELECT user_id, event_type, t, c_ts,
+               min(CASE WHEN event_type = 'view' AND t > c_ts THEN t END)
+                   OVER (PARTITION BY user_id) AS v_ts
+        FROM c
+    ),
+    p AS (
+        SELECT user_id, c_ts, v_ts,
+               min(CASE WHEN event_type = 'purchase' AND t > v_ts THEN t END)
+                   OVER (PARTITION BY user_id) AS p_ts
+        FROM v
+    ),
+    per_user AS (
+        SELECT user_id, max(c_ts) AS c_ts, max(v_ts) AS v_ts, max(p_ts) AS p_ts
+        FROM p GROUP BY user_id
+    )
+    SELECT
+        CAST(sum(CASE WHEN c_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS step1_click,
+        CAST(sum(CASE WHEN v_ts IS NOT NULL
+                       AND v_ts <= c_ts + 604800000000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS step2_view,
+        CAST(sum(CASE WHEN v_ts IS NOT NULL AND v_ts <= c_ts + 604800000000
+                       AND p_ts IS NOT NULL AND p_ts <= c_ts + 604800000000
+                      THEN 1 ELSE 0 END) AS BIGINT)
+            AS step3_purchase
+    FROM per_user
+    """,
+)
+def q146_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step strict-order conversion funnel (first-touch): per
+    user the earliest click, the earliest view AFTER that click, the
+    earliest purchase AFTER that view — counting users completing
+    each step within 7 days of the click. Extends the 2-step funnel
+    (q90) to the windowed multi-step shape product analytics calls
+    `windowFunnel` — strict event ORDER, not mere presence.
+
+    Scale: three window passes over ONE user_id partitioning (each
+    step's anchor is a partition-wide min the next pass conditions
+    on — Spark plans one Exchange + one Sort, three WindowExec), then
+    a per-user collapse and a scalar rollup. No joins, no row
+    explosion; skewed users cost sort time only. Integer micros end
+    to end, so the cross-engine compare is exact.
+    """
+    e = load(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    base = e.select("user_id", "event_type", F.unix_micros("ts").alias("t"))
+    c = base.withColumn(
+        "c_ts",
+        F.min(F.when(F.col("event_type") == "click", F.col("t"))).over(wu),
+    )
+    v = c.withColumn(
+        "v_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "view") & (F.col("t") > F.col("c_ts")),
+                F.col("t"),
+            )
+        ).over(wu),
+    )
+    p = v.withColumn(
+        "p_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("t") > F.col("v_ts")),
+                F.col("t"),
+            )
+        ).over(wu),
+    )
+    per_user = p.groupBy("user_id").agg(
+        F.max("c_ts").alias("c_ts"),
+        F.max("v_ts").alias("v_ts"),
+        F.max("p_ts").alias("p_ts"),
+    )
+    week = 7 * 24 * 3600 * 1_000_000
+    in_w = F.col("v_ts").isNotNull() & (F.col("v_ts") <= F.col("c_ts") + week)
+    return per_user.agg(
+        F.sum(F.when(F.col("c_ts").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("step1_click"),
+        F.sum(F.when(in_w, 1).otherwise(0)).cast("long").alias("step2_view"),
+        F.sum(
+            F.when(
+                in_w
+                & F.col("p_ts").isNotNull()
+                & (F.col("p_ts") <= F.col("c_ts") + week),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("step3_purchase"),
+    )
+
+
+@register(
+    "q147_rolling_active_users",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    contrib AS (
+        SELECT du.user_id, du.day + g.o AS target_day
+        FROM du CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o) g
+    ),
+    wau AS (
+        SELECT d.day, count(DISTINCT c.user_id) AS wau
+        FROM days d JOIN contrib c ON c.target_day = d.day
+        GROUP BY d.day
+    ),
+    dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day)
+    SELECT d.day, dau.dau, wau.wau,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+    FROM days d JOIN dau USING (day) JOIN wau USING (day)
+    ORDER BY d.day
+    """,
+)
+def q147_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the
+    engagement dashboard rollup. Rolling DISTINCT cannot be a
+    window aggregate (distincts don't merge across frames), so the
+    scalable re-expression fans each (day, user) presence out to
+    the ≤7 future days it keeps the user "active" for, then counts
+    distinct per target day — the standard contribution-expansion
+    trick.
+
+    Scale: the (day, user) presence relation is one distinct
+    (map-side combined, bounded by users × days, not events); the
+    ×7 expansion is map-only; the per-day distinct shuffles
+    (user, day) pairs once. State never exceeds presence × window /
+    span — at 100 TB the same query runs on the presence TABLE the
+    daily rollup already materializes (warehouse pre-agg A4), and
+    for approximate dashboards the HLL sketch (q113) makes the
+    whole thing mergeable without the fan-out.
+    """
+    e = load(spark, sf_dir, "events")
+    day_us = 86400 * 1_000_000
+    du = (
+        e.select(
+            F.floor(F.unix_micros("ts") / day_us).cast("long").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    contrib = du.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias(
+            "target_day"
+        ),
+    )
+    wau = (
+        days.join(contrib, days["day"] == contrib["target_day"])
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        days.join(dau, "day")
+        .join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 4).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -544,3 +544,28 @@ def test_q137_hash_split_no_shuffle_before_rollup(spark, qs):
     assert "Join" not in plan
     assert "EvalPython" not in plan
     assert len(re.findall(r"hashpartitioning\(source", plan)) <= 1
+
+
+def test_q145_pois_broadcast_no_fact_shuffle(spark, qs):
+    """The POI table must broadcast onto the point scan: the only
+    hash exchange is the k-row argmin aggregate — the fact side
+    never shuffles, and the haversine stays JVM-side."""
+    import re
+
+    plan = plan_of(qs["q145_nearest_event_per_poi"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"hashpartitioning\(poi_id", plan)) <= 1
+
+
+def test_q146_funnel_single_user_exchange(spark, qs):
+    """All three funnel anchors must ride ONE user_id exchange (three
+    WindowExec over the same partitioning share the shuffle); no
+    joins anywhere."""
+    import re
+
+    plan = plan_of(qs["q146_funnel_3step"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) <= 2  # windows + per-user agg
+    assert "EvalPython" not in plan
