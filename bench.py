@@ -176,19 +176,27 @@ def main() -> None:
     # Timed separately so the headline metric stays comparable across
     # rounds; best-of-2 fresh compute, same protocol.
     extended: dict[str, float] = {}
+    # q101 is the heaviest query in the suite and showed a +16% drift
+    # in r4 on only 2 recorded trials — it gets the q52 treatment
+    # (5 trials) so spread is distinguishable from regression.
+    EXT_TRIALS = {"q101_copurchase_triangles": 5}
     for name in [
         "q96_boilerplate_grams",   # gram fan-out + df threshold
         "q97_semantic_cluster_assign",  # broadcast-centroid argmax
         "q99_source_overlap_matrix",    # fingerprint self-join
         "q101_copurchase_triangles",    # wedge-close graph joins
         "q104_hopping_windows",         # window() slide Expand
+        "q113_hll_distinct_sketch",     # HLL register agg (r4 headline)
+        "q119_bloom_join_pruning",      # Bloom semi-join pruning (r4 headline)
         "q125_ewma_latest",             # 20-lag window, one exchange
         "q128_tfidf_doc_similarity",    # df-capped sparse dot product
         "q136_gram_matrix",             # Arrow GEMM mergeable moments
+        "q146_funnel_3step",            # 3-window funnel, one exchange
+        "q147_rolling_active_users",    # rolling DAU/WAU over users×days
     ]:
         best = None
         per_trial = []
-        for _ in range(2):
+        for _ in range(EXT_TRIALS.get(name, 2)):
             spark.catalog.clearCache()
             t0 = time.time()
             n_rows = len(qs[name](spark, sf_dir).collect())

@@ -17,7 +17,10 @@ before hashing).
 
 from __future__ import annotations
 
+import json
+import re
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -56,37 +59,47 @@ def load_all() -> None:
 
 # Driver-visibility ordering: the correctness driver samples a prefix
 # of the registry per round (50/round observed). Rotation policy
-# (VERDICT r3 "Next round" #2): queries with NO driver row ever (the
-# ones added this round) come first, then the queries whose newest
-# driver row is OLDEST — r1-era, then r2-era to fill exactly 50
-# (35 new + 12 r1-era + 3 r2-era). The r2-era rows that don't fit
-# (q04-q27, q31-q35, q47, q50-q57, q64-q71, q76) rotate in next
-# round; every query keeps a green row in the cross-round union.
-_DRIVER_PRIORITY_PREFIXES = (
-    # new in r4 — no driver row yet
-    "q113_", "q114_", "q115_", "q116_", "q117_", "q118_", "q119_",
-    "q120_", "q121_", "q122_", "q123_", "q124_", "q125_", "q126_",
-    "q127_", "q128_", "q129_", "q130_", "q131_", "q132_", "q133_",
-    "q134_", "q135_", "q136_", "q137_", "q138_", "q139_", "q140_",
-    "q141_", "q142_", "q143_", "q144_", "q145_", "q146_", "q147_",
-    # newest driver row is r1-era
-    "q29_", "q40_", "q41_", "q42_", "q43_", "q44_", "q45_", "q46_",
-    "q60_", "q61_", "q62_", "q63_",
-    # newest driver row is r2-era (first 3; remainder next round)
-    "q01_", "q02_", "q03_",
-)
+# (VERDICT r4 "Next round" #1): derive the ordering from recorded
+# driver-row AGE instead of a hand-curated prefix list — scan the
+# committed CORRECTNESS_r*.json files at the repo root and rank each
+# query by the newest round in which the driver recorded a GREEN row
+# for it. Queries with no green row ever (brand-new, or a recorded
+# mismatch/error) sort first; then ascending newest-green-round
+# (stalest first); name order breaks ties. The rotation is therefore
+# automatic every round with no list to re-edit.
 
-assert len(_DRIVER_PRIORITY_PREFIXES) == 50  # the driver's sample size
+
+def _driver_row_ages() -> dict[str, int]:
+    """Newest round with a green driver row, per query name."""
+    root = Path(__file__).resolve().parents[2]
+    ages: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for q, row in data.items():
+            green = (
+                isinstance(row, dict)
+                and not row.get("err")
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False
+            )
+            if green:
+                ages[q] = max(ages.get(q, 0), rnd)
+    return ages
 
 
 def _driver_order(names) -> list[str]:
-    def rank(n: str) -> tuple[int, str]:
-        for i, p in enumerate(_DRIVER_PRIORITY_PREFIXES):
-            if n.startswith(p):
-                return (0, f"{i:03d}")
-        return (1, n)
-
-    return sorted(names, key=rank)
+    ages = _driver_row_ages()
+    return sorted(names, key=lambda n: (ages.get(n, 0), n))
 
 
 def queries() -> dict[str, QueryFn]:

@@ -787,9 +787,18 @@ def q118_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/graph.py, which also documents the production controls
     this declarative unroll omits (per-round localCheckpoint lineage
     truncation beyond ~6 rounds, reliable checkpoint for
-    lost-executor safety, convergence RAISE). Ranks round to 8
-    decimals so the cross-engine compare never rides on
-    float-summation order (diffs ~1e-15 abs vs a 5e-9 threshold).
+    lost-executor safety, convergence RAISE). The edge relation is
+    the output of the lineitem self-join — by far the most expensive
+    stage — and appears in every iteration's subtree (plus deg / the
+    node count), so edges, deg, and the weighted edge relation ew are
+    persisted: the self-join materializes ONCE instead of ×4
+    (q124's own pattern one function down). The final ranks
+    materialize via an eager localCheckpoint — NOT a driver collect
+    (the rank relation is |nodes| rows, unbounded at scale, unlike
+    q124's ≤4-row histogram) — so every cache can be dropped before
+    returning. Ranks round to 8 decimals so the cross-engine compare
+    never rides on float-summation order (diffs ~1e-15 abs vs a 5e-9
+    threshold).
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     l1, l2 = li.alias("l1"), li.alias("l2")
@@ -804,14 +813,18 @@ def q118_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).persist()
+    deg = (
+        edges.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+        .persist()
     )
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).cast("double").alias("d"))
     nn = deg.agg(F.count(F.lit(1)).cast("double").alias("cnt"))
     pr = (
         deg.crossJoin(F.broadcast(nn))
         .select(F.col("u").alias("node"), (F.lit(1.0) / F.col("cnt")).alias("pr"))
     )
-    ew = edges.join(deg, "u")
+    ew = edges.join(deg, "u").persist()
     for _ in range(3):
         contrib = ew.join(pr, ew["u"] == pr["node"]).select(
             "v", (F.col("pr") / F.col("d")).alias("c")
@@ -825,7 +838,13 @@ def q118_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.lit(0.15) / F.col("cnt") + F.lit(0.85) * F.col("s")).alias("pr"),
             )
         )
-    return pr.select("node", F.round("pr", 8).alias("pr")).orderBy("node")
+    out = pr.select("node", F.round("pr", 8).alias("pr")).orderBy("node")
+    # one job fills the three caches and freezes the result; lineage
+    # truncation makes the subsequent unpersists safe
+    final = out.localCheckpoint(eager=True)
+    for df in (ew, deg, edges):
+        df.unpersist()
+    return final.orderBy("node")
 
 
 @register(

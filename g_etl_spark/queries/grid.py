@@ -484,11 +484,11 @@ def q145_nearest_event_per_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     best = scored.groupBy("poi_id").agg(
         F.min(
-            F.struct(F.col("dist_m"), F.col("event_id").cast("double").alias("eid"))
+            F.struct(F.col("dist_m"), F.col("event_id").alias("eid"))
         ).alias("b")
     )
     return best.select(
         "poi_id",
-        F.col("b.eid").cast("long").alias("nearest_event"),
+        F.col("b.eid").alias("nearest_event"),
         F.col("b.dist_m").alias("dist_m"),
     ).orderBy("poi_id")

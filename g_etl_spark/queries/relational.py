@@ -2501,7 +2501,7 @@ def q123_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     binned AS (
         SELECT e.event_type,
-               CAST(least(9, floor((e.value - b.lo) / ((b.hi - b.lo) / 10))) AS BIGINT) AS bin
+               CAST(least(9, floor((e.value - b.lo) / (greatest(b.hi - b.lo, 1e-12) / 10))) AS BIGINT) AS bin
         FROM events e, bounds b
     )
     SELECT event_type, bin, count(*) AS n
@@ -2523,14 +2523,20 @@ def q131_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined count on |event_types| × 10 keys. Two scans total,
     independent of row count; the identical shape DuckDB's CROSS
     JOIN of the one-row bounds CTE produces.
+
+    The bin width is floored at epsilon (greatest(hi-lo, 1e-12),
+    identically in both engines) so a degenerate all-equal column
+    lands every row in bin 0 instead of riding 0/0 → NaN through
+    engine-specific floor/least/CAST NaN semantics.
     """
     e = load(spark, sf_dir, "events")
     bounds = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = F.greatest(F.col("hi") - F.col("lo"), F.lit(1e-12)) / 10
     binned = e.crossJoin(F.broadcast(bounds)).select(
         "event_type",
         F.least(
             F.lit(9),
-            F.floor((F.col("value") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10)),
+            F.floor((F.col("value") - F.col("lo")) / width),
         )
         .cast("long")
         .alias("bin"),

@@ -776,7 +776,11 @@ def q125_ewma_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         x = F.col("value") if j == 0 else F.lag("value", j).over(byrn)
         w = F.pow(F.lit(0.7), F.lit(j))
         num = num + F.coalesce(x * w, F.lit(0.0))
-        den = den + F.when(x.isNotNull(), w).otherwise(F.lit(0.0))
+        # the weight counts whenever the lagged ROW exists (rn > j),
+        # matching the oracle's SUM over every row in the trailing
+        # frame — SQL SUM skips NULL values only in the numerator, so
+        # gating on x.isNotNull() would diverge on a NULL value
+        den = den + F.when(F.col("rn") > F.lit(j), w).otherwise(F.lit(0.0))
     smoothed = seq.withColumn("ewma", F.round(num / den, 6))
     w_all = Window.partitionBy("user_id")
     return (
