@@ -1111,3 +1111,313 @@ def q143_canonical_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fingerprint")
     )
+
+
+@register(
+    "q148_hits_scores",
+    oracle=f"""
+    WITH pairs AS ({_Q101_EDGES_SQL}),
+    nodes AS (
+        SELECT a AS node FROM pairs UNION SELECT b FROM pairs
+    ),
+    a1 AS (SELECT b AS node, count(*) AS s FROM pairs GROUP BY b),
+    auth1 AS (SELECT n.node, coalesce(a1.s, 0) AS v
+              FROM nodes n LEFT JOIN a1 USING (node)),
+    h1 AS (SELECT p.a AS node, sum(x.v) AS s
+           FROM pairs p JOIN auth1 x ON x.node = p.b GROUP BY p.a),
+    hub1 AS (SELECT n.node, coalesce(h1.s, 0) AS v
+             FROM nodes n LEFT JOIN h1 USING (node)),
+    a2 AS (SELECT p.b AS node, sum(x.v) AS s
+           FROM pairs p JOIN hub1 x ON x.node = p.a GROUP BY p.b),
+    auth2 AS (SELECT n.node, coalesce(a2.s, 0) AS v
+              FROM nodes n LEFT JOIN a2 USING (node)),
+    h2 AS (SELECT p.a AS node, sum(x.v) AS s
+           FROM pairs p JOIN auth2 x ON x.node = p.b GROUP BY p.a),
+    hub2 AS (SELECT n.node, coalesce(h2.s, 0) AS v
+             FROM nodes n LEFT JOIN h2 USING (node)),
+    tot AS (SELECT (SELECT sum(v) FROM auth2) AS ta,
+                   (SELECT sum(v) FROM hub2)  AS th)
+    SELECT x.node,
+           round(CAST(x.v AS DOUBLE) / t.ta, 8) AS authority,
+           round(CAST(h.v AS DOUBLE) / t.th, 8) AS hub
+    FROM auth2 x JOIN hub2 h USING (node), tot t
+    ORDER BY x.v DESC, x.node
+    LIMIT 20
+    """,
+)
+def q148_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg), two iterations over the
+    ORIENTED co-purchase graph (edge a→b for a < b) — link-analysis
+    importance complementary to PageRank's random-walk mass (q118):
+    an authority is a part that high-hub parts point at.
+
+    Determinism trick: intermediate normalization is deferred —
+    HITS iterates x ← AᵀAx up to scale, so both engines run the
+    whole two-round recurrence in EXACT BIGINT arithmetic
+    (auth1 = in-degree, hub1/auth2/hub2 = integer sums; bounded far
+    below 2^63 at any df the pair-join admits) and divide by the
+    integer totals exactly once at the end. The top-20 ordering key
+    is the INTEGER auth2 score, so rank can never flip on a float
+    ulp cross-engine.
+
+    Scale: per iteration ONE edge⋈score equi-join + partial-agg sum
+    (the q118 shape); the oriented edge relation and node set are
+    persisted so the lineitem self-join materializes once, and the
+    bounded top-20 result is collected to drop the caches (q124's
+    pattern).
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    pairs = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        pairs.select(F.col("a").alias("node"))
+        .union(pairs.select(F.col("b").alias("node")))
+        .distinct()
+        .persist()
+    )
+
+    def fill(scores: DataFrame) -> DataFrame:
+        return nodes.join(scores, "node", "left").select(
+            "node", F.coalesce(F.col("s"), F.lit(0)).alias("v")
+        )
+
+    auth = fill(pairs.groupBy(F.col("b").alias("node")).agg(F.count(F.lit(1)).alias("s")))
+    hub = fill(
+        pairs.join(auth, pairs["b"] == auth["node"])
+        .groupBy(F.col("a").alias("node2"))
+        .agg(F.sum("v").alias("s"))
+        .withColumnRenamed("node2", "node")
+    )
+    auth = fill(
+        pairs.join(hub, pairs["a"] == hub["node"])
+        .groupBy(F.col("b").alias("node2"))
+        .agg(F.sum("v").alias("s"))
+        .withColumnRenamed("node2", "node")
+    )
+    hub = fill(
+        pairs.join(auth, pairs["b"] == auth["node"])
+        .groupBy(F.col("a").alias("node2"))
+        .agg(F.sum("v").alias("s"))
+        .withColumnRenamed("node2", "node")
+    )
+    tot = auth.agg(F.sum("v").alias("ta")).crossJoin(
+        hub.agg(F.sum("v").alias("th"))
+    )
+    out = (
+        auth.withColumnRenamed("v", "av")
+        .join(hub.withColumnRenamed("v", "hv"), "node")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "node",
+            F.col("av").alias("_rank_key"),
+            F.round(F.col("av").cast("double") / F.col("ta"), 8).alias("authority"),
+            F.round(F.col("hv").cast("double") / F.col("th"), 8).alias("hub"),
+        )
+        .orderBy(F.desc("_rank_key"), "node")
+        .limit(20)
+        .select("node", "authority", "hub")
+    )
+    rows = out.collect()
+    pairs.unpersist()
+    nodes.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+# Rare-shingle containment: shingles with df above this are dropped
+# from BOTH the candidate join and the intersection/denominator, so
+# the measured containment is exactly "containment over rare
+# shingles" in both engines (the standard ubiquitous-shingle cutoff).
+_CONT_DF_CAP = 20
+_CONT_MIN_SH = 5
+_CONT_THRESH = 0.8
+
+
+@register(
+    "q153_shingle_containment",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sh AS (
+        SELECT DISTINCT doc_id, g
+        FROM (
+            SELECT doc_id,
+                   array_to_string(t[i.i : i.i + 2], ' ') AS g
+            FROM (SELECT doc_id, {_TOKS} AS t FROM corpus),
+                 LATERAL (SELECT unnest(generate_series(
+                     1, greatest(len(t) - 2, 0))) AS i) AS i
+        )
+    ),
+    rare AS (
+        SELECT g FROM sh GROUP BY g HAVING count(*) <= {_CONT_DF_CAP}
+    ),
+    rsh AS (SELECT sh.doc_id, sh.g FROM sh JOIN rare USING (g)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM rsh GROUP BY doc_id),
+    inter AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS common
+        FROM rsh x JOIN rsh y ON x.g = y.g AND x.doc_id <> y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    )
+    SELECT i.a, i.b, s.n_sh AS n_shingles_a, i.common,
+           round(CAST(i.common AS DOUBLE) / s.n_sh, 4) AS containment
+    FROM inter i JOIN sizes s ON s.doc_id = i.a
+    WHERE s.n_sh >= {_CONT_MIN_SH}
+      AND CAST(i.common AS DOUBLE) / s.n_sh >= {_CONT_THRESH}
+    ORDER BY containment DESC, i.a, i.b
+    LIMIT 100
+    """,
+)
+def q153_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment C(a,b) = |S(a)∩S(b)| / |S(a)|
+    over word trigrams — the sub-document duplication detector
+    Jaccard misses (a short doc fully embedded in a long one has high
+    containment but low Jaccard), run on the planted corpus where the
+    tail-truncated near-dups are contained in their originals by
+    construction.
+
+    Rare-shingle cutoff (df ≤ {_CONT_DF_CAP}) applies identically to
+    the candidate join, the intersection AND the denominator in both
+    engines, so the gated number is exact for the rare-shingle
+    definition — not an approximation of the uncapped one.
+
+    Scale: candidate pairs come from the shingle equi-join, bounded
+    by Σ_(df≤cap) df² like q128's df-capped TF-IDF join — never
+    corpus²; |S(a)| is a per-doc agg joined back on the bounded pair
+    set. The gram explode feeds four subtrees (df ranking, the join
+    filter, both self-join sides) — persisting it was TRIED AND
+    REJECTED on measurement (q55's lesson repeats): interleaved A/B
+    at ×100 (500k docs) gave 56.6/48.8 s lazy vs 73.6/57.9 s with a
+    MEMORY_AND_DISK barrier on grams+rsh. Materializing the wide
+    gram relation costs more than re-running its cheap map-side
+    explode, and AQE's ReusedExchange already dedups the shuffle the
+    aggs share. The containment ordering rounds to 4 before ranking
+    with (a, b) tiebreak, so LIMIT 100 is engine-stable.
+    """
+    c = _corpus(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), TOKEN_SPLIT)
+    staged = c.select("doc_id", toks.alias("t"))
+    n = F.size("t") - 2
+    # Spark's sequence(1, 0) DESCENDS ([1, 0]) where DuckDB's
+    # generate_series(1, 0) is empty — filter short docs out before
+    # the sequence is built so both engines drop them identically
+    grams = staged.filter(n > 0).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n),
+                    lambda i: F.array_join(F.slice(F.col("t"), i, 3), " "),
+                )
+            )
+        ).alias("g"),
+    )
+    rare = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _CONT_DF_CAP
+    )
+    rsh = grams.join(rare.select("g"), "g")
+    sizes = rsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    x, y = rsh.alias("x"), rsh.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.g") == F.col("y.g"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cont = F.col("common").cast("double") / F.col("n_sh")
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a"), "a")
+        .filter((F.col("n_sh") >= _CONT_MIN_SH) & (cont >= _CONT_THRESH))
+        .select(
+            "a",
+            "b",
+            F.col("n_sh").alias("n_shingles_a"),
+            "common",
+            F.round(cont, 4).alias("containment"),
+        )
+        .orderBy(F.desc("containment"), "a", "b")
+        .limit(100)
+    )
+
+
+@register(
+    "q159_incremental_dedup",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    keyed AS (
+        SELECT doc_id, doc_id // 1000000 AS band,
+               md5(text) AS content_hash,
+               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
+        FROM corpus
+    ),
+    idx_c AS (SELECT DISTINCT content_hash FROM keyed WHERE band = 0),
+    idx_f AS (SELECT DISTINCT fingerprint  FROM keyed WHERE band = 0),
+    batch AS (SELECT * FROM keyed WHERE band > 0)
+    SELECT b.band,
+           count(*) AS n_batch,
+           count(c.content_hash) AS n_exact_dup,
+           count(f.fingerprint)  AS n_fp_dup,
+           count(*) - count(f.fingerprint) AS n_new
+    FROM batch b
+    LEFT JOIN idx_c c ON b.content_hash = c.content_hash
+    LEFT JOIN idx_f f ON b.fingerprint = f.fingerprint
+    GROUP BY b.band
+    ORDER BY b.band
+    """,
+)
+def q159_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (day-2) dedup: a new batch arrives and is checked
+    against the EXISTING corpus index instead of re-deduping the
+    world — the shape every production ingestion pipeline actually
+    runs. Band 0 (the originals) is the standing index; bands 1
+    (tail-truncated near-dups) and 2 (exact copies) are the incoming
+    batch. Two escalating keys: exact content md5, then the
+    order-insensitive distinct-token fingerprint (q40's) that still
+    catches the truncated variants whose dropped tokens repeat
+    earlier in the doc.
+
+    Scale: two hash semi-joins of the batch against the index keys —
+    the batch is small relative to the corpus, so both plan as
+    shuffle-free broadcast probes when it fits, and the Bloom
+    pre-filter (q119) prunes the corpus-side scan when it doesn't;
+    the index is exactly the mergeable state a standing dedup
+    service keeps per shard.
+    """
+    c = _corpus(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), TOKEN_SPLIT)
+    keyed = c.select(
+        "doc_id",
+        (F.col("doc_id") / 1000000).cast("long").alias("band"),
+        F.md5("text").alias("content_hash"),
+        F.md5(F.array_join(F.sort_array(F.array_distinct(toks)), " ")).alias(
+            "fingerprint"
+        ),
+    )
+    idx_c = keyed.filter(F.col("band") == 0).select("content_hash").distinct()
+    idx_f = keyed.filter(F.col("band") == 0).select("fingerprint").distinct()
+    batch = keyed.filter(F.col("band") > 0)
+    return (
+        batch.join(
+            idx_c.withColumn("_ce", F.lit(1)), "content_hash", "left"
+        )
+        .join(idx_f.withColumn("_fe", F.lit(1)), "fingerprint", "left")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.count("_ce").alias("n_exact_dup"),
+            F.count("_fe").alias("n_fp_dup"),
+            (F.count(F.lit(1)) - F.count("_fe")).alias("n_new"),
+        )
+        .orderBy("band")
+    )

@@ -2546,3 +2546,144 @@ def q131_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type", "bin")
     )
+
+
+@register(
+    "q150_ab_mean_ztest",
+    oracle="""
+    SELECT event_type,
+           count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_control,
+           count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n_treat,
+           round(avg(CASE WHEN user_id % 2 = 0 THEN value END), 4) AS mean_control,
+           round(avg(CASE WHEN user_id % 2 = 1 THEN value END), 4) AS mean_treat,
+           round((avg(CASE WHEN user_id % 2 = 1 THEN value END)
+                  - avg(CASE WHEN user_id % 2 = 0 THEN value END))
+                 / sqrt(var_samp(CASE WHEN user_id % 2 = 1 THEN value END)
+                          / count(CASE WHEN user_id % 2 = 1 THEN 1 END)
+                        + var_samp(CASE WHEN user_id % 2 = 0 THEN value END)
+                          / count(CASE WHEN user_id % 2 = 0 THEN 1 END)), 4) AS z_score,
+           abs((avg(CASE WHEN user_id % 2 = 1 THEN value END)
+                - avg(CASE WHEN user_id % 2 = 0 THEN value END))
+               / sqrt(var_samp(CASE WHEN user_id % 2 = 1 THEN value END)
+                        / count(CASE WHEN user_id % 2 = 1 THEN 1 END)
+                      + var_samp(CASE WHEN user_id % 2 = 0 THEN value END)
+                        / count(CASE WHEN user_id % 2 = 0 THEN 1 END))) > 1.96 AS significant
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q150_ab_mean_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch z-test per event_type between a deterministic
+    experiment split (control = even user_id, treatment = odd) — the
+    experimentation readout an analytics engine serves daily:
+    z = (m_t - m_c) / sqrt(s_t²/n_t + s_c²/n_c), flagged at the
+    two-sided 5% level.
+
+    Scale: ALL eight statistics (two counts, means, variances, z,
+    verdict) come from ONE conditional aggregate over one scan —
+    mean and variance are mergeable moments, so the partial agg
+    collapses map-side and the exchange carries |event_types| rows.
+    No per-variant subquery, no join, no second pass.
+    """
+    e = load(spark, sf_dir, "events")
+    cv = F.when(F.col("user_id") % 2 == 0, F.col("value"))
+    tv = F.when(F.col("user_id") % 2 == 1, F.col("value"))
+    n_c, n_t = F.count(cv), F.count(tv)
+    m_c, m_t = F.avg(cv), F.avg(tv)
+    z = (m_t - m_c) / F.sqrt(
+        F.var_samp(tv) / n_t + F.var_samp(cv) / n_c
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            n_c.alias("n_control"),
+            n_t.alias("n_treat"),
+            F.round(m_c, 4).alias("mean_control"),
+            F.round(m_t, 4).alias("mean_treat"),
+            F.round(z, 4).alias("z_score"),
+            (F.abs(z) > 1.96).alias("significant"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q163_benford_first_digit",
+    oracle="""
+    WITH pos AS (
+        SELECT event_type,
+               CAST(substr(CAST(CAST(floor(value * 1000) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS fd
+        FROM events WHERE value > 0.001
+    ),
+    obs AS (
+        SELECT event_type, fd, count(*) AS o
+        FROM pos GROUP BY event_type, fd
+    ),
+    n AS (SELECT event_type, CAST(sum(o) AS DOUBLE) AS n FROM obs GROUP BY event_type),
+    grid AS (
+        SELECT n.event_type, d.d, n.n, coalesce(obs.o, 0) AS o,
+               n.n * ln(1.0 + 1.0 / d.d) / ln(10.0) AS e
+        FROM n CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS d) d
+        LEFT JOIN obs ON obs.event_type = n.event_type AND obs.fd = d.d
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+           round(sum(pow(o - e, 2) / e), 4) AS chi2
+    FROM grid
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q163_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance per event_type: chi² of the
+    first-significant-digit distribution against log10(1 + 1/d) —
+    the classic fabricated-data / instrumentation-bug smell test for
+    a numeric column (synthetic uniform-ish values score far from
+    Benford; organic multiplicative data scores low).
+
+    The first digit comes from the same integer-exact scaling as
+    q160 (floor(value×1000) → decimal string), never floor(log10) —
+    no float boundary can flip a digit cross-engine. Missing digits
+    enter the chi² as zero-observation cells via the 9-digit grid.
+
+    Scale: one map-side digit projection + a |types|×9 count — the
+    chi² itself is arithmetic on that tiny grid. The same shape
+    monitors any numeric column continuously for free.
+    """
+    e = load(spark, sf_dir, "events")
+    pos = e.filter(F.col("value") > 0.001).select(
+        "event_type",
+        F.substring(
+            F.floor(F.col("value") * 1000).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("fd"),
+    )
+    obs = pos.groupBy("event_type", "fd").agg(F.count(F.lit(1)).alias("o"))
+    n = obs.groupBy("event_type").agg(F.sum("o").cast("double").alias("n"))
+    digits = spark.range(1, 10).select(F.col("id").alias("d"))
+    grid = (
+        n.crossJoin(F.broadcast(digits))
+        .join(
+            obs,
+            (obs["event_type"] == n["event_type"]) & (obs["fd"] == F.col("d")),
+            "left",
+        )
+        .select(
+            n["event_type"],
+            "d",
+            "n",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            (F.col("n") * F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0))).alias("e"),
+        )
+    )
+    return (
+        grid.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.round(
+                F.sum(F.pow(F.col("o") - F.col("e"), 2) / F.col("e")), 4
+            ).alias("chi2"),
+        )
+        .orderBy("event_type")
+    )

@@ -735,3 +735,275 @@ def q142_feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id", "pos")
     )
+
+
+@register(
+    "q152_quantile_normalization",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, g.i AS dim, CAST(embedding[g.i] AS DOUBLE) AS val
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+    ),
+    ranked AS (
+        SELECT vec_id, dim, val,
+               row_number() OVER (PARTITION BY dim ORDER BY val, vec_id) AS rn
+        FROM e
+    ),
+    ref AS (SELECT rn, avg(val) AS ref FROM ranked GROUP BY rn)
+    SELECT r.vec_id, CAST(r.dim AS BIGINT) AS dim, round(f.ref, 5) AS qnorm
+    FROM ranked r JOIN ref f USING (rn)
+    WHERE r.vec_id < 8 AND r.dim <= 4
+    ORDER BY vec_id, dim
+    """,
+)
+def q152_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of the embedding matrix (columns =
+    dimensions): each dimension's k-th smallest value is replaced by
+    the MEAN of the k-th smallest values across all 64 dimensions, so
+    every dimension ends with the identical marginal distribution —
+    the feature-calibration transform (classic in batch-effect
+    correction) that min-max or z-scaling (q142) cannot express.
+    Ties rank deterministically by (val, vec_id); output is the
+    normalized block for vec_id < 8 × dims 1-4.
+
+    Scale: two exchanges — the per-dimension rank (64 sort groups;
+    with d columns this is d independent sorts that parallelize
+    perfectly) and the per-rank mean whose partial agg collapses to
+    |rows| reference cells. At 100 TB the exact ranks become the
+    equi-depth sketch (the q131/Z-order quantile machinery) and the
+    reference curve interpolates — the same two-pass shape with the
+    sort replaced by a mergeable histogram.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode(F.col("embedding"))
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("col").cast("double").alias("val"),
+    )
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("dim").orderBy("val", "vec_id")
+    ranked = ex.withColumn("rn", F.row_number().over(wd))
+    ref = ranked.groupBy("rn").agg(F.avg("val").alias("ref"))
+    sub = ranked.filter((F.col("vec_id") < 8) & (F.col("dim") <= 4))
+    return (
+        F.broadcast(sub)
+        .join(ref, "rn")
+        .select("vec_id", "dim", F.round("ref", 5).alias("qnorm"))
+        .orderBy("vec_id", "dim")
+    )
+
+
+@register(
+    "q158_power_iteration_pca",
+    oracle="""
+    WITH x AS (SELECT vec_id, embedding FROM embeddings),
+    e AS (
+        SELECT vec_id, g.i AS dim, CAST(embedding[g.i] AS DOUBLE) AS v
+        FROM x CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+    ),
+    v0 AS (SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS v0 FROM x),
+    z1 AS (SELECT e.dim, sum(e.v * v0.v0) AS z
+           FROM e JOIN v0 USING (vec_id) GROUP BY e.dim),
+    y2 AS (SELECT e.vec_id, sum(e.v * z1.z) AS y
+           FROM e JOIN z1 USING (dim) GROUP BY e.vec_id),
+    z2 AS (SELECT e.dim, sum(e.v * y2.y) AS z
+           FROM e JOIN y2 USING (vec_id) GROUP BY e.dim),
+    nrm AS (SELECT sqrt(sum(z * z)) AS n FROM z2)
+    SELECT CAST(dim AS BIGINT) AS dim, round(z / n, 6) AS loading
+    FROM z2, nrm ORDER BY dim
+    """,
+)
+def q158_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal direction of the embedding corpus by two
+    unnormalized power-iteration steps on the covariance surrogate
+    XᵀX: v ∝ (XᵀX)² e₁, reported L2-normalized — distributed PCA
+    without materializing the d×d gram (q136's complement: that
+    query ships the matrix, this one ships only d-vectors).
+
+    Each half-step is a mergeable d-cell aggregate: z = Xᵀ(Xv)
+    evaluates as a map-side dot product per row (v is a broadcast
+    64-literal array — the only driver materialization, d doubles,
+    q124's bounded-collect rule) followed by one partial-agg sum per
+    dimension. Normalization deferral keeps the recurrence free of
+    intermediate rounding; both engines sum the identical products
+    and the final round(6) absorbs summation-order ulps.
+
+    Scale: two passes over the corpus, each exchanging 64 cells —
+    the exact shape iterated k times for top-k deflation at 100 TB
+    (Lanczos/Arnoldi refinements change the driver math, not the
+    Spark plan).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda c: c.cast("double")).alias("x"),
+    )
+    ex = x.select(
+        "vec_id",
+        F.element_at("x", 1).alias("v0"),
+        F.posexplode("x"),
+    ).select(
+        "vec_id",
+        "v0",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("col").alias("v"),
+    )
+    z1_rows = (
+        ex.groupBy("dim")
+        .agg(F.sum(F.col("v") * F.col("v0")).alias("z"))
+        .orderBy("dim")
+        .collect()
+    )
+    v1 = F.array(*[F.lit(float(r["z"])) for r in z1_rows])
+    y2 = x.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("x"), v1, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ).alias("y"),
+    )
+    z2 = (
+        x.join(y2, "vec_id")
+        .select(F.posexplode("x"), F.col("y"))
+        .groupBy((F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(F.sum(F.col("col") * F.col("y")).alias("z"))
+    )
+    nrm = z2.agg(F.sqrt(F.sum(F.col("z") * F.col("z"))).alias("n"))
+    return (
+        z2.crossJoin(F.broadcast(nrm))
+        .select("dim", F.round(F.col("z") / F.col("n"), 6).alias("loading"))
+        .orderBy("dim")
+    )
+
+
+@register(
+    "q161_logreg_gradient",
+    oracle="""
+    WITH x AS (
+        SELECT vec_id, embedding, label % 2 AS y,
+               1.0 / (1.0 + exp(-0.1 * CAST(embedding[1] AS DOUBLE))) AS sig
+        FROM embeddings
+    )
+    SELECT CAST(g.i AS BIGINT) AS dim,
+           round(sum(CAST(embedding[g.i] AS DOUBLE) * (sig - y)), 4) AS grad
+    FROM x CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+    GROUP BY g.i
+    ORDER BY dim
+    """,
+)
+def q161_logreg_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full-batch logistic-regression gradient over the embedding
+    corpus (binary target = label parity, fixed probe weights
+    w = 0.1·e₁ so the step is deterministic): ∇ = Σ x·(σ(w·x) − y) —
+    the loop body of distributed linear-model training (and the
+    linear-probe quality-classifier fit behind q134's frozen
+    weights).
+
+    Scale: σ(w·x) is a map-side scalar per row (w broadcast); the
+    gradient is a d-cell mergeable sum that collapses in partial
+    aggregation — the parameter-server shape: corpus-size work,
+    d-size exchange, exactly like q158's matvec and q135's centroid
+    update. Per-dim sums round to 4 (magnitudes O(10²), summation-
+    order ulps ~1e-10).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(
+        F.transform(F.col("embedding"), lambda c: c.cast("double")).alias("x"),
+        (F.col("label") % 2).cast("double").alias("y"),
+    ).withColumn(
+        "sig",
+        1.0 / (1.0 + F.exp(-0.1 * F.element_at(F.col("x"), 1))),
+    )
+    return (
+        x.select(F.posexplode("x"), (F.col("sig") - F.col("y")).alias("r"))
+        .groupBy((F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(F.round(F.sum(F.col("col") * F.col("r")), 4).alias("grad"))
+        .orderBy("dim")
+    )
+
+
+@register(
+    "q162_pq_quantization",
+    oracle="""
+    WITH cb AS (SELECT vec_id AS c, embedding AS ce FROM embeddings WHERE vec_id < 4),
+    d AS (
+        SELECT e.vec_id, sub.s, cb.c,
+               round(sum(pow(CAST(e.embedding[sub.s * 8 + k.k] AS DOUBLE)
+                             - CAST(cb.ce[sub.s * 8 + k.k] AS DOUBLE), 2)), 9) AS dist
+        FROM embeddings e
+        CROSS JOIN cb
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) sub
+        CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS k) k
+        GROUP BY e.vec_id, sub.s, cb.c
+    ),
+    a AS (
+        SELECT vec_id, s, c, dist,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS rn
+        FROM d
+    )
+    SELECT CAST(s AS BIGINT) AS subspace, c AS codeword,
+           count(*) AS n_assigned,
+           round(avg(dist), 4) AS avg_sq_dist
+    FROM a WHERE rn = 1
+    GROUP BY s, c
+    ORDER BY subspace, codeword
+    """,
+)
+def q162_pq_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization assignment (the IVF-PQ compression stage
+    FAISS pairs with q108's coarse quantizer): the 64-dim space
+    splits into 8 subspaces of 8 dims; every vector picks, per
+    subspace, the nearest of 4 codewords (deterministic codebook:
+    vectors 0-3), so a vector compresses to 8 2-bit codes.
+    Output is the codebook usage histogram + per-cell distortion.
+
+    Distances round to 9 decimals BEFORE the argmin (codeword-id
+    tiebreak), so an assignment can't flip on cross-engine
+    summation-order ulps in the 8-term squared distance.
+
+    Scale: the codebook broadcasts (k·d doubles); per row the
+    8×4 subvector distances are JVM-side array-lambda arithmetic
+    (zip_with over slices — no Python, no shuffle); the histogram is
+    a 32-cell mergeable count. Training the codebook is q135's
+    k-means loop per subspace; this operator is the (much hotter)
+    assignment pass that runs over the full 100 TB corpus.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cast_d = lambda col: F.transform(col, lambda v: v.cast("double"))  # noqa: E731
+    cb = F.broadcast(
+        e.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("c"), cast_d(F.col("embedding")).alias("ce")
+        )
+    )
+    subs = F.broadcast(
+        spark.range(0, 8).select(F.col("id").cast("int").alias("s"))
+    )
+    j = e.select("vec_id", cast_d(F.col("embedding")).alias("x")).crossJoin(
+        cb
+    ).crossJoin(subs)
+    sq = F.zip_with(
+        F.slice(F.col("x"), F.col("s") * 8 + 1, 8),
+        F.slice(F.col("ce"), F.col("s") * 8 + 1, 8),
+        lambda a, b: (a - b) * (a - b),
+    )
+    dist = F.round(
+        F.aggregate(sq, F.lit(0.0), lambda acc, t: acc + t), 9
+    )
+    scored = j.select("vec_id", "s", "c", dist.alias("dist"))
+    best = scored.groupBy("vec_id", "s").agg(
+        F.min(F.struct("dist", "c")).alias("b")
+    )
+    return (
+        best.select("s", F.col("b.c").alias("codeword"), F.col("b.dist").alias("dist"))
+        .groupBy(F.col("s").cast("long").alias("subspace"), "codeword")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.round(F.avg("dist"), 4).alias("avg_sq_dist"),
+        )
+        .orderBy("subspace", "codeword")
+    )

@@ -370,3 +370,227 @@ def q120_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_count"), "token")
     )
+
+
+_KMV_K = 32
+
+
+@register(
+    "q149_kmv_source_similarity",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT source,
+               CAST(CAST('0x' || substr(md5(text), 1, 8) AS UBIGINT) AS BIGINT) AS h
+        FROM documents
+    ),
+    sig AS (
+        SELECT source, h FROM (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM h
+        ) WHERE rn <= {_KMV_K}
+    ),
+    pairs AS (
+        SELECT a.source AS sa, b.source AS sb
+        FROM (SELECT DISTINCT source FROM documents) a
+        JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source
+    ),
+    uni AS (
+        SELECT p.sa, p.sb, s.h, count(*) AS n_sides
+        FROM pairs p JOIN sig s ON s.source IN (p.sa, p.sb)
+        GROUP BY p.sa, p.sb, s.h
+    ),
+    ranked AS (
+        SELECT sa, sb, n_sides,
+               row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+        FROM uni
+    )
+    SELECT sa AS source_a, sb AS source_b,
+           CAST(sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           round(sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) / {_KMV_K}.0, 6) AS j_est
+    FROM ranked WHERE rn <= {_KMV_K}
+    GROUP BY sa, sb
+    ORDER BY sa, sb
+    """,
+)
+def q149_kmv_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap estimation from k-minimum-value
+    (KMV / bottom-k minhash) signatures: per source, keep the k={_KMV_K}
+    smallest distinct content hashes; for each source pair, the
+    Jaccard estimate is the fraction of the union's bottom-k present
+    in BOTH signatures (Bar-Yossef et al.'s KMV estimator). This is
+    the SKETCH version of q99's exact overlap matrix — the number a
+    100 TB pipeline can afford to refresh per ingest, because
+    signatures merge (min-k of a union = min-k of the merged min-k
+    sets) and the pairwise stage never touches the corpus.
+
+    Every step is integer-exact cross-engine: the content hash is the
+    32-bit md5 prefix (q137's portable conversion), bottom-k is an
+    integer rank, and the estimate is an exact rational n/k — the
+    driver gate hashes the SKETCH state itself.
+
+    Scale: one distinct pass over the corpus builds |sources|·k
+    signature rows (the per-source bottom-k collapses map-side as a
+    mergeable min-k accumulator); all pair arithmetic runs on that
+    tiny relation — |sources|²·k at worst, corpus-independent.
+    """
+    d = load(spark, sf_dir, "documents")
+    h = d.select(
+        "source",
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("h")
+    sig = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("source", "h")
+    )
+    srcs = d.select("source").distinct()
+    a, b = srcs.alias("a"), srcs.alias("b")
+    pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+    )
+    uni = (
+        F.broadcast(pairs)
+        .join(
+            sig,
+            (sig["source"] == F.col("sa")) | (sig["source"] == F.col("sb")),
+        )
+        .groupBy("sa", "sb", "h")
+        .agg(F.count(F.lit(1)).alias("n_sides"))
+    )
+    wp = Window.partitionBy("sa", "sb").orderBy("h")
+    both = F.when(F.col("n_sides") == 2, 1).otherwise(0)
+    return (
+        uni.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy(F.col("sa").alias("source_a"), F.col("sb").alias("source_b"))
+        .agg(
+            F.sum(both).cast("long").alias("n_common"),
+            F.round(F.sum(both) / float(_KMV_K), 6).alias("j_est"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@register(
+    "q160_loghist_quantile_sketch",
+    oracle="""
+    WITH pos AS (
+        SELECT event_type, value,
+               CAST(floor(value * 1000) AS BIGINT) AS s
+        FROM events WHERE value > 0.001
+    ),
+    b AS (
+        SELECT event_type,
+               length(CAST(s AS VARCHAR)) AS slen,
+               CAST(substr(CAST(s AS VARCHAR), 1, 1) AS BIGINT) AS fd,
+               count(*) AS cnt
+        FROM pos GROUP BY 1, 2, 3
+    ),
+    c AS (
+        SELECT event_type, slen, fd, cnt,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY slen, fd
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(cnt) OVER (PARTITION BY event_type) AS n
+        FROM b
+    ),
+    est AS (
+        SELECT event_type,
+               min(CASE WHEN cum >= 0.5 * n THEN fd * pow(10, slen - 1) / 1000.0 END) AS est_p50,
+               min(CASE WHEN cum >= 0.9 * n THEN fd * pow(10, slen - 1) / 1000.0 END) AS est_p90,
+               min(CASE WHEN cum >= 0.99 * n THEN fd * pow(10, slen - 1) / 1000.0 END) AS est_p99
+        FROM c GROUP BY event_type
+    ),
+    exact AS (
+        SELECT event_type,
+               quantile_cont(value, 0.5)  AS ex_p50,
+               quantile_cont(value, 0.9)  AS ex_p90,
+               quantile_cont(value, 0.99) AS ex_p99
+        FROM pos GROUP BY event_type
+    )
+    SELECT e.event_type,
+           round(est_p50, 6) AS est_p50, round(ex_p50, 6) AS exact_p50,
+           round(abs(est_p50 - ex_p50) / ex_p50, 4) AS err_p50,
+           round(est_p90, 6) AS est_p90, round(ex_p90, 6) AS exact_p90,
+           round(abs(est_p90 - ex_p90) / ex_p90, 4) AS err_p90,
+           round(est_p99, 6) AS est_p99, round(ex_p99, 6) AS exact_p99,
+           round(abs(est_p99 - ex_p99) / ex_p99, 4) AS err_p99
+    FROM est e JOIN exact USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def q160_loghist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable log-histogram quantile sketch (HdrHistogram shape):
+    per event_type, values bucket by (decimal magnitude, first
+    significant digit) — ~9 buckets per decade — and p50/p90/p99 are
+    estimated from the cumulative bucket walk, scored against the
+    exact quantiles. This is the quantile twin of the HLL/CMS family
+    (q113/q120): COUNT state per (group, bucket), sum-mergeable
+    across shards/streams, where exact percentiles need a sort.
+
+    Bucketing is INTEGER-exact cross-engine: scale = floor(value ×
+    1000) as BIGINT (floor-then-cast — a bare double→int cast ROUNDS
+    in DuckDB and truncates in Spark), bucket = (digit-length, first
+    digit) of its decimal string. No float log anywhere, so a bucket
+    boundary can never flip on an ulp the way floor(log10(x)) could.
+
+    Scale: the sketch is one map-side-combining count per
+    (group, bucket) — |groups|×O(70) cells at any corpus size; the
+    exact side (for the recorded error) is the only sorting stage
+    and exists here to MEASURE the sketch, not to serve it.
+    """
+    e = load(spark, sf_dir, "events")
+    pos = e.filter(F.col("value") > 0.001).select(
+        "event_type",
+        "value",
+        F.floor(F.col("value") * 1000).cast("long").alias("s"),
+    )
+    b = (
+        pos.withColumn("slen", F.length(F.col("s").cast("string")))
+        .withColumn(
+            "fd", F.substring(F.col("s").cast("string"), 1, 1).cast("long")
+        )
+        .groupBy("event_type", "slen", "fd")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("slen", "fd")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("event_type")
+    c = b.withColumn("cum", F.sum("cnt").over(wc)).withColumn(
+        "n", F.sum("cnt").over(wn)
+    )
+    lb = F.col("fd") * F.pow(F.lit(10.0), F.col("slen") - 1) / 1000.0
+    est = c.groupBy("event_type").agg(
+        *[
+            F.min(F.when(F.col("cum") >= q * F.col("n"), lb)).alias(f"est_{tag}")
+            for q, tag in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+        ]
+    )
+    exact = pos.groupBy("event_type").agg(
+        *[
+            F.percentile("value", F.lit(q)).alias(f"ex_{tag}")
+            for q, tag in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))
+        ]
+    )
+    out = est.join(exact, "event_type")
+    cols = ["event_type"]
+    for tag in ("p50", "p90", "p99"):
+        cols += [
+            F.round(F.col(f"est_{tag}"), 6).alias(f"est_{tag}"),
+            F.round(F.col(f"ex_{tag}"), 6).alias(f"exact_{tag}"),
+            F.round(
+                F.abs(F.col(f"est_{tag}") - F.col(f"ex_{tag}")) / F.col(f"ex_{tag}"),
+                4,
+            ).alias(f"err_{tag}"),
+        ]
+    return out.select(*cols).orderBy("event_type")

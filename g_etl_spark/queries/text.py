@@ -6,7 +6,7 @@ built-in SQL (split / array lambdas / md5), no Python UDFs.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from g_etl_spark.operators import text as T
 from g_etl_spark.queries import register
@@ -1709,4 +1709,59 @@ def q138_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_derivative"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "q156_doc_entropy",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+    cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+    tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY doc_id),
+    ent AS (
+        SELECT c.doc_id, t.n AS n_tokens,
+               round(-sum((c.c / CAST(t.n AS DOUBLE))
+                          * log2(c.c / CAST(t.n AS DOUBLE))), 4) AS entropy
+        FROM cnt c JOIN tot t USING (doc_id)
+        GROUP BY c.doc_id, t.n
+    )
+    SELECT doc_id, n_tokens, entropy FROM ent
+    WHERE n_tokens >= 10
+    ORDER BY entropy, doc_id
+    LIMIT 10
+    """,
+)
+def q156_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy, bottom-10 — the
+    repetitive-document quality signal (low word entropy = degenerate
+    boilerplate/spam) complementing the dup-bigram ratio (q59) and
+    perplexity (q85): H = -Σ p log2 p over the doc's own word
+    distribution.
+
+    The ordering key is the ROUNDED entropy with doc_id tiebreak, so
+    the bottom-10 cut is engine-stable (per-doc sums are ≤ doc-length
+    terms — no corpus-scale float accumulation anywhere).
+
+    Scale: explode → (doc, word) counts → per-doc agg; both
+    aggregations shuffle on doc_id so AQE coalesces them into one
+    exchange's worth of work, and per-doc state is bounded by doc
+    vocabulary. The bottom-10 is a TakeOrdered heap, not a sort.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    )
+    cnt = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    wdoc = Window.partitionBy("doc_id")
+    staged = cnt.withColumn("n", F.sum("c").over(wdoc))
+    p = F.col("c") / F.col("n").cast("double")
+    ent = staged.groupBy(
+        "doc_id", F.col("n").cast("long").alias("n_tokens")
+    ).agg(F.round(-F.sum(p * F.log2(p)), 4).alias("entropy"))
+    return (
+        ent.filter(F.col("n_tokens") >= 10)
+        .select("doc_id", "n_tokens", "entropy")
+        .orderBy("entropy", "doc_id")
+        .limit(10)
     )

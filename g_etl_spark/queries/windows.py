@@ -1207,3 +1207,563 @@ def q147_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q151_weekday_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               dayofweek(CAST(ts AS DATE)) AS dow,
+               avg(value) AS da
+        FROM events GROUP BY 1, 2, 3
+    ),
+    prof AS (
+        SELECT event_type, dow,
+               avg(da) AS m, stddev_samp(da) AS s, count(*) AS n
+        FROM daily GROUP BY event_type, dow
+    )
+    SELECT d.event_type, strftime(d.d, '%Y-%m-%d') AS day,
+           round(d.da, 4) AS daily_avg,
+           round((d.da - p.m) / p.s, 4) AS z_score
+    FROM daily d JOIN prof p USING (event_type, dow)
+    WHERE p.n >= 2 AND p.s > 1e-12
+    ORDER BY abs(round((d.da - p.m) / p.s, 4)) DESC, d.event_type, d.d
+    LIMIT 10
+    """,
+)
+def q151_weekday_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each (event_type, day)'s
+    mean value scored against that type's SAME-WEEKDAY profile
+    (mean ± std over the month), top-10 deviations — the
+    "is today weird for a Tuesday" monitor that a flat z-score
+    (q114) gets wrong on weekly-periodic metrics.
+
+    Weekday numbering is pinned cross-engine: Spark's dayofweek is
+    1-based Sunday, DuckDB's 0-based Sunday, so Spark subtracts 1.
+    The ranking key is the ROUNDED |z| with (type, day) tiebreak.
+
+    Scale: the daily rollup is the only corpus-touching exchange;
+    the profile is |types|×7 rows broadcast back onto it. Profile
+    cells with fewer than 2 days or zero variance are excluded
+    rather than dividing by ~0.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.col("ts").cast("date").alias("d"),
+            (F.dayofweek(F.col("ts").cast("date")) - 1).alias("dow"),
+            "value",
+        )
+        .groupBy("event_type", "d", "dow")
+        .agg(F.avg("value").alias("da"))
+    )
+    prof = daily.groupBy("event_type", "dow").agg(
+        F.avg("da").alias("m"),
+        F.stddev_samp("da").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    z = F.round((F.col("da") - F.col("m")) / F.col("s"), 4)
+    return (
+        daily.join(F.broadcast(prof), ["event_type", "dow"])
+        .filter((F.col("n") >= 2) & (F.col("s") > 1e-12))
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round("da", 4).alias("daily_avg"),
+            z.alias("z_score"),
+        )
+        .orderBy(F.abs(F.col("z_score")).desc(), "event_type", "day")
+        .limit(10)
+    )
+
+
+@register(
+    "q154_marketing_attribution",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               CASE WHEN event_type = 'click'
+                    THEN 'ch' || CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 4 AS VARCHAR)
+               END AS click_ch
+        FROM events
+    ),
+    attributed AS (
+        SELECT event_type, value,
+               last_value(click_ch IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS ch
+        FROM flagged
+    )
+    SELECT coalesce(ch, 'organic') AS channel,
+           count(*) AS n_purchases,
+           round(sum(value), 4) AS revenue
+    FROM attributed
+    WHERE event_type = 'purchase'
+    GROUP BY coalesce(ch, 'organic')
+    ORDER BY channel
+    """,
+)
+def q154_marketing_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase's revenue is
+    credited to the channel of the user's most recent STRICTLY
+    preceding click (channel = click's props.k mod 4; no preceding
+    click → 'organic') — the as-of-join shape (q36) expressed as one
+    ignore-nulls window so purchases and clicks never join.
+
+    Scale: ONE exchange on user_id; last(ignorenulls) over the
+    unbounded-preceding frame is O(1) running state per user in a
+    single WindowExec sort, then the per-channel rollup is a
+    |channels|-row partial agg. The same plan serves first-touch by
+    flipping last→first.
+    """
+    e = load(spark, sf_dir, "events")
+    ch = F.concat(
+        F.lit("ch"),
+        (F.get_json_object("props", "$.k").cast("int") % 4).cast("string"),
+    )
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "click", ch).alias("click_ch"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = flagged.withColumn(
+        "ch", F.last("click_ch", ignorenulls=True).over(w)
+    )
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("ch"), F.lit("organic")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+@register(
+    "q155_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, avg(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (SELECT event_type, avg(v) AS mu FROM daily GROUP BY event_type),
+    c AS (
+        SELECT daily.event_type, d,
+               round(sum(v - mu) OVER (
+                   PARTITION BY daily.event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cusum
+        FROM daily JOIN m USING (event_type)
+    ),
+    ranked AS (
+        SELECT event_type, d, cusum,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(cusum) DESC, d) AS rn
+        FROM c
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS change_day,
+           cusum AS peak_cusum
+    FROM ranked WHERE rn = 1
+    ORDER BY event_type
+    """,
+)
+def q155_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point candidate per event_type: cumulative sum of
+    (daily mean − overall mean) over the day series; the day where
+    |CUSUM| peaks is the classic single-change-point estimate (Page's
+    statistic with known target) — the level-shift detector
+    complementing q114's pointwise outliers and q151's seasonal ones.
+
+    The CUSUM is ROUNDED to 6 before the argmax ranking (date
+    tiebreak), so the reported peak can't flip on an ulp between
+    engines.
+
+    Scale: the daily rollup is the only corpus exchange; the per-type
+    mean is a |types|-row broadcast; the cumulative window and argmax
+    share one tiny per-type sort over ~days rows.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.avg("value").alias("v"))
+    )
+    m = daily.groupBy("event_type").agg(F.avg("v").alias("mu"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = daily.join(F.broadcast(m), "event_type").withColumn(
+        "cusum", F.round(F.sum(F.col("v") - F.col("mu")).over(wc), 6)
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), "d"
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("change_day"),
+            F.col("cusum").alias("peak_cusum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q157_survival_retention",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS f, CAST(max(ts) AS DATE) AS l
+        FROM events GROUP BY user_id
+    ),
+    bound AS (SELECT max(l) AS endd FROM spans),
+    per_user AS (
+        SELECT date_diff('day', f, l) AS lifetime,
+               l < (SELECT endd FROM bound) - 3 AS churned
+        FROM spans
+    ),
+    lt AS (
+        SELECT lifetime AS t, count(*) AS n_all,
+               count(CASE WHEN churned THEN 1 END) AS n_death
+        FROM per_user GROUP BY lifetime
+    ),
+    grid AS (SELECT unnest(generate_series(0, 14)) AS t),
+    g2 AS (
+        SELECT g.t, coalesce(lt.n_all, 0) AS n_all,
+               coalesce(lt.n_death, 0) AS d
+        FROM grid g LEFT JOIN lt ON lt.t = g.t
+    ),
+    km AS (
+        SELECT t, d,
+               (SELECT count(*) FROM per_user) - coalesce(sum(n_all) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+        FROM g2
+    )
+    SELECT t AS day, CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(d AS BIGINT) AS n_churned,
+           round(exp(sum(CASE WHEN d = 0 THEN 0.0
+                              ELSE ln(1.0 - CAST(d AS DOUBLE) / at_risk) END)
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)), 4) AS survival
+    FROM km
+    ORDER BY day
+    """,
+)
+def q157_survival_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (days between
+    first and last event), days 0-14: users whose last activity ends
+    more than 3 days before the observation end are churn events,
+    the rest are right-censored — the product-limit retention curve
+    a naive "% still active" overstates because it ignores censoring.
+
+    S(t) = Π_{u ≤ t} (1 − d_u / n_u) is evaluated as exp of a
+    cumulative log-sum over the 15-day grid; every day 0-14 appears
+    in the grid, so the at-risk reverse-cumulative needs no
+    inequality join.
+
+    Scale: one user-level agg (the corpus exchange), then ALL
+    survival arithmetic runs on a ≤ max-lifetime-row relation —
+    death/censor counts per integer day, window cumsums over ~30
+    rows. The observation bound is a 1-row broadcast.
+    """
+    e = load(spark, sf_dir, "events")
+    spans = e.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("f"),
+        F.max("ts").cast("date").alias("l"),
+    )
+    bound = spans.agg(F.max("l").alias("endd"))
+    total = spans.count()
+    per_user = spans.crossJoin(F.broadcast(bound)).select(
+        F.datediff("l", "f").alias("lifetime"),
+        (F.col("l") < F.date_sub(F.col("endd"), 3)).alias("churned"),
+    )
+    lt = per_user.groupBy(F.col("lifetime").alias("t")).agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.when(F.col("churned"), 1)).alias("n_death"),
+    )
+    grid = spark.range(0, 15).select(F.col("id").alias("t"))
+    g2 = grid.join(lt, "t", "left").select(
+        "t",
+        F.coalesce("n_all", F.lit(0)).alias("n_all"),
+        F.coalesce("n_death", F.lit(0)).alias("d"),
+    )
+    wprev = (
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    km = g2.withColumn(
+        "at_risk",
+        F.lit(total) - F.coalesce(F.sum("n_all").over(wprev), F.lit(0)),
+    )
+    term = F.when(F.col("d") == 0, F.lit(0.0)).otherwise(
+        F.log(1.0 - F.col("d").cast("double") / F.col("at_risk"))
+    )
+    return km.select(
+        F.col("t").alias("day"),
+        F.col("at_risk").cast("long").alias("at_risk"),
+        F.col("d").cast("long").alias("n_churned"),
+        F.round(F.exp(F.sum(term).over(wrun)), 4).alias("survival"),
+    ).orderBy("day")
+
+
+@register(
+    "q164_conversion_time_percentiles",
+    oracle="""
+    WITH su AS (
+        SELECT user_id, min(ts) AS st FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    pu AS (
+        SELECT e.user_id,
+               CAST(date_diff('microsecond', su.st, min(e.ts)) AS DOUBLE) / 1000000.0 AS secs
+        FROM events e JOIN su USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= su.st
+        GROUP BY e.user_id, su.st
+    )
+    SELECT count(*) AS n_converted,
+           round(quantile_cont(secs, 0.25), 3) AS p25,
+           round(quantile_cont(secs, 0.5), 3)  AS p50,
+           round(quantile_cont(secs, 0.75), 3) AS p75,
+           round(quantile_cont(secs, 0.9), 3)  AS p90
+    FROM pu
+    """,
+)
+def q164_conversion_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion distribution: per user, seconds from first
+    signup to the first purchase at-or-after it, summarized as exact
+    p25/p50/p75/p90 — the activation-latency readout that pairs with
+    the funnel's conversion COUNT (q146) by answering "how long".
+
+    Scale: both sides aggregate on user_id before joining, so the
+    join carries one row per user, not per event, and reuses the
+    same hash partitioning (zero extra exchange under AQE). The
+    exact percentiles run over |converted users| — for a quantile
+    over raw events at 100 TB, q160's mergeable log-histogram is
+    the drop-in.
+    """
+    e = load(spark, sf_dir, "events")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+    )
+    pu = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("st"))
+        .groupBy("user_id", "st")
+        .agg(F.min("ts").alias("pt"))
+        .select(
+            ((F.unix_micros("pt") - F.unix_micros("st")).cast("double") / 1e6).alias(
+                "secs"
+            )
+        )
+    )
+    return pu.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("secs", F.lit(0.25)), 3).alias("p25"),
+        F.round(F.percentile("secs", F.lit(0.5)), 3).alias("p50"),
+        F.round(F.percentile("secs", F.lit(0.75)), 3).alias("p75"),
+        F.round(F.percentile("secs", F.lit(0.9)), 3).alias("p90"),
+    )
+
+
+@register(
+    "q165_top_event_paths",
+    oracle="""
+    WITH p AS (
+        SELECT event_type || '>' || lead(event_type, 1) OVER w
+                          || '>' || lead(event_type, 2) OVER w AS path
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT path, count(*) AS n
+    FROM p WHERE path IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT 10
+    """,
+)
+def q165_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common 3-step event paths (user-ordered event-type
+    trigrams, 'a>b>c') — the path-mining readout behind funnel
+    DISCOVERY: q127's Markov matrix assumes one-step memory, this
+    surfaces the actual multi-step flows to pick funnel anchors
+    (q146) from.
+
+    Path strings use NULL-propagating concat (F.concat, not
+    concat_ws) so incomplete tails at the end of each user's stream
+    drop out identically in both engines.
+
+    Scale: both lead() terms share ONE user_id window sort; the path
+    rollup is a map-side-combining count on at most |types|³ keys
+    and the top-10 is a TakeOrdered heap.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = e.select(
+        F.concat(
+            F.col("event_type"),
+            F.lit(">"),
+            F.lead("event_type", 1).over(w),
+            F.lit(">"),
+            F.lead("event_type", 2).over(w),
+        ).alias("path")
+    )
+    return (
+        p.filter(F.col("path").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )
+
+
+@register(
+    "q166_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, avg(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.event_type,
+               (b.v - a.v) / date_diff('day', a.d, b.d) AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.d < b.d
+    )
+    SELECT event_type, count(*) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 6) AS ts_slope
+    FROM slopes
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q166_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event_type: the MEDIAN of all
+    pairwise day-over-day slopes of the daily-mean series — the
+    outlier-resistant alternative to q115's least-squares trend (one
+    corrupted day breaks OLS, but not the pairwise-slope median).
+
+    Scale: the pairwise self-join runs on the DAILY ROLLUP, so its
+    cost is |days|² per type (~465 pairs/type for a month) no matter
+    how many raw events exist — the corpus is touched exactly once
+    by the daily aggregate. For multi-year series the standard
+    windowed Theil-Sen (pairs within a bounded day lag) keeps the
+    pair count linear; same plan with a range predicate.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.avg("value").alias("v"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.v") - F.col("a.v"))
+            / F.datediff(F.col("b.d"), F.col("a.d"))
+        ).alias("slope"),
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.percentile("slope", F.lit(0.5)), 6).alias("ts_slope"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q167_rfm_segments",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    bound AS (SELECT max(CAST(ts AS DATE)) AS endd FROM p),
+    rfm AS (
+        SELECT user_id,
+               date_diff('day', CAST(max(ts) AS DATE), (SELECT endd FROM bound)) AS rec,
+               count(*) AS freq,
+               round(sum(value), 4) AS mon
+        FROM p GROUP BY user_id
+    ),
+    q AS (
+        SELECT user_id,
+               ntile(4) OVER (ORDER BY rec, user_id) AS r_q,
+               ntile(4) OVER (ORDER BY freq DESC, user_id) AS f_q,
+               ntile(4) OVER (ORDER BY mon DESC, user_id) AS m_q
+        FROM rfm
+    )
+    SELECT CAST(r_q AS BIGINT) || '-' || CAST(f_q AS BIGINT) || '-' || CAST(m_q AS BIGINT) AS segment,
+           count(*) AS n_users
+    FROM q
+    GROUP BY 1
+    ORDER BY segment
+    """,
+)
+def q167_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation of
+    purchasers — the standard customer-base cut ('1-1-1' = best
+    quartile on all three axes). Monetary totals round to 4 BEFORE
+    the quartile ordering and every ntile orders with a user_id
+    tiebreak, so quartile boundaries are engine-stable.
+
+    Scale: one purchase-keyed user aggregate (the corpus exchange),
+    then three ntile windows over the |purchasers| relation. A
+    global ntile is a range-partitioned rank at scale — or quartile
+    thresholds from q160's mergeable histogram applied map-side,
+    which avoids the global sort entirely; the segment rollup is 64
+    keys either way.
+    """
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase")
+    bound = p.agg(F.max(F.col("ts").cast("date")).alias("endd"))
+    rfm = (
+        p.groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("lastd"),
+            F.count(F.lit(1)).alias("freq"),
+            F.round(F.sum("value"), 4).alias("mon"),
+        )
+        .crossJoin(F.broadcast(bound))
+        .select(
+            "user_id",
+            F.datediff("endd", "lastd").alias("rec"),
+            "freq",
+            "mon",
+        )
+    )
+    q = rfm.select(
+        "user_id",
+        F.ntile(4).over(Window.orderBy("rec", "user_id")).alias("r_q"),
+        F.ntile(4).over(Window.orderBy(F.desc("freq"), "user_id")).alias("f_q"),
+        F.ntile(4).over(Window.orderBy(F.desc("mon"), "user_id")).alias("m_q"),
+    )
+    seg = F.concat_ws(
+        "-",
+        F.col("r_q").cast("long").cast("string"),
+        F.col("f_q").cast("long").cast("string"),
+        F.col("m_q").cast("long").cast("string"),
+    )
+    return (
+        q.groupBy(seg.alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("segment")
+    )
