@@ -193,6 +193,8 @@ def main() -> None:
         "q136_gram_matrix",             # Arrow GEMM mergeable moments
         "q146_funnel_3step",            # 3-window funnel, one exchange
         "q147_rolling_active_users",    # rolling DAU/WAU over users×days
+        "q160_loghist_quantile_sketch", # mergeable quantile buckets (r5)
+        "q170_grid_hotspot_clusters",   # grid rollup + dense-cell CC (r5)
     ]:
         best = None
         per_trial = []

@@ -492,3 +492,109 @@ def q145_nearest_event_per_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.eid").alias("nearest_event"),
         F.col("b.dist_m").alias("dist_m"),
     ).orderBy("poi_id")
+
+
+@register(
+    "q170_grid_hotspot_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    pts AS (
+        SELECT CAST(floor({LAT_SQL} * 2) AS BIGINT) AS cx,
+               CAST(floor({LNG_SQL} * 2) AS BIGINT) AS cy
+        FROM events
+    ),
+    cells AS (
+        SELECT cx, cy, cx * 10000 + cy AS ck, count(*) AS cnt
+        FROM pts GROUP BY cx, cy
+    ),
+    thr AS (
+        SELECT avg(cnt) + 2 * sqrt(avg(cnt)) AS t FROM cells
+    ),
+    dense AS (
+        SELECT c.* FROM cells c, thr WHERE c.cnt >= thr.t
+    ),
+    edges0 AS (
+        SELECT a.ck AS u, b.ck AS v
+        FROM dense a JOIN dense b
+          ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+         AND a.ck < b.ck
+    ),
+    edges AS (
+        SELECT u, v FROM edges0 UNION SELECT v, u FROM edges0
+    ),
+    reach(node, r) AS (
+        SELECT ck, ck FROM dense
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+    ),
+    comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node)
+    SELECT comp.cluster,
+           count(*) AS n_cells,
+           CAST(sum(d.cnt) AS BIGINT) AS n_events,
+           round(avg(d.cx / 2.0 + 0.25), 4) AS c_lat,
+           round(avg(d.cy / 2.0 + 0.25), 4) AS c_lng
+    FROM comp JOIN dense d ON d.ck = comp.node
+    GROUP BY comp.cluster
+    ORDER BY n_events DESC, comp.cluster
+    LIMIT 10
+    """,
+)
+def q170_grid_hotspot_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial hotspot detection, DBSCAN-lite: bucket points into
+    0.5° grid cells, keep cells denser than mean + 2·sqrt(mean) (the
+    Poisson two-sigma cut, so the threshold adapts to scale instead
+    of going vacuous at small SFs or unreachable at big ones), then
+    CLUSTER adjacent dense cells (8-neighborhood) via the engine's
+    distributed connected components — the grid-index + graph
+    composition (q20's layout, q56's operator) that turns density
+    clustering into pure equi-joins, the same trick the reference
+    plays on ST_Intersects.
+
+    Scale: the corpus touch is ONE cell rollup (map-side combine);
+    everything after runs on the dense-cell relation (rare by
+    construction — a 2-sigma cut keeps a few % of cells). Adjacency
+    is a self-join on the bounded neighborhood, and the CC operator
+    is the oracle-matched min-label fixpoint with lineage truncation
+    (operators/graph.py) — no O(n²) distance pairs anywhere, unlike
+    point-space DBSCAN.
+    """
+    from g_etl_spark.operators.graph import connected_components
+
+    pts = _points(spark, sf_dir).select(
+        F.floor(F.col("lat") * 2).cast("long").alias("cx"),
+        F.floor(F.col("lng") * 2).cast("long").alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("cnt")).select(
+        "cx", "cy", (F.col("cx") * 10000 + F.col("cy")).alias("ck"), "cnt"
+    )
+    thr = cells.agg(
+        (F.avg("cnt") + 2 * F.sqrt(F.avg("cnt"))).alias("t")
+    )
+    dense = cells.crossJoin(F.broadcast(thr)).filter(
+        F.col("cnt") >= F.col("t")
+    ).select("cx", "cy", "ck", "cnt")
+    a, b = dense.alias("a"), dense.alias("b")
+    edges = a.join(
+        b,
+        (F.abs(F.col("a.cx") - F.col("b.cx")) <= 1)
+        & (F.abs(F.col("a.cy") - F.col("b.cy")) <= 1)
+        & (F.col("a.ck") < F.col("b.ck")),
+    ).select(F.col("a.ck").alias("u"), F.col("b.ck").alias("v"))
+    labels = connected_components(edges, src="u", dst="v")
+    labeled = dense.join(labels, dense["ck"] == labels["node"], "left").select(
+        "cx",
+        "cy",
+        "cnt",
+        F.coalesce(F.col("component"), F.col("ck")).alias("cluster"),
+    )
+    return (
+        labeled.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("cnt").cast("long").alias("n_events"),
+            F.round(F.avg(F.col("cx") / 2.0 + 0.25), 4).alias("c_lat"),
+            F.round(F.avg(F.col("cy") / 2.0 + 0.25), 4).alias("c_lng"),
+        )
+        .orderBy(F.desc("n_events"), "cluster")
+        .limit(10)
+    )

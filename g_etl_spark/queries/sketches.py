@@ -594,3 +594,149 @@ def q160_loghist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"err_{tag}"),
         ]
     return out.select(*cols).orderBy("event_type")
+
+
+@register(
+    "q169_rolling_hll_dau",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+               ((user_id * 2654435761) % 2147483647) % {_M} AS bucket,
+               (user_id * 104729 + 12345) % 2147483647 AS h2
+        FROM events
+    ),
+    daily_regs AS (
+        SELECT di, bucket,
+               max(least(CAST(CASE WHEN h2 = 0 THEN 32
+                              ELSE log2(h2 & (-h2)) + 1 END AS BIGINT), 40)) AS rho
+        FROM hashed GROUP BY di, bucket
+    ),
+    days AS (SELECT DISTINCT di FROM hashed),
+    grid AS (
+        SELECT d.di, b.bucket
+        FROM days d CROSS JOIN (SELECT unnest(generate_series(0, {_M - 1})) AS bucket) b
+    ),
+    dense AS (
+        SELECT g.di, g.bucket, r.rho
+        FROM grid g LEFT JOIN daily_regs r ON r.di = g.di AND r.bucket = g.bucket
+    ),
+    merged AS (
+        SELECT di, bucket,
+               max(rho) OVER (PARTITION BY bucket ORDER BY di
+                              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS mrho
+        FROM dense
+    ),
+    agg AS (
+        SELECT di,
+               count(mrho) AS n_present,
+               coalesce(sum(CAST(pow(2.0, 40 - mrho) AS BIGINT)), 0) AS sum_present
+        FROM merged GROUP BY di
+    ),
+    est AS (
+        SELECT di, {_M} - n_present AS v,
+               {_ALPHA}e0 * {_M * _M} * {_POW40}e0
+                 / (sum_present + ({_M} - n_present) * {_POW40}) AS e_raw
+        FROM agg
+    ),
+    exact AS (
+        SELECT g.di, count(DISTINCT p.user_id) AS exact_wau
+        FROM (SELECT DISTINCT di FROM hashed) g
+        JOIN (SELECT DISTINCT user_id,
+                     date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di
+              FROM events) p
+          ON p.di BETWEEN g.di - 6 AND g.di
+        GROUP BY g.di
+    )
+    SELECT e.di AS day_idx,
+           x.exact_wau,
+           CAST(round(CASE WHEN e.e_raw < {2.5 * _M} AND e.v > 0
+                           THEN {_M}.0 * ln({_M}.0 / e.v)
+                           ELSE e.e_raw END, 0) AS BIGINT) AS approx_wau
+    FROM est e JOIN exact x ON x.di = e.di
+    ORDER BY day_idx
+    """,
+)
+def q169_rolling_hll_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day from MERGED daily HLL
+    registers — the approximate path q147's exact rolling-WAU
+    docstring names: materialize one 256-register sketch per day
+    (q113's integer-exact registers), then a day's WAU is the
+    estimate off max-merged registers of its trailing week. Register
+    max IS the merge, so the rolling union costs |days|×256 window
+    cells — never a re-scan of raw events per day, and the same
+    registers answer any window length (7, 28, 90) for free.
+
+    The bucket×day grid is densified before the rolling max (a
+    bucket hit on day d−3 but silent on day d must still count for
+    day d), and max() skips the null cells identically in both
+    engines. The exact rolling distinct is computed alongside (the
+    oracle-scale join; at production scale that side is exactly what
+    this sketch replaces).
+
+    Scale: daily registers are the A4 incremental pattern — each new
+    day appends 256 small ints; the window merge + estimate run on
+    |days|×256 rows total.
+    """
+    e = load(spark, sf_dir, "events")
+    di = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+    hashed = e.select(
+        di.alias("di"),
+        F.expr(f"((user_id * 2654435761) % 2147483647) % {_M}").alias("bucket"),
+        F.expr("(user_id * 104729 + 12345) % 2147483647").alias("h2"),
+        "user_id",
+    )
+    rho = F.expr(
+        "least(cast(CASE WHEN h2 = 0 THEN 32 "
+        "ELSE log2(h2 & (-h2)) + 1 END AS BIGINT), 40)"
+    )
+    daily_regs = hashed.groupBy("di", "bucket").agg(F.max(rho).alias("rho"))
+    days = hashed.select("di").distinct()
+    buckets = spark.range(0, _M).select(F.col("id").alias("bucket"))
+    grid = days.crossJoin(F.broadcast(buckets))
+    dense = grid.join(daily_regs, ["di", "bucket"], "left")
+    from pyspark.sql import Window
+
+    wm = (
+        Window.partitionBy("bucket").orderBy("di").rangeBetween(-6, 0)
+    )
+    merged = dense.withColumn("mrho", F.max("rho").over(wm))
+    agg = merged.groupBy("di").agg(
+        F.count("mrho").alias("n_present"),
+        F.coalesce(
+            F.sum(F.expr("cast(pow(2.0, 40 - mrho) AS BIGINT)")), F.lit(0)
+        ).alias("sum_present"),
+    )
+    est = agg.select(
+        "di",
+        (F.lit(_M) - F.col("n_present")).alias("v"),
+        (
+            F.lit(_ALPHA * _M * _M * float(_POW40))
+            / (
+                F.col("sum_present")
+                + (F.lit(_M) - F.col("n_present")) * F.lit(_POW40)
+            )
+        ).alias("e_raw"),
+    )
+    approx = F.expr(
+        f"cast(round(CASE WHEN e_raw < {2.5 * _M} AND v > 0 "
+        f"THEN {_M}.0 * ln({_M}.0 / v) ELSE e_raw END, 0) AS BIGINT)"
+    )
+    presence = hashed.select("user_id", "di").distinct()
+    g, p = days.alias("g"), presence.alias("p")
+    exact = (
+        g.join(
+            p,
+            (F.col("p.di") >= F.col("g.di") - 6) & (F.col("p.di") <= F.col("g.di")),
+        )
+        .groupBy(F.col("g.di").alias("di"))
+        .agg(F.countDistinct("user_id").alias("exact_wau"))
+    )
+    return (
+        est.join(exact, "di")
+        .select(
+            F.col("di").cast("long").alias("day_idx"),
+            "exact_wau",
+            approx.alias("approx_wau"),
+        )
+        .orderBy("day_idx")
+    )

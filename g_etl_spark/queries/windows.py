@@ -1767,3 +1767,88 @@ def q167_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("segment")
     )
+
+
+@register(
+    "q168_cohort_ltv_curves",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id,
+               date_diff('day', DATE '2024-01-01', CAST(min(ts) AS DATE)) AS di0
+        FROM events GROUP BY user_id
+    ),
+    cohorts AS (
+        SELECT user_id, di0 // 7 AS cohort, di0 FROM first_seen
+    ),
+    sizes AS (SELECT cohort, count(*) AS n_users FROM cohorts GROUP BY cohort),
+    rev AS (
+        SELECT c.cohort,
+               (date_diff('day', DATE '2024-01-01', CAST(e.ts AS DATE)) - c.di0) // 7 AS week_k,
+               sum(e.value) AS wrev
+        FROM events e JOIN cohorts c USING (user_id)
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort, week_k,
+               sum(wrev) OVER (PARTITION BY cohort ORDER BY week_k
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crev
+        FROM rev
+    )
+    SELECT c.cohort, c.week_k, s.n_users,
+           round(c.crev / s.n_users, 4) AS ltv_per_user
+    FROM cum c JOIN sizes s USING (cohort)
+    ORDER BY cohort, week_k
+    """,
+)
+def q168_cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: users grouped by first-seen week; for each
+    cohort, cumulative purchase revenue per cohort member by weeks
+    since each user's own first event — the revenue twin of q140's
+    retention matrix (how much a cohort is WORTH over time, not just
+    whether it returns).
+
+    Scale: one user-level first-seen aggregate, one
+    (cohort, week) revenue rollup riding a user-keyed join that
+    reuses the first agg's partitioning, then the cumulative window
+    runs on the tiny cohort×week relation. The curve is mergeable
+    across data arrivals: new weeks append, old cells never change
+    (event-time append-only), which is what makes it a standing
+    incremental rollup (A4's pattern).
+    """
+    e = load(spark, sf_dir, "events")
+    di = lambda c: F.datediff(F.col(c).cast("date"), F.lit("2024-01-01").cast("date"))  # noqa: E731
+    firsts = e.groupBy("user_id").agg(
+        F.datediff(F.min("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "di0"
+        )
+    )
+    cohorts = firsts.select(
+        "user_id", (F.col("di0") / 7).cast("long").alias("cohort"), "di0"
+    )
+    sizes = cohorts.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_users"))
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(cohorts, "user_id")
+        .groupBy(
+            "cohort",
+            ((di("ts") - F.col("di0")) / 7).cast("long").alias("week_k"),
+        )
+        .agg(F.sum("value").alias("wrev"))
+    )
+    wc = (
+        Window.partitionBy("cohort")
+        .orderBy("week_k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = rev.withColumn("crev", F.sum("wrev").over(wc))
+    return (
+        cum.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "week_k",
+            "n_users",
+            F.round(F.col("crev") / F.col("n_users"), 4).alias("ltv_per_user"),
+        )
+        .orderBy("cohort", "week_k")
+    )

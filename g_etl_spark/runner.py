@@ -21,6 +21,7 @@ Run phases (≙ architecture.md:7-42):
 from __future__ import annotations
 
 import os
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
@@ -54,11 +55,22 @@ class PipelineRunner:
     warehouse_dir: str
     state: StateStore | None = None
     max_workers: int = field(default=MAX_CONCURRENT_DATASETS)
+    _state_lock: threading.Lock = field(
+        default_factory=threading.Lock, repr=False, compare=False
+    )
 
     def _state(self) -> StateStore:
-        if self.state is None:
-            self.state = StateStore(os.path.join(self.warehouse_dir, "_state.json"))
-        return self.state
+        # run() calls this from pool threads: without the lock, two
+        # threads could both see None and build SEPARATE StateStore
+        # instances whose full-dict _save()s then clobber each
+        # other's applied entries (observed as a flaky skip-test —
+        # one dataset's state row lost on a parallel first run)
+        with self._state_lock:
+            if self.state is None:
+                self.state = StateStore(
+                    os.path.join(self.warehouse_dir, "_state.json")
+                )
+            return self.state
 
     def _config_fingerprint(self, cfg: DatasetConfig) -> str:
         return repr(

@@ -789,3 +789,50 @@ def test_q160_sketch_error_within_bucket_resolution(spark, qs):
         for tag in ("p50", "p90", "p99"):
             assert r[f"est_{tag}"] <= r[f"exact_{tag}"] + 1e-9
             assert r[f"err_{tag}"] < 0.5  # one-bucket resolution bound
+
+
+def test_q168_ltv_monotone_within_cohort(spark, qs):
+    rows = qs["q168_cohort_ltv_curves"](spark, SF_DIR).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort"], []).append((r["week_k"], r["ltv_per_user"]))
+    for seq in by_cohort.values():
+        ks = [k for k, _ in seq]
+        vals = [v for _, v in seq]
+        assert ks == sorted(ks)
+        # cumulative revenue never decreases
+        assert all(a <= b + 1e-9 for a, b in zip(vals, vals[1:]))
+
+
+def test_q169_sketch_tracks_exact_within_hll_error(spark, qs):
+    """256 registers give ~6.5% standard error (linear counting
+    regime is tighter still at these cardinalities) — every day's
+    estimate must stay within a generous 4-sigma band."""
+    rows = qs["q169_rolling_hll_dau"](spark, SF_DIR).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert abs(r["approx_wau"] - r["exact_wau"]) <= max(
+            0.3 * r["exact_wau"], 5
+        )
+
+
+def test_q169_register_merge_no_event_rescan(spark, qs):
+    """The rolling union must run on the register relation: the raw
+    events scan appears for the daily registers and the exact-scoring
+    side only — the merge itself is a window over |days|x256 cells."""
+    plan = plan_of(qs["q169_rolling_hll_dau"](spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "Window" in plan
+
+
+def test_q170_hotspots_disjoint_and_ranked(spark, qs):
+    rows = qs["q170_grid_hotspot_clusters"](spark, SF_DIR).collect()
+    assert rows
+    clusters = [r["cluster"] for r in rows]
+    assert len(clusters) == len(set(clusters))
+    counts = [r["n_events"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(r["n_cells"] >= 1 for r in rows)
+    # centroids stay inside the synthetic bbox
+    assert all(55.0 <= r["c_lat"] <= 65.0 and 11.0 <= r["c_lng"] <= 23.0 for r in rows)
