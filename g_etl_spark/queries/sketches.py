@@ -740,3 +740,97 @@ def q169_rolling_hll_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_idx")
     )
+
+
+@register(
+    "q172_bitmap_retention",
+    oracle="""
+    WITH presence AS (
+        SELECT DISTINCT
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+               user_id
+        FROM events
+    ),
+    bm AS (
+        SELECT di, user_id // 62 AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(user_id % 62 AS INTEGER)) AS b
+        FROM presence GROUP BY di, word
+    ),
+    act AS (
+        SELECT di, CAST(sum(bit_count(b)) AS BIGINT) AS active_users
+        FROM bm GROUP BY di
+    ),
+    ret AS (
+        SELECT a.di, CAST(sum(bit_count(a.b & p.b)) AS BIGINT) AS retained
+        FROM bm a JOIN bm p ON p.word = a.word AND p.di = a.di - 1
+        GROUP BY a.di
+    )
+    SELECT act.di AS day_idx, act.active_users,
+           coalesce(ret.retained, 0) AS retained_from_prev
+    FROM act LEFT JOIN ret ON ret.di = act.di
+    ORDER BY day_idx
+    """,
+)
+def q172_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day retained users via BITMAP presence indexes — the
+    roaring-bitmap trick OLAP stores use for audience/retention math:
+    each day's active set packs into |users|/62 bigint words
+    (word = user_id div 62, direct-mapped, no hashing → EXACT), daily
+    build is one bit_or aggregate, and "retained from yesterday" is
+    popcount(today & yesterday) summed over aligned words — set
+    intersection at memory-bandwidth speed, no user-level join.
+
+    All integer bit arithmetic end-to-end (bit_or / & / bit_count on
+    BIGINT behave identically cross-engine; bit index capped at 62
+    to stay in positive-sign territory), so the driver gate hashes
+    the exact bitmap-derived counts.
+
+    Scale: the corpus touch is the distinct presence pass; bitmaps
+    are |days| × |users|/62 words (sparse users → sparse words), the
+    intersection joins align on (word, day−1) — at 100 TB this is
+    THE audience-overlap layout: any day-pair / cohort intersection
+    is popcount over pre-built words, and the words themselves merge
+    across shards with bit_or (same mergeability story as q113's
+    registers, but exact).
+    """
+    e = load(spark, sf_dir, "events")
+    di = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+    presence = e.select(
+        di.cast("long").alias("di"), "user_id"
+    ).distinct()
+    bm = (
+        presence.groupBy(
+            "di", (F.col("user_id") / 62).cast("long").alias("word")
+        )
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT)))"
+            ).alias("b")
+        )
+    )
+    act = bm.groupBy("di").agg(
+        F.sum(F.bit_count("b")).cast("long").alias("active_users")
+    )
+    a, p = bm.alias("a"), bm.alias("p")
+    ret = (
+        a.join(
+            p,
+            (F.col("p.word") == F.col("a.word"))
+            & (F.col("p.di") == F.col("a.di") - 1),
+        )
+        .groupBy(F.col("a.di").alias("di"))
+        .agg(
+            F.sum(F.bit_count(F.col("a.b").bitwiseAND(F.col("p.b"))))
+            .cast("long")
+            .alias("retained")
+        )
+    )
+    return (
+        act.join(ret, "di", "left")
+        .select(
+            F.col("di").alias("day_idx"),
+            "active_users",
+            F.coalesce("retained", F.lit(0)).alias("retained_from_prev"),
+        )
+        .orderBy("day_idx")
+    )

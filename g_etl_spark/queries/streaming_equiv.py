@@ -238,3 +238,63 @@ def q139_stream_session_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("session_end").alias("end_us"),
         "n_events",
     ).orderBy("user_id", "start_us")
+
+
+@register(
+    "q171_stream_hll_registers",
+    oracle="""
+    WITH hashed AS (
+        SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+               ((user_id * 2654435761) % 2147483647) % 256 AS bucket,
+               (user_id * 104729 + 12345) % 2147483647 AS h2
+        FROM events
+    )
+    SELECT di, bucket,
+           max(least(CAST(CASE WHEN h2 = 0 THEN 32
+                          ELSE log2(h2 & (-h2)) + 1 END AS BIGINT), 40)) AS rho
+    FROM hashed GROUP BY di, bucket
+    ORDER BY di, bucket
+    """,
+)
+def q171_stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialization of the daily HLL register state: a
+    REAL readStream pipeline (availableNow) aggregates the SAME
+    integer-exact (day, bucket) → max(rho) registers that q113
+    estimates from and q169 rolling-merges — gated against the batch
+    oracle on the register state itself. This closes the sketch
+    story: max() is the merge, so the streaming aggregate IS the
+    incremental sketch maintenance a standing pipeline runs (new
+    events only ever raise registers; outputMode=complete emits the
+    whole tiny state).
+
+    Scale: streaming state is |days|×256 small ints — the textbook
+    bounded-state aggregation (no watermark needed: the state never
+    grows past the day count, unlike per-key session state q139
+    reaps by timeout). Downstream, q169's window merge answers any
+    trailing-window distinct off this state without re-reading
+    events.
+    """
+    e = load(spark, sf_dir, "events").select("ts", "user_id")
+
+    def build(stream: DataFrame) -> DataFrame:
+        di = F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        rho = F.expr(
+            "least(cast(CASE WHEN h2 = 0 THEN 32 "
+            "ELSE log2(h2 & (-h2)) + 1 END AS BIGINT), 40)"
+        )
+        return (
+            stream.select(
+                di.cast("long").alias("di"),
+                F.expr("((user_id * 2654435761) % 2147483647) % 256").alias(
+                    "bucket"
+                ),
+                F.expr("(user_id * 104729 + 12345) % 2147483647").alias("h2"),
+            )
+            .groupBy("di", "bucket")
+            .agg(F.max(rho).alias("rho"))
+        )
+
+    out = _run_stream(spark, e, build, "complete")
+    return out.orderBy("di", "bucket")

@@ -233,6 +233,103 @@ def main() -> None:
 
     timed("power_iteration_sec", power_iter)
 
+    def loghist_sketch():
+        pos = big_ev.filter(F.col("value") > 0.001).select(
+            "event_type",
+            F.floor(F.col("value") * 1000).cast("long").alias("s"),
+        )
+        return (
+            pos.withColumn("slen", F.length(F.col("s").cast("string")))
+            .withColumn(
+                "fd", F.substring(F.col("s").cast("string"), 1, 1).cast("long")
+            )
+            .groupBy("event_type", "slen", "fd")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .count()
+        )
+
+    timed("loghist_buckets_sec", loghist_sketch)
+
+    def event_paths():
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        p = big_ev.select(
+            F.concat(
+                F.col("event_type"),
+                F.lit(">"),
+                F.lead("event_type", 1).over(w),
+                F.lit(">"),
+                F.lead("event_type", 2).over(w),
+            ).alias("path")
+        )
+        return (
+            p.filter(F.col("path").isNotNull())
+            .groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "path")
+            .limit(10)
+            .count()
+        )
+
+    timed("event_paths_sec", event_paths)
+
+    def bitmap_retention():
+        di = F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        )
+        presence = big_ev.select(
+            di.cast("long").alias("di"), "user_id"
+        ).distinct()
+        bm = presence.groupBy(
+            "di", (F.col("user_id") / 62).cast("long").alias("word")
+        ).agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT)))"
+            ).alias("b")
+        )
+        a, p = bm.alias("a"), bm.alias("p")
+        return (
+            a.join(
+                p,
+                (F.col("p.word") == F.col("a.word"))
+                & (F.col("p.di") == F.col("a.di") - 1),
+            )
+            .groupBy(F.col("a.di"))
+            .agg(F.sum(F.bit_count(F.col("a.b").bitwiseAND(F.col("p.b")))))
+            .count()
+        )
+
+    timed("bitmap_retention_sec", bitmap_retention)
+
+    def pq_assign():
+        cast_d = lambda col: F.transform(col, lambda v: v.cast("double"))  # noqa: E731
+        cb = F.broadcast(
+            big_emb.filter(F.col("vec_id") < 4).select(
+                F.col("vec_id").alias("c"), cast_d(F.col("embedding")).alias("ce")
+            )
+        )
+        subs = F.broadcast(
+            spark.range(0, 8).select(F.col("id").cast("int").alias("s"))
+        )
+        j = (
+            big_emb.select("vec_id", cast_d(F.col("embedding")).alias("x"))
+            .crossJoin(cb)
+            .crossJoin(subs)
+        )
+        sq = F.zip_with(
+            F.slice(F.col("x"), F.col("s") * 8 + 1, 8),
+            F.slice(F.col("ce"), F.col("s") * 8 + 1, 8),
+            lambda u, v: (u - v) * (u - v),
+        )
+        dist = F.round(F.aggregate(sq, F.lit(0.0), lambda acc, t: acc + t), 9)
+        best = (
+            j.select("vec_id", "s", "c", dist.alias("dist"))
+            .groupBy("vec_id", "s")
+            .agg(F.min(F.struct("dist", "c")).alias("b"))
+        )
+        return best.groupBy("s", F.col("b.c")).count().count()
+
+    timed("pq_assignment_sec", pq_assign)
+
     print(json.dumps(out))
 
 

@@ -836,3 +836,49 @@ def test_q170_hotspots_disjoint_and_ranked(spark, qs):
     assert all(r["n_cells"] >= 1 for r in rows)
     # centroids stay inside the synthetic bbox
     assert all(55.0 <= r["c_lat"] <= 65.0 and 11.0 <= r["c_lng"] <= 23.0 for r in rows)
+
+
+def test_q172_bitmap_counts_match_exact_distinct(spark, qs):
+    """The bitmap is direct-mapped (no hashing), so popcount-derived
+    actives must EQUAL the exact per-day distinct users, and retained
+    can never exceed either adjacent day's actives."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    rows = qs["q172_bitmap_retention"](spark, SF_DIR).collect()
+    e = load(spark, SF_DIR, "events")
+    exact = {
+        r["di"]: r["n"]
+        for r in e.select(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("di"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("di")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    by_day = {r["day_idx"]: r for r in rows}
+    for day, r in by_day.items():
+        assert r["active_users"] == exact[day]
+        prev = by_day.get(day - 1)
+        if prev:
+            assert r["retained_from_prev"] <= min(
+                r["active_users"], prev["active_users"]
+            )
+
+
+def test_q171_stream_registers_bounded_state(spark, qs):
+    """Streamed register state is |days| x <=256 rows with rho in
+    [1, 40] — the bounded-state claim."""
+    rows = qs["q171_stream_hll_registers"](spark, SF_DIR).collect()
+    assert rows
+    days = {r["di"] for r in rows}
+    assert all(1 <= r["rho"] <= 40 for r in rows)
+    per_day = {}
+    for r in rows:
+        per_day[r["di"]] = per_day.get(r["di"], 0) + 1
+    assert all(v <= 256 for v in per_day.values())
+    assert len(days) <= 31
