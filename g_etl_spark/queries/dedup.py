@@ -1421,3 +1421,85 @@ def q159_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@register(
+    "q175_item_cf_cosine",
+    oracle=f"""
+    WITH pairs AS ({_Q101_EDGES_SQL}),
+    pc AS (
+        SELECT a, b, count(*) AS n_ab
+        FROM (
+            SELECT DISTINCT l1.l_orderkey,
+                   least(l1.l_partkey, l2.l_partkey) AS a,
+                   greatest(l1.l_partkey, l2.l_partkey) AS b
+            FROM lineitem l1
+            JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        )
+        GROUP BY a, b
+    ),
+    ic AS (
+        SELECT l_partkey AS item, count(DISTINCT l_orderkey) AS n_i
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT pc.a, pc.b, pc.n_ab,
+           round(pc.n_ab / sqrt(CAST(ia.n_i AS DOUBLE) * ib.n_i), 4) AS cosine
+    FROM pc JOIN ic ia ON ia.item = pc.a JOIN ic ib ON ib.item = pc.b
+    ORDER BY round(pc.n_ab / sqrt(CAST(ia.n_i AS DOUBLE) * ib.n_i), 4) DESC,
+             pc.a, pc.b
+    LIMIT 20
+    """,
+)
+def q175_item_cf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: cosine similarity over the
+    binary order×item incidence — sim(a,b) = |orders with both| /
+    sqrt(|orders with a|·|orders with b|), top-20 pairs. The
+    recommender primitive ("customers who bought a also bought b")
+    the co-purchase graph family (q101/q118/q148) stops short of:
+    co-counts NORMALIZED by item popularity so hub items don't
+    dominate.
+
+    Integer co-counts and order-counts feed one sqrt; the ordering
+    key is the ROUNDED cosine with (a, b) tiebreak, so the top-20
+    cut is engine-stable.
+
+    Scale: the pair relation is q101's order-bounded self-join
+    (fan-out Σ basket², never catalog²); item counts are one
+    distinct agg joined back onto the bounded pair set — both joins
+    reuse the item hash partitioning. This IS the co-occurrence CF
+    production shape (swing/Jaccard/lift are the same plan with a
+    different final expression; q141 already gates lift).
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    pc = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(
+            "l1.l_orderkey",
+            F.col("l1.l_partkey").alias("a"),
+            F.col("l2.l_partkey").alias("b"),
+        )
+        .distinct()
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ic = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.countDistinct("l_orderkey").alias("n_i")
+    )
+    ia = ic.withColumnRenamed("item", "a").withColumnRenamed("n_i", "na")
+    ib = ic.withColumnRenamed("item", "b").withColumnRenamed("n_i", "nb")
+    cosine = F.round(
+        F.col("n_ab") / F.sqrt(F.col("na").cast("double") * F.col("nb")), 4
+    )
+    return (
+        pc.join(ia, "a")
+        .join(ib, "b")
+        .select("a", "b", "n_ab", cosine.alias("cosine"))
+        .orderBy(F.desc("cosine"), "a", "b")
+        .limit(20)
+    )

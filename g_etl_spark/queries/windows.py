@@ -1852,3 +1852,174 @@ def q168_cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "week_k")
     )
+
+
+@register(
+    "q173_max_concurrency",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+        FROM events
+    ),
+    flag AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    isl AS (
+        SELECT user_id, s, e,
+               sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS island
+        FROM flag
+    ),
+    sessions AS (
+        SELECT user_id, island, min(s) AS s, max(e) AS e
+        FROM isl GROUP BY user_id, island
+    ),
+    sweep AS (
+        SELECT s AS t, 1 AS delta FROM sessions
+        UNION ALL
+        SELECT e AS t, -1 AS delta FROM sessions
+    ),
+    running AS (
+        SELECT t, delta,
+               sum(delta) OVER (ORDER BY t, delta
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS conc
+        FROM sweep
+    )
+    SELECT CAST(max(conc) AS BIGINT) AS max_concurrent,
+           min(CASE WHEN conc = (SELECT max(conc) FROM running) THEN t END) AS first_peak_us,
+           (SELECT CAST(count(*) AS BIGINT) FROM sessions) AS n_sessions
+    FROM running
+    """,
+)
+def q173_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions (capacity planning): merge each
+    user's overlapping 30-minute activity intervals into sessions
+    (q116's islands), then sweep-line over ALL session boundaries —
+    +1 at start, −1 at end, running sum, global max + the first
+    time it is reached. Closures sort before openings at the same
+    microsecond (delta −1 < +1 in the ordering), so a session ending
+    exactly when another starts never double-counts.
+
+    Scale: sessionization is the one user-keyed exchange; the sweep
+    runs over 2×|sessions| boundary rows, which is bounded by
+    activity, not events. The global running sum is a single-
+    partition window — at 100 TB the standard fix is a two-pass
+    range-partitioned cumulative (per-partition sums, then prefix
+    offsets broadcast), same arithmetic, and |boundaries| is already
+    tiny relative to the corpus.
+    """
+    e = load(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(1_800_000_000)).alias("e"),
+    )
+    order = Window.partitionBy("user_id").orderBy("s", "e")
+    prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    run = order.rowsBetween(Window.unboundedPreceding, 0)
+    isl = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.max("e").over(prev), 1).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(run))
+    sessions = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    sweep = sessions.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionAll(
+        sessions.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    wrun = Window.orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    running = sweep.withColumn("conc", F.sum("delta").over(wrun))
+    peak = running.agg(F.max("conc").alias("m"))
+    n_sessions = sessions.count()
+    return (
+        running.crossJoin(F.broadcast(peak))
+        .agg(
+            F.max("conc").cast("long").alias("max_concurrent"),
+            F.min(F.when(F.col("conc") == F.col("m"), F.col("t"))).alias(
+                "first_peak_us"
+            ),
+            F.lit(n_sessions).cast("long").alias("n_sessions"),
+        )
+    )
+
+
+@register(
+    "q174_chi2_independence",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow,
+               CAST(count(*) AS DOUBLE) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, sum(o) AS r FROM obs GROUP BY event_type),
+    ct AS (SELECT dow, sum(o) AS c FROM obs GROUP BY dow),
+    n AS (SELECT sum(o) AS n FROM obs),
+    grid AS (
+        SELECT rt.event_type, ct.dow,
+               coalesce(obs.o, 0) AS o,
+               rt.r * ct.c / n.n AS e
+        FROM rt CROSS JOIN ct CROSS JOIN n
+        LEFT JOIN obs ON obs.event_type = rt.event_type AND obs.dow = ct.dow
+    )
+    SELECT round(sum(pow(o - e, 2) / e), 4) AS chi2,
+           CAST((SELECT count(*) FROM rt) - 1 AS BIGINT)
+             * CAST((SELECT count(*) FROM ct) - 1 AS BIGINT) AS dof,
+           round(sqrt(sum(pow(o - e, 2) / e) / ((SELECT max(n) FROM n)
+                 * least((SELECT count(*) FROM rt) - 1,
+                         (SELECT count(*) FROM ct) - 1))), 4) AS cramers_v
+    FROM grid
+    """,
+)
+def q174_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event_type and
+    weekday (+ Cramér's V effect size) — the contingency-table
+    screen for "does behavior depend on the day", complementing
+    q151's per-cell anomalies with a single whole-table verdict.
+    Zero-count cells enter through the full row×column grid, never
+    dropped.
+
+    Scale: ONE map-side-combining count produces the |types|×7
+    contingency table; margins, expectations, chi2 and V are
+    arithmetic on that tiny grid (the same one-scan-then-grid shape
+    as q163's Benford test).
+    """
+    e = load(spark, sf_dir, "events")
+    obs = (
+        e.groupBy(
+            "event_type",
+            (F.dayofweek(F.col("ts").cast("date")) - 1).alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("dow").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(n))
+        .join(obs, ["event_type", "dow"], "left")
+        .select(
+            F.coalesce("o", F.lit(0.0)).alias("o"),
+            (F.col("r") * F.col("c") / F.col("n")).alias("e"),
+            "n",
+        )
+    )
+    nr = rt.count()
+    nc = ct.count()
+    chi2 = F.sum(F.pow(F.col("o") - F.col("e"), 2) / F.col("e"))
+    return grid.agg(
+        F.round(chi2, 4).alias("chi2"),
+        F.lit((nr - 1) * (nc - 1)).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(chi2 / (F.max("n") * min(nr - 1, nc - 1))), 4
+        ).alias("cramers_v"),
+    )

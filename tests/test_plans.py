@@ -882,3 +882,34 @@ def test_q171_stream_registers_bounded_state(spark, qs):
         per_day[r["di"]] = per_day.get(r["di"], 0) + 1
     assert all(v <= 256 for v in per_day.values())
     assert len(days) <= 31
+
+
+def test_q173_peak_bounded_by_users(spark, qs):
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    row = qs["q173_max_concurrency"](spark, SF_DIR).collect()[0]
+    n_users = (
+        load(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert 1 <= row["max_concurrent"] <= n_users
+    assert row["n_sessions"] >= row["max_concurrent"]
+    assert row["first_peak_us"] is not None
+
+
+def test_q174_chi2_and_effect_size_ranges(spark, qs):
+    row = qs["q174_chi2_independence"](spark, SF_DIR).collect()[0]
+    assert row["chi2"] >= 0
+    assert row["dof"] == 4 * 6
+    assert 0.0 <= row["cramers_v"] <= 1.0
+
+
+def test_q175_cosine_ranked_and_bounded(spark, qs):
+    rows = qs["q175_item_cf_cosine"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    cos = [r["cosine"] for r in rows]
+    assert cos == sorted(cos, reverse=True)
+    assert all(0.0 < c <= 1.0 for c in cos)
+    plan = plan_of(qs["q175_item_cf_cosine"](spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
