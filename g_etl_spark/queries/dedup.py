@@ -1425,9 +1425,8 @@ def q159_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q175_item_cf_cosine",
-    oracle=f"""
-    WITH pairs AS ({_Q101_EDGES_SQL}),
-    pc AS (
+    oracle="""
+    WITH pc AS (
         SELECT a, b, count(*) AS n_ab
         FROM (
             SELECT DISTINCT l1.l_orderkey,

@@ -2552,22 +2552,22 @@ def q131_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q150_ab_mean_ztest",
     oracle="""
     SELECT event_type,
-           count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS n_control,
-           count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS n_treat,
+           count(CASE WHEN user_id % 2 = 0 THEN value END) AS n_control,
+           count(CASE WHEN user_id % 2 = 1 THEN value END) AS n_treat,
            round(avg(CASE WHEN user_id % 2 = 0 THEN value END), 4) AS mean_control,
            round(avg(CASE WHEN user_id % 2 = 1 THEN value END), 4) AS mean_treat,
            round((avg(CASE WHEN user_id % 2 = 1 THEN value END)
                   - avg(CASE WHEN user_id % 2 = 0 THEN value END))
                  / sqrt(var_samp(CASE WHEN user_id % 2 = 1 THEN value END)
-                          / count(CASE WHEN user_id % 2 = 1 THEN 1 END)
+                          / count(CASE WHEN user_id % 2 = 1 THEN value END)
                         + var_samp(CASE WHEN user_id % 2 = 0 THEN value END)
-                          / count(CASE WHEN user_id % 2 = 0 THEN 1 END)), 4) AS z_score,
-           abs((avg(CASE WHEN user_id % 2 = 1 THEN value END)
+                          / count(CASE WHEN user_id % 2 = 0 THEN value END)), 4) AS z_score,
+           abs(round((avg(CASE WHEN user_id % 2 = 1 THEN value END)
                 - avg(CASE WHEN user_id % 2 = 0 THEN value END))
                / sqrt(var_samp(CASE WHEN user_id % 2 = 1 THEN value END)
-                        / count(CASE WHEN user_id % 2 = 1 THEN 1 END)
+                        / count(CASE WHEN user_id % 2 = 1 THEN value END)
                       + var_samp(CASE WHEN user_id % 2 = 0 THEN value END)
-                        / count(CASE WHEN user_id % 2 = 0 THEN 1 END))) > 1.96 AS significant
+                        / count(CASE WHEN user_id % 2 = 0 THEN value END)), 4)) > 1.96 AS significant
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -2585,14 +2585,21 @@ def q150_ab_mean_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean and variance are mergeable moments, so the partial agg
     collapses map-side and the exchange carries |event_types| rows.
     No per-variant subquery, no join, no second pass.
+
+    NULL-value discipline: every n is count(value-in-arm) — non-NULL
+    observations, the same population avg/var_samp describe — in
+    BOTH engines, so a NULL value can never diverge the arms (the
+    q125 defect class). The significance verdict compares the
+    ROUNDED |z| to 1.96 so a summation-order ulp on an exactly-
+    critical z can't flip the boolean cross-engine.
     """
     e = load(spark, sf_dir, "events")
     cv = F.when(F.col("user_id") % 2 == 0, F.col("value"))
     tv = F.when(F.col("user_id") % 2 == 1, F.col("value"))
     n_c, n_t = F.count(cv), F.count(tv)
     m_c, m_t = F.avg(cv), F.avg(tv)
-    z = (m_t - m_c) / F.sqrt(
-        F.var_samp(tv) / n_t + F.var_samp(cv) / n_c
+    z = F.round(
+        (m_t - m_c) / F.sqrt(F.var_samp(tv) / n_t + F.var_samp(cv) / n_c), 4
     )
     return (
         e.groupBy("event_type")
@@ -2601,7 +2608,7 @@ def q150_ab_mean_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_t.alias("n_treat"),
             F.round(m_c, 4).alias("mean_control"),
             F.round(m_t, 4).alias("mean_treat"),
-            F.round(z, 4).alias("z_score"),
+            z.alias("z_score"),
             (F.abs(z) > 1.96).alias("significant"),
         )
         .orderBy("event_type")

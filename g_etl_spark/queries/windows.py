@@ -1477,15 +1477,17 @@ def q157_survival_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one user-level agg (the corpus exchange), then ALL
     survival arithmetic runs on a ≤ max-lifetime-row relation —
     death/censor counts per integer day, window cumsums over ~30
-    rows. The observation bound is a 1-row broadcast.
+    rows. The observation bound and the user total ride ONE 1-row
+    broadcast aggregate — no eager driver-side count job.
     """
     e = load(spark, sf_dir, "events")
     spans = e.groupBy("user_id").agg(
         F.min("ts").cast("date").alias("f"),
         F.max("ts").cast("date").alias("l"),
     )
-    bound = spans.agg(F.max("l").alias("endd"))
-    total = spans.count()
+    bound = spans.agg(
+        F.max("l").alias("endd"), F.count(F.lit(1)).alias("total")
+    )
     per_user = spans.crossJoin(F.broadcast(bound)).select(
         F.datediff("l", "f").alias("lifetime"),
         (F.col("l") < F.date_sub(F.col("endd"), 3)).alias("churned"),
@@ -1495,10 +1497,15 @@ def q157_survival_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("churned"), 1)).alias("n_death"),
     )
     grid = spark.range(0, 15).select(F.col("id").alias("t"))
-    g2 = grid.join(lt, "t", "left").select(
-        "t",
-        F.coalesce("n_all", F.lit(0)).alias("n_all"),
-        F.coalesce("n_death", F.lit(0)).alias("d"),
+    g2 = (
+        grid.join(lt, "t", "left")
+        .crossJoin(F.broadcast(bound.select("total")))
+        .select(
+            "t",
+            F.coalesce("n_all", F.lit(0)).alias("n_all"),
+            F.coalesce("n_death", F.lit(0)).alias("d"),
+            "total",
+        )
     )
     wprev = (
         Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
@@ -1506,7 +1513,7 @@ def q157_survival_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrun = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
     km = g2.withColumn(
         "at_risk",
-        F.lit(total) - F.coalesce(F.sum("n_all").over(wprev), F.lit(0)),
+        F.col("total") - F.coalesce(F.sum("n_all").over(wprev), F.lit(0)),
     )
     term = F.when(F.col("d") == 0, F.lit(0.0)).otherwise(
         F.log(1.0 - F.col("d").cast("double") / F.col("at_risk"))
@@ -1907,8 +1914,13 @@ def q173_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     microsecond (delta −1 < +1 in the ordering), so a session ending
     exactly when another starts never double-counts.
 
-    Scale: sessionization is the one user-keyed exchange; the sweep
-    runs over 2×|sessions| boundary rows, which is bounded by
+    Scale: sessionization is the one user-keyed exchange, evaluated
+    ONCE — both boundaries of a session are emitted by a single
+    explode (no union of two copies of the window subtree), the
+    session count folds into the same final aggregate (sum of +1
+    deltas), and the peak + its first time come from one struct-max
+    (max conc, then min t) — one plan, one pass, no eager driver
+    jobs. The sweep runs over 2×|sessions| boundary rows, bounded by
     activity, not events. The global running sum is a single-
     partition window — at 100 TB the standard fix is a two-pass
     range-partitioned cumulative (per-partition sums, then prefix
@@ -1931,24 +1943,23 @@ def q173_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = isl.groupBy("user_id", "island").agg(
         F.min("s").alias("s"), F.max("e").alias("e")
     )
-    sweep = sessions.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionAll(
-        sessions.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
-    )
+    sweep = sessions.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("e").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("b")
+    ).select("b.t", "b.delta")
     wrun = Window.orderBy("t", "delta").rowsBetween(
         Window.unboundedPreceding, 0
     )
     running = sweep.withColumn("conc", F.sum("delta").over(wrun))
-    peak = running.agg(F.max("conc").alias("m"))
-    n_sessions = sessions.count()
-    return (
-        running.crossJoin(F.broadcast(peak))
-        .agg(
-            F.max("conc").cast("long").alias("max_concurrent"),
-            F.min(F.when(F.col("conc") == F.col("m"), F.col("t"))).alias(
-                "first_peak_us"
-            ),
-            F.lit(n_sessions).cast("long").alias("n_sessions"),
-        )
+    peak = F.max(F.struct(F.col("conc"), (-F.col("t")).alias("nt")))
+    return running.agg(
+        peak.getField("conc").cast("long").alias("max_concurrent"),
+        (-peak.getField("nt")).alias("first_peak_us"),
+        F.sum(F.when(F.col("delta") == 1, 1)).cast("long").alias("n_sessions"),
     )
 
 
@@ -1988,9 +1999,11 @@ def q174_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped.
 
     Scale: ONE map-side-combining count produces the |types|×7
-    contingency table; margins, expectations, chi2 and V are
-    arithmetic on that tiny grid (the same one-scan-then-grid shape
-    as q163's Benford test).
+    contingency table; margins, expectations, chi2, dof and V are
+    all arithmetic on that tiny grid in a single plan (dof comes
+    from countDistinct over the grid's own key columns — no eager
+    driver-side counts, no extra corpus scans; the same
+    one-scan-then-grid shape as q163's Benford test).
     """
     e = load(spark, sf_dir, "events")
     obs = (
@@ -2008,18 +2021,20 @@ def q174_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .join(obs, ["event_type", "dow"], "left")
         .select(
+            "event_type",
+            "dow",
             F.coalesce("o", F.lit(0.0)).alias("o"),
             (F.col("r") * F.col("c") / F.col("n")).alias("e"),
             "n",
         )
     )
-    nr = rt.count()
-    nc = ct.count()
     chi2 = F.sum(F.pow(F.col("o") - F.col("e"), 2) / F.col("e"))
+    nr1 = F.countDistinct("event_type") - 1
+    nc1 = F.countDistinct("dow") - 1
     return grid.agg(
         F.round(chi2, 4).alias("chi2"),
-        F.lit((nr - 1) * (nc - 1)).cast("long").alias("dof"),
+        (nr1 * nc1).cast("long").alias("dof"),
         F.round(
-            F.sqrt(chi2 / (F.max("n") * min(nr - 1, nc - 1))), 4
+            F.sqrt(chi2 / (F.max("n") * F.least(nr1, nc1))), 4
         ).alias("cramers_v"),
     )
