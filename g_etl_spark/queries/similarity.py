@@ -5,7 +5,7 @@
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from g_etl_spark.operators import similarity as S
 from g_etl_spark.queries import register
@@ -32,6 +32,43 @@ _TOPK_SCHEMA = "vec_id bigint, cosine double"
 
 def _empty(spark: SparkSession, schema: str) -> DataFrame:
     return spark.createDataFrame([], schema)
+
+
+def _staged_centroid_relations(e: DataFrame, k: int = 8):
+    """(cents, vecs, dot) — the centroid-assignment scaffold shared
+    by q97 (SemDeDup assign), q108 (IVF coarse quantizer) and q135
+    (k-means update): centroids = the first k vectors, every vector
+    cast to double with its L2 norm STAGED before the k-way
+    broadcast fan-out. Higher-order array exprs are CodegenFallback,
+    so evaluating the norm inside the crossJoin would pay it k times
+    per row (measured at 200k vectors × k=8: 45 s → 20 s by
+    hoisting). One definition so a zero-norm guard or tiebreak
+    change cannot drift between the three operators.
+    """
+    cast_d = lambda col: F.transform(col, lambda x: x.cast("double"))  # noqa: E731
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(cast_d(col), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cents = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"),
+        cast_d(F.col("embedding")).alias("cv"),
+        norm(F.col("embedding")).alias("c_norm"),
+    )
+    vecs = e.select(
+        "vec_id",
+        cast_d(F.col("embedding")).alias("ev"),
+        norm(F.col("embedding")).alias("e_norm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("ev"), F.col("cv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return cents, vecs, dot
 
 
 @register(
@@ -187,7 +224,6 @@ def q63_semantic_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the document store (vec_id = doc_id) for text + metadata — the
     RAG-retrieval query shape. The top-k side is tiny → the join
     broadcasts it into the documents scan."""
-    from g_etl_spark.tables import load as load_t
 
     q = _query_vector(spark, sf_dir)
     if q is None:
@@ -195,8 +231,8 @@ def q63_semantic_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             _TOPK_SCHEMA + ", lang string, source string, snippet string",
         )
-    top = S.cosine_topk(load_t(spark, sf_dir, "embeddings"), q, k=10)
-    docs = load_t(spark, sf_dir, "documents")
+    top = S.cosine_topk(load(spark, sf_dir, "embeddings"), q, k=10)
+    docs = load(spark, sf_dir, "documents")
     return (
         F.broadcast(top)
         .join(docs, top.vec_id == docs.doc_id)
@@ -211,12 +247,18 @@ def q63_semantic_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# zero-scale guard mirrors operators/similarity.quantize_int8: an
+# all-zero vector quantizes to zeros instead of riding 0/0 -> NaN
+# through engine-specific CAST semantics
 _QUANT = """
-        list_transform(
+        CASE WHEN list_aggregate(list_transform(embedding,
+                      y -> abs(CAST(y AS DOUBLE))), 'max') > 0
+        THEN list_transform(
             list_transform(embedding, x -> CAST(x AS DOUBLE)),
             x -> CAST(round(x / (list_aggregate(list_transform(embedding,
                                     y -> abs(CAST(y AS DOUBLE))), 'max') / 127.0), 0)
                       AS INT))
+        ELSE list_transform(embedding, x -> CAST(0 AS INT)) END
 """
 
 
@@ -261,7 +303,10 @@ def q72_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     quant = e.select("vec_id", S.quantize_int8(F.col("embedding")).alias("qv"))
     qrow = quant.filter(F.col("vec_id") == 0).select("qv").head()
     if qrow is None:
-        return _empty(spark, _TOPK_SCHEMA)
+        # empty-corpus schema must match the real output (q_cosine,
+        # not _TOPK_SCHEMA's cosine) or the column-name contract
+        # breaks on the zero-row frame
+        return _empty(spark, "vec_id bigint, q_cosine double")
     qv = qrow[0]
     lit_q = F.array(*[F.lit(int(x)) for x in qv])
     dot = F.aggregate(
@@ -338,36 +383,7 @@ def q97_semantic_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer already benched in operators/similarity_ml.
     """
     e = load(spark, sf_dir, "embeddings")
-    cast_d = lambda col: F.transform(col, lambda x: x.cast("double"))  # noqa: E731
-    norm = lambda col: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(cast_d(col), lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    # norms are STAGED before the k-way fan-out: higher-order array
-    # exprs are CodegenFallback, so evaluating the vector norm inside
-    # the crossJoin would pay it k times per row (measured at 200k
-    # vectors x k=8: 45 s -> 20 s by hoisting)
-    cents = (
-        e.filter(F.col("vec_id") < 8)
-        .select(
-            F.col("vec_id").alias("cid"),
-            cast_d(F.col("embedding")).alias("cv"),
-            norm(F.col("embedding")).alias("c_norm"),
-        )
-    )
-    vecs = e.select(
-        "vec_id",
-        cast_d(F.col("embedding")).alias("ev"),
-        norm(F.col("embedding")).alias("e_norm"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("ev"), F.col("cv"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    cents, vecs, dot = _staged_centroid_relations(e)
     scored = (
         vecs.crossJoin(F.broadcast(cents))
         .select(
@@ -459,29 +475,7 @@ def q108_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same plan as FAISS IVF-Flat distributed by cell equi-join.
     """
     e = load(spark, sf_dir, "embeddings")
-    cast_d = lambda col: F.transform(col, lambda x: x.cast("double"))  # noqa: E731
-    norm = lambda col: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(cast_d(col), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
-        )
-    )
-    cents = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"),
-        cast_d(F.col("embedding")).alias("cv"),
-        norm(F.col("embedding")).alias("c_norm"),
-    )
-    vecs = e.select(
-        "vec_id",
-        cast_d(F.col("embedding")).alias("ev"),
-        norm(F.col("embedding")).alias("e_norm"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("ev"), F.col("cv"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    from pyspark.sql import Window
-
+    cents, vecs, dot = _staged_centroid_relations(e)
     scored = vecs.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cid",
@@ -571,29 +565,7 @@ def q135_kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     as centroids).
     """
     e = load(spark, sf_dir, "embeddings")
-    cast_d = lambda col: F.transform(col, lambda x: x.cast("double"))  # noqa: E731
-    norm = lambda col: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(cast_d(col), lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    cents = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"),
-        cast_d(F.col("embedding")).alias("cv"),
-        norm(F.col("embedding")).alias("c_norm"),
-    )
-    vecs = e.select(
-        "vec_id",
-        cast_d(F.col("embedding")).alias("ev"),
-        norm(F.col("embedding")).alias("e_norm"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("ev"), F.col("cv"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    cents, vecs, dot = _staged_centroid_relations(e)
     scored = vecs.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cid",
@@ -783,8 +755,6 @@ def q152_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).cast("long").alias("dim"),
         F.col("col").cast("double").alias("val"),
     )
-    from pyspark.sql import Window
-
     wd = Window.partitionBy("dim").orderBy("val", "vec_id")
     ranked = ex.withColumn("rn", F.row_number().over(wd))
     ref = ranked.groupBy("rn").agg(F.avg("val").alias("ref"))

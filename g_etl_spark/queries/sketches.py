@@ -31,7 +31,7 @@ table is 256 small ints regardless of corpus size.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from g_etl_spark.queries import register
 from g_etl_spark.tables import load
@@ -41,6 +41,38 @@ from g_etl_spark.tables import load
 _M = 256
 _ALPHA = 0.71827
 _POW40 = 1099511627776  # 2^40, the integer scale for the denominator
+
+# Shared HLL machinery (q113 grouped sketch, q169 rolling merge,
+# q171 streaming registers) — ONE definition so an estimator change
+# (e.g. adding the large-range correction) cannot drift between the
+# operators that must agree with the same oracle arithmetic.
+_RHO_SQL = (
+    "least(cast(CASE WHEN h2 = 0 THEN 32 "
+    "ELSE log2(h2 & (-h2)) + 1 END AS BIGINT), 40)"
+)
+
+
+def _hll_approx(agg):
+    """(key..., n_present, sum_present) → same keys + `approx`:
+    the alpha·m² estimate with linear-counting small-range
+    correction, literal-identical to the oracle SQL."""
+    est = agg.withColumn(
+        "v", F.lit(_M) - F.col("n_present")
+    ).withColumn(
+        "e_raw",
+        F.lit(_ALPHA * _M * _M * float(_POW40))
+        / (
+            F.col("sum_present")
+            + (F.lit(_M) - F.col("n_present")) * F.lit(_POW40)
+        ),
+    )
+    approx = F.expr(
+        f"cast(round(CASE WHEN e_raw < {2.5 * _M} AND v > 0 "
+        f"THEN {_M}.0 * ln({_M}.0 / v) ELSE e_raw END, 0) AS BIGINT)"
+    )
+    return est.withColumn("approx", approx).drop(
+        "v", "e_raw", "n_present", "sum_present"
+    )
 
 
 @register(
@@ -109,30 +141,14 @@ def q113_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"((user_id * 2654435761) % 2147483647) % {_M}").alias("bucket"),
         F.expr("(user_id * 104729 + 12345) % 2147483647").alias("h2"),
     )
-    rho = F.expr(
-        "least(cast(CASE WHEN h2 = 0 THEN 32 "
-        "ELSE log2(h2 & (-h2)) + 1 END AS BIGINT), 40)"
+    regs = hashed.groupBy("event_type", "bucket").agg(
+        F.max(F.expr(_RHO_SQL)).alias("rho")
     )
-    regs = hashed.groupBy("event_type", "bucket").agg(F.max(rho).alias("rho"))
     agg = regs.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_present"),
         F.sum(F.expr("cast(pow(2.0, 40 - rho) AS BIGINT)")).alias("sum_present"),
     )
-    est = agg.select(
-        "event_type",
-        (F.lit(_M) - F.col("n_present")).alias("v"),
-        (
-            F.lit(_ALPHA * _M * _M * float(_POW40))
-            / (
-                F.col("sum_present")
-                + (F.lit(_M) - F.col("n_present")) * F.lit(_POW40)
-            )
-        ).alias("e_raw"),
-    )
-    approx = F.expr(
-        f"cast(round(CASE WHEN e_raw < {2.5 * _M} AND v > 0 "
-        f"THEN {_M}.0 * ln({_M}.0 / v) ELSE e_raw END, 0) AS BIGINT)"
-    )
+    est = _hll_approx(agg)
     ex = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct")
     )
@@ -141,9 +157,9 @@ def q113_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "exact_distinct",
-            approx.alias("approx_distinct"),
+            F.col("approx").alias("approx_distinct"),
             F.round(
-                F.abs(approx - F.col("exact_distinct"))
+                F.abs(F.col("approx") - F.col("exact_distinct"))
                 / F.col("exact_distinct"),
                 4,
             ).alias("rel_err"),
@@ -407,7 +423,8 @@ _KMV_K = 32
     )
     SELECT sa AS source_a, sb AS source_b,
            CAST(sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
-           round(sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) / {_KMV_K}.0, 6) AS j_est
+           round(sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS j_est
     FROM ranked WHERE rn <= {_KMV_K}
     GROUP BY sa, sb
     ORDER BY sa, sb
@@ -415,10 +432,12 @@ _KMV_K = 32
 )
 def q149_kmv_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-overlap estimation from k-minimum-value
-    (KMV / bottom-k minhash) signatures: per source, keep the k={_KMV_K}
+    (KMV / bottom-k minhash) signatures: per source, keep the k=32
     smallest distinct content hashes; for each source pair, the
-    Jaccard estimate is the fraction of the union's bottom-k present
-    in BOTH signatures (Bar-Yossef et al.'s KMV estimator). This is
+    Jaccard estimate is n_common / min(k, |union signature|) — the
+    denominator is the RETAINED union-rank count, not the fixed k,
+    so small sets (|union| < k) estimate correctly (two identical
+    sets give 1.0, not |set|/k) per Bar-Yossef et al. This is
     the SKETCH version of q99's exact overlap matrix — the number a
     100 TB pipeline can afford to refresh per ingest, because
     signatures merge (min-k of a union = min-k of the merged min-k
@@ -441,8 +460,6 @@ def q149_kmv_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("h"),
     ).distinct()
-    from pyspark.sql import Window
-
     w = Window.partitionBy("source").orderBy("h")
     sig = (
         h.withColumn("rn", F.row_number().over(w))
@@ -471,7 +488,10 @@ def q149_kmv_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("sa").alias("source_a"), F.col("sb").alias("source_b"))
         .agg(
             F.sum(both).cast("long").alias("n_common"),
-            F.round(F.sum(both) / float(_KMV_K), 6).alias("j_est"),
+            # denominator = retained union ranks = min(k, |union|)
+            F.round(
+                F.sum(both) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("j_est"),
         )
         .orderBy("source_a", "source_b")
     )
@@ -558,8 +578,6 @@ def q160_loghist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "slen", "fd")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    from pyspark.sql import Window
-
     wc = (
         Window.partitionBy("event_type")
         .orderBy("slen", "fd")
@@ -685,17 +703,13 @@ def q169_rolling_hll_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(user_id * 104729 + 12345) % 2147483647").alias("h2"),
         "user_id",
     )
-    rho = F.expr(
-        "least(cast(CASE WHEN h2 = 0 THEN 32 "
-        "ELSE log2(h2 & (-h2)) + 1 END AS BIGINT), 40)"
+    daily_regs = hashed.groupBy("di", "bucket").agg(
+        F.max(F.expr(_RHO_SQL)).alias("rho")
     )
-    daily_regs = hashed.groupBy("di", "bucket").agg(F.max(rho).alias("rho"))
     days = hashed.select("di").distinct()
     buckets = spark.range(0, _M).select(F.col("id").alias("bucket"))
     grid = days.crossJoin(F.broadcast(buckets))
     dense = grid.join(daily_regs, ["di", "bucket"], "left")
-    from pyspark.sql import Window
-
     wm = (
         Window.partitionBy("bucket").orderBy("di").rangeBetween(-6, 0)
     )
@@ -706,21 +720,7 @@ def q169_rolling_hll_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("cast(pow(2.0, 40 - mrho) AS BIGINT)")), F.lit(0)
         ).alias("sum_present"),
     )
-    est = agg.select(
-        "di",
-        (F.lit(_M) - F.col("n_present")).alias("v"),
-        (
-            F.lit(_ALPHA * _M * _M * float(_POW40))
-            / (
-                F.col("sum_present")
-                + (F.lit(_M) - F.col("n_present")) * F.lit(_POW40)
-            )
-        ).alias("e_raw"),
-    )
-    approx = F.expr(
-        f"cast(round(CASE WHEN e_raw < {2.5 * _M} AND v > 0 "
-        f"THEN {_M}.0 * ln({_M}.0 / v) ELSE e_raw END, 0) AS BIGINT)"
-    )
+    est = _hll_approx(agg)
     presence = hashed.select("user_id", "di").distinct()
     g, p = days.alias("g"), presence.alias("p")
     exact = (
@@ -736,7 +736,7 @@ def q169_rolling_hll_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("di").cast("long").alias("day_idx"),
             "exact_wau",
-            approx.alias("approx_wau"),
+            F.col("approx").alias("approx_wau"),
         )
         .orderBy("day_idx")
     )
@@ -798,10 +798,12 @@ def q172_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     presence = e.select(
         di.cast("long").alias("di"), "user_id"
     ).distinct()
+    # integer `div`, not double-divide + cast: exact for the full
+    # id domain (a double round-trips ids only below 2^53); ids are
+    # non-negative by table contract (div and DuckDB's // agree
+    # there), the same layout rule q119 uses for its word index
     bm = (
-        presence.groupBy(
-            "di", (F.col("user_id") / 62).cast("long").alias("word")
-        )
+        presence.groupBy("di", F.expr("user_id div 62").alias("word"))
         .agg(
             F.expr(
                 "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT)))"

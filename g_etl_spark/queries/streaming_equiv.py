@@ -277,13 +277,12 @@ def q171_stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select("ts", "user_id")
 
     def build(stream: DataFrame) -> DataFrame:
+        from g_etl_spark.queries.sketches import _RHO_SQL
+
         di = F.datediff(
             F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
         )
-        rho = F.expr(
-            "least(cast(CASE WHEN h2 = 0 THEN 32 "
-            "ELSE log2(h2 & (-h2)) + 1 END AS BIGINT), 40)"
-        )
+        rho = F.expr(_RHO_SQL)
         return (
             stream.select(
                 di.cast("long").alias("di"),

@@ -562,8 +562,6 @@ def q109_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("win", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    from pyspark.sql import Window
-
     tot = Window.partitionBy("win")
     frac = counts.select(
         "bucket", "win", (F.col("n").cast("double") / F.sum("n").over(tot)).alias("p")
@@ -1830,8 +1828,11 @@ def q168_cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
             "di0"
         )
     )
+    # floor division (not double-divide + truncating cast): the
+    # oracle's `//` floors, so a pre-anchor first event (negative
+    # di0) must land in cohort -1 in both engines, not 0
     cohorts = firsts.select(
-        "user_id", (F.col("di0") / 7).cast("long").alias("cohort"), "di0"
+        "user_id", F.floor(F.col("di0") / 7).cast("long").alias("cohort"), "di0"
     )
     sizes = cohorts.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_users"))
     rev = (
@@ -1839,7 +1840,7 @@ def q168_cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cohorts, "user_id")
         .groupBy(
             "cohort",
-            ((di("ts") - F.col("di0")) / 7).cast("long").alias("week_k"),
+            F.floor((di("ts") - F.col("di0")) / 7).cast("long").alias("week_k"),
         )
         .agg(F.sum("value").alias("wrev"))
     )
