@@ -1502,3 +1502,210 @@ def q175_item_cf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "a", "b")
         .limit(20)
     )
+
+
+@register(
+    "q186_clustering_coefficient",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_partkey < l2.l_partkey
+    ),
+    deg AS (
+        SELECT v, CAST(count(*) AS DOUBLE) AS d FROM (
+            SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+        ) GROUP BY v
+    ),
+    tris AS (
+        SELECT e1.a AS va, e1.b AS vb, e2.b AS vc
+        FROM edges e1
+        JOIN edges e2 ON e1.b = e2.a
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tri_v AS (
+        SELECT v, CAST(count(*) AS DOUBLE) AS t FROM (
+            SELECT va AS v FROM tris UNION ALL
+            SELECT vb AS v FROM tris UNION ALL
+            SELECT vc AS v FROM tris
+        ) GROUP BY v
+    )
+    SELECT deg.v AS node, CAST(deg.d AS BIGINT) AS degree,
+           CAST(coalesce(tri_v.t, 0) AS BIGINT) AS n_triangles,
+           round(2.0 * coalesce(tri_v.t, 0) / (deg.d * (deg.d - 1)), 6)
+               AS clustering_coef
+    FROM deg LEFT JOIN tri_v ON deg.v = tri_v.v
+    WHERE deg.d >= 2
+    ORDER BY clustering_coef DESC, node ASC
+    LIMIT 20
+    """,
+)
+def q186_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per vertex of the co-purchase
+    graph — cc(v) = 2·triangles(v) / (deg(v)·(deg(v)−1)), the
+    node-level community-density feature that q101's single global
+    triangle count can't provide (top 20, ties broken by node id).
+
+    Scale: q101's oriented wedge-close (each triangle found exactly
+    once), then ONE explode attributes it to its 3 corners — so the
+    per-node extension adds only a 3× fan-out of the (tiny) triangle
+    set plus two |V|-sized aggs, not a new corpus join. The edge
+    relation is persisted across its three uses (the q118 fix
+    pattern); cc arithmetic is exact integer ratios so both engines
+    agree bit-for-bit.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    edges = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(
+            F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("va"),
+            F.col("e1.b").alias("vb"),
+            F.col("e2.b").alias("vc"),
+        )
+    )
+    tri_v = (
+        tris.select(
+            F.explode(F.array("va", "vb", "vc")).alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("double").alias("t"))
+    )
+    out = (
+        deg.join(tri_v, "v", "left")
+        .where(F.col("d") >= 2)
+        .select(
+            F.col("v").alias("node"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce("t", F.lit(0.0)).cast("long").alias("n_triangles"),
+            F.round(
+                2.0 * F.coalesce("t", F.lit(0.0))
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("clustering_coef"),
+        )
+        .orderBy(F.desc("clustering_coef"), F.asc("node"))
+        .limit(20)
+    )
+    rows = out.collect()  # bounded: LIMIT 20 — collected to drop the cache
+    edges.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "node bigint, degree bigint, n_triangles bigint, clustering_coef double",
+    )
+
+
+@register(
+    "q180_degree_assortativity",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_partkey < l2.l_partkey
+    ),
+    deg AS (
+        SELECT v, CAST(count(*) AS DOUBLE) AS d FROM (
+            SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+        ) GROUP BY v
+    ),
+    ends AS (
+        SELECT da.d AS x, db.d AS y FROM edges e
+        JOIN deg da ON da.v = e.a
+        JOIN deg db ON db.v = e.b
+        UNION ALL
+        SELECT db.d AS x, da.d AS y FROM edges e
+        JOIN deg da ON da.v = e.a
+        JOIN deg db ON db.v = e.b
+    )
+    SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           round(avg(x), 4) AS mean_end_degree,
+           round((count(*) * sum(x * y) - sum(x) * sum(y))
+                 / (sqrt(count(*) * sum(x * x) - sum(x) * sum(x))
+                    * sqrt(count(*) * sum(y * y) - sum(y) * sum(y))),
+                 6) AS assortativity
+    FROM ends
+    """,
+)
+def q180_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph — the Pearson
+    correlation of endpoint degrees over all edge stubs (Newman's r):
+    do high-degree parts co-occur with other high-degree parts
+    (r > 0) or with leaves (r < 0)? This is the one-number structure
+    summary that decides whether q101's degree-ordered wedge variant
+    pays off. Both directions of every edge enter (the undirected
+    stub convention), and the correlation is expanded into raw sums
+    so both engines run the identical arithmetic.
+
+    Scale: edges come from the bounded per-order fan-out (Σ lines²
+    per order); degrees are one |V|-row agg joined back onto edges
+    (broadcastable — |V| = |parts| is dimension-sized even at 100 TB
+    fact scale); the correlation collapses to five mergeable sums in
+    one partial agg. No corpus-sized shuffle beyond the edge build.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    edges = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(
+            F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("dx"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("dy"))
+    joined = edges.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    ends = joined.select(
+        F.col("dx").alias("x"), F.col("dy").alias("y")
+    ).unionAll(joined.select(F.col("dy").alias("x"), F.col("dx").alias("y")))
+    n = F.count(F.lit(1))
+    num = n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")
+    den = F.sqrt(
+        n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    ) * F.sqrt(n * F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y"))
+    out = ends.agg(
+        (n / 2).cast("long").alias("n_edges"),
+        F.round(F.avg("x"), 4).alias("mean_end_degree"),
+        F.round(num / den, 6).alias("assortativity"),
+    )
+    rows = out.collect()  # bounded: single row — collected to drop the cache
+    edges.unpersist()
+    return spark.createDataFrame(
+        rows, "n_edges bigint, mean_end_degree double, assortativity double"
+    )

@@ -14,7 +14,7 @@ parquet reader.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from g_etl_spark.queries import register
 from g_etl_spark.tables import load
@@ -2693,4 +2693,269 @@ def q163_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "q177_auc_rank",
+    oracle="""
+    WITH scored AS (
+        SELECT o_totalprice AS score,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS label
+        FROM orders
+    ),
+    by_score AS (
+        SELECT score,
+               CAST(count(*) AS DOUBLE) AS cnt,
+               CAST(sum(label) AS DOUBLE) AS pos
+        FROM scored GROUP BY score
+    ),
+    ranked AS (
+        SELECT pos, cnt,
+               coalesce(sum(cnt) OVER (
+                   ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) + (cnt + 1) / 2 AS avg_rank
+        FROM by_score
+    )
+    SELECT round(
+               (sum(pos * avg_rank)
+                - sum(pos) * (sum(pos) + 1) / 2)
+               / (sum(pos) * (sum(cnt) - sum(pos))), 6) AS auc,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg
+    FROM ranked
+    """,
+)
+def q177_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of a score against a binary label via the
+    Mann-Whitney rank-sum identity — the standard distributed way to
+    evaluate a ranking model without materializing the O(P*N) pair
+    set: AUC = (sum of positive average-ranks - P(P+1)/2) / (P*N),
+    with ties handled by average ranks (midrank convention). Here:
+    does order value predict high priority (the expected answer is
+    ~0.5 on this synthetic data — the eval harness matters, not the
+    verdict).
+
+    Scale: ONE map-side-combining groupBy collapses the corpus to
+    |distinct scores| rows; the cumulative rank is a single window
+    over that collapsed set (at 100 TB with near-unique float scores,
+    pre-bucket scores to fixed precision first — same midrank math on
+    a bounded set — or range-partition the cumulative as a two-pass
+    prefix sum). No pair join ever exists.
+    """
+    o = load(spark, sf_dir, "orders")
+    scored = o.select(
+        F.col("o_totalprice").alias("score"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("label"),
+    )
+    by_score = scored.groupBy("score").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+        F.sum("label").cast("double").alias("pos"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_score.select(
+        "pos",
+        "cnt",
+        (
+            F.coalesce(F.sum("cnt").over(w), F.lit(0.0))
+            + (F.col("cnt") + 1) / 2
+        ).alias("avg_rank"),
+    )
+    return ranked.agg(
+        F.round(
+            (
+                F.sum(F.col("pos") * F.col("avg_rank"))
+                - F.sum("pos") * (F.sum("pos") + 1) / 2
+            )
+            / (F.sum("pos") * (F.sum("cnt") - F.sum("pos"))),
+            6,
+        ).alias("auc"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos")).cast("long").alias("n_neg"),
+    )
+
+
+@register(
+    "q181_group_mode_median",
+    oracle="""
+    WITH counts AS (
+        SELECT event_type, value, count(*) AS cnt
+        FROM events GROUP BY event_type, value
+    ),
+    modes AS (
+        SELECT event_type, value AS mode_value, cnt AS mode_count
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_type ORDER BY cnt DESC, value ASC
+            ) AS rn
+            FROM counts
+        ) WHERE rn = 1
+    ),
+    med AS (
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS median_value
+        FROM events GROUP BY event_type
+    )
+    SELECT m.event_type, round(m.mode_value, 4) AS mode_value,
+           CAST(m.mode_count AS BIGINT) AS mode_count,
+           med.median_value
+    FROM modes m JOIN med USING (event_type)
+    ORDER BY m.event_type
+    """,
+)
+def q181_group_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent value, smallest value on ties)
+    and exact median — the two order statistics GROUP BY can't
+    express directly. Mode via count-then-argmax; median via exact
+    interpolated percentile (q39's convention).
+
+    Scale: the mode path is two map-side-combining aggs — corpus ->
+    (group, value) counts -> per-group max-struct argmax; no window
+    over the corpus, no sort. The argmax struct orders by (cnt,
+    -value) so the tie rule (smallest value wins) is encoded in ONE
+    max. Median is the q39 trade: exact here, percentile_approx
+    (mergeable t-digest) at 100 TB.
+    """
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    modes = counts.groupBy("event_type").agg(
+        F.max(F.struct(F.col("cnt"), (-F.col("value")).alias("nv"))).alias("m")
+    ).select(
+        "event_type",
+        F.round(-F.col("m.nv"), 4).alias("mode_value"),
+        F.col("m.cnt").cast("long").alias("mode_count"),
+    )
+    med = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5D)"), 4).alias("median_value")
+    )
+    return modes.join(med, "event_type").orderBy("event_type")
+
+
+@register(
+    "q182_trimmed_robust_stats",
+    oracle="""
+    WITH bounds AS (
+        SELECT event_type,
+               quantile_cont(value, 0.1) AS lo,
+               quantile_cont(value, 0.9) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           round(avg(CASE WHEN e.value >= b.lo AND e.value <= b.hi
+                          THEN e.value END), 4) AS trimmed_mean,
+           round(avg(least(greatest(e.value, b.lo), b.hi)), 4)
+               AS winsorized_mean,
+           round(avg(e.value), 4) AS raw_mean,
+           CAST(sum(CASE WHEN e.value < b.lo OR e.value > b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def q182_trimmed_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-90% trimmed mean and winsorized mean per group — the
+    robust-location estimators an outlier-heavy metric pipeline
+    reports alongside the raw mean (complements q126's MAD outlier
+    FLAGGING with robust AGGREGATION). Trimmed drops the tails;
+    winsorized clamps them to the decile bounds; n_clipped audits how
+    much mass the tails held.
+
+    Scale: pass 1 computes per-group decile bounds (exact here; the
+    q39 percentile_approx trade at 100 TB); the |groups|-row bounds
+    table broadcasts back onto the scan, so pass 2 is map-side
+    clamp + one combining agg. Two scans total, zero corpus shuffles
+    on the value column.
+    """
+    e = load(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.1D)").alias("lo"),
+        F.expr("percentile(value, 0.9D)").alias("hi"),
+    )
+    j = e.join(F.broadcast(bounds), "event_type")
+    inside = (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi"))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.round(F.avg(F.when(inside, F.col("value"))), 4).alias(
+                "trimmed_mean"
+            ),
+            F.round(
+                F.avg(F.least(F.greatest("value", "lo"), F.col("hi"))), 4
+            ).alias("winsorized_mean"),
+            F.round(F.avg("value"), 4).alias("raw_mean"),
+            F.sum(F.when(~inside, 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q184_bootstrap_ci",
+    oracle="""
+    WITH reps AS (SELECT unnest(range(0, 32)) AS b),
+    weighted AS (
+        SELECT reps.b,
+               sum(((o_orderkey * 2654435761 + reps.b * 40503 + 12345)
+                    % 2147483647) % 3) AS wsum,
+               sum((((o_orderkey * 2654435761 + reps.b * 40503 + 12345)
+                     % 2147483647) % 3) * o_totalprice) AS wtotal
+        FROM orders CROSS JOIN reps
+        GROUP BY reps.b
+    ),
+    means AS (SELECT wtotal / wsum AS m FROM weighted)
+    SELECT round((SELECT avg(o_totalprice) FROM orders), 4) AS point_mean,
+           round(quantile_cont(m, 0.025), 4) AS ci_lo,
+           round(quantile_cont(m, 0.975), 4) AS ci_hi,
+           round(stddev_samp(m), 4) AS boot_se
+    FROM means
+    """,
+)
+def q184_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean via the Poisson /
+    multiplier bootstrap — THE distributed bootstrap: instead of
+    resampling n rows with replacement (impossible without a global
+    index), each row gets an integer weight per replicate drawn from
+    a mean-1 distribution, and each replicate's weighted mean is one
+    bootstrap draw. Weights here are a deterministic affine hash of
+    (row id, replicate) mod 3 -> {0,1,2} (mean 1, variance 2/3 — a
+    multiplier bootstrap; deterministic so the two engines agree
+    bit-for-bit). 32 replicates -> percentile CI + bootstrap SE.
+
+    Scale: the corpus never shuffles — the replicate dimension is a
+    32-row broadcast, weights are map-side arithmetic, and the only
+    exchange is 32 partial-agg'd (wsum, wtotal) pairs. At 100 TB this
+    is exactly one extra scan regardless of B; the 32-row quantile is
+    driver-trivial.
+    """
+    o = load(spark, sf_dir, "orders")
+    reps = spark.range(0, 32).select(F.col("id").alias("b"))
+    w = (
+        (F.col("o_orderkey") * 2654435761 + F.col("b") * 40503 + 12345)
+        % 2147483647
+    ) % 3
+    weighted = (
+        o.crossJoin(F.broadcast(reps))
+        .groupBy("b")
+        .agg(
+            F.sum(w).alias("wsum"),
+            F.sum(w * F.col("o_totalprice")).alias("wtotal"),
+        )
+    )
+    means = weighted.select((F.col("wtotal") / F.col("wsum")).alias("m"))
+    point = o.agg(F.round(F.avg("o_totalprice"), 4).alias("point_mean"))
+    return means.agg(
+        F.round(F.expr("percentile(m, 0.025D)"), 4).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975D)"), 4).alias("ci_hi"),
+        F.round(F.stddev_samp("m"), 4).alias("boot_se"),
+    ).crossJoin(F.broadcast(point)).select(
+        "point_mean", "ci_lo", "ci_hi", "boot_se"
     )

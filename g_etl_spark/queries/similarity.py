@@ -977,3 +977,66 @@ def q162_pq_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subspace", "codeword")
     )
+
+
+@register(
+    "q183_mahalanobis_outliers",
+    oracle="""
+    WITH expl AS (
+        SELECT vec_id, g.i AS dim,
+               CAST(embedding[g.i] AS DOUBLE) AS x
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+    ),
+    stats AS (
+        SELECT dim, avg(x) AS mu, var_samp(x) AS v
+        FROM expl GROUP BY dim
+    ),
+    d2 AS (
+        SELECT e.vec_id,
+               sum(pow(e.x - s.mu, 2) / s.v) AS dist2
+        FROM expl e JOIN stats s ON e.dim = s.dim
+        GROUP BY e.vec_id
+    )
+    SELECT vec_id, round(dist2, 4) AS dist2
+    FROM d2
+    ORDER BY round(dist2, 4) DESC, vec_id ASC
+    LIMIT 20
+    """,
+)
+def q183_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier detection by diagonal-covariance Mahalanobis
+    distance — the distribution-aware screen for corrupted or
+    off-manifold vectors before they poison dedup/ANN indexes
+    (q54/q61's upstream hygiene): d² = Σⱼ (xⱼ−μⱼ)²/σ²ⱼ, top 20. The
+    diagonal approximation is the standard scale choice (a full
+    covariance inverse is a d×d broadcast with the same plan shape).
+
+    Scale: pass 1 reduces the corpus to d mergeable (μ, σ²) moments;
+    pass 2 re-scans with the d-row stats broadcast onto the exploded
+    dims and partial-aggregates d² per vector — both passes are
+    combining aggs, no corpus-sized shuffle, same parameter-server
+    shape as q161's gradient. Ordering compares the ROUNDED distance
+    (then vec_id) so both engines rank ties identically.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    expl = e.select(
+        "vec_id", F.posexplode(F.col("embedding"))
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("col").cast("double").alias("x"),
+    )
+    stats = expl.groupBy("dim").agg(
+        F.avg("x").alias("mu"), F.var_samp("x").alias("v")
+    )
+    d2 = (
+        expl.join(F.broadcast(stats), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.sum(F.pow(F.col("x") - F.col("mu"), 2) / F.col("v")), 4
+            ).alias("dist2")
+        )
+    )
+    return d2.orderBy(F.desc("dist2"), F.asc("vec_id")).limit(20)

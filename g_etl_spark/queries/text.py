@@ -1765,3 +1765,139 @@ def q156_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("entropy", "doc_id")
         .limit(10)
     )
+
+
+@register(
+    "q178_calibration_bins",
+    oracle="""
+    WITH scored AS (
+        SELECT 1.0 / (1.0 + exp(-(CAST(n_chars AS DOUBLE) / 100.0 - 3.0)))
+                   AS p,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM documents
+    )
+    SELECT CAST(least(CAST(floor(p * 10) AS BIGINT), 9) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(p), 6) AS avg_pred,
+           round(avg(y), 6) AS frac_pos,
+           round(abs(avg(p) - avg(y)), 6) AS gap
+    FROM scored
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def q178_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier — the
+    calibration audit every model-based quality filter (q134's shape)
+    needs before its scores gate a 100 TB corpus: bucket predictions
+    into 10 equal-width probability bins and compare mean predicted
+    probability against the empirical positive rate per bin (the
+    per-bin |gap| is the ECE integrand). The probe model is a fixed
+    deterministic logistic of document length predicting lang='en',
+    so both engines replay it exactly; a real model swaps in a score
+    column with the identical plan.
+
+    Scale: scoring is a map-side scalar per row; the only exchange is
+    the 10-bin combining agg — calibration costs one scan regardless
+    of corpus size. Bin 9 absorbs p=1.0 via least(...,9) so the bin
+    function is total.
+    """
+    d = load(spark, sf_dir, "documents")
+    p = 1.0 / (
+        1.0 + F.exp(-(F.col("n_chars").cast("double") / 100.0 - 3.0))
+    )
+    scored = d.select(
+        p.alias("p"),
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+    )
+    return (
+        scored.groupBy(
+            F.least(F.floor(F.col("p") * 10), F.lit(9))
+            .cast("int")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("p"), 6).alias("avg_pred"),
+            F.round(F.avg("y"), 6).alias("frac_pos"),
+            F.round(F.abs(F.avg("p") - F.avg("y")), 6).alias("gap"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "q187_readability_scores",
+    oracle=f"""
+    WITH feats AS (
+        SELECT source,
+               CAST(len({_TOKS}) AS DOUBLE) AS words,
+               CAST(greatest(
+                   length(regexp_replace(text, '[.!?]+', '#', 'g'))
+                   - length(replace(regexp_replace(text, '[.!?]+', '#', 'g'),
+                                    '#', '')), 1) AS DOUBLE) AS sentences,
+               CAST(greatest(
+                   length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
+                   - length(replace(regexp_replace(lower(text), '[aeiouy]+',
+                                                   '#', 'g'), '#', '')), 1)
+                   AS DOUBLE) AS syllables
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(206.835 - 1.015 * (words / sentences)
+                     - 84.6 * (syllables / words)), 4) AS avg_flesch,
+           round(avg(words / sentences), 4) AS avg_words_per_sentence,
+           round(avg(syllables / words), 4) AS avg_syllables_per_word
+    FROM feats
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q187_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per source — the classic readability
+    heuristic (206.835 - 1.015·words/sentence - 84.6·syllables/word)
+    that data-quality pipelines report next to q41's surface stats
+    and q58's filter chain. Syllables are approximated as maximal
+    vowel-group runs and sentences as [.!?]+ runs (floored at 1), the
+    standard cheap estimators — both counted by the same
+    replace-then-measure trick in both engines so the arithmetic is
+    identical.
+
+    Scale: three regexp projections + one combining agg; entirely
+    map-side JVM regex, no explode (the token array is only
+    measured, never unnested), one |sources|-row exchange. Readability
+    scoring at 100 TB is scan-bound, exactly like q134's classifier.
+    """
+    d = load(spark, sf_dir, "documents")
+
+    def runs(col, pat):
+        marked = F.regexp_replace(col, pat, "#")
+        return (
+            F.length(marked) - F.length(F.regexp_replace(marked, "#", ""))
+        ).cast("double")
+
+    feats = d.select(
+        "source",
+        F.size(T.tokens(F.col("text"))).cast("double").alias("words"),
+        F.greatest(runs(F.col("text"), r"[.!?]+"), F.lit(1.0)).alias(
+            "sentences"
+        ),
+        F.greatest(
+            runs(F.lower(F.col("text")), r"[aeiouy]+"), F.lit(1.0)
+        ).alias("syllables"),
+    )
+    wps = F.col("words") / F.col("sentences")
+    spw = F.col("syllables") / F.col("words")
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg(206.835 - 1.015 * wps - 84.6 * spw), 4).alias(
+                "avg_flesch"
+            ),
+            F.round(F.avg(wps), 4).alias("avg_words_per_sentence"),
+            F.round(F.avg(spw), 4).alias("avg_syllables_per_word"),
+        )
+        .orderBy("source")
+    )

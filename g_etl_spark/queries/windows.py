@@ -2039,3 +2039,256 @@ def q174_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(chi2 / (F.max("n") * F.least(nr1, nc1))), 4
         ).alias("cramers_v"),
     )
+
+
+@register(
+    "q176_acf_autocorrelation",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, avg(x) AS mu,
+               sum(x * x) - count(*) * avg(x) * avg(x) AS ss
+        FROM daily GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT d.event_type, CAST(lags.k AS INT) AS lag_k,
+               d.x, dl.x AS xlag
+        FROM daily d
+        CROSS JOIN (SELECT unnest(range(1, 8)) AS k) lags
+        JOIN daily dl ON dl.event_type = d.event_type
+                     AND dl.day = d.day - CAST(lags.k AS INT)
+    )
+    SELECT p.event_type, p.lag_k,
+           round(sum((p.x - s.mu) * (p.xlag - s.mu)) / max(s.ss), 4) AS acf
+    FROM pairs p JOIN stats s ON p.event_type = s.event_type
+    GROUP BY p.event_type, p.lag_k
+    ORDER BY p.event_type, p.lag_k
+    """,
+)
+def q176_acf_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily event-count series, lags
+    1-7 per event_type — the seasonality screen (a weekly cycle shows
+    as a lag-7 peak) complementing q151's per-cell weekday anomalies
+    and q155's changepoint detection with the standard ACF
+    diagnostic. Classical estimator: lag-k covariance over the
+    full-series centered sum of squares (denominator from ALL n
+    points, numerator over the n-k overlapping pairs); gap days
+    simply contribute no pair at that lag.
+
+    Scale: the corpus collapses to |types|x|days| daily counts in one
+    map-side-combining agg; everything after (per-series mean/ss, the
+    7 lag alignments, the ratio) is arithmetic on that tiny rollup.
+    The lag shift is a self-equi-join on (event_type, day-k) rather
+    than a window lag (Spark's lag() needs a literal offset), so all
+    7 lags come from ONE broadcast of the 7-row lag range against the
+    daily table — the heavy scan happens exactly once, and a year of
+    days x 1e4 types is still only ~4M rows into the join.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("x").alias("mu"),
+        (
+            F.sum(F.col("x") * F.col("x"))
+            - F.count(F.lit(1)) * F.avg("x") * F.avg("x")
+        ).alias("ss"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag_k"))
+    d = daily.crossJoin(F.broadcast(lags))
+    dl = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("day2"),
+        F.col("x").alias("xlag"),
+    )
+    pairs = d.join(
+        dl,
+        (F.col("et2") == F.col("event_type"))
+        & (F.col("day2") == F.date_sub(F.col("day"), F.col("lag_k"))),
+    )
+    return (
+        pairs.join(stats, "event_type")
+        .groupBy("event_type", "lag_k")
+        .agg(
+            F.round(
+                F.sum((F.col("x") - F.col("mu")) * (F.col("xlag") - F.col("mu")))
+                / F.max("ss"),
+                4,
+            ).alias("acf")
+        )
+        .orderBy("event_type", "lag_k")
+    )
+
+
+@register(
+    "q179_gini_key_skew",
+    oracle="""
+    WITH per_key AS (
+        SELECT l_partkey, CAST(count(*) AS DOUBLE) AS x
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT x,
+               row_number() OVER (ORDER BY x ASC, l_partkey ASC) AS i,
+               row_number() OVER (ORDER BY x DESC, l_partkey ASC) AS ri
+        FROM per_key
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(x) AS BIGINT) AS n_rows,
+           round((2.0 * sum(i * x) - (count(*) + 1) * sum(x))
+                 / (count(*) * sum(x)), 6) AS gini,
+           round(max(CASE WHEN ri = 1 THEN x END) / sum(x), 6)
+               AS top1_share,
+           round(sum(CASE WHEN ri <= 10 THEN x ELSE 0 END) / sum(x), 6)
+               AS top10_share,
+           round(quantile_cont(x, 0.99) / quantile_cont(x, 0.5), 4)
+               AS p99_over_p50
+    FROM ranked
+    """,
+)
+def q179_gini_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics for a join/shuffle key — the operator an
+    engine runs BEFORE choosing a physical strategy (salt? AQE skew
+    split? broadcast?): Gini coefficient of the rows-per-key
+    distribution (0 = uniform, →1 = one hot key), top-1/top-10 key
+    share, and the p99/median ratio. Gini via the exact sorted-rank
+    identity G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx); ranks tie-broken by
+    key so both engines sort identically. This mechanizes the skew
+    check q105's salted agg does by hand.
+
+    Scale: the corpus collapses to |keys| rows in one map-side-
+    combining count; the rank is one window over that rollup (a
+    two-pass range-partitioned prefix sum at extreme key
+    cardinality). The diagnostic never touches row payloads — skew
+    profiling at 100 TB costs one column scan.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    wi = Window.orderBy(F.asc("x"), F.asc("l_partkey"))
+    wr = Window.orderBy(F.desc("x"), F.asc("l_partkey"))
+    ranked = per_key.select(
+        "x",
+        F.row_number().over(wi).alias("i"),
+        F.row_number().over(wr).alias("ri"),
+    )
+    n = F.count(F.lit(1))
+    tot = F.sum("x")
+    return ranked.agg(
+        n.cast("long").alias("n_keys"),
+        tot.cast("long").alias("n_rows"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("x")) - (n + 1) * tot) / (n * tot),
+            6,
+        ).alias("gini"),
+        F.round(F.max(F.when(F.col("ri") == 1, F.col("x"))) / tot, 6).alias(
+            "top1_share"
+        ),
+        F.round(
+            F.sum(F.when(F.col("ri") <= 10, F.col("x")).otherwise(0.0)) / tot,
+            6,
+        ).alias("top10_share"),
+        F.round(
+            F.expr("percentile(x, 0.99D)") / F.expr("percentile(x, 0.5D)"), 4
+        ).alias("p99_over_p50"),
+    )
+
+
+@register(
+    "q185_next_event_accuracy",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type,
+               lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_ts
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS prev, next_type AS nxt,
+               CASE WHEN next_ts < TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END
+                   AS is_train
+        FROM seq WHERE next_type IS NOT NULL
+    ),
+    model AS (
+        SELECT prev, nxt AS pred FROM (
+            SELECT prev, nxt, count(*) AS c,
+                   row_number() OVER (
+                       PARTITION BY prev ORDER BY count(*) DESC, nxt ASC
+                   ) AS rn
+            FROM trans WHERE is_train = 1 GROUP BY prev, nxt
+        ) WHERE rn = 1
+    )
+    SELECT t.prev AS prev_type, m.pred AS predicted,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN t.nxt = m.pred THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           round(avg(CASE WHEN t.nxt = m.pred THEN 1.0 ELSE 0.0 END), 6)
+               AS accuracy
+    FROM trans t JOIN model m ON t.prev = m.prev
+    WHERE t.is_train = 0
+    GROUP BY t.prev, m.pred
+    ORDER BY prev_type
+    """,
+)
+def q185_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtested next-event prediction: fit q127's Markov argmax
+    model on transitions completing before a time split, then score
+    its top-1 accuracy on the held-out tail — the
+    train/evaluate-in-one-plan shape for sequence models (the eval
+    half q127 lacks). Argmax ties break lexicographically so the
+    model is deterministic.
+
+    Scale: ONE user-keyed exchange produces all transitions (a single
+    lead() window); the model is a |types|²-row agg reduced to
+    |types| by argmax, broadcast back onto the test transitions —
+    evaluation never reshuffles the corpus. Temporal split, not
+    random: leakage-safe and partition-prunable on a date-partitioned
+    event log.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    ).where(F.col("next_type").isNotNull())
+    trans = seq.select(
+        F.col("event_type").alias("prev"),
+        F.col("next_type").alias("nxt"),
+        F.when(F.col("next_ts") < F.lit("2024-01-20").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("is_train"),
+    )
+    counts = (
+        trans.where(F.col("is_train") == 1)
+        .groupBy("prev", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rn = Window.partitionBy("prev").orderBy(F.desc("c"), F.asc("nxt"))
+    model = (
+        counts.withColumn("rn", F.row_number().over(rn))
+        .where(F.col("rn") == 1)
+        .select("prev", F.col("nxt").alias("pred"))
+    )
+    hit = F.when(F.col("nxt") == F.col("pred"), 1).otherwise(0)
+    return (
+        trans.where(F.col("is_train") == 0)
+        .join(F.broadcast(model), "prev")
+        .groupBy(F.col("prev").alias("prev_type"), F.col("pred").alias("predicted"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(hit).cast("long").alias("n_correct"),
+            F.round(F.avg(hit.cast("double")), 6).alias("accuracy"),
+        )
+        .orderBy("prev_type")
+    )
