@@ -2904,9 +2904,9 @@ def q182_trimmed_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH reps AS (SELECT unnest(range(0, 32)) AS b),
     weighted AS (
         SELECT reps.b,
-               sum(((o_orderkey * 2654435761 + reps.b * 40503 + 12345)
+               sum(((o_orderkey * 2654435761 + reps.b * 48611 + 12345)
                     % 2147483647) % 3) AS wsum,
-               sum((((o_orderkey * 2654435761 + reps.b * 40503 + 12345)
+               sum((((o_orderkey * 2654435761 + reps.b * 48611 + 12345)
                      % 2147483647) % 3) * o_totalprice) AS wtotal
         FROM orders CROSS JOIN reps
         GROUP BY reps.b
@@ -2928,7 +2928,9 @@ def q184_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     bootstrap draw. Weights here are a deterministic affine hash of
     (row id, replicate) mod 3 -> {0,1,2} (mean 1, variance 2/3 — a
     multiplier bootstrap; deterministic so the two engines agree
-    bit-for-bit). 32 replicates -> percentile CI + bootstrap SE.
+    bit-for-bit; the replicate stride 48611 is coprime with 3 — a
+    stride divisible by 3 shifts the pre-mod value by 0 mod 3 and
+    hands every replicate near-identical weights). 32 replicates -> percentile CI + bootstrap SE.
 
     Scale: the corpus never shuffles — the replicate dimension is a
     32-row broadcast, weights are map-side arithmetic, and the only
@@ -2939,7 +2941,7 @@ def q184_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     reps = spark.range(0, 32).select(F.col("id").alias("b"))
     w = (
-        (F.col("o_orderkey") * 2654435761 + F.col("b") * 40503 + 12345)
+        (F.col("o_orderkey") * 2654435761 + F.col("b") * 48611 + 12345)
         % 2147483647
     ) % 3
     weighted = (

@@ -913,3 +913,97 @@ def test_q175_cosine_ranked_and_bounded(spark, qs):
     plan = plan_of(qs["q175_item_cf_cosine"](spark, SF_DIR))
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q177_auc_in_unit_interval_and_no_pair_join(spark, qs):
+    """AUC must come from the rank identity (one agg + one window),
+    never a positivexnegative pair join."""
+    df = qs["q177_auc_rank"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 0
+    row = df.collect()[0]
+    assert 0.0 <= row["auc"] <= 1.0
+    assert row["n_pos"] > 0 and row["n_neg"] > 0
+
+
+def test_q182_bounds_are_broadcast(spark, qs):
+    """The per-group decile bounds must broadcast back onto the scan —
+    the corpus never shuffles on the value column."""
+    plan = plan_of(qs["q182_trimmed_robust_stats"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    rows = qs["q182_trimmed_robust_stats"](spark, SF_DIR).collect()
+    for r in rows:
+        # winsorized mean is pulled toward the center vs raw on heavy
+        # tails, and both robust means live inside the clamp bounds
+        assert r["n_clipped"] >= 0
+        assert r["trimmed_mean"] is not None
+
+
+def test_q183_stats_broadcast_no_corpus_shuffle(spark, qs):
+    """Per-dim moments join back via broadcast; distances are sane."""
+    df = qs["q183_mahalanobis_outliers"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    vals = [r["dist2"] for r in rows]
+    assert all(v >= 0 for v in vals)
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_q184_bootstrap_brackets_point_mean(spark, qs):
+    """The 32-replicate multiplier bootstrap must produce a CI that
+    brackets the point mean, with positive SE, from a plan whose only
+    join is the 32-row broadcast replicate attach."""
+    df = qs["q184_bootstrap_ci"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan
+    row = df.collect()[0]
+    assert row["ci_lo"] <= row["point_mean"] <= row["ci_hi"]
+    assert row["boot_se"] > 0
+
+
+def test_q185_model_broadcast_and_accuracy_range(spark, qs):
+    df = qs["q185_next_event_accuracy"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    for r in df.collect():
+        assert 0.0 <= r["accuracy"] <= 1.0
+        assert r["n_correct"] <= r["n_test"]
+
+
+def test_q186_coefficients_in_unit_interval(spark, qs):
+    for r in qs["q186_clustering_coefficient"](spark, SF_DIR).collect():
+        assert 0.0 <= r["clustering_coef"] <= 1.0
+        assert r["degree"] >= 2
+        # triangles at v can never exceed deg(v) choose 2
+        assert r["n_triangles"] <= r["degree"] * (r["degree"] - 1) / 2
+
+
+def test_q179_gini_consistency(spark, qs):
+    row = qs["q179_gini_key_skew"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= row["gini"] < 1.0
+    assert 0.0 < row["top1_share"] <= row["top10_share"] <= 1.0
+    assert row["p99_over_p50"] >= 1.0
+
+
+def test_q176_acf_bounded(spark, qs):
+    """ACF values are correlation-like: |acf| <= 1 + tiny slack."""
+    for r in qs["q176_acf_autocorrelation"](spark, SF_DIR).collect():
+        assert abs(r["acf"]) <= 1.0001
+        assert 1 <= r["lag_k"] <= 7
+
+
+def test_q178_bins_partition_probability_mass(spark, qs):
+    rows = qs["q178_calibration_bins"](spark, SF_DIR).collect()
+    assert sum(r["n"] for r in rows) == 500  # every doc lands in a bin
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["avg_pred"] <= 1.0
+        assert abs(r["gap"] - abs(r["avg_pred"] - r["frac_pos"])) < 2.1e-6  # both sides round at 6 dp
+
+
+def test_q187_flesch_components_positive(spark, qs):
+    for r in qs["q187_readability_scores"](spark, SF_DIR).collect():
+        assert r["avg_words_per_sentence"] > 0
+        assert r["avg_syllables_per_word"] > 0
+        assert r["n_docs"] > 0
