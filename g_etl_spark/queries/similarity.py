@@ -1040,3 +1040,95 @@ def q183_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return d2.orderBy(F.desc("dist2"), F.asc("vec_id")).limit(20)
+
+
+@register(
+    "q188_matryoshka_recall",
+    oracle="""
+    WITH q AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+        SELECT e.vec_id,
+               round(list_aggregate(list_transform(range(1, 65),
+                       i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]), 'sum')
+                     / (sqrt(list_aggregate(list_transform(e.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                        * sqrt(list_aggregate(list_transform(q.qv, x -> x * x),
+                                              'sum'))), 3) AS cos_full,
+               round(list_aggregate(list_transform(range(1, 17),
+                       i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]), 'sum')
+                     / (sqrt(list_aggregate(list_transform(range(1, 17),
+                              i -> CAST(e.embedding[i] AS DOUBLE)
+                                   * CAST(e.embedding[i] AS DOUBLE)), 'sum'))
+                        * sqrt(list_aggregate(list_transform(range(1, 17),
+                               i -> q.qv[i] * q.qv[i]), 'sum'))), 3) AS cos_pre
+        FROM embeddings e, q
+    ),
+    topf AS (SELECT vec_id FROM scored ORDER BY cos_full DESC, vec_id LIMIT 10),
+    topp AS (SELECT vec_id FROM scored ORDER BY cos_pre DESC, vec_id LIMIT 10)
+    SELECT CAST((SELECT count(*) FROM topf JOIN topp USING (vec_id)) AS BIGINT)
+               AS n_common,
+           round((SELECT count(*) FROM topf JOIN topp USING (vec_id)) / 10.0, 2)
+               AS recall_at_10
+    """,
+)
+def q188_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval evaluation: top-10 cosine
+    neighbors using only the FIRST 16 of 64 embedding dims, scored
+    against the full-dim top-10 (recall@10) — the measurement that
+    decides whether a pipeline can run its coarse ANN stage on
+    truncated prefixes (4x less I/O and compute per comparison) and
+    refine the survivors at full width. Both rankings round to 3
+    decimals before ordering (vec_id tiebreak) so the two engines
+    rank identically.
+
+    Scale: both scores come from ONE scan (two array-lambda dot
+    products per row, JVM-side); each top-10 is a TakeOrdered (no
+    global sort); the recall join touches 10x10 ids. The prefix
+    variant is the cheap path precisely because slice(embedding,1,16)
+    reads a quarter of the vector — at 100 TB the full-width column
+    never leaves parquet for the coarse stage if stored as a separate
+    column family.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    if q is None:
+        return spark.createDataFrame(
+            [], "n_common bigint, recall_at_10 double"
+        )
+    qf = F.array([F.lit(float(v)) for v in q])
+    qp = F.array([F.lit(float(v)) for v in q[:16]])
+
+    def cos(vec, qarr):
+        dot = F.aggregate(
+            F.zip_with(vec, qarr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        nv = F.sqrt(
+            F.aggregate(
+                vec,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        )
+        nq = F.sqrt(
+            F.aggregate(qarr, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        return F.round(dot / (nv * nq), 3)
+
+    scored = e.select(
+        "vec_id",
+        cos(F.col("embedding"), qf).alias("cos_full"),
+        cos(F.slice(F.col("embedding"), 1, 16), qp).alias("cos_pre"),
+    )
+    topf = scored.orderBy(F.desc("cos_full"), "vec_id").limit(10).select("vec_id")
+    topp = scored.orderBy(F.desc("cos_pre"), "vec_id").limit(10).select("vec_id")
+    common = topf.join(topp, "vec_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    return common.select(
+        "n_common", F.round(F.col("n_common") / 10.0, 2).alias("recall_at_10")
+    )

@@ -1901,3 +1901,78 @@ def q187_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q191_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_TOKS}) AS token FROM documents
+    ),
+    counts AS (
+        SELECT token, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY token
+    ),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, token ASC) AS r,
+               sum(c) OVER (ORDER BY c DESC, token ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM counts
+    ),
+    tot AS (SELECT sum(c) AS t, count(*) AS vocab FROM counts)
+    SELECT ks.k,
+           round(max(CASE WHEN ranked.r <= ks.k THEN ranked.cum END)
+                 / max(tot.t), 6) AS coverage,
+           CAST(max(tot.vocab) AS BIGINT) AS vocab_size
+    FROM ranked CROSS JOIN tot
+    CROSS JOIN (SELECT unnest([5, 10, 20, 50]) AS k) ks
+    GROUP BY ks.k
+    ORDER BY ks.k
+    """,
+)
+def q191_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all token
+    occurrences does a top-k vocabulary capture, for k in {5, 10,
+    20, 50} — the tokenizer-budget diagnostic behind vocab-size
+    choices (pairs with q132's Zipf fit: a steep Zipf exponent means
+    small k already covers most mass; the OOV rate is 1 − coverage).
+    Rank ties break lexicographically so both engines agree.
+
+    Scale: one explode + combining count collapses the corpus to
+    |vocab| rows; the cumulative share is one window over that
+    rollup with the 4-row k set cross-joined in as a broadcast. At
+    100 TB |vocab| of natural text is ~1e6-1e8 rows — window-able on
+    one partition or range-partitioned two-pass, never corpus-sized.
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    wr = Window.orderBy(F.desc("c"), F.asc("token"))
+    ranked = counts.select(
+        "c",
+        F.row_number().over(wr).alias("r"),
+        F.sum("c").over(wr.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    tot = counts.agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).cast("long").alias("vocab")
+    )
+    ks = load(spark, sf_dir, "documents").sparkSession.createDataFrame(
+        [(5,), (10,), (20,), (50,)], "k int"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("r") <= F.col("k"), F.col("cum")))
+                / F.max("t"),
+                6,
+            ).alias("coverage"),
+            F.max("vocab").alias("vocab_size"),
+        )
+        .orderBy("k")
+    )

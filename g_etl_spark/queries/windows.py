@@ -2292,3 +2292,117 @@ def q185_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type")
     )
+
+
+@register(
+    "q189_equidepth_histogram",
+    oracle="""
+    WITH binned AS (
+        SELECT event_type, value,
+               ntile(10) OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ) AS bucket
+        FROM events
+    )
+    SELECT event_type, CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi,
+           round(avg(value), 4) AS mean
+    FROM binned
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def q189_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH (equal-frequency) histogram per group — decile
+    buckets each holding ~n/10 rows with their actual value ranges,
+    the histogram an optimizer or drift monitor wants when the
+    distribution is skewed and q131's equi-WIDTH bins would dump
+    everything into two of them. ntile ties broken by event_id so
+    both engines assign identical buckets.
+
+    Scale: one keyed exchange + window sort per group, then a
+    combining agg on (group, bucket) — the same single-sort shape as
+    q67's deciles. At 100 TB swap ntile for percentile_approx bucket
+    BOUNDS (mergeable t-digest, no global sort) and assign buckets
+    map-side; this exact variant stays the correctness oracle.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    binned = e.select(
+        "event_type", "value", F.ntile(10).over(w).alias("bucket")
+    )
+    return (
+        binned.groupBy("event_type", F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+            F.round(F.avg("value"), 4).alias("mean"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+@register(
+    "q190_mase_forecast_eval",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, sum(value) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    shifted AS (
+        SELECT event_type, day, y,
+               lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS y7,
+               lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS y1
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(abs(y - y7)), 4) AS mae_seasonal,
+           round(avg(abs(y - y1)), 4) AS mae_naive,
+           round(avg(abs(y - y7)) / avg(abs(y - y1)), 4) AS mase
+    FROM shifted
+    WHERE y7 IS NOT NULL AND y1 IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q190_mase_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE (mean absolute scaled error) of the seasonal-naive
+    forecast: how much better is "same as last week" than "same as
+    yesterday" per series — the scale-free forecast-accuracy metric
+    that complements q04's forecast and q176's ACF (a weekly cycle
+    shows as MASE < 1). Both error terms are evaluated on the same
+    overlap window (rows where BOTH lags exist) so the ratio is a
+    like-for-like backtest.
+
+    Scale: the corpus collapses to the |types|x|days| daily rollup
+    in one combining agg; both lags share ONE window sort per series
+    and the MAEs fold into the same final aggregate. Evaluation adds
+    nothing corpus-sized to the forecast pipeline.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum("value").alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    shifted = daily.select(
+        "event_type",
+        "y",
+        F.lag("y", 7).over(w).alias("y7"),
+        F.lag("y", 1).over(w).alias("y1"),
+    ).where(F.col("y7").isNotNull() & F.col("y1").isNotNull())
+    mae7 = F.avg(F.abs(F.col("y") - F.col("y7")))
+    mae1 = F.avg(F.abs(F.col("y") - F.col("y1")))
+    return (
+        shifted.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(mae7, 4).alias("mae_seasonal"),
+            F.round(mae1, 4).alias("mae_naive"),
+            F.round(mae7 / mae1, 4).alias("mase"),
+        )
+        .orderBy("event_type")
+    )

@@ -1007,3 +1007,50 @@ def test_q187_flesch_components_positive(spark, qs):
         assert r["avg_words_per_sentence"] > 0
         assert r["avg_syllables_per_word"] > 0
         assert r["n_docs"] > 0
+
+
+def test_q188_recall_bounded(spark, qs):
+    row = qs["q188_matryoshka_recall"](spark, SF_DIR).collect()[0]
+    assert 0 <= row["n_common"] <= 10
+    assert abs(row["recall_at_10"] - row["n_common"] / 10.0) < 1e-9
+    # vec_id 0 is its own full-dim AND prefix-dim nearest neighbor,
+    # so the intersection is never empty on a non-empty corpus
+    assert row["n_common"] >= 1
+
+
+def test_q189_buckets_are_equal_depth(spark, qs):
+    rows = qs["q189_equidepth_histogram"](spark, SF_DIR).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, bs in by_type.items():
+        assert [b["bucket"] for b in sorted(bs, key=lambda x: x["bucket"])] == list(
+            range(1, 11)
+        )
+        ns = [b["n"] for b in bs]
+        assert max(ns) - min(ns) <= 1  # ntile's equal-depth guarantee
+        for b in bs:
+            assert b["lo"] <= b["mean"] <= b["hi"]
+        # bucket value ranges are non-overlapping and ordered
+        ordered = sorted(bs, key=lambda x: x["bucket"])
+        for prev, nxt in zip(ordered, ordered[1:]):
+            assert prev["hi"] <= nxt["lo"] + 1e-9
+
+
+def test_q190_mase_consistency(spark, qs):
+    for r in qs["q190_mase_forecast_eval"](spark, SF_DIR).collect():
+        assert r["mae_seasonal"] >= 0 and r["mae_naive"] > 0
+        assert abs(r["mase"] - round(r["mae_seasonal"] / r["mae_naive"], 4)) < 2e-4
+        assert r["n_days"] > 0
+
+
+def test_q191_coverage_monotone(spark, qs):
+    rows = sorted(
+        qs["q191_vocab_coverage"](spark, SF_DIR).collect(), key=lambda r: r["k"]
+    )
+    assert [r["k"] for r in rows] == [5, 10, 20, 50]
+    covs = [r["coverage"] for r in rows]
+    assert all(0 < c <= 1.0 for c in covs)
+    assert covs == sorted(covs)  # more vocab never covers less
+    v = rows[0]["vocab_size"]
+    assert all(r["vocab_size"] == v for r in rows)
