@@ -1709,3 +1709,181 @@ def q180_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "n_edges bigint, mean_end_degree double, assortativity double"
     )
+
+
+@register(
+    "q192_dedup_eval_pr",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    toks AS (
+        SELECT doc_id,
+               unnest(list_filter({_TOKS}, t -> length(t) > 0)) AS tok
+        FROM corpus
+    ),
+    hashes AS (
+        SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 16) AS UBIGINT) AS h
+        FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, b.bit,
+               SUM(CASE WHEN ((h >> b.bit) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+        FROM hashes CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+        GROUP BY doc_id, b.bit
+    ),
+    usig AS (
+        SELECT doc_id,
+               SUM(CASE WHEN vote > 0 THEN 1::HUGEINT << bit ELSE 0::HUGEINT END) AS u
+        FROM votes GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT c.doc_id, c.text, COALESCE(u, 0::HUGEINT) AS u
+        FROM corpus c LEFT JOIN usig USING (doc_id)
+    ),
+    bands AS (
+        SELECT doc_id, b.b AS bi,
+               CAST(((u >> (16 * b.b)) & 65535) AS BIGINT) AS bv
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    ham AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b
+        WHERE bit_count(xor(
+            CAST(sa.u - CASE WHEN sa.u >= 9223372036854775808::HUGEINT
+                 THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT),
+            CAST(sb.u - CASE WHEN sb.u >= 9223372036854775808::HUGEINT
+                 THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)
+        )) <= 8
+    ),
+    verified AS (
+        SELECT h.id_a FROM ham h
+        JOIN sig sa ON sa.doc_id = h.id_a
+        JOIN sig sb ON sb.doc_id = h.id_b
+        WHERE round(CAST(len(list_intersect(
+                  list_distinct(string_split_regex(lower(trim(sa.text)), '\\s+')),
+                  list_distinct(string_split_regex(lower(trim(sb.text)), '\\s+')))) AS DOUBLE)
+              / greatest(CAST(len(list_distinct(
+                  string_split_regex(lower(trim(sa.text)), '\\s+')
+                  || string_split_regex(lower(trim(sb.text)), '\\s+'))) AS DOUBLE), 1.0),
+              4) >= 0.7
+    ),
+    truth AS (
+        SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents
+        UNION ALL
+        SELECT doc_id, doc_id + 2000000 FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, doc_id + 2000000 FROM documents
+    )
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM ham) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM ham JOIN truth USING (id_a, id_b)) AS BIGINT)
+               AS n_truth_found,
+           round((SELECT count(*) FROM ham JOIN truth USING (id_a, id_b))
+                 / greatest((SELECT count(*) FROM truth), 1), 4) AS recall,
+           round((SELECT count(*) FROM verified)
+                 / greatest((SELECT count(*) FROM ham), 1), 4)
+               AS precision_refined
+    """,
+)
+def q192_dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured quality of the banded-SimHash near-dup detector —
+    recall against the PLANTED ground truth (every base doc, its
+    exact copy, and its tail-truncated near-dup form 3 true pairs)
+    and precision of the hamming<=8 candidates under the exact-
+    Jaccard>=0.7 refine. This is the eval harness a pipeline runs
+    before trusting a sketch detector at 100 TB: q53 builds the
+    sketch, q192 scores it. Banding = 4x16-bit signature slices
+    (unsigned shifts both sides, so the bit patterns agree despite
+    the signed storage type).
+
+    Scale: the candidate set is Σ bucket² over 16-bit band buckets —
+    never corpus² — and hamming + Jaccard run only on candidates;
+    truth is a projection of the base table. The same plan scores a
+    real corpus by swapping `truth` for a labeled pair sample.
+    """
+    c = _corpus(spark, sf_dir)
+    sigs = D.simhash64(c, "doc_id", "text")  # doc_id, simhash (long)
+    sigtext = sigs.join(c, "doc_id").select("doc_id", "simhash", "text")
+    bidx = spark.range(0, 4).select(F.col("id").cast("int").alias("bi"))
+    bands = sigtext.crossJoin(F.broadcast(bidx)).select(
+        "doc_id",
+        "bi",
+        F.expr("shiftrightunsigned(simhash, bi * 16) & 65535").alias("bv"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sigtext.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("simhash").alias("sig_a"),
+        F.col("text").alias("text_a"),
+    )
+    sb = sigtext.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash").alias("sig_b"),
+        F.col("text").alias("text_b"),
+    )
+    ham = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= 8
+        )
+    )
+    ham = ham.withColumn(
+        "verified",
+        (D.token_set_jaccard(F.col("text_a"), F.col("text_b")) >= 0.7),
+    ).persist()
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    truth = (
+        d.select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1000000).alias("id_b"),
+        )
+        .unionAll(
+            d.select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 2000000).alias("id_b"),
+            )
+        )
+        .unionAll(
+            d.select(
+                (F.col("doc_id") + 1000000).alias("id_a"),
+                (F.col("doc_id") + 2000000).alias("id_b"),
+            )
+        )
+    )
+    n_truth = truth.count()
+    n_cand = ham.count()
+    n_found = ham.join(truth, ["id_a", "id_b"]).count()
+    n_verified = ham.where("verified").count()
+    ham.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_truth,
+                n_cand,
+                n_found,
+                round(n_found / max(n_truth, 1), 4),
+                round(n_verified / max(n_cand, 1), 4),
+            )
+        ],
+        "n_truth bigint, n_candidates bigint, n_truth_found bigint,"
+        " recall double, precision_refined double",
+    )

@@ -1054,3 +1054,14 @@ def test_q191_coverage_monotone(spark, qs):
     assert covs == sorted(covs)  # more vocab never covers less
     v = rows[0]["vocab_size"]
     assert all(r["vocab_size"] == v for r in rows)
+
+
+def test_q192_pr_metrics_consistent(spark, qs):
+    row = qs["q192_dedup_eval_pr"](spark, SF_DIR).collect()[0]
+    assert row["n_truth_found"] <= row["n_truth"]
+    assert row["n_truth_found"] <= row["n_candidates"]
+    assert 0.0 <= row["recall"] <= 1.0
+    assert 0.0 <= row["precision_refined"] <= 1.0
+    # exact copies share all 4 bands and hamming 0, so the detector
+    # can never miss them: recall is bounded below by the exact third
+    assert row["recall"] >= 1 / 3
