@@ -2961,3 +2961,168 @@ def q184_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(point)).select(
         "point_mean", "ci_lo", "ci_hi", "boot_se"
     )
+
+
+@register(
+    "q193_woe_iv_bins",
+    oracle="""
+    WITH scored AS (
+        SELECT o_totalprice AS score,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS y,
+               o_orderkey
+        FROM orders
+    ),
+    binned AS (
+        SELECT ntile(10) OVER (ORDER BY score, o_orderkey) AS bin, y
+        FROM scored
+    ),
+    tot AS (
+        SELECT CAST(sum(y) AS DOUBLE) AS pos,
+               CAST(sum(1 - y) AS DOUBLE) AS neg
+        FROM binned
+    ),
+    per_bin AS (
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n,
+               (sum(y) + 0.5) / (max(tot.pos) + 0.5) AS pr,
+               (sum(1 - y) + 0.5) / (max(tot.neg) + 0.5) AS nr
+        FROM binned CROSS JOIN tot
+        GROUP BY bin
+    )
+    SELECT CAST(bin AS INT) AS bin, n,
+           round(ln(pr / nr), 6) AS woe,
+           round((pr - nr) * ln(pr / nr), 6) AS iv_term,
+           round(sum((pr - nr) * ln(pr / nr)) OVER (), 6) AS iv_total
+    FROM per_bin
+    ORDER BY bin
+    """,
+)
+def q193_woe_iv_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value screen for a candidate
+    feature against a binary target — the feature-selection sibling
+    of q109's PSI (same binned log-ratio algebra, but predictive
+    power instead of drift): decile-bin the score, WOE =
+    ln(pos-rate/neg-rate) per bin with the 0.5 Laplace correction so
+    empty cells stay finite, IV = Σ (pr−nr)·WOE. IV < 0.02 means the
+    feature is useless; > 0.3 strong — q177's AUC gives the rank
+    view, this gives the per-bin diagnosis.
+
+    Scale: one window sort assigns bins (the q189 trade: swap ntile
+    for percentile_approx bounds at 100 TB); totals broadcast back;
+    everything after is arithmetic on 10 rows. The iv_total column
+    repeats the scalar on every row (window over the 10-row set) so
+    the result stays one tidy relation.
+    """
+    o = load(spark, sf_dir, "orders")
+    scored = o.select(
+        F.col("o_totalprice").alias("score"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("y"),
+        "o_orderkey",
+    )
+    wb = Window.orderBy("score", "o_orderkey")
+    binned = scored.select(F.ntile(10).over(wb).alias("bin"), "y")
+    tot = binned.agg(
+        F.sum("y").cast("double").alias("pos"),
+        F.sum(1 - F.col("y")).cast("double").alias("neg"),
+    )
+    per_bin = (
+        binned.crossJoin(F.broadcast(tot))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            ((F.sum("y") + 0.5) / (F.max("pos") + 0.5)).alias("pr"),
+            ((F.sum(1 - F.col("y")) + 0.5) / (F.max("neg") + 0.5)).alias("nr"),
+        )
+    )
+    woe = F.log(F.col("pr") / F.col("nr"))
+    iv_term = (F.col("pr") - F.col("nr")) * woe
+    wall = Window.partitionBy()
+    return (
+        per_bin.select(
+            F.col("bin").cast("int").alias("bin"),
+            "n",
+            F.round(woe, 6).alias("woe"),
+            F.round(iv_term, 6).alias("iv_term"),
+            F.round(F.sum(iv_term).over(wall), 6).alias("iv_total"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "q194_join_size_estimate",
+    oracle="""
+    WITH exact AS (
+        SELECT CAST(count(*) AS DOUBLE) AS true_size
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    keys AS (
+        SELECT o_orderkey AS k FROM orders
+        WHERE ((o_orderkey * 2654435761 + 12345) % 2147483647) % 100 < 5
+    ),
+    est AS (
+        SELECT CAST(count(*) AS DOUBLE) * 20.0 AS est_size,
+               CAST(count(DISTINCT keys.k) AS BIGINT) AS n_sampled_keys
+        FROM keys JOIN lineitem l ON l.l_orderkey = keys.k
+    )
+    SELECT CAST(exact.true_size AS BIGINT) AS true_size,
+           CAST(est.est_size AS BIGINT) AS est_size,
+           est.n_sampled_keys,
+           round(abs(est.est_size - exact.true_size) / exact.true_size, 4)
+               AS rel_error
+    FROM exact CROSS JOIN est
+    """,
+)
+def q194_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation by deterministic key sampling —
+    the planner diagnostic that decides broadcast vs shuffle vs
+    skew-salt BEFORE running a 100 TB join: hash-sample 5% of the
+    build-side keys (coordinated sampling — the SAME hash selects the
+    key on every table, so sampled keys join sampled keys), count the
+    true join contribution of the sample, scale by 1/rate, and report
+    the relative error against the exact size (affordable here; at
+    scale only the estimate runs). The q179 skew screen says WHETHER
+    keys are skewed; this says how big the join output will be.
+
+    Scale: the estimate path scans the probe side once with a
+    semi-join against the 5% key sample (broadcastable — it is 5% of
+    a dimension); nothing corpus-sized shuffles. Estimation error
+    concentrates as Σ per-key counts over the sample (end-biased at
+    heavy keys — the docstring trade: sample ALL keys with count >
+    1/rate exactly, sample the tail, the classic bifocal estimator).
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    exact = (
+        o.select("o_orderkey")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(F.count(F.lit(1)).cast("double").alias("true_size"))
+    )
+    keys = o.select(F.col("o_orderkey").alias("k")).where(
+        (
+            (F.col("o_orderkey") * 2654435761 + 12345) % 2147483647
+        ) % 100 < 5
+    )
+    est = (
+        keys.join(li, F.col("l_orderkey") == F.col("k"))
+        .agg(
+            (F.count(F.lit(1)).cast("double") * 20.0).alias("est_size"),
+            F.countDistinct("k").cast("long").alias("n_sampled_keys"),
+        )
+    )
+    return (
+        exact.crossJoin(est)
+        .select(
+            F.col("true_size").cast("long").alias("true_size"),
+            F.col("est_size").cast("long").alias("est_size"),
+            "n_sampled_keys",
+            F.round(
+                F.abs(F.col("est_size") - F.col("true_size"))
+                / F.col("true_size"),
+                4,
+            ).alias("rel_error"),
+        )
+    )

@@ -1065,3 +1065,23 @@ def test_q192_pr_metrics_consistent(spark, qs):
     # exact copies share all 4 bands and hamming 0, so the detector
     # can never miss them: recall is bounded below by the exact third
     assert row["recall"] >= 1 / 3
+
+
+def test_q193_woe_iv_consistency(spark, qs):
+    rows = sorted(
+        qs["q193_woe_iv_bins"](spark, SF_DIR).collect(), key=lambda r: r["bin"]
+    )
+    assert [r["bin"] for r in rows] == list(range(1, 11))
+    iv = rows[0]["iv_total"]
+    assert all(r["iv_total"] == iv for r in rows)
+    assert abs(sum(r["iv_term"] for r in rows) - iv) < 1e-4
+    # IV terms are (pr-nr)*ln(pr/nr): same-sign product, never negative
+    assert all(r["iv_term"] >= 0 for r in rows)
+
+
+def test_q194_estimate_within_sampling_error(spark, qs):
+    row = qs["q194_join_size_estimate"](spark, SF_DIR).collect()[0]
+    assert row["true_size"] > 0 and row["n_sampled_keys"] > 0
+    # 5% coordinated key sample on ~uniform fanout: generous bound,
+    # catches a broken scale factor (est 20x off) not sampling noise
+    assert 0.2 * row["true_size"] <= row["est_size"] <= 5 * row["true_size"]
