@@ -598,3 +598,66 @@ def q170_grid_hotspot_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), "cluster")
         .limit(10)
     )
+
+
+_TILE_Z = 12
+_TILE_N = 1 << _TILE_Z  # 4096
+
+
+@register(
+    "q195_tile_heatmap",
+    oracle=f"""
+    WITH pts AS (
+        SELECT value,
+               CAST(floor(({LNG_SQL} + 180.0) / 360.0 * {_TILE_N}) AS BIGINT)
+                   AS tx,
+               CAST(floor((1.0 - ln(tan(radians({LAT_SQL}))
+                                    + 1.0 / cos(radians({LAT_SQL}))) / pi())
+                          / 2.0 * {_TILE_N}) AS BIGINT) AS ty
+        FROM events
+    )
+    SELECT {_TILE_Z} AS z, tx, ty,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM pts
+    GROUP BY tx, ty
+    ORDER BY n_events DESC, tx, ty
+    LIMIT 20
+    """,
+)
+def q195_tile_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-Mercator slippy-tile heatmap at z12 — the z/x/y tile
+    aggregation a map frontend requests per viewport (the serving
+    twin of q23's grid heatmap: same rollup shape, but in the
+    XYZ tile scheme every web map speaks). Standard mercator math:
+    tx = ⌊(lng+180)/360·2^z⌋, ty = ⌊(1 − ln(tan φ + sec φ)/π)/2·2^z⌋.
+    Top 20 hottest tiles, ties broken by (tx, ty). tile-x is pure
+    rational arithmetic; tile-y evaluates libm tan/ln on the bounded
+    synthetic lat set, far from tile boundaries at z12.
+
+    Scale: tile assignment is map-side scalar math inside whole-stage
+    codegen (no UDF, no lookup); ONE combining agg to |occupied
+    tiles| ≤ 4096² rows and a TakeOrdered for the top-k. Serving a
+    zoom pyramid at 100 TB is this plan per zoom — or one z20 rollup
+    with parent rollups via integer shifts, exactly like q24's
+    quadtree parent aggregation.
+    """
+    pts = _points(spark, sf_dir)
+    lat_r = F.radians(F.col("lat"))
+    tx = F.floor((F.col("lng") + 180.0) / 360.0 * _TILE_N).cast("long")
+    ty = F.floor(
+        (1.0 - F.log(F.tan(lat_r) + 1.0 / F.cos(lat_r)) / F.lit(3.141592653589793))
+        / 2.0
+        * _TILE_N
+    ).cast("long")
+    return (
+        pts.select(tx.alias("tx"), ty.alias("ty"), "value")
+        .groupBy("tx", "ty")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.lit(_TILE_Z).cast("int").alias("z"), "tx", "ty", "n_events", "sum_value")
+        .orderBy(F.desc("n_events"), "tx", "ty")
+        .limit(20)
+    )

@@ -1085,3 +1085,18 @@ def test_q194_estimate_within_sampling_error(spark, qs):
     # 5% coordinated key sample on ~uniform fanout: generous bound,
     # catches a broken scale factor (est 20x off) not sampling noise
     assert 0.2 * row["true_size"] <= row["est_size"] <= 5 * row["true_size"]
+
+
+def test_q195_tiles_in_range_and_codegen(spark, qs):
+    """Tile ids must be valid z12 coordinates and the assignment must
+    stay JVM-side (no Python eval in the plan)."""
+    df = qs["q195_tile_heatmap"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = df.collect()
+    assert rows, "synthetic bbox always occupies tiles"
+    for r in rows:
+        assert r["z"] == 12
+        assert 0 <= r["tx"] < 4096 and 0 <= r["ty"] < 4096
+    counts = [r["n_events"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
