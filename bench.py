@@ -1,9 +1,12 @@
 """Round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (no per-trial arrays, so a bounded tail
+capture always contains it whole):
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
+and writes the FULL payload (with `trials`) to BENCH_LOCAL.json at the
+repo root.
 
 Headline set: one representative per operator family, excluding the
 deliberately-quadratic brute-force baselines (their scale paths are
@@ -288,9 +291,7 @@ def main() -> None:
         big_idx.unpersist()
         print(f"# scale probe at {factor}x: {scale}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
+    payload = {
                 "metric": "headline_queries_total_wall",
                 "value": round(total, 3),
                 "unit": "sec",
@@ -314,9 +315,20 @@ def main() -> None:
                 "concurrent_8q_wall_sec": conc_wall,
                 "concurrent_8q_serial_sum_sec": serial_sum,
                 "scale_probe": scale,
-            }
-        )
-    )
+    }
+    # Full payload (incl. the bulky per-trial arrays) goes to the repo
+    # root so the judge always has the complete record; stdout gets ONE
+    # compact final line WITHOUT `trials` so the driver's bounded tail
+    # capture always contains a parseable summary (BENCH_r05's
+    # `parsed: null` was the tail starting mid-trials-array).
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(payload, f, separators=(",", ":"))
+        f.write("\n")
+    compact = {k: v for k, v in payload.items() if k != "trials"}
+    compact["trials_in"] = "BENCH_LOCAL.json"
+    sys.stdout.flush()
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -494,6 +494,32 @@ def q145_nearest_event_per_poi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("poi_id")
 
 
+def _hotspot_adjacency_edges(dense: DataFrame) -> DataFrame:
+    """8-neighborhood adjacency over dense grid cells as a pure
+    EQUI-join: each cell explodes to its 4 forward-neighbor keys
+    (Δck ∈ {+1, +9999, +10000, +10001}, all positive → u < v by
+    construction; the backward half is the CC operator's undirected
+    treatment) and the probes hash-join back onto the dense relation
+    on the neighbor key. O(4·|dense|) probes through a hash join —
+    never an all-pairs NestedLoop over |dense|², so the stage
+    survives a finer grid (res-11 polyfill) unchanged."""
+    fwd = [(0, 1), (1, -1), (1, 0), (1, 1)]
+    probe = dense.select(
+        F.col("ck").alias("u"),
+        F.explode(
+            F.array(
+                *[
+                    (F.col("cx") + dx) * 10000 + (F.col("cy") + dy)
+                    for dx, dy in fwd
+                ]
+            )
+        ).alias("nk"),
+    )
+    return probe.join(
+        dense.select(F.col("ck").alias("v")), probe["nk"] == F.col("v")
+    ).select("u", "v")
+
+
 @register(
     "q170_grid_hotspot_clusters",
     oracle=f"""
@@ -553,10 +579,15 @@ def q170_grid_hotspot_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the corpus touch is ONE cell rollup (map-side combine);
     everything after runs on the dense-cell relation (rare by
     construction — a 2-sigma cut keeps a few % of cells). Adjacency
-    is a self-join on the bounded neighborhood, and the CC operator
-    is the oracle-matched min-label fixpoint with lineage truncation
-    (operators/graph.py) — no O(n²) distance pairs anywhere, unlike
-    point-space DBSCAN.
+    is a NEIGHBOR-KEY EXPLODE + equi-join: each dense cell emits its
+    4 forward-neighbor keys (Δck ∈ {+1, +9999, +10000, +10001}, all
+    positive, so u < v holds by construction) and hash-joins them
+    back onto the dense relation — O(4·|dense|) probes through a
+    BroadcastHashJoin, never an all-pairs NestedLoop, so the pattern
+    survives a finer grid (e.g. res-11 polyfill) unchanged. The CC
+    operator is the oracle-matched min-label fixpoint with lineage
+    truncation (operators/graph.py) — no O(n²) distance pairs
+    anywhere, unlike point-space DBSCAN.
     """
     from g_etl_spark.operators.graph import connected_components
 
@@ -573,13 +604,7 @@ def q170_grid_hotspot_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense = cells.crossJoin(F.broadcast(thr)).filter(
         F.col("cnt") >= F.col("t")
     ).select("cx", "cy", "ck", "cnt")
-    a, b = dense.alias("a"), dense.alias("b")
-    edges = a.join(
-        b,
-        (F.abs(F.col("a.cx") - F.col("b.cx")) <= 1)
-        & (F.abs(F.col("a.cy") - F.col("b.cy")) <= 1)
-        & (F.col("a.ck") < F.col("b.ck")),
-    ).select(F.col("a.ck").alias("u"), F.col("b.ck").alias("v"))
+    edges = _hotspot_adjacency_edges(dense)
     labels = connected_components(edges, src="u", dst="v")
     labeled = dense.join(labels, dense["ck"] == labels["node"], "left").select(
         "cx",

@@ -838,6 +838,28 @@ def test_q170_hotspots_disjoint_and_ranked(spark, qs):
     assert all(55.0 <= r["c_lat"] <= 65.0 and 11.0 <= r["c_lng"] <= 23.0 for r in rows)
 
 
+def test_q170_adjacency_is_hash_equi_join(spark, qs):
+    """The dense-cell adjacency must compile to a HASH equi-join on
+    the exploded neighbor key — never an all-pairs NestedLoop over
+    |dense|² (the round-5 defect): the abs(Δ)<=1 predicate has no
+    equi key, the neighbor-key explode does."""
+    import pyspark.sql.functions as F
+
+    from g_etl_spark.queries.grid import _hotspot_adjacency_edges
+
+    dense = spark.createDataFrame(
+        [(0, 0, 0, 5), (0, 1, 1, 7), (1, 1, 10001, 9), (5, 5, 50005, 4)],
+        "cx long, cy long, ck long, cnt long",
+    )
+    edges = _hotspot_adjacency_edges(dense)
+    plan = plan_of(edges)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    got = {(r["u"], r["v"]) for r in edges.collect()}
+    # (0,0)-(0,1), (0,0)-(1,1), (0,1)-(1,1) adjacent; (5,5) isolated
+    assert got == {(0, 1), (0, 10001), (1, 10001)}
+
+
 def test_q172_bitmap_counts_match_exact_distinct(spark, qs):
     """The bitmap is direct-mapped (no hashing), so popcount-derived
     actives must EQUAL the exact per-day distinct users, and retained
