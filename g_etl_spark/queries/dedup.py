@@ -1887,3 +1887,130 @@ def q192_dedup_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_truth bigint, n_candidates bigint, n_truth_found bigint,"
         " recall double, precision_refined double",
     )
+
+
+@register(
+    "q199_minhash_eval_pr",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    toks AS (SELECT doc_id, text, {_TOKS} AS t FROM corpus),
+    sh AS (
+        SELECT doc_id, text,
+               CASE WHEN len(t) >= 3
+                    THEN list_transform(range(0, len(t) - 2),
+                                        i -> {_BASE_HASH_SQL})
+                    ELSE [] END AS base_hashes
+        FROM toks
+    ),
+    sig AS (SELECT doc_id, text, {_sig_sql()} AS sig FROM sh),
+    bands AS (
+        SELECT doc_id, text, b AS band_idx,
+               md5(CAST(b AS VARCHAR) || '|' || CAST(sig[2*b + 1] AS VARCHAR) || '|' || CAST(sig[2*b + 2] AS VARCHAR)) AS band
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)
+    ),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.text AS text_a, b.text AS text_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_idx = b.band_idx
+                     AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    verified AS (
+        SELECT id_a, id_b FROM cand
+        WHERE round(CAST(len(list_intersect(
+                  list_distinct(string_split_regex(lower(trim(text_a)), '\\s+')),
+                  list_distinct(string_split_regex(lower(trim(text_b)), '\\s+')))) AS DOUBLE)
+              / greatest(CAST(len(list_distinct(
+                  string_split_regex(lower(trim(text_a)), '\\s+')
+                  || string_split_regex(lower(trim(text_b)), '\\s+'))) AS DOUBLE), 1.0),
+              4) >= 0.7
+    ),
+    truth AS (
+        SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents
+        UNION ALL
+        SELECT doc_id, doc_id + 2000000 FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, doc_id + 2000000 FROM documents
+    )
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST((SELECT count(*) FROM cand JOIN truth USING (id_a, id_b)) AS BIGINT)
+               AS n_truth_found,
+           round((SELECT count(*) FROM cand JOIN truth USING (id_a, id_b))
+                 / greatest((SELECT count(*) FROM truth), 1), 4) AS recall,
+           round((SELECT count(*) FROM verified)
+                 / greatest((SELECT count(*) FROM cand), 1), 4)
+               AS precision_refined
+    """,
+)
+def q199_minhash_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured quality of the MinHash-LSH banded near-dup detector —
+    q192's planted-truth precision/recall harness applied to the
+    SECOND shipped sketch detector (q52's pipeline), so BOTH sketch
+    families carry measured quality before anyone trusts them at
+    100 TB. Candidates are the band-bucket pairs (operators/
+    dedup.minhash_candidates: shingle → 8 affine min-hashes → 4
+    bands → bucket self-join); recall is the fraction of planted
+    true pairs (base/exact-copy/tail-truncated triangles) the bands
+    surface, precision_refined the fraction of candidates surviving
+    the exact Jaccard ≥ 0.7 refine.
+
+    Scale: candidate cost is Σ bucket² over band buckets, never
+    corpus²; the refine joins texts onto candidates only, and truth
+    is a projection of the base table — the same plan scores a real
+    corpus by swapping `truth` for a labeled pair sample.
+    """
+    c = _corpus(spark, sf_dir)
+    cand = D.minhash_candidates(c, "doc_id", "text")
+    da = c.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    db = c.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    scored = (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (D.token_set_jaccard(F.col("text_a"), F.col("text_b")) >= 0.7).alias(
+                "verified"
+            ),
+        )
+        .persist()
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    truth = (
+        d.select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1000000).alias("id_b"),
+        )
+        .unionAll(
+            d.select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 2000000).alias("id_b"),
+            )
+        )
+        .unionAll(
+            d.select(
+                (F.col("doc_id") + 1000000).alias("id_a"),
+                (F.col("doc_id") + 2000000).alias("id_b"),
+            )
+        )
+    )
+    n_truth = truth.count()
+    n_cand = scored.count()
+    n_found = scored.join(truth, ["id_a", "id_b"]).count()
+    n_verified = scored.where("verified").count()
+    scored.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_truth,
+                n_cand,
+                n_found,
+                round(n_found / max(n_truth, 1), 4),
+                round(n_verified / max(n_cand, 1), 4),
+            )
+        ],
+        "n_truth bigint, n_candidates bigint, n_truth_found bigint,"
+        " recall double, precision_refined double",
+    )

@@ -836,3 +836,119 @@ def q172_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_idx")
     )
+
+
+@register(
+    "q197_equidepth_hist_sketch",
+    oracle="""
+    WITH pos AS (
+        SELECT event_type, value,
+               CAST(floor(value * 1000) AS BIGINT) AS s
+        FROM events WHERE value > 0.001
+    ),
+    b AS (
+        SELECT event_type,
+               length(CAST(s AS VARCHAR)) AS sl,
+               CAST(substr(CAST(s AS VARCHAR), 1, 1) AS BIGINT) AS fd,
+               count(*) AS c,
+               min(value) AS mnv, max(value) AS mxv, sum(value) AS sv
+        FROM pos GROUP BY 1, 2, 3
+    ),
+    n AS (SELECT event_type, sum(c) AS n FROM b GROUP BY event_type),
+    d AS (
+        SELECT b.event_type, b.sl, b.fd, b.c, b.mnv, b.mxv, b.sv,
+               least(10, CAST(floor(10.0 * (sum(b.c) OVER (
+                   PARTITION BY b.event_type ORDER BY b.sl, b.fd) - b.c)
+                   / n.n) AS BIGINT) + 1) AS bucket
+        FROM b JOIN n USING (event_type)
+    )
+    SELECT event_type, CAST(bucket AS INT) AS bucket,
+           CAST(sum(c) AS BIGINT) AS n,
+           round(min(mnv), 4) AS lo,
+           round(max(mxv), 4) AS hi,
+           round(sum(sv) / sum(c), 4) AS mean
+    FROM d
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def q197_equidepth_hist_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile histogram from the MERGEABLE log-histogram —
+    the 100 TB path q189's docstring names, promoted to oracle-gated
+    code. Values bucket by q160's integer-exact (digit-length, first
+    digit) key carrying (count, min, max, sum) cells; the per-group
+    cumulative bucket walk assigns each log-bucket its decile
+    d = floor(10·cum_before/n)+1, and decile stats fold from the
+    bucket cells. Depth is approximately equal (log-bucket
+    granularity — a heavy bucket stays whole), which is exactly the
+    trade a t-digest/GK sketch makes; unlike them the bucket key is
+    deterministic, so the oracle reproduces it bit-for-bit.
+
+    Scale: ONE map-side-combining corpus agg to |groups|×O(70) cells;
+    the cumulative walk and decile fold run on that sketch relation
+    only (group-partitioned — no corpus sort, no global ntile over n
+    rows, q189's single-sort-per-group shape retired). The cells are
+    sum/min/max-mergeable across shards and streaming batches.
+    """
+    e = load(spark, sf_dir, "events")
+    pos = e.filter(F.col("value") > 0.001).select(
+        "event_type",
+        "value",
+        F.floor(F.col("value") * 1000).cast("long").alias("s"),
+    )
+    b = (
+        pos.withColumn("sl", F.length(F.col("s").cast("string")))
+        .withColumn("fd", F.substring(F.col("s").cast("string"), 1, 1).cast("long"))
+        .groupBy("event_type", "sl", "fd")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("value").alias("mnv"),
+            F.max("value").alias("mxv"),
+            F.sum("value").alias("sv"),
+        )
+    )
+    # cumulative-before within each group via the triangular broadcast
+    # self-join on the tiny sketch relation (window-free: no
+    # single-partition WindowExec even at |groups| = 1)
+    x, y = b.alias("x"), b.alias("y")
+    better = (F.col("y.event_type") == F.col("x.event_type")) & (
+        (F.col("y.sl") < F.col("x.sl"))
+        | ((F.col("y.sl") == F.col("x.sl")) & (F.col("y.fd") < F.col("x.fd")))
+    )
+    cb = (
+        x.join(F.broadcast(y), better, "left")
+        .groupBy(
+            F.col("x.event_type").alias("event_type"),
+            F.col("x.sl").alias("sl"),
+            F.col("x.fd").alias("fd"),
+        )
+        .agg(F.coalesce(F.sum("y.c"), F.lit(0)).alias("cbefore"))
+    )
+    n = b.groupBy("event_type").agg(F.sum("c").alias("n"))
+    d = (
+        b.join(F.broadcast(cb), ["event_type", "sl", "fd"])
+        .join(F.broadcast(n), "event_type")
+        .select(
+            "event_type",
+            F.least(
+                F.lit(10),
+                F.floor(10.0 * F.col("cbefore") / F.col("n")).cast("long") + 1,
+            )
+            .cast("int")
+            .alias("bucket"),
+            "c",
+            "mnv",
+            "mxv",
+            "sv",
+        )
+    )
+    return (
+        d.groupBy("event_type", "bucket")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.round(F.min("mnv"), 4).alias("lo"),
+            F.round(F.max("mxv"), 4).alias("hi"),
+            F.round(F.sum("sv") / F.sum("c"), 4).alias("mean"),
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -2406,3 +2406,292 @@ def q190_mase_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _digit_bucket(c):
+    """Integer-exact log-bucket key (q160's recipe): a non-negative
+    BIGINT column -> (decimal length, first digit). Monotone
+    non-decreasing in the value, ~9 buckets per decade, and no float
+    log anywhere — a bucket boundary can never flip on an ulp."""
+    s = c.cast("long").cast("string")
+    return F.length(s).alias("sl"), F.substring(s, 1, 1).cast("long").alias("fd")
+
+
+_RFM_SKETCH_AXIS_SQL = """
+        SELECT length(CAST({v} AS VARCHAR)) AS sl,
+               CAST(substr(CAST({v} AS VARCHAR), 1, 1) AS BIGINT) AS fd,
+               count(*) AS c
+        FROM rfm GROUP BY 1, 2
+"""
+
+
+@register(
+    "q196_rfm_segments_sketch",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    bound AS (SELECT max(CAST(ts AS DATE)) AS endd FROM p),
+    rfm AS (
+        SELECT user_id,
+               date_diff('day', CAST(max(ts) AS DATE), (SELECT endd FROM bound)) AS rec,
+               count(*) AS freq,
+               CAST(floor(round(sum(value), 4) * 1000) AS BIGINT) AS mons
+        FROM p GROUP BY user_id
+    ),
+    n AS (SELECT count(*) AS n FROM rfm),
+    rb AS (
+        SELECT length(CAST(rec AS VARCHAR)) AS sl,
+               CAST(substr(CAST(rec AS VARCHAR), 1, 1) AS BIGINT) AS fd,
+               count(*) AS c
+        FROM rfm GROUP BY 1, 2
+    ),
+    fb AS (
+        SELECT length(CAST(freq AS VARCHAR)) AS sl,
+               CAST(substr(CAST(freq AS VARCHAR), 1, 1) AS BIGINT) AS fd,
+               count(*) AS c
+        FROM rfm GROUP BY 1, 2
+    ),
+    mb AS (
+        SELECT length(CAST(mons AS VARCHAR)) AS sl,
+               CAST(substr(CAST(mons AS VARCHAR), 1, 1) AS BIGINT) AS fd,
+               count(*) AS c
+        FROM rfm GROUP BY 1, 2
+    ),
+    rq AS (
+        SELECT sl, fd,
+               least(4, CAST(floor(4.0 * (sum(c) OVER (ORDER BY sl, fd) - c)
+                                   / (SELECT n FROM n)) AS BIGINT) + 1) AS q
+        FROM rb
+    ),
+    fq AS (
+        SELECT sl, fd,
+               least(4, CAST(floor(4.0 * (sum(c) OVER (ORDER BY sl DESC, fd DESC) - c)
+                                   / (SELECT n FROM n)) AS BIGINT) + 1) AS q
+        FROM fb
+    ),
+    mq AS (
+        SELECT sl, fd,
+               least(4, CAST(floor(4.0 * (sum(c) OVER (ORDER BY sl DESC, fd DESC) - c)
+                                   / (SELECT n FROM n)) AS BIGINT) + 1) AS q
+        FROM mb
+    ),
+    seg AS (
+        SELECT r.user_id, rq.q AS r_q, fq.q AS f_q, mq.q AS m_q
+        FROM rfm r
+        JOIN rq ON rq.sl = length(CAST(r.rec AS VARCHAR))
+               AND rq.fd = CAST(substr(CAST(r.rec AS VARCHAR), 1, 1) AS BIGINT)
+        JOIN fq ON fq.sl = length(CAST(r.freq AS VARCHAR))
+               AND fq.fd = CAST(substr(CAST(r.freq AS VARCHAR), 1, 1) AS BIGINT)
+        JOIN mq ON mq.sl = length(CAST(r.mons AS VARCHAR))
+               AND mq.fd = CAST(substr(CAST(r.mons AS VARCHAR), 1, 1) AS BIGINT)
+    )
+    SELECT CAST(r_q AS BIGINT) || '-' || CAST(f_q AS BIGINT) || '-' || CAST(m_q AS BIGINT)
+               AS segment,
+           count(*) AS n_users
+    FROM seg
+    GROUP BY 1
+    ORDER BY segment
+    """,
+)
+def q196_rfm_segments_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation WITHOUT the global ntile — the 100 TB path
+    q167's docstring names, promoted to oracle-gated code. Quartiles
+    are assigned at LOG-BUCKET granularity: each axis (recency asc,
+    frequency desc, monetary desc) histograms into q160's
+    integer-exact (digit-length, first-digit) buckets, the bucket
+    histogram's cumulative walk yields quartile labels
+    q = floor(4·cum_before/n)+1, and users map to quartiles through a
+    broadcast bucket→quartile join. All users sharing a bucket share
+    a quartile (the sketch's granularity); boundaries never depend on
+    row order, so the result is engine-stable by construction.
+
+    Scale: ONE purchase-keyed user aggregate touches the corpus; the
+    three histograms and their triangular cumulative joins run on
+    ~O(70) bucket rows each (map-side broadcast), and the quartile
+    assignment is three broadcast joins — no global sort, no
+    single-partition WindowExec anywhere (plan-asserted), versus
+    q167's three global ntile windows over |purchasers|.
+    """
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase")
+    bound = p.agg(F.max(F.col("ts").cast("date")).alias("endd"))
+    rfm = (
+        p.groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("lastd"),
+            F.count(F.lit(1)).alias("freq"),
+            F.floor(F.round(F.sum("value"), 4) * 1000).cast("long").alias("mons"),
+        )
+        .crossJoin(F.broadcast(bound))
+        .select(
+            "user_id",
+            F.datediff("endd", "lastd").alias("rec"),
+            "freq",
+            "mons",
+        )
+        .persist()
+    )
+    n = rfm.groupBy().agg(F.count(F.lit(1)).alias("n"))
+
+    def quartile_map(axis: str, desc: bool) -> DataFrame:
+        sl, fd = _digit_bucket(F.col(axis))
+        h = rfm.groupBy(sl, fd).agg(F.count(F.lit(1)).alias("c"))
+        x, y = h.alias("x"), h.alias("y")
+        if desc:
+            better = (F.col("y.sl") > F.col("x.sl")) | (
+                (F.col("y.sl") == F.col("x.sl")) & (F.col("y.fd") > F.col("x.fd"))
+            )
+        else:
+            better = (F.col("y.sl") < F.col("x.sl")) | (
+                (F.col("y.sl") == F.col("x.sl")) & (F.col("y.fd") < F.col("x.fd"))
+            )
+        cb = (
+            x.join(F.broadcast(y), better, "left")
+            .groupBy(F.col("x.sl").alias("sl"), F.col("x.fd").alias("fd"))
+            .agg(F.coalesce(F.sum("y.c"), F.lit(0)).alias("cb"))
+        )
+        return cb.crossJoin(F.broadcast(n)).select(
+            "sl",
+            "fd",
+            F.least(
+                F.lit(4),
+                F.floor(4.0 * F.col("cb") / F.col("n")).cast("long") + 1,
+            ).alias("q"),
+        )
+
+    out = rfm
+    for axis, desc, qname in (("rec", False, "r_q"), ("freq", True, "f_q"), ("mons", True, "m_q")):
+        sl, fd = _digit_bucket(F.col(axis))
+        qm = quartile_map(axis, desc)
+        out = (
+            out.withColumns({"_sl": sl, "_fd": fd})
+            .join(
+                F.broadcast(qm.withColumnsRenamed({"sl": "_sl", "fd": "_fd", "q": qname})),
+                ["_sl", "_fd"],
+            )
+            .drop("_sl", "_fd")
+        )
+    seg = F.concat_ws(
+        "-",
+        F.col("r_q").cast("string"),
+        F.col("f_q").cast("string"),
+        F.col("m_q").cast("string"),
+    )
+    return (
+        out.groupBy(seg.alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("segment")
+    )
+
+
+@register(
+    "q198_max_concurrency_twopass",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 1800000000 AS e
+        FROM events
+    ),
+    flag AS (
+        SELECT user_id, s, e,
+               CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    isl AS (
+        SELECT user_id, s, e,
+               sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS island
+        FROM flag
+    ),
+    sessions AS (
+        SELECT user_id, island, min(s) AS s, max(e) AS e
+        FROM isl GROUP BY user_id, island
+    ),
+    sweep AS (
+        SELECT s AS t, 1 AS delta FROM sessions
+        UNION ALL
+        SELECT e AS t, -1 AS delta FROM sessions
+    ),
+    running AS (
+        SELECT t, delta,
+               sum(delta) OVER (ORDER BY t, delta
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS conc
+        FROM sweep
+    )
+    SELECT CAST(max(conc) AS BIGINT) AS max_concurrent,
+           min(CASE WHEN conc = (SELECT max(conc) FROM running) THEN t END) AS first_peak_us,
+           (SELECT CAST(count(*) AS BIGINT) FROM sessions) AS n_sessions
+    FROM running
+    """,
+)
+def q198_max_concurrency_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via the RANGE-PARTITIONED two-pass cumulative
+    sum — the 100 TB path q173's docstring names, promoted to
+    oracle-gated code (the oracle is q173's exact global sweep; the
+    two-pass plan must reproduce it bit-for-bit). Boundaries bucket
+    by calendar day of their timestamp; pass 1 sums each bucket's
+    deltas and a triangular broadcast join turns those ~|days| sums
+    into per-bucket prefix OFFSETS; pass 2 runs the cumulative sum
+    WITHIN each bucket (a day-partitioned window, never a global
+    one — plan-asserted) and adds the offset. The bucket key
+    floor(t/86400e6) is non-decreasing in (t, delta)-order, so
+    offset + local cumsum ≡ the global running sum at every row.
+
+    Scale: sessionization is the one user-keyed exchange; the sweep
+    relation is 2·|sessions| rows spread over |days| partitions that
+    each cumsum independently — no single-partition WindowExec, the
+    defect this variant retires.
+    """
+    e = load(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(1_800_000_000)).alias("e"),
+    )
+    order = Window.partitionBy("user_id").orderBy("s", "e")
+    prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    run = order.rowsBetween(Window.unboundedPreceding, 0)
+    isl = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.max("e").over(prev), 1).otherwise(0),
+    ).withColumn("island", F.sum("new_island").over(run))
+    sessions = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    sweep = sessions.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("e").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("b")
+    ).select(
+        "b.t", "b.delta", F.floor(F.col("b.t") / F.lit(86_400_000_000)).alias("p")
+    )
+    # pass 1: per-bucket delta sums -> prefix offsets (|days| rows,
+    # triangular broadcast join — window-free)
+    ps = sweep.groupBy("p").agg(F.sum("delta").alias("sd"))
+    x, y = ps.alias("x"), ps.alias("y")
+    offsets = (
+        x.join(F.broadcast(y), F.col("y.p") < F.col("x.p"), "left")
+        .groupBy(F.col("x.p").alias("p"))
+        .agg(F.coalesce(F.sum("y.sd"), F.lit(0)).alias("off"))
+    )
+    # pass 2: day-partitioned local cumsum + broadcast offset
+    wloc = (
+        Window.partitionBy("p")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = sweep.join(F.broadcast(offsets), "p").withColumn(
+        "conc", F.sum("delta").over(wloc) + F.col("off")
+    )
+    peak = F.max(F.struct(F.col("conc"), (-F.col("t")).alias("nt")))
+    return running.agg(
+        peak.getField("conc").cast("long").alias("max_concurrent"),
+        (-peak.getField("nt")).alias("first_peak_us"),
+        F.sum(F.when(F.col("delta") == 1, 1)).cast("long").alias("n_sessions"),
+    )

@@ -1122,3 +1122,96 @@ def test_q195_tiles_in_range_and_codegen(spark, qs):
         assert 0 <= r["tx"] < 4096 and 0 <= r["ty"] < 4096
     counts = [r["n_events"] for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_q196_rfm_sketch_no_window_and_mass_conserved(spark, qs):
+    """The histogram-quartile RFM variant must contain NO WindowExec
+    at all (q167's three global ntile sorts are the thing it
+    retires), and segment counts must partition the purchaser set."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    df = qs["q196_rfm_segments_sketch"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Window" not in plan
+    rows = df.collect()
+    n_users = sum(r["n_users"] for r in rows)
+    exact = (
+        load(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert n_users == exact
+    for r in rows:
+        a, b, c = r["segment"].split("-")
+        assert 1 <= int(a) <= 4 and 1 <= int(b) <= 4 and 1 <= int(c) <= 4
+
+
+def test_q197_equidepth_sketch_no_window_and_consistent(spark, qs):
+    """The mergeable equi-depth variant: window-free plan, decile
+    stats partition the filtered corpus, and lo/hi ranges are
+    non-overlapping in bucket order within each group."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    df = qs["q197_equidepth_hist_sketch"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Window" not in plan
+    rows = df.collect()
+    total = sum(r["n"] for r in rows)
+    exact = (
+        load(spark, SF_DIR, "events").filter(F.col("value") > 0.001).count()
+    )
+    assert total == exact
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r["bucket"])
+        for i in range(1, len(rs)):
+            assert rs[i]["lo"] >= rs[i - 1]["hi"] - 1e-9
+            assert rs[i]["bucket"] > rs[i - 1]["bucket"]
+        for r in rs:
+            assert r["lo"] <= r["mean"] <= r["hi"]
+
+
+def test_q198_twopass_matches_global_and_partitioned_windows(spark, qs):
+    """The two-pass cumulative must reproduce q173's global sweep
+    EXACTLY, and every WindowExec in its plan must carry a partition
+    spec (the single-partition window is the defect it retires)."""
+    import re
+
+    df = qs["q198_max_concurrency_twopass"](spark, SF_DIR)
+    got = df.collect()[0]
+    want = qs["q173_max_concurrency"](spark, SF_DIR).collect()[0]
+    assert got["max_concurrent"] == want["max_concurrent"]
+    assert got["first_peak_us"] == want["first_peak_us"]
+    assert got["n_sessions"] == want["n_sessions"]
+    plan = plan_of(df)
+    # WindowExec prints `Window [fns], [partition spec], [order spec]`
+    # when partitioned and `Window [fns], [order spec]` when global —
+    # every Window line here must have all three bracket groups.
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow\b", line)
+        if m and "[" in line:
+            groups = re.findall(r"\[[^\[\]]*\]", line)
+            assert len(groups) >= 3, f"global WindowExec in plan: {line.strip()}"
+
+
+def test_q199_minhash_eval_bounds(spark, qs):
+    """MinHash detector eval: metrics bounded, counts consistent, and
+    the exact-copy planted pairs (identical signatures -> identical
+    bands) guarantee recall covers at least the copy pairs."""
+    from g_etl_spark.tables import load
+
+    r = qs["q199_minhash_eval_pr"](spark, SF_DIR).collect()[0]
+    n_docs = load(spark, SF_DIR, "documents").count()
+    assert r["n_truth"] == 3 * n_docs
+    assert 0.0 <= r["recall"] <= 1.0
+    assert 0.0 <= r["precision_refined"] <= 1.0
+    assert r["n_truth_found"] <= min(r["n_truth"], r["n_candidates"])
+    # exact copies share every band; truncation-tail near-dups are
+    # high-Jaccard, so the banded detector must catch most truth
+    assert r["recall"] >= 0.6
