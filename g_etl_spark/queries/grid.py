@@ -587,9 +587,14 @@ def q170_grid_hotspot_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     survives a finer grid (e.g. res-11 polyfill) unchanged. The CC
     operator is the oracle-matched min-label fixpoint with lineage
     truncation (operators/graph.py) — no O(n²) distance pairs
-    anywhere, unlike point-space DBSCAN.
+    anywhere, unlike point-space DBSCAN. CC runs the large-star/
+    small-star alternation: dense-cell clusters are CHAINS of
+    adjacent cells (diameter ~ cluster length), where min-label
+    propagation pays one round per hop but log-star converges in
+    O(log n) — measured 5.3-7.7 s → 2.3-3.2 s at sf0.1
+    (SCALE_NOTES "Round 6").
     """
-    from g_etl_spark.operators.graph import connected_components
+    from g_etl_spark.operators.graph import connected_components_logstar as connected_components
 
     pts = _points(spark, sf_dir).select(
         F.floor(F.col("lat") * 2).cast("long").alias("cx"),
