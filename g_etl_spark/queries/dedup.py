@@ -2014,3 +2014,131 @@ def q199_minhash_eval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_truth bigint, n_candidates bigint, n_truth_found bigint,"
         " recall double, precision_refined double",
     )
+
+
+@register(
+    "q200_entity_resolution_fs",
+    oracle="""
+    WITH a AS (
+        SELECT c_custkey AS akey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        FROM customer
+    ),
+    b AS (
+        SELECT c_custkey + 1000000 AS bkey,
+               CASE WHEN c_custkey % 2 = 0 THEN upper(c_name) ELSE c_name END AS c_name,
+               c_nationkey,
+               CASE WHEN c_custkey % 3 = 0 THEN round(c_acctbal + 0.01, 2)
+                    ELSE c_acctbal END AS c_acctbal,
+               CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END
+                   AS c_mktsegment
+        FROM customer
+    ),
+    pairs AS (
+        SELECT a.akey, b.bkey,
+               CASE WHEN lower(a.c_name) = lower(b.c_name)
+                    THEN log2(0.95 / 0.005) ELSE log2(0.05 / 0.995) END
+             + CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 0.02
+                    THEN log2(0.9 / 0.05) ELSE log2(0.1 / 0.95) END
+             + CASE WHEN a.c_mktsegment = b.c_mktsegment
+                    THEN log2(0.85 / 0.25) ELSE log2(0.15 / 0.75) END AS score,
+               CASE WHEN b.bkey - 1000000 = a.akey THEN 1 ELSE 0 END AS is_truth
+        FROM a JOIN b ON a.c_nationkey = b.c_nationkey
+    ),
+    classed AS (
+        SELECT CASE WHEN round(score, 4) >= 8.0 THEN 'link'
+                    WHEN round(score, 4) >= 0.0 THEN 'possible'
+                    ELSE 'non-link' END AS class,
+               is_truth
+        FROM pairs
+    )
+    SELECT class,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(is_truth) AS BIGINT) AS n_true,
+           round(sum(is_truth) / CAST(count(*) AS DOUBLE), 4) AS precision,
+           round(sum(is_truth) / CAST((SELECT count(*) FROM customer) AS DOUBLE), 4)
+               AS truth_share
+    FROM classed
+    GROUP BY class
+    ORDER BY class
+    """,
+)
+def q200_entity_resolution_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record linkage (the probabilistic entity
+    resolution every multi-source training-data pipeline needs before
+    cross-source dedup can trust an id): a planted 'dirty' second
+    source (case-noised names, penny-drifted balances, missing
+    segments — all deterministic in both engines), BLOCKED on
+    nationkey, scored per field with log2(m/u) agreement /
+    log2((1-m)/(1-u)) disagreement weights, and classified by the
+    two-threshold rule (link / possible / non-link). Output is the
+    per-class confusion row: pair counts, planted-truth hits,
+    precision, and truth coverage.
+
+    Scale: blocking is a pure EQUI-join, so candidate cost is
+    Σ block² — bounded by the blocking key's granularity, never
+    |A|×|B| (at 100 TB block on (nation, name-prefix/phonetic key);
+    same plan, finer key). Scoring is map-side codegen arithmetic on
+    candidate rows; the classification rollup is a 3-key agg.
+    """
+    c = load(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("akey"),
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    b = c.select(
+        (F.col("c_custkey") + 1000000).alias("bkey"),
+        F.when(F.col("c_custkey") % 2 == 0, F.upper("c_name"))
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.round(F.col("c_acctbal") + 0.01, 2))
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    lg2 = lambda m, u: F.lit(float(__import__("math").log2(m / u)))  # noqa: E731
+    aa, bb = a.alias("a"), b.alias("b")
+    score = (
+        F.when(
+            F.lower(F.col("a.c_name")) == F.lower(F.col("b.c_name")),
+            lg2(0.95, 0.005),
+        ).otherwise(lg2(0.05, 0.995))
+        + F.when(
+            F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) <= 0.02,
+            lg2(0.9, 0.05),
+        ).otherwise(lg2(0.1, 0.95))
+        + F.when(
+            F.col("a.c_mktsegment") == F.col("b.c_mktsegment"), lg2(0.85, 0.25)
+        ).otherwise(lg2(0.15, 0.75))
+    )
+    pairs = aa.join(bb, F.col("a.c_nationkey") == F.col("b.c_nationkey")).select(
+        F.round(score, 4).alias("score"),
+        F.when(F.col("b.bkey") - 1000000 == F.col("a.akey"), 1)
+        .otherwise(0)
+        .alias("is_truth"),
+    )
+    n_truth = c.count()  # bounded driver scalar: |customer| (the planted-truth size)
+    classed = pairs.select(
+        F.when(F.col("score") >= 8.0, "link")
+        .when(F.col("score") >= 0.0, "possible")
+        .otherwise("non-link")
+        .alias("class"),
+        "is_truth",
+    )
+    return (
+        classed.groupBy("class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("is_truth").cast("long").alias("n_true"),
+            F.round(F.sum("is_truth") / F.count(F.lit(1)).cast("double"), 4).alias(
+                "precision"
+            ),
+            F.round(F.sum("is_truth") / F.lit(float(n_truth)), 4).alias("truth_share"),
+        )
+        .orderBy("class")
+    )

@@ -218,3 +218,103 @@ def q137_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "split")
     )
+
+
+@register(
+    "q202_negative_sampling",
+    oracle="""
+    WITH np AS (SELECT count(*) AS np FROM part),
+    pos AS (
+        SELECT DISTINCT o.o_custkey, l.l_partkey
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    users AS (SELECT DISTINCT o_custkey FROM pos),
+    cand AS (
+        SELECT u.o_custkey, i.i,
+               ((u.o_custkey * 2654435761 + i.i * 48611) % 2147483647)
+                   % (SELECT np FROM np) AS cand_part
+        FROM users u CROSS JOIN (SELECT unnest(range(12)) AS i) i
+    ),
+    neg AS (
+        SELECT c.o_custkey, c.i, c.cand_part
+        FROM cand c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pos p
+            WHERE p.o_custkey = c.o_custkey AND p.l_partkey = c.cand_part
+        )
+    ),
+    dedup AS (
+        SELECT o_custkey, cand_part, min(i) AS i
+        FROM neg GROUP BY o_custkey, cand_part
+    ),
+    ranked AS (
+        SELECT o_custkey, cand_part, i,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY i) AS rk
+        FROM dedup
+    )
+    SELECT o_custkey AS c_custkey, CAST(rk AS INT) AS neg_rank,
+           cand_part AS neg_partkey
+    FROM ranked WHERE rk <= 4
+    ORDER BY c_custkey, neg_rank
+    """,
+)
+def q202_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training:
+    for every purchasing customer, 4 parts they have NEVER ordered,
+    drawn by an affine hash stream (stride 48611, coprime to the
+    2147483647 modulus — the q184 lesson) with a 12-draw buffer,
+    positives excluded by anti-join, duplicate draws collapsed to
+    their first index, and the first 4 survivors kept in draw order.
+    The (user, item⁻) pairs are what a two-tower/InfoNCE trainer
+    consumes next to the q137 split.
+
+    Scale: positives are one distinct over the order join (the only
+    corpus-sized exchange); candidates are |users|×12 rows built
+    map-side from the hash stream with the part count as a broadcast
+    scalar; the exclusion is a LeftAnti hash join, and the keep-4 is
+    a per-user window over ≤12 rows (bounded partitions — plans as
+    WindowGroupLimit, no global sort).
+    """
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    np_ = load(spark, sf_dir, "part").agg(F.count(F.lit(1)).alias("np"))
+    pos = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    users = pos.select("o_custkey").distinct()
+    idx = spark.range(12).select(F.col("id").alias("i"))
+    cand = (
+        users.crossJoin(F.broadcast(idx))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "o_custkey",
+            "i",
+            (
+                ((F.col("o_custkey") * 2654435761 + F.col("i") * 48611) % 2147483647)
+                % F.col("np")
+            ).alias("cand_part"),
+        )
+    )
+    ca, po = cand.alias("ca"), pos.alias("po")
+    neg = ca.join(
+        po,
+        (F.col("ca.o_custkey") == F.col("po.o_custkey"))
+        & (F.col("ca.cand_part") == F.col("po.l_partkey")),
+        "left_anti",
+    )
+    dedup = neg.groupBy("o_custkey", "cand_part").agg(F.min("i").alias("i"))
+    rk = F.row_number().over(W.partitionBy("o_custkey").orderBy("i"))
+    return (
+        dedup.select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("cand_part").alias("neg_partkey"),
+            rk.alias("neg_rank"),
+        )
+        .filter(F.col("neg_rank") <= 4)
+        .select("c_custkey", F.col("neg_rank").cast("int").alias("neg_rank"), "neg_partkey")
+        .orderBy("c_custkey", "neg_rank")
+    )

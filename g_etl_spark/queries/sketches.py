@@ -952,3 +952,123 @@ def q197_equidepth_hist_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@register(
+    "q203_sketch_union_quantiles",
+    oracle="""
+    WITH b AS (
+        SELECT source,
+               length(CAST(n_chars AS VARCHAR)) AS sl,
+               CAST(substr(CAST(n_chars AS VARCHAR), 1, 1) AS BIGINT) AS fd,
+               count(*) AS c
+        FROM documents WHERE n_chars > 0
+        GROUP BY 1, 2, 3
+    ),
+    g AS (SELECT sl, fd, sum(c) AS c FROM b GROUP BY sl, fd),
+    gw AS (
+        SELECT sl, fd, c,
+               sum(c) OVER (ORDER BY sl, fd) AS cum,
+               sum(c) OVER () AS n
+        FROM g
+    ),
+    gq AS (
+        SELECT min(CASE WHEN cum >= 0.5 * n THEN fd * pow(10, sl - 1) END) AS g_p50,
+               min(CASE WHEN cum >= 0.9 * n THEN fd * pow(10, sl - 1) END) AS g_p90
+        FROM gw
+    ),
+    sw AS (
+        SELECT source, sl, fd, c,
+               sum(c) OVER (PARTITION BY source ORDER BY sl, fd) AS cum,
+               sum(c) OVER (PARTITION BY source) AS n
+        FROM b
+    ),
+    sq AS (
+        SELECT source,
+               CAST(max(n) AS BIGINT) AS n_docs,
+               min(CASE WHEN cum >= 0.5 * n THEN fd * pow(10, sl - 1) END) AS s_p50
+        FROM sw GROUP BY source
+    )
+    SELECT s.source, s.n_docs,
+           round(s.s_p50, 1) AS src_p50,
+           round(g.g_p50, 1) AS global_p50,
+           round(g.g_p90, 1) AS global_p90,
+           round((s.s_p50 - g.g_p50) / g.g_p50, 4) AS p50_dev
+    FROM sq s CROSS JOIN gq g
+    ORDER BY source
+    """,
+)
+def q203_sketch_union_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source sketch MERGE: per-source log-histogram sketches
+    of document length are summed cell-wise into ONE global sketch
+    (the property that makes q160's family a sketch at all — state
+    from independent shards combines by addition, no re-scan), the
+    global p50/p90 come from the merged cumulative walk, and each
+    source is scored by its own p50's deviation from the global —
+    the per-shard length-drift monitor a federated ingest runs.
+
+    Scale: one combining corpus agg to |sources|×O(70) cells; the
+    global sketch is a second tiny agg OVER THE CELLS (this is the
+    merge — at 100 TB the per-source cells arrive from separate
+    pipelines/regions and this stage is the only thing that runs);
+    per-source walks ride source-partitioned windows on the cell
+    relation, the global walk is the window-free triangular join.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    s = F.col("n_chars").cast("string")
+    b = (
+        d.select(
+            "source",
+            F.length(s).alias("sl"),
+            F.substring(s, 1, 1).cast("long").alias("fd"),
+        )
+        .groupBy("source", "sl", "fd")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # THE MERGE: global sketch = cell-wise sum over sources
+    g = b.groupBy("sl", "fd").agg(F.sum("c").alias("c"))
+    x, y = g.alias("x"), g.alias("y")
+    le = (F.col("y.sl") < F.col("x.sl")) | (
+        (F.col("y.sl") == F.col("x.sl")) & (F.col("y.fd") <= F.col("x.fd"))
+    )
+    gw = (
+        x.join(F.broadcast(y), le)
+        .groupBy(F.col("x.sl").alias("sl"), F.col("x.fd").alias("fd"))
+        .agg(F.sum("y.c").alias("cum"))
+    )
+    gn = g.agg(F.sum("c").alias("n"))
+    lb = F.col("fd") * F.pow(F.lit(10.0), F.col("sl") - 1)
+    gq = (
+        gw.crossJoin(F.broadcast(gn))
+        .agg(
+            F.min(F.when(F.col("cum") >= 0.5 * F.col("n"), lb)).alias("g_p50"),
+            F.min(F.when(F.col("cum") >= 0.9 * F.col("n"), lb)).alias("g_p90"),
+        )
+    )
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("sl", "fd")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("source")
+    sw = b.withColumn("cum", F.sum("c").over(wc)).withColumn(
+        "n", F.sum("c").over(wn)
+    )
+    sq = sw.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.min(F.when(F.col("cum") >= 0.5 * F.col("n"), lb)).alias("s_p50"),
+    )
+    return (
+        sq.crossJoin(F.broadcast(gq))
+        .select(
+            "source",
+            "n_docs",
+            F.round("s_p50", 1).alias("src_p50"),
+            F.round("g_p50", 1).alias("global_p50"),
+            F.round("g_p90", 1).alias("global_p90"),
+            F.round((F.col("s_p50") - F.col("g_p50")) / F.col("g_p50"), 4).alias(
+                "p50_dev"
+            ),
+        )
+        .orderBy("source")
+    )

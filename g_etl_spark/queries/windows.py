@@ -2695,3 +2695,96 @@ def q198_max_concurrency_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-peak.getField("nt")).alias("first_peak_us"),
         F.sum(F.when(F.col("delta") == 1, 1)).cast("long").alias("n_sessions"),
     )
+
+
+@register(
+    "q201_mutual_information",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow,
+               CAST(count(*) AS DOUBLE) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    n AS (SELECT sum(o) AS n FROM obs),
+    px AS (SELECT event_type, sum(o) / (SELECT n FROM n) AS p FROM obs GROUP BY 1),
+    py AS (SELECT dow, sum(o) / (SELECT n FROM n) AS p FROM obs GROUP BY 1),
+    mi AS (
+        SELECT sum((o.o / n.n) * log2((o.o / n.n) / (px.p * py.p))) AS mi
+        FROM obs o
+        JOIN px USING (event_type) JOIN py USING (dow)
+        CROSS JOIN n
+    ),
+    hx AS (SELECT -sum(p * log2(p)) AS h FROM px),
+    hy AS (SELECT -sum(p * log2(p)) AS h FROM py)
+    SELECT CAST((SELECT n FROM n) AS BIGINT) AS n_events,
+           round((SELECT h FROM hx), 6) AS h_type,
+           round((SELECT h FROM hy), 6) AS h_dow,
+           round((SELECT mi FROM mi), 6) AS mi_bits,
+           round((SELECT mi FROM mi)
+                 / sqrt((SELECT h FROM hx) * (SELECT h FROM hy)), 6) AS nmi
+    """,
+)
+def q201_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event_type and weekday (in bits),
+    plus marginal entropies and the sqrt-normalized NMI — the
+    information-theoretic companion to q174's chi-square: chi2 says
+    WHETHER behavior depends on the day, MI says HOW MANY BITS of
+    type are explained by it (the feature-screening number a
+    mixture/curriculum builder ranks columns by, q193's WOE/IV for
+    the multi-class case).
+
+    Scale: ONE combining corpus agg to the |types|×7 grid; marginals,
+    entropies and the MI sum are arithmetic on that bounded relation
+    (broadcast joins), nothing corpus-sized moves again.
+    """
+    e = load(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type",
+        (F.dayofweek(F.col("ts").cast("date")) - 1).alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    n = obs.agg(F.sum("o").alias("n"))
+    px = (
+        obs.groupBy("event_type")
+        .agg(F.sum("o").alias("sx"))
+        .crossJoin(F.broadcast(n))
+        .select("event_type", (F.col("sx") / F.col("n")).alias("p_x"))
+    )
+    py = (
+        obs.groupBy("dow")
+        .agg(F.sum("o").alias("sy"))
+        .crossJoin(F.broadcast(n))
+        .select("dow", (F.col("sy") / F.col("n")).alias("p_y"))
+    )
+    log2 = lambda c: F.log(c) / F.log(F.lit(2.0))  # noqa: E731
+    joint = (
+        obs.join(F.broadcast(px), "event_type")
+        .join(F.broadcast(py), "dow")
+        .crossJoin(F.broadcast(n))
+        .select(
+            (F.col("o") / F.col("n")).alias("p_xy"),
+            "p_x",
+            "p_y",
+            "n",
+        )
+    )
+    mi = joint.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("p_xy") * log2(F.col("p_xy") / (F.col("p_x") * F.col("p_y")))).alias(
+            "mi"
+        ),
+    )
+    hx = px.agg((-F.sum(F.col("p_x") * log2(F.col("p_x")))).alias("h_type"))
+    hy = py.agg((-F.sum(F.col("p_y") * log2(F.col("p_y")))).alias("h_dow"))
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.col("n").cast("long").alias("n_events"),
+            F.round("h_type", 6).alias("h_type"),
+            F.round("h_dow", 6).alias("h_dow"),
+            F.round("mi", 6).alias("mi_bits"),
+            F.round(F.col("mi") / F.sqrt(F.col("h_type") * F.col("h_dow")), 6).alias(
+                "nmi"
+            ),
+        )
+    )

@@ -1215,3 +1215,93 @@ def test_q199_minhash_eval_bounds(spark, qs):
     # exact copies share every band; truncation-tail near-dups are
     # high-Jaccard, so the banded detector must catch most truth
     assert r["recall"] >= 0.6
+
+
+def test_q200_er_blocking_is_equi_join_and_confusion_consistent(spark, qs):
+    """Entity resolution: blocking must be a hash EQUI-join (never
+    |A|x|B|), the link class must capture most planted truths, and
+    class counts must partition the blocked pair space."""
+    from g_etl_spark.tables import load
+
+    df = qs["q200_entity_resolution_fs"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    rows = {r["class"]: r for r in df.collect()}
+    n_cust = load(spark, SF_DIR, "customer").count()
+    n_truth_found = sum(r["n_true"] for r in rows.values())
+    assert n_truth_found == n_cust  # every planted twin lands in some class
+    assert rows["link"]["n_true"] >= 0.9 * n_cust  # threshold catches the dirty twins
+    assert rows["link"]["precision"] >= 0.9
+    if "non-link" in rows:
+        assert rows["non-link"]["n_true"] <= 0.02 * n_cust
+
+
+def test_q201_mi_information_inequalities(spark, qs):
+    """MI must satisfy 0 <= MI <= min(H_x, H_y) and NMI in [0, 1]."""
+    r = qs["q201_mutual_information"](spark, SF_DIR).collect()[0]
+    assert r["h_type"] > 0 and r["h_dow"] > 0
+    assert -1e-9 <= r["mi_bits"] <= min(r["h_type"], r["h_dow"]) + 1e-9
+    assert -1e-9 <= r["nmi"] <= 1 + 1e-9
+
+
+def test_q202_negatives_exclude_positives_and_are_k_per_user(spark, qs):
+    """Every sampled negative must be absent from the user's positive
+    set, exactly 4 per purchasing user, ranks 1..4."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    df = qs["q202_negative_sampling"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "LeftAnti" in plan
+    rows = df.collect()
+    o = load(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    pos = {
+        (r["o_custkey"], r["l_partkey"])
+        for r in o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_partkey")
+        .distinct()
+        .collect()
+    }
+    users = {u for (u, _) in pos}
+    per_user = {}
+    for r in rows:
+        assert (r["c_custkey"], r["neg_partkey"]) not in pos
+        per_user.setdefault(r["c_custkey"], []).append(r["neg_rank"])
+    assert set(per_user) == users
+    for u, ranks in per_user.items():
+        assert sorted(ranks) == [1, 2, 3, 4]
+
+
+def test_q203_merge_equals_rebuild_and_dev_consistent(spark, qs):
+    """The cell-wise source-sketch merge must equal the sketch built
+    directly on the whole corpus (THE mergeability property), and
+    per-source deviations must be consistent with the quoted p50s."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    rows = qs["q203_sketch_union_quantiles"](spark, SF_DIR).collect()
+    assert rows
+    g50 = {r["global_p50"] for r in rows}
+    assert len(g50) == 1  # one global sketch, every row quotes it
+    # rebuild the global sketch ignoring sources entirely
+    d = load(spark, SF_DIR, "documents").filter(F.col("n_chars") > 0)
+    s = F.col("n_chars").cast("string")
+    direct = (
+        d.select(F.length(s).alias("sl"), F.substring(s, 1, 1).cast("long").alias("fd"))
+        .groupBy("sl", "fd")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    n = sum(r["c"] for r in direct)
+    cum = 0
+    p50 = None
+    for r in sorted(direct, key=lambda r: (r["sl"], r["fd"])):
+        cum += r["c"]
+        if cum >= 0.5 * n:
+            p50 = r["fd"] * 10 ** (r["sl"] - 1)
+            break
+    assert float(g50.pop()) == float(p50)
+    for r in rows:
+        want = round((r["src_p50"] - r["global_p50"]) / r["global_p50"], 4)
+        assert abs(r["p50_dev"] - want) < 1e-9
