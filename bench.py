@@ -198,6 +198,8 @@ def main() -> None:
         "q147_rolling_active_users",    # rolling DAU/WAU over users×days
         "q160_loghist_quantile_sketch", # mergeable quantile buckets (r5)
         "q170_grid_hotspot_clusters",   # grid rollup + dense-cell CC (r5)
+        "q205_kcore_membership",        # iterative degree peeling (r6)
+        "q212_repeated_span_coverage",  # gram df + island merge (r6)
     ]:
         best = None
         per_trial = []

@@ -12,7 +12,7 @@ every pair.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from g_etl_spark.operators import dedup as D
 from g_etl_spark.operators.text import TOKEN_SPLIT
@@ -2141,4 +2141,256 @@ def q200_entity_resolution_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("is_truth") / F.lit(float(n_truth)), 4).alias("truth_share"),
         )
         .orderBy("class")
+    )
+
+
+_KCORE_K = 3  # peel threshold
+_KCORE_ROUNDS = 12  # oracle unroll depth; >= observed convergence at both SFs
+
+# Each round references the previous twice (both join sides); without
+# MATERIALIZED DuckDB inlines the chain exponentially (2^rounds copies
+# of the edge scan -> "Too many open files").
+_KCORE_PEELS = ",\n".join(
+    f"    c{i} AS MATERIALIZED (SELECT e.u FROM edges e JOIN c{i - 1} a ON e.u = a.u"
+    f" JOIN c{i - 1} b ON e.v = b.u GROUP BY e.u HAVING count(*) >= {_KCORE_K})"
+    for i in range(1, _KCORE_ROUNDS + 1)
+)
+
+
+@register(
+    "q205_kcore_membership",
+    oracle=f"""
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    p AS (
+        SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS w
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    pairs AS (SELECT a, b FROM p WHERE w >= 2),
+    edges AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs
+    ),
+    c0 AS MATERIALIZED (SELECT DISTINCT u FROM edges),
+{_KCORE_PEELS}
+    SELECT e.u AS part_key, CAST(count(*) AS BIGINT) AS core_degree
+    FROM edges e
+    JOIN c{_KCORE_ROUNDS} a ON e.u = a.u
+    JOIN c{_KCORE_ROUNDS} b ON e.v = b.u
+    GROUP BY e.u
+    ORDER BY e.u
+    """,
+)
+def q205_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the weight-thresholded co-purchase graph (edges =
+    part pairs sharing >= 2 orders) by iterative degree peeling —
+    the graph-densification step a recommender/curriculum pipeline
+    runs before expensive per-node work (q118 PageRank, q175 CF):
+    drop every node whose degree inside the surviving subgraph falls
+    below K, repeat to fixpoint, emit members with their within-core
+    degree.
+
+    Peeling is the textbook k-core algorithm (Matula-Beck); each
+    round is ONE edge<->member equi-join + a partial-agg degree count
+    - the same per-round shape as the CC propagation in
+    operators/graph.py, which documents the production controls
+    (lineage truncation, reliable checkpoint, convergence RAISE).
+    Convergence at the gate SFs: 1 round at sf0.001 (the dense small
+    graph IS its own 3-core), 9 rounds at sf0.01 (real cascade, core
+    1055 of 1892 nodes); the oracle unrolls 12 chained-CTE rounds —
+    strictly past both fixpoints, and peel rounds after convergence
+    are no-ops, so fixpoint == c12. The Spark side iterates with a
+    convergence check and RAISES past 40 rounds rather than return
+    partial labels.
+
+    Scale: the edge relation (the lineitem self-join, the expensive
+    stage) is persisted ONCE and reused every round; per-round state
+    is |surviving nodes| rows, monotonically shrinking; per-round
+    lineage is truncated via localCheckpoint so the plan cannot grow
+    exponentially with rounds (the q56 CC lesson). Peeling rounds are
+    bounded by the degeneracy ordering depth, not |V|; for power-law
+    co-occurrence graphs that is O(tens) at any corpus size.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    pairs = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .groupBy(
+            F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("a", "b")
+    )
+    edges = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .persist()
+    )
+    cur = edges.select("u").distinct().localCheckpoint(eager=True)
+    n_cur = cur.count()
+    for _ in range(40):
+        nxt = (
+            edges.join(cur.withColumnRenamed("u", "cu"), F.col("u") == F.col("cu"))
+            .drop("cu")
+            .join(cur.withColumnRenamed("u", "cv"), F.col("v") == F.col("cv"))
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= _KCORE_K)
+            .select("u")
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        cur = nxt
+        if n_nxt == n_cur:
+            break
+        n_cur = n_nxt
+    else:
+        edges.unpersist()
+        raise RuntimeError("k-core peeling did not converge in 40 rounds")
+    out = (
+        edges.join(cur.withColumnRenamed("u", "cu"), F.col("u") == F.col("cu"))
+        .drop("cu")
+        .join(cur.withColumnRenamed("u", "cv"), F.col("v") == F.col("cv"))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("u").alias("part_key"), "core_degree")
+        .orderBy("part_key")
+        .localCheckpoint(eager=True)
+    )
+    edges.unpersist()
+    return out
+
+
+@register(
+    "q212_repeated_span_coverage",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks
+        FROM documents
+        WHERE len(string_split(trim(text), ' ')) >= 8
+    ),
+    g AS (
+        SELECT doc_id, len(toks) AS n, u.i AS pos,
+               array_to_string(toks[u.i:u.i + 7], ' ') AS gram
+        FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 6)) AS i) u
+    ),
+    dfreq AS (
+        SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ),
+    dup AS (
+        SELECT g.doc_id, g.n, g.pos, g.pos + 7 AS endp
+        FROM g JOIN dfreq USING (gram)
+    ),
+    isl AS (
+        SELECT doc_id, n, pos, endp,
+               CASE WHEN lag(endp) OVER w IS NULL
+                         OR pos > lag(endp) OVER w THEN 1 ELSE 0 END AS brk
+        FROM dup
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    ids AS (
+        SELECT doc_id, n, pos, endp,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS isl_id
+        FROM isl
+    ),
+    merged AS (
+        SELECT doc_id, n, isl_id,
+               max(endp) - min(pos) + 1 AS covered,
+               CAST(count(*) AS BIGINT) AS occs
+        FROM ids GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(occs) AS BIGINT) AS dup_occs,
+           CAST(sum(covered) AS BIGINT) AS covered_tokens,
+           round(sum(covered) / CAST(n AS DOUBLE), 4) AS coverage
+    FROM merged
+    GROUP BY doc_id, n
+    ORDER BY doc_id
+    """,
+)
+def q212_repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span localization (the exact-substring
+    dedup of Lee et al.'s "Deduplicating Training Data Makes Language
+    Models Better", re-expressed relationally): every 8-token window
+    appearing in >= 2 distinct documents is a duplicated span; per
+    document, overlapping span hits merge into maximal islands
+    (q116's interval-merge as a window, since fixed-length intervals
+    sorted by start need only lag(end)) and the report is the token
+    coverage a span-removal pass would delete. Complements q153
+    (whose shingle containment scores DOC pairs; this localizes the
+    OFFSETS) and q96 (whose boilerplate grams are within-source
+    frequency filters).
+
+    Scale: the gram fan-out is ~n rows per doc (linear, map-side
+    slice/hash in codegen); the df filter is one gram-keyed agg — at
+    100 TB the gram key becomes a 64-bit rolling hash (q51) and rare
+    grams can be df-capped exactly like q153; the island merge is a
+    per-doc window over ONLY the duplicated hits (~9%% of grams
+    here), never the corpus.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("toks")
+    )
+    t = d.where(F.size("toks") >= 8)
+    g = t.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.explode(F.sequence(F.lit(1), F.size("toks") - 7)).alias("pos"),
+        "toks",
+    ).select(
+        "doc_id",
+        "n",
+        "pos",
+        F.concat_ws(" ", F.slice("toks", F.col("pos"), 8)).alias("gram"),
+    )
+    dfreq = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("d"))
+        .where(F.col("d") >= 2)
+        .select("gram")
+    )
+    dup = g.join(dfreq, "gram").select(
+        "doc_id", "n", "pos", (F.col("pos") + 7).alias("endp")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup.withColumn(
+        "brk",
+        F.when(
+            F.lag("endp").over(w).isNull() | (F.col("pos") > F.lag("endp").over(w)), 1
+        ).otherwise(0),
+    )
+    ids = isl.withColumn(
+        "isl_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = ids.groupBy("doc_id", "n", "isl_id").agg(
+        (F.max("endp") - F.min("pos") + 1).alias("covered"),
+        F.count(F.lit(1)).alias("occs"),
+    )
+    return (
+        merged.groupBy("doc_id", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("occs").alias("dup_occs"),
+            F.sum("covered").alias("covered_tokens"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            "n_spans",
+            "dup_occs",
+            "covered_tokens",
+            F.round(F.col("covered_tokens") / F.col("n").cast("double"), 4).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("doc_id")
     )

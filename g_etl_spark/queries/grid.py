@@ -691,3 +691,91 @@ def q195_tile_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), "tx", "ty")
         .limit(20)
     )
+
+
+@register(
+    "q209_tile_kde_smoothing",
+    oracle=f"""
+    WITH pts AS (
+        SELECT CAST(floor(({LNG_SQL} + 180.0) / 360.0 * {_TILE_N}) AS BIGINT)
+                   AS tx,
+               CAST(floor((1.0 - ln(tan(radians({LAT_SQL}))
+                                    + 1.0 / cos(radians({LAT_SQL}))) / pi())
+                          / 2.0 * {_TILE_N}) AS BIGINT) AS ty
+        FROM events
+    ),
+    r AS (SELECT tx, ty, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY 1, 2),
+    o (dx, dy, w) AS (
+        VALUES (0, 0, 4), (1, 0, 2), (-1, 0, 2), (0, 1, 2), (0, -1, 2),
+               (1, 1, 1), (1, -1, 1), (-1, 1, 1), (-1, -1, 1)
+    ),
+    s AS (
+        SELECT r.tx + o.dx AS tx, r.ty + o.dy AS ty,
+               CAST(sum(r.n * o.w) AS BIGINT) AS smooth_16
+        FROM r CROSS JOIN o
+        GROUP BY 1, 2
+    )
+    SELECT s.tx, s.ty, COALESCE(r.n, 0) AS raw_n, s.smooth_16
+    FROM s LEFT JOIN r USING (tx, ty)
+    ORDER BY s.smooth_16 DESC, s.tx, s.ty
+    LIMIT 20
+    """,
+)
+def q209_tile_kde_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 kernel-density smoothing of the z12 tile heatmap (q195's
+    rollup) with the integer binomial kernel [[1,2,1],[2,4,2],[1,2,1]]
+    — the anti-aliasing pass a heatmap frontend applies so single-tile
+    spikes render as gradients; emitted in 16ths (smooth_16) so the
+    cross-engine compare is integer-exact, alongside the raw count
+    (0 for halo tiles that only receive spill). Top 20 smoothed tiles,
+    ties broken by (tx, ty).
+
+    Scale: the corpus collapses to the occupied-tile rollup first
+    (ONE combining agg); the kernel is then a 9-way offset explode of
+    that bounded relation + a second hash agg on the SHIFTED tile key
+    — the same neighbor-key-explode equi-join house pattern as q170's
+    adjacency fix, and the reason there is no theta-join anywhere.
+    The raw-count attach is a self equi-join on tile key. Kernel cost
+    is 9x|occupied tiles|, independent of corpus row count.
+    """
+    pts = _points(spark, sf_dir)
+    lat_r = F.radians(F.col("lat"))
+    tx = F.floor((F.col("lng") + 180.0) / 360.0 * _TILE_N).cast("long")
+    ty = F.floor(
+        (1.0 - F.log(F.tan(lat_r) + 1.0 / F.cos(lat_r)) / F.lit(3.141592653589793))
+        / 2.0
+        * _TILE_N
+    ).cast("long")
+    r = (
+        pts.select(tx.alias("tx"), ty.alias("ty"))
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    kernel = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(w).alias("w"))
+            for dx, dy, w in [
+                (0, 0, 4), (1, 0, 2), (-1, 0, 2), (0, 1, 2), (0, -1, 2),
+                (1, 1, 1), (1, -1, 1), (-1, 1, 1), (-1, -1, 1),
+            ]
+        ]
+    )
+    s = (
+        r.select("tx", "ty", "n", F.explode(kernel).alias("o"))
+        .groupBy(
+            (F.col("tx") + F.col("o.dx")).alias("sx"),
+            (F.col("ty") + F.col("o.dy")).alias("sy"),
+        )
+        .agg(F.sum(F.col("n") * F.col("o.w")).alias("smooth_16"))
+    )
+    return (
+        s.join(r, (F.col("sx") == F.col("tx")) & (F.col("sy") == F.col("ty")), "left")
+        .select(
+            F.col("sx").alias("tx"),
+            F.col("sy").alias("ty"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("raw_n"),
+            F.col("smooth_16").cast("long").alias("smooth_16"),
+        )
+        .orderBy(F.desc("smooth_16"), "tx", "ty")
+        .limit(20)
+    )

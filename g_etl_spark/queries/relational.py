@@ -3126,3 +3126,169 @@ def q194_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_error"),
         )
     )
+
+
+@register(
+    "q207_k_anonymity_audit",
+    oracle="""
+    WITH cls AS (
+        SELECT c_mktsegment, c_nationkey,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               CAST(count(*) AS BIGINT) AS class_size
+        FROM customer
+        GROUP BY 1, 2, 3
+    ),
+    n AS (SELECT CAST(sum(class_size) AS DOUBLE) AS n FROM cls)
+    SELECT class_size,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(class_size) AS BIGINT) AS n_rows,
+           CAST(class_size < 5 AS BOOLEAN) AS at_risk,
+           round(sum(class_size) / (SELECT n FROM n), 6) AS row_share
+    FROM cls
+    GROUP BY class_size
+    ORDER BY class_size
+    """,
+)
+def q207_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the
+    quasi-identifier (mktsegment, nationkey, acctbal/1000 band) —
+    the privacy gate a training-data pipeline runs before releasing
+    tabular records (companion to q46's PII redaction, which handles
+    free text): group rows into equivalence classes on the
+    quasi-identifier, histogram the class sizes, and flag the rows
+    living in classes smaller than k=5 — those are re-identifiable
+    and must be suppressed or generalized.
+
+    Scale: one hash groupBy to the class relation (bounded by the
+    quasi-identifier domain, not |rows|), then a second tiny agg on
+    class_size; the total-row scalar broadcasts back. At 100 TB the
+    class relation is the product of the generalized domains (here
+    5 x 25 x ~11) — the whole audit is two partial-agg exchanges.
+    """
+    c = load(spark, sf_dir, "customer")
+    cls = c.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    n = cls.agg(F.sum("class_size").cast("double").alias("n"))
+    return (
+        cls.groupBy("class_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("class_size").alias("n_rows"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "class_size",
+            "n_classes",
+            "n_rows",
+            (F.col("class_size") < 5).alias("at_risk"),
+            F.round(F.col("n_rows") / F.col("n"), 6).alias("row_share"),
+        )
+        .orderBy("class_size")
+    )
+
+
+@register(
+    "q211_conformal_intervals",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+        FROM events
+    ),
+    cal AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+    tst AS (SELECT * FROM ev WHERE event_id % 2 = 1),
+    m AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_t,
+               CAST(sum(vc) AS BIGINT) AS s
+        FROM cal GROUP BY 1
+    ),
+    resid AS (
+        SELECT c.event_type, m.n_t, m.s,
+               abs(m.n_t * c.vc - m.s) AS rs,
+               row_number() OVER (
+                   PARTITION BY c.event_type
+                   ORDER BY abs(m.n_t * c.vc - m.s), c.event_id
+               ) AS rk
+        FROM cal c JOIN m USING (event_type)
+    ),
+    q AS (
+        SELECT event_type, n_t, s, rs AS qhat
+        FROM resid
+        WHERE rk = CAST(ceil(0.9 * (n_t + 1)) AS BIGINT)
+    ),
+    cov AS (
+        SELECT t.event_type, CAST(count(*) AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN abs(q.n_t * t.vc - q.s) <= q.qhat
+                             THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        FROM tst t JOIN q USING (event_type) GROUP BY 1
+    )
+    SELECT q.event_type, q.n_t AS n_cal, cov.n_test,
+           round(q.qhat / (q.n_t * 100.0), 4) AS q_hat,
+           round(hits / CAST(cov.n_test AS DOUBLE), 6) AS coverage
+    FROM q JOIN cov USING (event_type)
+    ORDER BY q.event_type
+    """,
+)
+def q211_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction per event type (alpha=0.1): the
+    calibration half (even event_id) yields the ceil(0.9*(n+1))-th
+    smallest absolute residual around the calibration mean as the
+    distribution-free interval half-width q_hat; the test half
+    reports empirical coverage — the finite-sample-guaranteed
+    uncertainty band q178's calibration bins only diagnose.
+
+    Integer-exact trick: values quantize to cents, and the residual
+    compares |n_t·v − Σv| (both BIGINT) instead of |v − mean| — the
+    same scaled-integer rank arithmetic as q177's quantized AUC, so
+    the rank selection and the coverage comparison never touch float
+    summation order; q_hat converts to value units only for display.
+
+    Scale: one agg to per-type moments, one per-type window sort of
+    the CALIBRATION residuals for the rank statistic (the collapsed
+    relation is |cal| rows over |types| partitions; at 100 TB the
+    q160 log-histogram sketch replaces the sort, the q196/q197
+    precedent), and a map-side broadcast-join coverage count over the
+    test half.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("vc"),
+    )
+    cal = ev.where(F.col("event_id") % 2 == 0)
+    tst = ev.where(F.col("event_id") % 2 == 1)
+    m = cal.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_t"), F.sum("vc").alias("s")
+    )
+    rs = F.abs(F.col("n_t") * F.col("vc") - F.col("s"))
+    w = Window.partitionBy("event_type").orderBy(rs.asc(), F.col("event_id").asc())
+    resid = (
+        cal.join(F.broadcast(m), "event_type")
+        .withColumn("rs", rs)
+        .withColumn("rk", F.row_number().over(w))
+    )
+    q = resid.where(
+        F.col("rk") == F.ceil(0.9 * (F.col("n_t") + 1)).cast("long")
+    ).select("event_type", "n_t", "s", F.col("rs").alias("qhat"))
+    cov = (
+        tst.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "n_t", "s", "qhat")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("n_t") * F.col("vc") - F.col("s")) <= F.col("qhat"), 1
+                ).otherwise(0)
+            ).alias("hits"),
+        )
+    )
+    return cov.select(
+        "event_type",
+        F.col("n_t").alias("n_cal"),
+        "n_test",
+        F.round(F.col("qhat") / (F.col("n_t") * 100.0), 4).alias("q_hat"),
+        F.round(F.col("hits") / F.col("n_test").cast("double"), 6).alias("coverage"),
+    ).orderBy("event_type")

@@ -1132,3 +1132,103 @@ def q188_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return common.select(
         "n_common", F.round(F.col("n_common") / 10.0, 2).alias("recall_at_10")
     )
+
+
+# Deterministic closed-form factor init for q210: factor f of user u /
+# item i is an affine-hash point in [-0.5, 0.5), identical integer
+# arithmetic in both engines (no factor table to ship).
+_MF_D = 4
+_MF_P = "((({u}) * 2654435761 + ({f}) * 40503) % 1009 / 1009.0 - 0.5)"
+_MF_Q = "((({i}) * 104729 + ({f}) * 48611) % 1009 / 1009.0 - 0.5)"
+_MF_PRED = " + ".join(
+    _MF_P.format(u="r.u", f=f) + " * " + _MF_Q.format(i="r.i", f=f)
+    for f in range(_MF_D)
+)
+
+
+@register(
+    "q210_mf_gradient",
+    oracle=f"""
+    WITH r AS (
+        SELECT o.o_custkey AS u, l.l_partkey AS i,
+               CAST(sum(l.l_quantity) AS DOUBLE) AS r
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ),
+    e AS MATERIALIZED (
+        SELECT u, i, r - ({_MF_PRED}) AS err
+        FROM r r
+    ),
+    fs AS (SELECT unnest(range({_MF_D})) AS f),
+    gp AS (
+        SELECT e.u, fs.f,
+               sum(e.err * {_MF_Q.format(i="e.i", f="fs.f")}) AS s
+        FROM e CROSS JOIN fs GROUP BY 1, 2
+    ),
+    gq AS (
+        SELECT e.i, fs.f,
+               sum(e.err * {_MF_P.format(u="e.u", f="fs.f")}) AS s
+        FROM e CROSS JOIN fs GROUP BY 1, 2
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_ratings,
+           round((SELECT sum(err * err) / count(*) FROM e), 4) AS mse,
+           round(sqrt((SELECT sum(4 * s * s) FROM gp)), 4) AS grad_p_norm,
+           round(sqrt((SELECT sum(4 * s * s) FROM gq)), 4) AS grad_q_norm
+    """,
+)
+def q210_mf_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-batch matrix-factorization gradient (d=4 latent factors,
+    implicit rating = co-purchase quantity) at fixed deterministic
+    factors: err(u,i) = r − p_u·q_i, ∇p[u,f] = −2·Σ_i err·q[i,f],
+    ∇q[i,f] = −2·Σ_u err·p[u,f]; reports the MSE and both gradient
+    norms — one exact step of the ALS/SGD loop behind q175's
+    item-item CF and q202's negative sampling (together they are the
+    recommender training stack: sample → score → step).
+
+    The factor matrices are CLOSED-FORM affine hashes of (id, f) —
+    the parameter-server broadcast without shipping parameters: both
+    engines evaluate p_uf/q_if inline in whole-stage codegen, so the
+    only state is the rating relation itself (q134's frozen-weights
+    trick, applied to embeddings of BOTH join sides).
+
+    Scale: one groupBy to the rating relation, err map-side, then a
+    x4 factor-index fan-out into two partial-agg sums keyed (u,f) /
+    (i,f) — corpus-sized work, |users|x4 + |items|x4 exchange, the
+    q161/q158 parameter-server shape. Norms/MSE round at 4 (values
+    O(1e2-1e4); summation-order ulps orders below — q161's
+    justification).
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    r = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .agg(F.sum("l_quantity").cast("double").alias("r"))
+    )
+
+    def p_uf(u, f):
+        return ((u * F.lit(2654435761) + f * F.lit(40503)) % 1009) / 1009.0 - 0.5
+
+    def q_if(i, f):
+        return ((i * F.lit(104729) + f * F.lit(48611)) % 1009) / 1009.0 - 0.5
+
+    pred = None
+    for f in range(_MF_D):
+        term = p_uf(F.col("u"), F.lit(f)) * q_if(F.col("i"), F.lit(f))
+        pred = term if pred is None else pred + term
+    e = r.select("u", "i", (F.col("r") - pred).alias("err"))
+    fs = F.sequence(F.lit(0), F.lit(_MF_D - 1))
+    ef = e.select("u", "i", "err", F.explode(fs).alias("f"))
+    gp = ef.groupBy("u", "f").agg(
+        F.sum(F.col("err") * q_if(F.col("i"), F.col("f"))).alias("s")
+    )
+    gq = ef.groupBy("i", "f").agg(
+        F.sum(F.col("err") * p_uf(F.col("u"), F.col("f"))).alias("s")
+    )
+    stats = e.agg(
+        F.count(F.lit(1)).alias("n_ratings"),
+        F.round(F.sum(F.col("err") * F.col("err")) / F.count(F.lit(1)), 4).alias("mse"),
+    )
+    np_ = gp.agg(F.round(F.sqrt(F.sum(4 * F.col("s") * F.col("s"))), 4).alias("grad_p_norm"))
+    nq_ = gq.agg(F.round(F.sqrt(F.sum(4 * F.col("s") * F.col("s"))), 4).alias("grad_q_norm"))
+    return stats.crossJoin(F.broadcast(np_)).crossJoin(F.broadcast(nq_))

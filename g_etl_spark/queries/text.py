@@ -1976,3 +1976,80 @@ def q191_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+_CHUNK_C = 16  # chunk length (tokens)
+_CHUNK_S = 12  # stride (tokens); overlap = C - S
+
+
+@register(
+    "q208_chunk_overlap_manifest",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    c AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               CASE WHEN len(toks) <= {_CHUNK_C} THEN 1
+                    ELSE CAST(floor((len(toks) - {_CHUNK_C} + {_CHUNK_S} - 1)
+                                    / {_CHUNK_S}.0) AS BIGINT) + 1
+               END AS n_chunks
+        FROM t
+    ),
+    x AS (
+        SELECT doc_id, toks, n,
+               unnest(range(n_chunks)) AS chunk_idx
+        FROM c
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(chunk_idx * {_CHUNK_S} + 1 AS INT) AS start_tok,
+           CAST(len(toks[(chunk_idx * {_CHUNK_S} + 1)
+                         :(chunk_idx * {_CHUNK_S} + {_CHUNK_C})]) AS INT)
+               AS chunk_len,
+           md5(array_to_string(
+               toks[(chunk_idx * {_CHUNK_S} + 1)
+                    :(chunk_idx * {_CHUNK_S} + {_CHUNK_C})], ' '))
+               AS chunk_md5
+    FROM x
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q208_chunk_overlap_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking manifest (RAG / context-window prep):
+    split each document into 16-token chunks at stride 12 (4-token
+    overlap so no boundary sentence is lost),
+    emitting one manifest row per chunk with its 1-based start
+    offset, actual length (the tail chunk is shorter), and the md5
+    of the chunk text — the id a downstream embedding/dedup stage
+    keys on (q57 dedups such chunks; q129 packs them). Chunk count
+    per doc: 1 if n<=C else ceil((n-C)/S)+1, integer-exact in both
+    engines.
+
+    Scale: tokenize once (one split per doc), then a sequence+explode
+    fan-out of ~n/S rows per doc — linear in corpus tokens, entirely
+    JVM-side (split/slice/concat_ws/md5 in whole-stage codegen, no
+    UDF, no shuffle at all: the manifest is embarrassingly parallel
+    and the output sort is presentation-only). At 100 TB this is a
+    map-only stage writing partitioned manifest files.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("toks")
+    )
+    n = F.size("toks")
+    n_chunks = F.when(n <= _CHUNK_C, F.lit(1)).otherwise(
+        F.floor((n - _CHUNK_C + _CHUNK_S - 1) / F.lit(float(_CHUNK_S))) + 1
+    )
+    x = d.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks.cast("int") - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * _CHUNK_S + 1
+    chunk = F.slice("toks", start, _CHUNK_C)
+    return x.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("int").alias("start_tok"),
+        F.size(chunk).cast("int").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")

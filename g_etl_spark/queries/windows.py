@@ -2788,3 +2788,97 @@ def q201_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q206_holt_linear_forecast",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+               sum(o_totalprice) AS y
+        FROM orders GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT priority, y,
+               row_number() OVER (PARTITION BY priority ORDER BY d) AS i,
+               count(*) OVER (PARTITION BY priority) AS n
+        FROM daily
+    ),
+    hw AS (
+        SELECT priority, i, n, y AS l, CAST(0 AS DOUBLE) AS b,
+               CAST(0 AS DOUBLE) AS sse
+        FROM idx WHERE i = 1
+        UNION ALL
+        SELECT x.priority, x.i, x.n,
+               0.5 * x.y + 0.5 * (h.l + h.b),
+               0.3 * ((0.5 * x.y + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b,
+               h.sse + (x.y - (h.l + h.b)) * (x.y - (h.l + h.b))
+        FROM hw h JOIN idx x ON x.priority = h.priority AND x.i = h.i + 1
+    )
+    SELECT priority, CAST(n AS BIGINT) AS n_days,
+           round(l, 4) AS level, round(b, 4) AS trend,
+           round(l + 7 * b, 4) AS forecast_7d,
+           round(sse / (n - 1), 4) AS mse
+    FROM hw WHERE i = n
+    ORDER BY priority
+    """,
+)
+def q206_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, alpha=0.5,
+    beta=0.3) of daily revenue per order priority, with the 7-day-
+    ahead forecast and one-step-ahead MSE — the trend-aware upgrade
+    of q125's EWMA (level only) and the forecasting sibling of
+    q190's MASE backtest. Init l1=y1, b1=0; the recurrence is
+    inherently sequential, which is exactly why the implementation
+    shape matters.
+
+    Scale: the corpus collapses to the |priorities| x |days| daily
+    rollup in ONE combining agg; the sequential recurrence then runs
+    per group over a sort_array'd collected series inside a single
+    JVM higher-order F.aggregate — no UDF, no per-row Python, no
+    window over the corpus. The series array is |days| elements
+    (~2.4k here, bounded by calendar length not corpus size), the
+    same collapsed-relation contract as q176/q190. The oracle runs
+    the identical recurrence as a recursive CTE; both engines
+    evaluate the same IEEE expression tree in the same order, so
+    round(.,4) compares exactly.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(F.sum("o_totalprice").alias("y"))
+    series = daily.groupBy("priority").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "y"))), lambda s: s["y"]
+        ).alias("ys")
+    )
+    acc0 = F.struct(
+        F.element_at("ys", 1).alias("l"),
+        F.lit(0.0).alias("b"),
+        F.lit(0.0).alias("sse"),
+    )
+
+    def step(acc, y):
+        l_new = 0.5 * y + 0.5 * (acc["l"] + acc["b"])
+        return F.struct(
+            l_new.alias("l"),
+            (0.3 * (l_new - acc["l"]) + 0.7 * acc["b"]).alias("b"),
+            (acc["sse"] + (y - (acc["l"] + acc["b"])) * (y - (acc["l"] + acc["b"]))).alias(
+                "sse"
+            ),
+        )
+
+    fit = series.select(
+        "priority",
+        F.size("ys").alias("n_days"),
+        F.aggregate(F.slice("ys", 2, F.size("ys") - 1), acc0, step).alias("h"),
+    )
+    return fit.select(
+        "priority",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(F.col("h.l"), 4).alias("level"),
+        F.round(F.col("h.b"), 4).alias("trend"),
+        F.round(F.col("h.l") + 7 * F.col("h.b"), 4).alias("forecast_7d"),
+        F.round(F.col("h.sse") / (F.col("n_days") - 1), 4).alias("mse"),
+    ).orderBy("priority")

@@ -1305,3 +1305,244 @@ def test_q203_merge_equals_rebuild_and_dev_consistent(spark, qs):
     for r in rows:
         want = round((r["src_p50"] - r["global_p50"]) / r["global_p50"], 4)
         assert abs(r["p50_dev"] - want) < 1e-9
+
+
+def test_q204_mg_is_mapside_and_partitioning_invariant(spark, qs, tmp_path):
+    """Pass 1 must be a mapInPandas stage (no exchange before the
+    candidate union); the final answer must be the exact > n/1000 set
+    regardless of how the input rows are split across partitions."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    df = qs["q204_heavy_hitters_exact"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "MapInPandas" in plan
+    # the only nested-loop allowed is the 1-row total-count scalar
+    # attach (broadcast cross of an aggregate), the house pattern
+    import re as _re
+
+    nlj_nodes = _re.findall(r"^\(\d+\) \S*NestedLoopJoin", plan, _re.M)
+    assert len(nlj_nodes) <= 1 and "Cartesian" not in plan
+    base = {(r["o_custkey"], r["exact_count"]) for r in df.collect()}
+    # exact truth, computed the boring way
+    o = load(spark, SF_DIR, "orders")
+    n = o.count()
+    truth = {
+        (r["o_custkey"], r["c"])
+        for r in o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") * 1000 > n)
+        .collect()
+    }
+    assert base == truth
+    # re-split the same rows into a deliberately different layout
+    alt_dir = tmp_path / "alt"
+    o.repartition(7).write.parquet(str(alt_dir / "orders.parquet"))
+    alt = {
+        (r["o_custkey"], r["exact_count"])
+        for r in qs["q204_heavy_hitters_exact"](spark, str(alt_dir)).collect()
+    }
+    assert alt == truth
+
+
+def test_q205_kcore_members_meet_threshold(spark, qs):
+    """Every emitted member must have >= K neighbors INSIDE the core
+    (the defining closure property), and the peel must not plan any
+    nested-loop join."""
+    df = qs["q205_kcore_membership"](spark, SF_DIR)
+    rows = df.collect()
+    assert rows
+    assert min(r["core_degree"] for r in rows) >= 3
+    plan = plan_of(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_q206_holt_matches_pure_python_recurrence(spark, qs):
+    """The HOF-aggregate recurrence must equal an independent pure-
+    Python replay of Holt smoothing over the same daily series."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    out = {r["priority"]: r for r in qs["q206_holt_linear_forecast"](spark, SF_DIR).collect()}
+    daily = (
+        load(spark, SF_DIR, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("p"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(F.sum("o_totalprice").alias("y"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r["p"], []).append((r["d"], r["y"]))
+    for p, pts in series.items():
+        ys = [y for _, y in sorted(pts)]
+        l, b, sse = ys[0], 0.0, 0.0
+        for y in ys[1:]:
+            err = y - (l + b)
+            l_new = 0.5 * y + 0.5 * (l + b)
+            b = 0.3 * (l_new - l) + 0.7 * b
+            sse += err * err
+            l = l_new
+        r = out[p]
+        assert r["n_days"] == len(ys)
+        assert abs(r["level"] - round(l, 4)) < 1e-6
+        assert abs(r["trend"] - round(b, 4)) < 1e-6
+        assert abs(r["forecast_7d"] - round(l + 7 * b, 4)) < 1e-6
+        assert abs(r["mse"] - round(sse / (len(ys) - 1), 4)) < 1e-6
+
+
+def test_q208_chunk_manifest_covers_every_token_joinfree(spark, qs):
+    """Chunks must tile each doc: stride-12 starts, 16-token bodies,
+    a possibly-short tail that still reaches token n, never past it;
+    and the manifest plan must contain no join or aggregate at all."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    df = qs["q208_chunk_overlap_manifest"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Join" not in plan and "Aggregate" not in plan
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in load(spark, SF_DIR, "documents")
+        .select("doc_id", F.size(F.split(F.trim("text"), " ")).alias("n"))
+        .collect()
+    }
+    per_doc: dict[int, list] = {}
+    for r in df.collect():
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(per_doc) == set(n_toks)
+    for doc_id, chunks in per_doc.items():
+        n = n_toks[doc_id]
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c["start_tok"] == c["chunk_idx"] * 12 + 1
+            assert c["chunk_len"] == min(16, n - c["start_tok"] + 1)
+        last = chunks[-1]
+        assert last["start_tok"] + last["chunk_len"] - 1 == n  # reaches the end
+        if len(chunks) > 1:
+            assert last["start_tok"] <= n - 4  # tail begins inside the doc
+
+
+def test_q209_kernel_dominates_center_and_is_equijoin_only(spark, qs):
+    """Smoothed mass must include the center tile at weight 4
+    (smooth_16 >= 4*raw_n), ordering is by smoothed value, and the
+    kernel must be the offset-explode equi-join shape — never a
+    nested-loop neighborhood join."""
+    df = qs["q209_tile_kde_smoothing"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert rows
+    assert all(r["smooth_16"] >= 4 * r["raw_n"] for r in rows)
+    vals = [r["smooth_16"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_q210_mf_gradient_matches_numpy_replay(spark, qs):
+    """The closed-form-factor gradient must equal an independent
+    numpy replay of err = r - p_u.q_i and the two gradient norms."""
+    import math
+
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    row = qs["q210_mf_gradient"](spark, SF_DIR).collect()[0]
+    o = load(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    ratings = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .agg(F.sum("l_quantity").alias("r"))
+        .collect()
+    )
+
+    def p(u, f):
+        return ((u * 2654435761 + f * 40503) % 1009) / 1009.0 - 0.5
+
+    def q(i, f):
+        return ((i * 104729 + f * 48611) % 1009) / 1009.0 - 0.5
+
+    gp: dict = {}
+    gq: dict = {}
+    sse = 0.0
+    for rr in ratings:
+        u, i, r = rr["u"], rr["i"], float(rr["r"])
+        err = r - sum(p(u, f) * q(i, f) for f in range(4))
+        sse += err * err
+        for f in range(4):
+            gp[(u, f)] = gp.get((u, f), 0.0) + err * q(i, f)
+            gq[(i, f)] = gq.get((i, f), 0.0) + err * p(u, f)
+    n = len(ratings)
+    assert row["n_ratings"] == n
+    assert abs(row["mse"] - round(sse / n, 4)) < 1e-3
+    assert abs(row["grad_p_norm"] - round(math.sqrt(sum(4 * s * s for s in gp.values())), 4)) < 1e-2
+    assert abs(row["grad_q_norm"] - round(math.sqrt(sum(4 * s * s for s in gq.values())), 4)) < 1e-2
+
+
+def test_q211_conformal_coverage_near_nominal(spark, qs):
+    """Split conformal at alpha=0.1 must cover ~90% of the held-out
+    half (exchangeability guarantee, finite-sample noise allowed)
+    and q_hat must be a positive width."""
+    rows = qs["q211_conformal_intervals"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["q_hat"] > 0
+        assert 0.75 <= r["coverage"] <= 1.0
+    total = sum(r["n_test"] for r in rows)
+    hit = sum(r["coverage"] * r["n_test"] for r in rows)
+    assert hit / total >= 0.85  # pooled coverage tighter than per-type
+
+
+def test_q212_equals_pure_python_span_merge(spark, qs):
+    """Full independent replay: build the 8-gram -> docs map in
+    Python, merge duplicated-span intervals per doc, compare every
+    output row exactly."""
+    from g_etl_spark.tables import load
+
+    out = {r["doc_id"]: r for r in qs["q212_repeated_span_coverage"](spark, SF_DIR).collect()}
+    docs = {
+        r["doc_id"]: r["text"].strip().split(" ")
+        for r in load(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    }
+    gram_docs: dict = {}
+    for d, toks in docs.items():
+        for i in range(len(toks) - 7):
+            gram_docs.setdefault(" ".join(toks[i : i + 8]), set()).add(d)
+    expect = {}
+    for d, toks in docs.items():
+        hits = [
+            (i + 1, i + 8)
+            for i in range(len(toks) - 7)
+            if len(gram_docs[" ".join(toks[i : i + 8])]) >= 2
+        ]
+        if not hits:
+            continue
+        islands = []
+        for s, e in hits:  # hits already sorted by start
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+                islands[-1][2] += 1
+            else:
+                islands.append([s, e, 1])
+        covered = sum(e - s + 1 for s, e, _ in islands)
+        expect[d] = (
+            len(toks),
+            len(islands),
+            len(hits),
+            covered,
+            round(covered / len(toks), 4),
+        )
+    assert set(out) == set(expect)
+    for d, (n, spans, occs, covered, cov) in expect.items():
+        r = out[d]
+        assert (
+            r["n_tokens"],
+            r["n_spans"],
+            r["dup_occs"],
+            r["covered_tokens"],
+        ) == (n, spans, occs, covered)
+        assert abs(r["coverage"] - cov) < 1e-9
