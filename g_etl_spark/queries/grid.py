@@ -779,3 +779,152 @@ def q209_tile_kde_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("smooth_16"), "tx", "ty")
         .limit(20)
     )
+
+
+_DB_EPS = 0.1   # degrees; bucket size == eps so 3x3 buckets cover it
+_DB_MINPTS = 4  # neighbors within eps (self excluded)
+
+
+@register(
+    "q214_dbscan_core_points",
+    oracle=f"""
+    WITH pts AS MATERIALIZED (
+        SELECT event_id, {LAT_SQL} AS lat, {LNG_SQL} AS lng,
+               CAST(floor({LAT_SQL} / {_DB_EPS}) AS BIGINT) AS bx,
+               CAST(floor({LNG_SQL} / {_DB_EPS}) AS BIGINT) AS by
+        FROM events
+    ),
+    o (dx, dy) AS (
+        VALUES (0, 0), (1, 0), (-1, 0), (0, 1), (0, -1),
+               (1, 1), (1, -1), (-1, 1), (-1, -1)
+    ),
+    nbr AS MATERIALIZED (
+        SELECT a.event_id AS ea, b.event_id AS eb
+        FROM (SELECT p.event_id, p.lat, p.lng, p.bx + o.dx AS nbx,
+                     p.by + o.dy AS nby
+              FROM pts p CROSS JOIN o) a
+        JOIN pts b ON a.nbx = b.bx AND a.nby = b.by
+        WHERE a.event_id != b.event_id
+          AND (a.lat - b.lat) * (a.lat - b.lat)
+              + (a.lng - b.lng) * (a.lng - b.lng) <= {_DB_EPS} * {_DB_EPS}
+    ),
+    cnt AS MATERIALIZED (
+        SELECT p.event_id,
+               (SELECT count(*) FROM nbr WHERE nbr.ea = p.event_id) AS deg
+        FROM pts p
+    ),
+    core AS MATERIALIZED (
+        SELECT event_id FROM cnt WHERE deg >= {_DB_MINPTS}
+    ),
+    cls AS (
+        SELECT c.event_id, c.deg,
+               CASE WHEN c.deg >= {_DB_MINPTS} THEN 'core'
+                    WHEN EXISTS (SELECT 1 FROM nbr JOIN core
+                                 ON nbr.eb = core.event_id
+                                 WHERE nbr.ea = c.event_id) THEN 'border'
+                    ELSE 'noise' END AS cls
+        FROM cnt c
+    )
+    SELECT cls AS class, CAST(count(*) AS BIGINT) AS n_points,
+           round(avg(CAST(deg AS DOUBLE)), 4) AS avg_neighbors
+    FROM cls GROUP BY cls ORDER BY cls
+    """,
+)
+def q214_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN point classification (eps=0.1 deg, minPts=4) over the
+    event point cloud: core (>= minPts neighbors within eps), border
+    (non-core with a core neighbor), noise — the density labeling
+    step of the cluster algorithm (the full cluster merge is q170's
+    connected components over core-core edges; this query is the
+    expensive neighborhood phase that feeds it).
+
+    Exact, not approximate: bucket size == eps, so every eps-ball
+    lies inside the 3x3 neighbor buckets; the bucket join is a
+    candidate PRUNE and the squared-distance refine keeps exactness
+    (same two-phase contract as the geometry exact-refine J4). No
+    sqrt — both engines compare dx^2+dy^2 against eps^2 on
+    identically-derived doubles.
+
+    Scale: the neighbor join is the neighbor-key-explode equi-join
+    house pattern (9x fan-out on the probe side, hash join on the
+    bucket key — never a theta join); cost is sum of per-bucket
+    products, bounded by density x points, and skewed hot buckets
+    split under AQE exactly like q105. Degree count and the
+    core-neighbor semi-join are two more bucket-local aggs. At 100TB
+    this is THE standard spatial-density plan (the reference's grid
+    index applied to clustering).
+    """
+    pts = (
+        _points(spark, sf_dir)
+        .select(
+            "event_id",
+            "lat",
+            "lng",
+            F.floor(F.col("lat") / _DB_EPS).alias("bx"),
+            F.floor(F.col("lng") / _DB_EPS).alias("by"),
+        )
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in [
+                (0, 0), (1, 0), (-1, 0), (0, 1), (0, -1),
+                (1, 1), (1, -1), (-1, 1), (-1, -1),
+            ]
+        ]
+    )
+    probe = pts.select(
+        F.col("event_id").alias("ea"),
+        F.col("lat").alias("la"),
+        F.col("lng").alias("na"),
+        F.explode(offs).alias("o"),
+        (F.col("bx") + F.col("o.dx")).alias("nbx"),
+        (F.col("by") + F.col("o.dy")).alias("nby"),
+    )
+    build = pts.select(
+        F.col("event_id").alias("eb"),
+        F.col("lat").alias("lb"),
+        F.col("lng").alias("nb"),
+        F.col("bx").alias("nbx"),
+        F.col("by").alias("nby"),
+    )
+    dd = (F.col("la") - F.col("lb")) * (F.col("la") - F.col("lb")) + (
+        F.col("na") - F.col("nb")
+    ) * (F.col("na") - F.col("nb"))
+    nbr = (
+        probe.join(build, ["nbx", "nby"])
+        .where((F.col("ea") != F.col("eb")) & (dd <= _DB_EPS * _DB_EPS))
+        .select("ea", "eb")
+        .persist()
+    )
+    deg = nbr.groupBy("ea").agg(F.count(F.lit(1)).alias("deg"))
+    cnt = pts.select(F.col("event_id").alias("ea")).join(deg, "ea", "left").select(
+        "ea", F.coalesce("deg", F.lit(0)).alias("deg")
+    )
+    core = cnt.where(F.col("deg") >= _DB_MINPTS).select(F.col("ea").alias("core_id"))
+    has_core_nbr = (
+        nbr.join(core, nbr["eb"] == core["core_id"], "left_semi")
+        .select("ea")
+        .distinct()
+    )
+    cls = (
+        cnt.join(has_core_nbr.withColumn("hc", F.lit(1)), "ea", "left")
+        .select(
+            "deg",
+            F.when(F.col("deg") >= _DB_MINPTS, "core")
+            .when(F.col("hc") == 1, "border")
+            .otherwise("noise")
+            .alias("class"),
+        )
+    )
+    out = (
+        cls.groupBy("class")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.avg(F.col("deg").cast("double")), 4).alias("avg_neighbors"),
+        )
+        .orderBy("class")
+        .localCheckpoint(eager=True)
+    )
+    nbr.unpersist()
+    return out

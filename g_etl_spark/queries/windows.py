@@ -2882,3 +2882,419 @@ def q206_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("h.l") + 7 * F.col("h.b"), 4).alias("forecast_7d"),
         F.round(F.col("h.sse") / (F.col("n_days") - 1), 4).alias("mse"),
     ).orderBy("priority")
+
+
+@register(
+    "q213_session_window_rollup",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gaps
+    ),
+    per AS (
+        SELECT user_id, sid,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS dur_s
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT CAST(floor(dur_s / 600.0) AS BIGINT) AS dur_bucket,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           round(avg(CAST(n_events AS DOUBLE)), 4) AS avg_events
+    FROM per
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q213_session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session statistics via Spark's NATIVE session_window operator
+    (dynamic-gap session windows, 30-min gap): per-session event
+    count and duration, rolled up into 10-minute duration buckets —
+    the built-in the hand-rolled gaps-and-islands q28 predates, and
+    the exact operator a streaming sessionization (q139) runs under
+    watermarks. Boundary semantics pinned: session_window merges an
+    event iff it lands strictly inside [start, last+gap), so a gap
+    of EXACTLY 30 minutes starts a new session — the oracle's
+    `>= INTERVAL 30 MINUTE` break mirrors that (q28's batch rule is
+    the strict `>`, one more reason the two queries coexist).
+
+    Scale: session_window is a single user-keyed Exchange + sort
+    (SessionWindowStateStore in streaming; MergingSessionsExec in
+    batch) — the same one-shuffle contract as q28, but executed by
+    the engine's dedicated operator instead of two window passes;
+    the duration histogram is a second agg on the collapsed
+    |sessions| relation.
+    """
+    e = load(spark, sf_dir, "events")
+    per = e.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("dur_s"),
+    )
+    return (
+        per.groupBy(F.floor(F.col("dur_s") / 600.0).alias("dur_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.round(F.avg(F.col("n_events").cast("double")), 4).alias("avg_events"),
+        )
+        .orderBy("dur_bucket")
+    )
+
+
+@register(
+    "q215_markov_steady_state",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gaps
+    ),
+    pairs AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id, sid
+                                      ORDER BY ts, event_id) AS dst
+        FROM sess
+    ),
+    t AS MATERIALIZED (
+        SELECT src, dst, CAST(count(*) AS DOUBLE) AS c
+        FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2
+    ),
+    p AS MATERIALIZED (
+        SELECT src, dst, c / sum(c) OVER (PARTITION BY src) AS p FROM t
+    ),
+    states AS MATERIALIZED (SELECT DISTINCT src AS s FROM t),
+    pi0 AS MATERIALIZED (
+        SELECT s, 1.0 / (SELECT count(*) FROM states) AS v FROM states
+    ),
+    """
+    + ",\n    ".join(
+        f"pi{i} AS MATERIALIZED (SELECT p.dst AS s, sum(pi{i - 1}.v * p.p) AS v "
+        f"FROM pi{i - 1} JOIN p ON p.src = pi{i - 1}.s GROUP BY p.dst)"
+        for i in range(1, 21)
+    )
+    + """
+    SELECT s AS event_type, round(v, 6) AS steady_prob
+    FROM pi20 ORDER BY s
+    """,
+)
+def q215_markov_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the within-session event-type
+    Markov chain (q127's transition matrix, iterated): 20 power
+    iterations pi <- pi.P from the uniform start — the long-run
+    occupancy a journey model predicts, and the convergence target
+    q185's one-step backtest scores against.
+
+    Scale: the ONLY corpus-sized work is q127's transition-count agg
+    (one user-keyed exchange, |types|^2-bounded output). The chain
+    itself is a |types|x|types| matrix — bounded state, so the 20
+    matvecs run on the driver over the collected <=49-cell matrix
+    (the q158 bounded-collect precedent: parameter-server shape,
+    collect is |types|^2 not corpus) and the result re-enters Spark
+    as a createDataFrame. The oracle unrolls the same 20 iterations
+    as MATERIALIZED chained CTEs. Probabilities round at 6 (both
+    engines run the same recurrence; summation-order ulps ~1e-15).
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = e.withColumn(
+        "brk",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    ).withColumn("sid", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    pairs = sess.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id", "sid").orderBy("ts", "event_id"))
+        .alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    t = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .collect()
+    )  # bounded: |types|^2 cells
+    rows_out = _markov_power_iterate(t, rounds=20)
+    return spark.createDataFrame(
+        rows_out, "event_type string, steady_prob double"
+    ).orderBy("event_type")
+
+
+def _markov_power_iterate(cells, rounds: int):
+    """Driver-side matvec loop over the bounded transition matrix,
+    mirroring the oracle's chained CTEs exactly (same float ops)."""
+    from collections import defaultdict
+
+    row_tot: dict[str, float] = defaultdict(float)
+    for r in cells:
+        row_tot[r["src"]] += r["c"]
+    p = [(r["src"], r["dst"], r["c"] / row_tot[r["src"]]) for r in cells]
+    states = sorted(row_tot)
+    pi = {s: 1.0 / len(states) for s in states}
+    for _ in range(rounds):
+        nxt: dict[str, float] = defaultdict(float)
+        for src, dst, prob in p:
+            if src in pi:
+                nxt[dst] += pi[src] * prob
+        pi = dict(nxt)
+    return [(s, round(v, 6)) for s, v in sorted(pi.items())]
+
+
+@register(
+    "q217_watermark_lateness_audit",
+    oracle="""
+    WITH arr AS (
+        SELECT event_type, event_id, ts,
+               max(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS hwm
+        FROM events
+    ),
+    lat AS (
+        SELECT event_type,
+               CASE WHEN hwm IS NULL THEN 0
+                    ELSE greatest(CAST(date_diff('second', ts, hwm) AS BIGINT), 0)
+               END AS late_s
+        FROM arr
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN late_s > 600 THEN 1 ELSE 0 END) AS BIGINT)
+               AS late_10m,
+           CAST(sum(CASE WHEN late_s > 3600 THEN 1 ELSE 0 END) AS BIGINT)
+               AS late_60m,
+           CAST(max(late_s) AS BIGINT) AS max_late_s,
+           round(sum(CASE WHEN late_s > 600 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS frac_late_10m
+    FROM lat
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q217_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing audit: replaying events in arrival order
+    (event_id as the arrival proxy), how late is each event behind
+    the running event-time high-water mark, and what fraction would
+    a 10-minute / 60-minute watermark drop? This is the batch
+    dry-run a team does BEFORE picking the withWatermark bound for
+    the streaming pipelines (q91-q93, q139, q171) — drop rates at
+    candidate bounds, per event type.
+
+    Scale: one type-keyed window in arrival order computes the
+    running max (the high-water mark is exactly what the streaming
+    engine tracks per partition); the lateness histogram collapses
+    in the same exchange's aggregation. |types| partitions bound the
+    sort; at 100 TB arrival order is the ingest file order, so the
+    window runs per ingest shard — the same per-partition monotonic
+    scan the real watermark operator does.
+    """
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    arr = e.withColumn("hwm", F.max("ts").over(w))
+    late = arr.select(
+        "event_type",
+        F.when(F.col("hwm").isNull(), F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.unix_timestamp("hwm") - F.unix_timestamp("ts"), F.lit(0)
+            )
+        )
+        .alias("late_s"),
+    )
+    return (
+        late.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("late_s") > 600, 1).otherwise(0)).alias("late_10m"),
+            F.sum(F.when(F.col("late_s") > 3600, 1).otherwise(0)).alias("late_60m"),
+            F.max("late_s").alias("max_late_s"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "late_10m",
+            "late_60m",
+            "max_late_s",
+            F.round(F.col("late_10m") / F.col("n_events").cast("double"), 6).alias(
+                "frac_late_10m"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q216_huber_irls_step",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS priority,
+               CAST(o_orderdate AS DATE) AS d, sum(o_totalprice) AS y
+        FROM orders GROUP BY 1, 2
+    ),
+    xy AS (
+        SELECT priority,
+               CAST(date_diff('day', min(d) OVER (PARTITION BY priority), d)
+                    AS DOUBLE) AS x,
+               y
+        FROM daily
+    ),
+    ols AS MATERIALIZED (
+        SELECT priority, count(*) AS n,
+               (sum(x * y) - sum(x) * sum(y) / count(*))
+               / (sum(x * x) - sum(x) * sum(x) / count(*)) AS b0,
+               sum(y) / count(*)
+               - (sum(x * y) - sum(x) * sum(y) / count(*))
+                 / (sum(x * x) - sum(x) * sum(x) / count(*))
+                 * (sum(x) / count(*)) AS a0
+        FROM xy GROUP BY priority
+    ),
+    res AS MATERIALIZED (
+        SELECT xy.priority, xy.x, xy.y, ols.n, ols.a0, ols.b0,
+               abs(xy.y - (ols.a0 + ols.b0 * xy.x)) AS ar
+        FROM xy JOIN ols USING (priority)
+    ),
+    sc AS MATERIALIZED (
+        SELECT priority, 1.345 * (sum(ar) / count(*)) AS delta FROM res GROUP BY 1
+    ),
+    wtd AS (
+        SELECT r.priority, r.x, r.y, r.n, r.a0, r.b0,
+               CASE WHEN r.ar <= sc.delta OR r.ar = 0 THEN 1.0
+                    ELSE sc.delta / r.ar END AS w
+        FROM res r JOIN sc USING (priority)
+    )
+    SELECT priority, CAST(max(n) AS BIGINT) AS n_days,
+           round(max(a0), 2) AS a_ols, round(max(b0), 6) AS b_ols,
+           round((sum(w * y)
+                  - ((sum(w * x * y) - (sum(w * x) * sum(w * y)) / sum(w))
+                     / (sum(w * x * x) - (sum(w * x) * sum(w * x)) / sum(w)))
+                    * sum(w * x))
+                 / sum(w), 2) AS a_huber,
+           round((sum(w * x * y) - (sum(w * x) * sum(w * y)) / sum(w))
+                 / (sum(w * x * x) - (sum(w * x) * sum(w * x)) / sum(w)), 6)
+               AS b_huber,
+           round(sum(CASE WHEN w < 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS frac_downweighted
+    FROM wtd
+    GROUP BY priority
+    ORDER BY priority
+    """,
+)
+def q216_huber_irls_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (Huber) trend fit of daily revenue per priority: OLS
+    closed-form fit, mean-absolute-residual scale, Huber weights
+    w = min(1, 1.345*scale/|r|), then ONE weighted-least-squares
+    refit — the first IRLS iteration, which is where nearly all of
+    the robustness arrives (q166's Theil–Sen is the rank-based
+    sibling; this is the weighting-based one that generalizes to
+    multiple regressors). Reports both fits and the downweighted
+    fraction.
+
+    Everything is closed-form moment arithmetic: both fits derive
+    from Σw, Σwx, Σwy, Σwxy, Σwx² — summable, mergeable,
+    map-side-combinable. Note a_huber's weighted intercept
+    (Σwy − b·Σwx)/Σw is expanded in the same literal form in both
+    engines so the IEEE expression trees match; coefficients round
+    at 6 (slopes, magnitude ≲1e1) / 2 (intercepts, magnitude ~1e6 —
+    summation ulps ~1e-4, three orders under the rounding grain).
+
+    Scale: the corpus collapses to the |priorities|x|days| daily
+    rollup in one agg; the three subsequent passes (OLS moments,
+    scale, weighted moments) all run on that calendar-bounded
+    relation. No windows except the per-priority min(d), which
+    shares the rollup's partition key.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(F.sum("o_totalprice").alias("y"))
+    wmin = Window.partitionBy("priority")
+    xy = daily.select(
+        "priority",
+        F.datediff("d", F.min("d").over(wmin)).cast("double").alias("x"),
+        "y",
+    )
+    ols = xy.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    b0 = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    ols = ols.select(
+        "priority",
+        "n",
+        b0.alias("b0"),
+        (F.col("sy") / F.col("n") - b0 * (F.col("sx") / F.col("n"))).alias("a0"),
+    )
+    res = xy.join(F.broadcast(ols), "priority").withColumn(
+        "ar", F.abs(F.col("y") - (F.col("a0") + F.col("b0") * F.col("x")))
+    )
+    sc = res.groupBy("priority").agg(
+        (1.345 * (F.sum("ar") / F.count(F.lit(1)))).alias("delta")
+    )
+    wtd = res.join(F.broadcast(sc), "priority").withColumn(
+        "w",
+        F.when((F.col("ar") <= F.col("delta")) | (F.col("ar") == 0), 1.0).otherwise(
+            F.col("delta") / F.col("ar")
+        ),
+    )
+    agg = wtd.groupBy("priority").agg(
+        F.max("n").alias("n_days"),
+        F.max("a0").alias("a0"),
+        F.max("b0").alias("b0"),
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("x")).alias("swx"),
+        F.sum(F.col("w") * F.col("y")).alias("swy"),
+        F.sum(F.col("w") * F.col("x") * F.col("y")).alias("swxy"),
+        F.sum(F.col("w") * F.col("x") * F.col("x")).alias("swxx"),
+        F.sum(F.when(F.col("w") < 1, 1).otherwise(0)).alias("ndown"),
+        F.count(F.lit(1)).alias("nrows"),
+    )
+    b1 = (F.col("swxy") - (F.col("swx") * F.col("swy")) / F.col("sw")) / (
+        F.col("swxx") - (F.col("swx") * F.col("swx")) / F.col("sw")
+    )
+    a1 = (F.col("swy") - b1 * F.col("swx")) / F.col("sw")
+    return agg.select(
+        "priority",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round("a0", 2).alias("a_ols"),
+        F.round("b0", 6).alias("b_ols"),
+        F.round(a1, 2).alias("a_huber"),
+        F.round(b1, 6).alias("b_huber"),
+        F.round(F.col("ndown") / F.col("nrows").cast("double"), 4).alias(
+            "frac_downweighted"
+        ),
+    ).orderBy("priority")

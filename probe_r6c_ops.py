@@ -380,6 +380,134 @@ def main() -> None:
 
     timed("q211_conformal_sec", conformal)
 
+    # ---- q213: native session_window at x100 ----------------------
+    big_u = (
+        e.crossJoin(reps)
+        .withColumn("user_id", F.col("user_id") + F.col("rep") * 10_000)
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * 1_000_000)
+        .drop("rep")
+    )
+
+    def session_window():
+        per = big_u.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("dur_s"),
+        )
+        return per.groupBy(F.floor(F.col("dur_s") / 600.0).alias("b")).count().count()
+
+    timed("q213_session_window_sec", session_window)
+
+    # ---- q214: DBSCAN neighborhood at x10 density ------------------
+    # density scales the per-bucket product QUADRATICALLY (both join
+    # sides grow), so the density axis is probed at x10, not x100
+    db = (
+        e.crossJoin(spark.range(10).select(F.col("id").alias("rep")))
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * 1_000_000)
+        .drop("rep")
+    )
+
+    def dbscan():
+        lat = F.lit(55.0) + ((F.col("event_id") * 7919) % 1000) * F.lit(0.01)
+        lng = F.lit(11.0) + ((F.col("event_id") * 104729) % 1200) * F.lit(0.01)
+        pts = db.select(
+            "event_id", lat.alias("lat"), lng.alias("lng"),
+            F.floor(lat / 0.1).alias("bx"), F.floor(lng / 0.1).alias("by"),
+        )
+        offs = F.array(
+            *[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx, dy in [
+                    (0, 0), (1, 0), (-1, 0), (0, 1), (0, -1),
+                    (1, 1), (1, -1), (-1, 1), (-1, -1),
+                ]
+            ]
+        )
+        probe = pts.select(
+            F.col("event_id").alias("ea"), F.col("lat").alias("la"),
+            F.col("lng").alias("na"), F.explode(offs).alias("o"),
+            (F.col("bx") + F.col("o.dx")).alias("nbx"),
+            (F.col("by") + F.col("o.dy")).alias("nby"),
+        )
+        build = pts.select(
+            F.col("event_id").alias("eb"), F.col("lat").alias("lb"),
+            F.col("lng").alias("nb"), F.col("bx").alias("nbx"),
+            F.col("by").alias("nby"),
+        )
+        dd2 = (F.col("la") - F.col("lb")) * (F.col("la") - F.col("lb")) + (
+            F.col("na") - F.col("nb")
+        ) * (F.col("na") - F.col("nb"))
+        nbr = (
+            probe.join(build, ["nbx", "nby"])
+            .where((F.col("ea") != F.col("eb")) & (dd2 <= 0.01))
+            .select("ea", "eb")
+        )
+        deg = nbr.groupBy("ea").agg(F.count(F.lit(1)).alias("deg"))
+        return deg.where(F.col("deg") >= 4).count()
+
+    timed("q214_dbscan_x10_sec", dbscan)
+
+    # ---- q215 / q216 / q217: collapsed-relation families at x100 --
+    def steady():
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        sess = big_u.withColumn(
+            "brk",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+                1,
+            ).otherwise(0),
+        ).withColumn("sid", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        pairs = sess.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type")
+            .over(Window.partitionBy("user_id", "sid").orderBy("ts", "event_id"))
+            .alias("dst"),
+        ).where(F.col("dst").isNotNull())
+        return len(pairs.groupBy("src", "dst").count().collect())
+
+    timed("q215_transition_agg_sec", steady)
+
+    def huber():
+        daily = big_ord.groupBy(
+            F.col("o_orderpriority").alias("p"), F.col("o_orderdate").cast("date").alias("d")
+        ).agg(F.sum("o_totalprice").alias("y"))
+        wmin = Window.partitionBy("p")
+        xy = daily.select(
+            "p", F.datediff("d", F.min("d").over(wmin)).cast("double").alias("x"), "y"
+        )
+        m = xy.groupBy("p").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        return m.count()
+
+    timed("q216_huber_moments_sec", huber)
+
+    def lateness():
+        w = (
+            Window.partitionBy("event_type").orderBy("event_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        arr = big_e.withColumn("hwm", F.max("ts").over(w))
+        return (
+            arr.select(
+                "event_type",
+                F.when(F.col("hwm").isNull(), 0)
+                .otherwise(F.greatest(F.unix_timestamp("hwm") - F.unix_timestamp("ts"), F.lit(0)))
+                .alias("late_s"),
+            )
+            .groupBy("event_type")
+            .agg(F.sum(F.when(F.col("late_s") > 600, 1).otherwise(0)).alias("l10"))
+            .count()
+        )
+
+    timed("q217_lateness_sec", lateness)
+
     print(json.dumps(out))
 
 
