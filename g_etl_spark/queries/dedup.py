@@ -2394,3 +2394,180 @@ def q212_repeated_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_RECSYS_SPLIT = "1999-01-01"  # temporal holdout boundary
+_RECSYS_K = 4
+_RECSYS_M = 50  # neighborhood truncation: top co-items kept per item
+
+
+@register(
+    "q218_recsys_backtest",
+    oracle=f"""
+    WITH oi AS (
+        SELECT o.o_custkey AS u, l.l_partkey AS i, o.o_orderkey AS ok,
+               o.o_orderdate < DATE '{_RECSYS_SPLIT}' AS is_train
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    tr_items AS MATERIALIZED (
+        SELECT DISTINCT ok, i FROM oi WHERE is_train
+    ),
+    cooc_full AS (
+        SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS c
+        FROM tr_items a JOIN tr_items b ON a.ok = b.ok AND a.i != b.i
+        GROUP BY 1, 2
+    ),
+    cooc AS MATERIALIZED (
+        -- production item-CF truncates neighborhoods: keep each
+        -- item's top-50 co-items so the serving fan-out is bounded
+        -- by history x M, not history x co-degree
+        SELECT i, j, c FROM (
+            SELECT i, j, c,
+                   row_number() OVER (PARTITION BY i ORDER BY c DESC, j) AS nrk
+            FROM cooc_full
+        ) WHERE nrk <= 50
+    ),
+    tr_ui AS MATERIALIZED (
+        SELECT DISTINCT u, i FROM oi WHERE is_train
+    ),
+    scores AS (
+        SELECT t.u, c.j, sum(c.c) AS s
+        FROM tr_ui t JOIN cooc c ON c.i = t.i
+        WHERE NOT EXISTS (SELECT 1 FROM tr_ui o WHERE o.u = t.u AND o.i = c.j)
+        GROUP BY t.u, c.j
+    ),
+    recs AS MATERIALIZED (
+        SELECT u, j, row_number() OVER (PARTITION BY u ORDER BY s DESC, j) AS rk
+        FROM scores
+        QUALIFY rk <= {_RECSYS_K}
+    ),
+    te_ui AS MATERIALIZED (
+        SELECT DISTINCT u, i FROM oi
+        WHERE NOT is_train AND u IN (SELECT u FROM tr_ui)
+    ),
+    hits AS MATERIALIZED (
+        SELECT t.u, r.rk FROM te_ui t JOIN recs r ON r.u = t.u AND r.j = t.i
+    ),
+    per_user AS (
+        SELECT t.u, min(h.rk) AS first_hit
+        FROM (SELECT DISTINCT u FROM te_ui) t
+        LEFT JOIN hits h ON h.u = t.u
+        GROUP BY t.u
+    )
+    SELECT CAST((SELECT count(*) FROM per_user) AS BIGINT) AS n_users,
+           CAST((SELECT count(*) FROM te_ui) AS BIGINT) AS n_test_pairs,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+           round((SELECT count(*) FROM hits)
+                 / CAST((SELECT count(*) FROM te_ui) AS DOUBLE), 6) AS hit_rate,
+           round((SELECT sum(CASE WHEN first_hit IS NULL THEN 0.0
+                                  ELSE 1.0 / first_hit END) FROM per_user)
+                 / (SELECT count(*) FROM per_user), 6) AS mrr
+    """,
+)
+def q218_recsys_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-holdout backtest of the item-item co-purchase
+    recommender (q175's model, q202's training pairs): train
+    co-occurrence on orders before 1999-01-01, recommend each
+    historical user their top-4 unowned items by summed co-purchase
+    count (ties by item id), score hit-rate@4 and MRR against the
+    user's actual post-split purchases — the end-to-end eval loop
+    that turns the CF family into a measured system (the q192/q199
+    pattern, applied to recommendation instead of dedup).
+
+    Scale: co-occurrence is the order-bounded pair self-join (q101's
+    bound: Sigma per-order |items|^2, never |items|^2 global);
+    scoring fans out train(u,i) x cooc(i,j) — bounded by user
+    history x item co-degree, the standard item-CF serving join; the
+    anti-join removes owned items before the top-k window
+    (per-user partitions, WindowGroupLimit pushes rank<=4 down).
+    Metrics collapse to one row.
+    """
+    split = F.lit(_RECSYS_SPLIT).cast("date")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", (F.col("o_orderdate").cast("date") < split).alias("is_train")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    oi = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("u"),
+        F.col("l_partkey").alias("i"),
+        F.col("o_orderkey").alias("ok"),
+        "is_train",
+    )
+    tr_items = oi.where("is_train").select("ok", "i").distinct()
+    a, b = tr_items.alias("a"), tr_items.alias("b")
+    cooc_full = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.i") != F.col("b.i")))
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wn = Window.partitionBy("i").orderBy(F.desc("c"), F.col("j"))
+    cooc = (
+        cooc_full.withColumn("nrk", F.row_number().over(wn))
+        .where(F.col("nrk") <= _RECSYS_M)
+        .drop("nrk")
+    )
+    tr_ui = oi.where("is_train").select("u", "i").distinct().persist()
+    scores = (
+        tr_ui.join(cooc, "i")
+        .join(
+            tr_ui.select(F.col("u").alias("u2"), F.col("i").alias("j2")),
+            (F.col("u") == F.col("u2")) & (F.col("j") == F.col("j2")),
+            "left_anti",
+        )
+        .groupBy("u", "j")
+        .agg(F.sum("c").alias("s"))
+    )
+    wk = Window.partitionBy("u").orderBy(F.desc("s"), F.col("j"))
+    recs = (
+        scores.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= _RECSYS_K)
+        .select("u", "j", "rk")
+    )
+    te_ui = (
+        oi.where(~F.col("is_train"))
+        .join(tr_ui.select("u").distinct(), "u", "left_semi")
+        .select("u", "i")
+        .distinct()
+        .persist()
+    )
+    hits = te_ui.join(
+        recs, (te_ui["u"] == recs["u"]) & (te_ui["i"] == recs["j"])
+    ).select(te_ui["u"].alias("hu"), "rk")
+    per_user = (
+        te_ui.select("u")
+        .distinct()
+        .join(hits.groupBy("hu").agg(F.min("rk").alias("first_hit")),
+              F.col("u") == F.col("hu"), "left")
+        .select("u", "first_hit")
+    )
+    m_users = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(
+            F.sum(
+                F.when(F.col("first_hit").isNull(), 0.0).otherwise(
+                    1.0 / F.col("first_hit")
+                )
+            )
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mrr"),
+    )
+    m_pairs = te_ui.agg(F.count(F.lit(1)).alias("n_test_pairs"))
+    m_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    out = (
+        m_users.crossJoin(F.broadcast(m_pairs))
+        .crossJoin(F.broadcast(m_hits))
+        .select(
+            "n_users",
+            "n_test_pairs",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_test_pairs").cast("double"), 6).alias(
+                "hit_rate"
+            ),
+            "mrr",
+        )
+        .localCheckpoint(eager=True)
+    )
+    tr_ui.unpersist()
+    te_ui.unpersist()
+    return out

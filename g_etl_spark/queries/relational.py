@@ -3292,3 +3292,106 @@ def q211_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("qhat") / (F.col("n_t") * 100.0), 4).alias("q_hat"),
         F.round(F.col("hits") / F.col("n_test").cast("double"), 6).alias("coverage"),
     ).orderBy("event_type")
+
+
+@register(
+    "q221_did_estimate",
+    oracle="""
+    WITH cells AS (
+        SELECT user_id % 2 = 1 AS treated,
+               ts >= TIMESTAMP '2024-01-16 00:00:00' AS post,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(value) AS sv,
+               sum(value * value) AS svv
+        FROM events
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT treated, post, n, sv / n AS mean,
+               (svv - sv * sv / n) / (n - 1) AS var
+        FROM cells
+    ),
+    wide AS (
+        SELECT
+            (SELECT mean FROM m WHERE treated AND post) AS tp,
+            (SELECT mean FROM m WHERE treated AND NOT post) AS tr,
+            (SELECT mean FROM m WHERE NOT treated AND post) AS cp,
+            (SELECT mean FROM m WHERE NOT treated AND NOT post) AS cr,
+            (SELECT var / n FROM m WHERE treated AND post)
+            + (SELECT var / n FROM m WHERE treated AND NOT post)
+            + (SELECT var / n FROM m WHERE NOT treated AND post)
+            + (SELECT var / n FROM m WHERE NOT treated AND NOT post) AS v,
+            (SELECT sum(n) FROM m) AS n_events
+    )
+    SELECT CAST(n_events AS BIGINT) AS n_events,
+           round(tr, 4) AS treated_pre, round(tp, 4) AS treated_post,
+           round(cr, 4) AS control_pre, round(cp, 4) AS control_post,
+           round((tp - tr) - (cp - cr), 4) AS did,
+           round(sqrt(v), 4) AS se,
+           round(((tp - tr) - (cp - cr)) / sqrt(v), 3) AS t_stat
+    FROM wide
+    """,
+)
+def q221_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the mid-month change in
+    event value for the treated cohort (odd user_id) against the
+    control (even), with the large-sample standard error from the
+    four cell variances — the causal-inference readout an
+    experimentation platform computes when assignment predates the
+    intervention (q150's Welch z-test is the randomized-A/B special
+    case; DiD subtracts the shared time trend the z-test cannot).
+
+    Scale: the WHOLE estimator is one combining agg to four
+    (treated, post) cells carrying mergeable moments (n, sum, sum of
+    squares) — q150's single-exchange contract; every derived
+    quantity is arithmetic on those 4 rows. Means/SE round at 4 and
+    t at 3 (cell sums O(1e6); summation-order ulps ~1e-11).
+    """
+    e = load(spark, sf_dir, "events")
+    cells = e.groupBy(
+        (F.col("user_id") % 2 == 1).alias("treated"),
+        (F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp")).alias("post"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sv"),
+        F.sum(F.col("value") * F.col("value")).alias("svv"),
+    )
+    m = cells.select(
+        "treated",
+        "post",
+        "n",
+        (F.col("sv") / F.col("n")).alias("mean"),
+        ((F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")) / (F.col("n") - 1)).alias(
+            "var"
+        ),
+    )
+
+    def cell(tr: bool, po: bool, col: str):
+        return F.max(
+            F.when((F.col("treated") == tr) & (F.col("post") == po), F.col(col))
+        )
+
+    wide = m.agg(
+        F.sum("n").alias("n_events"),
+        cell(True, True, "mean").alias("tp"),
+        cell(True, False, "mean").alias("tr"),
+        cell(False, True, "mean").alias("cp"),
+        cell(False, False, "mean").alias("cr"),
+        (
+            cell(True, True, "var") / F.max(F.when((F.col("treated")) & (F.col("post")), F.col("n")))
+            + cell(True, False, "var") / F.max(F.when((F.col("treated")) & (~F.col("post")), F.col("n")))
+            + cell(False, True, "var") / F.max(F.when((~F.col("treated")) & (F.col("post")), F.col("n")))
+            + cell(False, False, "var") / F.max(F.when((~F.col("treated")) & (~F.col("post")), F.col("n")))
+        ).alias("v"),
+    )
+    did = (F.col("tp") - F.col("tr")) - (F.col("cp") - F.col("cr"))
+    return wide.select(
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("tr", 4).alias("treated_pre"),
+        F.round("tp", 4).alias("treated_post"),
+        F.round("cr", 4).alias("control_pre"),
+        F.round("cp", 4).alias("control_post"),
+        F.round(did, 4).alias("did"),
+        F.round(F.sqrt("v"), 4).alias("se"),
+        F.round(did / F.sqrt("v"), 3).alias("t_stat"),
+    )

@@ -1232,3 +1232,241 @@ def q210_mf_gradient(spark: SparkSession, sf_dir: str) -> DataFrame:
     np_ = gp.agg(F.round(F.sqrt(F.sum(4 * F.col("s") * F.col("s"))), 4).alias("grad_p_norm"))
     nq_ = gq.agg(F.round(F.sqrt(F.sum(4 * F.col("s") * F.col("s"))), 4).alias("grad_q_norm"))
     return stats.crossJoin(F.broadcast(np_)).crossJoin(F.broadcast(nq_))
+
+
+# Fixed probe direction for q219: literal weights (identical doubles
+# in both engines; affine-hash derived, see q210's factor trick)
+_DRIFT_W = [
+    0.4306243806, 0.3612487611, 0.2918731417, 0.2224975223,
+    0.1531219029, 0.0837462834, 0.014370664, -0.0550049554,
+]
+_DRIFT_PROJ_SQL = " + ".join(
+    f"CAST(embedding[{d}] AS DOUBLE) * ({w})" for d, w in enumerate(_DRIFT_W, start=1)
+)
+
+
+@register(
+    "q219_embedding_drift_psi",
+    oracle=f"""
+    WITH p AS MATERIALIZED (
+        SELECT vec_id, ({_DRIFT_PROJ_SQL}) AS proj FROM embeddings
+    ),
+    mm AS (SELECT min(proj) AS mn, max(proj) AS mx FROM p),
+    binned AS (
+        SELECT CAST(least(9, floor((p.proj - mm.mn) * 10.0 / (mm.mx - mm.mn)))
+                    AS BIGINT) AS bin,
+               vec_id % 2 = 0 AS is_ref
+        FROM p CROSS JOIN mm
+    ),
+    g AS (
+        SELECT b.bin,
+               CAST(count(*) FILTER (WHERE is_ref) AS BIGINT) AS n_ref,
+               CAST(count(*) FILTER (WHERE NOT is_ref) AS BIGINT) AS n_cur
+        FROM (SELECT unnest(range(10)) AS bin) b
+        LEFT JOIN binned ON binned.bin = b.bin
+        GROUP BY b.bin
+    ),
+    tot AS (
+        SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM g
+    ),
+    probs AS (
+        SELECT g.bin, g.n_ref, g.n_cur,
+               (g.n_ref + 0.5) / (tot.tr + 5.0) AS p_ref,
+               (g.n_cur + 0.5) / (tot.tc + 5.0) AS p_cur
+        FROM g CROSS JOIN tot
+    ),
+    psi AS (
+        SELECT sum((p_cur - p_ref) * ln(p_cur / p_ref)) AS psi FROM probs
+    )
+    SELECT probs.bin, probs.n_ref, probs.n_cur,
+           round(probs.p_ref, 6) AS p_ref,
+           round(probs.p_cur, 6) AS p_cur,
+           round((probs.p_cur - probs.p_ref) * ln(probs.p_cur / probs.p_ref), 6)
+               AS contrib,
+           round((SELECT psi FROM psi), 6) AS psi_total
+    FROM probs
+    ORDER BY probs.bin
+    """,
+)
+def q219_embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: project every embedding
+    onto a fixed probe direction (literal 8-weight linear form — the
+    SAME left-associated IEEE expression tree in both engines, so
+    bin assignment never rides on summation order), split the corpus
+    into reference (even vec_id) and current (odd), and report the
+    population-stability index over 10 equal-width bins with Laplace
+    smoothing — q109's tabular PSI lifted to embedding space, the
+    drift alarm a production embedding pipeline runs per batch
+    (SemDeDup/ANN quality silently degrades when the distribution
+    moves; this is the cheap detector).
+
+    Scale: projection is map-side scalar math in codegen; min/max is
+    one 2-cell agg broadcast back; the histogram is a 10-cell
+    combining agg — THE mergeable-sketch shape (identical cells
+    union across sources, q203). Bins with zero mass still appear
+    (range(10) left join) so the smoothed PSI is always defined.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    proj = None
+    for d, w in enumerate(_DRIFT_W, start=1):
+        term = F.element_at("embedding", d).cast("double") * F.lit(w)
+        proj = term if proj is None else proj + term
+    p = e.select("vec_id", proj.alias("proj"))
+    mm = p.agg(F.min("proj").alias("mn"), F.max("proj").alias("mx"))
+    binned = p.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.lit(9),
+            F.floor((F.col("proj") - F.col("mn")) * 10.0 / (F.col("mx") - F.col("mn"))),
+        )
+        .cast("long")
+        .alias("bin"),
+        (F.col("vec_id") % 2 == 0).alias("is_ref"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("n_cur"),
+    )
+    allbins = spark.range(10).select(F.col("id").alias("bin"))
+    g = (
+        allbins.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = g.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    probs = g.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        ((F.col("n_ref") + 0.5) / (F.col("tr") + 5.0)).alias("p_ref"),
+        ((F.col("n_cur") + 0.5) / (F.col("tc") + 5.0)).alias("p_cur"),
+    )
+    contrib = (F.col("p_cur") - F.col("p_ref")) * F.log(F.col("p_cur") / F.col("p_ref"))
+    psi = probs.agg(F.sum(contrib).alias("psi"))
+    return (
+        probs.crossJoin(F.broadcast(psi))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.round("p_ref", 6).alias("p_ref"),
+            F.round("p_cur", 6).alias("p_cur"),
+            F.round(contrib, 6).alias("contrib"),
+            F.round("psi", 6).alias("psi_total"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "q220_cluster_purity_ari",
+    oracle="""
+    WITH cb AS MATERIALIZED (
+        SELECT vec_id AS c, embedding AS ce FROM embeddings WHERE vec_id < 4
+    ),
+    d AS (
+        SELECT e.vec_id, e.label, cb.c,
+               round(sum(pow(CAST(e.embedding[k.k] AS DOUBLE)
+                             - CAST(cb.ce[k.k] AS DOUBLE), 2)), 9) AS dist
+        FROM embeddings e
+        CROSS JOIN cb
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS k) k
+        GROUP BY e.vec_id, e.label, cb.c
+    ),
+    assign AS MATERIALIZED (
+        SELECT vec_id, label, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rk
+        FROM d
+        QUALIFY rk = 1
+    ),
+    ct AS MATERIALIZED (
+        SELECT c, label, CAST(count(*) AS BIGINT) AS n FROM assign GROUP BY 1, 2
+    ),
+    rowsum AS (SELECT c, sum(n) AS a FROM ct GROUP BY c),
+    colsum AS (SELECT label, sum(n) AS b FROM ct GROUP BY label),
+    n_tot AS (SELECT sum(n) AS n FROM ct),
+    comb AS (
+        SELECT (SELECT sum(n * (n - 1) / 2) FROM ct) AS s_idx,
+               (SELECT sum(a * (a - 1) / 2) FROM rowsum) AS s_a,
+               (SELECT sum(b * (b - 1) / 2) FROM colsum) AS s_b,
+               (SELECT n * (n - 1) / 2 FROM n_tot) AS s_n
+    )
+    SELECT CAST((SELECT n FROM n_tot) AS BIGINT) AS n_points,
+           round((SELECT sum(mx) FROM (SELECT c, max(n) AS mx FROM ct GROUP BY c))
+                 / CAST((SELECT n FROM n_tot) AS DOUBLE), 6) AS purity,
+           round((s_idx - s_a * s_b / s_n)
+                 / ((s_a + s_b) / 2.0 - s_a * s_b / s_n), 6) AS ari
+    FROM comb
+    """,
+)
+def q220_cluster_purity_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering validation: assign every embedding to its
+    nearest of 4 fixed centroids (vec_id<4, q135/q162's deterministic
+    codebook; distances rounded at 9 BEFORE the argmin, q162's
+    cross-engine tie-break contract) and score the clustering against
+    the true labels with purity and the Adjusted Rand Index — the
+    eval that tells a SemDeDup/curriculum pipeline whether its
+    cluster structure actually tracks the taxonomy. ARI is pure
+    integer pair-counting (all C(n,2) sums exact in BIGINT) until the
+    final division.
+
+    Scale: assignment is the broadcast-codebook distance scan (q97's
+    shape: |corpus| x k distances, one row each after the windowless
+    min — here a 4-row window per vec, WindowGroupLimit-pruned); the
+    contingency is a k x |labels| combining agg; everything after is
+    arithmetic on <=40 cells.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cb = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("c"), F.col("embedding").alias("ce")
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                "ce",
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        9,
+    )
+    d = e.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "label", "c", dist.alias("dist")
+    )
+    wk = Window.partitionBy("vec_id").orderBy("dist", "c")
+    assign = d.withColumn("rk", F.row_number().over(wk)).where(F.col("rk") == 1)
+    ct = assign.groupBy("c", "label").agg(F.count(F.lit(1)).alias("n"))
+    rowsum = ct.groupBy("c").agg(F.sum("n").alias("a"))
+    colsum = ct.groupBy("label").agg(F.sum("n").alias("b"))
+    s_idx = ct.agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("s_idx"))
+    s_a = rowsum.agg(F.sum(F.col("a") * (F.col("a") - 1) / 2).alias("s_a"))
+    s_b = colsum.agg(F.sum(F.col("b") * (F.col("b") - 1) / 2).alias("s_b"))
+    n_tot = ct.agg(F.sum("n").alias("n"))
+    pur = (
+        ct.groupBy("c")
+        .agg(F.max("n").alias("mx"))
+        .agg(F.sum("mx").alias("pure_n"))
+    )
+    return (
+        n_tot.crossJoin(F.broadcast(pur))
+        .crossJoin(F.broadcast(s_idx))
+        .crossJoin(F.broadcast(s_a))
+        .crossJoin(F.broadcast(s_b))
+        .select(
+            F.col("n").cast("long").alias("n_points"),
+            F.round(F.col("pure_n") / F.col("n").cast("double"), 6).alias("purity"),
+            F.round(
+                (F.col("s_idx") - F.col("s_a") * F.col("s_b") / (F.col("n") * (F.col("n") - 1) / 2))
+                / (
+                    (F.col("s_a") + F.col("s_b")) / 2.0
+                    - F.col("s_a") * F.col("s_b") / (F.col("n") * (F.col("n") - 1) / 2)
+                ),
+                6,
+            ).alias("ari"),
+        )
+    )

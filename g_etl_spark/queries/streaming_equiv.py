@@ -28,7 +28,7 @@ import shutil
 import tempfile
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from g_etl_spark.queries import register
 from g_etl_spark.streaming import pipeline as sp
@@ -297,3 +297,114 @@ def q171_stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = _run_stream(spark, e, build, "complete")
     return out.orderBy("di", "bucket")
+
+
+_WMDROP_JIT_US = 600_000_000  # 10 min of jitter per (event_id % 797) unit
+_WMDROP_DELAY_US = 2 * 3600 * 1_000_000  # withWatermark("ts", "2 hours")
+_WMDROP_WIN_US = 6 * 3600 * 1_000_000  # 6-hour tumbling windows
+_WMDROP_CHUNKS = 4
+
+
+@register(
+    "q222_stream_watermark_drops",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, epoch_us(ts) AS ts_us,
+               epoch_us(ts) + (event_id % 797) * {_WMDROP_JIT_US} AS ak
+        FROM events
+    ),
+    chunked AS (
+        SELECT event_id, ts_us,
+               ntile({_WMDROP_CHUNKS}) OVER (ORDER BY ak, event_id) AS k
+        FROM ev
+    ),
+    wm AS MATERIALIZED (
+        -- watermark AFTER chunk k = cummax(max event time) - delay
+        SELECT k,
+               max(mx) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+                   - {_WMDROP_DELAY_US} AS wm_after
+        FROM (SELECT k, max(ts_us) AS mx FROM chunked GROUP BY k)
+    ),
+    kept AS (
+        -- a row in chunk k is processed against the watermark after
+        -- chunk k-1; its window must still be open
+        SELECT c.ts_us - c.ts_us % {_WMDROP_WIN_US} AS win_start_us
+        FROM chunked c
+        LEFT JOIN wm ON wm.k = c.k - 1
+        WHERE wm.wm_after IS NULL
+           OR (c.ts_us - c.ts_us % {_WMDROP_WIN_US}) + {_WMDROP_WIN_US}
+              > wm.wm_after
+    ),
+    final_wm AS (SELECT wm_after FROM wm WHERE k = {_WMDROP_CHUNKS})
+    SELECT win_start_us, CAST(count(*) AS BIGINT) AS n
+    FROM kept
+    WHERE win_start_us + {_WMDROP_WIN_US} <= (SELECT wm_after FROM final_wm)
+    GROUP BY win_start_us
+    ORDER BY win_start_us
+    """,
+)
+def q222_stream_watermark_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multi-micro-batch watermark semantics, hash-gated: events
+    arrive out of event-time order (arrival = ts + per-event jitter
+    up to ~5.5 days (event_id % 797 x 10 min)), staged as 4 arrival chunks; each chunk is one
+    availableNow restart against a persistent checkpoint + parquet
+    sink, so the watermark genuinely advances BETWEEN batches and
+    genuinely DROPS late rows from closed 6-hour windows (the one
+    streaming behavior q91-q93/q139/q171 could not exhibit — their
+    single-batch staging never closes a window mid-stream). The
+    oracle simulates the engine's contract exactly: watermark after
+    chunk k = cummax(event time) - 2h; a chunk-k row survives iff
+    its window end is still above the post-(k-1) watermark; only
+    windows the final watermark has passed are emitted (append
+    mode). Jitter and window bounds are integer micros; watermark
+    values are event-time micros minus a constant, so no comparison
+    ever lands on a float or a tie.
+
+    Scale: this is the production shape itself — file-source
+    restarts with a durable checkpoint, bounded window state (the
+    watermark reaps it), parquet sink. State at any moment is
+    |open windows| x |keys|, not corpus; the restart loop proves the
+    recovery path the single-run queries can't.
+    """
+    events = load(spark, sf_dir, "events").select("event_id", "ts")
+    ak = F.unix_micros("ts") + (F.col("event_id") % 797) * _WMDROP_JIT_US
+    chunked = events.withColumn(
+        "k", F.ntile(_WMDROP_CHUNKS).over(Window.orderBy(ak.asc(), F.col("event_id")))
+    )
+    run = next(_RUN_IDS)
+    src = tempfile.mkdtemp(prefix=f"g_etl_wmdrop_src_{run}_")
+    ckpt = tempfile.mkdtemp(prefix=f"g_etl_wmdrop_ckpt_{run}_")
+    sink = tempfile.mkdtemp(prefix=f"g_etl_wmdrop_sink_{run}_")
+    schema = events.schema
+    try:
+        for k in range(1, _WMDROP_CHUNKS + 1):
+            chunked.where(F.col("k") == k).select("event_id", "ts").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            q = (
+                sp.read_parquet_stream(
+                    spark, src, schema=schema, max_files_per_trigger=10_000
+                )
+                .withWatermark("ts", "2 hours")
+                .groupBy(F.window("ts", "6 hours").alias("w"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                q.awaitTermination(30)
+                raise RuntimeError("watermark-drop stream did not finish in 300s")
+        out = spark.read.parquet(sink).select(
+            F.unix_micros("w.start").alias("win_start_us"),
+            F.col("n").cast("long").alias("n"),
+        )
+        return out.orderBy("win_start_us").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)

@@ -508,6 +508,131 @@ def main() -> None:
 
     timed("q217_lateness_sec", lateness)
 
+    # ---- q218: CF backtest at x(factor/4) disjoint market copies --
+    def recsys():
+        oo = (
+            load(spark, SF_DIR, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderdate")
+            .crossJoin(reps_small)
+            .select(
+                (F.col("o_orderkey") + F.col("rep") * 10_000_000).alias("ok"),
+                (F.col("o_custkey") + F.col("rep") * 1_000_000).alias("u"),
+                (F.col("o_orderdate").cast("date") < F.lit("1999-01-01").cast("date")).alias("tr"),
+            )
+        )
+        ll = (
+            load(spark, SF_DIR, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .crossJoin(reps_small)
+            .select(
+                (F.col("l_orderkey") + F.col("rep") * 10_000_000).alias("ok"),
+                (F.col("l_partkey") + F.col("rep") * 1_000_000).alias("i"),
+            )
+        )
+        oi = oo.join(ll, "ok")
+        tr_items = oi.where("tr").select("ok", "i").distinct()
+        a2, b2 = tr_items.alias("a"), tr_items.alias("b")
+        cooc_full = (
+            a2.join(b2, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.i") != F.col("b.i")))
+            .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        cooc = (
+            cooc_full.withColumn(
+                "nrk", F.row_number().over(Window.partitionBy("i").orderBy(F.desc("c"), "j"))
+            )
+            .where(F.col("nrk") <= 50)
+            .drop("nrk")
+        )
+        tr_ui = oi.where("tr").select("u", "i").distinct().persist()
+        scores = (
+            tr_ui.join(cooc, "i")
+            .join(
+                tr_ui.select(F.col("u").alias("u2"), F.col("i").alias("j2")),
+                (F.col("u") == F.col("u2")) & (F.col("j") == F.col("j2")),
+                "left_anti",
+            )
+            .groupBy("u", "j")
+            .agg(F.sum("c").alias("s"))
+        )
+        recs = (
+            scores.withColumn(
+                "rk", F.row_number().over(Window.partitionBy("u").orderBy(F.desc("s"), "j"))
+            )
+            .where(F.col("rk") <= 4)
+        )
+        n = recs.count()
+        tr_ui.unpersist()
+        return n
+
+    timed("q218_recsys_sec", recsys)
+
+    # ---- q219/q220: embedding evals at x100 ------------------------
+    em = load(spark, SF_DIR, "embeddings")
+    big_em = (
+        em.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+            "embedding", "label",
+        )
+    )
+
+    def drift():
+        ws = [0.4306243806, 0.3612487611, 0.2918731417, 0.2224975223,
+              0.1531219029, 0.0837462834, 0.014370664, -0.0550049554]
+        proj = None
+        for dd, wv in enumerate(ws, start=1):
+            term = F.element_at("embedding", dd).cast("double") * F.lit(wv)
+            proj = term if proj is None else proj + term
+        p = big_em.select("vec_id", proj.alias("proj"))
+        mm = p.agg(F.min("proj").alias("mn"), F.max("proj").alias("mx"))
+        return (
+            p.crossJoin(F.broadcast(mm))
+            .select(
+                F.least(F.lit(9), F.floor((F.col("proj") - F.col("mn")) * 10.0
+                                          / (F.col("mx") - F.col("mn")))).alias("b"),
+                (F.col("vec_id") % 2 == 0).alias("r"),
+            )
+            .groupBy("b").agg(F.sum(F.when(F.col("r"), 1).otherwise(0)))
+            .count()
+        )
+
+    timed("q219_drift_sec", drift)
+
+    def purity():
+        cb = em.where(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("c"), F.col("embedding").alias("ce")
+        )
+        dist = F.round(
+            F.aggregate(
+                F.zip_with(
+                    "embedding", "ce",
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0), lambda acc, v: acc + v,
+            ), 9,
+        )
+        d = big_em.crossJoin(F.broadcast(cb)).select("vec_id", "label", "c", dist.alias("dist"))
+        assign = d.withColumn(
+            "rk", F.row_number().over(Window.partitionBy("vec_id").orderBy("dist", "c"))
+        ).where(F.col("rk") == 1)
+        return assign.groupBy("c", "label").count().count()
+
+    timed("q220_purity_sec", purity)
+
+    def did():
+        return (
+            big_e.groupBy(
+                (F.col("user_id") % 2 == 1).alias("t"),
+                (F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp")).alias("p"),
+            )
+            .agg(F.count(F.lit(1)), F.sum("value"), F.sum(F.col("value") * F.col("value")))
+            .count()
+        )
+
+    timed("q221_did_sec", did)
+
     print(json.dumps(out))
 
 

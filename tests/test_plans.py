@@ -1710,3 +1710,169 @@ def test_q217_lateness_matches_python_replay(spark, qs):
         r = out[t]
         assert (r["n_events"], r["late_10m"], r["late_60m"], r["max_late_s"]) == (n, l10, l60, mx)
         assert abs(r["frac_late_10m"] - round(l10 / n, 6)) < 1e-9
+
+
+def test_q218_recsys_backtest_matches_python_replay(spark, qs):
+    """Full CF-backtest replay in pure Python: same split, same
+    co-occurrence scores, same (score desc, item) top-4, same
+    hit/MRR accounting."""
+    import datetime
+
+    from g_etl_spark.tables import load
+
+    row = qs["q218_recsys_backtest"](spark, SF_DIR).collect()[0]
+    o = load(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey", "o_orderdate").collect()
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey").collect()
+    items_by_order: dict = {}
+    for r in li:
+        items_by_order.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    split = datetime.date(1999, 1, 1)
+    tr_ui: dict = {}
+    te_ui: dict = {}
+    cooc: dict = {}
+    for r in o:
+        items = items_by_order.get(r["o_orderkey"], set())
+        if r["o_orderdate"].date() < split:
+            for i in items:
+                tr_ui.setdefault(r["o_custkey"], set()).add(i)
+            for i in items:
+                for j in items:
+                    if i != j:
+                        cooc[(i, j)] = cooc.get((i, j), 0) + 1
+        else:
+            for i in items:
+                te_ui.setdefault(r["o_custkey"], set()).add(i)
+    te_ui = {u: s for u, s in te_ui.items() if u in tr_ui}
+    n_test_pairs = sum(len(s) for s in te_ui.values())
+    # neighborhood truncation: top-50 co-items per item by (c desc, j)
+    by_i: dict = {}
+    for (a, j), c in cooc.items():
+        by_i.setdefault(a, []).append((j, c))
+    cooc_trunc: dict = {}
+    for a, njs in by_i.items():
+        njs.sort(key=lambda jc: (-jc[1], jc[0]))
+        for j, c in njs[:50]:
+            cooc_trunc[(a, j)] = c
+    hits = 0
+    rr_sum = 0.0
+    for u, test_items in te_ui.items():
+        scores: dict = {}
+        for (a, j), c in cooc_trunc.items():
+            if a in tr_ui[u] and j not in tr_ui[u]:
+                scores[j] = scores.get(j, 0) + c
+        recs = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+        first = None
+        for rk, (j, _) in enumerate(recs, 1):
+            if j in test_items:
+                hits += 1
+                if first is None:
+                    first = rk
+        rr_sum += 1.0 / first if first else 0.0
+    assert row["n_users"] == len(te_ui)
+    assert row["n_test_pairs"] == n_test_pairs
+    assert row["n_hits"] == hits
+    assert abs(row["mrr"] - round(rr_sum / len(te_ui), 6)) < 1e-9
+
+
+def test_q219_psi_bins_complete_and_total_consistent(spark, qs):
+    """All 10 bins present, totals match the corpus halves, and
+    psi_total equals the sum of unrounded contributions within
+    rounding tolerance."""
+    from g_etl_spark.tables import load
+
+    rows = qs["q219_embedding_drift_psi"](spark, SF_DIR).collect()
+    assert [r["bin"] for r in rows] == list(range(10))
+    n = load(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_ref"] for r in rows) + sum(r["n_cur"] for r in rows) == n
+    psi = {r["psi_total"] for r in rows}
+    assert len(psi) == 1
+    assert abs(psi.pop() - sum(r["contrib"] for r in rows)) < 1e-4
+    assert all(r["p_ref"] > 0 and r["p_cur"] > 0 for r in rows)  # Laplace floor
+
+
+def test_q220_purity_ari_matches_numpy(spark, qs):
+    """Exact replay of assignment (rounded-distance argmin) and the
+    pair-counting ARI."""
+    import numpy as np
+
+    from g_etl_spark.tables import load
+
+    row = qs["q220_cluster_purity_ari"](spark, SF_DIR).collect()[0]
+    em = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding", "label").collect()
+    em.sort(key=lambda r: r["vec_id"])
+    X = np.array([r["embedding"] for r in em], dtype=np.float64)
+    labels = np.array([r["label"] for r in em])
+    C = X[:4]
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).round(9)
+    assign = d2.argmin(1)  # ties: argmin takes lowest index == (dist, c) order
+    n = len(em)
+    ct: dict = {}
+    for c, l in zip(assign, labels):
+        ct[(int(c), int(l))] = ct.get((int(c), int(l)), 0) + 1
+    purity = sum(max(v for (c2, _), v in ct.items() if c2 == c) for c in set(assign)) / n
+    s_idx = sum(v * (v - 1) / 2 for v in ct.values())
+    arow: dict = {}
+    bcol: dict = {}
+    for (c, l), v in ct.items():
+        arow[c] = arow.get(c, 0) + v
+        bcol[l] = bcol.get(l, 0) + v
+    s_a = sum(v * (v - 1) / 2 for v in arow.values())
+    s_b = sum(v * (v - 1) / 2 for v in bcol.values())
+    s_n = n * (n - 1) / 2
+    ari = (s_idx - s_a * s_b / s_n) / ((s_a + s_b) / 2 - s_a * s_b / s_n)
+    assert row["n_points"] == n
+    assert abs(row["purity"] - round(purity, 6)) < 1e-9
+    assert abs(row["ari"] - round(ari, 6)) < 1e-6
+
+
+def test_q221_did_matches_numpy_cells(spark, qs):
+    """Cell means / DiD / SE replayed with numpy."""
+    import numpy as np
+
+    from g_etl_spark.tables import load
+
+    row = qs["q221_did_estimate"](spark, SF_DIR).collect()[0]
+    ev = load(spark, SF_DIR, "events").select("user_id", "ts", "value").collect()
+    import datetime
+
+    cut = datetime.datetime(2024, 1, 16)
+    cells: dict = {}
+    for r in ev:
+        key = (r["user_id"] % 2 == 1, r["ts"] >= cut)
+        cells.setdefault(key, []).append(r["value"])
+    m = {k: np.mean(v) for k, v in cells.items()}
+    var = {k: np.var(v, ddof=1) for k, v in cells.items()}
+    did = (m[(True, True)] - m[(True, False)]) - (m[(False, True)] - m[(False, False)])
+    se = np.sqrt(sum(var[k] / len(cells[k]) for k in cells))
+    assert row["n_events"] == sum(len(v) for v in cells.values())
+    assert abs(row["did"] - round(did, 4)) < 1e-3
+    assert abs(row["se"] - round(se, 4)) < 1e-3
+    assert abs(row["t_stat"] - round(did / se, 3)) < 1e-2
+
+
+def test_q222_watermark_actually_drops_rows(spark, qs):
+    """The multi-restart run must drop a nonzero fraction of rows
+    (that is the behavior under test) yet never exceed per-window
+    true counts; emitted windows must be exactly the watermark-closed
+    ones."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    rows = qs["q222_stream_watermark_drops"](spark, SF_DIR).collect()
+    assert rows
+    streamed = {r["win_start_us"]: r["n"] for r in rows}
+    win_us = 6 * 3600 * 1_000_000
+    truth = {
+        r["w"]: r["n"]
+        for r in load(spark, SF_DIR, "events")
+        .select((F.unix_micros("ts") - F.unix_micros("ts") % win_us).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(streamed) <= set(truth)
+    assert all(streamed[w] <= truth[w] for w in streamed)
+    total_emitted_truth = sum(truth[w] for w in streamed)
+    total_streamed = sum(streamed.values())
+    assert total_streamed < total_emitted_truth  # late rows WERE dropped
+    assert total_streamed > 0.3 * total_emitted_truth  # but not everything
