@@ -2571,3 +2571,105 @@ def q218_recsys_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr_ui.unpersist()
     te_ui.unpersist()
     return out
+
+
+@register(
+    "q223_link_prediction_jaccard",
+    oracle="""
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    p AS (
+        SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS w
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    pairs AS MATERIALIZED (SELECT a, b FROM p WHERE w >= 2),
+    edges AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs
+    ),
+    deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u),
+    wedges AS (
+        SELECT e1.v AS u, e2.v AS v, CAST(count(*) AS BIGINT) AS cn
+        FROM edges e1 JOIN edges e2
+          ON e1.u = e2.u AND e1.v < e2.v
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT w.u, w.v, w.cn FROM wedges w
+        WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.a = w.u AND p.b = w.v)
+    )
+    SELECT c.u, c.v, c.cn AS common_neighbors,
+           du.d AS deg_u, dv.d AS deg_v,
+           round(c.cn / CAST(du.d + dv.d - c.cn AS DOUBLE), 6) AS jaccard
+    FROM cand c JOIN deg du ON du.u = c.u JOIN deg dv ON dv.u = c.v
+    ORDER BY jaccard DESC, c.u, c.v
+    LIMIT 20
+    """,
+)
+def q223_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the thresholded co-purchase graph (q205's
+    edge relation): for every non-adjacent pair with at least one
+    common neighbor, the neighborhood-Jaccard score
+    cn/(deg_u + deg_v − cn); top-20 predicted links — the
+    graph-completion signal a recommender mines for cold pairs
+    (Liben-Nowell & Kleinberg's strongest simple baseline), built
+    from the SAME wedge join as q101's triangles: triangle counting
+    closes wedges that ARE edges, link prediction ranks the wedges
+    that are NOT.
+
+    Scale: wedges are Sigma deg(m)^2 — the q101 bound, the only
+    corpus-scale stage and the reason hub capping is the documented
+    knob there; existing-edge removal is one anti-join on the pair
+    key; degrees attach by two small joins. Jaccard is an
+    integer/integer division (identical doubles in both engines),
+    rounded before the rank so top-20 ties break on (u, v) cleanly.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    pairs = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .groupBy(F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("a", "b")
+        .persist()
+    )
+    edges = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    wedges = (
+        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")))
+        .groupBy(F.col("e1.v").alias("u"), F.col("e2.v").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    cand = wedges.join(
+        pairs, (wedges["u"] == pairs["a"]) & (wedges["v"] == pairs["b"]), "left_anti"
+    )
+    du = deg.select(F.col("u").alias("ju"), F.col("d").alias("deg_u"))
+    dv = deg.select(F.col("u").alias("jv"), F.col("d").alias("deg_v"))
+    out = (
+        cand.join(du, cand["u"] == du["ju"])
+        .join(dv, cand["v"] == dv["jv"])
+        .select(
+            "u",
+            "v",
+            F.col("cn").alias("common_neighbors"),
+            "deg_u",
+            "deg_v",
+            F.round(
+                F.col("cn") / (F.col("deg_u") + F.col("deg_v") - F.col("cn")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "u", "v")
+        .limit(20)
+        .localCheckpoint(eager=True)
+    )
+    pairs.unpersist()
+    return out

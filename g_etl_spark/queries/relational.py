@@ -3395,3 +3395,203 @@ def q221_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt("v"), 4).alias("se"),
         F.round(did / F.sqrt("v"), 3).alias("t_stat"),
     )
+
+
+@register(
+    "q224_eb_smoothed_rates",
+    oracle="""
+    WITH per_part AS MATERIALIZED (
+        SELECT l_partkey,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS h
+        FROM lineitem GROUP BY 1
+    ),
+    mom AS (
+        SELECT avg(CAST(h AS DOUBLE) / n) AS m,
+               (sum(pow(CAST(h AS DOUBLE) / n, 2))
+                - pow(sum(CAST(h AS DOUBLE) / n), 2) / count(*))
+               / (count(*) - 1) AS v,
+               CAST(count(*) AS BIGINT) AS n_parts
+        FROM per_part
+    ),
+    k AS (
+        SELECT m, v, n_parts, m * (1 - m) / v - 1 AS kk FROM mom
+    )
+    SELECT p.l_partkey, p.n AS trials, p.h AS hits,
+           round(CAST(p.h AS DOUBLE) / p.n, 6) AS raw_rate,
+           round((p.h + k.m * k.kk) / (p.n + k.kk), 6) AS smoothed_rate,
+           round(k.m, 6) AS prior_mean,
+           round(k.kk, 4) AS prior_strength
+    FROM per_part p CROSS JOIN k
+    ORDER BY round((p.h + k.m * k.kk) / (p.n + k.kk), 6) DESC, p.l_partkey
+    LIMIT 20
+    """,
+)
+def q224_eb_smoothed_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes smoothed return rates per part (beta-binomial
+    shrinkage, method-of-moments prior): raw rates h/n are noisy for
+    low-volume parts, so every rate shrinks toward the global mean m
+    with prior strength K = m(1−m)/Var(rates) − 1 — smoothed =
+    (h + mK)/(n + K). This is THE standard CTR/defect-rate feature
+    transform (the q193 WOE bins' continuous sibling): rankings by
+    raw rate surface tiny-n flukes, rankings by smoothed rate are
+    production-safe. Top-20 by smoothed rate.
+
+    Scale: one part-keyed combining agg to (n, h) per part; the
+    prior is a 1-row moments agg over that collapsed relation,
+    broadcast back map-side. Ordering compares the ROUNDED smoothed
+    rate (q162's contract) with the part id as tie-break, so the
+    top-k is stable under float summation order (m, v carry ~1e-16
+    engine noise; the rounded rate absorbs it).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("h"),
+    )
+    rate = F.col("h").cast("double") / F.col("n")
+    mom = per_part.agg(
+        F.avg(rate).alias("m"),
+        (
+            (F.sum(F.pow(rate, 2)) - F.pow(F.sum(rate), 2) / F.count(F.lit(1)))
+            / (F.count(F.lit(1)) - 1)
+        ).alias("v"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    k = mom.select(
+        "m", "v", (F.col("m") * (1 - F.col("m")) / F.col("v") - 1).alias("kk")
+    )
+    sm = F.round((F.col("h") + F.col("m") * F.col("kk")) / (F.col("n") + F.col("kk")), 6)
+    return (
+        per_part.crossJoin(F.broadcast(k))
+        .select(
+            "l_partkey",
+            F.col("n").alias("trials"),
+            F.col("h").alias("hits"),
+            F.round(F.col("h").cast("double") / F.col("n"), 6).alias("raw_rate"),
+            sm.alias("smoothed_rate"),
+            F.round("m", 6).alias("prior_mean"),
+            F.round("kk", 4).alias("prior_strength"),
+        )
+        .orderBy(F.desc("smoothed_rate"), "l_partkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q225_cuped_adjustment",
+    oracle="""
+    WITH per_user AS MATERIALIZED (
+        SELECT user_id,
+               user_id % 2 = 1 AS treated,
+               sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN value ELSE 0 END) AS pre,
+               sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                        THEN value ELSE 0 END) AS post
+        FROM events GROUP BY 1, 2
+    ),
+    mom AS (
+        SELECT count(*) AS n, avg(pre) AS mpre, avg(post) AS mpost,
+               (sum(pre * post) - sum(pre) * sum(post) / count(*))
+               / (count(*) - 1) AS cov,
+               (sum(pre * pre) - sum(pre) * sum(pre) / count(*))
+               / (count(*) - 1) AS vpre,
+               (sum(post * post) - sum(post) * sum(post) / count(*))
+               / (count(*) - 1) AS vpost
+        FROM per_user
+    ),
+    th AS (SELECT *, cov / vpre AS theta FROM mom),
+    adj AS (
+        SELECT p.treated,
+               p.post - th.theta * (p.pre - th.mpre) AS y,
+               p.post AS raw
+        FROM per_user p CROSS JOIN th
+    ),
+    arms AS (
+        SELECT treated, count(*) AS n, avg(y) AS my, avg(raw) AS mraw,
+               (sum(y * y) - sum(y) * sum(y) / count(*)) / (count(*) - 1) AS vy,
+               (sum(raw * raw) - sum(raw) * sum(raw) / count(*))
+               / (count(*) - 1) AS vraw
+        FROM adj GROUP BY 1
+    )
+    SELECT
+        CAST((SELECT n FROM mom) AS BIGINT) AS n_users,
+        round((SELECT theta FROM th), 6) AS theta,
+        round((SELECT cov * cov / (vpre * vpost) FROM th), 6) AS rho2,
+        round((SELECT max(CASE WHEN treated THEN mraw END)
+               - max(CASE WHEN NOT treated THEN mraw END) FROM arms), 4)
+            AS raw_effect,
+        round((SELECT max(CASE WHEN treated THEN my END)
+               - max(CASE WHEN NOT treated THEN my END) FROM arms), 4)
+            AS cuped_effect,
+        round((SELECT sqrt(sum(vraw / n)) FROM arms), 4) AS raw_se,
+        round((SELECT sqrt(sum(vy / n)) FROM arms), 4) AS cuped_se
+    """,
+)
+def q225_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13): adjust each
+    user's post-period metric by theta x their pre-period covariate
+    (theta = cov/var of pre), then re-estimate the treatment effect —
+    the standard experimentation-platform trick that shrinks the
+    standard error by a factor sqrt(1 − rho^2) with zero bias. Closes
+    the experimentation stack: q150 (z-test) → q221 (DiD) → q225
+    (CUPED), each one assumption weaker.
+
+    Scale: ONE user-keyed combining agg produces (pre, post) per
+    user; theta and all four arm moments are sums over that collapsed
+    relation (two more tiny exchanges); nothing corpus-sized moves
+    twice. All variances use the same expanded-moment literal form in
+    both engines; outputs round at 4-6 with magnitudes O(1e2-1e3)
+    (summation ulps 1e-10).
+    """
+    e = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    per_user = e.groupBy(
+        "user_id", (F.col("user_id") % 2 == 1).alias("treated")
+    ).agg(
+        F.sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)).alias("pre"),
+        F.sum(F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)).alias("post"),
+    )
+    n = F.count(F.lit(1))
+    mom = per_user.agg(
+        n.alias("n"),
+        F.avg("pre").alias("mpre"),
+        F.avg("post").alias("mpost"),
+        ((F.sum(F.col("pre") * F.col("post")) - F.sum("pre") * F.sum("post") / n) / (n - 1)).alias("cov"),
+        ((F.sum(F.col("pre") * F.col("pre")) - F.sum("pre") * F.sum("pre") / n) / (n - 1)).alias("vpre"),
+        ((F.sum(F.col("post") * F.col("post")) - F.sum("post") * F.sum("post") / n) / (n - 1)).alias("vpost"),
+    )
+    th = mom.select("*", (F.col("cov") / F.col("vpre")).alias("theta"))
+    adj = per_user.crossJoin(F.broadcast(th)).select(
+        "treated",
+        (F.col("post") - F.col("theta") * (F.col("pre") - F.col("mpre"))).alias("y"),
+        F.col("post").alias("raw"),
+    )
+    arms = adj.groupBy("treated").agg(
+        n.alias("na"),
+        F.avg("y").alias("my"),
+        F.avg("raw").alias("mraw"),
+        ((F.sum(F.col("y") * F.col("y")) - F.sum("y") * F.sum("y") / n) / (n - 1)).alias("vy"),
+        ((F.sum(F.col("raw") * F.col("raw")) - F.sum("raw") * F.sum("raw") / n) / (n - 1)).alias("vraw"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("treated"), F.col("mraw"))).alias("t_raw"),
+        F.max(F.when(~F.col("treated"), F.col("mraw"))).alias("c_raw"),
+        F.max(F.when(F.col("treated"), F.col("my"))).alias("t_y"),
+        F.max(F.when(~F.col("treated"), F.col("my"))).alias("c_y"),
+        F.sum(F.col("vraw") / F.col("na")).alias("sraw"),
+        F.sum(F.col("vy") / F.col("na")).alias("sy"),
+    )
+    return (
+        wide.crossJoin(F.broadcast(th))
+        .select(
+            F.col("n").cast("long").alias("n_users"),
+            F.round("theta", 6).alias("theta"),
+            F.round(F.col("cov") * F.col("cov") / (F.col("vpre") * F.col("vpost")), 6).alias("rho2"),
+            F.round(F.col("t_raw") - F.col("c_raw"), 4).alias("raw_effect"),
+            F.round(F.col("t_y") - F.col("c_y"), 4).alias("cuped_effect"),
+            F.round(F.sqrt("sraw"), 4).alias("raw_se"),
+            F.round(F.sqrt("sy"), 4).alias("cuped_se"),
+        )
+    )

@@ -633,6 +633,67 @@ def main() -> None:
 
     timed("q221_did_sec", did)
 
+    # ---- q223: link prediction on x(factor/4) disjoint copies ------
+    def linkpred():
+        l1, l2 = big_li.alias("l1"), big_li.alias("l2")
+        pairs = (
+            l1.join(
+                l2,
+                (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+                & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+            )
+            .groupBy(F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b"))
+            .agg(F.count(F.lit(1)).alias("w"))
+            .where(F.col("w") >= 2)
+            .select("a", "b")
+            .persist()
+        )
+        edges = pairs.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            pairs.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        e1x, e2x = edges.alias("e1"), edges.alias("e2")
+        wedges = (
+            e1x.join(e2x, (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")))
+            .groupBy(F.col("e1.v").alias("u"), F.col("e2.v").alias("v"))
+            .agg(F.count(F.lit(1)).alias("cn"))
+        )
+        cand = wedges.join(
+            pairs, (wedges["u"] == pairs["a"]) & (wedges["v"] == pairs["b"]), "left_anti"
+        )
+        n = cand.join(deg.withColumnRenamed("u", "ju"), F.col("u") == F.col("ju")).count()
+        pairs.unpersist()
+        return n
+
+    timed("q223_linkpred_sec", linkpred)
+
+    # ---- q224 / q225: moment-collapse families at x100 -------------
+    big_li_flat = load(spark, SF_DIR, "lineitem").select(
+        "l_partkey", "l_returnflag"
+    ).crossJoin(reps).drop("rep")
+
+    def eb_rates():
+        pp = big_li_flat.groupBy("l_partkey").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("h"),
+        )
+        rate = F.col("h").cast("double") / F.col("n")
+        return pp.agg(F.avg(rate), F.sum(F.pow(rate, 2))).count()
+
+    timed("q224_eb_sec", eb_rates)
+
+    def cuped():
+        cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        pu = big_u.groupBy("user_id").agg(
+            F.sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)).alias("pre"),
+            F.sum(F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)).alias("post"),
+        )
+        return pu.agg(
+            F.sum(F.col("pre") * F.col("post")), F.sum(F.col("pre") * F.col("pre"))
+        ).count()
+
+    timed("q225_cuped_sec", cuped)
+
     print(json.dumps(out))
 
 

@@ -1876,3 +1876,63 @@ def test_q222_watermark_actually_drops_rows(spark, qs):
     total_streamed = sum(streamed.values())
     assert total_streamed < total_emitted_truth  # late rows WERE dropped
     assert total_streamed > 0.3 * total_emitted_truth  # but not everything
+
+
+def test_q223_predicted_links_are_nonedges_with_shared_neighbors(spark, qs):
+    """Every predicted link must NOT be an existing (w>=2) edge, must
+    have cn >= 1, and its Jaccard must satisfy the set identity
+    0 < jacc <= 1 with cn <= min(deg_u, deg_v)."""
+    rows = qs["q223_link_prediction_jaccard"](spark, SF_DIR).collect()
+    assert rows
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edge_set = {
+        (r["a"], r["b"])
+        for r in a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("a"), F.col("b.l_partkey").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .collect()
+    }
+    for r in rows:
+        assert (r["u"], r["v"]) not in edge_set
+        assert r["u"] < r["v"]
+        assert 1 <= r["common_neighbors"] <= min(r["deg_u"], r["deg_v"])
+        assert 0 < r["jaccard"] <= 1
+        want = round(
+            r["common_neighbors"] / (r["deg_u"] + r["deg_v"] - r["common_neighbors"]), 6
+        )
+        assert abs(r["jaccard"] - want) < 1e-9
+
+
+def test_q224_shrinkage_pulls_toward_prior_monotonically(spark, qs):
+    """Smoothing must always move the raw rate TOWARD the prior mean,
+    more strongly for low-n parts (the defining EB property)."""
+    rows = qs["q224_eb_smoothed_rates"](spark, SF_DIR).collect()
+    assert rows
+    m = rows[0]["prior_mean"]
+    k = rows[0]["prior_strength"]
+    assert k > 0
+    for r in rows:
+        raw, sm = r["raw_rate"], r["smoothed_rate"]
+        # smoothed lies between raw and the prior mean
+        assert min(raw, m) - 1e-6 <= sm <= max(raw, m) + 1e-6
+        # exact reconstruction from the formula
+        want = round((r["hits"] + m * k) / (r["trials"] + k), 4)
+        assert abs(sm - want) < 1e-3  # m,k quoted rounded; loose check
+
+
+def test_q225_cuped_reduces_variance(spark, qs):
+    """CUPED must not increase the SE (it provably cannot, up to
+    rounding), and rho2 must be in [0, 1]."""
+    r = qs["q225_cuped_adjustment"](spark, SF_DIR).collect()[0]
+    assert 0 <= r["rho2"] <= 1
+    assert r["cuped_se"] <= r["raw_se"] + 1e-6
+    assert r["theta"] != 0
