@@ -2673,3 +2673,146 @@ def q223_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs.unpersist()
     return out
+
+
+@register(
+    "q227_modularity_score",
+    oracle=f"""
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    p AS (
+        SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS w
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    pairs AS (SELECT a, b FROM p WHERE w >= 2),
+    edges AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM pairs UNION ALL SELECT b, a FROM pairs
+    ),
+    c0 AS MATERIALIZED (SELECT DISTINCT u FROM edges),
+{_KCORE_PEELS},
+    core AS MATERIALIZED (SELECT u FROM c{_KCORE_ROUNDS}),
+    lab AS MATERIALIZED (
+        SELECT e.u, e.v,
+               CASE WHEN cu.u IS NOT NULL THEN 1 ELSE 0 END AS lu,
+               CASE WHEN cv.u IS NOT NULL THEN 1 ELSE 0 END AS lv
+        FROM edges e
+        LEFT JOIN core cu ON cu.u = e.u
+        LEFT JOIN core cv ON cv.u = e.v
+    ),
+    m AS (SELECT CAST(count(*) // 2 AS BIGINT) AS m FROM edges),
+    within AS (
+        SELECT CAST(sum(CASE WHEN lu = 1 AND lv = 1 THEN 1 ELSE 0 END) // 2
+                    AS BIGINT) AS e_core,
+               CAST(sum(CASE WHEN lu = 0 AND lv = 0 THEN 1 ELSE 0 END) // 2
+                    AS BIGINT) AS e_non,
+               CAST(sum(CASE WHEN lu != lv THEN 1 ELSE 0 END) // 2 AS BIGINT) AS cut
+        FROM lab
+    ),
+    degsum AS (
+        SELECT CAST(sum(CASE WHEN lu = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d_core,
+               CAST(sum(CASE WHEN lu = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d_non
+        FROM lab
+    )
+    SELECT CAST(m.m AS BIGINT) AS m_edges,
+           within.e_core, within.e_non, within.cut,
+           round(within.e_core / CAST(m.m AS DOUBLE)
+                 - pow(degsum.d_core / (2.0 * m.m), 2)
+                 + within.e_non / CAST(m.m AS DOUBLE)
+                 - pow(degsum.d_non / (2.0 * m.m), 2), 6) AS modularity
+    FROM m, within, degsum
+    """,
+)
+def q227_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the {{3-core, periphery}} bipartition of
+    the co-purchase graph: Q = Sigma_c [e_c/m − (d_c/2m)^2] — the
+    quality score that tells you whether a community assignment
+    (here q205's core membership; in production a Louvain/label-prop
+    output) beats the degree-preserving random baseline. Positive Q
+    means the split is real structure; Q near 0 means the peel found
+    density, not separation.
+
+    Scale: the peel is q205 (persisted edges, shrinking membership);
+    given ANY label relation, scoring is a single pass over edges
+    with two broadcast label joins — e_c, d_c, and the cut collapse
+    in one agg. All counts integer-exact; the final Q is four exact
+    integer ratios, rounded at 6.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    pairs = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .groupBy(F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .select("a", "b")
+    )
+    edges = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .persist()
+    )
+    cur = edges.select("u").distinct().localCheckpoint(eager=True)
+    n_cur = cur.count()
+    for _ in range(40):
+        nxt = (
+            edges.join(cur.withColumnRenamed("u", "cu"), F.col("u") == F.col("cu"))
+            .drop("cu")
+            .join(cur.withColumnRenamed("u", "cv"), F.col("v") == F.col("cv"))
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= _KCORE_K)
+            .select("u")
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        cur = nxt
+        if n_nxt == n_cur:
+            break
+        n_cur = n_nxt
+    else:
+        edges.unpersist()
+        raise RuntimeError("k-core peeling did not converge in 40 rounds")
+    core_u = cur.withColumnRenamed("u", "cu").withColumn("lu", F.lit(1))
+    core_v = cur.withColumnRenamed("u", "cv").withColumn("lv", F.lit(1))
+    lab = (
+        edges.join(F.broadcast(core_u), F.col("u") == F.col("cu"), "left")
+        .join(F.broadcast(core_v), F.col("v") == F.col("cv"), "left")
+        .select(
+            F.coalesce("lu", F.lit(0)).alias("lu"),
+            F.coalesce("lv", F.lit(0)).alias("lv"),
+        )
+    )
+    agg = lab.agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("m_edges"),
+        (F.sum(F.when((F.col("lu") == 1) & (F.col("lv") == 1), 1).otherwise(0)) / 2)
+        .cast("long")
+        .alias("e_core"),
+        (F.sum(F.when((F.col("lu") == 0) & (F.col("lv") == 0), 1).otherwise(0)) / 2)
+        .cast("long")
+        .alias("e_non"),
+        (F.sum(F.when(F.col("lu") != F.col("lv"), 1).otherwise(0)) / 2)
+        .cast("long")
+        .alias("cut"),
+        F.sum(F.when(F.col("lu") == 1, 1).otherwise(0)).alias("d_core"),
+        F.sum(F.when(F.col("lu") == 0, 1).otherwise(0)).alias("d_non"),
+    )
+    out = agg.select(
+        "m_edges",
+        "e_core",
+        "e_non",
+        "cut",
+        F.round(
+            F.col("e_core") / F.col("m_edges").cast("double")
+            - F.pow(F.col("d_core") / (2.0 * F.col("m_edges")), 2)
+            + F.col("e_non") / F.col("m_edges").cast("double")
+            - F.pow(F.col("d_non") / (2.0 * F.col("m_edges")), 2),
+            6,
+        ).alias("modularity"),
+    ).localCheckpoint(eager=True)
+    edges.unpersist()
+    return out

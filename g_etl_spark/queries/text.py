@@ -2053,3 +2053,106 @@ def q208_chunk_overlap_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("int").alias("chunk_len"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "q228_mixture_allocation",
+    oracle="""
+    WITH src AS MATERIALIZED (
+        SELECT source, CAST(sum(n_chars) AS BIGINT) AS toks
+        FROM documents GROUP BY 1
+    ),
+    w AS (
+        SELECT source, toks, sqrt(CAST(toks AS DOUBLE)) AS w FROM src
+    ),
+    tot AS (
+        SELECT sum(w) AS sw, CAST(sum(toks) AS BIGINT) AS budget FROM w
+    ),
+    firstpass AS MATERIALIZED (
+        SELECT w.source, w.toks, w.w,
+               w.w / tot.sw * tot.budget AS desired,
+               2.0 * w.toks AS cap,
+               least(w.w / tot.sw * tot.budget, 2.0 * w.toks) AS a1,
+               w.w / tot.sw * tot.budget > 2.0 * w.toks AS capped,
+               tot.budget AS budget, tot.sw AS sw
+        FROM w CROSS JOIN tot
+    ),
+    leftover AS (
+        SELECT max(budget) - sum(a1) AS l,
+               sum(CASE WHEN NOT capped THEN w ELSE 0 END) AS sw_unc
+        FROM firstpass
+    )
+    SELECT f.source, f.toks,
+           round(f.w / f.sw, 6) AS target_share,
+           round(least(f.a1 + CASE WHEN f.capped OR l.sw_unc = 0 THEN 0
+                                   ELSE f.w / l.sw_unc * l.l END, f.cap), 1)
+               AS alloc_tokens,
+           round(least(f.a1 + CASE WHEN f.capped OR l.sw_unc = 0 THEN 0
+                                   ELSE f.w / l.sw_unc * l.l END, f.cap)
+                 / f.toks, 4) AS epochs,
+           f.capped
+    FROM firstpass f CROSS JOIN leftover l
+    ORDER BY f.source
+    """,
+)
+def q228_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture allocator (the Llama/Gopher data-mixing
+    computation, q84's resampler turned into a BUDGET): per-source
+    token counts, temperature-0.5 target shares (w = sqrt(T) damps
+    the head source), a 2-epoch repetition cap per source, and one
+    proportional redistribution pass of the capped surplus to the
+    uncapped sources — emitting each source's token allocation and
+    implied epoch count. This is the planning step that precedes
+    q84's row-level sampling; epochs > 1 quantifies deliberate
+    repetition (the Muennighoff scaling-law knob).
+
+    Scale: ONE combining agg to the |sources|-row relation; shares,
+    caps, and the waterfill pass are arithmetic on that bounded
+    relation with two broadcast scalar attaches. Single-pass
+    redistribution is documented (a full waterfill iterates until no
+    new source caps; at |sources| rows that loop is driver-trivial
+    but one pass is already exact here because redistribution
+    re-caps).
+    """
+    d = load(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.sum("n_chars").alias("toks"))
+    w = src.select("source", "toks", F.sqrt(F.col("toks").cast("double")).alias("w"))
+    tot = w.agg(F.sum("w").alias("sw"), F.sum("toks").alias("budget"))
+    fp = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "toks",
+        "w",
+        "sw",
+        "budget",
+        (F.col("w") / F.col("sw") * F.col("budget")).alias("desired"),
+        (2.0 * F.col("toks")).alias("cap"),
+        F.least(F.col("w") / F.col("sw") * F.col("budget"), 2.0 * F.col("toks")).alias(
+            "a1"
+        ),
+        (F.col("w") / F.col("sw") * F.col("budget") > 2.0 * F.col("toks")).alias(
+            "capped"
+        ),
+    )
+    leftover = fp.agg(
+        (F.max("budget") - F.sum("a1")).alias("l"),
+        F.sum(F.when(~F.col("capped"), F.col("w")).otherwise(0.0)).alias("sw_unc"),
+    )
+    final_alloc = F.least(
+        F.col("a1")
+        + F.when((F.col("capped")) | (F.col("sw_unc") == 0), 0.0).otherwise(
+            F.col("w") / F.col("sw_unc") * F.col("l")
+        ),
+        F.col("cap"),
+    )
+    return (
+        fp.crossJoin(F.broadcast(leftover))
+        .select(
+            "source",
+            "toks",
+            F.round(F.col("w") / F.col("sw"), 6).alias("target_share"),
+            F.round(final_alloc, 1).alias("alloc_tokens"),
+            F.round(final_alloc / F.col("toks"), 4).alias("epochs"),
+            "capped",
+        )
+        .orderBy("source")
+    )

@@ -3298,3 +3298,106 @@ def q216_huber_irls_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_downweighted"
         ),
     ).orderBy("priority")
+
+
+@register(
+    "q226_pinball_quantile_eval",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+               CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS yc
+        FROM orders GROUP BY 1, 2
+    ),
+    tagged AS (
+        SELECT priority, d, yc,
+               CAST(d - DATE '1970-01-01' AS BIGINT) % 2 = 0 AS is_train
+        FROM daily
+    ),
+    tr AS MATERIALIZED (SELECT * FROM tagged WHERE is_train),
+    n_tr AS (SELECT priority, CAST(count(*) AS BIGINT) AS n FROM tr GROUP BY 1),
+    ranked AS (
+        SELECT priority, yc,
+               row_number() OVER (PARTITION BY priority ORDER BY yc, d) AS rk
+        FROM tr
+    ),
+    q90 AS MATERIALIZED (
+        SELECT r.priority, n_tr.n AS n_train, r.yc AS qc
+        FROM ranked r JOIN n_tr USING (priority)
+        WHERE r.rk = CAST(ceil(0.9 * n_tr.n) AS BIGINT)
+    ),
+    te AS (
+        SELECT t.priority, t.yc, q.qc, q.n_train
+        FROM tagged t JOIN q90 q USING (priority)
+        WHERE NOT t.is_train
+    )
+    SELECT priority, max(n_train) AS n_train,
+           CAST(count(*) AS BIGINT) AS n_test,
+           round(max(qc) / 100.0, 2) AS q90_revenue,
+           round(sum(CASE WHEN yc > qc THEN 0.9 * (yc - qc)
+                          ELSE 0.1 * (qc - yc) END) / (100.0 * count(*)), 4)
+               AS pinball_loss,
+           round(sum(CASE WHEN yc <= qc THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS coverage
+    FROM te
+    GROUP BY priority
+    ORDER BY priority
+    """,
+)
+def q226_pinball_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-forecast evaluation: fit the q90 of daily revenue per
+    priority on the training half (even epoch-days), score the
+    held-out half with the tau=0.9 pinball loss and empirical
+    coverage — the quantile sibling of q190's MASE point-forecast
+    backtest, and the metric that certifies a P90 capacity forecast.
+    Revenue quantizes to integer cents BEFORE ranking and loss (the
+    q211 contract), so the rank statistic, the loss numerator, and
+    the coverage count are all integer-exact cross-engine; division
+    happens once at the end.
+
+    Scale: corpus collapses to the calendar-bounded daily rollup in
+    one agg; the per-priority rank is a window over |train days|
+    rows; the loss is one more agg over |test days|. At 100 TB the
+    q160 log-histogram replaces the exact rank (q196/q197/q211's
+    documented path).
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(F.floor(F.sum("o_totalprice") * 100 + 0.5).cast("long").alias("yc"))
+    tagged = daily.withColumn(
+        "is_train", (F.datediff("d", F.lit("1970-01-01").cast("date")) % 2 == 0)
+    )
+    tr = tagged.where("is_train")
+    n_tr = tr.groupBy("priority").agg(F.count(F.lit(1)).alias("n"))
+    wq = Window.partitionBy("priority").orderBy("yc", "d")
+    ranked = tr.withColumn("rk", F.row_number().over(wq))
+    q90 = (
+        ranked.join(F.broadcast(n_tr), "priority")
+        .where(F.col("rk") == F.ceil(0.9 * F.col("n")).cast("long"))
+        .select("priority", F.col("n").alias("n_train"), F.col("yc").alias("qc"))
+    )
+    te = tagged.where(~F.col("is_train")).join(F.broadcast(q90), "priority")
+    return (
+        te.groupBy("priority")
+        .agg(
+            F.max("n_train").alias("n_train"),
+            F.count(F.lit(1)).alias("n_test"),
+            F.round(F.max("qc") / 100.0, 2).alias("q90_revenue"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("yc") > F.col("qc"), 0.9 * (F.col("yc") - F.col("qc"))
+                    ).otherwise(0.1 * (F.col("qc") - F.col("yc")))
+                )
+                / (100.0 * F.count(F.lit(1))),
+                4,
+            ).alias("pinball_loss"),
+            F.round(
+                F.sum(F.when(F.col("yc") <= F.col("qc"), 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("coverage"),
+        )
+        .orderBy("priority")
+    )

@@ -1936,3 +1936,83 @@ def test_q225_cuped_reduces_variance(spark, qs):
     assert 0 <= r["rho2"] <= 1
     assert r["cuped_se"] <= r["raw_se"] + 1e-6
     assert r["theta"] != 0
+
+
+def test_q226_pinball_properties(spark, qs):
+    """Coverage must be near-tau (quantile trained on half the days);
+    the pinball loss must be the tau-weighted identity recomputed
+    from the quoted quantile on the raw rollup."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    out = {r["priority"]: r for r in qs["q226_pinball_quantile_eval"](spark, SF_DIR).collect()}
+    daily = (
+        load(spark, SF_DIR, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("p"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(F.floor(F.sum("o_totalprice") * 100 + 0.5).cast("long").alias("yc"))
+        .collect()
+    )
+    import datetime
+
+    epoch = datetime.date(1970, 1, 1)
+    for p, r in out.items():
+        te = [
+            x["yc"]
+            for x in daily
+            if x["p"] == p and (x["d"] - epoch).days % 2 == 1
+        ]
+        tr = sorted(
+            (x["yc"], x["d"])
+            for x in daily
+            if x["p"] == p and (x["d"] - epoch).days % 2 == 0
+        )
+        import math
+
+        qc = tr[math.ceil(0.9 * len(tr)) - 1][0]
+        assert abs(r["q90_revenue"] - round(qc / 100.0, 2)) < 1e-9
+        loss = sum(
+            0.9 * (y - qc) if y > qc else 0.1 * (qc - y) for y in te
+        ) / (100.0 * len(te))
+        assert abs(r["pinball_loss"] - round(loss, 4)) < 1e-9
+        cov = sum(1 for y in te if y <= qc) / len(te)
+        assert abs(r["coverage"] - round(cov, 4)) < 1e-9
+        assert 0.75 <= r["coverage"] <= 1.0
+
+
+def test_q227_modularity_identities(spark, qs):
+    """e_core + e_non + cut == m; degree sums consistent; and Q must
+    equal the recomputed formula from the quoted integer counts."""
+    r = qs["q227_modularity_score"](spark, SF_DIR).collect()[0]
+    m = r["m_edges"]
+    assert r["e_core"] + r["e_non"] + r["cut"] == m
+    d_core = 2 * r["e_core"] + r["cut"]
+    d_non = 2 * r["e_non"] + r["cut"]
+    q = (
+        r["e_core"] / m
+        - (d_core / (2 * m)) ** 2
+        + r["e_non"] / m
+        - (d_non / (2 * m)) ** 2
+    )
+    assert abs(r["modularity"] - round(q, 6)) < 1e-9
+    assert -1.0 <= r["modularity"] <= 1.0
+
+
+def test_q228_allocation_conserves_budget_and_caps(spark, qs):
+    """Allocations must respect the 2-epoch cap, sum to (at most) the
+    budget, and uncapped sources must receive at least their desired
+    share after redistribution."""
+    rows = qs["q228_mixture_allocation"](spark, SF_DIR).collect()
+    assert rows
+    budget = sum(r["toks"] for r in rows)
+    total_alloc = sum(r["alloc_tokens"] for r in rows)
+    assert total_alloc <= budget + 1
+    for r in rows:
+        assert r["alloc_tokens"] <= 2.0 * r["toks"] + 0.1
+        assert abs(r["epochs"] - round(r["alloc_tokens"] / r["toks"], 4)) < 1e-2
+        if r["capped"]:
+            assert abs(r["alloc_tokens"] - 2.0 * r["toks"]) < 1
+    shares = sum(r["target_share"] for r in rows)
+    assert abs(shares - 1.0) < 1e-3
