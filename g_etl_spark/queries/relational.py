@@ -3595,3 +3595,79 @@ def q225_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt("sy"), 4).alias("cuped_se"),
         )
     )
+
+
+@register(
+    "q231_hill_tail_index",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+        FROM events WHERE value > 0
+    ),
+    ranked AS (
+        SELECT event_type, vc,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY vc DESC, event_id) AS rk
+        FROM ev
+    ),
+    thresh AS MATERIALIZED (
+        SELECT event_type, vc AS vk1 FROM ranked WHERE rk = 101
+    ),
+    top AS (
+        SELECT r.event_type, r.vc, t.vk1
+        FROM ranked r JOIN thresh t USING (event_type)
+        WHERE r.rk <= 100
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS k,
+           round(max(vk1) / 100.0, 2) AS threshold,
+           round(count(*) / sum(ln(CAST(vc AS DOUBLE) / vk1)), 4) AS hill_alpha
+    FROM top
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q231_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the tail index per event type (k=100 upper
+    order statistics): alpha = k / Sigma ln(x_(i)/x_(k+1)) — the
+    heavy-tail diagnostic that says whether means/variances are even
+    finite, and the principled version of q132's Zipf fit (Zipf fits
+    ranks of counts; Hill fits the value tail itself). Small alpha =
+    heavy tail = sketch/sample-based operators need tail-aware
+    bounds (q105's salting, q179's Gini both exist because of this).
+
+    Values quantize to cents before the rank (q211/q226's contract)
+    so the order statistics are integer-exact; ln runs on
+    identically-derived doubles and the 100-term sum rounds at 4.
+
+    Scale: one per-type window over the collapsed positive-value
+    relation for the rank (|types| partitions; the q160 sketch
+    replaces it at 100 TB), then a 100-row-per-type agg. Nothing
+    else touches the corpus.
+    """
+    e = load(spark, sf_dir, "events").where(F.col("value") > 0)
+    ev = e.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("vc"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("vc"), "event_id")
+    ranked = ev.withColumn("rk", F.row_number().over(w))
+    thresh = ranked.where(F.col("rk") == 101).select(
+        "event_type", F.col("vc").alias("vk1")
+    )
+    top = ranked.where(F.col("rk") <= 100).join(F.broadcast(thresh), "event_type")
+    return (
+        top.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.round(F.max("vk1") / 100.0, 2).alias("threshold"),
+            F.round(
+                F.count(F.lit(1))
+                / F.sum(F.log(F.col("vc").cast("double") / F.col("vk1"))),
+                4,
+            ).alias("hill_alpha"),
+        )
+        .orderBy("event_type")
+    )

@@ -2156,3 +2156,91 @@ def q228_mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q229_pr_curve_sweep",
+    oracle=f"""
+    WITH scored AS MATERIALIZED (
+        SELECT round(
+                   list_aggregate(
+                       list_transform({_TOKS},
+                           t -> CAST(CAST('0x' || substr(md5(t), 1, 8) AS UBIGINT)
+                                     AS BIGINT) / 4294967296.0 - 0.5),
+                       'sum') / greatest(len({_TOKS}), 1), 6) AS score,
+               lang = 'en' AS y
+        FROM documents
+    ),
+    th AS (SELECT (unnest(range(21)) - 10) / 100.0 AS t),
+    cells AS (
+        SELECT th.t,
+               CAST(sum(CASE WHEN s.score >= th.t AND s.y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN s.score >= th.t AND NOT s.y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN s.score < th.t AND s.y THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fn
+        FROM th CROSS JOIN scored s
+        GROUP BY th.t
+    )
+    SELECT round(t, 2) AS threshold, tp, fp, fn,
+           CAST(tp + fp AS BIGINT) AS n_pred,
+           round(tp / greatest(CAST(tp + fp AS DOUBLE), 1.0), 6) AS precision_,
+           round(tp / greatest(CAST(tp + fn AS DOUBLE), 1.0), 6) AS recall_,
+           round(2.0 * tp / greatest(CAST(2 * tp + fp + fn AS DOUBLE), 1.0), 6)
+               AS f1
+    FROM cells
+    ORDER BY threshold
+    """,
+)
+def q229_pr_curve_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep of the q134 hashed quality classifier
+    against the is-English label: precision / recall / F1 at 21
+    thresholds — the curve that picks a production cutoff, where
+    q177's AUC only summarizes ranking (and on this uncorrelated
+    hash-model the flat curve IS the correct finding: the harness
+    reports chance-level precision at every threshold; zero-division
+    cells use the max(.,1) guard identically in both engines).
+
+    Scale: scores are q134's scan-speed projection (rounded at 6
+    BEFORE thresholding so the comparison never rides on float
+    summation order); the sweep is a 21-way broadcast fan-out of a
+    2-value label relation collapsing straight into a 21-row
+    combining agg — the same bounded-grid shape as q178's
+    calibration bins. One corpus pass, one 21-cell exchange.
+    """
+    from g_etl_spark.operators import text as T
+
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    weight = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        / F.lit(4294967296.0)
+        - F.lit(0.5)
+    )
+    score = F.round(
+        F.aggregate(F.transform(toks, weight), F.lit(0.0), lambda acc, x: acc + x)
+        / F.greatest(F.size(toks), F.lit(1)),
+        6,
+    )
+    scored = d.select(score.alias("score"), (F.col("lang") == "en").alias("y"))
+    th = spark.range(21).select(((F.col("id") - 10) / 100.0).alias("t"))
+    cells = (
+        scored.crossJoin(F.broadcast(th))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when((F.col("score") >= F.col("t")) & F.col("y"), 1).otherwise(0)).alias("tp"),
+            F.sum(F.when((F.col("score") >= F.col("t")) & ~F.col("y"), 1).otherwise(0)).alias("fp"),
+            F.sum(F.when((F.col("score") < F.col("t")) & F.col("y"), 1).otherwise(0)).alias("fn"),
+        )
+    )
+    return cells.select(
+        F.round("t", 2).alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        (F.col("tp") + F.col("fp")).alias("n_pred"),
+        F.round(F.col("tp") / F.greatest((F.col("tp") + F.col("fp")).cast("double"), F.lit(1.0)), 6).alias("precision_"),
+        F.round(F.col("tp") / F.greatest((F.col("tp") + F.col("fn")).cast("double"), F.lit(1.0)), 6).alias("recall_"),
+        F.round(2.0 * F.col("tp") / F.greatest((2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"), F.lit(1.0)), 6).alias("f1"),
+    ).orderBy("threshold")

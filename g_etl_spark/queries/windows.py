@@ -3401,3 +3401,118 @@ def q226_pinball_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "q230_session_covisitation",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, item,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gaps
+    ),
+    si AS MATERIALIZED (
+        SELECT DISTINCT user_id, sid, item FROM sess
+    ),
+    n_sess AS (SELECT CAST(count(DISTINCT (user_id, sid)) AS BIGINT) AS s FROM si),
+    singles AS MATERIALIZED (
+        SELECT item, CAST(count(*) AS BIGINT) AS c FROM si GROUP BY item
+    ),
+    pairs AS (
+        SELECT a.item AS ia, b.item AS ib, CAST(count(*) AS BIGINT) AS n_co
+        FROM si a JOIN si b
+          ON a.user_id = b.user_id AND a.sid = b.sid AND a.item < b.item
+        GROUP BY 1, 2
+    )
+    SELECT p.ia, p.ib, p.n_co,
+           ca.c AS n_a, cb.c AS n_b,
+           round(p.n_co * (SELECT s FROM n_sess)
+                 / CAST(ca.c * cb.c AS DOUBLE), 4) AS lift
+    FROM pairs p
+    JOIN singles ca ON ca.item = p.ia
+    JOIN singles cb ON cb.item = p.ib
+    ORDER BY p.n_co DESC, p.ia, p.ib
+    LIMIT 20
+    """,
+)
+def q230_session_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session co-visitation ("viewed together in one sitting"): item
+    pairs (props.k) sharing a 30-minute session, with session-lift
+    n_co*S/(n_a*n_b) — the TEMPORAL co-occurrence signal, distinct
+    from q218/q175's basket co-purchase (same order) and q133's PMI
+    (same document): covisitation is what powers "people also
+    viewed" and is the input q141's association rules mine.
+
+    Scale: sessionization is the one user-keyed window (q28's
+    exchange); per-session distinct items bound the pair join by
+    Sigma |session items|^2 — session length is capped by human
+    behavior (q101's per-order bound, with time doing the capping);
+    singles and the session count are small rollups broadcast back.
+    Lift divides exact integers; ordering is by integer n_co with
+    (ia, ib) tie-break — no float in the rank.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    sess = gaps.withColumn(
+        "sid", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    si = sess.select("user_id", "sid", "item").distinct().persist()
+    n_sess = si.select("user_id", "sid").distinct().agg(F.count(F.lit(1)).alias("s"))
+    singles = si.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    a, b = si.alias("a"), si.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("ia"), F.col("b.item").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    ca = singles.select(F.col("item").alias("ia"), F.col("c").alias("n_a"))
+    cb = singles.select(F.col("item").alias("ib"), F.col("c").alias("n_b"))
+    out = (
+        pairs.join(F.broadcast(ca), "ia")
+        .join(F.broadcast(cb), "ib")
+        .crossJoin(F.broadcast(n_sess))
+        .select(
+            "ia",
+            "ib",
+            "n_co",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_co") * F.col("s") / (F.col("n_a") * F.col("n_b")).cast("double"),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_co"), "ia", "ib")
+        .limit(20)
+        .localCheckpoint(eager=True)
+    )
+    si.unpersist()
+    return out

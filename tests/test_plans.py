@@ -2016,3 +2016,97 @@ def test_q228_allocation_conserves_budget_and_caps(spark, qs):
             assert abs(r["alloc_tokens"] - 2.0 * r["toks"]) < 1
     shares = sum(r["target_share"] for r in rows)
     assert abs(shares - 1.0) < 1e-3
+
+
+def test_q229_pr_monotone_recall_and_chance_precision(spark, qs):
+    """Recall must be non-increasing in the threshold; at the lowest
+    threshold everything is predicted positive (recall 1, precision =
+    base rate); counts must tie out to the corpus."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    rows = qs["q229_pr_curve_sweep"](spark, SF_DIR).collect()
+    assert len(rows) == 21
+    rec = [r["recall_"] for r in rows]
+    assert all(a >= b - 1e-9 for a, b in zip(rec, rec[1:]))
+    d = load(spark, SF_DIR, "documents")
+    n = d.count()
+    n_pos = d.where(F.col("lang") == "en").count()
+    preds = [r["n_pred"] for r in rows]
+    assert all(a >= b for a, b in zip(preds, preds[1:]))  # monotone sweep
+    assert preds[0] > preds[-1]  # the grid actually separates
+    for r in rows:
+        assert r["tp"] + r["fn"] == n_pos
+        assert r["n_pred"] == r["tp"] + r["fp"] <= n
+
+
+def test_q230_covisitation_matches_python_replay(spark, qs):
+    """Top-20 pair counts replayed in pure Python (sessionize,
+    distinct items per session, pair count, lift)."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    rows = qs["q230_session_covisitation"](spark, SF_DIR).collect()
+    ev = (
+        load(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", F.get_json_object("props", "$.k").cast("long").alias("item"))
+        .collect()
+    )
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], r["item"]))
+    sessions = []
+    for _, rws in by_user.items():
+        rws.sort()
+        cur = [rws[0]]
+        for prev, nxt in zip(rws, rws[1:]):
+            if (nxt[0] - prev[0]).total_seconds() > 1800:
+                sessions.append(cur)
+                cur = []
+            cur.append(nxt)
+        sessions.append(cur)
+    s_count = len(sessions)
+    singles: dict = {}
+    pairs: dict = {}
+    for s in sessions:
+        items = sorted({it for _, _, it in s})
+        for it in items:
+            singles[it] = singles.get(it, 0) + 1
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                pairs[(items[i], items[j])] = pairs.get((items[i], items[j]), 0) + 1
+    want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [((r["ia"], r["ib"]), r["n_co"]) for r in rows]
+    assert got == want
+    for r in rows:
+        assert r["n_a"] == singles[r["ia"]] and r["n_b"] == singles[r["ib"]]
+        assert abs(r["lift"] - round(r["n_co"] * s_count / (r["n_a"] * r["n_b"]), 4)) < 1e-9
+
+
+def test_q231_hill_matches_numpy(spark, qs):
+    """Hill alpha replayed from the exact top-101 order statistics."""
+    import math
+
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    out = {r["event_type"]: r for r in qs["q231_hill_tail_index"](spark, SF_DIR).collect()}
+    ev = (
+        load(spark, SF_DIR, "events")
+        .where(F.col("value") > 0)
+        .select("event_type", "event_id", F.floor(F.col("value") * 100 + 0.5).cast("long").alias("vc"))
+        .collect()
+    )
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append((-r["vc"], r["event_id"], r["vc"]))
+    for t, rws in by_type.items():
+        rws.sort()
+        top = [vc for _, _, vc in rws[:100]]
+        vk1 = rws[100][2]
+        alpha = 100 / sum(math.log(v / vk1) for v in top)
+        r = out[t]
+        assert r["k"] == 100
+        assert abs(r["threshold"] - round(vk1 / 100.0, 2)) < 1e-9
+        assert abs(r["hill_alpha"] - round(alpha, 4)) < 1e-3
+        assert r["hill_alpha"] > 0
