@@ -17,7 +17,7 @@ to the exchange for each query here.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from g_etl_spark.functions import grid
 from g_etl_spark.queries import register
@@ -928,3 +928,78 @@ def q214_dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nbr.unpersist()
     return out
+
+
+@register(
+    "q232_tile_od_flows",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(({LNG_SQL} + 180.0) / 360.0 * {_TILE_N}) AS BIGINT)
+                   AS tx,
+               CAST(floor((1.0 - ln(tan(radians({LAT_SQL}))
+                                    + 1.0 / cos(radians({LAT_SQL}))) / pi())
+                          / 2.0 * {_TILE_N}) AS BIGINT) AS ty
+        FROM events
+    ),
+    hops AS (
+        SELECT tx, ty,
+               lead(tx) OVER w AS ntx, lead(ty) OVER w AS nty
+        FROM pts
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT tx AS from_tx, ty AS from_ty, ntx AS to_tx, nty AS to_ty,
+           CAST(count(*) AS BIGINT) AS n_trips
+    FROM hops
+    WHERE ntx IS NOT NULL AND (ntx != tx OR nty != ty)
+    GROUP BY 1, 2, 3, 4
+    ORDER BY n_trips DESC, from_tx, from_ty, to_tx, to_ty
+    LIMIT 20
+    """,
+)
+def q232_tile_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix at z12 tiles: consecutive
+    events per user become tile-to-tile trips (self-loops dropped),
+    top-20 flows — the movement-analytics rollup (commute matrices,
+    content-navigation flows) that composes the q195 tile math with
+    the q127 per-user transition shape; the spatial twin of q127's
+    type-transition matrix.
+
+    Scale: tile assignment is map-side codegen scalar math; the hop
+    pairing is ONE user-keyed window (lead over the same sort the
+    sessionizers reuse); the OD rollup collapses to occupied tile
+    PAIRS (sparse — bounded by observed movement, not the tile
+    grid squared); TakeOrdered for the top-k. One corpus exchange.
+    """
+    pts = _points(spark, sf_dir)
+    lat_r = F.radians(F.col("lat"))
+    tx = F.floor((F.col("lng") + 180.0) / 360.0 * _TILE_N).cast("long")
+    ty = F.floor(
+        (1.0 - F.log(F.tan(lat_r) + 1.0 / F.cos(lat_r)) / F.lit(3.141592653589793))
+        / 2.0
+        * _TILE_N
+    ).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = pts.select(
+        "user_id", "ts", "event_id", tx.alias("tx"), ty.alias("ty")
+    ).select(
+        "tx",
+        "ty",
+        F.lead("tx").over(w).alias("ntx"),
+        F.lead("ty").over(w).alias("nty"),
+    )
+    return (
+        hops.where(
+            F.col("ntx").isNotNull()
+            & ((F.col("ntx") != F.col("tx")) | (F.col("nty") != F.col("ty")))
+        )
+        .groupBy(
+            F.col("tx").alias("from_tx"),
+            F.col("ty").alias("from_ty"),
+            F.col("ntx").alias("to_tx"),
+            F.col("nty").alias("to_ty"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_trips"))
+        .orderBy(F.desc("n_trips"), "from_tx", "from_ty", "to_tx", "to_ty")
+        .limit(20)
+    )

