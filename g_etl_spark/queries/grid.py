@@ -1003,3 +1003,113 @@ def q232_tile_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_trips"), "from_tx", "from_ty", "to_tx", "to_ty")
         .limit(20)
     )
+
+
+@register(
+    "q236_spatial_scan_llr",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_type,
+               CAST(floor(({LNG_SQL} + 180.0) / 360.0 * {_TILE_N}) AS BIGINT)
+                   AS tx,
+               CAST(floor((1.0 - ln(tan(radians({LAT_SQL}))
+                                    + 1.0 / cos(radians({LAT_SQL}))) / pi())
+                          / 2.0 * {_TILE_N}) AS BIGINT) AS ty
+        FROM events
+    ),
+    cells AS MATERIALIZED (
+        SELECT tx, ty,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c
+        FROM pts GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(c) AS BIGINT) AS cc
+        FROM cells
+    )
+    SELECT c.tx, c.ty, c.n, c.c,
+           round(c.c / CAST(c.n AS DOUBLE), 4) AS rate,
+           round((SELECT cc / CAST(nn AS DOUBLE) FROM tot), 4) AS base_rate,
+           round(CASE
+               WHEN c.c = 0 OR c.c = c.n OR c.c * t.nn <= c.n * t.cc THEN 0.0
+               ELSE c.c * ln((c.c / CAST(c.n AS DOUBLE))
+                             / (t.cc / CAST(t.nn AS DOUBLE)))
+                    + (c.n - c.c) * ln(((c.n - c.c) / CAST(c.n AS DOUBLE))
+                                       / ((t.nn - t.cc) / CAST(t.nn AS DOUBLE)))
+           END, 4) AS llr
+    FROM cells c CROSS JOIN tot t
+    ORDER BY round(CASE
+               WHEN c.c = 0 OR c.c = c.n OR c.c * t.nn <= c.n * t.cc THEN 0.0
+               ELSE c.c * ln((c.c / CAST(c.n AS DOUBLE))
+                             / (t.cc / CAST(t.nn AS DOUBLE)))
+                    + (c.n - c.c) * ln(((c.n - c.c) / CAST(c.n AS DOUBLE))
+                                       / ((t.nn - t.cc) / CAST(t.nn AS DOUBLE)))
+           END, 4) DESC, c.tx, c.ty
+    LIMIT 20
+    """,
+)
+def q236_spatial_scan_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial scan statistic (Kulldorff Bernoulli log-likelihood
+    ratio, single-tile windows): which z12 tiles have a purchase
+    rate anomalously ABOVE the global base rate — the
+    disease-cluster / fraud-hotspot detector, and the principled
+    upgrade of q170's raw-density hotspots (density finds where
+    events ARE; the LLR finds where the CASE MIX is wrong). The
+    over-rate gate (c*NN <= n*CC -> 0) is evaluated on exact
+    integers, so the only floats are inside ln() on
+    identically-derived ratios, rounded at 4 BEFORE the rank with
+    (tx, ty) tie-break.
+
+    Scale: one combining agg to occupied-tile (n, c) cells, a 2-cell
+    total broadcast back, map-side LLR arithmetic, TakeOrdered — the
+    q195 serving shape with a statistic instead of a count. The full
+    Kulldorff variable-radius scan runs this same LLR over the q209
+    kernel's neighbor-explode unions.
+    """
+    pts = _points(spark, sf_dir)
+    lat_r = F.radians(F.col("lat"))
+    tx = F.floor((F.col("lng") + 180.0) / 360.0 * _TILE_N).cast("long")
+    ty = F.floor(
+        (1.0 - F.log(F.tan(lat_r) + 1.0 / F.cos(lat_r)) / F.lit(3.141592653589793))
+        / 2.0
+        * _TILE_N
+    ).cast("long")
+    cells = (
+        pts.select(tx.alias("tx"), ty.alias("ty"), "event_type")
+        .groupBy("tx", "ty")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c"),
+        )
+    )
+    tot = cells.agg(F.sum("n").alias("nn"), F.sum("c").alias("cc"))
+    j = cells.crossJoin(F.broadcast(tot))
+    p_in = F.col("c") / F.col("n").cast("double")
+    p_out = F.col("cc") / F.col("nn").cast("double")
+    q_in = (F.col("n") - F.col("c")) / F.col("n").cast("double")
+    q_out = (F.col("nn") - F.col("cc")) / F.col("nn").cast("double")
+    llr = F.round(
+        F.when(
+            (F.col("c") == 0)
+            | (F.col("c") == F.col("n"))
+            | (F.col("c") * F.col("nn") <= F.col("n") * F.col("cc")),
+            0.0,
+        ).otherwise(
+            F.col("c") * F.log(p_in / p_out) + (F.col("n") - F.col("c")) * F.log(q_in / q_out)
+        ),
+        4,
+    )
+    return (
+        j.select(
+            "tx",
+            "ty",
+            "n",
+            "c",
+            F.round(p_in, 4).alias("rate"),
+            F.round(p_out, 4).alias("base_rate"),
+            llr.alias("llr"),
+        )
+        .orderBy(F.desc("llr"), "tx", "ty")
+        .limit(20)
+    )

@@ -360,7 +360,11 @@ def q222_stream_watermark_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     values are event-time micros minus a constant, so no comparison
     ever lands on a float or a tie.
 
-    Scale: this is the production shape itself — file-source
+    Scale: the ntile(4) chunk staging is a GLOBAL window — fine
+    here because staging is the TEST HARNESS (in production the
+    arrival chunks are the ingest files themselves, no sort
+    anywhere); the operator under test is the streaming pipeline.
+    Otherwise this is the production shape itself — file-source
     restarts with a durable checkpoint, bounded window state (the
     watermark reaps it), parquet sink. State at any moment is
     |open windows| x |keys|, not corpus; the restart loop proves the

@@ -3516,3 +3516,148 @@ def q230_session_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     si.unpersist()
     return out
+
+
+_HW_A, _HW_B, _HW_G = 0.3, 0.1, 0.2  # level / trend / seasonal gains
+
+_HW_S_UPD = ",\n               ".join(
+    f"CASE WHEN (h.i % 7) = {k} THEN {_HW_G} * (x.y - ({_HW_A} * (x.y - h.s{k})"
+    f" + {1 - _HW_A} * (h.l + h.b))) + {1 - _HW_G} * h.s{k} ELSE h.s{k} END"
+    for k in range(7)
+)
+_HW_SJ = "CASE " + " ".join(
+    f"WHEN (h.i % 7) = {k} THEN h.s{k}" for k in range(7)
+) + " END"
+
+
+@register(
+    "q237_holt_winters_seasonal",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+               sum(o_totalprice) AS y
+        FROM orders GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT priority, y,
+               row_number() OVER (PARTITION BY priority ORDER BY d) AS i,
+               count(*) OVER (PARTITION BY priority) AS n
+        FROM daily
+    ),
+    first7 AS (
+        SELECT priority,
+               sum(CASE WHEN i <= 7 THEN y ELSE 0 END) / 7.0 AS l7,
+               {", ".join(f"max(CASE WHEN i = {k + 1} THEN y END) - sum(CASE WHEN i <= 7 THEN y ELSE 0 END) / 7.0 AS s{k}" for k in range(7))}
+        FROM idx GROUP BY priority
+    ),
+    hw AS (
+        SELECT f.priority, CAST(7 AS BIGINT) AS i, l7 AS l,
+               CAST(0 AS DOUBLE) AS b,
+               {", ".join(f"s{k}" for k in range(7))},
+               CAST(0 AS DOUBLE) AS sse
+        FROM first7 f
+        UNION ALL
+        SELECT x.priority, x.i, 
+               {_HW_A} * (x.y - ({_HW_SJ})) + {1 - _HW_A} * (h.l + h.b),
+               {_HW_B} * (({_HW_A} * (x.y - ({_HW_SJ})) + {1 - _HW_A} * (h.l + h.b)) - h.l)
+                   + {1 - _HW_B} * h.b,
+               {_HW_S_UPD},
+               h.sse + (x.y - (h.l + h.b + ({_HW_SJ})))
+                     * (x.y - (h.l + h.b + ({_HW_SJ})))
+        FROM hw h JOIN idx x ON x.priority = h.priority AND x.i = h.i + 1
+    ),
+    fin AS (
+        SELECT hw.*, idx.n FROM hw
+        JOIN (SELECT DISTINCT priority, n FROM idx) idx USING (priority)
+        WHERE hw.i = idx.n
+    )
+    SELECT priority, CAST(n AS BIGINT) AS n_days,
+           round(l, 4) AS level, round(b, 4) AS trend,
+           round(l + 1 * b + (CASE {" ".join(f"WHEN ((i + 1 - 1) % 7) = {k} THEN s{k}" for k in range(7))} END), 4)
+               AS forecast_h1,
+           round(l + 7 * b + (CASE {" ".join(f"WHEN ((i + 7 - 1) % 7) = {k} THEN s{k}" for k in range(7))} END), 4)
+               AS forecast_h7,
+           round(sse / (n - 7), 4) AS mse
+    FROM fin
+    ORDER BY priority
+    """,
+)
+def q237_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Holt-Winters additive smoothing (level + trend + 7-day
+    seasonality; alpha/beta/gamma = 0.3/0.1/0.2) of daily revenue per
+    priority, with the h=1 and h=7 forecasts and one-step-ahead MSE —
+    the seasonal completion of q206 (level+trend) and q151 (seasonal
+    baseline without smoothing). Init: l = mean of the first week,
+    b = 0, seasonal = first-week deviations.
+
+    The accumulator is a STRUCT CARRYING A 7-ELEMENT SEASONAL ARRAY,
+    updated in-place by an indexed transform inside one JVM
+    F.aggregate — the general recipe for vector-state recurrences
+    (Kalman-style filters follow the same shape). The oracle runs
+    the identical recurrence as a recursive CTE with the seasonal
+    vector unrolled into 7 columns; both engines evaluate the same
+    IEEE expression trees, so round(.,4) compares exactly.
+
+    Scale: identical contract to q206 — ONE combining agg collapses
+    the corpus to the calendar-bounded rollup; the recurrence runs
+    per group over a sort_array'd series, cost invariant in corpus
+    size.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(F.sum("o_totalprice").alias("y"))
+    series = daily.groupBy("priority").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "y"))), lambda s: s["y"]
+        ).alias("ys")
+    )
+    first7 = F.aggregate(
+        F.slice("ys", 1, 7), F.lit(0.0), lambda acc, y: acc + y
+    ) / 7.0
+    acc0 = F.struct(
+        F.lit(7).cast("long").alias("i"),
+        first7.alias("l"),
+        F.lit(0.0).alias("b"),
+        F.transform(F.slice("ys", 1, 7), lambda y: y - first7).alias("s"),
+        F.lit(0.0).alias("sse"),
+    )
+
+    def step(acc, y):
+        j = acc["i"] % 7
+        sj = F.element_at(acc["s"], (j + 1).cast("int"))
+        l_new = _HW_A * (y - sj) + (1 - _HW_A) * (acc["l"] + acc["b"])
+        b_new = _HW_B * (l_new - acc["l"]) + (1 - _HW_B) * acc["b"]
+        s_new = F.transform(
+            acc["s"],
+            lambda v, idx: F.when(
+                idx.cast("long") == j, _HW_G * (y - l_new) + (1 - _HW_G) * v
+            ).otherwise(v),
+        )
+        err = y - (acc["l"] + acc["b"] + sj)
+        return F.struct(
+            (acc["i"] + 1).alias("i"),
+            l_new.alias("l"),
+            b_new.alias("b"),
+            s_new.alias("s"),
+            (acc["sse"] + err * err).alias("sse"),
+        )
+
+    fit = series.select(
+        "priority",
+        F.size("ys").alias("n_days"),
+        F.aggregate(F.slice("ys", 8, F.size("ys") - 7), acc0, step).alias("h"),
+    )
+    sj_h = lambda h: F.element_at(  # noqa: E731
+        F.col("h.s"), ((F.col("h.i") + h - 1) % 7 + 1).cast("int")
+    )
+    return fit.select(
+        "priority",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.round(F.col("h.l"), 4).alias("level"),
+        F.round(F.col("h.b"), 4).alias("trend"),
+        F.round(F.col("h.l") + 1 * F.col("h.b") + sj_h(1), 4).alias("forecast_h1"),
+        F.round(F.col("h.l") + 7 * F.col("h.b") + sj_h(7), 4).alias("forecast_h7"),
+        F.round(F.col("h.sse") / (F.col("n_days") - 7), 4).alias("mse"),
+    ).orderBy("priority")

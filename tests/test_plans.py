@@ -2168,3 +2168,91 @@ def test_q234_inventory_counts_planted_pii_exactly(spark, qs):
     # every doc has at least the planted email+phone -> rate is 1.0
     assert all(abs(r["pii_doc_rate"] - 1.0) < 1e-9 for r in rows)
     assert sum(r["phones"] for r in rows) >= len(ids)  # planted + any natural
+
+
+def test_bucketed_smb_join_plans_without_exchange(spark, tmp_path):
+    """Bucketing contract: two tables bucketed on the join key must
+    sort-merge join with NO Exchange on either side (the co-located
+    join strategy SURVEY's scale plan names for repeated big joins).
+    """
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    o = load(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_extendedprice")
+    spark.sql("DROP TABLE IF EXISTS smb_orders")
+    spark.sql("DROP TABLE IF EXISTS smb_lineitem")
+    (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("smb_orders"))
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("smb_lineitem"))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("smb_orders").join(
+            spark.table("smb_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan
+        # neither side may shuffle: bucket layout IS the partitioning
+        assert "Exchange" not in plan
+        n = j.count()
+        assert n == load(spark, SF_DIR, "lineitem").count()  # FK join fans 1:1
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS smb_orders")
+        spark.sql("DROP TABLE IF EXISTS smb_lineitem")
+
+
+def test_q237_holt_winters_matches_pure_python(spark, qs):
+    """Full pure-Python replay of the seasonal recurrence, including
+    the 7-element state vector and both forecasts."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    out = {r["priority"]: r for r in qs["q237_holt_winters_seasonal"](spark, SF_DIR).collect()}
+    daily = (
+        load(spark, SF_DIR, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("p"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(F.sum("o_totalprice").alias("y"))
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r["p"], []).append((r["d"], r["y"]))
+    A, B, G = 0.3, 0.1, 0.2
+    for p, pts in series.items():
+        ys = [y for _, y in sorted(pts)]
+        l = sum(ys[:7]) / 7.0
+        b = 0.0
+        s = [y - l for y in ys[:7]]
+        sse = 0.0
+        i = 7
+        for y in ys[7:]:
+            j = i % 7
+            err = y - (l + b + s[j])
+            l_new = A * (y - s[j]) + (1 - A) * (l + b)
+            b = B * (l_new - l) + (1 - B) * b
+            s[j] = G * (y - l_new) + (1 - G) * s[j]
+            sse += err * err
+            l = l_new
+            i += 1
+        r = out[p]
+        assert r["n_days"] == len(ys)
+        assert abs(r["level"] - round(l, 4)) < 1e-6
+        assert abs(r["trend"] - round(b, 4)) < 1e-6
+        assert abs(r["forecast_h1"] - round(l + b + s[i % 7], 4)) < 1e-6
+        assert abs(r["forecast_h7"] - round(l + 7 * b + s[(i + 6) % 7], 4)) < 1e-6
+        assert abs(r["mse"] - round(sse / (len(ys) - 7), 4)) < 1e-6
+
+
+def test_q236_llr_zero_iff_not_overrate(spark, qs):
+    """LLR must be 0 exactly when the cell is not above base rate,
+    positive otherwise, and the top cell must beat the base rate."""
+    rows = qs["q236_spatial_scan_llr"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r["llr"] > 0:
+            assert r["rate"] > r["base_rate"] - 1e-9
+        assert r["llr"] >= 0
