@@ -3661,3 +3661,206 @@ def q237_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("h.l") + 7 * F.col("h.b") + sj_h(7), 4).alias("forecast_h7"),
         F.round(F.col("h.sse") / (F.col("n_days") - 7), 4).alias("mse"),
     ).orderBy("priority")
+
+
+@register(
+    "q235_optimal_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+        SELECT event_type, d, y,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS i,
+               count(*) OVER (PARTITION BY event_type) AS n,
+               sum(y) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(y) OVER (PARTITION BY event_type) AS tot
+        FROM daily
+    ),
+    splits AS (
+        SELECT event_type, d, i, n, cum, tot,
+               -- between-group sum of squares of the (1..i | i+1..n) split
+               (CAST(cum AS DOUBLE) * n - CAST(tot AS DOUBLE) * i)
+               * (CAST(cum AS DOUBLE) * n - CAST(tot AS DOUBLE) * i)
+               / (CAST(i AS DOUBLE) * (n - i) * n * n) AS bss
+        FROM idx WHERE i < n
+    ),
+    best AS (
+        SELECT event_type, d, i, n, cum, tot, bss,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY round(bss, 6) DESC, d) AS rk
+        FROM splits
+        QUALIFY rk = 1
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS change_day,
+           CAST(i AS BIGINT) AS split_at, CAST(n AS BIGINT) AS n_days,
+           round(CAST(cum AS DOUBLE) / i, 4) AS mean_before,
+           round(CAST(tot - cum AS DOUBLE) / (n - i), 4) AS mean_after,
+           round(bss, 4) AS bss
+    FROM best
+    ORDER BY event_type
+    """,
+)
+def q235_optimal_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-optimal single changepoint per event type (binary
+    segmentation, first split): the day that maximizes the
+    between-segment sum of squares n_l*n_r/n*(mean_l - mean_r)^2 —
+    the least-squares change detector that complements q155's CUSUM
+    (CUSUM needs a threshold and detects ONLINE; this finds the
+    single best OFFLINE split, and recursing on each side is the
+    standard binary-segmentation tree). The BSS simplifies to
+    (cum*n - tot*i)^2 / (i*(n-i)*n^2), whose numerator is exact
+    integer arithmetic — only the final division is float, rounded
+    at 6 BEFORE the argmax rank with the day as tie-break.
+
+    Scale: the corpus collapses to the |types| x |days| rollup; the
+    cumulative sum and the argmax are windows over that
+    calendar-bounded relation partitioned by type. One corpus
+    exchange, everything after is bounded.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("d")
+    idx = daily.select(
+        "event_type",
+        "d",
+        "y",
+        F.row_number().over(wo).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("y").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("y").over(wp).alias("tot"),
+    )
+    num = F.col("cum").cast("double") * F.col("n") - F.col("tot").cast("double") * F.col("i")
+    bss = num * num / (
+        F.col("i").cast("double") * (F.col("n") - F.col("i")) * F.col("n") * F.col("n")
+    )
+    splits = idx.where(F.col("i") < F.col("n")).withColumn("bss", bss)
+    wr = Window.partitionBy("event_type").orderBy(F.desc(F.round(F.col("bss"), 6)), "d")
+    best = splits.withColumn("rk", F.row_number().over(wr)).where(F.col("rk") == 1)
+    return best.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("change_day"),
+        F.col("i").cast("long").alias("split_at"),
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("cum").cast("double") / F.col("i"), 4).alias("mean_before"),
+        F.round(
+            (F.col("tot") - F.col("cum")).cast("double") / (F.col("n") - F.col("i")), 4
+        ).alias("mean_after"),
+        F.round("bss", 4).alias("bss"),
+    ).orderBy("event_type")
+
+
+_GST_BOUNDS = [
+    (1, 4.333), (2, 2.963), (3, 2.359), (4, 2.014),
+]  # O'Brien-Fleming z boundaries for 4 equally-spaced looks
+
+
+@register(
+    "q238_group_sequential_test",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id % 2 = 1 AS treated, value,
+               ntile(4) OVER (ORDER BY ts, event_id) AS look
+        FROM events
+    ),
+    looks AS (
+        SELECT l.k, e.treated,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(e.value) AS sv,
+               sum(e.value * e.value) AS svv
+        FROM ev e JOIN (SELECT unnest(range(1, 5)) AS k) l ON e.look <= l.k
+        GROUP BY 1, 2
+    ),
+    arms AS (
+        SELECT k, treated, n, sv / n AS mean,
+               (svv - sv * sv / n) / (n - 1) AS var
+        FROM looks
+    ),
+    z AS (
+        SELECT a.k,
+               CAST(a.n + b.n AS BIGINT) AS n_total,
+               (a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n) AS z
+        FROM arms a JOIN arms b ON a.k = b.k AND a.treated AND NOT b.treated
+    ),
+    bounds (k, c) AS (VALUES {", ".join(f"({k}, {c})" for k, c in _GST_BOUNDS)})
+    SELECT z.k AS look, z.n_total, round(z.z, 4) AS z_stat,
+           bounds.c AS obf_bound,
+           CAST(abs(z.z) > bounds.c AS BOOLEAN) AS significant
+    FROM z JOIN bounds ON bounds.k = z.k
+    ORDER BY z.k
+    """,
+)
+def q238_group_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitoring with O'Brien-Fleming stopping
+    boundaries at 4 equally-spaced looks: the cumulative Welch z at
+    each interim analysis against the OBF critical value — the
+    peeking-safe readout that lets an experimenter stop early
+    without inflating alpha (the sequential completion of the
+    q150 -> q221 -> q225 experimentation stack; q150's single z IS
+    look 4 with boundary 1.96-ish). Looks are arrival quartiles
+    (ntile over event time), so each interim set is a prefix —
+    exactly what a live dashboard sees.
+
+    Scale: the look fan-out joins each event to the looks it has
+    entered (<=4x), collapsing immediately into per-(look, arm)
+    mergeable moments — one corpus exchange into a 8-cell relation;
+    the z and boundary comparison are arithmetic on those cells.
+    The ntile over arrival is the staging knob: in production the
+    look id comes from the batch/ingest date (no sort), the q222
+    staging argument.
+    """
+    e = load(spark, sf_dir, "events")
+    look = F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    ev = e.select(
+        (F.col("user_id") % 2 == 1).alias("treated"), "value", look.alias("look")
+    )
+    ks = spark.range(1, 5).select(F.col("id").alias("k"))
+    looks = (
+        ev.crossJoin(F.broadcast(ks))
+        .where(F.col("look") <= F.col("k"))
+        .groupBy("k", "treated")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sv"),
+            F.sum(F.col("value") * F.col("value")).alias("svv"),
+        )
+    )
+    arms = looks.select(
+        "k",
+        "treated",
+        "n",
+        (F.col("sv") / F.col("n")).alias("mean"),
+        ((F.col("svv") - F.col("sv") * F.col("sv") / F.col("n")) / (F.col("n") - 1)).alias("var"),
+    )
+    a = arms.where("treated").select(
+        "k", F.col("n").alias("na"), F.col("mean").alias("ma"), F.col("var").alias("va")
+    )
+    b = arms.where(~F.col("treated")).select(
+        "k", F.col("n").alias("nb"), F.col("mean").alias("mb"), F.col("var").alias("vb")
+    )
+    z = a.join(b, "k").select(
+        "k",
+        (F.col("na") + F.col("nb")).cast("long").alias("n_total"),
+        (
+            (F.col("ma") - F.col("mb"))
+            / F.sqrt(F.col("va") / F.col("na") + F.col("vb") / F.col("nb"))
+        ).alias("z"),
+    )
+    bounds = spark.createDataFrame(_GST_BOUNDS, "k long, c double")
+    return (
+        z.join(F.broadcast(bounds), "k")
+        .select(
+            F.col("k").alias("look"),
+            "n_total",
+            F.round("z", 4).alias("z_stat"),
+            F.col("c").alias("obf_bound"),
+            (F.abs(F.col("z")) > F.col("c")).alias("significant"),
+        )
+        .orderBy("look")
+    )

@@ -694,6 +694,144 @@ def main() -> None:
 
     timed("q225_cuped_sec", cuped)
 
+    # ---- q229-q237: later-batch families at x100 -------------------
+    def pr_sweep():
+        toks = F.split(F.lower(F.trim("text")), r"\s+")
+        weight = lambda t: (  # noqa: E731
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+            / F.lit(4294967296.0) - F.lit(0.5)
+        )
+        score = F.round(
+            F.aggregate(F.transform(toks, weight), F.lit(0.0), lambda a2, x: a2 + x)
+            / F.greatest(F.size(toks), F.lit(1)), 6,
+        )
+        scored = salted.withColumn("lang", F.lit("en")).select(
+            score.alias("score"), (F.col("lang") == "en").alias("y")
+        )
+        th = spark.range(21).select(((F.col("id") - 10) / 100.0).alias("t"))
+        return (
+            scored.crossJoin(F.broadcast(th)).groupBy("t")
+            .agg(F.sum(F.when(F.col("score") >= F.col("t"), 1).otherwise(0)))
+            .count()
+        )
+
+    timed("q229_pr_sweep_sec", pr_sweep)
+
+    def covisit():
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gaps = big_u.select(
+            "user_id", "ts", "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+                1,
+            ).otherwise(0).alias("brk"),
+        )
+        sess = gaps.withColumn(
+            "sid", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        si = sess.select("user_id", "sid", "item").distinct()
+        aa, bb = si.alias("a"), si.alias("b")
+        return (
+            aa.join(
+                bb,
+                (F.col("a.user_id") == F.col("b.user_id"))
+                & (F.col("a.sid") == F.col("b.sid"))
+                & (F.col("a.item") < F.col("b.item")),
+            )
+            .groupBy(F.col("a.item"), F.col("b.item")).count().count()
+        )
+
+    timed("q230_covisit_sec", covisit)
+
+    def od_flows():
+        lat = F.lit(55.0) + ((F.col("event_id") * 7919) % 1000) * F.lit(0.01)
+        lng = F.lit(11.0) + ((F.col("event_id") * 104729) % 1200) * F.lit(0.01)
+        lat_r = F.radians(lat)
+        txc = F.floor((lng + 180.0) / 360.0 * 4096).cast("long")
+        tyc = F.floor(
+            (1.0 - F.log(F.tan(lat_r) + 1.0 / F.cos(lat_r)) / F.lit(3.141592653589793))
+            / 2.0 * 4096
+        ).cast("long")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        hops = big_u.select("user_id", "ts", "event_id", txc.alias("tx"), tyc.alias("ty")).select(
+            "tx", "ty", F.lead("tx").over(w).alias("ntx"), F.lead("ty").over(w).alias("nty")
+        )
+        return (
+            hops.where(F.col("ntx").isNotNull()
+                       & ((F.col("ntx") != F.col("tx")) | (F.col("nty") != F.col("ty"))))
+            .groupBy("tx", "ty", "ntx", "nty").count()
+            .orderBy(F.desc("count")).limit(20).count()
+        )
+
+    timed("q232_od_flows_sec", od_flows)
+
+    def pii_scan():
+        cnt = lambda pat: F.size(F.regexp_extract_all("text", F.lit(pat), 0))  # noqa: E731
+        return (
+            salted.select(
+                cnt(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}").alias("e"),
+                cnt(r"\+?\d{3}[- ]?\d{3}[- ]?\d{4}").alias("p"),
+            )
+            .agg(F.sum("e"), F.sum("p")).count()
+        )
+
+    timed("q234_pii_scan_sec", pii_scan)
+
+    def scan_llr():
+        lat = F.lit(55.0) + ((F.col("event_id") * 7919) % 1000) * F.lit(0.01)
+        lng = F.lit(11.0) + ((F.col("event_id") * 104729) % 1200) * F.lit(0.01)
+        lat_r = F.radians(lat)
+        txc = F.floor((lng + 180.0) / 360.0 * 4096).cast("long")
+        tyc = F.floor(
+            (1.0 - F.log(F.tan(lat_r) + 1.0 / F.cos(lat_r)) / F.lit(3.141592653589793))
+            / 2.0 * 4096
+        ).cast("long")
+        cells = (
+            big_e.select(txc.alias("tx"), tyc.alias("ty"), "event_type")
+            .groupBy("tx", "ty")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c"))
+        )
+        return cells.agg(F.sum("n"), F.sum("c")).count()
+
+    timed("q236_scan_llr_sec", scan_llr)
+
+    def holt_winters():
+        daily = big_ord.groupBy(
+            F.col("o_orderpriority").alias("p"), F.col("o_orderdate").cast("date").alias("d")
+        ).agg(F.sum("o_totalprice").alias("y"))
+        series = daily.groupBy("p").agg(
+            F.transform(F.sort_array(F.collect_list(F.struct("d", "y"))), lambda s: s["y"]).alias("ys")
+        )
+        first7 = F.aggregate(F.slice("ys", 1, 7), F.lit(0.0), lambda a2, y: a2 + y) / 7.0
+        acc0 = F.struct(
+            F.lit(7).cast("long").alias("i"), first7.alias("l"), F.lit(0.0).alias("b"),
+            F.transform(F.slice("ys", 1, 7), lambda y: y - first7).alias("s"),
+            F.lit(0.0).alias("sse"),
+        )
+
+        def hw_step(acc, y):
+            j = acc["i"] % 7
+            sj = F.element_at(acc["s"], (j + 1).cast("int"))
+            l_new = 0.3 * (y - sj) + 0.7 * (acc["l"] + acc["b"])
+            return F.struct(
+                (acc["i"] + 1).alias("i"), l_new.alias("l"),
+                (0.1 * (l_new - acc["l"]) + 0.9 * acc["b"]).alias("b"),
+                F.transform(
+                    acc["s"],
+                    lambda v, idx: F.when(idx.cast("long") == j, 0.2 * (y - l_new) + 0.8 * v).otherwise(v),
+                ).alias("s"),
+                (acc["sse"] + (y - (acc["l"] + acc["b"] + sj)) * (y - (acc["l"] + acc["b"] + sj))).alias("sse"),
+            )
+
+        return series.select(
+            "p", F.aggregate(F.slice("ys", 8, F.size("ys") - 7), acc0, hw_step).alias("h")
+        ).count()
+
+    timed("q237_holt_winters_sec", holt_winters)
+
     print(json.dumps(out))
 
 

@@ -2256,3 +2256,71 @@ def test_q236_llr_zero_iff_not_overrate(spark, qs):
         if r["llr"] > 0:
             assert r["rate"] > r["base_rate"] - 1e-9
         assert r["llr"] >= 0
+
+
+def test_q235_changepoint_is_argmax_of_python_replay(spark, qs):
+    """The chosen split must maximize the BSS recomputed in pure
+    Python over the same daily rollup."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    out = {r["event_type"]: r for r in qs["q235_optimal_changepoint"](spark, SF_DIR).collect()}
+    daily = (
+        load(spark, SF_DIR, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["d"], r["y"]))
+    for t, pts in series.items():
+        pts.sort()
+        ys = [y for _, y in pts]
+        n = len(ys)
+        tot = sum(ys)
+        best = None
+        cum = 0
+        for i in range(1, n):
+            cum += ys[i - 1]
+            bss = (cum * n - tot * i) ** 2 / (i * (n - i) * n * n)
+            key = (-round(bss, 6), pts[i - 1][0])
+            if best is None or key < best[0]:
+                best = (key, i, bss, cum)
+        r = out[t]
+        assert r["split_at"] == best[1]
+        assert r["change_day"] == best[0][1].strftime("%Y-%m-%d")
+        assert abs(r["bss"] - round(best[2], 4)) < 1e-6
+        assert abs(r["mean_before"] - round(best[3] / best[1], 4)) < 1e-9
+
+
+def test_q238_looks_are_nested_and_z_converges_to_full_test(spark, qs):
+    """Cumulative looks must be nested (n_total strictly increasing
+    to the corpus size); the look-4 z equals the full two-sample
+    Welch z replayed in Python; boundaries decrease."""
+    import math
+
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    rows = sorted(qs["q238_group_sequential_test"](spark, SF_DIR).collect(), key=lambda r: r["look"])
+    assert [r["look"] for r in rows] == [1, 2, 3, 4]
+    ns = [r["n_total"] for r in rows]
+    assert all(a < b for a, b in zip(ns, ns[1:]))
+    ev = load(spark, SF_DIR, "events").select("user_id", "value").collect()
+    assert ns[-1] == len(ev)
+    bounds = [r["obf_bound"] for r in rows]
+    assert all(a > b for a, b in zip(bounds, bounds[1:]))
+    t = [r["value"] for r in ev if r["user_id"] % 2 == 1]
+    c = [r["value"] for r in ev if r["user_id"] % 2 == 0]
+
+    def mv(xs):
+        n = len(xs)
+        m = sum(xs) / n
+        v = sum((x - m) ** 2 for x in xs) / (n - 1)
+        return n, m, v
+
+    na, ma, va = mv(t)
+    nb, mb, vb = mv(c)
+    z = (ma - mb) / math.sqrt(va / na + vb / nb)
+    assert abs(rows[-1]["z_stat"] - round(z, 4)) < 1e-3
