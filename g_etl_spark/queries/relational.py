@@ -3671,3 +3671,57 @@ def q231_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q239_variant_json_rollup",
+    oracle="""
+    WITH x AS (
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+               value
+        FROM events
+    )
+    SELECT event_type, CAST(k % 10 AS BIGINT) AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k,
+           round(sum(value), 2) AS sum_value
+    FROM x
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q239_variant_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured rollup through Spark 4's VARIANT type:
+    parse_json shreds the props payload ONCE into the binary variant
+    encoding, variant_get does typed path extraction — the
+    engine-native successor to q13's per-path get_json_object
+    (variant parses the document a single time regardless of how
+    many paths are later read, and the binary form is
+    columnar-shreddable at the storage layer). The rollup buckets
+    the extracted key per event type.
+
+    Scale: parse + extract are map-side codegen expressions; the agg
+    is one combining exchange to |types| x 10 cells. At 100 TB with
+    many extracted paths, VARIANT's parse-once beats N x
+    get_json_object re-parses — that asymmetry is the reason this
+    query exists alongside q13 (and the oracle needs no variant:
+    the typed values, not the encoding, are the contract).
+    """
+    e = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    x = e.select(
+        "event_type",
+        F.variant_get(v, "$.k", "long").alias("k"),
+        "value",
+    )
+    return (
+        x.groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type", "k_bucket")
+    )

@@ -2324,3 +2324,17 @@ def test_q238_looks_are_nested_and_z_converges_to_full_test(spark, qs):
     nb, mb, vb = mv(c)
     z = (ma - mb) / math.sqrt(va / na + vb / nb)
     assert abs(rows[-1]["z_stat"] - round(z, 4)) < 1e-3
+
+
+def test_q239_variant_is_mapside_single_exchange(spark, qs):
+    """VARIANT parse/extract must stay map-side (no UDF, no extra
+    exchange): exactly one shuffle for the rollup."""
+    import re as _re
+
+    df = qs["q239_variant_json_rollup"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Join" not in plan and "PythonUDF" not in plan.replace("PythonUDFs", "")
+    exchanges = _re.findall(r"^\(\d+\) Exchange", plan, _re.M)
+    assert len(exchanges) <= 2  # rollup hash partition + presentation sort
+    rows = df.collect()
+    assert rows and all(0 <= r["k_bucket"] <= 9 for r in rows)
