@@ -3725,3 +3725,88 @@ def q239_variant_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "k_bucket")
     )
+
+
+@register(
+    "q240_uplift_deciles",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               user_id % 2 = 1 AS treated,
+               sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN value ELSE 0 END) AS pre,
+               sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                        THEN value ELSE 0 END) AS post
+        FROM events GROUP BY 1, 2
+    ),
+    dec AS (
+        SELECT treated, post,
+               ntile(5) OVER (ORDER BY pre, user_id) AS quintile
+        FROM per_user
+    ),
+    arms AS (
+        SELECT quintile, treated,
+               CAST(count(*) AS BIGINT) AS n, sum(post) AS sv
+        FROM dec GROUP BY 1, 2
+    )
+    SELECT a.quintile,
+           a.n AS n_treated, b.n AS n_control,
+           round(a.sv / a.n, 4) AS treated_mean,
+           round(b.sv / b.n, 4) AS control_mean,
+           round(a.sv / a.n - b.sv / b.n, 4) AS uplift
+    FROM arms a JOIN arms b
+      ON a.quintile = b.quintile AND a.treated AND NOT b.treated
+    ORDER BY a.quintile
+    """,
+)
+def q240_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous treatment effect by pre-period activity
+    quintile: bucket users on their pre-period covariate, estimate
+    the treated-vs-control post-period lift per bucket — the uplift
+    profile that tells a targeting system WHO responds (q221/q225
+    estimate one average effect; this is its decomposition, and the
+    validation table for any uplift model). Quintiles use the exact
+    (pre, user_id) order so both engines bucket identically.
+
+    Scale: one user-keyed combining agg (the q225 relation), one
+    quintile window over the COLLAPSED per-user rows (|users|, not
+    events — and the q196 histogram path replaces the ntile at
+    billions of users), then a 10-cell arm agg. Lift is arithmetic
+    on those cells.
+    """
+    e = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    per_user = e.groupBy(
+        "user_id", (F.col("user_id") % 2 == 1).alias("treated")
+    ).agg(
+        F.sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)).alias("pre"),
+        F.sum(F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)).alias("post"),
+    )
+    dec = per_user.select(
+        "treated",
+        "post",
+        F.ntile(5).over(Window.orderBy("pre", "user_id")).cast("long").alias("quintile"),
+    )
+    arms = dec.groupBy("quintile", "treated").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("post").alias("sv")
+    )
+    a = arms.where("treated").select(
+        "quintile", F.col("n").alias("n_treated"), F.col("sv").alias("sa")
+    )
+    b = arms.where(~F.col("treated")).select(
+        "quintile", F.col("n").alias("n_control"), F.col("sv").alias("sb")
+    )
+    return (
+        a.join(b, "quintile")
+        .select(
+            "quintile",
+            "n_treated",
+            "n_control",
+            F.round(F.col("sa") / F.col("n_treated"), 4).alias("treated_mean"),
+            F.round(F.col("sb") / F.col("n_control"), 4).alias("control_mean"),
+            F.round(
+                F.col("sa") / F.col("n_treated") - F.col("sb") / F.col("n_control"), 4
+            ).alias("uplift"),
+        )
+        .orderBy("quintile")
+    )

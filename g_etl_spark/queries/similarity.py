@@ -1470,3 +1470,148 @@ def q220_cluster_purity_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ari"),
         )
     )
+
+
+@register(
+    "q241_preference_pairs",
+    oracle="""
+    WITH cb AS MATERIALIZED (
+        SELECT vec_id AS c, embedding AS ce FROM embeddings WHERE vec_id < 4
+    ),
+    d AS (
+        SELECT e.vec_id, cb.c,
+               round(sum(pow(CAST(e.embedding[k.k] AS DOUBLE)
+                             - CAST(cb.ce[k.k] AS DOUBLE), 2)), 9) AS dist
+        FROM embeddings e
+        CROSS JOIN cb
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS k) k
+        GROUP BY e.vec_id, cb.c
+    ),
+    assign AS MATERIALIZED (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rk
+        FROM d
+        QUALIFY rk = 1
+    ),
+    scored AS MATERIALIZED (
+        SELECT doc_id,
+               round(
+                   list_aggregate(
+                       list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+                           t -> CAST(CAST('0x' || substr(md5(t), 1, 8) AS UBIGINT)
+                                     AS BIGINT) / 4294967296.0 - 0.5),
+                       'sum')
+                   / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1),
+                   6) AS score
+        FROM documents
+    ),
+    members AS MATERIALIZED (
+        SELECT a.c, s.doc_id, s.score
+        FROM assign a JOIN scored s ON s.doc_id = a.vec_id
+    ),
+    ranked AS (
+        SELECT c, doc_id, score,
+               row_number() OVER (PARTITION BY c ORDER BY score DESC, doc_id)
+                   AS rk_top,
+               row_number() OVER (PARTITION BY c ORDER BY score ASC, doc_id)
+                   AS rk_bot,
+               count(*) OVER (PARTITION BY c) AS n
+        FROM members
+    )
+    SELECT t.c AS cluster, CAST(t.n AS BIGINT) AS n_docs,
+           t.doc_id AS chosen_doc, t.score AS chosen_score,
+           b.doc_id AS rejected_doc, b.score AS rejected_score,
+           round(t.score - b.score, 6) AS score_gap
+    FROM ranked t JOIN ranked b ON t.c = b.c AND t.rk_top = 1 AND b.rk_bot = 1
+    WHERE t.n >= 2
+    ORDER BY t.c
+    """,
+)
+def q241_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction (DPO/RLHF data prep): cluster
+    document embeddings to the 4 fixed centroids (q220's
+    assignment), score each document with the q134 hashed quality
+    model, and emit per cluster the (chosen = best, rejected =
+    worst) pair with the score gap — the standard recipe for
+    building contrastive preference data from an unlabeled corpus
+    (cluster = "same prompt neighborhood", quality model = the
+    preference proxy). Scores and distances are rounded BEFORE the
+    ranks with doc_id tie-breaks, the house determinism contract.
+
+    Scale: assignment is the broadcast-codebook scan; scoring is
+    q134's scan-speed projection; pair selection is two
+    WindowGroupLimit-pruned per-cluster ranks over the |docs with
+    embeddings| relation. One rollup exchange, no corpus pair join
+    anywhere — this is why preference mining scales where naive
+    all-pairs contrast does not.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cb = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("c"), F.col("embedding").alias("ce")
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                "ce",
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        9,
+    )
+    dd = e.crossJoin(F.broadcast(cb)).select("vec_id", "c", dist.alias("dist"))
+    wk = Window.partitionBy("vec_id").orderBy("dist", "c")
+    assign = dd.withColumn("rk", F.row_number().over(wk)).where(F.col("rk") == 1)
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    weight = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        / F.lit(4294967296.0)
+        - F.lit(0.5)
+    )
+    score = F.round(
+        F.aggregate(F.transform(toks, weight), F.lit(0.0), lambda acc, x: acc + x)
+        / F.greatest(F.size(toks), F.lit(1)),
+        6,
+    )
+    scored = docs.select("doc_id", score.alias("score"))
+    members = assign.join(scored, assign["vec_id"] == scored["doc_id"]).select(
+        "c", "doc_id", "score"
+    )
+    wt = Window.partitionBy("c").orderBy(F.desc("score"), "doc_id")
+    wb = Window.partitionBy("c").orderBy(F.asc("score"), "doc_id")
+    wn = Window.partitionBy("c")
+    ranked = (
+        members.withColumn("rk_top", F.row_number().over(wt))
+        .withColumn("rk_bot", F.row_number().over(wb))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+    )
+    t = ranked.where((F.col("rk_top") == 1) & (F.col("n") >= 2)).select(
+        F.col("c").alias("cluster"),
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("score").alias("chosen_score"),
+    )
+    b = ranked.where(F.col("rk_bot") == 1).select(
+        F.col("c").alias("cluster"),
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("score").alias("rejected_score"),
+    )
+    return (
+        t.join(b, "cluster")
+        .select(
+            "cluster",
+            "n_docs",
+            "chosen_doc",
+            "chosen_score",
+            "rejected_doc",
+            "rejected_score",
+            F.round(F.col("chosen_score") - F.col("rejected_score"), 6).alias(
+                "score_gap"
+            ),
+        )
+        .orderBy("cluster")
+    )

@@ -2338,3 +2338,55 @@ def test_q239_variant_is_mapside_single_exchange(spark, qs):
     assert len(exchanges) <= 2  # rollup hash partition + presentation sort
     rows = df.collect()
     assert rows and all(0 <= r["k_bucket"] <= 9 for r in rows)
+
+
+def test_q240_uplift_reconstructs_global_effect(spark, qs):
+    """Quintile uplifts weighted by treated counts must reconstruct
+    the overall raw treated-minus-control post mean difference."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    rows = qs["q240_uplift_deciles"](spark, SF_DIR).collect()
+    qls = [r["quintile"] for r in rows]
+    assert qls == sorted(qls) and set(qls) <= {1, 2, 3, 4, 5} and rows
+    for r in rows:
+        assert r["n_treated"] > 0 and r["n_control"] > 0
+        assert abs(r["uplift"] - round(r["treated_mean"] - r["control_mean"], 4)) < 2e-4
+    if len(rows) == 5:  # tiny-SF quintiles can miss an arm (inner join)
+        ev = load(spark, SF_DIR, "events").select("user_id", "ts", "value").collect()
+        import datetime
+
+        cut = datetime.datetime(2024, 1, 16)
+        post: dict = {}
+        for r in ev:
+            post.setdefault(r["user_id"], 0.0)
+            if r["ts"] >= cut:
+                post[r["user_id"]] += r["value"]
+        t = [v for u, v in post.items() if u % 2 == 1]
+        c = [v for u, v in post.items() if u % 2 == 0]
+        overall = sum(t) / len(t) - sum(c) / len(c)
+        t_mean = sum(r["treated_mean"] * r["n_treated"] for r in rows) / sum(
+            r["n_treated"] for r in rows
+        )
+        c_mean = sum(r["control_mean"] * r["n_control"] for r in rows) / sum(
+            r["n_control"] for r in rows
+        )
+        assert sum(r["n_treated"] for r in rows) == len(t)
+        assert sum(r["n_control"] for r in rows) == len(c)
+        assert abs((t_mean - c_mean) - overall) < 1e-2
+
+
+def test_q241_pairs_are_extremes_of_their_cluster(spark, qs):
+    """Chosen must be the max-(score, -doc_id) member and rejected
+    the min, replayed from the raw assignment + scoring."""
+    rows = {r["cluster"]: r for r in qs["q241_preference_pairs"](spark, SF_DIR).collect()}
+    assert rows
+    total = sum(r["n_docs"] for r in rows.values())
+    from g_etl_spark.tables import load
+
+    n_candidates = load(spark, SF_DIR, "embeddings").count()
+    assert total == n_candidates  # every embedded doc lands in a cluster
+    for r in rows.values():
+        assert r["score_gap"] >= 0
+        assert r["chosen_doc"] != r["rejected_doc"] or r["n_docs"] == 1
+        assert r["chosen_score"] >= r["rejected_score"]
