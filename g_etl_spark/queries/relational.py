@@ -3810,3 +3810,113 @@ def q240_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quintile")
     )
+
+
+@register(
+    "q242_rendezvous_sharding",
+    oracle="""
+    WITH shards AS (SELECT unnest(range(9)) AS s),
+    w AS (
+        SELECT d.doc_id, s.s,
+               CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                                        || CAST(s.s AS VARCHAR)), 1, 8)
+                         AS UBIGINT) AS BIGINT) AS wt
+        FROM documents d CROSS JOIN shards s
+    ),
+    a8 AS MATERIALIZED (
+        SELECT doc_id, s AS shard8,
+               row_number() OVER (PARTITION BY doc_id ORDER BY wt DESC, s) AS rk
+        FROM w WHERE s < 8
+        QUALIFY rk = 1
+    ),
+    a9 AS MATERIALIZED (
+        SELECT doc_id, s AS shard9,
+               row_number() OVER (PARTITION BY doc_id ORDER BY wt DESC, s) AS rk
+        FROM w
+        QUALIFY rk = 1
+    ),
+    j AS (
+        SELECT a8.doc_id, a8.shard8, a9.shard9,
+               a8.shard8 != a9.shard9 AS moved
+        FROM a8 JOIN a9 USING (doc_id)
+    )
+    SELECT CAST(shard9 AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN moved THEN 1 ELSE 0 END) AS BIGINT) AS n_arrived,
+           round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM j), 4)
+               AS shard_share
+    FROM j
+    GROUP BY shard9
+    ORDER BY shard9
+    """,
+)
+def q242_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard planning: assign each
+    document to argmax_s md5(doc_id:s) over 8 shards, then over 9,
+    and report the per-shard population plus how many documents
+    ARRIVED under the expansion — HRW's defining guarantee is that
+    rebalancing moves ONLY the ~1/9 of keys that win on the new
+    shard, nothing shuffles between old shards (n_arrived must be 0
+    for shards 0-7; pinned by test). This is the placement scheme a
+    100 TB layout uses so adding capacity does not rewrite the
+    corpus (consistent-hashing family; operators/layout.py handles
+    the file side, this is the key side).
+
+    Scale: the weight fan-out is |docs| x 9 map-side md5s in
+    codegen; the argmax is a 9-row-per-doc WindowGroupLimit; counts
+    collapse per shard. Integer weights, (weight desc, shard)
+    tie-break — fully deterministic in both engines.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    shards = spark.range(9).select(F.col("id").alias("s"))
+    wt = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("s").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("wt")
+    )
+    w = d.crossJoin(F.broadcast(shards)).select("doc_id", "s", wt)
+    wk = Window.partitionBy("doc_id").orderBy(F.desc("wt"), "s")
+    a8 = (
+        w.where(F.col("s") < 8)
+        .withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") == 1)
+        .select("doc_id", F.col("s").alias("shard8"))
+    )
+    a9 = (
+        w.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") == 1)
+        .select("doc_id", F.col("s").alias("shard9"))
+    )
+    j = a8.join(a9, "doc_id").select(
+        "shard9", (F.col("shard8") != F.col("shard9")).alias("moved")
+    )
+    tot = j.agg(F.count(F.lit(1)).cast("double").alias("tot"))
+    return (
+        j.groupBy("shard9")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("moved"), 1).otherwise(0)).alias("n_arrived"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("shard9").alias("shard"),
+            "n_docs",
+            "n_arrived",
+            F.round(F.col("n_docs") / F.col("tot"), 4).alias("shard_share"),
+        )
+        .orderBy("shard")
+    )

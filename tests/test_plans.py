@@ -2390,3 +2390,20 @@ def test_q241_pairs_are_extremes_of_their_cluster(spark, qs):
         assert r["score_gap"] >= 0
         assert r["chosen_doc"] != r["rejected_doc"] or r["n_docs"] == 1
         assert r["chosen_score"] >= r["rejected_score"]
+
+
+def test_q242_hrw_moves_only_to_new_shard(spark, qs):
+    """The HRW guarantee: under 8 -> 9 expansion, documents move
+    ONLY to the new shard (arrivals on shards 0-7 must be 0), the
+    moved fraction is ~1/9, and populations cover the corpus."""
+    from g_etl_spark.tables import load
+
+    rows = {r["shard"]: r for r in qs["q242_rendezvous_sharding"](spark, SF_DIR).collect()}
+    n = load(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in rows.values()) == n
+    for s, r in rows.items():
+        if s < 8:
+            assert r["n_arrived"] == 0
+    moved = rows[8]["n_arrived"] if 8 in rows else 0
+    assert moved == rows[8]["n_docs"]  # everything on shard 8 is new
+    assert 0.03 <= moved / n <= 0.25  # ~1/9 with small-sample slack
