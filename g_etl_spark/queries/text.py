@@ -2446,3 +2446,163 @@ def q234_pii_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q243_isotonic_calibration",
+    oracle=f"""
+    WITH scored AS MATERIALIZED (
+        SELECT round(
+                   list_aggregate(
+                       list_transform({_TOKS},
+                           t -> CAST(CAST('0x' || substr(md5(t), 1, 8) AS UBIGINT)
+                                     AS BIGINT) / 4294967296.0 - 0.5),
+                       'sum') / greatest(len({_TOKS}), 1), 6) AS score,
+               CAST(lang = 'en' AS INT) AS y
+        FROM documents
+    ),
+    mm AS (SELECT min(score) AS mn, max(score) AS mx FROM scored),
+    binned AS (
+        SELECT CAST(least(9, floor((s.score - mm.mn) * 10.0 / (mm.mx - mm.mn)))
+                    AS BIGINT) AS b,
+               s.y
+        FROM scored s CROSS JOIN mm
+    ),
+    bins AS MATERIALIZED (
+        SELECT g.b,
+               CAST(count(s.y) AS BIGINT) AS n,
+               CAST(coalesce(sum(s.y), 0) AS BIGINT) AS pos
+        FROM (SELECT unnest(range(10)) AS b) g
+        LEFT JOIN binned s ON s.b = g.b
+        GROUP BY g.b
+    ),
+    cum AS MATERIALIZED (
+        SELECT b, n, pos,
+               sum(n) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cn,
+               sum(pos) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cp
+        FROM bins
+    ),
+    -- avg(j..k) from prefix sums; minimax PAV: iso_i = max_j<=i min_k>=i avg(j,k)
+    seg AS MATERIALIZED (
+        SELECT j.b AS j, k.b AS k,
+               (k.cp - j.cp + j.pos) / CAST(k.cn - j.cn + j.n AS DOUBLE) AS avgjk
+        FROM cum j JOIN cum k ON j.b <= k.b
+        WHERE k.cn - j.cn + j.n > 0
+    ),
+    inner_min AS (
+        SELECT i.b AS i, s.j, min(s.avgjk) AS mn
+        FROM cum i JOIN seg s ON s.j <= i.b AND s.k >= i.b
+        GROUP BY i.b, s.j
+    ),
+    iso AS (
+        SELECT i, max(mn) AS iso_rate FROM inner_min GROUP BY i
+    )
+    SELECT bins.b AS bin, bins.n, bins.pos,
+           round(CASE WHEN bins.n > 0
+                      THEN bins.pos / CAST(bins.n AS DOUBLE) END, 6) AS raw_rate,
+           round(iso.iso_rate, 6) AS iso_rate
+    FROM bins JOIN iso ON iso.i = bins.b
+    ORDER BY bins.b
+    """,
+)
+def q243_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the q134 quality classifier
+    against the is-English label: the pool-adjacent-violators fit
+    over 10 score bins via the exact minimax identity
+    iso_i = max_{j<=i} min_{k>=i} avg(y[j..k]) — q178 DIAGNOSES
+    miscalibration, this produces the monotone calibrated rates a
+    production scorer actually applies (and on an uncorrelated
+    hash-model the fit collapses toward the base rate, which is the
+    correct answer and what the flat-fit test pins).
+
+    The minimax runs on the BOUNDED bin relation: segment averages
+    come from prefix sums (10x10 upper-triangle), the inner min and
+    outer max are two aggs over <=1000 cells — PAV's sequential
+    pooling re-expressed as closed-form relational algebra, exact
+    because segment averages are integer ratios. The corpus touch is
+    one scan into the 10-cell histogram (q219's shape).
+
+    Scale: corpus -> 10 cells in one combining agg; everything after
+    is constant-size. With B bins the minimax is O(B^3) cells — at
+    B=100 still trivial, and always deterministic (no iterative
+    pooling order to replicate cross-engine).
+    """
+    from g_etl_spark.operators import text as T
+
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    weight = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        / F.lit(4294967296.0)
+        - F.lit(0.5)
+    )
+    score = F.round(
+        F.aggregate(F.transform(toks, weight), F.lit(0.0), lambda acc, x: acc + x)
+        / F.greatest(F.size(toks), F.lit(1)),
+        6,
+    )
+    scored = d.select(score.alias("score"), (F.col("lang") == "en").cast("int").alias("y"))
+    mm = scored.agg(F.min("score").alias("mn"), F.max("score").alias("mx"))
+    binned = scored.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.lit(9),
+            F.floor((F.col("score") - F.col("mn")) * 10.0 / (F.col("mx") - F.col("mn"))),
+        )
+        .cast("long")
+        .alias("b"),
+        "y",
+    )
+    grid = spark.range(10).select(F.col("id").alias("b"))
+    bins = (
+        grid.join(binned.groupBy("b").agg(
+            F.count(F.lit(1)).alias("n0"), F.sum("y").alias("p0")
+        ), "b", "left")
+        .select(
+            "b",
+            F.coalesce("n0", F.lit(0)).alias("n"),
+            F.coalesce("p0", F.lit(0)).alias("pos"),
+        )
+    )
+    wc = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "b", "n", "pos", F.sum("n").over(wc).alias("cn"), F.sum("pos").over(wc).alias("cp")
+    )
+    j = cum.select(
+        F.col("b").alias("j"), F.col("n").alias("jn"),
+        F.col("pos").alias("jp"), F.col("cn").alias("jcn"), F.col("cp").alias("jcp"),
+    )
+    k = cum.select(
+        F.col("b").alias("k"), F.col("cn").alias("kcn"), F.col("cp").alias("kcp")
+    )
+    seg = (
+        j.join(k, F.col("j") <= F.col("k"))
+        .where(F.col("kcn") - F.col("jcn") + F.col("jn") > 0)
+        .select(
+            "j",
+            "k",
+            (
+                (F.col("kcp") - F.col("jcp") + F.col("jp"))
+                / (F.col("kcn") - F.col("jcn") + F.col("jn")).cast("double")
+            ).alias("avgjk"),
+        )
+    )
+    i_rel = cum.select(F.col("b").alias("i"))
+    inner_min = (
+        i_rel.join(seg, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min("avgjk").alias("mn"))
+    )
+    iso = inner_min.groupBy("i").agg(F.max("mn").alias("iso_rate"))
+    return (
+        bins.join(iso, bins["b"] == iso["i"])
+        .select(
+            F.col("b").alias("bin"),
+            "n",
+            "pos",
+            F.round(
+                F.when(F.col("n") > 0, F.col("pos") / F.col("n").cast("double")), 6
+            ).alias("raw_rate"),
+            F.round("iso_rate", 6).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )

@@ -2407,3 +2407,36 @@ def test_q242_hrw_moves_only_to_new_shard(spark, qs):
     moved = rows[8]["n_arrived"] if 8 in rows else 0
     assert moved == rows[8]["n_docs"]  # everything on shard 8 is new
     assert 0.03 <= moved / n <= 0.25  # ~1/9 with small-sample slack
+
+
+def test_q243_isotonic_is_monotone_and_matches_sklearn_style_pav(spark, qs):
+    """iso_rate must be non-decreasing in the bin, preserve the
+    weighted mean (PAV invariant), and match a sequential
+    pool-adjacent-violators replay."""
+    rows = sorted(qs["q243_isotonic_calibration"](spark, SF_DIR).collect(), key=lambda r: r["bin"])
+    iso = [r["iso_rate"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(iso, iso[1:]))
+    # sequential PAV replay on (pos, n); blocks track covered bin runs
+    expanded = []
+    blocks2 = []
+    for r in rows:
+        blocks2.append([r["pos"], r["n"], 1])
+        while len(blocks2) > 1 and (
+            blocks2[-2][1] > 0
+            and blocks2[-1][1] > 0
+            and blocks2[-2][0] * blocks2[-1][1] > blocks2[-1][0] * blocks2[-2][1]
+        ):
+            p, n, c = blocks2.pop()
+            blocks2[-1][0] += p
+            blocks2[-1][1] += n
+            blocks2[-1][2] += c
+    for p, n, c in blocks2:
+        expanded.extend([p / n if n else None] * c)
+    for r, want in zip(rows, expanded):
+        if want is not None and r["n"] > 0:
+            assert abs(r["iso_rate"] - round(want, 6)) < 1e-5
+    # weighted mean preserved
+    total_pos = sum(r["pos"] for r in rows)
+    total_n = sum(r["n"] for r in rows)
+    wmean = sum(r["iso_rate"] * r["n"] for r in rows if r["n"]) / total_n
+    assert abs(wmean - total_pos / total_n) < 1e-4
