@@ -3920,3 +3920,148 @@ def q242_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "q244_capture_recapture",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    a AS (SELECT user_id FROM u WHERE (user_id * 2654435761) % 97 < 40),
+    b AS (SELECT user_id FROM u WHERE (user_id * 104729) % 89 < 37),
+    cell AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS na,
+               (SELECT CAST(count(*) AS BIGINT) FROM b) AS nb,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM a JOIN b USING (user_id)) AS nab,
+               (SELECT CAST(count(*) AS BIGINT) FROM u) AS truth
+    )
+    SELECT na, nb, nab, truth,
+           CAST(floor((na + 1.0) * (nb + 1.0) / (nab + 1.0) - 1.0) AS BIGINT)
+               AS chapman_estimate,
+           round((floor((na + 1.0) * (nb + 1.0) / (nab + 1.0) - 1.0) - truth)
+                 / CAST(truth AS DOUBLE), 4) AS rel_error
+    FROM cell
+    """,
+)
+def q244_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture population estimate: two
+    INDEPENDENT deterministic hash samples of the user population
+    ("captures"), overlap-based estimate
+    N = (na+1)(nb+1)/(nab+1) - 1, scored against the true distinct
+    count — the statistical estimator for "how many distinct X exist
+    when we can only sample" (unseen-species / dedup-undercount
+    estimation), complementary to q113's HLL which needs to SEE
+    every element once; capture-recapture extrapolates from partial
+    visibility. Independence comes from coprime hash multipliers.
+
+    Scale: two hash-filtered distinct aggs + one semi-join overlap
+    count on the collapsed user relation; the estimator is 4-cell
+    arithmetic, floored to an integer BEFORE the error division so
+    the compare is exact.
+    """
+    e = load(spark, sf_dir, "events")
+    u = e.select("user_id").distinct().persist()
+    a = u.where((F.col("user_id") * 2654435761) % 97 < 40)
+    b = u.where((F.col("user_id") * 104729) % 89 < 37)
+    na = a.agg(F.count(F.lit(1)).alias("na"))
+    nb = b.agg(F.count(F.lit(1)).alias("nb"))
+    nab = a.join(b, "user_id", "left_semi").agg(F.count(F.lit(1)).alias("nab"))
+    truth = u.agg(F.count(F.lit(1)).alias("truth"))
+    est = F.floor(
+        (F.col("na") + 1.0) * (F.col("nb") + 1.0) / (F.col("nab") + 1.0) - 1.0
+    ).cast("long")
+    out = (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nab))
+        .crossJoin(F.broadcast(truth))
+        .select(
+            "na",
+            "nb",
+            "nab",
+            "truth",
+            est.alias("chapman_estimate"),
+            F.round(
+                (est - F.col("truth")) / F.col("truth").cast("double"), 4
+            ).alias("rel_error"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    u.unpersist()
+    return out
+
+
+@register(
+    "q245_exponential_survival_mle",
+    oracle="""
+    WITH span AS (
+        SELECT user_id,
+               CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS obs_s,
+               CAST(count(*) AS BIGINT) AS n_ev
+        FROM events GROUP BY user_id
+    ),
+    seg AS (
+        SELECT user_id % 2 = 1 AS odd_cohort, obs_s, n_ev
+        FROM span WHERE n_ev >= 2
+    )
+    SELECT odd_cohort,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n_ev - 1) AS BIGINT) AS n_gaps,
+           CAST(sum(obs_s) AS BIGINT) AS exposure_s,
+           round(sum(n_ev - 1) / (sum(obs_s) / 3600.0), 6) AS rate_per_hour,
+           round((sum(obs_s) / 3600.0) / sum(n_ev - 1), 4) AS mean_gap_hours,
+           round(sqrt(CAST(sum(n_ev - 1) AS DOUBLE))
+                 / (sum(obs_s) / 3600.0), 6) AS rate_se
+    FROM seg
+    GROUP BY odd_cohort
+    ORDER BY odd_cohort
+    """,
+)
+def q245_exponential_survival_mle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential inter-event rate MLE per cohort: lambda =
+    events / exposure with its Poisson standard error sqrt(d)/T —
+    the parametric counterpart of q157's nonparametric Kaplan-Meier
+    (KM draws the curve; the exponential MLE compresses it to one
+    hazard number you can compare across cohorts and monitor). Users
+    contribute (n_ev - 1) gap events over their observed span;
+    single-event users carry no gap information and are excluded
+    identically in both engines.
+
+    Scale: ONE user-keyed combining agg (min/max/count per user),
+    then a 2-cell cohort agg — the q150/q221 moment-collapse
+    contract. All counts and exposures are exact integers; only the
+    final rates divide.
+    """
+    e = load(spark, sf_dir, "events")
+    span = e.groupBy("user_id").agg(
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("obs_s"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    seg = span.where(F.col("n_ev") >= 2).select(
+        (F.col("user_id") % 2 == 1).alias("odd_cohort"), "obs_s", "n_ev"
+    )
+    return (
+        seg.groupBy("odd_cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.col("n_ev") - 1).alias("n_gaps"),
+            F.sum("obs_s").alias("exposure_s"),
+        )
+        .select(
+            "odd_cohort",
+            "n_users",
+            "n_gaps",
+            "exposure_s",
+            F.round(F.col("n_gaps") / (F.col("exposure_s") / 3600.0), 6).alias(
+                "rate_per_hour"
+            ),
+            F.round((F.col("exposure_s") / 3600.0) / F.col("n_gaps"), 4).alias(
+                "mean_gap_hours"
+            ),
+            F.round(
+                F.sqrt(F.col("n_gaps").cast("double"))
+                / (F.col("exposure_s") / 3600.0),
+                6,
+            ).alias("rate_se"),
+        )
+        .orderBy("odd_cohort")
+    )

@@ -2440,3 +2440,42 @@ def test_q243_isotonic_is_monotone_and_matches_sklearn_style_pav(spark, qs):
     total_n = sum(r["n"] for r in rows)
     wmean = sum(r["iso_rate"] * r["n"] for r in rows if r["n"]) / total_n
     assert abs(wmean - total_pos / total_n) < 1e-4
+
+
+def test_q244_chapman_brackets_truth(spark, qs):
+    """The Chapman estimator on ~40% samples of a uniform population
+    must land near the true distinct count (within 20%), and the
+    overlap must be consistent with independence."""
+    import math
+
+    r = qs["q244_capture_recapture"](spark, SF_DIR).collect()[0]
+    assert 0 < r["nab"] <= min(r["na"], r["nb"])
+    # Chapman CV ~ 1/sqrt(nab); allow 3 sigma (tiny SFs have tiny nab)
+    assert abs(r["rel_error"]) < max(0.2, 3.0 / math.sqrt(r["nab"]))
+    want = int((r["na"] + 1) * (r["nb"] + 1) / (r["nab"] + 1) - 1)
+    assert r["chapman_estimate"] == want
+
+
+def test_q245_rates_match_python_replay(spark, qs):
+    """Cohort rate, mean gap, and SE replayed from the raw spans."""
+    from g_etl_spark.tables import load
+
+    out = {r["odd_cohort"]: r for r in qs["q245_exponential_survival_mle"](spark, SF_DIR).collect()}
+    ev = load(spark, SF_DIR, "events").select("user_id", "ts").collect()
+    spans: dict = {}
+    for r in ev:
+        lo, hi, n = spans.get(r["user_id"], (r["ts"], r["ts"], 0))
+        spans[r["user_id"]] = (min(lo, r["ts"]), max(hi, r["ts"]), n + 1)
+    import math
+
+    for cohort in (False, True):
+        gaps = exp_s = users = 0
+        for u, (lo, hi, n) in spans.items():
+            if n >= 2 and ((u % 2 == 1) == cohort):
+                users += 1
+                gaps += n - 1
+                exp_s += int(hi.timestamp()) - int(lo.timestamp())
+        r = out[cohort]
+        assert (r["n_users"], r["n_gaps"], r["exposure_s"]) == (users, gaps, exp_s)
+        assert abs(r["rate_per_hour"] - round(gaps / (exp_s / 3600.0), 6)) < 1e-9
+        assert abs(r["rate_se"] - round(math.sqrt(gaps) / (exp_s / 3600.0), 6)) < 1e-9
