@@ -3864,3 +3864,96 @@ def q238_group_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("look")
     )
+
+
+@register(
+    "q246_attribution_models",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) % 5 AS channel
+        FROM events
+    ),
+    pur AS (SELECT user_id, ts AS pts, event_id AS pid FROM ev
+            WHERE event_type = 'purchase'),
+    cli AS (SELECT user_id, ts AS cts, event_id AS cid, channel FROM ev
+            WHERE event_type = 'click'),
+    touch AS MATERIALIZED (
+        SELECT p.pid, c.channel, c.cts, c.cid,
+               row_number() OVER (PARTITION BY p.pid ORDER BY c.cts, c.cid)
+                   AS rk_first,
+               row_number() OVER (PARTITION BY p.pid ORDER BY c.cts DESC,
+                                  c.cid DESC) AS rk_last,
+               count(*) OVER (PARTITION BY p.pid) AS n_touch
+        FROM pur p JOIN cli c
+          ON c.user_id = p.user_id
+         AND c.cts <= p.pts
+         AND c.cts > p.pts - INTERVAL 24 HOUR
+    )
+    SELECT channel,
+           CAST(count(DISTINCT pid) AS BIGINT) AS touched_purchases,
+           CAST(sum(CASE WHEN rk_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS first_touch,
+           CAST(sum(CASE WHEN rk_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS last_touch,
+           round(sum(1.0 / n_touch), 4) AS linear_credit
+    FROM touch
+    GROUP BY channel
+    ORDER BY channel
+    """,
+)
+def q246_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three marketing-attribution models in one pass: for every
+    purchase, the clicks in the preceding 24 hours are its touch
+    path; each channel's credit under FIRST-touch, LAST-touch, and
+    LINEAR (1/n per touch) — the side-by-side that shows how much
+    the model choice moves budget (q154 computes last-touch alone as
+    a no-join carry; this builds the full path so all three models
+    read off the same relation). Sum of each credit column across
+    channels equals the attributed-purchase count — the conservation
+    identity the test pins.
+
+    Scale: the touch join is a per-user time-range join (q37's
+    bucketed-range shape; bounded by touches-per-24h x purchases,
+    human-rate-capped like q230's sessions); the three models are
+    window ranks over each purchase's bounded path; credit collapses
+    per channel. Linear credit sums exact reciprocals of small
+    integers — rounded at 4 after the agg.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        (F.get_json_object("props", "$.k").cast("long") % 5).alias("channel"),
+    )
+    pur = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    cli = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid"), "channel"
+    )
+    touch = pur.join(
+        cli,
+        (pur["user_id"] == cli["user_id"])
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") > F.col("pts") - F.expr("INTERVAL 24 HOURS")),
+    ).select("pid", "channel", "cts", "cid")
+    wf = Window.partitionBy("pid").orderBy("cts", "cid")
+    wl = Window.partitionBy("pid").orderBy(F.desc("cts"), F.desc("cid"))
+    wn = Window.partitionBy("pid")
+    ranked = (
+        touch.withColumn("rk_first", F.row_number().over(wf))
+        .withColumn("rk_last", F.row_number().over(wl))
+        .withColumn("n_touch", F.count(F.lit(1)).over(wn))
+    )
+    return (
+        ranked.groupBy("channel")
+        .agg(
+            F.countDistinct("pid").alias("touched_purchases"),
+            F.sum(F.when(F.col("rk_first") == 1, 1).otherwise(0)).alias("first_touch"),
+            F.sum(F.when(F.col("rk_last") == 1, 1).otherwise(0)).alias("last_touch"),
+            F.round(F.sum(1.0 / F.col("n_touch")), 4).alias("linear_credit"),
+        )
+        .orderBy("channel")
+    )

@@ -2479,3 +2479,24 @@ def test_q245_rates_match_python_replay(spark, qs):
         assert (r["n_users"], r["n_gaps"], r["exposure_s"]) == (users, gaps, exp_s)
         assert abs(r["rate_per_hour"] - round(gaps / (exp_s / 3600.0), 6)) < 1e-9
         assert abs(r["rate_se"] - round(math.sqrt(gaps) / (exp_s / 3600.0), 6)) < 1e-9
+
+
+def test_q246_attribution_conservation(spark, qs):
+    """Each model's total credit must equal the number of attributed
+    purchases (every touched purchase hands out exactly 1 unit under
+    every model)."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    rows = qs["q246_attribution_models"](spark, SF_DIR).collect()
+    assert rows
+    first = sum(r["first_touch"] for r in rows)
+    last = sum(r["last_touch"] for r in rows)
+    linear = sum(r["linear_credit"] for r in rows)
+    assert first == last
+    assert abs(linear - first) < 0.01  # reciprocals sum back to 1/purchase
+    # attributed purchases <= total purchases
+    n_pur = (
+        load(spark, SF_DIR, "events").where(F.col("event_type") == "purchase").count()
+    )
+    assert 0 < first <= n_pur
