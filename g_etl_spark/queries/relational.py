@@ -3768,12 +3768,17 @@ def q240_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     validation table for any uplift model). Quintiles use the exact
     (pre, user_id) order so both engines bucket identically.
 
-    Scale: one user-keyed combining agg (the q225 relation), one
-    quintile window over the COLLAPSED per-user rows (|users|, not
-    events — and the q196 histogram path replaces the ntile at
-    billions of users), then a 10-cell arm agg. Lift is arithmetic
-    on those cells.
+    Scale: one user-keyed combining agg (the q225 relation), then
+    the TWO-PASS global ntile (operators/ranking.py: log2 pre-bucket
+    counts -> broadcast prefix offsets -> bucket-partitioned
+    row_number; exact Spark/DuckDB ntile arithmetic) over the
+    collapsed per-user rows, then a 10-cell arm agg. Lift is
+    arithmetic on those cells. No relation funnels through a
+    single-partition WindowExec even at billions of users (the r6
+    ADVICE global-ntile item, retired).
     """
+    from g_etl_spark.operators.ranking import global_ntile_twopass, log2_bucket
+
     e = load(spark, sf_dir, "events")
     cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
     per_user = e.groupBy(
@@ -3782,11 +3787,9 @@ def q240_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)).alias("pre"),
         F.sum(F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0)).alias("post"),
     )
-    dec = per_user.select(
-        "treated",
-        "post",
-        F.ntile(5).over(Window.orderBy("pre", "user_id")).cast("long").alias("quintile"),
-    )
+    dec = global_ntile_twopass(
+        per_user, 5, ["pre", "user_id"], log2_bucket(F.col("pre")), out="quintile"
+    ).select("treated", "post", "quintile")
     arms = dec.groupBy("quintile", "treated").agg(
         F.count(F.lit(1)).alias("n"), F.sum("post").alias("sv")
     )

@@ -3811,15 +3811,26 @@ def q238_group_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     entered (<=4x), collapsing immediately into per-(look, arm)
     mergeable moments — one corpus exchange into a 8-cell relation;
     the z and boundary comparison are arithmetic on those cells.
-    The ntile over arrival is the staging knob: in production the
-    look id comes from the batch/ingest date (no sort), the q222
-    staging argument.
+    The arrival ntile runs as the TWO-PASS global ntile
+    (operators/ranking.py: day-of-ts bucket counts -> broadcast
+    prefix offsets -> day-partitioned row_number; exact ntile
+    arithmetic), so the corpus never funnels through one partition
+    (the r6 ADVICE global-ntile item, retired); in production the
+    look id comes straight from the batch/ingest date (no sort at
+    all), the q222 staging argument.
     """
+    from g_etl_spark.operators.ranking import global_ntile_twopass
+
     e = load(spark, sf_dir, "events")
-    look = F.ntile(4).over(Window.orderBy("ts", "event_id"))
-    ev = e.select(
-        (F.col("user_id") % 2 == 1).alias("treated"), "value", look.alias("look")
-    )
+    ev = global_ntile_twopass(
+        e.select(
+            (F.col("user_id") % 2 == 1).alias("treated"), "value", "ts", "event_id"
+        ),
+        4,
+        ["ts", "event_id"],
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long"),
+        out="look",
+    ).select("treated", "value", "look")
     ks = spark.range(1, 5).select(F.col("id").alias("k"))
     looks = (
         ev.crossJoin(F.broadcast(ks))

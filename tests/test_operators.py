@@ -247,3 +247,41 @@ def test_multimodal_resize_binary_roundtrip(spark):
     assert bytes(rows[1].payload[:3]) == b"abc"
     assert bytes(rows[2].payload) == b"x" * 1024
     assert dict(out.dtypes)["payload"] == "binary"
+
+
+def test_global_ntile_twopass_matches_spark_ntile(spark):
+    """operators/ranking: the two-pass bucket-partitioned ntile must
+    reproduce Spark's global ntile EXACTLY — including the n % k
+    uneven-tile split, tie groups crossing bucket boundaries, and
+    the n < k degenerate case."""
+    import random
+
+    from pyspark.sql import Window
+
+    from g_etl_spark.operators.ranking import (
+        global_ntile_twopass,
+        global_rank_twopass,
+        log2_bucket,
+    )
+
+    random.seed(7)
+    rows = [(i, random.random() * 1000.0) for i in range(1, 402)]
+    rows += [(10_000 + i, 42.0) for i in range(25)]  # a fat tie group
+    df = spark.createDataFrame(rows, "id long, v double").repartition(8)
+    for k in (4, 5, 7, 1000):  # 1000 > n exercises the n < k branch
+        got = global_ntile_twopass(df, k, ["v", "id"], log2_bucket(F.col("v")), out="t")
+        want = df.withColumn("t", F.ntile(k).over(Window.orderBy("v", "id")).cast("long"))
+        bad = (
+            got.join(want.withColumnRenamed("t", "wt"), "id")
+            .where(F.col("t") != F.col("wt"))
+            .count()
+        )
+        assert bad == 0, f"ntile({k}) mismatch"
+    gr = global_rank_twopass(df, ["v", "id"], log2_bucket(F.col("v")), out="r")
+    wr = df.withColumn("r", F.row_number().over(Window.orderBy("v", "id")).cast("long"))
+    assert (
+        gr.join(wr.withColumnRenamed("r", "wr"), "id")
+        .where(F.col("r") != F.col("wr"))
+        .count()
+        == 0
+    )

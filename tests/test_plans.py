@@ -1200,6 +1200,25 @@ def test_q198_twopass_matches_global_and_partitioned_windows(spark, qs):
             assert len(groups) >= 3, f"global WindowExec in plan: {line.strip()}"
 
 
+def _assert_windows_partitioned(plan: str) -> None:
+    """WindowExec prints `Window [fns], [partition], [order]` when
+    partitioned and only two bracket groups when global."""
+    import re
+
+    for line in plan.splitlines():
+        if re.search(r"\bWindow\b", line) and "[" in line:
+            groups = re.findall(r"\[[^\[\]]*\]", line)
+            assert len(groups) >= 3, f"global WindowExec in plan: {line.strip()}"
+
+
+def test_q238_q240_ntile_windows_partitioned(spark, qs):
+    """The r6 ADVICE item: the arrival/covariate ntiles must run as
+    the two-pass bucket-partitioned rank — no WindowExec without a
+    partition spec anywhere in either plan."""
+    _assert_windows_partitioned(plan_of(qs["q238_group_sequential_test"](spark, SF_DIR)))
+    _assert_windows_partitioned(plan_of(qs["q240_uplift_deciles"](spark, SF_DIR)))
+
+
 def test_q199_minhash_eval_bounds(spark, qs):
     """MinHash detector eval: metrics bounded, counts consistent, and
     the exact-copy planted pairs (identical signatures -> identical
@@ -1355,6 +1374,25 @@ def test_q205_kcore_members_meet_threshold(spark, qs):
     assert min(r["core_degree"] for r in rows) >= 3
     plan = plan_of(df)
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_kcore_peel_enforces_oracle_unroll_depth(spark, monkeypatch):
+    """_kcore_peel pins the q205/q227 oracle coupling: the DuckDB
+    side unrolls exactly _KCORE_ROUNDS peels, so a fixpoint needing
+    more shrinking rounds must raise at the source instead of
+    surfacing as a silent gate hash-mismatch (ADVICE r6)."""
+    from g_etl_spark.queries import dedup as DQ
+
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (3, 5)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(sym, "u long, v long").persist()
+    core = {r["u"] for r in DQ._kcore_peel(edges).collect()}
+    edges.unpersist()
+    assert core == {1, 2, 3, 4}  # node 5 (degree 2) peels in one shrinking round
+    edges2 = spark.createDataFrame(sym, "u long, v long").persist()
+    monkeypatch.setattr(DQ, "_KCORE_ROUNDS", 0)
+    with pytest.raises(RuntimeError, match="unrolls only 0"):
+        DQ._kcore_peel(edges2)
 
 
 def test_q206_holt_matches_pure_python_recurrence(spark, qs):
