@@ -2827,3 +2827,190 @@ def q227_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     edges.unpersist()
     return out
+
+
+@register(
+    "q252_golden_record",
+    oracle="""
+    WITH members AS MATERIALIZED (
+        SELECT c_custkey AS k, 0 AS src, c_name AS name,
+               c_acctbal AS bal, c_mktsegment AS seg
+        FROM customer
+        UNION ALL
+        SELECT c_custkey + 1000000, 1, lower(c_name),
+               CASE WHEN c_custkey % 3 = 0 THEN NULL
+                    ELSE c_acctbal + 5.0 END,
+               CASE WHEN c_custkey % 4 = 0 THEN 'UNKNOWN'
+                    ELSE c_mktsegment END
+        FROM customer
+        UNION ALL
+        SELECT c_custkey + 2000000, 2, upper(c_name),
+               c_acctbal - 2.5, c_mktsegment
+        FROM customer
+    ),
+    agg AS (
+        SELECT lower(name) AS ck,
+               CAST(min(k) AS BIGINT) AS canonical_key,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(count(DISTINCT src) AS BIGINT) AS n_sources,
+               round(max(bal), 2) AS best_acctbal
+        FROM members GROUP BY 1
+    ),
+    segs AS (
+        SELECT lower(name) AS ck, seg, count(*) AS c
+        FROM members WHERE seg != 'UNKNOWN' GROUP BY 1, 2
+    ),
+    pick AS (
+        SELECT ck, seg,
+               row_number() OVER (PARTITION BY ck ORDER BY c DESC, seg) AS r
+        FROM segs
+    )
+    SELECT a.canonical_key, a.n_members, a.n_sources, a.best_acctbal,
+           p.seg AS segment
+    FROM agg a JOIN pick p ON p.ck = a.ck AND p.r = 1
+    ORDER BY a.canonical_key
+    """,
+)
+def q252_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship — the consolidation step after
+    entity resolution (q200 scores pairs, q56/q143 cluster them;
+    this builds the ONE surviving record per cluster that downstream
+    joins use): over a three-source planted corpus (original, a
+    lower-cased feed with missing balances and UNKNOWN segments, an
+    upper-cased feed with stale balances), apply per-attribute rules
+    — canonical id = min key, balance = max non-null, segment =
+    most-frequent non-placeholder with deterministic lexicographic
+    tie-break — the MDM survivorship table, relationally.
+
+    Scale: one cluster-keyed agg (min/count/max collapse map-side;
+    NULLs drop out of max for free) + one (cluster, value) count
+    with a cluster-partitioned rank-1 window for the mode — the path
+    relation is |clusters| x |distinct values| (tiny per cluster),
+    never corpus-wide; final assembly is a key-equi join on the
+    cluster id. Cites the reference's per-table normalization merge
+    (/root/reference/src/g_etl/sql/migrations) as the single-source
+    ancestor; survivorship generalizes it to conflicting sources.
+    """
+    c = load(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").alias("k"),
+        F.lit(0).alias("src"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    v1 = c.select(
+        (F.col("c_custkey") + 1000000).alias("k"),
+        F.lit(1).alias("src"),
+        F.lower("c_name").alias("name"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("c_acctbal") + 5.0)
+        .alias("bal"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    v2 = c.select(
+        (F.col("c_custkey") + 2000000).alias("k"),
+        F.lit(2).alias("src"),
+        F.upper("c_name").alias("name"),
+        (F.col("c_acctbal") - 2.5).alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    members = base.unionAll(v1).unionAll(v2).withColumn("ck", F.lower("name"))
+    agg = members.groupBy("ck").agg(
+        F.min("k").alias("canonical_key"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.countDistinct("src").alias("n_sources"),
+        F.round(F.max("bal"), 2).alias("best_acctbal"),
+    )
+    segs = (
+        members.where(F.col("seg") != "UNKNOWN")
+        .groupBy("ck", "seg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wr = Window.partitionBy("ck").orderBy(F.desc("c"), F.asc("seg"))
+    pick = segs.withColumn("r", F.row_number().over(wr)).where(F.col("r") == 1)
+    return (
+        agg.join(pick.select("ck", F.col("seg").alias("segment")), "ck")
+        .select("canonical_key", "n_members", "n_sources", "best_acctbal", "segment")
+        .orderBy("canonical_key")
+    )
+
+
+@register(
+    "q253_blocking_quality",
+    oracle="""
+    WITH a AS (SELECT c_custkey AS ak, c_nationkey AS nk FROM customer),
+    b AS (
+        SELECT c_custkey + 1000000 AS bk,
+               CASE WHEN c_custkey % 7 = 0 THEN (c_nationkey + 1) % 25
+                    ELSE c_nationkey END AS nk
+        FROM customer
+    ),
+    cand AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(CASE WHEN b.bk - 1000000 = a.ak THEN 1 ELSE 0
+                        END) AS BIGINT) AS truth_caught
+        FROM a JOIN b ON a.nk = b.nk
+    ),
+    sizes AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_a,
+               (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b
+        FROM a
+    )
+    SELECT s.n_a, s.n_b, c.n_candidates, s.n_a AS n_truth, c.truth_caught,
+           round(c.truth_caught * 1.0 / s.n_a, 6) AS pairs_completeness,
+           round(1.0 - c.n_candidates * 1.0 / (s.n_a * s.n_b), 6)
+               AS reduction_ratio
+    FROM cand c CROSS JOIN sizes s
+    """,
+)
+def q253_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme evaluation for entity resolution — the two
+    numbers (Christen's reduction ratio and pairs completeness) that
+    justify a blocking key BEFORE q200's scorer runs: candidates
+    from nationkey blocking over a dirty source whose nationkey is
+    planted-wrong for every 7th record, so completeness measures the
+    true pairs the block BOUNDARY loses (~1/7 here) and reduction
+    ratio measures how much of the |A|x|B| comparison space the
+    block prunes (~96%). The eval-harness sibling of q192/q199 —
+    those grade the SCORER, this grades the CANDIDATE GENERATOR.
+
+    Scale: one key-equi join counts candidates WITHOUT materializing
+    them wider than the count agg (sum collapses map-side per
+    block); sizes are two scalar aggs; everything after is
+    arithmetic on a 1-row relation. At 100 TB the same audit runs
+    per candidate blocking key on a sample (q194's coordinated-
+    sample precedent) before committing to the full join.
+    """
+    c = load(spark, sf_dir, "customer")
+    a = c.select(F.col("c_custkey").alias("ak"), F.col("c_nationkey").alias("nk"))
+    b = c.select(
+        (F.col("c_custkey") + 1000000).alias("bk"),
+        F.when(F.col("c_custkey") % 7 == 0, (F.col("c_nationkey") + 1) % 25)
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk"),
+    )
+    cand = a.join(b, "nk").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("bk") - 1000000 == F.col("ak"), 1).otherwise(0)).alias(
+            "truth_caught"
+        ),
+    )
+    sizes = a.agg(F.count(F.lit(1)).alias("n_a")).crossJoin(
+        F.broadcast(b.agg(F.count(F.lit(1)).alias("n_b")))
+    )
+    return cand.crossJoin(F.broadcast(sizes)).select(
+        "n_a",
+        "n_b",
+        "n_candidates",
+        F.col("n_a").alias("n_truth"),
+        "truth_caught",
+        F.round(F.col("truth_caught") * 1.0 / F.col("n_a"), 6).alias(
+            "pairs_completeness"
+        ),
+        F.round(
+            1.0 - F.col("n_candidates") * 1.0 / (F.col("n_a") * F.col("n_b")), 6
+        ).alias("reduction_ratio"),
+    )

@@ -4068,3 +4068,444 @@ def q245_exponential_survival_mle(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("odd_cohort")
     )
+
+
+@register(
+    "q247_dq_verification_suite",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'lineitem_discount_in_range' AS check_name,
+               round(sum(CASE WHEN l_discount BETWEEN 0.0 AND 1.0
+                              THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS metric,
+               1.0 AS threshold,
+               sum(CASE WHEN l_discount BETWEEN 0.0 AND 1.0 THEN 0 ELSE 1
+                   END) = 0 AS pass
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders_custkey_complete',
+               round(1.0 - sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 6),
+               1.0,
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+        FROM orders
+        UNION ALL
+        SELECT 'orders_custkey_ri',
+               round(sum(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                     * 1.0 / count(*), 6),
+               1.0,
+               sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        UNION ALL
+        SELECT 'orders_orderkey_unique',
+               round(count(DISTINCT o_orderkey) * 1.0 / count(*), 6),
+               1.0,
+               count(DISTINCT o_orderkey) = count(*)
+        FROM orders
+        UNION ALL
+        SELECT 'orders_row_count_min',
+               CAST(count(*) AS DOUBLE), 100.0, count(*) >= 100
+        FROM orders
+        UNION ALL
+        SELECT 'orders_status_accepted',
+               round(sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                              THEN 1 ELSE 0 END) * 1.0 / count(*), 6),
+               1.0,
+               sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 0 ELSE 1
+                   END) = 0
+        FROM orders
+    ) ORDER BY check_name
+    """,
+)
+def q247_dq_verification_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality verification suite — the
+    Deequ/dbt-test contract layer a production pipeline runs before
+    promoting a batch: completeness (null fraction), uniqueness
+    (key cardinality ratio), referential integrity (FK containment
+    via LEFT JOIN), value-range and accepted-set conformance, and a
+    minimum-volume gate, each emitted as (check, metric, threshold,
+    pass). Pass verdicts come from EXACT integer violation counts,
+    never from comparing the rounded metric — no FP-boundary flakes.
+
+    Reference parity: the reference validates sources structurally
+    at load (/root/reference/src/g_etl/checks.py-style existence and
+    geometry checks); this is the same gate generalized to content
+    constraints over arbitrary tables.
+
+    Scale: every check is ONE combining aggregate over its table
+    (map-side partials, 1-row result); the RI check is the only
+    join and it is a key-equi join that AQE/broadcast handles (dim
+    side = customer keys). Checks on the same table could share one
+    pass via a multi-aggregate; kept separate here so each check
+    names its own relation, like Deequ's analyzers.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+
+    def chk(name, metric, threshold, passed):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            metric.alias("metric"),
+            F.lit(threshold).alias("threshold"),
+            passed.alias("pass"),
+        )
+
+    cnt = F.count(F.lit(1))
+    disc_ok = F.sum(
+        F.when(F.col("l_discount").between(0.0, 1.0), 1).otherwise(0)
+    )
+    r1 = li.agg(
+        chk(
+            "lineitem_discount_in_range",
+            F.round(disc_ok * 1.0 / cnt, 6),
+            1.0,
+            (cnt - disc_ok) == 0,
+        ).alias("s")
+    )
+    nulls = F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+    r2 = o.agg(
+        chk(
+            "orders_custkey_complete",
+            F.round(1.0 - nulls * 1.0 / cnt, 6),
+            1.0,
+            nulls == 0,
+        ).alias("s")
+    )
+    matched = F.sum(F.when(F.col("c_custkey").isNotNull(), 1).otherwise(0))
+    r3 = (
+        o.join(c.select("c_custkey"), o["o_custkey"] == c["c_custkey"], "left")
+        .agg(
+            chk(
+                "orders_custkey_ri",
+                F.round(matched * 1.0 / cnt, 6),
+                1.0,
+                (cnt - matched) == 0,
+            ).alias("s")
+        )
+    )
+    r4 = o.agg(
+        chk(
+            "orders_orderkey_unique",
+            F.round(F.countDistinct("o_orderkey") * 1.0 / cnt, 6),
+            1.0,
+            F.countDistinct("o_orderkey") == cnt,
+        ).alias("s")
+    )
+    r5 = o.agg(
+        chk("orders_row_count_min", cnt.cast("double"), 100.0, cnt >= 100).alias("s")
+    )
+    status_ok = F.sum(
+        F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+    )
+    r6 = o.agg(
+        chk(
+            "orders_status_accepted",
+            F.round(status_ok * 1.0 / cnt, 6),
+            1.0,
+            (cnt - status_ok) == 0,
+        ).alias("s")
+    )
+    return (
+        r1.unionAll(r2).unionAll(r3).unionAll(r4).unionAll(r5).unionAll(r6)
+        .select("s.*")
+        .orderBy("check_name")
+    )
+
+
+@register(
+    "q249_decision_stump",
+    oracle="""
+    WITH bins AS (
+        SELECT p_size AS s, CAST(count(*) AS BIGINT) AS n,
+               sum(p_retailprice) AS sv, sum(p_retailprice * p_retailprice) AS svv
+        FROM part GROUP BY 1
+    ),
+    cum AS (
+        SELECT s,
+               sum(n)  OVER w AS nl, sum(sv)  OVER w AS svl, sum(svv) OVER w AS svvl,
+               (SELECT sum(n) FROM bins)  AS nt,
+               (SELECT sum(sv) FROM bins)  AS svt,
+               (SELECT sum(svv) FROM bins) AS svvt
+        FROM bins
+        WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    gains AS (
+        SELECT s AS split_at, CAST(nl AS BIGINT) AS n_left,
+               CAST(nt - nl AS BIGINT) AS n_right,
+               (svvt - svt * svt / nt)
+               - ((svvl - svl * svl / nl)
+                  + (svvt - svvl - (svt - svl) * (svt - svl) / (nt - nl)))
+                   AS gain
+        FROM cum WHERE nl < nt
+    )
+    SELECT split_at, n_left, n_right, round(gain, 4) AS sse_gain
+    FROM gains ORDER BY round(gain, 4) DESC, split_at LIMIT 5
+    """,
+)
+def q249_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression decision stump: the best single split of
+    p_retailprice by p_size, scored by SSE reduction — the base
+    learner of every gradient-boosting / random-forest pipeline, and
+    the one-pass feature screen (a large gain = the feature carries
+    signal; q193's WOE/IV for a continuous target). Candidate
+    thresholds are the feature's value grid; emits the top-5 splits
+    with left/right populations.
+
+    Scale: ONE corpus aggregate collapses to per-value mergeable
+    moments (n, sum, sum-sq) on the bounded feature grid (|p_size|
+    = 50 cells); the cumulative-prefix scan and gain arithmetic run
+    on that bounded relation (the window orders 50 rows — bounded by
+    the feature domain, not the corpus, the q243 bounded-bin
+    precedent). Growing a full tree = re-running this per node on
+    filtered partitions; the per-pass cost never exceeds one scan.
+    """
+    p = load(spark, sf_dir, "part")
+    bins = p.groupBy(F.col("p_size").alias("s")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p_retailprice").alias("sv"),
+        F.sum(F.col("p_retailprice") * F.col("p_retailprice")).alias("svv"),
+    )
+    tot = bins.agg(
+        F.sum("n").alias("nt"), F.sum("sv").alias("svt"), F.sum("svv").alias("svvt")
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        bins.select(
+            "s",
+            F.sum("n").over(w).alias("nl"),
+            F.sum("sv").over(w).alias("svl"),
+            F.sum("svv").over(w).alias("svvl"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("nl") < F.col("nt"))
+    )
+    sse_t = F.col("svvt") - F.col("svt") * F.col("svt") / F.col("nt")
+    sse_l = F.col("svvl") - F.col("svl") * F.col("svl") / F.col("nl")
+    sse_r = (
+        (F.col("svvt") - F.col("svvl"))
+        - (F.col("svt") - F.col("svl"))
+        * (F.col("svt") - F.col("svl"))
+        / (F.col("nt") - F.col("nl"))
+    )
+    gains = cum.select(
+        F.col("s").alias("split_at"),
+        F.col("nl").cast("long").alias("n_left"),
+        (F.col("nt") - F.col("nl")).cast("long").alias("n_right"),
+        F.round(sse_t - (sse_l + sse_r), 4).alias("sse_gain"),
+    )
+    return gains.orderBy(F.desc("sse_gain"), "split_at").limit(5)
+
+
+@register(
+    "q250_ridge_regression",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               sum(l_quantity) AS sx, sum(l_discount) AS sz,
+               sum(l_extendedprice) AS sy,
+               sum(l_quantity * l_quantity) AS sxx,
+               sum(l_discount * l_discount) AS szz,
+               sum(l_quantity * l_discount) AS sxz,
+               sum(l_quantity * l_extendedprice) AS sxy,
+               sum(l_discount * l_extendedprice) AS szy
+        FROM lineitem
+    ),
+    c AS (
+        SELECT n,
+               sxx - sx * sx / n AS cxx, szz - sz * sz / n AS czz,
+               sxz - sx * sz / n AS cxz, sxy - sx * sy / n AS cxy,
+               szy - sz * sy / n AS czy,
+               sx / n AS mx, sz / n AS mz, sy / n AS my
+        FROM m
+    ),
+    f AS (
+        SELECT n, mx, mz, my, cxy, czy,
+               (cxx + 10.0) * (czz + 10.0) - cxz * cxz AS det,
+               ((czz + 10.0) * cxy - cxz * czy) AS num1,
+               ((cxx + 10.0) * czy - cxz * cxy) AS num2
+        FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           round(num1 / det, 6) AS beta_quantity,
+           round(num2 / det, 6) AS beta_discount,
+           round(my - (num1 / det) * mx - (num2 / det) * mz, 4) AS intercept
+    FROM f
+    """,
+)
+def q250_ridge_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression (lambda = 10) of extended price
+    on (quantity, discount): center via the mergeable raw moments,
+    solve the 2x2 regularized normal equations by Cramer's rule —
+    the multi-feature generalization of q115's OLS trend and the
+    degenerate-collinearity-safe fit a feature pipeline runs per
+    segment (ridge keeps det > 0 even when features correlate
+    perfectly; OLS would divide by ~0). The parameter-server shape
+    without parameter shipping: the model IS the aggregate.
+
+    Scale: ONE corpus aggregate to 9 mergeable moment cells — the
+    d-feature version is d(d+3)/2 cells, still one combining agg
+    (q158's covariance-cell pattern); solving is O(d^3) driver-free
+    arithmetic on that bounded relation. Identical formulas on both
+    engines, rounded after the solve.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("l_quantity").alias("sx"),
+        F.sum("l_discount").alias("sz"),
+        F.sum("l_extendedprice").alias("sy"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+        F.sum(F.col("l_discount") * F.col("l_discount")).alias("szz"),
+        F.sum(F.col("l_quantity") * F.col("l_discount")).alias("sxz"),
+        F.sum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+        F.sum(F.col("l_discount") * F.col("l_extendedprice")).alias("szy"),
+    )
+    n = F.col("n")
+    c = m.select(
+        n,
+        (F.col("sxx") - F.col("sx") * F.col("sx") / n).alias("cxx"),
+        (F.col("szz") - F.col("sz") * F.col("sz") / n).alias("czz"),
+        (F.col("sxz") - F.col("sx") * F.col("sz") / n).alias("cxz"),
+        (F.col("sxy") - F.col("sx") * F.col("sy") / n).alias("cxy"),
+        (F.col("szy") - F.col("sz") * F.col("sy") / n).alias("czy"),
+        (F.col("sx") / n).alias("mx"),
+        (F.col("sz") / n).alias("mz"),
+        (F.col("sy") / n).alias("my"),
+    )
+    lam = F.lit(10.0)
+    f = c.select(
+        n,
+        "mx",
+        "mz",
+        "my",
+        "cxy",
+        "czy",
+        ((F.col("cxx") + lam) * (F.col("czz") + lam) - F.col("cxz") * F.col("cxz")).alias(
+            "det"
+        ),
+        ((F.col("czz") + lam) * F.col("cxy") - F.col("cxz") * F.col("czy")).alias("num1"),
+        ((F.col("cxx") + lam) * F.col("czy") - F.col("cxz") * F.col("cxy")).alias("num2"),
+    )
+    b1 = F.col("num1") / F.col("det")
+    b2 = F.col("num2") / F.col("det")
+    return f.select(
+        n.cast("long").alias("n_rows"),
+        F.round(b1, 6).alias("beta_quantity"),
+        F.round(b2, 6).alias("beta_discount"),
+        F.round(F.col("my") - b1 * F.col("mx") - b2 * F.col("mz"), 4).alias("intercept"),
+    )
+
+
+@register(
+    "q251_l_diversity_audit",
+    oracle="""
+    WITH cls AS (
+        SELECT c_nationkey,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+               CAST(count(*) AS BIGINT) AS class_size,
+               CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
+        FROM customer GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(sum(class_size) AS DOUBLE) AS n FROM cls)
+    SELECT l,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(class_size) AS BIGINT) AS n_rows,
+           CAST(l < 3 AS BOOLEAN) AS at_risk,
+           round(sum(class_size) / (SELECT n FROM n), 6) AS row_share
+    FROM cls GROUP BY l ORDER BY l
+    """,
+)
+def q251_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure companion to
+    q207's k-anonymity: a class can be large (k-anonymous) yet still
+    leak if every member shares the same SENSITIVE value, so for
+    each quasi-identifier equivalence class (nationkey, acctbal/1000
+    band) count the DISTINCT sensitive values (mktsegment) it
+    contains; classes with l < 3 need suppression or generalization
+    before release even if they pass the k gate.
+
+    Scale: one groupBy to the bounded class relation with a
+    count-distinct over the tiny sensitive domain (5 segments — the
+    distinct collapses map-side), then a tiny histogram agg on l;
+    the row-total broadcasts back. Same two-exchange shape as q207.
+    """
+    c = load(spark, sf_dir, "customer")
+    cls = c.groupBy(
+        "c_nationkey", F.floor(F.col("c_acctbal") / 1000.0).alias("bal_band")
+    ).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct("c_mktsegment").alias("l"),
+    )
+    n = cls.agg(F.sum("class_size").cast("double").alias("n"))
+    return (
+        cls.groupBy("l")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("class_size").alias("n_rows"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "l",
+            "n_classes",
+            "n_rows",
+            (F.col("l") < 3).alias("at_risk"),
+            F.round(F.col("n_rows") / F.col("n"), 6).alias("row_share"),
+        )
+        .orderBy("l")
+    )
+
+
+@register(
+    "q254_salted_skew_join",
+    oracle="""
+    WITH ev AS (
+        SELECT CASE WHEN user_id % 10 < 7 THEN 0
+                    ELSE CAST(user_id % 25 AS INTEGER) END AS nk,
+               value
+        FROM events
+    )
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(ev.value), 4) AS total_value
+    FROM ev JOIN nation n ON ev.nk = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def q254_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skewed join, oracle-gated: ~70% of the fact rows land
+    on ONE join key (a planted hot-nation skew), the pathological
+    shape where a plain shuffle join puts most of the corpus in one
+    task. The join runs through operators/joins.broadcast_salted_join
+    — the dim side replicates per salt bucket, the fact side salts,
+    and each hot key's rows spread over 8 tasks — with the oracle
+    pinning that the salt fan-out is result-invariant (inner-join
+    multiplicity is preserved because every fact row matches exactly
+    one (key, salt) replica).
+
+    Scale: this is the 100 TB defense when AQE's runtime skew split
+    is unavailable (disabled clusters, non-shuffle broadcast plans) —
+    q105 covers the salted AGGREGATE, this covers the salted JOIN;
+    together they close the rubric's "skewed keys -> salting" row.
+    The dim replication is |dim| x buckets rows — broadcastable by
+    construction; the post-join agg collapses map-side.
+    """
+    from g_etl_spark.operators.joins import broadcast_salted_join
+
+    e = load(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 10 < 7, F.lit(0))
+        .otherwise((F.col("user_id") % 25).cast("int"))
+        .alias("nk"),
+        "value",
+    )
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), "n_name"
+    )
+    joined = broadcast_salted_join(e, n, "nk", salt_buckets=8)
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("n_name")
+    )

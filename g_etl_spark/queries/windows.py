@@ -3968,3 +3968,157 @@ def q246_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "q248_dft_periodogram",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS d,
+               CAST(count(*) AS DOUBLE) AS c
+        FROM events GROUP BY 1
+    ),
+    base AS (SELECT min(d) AS d0, avg(c) AS mu FROM daily),
+    pw AS (
+        SELECT p.p,
+               pow(sum((dl.c - b.mu) * cos(2 * pi() * (dl.d - b.d0) / p.p)), 2)
+               + pow(sum((dl.c - b.mu) * sin(2 * pi() * (dl.d - b.d0) / p.p)), 2)
+                   AS power
+        FROM daily dl
+        CROSS JOIN base b
+        JOIN (SELECT unnest(range(2, 11)) AS p) p ON true
+        GROUP BY p.p
+    ),
+    tot AS (SELECT sum(power) AS t FROM pw)
+    SELECT CAST(p AS BIGINT) AS period_days,
+           round(power, 2) AS power,
+           round(power / (SELECT t FROM tot), 6) AS power_share
+    FROM pw ORDER BY period_days
+    """,
+)
+def q248_dft_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-Fourier periodogram of the daily event-count series
+    at candidate periods 2..10 days: spectral power of the demeaned
+    series per period — the frequency-domain seasonality detector
+    (q176's ACF works in the lag domain; the periodogram separates
+    overlapping cycles and is what you consult before pinning q151's
+    weekday profile or q237's seasonal vector length).
+
+    Scale: the corpus collapses in ONE daily rollup (|days| rows);
+    the 9 candidate periods broadcast-join onto it and each power is
+    a mergeable (cos, sin) pair of sums over that bounded relation —
+    at 100 TB the per-period trig runs on |days| cells, never on raw
+    events. Day indices are re-based to the series start so the
+    angles stay small and both engines' libm agree well inside the
+    rounding; power is rounded AFTER the quadrature sum.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000.0)).cast("long").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    base = daily.agg(F.min("d").alias("d0"), F.avg("c").alias("mu"))
+    ps = spark.range(2, 11).select(F.col("id").alias("p"))
+    ang = 2 * 3.141592653589793 * (F.col("d") - F.col("d0")) / F.col("p")
+    pw = (
+        daily.crossJoin(F.broadcast(base))
+        .join(F.broadcast(ps), how="cross")
+        .groupBy("p")
+        .agg(
+            (
+                F.pow(F.sum((F.col("c") - F.col("mu")) * F.cos(ang)), 2)
+                + F.pow(F.sum((F.col("c") - F.col("mu")) * F.sin(ang)), 2)
+            ).alias("power")
+        )
+    )
+    tot = pw.agg(F.sum("power").alias("t"))
+    return (
+        pw.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("p").cast("long").alias("period_days"),
+            F.round("power", 2).alias("power"),
+            F.round(F.col("power") / F.col("t"), 6).alias("power_share"),
+        )
+        .orderBy("period_days")
+    )
+
+
+@register(
+    "q255_time_decay_attribution",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) % 5 AS channel
+        FROM events
+    ),
+    pur AS (SELECT user_id, ts AS pts, event_id AS pid FROM ev
+            WHERE event_type = 'purchase'),
+    cli AS (SELECT user_id, ts AS cts, event_id AS cid, channel FROM ev
+            WHERE event_type = 'click'),
+    touch AS MATERIALIZED (
+        SELECT p.pid, c.channel,
+               exp(-(epoch_us(p.pts) - epoch_us(c.cts)) / 21600000000.0) AS w
+        FROM pur p JOIN cli c
+          ON c.user_id = p.user_id
+         AND c.cts <= p.pts
+         AND c.cts > p.pts - INTERVAL 24 HOUR
+    ),
+    norm AS (
+        SELECT pid, channel, w / sum(w) OVER (PARTITION BY pid) AS credit
+        FROM touch
+    )
+    SELECT channel,
+           CAST(count(DISTINCT pid) AS BIGINT) AS touched_purchases,
+           round(sum(credit), 4) AS decay_credit
+    FROM norm GROUP BY channel ORDER BY channel
+    """,
+)
+def q255_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay marketing attribution (half-life ~4.2 h: weight
+    exp(-age/6h)) over the same 24-hour touch paths as q246: recent
+    clicks earn exponentially more credit, normalized per purchase
+    so each conversion distributes exactly 1.0 — the fourth model of
+    the attribution family (first/last/linear in q246), and the one
+    practitioners default to because it interpolates between last-
+    touch (tau -> 0) and linear (tau -> inf) with one knob.
+
+    Scale: identical join shape to q246 (per-user bounded time-range
+    join); the decay weight is map-side arithmetic on exact
+    microsecond ages; normalization is one window over each
+    purchase's bounded path; credit collapses per channel. Credit
+    conservation (sum = attributed purchases) is the test identity.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        (F.get_json_object("props", "$.k").cast("long") % 5).alias("channel"),
+    )
+    pur = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    cli = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("cid"), "channel"
+    )
+    touch = pur.join(
+        cli,
+        (pur["user_id"] == cli["user_id"])
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") > F.col("pts") - F.expr("INTERVAL 24 HOURS")),
+    ).select(
+        "pid",
+        "channel",
+        F.exp(
+            -(F.unix_micros("pts") - F.unix_micros("cts")) / F.lit(21_600_000_000.0)
+        ).alias("w"),
+    )
+    wp = Window.partitionBy("pid")
+    norm = touch.withColumn("credit", F.col("w") / F.sum("w").over(wp))
+    return (
+        norm.groupBy("channel")
+        .agg(
+            F.countDistinct("pid").alias("touched_purchases"),
+            F.round(F.sum("credit"), 4).alias("decay_credit"),
+        )
+        .orderBy("channel")
+    )

@@ -2538,3 +2538,60 @@ def test_q246_attribution_conservation(spark, qs):
         load(spark, SF_DIR, "events").where(F.col("event_type") == "purchase").count()
     )
     assert 0 < first <= n_pur
+
+
+def test_q247_dq_suite_all_green_and_exact_verdicts(spark, qs):
+    """The synthetic corpus satisfies every declared constraint, and
+    each verdict must come from exact integer counts (metric == 1.0
+    for every ratio check here)."""
+    rows = {r["check_name"]: r for r in qs["q247_dq_verification_suite"](spark, SF_DIR).collect()}
+    assert len(rows) == 6
+    assert all(r["pass"] for r in rows.values())
+    for name, r in rows.items():
+        if name != "orders_row_count_min":
+            assert r["metric"] == 1.0
+
+
+def test_q252_golden_record_survivorship_rules(spark, qs):
+    """Every cluster consolidates exactly the three planted sources;
+    the surviving balance must be the max non-null member balance
+    (v1 = base + 5 when present, else base beats v2 = base - 2.5)."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    out = qs["q252_golden_record"](spark, SF_DIR)
+    rows = out.collect()
+    assert rows and all(r["n_members"] == 3 and r["n_sources"] == 3 for r in rows)
+    base = {
+        r["c_custkey"]: r
+        for r in load(spark, SF_DIR, "customer")
+        .select("c_custkey", F.round("c_acctbal", 2).alias("b"), "c_mktsegment")
+        .collect()
+    }
+    for r in rows:
+        b = base[r["canonical_key"]]
+        want = round(b["b"] + 5.0, 2) if r["canonical_key"] % 3 != 0 else b["b"]
+        assert abs(r["best_acctbal"] - want) < 0.011, (r, b)
+        assert r["segment"] == b["c_mktsegment"]
+
+
+def test_q254_salted_join_broadcasts_and_avoids_shuffle_join(spark, qs):
+    """The salted join must stay a broadcast hash join (the fact side
+    never shuffles on the skewed key) — that is the entire point of
+    the salt fan-out."""
+    plan = plan_of(qs["q254_salted_skew_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q255_decay_credit_conservation(spark, qs):
+    """Each attributed purchase distributes exactly 1.0 of credit, so
+    the channel sums must add up to the distinct touched-purchase
+    count (the q246 conservation identity, decay-weighted)."""
+    rows = qs["q255_time_decay_attribution"](spark, SF_DIR).collect()
+    total_credit = sum(r["decay_credit"] for r in rows)
+    # touched_purchases per channel overlap; recompute the distinct
+    # purchase count independently from the q246 relation
+    q246 = qs["q246_attribution_models"](spark, SF_DIR).collect()
+    n_attributed = sum(r["first_touch"] for r in q246)  # each purchase has ONE first touch
+    assert abs(total_credit - n_attributed) < 0.01 * max(1, n_attributed)
