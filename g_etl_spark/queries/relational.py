@@ -4509,3 +4509,217 @@ def q254_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "q256_snapshot_cdc_diff",
+    oracle="""
+    WITH today AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+    yesterday AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice - 10.0
+                    ELSE o_totalprice END AS p
+        FROM orders WHERE o_orderkey % 50 != 0
+        UNION ALL
+        SELECT o_orderkey + 5000000, o_totalprice FROM orders
+        WHERE o_orderkey % 41 = 0
+    ),
+    d AS (
+        SELECT CASE WHEN y.k IS NULL THEN 'insert'
+                    WHEN t.k IS NULL THEN 'delete'
+                    WHEN y.p != t.p THEN 'update'
+                    ELSE 'unchanged' END AS change_type,
+               coalesce(t.k, y.k) AS k
+        FROM today t FULL OUTER JOIN yesterday y ON t.k = y.k
+    )
+    SELECT change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(k) AS BIGINT) AS key_checksum
+    FROM d GROUP BY change_type ORDER BY change_type
+    """,
+)
+def q256_snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff change-data-capture: classify every key across
+    two table states (a planted 'yesterday' with missing keys =
+    today's inserts, price-drifted keys = updates, and extra keys =
+    deletes) into insert/update/delete/unchanged with per-class
+    counts and key checksums — the table-state diff a lakehouse
+    pipeline derives CDC feeds and incremental-refresh scopes from
+    when the source offers no change log (the batch complement of
+    the streaming family, and the generalization of q98's SCD2
+    merge, which consumes exactly this classification).
+
+    Scale: ONE full-outer key-equi join — both sides shuffle once on
+    the key (or co-locate for free under the bucketed layout the
+    house bucketBy plan test pins); classification is map-side
+    codegen; the rollup collapses to 4 cells. Checksums are exact
+    integer sums, so a mismatched diff can never hash-collide past
+    the gate.
+    """
+    o = load(spark, sf_dir, "orders")
+    today = o.select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p"))
+    yesterday = (
+        o.where(F.col("o_orderkey") % 50 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") - 10.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("p"),
+        )
+        .unionAll(
+            o.where(F.col("o_orderkey") % 41 == 0).select(
+                (F.col("o_orderkey") + 5000000).alias("k"),
+                F.col("o_totalprice").alias("p"),
+            )
+        )
+    )
+    t, y = today.alias("t"), yesterday.alias("y")
+    d = t.join(y, F.col("t.k") == F.col("y.k"), "full_outer").select(
+        F.when(F.col("y.k").isNull(), "insert")
+        .when(F.col("t.k").isNull(), "delete")
+        .when(F.col("y.p") != F.col("t.p"), "update")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.coalesce(F.col("t.k"), F.col("y.k")).alias("k"),
+    )
+    return (
+        d.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").cast("long").alias("key_checksum"),
+        )
+        .orderBy("change_type")
+    )
+
+
+@register(
+    "q259_srm_check",
+    oracle="""
+    WITH arms AS (
+        SELECT user_id % 2 = 1 AS treated,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    w AS (
+        SELECT max(CASE WHEN treated THEN n END) AS na,
+               max(CASE WHEN NOT treated THEN n END) AS nb
+        FROM arms
+    )
+    SELECT na AS n_treated, nb AS n_control,
+           round(na * 1.0 / (na + nb), 6) AS treated_share,
+           round((na - nb) * (na - nb) * 1.0 / (na + nb), 4) AS chi2,
+           CAST((na - nb) * (na - nb) * 1.0 / (na + nb) > 3.841 AS BOOLEAN)
+               AS srm_detected
+    FROM w
+    """,
+)
+def q259_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the first gate of every A/B
+    readout (before q150/q221/q225/q238 report an effect, the UNIT
+    counts per arm must match the intended 50/50 allocation;
+    randomization bugs show up here, and an SRM invalidates the
+    whole experiment): distinct USERS per arm (events are not the
+    randomization unit), the 1-df chi-square against the expected
+    split, flagged at the 95% critical value 3.841.
+
+    Scale: one distinct-user agg (map-side partial on user) into a
+    2-cell relation; the test statistic is arithmetic on those two
+    integers — exact, so the boolean verdict cannot flake across
+    engines.
+    """
+    e = load(spark, sf_dir, "events")
+    arms = e.groupBy((F.col("user_id") % 2 == 1).alias("treated")).agg(
+        F.countDistinct("user_id").alias("n")
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("treated"), F.col("n"))).alias("na"),
+        F.max(F.when(~F.col("treated"), F.col("n"))).alias("nb"),
+    )
+    chi2 = (
+        (F.col("na") - F.col("nb"))
+        * (F.col("na") - F.col("nb"))
+        * 1.0
+        / (F.col("na") + F.col("nb"))
+    )
+    return w.select(
+        F.col("na").alias("n_treated"),
+        F.col("nb").alias("n_control"),
+        F.round(F.col("na") * 1.0 / (F.col("na") + F.col("nb")), 6).alias(
+            "treated_share"
+        ),
+        F.round(chi2, 4).alias("chi2"),
+        (chi2 > 3.841).alias("srm_detected"),
+    )
+
+
+@register(
+    "q260_erasure_audit",
+    oracle="""
+    WITH tomb AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+    po AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM tomb)
+    )
+    SELECT * FROM (
+        SELECT 'customer' AS table_name,
+               CAST(count(*) AS BIGINT) AS n_rows_to_purge,
+               CAST(coalesce(sum(c_custkey), 0) AS BIGINT) AS key_checksum
+        FROM tomb
+        UNION ALL
+        SELECT 'lineitem', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(l_orderkey * 10 + l_linenumber), 0) AS BIGINT)
+        FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM po)
+        UNION ALL
+        SELECT 'orders', CAST(count(*) AS BIGINT),
+               CAST(coalesce(sum(o_orderkey), 0) AS BIGINT)
+        FROM po
+    ) ORDER BY table_name
+    """,
+)
+def q260_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure cascade audit (GDPR Art. 17 / CCPA delete):
+    given a tombstone set of subjects, walk the foreign-key cascade
+    (customer -> orders -> lineitem) with semi-joins and emit the
+    per-table purge manifest — row counts plus exact key checksums —
+    that a deletion job executes and a compliance log retains. The
+    data-governance closure of the privacy family: q207/q251 decide
+    WHAT is releasable, q234 finds PII in free text, this scopes a
+    subject's blast radius across the relational graph.
+
+    Scale: each hop is a key-equi LEFT SEMI join against the
+    (broadcastable) parent key set — the tombstone set is tiny by
+    construction and stays tiny through the cascade relative to the
+    tables it prunes; counts and checksums collapse map-side. At
+    100 TB the same manifest drives partition-level rewrites
+    (erasure = rewrite only the files whose min/max key ranges
+    intersect the manifest — the layout module's pruning story).
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    tomb = c.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    po = o.join(
+        F.broadcast(tomb), o["o_custkey"] == tomb["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    r1 = tomb.agg(
+        F.lit("customer").alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows_to_purge"),
+        F.coalesce(F.sum("c_custkey"), F.lit(0)).cast("long").alias("key_checksum"),
+    )
+    r2 = li.join(
+        F.broadcast(po), li["l_orderkey"] == po["o_orderkey"], "left_semi"
+    ).agg(
+        F.lit("lineitem").alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows_to_purge"),
+        F.coalesce(F.sum(F.col("l_orderkey") * 10 + F.col("l_linenumber")), F.lit(0))
+        .cast("long")
+        .alias("key_checksum"),
+    )
+    r3 = po.agg(
+        F.lit("orders").alias("table_name"),
+        F.count(F.lit(1)).alias("n_rows_to_purge"),
+        F.coalesce(F.sum("o_orderkey"), F.lit(0)).cast("long").alias("key_checksum"),
+    )
+    return r1.unionAll(r2).unionAll(r3).orderBy("table_name")

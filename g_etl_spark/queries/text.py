@@ -2606,3 +2606,63 @@ def q243_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "q258_tokenizer_fertility",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang, source,
+               len(regexp_extract_all(lower(trim(text)),
+                   '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_tok,
+               len({_TOKS}) AS n_words,
+               len(trim(text)) AS n_chars
+        FROM documents
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           round(sum(n_tok) * 1.0 / sum(n_words), 4) AS fertility,
+           round(sum(n_chars) * 1.0 / sum(n_tok), 4) AS chars_per_token
+    FROM t GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def q258_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per (language, source): subword
+    tokens per whitespace word and characters per token, under a
+    GPT-2-style pre-tokenization regex (letter runs / digit runs /
+    single punctuation) — the numbers a tokenizer owner watches per
+    corpus slice, because high fertility on a language means that
+    language pays more compute per sentence and the mixture weights
+    (q228) silently shift in effective tokens. The measurement
+    companion to q130 (BPE pair counting = training) and q191 (vocab
+    coverage = inference OOV).
+
+    Scale: pure map-side regex extraction + counting inside codegen
+    (no explode — only the COUNT of matches survives the map), one
+    combining agg on the bounded (lang, source) grid. The regex is
+    anchored to character classes only, so Java regex and RE2 agree
+    token-for-token.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        "source",
+        F.size(
+            F.expr("regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+        ).alias("n_tok"),
+        F.size(T.tokens(F.col("text"))).alias("n_words"),
+        F.length(F.trim("text")).alias("n_chars"),
+    )
+    return (
+        t.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.round(F.sum("n_tok") * 1.0 / F.sum("n_words"), 4).alias("fertility"),
+            F.round(F.sum("n_chars") * 1.0 / F.sum("n_tok"), 4).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("lang", "source")
+    )

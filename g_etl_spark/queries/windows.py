@@ -4122,3 +4122,111 @@ def q255_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "q257_croston_forecast",
+    oracle="""
+    WITH RECURSIVE ev AS (
+        SELECT event_type,
+               CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS d
+        FROM events WHERE value > 200.0
+    ),
+    d0 AS (
+        SELECT CAST(floor(epoch_us(min(ts)) / 86400000000.0) AS BIGINT) AS d0
+        FROM events
+    ),
+    dem AS (
+        SELECT event_type, d, CAST(count(*) AS DOUBLE) AS y,
+               row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+        FROM ev GROUP BY 1, 2
+    ),
+    rec AS (
+        SELECT dem.event_type, dem.rn, dem.y AS z,
+               CAST(dem.d - (SELECT d0 FROM d0) + 1 AS DOUBLE) AS p,
+               dem.d AS prev
+        FROM dem WHERE dem.rn = 1
+        UNION ALL
+        SELECT dem.event_type, dem.rn,
+               0.2 * dem.y + 0.8 * rec.z,
+               0.2 * (dem.d - rec.prev) + 0.8 * rec.p,
+               dem.d
+        FROM rec JOIN dem ON dem.event_type = rec.event_type
+                         AND dem.rn = rec.rn + 1
+    )
+    SELECT r.event_type,
+           CAST(r.rn AS BIGINT) AS n_demands,
+           round(r.z, 4) AS demand_size,
+           round(r.p, 4) AS demand_interval,
+           round(r.z / r.p, 4) AS rate_per_day
+    FROM rec r
+    JOIN (SELECT event_type, max(rn) AS mx FROM dem GROUP BY 1) m
+      ON m.event_type = r.event_type AND r.rn = m.mx
+    ORDER BY r.event_type
+    """,
+)
+def q257_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (alpha = 0.2) for INTERMITTENT demand — the
+    forecaster for series that are mostly zero (spare parts, rare
+    high-value events; here daily counts of value > 200 events per
+    type, the ~2-5% value tail): EWMA-smooth the nonzero demand SIZE and
+    the INTER-demand INTERVAL separately, forecast their ratio.
+    Holt/Holt-Winters (q206/q237) average the zeros into oblivion on
+    such series; Croston is the standard fix (and its rate is what a
+    capacity planner feeds q231's tail-risk check).
+
+    Scale: the corpus collapses in one (type, day) rollup of the
+    RARE demands only — no zero-filling, because the interval
+    arithmetic derives gaps from consecutive demand DAYS; the
+    recurrence runs as one JVM F.aggregate over each type's bounded
+    demand array (<= |days| elements), the q206/q237 recipe. The
+    oracle replays the identical IEEE expression tree as a recursive
+    CTE, so round(.,4) compares exactly.
+    """
+    e = load(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000.0)).cast("long")
+    dem = (
+        e.where(F.col("value") > 200.0)
+        .groupBy(F.col("event_type"), day.alias("d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    series = dem.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("d", "y"))).alias("ds")
+    )
+    base = e.agg(
+        F.floor(F.unix_micros(F.min("ts")) / F.lit(86_400_000_000.0))
+        .cast("long")
+        .alias("d0")
+    )
+    acc0 = F.struct(
+        F.lit(0.0).alias("z"),
+        F.lit(0.0).alias("p"),
+        (F.col("d0") - 1).alias("prev"),
+        F.lit(0).alias("started"),
+    )
+
+    def step(acc, x):
+        q = x["d"] - acc["prev"]
+        return F.struct(
+            F.when(acc["started"] == 0, x["y"])
+            .otherwise(0.2 * x["y"] + 0.8 * acc["z"])
+            .alias("z"),
+            F.when(acc["started"] == 0, q.cast("double"))
+            .otherwise(0.2 * q + 0.8 * acc["p"])
+            .alias("p"),
+            x["d"].alias("prev"),
+            F.lit(1).alias("started"),
+        )
+
+    fit = series.crossJoin(F.broadcast(base)).select(
+        "event_type",
+        F.size("ds").cast("long").alias("n_demands"),
+        F.aggregate("ds", acc0, step).alias("h"),
+    )
+    return fit.select(
+        "event_type",
+        "n_demands",
+        F.round(F.col("h.z"), 4).alias("demand_size"),
+        F.round(F.col("h.p"), 4).alias("demand_interval"),
+        F.round(F.col("h.z") / F.col("h.p"), 4).alias("rate_per_day"),
+    ).orderBy("event_type")

@@ -2595,3 +2595,80 @@ def test_q255_decay_credit_conservation(spark, qs):
     q246 = qs["q246_attribution_models"](spark, SF_DIR).collect()
     n_attributed = sum(r["first_touch"] for r in q246)  # each purchase has ONE first touch
     assert abs(total_credit - n_attributed) < 0.01 * max(1, n_attributed)
+
+
+def test_q256_cdc_classes_match_planted_fractions(spark, qs):
+    """Every CDC class count must equal its planted construction:
+    inserts = keys % 50 == 0, deletes = the % 41 == 0 shadow keys,
+    updates = keys % 7 == 0 surviving the yesterday filter."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    got = {r["change_type"]: r["n_rows"] for r in qs["q256_snapshot_cdc_diff"](spark, SF_DIR).collect()}
+    k = load(spark, SF_DIR, "orders").select(F.col("o_orderkey").alias("k"))
+    n = k.count()
+    ins = k.where(F.col("k") % 50 == 0).count()
+    dele = k.where(F.col("k") % 41 == 0).count()
+    upd = k.where((F.col("k") % 7 == 0) & (F.col("k") % 50 != 0)).count()
+    assert got.get("insert", 0) == ins
+    assert got.get("delete", 0) == dele
+    assert got.get("update", 0) == upd
+    assert got.get("unchanged", 0) == n - ins - upd
+
+
+def test_q257_croston_matches_python_replay(spark, qs):
+    """The JVM F.aggregate recurrence must equal a pure-Python replay
+    of Croston over the same per-type demand series."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    out = {r["event_type"]: r for r in qs["q257_croston_forecast"](spark, SF_DIR).collect()}
+    e = load(spark, SF_DIR, "events")
+    day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000.0)).cast("long")
+    dem = (
+        e.where(F.col("value") > 200.0)
+        .groupBy(F.col("event_type"), day.alias("d"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .collect()
+    )
+    d0 = e.agg(
+        F.floor(F.unix_micros(F.min("ts")) / F.lit(86_400_000_000.0)).cast("long")
+    ).collect()[0][0]
+    series = {}
+    for r in dem:
+        series.setdefault(r["event_type"], []).append((r["d"], float(r["y"])))
+    for t, ds in series.items():
+        ds.sort()
+        z = p = None
+        prev = d0 - 1
+        for d, y in ds:
+            q = d - prev
+            if z is None:
+                z, p = y, float(q)
+            else:
+                z = 0.2 * y + 0.8 * z
+                p = 0.2 * q + 0.8 * p
+            prev = d
+        r = out[t]
+        assert r["n_demands"] == len(ds)
+        assert abs(r["demand_size"] - round(z, 4)) < 1e-9
+        assert abs(r["demand_interval"] - round(p, 4)) < 1e-9
+
+
+def test_q260_erasure_cascade_counts(spark, qs):
+    """The purge manifest must equal direct filters along the FK
+    cascade (no over- or under-scoping of the subject's rows)."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    got = {r["table_name"]: r["n_rows_to_purge"] for r in qs["q260_erasure_audit"](spark, SF_DIR).collect()}
+    c = load(spark, SF_DIR, "customer").where(F.col("c_custkey") % 97 == 0)
+    keys = {r["c_custkey"] for r in c.collect()}
+    o = load(spark, SF_DIR, "orders")
+    po = o.where(o["o_custkey"].isin(keys)) if keys else o.limit(0)
+    okeys = {r["o_orderkey"] for r in po.collect()}
+    li = load(spark, SF_DIR, "lineitem")
+    nli = li.where(li["l_orderkey"].isin(okeys)).count() if okeys else 0
+    assert got["customer"] == len(keys)
+    assert got["orders"] == len(okeys)
+    assert got["lineitem"] == nli
