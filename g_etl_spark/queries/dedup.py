@@ -3014,3 +3014,93 @@ def q253_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.col("n_candidates") * 1.0 / (F.col("n_a") * F.col("n_b")), 6
         ).alias("reduction_ratio"),
     )
+
+
+@register(
+    "q262_lsh_parameter_planner",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    grid AS (
+        SELECT r, CAST(128 / r AS BIGINT) AS b
+        FROM (SELECT unnest([1, 2, 4, 8, 16, 32, 64]) AS r)
+    ),
+    curve AS (
+        SELECT r, b,
+               pow(1.0 / b, 1.0 / r) AS s_half,
+               1.0 - pow(1.0 - pow(0.5, r), b)  AS p_at_50,
+               1.0 - pow(1.0 - pow(0.7, r), b)  AS p_at_70,
+               1.0 - pow(1.0 - pow(0.85, r), b) AS p_at_85,
+               1.0 - pow(1.0 - pow(0.95, r), b) AS p_at_95
+        FROM grid
+    ),
+    best AS (
+        SELECT r FROM curve ORDER BY abs(s_half - 0.8), r LIMIT 1
+    )
+    SELECT CAST(c.r AS BIGINT) AS rows_per_band, c.b AS n_bands,
+           round(c.s_half, 6) AS s_half,
+           round(c.p_at_50, 6) AS p_at_50,
+           round(c.p_at_70, 6) AS p_at_70,
+           round(c.p_at_85, 6) AS p_at_85,
+           round(c.p_at_95, 6) AS p_at_95,
+           CAST(c.r = (SELECT r FROM best) AS BOOLEAN) AS recommended,
+           CAST(c.b * (SELECT n_docs FROM n) AS BIGINT) AS est_index_rows
+    FROM curve c ORDER BY c.r
+    """,
+)
+def q262_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH parameter planner: for a fixed 128-hash signature
+    budget, evaluate every (rows-per-band r, bands b = 128/r) split's
+    S-curve — the half-collision similarity s_half = (1/b)^(1/r) and
+    the candidate probability 1-(1-s^r)^b at probe similarities —
+    and recommend the split whose s_half sits closest to the 0.8
+    near-dup threshold (tie -> smaller r = higher recall). This is
+    the sizing step a pipeline owner runs BEFORE q52's banded join:
+    it explains WHY (r=8, b=16) is the shipped configuration and
+    what recall/cost moving the knob buys (est_index_rows = n_docs
+    x b is the LSH index the cluster must store and shuffle).
+
+    Scale: the corpus contributes ONE count; everything else is
+    arithmetic on a 7-row literal grid — the planner costs nothing
+    at any corpus size, which is the point of planning before
+    joining. Both engines evaluate the same pow() expression tree;
+    rounded at 6 after.
+    """
+    n = load(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    grid = spark.createDataFrame(
+        [(r, 128 // r) for r in (1, 2, 4, 8, 16, 32, 64)], "r long, b long"
+    )
+    curve = grid.select(
+        "r",
+        "b",
+        F.pow(1.0 / F.col("b"), 1.0 / F.col("r")).alias("s_half"),
+        (1.0 - F.pow(1.0 - F.pow(F.lit(0.5), F.col("r")), F.col("b"))).alias("p_at_50"),
+        (1.0 - F.pow(1.0 - F.pow(F.lit(0.7), F.col("r")), F.col("b"))).alias("p_at_70"),
+        (1.0 - F.pow(1.0 - F.pow(F.lit(0.85), F.col("r")), F.col("b"))).alias(
+            "p_at_85"
+        ),
+        (1.0 - F.pow(1.0 - F.pow(F.lit(0.95), F.col("r")), F.col("b"))).alias(
+            "p_at_95"
+        ),
+    )
+    best = curve.agg(
+        F.min_by("r", F.struct(F.abs(F.col("s_half") - 0.8), F.col("r").cast("double")))
+        .alias("best_r")
+    )
+    return (
+        curve.crossJoin(F.broadcast(best))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("r").alias("rows_per_band"),
+            F.col("b").alias("n_bands"),
+            F.round("s_half", 6).alias("s_half"),
+            F.round("p_at_50", 6).alias("p_at_50"),
+            F.round("p_at_70", 6).alias("p_at_70"),
+            F.round("p_at_85", 6).alias("p_at_85"),
+            F.round("p_at_95", 6).alias("p_at_95"),
+            (F.col("r") == F.col("best_r")).alias("recommended"),
+            (F.col("b") * F.col("n_docs")).cast("long").alias("est_index_rows"),
+        )
+        .orderBy("rows_per_band")
+    )

@@ -2666,3 +2666,145 @@ def q258_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "q263_bm25_retrieval_eval",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS} AS t, len({_TOKS}) AS dl FROM documents
+    ),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+              FROM base),
+    tf AS (
+        SELECT doc_id, dl, token, CAST(count(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(t) AS token FROM base)
+        GROUP BY doc_id, dl, token
+    ),
+    dft AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf
+            GROUP BY token),
+    tfj AS (SELECT tf.*, dft.df FROM tf JOIN dft USING (token)),
+    qsel AS (
+        SELECT doc_id AS qid, token AS qterm
+        FROM (
+            SELECT doc_id, token,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY df, token) AS rn
+            FROM tfj WHERE doc_id % 37 = 0
+        ) WHERE rn = 1
+    ),
+    cand AS (
+        SELECT q.qid, c.doc_id,
+               ln((stats.n_docs - c.df + 0.5) / (c.df + 0.5) + 1.0)
+               * c.tf * ({_BM25_K1} + 1.0)
+               / (c.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * c.dl / stats.avgdl)) AS s
+        FROM qsel q JOIN tfj c ON c.token = q.qterm CROSS JOIN stats
+    ),
+    ranks AS (
+        SELECT o.qid,
+               1 + CAST(sum(CASE WHEN c.s > o.s
+                                 OR (c.s = o.s AND c.doc_id < o.qid)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS rnk
+        FROM (SELECT qid, s FROM cand WHERE doc_id = qid) o
+        JOIN cand c ON c.qid = o.qid
+        GROUP BY o.qid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(1.0 / rnk), 6) AS mrr,
+           round(avg(CASE WHEN rnk = 1 THEN 1.0 ELSE 0.0 END), 6)
+               AS recall_at_1,
+           round(avg(CASE WHEN rnk <= 10 THEN 1.0 ELSE 0.0 END), 6)
+               AS recall_at_10,
+           round(avg(CAST(rnk AS DOUBLE)), 4) AS mean_rank
+    FROM ranks
+    """,
+)
+def q263_bm25_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-retrieval evaluation of the BM25 ranker (q74): every
+    37th document becomes a query whose text is its RAREST term
+    (min document frequency, lexicographic tie-break — the most
+    distinctive single-term query the doc can issue), and the
+    harness scores how the ranker places the source doc among all
+    docs containing that term: MRR, recall@1/@10, mean rank. The
+    retrieval sibling of q192/q199/q253 — those grade dedup
+    detectors and blocking; this grades the SEARCH surface, and a
+    drop in self-retrieval MRR is the canary for tokenizer or
+    scoring regressions.
+
+    Scale: the rank join is per-query bounded by df(qterm), and the
+    rarest-term selection makes that df SMALL by construction (the
+    q153 df-cap argument applied to retrieval); everything upstream
+    is the q74/q128 tf/df relation (one explode + two combining
+    aggs). No corpus x corpus stage anywhere.
+    """
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", T.tokens(F.col("text")).alias("t")).withColumn(
+        "dl", F.size("t").cast("double")
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("t").alias("token"))
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    dft = tf.groupBy("token").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    tfj = tf.join(dft, "token")
+    wq = Window.partitionBy("doc_id").orderBy("df", "token")
+    qsel = (
+        tfj.where(F.col("doc_id") % 37 == 0)
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") == 1)
+        .select(F.col("doc_id").alias("qid"), F.col("token").alias("qterm"))
+    )
+    k1, b = _BM25_K1, _BM25_B
+    cand = (
+        qsel.join(tfj, tfj["token"] == qsel["qterm"])
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            "doc_id",
+            (
+                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                * F.col("tf")
+                * (k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    own = cand.where(F.col("doc_id") == F.col("qid")).select(
+        "qid", F.col("s").alias("qs")
+    )
+    ranks = (
+        cand.join(own, "qid")
+        .groupBy("qid")
+        .agg(
+            (
+                1
+                + F.sum(
+                    F.when(
+                        (F.col("s") > F.col("qs"))
+                        | ((F.col("s") == F.col("qs")) & (F.col("doc_id") < F.col("qid"))),
+                        1,
+                    ).otherwise(0)
+                )
+            ).alias("rnk")
+        )
+    )
+    return ranks.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg(1.0 / F.col("rnk")), 6).alias("mrr"),
+        F.round(F.avg(F.when(F.col("rnk") == 1, 1.0).otherwise(0.0)), 6).alias(
+            "recall_at_1"
+        ),
+        F.round(F.avg(F.when(F.col("rnk") <= 10, 1.0).otherwise(0.0)), 6).alias(
+            "recall_at_10"
+        ),
+        F.round(F.avg(F.col("rnk").cast("double")), 4).alias("mean_rank"),
+    )

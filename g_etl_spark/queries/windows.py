@@ -4230,3 +4230,108 @@ def q257_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("h.p"), 4).alias("demand_interval"),
         F.round(F.col("h.z") / F.col("h.p"), 4).alias("rate_per_day"),
     ).orderBy("event_type")
+
+
+@register(
+    "q261_funnel_exclusion",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+    ),
+    anchors AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'click' THEN t END) AS c_ts
+        FROM base GROUP BY user_id
+    ),
+    pur AS (
+        SELECT b.user_id,
+               min(CASE WHEN b.event_type = 'purchase' AND b.t > a.c_ts
+                        THEN b.t END) AS p_ts
+        FROM base b JOIN anchors a USING (user_id)
+        GROUP BY b.user_id
+    ),
+    err AS (
+        SELECT b.user_id,
+               CAST(sum(CASE WHEN b.event_type = 'error'
+                             AND b.t > a.c_ts AND b.t < p.p_ts
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+        FROM base b
+        JOIN anchors a USING (user_id)
+        JOIN pur p USING (user_id)
+        GROUP BY b.user_id
+    ),
+    per_user AS (
+        SELECT a.user_id, a.c_ts, p.p_ts, coalesce(e.n_err, 0) AS n_err
+        FROM anchors a
+        LEFT JOIN pur p USING (user_id)
+        LEFT JOIN err e USING (user_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN c_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clicked,
+           CAST(sum(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchased,
+           CAST(sum(CASE WHEN p_ts IS NOT NULL AND n_err > 0 THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_excluded,
+           CAST(sum(CASE WHEN p_ts IS NOT NULL AND n_err = 0 THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_clean_conversions
+    FROM per_user
+    """,
+)
+def q261_funnel_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel WITH EXCLUSION semantics (the
+    Amplitude/Mixpanel "exclude event between steps" mode, which
+    q146's strict-order funnel cannot express): first click -> first
+    purchase after it, but a conversion is EXCLUDED if any 'error'
+    event fell strictly between the two anchors — the pattern that
+    separates "converted" from "converted despite a broken flow",
+    which is what a funnel-health dashboard actually wants.
+
+    Scale: the q146 recipe — ONE user_id partitioning carries
+    chained conditional window-mins (anchor, then purchase-after-
+    anchor, then errors-between) as three WindowExec over one
+    Exchange + Sort; the per-user collapse and the scalar rollup
+    are map-side-combinable. No joins, no row explosion; integer
+    micros end to end so the cross-engine compare is exact.
+    """
+    e = load(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    base = e.select("user_id", "event_type", F.unix_micros("ts").alias("t"))
+    c = base.withColumn(
+        "c_ts",
+        F.min(F.when(F.col("event_type") == "click", F.col("t"))).over(wu),
+    )
+    p = c.withColumn(
+        "p_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("t") > F.col("c_ts")),
+                F.col("t"),
+            )
+        ).over(wu),
+    )
+    x = p.withColumn(
+        "is_err",
+        F.when(
+            (F.col("event_type") == "error")
+            & (F.col("t") > F.col("c_ts"))
+            & (F.col("t") < F.col("p_ts")),
+            1,
+        ).otherwise(0),
+    )
+    per_user = x.groupBy("user_id").agg(
+        F.max("c_ts").alias("c_ts"),
+        F.max("p_ts").alias("p_ts"),
+        F.sum("is_err").alias("n_err"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("c_ts").isNotNull(), 1).otherwise(0)).alias("n_clicked"),
+        F.sum(F.when(F.col("p_ts").isNotNull(), 1).otherwise(0)).alias("n_purchased"),
+        F.sum(
+            F.when(F.col("p_ts").isNotNull() & (F.col("n_err") > 0), 1).otherwise(0)
+        ).alias("n_excluded"),
+        F.sum(
+            F.when(F.col("p_ts").isNotNull() & (F.col("n_err") == 0), 1).otherwise(0)
+        ).alias("n_clean_conversions"),
+    )

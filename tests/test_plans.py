@@ -2672,3 +2672,45 @@ def test_q260_erasure_cascade_counts(spark, qs):
     assert got["customer"] == len(keys)
     assert got["orders"] == len(okeys)
     assert got["lineitem"] == nli
+
+
+def test_q261_exclusion_partitions_conversions(spark, qs):
+    """Excluded + clean must partition the purchased set, and the
+    funnel must be monotone (clicked >= purchased)."""
+    r = qs["q261_funnel_exclusion"](spark, SF_DIR).collect()[0]
+    assert r["n_excluded"] + r["n_clean_conversions"] == r["n_purchased"]
+    assert r["n_clicked"] >= r["n_purchased"]
+    assert r["n_users"] >= r["n_clicked"]
+
+
+def test_q262_scurve_properties(spark, qs):
+    """Exactly one recommended split; s_half strictly increases with
+    rows-per-band; candidate probability decreases with r at fixed
+    similarity (steeper curve passes fewer low-sim pairs)."""
+    rows = qs["q262_lsh_parameter_planner"](spark, SF_DIR).collect()
+    assert sum(1 for r in rows if r["recommended"]) == 1
+    halves = [r["s_half"] for r in rows]
+    assert halves == sorted(halves) and len(set(halves)) == len(halves)
+    p50 = [r["p_at_50"] for r in rows]
+    assert all(a >= b - 1e-12 for a, b in zip(p50, p50[1:]))
+    for r in rows:
+        assert r["rows_per_band"] * r["n_bands"] == 128
+
+
+def test_q263_retrieval_eval_bounds(spark, qs):
+    """Metric sanity: MRR and recalls in [0,1], recall@1 <=
+    recall@10, mean rank >= 1, and the query count matches the
+    deterministic sample definition."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    r = qs["q263_bm25_retrieval_eval"](spark, SF_DIR).collect()[0]
+    assert 0.0 <= r["recall_at_1"] <= r["recall_at_10"] <= 1.0
+    assert 0.0 < r["mrr"] <= 1.0
+    assert r["mean_rank"] >= 1.0
+    n_sample = (
+        load(spark, SF_DIR, "documents")
+        .where((F.col("doc_id") % 37 == 0) & (F.size(F.split(F.lower(F.trim("text")), r"\s+")) > 0))
+        .count()
+    )
+    assert r["n_queries"] == n_sample
