@@ -3104,3 +3104,90 @@ def q262_lsh_parameter_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rows_per_band")
     )
+
+
+@register(
+    "q264_lsh_calibration",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    toks AS (SELECT doc_id, text, {_TOKS} AS t FROM corpus),
+    sh AS (
+        SELECT doc_id, text,
+               CASE WHEN len(t) >= 3
+                    THEN list_transform(range(0, len(t) - 2),
+                                        i -> {_BASE_HASH_SQL})
+                    ELSE [] END AS base_hashes
+        FROM toks
+    ),
+    sig AS (SELECT doc_id, text, {_sig_sql()} AS sig FROM sh),
+    bands AS (
+        SELECT doc_id, text, b AS band_idx,
+               md5(CAST(b AS VARCHAR) || '|' || CAST(sig[2*b + 1] AS VARCHAR) || '|' || CAST(sig[2*b + 2] AS VARCHAR)) AS band
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)
+    ),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.text AS text_a, b.text AS text_b,
+               CAST(count(*) AS BIGINT) AS n_shared_bands
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_idx = b.band_idx
+                     AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    jac AS (
+        SELECT n_shared_bands,
+               round(CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(text_a)), '\\s+')),
+                                             list_distinct(string_split_regex(lower(trim(text_b)), '\\s+')))) AS DOUBLE)
+                     / greatest(CAST(len(list_distinct(string_split_regex(lower(trim(text_a)), '\\s+')
+                                         || string_split_regex(lower(trim(text_b)), '\\s+'))) AS DOUBLE), 1.0), 4) AS jaccard
+        FROM cand
+    )
+    SELECT n_shared_bands,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(jaccard), 4) AS mean_jaccard,
+           round(avg(CASE WHEN jaccard >= 0.7 THEN 1.0 ELSE 0.0 END), 4)
+               AS precision_at_070
+    FROM jac GROUP BY n_shared_bands ORDER BY n_shared_bands
+    """,
+)
+def q264_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH calibration table: for every candidate pair of the q52
+    banded MinHash join, bucket by the number of SHARED BANDS and
+    report the measured exact-Jaccard distribution (count, mean,
+    precision at the 0.7 refine threshold) — the empirical S-curve
+    that closes the loop with q262's theoretical planner: q262 says
+    what (r, b) SHOULD pass, this measures what the shipped (r=2,
+    b=4) split DID pass on the real corpus, and the n_shared_bands
+    gradient (more shared bands -> higher Jaccard) is the
+    monotonicity a healthy LSH exhibits. Detector-quality triad:
+    q199 grades planted recall, q192 the SimHash twin, this grades
+    the candidate-precision profile on live data.
+
+    Scale: identical candidate cost to q52 (Sigma bucket^2, never
+    n^2); the calibration rollup collapses candidates into <= 4
+    cells map-side. Mean-of-rounded-jaccard keeps the cross-engine
+    compare exact at 4 decimals.
+    """
+    c = _corpus(spark, sf_dir)
+    cand = D.minhash_candidates(c, "doc_id", "text")
+    da = c.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
+    db = c.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+    jac = (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "n_shared_bands",
+            D.token_set_jaccard(F.col("_ta"), F.col("_tb")).alias("jaccard"),
+        )
+    )
+    return (
+        jac.groupBy("n_shared_bands")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 4).alias("mean_jaccard"),
+            F.round(
+                F.avg(F.when(F.col("jaccard") >= 0.7, 1.0).otherwise(0.0)), 4
+            ).alias("precision_at_070"),
+        )
+        .orderBy("n_shared_bands")
+    )

@@ -4335,3 +4335,456 @@ def q261_funnel_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("p_ts").isNotNull() & (F.col("n_err") == 0), 1).otherwise(0)
         ).alias("n_clean_conversions"),
     )
+
+
+@register(
+    "q265_interrupted_time_series",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS d,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS y
+        FROM events GROUP BY 1
+    ),
+    cut AS (
+        SELECT CAST(floor(epoch_us(TIMESTAMP '2024-01-16 00:00:00')
+                          / 86400000000.0) AS BIGINT) AS cd
+    ),
+    pre AS (SELECT d, y FROM daily, cut WHERE d < cd),
+    m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               sum(CAST(d AS DOUBLE)) AS sd, sum(y) AS sy,
+               sum(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)) AS sdd,
+               sum(CAST(d AS DOUBLE) * y) AS sdy
+        FROM pre
+    ),
+    fit AS (
+        SELECT n,
+               (sdy - sd * sy / n) / (sdd - sd * sd / n) AS b,
+               sy / n - (sdy - sd * sy / n) / (sdd - sd * sd / n) * (sd / n)
+                   AS a
+        FROM m
+    ),
+    resid AS (
+        SELECT sum((pre.y - fit.a - fit.b * pre.d)
+                   * (pre.y - fit.a - fit.b * pre.d)) AS sse
+        FROM pre, fit
+    ),
+    post AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n_post,
+               sum(daily.y) AS act,
+               sum(fit.a + fit.b * daily.d) AS pred
+        FROM daily, cut, fit WHERE daily.d >= cut.cd
+    )
+    SELECT CAST(fit.n AS BIGINT) AS n_pre_days,
+           CAST(post.n_post AS BIGINT) AS n_post_days,
+           round(fit.b, 6) AS pre_slope,
+           round(post.act, 2) AS post_actual,
+           round(post.pred, 2) AS post_counterfactual,
+           round(post.act - post.pred, 2) AS cumulative_effect,
+           round((post.act - post.pred)
+                 / (sqrt(resid.sse / (fit.n - 2)) * sqrt(post.n_post)), 4)
+               AS effect_z
+    FROM fit, resid, post
+    """,
+)
+def q265_interrupted_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time-series causal impact (CausalImpact-lite): fit
+    the PRE-period linear trend of daily revenue, extrapolate it as
+    the post-intervention counterfactual, and report the cumulative
+    effect (actual - predicted) with a z-score from the pre-period
+    residual spread — the estimator for interventions WITHOUT a
+    control group (a site-wide launch), completing the causal stack:
+    q221 DiD needs a control arm, q225 CUPED a pre covariate, this
+    needs only the series itself.
+
+    Scale: the corpus collapses in ONE cent-quantized daily rollup
+    (integer-exact per the q177 precedent, so the regression inputs
+    are bit-identical across engines); the OLS moments, residual
+    pass, and post-period extrapolation all run on the bounded
+    |days| relation — three tiny aggs over broadcast scalars,
+    nothing corpus-sized moves twice.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000.0)).cast("long").alias("d")
+    ).agg(
+        (
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).cast("double")
+            / 100.0
+        ).alias("y")
+    )
+    cd = F.floor(
+        F.unix_micros(F.lit("2024-01-16 00:00:00").cast("timestamp"))
+        / F.lit(86_400_000_000.0)
+    ).cast("long")
+    daily = daily.withColumn("cd", cd)
+    pre = daily.where(F.col("d") < F.col("cd"))
+    dd = F.col("d").cast("double")
+    m = pre.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dd).alias("sd"),
+        F.sum("y").alias("sy"),
+        F.sum(dd * dd).alias("sdd"),
+        F.sum(dd * F.col("y")).alias("sdy"),
+    )
+    slope = (F.col("sdy") - F.col("sd") * F.col("sy") / F.col("n")) / (
+        F.col("sdd") - F.col("sd") * F.col("sd") / F.col("n")
+    )
+    fit = m.select(
+        "n",
+        slope.alias("b"),
+        (F.col("sy") / F.col("n") - slope * (F.col("sd") / F.col("n"))).alias("a"),
+    )
+    resid = (
+        pre.crossJoin(F.broadcast(fit))
+        .agg(
+            F.sum(
+                (F.col("y") - F.col("a") - F.col("b") * F.col("d"))
+                * (F.col("y") - F.col("a") - F.col("b") * F.col("d"))
+            ).alias("sse")
+        )
+    )
+    post = (
+        daily.where(F.col("d") >= F.col("cd"))
+        .crossJoin(F.broadcast(fit))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_post"),
+            F.sum("y").alias("act"),
+            F.sum(F.col("a") + F.col("b") * F.col("d")).alias("pred"),
+        )
+    )
+    return (
+        fit.crossJoin(F.broadcast(resid))
+        .crossJoin(F.broadcast(post))
+        .select(
+            F.col("n").cast("long").alias("n_pre_days"),
+            F.col("n_post").cast("long").alias("n_post_days"),
+            F.round("b", 6).alias("pre_slope"),
+            F.round("act", 2).alias("post_actual"),
+            F.round("pred", 2).alias("post_counterfactual"),
+            F.round(F.col("act") - F.col("pred"), 2).alias("cumulative_effect"),
+            F.round(
+                (F.col("act") - F.col("pred"))
+                / (
+                    F.sqrt(F.col("sse") / (F.col("n") - 2))
+                    * F.sqrt(F.col("n_post"))
+                ),
+                4,
+            ).alias("effect_z"),
+        )
+    )
+
+
+_MKATTR_ROUNDS = 24  # power-iteration depth, mirrored exactly by the oracle
+_MKATTR_STEPS = ",\n".join(
+    f"    m{i} AS MATERIALIZED (SELECT t.scenario, t.dst AS state, sum(m{i - 1}.m * t.p) AS m"
+    f" FROM m{i - 1} JOIN tr t ON t.scenario = m{i - 1}.scenario AND t.src = m{i - 1}.state"
+    f" GROUP BY 1, 2)"
+    for i in range(1, _MKATTR_ROUNDS + 1)
+)
+
+
+@register(
+    "q266_markov_attribution",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) % 5 AS ch
+        FROM events
+    ),
+    cli AS (
+        SELECT user_id, ts, event_id, CAST(ch AS VARCHAR) AS ch
+        FROM ev WHERE event_type = 'click'
+    ),
+    conv AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'purchase'),
+    seq AS (
+        SELECT user_id, ch,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               lead(ch) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS nxt
+        FROM cli
+    ),
+    trans0 AS (
+        SELECT 'S' AS src, ch AS dst FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT ch, nxt FROM seq WHERE nxt IS NOT NULL
+        UNION ALL
+        SELECT s.ch, CASE WHEN c.user_id IS NOT NULL THEN 'C' ELSE 'N' END
+        FROM seq s LEFT JOIN conv c USING (user_id) WHERE s.nxt IS NULL
+    ),
+    tc AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS c
+           FROM trans0 GROUP BY 1, 2),
+    tot AS (SELECT src, sum(c) AS t FROM tc GROUP BY 1),
+    base AS (SELECT tc.src, tc.dst, tc.c / tot.t AS p
+             FROM tc JOIN tot USING (src)),
+    scen AS (SELECT unnest(['base', 'r0', 'r1', 'r2', 'r3', 'r4'])
+                 AS scenario),
+    redir AS (
+        SELECT s.scenario, b.src,
+               CASE WHEN s.scenario != 'base'
+                         AND b.dst = substr(s.scenario, 2, 1)
+                    THEN 'N' ELSE b.dst END AS dst,
+               b.p
+        FROM scen s JOIN base b
+          ON s.scenario = 'base' OR b.src != substr(s.scenario, 2, 1)
+    ),
+    tr AS MATERIALIZED (
+        SELECT scenario, src, dst, sum(p) AS p FROM redir GROUP BY 1, 2, 3
+        UNION ALL
+        SELECT scenario, a.st, a.st, 1.0
+        FROM scen, (SELECT unnest(['C', 'N']) AS st) a
+    ),
+    m0 AS (SELECT scenario, 'S' AS state, 1.0 AS m FROM scen),
+{_MKATTR_STEPS},
+    pconv AS (
+        SELECT scenario, coalesce(sum(CASE WHEN state = 'C' THEN m END), 0.0)
+            AS p
+        FROM m{_MKATTR_ROUNDS} GROUP BY scenario
+    ),
+    eff AS (
+        SELECT CAST(substr(r.scenario, 2, 1) AS BIGINT) AS channel,
+               b.p AS p_base, r.p AS p_removed,
+               greatest(b.p - r.p, 0.0) AS effect
+        FROM pconv r JOIN (SELECT p FROM pconv WHERE scenario = 'base') b
+          ON r.scenario != 'base'
+    ),
+    s AS (SELECT sum(effect) AS te FROM eff)
+    SELECT channel,
+           round(p_base, 6) AS p_conversion_base,
+           round(p_removed, 6) AS p_conversion_removed,
+           round(effect, 6) AS removal_effect,
+           round(CASE WHEN s.te > 0 THEN effect / s.te ELSE 0.0 END, 6)
+               AS attribution_share
+    FROM eff, s ORDER BY channel
+    """,
+)
+def q266_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven (Markov removal-effect) attribution — the model
+    that replaces the heuristic family (q246 first/last/linear,
+    q255 decay) with chain structure: build the S -> channel ->
+    ... -> C/N journey chain from ordered clicks, compute the
+    absorption probability of conversion, then REMOVE each channel
+    (its inflow redirects to null) and re-absorb; a channel's credit
+    is its removal effect normalized across channels — the Shapley-
+    flavored standard for budget allocation, because it prices what
+    a channel's PRESENCE contributes, not where it happens to sit in
+    the path.
+
+    Scale: the ONLY corpus-sized work is the per-user ordered-click
+    pass (one user exchange) and a distinct-converters agg; the
+    chain is a <= 8x8 matrix, so the 6 scenarios x {_MKATTR_ROUNDS}
+    power iterations run on the driver over the collected <= 42
+    transition cells (the q158/q215 bounded-collect precedent) and
+    re-enter Spark as a literal relation. The oracle unrolls the
+    IDENTICAL {_MKATTR_ROUNDS} matvecs as MATERIALIZED chained CTEs;
+    rounding at 6 absorbs summation-order ulps on <= 8-term sums.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        (F.get_json_object("props", "$.k").cast("long") % 5).alias("ch"),
+    )
+    cli = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.col("ch").cast("string").alias("ch")
+    )
+    conv = e.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    wq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = cli.select(
+        "user_id",
+        "ch",
+        F.row_number().over(wq).alias("rn"),
+        F.lead("ch").over(wq).alias("nxt"),
+    )
+    first = seq.where(F.col("rn") == 1).select(
+        F.lit("S").alias("src"), F.col("ch").alias("dst")
+    )
+    mid = seq.where(F.col("nxt").isNotNull()).select(
+        F.col("ch").alias("src"), F.col("nxt").alias("dst")
+    )
+    lastt = (
+        seq.where(F.col("nxt").isNull())
+        .join(conv.withColumn("cv", F.lit(1)), "user_id", "left")
+        .select(
+            F.col("ch").alias("src"),
+            F.when(F.col("cv") == 1, "C").otherwise("N").alias("dst"),
+        )
+    )
+    tc = (
+        first.unionAll(mid)
+        .unionAll(lastt)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .collect()
+    )  # bounded: <= (|channels|+1) x (|channels|+2) cells
+    rows_out = _markov_removal_attribution(tc, rounds=_MKATTR_ROUNDS)
+    return spark.createDataFrame(
+        rows_out,
+        "channel long, p_conversion_base double, p_conversion_removed double,"
+        " removal_effect double, attribution_share double",
+    ).orderBy("channel")
+
+
+def _markov_removal_attribution(cells, rounds: int):
+    """Driver-side absorption loop over the bounded journey chain,
+    mirroring the oracle's chained CTEs (same transition relation,
+    same matvec count, same redirect-to-null removal semantics)."""
+    from collections import defaultdict
+
+    tot: dict[str, float] = defaultdict(float)
+    for r in cells:
+        tot[r["src"]] += r["c"]
+    base = sorted((r["src"], r["dst"], r["c"] / tot[r["src"]]) for r in cells)
+    channels = sorted(
+        {s for s, _, _ in base if s not in ("S",)}
+        | {d for _, d, _ in base if d not in ("C", "N")}
+    )
+
+    def absorb(removed: str | None) -> float:
+        tr: dict[str, list[tuple[str, float]]] = defaultdict(list)
+        agg: dict[tuple[str, str], float] = defaultdict(float)
+        for src, dst, p in base:
+            if removed is not None and src == removed:
+                continue
+            d = "N" if (removed is not None and dst == removed) else dst
+            agg[(src, d)] += p
+        for (src, d), p in sorted(agg.items()):
+            tr[src].append((d, p))
+        tr["C"].append(("C", 1.0))
+        tr["N"].append(("N", 1.0))
+        m = {"S": 1.0}
+        for _ in range(rounds):
+            nxt: dict[str, float] = defaultdict(float)
+            for src in sorted(m):
+                for d, p in tr.get(src, []):
+                    nxt[d] += m[src] * p
+            m = dict(nxt)
+        return m.get("C", 0.0)
+
+    p_base = absorb(None)
+    effs = []
+    for ch in channels:
+        p_r = absorb(ch)
+        effs.append((int(ch), p_r, max(p_base - p_r, 0.0)))
+    te = sum(e for _, _, e in effs)
+    return [
+        (
+            ch,
+            round(p_base, 6),
+            round(p_r, 6),
+            round(e, 6),
+            round(e / te if te > 0 else 0.0, 6),
+        )
+        for ch, p_r, e in effs
+    ]
+
+
+@register(
+    "q267_stl_decomposition",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS y
+        FROM orders GROUP BY 1
+    ),
+    tr AS (
+        SELECT d, y,
+               CASE WHEN count(*) OVER w = 7 THEN avg(y) OVER w END AS trend
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+        SELECT dayofweek(d) AS dow, y - trend AS det
+        FROM tr WHERE trend IS NOT NULL
+    ),
+    seas AS (
+        SELECT dow, CAST(count(*) AS BIGINT) AS n_days, avg(det) AS s
+        FROM det GROUP BY 1
+    ),
+    resid AS (
+        SELECT d.dow, d.det, d.det - s.s AS r FROM det d JOIN seas s USING (dow)
+    ),
+    vtot AS (
+        SELECT (sum(det * det) - sum(det) * sum(det) / count(*)) / count(*)
+                   AS vd,
+               (sum(r * r) - sum(r) * sum(r) / count(*)) / count(*) AS vr
+        FROM resid
+    ),
+    mr AS (SELECT dow, avg(abs(r)) AS mar FROM resid GROUP BY dow)
+    SELECT s.dow, s.n_days,
+           round(s.s, 2) AS seasonal_index,
+           round(mr.mar, 2) AS mean_abs_residual,
+           round(1.0 - vtot.vr / vtot.vd, 4) AS seasonal_strength
+    FROM seas s JOIN mr USING (dow), vtot ORDER BY s.dow
+    """,
+)
+def q267_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite decomposition of daily revenue: trend = centered
+    7-day moving average, seasonal = day-of-week means of the
+    detrended series, residual = what's left — with the
+    Hyndman seasonal-strength statistic 1 - Var(resid)/Var(detrended)
+    that says how much of the non-trend variation the weekly cycle
+    explains. The classical-decomposition complement of the family:
+    q248 DETECTS the period, this EXTRACTS the components, q237
+    FORECASTS with them; the per-dow seasonal indices are the
+    anomaly baselines q151 compares against.
+
+    Scale: one cent-quantized daily rollup (integer-exact inputs,
+    q177 precedent); the MA window, dow means, and variance ratios
+    all run on the calendar-bounded |days| relation — the window is
+    unpartitioned but its input is bounded by the calendar, not the
+    corpus (the q243 bounded-relation contract). Weekday numbering
+    pinned cross-engine (Spark dayofweek - 1 = DuckDB dayofweek).
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("y")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "y",
+        F.when(F.count(F.lit(1)).over(w) == 7, F.avg("y").over(w)).alias("trend"),
+    )
+    det = tr.where(F.col("trend").isNotNull()).select(
+        (F.dayofweek("d") - 1).cast("long").alias("dow"),
+        (F.col("y") - F.col("trend")).alias("det")
+    )
+    seas = det.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n_days"), F.avg("det").alias("s")
+    )
+    resid = det.join(F.broadcast(seas.select("dow", "s")), "dow").select(
+        "dow", "det", (F.col("det") - F.col("s")).alias("r")
+    )
+    cnt = F.count(F.lit(1))
+    vtot = resid.agg(
+        (
+            (F.sum(F.col("det") * F.col("det")) - F.sum("det") * F.sum("det") / cnt)
+            / cnt
+        ).alias("vd"),
+        ((F.sum(F.col("r") * F.col("r")) - F.sum("r") * F.sum("r") / cnt) / cnt).alias(
+            "vr"
+        ),
+    )
+    mr = resid.groupBy("dow").agg(F.avg(F.abs("r")).alias("mar"))
+    return (
+        seas.join(mr, "dow")
+        .crossJoin(F.broadcast(vtot))
+        .select(
+            "dow",
+            "n_days",
+            F.round("s", 2).alias("seasonal_index"),
+            F.round("mar", 2).alias("mean_abs_residual"),
+            F.round(1.0 - F.col("vr") / F.col("vd"), 4).alias("seasonal_strength"),
+        )
+        .orderBy("dow")
+    )

@@ -2714,3 +2714,40 @@ def test_q263_retrieval_eval_bounds(spark, qs):
         .count()
     )
     assert r["n_queries"] == n_sample
+
+
+def test_q264_calibration_monotone_in_shared_bands(spark, qs):
+    """More shared bands must mean higher measured Jaccard (the LSH
+    health property), and precision must be a valid fraction."""
+    rows = qs["q264_lsh_calibration"](spark, SF_DIR).collect()
+    assert rows
+    mj = [r["mean_jaccard"] for r in sorted(rows, key=lambda r: r["n_shared_bands"])]
+    assert mj == sorted(mj)
+    assert all(0.0 <= r["precision_at_070"] <= 1.0 for r in rows)
+
+
+def test_q266_attribution_shares_and_bounds(spark, qs):
+    """Removal-effect shares must sum to 1 (when any effect exists)
+    and every probability must be a valid [0, 1] value with
+    p_removed <= p_base + eps (removing a channel cannot add
+    conversions under redirect-to-null semantics)."""
+    rows = qs["q266_markov_attribution"](spark, SF_DIR).collect()
+    assert rows
+    total = sum(r["attribution_share"] for r in rows)
+    if any(r["removal_effect"] > 0 for r in rows):
+        assert abs(total - 1.0) < 1e-3
+    for r in rows:
+        assert 0.0 <= r["p_conversion_removed"] <= 1.0
+        assert 0.0 <= r["p_conversion_base"] <= 1.0
+
+
+def test_q267_weighted_seasonal_indices_center(spark, qs):
+    """Day-of-week seasonal indices weighted by their day counts must
+    center near zero (they are means of a zero-mean-by-construction
+    detrended series partition), and strength must be in [0, 1]."""
+    rows = qs["q267_stl_decomposition"](spark, SF_DIR).collect()
+    assert len(rows) == 7
+    wsum = sum(r["seasonal_index"] * r["n_days"] for r in rows)
+    scale = sum(abs(r["seasonal_index"]) * r["n_days"] for r in rows) or 1.0
+    assert abs(wsum) / scale < 0.05
+    assert 0.0 <= rows[0]["seasonal_strength"] <= 1.0
