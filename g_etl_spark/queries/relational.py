@@ -4723,3 +4723,170 @@ def q260_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("o_orderkey"), F.lit(0)).cast("long").alias("key_checksum"),
     )
     return r1.unionAll(r2).unionAll(r3).orderBy("table_name")
+
+
+@register(
+    "q268_power_analysis_mde",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id, user_id % 2 = 1 AS treated,
+               sum(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    arms AS (
+        SELECT treated, CAST(count(*) AS DOUBLE) AS n,
+               sum(v) AS sv, sum(v * v) AS svv
+        FROM pu GROUP BY 1
+    ),
+    w AS (
+        SELECT max(CASE WHEN treated THEN n END) AS na,
+               max(CASE WHEN treated THEN sv END) AS sa,
+               max(CASE WHEN treated THEN svv END) AS sva,
+               max(CASE WHEN NOT treated THEN n END) AS nb,
+               max(CASE WHEN NOT treated THEN sv END) AS sb,
+               max(CASE WHEN NOT treated THEN svv END) AS svb
+        FROM arms
+    ),
+    f AS (
+        SELECT na, nb, sb / nb AS mu_c,
+               (sva - sa * sa / na) / (na - 1) AS va,
+               (svb - sb * sb / nb) / (nb - 1) AS vb
+        FROM w
+    )
+    SELECT CAST(na AS BIGINT) AS n_treated,
+           CAST(nb AS BIGINT) AS n_control,
+           round(mu_c, 4) AS control_mean,
+           round(sqrt(va / na + vb / nb), 6) AS effect_se,
+           round((1.959964 + 0.841621) * sqrt(va / na + vb / nb), 4)
+               AS mde_abs,
+           round((1.959964 + 0.841621) * sqrt(va / na + vb / nb) / mu_c, 6)
+               AS mde_rel
+    FROM f
+    """,
+)
+def q268_power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis: the minimum detectable effect at
+    80% power / 95% confidence from the CURRENT arm sizes and
+    variances (user-level totals, the randomization unit) — the
+    planning number an experimenter reads BEFORE launching (q259
+    gates allocation health, q150/q238 read the result; this says
+    whether the test is even worth running: an MDE of 8% is useless
+    for a 2% expected lift). MDE = (z_{a/2} + z_beta) * SE with the
+    standard 1.96/0.8416 quantiles as literals, so both engines do
+    identical arithmetic.
+
+    Scale: one user-keyed combining agg (the q240/q225 relation),
+    then mergeable moments to a 2-cell arm relation; everything
+    after is closed-form arithmetic on six numbers.
+    """
+    e = load(spark, sf_dir, "events")
+    pu = e.groupBy("user_id", (F.col("user_id") % 2 == 1).alias("treated")).agg(
+        F.sum("value").alias("v")
+    )
+    arms = pu.groupBy("treated").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("treated"), F.col("n"))).alias("na"),
+        F.max(F.when(F.col("treated"), F.col("sv"))).alias("sa"),
+        F.max(F.when(F.col("treated"), F.col("svv"))).alias("sva"),
+        F.max(F.when(~F.col("treated"), F.col("n"))).alias("nb"),
+        F.max(F.when(~F.col("treated"), F.col("sv"))).alias("sb"),
+        F.max(F.when(~F.col("treated"), F.col("svv"))).alias("svb"),
+    )
+    f = w.select(
+        "na",
+        "nb",
+        (F.col("sb") / F.col("nb")).alias("mu_c"),
+        ((F.col("sva") - F.col("sa") * F.col("sa") / F.col("na")) / (F.col("na") - 1)).alias(
+            "va"
+        ),
+        ((F.col("svb") - F.col("sb") * F.col("sb") / F.col("nb")) / (F.col("nb") - 1)).alias(
+            "vb"
+        ),
+    )
+    se = F.sqrt(F.col("va") / F.col("na") + F.col("vb") / F.col("nb"))
+    z = 1.959964 + 0.841621
+    return f.select(
+        F.col("na").cast("long").alias("n_treated"),
+        F.col("nb").cast("long").alias("n_control"),
+        F.round("mu_c", 4).alias("control_mean"),
+        F.round(se, 6).alias("effect_se"),
+        F.round(z * se, 4).alias("mde_abs"),
+        F.round(z * se / F.col("mu_c"), 6).alias("mde_rel"),
+    )
+
+
+@register(
+    "q270_quantile_treatment_effects",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id, user_id % 2 = 1 AS treated, sum(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    q AS (
+        SELECT quantile_cont(CASE WHEN treated THEN v END,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qt,
+               quantile_cont(CASE WHEN NOT treated THEN v END,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qc
+        FROM pu
+    ),
+    g AS (SELECT unnest(range(1, 10)) AS d)
+    SELECT CAST(g.d AS BIGINT) AS decile,
+           round(q.qt[CAST(g.d AS INTEGER)], 4) AS q_treated,
+           round(q.qc[CAST(g.d AS INTEGER)], 4) AS q_control,
+           round(q.qt[CAST(g.d AS INTEGER)] - q.qc[CAST(g.d AS INTEGER)], 4)
+               AS qte
+    FROM g, q ORDER BY g.d
+    """,
+)
+def q270_quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the treated-minus-control gap at
+    every decile of the user-level outcome distribution — the
+    DISTRIBUTIONAL readout the mean-based stack (q150/q221/q225)
+    cannot see: a zero average lift can hide a positive effect on
+    light users cancelled by a negative one on heavy users, and QTE
+    is where that shows up first.
+
+    Scale: one user-keyed combining agg, then two exact grouped
+    percentile sets over the collapsed per-user relation (Spark
+    `percentile` == DuckDB `quantile_cont`, the q39 parity); at
+    billions of users swap in percentile_approx / the q160 sketch —
+    the documented knob for every exact-percentile op in this repo.
+    """
+    e = load(spark, sf_dir, "events")
+    pu = e.groupBy("user_id", (F.col("user_id") % 2 == 1).alias("treated")).agg(
+        F.sum("value").alias("v")
+    )
+    qt = pu.where("treated").agg(
+        F.expr(
+            "percentile(v, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"
+        ).alias("qs")
+    )
+    qc = pu.where(~F.col("treated")).agg(
+        F.expr(
+            "percentile(v, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"
+        ).alias("qs")
+    )
+    g = spark.range(1, 10).select(F.col("id").alias("decile"))
+    return (
+        g.crossJoin(F.broadcast(qt.select(F.col("qs").alias("qst"))))
+        .crossJoin(F.broadcast(qc.select(F.col("qs").alias("qsc"))))
+        .select(
+            "decile",
+            F.round(F.element_at("qst", F.col("decile").cast("int")), 4).alias(
+                "q_treated"
+            ),
+            F.round(F.element_at("qsc", F.col("decile").cast("int")), 4).alias(
+                "q_control"
+            ),
+            F.round(
+                F.element_at("qst", F.col("decile").cast("int"))
+                - F.element_at("qsc", F.col("decile").cast("int")),
+                4,
+            ).alias("qte"),
+        )
+        .orderBy("decile")
+    )

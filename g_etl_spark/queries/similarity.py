@@ -1615,3 +1615,74 @@ def q241_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@register(
+    "q269_embedding_quality_audit",
+    oracle="""
+    WITH base AS (
+        SELECT label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings
+    ),
+    per AS (
+        SELECT label,
+               len(ve) AS dim,
+               sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm,
+               len(list_filter(ve, x -> isnan(x) OR NOT isfinite(x))) AS n_bad
+        FROM base
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN dim != 64 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dim_mismatch,
+           CAST(sum(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonfinite,
+           CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_norm,
+           round(avg(nrm), 4) AS mean_norm,
+           round(min(nrm), 4) AS min_norm,
+           round(max(nrm), 4) AS max_norm
+    FROM per GROUP BY label ORDER BY label
+    """,
+)
+def q269_embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector data-quality audit per label — the embedding-column
+    complement of q247's tabular DQ suite, and the gate an ANN /
+    SemDeDup pipeline (q61/q97/q108) must pass before indexing:
+    dimension consistency, non-finite components (NaN/Inf poison
+    every distance downstream), zero-norm vectors (undefined cosine
+    — the q54 family divides by this), and the norm distribution
+    whose drift is the embedding-model-regression canary (q219's PSI
+    tracks a projection; this tracks the raw geometry).
+
+    Scale: pure map-side JVM array arithmetic (higher-order
+    transform/sum inside one projection — floats cast to double
+    BEFORE squaring in both engines so the sums are bit-identical),
+    then one combining agg on the bounded label grid.
+    """
+    em = load(spark, sf_dir, "embeddings")
+    ve = F.transform("embedding", lambda x: x.cast("double"))
+    per = em.select(
+        F.col("label").cast("long").alias("label"),
+        F.size("embedding").alias("dim"),
+        F.sqrt(
+            F.aggregate(ve, F.lit(0.0), lambda acc, x: acc + x * x)
+        ).alias("nrm"),
+        F.size(
+            F.filter(ve, lambda x: F.isnan(x) | x.isin(float("inf"), float("-inf")))
+        ).alias("n_bad"),
+    )
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.when(F.col("dim") != 64, 1).otherwise(0)).alias("n_dim_mismatch"),
+            F.sum(F.when(F.col("n_bad") > 0, 1).otherwise(0)).alias("n_nonfinite"),
+            F.sum(F.when(F.col("nrm") == 0.0, 1).otherwise(0)).alias("n_zero_norm"),
+            F.round(F.avg("nrm"), 4).alias("mean_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+        .orderBy("label")
+    )

@@ -412,3 +412,60 @@ def q222_stream_watermark_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
+
+
+@register(
+    "q271_stream_static_enrich",
+    oracle="""
+    WITH ev AS (
+        SELECT CASE WHEN user_id % 10 < 7 THEN 0
+                    ELSE CAST(user_id % 25 AS INTEGER) END AS nk,
+               value
+        FROM events
+    )
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(ev.value), 2) AS total_value
+    FROM ev JOIN nation n ON ev.nk = n.n_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def q271_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join == batch join: the canonical
+    Structured Streaming pattern the family still lacked — a
+    streaming fact joined per micro-batch to a STATIC dimension
+    (nation, rebroadcast each batch, no state), then a complete-mode
+    rollup. This is how a production stream attaches reference data
+    (country tables, product catalogs) without stream-stream state;
+    q93 covers the stateful stream-stream case.
+
+    Scale: the static side is broadcast per micro-batch (dim-sized,
+    no watermark, no state store growth); streaming state is only
+    the |dims| aggregate rows. The planted 70%-hot key (the q254
+    skew) rides through the broadcast join untouched — broadcast
+    joins are skew-immune, which is WHY the enrichment pattern
+    prefers them.
+    """
+    events = load(spark, sf_dir, "events")
+    dim = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), "n_name"
+    )
+
+    def build(stream):
+        ev = stream.select(
+            F.when(F.col("user_id") % 10 < 7, F.lit(0))
+            .otherwise((F.col("user_id") % 25).cast("int"))
+            .alias("nk"),
+            "value",
+        )
+        return (
+            ev.join(F.broadcast(dim), "nk")
+            .groupBy("n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+        )
+
+    out = _run_stream(spark, events, build, "complete")
+    return out.orderBy("n_name")
