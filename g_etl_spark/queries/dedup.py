@@ -3191,3 +3191,89 @@ def q264_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_shared_bands")
     )
+
+
+@register(
+    "q275_dedup_storage_savings",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    fp AS (
+        SELECT doc_id,
+               length(text) AS nb,
+               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+                   AS fingerprint
+        FROM corpus
+    ),
+    marked AS (
+        SELECT doc_id, nb,
+               CASE WHEN doc_id != min(doc_id) OVER (PARTITION BY fingerprint)
+                    THEN 1 ELSE 0 END AS dropped
+        FROM fp
+    ),
+    src AS (
+        SELECT m.doc_id, m.nb, m.dropped, d.source
+        FROM marked m JOIN documents d ON d.doc_id = m.doc_id % 1000000
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(dropped) AS BIGINT) AS n_dropped,
+           CAST(sum(nb) AS BIGINT) AS bytes_total,
+           CAST(sum(CASE WHEN dropped = 1 THEN nb ELSE 0 END) AS BIGINT)
+               AS bytes_dropped,
+           round(sum(CASE WHEN dropped = 1 THEN nb ELSE 0 END) * 1.0
+                 / sum(nb), 4) AS savings_pct
+    FROM src GROUP BY source ORDER BY source
+    """,
+)
+def q275_dedup_storage_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup storage-savings manifest: run fingerprint dedup (q51's
+    sorted-distinct-token md5) over the dup-bearing corpus, mark
+    every non-canonical cluster member as droppable, and roll the
+    byte savings up per source — the capacity-planning number that
+    justifies a dedup pass BEFORE it runs at 100 TB (and the
+    per-source attribution tells you WHICH feed pays for it).
+    Composes q51 (the detector) with q143's canonical-keeper rule
+    (min doc_id) into the planning artifact.
+
+    Scale: one fingerprint groupBy-shaped window (partitioned by the
+    hash key — same shuffle as q51), one key-equi join back to the
+    source attribute, one combining rollup on the bounded source
+    grid. Byte counts are exact integers end to end.
+    """
+    c = _corpus(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), TOKEN_SPLIT)
+    fp = c.select(
+        "doc_id",
+        F.length("text").alias("nb"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
+            "fingerprint"
+        ),
+    )
+    wfp = Window.partitionBy("fingerprint")
+    marked = fp.select(
+        "doc_id",
+        "nb",
+        F.when(F.col("doc_id") != F.min("doc_id").over(wfp), 1)
+        .otherwise(0)
+        .alias("dropped"),
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    src = marked.join(d, d["doc_id"] == marked["doc_id"] % 1000000).drop(d["doc_id"])
+    return (
+        src.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dropped").cast("long").alias("n_dropped"),
+            F.sum("nb").cast("long").alias("bytes_total"),
+            F.sum(F.when(F.col("dropped") == 1, F.col("nb")).otherwise(0))
+            .cast("long")
+            .alias("bytes_dropped"),
+            F.round(
+                F.sum(F.when(F.col("dropped") == 1, F.col("nb")).otherwise(0))
+                * 1.0
+                / F.sum("nb"),
+                4,
+            ).alias("savings_pct"),
+        )
+        .orderBy("source")
+    )

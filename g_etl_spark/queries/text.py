@@ -2808,3 +2808,81 @@ def q263_bm25_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.avg(F.col("rnk").cast("double")), 4).alias("mean_rank"),
     )
+
+
+@register(
+    "q273_gains_curve",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+               ntile(10) OVER (ORDER BY n_chars DESC, doc_id) AS decile
+        FROM documents
+    ),
+    g AS (
+        SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(pos) AS BIGINT) AS n_pos
+        FROM scored GROUP BY decile
+    ),
+    t AS (SELECT sum(n_docs) AS tn, sum(n_pos) AS tp FROM g),
+    c AS (
+        SELECT decile, n_docs, n_pos,
+               sum(n_docs) OVER w * 1.0 / t.tn AS cum_pop_share,
+               sum(n_pos) OVER w * 1.0 / t.tp AS cum_pos_share
+        FROM g, t
+        WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_pos,
+           round(cum_pop_share, 4) AS cum_pop_share,
+           round(cum_pos_share, 4) AS cum_pos_share,
+           round(cum_pos_share / cum_pop_share, 4) AS cum_lift
+    FROM c ORDER BY decile
+    """,
+)
+def q273_gains_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table: rank documents by a score
+    (length as the quality proxy), cut into score-ordered deciles,
+    and report the cumulative share of positives (English docs)
+    captured per population share — the model-eval artifact a
+    targeting or curriculum team reads next to q229's PR sweep
+    (threshold view) and q178's calibration (probability view); a
+    useless score gives lift 1.0 everywhere.
+
+    Scale: the decile assignment is the operators/ranking TWO-PASS
+    global ntile (descending score via negated key, bucket-
+    partitioned windows only — the q238/q240 machinery dogfooded);
+    everything after is a 10-cell rollup with a bounded cumulative
+    window (q243 bounded-relation contract).
+    """
+    from g_etl_spark.operators.ranking import global_ntile_twopass, log2_bucket
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        (-F.col("n_chars")).alias("neg"),
+    )
+    scored = global_ntile_twopass(
+        d, 10, ["neg", "doc_id"], -log2_bucket(F.col("n_chars")), out="decile"
+    )
+    g = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("pos").cast("long").alias("n_pos")
+    )
+    t = g.agg(F.sum("n_docs").alias("tn"), F.sum("n_pos").alias("tp"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.crossJoin(F.broadcast(t)).select(
+        "decile",
+        "n_docs",
+        "n_pos",
+        (F.sum("n_docs").over(w) * 1.0 / F.col("tn")).alias("cum_pop_share"),
+        (F.sum("n_pos").over(w) * 1.0 / F.col("tp")).alias("cum_pos_share"),
+    )
+    return c.select(
+        "decile",
+        "n_docs",
+        "n_pos",
+        F.round("cum_pop_share", 4).alias("cum_pop_share"),
+        F.round("cum_pos_share", 4).alias("cum_pos_share"),
+        F.round(F.col("cum_pos_share") / F.col("cum_pop_share"), 4).alias("cum_lift"),
+    ).orderBy("decile")

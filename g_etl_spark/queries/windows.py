@@ -4788,3 +4788,134 @@ def q267_stl_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+@register(
+    "q272_path_sankey",
+    oracle="""
+    WITH cli AS (
+        SELECT user_id, ts, event_id,
+               CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 5
+                    AS VARCHAR) AS ch
+        FROM events WHERE event_type = 'click'
+    ),
+    seq AS (
+        SELECT user_id, ch,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               lead(ch) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS nxt
+        FROM cli
+    )
+    SELECT rn AS step, ch AS src_channel, nxt AS dst_channel,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM seq WHERE rn <= 3 AND nxt IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY step, src_channel, dst_channel
+    """,
+)
+def q272_path_sankey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-indexed journey flow matrix — the rollup behind a Sankey
+    / flow diagram of the first three steps of every user's channel
+    path: (step, from-channel, to-channel, count). q127/q215 model
+    transitions position-free (a Markov chain assumes step
+    invariance); the Sankey keeps POSITION, which is what reveals
+    'step 1 -> 2 flows differ from 2 -> 3' — the non-Markov
+    structure q266's chain attribution averages away.
+
+    Scale: one user-keyed window pass (row_number + lead share one
+    sort), a step-capped filter, and a combining agg on the bounded
+    (3 x |channels|^2) grid. Nothing corpus-sized survives the agg.
+    """
+    e = load(spark, sf_dir, "events")
+    cli = e.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.get_json_object("props", "$.k").cast("long") % 5)
+        .cast("string")
+        .alias("ch"),
+    )
+    wq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = cli.select(
+        F.col("ch"),
+        F.row_number().over(wq).alias("rn"),
+        F.lead("ch").over(wq).alias("nxt"),
+    )
+    return (
+        seq.where((F.col("rn") <= 3) & F.col("nxt").isNotNull())
+        .groupBy(
+            F.col("rn").cast("long").alias("step"),
+            F.col("ch").alias("src_channel"),
+            F.col("nxt").alias("dst_channel"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("step", "src_channel", "dst_channel")
+    )
+
+
+@register(
+    "q274_slo_burn_rate",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                        END) AS BIGINT) AS bad
+        FROM events GROUP BY 1
+    ),
+    burn AS (
+        SELECT d, n, bad,
+               (bad * 1.0 / n) / 0.25 AS burn_rate,
+               sum(bad) OVER w * 1.0 / sum(n) OVER w / 0.25
+                   AS burn_rate_7d
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, n AS n_events, bad AS n_bad,
+           round(burn_rate, 4) AS burn_rate,
+           round(burn_rate_7d, 4) AS burn_rate_7d,
+           CAST(burn_rate > 1.0 AS BOOLEAN) AS fast_burn,
+           CAST(burn_rate_7d > 1.0 AS BOOLEAN) AS slow_burn
+    FROM burn ORDER BY d
+    """,
+)
+def q274_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn rate (the SRE multi-window alert rule):
+    with an error-budget of 25% of events, each day's burn rate is
+    (bad fraction / budget); the 1-day rate catches FAST burns, the
+    7-day rolling rate catches SLOW leaks — the two-window pattern
+    that pages only when both magnitude and persistence warrant it.
+    The ops-monitoring sibling of the data-drift family (q219 PSI,
+    q155 CUSUM): same rollup, different contract.
+
+    Scale: one daily combining agg; the rolling window runs on the
+    calendar-bounded daily relation (q243 bounded-relation
+    contract). Burn ratios are exact integer ratios scaled by the
+    literal budget — rounded at 4, booleans from the unrounded
+    values identically in both engines.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("bad"),
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    burn = daily.select(
+        "d",
+        "n",
+        "bad",
+        ((F.col("bad") * 1.0 / F.col("n")) / 0.25).alias("burn_rate"),
+        ((F.sum("bad").over(w) * 1.0 / F.sum("n").over(w)) / 0.25).alias(
+            "burn_rate_7d"
+        ),
+    )
+    return burn.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n").alias("n_events"),
+        F.col("bad").alias("n_bad"),
+        F.round("burn_rate", 4).alias("burn_rate"),
+        F.round("burn_rate_7d", 4).alias("burn_rate_7d"),
+        (F.col("burn_rate") > 1.0).alias("fast_burn"),
+        (F.col("burn_rate_7d") > 1.0).alias("slow_burn"),
+    ).orderBy("day")
