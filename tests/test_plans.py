@@ -2751,3 +2751,45 @@ def test_q267_weighted_seasonal_indices_center(spark, qs):
     scale = sum(abs(r["seasonal_index"]) * r["n_days"] for r in rows) or 1.0
     assert abs(wsum) / scale < 0.05
     assert 0.0 <= rows[0]["seasonal_strength"] <= 1.0
+
+
+def test_q273_gains_curve_shape(spark, qs):
+    """Lift must be >= the no-skill baseline at the top decile when
+    the score carries signal, cumulative shares must be monotone and
+    end at 1.0, and deciles must partition the corpus."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    rows = sorted(qs["q273_gains_curve"](spark, SF_DIR).collect(), key=lambda r: r["decile"])
+    assert len(rows) == 10
+    assert abs(rows[-1]["cum_pop_share"] - 1.0) < 1e-9
+    assert abs(rows[-1]["cum_pos_share"] - 1.0) < 1e-9
+    pop = [r["cum_pop_share"] for r in rows]
+    pos = [r["cum_pos_share"] for r in rows]
+    assert pop == sorted(pop) and pos == sorted(pos)
+    n = load(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n
+
+
+def test_q274_burn_rate_arithmetic(spark, qs):
+    """Each day's burn rate must equal (bad/n)/budget with the flags
+    derived from the same numbers."""
+    rows = qs["q274_slo_burn_rate"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        want = (r["n_bad"] / r["n_events"]) / 0.25
+        assert abs(r["burn_rate"] - round(want, 4)) < 1e-9
+        assert r["fast_burn"] == (want > 1.0)
+
+
+def test_q275_savings_cover_planted_duplicates(spark, qs):
+    """The corpus plants one exact copy per doc, so at least one
+    third of corpus rows must be droppable, and dropped bytes must
+    be a valid fraction of total bytes per source."""
+    rows = qs["q275_dedup_storage_savings"](spark, SF_DIR).collect()
+    assert rows
+    tot_docs = sum(r["n_docs"] for r in rows)
+    tot_drop = sum(r["n_dropped"] for r in rows)
+    assert tot_drop * 3 >= tot_docs
+    for r in rows:
+        assert 0 <= r["bytes_dropped"] <= r["bytes_total"]
