@@ -4890,3 +4890,372 @@ def q270_quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "q276_bom_explosion",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT p_partkey AS c, p_partkey // 10 AS p,
+               CAST((p_partkey % 10) + 1 AS BIGINT) AS q
+        FROM part WHERE p_partkey >= 10
+    ),
+    walk AS (
+        SELECT p_partkey AS part, p_partkey AS anc,
+               CAST(1 AS BIGINT) AS qty, 0 AS depth
+        FROM part
+        UNION ALL
+        SELECT w.part, e.p, w.qty * e.q, w.depth + 1
+        FROM walk w JOIN edges e ON e.c = w.anc
+    )
+    SELECT anc AS root,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(qty) AS BIGINT) AS total_qty,
+           CAST(max(depth) AS BIGINT) AS max_depth
+    FROM walk WHERE anc < 10
+    GROUP BY anc ORDER BY anc
+    """,
+)
+def q276_bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials explosion with quantity roll-up — the
+    classic parts-explosion recursion (child -> parent assembly
+    links carry a per-link quantity; a part's EFFECTIVE quantity at
+    its root assembly is the PRODUCT along the chase): every part
+    walks a synthetic decade hierarchy (parent = key/10, link qty =
+    key%10+1) to its single-digit root; per root, descendant count,
+    summed effective quantity, and max depth. q106's closure walks
+    the same shape WITHOUT arithmetic along the path — the product
+    accumulation is what makes this the BOM/costing op.
+
+    Scale: iterative frontier joins against the persisted edge
+    relation (the k-core/_kcore_peel control pattern: bounded-depth
+    loop, per-round lineage truncation, RAISE past the depth bound
+    instead of silent partial results); state is one row per part
+    whose walk is unfinished — monotonically shrinking. Depth is
+    bounded by the hierarchy (4 here, O(log key)); quantities are
+    integer-exact products summed as bigints.
+    """
+    p = load(spark, sf_dir, "part").select("p_partkey")
+    edges = (
+        p.where(F.col("p_partkey") >= 10)
+        .select(
+            F.col("p_partkey").alias("c"),
+            F.expr("p_partkey div 10").alias("pp"),
+            ((F.col("p_partkey") % 10) + 1).cast("long").alias("q"),
+        )
+        .persist()
+    )
+    state = p.select(
+        F.col("p_partkey").alias("part"),
+        F.col("p_partkey").alias("anc"),
+        F.lit(1).cast("long").alias("qty"),
+        F.lit(0).alias("depth"),
+    ).localCheckpoint(eager=True)
+    for _ in range(8):
+        if state.where(F.col("anc") >= 10).isEmpty():
+            break
+        live = state.where(F.col("anc") >= 10)
+        done = state.where(F.col("anc") < 10)
+        stepped = (
+            live.join(edges, live["anc"] == edges["c"])
+            .select(
+                "part",
+                F.col("pp").alias("anc"),
+                (F.col("qty") * F.col("q")).alias("qty"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+        )
+        state = done.unionByName(stepped).localCheckpoint(eager=True)
+    else:
+        edges.unpersist()
+        raise RuntimeError("BOM walk did not reach all roots in 8 rounds")
+    edges.unpersist()
+    return (
+        state.groupBy(F.col("anc").alias("root"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("qty").alias("total_qty"),
+            F.max("depth").cast("long").alias("max_depth"),
+        )
+        .orderBy("root")
+    )
+
+
+@register(
+    "q277_cdc_apply_roundtrip",
+    oracle="""
+    WITH today AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+    yesterday AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice - 10.0
+                    ELSE o_totalprice END AS p
+        FROM orders WHERE o_orderkey % 50 != 0
+        UNION ALL
+        SELECT o_orderkey + 5000000, o_totalprice FROM orders
+        WHERE o_orderkey % 41 = 0
+    ),
+    diff AS (
+        SELECT CASE WHEN y.k IS NULL THEN 'insert'
+                    WHEN t.k IS NULL THEN 'delete'
+                    WHEN y.p != t.p THEN 'update'
+                    ELSE 'unchanged' END AS change_type,
+               coalesce(t.k, y.k) AS k, t.p AS new_p
+        FROM today t FULL OUTER JOIN yesterday y ON t.k = y.k
+    ),
+    kept AS (
+        SELECT y.k, y.p FROM yesterday y
+        WHERE y.k NOT IN (SELECT k FROM diff
+                          WHERE change_type IN ('delete', 'update'))
+    ),
+    reconstructed AS (
+        SELECT k, p FROM kept
+        UNION ALL
+        SELECT k, new_p FROM diff WHERE change_type IN ('insert', 'update')
+    ),
+    ct AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(k) AS BIGINT) AS ck,
+               CAST(sum(CAST(floor(p * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cp
+        FROM today
+    ),
+    cr AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(k) AS BIGINT) AS ck,
+               CAST(sum(CAST(floor(p * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cp
+        FROM reconstructed
+    ),
+    dc AS (
+        SELECT CAST(sum(CASE WHEN change_type = 'insert' THEN 1 ELSE 0
+                        END) AS BIGINT) AS ins,
+               CAST(sum(CASE WHEN change_type = 'update' THEN 1 ELSE 0
+                        END) AS BIGINT) AS upd,
+               CAST(sum(CASE WHEN change_type = 'delete' THEN 1 ELSE 0
+                        END) AS BIGINT) AS del
+        FROM diff
+    )
+    SELECT ct.n AS n_today, cr.n AS n_reconstructed,
+           dc.ins AS n_inserts_applied, dc.upd AS n_updates_applied,
+           dc.del AS n_deletes_applied,
+           CAST(ct.n = cr.n AND ct.ck = cr.ck AS BOOLEAN) AS keys_match,
+           CAST(ct.cp = cr.cp AS BOOLEAN) AS prices_match
+    FROM ct, cr, dc
+    """,
+)
+def q277_cdc_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY, roundtrip-verified: take q256's classified diff and
+    replay it onto the 'yesterday' snapshot — drop deletes, replace
+    updates, append inserts — then prove the reconstruction equals
+    'today' by exact count, key-checksum, and cent-quantized price
+    checksums. q98's SCD2 merge keeps history; this is the
+    plain-upsert apply path (what a MERGE INTO executes), and the
+    roundtrip identity is the invariant every CDC consumer should
+    assert before trusting a feed.
+
+    Scale: the apply is one anti-join (kept rows) + one union with
+    the delta — both key-equi, both shuffle-once-or-bucketed; the
+    verification is two checksum aggs. The diff itself is q256's one
+    full-outer join. Checksums are exact integers, so a corrupted
+    apply cannot pass by luck.
+    """
+    o = load(spark, sf_dir, "orders")
+    today = o.select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p"))
+    yesterday = (
+        o.where(F.col("o_orderkey") % 50 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") - 10.0)
+            .otherwise(F.col("o_totalprice"))
+            .alias("p"),
+        )
+        .unionAll(
+            o.where(F.col("o_orderkey") % 41 == 0).select(
+                (F.col("o_orderkey") + 5000000).alias("k"),
+                F.col("o_totalprice").alias("p"),
+            )
+        )
+    )
+    t, y = today.alias("t"), yesterday.alias("y")
+    diff = t.join(y, F.col("t.k") == F.col("y.k"), "full_outer").select(
+        F.when(F.col("y.k").isNull(), "insert")
+        .when(F.col("t.k").isNull(), "delete")
+        .when(F.col("y.p") != F.col("t.p"), "update")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        F.coalesce(F.col("t.k"), F.col("y.k")).alias("k"),
+        F.col("t.p").alias("new_p"),
+    )
+    gone = diff.where(F.col("change_type").isin("delete", "update")).select("k")
+    kept = yesterday.join(gone, "k", "left_anti")
+    applied = diff.where(F.col("change_type").isin("insert", "update")).select(
+        "k", F.col("new_p").alias("p")
+    )
+    reconstructed = kept.unionByName(applied)
+    cents = F.sum(F.floor(F.col("p") * 100 + 0.5).cast("long")).cast("long")
+    ct = today.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("long").alias("ck"),
+        cents.alias("cp"),
+    )
+    cr = reconstructed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("long").alias("ck"),
+        cents.alias("cp"),
+    )
+    dc = diff.agg(
+        F.sum(F.when(F.col("change_type") == "insert", 1).otherwise(0)).alias("ins"),
+        F.sum(F.when(F.col("change_type") == "update", 1).otherwise(0)).alias("upd"),
+        F.sum(F.when(F.col("change_type") == "delete", 1).otherwise(0)).alias("del"),
+    )
+    return (
+        ct.select(
+            F.col("n").alias("n_today"),
+            F.col("ck").alias("ckt"),
+            F.col("cp").alias("cpt"),
+        )
+        .crossJoin(
+            F.broadcast(
+                cr.select(
+                    F.col("n").alias("n_reconstructed"),
+                    F.col("ck").alias("ckr"),
+                    F.col("cp").alias("cpr"),
+                )
+            )
+        )
+        .crossJoin(F.broadcast(dc))
+        .select(
+            "n_today",
+            "n_reconstructed",
+            F.col("ins").alias("n_inserts_applied"),
+            F.col("upd").alias("n_updates_applied"),
+            F.col("del").alias("n_deletes_applied"),
+            (
+                (F.col("n_today") == F.col("n_reconstructed"))
+                & (F.col("ckt") == F.col("ckr"))
+            ).alias("keys_match"),
+            (F.col("cpt") == F.col("cpr")).alias("prices_match"),
+        )
+    )
+
+
+@register(
+    "q278_join_fanout_diagnostics",
+    oracle="""
+    WITH ck AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(n_rows * (n_rows - 1) / 2) AS BIGINT) AS total_pairs,
+               CAST(max(n_rows) AS BIGINT) AS max_key,
+               avg(n_rows) AS avg_key
+        FROM ck
+    )
+    SELECT l_partkey, n_rows,
+           CAST(n_rows * (n_rows - 1) / 2 AS BIGINT) AS pair_contribution,
+           round(n_rows * (n_rows - 1) / 2.0 / tot.total_pairs, 6)
+               AS pair_share,
+           tot.total_pairs,
+           round(tot.max_key / tot.avg_key, 4) AS skew_ratio
+    FROM ck, tot
+    ORDER BY pair_contribution DESC, l_partkey
+    LIMIT 10
+    """,
+)
+def q278_join_fanout_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join fan-out diagnostics — the PLANNING pass behind every
+    Sigma-bucket^2 cost argument in this repo (q101's wedge bound,
+    q153's df cap, q52's bucket join): per join key, the pair count
+    n*(n-1)/2 it would contribute to a self-join, the top-10
+    contributors with their share of total output, and the
+    max/average skew ratio that decides whether to salt (q254),
+    cap (q218's top-50 truncation), or let AQE split. Run this
+    BEFORE the join; it prices the join without executing it.
+
+    Scale: one combining count per key, then arithmetic on the
+    bounded key-count relation with a broadcast total — the
+    diagnostic costs one scan regardless of how explosive the join
+    it prices would be (the whole point). TakeOrdered for the top-10
+    (no global sort).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    ck = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    pairs = (F.col("n_rows") * (F.col("n_rows") - 1) / 2).cast("long")
+    tot = ck.agg(
+        F.sum(pairs).cast("long").alias("total_pairs"),
+        F.max("n_rows").cast("long").alias("max_key"),
+        F.avg("n_rows").alias("avg_key"),
+    )
+    return (
+        ck.crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "n_rows",
+            pairs.alias("pair_contribution"),
+            F.round(
+                F.col("n_rows") * (F.col("n_rows") - 1) / 2.0 / F.col("total_pairs"),
+                6,
+            ).alias("pair_share"),
+            "total_pairs",
+            F.round(F.col("max_key") / F.col("avg_key"), 4).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("pair_contribution"), "l_partkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q279_date_dimension",
+    oracle="""
+    WITH span AS (
+        SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+               CAST(max(o_orderdate) AS DATE) AS hi
+        FROM orders
+    ),
+    days AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+        FROM span
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(year(d) AS BIGINT) AS year,
+           CAST(quarter(d) AS BIGINT) AS quarter,
+           CAST(month(d) AS BIGINT) AS month,
+           CAST(day(d) AS BIGINT) AS day_of_month,
+           CAST(dayofweek(d) AS BIGINT) AS dow,
+           CAST(dayofweek(d) IN (0, 6) AS BOOLEAN) AS is_weekend,
+           CAST(d = last_day(d) AS BOOLEAN) AS is_month_end
+    FROM days ORDER BY d
+    """,
+)
+def q279_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-dimension generation spanning the fact table's calendar:
+    one conformed row per day with the standard attributes (year,
+    quarter, month, day-of-week with the cross-engine-pinned
+    numbering, weekend and month-end flags) — the warehouse-modeling
+    primitive every rollup in this repo joins against implicitly;
+    materializing it makes calendar logic a broadcast join instead
+    of per-row date arithmetic repeated in every query.
+
+    Scale: the span comes from one min/max agg; generation is a
+    single F.sequence explode of |days| rows (bounded by the
+    calendar, not the corpus) — map-side codegen, no shuffle at all
+    beyond the scalar span broadcast.
+    """
+    o = load(spark, sf_dir, "orders")
+    span = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    days = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    dow = (F.dayofweek("d") - 1).cast("long")
+    return days.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.year("d").cast("long").alias("year"),
+        F.quarter("d").cast("long").alias("quarter"),
+        F.month("d").cast("long").alias("month"),
+        F.dayofmonth("d").cast("long").alias("day_of_month"),
+        dow.alias("dow"),
+        dow.isin(0, 6).alias("is_weekend"),
+        (F.col("d") == F.last_day("d")).alias("is_month_end"),
+    ).orderBy("d")

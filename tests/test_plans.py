@@ -2793,3 +2793,47 @@ def test_q275_savings_cover_planted_duplicates(spark, qs):
     assert tot_drop * 3 >= tot_docs
     for r in rows:
         assert 0 <= r["bytes_dropped"] <= r["bytes_total"]
+
+
+def test_q276_bom_quantities_match_closed_form(spark, qs):
+    """The iterative BOM walk must equal the closed-form product of
+    decade-link quantities (the hierarchy is arithmetic, so the walk
+    is independently checkable), and parts must partition by root."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    rows = {r["root"]: r for r in qs["q276_bom_explosion"](spark, SF_DIR).collect()}
+    keys = [r["p_partkey"] for r in load(spark, SF_DIR, "part").select("p_partkey").collect()]
+    want: dict[int, list[int]] = {}
+    for k in keys:
+        qty, node = 1, k
+        while node >= 10:
+            qty *= (node % 10) + 1
+            node //= 10
+        want.setdefault(node, []).append(qty)
+    assert set(rows) == set(want)
+    for root, qtys in want.items():
+        assert rows[root]["n_parts"] == len(qtys)
+        assert rows[root]["total_qty"] == sum(qtys)
+
+
+def test_q277_roundtrip_holds(spark, qs):
+    """Applying the diff must reconstruct today exactly — both
+    verification booleans TRUE with non-zero applied counts."""
+    r = qs["q277_cdc_apply_roundtrip"](spark, SF_DIR).collect()[0]
+    assert r["keys_match"] and r["prices_match"]
+    assert r["n_today"] == r["n_reconstructed"]
+    assert r["n_inserts_applied"] > 0 and r["n_deletes_applied"] > 0
+
+
+def test_q279_calendar_is_gap_free(spark, qs):
+    """The generated dimension must cover every day of the fact span
+    exactly once, with consistent weekend flags."""
+    import datetime
+
+    rows = qs["q279_date_dimension"](spark, SF_DIR).collect()
+    days = [datetime.date.fromisoformat(r["day"]) for r in rows]
+    assert len(set(days)) == len(days)
+    assert (days[-1] - days[0]).days + 1 == len(days)
+    for r in rows[:50]:
+        assert r["is_weekend"] == (r["dow"] in (0, 6))
