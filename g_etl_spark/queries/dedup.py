@@ -3277,3 +3277,119 @@ def q275_dedup_storage_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q282_rec_coverage_audit",
+    oracle="""
+    WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+    p AS (
+        SELECT a.l_partkey AS a, b.l_partkey AS b, CAST(count(*) AS BIGINT) AS w
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    pw AS (SELECT a, b, w FROM p WHERE w >= 2),
+    edges AS (
+        SELECT a AS part, b AS partner, w FROM pw
+        UNION ALL
+        SELECT b, a, w FROM pw
+    ),
+    recs AS (
+        SELECT part, partner
+        FROM (
+            SELECT part, partner,
+                   row_number() OVER (PARTITION BY part
+                                      ORDER BY w DESC, partner) AS r
+            FROM edges
+        ) WHERE r <= 4
+    ),
+    freq AS (
+        SELECT partner, CAST(count(*) AS DOUBLE) AS c FROM recs GROUP BY 1
+    ),
+    cat AS (SELECT CAST(count(*) AS DOUBLE) AS n_parts FROM part),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_recommended_distinct,
+               sum(c) AS total_recs,
+               sum(c * c) AS sum_c2,
+               max(c) AS max_c
+        FROM freq
+    ),
+    src AS (
+        SELECT CAST(count(DISTINCT part) AS BIGINT) AS items_with_recs
+        FROM recs
+    )
+    SELECT CAST(cat.n_parts AS BIGINT) AS catalog_size,
+           src.items_with_recs,
+           m.n_recommended_distinct,
+           round(m.n_recommended_distinct / cat.n_parts, 6) AS coverage,
+           round(m.sum_c2 / (m.total_recs * m.total_recs), 6) AS rec_hhi,
+           round(m.max_c / m.total_recs, 6) AS top_item_share
+    FROM cat, m, src
+    """,
+)
+def q282_rec_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommendation coverage and concentration audit: build the
+    top-4 co-purchase neighbor list per part (the q175/q218 CF
+    surface), then measure what a RANKING metric never shows —
+    catalog coverage (what fraction of items EVER get recommended),
+    the Herfindahl concentration of recommendation slots, and the
+    single-most-recommended item's share. Popularity bias is the
+    classic CF failure (accuracy up, catalog dead); q218 grades
+    hit-rate, this grades the assortment. HHI instead of Gini by
+    design: it is a sort-free mergeable sum of squared shares, so
+    the audit stays one aggregation at any catalog size.
+
+    Scale: the pair join is the order-bounded wedge join (q101's
+    bound); the top-4 cut is a part-partitioned rank over each
+    part's bounded neighbor list; frequencies, HHI, and shares
+    collapse in one agg each. No global sort anywhere.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    pw = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .groupBy(F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+    )
+    edges = pw.select(F.col("a").alias("part"), F.col("b").alias("partner"), "w").unionAll(
+        pw.select(F.col("b").alias("part"), F.col("a").alias("partner"), "w")
+    )
+    wr = Window.partitionBy("part").orderBy(F.desc("w"), F.asc("partner"))
+    recs = (
+        edges.withColumn("r", F.row_number().over(wr))
+        .where(F.col("r") <= 4)
+        .select("part", "partner")
+    )
+    freq = recs.groupBy("partner").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    cat = load(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).cast("double").alias("n_parts")
+    )
+    m = freq.agg(
+        F.count(F.lit(1)).alias("n_recommended_distinct"),
+        F.sum("c").alias("total_recs"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        F.max("c").alias("max_c"),
+    )
+    src = recs.agg(F.countDistinct("part").alias("items_with_recs"))
+    return (
+        cat.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(src))
+        .select(
+            F.col("n_parts").cast("long").alias("catalog_size"),
+            "items_with_recs",
+            "n_recommended_distinct",
+            F.round(F.col("n_recommended_distinct") / F.col("n_parts"), 6).alias(
+                "coverage"
+            ),
+            F.round(
+                F.col("sum_c2") / (F.col("total_recs") * F.col("total_recs")), 6
+            ).alias("rec_hhi"),
+            F.round(F.col("max_c") / F.col("total_recs"), 6).alias("top_item_share"),
+        )
+    )

@@ -5259,3 +5259,205 @@ def q279_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         dow.isin(0, 6).alias("is_weekend"),
         (F.col("d") == F.last_day("d")).alias("is_month_end"),
     ).orderBy("d")
+
+
+@register(
+    "q280_mix_shift_decomposition",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type,
+               CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 'old' ELSE 'new' END AS period,
+               value
+        FROM events
+    ),
+    g AS (
+        SELECT period, event_type, CAST(count(*) AS DOUBLE) AS n,
+               sum(value) / count(*) AS m
+        FROM ev GROUP BY 1, 2
+    ),
+    tot AS (SELECT period, sum(n) AS tn FROM g GROUP BY 1),
+    s AS (
+        SELECT g.period, g.event_type, g.m, g.n / tot.tn AS sh
+        FROM g JOIN tot USING (period)
+    ),
+    w AS (
+        SELECT o.event_type,
+               o.sh AS share_old, n.sh AS share_new,
+               o.m AS mean_old, n.m AS mean_new,
+               o.sh * (n.m - o.m) AS within_contrib,
+               (n.sh - o.sh) * n.m AS mix_contrib
+        FROM (SELECT * FROM s WHERE period = 'old') o
+        JOIN (SELECT * FROM s WHERE period = 'new') n USING (event_type)
+    )
+    SELECT event_type,
+           round(share_old, 6) AS share_old,
+           round(share_new, 6) AS share_new,
+           round(mean_old, 4) AS mean_old,
+           round(mean_new, 4) AS mean_new,
+           round(within_contrib, 6) AS within_contrib,
+           round(mix_contrib, 6) AS mix_contrib
+    FROM w ORDER BY event_type
+    """,
+)
+def q280_mix_shift_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-shift (Oaxaca-Blinder) decomposition of a metric change:
+    the day a dashboard's mean moves, the first question is 'did the
+    segments change, or did the mix between them change?' — this
+    splits the period-over-period delta of mean event value into a
+    WITHIN term (old shares x per-type mean changes) and a MIX term
+    (share shifts x new means), per type, with the identity
+    sum(within) + sum(mix) = total delta (pinned by test). The
+    root-cause primitive of every metric tree.
+
+    Scale: one combining agg to the (period x type) grid; shares,
+    means, and both contribution terms are arithmetic on that
+    bounded relation with a broadcast period total. Nothing
+    corpus-sized moves twice.
+    """
+    e = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    g = e.groupBy(
+        F.when(F.col("ts") < cut, "old").otherwise("new").alias("period"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("value") / F.count(F.lit(1))).alias("m"),
+    )
+    tot = g.groupBy("period").agg(F.sum("n").alias("tn"))
+    s = g.join(F.broadcast(tot), "period").select(
+        "period", "event_type", "m", (F.col("n") / F.col("tn")).alias("sh")
+    )
+    o = s.where(F.col("period") == "old").select(
+        "event_type", F.col("sh").alias("share_old"), F.col("m").alias("mean_old")
+    )
+    n = s.where(F.col("period") == "new").select(
+        "event_type", F.col("sh").alias("share_new"), F.col("m").alias("mean_new")
+    )
+    return (
+        o.join(n, "event_type")
+        .select(
+            "event_type",
+            F.round("share_old", 6).alias("share_old"),
+            F.round("share_new", 6).alias("share_new"),
+            F.round("mean_old", 4).alias("mean_old"),
+            F.round("mean_new", 4).alias("mean_new"),
+            F.round(
+                F.col("share_old") * (F.col("mean_new") - F.col("mean_old")), 6
+            ).alias("within_contrib"),
+            F.round(
+                (F.col("share_new") - F.col("share_old")) * F.col("mean_new"), 6
+            ).alias("mix_contrib"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q281_ks_two_sample",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id, user_id % 2 = 1 AS treated, sum(value) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    arms AS (
+        SELECT CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS na,
+               CAST(sum(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS nb
+        FROM pu
+    ),
+    dv AS (
+        SELECT v,
+               CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+               CAST(sum(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cb
+        FROM pu GROUP BY v
+    ),
+    run AS (
+        SELECT sum(ca) OVER w AS ra, sum(cb) OVER w AS rb
+        FROM dv
+        WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    d AS (
+        SELECT max(abs(run.ra / arms.na - run.rb / arms.nb)) AS ks
+        FROM run, arms
+    )
+    SELECT CAST(arms.na AS BIGINT) AS n_treated,
+           CAST(arms.nb AS BIGINT) AS n_control,
+           round(d.ks, 6) AS ks_stat,
+           round(1.358 * sqrt((arms.na + arms.nb) / (arms.na * arms.nb)), 6)
+               AS critical_05,
+           CAST(d.ks > 1.358 * sqrt((arms.na + arms.nb)
+                                    / (arms.na * arms.nb)) AS BOOLEAN)
+               AS reject_05
+    FROM d, arms
+    """,
+)
+def q281_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test on user-level outcomes:
+    the max ECDF gap between treated and control — the
+    DISTRIBUTION-level significance test (q150's z sees means, q270
+    reads deciles; KS rejects when ANY part of the distribution
+    moved), with the asymptotic 5% critical value.
+
+    Scale: the running ECDF gap is the two-pass recipe AGAIN
+    (operators/ranking's shape applied to cumulative counts):
+    distinct values bucket by log2(v), per-bucket arm counts fold
+    into broadcast prefix offsets, and the within-bucket cumulative
+    runs under a bucket-partitioned window — no single-partition
+    WindowExec (plan-asserted), no corpus-sized sort on one
+    reducer. The oracle's global window is the single-node
+    equivalent of the same arithmetic.
+    """
+    from g_etl_spark.operators.ranking import log2_bucket
+
+    e = load(spark, sf_dir, "events")
+    pu = e.groupBy("user_id", (F.col("user_id") % 2 == 1).alias("treated")).agg(
+        F.sum("value").alias("v")
+    )
+    arms = pu.agg(
+        F.sum(F.when(F.col("treated"), 1).otherwise(0)).cast("double").alias("na"),
+        F.sum(F.when(~F.col("treated"), 1).otherwise(0)).cast("double").alias("nb"),
+    )
+    dv = pu.groupBy("v").agg(
+        F.sum(F.when(F.col("treated"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(~F.col("treated"), 1).otherwise(0)).alias("cb"),
+    )
+    b = dv.withColumn("__b", log2_bucket(F.col("v")))
+    counts = b.groupBy("__b").agg(
+        F.sum("ca").alias("bca"), F.sum("cb").alias("bcb")
+    )
+    x, y = counts.alias("x"), counts.alias("y")
+    offsets = (
+        x.join(F.broadcast(y), F.col("y.__b") < F.col("x.__b"), "left")
+        .groupBy(F.col("x.__b").alias("__b"))
+        .agg(
+            F.coalesce(F.sum("y.bca"), F.lit(0)).alias("offa"),
+            F.coalesce(F.sum("y.bcb"), F.lit(0)).alias("offb"),
+        )
+    )
+    wloc = (
+        Window.partitionBy("__b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = b.join(F.broadcast(offsets), "__b").select(
+        (F.sum("ca").over(wloc) + F.col("offa")).alias("ra"),
+        (F.sum("cb").over(wloc) + F.col("offb")).alias("rb"),
+    )
+    d = run.crossJoin(F.broadcast(arms)).agg(
+        F.max(F.abs(F.col("ra") / F.col("na") - F.col("rb") / F.col("nb"))).alias(
+            "ks"
+        )
+    )
+    crit = 1.358 * F.sqrt((F.col("na") + F.col("nb")) / (F.col("na") * F.col("nb")))
+    return d.crossJoin(F.broadcast(arms)).select(
+        F.col("na").cast("long").alias("n_treated"),
+        F.col("nb").cast("long").alias("n_control"),
+        F.round("ks", 6).alias("ks_stat"),
+        F.round(crit, 6).alias("critical_05"),
+        (F.col("ks") > crit).alias("reject_05"),
+    )

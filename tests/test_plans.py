@@ -2837,3 +2837,42 @@ def test_q279_calendar_is_gap_free(spark, qs):
     assert (days[-1] - days[0]).days + 1 == len(days)
     for r in rows[:50]:
         assert r["is_weekend"] == (r["dow"] in (0, 6))
+
+
+def test_q280_decomposition_identity(spark, qs):
+    """sum(within) + sum(mix) must reconstruct the total mean delta
+    computed independently from the raw relation."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    rows = qs["q280_mix_shift_decomposition"](spark, SF_DIR).collect()
+    got = sum(r["within_contrib"] + r["mix_contrib"] for r in rows)
+    e = load(spark, SF_DIR, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    m = e.groupBy(F.when(F.col("ts") < cut, "old").otherwise("new").alias("p")).agg(
+        F.avg("value").alias("m")
+    )
+    means = {r["p"]: r["m"] for r in m.collect()}
+    want = means["new"] - means["old"]
+    assert abs(got - want) < 1e-3
+
+
+def test_q281_ks_partitioned_windows_and_bounds(spark, qs):
+    """The ECDF cumulative must run under partitioned windows only,
+    and the statistic must be a valid [0, 1] value."""
+    df = qs["q281_ks_two_sample"](spark, SF_DIR)
+    _assert_windows_partitioned(plan_of(df))
+    r = df.collect()[0]
+    assert 0.0 <= r["ks_stat"] <= 1.0
+    assert r["critical_05"] > 0
+
+
+def test_q282_coverage_bounds(spark, qs):
+    """Coverage and shares are valid fractions; HHI is bounded below
+    by 1/n_distinct (perfect spread) and above by top share <= 1."""
+    r = qs["q282_rec_coverage_audit"](spark, SF_DIR).collect()[0]
+    assert 0.0 < r["coverage"] <= 1.0
+    assert r["items_with_recs"] <= r["catalog_size"]
+    if r["n_recommended_distinct"]:
+        assert r["rec_hhi"] >= 1.0 / r["n_recommended_distinct"] - 1e-9
+        assert r["rec_hhi"] <= 1.0 and 0.0 < r["top_item_share"] <= 1.0
