@@ -5461,3 +5461,160 @@ def q281_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(crit, 6).alias("critical_05"),
         (F.col("ks") > crit).alias("reject_05"),
     )
+
+
+@register(
+    "q283_distribution_distances",
+    oracle="""
+    WITH g AS (
+        SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 'old' ELSE 'new' END AS period,
+               event_type, CAST(count(*) AS DOUBLE) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT period, sum(n) AS tn FROM g GROUP BY 1),
+    s AS (
+        SELECT g.event_type, g.period, g.n / tot.tn AS p
+        FROM g JOIN tot USING (period)
+    ),
+    j AS (
+        SELECT o.event_type, o.p AS po, n.p AS pn,
+               abs(o.p - n.p) AS adiff, sqrt(o.p * n.p) AS bcterm
+        FROM (SELECT * FROM s WHERE period = 'old') o
+        JOIN (SELECT * FROM s WHERE period = 'new') n USING (event_type)
+    ),
+    m AS (
+        SELECT sum(adiff) / 2.0 AS tv, sum(bcterm) AS bc FROM j
+    ),
+    top AS (
+        SELECT event_type FROM j ORDER BY adiff DESC, event_type LIMIT 1
+    )
+    SELECT round(m.tv, 6) AS total_variation,
+           round(m.bc, 6) AS bhattacharyya_coef,
+           round(sqrt(1.0 - m.bc), 6) AS hellinger,
+           (SELECT event_type FROM top) AS biggest_shift_type
+    FROM m
+    """,
+)
+def q283_distribution_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-distance zoo over the period-on-period event-type
+    mix: total variation (the max probability any event-classifier
+    can exploit), Bhattacharyya coefficient, and Hellinger distance
+    — bounded, symmetric drift metrics that stay FINITE when a
+    category appears or disappears (where q122's KL and q219's PSI
+    blow up), plus the single type that moved most. Different
+    contracts for the same drift question: PSI for monitoring
+    thresholds, KS (q281) for continuous outcomes, TV/Hellinger for
+    categorical mixes.
+
+    Scale: one combining agg to the (period x type) grid; distances
+    are arithmetic on that bounded relation. The argmax type is a
+    bounded TakeOrdered, not a global sort.
+    """
+    e = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    g = e.groupBy(
+        F.when(F.col("ts") < cut, "old").otherwise("new").alias("period"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tot = g.groupBy("period").agg(F.sum("n").alias("tn"))
+    s = g.join(F.broadcast(tot), "period").select(
+        "event_type", "period", (F.col("n") / F.col("tn")).alias("p")
+    )
+    o = s.where(F.col("period") == "old").select("event_type", F.col("p").alias("po"))
+    n = s.where(F.col("period") == "new").select("event_type", F.col("p").alias("pn"))
+    j = o.join(n, "event_type").select(
+        "event_type",
+        F.abs(F.col("po") - F.col("pn")).alias("adiff"),
+        F.sqrt(F.col("po") * F.col("pn")).alias("bcterm"),
+    )
+    m = j.agg((F.sum("adiff") / 2.0).alias("tv"), F.sum("bcterm").alias("bc"))
+    top = j.orderBy(F.desc("adiff"), "event_type").limit(1).select(
+        F.col("event_type").alias("biggest_shift_type")
+    )
+    return m.crossJoin(F.broadcast(top)).select(
+        F.round("tv", 6).alias("total_variation"),
+        F.round("bc", 6).alias("bhattacharyya_coef"),
+        F.round(F.sqrt(1.0 - F.col("bc")), 6).alias("hellinger"),
+        "biggest_shift_type",
+    )
+
+
+@register(
+    "q284_simpson_paradox_detector",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(hour(ts) AS DOUBLE) AS x, value AS y
+        FROM events
+    ),
+    per AS (
+        SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+               sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+               sum(x * x) AS sxx
+        FROM ev GROUP BY 1
+    ),
+    slopes AS (
+        SELECT event_type,
+               (sxy - sx * sy / n) / (sxx - sx * sx / n) AS slope
+        FROM per
+    ),
+    pooled AS (
+        SELECT (sum(sxy) - sum(sx) * sum(sy) / sum(n))
+               / (sum(sxx) - sum(sx) * sum(sx) / sum(n)) AS pslope
+        FROM per
+    )
+    SELECT s.event_type,
+           round(s.slope, 6) AS group_slope,
+           round(p.pslope, 6) AS pooled_slope,
+           CAST((s.slope > 0) != (p.pslope > 0) AS BOOLEAN)
+               AS sign_disagrees
+    FROM slopes s, pooled p
+    ORDER BY s.event_type
+    """,
+)
+def q284_simpson_paradox_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox detector: the pooled OLS slope of value on
+    hour-of-day next to each event-type's within-group slope, with a
+    flag where the SIGN disagrees — the aggregation trap every
+    dashboard rollup is exposed to (a positive pooled trend made of
+    uniformly negative group trends means the MIX drives the trend,
+    exactly what q280 then quantifies). Run this before trusting any
+    pooled correlation.
+
+    Scale: ONE combining agg produces per-group moment cells; both
+    the group slopes and the pooled slope (a sum of the same cells)
+    are arithmetic on the bounded grid — the pooled fit costs no
+    second corpus pass because OLS moments are additive.
+    """
+    e = load(spark, sf_dir, "events")
+    ev = e.select(
+        "event_type", F.hour("ts").cast("double").alias("x"), F.col("value").alias("y")
+    )
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    slopes = per.select("event_type", slope.alias("slope"))
+    pooled = per.agg(
+        (
+            (F.sum("sxy") - F.sum("sx") * F.sum("sy") / F.sum("n"))
+            / (F.sum("sxx") - F.sum("sx") * F.sum("sx") / F.sum("n"))
+        ).alias("pslope")
+    )
+    return (
+        slopes.crossJoin(F.broadcast(pooled))
+        .select(
+            "event_type",
+            F.round("slope", 6).alias("group_slope"),
+            F.round("pslope", 6).alias("pooled_slope"),
+            ((F.col("slope") > 0) != (F.col("pslope") > 0)).alias("sign_disagrees"),
+        )
+        .orderBy("event_type")
+    )

@@ -4919,3 +4919,109 @@ def q274_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("burn_rate") > 1.0).alias("fast_burn"),
         (F.col("burn_rate_7d") > 1.0).alias("slow_burn"),
     ).orderBy("day")
+
+
+@register(
+    "q285_qini_curve",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id, user_id % 2 = 1 AS treated,
+               sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                        THEN value ELSE 0 END) AS score,
+               max(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                        AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT treated, converted,
+               ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+        FROM pu
+    ),
+    g AS (
+        SELECT decile,
+               CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nt,
+               CAST(sum(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nc,
+               CAST(sum(CASE WHEN treated THEN converted ELSE 0
+                        END) AS BIGINT) AS ct,
+               CAST(sum(CASE WHEN NOT treated THEN converted ELSE 0
+                        END) AS BIGINT) AS cc
+        FROM ranked GROUP BY decile
+    ),
+    c AS (
+        SELECT decile,
+               sum(nt) OVER w AS cnt, sum(nc) OVER w AS cnc,
+               sum(ct) OVER w AS cct, sum(cc) OVER w AS ccc
+        FROM g
+        WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(cnt AS BIGINT) AS cum_treated,
+           CAST(cnc AS BIGINT) AS cum_control,
+           CAST(cct AS BIGINT) AS cum_conv_treated,
+           CAST(ccc AS BIGINT) AS cum_conv_control,
+           round(cct - ccc * (cnt * 1.0 / cnc), 4) AS qini
+    FROM c ORDER BY decile
+    """,
+)
+def q285_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve — the standard evaluation of an UPLIFT ranking:
+    rank users by an uplift score (pre-period activity as the
+    deterministic proxy model), cut into score-ordered deciles, and
+    at each cumulative depth report incremental conversions
+    vs the control baseline scaled to treated exposure
+    (ct - cc * nt/nc). q240 profiles WHERE uplift lives; this grades
+    a MODEL that claims to rank users by it — the uplift sibling of
+    q273's gains curve, and the last piece of the uplift-modeling
+    loop (decompose -> model -> validate).
+
+    Scale: one user-keyed combining agg, the TWO-PASS descending
+    ntile for the decile cut (partitioned windows only), a 10-cell
+    rollup, and a bounded cumulative window (q243 contract).
+    """
+    from g_etl_spark.operators.ranking import global_ntile_twopass, log2_bucket
+
+    e = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    pu = e.groupBy("user_id", (F.col("user_id") % 2 == 1).alias("treated")).agg(
+        F.sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0)).alias("score"),
+        F.max(
+            F.when(
+                (F.col("ts") >= cut) & (F.col("event_type") == "purchase"), 1
+            ).otherwise(0)
+        ).alias("converted"),
+    )
+    ranked = global_ntile_twopass(
+        pu.withColumn("neg", -F.col("score")),
+        10,
+        ["neg", "user_id"],
+        -log2_bucket(F.col("score")),
+        out="decile",
+    )
+    g = ranked.groupBy("decile").agg(
+        F.sum(F.when(F.col("treated"), 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(~F.col("treated"), 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(F.col("treated"), F.col("converted")).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("treated"), F.col("converted")).otherwise(0)).alias("cc"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    c = g.select(
+        "decile",
+        F.sum("nt").over(w).alias("cnt"),
+        F.sum("nc").over(w).alias("cnc"),
+        F.sum("ct").over(w).alias("cct"),
+        F.sum("cc").over(w).alias("ccc"),
+    )
+    return c.select(
+        "decile",
+        F.col("cnt").cast("long").alias("cum_treated"),
+        F.col("cnc").cast("long").alias("cum_control"),
+        F.col("cct").cast("long").alias("cum_conv_treated"),
+        F.col("ccc").cast("long").alias("cum_conv_control"),
+        F.round(
+            F.col("cct") - F.col("ccc") * (F.col("cnt") * 1.0 / F.col("cnc")), 4
+        ).alias("qini"),
+    ).orderBy("decile")
