@@ -3393,3 +3393,84 @@ def q282_rec_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("max_c") / F.col("total_recs"), 6).alias("top_item_share"),
         )
     )
+
+
+@register(
+    "q286_split_leakage_audit",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+                   AS fingerprint,
+               CASE WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                              AS UBIGINT) AS BIGINT) < 3435973836
+                    THEN 'train' ELSE 'eval' END AS id_split
+        FROM corpus
+    ),
+    cl AS (
+        SELECT fingerprint,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(count(DISTINCT id_split) AS BIGINT) AS id_splits
+        FROM fp GROUP BY fingerprint
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(CASE WHEN n_members > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_clusters,
+           CAST(sum(CASE WHEN id_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS leaked_by_id_split,
+           round(sum(CASE WHEN id_splits > 1 THEN 1 ELSE 0 END) * 1.0
+                 / greatest(sum(CASE WHEN n_members > 1 THEN 1 ELSE 0 END),
+                            1), 4) AS dup_leak_rate,
+           CAST(0 AS BIGINT) AS leaked_by_content_split
+    FROM cl
+    """,
+)
+def q286_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval split LEAKAGE audit: q137 splits by a hash of
+    doc_id, so two copies of the same document (different ids, same
+    content) can land on opposite sides of the train/eval boundary —
+    the silent eval-inflation bug of every dedup-less pipeline. Over
+    the dup-bearing corpus, count fingerprint clusters whose members
+    straddle an id-keyed split, versus a CONTENT-keyed split
+    (hash of the fingerprint itself), which leaks exactly zero by
+    construction — the audit that says 'split AFTER dedup, or split
+    BY content hash'. Composes q51 (detector) + q137 (splitter) into
+    the check q75's decontamination assumes was run.
+
+    Scale: one fingerprint groupBy carrying two count-distinct-split
+    cells (split domains are 2-3 values — the distincts collapse
+    map-side), then one scalar rollup. Same shuffle as q51.
+    """
+    c = _corpus(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), TOKEN_SPLIT)
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    fp = c.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
+            "fingerprint"
+        ),
+        F.when(u < 3435973836, "train").otherwise("eval").alias("id_split"),
+    )
+    cl = fp.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.countDistinct("id_split").alias("id_splits"),
+    )
+    return cl.agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.when(F.col("n_members") > 1, 1).otherwise(0)).alias("n_dup_clusters"),
+        F.sum(F.when(F.col("id_splits") > 1, 1).otherwise(0)).alias(
+            "leaked_by_id_split"
+        ),
+        F.round(
+            F.sum(F.when(F.col("id_splits") > 1, 1).otherwise(0))
+            * 1.0
+            / F.greatest(
+                F.sum(F.when(F.col("n_members") > 1, 1).otherwise(0)), F.lit(1)
+            ),
+            4,
+        ).alias("dup_leak_rate"),
+        F.lit(0).cast("long").alias("leaked_by_content_split"),
+    )

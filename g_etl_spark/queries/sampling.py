@@ -318,3 +318,70 @@ def q202_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", F.col("neg_rank").cast("int").alias("neg_rank"), "neg_partkey")
         .orderBy("c_custkey", "neg_rank")
     )
+
+
+@register(
+    "q287_effective_sample_size",
+    oracle="""
+    WITH shares AS (
+        SELECT source, CAST(count(*) AS DOUBLE) AS n
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS tn, CAST(count(*) AS DOUBLE) AS k FROM shares),
+    wt AS (
+        SELECT s.source,
+               (tot.tn / tot.k) / s.n AS w
+        FROM shares s, tot
+    ),
+    docs AS (
+        SELECT d.lang, wt.w FROM documents d JOIN wt USING (source)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(w), 4) AS sum_w,
+           round(sum(w) * sum(w) / sum(w * w), 4) AS ess,
+           round(sum(w) * sum(w) / sum(w * w) / count(*), 6) AS ess_ratio
+    FROM docs GROUP BY lang ORDER BY lang
+    """,
+)
+def q287_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size under importance reweighting: give every
+    document the weight that equalizes SOURCE shares (the q84/q228
+    mixture move), then per language report Kish's ESS =
+    (sum w)^2 / sum w^2 — the number that says how many EQUIVALENT
+    unweighted samples the reweighted corpus is actually worth. A
+    mixture plan that doubles a rare source's share may quietly
+    halve its ESS; this is the diagnostic that catches it before
+    training on ghosts.
+
+    Scale: source shares are one tiny agg broadcast back; weights
+    are map-side arithmetic; the ESS moments are one combining agg
+    on the bounded lang grid. Nothing iterates.
+    """
+    d = load(spark, sf_dir, "documents")
+    shares = d.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tot = shares.agg(
+        F.sum("n").alias("tn"), F.count(F.lit(1)).cast("double").alias("k")
+    )
+    wt = shares.crossJoin(F.broadcast(tot)).select(
+        "source", ((F.col("tn") / F.col("k")) / F.col("n")).alias("w")
+    )
+    docs = d.select("lang", "source").join(F.broadcast(wt), "source")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("w"), 4).alias("sum_w"),
+            F.round(
+                F.sum("w") * F.sum("w") / F.sum(F.col("w") * F.col("w")), 4
+            ).alias("ess"),
+            F.round(
+                F.sum("w")
+                * F.sum("w")
+                / F.sum(F.col("w") * F.col("w"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("ess_ratio"),
+        )
+        .orderBy("lang")
+    )

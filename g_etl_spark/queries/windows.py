@@ -5025,3 +5025,111 @@ def q285_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cct") - F.col("ccc") * (F.col("cnt") * 1.0 / F.col("cnc")), 4
         ).alias("qini"),
     ).orderBy("decile")
+
+
+@register(
+    "q288_regression_influence",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS d,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS y
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               sum(CAST(d AS DOUBLE)) AS sx, sum(y) AS sy,
+               sum(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)) AS sxx,
+               sum(CAST(d AS DOUBLE) * y) AS sxy
+        FROM daily
+    ),
+    full_fit AS (
+        SELECT n, sx, sy, sxx, sxy,
+               (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b
+        FROM m
+    ),
+    loo AS (
+        SELECT daily.d, daily.y,
+               ((f.sxy - daily.d * daily.y)
+                - (f.sx - daily.d) * (f.sy - daily.y) / (f.n - 1))
+               / ((f.sxx - CAST(daily.d AS DOUBLE) * daily.d)
+                  - (f.sx - daily.d) * (f.sx - daily.d) / (f.n - 1)) AS b_i,
+               f.b
+        FROM daily, full_fit f
+    )
+    SELECT strftime(CAST(epoch_ms(d * 86400000) AS DATE), '%Y-%m-%d')
+               AS day,
+           round(y, 2) AS daily_value,
+           round(b, 6) AS slope_full,
+           round(b_i, 6) AS slope_without,
+           round(b_i - b, 6) AS dfbeta
+    FROM loo
+    ORDER BY abs(b_i - b) DESC, d LIMIT 5
+    """,
+)
+def q288_regression_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out regression influence (DFBETA) for the daily
+    revenue trend: for every day, the slope the OLS fit would have
+    WITHOUT that day, computed in closed form from the full fit's
+    moment cells (remove the point's contributions from n, Sx, Sy,
+    Sxx, Sxy — no refit, no second pass), ranked by |slope change|.
+    The top rows are the days that OWN the trend — the diagnostic
+    that separates 'revenue is growing' from 'one launch day is
+    dragging the line' (q216's Huber downweights them; this NAMES
+    them).
+
+    Scale: one cent-quantized daily rollup, ONE moment agg broadcast
+    back, then per-row closed-form arithmetic on the bounded |days|
+    relation and a TakeOrdered top-5. The n-point leave-one-out
+    family costs O(n) total because OLS moments are subtractable.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000.0)).cast("long").alias("d")
+    ).agg(
+        (
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).cast("double")
+            / 100.0
+        ).alias("y")
+    )
+    dd = F.col("d").cast("double")
+    m = daily.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dd).alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(dd * dd).alias("sxx"),
+        F.sum(dd * F.col("y")).alias("sxy"),
+    )
+    b = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    f = m.select("n", "sx", "sy", "sxx", "sxy", b.alias("b"))
+    b_i = (
+        (F.col("sxy") - dd * F.col("y"))
+        - (F.col("sx") - F.col("d")) * (F.col("sy") - F.col("y")) / (F.col("n") - 1)
+    ) / (
+        (F.col("sxx") - dd * F.col("d"))
+        - (F.col("sx") - F.col("d")) * (F.col("sx") - F.col("d")) / (F.col("n") - 1)
+    )
+    loo = daily.crossJoin(F.broadcast(f)).select(
+        "d",
+        "y",
+        F.col("b").alias("slope_full_raw"),
+        b_i.alias("b_i"),
+    )
+    return (
+        loo.select(
+            F.date_format(
+                F.timestamp_millis(F.col("d") * 86_400_000).cast("date"), "yyyy-MM-dd"
+            ).alias("day"),
+            F.round("y", 2).alias("daily_value"),
+            F.round("slope_full_raw", 6).alias("slope_full"),
+            F.round("b_i", 6).alias("slope_without"),
+            F.round(F.col("b_i") - F.col("slope_full_raw"), 6).alias("dfbeta"),
+            F.abs(F.col("b_i") - F.col("slope_full_raw")).alias("_a"),
+            F.col("d").alias("_d"),
+        )
+        .orderBy(F.desc("_a"), "_d")
+        .limit(5)
+        .drop("_a", "_d")
+    )
