@@ -2887,9 +2887,10 @@ def q252_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a cluster-partitioned rank-1 window for the mode — the path
     relation is |clusters| x |distinct values| (tiny per cluster),
     never corpus-wide; final assembly is a key-equi join on the
-    cluster id. Cites the reference's per-table normalization merge
-    (/root/reference/src/g_etl/sql/migrations) as the single-source
-    ancestor; survivorship generalizes it to conflicting sources.
+    cluster id. The reference's per-table staging->normalized merge
+    (/root/reference/sql/migrations/004_staging_transform_template.sql)
+    is the single-source ancestor; survivorship generalizes it to
+    conflicting sources.
     """
     c = load(spark, sf_dir, "customer")
     base = c.select(

@@ -4127,9 +4127,11 @@ def q247_dq_verification_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     never from comparing the rounded metric — no FP-boundary flakes.
 
     Reference parity: the reference validates sources structurally
-    at load (/root/reference/src/g_etl/checks.py-style existence and
-    geometry checks); this is the same gate generalized to content
-    constraints over arbitrary tables.
+    at load (source-existence gates, src/g_etl/pipeline.py:216;
+    geometry validity via ST_IsValid/ST_MakeValid,
+    sql/migrations/003_db_makros.sql:28-29); this is the same gate
+    generalized to declarative content constraints over arbitrary
+    tables.
 
     Scale: every check is ONE combining aggregate over its table
     (map-side partials, 1-row result); the RI check is the only
