@@ -21,6 +21,13 @@ enough buckets to spread the sort. `log2_bucket` covers unbounded
 non-negative doubles with a bounded bucket count at any corpus size;
 day-of-timestamp (q198/q238) covers event time.
 
+CONTRACT: the leading order column must be non-NULL. A NULL sort key
+would land in a NULL bucket that the triangular offset join cannot
+order against the real buckets, silently colliding its ranks with
+the first bucket's. Every current caller (q238/q240/q273/q281/q285)
+ranks a non-nullable derived key; filter or coalesce NULLs first if
+a future caller cannot guarantee that.
+
 No analog in the reference corpus (DuckDB runs window functions
 single-node; /root/reference has no distributed-ranking surface) —
 this is the Spark-native scale path for the same SQL semantics.
