@@ -5620,3 +5620,156 @@ def q284_simpson_paradox_detector(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q289_weighted_median",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS v,
+               CAST(l_quantity AS DOUBLE) AS w
+        FROM lineitem
+    ),
+    tot AS (SELECT flag, sum(w) AS tw FROM base GROUP BY 1),
+    run AS (
+        SELECT flag, v, w,
+               sum(w) OVER (PARTITION BY flag ORDER BY v, w
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cw
+        FROM base
+    ),
+    med AS (
+        SELECT r.flag, min(r.v) AS wmed
+        FROM run r JOIN tot t USING (flag)
+        WHERE r.cw >= t.tw / 2.0
+        GROUP BY r.flag
+    )
+    SELECT m.flag AS l_returnflag,
+           round(t.tw, 2) AS total_weight,
+           round(m.wmed, 2) AS weighted_median
+    FROM med m JOIN tot t ON t.flag = m.flag
+    ORDER BY m.flag
+    """,
+)
+def q289_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per group (price weighted by quantity): the
+    smallest value whose cumulative weight reaches half the group
+    total — the robust center that q39's unweighted percentiles
+    cannot give when rows carry different mass (revenue-weighted
+    latency, token-weighted doc quality). Neither engine ships a
+    weighted quantile, so both sides run the identical
+    cumulative-weight definition.
+
+    Scale: the cumulative weight is a GROUP-partitioned window (the
+    partition key is the group — no single-partition WindowExec; at
+    a billion rows per group, swap the within-group sort for the
+    two-pass bucket recipe of operators/ranking, same as q281's
+    ECDF). The crossing-point filter and min collapse per group.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("double").alias("w"),
+    )
+    tot = base.groupBy("flag").agg(F.sum("w").alias("tw"))
+    wrun = (
+        Window.partitionBy("flag")
+        .orderBy("v", "w")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = base.withColumn("cw", F.sum("w").over(wrun))
+    med = (
+        run.join(F.broadcast(tot), "flag")
+        .where(F.col("cw") >= F.col("tw") / 2.0)
+        .groupBy("flag")
+        .agg(F.min("v").alias("wmed"))
+    )
+    return (
+        med.join(F.broadcast(tot), "flag")
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.round("tw", 2).alias("total_weight"),
+            F.round("wmed", 2).alias("weighted_median"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q290_conformance_audit",
+    oracle="""
+    WITH allowed (src, dst) AS (VALUES
+        ('signup', 'view'), ('signup', 'click'),
+        ('view', 'view'), ('view', 'click'), ('view', 'signup'),
+        ('click', 'view'), ('click', 'purchase'), ('click', 'click'),
+        ('purchase', 'view'), ('purchase', 'click'),
+        ('error', 'view'), ('error', 'click'), ('error', 'error')
+    ),
+    seq AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+    ),
+    t AS (
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS tn FROM t)
+    SELECT t.src, t.dst, t.n,
+           CAST(a.src IS NOT NULL AS BOOLEAN) AS is_allowed,
+           round(t.n / tot.tn, 6) AS share
+    FROM t LEFT JOIN allowed a ON a.src = t.src AND a.dst = t.dst
+    CROSS JOIN tot
+    ORDER BY t.src, t.dst
+    """,
+)
+def q290_conformance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-mining conformance check: every observed event-type
+    transition against a declared process model (the allowed-edge
+    list), with counts, shares, and a violation flag — the
+    discovery-vs-specification diff that process mining runs on
+    event logs (q127 DISCOVERS the transition matrix; this AUDITS it
+    against what the process is supposed to do; illegal edges are
+    either instrumentation bugs or real broken flows, and both page
+    someone).
+
+    Scale: one user-keyed window pass for consecutive pairs, a
+    combining agg to the bounded |types|^2 grid, and a broadcast
+    join against the literal model. Same shuffle as q127.
+    """
+    e = load(spark, sf_dir, "events")
+    allowed = spark.createDataFrame(
+        [
+            ("signup", "view"), ("signup", "click"),
+            ("view", "view"), ("view", "click"), ("view", "signup"),
+            ("click", "view"), ("click", "purchase"), ("click", "click"),
+            ("purchase", "view"), ("purchase", "click"),
+            ("error", "view"), ("error", "click"), ("error", "error"),
+        ],
+        "asrc string, adst string",
+    )
+    wq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(wq).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    t = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tot = t.agg(F.sum("n").cast("double").alias("tn"))
+    return (
+        t.join(
+            F.broadcast(allowed),
+            (t["src"] == allowed["asrc"]) & (t["dst"] == allowed["adst"]),
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "src",
+            "dst",
+            "n",
+            F.col("asrc").isNotNull().alias("is_allowed"),
+            F.round(F.col("n") / F.col("tn"), 6).alias("share"),
+        )
+        .orderBy("src", "dst")
+    )
