@@ -5773,3 +5773,73 @@ def q290_conformance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src", "dst")
     )
+
+
+@register(
+    "q292_price_elasticity",
+    oracle="""
+    WITH obs AS (
+        SELECT p.p_brand,
+               ln(li.l_extendedprice / li.l_quantity) AS x,
+               ln(li.l_quantity) AS y
+        FROM lineitem li JOIN part p ON li.l_partkey = p.p_partkey
+        WHERE li.l_quantity > 0 AND li.l_extendedprice > 0
+    ),
+    m AS (
+        SELECT p_brand, CAST(count(*) AS DOUBLE) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM obs GROUP BY 1
+    )
+    SELECT p_brand,
+           CAST(n AS BIGINT) AS n_obs,
+           round((sxy - sx * sy / n) / (sxx - sx * sx / n), 4)
+               AS elasticity,
+           round(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n)
+                 * (sx / n), 4) AS log_intercept
+    FROM m ORDER BY p_brand
+    """,
+)
+def q292_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Own-price elasticity of demand per brand: the log-log OLS
+    slope of quantity on unit price (elasticity = d ln Q / d ln P) —
+    the pricing econometric a revenue team fits before q221/q225
+    measure a specific price test; elasticity < -1 means revenue
+    RISES when price falls. Unit price derives from extended price /
+    quantity; strictly-positive filters keep both logs defined
+    identically in both engines.
+
+    Scale: one key-equi join to attach brand (dim-sized build side),
+    then one combining moment agg to the bounded |brands| grid — the
+    whole fit is five additive cells per brand, the q284/q288
+    subtractable-moments family.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    obs = (
+        li.where((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(
+            "p_brand",
+            F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("x"),
+            F.log("l_quantity").alias("y"),
+        )
+    )
+    m = obs.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    return m.select(
+        "p_brand",
+        F.col("n").cast("long").alias("n_obs"),
+        F.round(slope, 4).alias("elasticity"),
+        F.round(F.col("sy") / F.col("n") - slope * (F.col("sx") / F.col("n")), 4).alias(
+            "log_intercept"
+        ),
+    ).orderBy("p_brand")

@@ -5133,3 +5133,64 @@ def q288_regression_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .drop("_a", "_d")
     )
+
+
+@register(
+    "q291_burstiness_index",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(count(*) AS DOUBLE) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               avg(c) AS mu,
+               (sum(c * c) - sum(c) * sum(c) / count(*)) / (count(*) - 1)
+                   AS vr
+        FROM daily GROUP BY 1
+    )
+    SELECT event_type, n_days,
+           round(mu, 4) AS mean_daily,
+           round(vr / mu, 4) AS fano_factor,
+           round((sqrt(vr) - mu) / (sqrt(vr) + mu), 6) AS burstiness
+    FROM m ORDER BY event_type
+    """,
+)
+def q291_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion diagnostics of daily arrivals per type: the
+    Fano factor (variance/mean — 1 for Poisson, >1 for clumped
+    traffic) and the Goh-Barabasi burstiness B = (sigma - mu) /
+    (sigma + mu) in [-1, 1] — the dispersion questions the
+    correlation family (q176 ACF) cannot answer: whether load
+    arrives SMOOTHLY or in BURSTS decides capacity headroom, the
+    q274 budget, and whether q257's intermittent model even applies
+    (Fano ~ 1 means plain Poisson forecasting is fine).
+
+    Scale: one daily rollup, one moment agg per type — two
+    map-side-combinable exchanges to a |types| relation; the
+    statistics are arithmetic on those cells.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    cnt = F.count(F.lit(1))
+    m = daily.groupBy("event_type").agg(
+        cnt.cast("long").alias("n_days"),
+        F.avg("c").alias("mu"),
+        (
+            (F.sum(F.col("c") * F.col("c")) - F.sum("c") * F.sum("c") / cnt)
+            / (cnt - 1)
+        ).alias("vr"),
+    )
+    return m.select(
+        "event_type",
+        "n_days",
+        F.round("mu", 4).alias("mean_daily"),
+        F.round(F.col("vr") / F.col("mu"), 4).alias("fano_factor"),
+        F.round(
+            (F.sqrt("vr") - F.col("mu")) / (F.sqrt("vr") + F.col("mu")), 6
+        ).alias("burstiness"),
+    ).orderBy("event_type")
