@@ -5843,3 +5843,101 @@ def q292_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "log_intercept"
         ),
     ).orderBy("p_brand")
+
+
+@register(
+    "q294_aa_test",
+    oracle="""
+    WITH pu AS (
+        SELECT user_id,
+               user_id % 2 = 1 AS real_arm,
+               (user_id // 2) % 2 = 1 AS placebo_arm,
+               sum(value) AS v
+        FROM events GROUP BY 1, 2, 3
+    ),
+    f AS (
+        SELECT 'placebo' AS split, placebo_arm AS arm, v FROM pu
+        UNION ALL
+        SELECT 'real', real_arm, v FROM pu
+    ),
+    arms AS (
+        SELECT split, arm, CAST(count(*) AS DOUBLE) AS n,
+               sum(v) AS sv, sum(v * v) AS svv
+        FROM f GROUP BY 1, 2
+    ),
+    z AS (
+        SELECT a.split,
+               CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+               (a.sv / a.n - b.sv / b.n)
+               / sqrt((a.svv - a.sv * a.sv / a.n) / (a.n - 1) / a.n
+                      + (b.svv - b.sv * b.sv / b.n) / (b.n - 1) / b.n)
+                   AS zst
+        FROM arms a JOIN arms b
+          ON a.split = b.split AND a.arm AND NOT b.arm
+    )
+    SELECT split, n_a, n_b,
+           round(zst, 4) AS z_stat,
+           CAST(abs(zst) > 1.96 AS BOOLEAN) AS significant
+    FROM z ORDER BY split
+    """,
+)
+def q294_aa_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/A placebo test next to the real readout: run the identical
+    Welch z on a PLACEBO split that is independent of the treatment
+    hash (bit 1 of user_id instead of bit 0) — the validation every
+    experimentation platform runs continuously, because a
+    'significant' A/A means the assignment, the metric, or the
+    variance model is broken and every real readout is suspect. The
+    hygiene closure of the stack: q259 checks allocation, q268
+    checks power, THIS checks the null calibration, then
+    q150/q238/q221 report effects.
+
+    Scale: one user-keyed agg carrying BOTH arm labels, a 4-cell
+    moment rollup, and closed-form z arithmetic — the placebo costs
+    no extra corpus pass because both splits read the same relation.
+    """
+    e = load(spark, sf_dir, "events")
+    pu = e.groupBy(
+        "user_id",
+        (F.col("user_id") % 2 == 1).alias("real_arm"),
+        (F.expr("user_id div 2") % 2 == 1).alias("placebo_arm"),
+    ).agg(F.sum("value").alias("v"))
+    f = pu.select(
+        F.lit("placebo").alias("split"), F.col("placebo_arm").alias("arm"), "v"
+    ).unionAll(pu.select(F.lit("real").alias("split"), F.col("real_arm").alias("arm"), "v"))
+    arms = f.groupBy("split", "arm").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    a = arms.where(F.col("arm")).select(
+        "split",
+        F.col("n").alias("na"),
+        F.col("sv").alias("sa"),
+        F.col("svv").alias("sva"),
+    )
+    b = arms.where(~F.col("arm")).select(
+        "split",
+        F.col("n").alias("nb"),
+        F.col("sv").alias("sb"),
+        F.col("svv").alias("svb"),
+    )
+    zst = (F.col("sa") / F.col("na") - F.col("sb") / F.col("nb")) / F.sqrt(
+        (F.col("sva") - F.col("sa") * F.col("sa") / F.col("na"))
+        / (F.col("na") - 1)
+        / F.col("na")
+        + (F.col("svb") - F.col("sb") * F.col("sb") / F.col("nb"))
+        / (F.col("nb") - 1)
+        / F.col("nb")
+    )
+    return (
+        a.join(b, "split")
+        .select(
+            "split",
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.round(zst, 4).alias("z_stat"),
+            (F.abs(zst) > 1.96).alias("significant"),
+        )
+        .orderBy("split")
+    )

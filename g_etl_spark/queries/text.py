@@ -2886,3 +2886,59 @@ def q273_gains_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cum_pos_share", 4).alias("cum_pos_share"),
         F.round(F.col("cum_pos_share") / F.col("cum_pop_share"), 4).alias("cum_lift"),
     ).orderBy("decile")
+
+
+@register(
+    "q293_ingestion_quality_drift",
+    oracle=f"""
+    WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+    b AS (
+        SELECT least(doc_id * 10 // (mx.m + 1), 9)
+                   AS ingest_decile,
+               n_chars,
+               len({_TOKS}) AS n_tok,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+        FROM documents, mx
+    )
+    SELECT ingest_decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_chars), 2) AS mean_chars,
+           round(avg(n_tok), 2) AS mean_tokens,
+           round(avg(is_en), 4) AS en_share
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+)
+def q293_ingestion_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality drift by ingestion batch: treat doc_id order as
+    crawl order, cut it into ten ingest deciles, and track the
+    quality proxies (length, token count, language mix) across them
+    — the monitoring view that catches a degrading crawl or a feed
+    change WHEN it entered the corpus, not after training (q219/q283
+    compare two snapshots; this localizes drift along the ingestion
+    axis itself).
+
+    Scale: the decile is map-side arithmetic against one broadcast
+    max (no sort, no ntile — ingest position IS the id); one
+    combining agg to ten cells. The cheapest drift monitor a corpus
+    can run.
+    """
+    d = load(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("m"))
+    b = d.crossJoin(F.broadcast(mx)).select(
+        F.least(
+            F.expr("doc_id * 10 div (m + 1)"), F.lit(9).cast("long")
+        ).alias("ingest_decile"),
+        "n_chars",
+        F.size(T.tokens(F.col("text"))).alias("n_tok"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_en"),
+    )
+    return (
+        b.groupBy("ingest_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("mean_chars"),
+            F.round(F.avg("n_tok"), 2).alias("mean_tokens"),
+            F.round(F.avg("is_en"), 4).alias("en_share"),
+        )
+        .orderBy("ingest_decile")
+    )
