@@ -75,6 +75,44 @@ def global_rank_twopass(
     )
 
 
+def global_cumsum_twopass(
+    df: DataFrame,
+    value: str,
+    order_cols: Sequence[str],
+    bucket: Column,
+    out: str = "cum",
+    inclusive: bool = True,
+) -> DataFrame:
+    """Exact global cumulative SUM of `value` over `order_cols`
+    (ascending) with no single-partition WindowExec — the prefix-sum
+    sibling of `global_rank_twopass` (rank is the special case
+    value≡1). Same bucket contract: monotone non-decreasing in the
+    leading order column, leading key non-NULL. `inclusive=False`
+    gives the `ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING`
+    frame (0 on each bucket's first row)."""
+    b = df.withColumn("__b", bucket)
+    sums = b.groupBy("__b").agg(F.sum(value).alias("__s"))
+    x, y = sums.alias("x"), sums.alias("y")
+    offsets = (
+        x.join(F.broadcast(y), F.col("y.__b") < F.col("x.__b"), "left")
+        .groupBy(F.col("x.__b").alias("__b"))
+        .agg(F.coalesce(F.sum("y.__s"), F.lit(0)).alias("__off"))
+    )
+    w = (
+        Window.partitionBy("__b")
+        .orderBy(*[F.asc(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
+    )
+    return (
+        b.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            out,
+            F.coalesce(F.sum(value).over(w), F.lit(0)) + F.col("__off"),
+        )
+        .drop("__b", "__off")
+    )
+
+
 def global_ntile_twopass(
     df: DataFrame,
     n_tiles: int,

@@ -282,9 +282,10 @@ def q54_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The raw corpus has no near-dups (max pairwise cosine ≈ 0.51), so
     a perturbed copy of every vector (first 4 dims × 1.5, id+100000)
     is planted identically in both engines; the operator must recover
-    exactly those pairs. The LSH-bucketed scale path is
-    q61/operators.similarity; its recall vs this baseline is
-    unit-tested."""
+    exactly those pairs. The ORACLE-GATED LSH-bucketed scale path is
+    q295 (srp_bucket_pairs on this same corpus; measured recall
+    ≥0.6, precision 1.0 vs this baseline — tests/test_plans.py);
+    q61/q97 are the top-k/assign siblings."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     pert = e.select(
@@ -296,6 +297,82 @@ def q54_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = e.select("vec_id", ve.alias("embedding")).unionByName(pert)
     return D.embedding_cosine_pairs(corpus, threshold=0.98).orderBy("id_a", "id_b")
+
+
+def _q295_oracle() -> str:
+    """q295 oracle SQL: q54's planted corpus, SRP-bucketed with the
+    SAME md5-derived hyperplanes as operators/similarity (literal
+    constants → identical sign bits in both engines), cosine-refined
+    within buckets only."""
+    from g_etl_spark.queries.similarity import _srp_bucket_sql
+
+    bucket = _srp_bucket_sql(8, 64, col="ve")
+    return f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings
+    ),
+    corpus AS (
+        SELECT vec_id, ve FROM base
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_transform(range(1, 65),
+                              i -> CASE WHEN i <= 4 THEN ve[i] * 1.5 ELSE ve[i] END)
+        FROM base
+    ),
+    n AS (
+        SELECT vec_id, ve,
+               sqrt(list_aggregate(list_transform(ve, x -> x * x), 'sum')) AS nrm,
+               {bucket} AS bucket
+        FROM corpus
+    )
+    SELECT id_a, id_b, cosine FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_aggregate(list_transform(range(1, 65),
+                                                   i -> a.ve[i] * b.ve[i]), 'sum')
+                     / (a.nrm * b.nrm), 4) AS cosine
+        FROM n a
+        JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.98
+    ORDER BY id_a, id_b
+    """
+
+
+@register("q295_embedding_dedup_bucketed", oracle=_q295_oracle())
+def q295_embedding_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.98) via the
+    SRP-LSH BUCKETED scale path (operators/similarity.
+    srp_bucket_pairs) — the gated sibling that retires q54's
+    documented-only O(n²) status (the q196/q198 exact-vs-scale
+    precedent): same planted corpus, same refine threshold, but
+    candidates come from an 8-plane sign-random-projection bucket
+    equi-join, so the compare cost is Σ bucket² — never |corpus|².
+
+    Scale: bucketing is one map-only pass (8 JVM dot products per
+    vector against broadcast literal hyperplanes); the candidate join
+    is a hash EQUI-join on the bucket id (plan-asserted: no
+    NestedLoop/Cartesian); the exact-cosine refine touches only
+    same-bucket pairs. Recall vs the q54 brute-force baseline is
+    measured in tests (near-identical vectors agree on every sign bit
+    with high probability; union several plane seeds to push recall
+    higher at constant depth).
+    """
+    from g_etl_spark.operators import similarity as S
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    pert = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.when(i <= 4, F.get(ve, i - 1) * 1.5).otherwise(F.get(ve, i - 1)),
+        ).alias("embedding"),
+    )
+    corpus = e.select("vec_id", ve.alias("embedding")).unionByName(pert)
+    return S.srp_bucket_pairs(corpus, threshold=0.98, n_planes=8, dim=64).orderBy(
+        "id_a", "id_b"
+    )
 
 
 @register(

@@ -2700,7 +2700,7 @@ def q163_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q177_auc_rank",
     oracle="""
     WITH scored AS (
-        SELECT o_totalprice AS score,
+        SELECT CAST(floor(o_totalprice) AS BIGINT) AS score,
                CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                     THEN 1 ELSE 0 END AS label
         FROM orders
@@ -2738,16 +2738,21 @@ def q177_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~0.5 on this synthetic data — the eval harness matters, not the
     verdict).
 
-    Scale: ONE map-side-combining groupBy collapses the corpus to
-    |distinct scores| rows; the cumulative rank is a single window
-    over that collapsed set (at 100 TB with near-unique float scores,
-    pre-bucket scores to fixed precision first — same midrank math on
-    a bounded set — or range-partition the cumulative as a two-pass
-    prefix sum). No pair join ever exists.
+    Scale: the score is pre-bucketed to whole currency units (its
+    own docstring's recipe, applied in the r7-verdict retrofit) so
+    |distinct scores| is bounded by the price RANGE (~600k values),
+    never by corpus size — midrank math is unchanged on the bucketed
+    set and the oracle buckets identically. ONE map-side-combining
+    groupBy collapses the corpus to that bounded set; the exclusive
+    cumulative rank runs as the operators/ranking TWO-PASS prefix
+    sum (bucket-partitioned windows only — no single-partition
+    WindowExec). No pair join ever exists.
     """
+    from g_etl_spark.operators.ranking import global_cumsum_twopass, log2_bucket
+
     o = load(spark, sf_dir, "orders")
     scored = o.select(
-        F.col("o_totalprice").alias("score"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("score"),
         F.when(
             F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
         ).otherwise(0).alias("label"),
@@ -2756,14 +2761,17 @@ def q177_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("cnt"),
         F.sum("label").cast("double").alias("pos"),
     )
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = by_score.select(
+    ranked = global_cumsum_twopass(
+        by_score,
+        "cnt",
+        ["score"],
+        log2_bucket(F.col("score")),
+        out="prior",
+        inclusive=False,
+    ).select(
         "pos",
         "cnt",
-        (
-            F.coalesce(F.sum("cnt").over(w), F.lit(0.0))
-            + (F.col("cnt") + 1) / 2
-        ).alias("avg_rank"),
+        (F.col("prior") + (F.col("cnt") + 1) / 2).alias("avg_rank"),
     )
     return ranked.agg(
         F.round(
@@ -3008,12 +3016,16 @@ def q193_woe_iv_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature is useless; > 0.3 strong — q177's AUC gives the rank
     view, this gives the per-bin diagnosis.
 
-    Scale: one window sort assigns bins (the q189 trade: swap ntile
-    for percentile_approx bounds at 100 TB); totals broadcast back;
-    everything after is arithmetic on 10 rows. The iv_total column
-    repeats the scalar on every row (window over the 10-row set) so
-    the result stays one tidy relation.
+    Scale: the decile assignment is the operators/ranking TWO-PASS
+    global ntile (bucket-partitioned windows only — no corpus-scale
+    single-partition sort; the r7-verdict retrofit of the q238/q240
+    machinery); totals broadcast back; everything after is
+    arithmetic on 10 rows. The iv_total column repeats the scalar on
+    every row (broadcast of the 1-row total onto the 10-row bin set)
+    so the result stays one tidy relation.
     """
+    from g_etl_spark.operators.ranking import global_ntile_twopass, log2_bucket
+
     o = load(spark, sf_dir, "orders")
     scored = o.select(
         F.col("o_totalprice").alias("score"),
@@ -3022,8 +3034,9 @@ def q193_woe_iv_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(0).alias("y"),
         "o_orderkey",
     )
-    wb = Window.orderBy("score", "o_orderkey")
-    binned = scored.select(F.ntile(10).over(wb).alias("bin"), "y")
+    binned = global_ntile_twopass(
+        scored, 10, ["score", "o_orderkey"], log2_bucket(F.col("score")), out="bin"
+    ).select("bin", "y")
     tot = binned.agg(
         F.sum("y").cast("double").alias("pos"),
         F.sum(1 - F.col("y")).cast("double").alias("neg"),
@@ -3039,14 +3052,15 @@ def q193_woe_iv_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     woe = F.log(F.col("pr") / F.col("nr"))
     iv_term = (F.col("pr") - F.col("nr")) * woe
-    wall = Window.partitionBy()
+    tot_iv = per_bin.agg(F.round(F.sum(iv_term), 6).alias("iv_total"))
     return (
-        per_bin.select(
+        per_bin.crossJoin(F.broadcast(tot_iv))
+        .select(
             F.col("bin").cast("int").alias("bin"),
             "n",
             F.round(woe, 6).alias("woe"),
             F.round(iv_term, 6).alias("iv_term"),
-            F.round(F.sum(iv_term).over(wall), 6).alias("iv_total"),
+            "iv_total",
         )
         .orderBy("bin")
     )

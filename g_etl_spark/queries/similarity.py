@@ -106,9 +106,9 @@ def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(e, q, k=10)
 
 
-def _srp_bucket_sql(n_planes: int = 6, dim: int = 64) -> str:
-    """DuckDB expression for the SRP bucket of `embedding` — the
-    SAME md5-derived hyperplanes as operators/similarity, embedded as
+def _srp_bucket_sql(n_planes: int = 6, dim: int = 64, col: str = "embedding") -> str:
+    """DuckDB expression for the SRP bucket of `col` — the SAME
+    md5-derived hyperplanes as operators/similarity, embedded as
     literal constants so both engines compute identical sign bits."""
     planes = S.random_hyperplanes(n_planes, dim)
     bits = []
@@ -116,7 +116,7 @@ def _srp_bucket_sql(n_planes: int = 6, dim: int = 64) -> str:
         arr = ", ".join(repr(v) for v in plane)
         dot = (
             f"list_aggregate(list_transform(range(1, {dim + 1}), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * ([{arr}])[i]), 'sum')"
+            f"i -> CAST({col}[i] AS DOUBLE) * ([{arr}])[i]), 'sum')"
         )
         bits.append(f"(CASE WHEN {dot} >= 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {p})")
     return "(" + " | ".join(bits) + ")"

@@ -1939,23 +1939,35 @@ def q191_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rank ties break lexicographically so both engines agree.
 
     Scale: one explode + combining count collapses the corpus to
-    |vocab| rows; the cumulative share is one window over that
-    rollup with the 4-row k set cross-joined in as a broadcast. At
-    100 TB |vocab| of natural text is ~1e6-1e8 rows — window-able on
-    one partition or range-partitioned two-pass, never corpus-sized.
+    |vocab| rows; at 100 TB |vocab| of natural text is ~1e6-1e8 rows,
+    so the descending rank AND the cumulative share both run as the
+    operators/ranking TWO-PASS recipe (bucket-partitioned windows
+    only — the r7-verdict retrofit; descending via negated count,
+    the q273/q285 convention). The 4-row k set cross-joins in as a
+    broadcast.
     """
+    from g_etl_spark.operators.ranking import (
+        global_cumsum_twopass,
+        global_rank_twopass,
+        log2_bucket,
+    )
+
     d = load(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(T.tokens(F.col("text"))).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .withColumn("negc", -F.col("c"))
     )
-    wr = Window.orderBy(F.desc("c"), F.asc("token"))
-    ranked = counts.select(
+    ranked = global_cumsum_twopass(
+        global_rank_twopass(
+            counts, ["negc", "token"], -log2_bucket(F.col("c")), out="r"
+        ),
         "c",
-        F.row_number().over(wr).alias("r"),
-        F.sum("c").over(wr.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-    )
+        ["negc", "token"],
+        -log2_bucket(F.col("c")),
+        out="cum",
+    ).select("c", "r", "cum")
     tot = counts.agg(
         F.sum("c").alias("t"), F.count(F.lit(1)).cast("long").alias("vocab")
     )

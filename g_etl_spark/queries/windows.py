@@ -2162,22 +2162,28 @@ def q179_gini_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     check q105's salted agg does by hand.
 
     Scale: the corpus collapses to |keys| rows in one map-side-
-    combining count; the rank is one window over that rollup (a
-    two-pass range-partitioned prefix sum at extreme key
-    cardinality). The diagnostic never touches row payloads — skew
-    profiling at 100 TB costs one column scan.
+    combining count; both ranks run as the operators/ranking
+    TWO-PASS global rank (bucket-partitioned windows only — at 1e9
+    join keys a single-partition row_number would serialize the
+    whole rollup through one reducer; the r7-verdict retrofit).
+    The diagnostic never touches row payloads — skew profiling at
+    100 TB costs one column scan.
     """
+    from g_etl_spark.operators.ranking import global_rank_twopass, log2_bucket
+
     li = load(spark, sf_dir, "lineitem")
     per_key = li.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("double").alias("x")
     )
-    wi = Window.orderBy(F.asc("x"), F.asc("l_partkey"))
-    wr = Window.orderBy(F.desc("x"), F.asc("l_partkey"))
-    ranked = per_key.select(
-        "x",
-        F.row_number().over(wi).alias("i"),
-        F.row_number().over(wr).alias("ri"),
+    asc = global_rank_twopass(
+        per_key, ["x", "l_partkey"], log2_bucket(F.col("x")), out="i"
     )
+    ranked = global_rank_twopass(
+        asc.withColumn("negx", -F.col("x")),
+        ["negx", "l_partkey"],
+        -log2_bucket(F.col("x")),
+        out="ri",
+    ).select("x", "i", "ri")
     n = F.count(F.lit(1))
     tot = F.sum("x")
     return ranked.agg(

@@ -285,3 +285,57 @@ def test_global_ntile_twopass_matches_spark_ntile(spark):
         .count()
         == 0
     )
+
+
+def test_global_cumsum_twopass_matches_spark_window(spark):
+    """operators/ranking: the two-pass prefix sum must reproduce the
+    global cumulative-sum window EXACTLY in both frame modes
+    (inclusive and UNBOUNDED..1 PRECEDING), including tie groups that
+    cross bucket boundaries and a descending order via negated key —
+    and its plan must contain no unpartitioned WindowExec."""
+    import random
+
+    from pyspark.sql import Window
+
+    from g_etl_spark.operators.ranking import global_cumsum_twopass, log2_bucket
+
+    random.seed(11)
+    rows = [(i, float(random.randint(0, 50)), random.random()) for i in range(1, 500)]
+    df = spark.createDataFrame(rows, "id long, v double, w double").repartition(8)
+    for inclusive in (True, False):
+        got = global_cumsum_twopass(
+            df, "w", ["v", "id"], log2_bucket(F.col("v")), out="c", inclusive=inclusive
+        )
+        hi = 0 if inclusive else -1
+        wref = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, hi)
+        want = df.withColumn("c", F.coalesce(F.sum("w").over(wref), F.lit(0.0)))
+        bad = (
+            got.join(want.withColumnRenamed("c", "wc"), "id")
+            .where(F.abs(F.col("c") - F.col("wc")) > 1e-9)
+            .count()
+        )
+        assert bad == 0, f"cumsum mismatch (inclusive={inclusive})"
+    # descending order via the negated-key convention
+    gd = global_cumsum_twopass(
+        df.withColumn("negv", -F.col("v")),
+        "w",
+        ["negv", "id"],
+        -log2_bucket(F.col("v")),
+        out="c",
+    )
+    wd = Window.orderBy(F.desc("v"), F.asc("id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wantd = df.withColumn("c", F.sum("w").over(wd))
+    assert (
+        gd.join(wantd.withColumnRenamed("c", "wc"), "id")
+        .where(F.abs(F.col("c") - F.col("wc")) > 1e-9)
+        .count()
+        == 0
+    )
+    plan = gd._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for line in plan.splitlines():
+        if re.search(r"\bWindow\b", line) and "[" in line:
+            assert len(re.findall(r"\[[^\[\]]*\]", line)) >= 3, line

@@ -1219,6 +1219,44 @@ def test_q238_q240_ntile_windows_partitioned(spark, qs):
     _assert_windows_partitioned(plan_of(qs["q240_uplift_deciles"](spark, SF_DIR)))
 
 
+def test_q295_bucketed_embedding_dedup_no_corpus_cross_join(spark, qs):
+    """The q54 scale sibling: candidates must come from a hash
+    EQUI-join on the SRP bucket — no NestedLoop/Cartesian corpus×
+    corpus join anywhere in the plan — and the refined pair set must
+    be a strict SUBSET of the q54 brute-force baseline (precision 1
+    by construction, recall is the LSH trade, measured ≥ 0.6 on the
+    planted corpus: P(8 sign bits agree at cos≈0.98) ≈ 0.94^8)."""
+    df = qs["q295_embedding_dedup_bucketed"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    got = set(map(tuple, df.select("id_a", "id_b").collect()))
+    base = set(
+        map(
+            tuple,
+            qs["q54_embedding_dedup"](spark, SF_DIR)
+            .select("id_a", "id_b")
+            .collect(),
+        )
+    )
+    assert got <= base
+    assert len(got) >= 0.6 * len(base)
+
+
+def test_r8_retrofit_windows_partitioned(spark, qs):
+    """The r7-verdict retrofit sweep: the four queries that carried
+    unbounded-relation global windows (q193 corpus ntile, q177 score
+    prefix sum, q179 key-rollup double rank, q191 vocab rank+cumsum)
+    now run the operators/ranking two-pass recipe — no WindowExec
+    without a partition spec anywhere in any of the four plans."""
+    for name in (
+        "q193_woe_iv_bins",
+        "q177_auc_rank",
+        "q179_gini_key_skew",
+        "q191_vocab_coverage",
+    ):
+        _assert_windows_partitioned(plan_of(qs[name](spark, SF_DIR)))
+
+
 def test_q199_minhash_eval_bounds(spark, qs):
     """MinHash detector eval: metrics bounded, counts consistent, and
     the exact-copy planted pairs (identical signatures -> identical
