@@ -1113,3 +1113,143 @@ def q236_spatial_scan_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("llr"), "tx", "ty")
         .limit(20)
     )
+
+
+def _morton_sql(xcol: str, ycol: str, bits: int = 12) -> str:
+    """Bit-interleaved Morton (Z-order) code as portable integer SQL
+    (identical operator set in Spark SQL and DuckDB)."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({xcol} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({ycol} >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def _tile_xy(lat: float, lng: float, z: int = _TILE_Z) -> tuple[int, int]:
+    """Driver-side slippy-tile coords for a LITERAL corner (embedded
+    as integer constants in BOTH engines, so no cross-engine libm
+    risk on the box bounds)."""
+    import math
+
+    n = 1 << z
+    tx = int(math.floor((lng + 180.0) / 360.0 * n))
+    ty = int(
+        math.floor(
+            (1.0 - math.log(math.tan(math.radians(lat)) + 1.0 / math.cos(math.radians(lat))) / math.pi)
+            / 2.0
+            * n
+        )
+    )
+    return tx, ty
+
+
+def _morton_int(tx: int, ty: int, bits: int = 12) -> int:
+    m = 0
+    for b in range(bits):
+        m |= ((tx >> b) & 1) << (2 * b)
+        m |= ((ty >> b) & 1) << (2 * b + 1)
+    return m
+
+
+def _q299_consts() -> dict[str, int]:
+    # query box = QUERY_RING's bbox: lng 13..17, lat 57..60
+    txmin, tymin = _tile_xy(60.0, 13.0)  # north edge -> smaller ty
+    txmax, tymax = _tile_xy(57.0, 17.0)
+    return {
+        "txmin": txmin,
+        "txmax": txmax,
+        "tymin": tymin,
+        "tymax": tymax,
+        "mlo": _morton_int(txmin, tymin),
+        "mhi": _morton_int(txmax, tymax),
+    }
+
+
+_Q299 = _q299_consts()
+
+
+@register(
+    "q299_zorder_scan_amplification",
+    oracle=f"""
+    WITH pts AS (
+        SELECT CAST(floor(({LNG_SQL} + 180.0) / 360.0 * {_TILE_N}) AS BIGINT)
+                   AS tx,
+               CAST(floor((1.0 - ln(tan(radians({LAT_SQL}))
+                                    + 1.0 / cos(radians({LAT_SQL}))) / pi())
+                          / 2.0 * {_TILE_N}) AS BIGINT) AS ty
+        FROM events
+    ),
+    m AS (
+        SELECT tx, ty, {_morton_sql("tx", "ty")} AS morton,
+               CASE WHEN tx BETWEEN {_Q299["txmin"]} AND {_Q299["txmax"]}
+                     AND ty BETWEEN {_Q299["tymin"]} AND {_Q299["tymax"]}
+                    THEN 1 ELSE 0 END AS in_box
+        FROM pts
+    )
+    SELECT {_TILE_Z} AS z,
+           CAST({_Q299["mlo"]} AS BIGINT) AS morton_lo,
+           CAST({_Q299["mhi"]} AS BIGINT) AS morton_hi,
+           CAST(sum(in_box) AS BIGINT) AS n_points_box,
+           CAST(count(DISTINCT CASE WHEN in_box = 1
+                                    THEN tx * {_TILE_N} + ty END) AS BIGINT)
+               AS n_tiles_box,
+           CAST(sum(CASE WHEN morton BETWEEN {_Q299["mlo"]} AND {_Q299["mhi"]}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_points_zrange,
+           round(CAST(sum(CASE WHEN morton BETWEEN {_Q299["mlo"]} AND {_Q299["mhi"]}
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / greatest(sum(in_box), 1), 4) AS scan_amplification
+    FROM m
+    """,
+)
+def q299_zorder_scan_amplification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) linearization diagnostic for the serving
+    layout: interleave the z12 tile coords into a Morton code, then
+    measure how many points a SINGLE Morton-range scan
+    [morton(box_min), morton(box_max)] reads versus the points
+    actually inside the query box — the scan-amplification factor of
+    Z-order range pruning. This quantifies the layout decision the
+    warehouse already makes (compact_grid_index Z-orders on
+    (grid_cell, dataset_id)): amplification near 1 means one sorted
+    range serves the box; large amplification says the range must be
+    SPLIT (the BIGMIN/LITMAX refinement) or the box decomposed into
+    cells, which is exactly what the polyfill-join serving path does.
+
+    Scale: the Morton code is 24 integer bit-ops per row, map-side in
+    whole-stage codegen; box corners are Python-computed integer
+    LITERALS (identical constants in both engines — no cross-engine
+    libm risk on bounds); ONE combining aggregate emits the whole
+    diagnostic. At 100 TB this runs as a free rider on any scan, and
+    the measured amplification directly prices a zone-map layout
+    before rewriting a corpus into it.
+    """
+    pts = _points(spark, sf_dir)
+    lat_r = F.radians(F.col("lat"))
+    tx = F.floor((F.col("lng") + 180.0) / 360.0 * _TILE_N).cast("long")
+    ty = F.floor(
+        (1.0 - F.log(F.tan(lat_r) + 1.0 / F.cos(lat_r)) / F.lit(3.141592653589793))
+        / 2.0
+        * _TILE_N
+    ).cast("long")
+    t = pts.select(tx.alias("tx"), ty.alias("ty"))
+    morton = F.expr(_morton_sql("tx", "ty"))
+    c = _Q299
+    in_box = (
+        F.col("tx").between(c["txmin"], c["txmax"])
+        & F.col("ty").between(c["tymin"], c["tymax"])
+    )
+    in_range = morton.between(c["mlo"], c["mhi"])
+    return t.agg(
+        F.lit(_TILE_Z).cast("int").alias("z"),
+        F.lit(c["mlo"]).cast("long").alias("morton_lo"),
+        F.lit(c["mhi"]).cast("long").alias("morton_hi"),
+        F.sum(F.when(in_box, 1).otherwise(0)).cast("long").alias("n_points_box"),
+        F.countDistinct(
+            F.when(in_box, F.col("tx") * _TILE_N + F.col("ty"))
+        ).cast("long").alias("n_tiles_box"),
+        F.sum(F.when(in_range, 1).otherwise(0)).cast("long").alias("n_points_zrange"),
+        F.round(
+            F.sum(F.when(in_range, 1).otherwise(0)).cast("double")
+            / F.greatest(F.sum(F.when(in_box, 1).otherwise(0)), F.lit(1)),
+            4,
+        ).alias("scan_amplification"),
+    )

@@ -5955,3 +5955,83 @@ def q294_aa_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "q296_column_profile",
+    oracle="""
+    WITH w AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_ok,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv_ok,
+               round(min(CAST(o_orderkey AS DOUBLE)), 4) AS mn_ok,
+               round(max(CAST(o_orderkey AS DOUBLE)), 4) AS mx_ok,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_ck,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_ck,
+               round(min(CAST(o_custkey AS DOUBLE)), 4) AS mn_ck,
+               round(max(CAST(o_custkey AS DOUBLE)), 4) AS mx_ck,
+               CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_os,
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS ndv_os,
+               min(o_orderstatus) AS ms_os, max(o_orderstatus) AS xs_os,
+               round(avg(length(o_orderstatus)), 4) AS al_os,
+               CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_tp,
+               CAST(count(DISTINCT o_totalprice) AS BIGINT) AS ndv_tp,
+               round(min(o_totalprice), 4) AS mn_tp,
+               round(max(o_totalprice), 4) AS mx_tp,
+               CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_od,
+               CAST(count(DISTINCT o_orderdate) AS BIGINT) AS ndv_od,
+               round(min(epoch(o_orderdate)), 4) AS mn_od,
+               round(max(epoch(o_orderdate)), 4) AS mx_od,
+               CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_op,
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS ndv_op,
+               min(o_orderpriority) AS ms_op, max(o_orderpriority) AS xs_op,
+               round(avg(length(o_orderpriority)), 4) AS al_op
+        FROM orders
+    )
+    SELECT * FROM (
+        SELECT 'o_orderkey' AS column_name, n, nn_ok AS n_null, ndv_ok AS ndv,
+               mn_ok AS min_num, mx_ok AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+               CAST(NULL AS DOUBLE) AS avg_len FROM w
+        UNION ALL
+        SELECT 'o_custkey', n, nn_ck, ndv_ck, mn_ck, mx_ck, NULL, NULL, NULL FROM w
+        UNION ALL
+        SELECT 'o_orderstatus', n, nn_os, ndv_os, NULL, NULL, ms_os, xs_os, al_os FROM w
+        UNION ALL
+        SELECT 'o_totalprice', n, nn_tp, ndv_tp, mn_tp, mx_tp, NULL, NULL, NULL FROM w
+        UNION ALL
+        SELECT 'o_orderdate', n, nn_od, ndv_od, mn_od, mx_od, NULL, NULL, NULL FROM w
+        UNION ALL
+        SELECT 'o_orderpriority', n, nn_op, ndv_op, NULL, NULL, ms_op, xs_op, al_op FROM w
+    ) ORDER BY column_name
+    """,
+)
+def q296_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiling of the orders table
+    (operators/profiling.profile_columns) — the statistics pass an
+    engine runs before planning: per column row count, null count,
+    exact NDV, numeric/epoch min-max, lexicographic string min-max,
+    and average string length. NDV feeds broadcast-vs-shuffle join
+    choices (q194's estimator consumes it), null fractions feed
+    cleanup stages (P9), min/max are the zone-map / partition-prune
+    primitives the warehouse Z-order serving relies on.
+
+    Scale: everything except NDV is ONE wide map-side-combining
+    aggregate over a single scan. Exact multi-column COUNT(DISTINCT)
+    expands the scan |cols|-fold (Spark's Expand operator) — the
+    operator's exact_ndv=False flag swaps in approx_count_distinct
+    (HyperLogLog++, one pass, mergeable) for the 100 TB path; exact
+    is kept here so both engines agree bit-for-bit.
+    """
+    from g_etl_spark.operators import profiling as P
+
+    o = load(spark, sf_dir, "orders")
+    kinds = {
+        "o_orderkey": P.NUMERIC,
+        "o_custkey": P.NUMERIC,
+        "o_orderstatus": P.STRING,
+        "o_totalprice": P.NUMERIC,
+        "o_orderdate": P.TIMESTAMP,
+        "o_orderpriority": P.STRING,
+    }
+    return P.profile_columns(o, kinds).orderBy("column_name")

@@ -2954,3 +2954,246 @@ def q293_ingestion_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ingest_decile")
     )
+
+
+_HEAPS_CORPUS = (
+    "SELECT doc_id, text || ' w' || CAST(CAST(floor(sqrt(doc_id)) AS BIGINT)"
+    " AS VARCHAR) AS text FROM documents"
+)
+
+
+@register(
+    "q297_heaps_law_fit",
+    oracle=f"""
+    WITH corpus AS ({_HEAPS_CORPUS}),
+    tok AS (
+        SELECT doc_id, unnest({_TOKS}) AS token FROM corpus
+    ),
+    first_seen AS (
+        SELECT token, min(doc_id) AS fd FROM tok GROUP BY token
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS nt FROM corpus
+    ),
+    mx AS (SELECT max(doc_id) AS m FROM documents),
+    cps AS (
+        SELECT d, CAST(ceil(mx.m * d / 10.0) AS BIGINT) AS thr
+        FROM (SELECT unnest(range(1, 11)) AS d), mx
+    ),
+    curve AS (
+        SELECT cps.d, cps.thr,
+               (SELECT CAST(sum(nt) AS BIGINT) FROM per_doc
+                WHERE doc_id <= cps.thr) AS n_tokens_cum,
+               (SELECT CAST(count(*) AS BIGINT) FROM first_seen
+                WHERE fd <= cps.thr) AS vocab_cum
+        FROM cps
+    ),
+    pts AS (
+        SELECT d, thr, n_tokens_cum, vocab_cum,
+               ln(CAST(n_tokens_cum AS DOUBLE)) AS x,
+               ln(CAST(vocab_cum AS DOUBLE)) AS y
+        FROM curve
+    ),
+    fit AS (
+        SELECT (sum(x * y) - sum(x) * sum(y) / count(*))
+               / (sum(x * x) - sum(x) * sum(x) / count(*)) AS beta,
+               sum(y) / count(*) AS my, sum(x) / count(*) AS mx2
+        FROM pts
+    )
+    SELECT pts.d, pts.thr, pts.n_tokens_cum, pts.vocab_cum,
+           round(fit.beta, 6) AS heaps_beta,
+           round(exp(fit.my - fit.beta * fit.mx2), 4) AS heaps_k
+    FROM pts CROSS JOIN fit
+    ORDER BY pts.d
+    """,
+)
+def q297_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V(N) = k·N^β — the companion
+    of q132's Zipf fit and the capacity planner behind q191's vocab
+    budget: measure cumulative distinct-token count V against
+    cumulative token count N at 10 corpus-prefix checkpoints (by
+    doc_id, the ingestion order), then log-log OLS for (k, β).
+    Natural text sits at β≈0.4-0.6; β drifting toward 1 flags a
+    corpus whose "vocabulary" never saturates (serial numbers, ids,
+    mojibake) — a tokenizer red flag before training one. The
+    synthetic corpus has a CLOSED 31-token vocabulary (the fit would
+    be exactly 0), so a √-growth vocabulary is PLANTED — one
+    'w⌊√doc_id⌋' token appended per document, identically in both
+    engines (the q298 planted-corpus precedent) — giving a true
+    β≈0.5 curve for the estimator to recover (pinned in tests).
+
+    Scale: cumulative distinct WITHOUT re-scanning per checkpoint —
+    V(t) = |{{tokens whose FIRST doc ≤ t}}|, so one explode+min-agg
+    produces first-occurrence docs, and each checkpoint is a
+    conditional count over that |vocab| rollup against a broadcast
+    10-row threshold set (same trick for N(t) over the per-doc token
+    counts). The OLS fit is an agg over 10 points, broadcast back.
+    No window anywhere; nothing corpus-sized ever sorts.
+    """
+    base = load(spark, sf_dir, "documents")
+    d = base.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" w"),
+            F.floor(F.sqrt(F.col("doc_id"))).cast("long").cast("string"),
+        ).alias("text"),
+    )
+    toks = T.tokens(F.col("text"))
+    tok = d.select("doc_id", F.explode(toks).alias("token"))
+    first_seen = tok.groupBy("token").agg(F.min("doc_id").alias("fd"))
+    per_doc = d.select("doc_id", F.size(toks).cast("long").alias("nt"))
+    mx = base.agg(F.max("doc_id").alias("m"))
+    ds = spark.range(1, 11).select(F.col("id").cast("long").alias("d"))
+    cps = ds.crossJoin(F.broadcast(mx)).select(
+        "d", F.ceil(F.col("m") * F.col("d") / 10.0).cast("long").alias("thr")
+    )
+    v_cum = (
+        first_seen.crossJoin(F.broadcast(cps))
+        .groupBy("d", "thr")
+        .agg(
+            F.sum(F.when(F.col("fd") <= F.col("thr"), 1).otherwise(0))
+            .cast("long")
+            .alias("vocab_cum")
+        )
+    )
+    n_cum = (
+        per_doc.crossJoin(F.broadcast(cps))
+        .groupBy("d")
+        .agg(
+            F.sum(F.when(F.col("doc_id") <= F.col("thr"), F.col("nt")).otherwise(0))
+            .cast("long")
+            .alias("n_tokens_cum")
+        )
+    )
+    pts = (
+        v_cum.join(n_cum, "d")
+        .select(
+            "d",
+            "thr",
+            "n_tokens_cum",
+            "vocab_cum",
+            F.log(F.col("n_tokens_cum").cast("double")).alias("x"),
+            F.log(F.col("vocab_cum").cast("double")).alias("y"),
+        )
+    )
+    cnt = F.count(F.lit(1))
+    fit = pts.agg(
+        (
+            (F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y") / cnt)
+            / (F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x") / cnt)
+        ).alias("beta"),
+        (F.sum("y") / cnt).alias("my"),
+        (F.sum("x") / cnt).alias("mx2"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            "d",
+            "thr",
+            "n_tokens_cum",
+            "vocab_cum",
+            F.round(F.col("beta"), 6).alias("heaps_beta"),
+            F.round(F.exp(F.col("my") - F.col("beta") * F.col("mx2")), 4).alias(
+                "heaps_k"
+            ),
+        )
+        .orderBy("d")
+    )
+
+
+@register(
+    "q298_encoding_artifact_audit",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, source,
+               text
+               || CASE WHEN doc_id % 37 = 0
+                       THEN ' caf' || chr(195) || chr(169) ELSE '' END
+               || CASE WHEN doc_id % 41 = 0 THEN chr(65533) ELSE '' END
+               || CASE WHEN doc_id % 43 = 0 THEN chr(7) ELSE '' END
+               || CASE WHEN doc_id % 47 = 0 THEN chr(160) ELSE '' END AS t2
+        FROM documents
+    ),
+    flags AS (
+        SELECT source,
+               CASE WHEN contains(t2, chr(195) || chr(169)) THEN 1 ELSE 0 END AS f_moji,
+               CASE WHEN contains(t2, chr(65533)) THEN 1 ELSE 0 END AS f_repl,
+               CASE WHEN contains(t2, chr(7)) THEN 1 ELSE 0 END AS f_ctrl,
+               CASE WHEN contains(t2, chr(160)) THEN 1 ELSE 0 END AS f_nbsp
+        FROM corpus
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(f_moji) AS BIGINT) AS n_mojibake,
+           CAST(sum(f_repl) AS BIGINT) AS n_replacement,
+           CAST(sum(f_ctrl) AS BIGINT) AS n_control,
+           CAST(sum(f_nbsp) AS BIGINT) AS n_nbsp,
+           round(1.0 - CAST(sum(CASE WHEN f_moji + f_repl + f_ctrl + f_nbsp > 0
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*), 6) AS clean_rate
+    FROM flags
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q298_encoding_artifact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-artifact (mojibake) audit per source - the corpus
+    hygiene check every web-crawl ingest runs before tokenization:
+    count documents containing UTF-8-decoded-as-Latin-1 sequences
+    (U+00C3 U+00A9 = mojibake e-acute), the U+FFFD replacement
+    character (lossy transcoding), C0 control characters (binary
+    contamination), and non-breaking spaces (tokenizer splitters
+    miss them), plus the per-source clean rate. The synthetic corpus
+    is clean, so artifacts are PLANTED deterministically by doc_id
+    modulus - identically in both engines (the q46/q234 planted-PII
+    precedent) - and a test pins each planted count exactly so no
+    column is vacuously zero.
+
+    Scale: map-only substring scans in whole-stage codegen (literal
+    `contains`, no regex backtracking), one combining agg to
+    |sources| rows. At 100 TB this is a free rider on any existing
+    full-text pass (q40's stats scan can carry these flags).
+    """
+    d = load(spark, sf_dir, "documents")
+    moji = chr(195) + chr(169)   # UTF-8 e-acute bytes decoded as Latin-1
+    repl = chr(65533)            # U+FFFD replacement character
+    ctrl = chr(7)                # C0 control (BEL)
+    nbsp = chr(160)              # U+00A0 non-breaking space
+    t2 = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 37 == 0, " caf" + moji).otherwise(""),
+        F.when(F.col("doc_id") % 41 == 0, repl).otherwise(""),
+        F.when(F.col("doc_id") % 43 == 0, ctrl).otherwise(""),
+        F.when(F.col("doc_id") % 47 == 0, nbsp).otherwise(""),
+    )
+    flag = lambda needle: F.when(  # noqa: E731
+        F.instr(F.col("t2"), needle) > 0, 1
+    ).otherwise(0)
+    flags = d.select("source", t2.alias("t2")).select(
+        "source",
+        flag(moji).alias("f_moji"),
+        flag(repl).alias("f_repl"),
+        flag(ctrl).alias("f_ctrl"),
+        flag(nbsp).alias("f_nbsp"),
+    )
+    dirty = (
+        F.col("f_moji") + F.col("f_repl") + F.col("f_ctrl") + F.col("f_nbsp") > 0
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("f_moji").cast("long").alias("n_mojibake"),
+            F.sum("f_repl").cast("long").alias("n_replacement"),
+            F.sum("f_ctrl").cast("long").alias("n_control"),
+            F.sum("f_nbsp").cast("long").alias("n_nbsp"),
+            F.round(
+                1.0
+                - F.sum(F.when(dirty, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("clean_rate"),
+        )
+        .orderBy("source")
+    )

