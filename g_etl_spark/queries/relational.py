@@ -6035,3 +6035,328 @@ def q296_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority": P.STRING,
     }
     return P.profile_columns(o, kinds).orderBy("column_name")
+
+
+@register(
+    "q301_poststrat_ipw_ate",
+    oracle="""
+    WITH base AS (
+        SELECT c.c_mktsegment AS stratum,
+               CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS t,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS y_c
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cells AS (
+        SELECT stratum,
+               CAST(count(*) AS BIGINT) AS n_s,
+               CAST(sum(t) AS BIGINT) AS n_t,
+               CAST(sum(t * y_c) AS BIGINT) AS sy_t,
+               CAST(sum((1 - t) * y_c) AS BIGINT) AS sy_c
+        FROM base GROUP BY stratum
+    ),
+    diffs AS (
+        SELECT stratum, n_s, n_t,
+               CAST(sy_t AS DOUBLE) / n_t / 100.0 AS mean_t,
+               CAST(sy_c AS DOUBLE) / (n_s - n_t) / 100.0 AS mean_c
+        FROM cells
+    ),
+    terms AS (
+        SELECT stratum, n_s, n_t, mean_t, mean_c,
+               CAST(round(1000000.0 * n_s * (mean_t - mean_c)) AS BIGINT) AS tq_ate,
+               CAST(round(1000000.0 * n_t * (mean_t - mean_c)) AS BIGINT) AS tq_att
+        FROM diffs
+    ),
+    pooled AS (
+        SELECT CAST(sum(n_s) AS BIGINT) AS n,
+               CAST(sum(n_t) AS BIGINT) AS nt,
+               round(CAST(sum(tq_ate) AS DOUBLE) / sum(n_s) / 1000000.0, 4)
+                   AS ate_poststrat,
+               round(CAST(sum(tq_att) AS DOUBLE) / sum(n_t) / 1000000.0, 4)
+                   AS att_poststrat
+        FROM terms
+    ),
+    naive AS (
+        SELECT round(CAST(sum(t * y_c) AS DOUBLE) / sum(t) / 100.0
+                     - CAST(sum((1 - t) * y_c) AS DOUBLE) / sum(1 - t) / 100.0,
+                     4) AS naive_diff
+        FROM base
+    )
+    SELECT terms.stratum, terms.n_s, terms.n_t,
+           round(terms.mean_t, 4) AS mean_treated,
+           round(terms.mean_c, 4) AS mean_control,
+           round(terms.mean_t - terms.mean_c, 4) AS stratum_diff,
+           naive.naive_diff, pooled.ate_poststrat, pooled.att_poststrat
+    FROM terms CROSS JOIN pooled CROSS JOIN naive
+    ORDER BY stratum
+    """,
+)
+def q301_poststrat_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified average-treatment-effect estimation — the
+    covariate-adjustment step the experimentation family (q150 z /
+    q221 DiD / q225 CUPED / q270 QTE) assumed away: stratify on the
+    customer's market segment (a pre-treatment covariate via the
+    broadcast dim join), estimate the per-stratum treated-vs-control
+    gap, and pool with n_s/n weights (ATE) and n_t,s/n_t weights
+    (ATT). With stratum propensities e_s = n_t,s/n_s the
+    Horvitz-Thompson IPW estimator is ALGEBRAICALLY the post-
+    stratified ATE (Σ sy_t,s/e_s telescopes to Σ n_s·ȳ_t,s), so one
+    set of cells prices all three readouts; naive diff shown for the
+    imbalance gap. Per-stratum weighted terms are quantized to
+    integer micro-units before the cross-stratum sum (the q177
+    cent-quantize discipline), so pooling is engine-order-exact.
+
+    Scale: ONE broadcast dim join + ONE combining agg to |strata|
+    cells; every estimator is closed-form arithmetic on those cells.
+    This is the q84/q287 mixture algebra pointed at causal readouts.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    base = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == c.c_custkey,
+    ).select(
+        F.col("c_mktsegment").alias("stratum"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("t"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("y_c"),
+    )
+    cells = base.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum("t").cast("long").alias("n_t"),
+        F.sum(F.col("t") * F.col("y_c")).cast("long").alias("sy_t"),
+        F.sum((1 - F.col("t")) * F.col("y_c")).cast("long").alias("sy_c"),
+    )
+    diffs = cells.select(
+        "stratum",
+        "n_s",
+        "n_t",
+        (F.col("sy_t").cast("double") / F.col("n_t") / 100.0).alias("mean_t"),
+        (
+            F.col("sy_c").cast("double") / (F.col("n_s") - F.col("n_t")) / 100.0
+        ).alias("mean_c"),
+    )
+    terms = diffs.select(
+        "*",
+        F.round(1000000.0 * F.col("n_s") * (F.col("mean_t") - F.col("mean_c")), 0)
+        .cast("long")
+        .alias("tq_ate"),
+        F.round(1000000.0 * F.col("n_t") * (F.col("mean_t") - F.col("mean_c")), 0)
+        .cast("long")
+        .alias("tq_att"),
+    )
+    pooled = terms.agg(
+        F.round(
+            F.sum("tq_ate").cast("double") / F.sum("n_s") / 1000000.0, 4
+        ).alias("ate_poststrat"),
+        F.round(
+            F.sum("tq_att").cast("double") / F.sum("n_t") / 1000000.0, 4
+        ).alias("att_poststrat"),
+    )
+    naive = base.agg(
+        F.round(
+            F.sum(F.col("t") * F.col("y_c")).cast("double") / F.sum("t") / 100.0
+            - F.sum((1 - F.col("t")) * F.col("y_c")).cast("double")
+            / F.sum(1 - F.col("t"))
+            / 100.0,
+            4,
+        ).alias("naive_diff")
+    )
+    return (
+        terms.crossJoin(F.broadcast(pooled))
+        .crossJoin(F.broadcast(naive))
+        .select(
+            "stratum",
+            "n_s",
+            "n_t",
+            F.round("mean_t", 4).alias("mean_treated"),
+            F.round("mean_c", 4).alias("mean_control"),
+            F.round(F.col("mean_t") - F.col("mean_c"), 4).alias("stratum_diff"),
+            "naive_diff",
+            "ate_poststrat",
+            "att_poststrat",
+        )
+        .orderBy("stratum")
+    )
+
+
+@register(
+    "q302_kfold_cv_ols",
+    oracle="""
+    WITH rows_x AS (
+        SELECT o_orderkey % 5 AS fold,
+               CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS x,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS y_c
+        FROM orders
+    ),
+    fm AS (
+        SELECT fold, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y_c) AS BIGINT) AS sy,
+               CAST(sum(x * y_c) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM rows_x GROUP BY fold
+    ),
+    tm AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS sx,
+               CAST(sum(sy) AS BIGINT) AS sy, CAST(sum(sxy) AS BIGINT) AS sxy,
+               CAST(sum(sxx) AS BIGINT) AS sxx
+        FROM fm
+    ),
+    models AS (
+        -- leave-fold-out training via SUBTRACTABLE moments: train = total - fold
+        SELECT fm.fold,
+               CAST(tm.n - fm.n AS BIGINT) AS n_train,
+               (CAST(tm.n - fm.n AS DOUBLE) * CAST(tm.sxy - fm.sxy AS DOUBLE)
+                - CAST(tm.sx - fm.sx AS DOUBLE) * CAST(tm.sy - fm.sy AS DOUBLE))
+               / (CAST(tm.n - fm.n AS DOUBLE) * CAST(tm.sxx - fm.sxx AS DOUBLE)
+                  - CAST(tm.sx - fm.sx AS DOUBLE) * CAST(tm.sx - fm.sx AS DOUBLE))
+                   AS b,
+               CAST(tm.sy - fm.sy AS DOUBLE) / CAST(tm.n - fm.n AS DOUBLE) AS ybar,
+               CAST(tm.sx - fm.sx AS DOUBLE) / CAST(tm.n - fm.n AS DOUBLE) AS xbar
+        FROM fm CROSS JOIN tm
+    ),
+    scored AS (
+        SELECT m.fold AS model_fold, r.fold AS row_fold,
+               CAST(round((r.y_c - (m.ybar - m.b * m.xbar) - m.b * r.x) / 100.0)
+                    AS BIGINT) AS r_d
+        FROM rows_x r CROSS JOIN models m
+    ),
+    evald AS (
+        SELECT model_fold AS fold,
+               CAST(sum(CASE WHEN row_fold = model_fold THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_test,
+               CAST(sum(CASE WHEN row_fold = model_fold THEN r_d * r_d ELSE 0 END)
+                    AS BIGINT) AS sse_test,
+               CAST(sum(CASE WHEN row_fold <> model_fold THEN r_d * r_d ELSE 0 END)
+                    AS BIGINT) AS sse_train
+        FROM scored GROUP BY model_fold
+    )
+    SELECT e.fold, m.n_train, e.n_test,
+           round(m.b, 6) AS beta_cents_per_day,
+           round((m.ybar - m.b * m.xbar) / 100.0, 4) AS intercept_dollars,
+           round(sqrt(CAST(e.sse_train AS DOUBLE) / m.n_train), 4)
+               AS train_rmse_dollars,
+           round(sqrt(CAST(e.sse_test AS DOUBLE) / e.n_test), 4)
+               AS test_rmse_dollars,
+           round(sqrt(CAST(e.sse_test AS DOUBLE) / e.n_test)
+                 - sqrt(CAST(e.sse_train AS DOUBLE) / m.n_train), 4)
+               AS generalization_gap
+    FROM evald e JOIN models m ON e.fold = m.fold
+    ORDER BY e.fold
+    """,
+)
+def q302_kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validation of the OLS price trend WITHOUT
+    retraining — the q288 subtractable-moment trick turned into a
+    model-selection harness: per-fold integer moment cells subtract
+    from the totals to give each leave-fold-out model in closed form
+    (train = total − fold, zero extra scans), then ONE 5-way
+    broadcast fan-out scores every row against every model for
+    train/test RMSE and the generalization gap. The gap is the
+    overfitting readout a feature pipeline checks before shipping a
+    scorer (q134/q229's operating points assume it was checked).
+
+    Scale: moments are integer-exact map-side cells (x = days from a
+    baseline, y = cents; products bounded — at true 100 TB row
+    counts promote the moment sums to decimal(38)); residuals are
+    quantized to whole dollars per ROW and summed as integers, so
+    every readout is engine-order-exact. The scoring pass is a
+    |folds|-row broadcast against one scan — no shuffle grows with
+    the model count.
+    """
+    o = load(spark, sf_dir, "orders")
+    rows_x = o.select(
+        (F.col("o_orderkey") % 5).alias("fold"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("y_c"),
+    )
+    fm = rows_x.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y_c").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y_c")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    tm = fm.agg(
+        F.sum("n").cast("long").alias("tn"),
+        F.sum("sx").cast("long").alias("tsx"),
+        F.sum("sy").cast("long").alias("tsy"),
+        F.sum("sxy").cast("long").alias("tsxy"),
+        F.sum("sxx").cast("long").alias("tsxx"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    models = fm.crossJoin(F.broadcast(tm)).select(
+        "fold",
+        (F.col("tn") - F.col("n")).cast("long").alias("n_train"),
+        (
+            (
+                d(F.col("tn") - F.col("n")) * d(F.col("tsxy") - F.col("sxy"))
+                - d(F.col("tsx") - F.col("sx")) * d(F.col("tsy") - F.col("sy"))
+            )
+            / (
+                d(F.col("tn") - F.col("n")) * d(F.col("tsxx") - F.col("sxx"))
+                - d(F.col("tsx") - F.col("sx")) * d(F.col("tsx") - F.col("sx"))
+            )
+        ).alias("b"),
+        (d(F.col("tsy") - F.col("sy")) / d(F.col("tn") - F.col("n"))).alias("ybar"),
+        (d(F.col("tsx") - F.col("sx")) / d(F.col("tn") - F.col("n"))).alias("xbar"),
+    )
+    scored = rows_x.crossJoin(
+        F.broadcast(models.withColumnRenamed("fold", "model_fold"))
+    ).select(
+        F.col("fold").alias("row_fold"),
+        "model_fold",
+        F.round(
+            (
+                F.col("y_c")
+                - (F.col("ybar") - F.col("b") * F.col("xbar"))
+                - F.col("b") * F.col("x")
+            )
+            / 100.0,
+            0,
+        )
+        .cast("long")
+        .alias("r_d"),
+    )
+    evald = scored.groupBy(F.col("model_fold").alias("fold")).agg(
+        F.sum(F.when(F.col("row_fold") == F.col("model_fold"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+        F.sum(
+            F.when(
+                F.col("row_fold") == F.col("model_fold"),
+                F.col("r_d") * F.col("r_d"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("sse_test"),
+        F.sum(
+            F.when(
+                F.col("row_fold") != F.col("model_fold"),
+                F.col("r_d") * F.col("r_d"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("sse_train"),
+    )
+    train_rmse = F.sqrt(F.col("sse_train").cast("double") / F.col("n_train"))
+    test_rmse = F.sqrt(F.col("sse_test").cast("double") / F.col("n_test"))
+    return (
+        evald.join(F.broadcast(models), "fold")
+        .select(
+            "fold",
+            "n_train",
+            "n_test",
+            F.round("b", 6).alias("beta_cents_per_day"),
+            F.round((F.col("ybar") - F.col("b") * F.col("xbar")) / 100.0, 4).alias(
+                "intercept_dollars"
+            ),
+            F.round(train_rmse, 4).alias("train_rmse_dollars"),
+            F.round(test_rmse, 4).alias("test_rmse_dollars"),
+            F.round(test_rmse - train_rmse, 4).alias("generalization_gap"),
+        )
+        .orderBy("fold")
+    )

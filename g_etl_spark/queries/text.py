@@ -3197,3 +3197,278 @@ def q298_encoding_artifact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q300_naive_bayes_langid",
+    oracle=f"""
+    WITH labeled AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS actual,
+               CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS is_test,
+               {_TOKS} AS toks
+        FROM documents
+    ),
+    train_tok AS (
+        SELECT unnest(toks) AS token, actual FROM labeled WHERE is_test = 0
+    ),
+    counts AS (
+        SELECT token,
+               CAST(sum(CASE WHEN actual = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_en,
+               CAST(sum(CASE WHEN actual = 'other' THEN 1 ELSE 0 END) AS BIGINT) AS c_ot
+        FROM train_tok GROUP BY token
+    ),
+    tot AS (
+        SELECT CAST(sum(c_en) AS BIGINT) AS n_en,
+               CAST(sum(c_ot) AS BIGINT) AS n_ot,
+               CAST(count(*) AS BIGINT) AS v
+        FROM counts
+    ),
+    lp AS (
+        SELECT token,
+               CAST(round(ln(CAST(c_en + 1 AS DOUBLE) / CAST(n_en + v AS DOUBLE)) * 1000000) AS BIGINT) AS q_en,
+               CAST(round(ln(CAST(c_ot + 1 AS DOUBLE) / CAST(n_ot + v AS DOUBLE)) * 1000000) AS BIGINT) AS q_ot
+        FROM counts CROSS JOIN tot
+    ),
+    prior AS (
+        SELECT CAST(round(ln(CAST(sum(CASE WHEN actual = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+                             / count(*)) * 1000000) AS BIGINT) AS p_en,
+               CAST(round(ln(CAST(sum(CASE WHEN actual = 'other' THEN 1 ELSE 0 END) AS DOUBLE)
+                             / count(*)) * 1000000) AS BIGINT) AS p_ot
+        FROM labeled WHERE is_test = 0
+    ),
+    defaults AS (
+        SELECT CAST(round(ln(1.0 / CAST(n_en + v AS DOUBLE)) * 1000000) AS BIGINT) AS d_en,
+               CAST(round(ln(1.0 / CAST(n_ot + v AS DOUBLE)) * 1000000) AS BIGINT) AS d_ot
+        FROM tot
+    ),
+    test_tok AS (
+        SELECT doc_id, actual, unnest(toks) AS token
+        FROM labeled WHERE is_test = 1
+    ),
+    scored AS (
+        SELECT t.doc_id, t.actual,
+               CAST(sum(coalesce(lp.q_en, defaults.d_en)) AS BIGINT) AS s_en,
+               CAST(sum(coalesce(lp.q_ot, defaults.d_ot)) AS BIGINT) AS s_ot
+        FROM test_tok t
+        LEFT JOIN lp ON t.token = lp.token
+        CROSS JOIN defaults
+        GROUP BY t.doc_id, t.actual
+    ),
+    pred AS (
+        SELECT actual,
+               CASE WHEN s_en + prior.p_en >= s_ot + prior.p_ot
+                    THEN 'en' ELSE 'other' END AS predicted
+        FROM scored CROSS JOIN prior
+    ),
+    conf AS (
+        SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n_docs
+        FROM pred GROUP BY actual, predicted
+    ),
+    acc AS (
+        SELECT round(CAST(sum(CASE WHEN actual = predicted THEN n_docs ELSE 0 END) AS DOUBLE)
+                     / sum(n_docs), 6) AS accuracy
+        FROM conf
+    )
+    SELECT conf.actual, conf.predicted, conf.n_docs, acc.accuracy
+    FROM conf CROSS JOIN acc
+    ORDER BY actual, predicted
+    """,
+)
+def q300_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained AND
+    evaluated in one plan — the classic fastText-style corpus router
+    (q41's n-gram langid is a fixed heuristic; this LEARNS token
+    likelihoods from a labeled split): Laplace-smoothed per-class
+    token log-probabilities from the 80% train split (doc_id%5!=0),
+    log-posterior argmax on the held-out 20%, confusion matrix +
+    accuracy out. The synthetic corpus draws every language from one
+    shared ~31-token vocabulary, so the learnable signal is weak and
+    accuracy sits near the class prior — the q177 convention: the
+    train/score/eval HARNESS is the deliverable, not this corpus's
+    verdict. Log-probabilities are QUANTIZED to integer
+    micro-nats before the per-document sum, so the reduction is
+    exact integer arithmetic — engine-order-independent (the q134/
+    q229 rounded-score discipline) — and OOV test tokens fall back
+    to the Laplace floor ln(1/(N_c+V)) via left-join coalesce.
+
+    Scale: training is ONE combining agg over exploded train tokens
+    (|vocab| rows out); scoring joins test tokens to the vocab
+    relation — broadcast here, a plain hash equi-join at 100 TB —
+    then one combining agg per doc. No window, no driver loop; the
+    model lives in a relation, never on the driver.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    labeled = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", "en").otherwise("other").alias("actual"),
+        (F.col("doc_id") % 5 == 0).alias("is_test"),
+        toks.alias("toks"),
+    )
+    train_tok = labeled.filter(~F.col("is_test")).select(
+        F.explode("toks").alias("token"), "actual"
+    )
+    counts = train_tok.groupBy("token").agg(
+        F.sum(F.when(F.col("actual") == "en", 1).otherwise(0)).cast("long").alias("c_en"),
+        F.sum(F.when(F.col("actual") == "other", 1).otherwise(0))
+        .cast("long")
+        .alias("c_ot"),
+    )
+    tot = counts.agg(
+        F.sum("c_en").cast("long").alias("n_en"),
+        F.sum("c_ot").cast("long").alias("n_ot"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    q = lambda col: F.round(col * 1000000.0, 0).cast("long")  # noqa: E731
+    lp = counts.crossJoin(F.broadcast(tot)).select(
+        "token",
+        q(
+            F.log(
+                (F.col("c_en") + 1).cast("double") / (F.col("n_en") + F.col("v")).cast("double")
+            )
+        ).alias("q_en"),
+        q(
+            F.log(
+                (F.col("c_ot") + 1).cast("double") / (F.col("n_ot") + F.col("v")).cast("double")
+            )
+        ).alias("q_ot"),
+    )
+    prior = labeled.filter(~F.col("is_test")).agg(
+        q(
+            F.log(
+                F.sum(F.when(F.col("actual") == "en", 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("p_en"),
+        q(
+            F.log(
+                F.sum(F.when(F.col("actual") == "other", 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("p_ot"),
+    )
+    defaults = tot.select(
+        q(F.log(F.lit(1.0) / (F.col("n_en") + F.col("v")).cast("double"))).alias("d_en"),
+        q(F.log(F.lit(1.0) / (F.col("n_ot") + F.col("v")).cast("double"))).alias("d_ot"),
+    )
+    test_tok = labeled.filter(F.col("is_test")).select(
+        "doc_id", "actual", F.explode("toks").alias("token")
+    )
+    scored = (
+        test_tok.join(F.broadcast(lp), "token", "left")
+        .crossJoin(F.broadcast(defaults))
+        .groupBy("doc_id", "actual")
+        .agg(
+            F.sum(F.coalesce(F.col("q_en"), F.col("d_en"))).cast("long").alias("s_en"),
+            F.sum(F.coalesce(F.col("q_ot"), F.col("d_ot"))).cast("long").alias("s_ot"),
+        )
+    )
+    pred = scored.crossJoin(F.broadcast(prior)).select(
+        "actual",
+        F.when(
+            F.col("s_en") + F.col("p_en") >= F.col("s_ot") + F.col("p_ot"), "en"
+        )
+        .otherwise("other")
+        .alias("predicted"),
+    )
+    conf = pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    acc = conf.agg(
+        F.round(
+            F.sum(
+                F.when(F.col("actual") == F.col("predicted"), F.col("n_docs")).otherwise(
+                    0
+                )
+            ).cast("double")
+            / F.sum("n_docs"),
+            6,
+        ).alias("accuracy")
+    )
+    return conf.crossJoin(F.broadcast(acc)).orderBy("actual", "predicted")
+
+
+@register(
+    "q303_cohens_kappa_agreement",
+    oracle=f"""
+    WITH labels AS (
+        SELECT CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS a,
+               CASE WHEN CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                         / len({_TOKS}) <= 0.46 THEN 1 ELSE 0 END AS b
+        FROM documents
+    ),
+    conf AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a * b) AS BIGINT) AS n11,
+               CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+               CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+               CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+        FROM labels
+    )
+    SELECT n, n11, n10, n01, n00,
+           round(CAST(n11 + n00 AS DOUBLE) / n, 6) AS p_observed,
+           round((CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                  + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                 / (CAST(n AS DOUBLE) * n), 6) AS p_expected,
+           round((CAST(n11 + n00 AS DOUBLE) / n
+                  - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                     + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                    / (CAST(n AS DOUBLE) * n))
+                 / (1.0 - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                           + CAST(n01 + n00 AS DOUBLE) * (n10 + n00))
+                          / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+    FROM conf
+    """,
+)
+def q303_cohens_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement between two document
+    quality labelers — the labeling-pipeline QA gate (RLHF/eval
+    labels are only as good as rater agreement; kappa corrects raw
+    agreement for the agreement two biased raters get by CHANCE).
+    Rater A: length heuristic (n_chars >= 300). Rater B: lexical
+    redundancy (type-token ratio <= 0.46 — long docs in a closed
+    vocabulary repeat tokens, so the raters correlate without
+    coinciding). kappa = (p_o − p_e)/(1 − p_e) from the exact 2x2
+    integer confusion; <0.2 slight ... >0.8 near-perfect (Landis &
+    Koch). q229's operating-point sweep evaluates ONE labeler against
+    truth; this evaluates two labelers against each other when no
+    truth exists — the usual corpus situation.
+
+    Scale: two map-side boolean labels, ONE combining agg to a single
+    2x2 cell row, closed-form arithmetic after. The per-doc TTR is
+    array math in whole-stage codegen — no explode, no shuffle at
+    all (the plan is scan → project → agg).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    labels = d.select(
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("a"),
+        F.when(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks) <= 0.46, 1
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    conf = labels.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
+    )
+    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n")
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double") * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")).cast("double") * (F.col("n10") + F.col("n00"))
+    ) / (F.col("n").cast("double") * F.col("n"))
+    return conf.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )
