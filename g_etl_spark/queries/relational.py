@@ -6360,3 +6360,94 @@ def q302_kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+_FD_CANDIDATES = [
+    # (fd label, table, lhs col, rhs col)
+    ("documents.source->lang", "documents", "source", "lang"),
+    ("documents.lang->source", "documents", "lang", "source"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+    ("customer.c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment"),
+    ("nation.n_nationkey->n_name", "nation", "n_nationkey", "n_name"),
+]
+
+
+def _fd_oracle_block(label: str, table: str, lhs: str, rhs: str) -> str:
+    return f"""
+    SELECT '{label}' AS fd,
+           CAST(count(*) AS BIGINT) AS n_lhs_groups,
+           CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_groups,
+           CAST(sum(tot) AS BIGINT) AS n_rows,
+           CAST(sum(tot - mx) AS BIGINT) AS g3_rows_to_remove,
+           round(CAST(sum(tot - mx) AS DOUBLE) / sum(tot), 6) AS violation_rate,
+           sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+    FROM (
+        SELECT {lhs} AS l, count(DISTINCT {rhs}) AS n_rhs,
+               sum(cnt) AS tot, max(cnt) AS mx
+        FROM (
+            SELECT {lhs}, {rhs}, count(*) AS cnt
+            FROM {table} GROUP BY {lhs}, {rhs}
+        ) GROUP BY {lhs}
+    )"""
+
+
+@register(
+    "q304_fd_violation_audit",
+    oracle=" UNION ALL ".join(
+        _fd_oracle_block(*fd) for fd in _FD_CANDIDATES
+    )
+    + " ORDER BY fd",
+)
+def q304_fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency violation audit — the data-quality rule
+    class q247's Deequ suite doesn't cover (column CONSTRAINTS vs
+    cross-column DEPENDENCIES): for each declared candidate FD X→Y,
+    count the X-groups whose Y is not unique, and price the repair
+    with the classic g3 measure (Kivinen–Mannila: the minimum number
+    of rows to DELETE so the FD holds = Σ_groups (group size − modal
+    Y count)). fd_holds=true certifies the dependency; a small g3
+    says "dirty but repairable"; a large one says the assumed
+    dependency is simply false (schema-design feedback). Candidates
+    here span held (nation→segment style) and deliberately-false
+    (custkey→priority) dependencies so both verdicts appear.
+
+    Scale: per FD, ONE combining (X, Y) count followed by an X
+    rollup — never wider than |distinct X×Y|; the per-group max
+    needs no window (max of counts inside the second agg). FDs
+    audit independently (a union of bounded rollups), so a 100 TB
+    audit runs all candidates in one pass per table with
+    multi-aggregate pushdown.
+    """
+    fd_wait = []
+    for label, table, lhs, rhs in _FD_CANDIDATES:
+        t = load(spark, sf_dir, table)
+        pairs = t.groupBy(F.col(lhs).alias("l"), F.col(rhs).alias("r")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        per_lhs = pairs.groupBy("l").agg(
+            F.countDistinct("r").alias("n_rhs"),
+            F.sum("cnt").alias("tot"),
+            F.max("cnt").alias("mx"),
+        )
+        viol = F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+        fd_wait.append(
+            per_lhs.agg(
+                F.lit(label).alias("fd"),
+                F.count(F.lit(1)).cast("long").alias("n_lhs_groups"),
+                viol.cast("long").alias("n_violating_groups"),
+                F.sum("tot").cast("long").alias("n_rows"),
+                F.sum(F.col("tot") - F.col("mx")).cast("long").alias(
+                    "g3_rows_to_remove"
+                ),
+                F.round(
+                    F.sum(F.col("tot") - F.col("mx")).cast("double") / F.sum("tot"),
+                    6,
+                ).alias("violation_rate"),
+                (viol == 0).alias("fd_holds"),
+            )
+        )
+    out = fd_wait[0]
+    for nxt in fd_wait[1:]:
+        out = out.unionByName(nxt)
+    return out.orderBy("fd")

@@ -1686,3 +1686,132 @@ def q269_embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def _q305_oracle() -> str:
+    """q305 oracle: q54's planted corpus, SRP-bucketed (literal
+    hyperplanes), per-vector top-1 neighbor WITHIN bucket, mutual
+    pairs kept."""
+    bucket = _srp_bucket_sql(8, 64, col="ve")
+    cos = (
+        "list_aggregate(list_transform(range(1, 65), i -> a.ve[i] * b.ve[i]),"
+        " 'sum') / (a.nrm * b.nrm)"
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings
+    ),
+    corpus AS (
+        SELECT vec_id, ve FROM base
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_transform(range(1, 65),
+                              i -> CASE WHEN i <= 4 THEN ve[i] * 1.5 ELSE ve[i] END)
+        FROM base
+    ),
+    n AS (
+        SELECT vec_id, ve,
+               sqrt(list_aggregate(list_transform(ve, x -> x * x), 'sum')) AS nrm,
+               {bucket} AS bucket
+        FROM corpus
+    ),
+    cand AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst, {cos} AS cosine,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {cos} DESC, b.vec_id ASC) AS rn
+        FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    nn AS (SELECT src, dst, cosine FROM cand WHERE rn = 1)
+    SELECT x.src AS id_a, x.dst AS id_b, round(x.cosine, 4) AS cosine
+    FROM nn x JOIN nn y ON x.dst = y.src AND y.dst = x.src AND x.src < y.src
+    ORDER BY id_a, id_b
+    """
+
+
+@register("q305_mutual_nearest_neighbors", oracle=_q305_oracle())
+def q305_mutual_nearest_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-nearest-neighbor (MNN) pairs over the planted embedding
+    corpus — the alignment primitive behind cross-lingual embedding
+    matching and batch-effect correction (two points are aligned only
+    if each is the OTHER's top-1 neighbor; one-directional top-k, the
+    q61 shape, keeps hub vectors that match everything): SRP-bucket
+    the q54 corpus, take each vector's best same-bucket neighbor
+    (cosine desc, id asc tiebreak — the argmax window is PARTITIONED
+    by source vector), keep symmetric pairs. The planted twins are
+    mutual by construction, so recall is measured against q54's
+    baseline in tests; hub-induced one-way matches drop out.
+
+    Scale: candidates are the bucket equi-join (Σ bucket², the q295
+    path, never corpus²); the top-1 is a bucket-partitioned window;
+    mutuality is a self equi-join on the |corpus|-row nn relation —
+    three shuffles, all key-bounded. Multi-probe (several plane
+    seeds) raises recall at constant asymptotics.
+    """
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    pert = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.when(i <= 4, F.get(ve, i - 1) * 1.5).otherwise(F.get(ve, i - 1)),
+        ).alias("embedding"),
+    )
+    corpus = e.select("vec_id", ve.alias("embedding")).unionByName(pert)
+    planes = S.random_hyperplanes(8, 64)
+    n = corpus.select(
+        "vec_id",
+        F.col("embedding").alias("ve"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("embedding"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("nrm"),
+        S.srp_bucket(F.col("embedding"), planes).alias("bucket"),
+    ).localCheckpoint(eager=True)
+    a = n.select(
+        F.col("vec_id").alias("src"),
+        F.col("ve").alias("va"),
+        F.col("nrm").alias("na"),
+        "bucket",
+    )
+    b = n.select(
+        F.col("vec_id").alias("dst"),
+        F.col("ve").alias("vb"),
+        F.col("nrm").alias("nb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = a.join(
+        b, (F.col("bucket") == F.col("bucket_b")) & (F.col("src") != F.col("dst"))
+    ).select("src", "dst", (dot / (F.col("na") * F.col("nb"))).alias("cosine"))
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    nn = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("src", "dst", "cosine")
+    )
+    y = nn.select(
+        F.col("src").alias("ysrc"), F.col("dst").alias("ydst")
+    )
+    return (
+        nn.join(
+            y,
+            (F.col("dst") == F.col("ysrc"))
+            & (F.col("ydst") == F.col("src"))
+            & (F.col("src") < F.col("ysrc")),
+        )
+        .select(
+            F.col("src").alias("id_a"),
+            F.col("dst").alias("id_b"),
+            F.round("cosine", 4).alias("cosine"),
+        )
+        .orderBy("id_a", "id_b")
+    )

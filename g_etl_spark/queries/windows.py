@@ -5200,3 +5200,120 @@ def q291_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sqrt("vr") - F.col("mu")) / (F.sqrt("vr") + F.col("mu")), 6
         ).alias("burstiness"),
     ).orderBy("event_type")
+
+
+_LB_CRIT = {  # chi-square 0.95 quantiles, df = 1..7
+    1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070, 6: 12.592, 7: 14.067,
+}
+
+
+@register(
+    "q306_ljung_box_residual_acf",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS di,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS DOUBLE) / count(*) AS mu
+        FROM daily
+    ),
+    dev AS (
+        SELECT di, CAST(round((cents - m.mu) / 100.0) AS BIGINT) AS d
+        FROM daily CROSS JOIN m
+    ),
+    ss AS (SELECT CAST(sum(d * d) AS BIGINT) AS s2 FROM dev),
+    lags AS (
+        SELECT k.k,
+               CAST(sum(a.d * b.d) AS BIGINT) AS sk
+        FROM (SELECT unnest(range(1, 8)) AS k) k
+        JOIN dev a ON TRUE
+        JOIN dev b ON b.di = a.di + k.k
+        GROUP BY k.k
+    ),
+    rho AS (
+        SELECT k, CAST(sk AS DOUBLE) / ss.s2 AS r
+        FROM lags CROSS JOIN ss
+    ),
+    q AS (
+        SELECT rho.k, rho.r,
+               m.n * (m.n + 2)
+               * sum(rho.r * rho.r / (m.n - rho.k))
+                 OVER (ORDER BY rho.k ROWS UNBOUNDED PRECEDING) AS q_stat
+        FROM rho CROSS JOIN m
+    )
+    SELECT k, round(r, 6) AS rho,
+           round(q_stat, 4) AS q_stat,
+           CASE k {' '.join(f"WHEN {k} THEN {v}" for k, v in _LB_CRIT.items())}
+           END AS chi2_crit_95,
+           q_stat > CASE k {' '.join(f"WHEN {k} THEN {v}" for k, v in _LB_CRIT.items())}
+                    END AS autocorrelated
+    FROM q ORDER BY k
+    """,
+)
+def q306_ljung_box_residual_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on the daily-revenue residuals —
+    the forecast-diagnostics closure the family lacked: q176 shows
+    the ACF, q190/q226 score point/quantile forecasts, but nothing
+    TESTED whether residual autocorrelation is jointly significant
+    (i.e. whether a forecaster left structure on the table).
+    Q(h) = n(n+2) Σ_{{k≤h}} ρ̂²_k/(n−k) against the χ²_h 0.95
+    critical value, for h = 1..7 over the mean-centered daily totals.
+    Deviations are quantized to integer dollars before the lag
+    products (the q177 cent-quantize discipline), so every ρ̂_k is a
+    ratio of exact integers — engine-order-independent.
+
+    Scale: the corpus collapses to |days| integer cells in one
+    combining agg; the 7 lag products are an equi-join of that
+    bounded relation against itself shifted by a broadcast 7-row lag
+    set; the cumulative Q runs on a 7-row relation (the q243
+    bounded-window contract). Nothing corpus-sized ever sorts.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("di")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).cast("long").alias("cents"))
+    m = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("cents").cast("double") / F.count(F.lit(1))).alias("mu"),
+    )
+    dev = daily.crossJoin(F.broadcast(m)).select(
+        "di",
+        F.round((F.col("cents") - F.col("mu")) / 100.0, 0).cast("long").alias("d"),
+    )
+    ss = dev.agg(F.sum(F.col("d") * F.col("d")).cast("long").alias("s2"))
+    ks = daily.sparkSession.range(1, 8).select(F.col("id").cast("long").alias("k"))
+    a = dev.crossJoin(F.broadcast(ks))
+    b = dev.select(F.col("di").alias("dib"), F.col("d").alias("db"))
+    lags = (
+        a.join(b, F.col("dib") == F.col("di") + F.col("k"))
+        .groupBy("k")
+        .agg(F.sum(F.col("d") * F.col("db")).cast("long").alias("sk"))
+    )
+    rho = lags.crossJoin(F.broadcast(ss)).select(
+        "k", (F.col("sk").cast("double") / F.col("s2")).alias("r")
+    )
+    wq = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    crit = F.create_map(
+        *[F.lit(x) for kv in _LB_CRIT.items() for x in kv]
+    )[F.col("k").cast("int")]
+    q = rho.crossJoin(F.broadcast(m)).select(
+        "k",
+        "r",
+        (
+            F.col("n")
+            * (F.col("n") + 2)
+            * F.sum(F.col("r") * F.col("r") / (F.col("n") - F.col("k"))).over(wq)
+        ).alias("q_stat"),
+    )
+    return q.select(
+        "k",
+        F.round("r", 6).alias("rho"),
+        F.round("q_stat", 4).alias("q_stat"),
+        crit.alias("chi2_crit_95"),
+        (F.col("q_stat") > crit).alias("autocorrelated"),
+    ).orderBy("k")

@@ -3058,3 +3058,59 @@ def test_q303_kappa_bounds_and_cells(spark, qs):
     assert 0.0 <= r["p_observed"] <= 1.0 and 0.0 < r["p_expected"] < 1.0
     assert r["kappa"] <= 1.0
     assert r["kappa"] > 0.0
+
+
+def test_q304_fd_audit_verdicts_and_g3(spark, qs):
+    """FD audit invariants: the key FD must HOLD with g3 = 0, the
+    deliberately-false FDs must be violated with positive repair
+    cost, and g3 < n_rows always (removing all rows is never the
+    minimum repair)."""
+    rows = {r["fd"]: r for r in qs["q304_fd_violation_audit"](spark, SF_DIR).collect()}
+    held = rows["nation.n_nationkey->n_name"]
+    assert held["fd_holds"] and held["g3_rows_to_remove"] == 0
+    assert held["violation_rate"] == 0.0
+    broken = rows["documents.lang->source"]
+    assert not broken["fd_holds"]
+    assert 0 < broken["g3_rows_to_remove"] < broken["n_rows"]
+    for r in rows.values():
+        assert r["n_violating_groups"] <= r["n_lhs_groups"]
+        assert 0.0 <= r["violation_rate"] < 1.0
+
+
+def test_q305_mnn_pairs_mutual_and_recover_twins(spark, qs):
+    """MNN invariants: the pair set must be a subset of the planted
+    twin pairs' neighborhood structure — every planted twin that
+    shares a bucket is mutual by construction, so recall vs the q54
+    baseline stays >= the q295 bucket-recall floor; and no vector may
+    appear in two pairs (top-1 is unique per vector)."""
+    rows = qs["q305_mutual_nearest_neighbors"](spark, SF_DIR).collect()
+    seen = set()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        for v in (r["id_a"], r["id_b"]):
+            assert v not in seen  # each vector in at most one mutual pair
+            seen.add(v)
+    base = set(
+        map(
+            tuple,
+            qs["q54_embedding_dedup"](spark, SF_DIR)
+            .select("id_a", "id_b")
+            .collect(),
+        )
+    )
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert len(got & base) >= 0.6 * len(base)
+
+
+def test_q306_ljung_box_shape(spark, qs):
+    """Ljung-Box invariants: rho in [-1, 1], Q strictly increasing in
+    h (each term is positive), and the critical values are the fixed
+    chi-square literals."""
+    rows = sorted(qs["q306_ljung_box_residual_acf"](spark, SF_DIR).collect(), key=lambda r: r["k"])
+    assert len(rows) == 7
+    prev = 0.0
+    for r in rows:
+        assert -1.0 <= r["rho"] <= 1.0
+        assert r["q_stat"] >= prev
+        prev = r["q_stat"]
+    assert rows[0]["chi2_crit_95"] == 3.841 and rows[6]["chi2_crit_95"] == 14.067
