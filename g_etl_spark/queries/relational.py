@@ -6451,3 +6451,163 @@ def q304_fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for nxt in fd_wait[1:]:
         out = out.unionByName(nxt)
     return out.orderBy("fd")
+
+
+# Abramowitz & Stegun 7.1.26 erfc polynomial — literal constants in
+# BOTH engines so the normal tail is portable (no erf built-in in
+# either SQL dialect); |error| < 1.5e-7, absorbed by the p-value
+# rounding below.
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+_SQRT2 = 1.4142135623730951
+
+
+def _ptail_sql(zcol: str) -> str:
+    """Two-sided normal p-value 2(1-Phi(|z|)) = erfc(|z|/sqrt(2))."""
+    x = f"(abs({zcol}) / {_SQRT2})"
+    t = f"(1.0 / (1.0 + {_AS_P} * {x}))"
+    poly = " + ".join(f"({a}) * pow({t}, {i + 1})" for i, a in enumerate(_AS_A))
+    return f"(({poly}) * exp(-({x}) * ({x})))"
+
+
+@register(
+    "q308_bh_fdr_correction",
+    oracle=f"""
+    WITH base AS (
+        SELECT o.o_orderpriority AS priority, c.c_mktsegment AS segment,
+               o.o_orderkey % 2 AS t,
+               CAST(round(o.o_totalprice) AS BIGINT) AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cells AS (
+        SELECT priority, segment,
+               CAST(sum(t) AS BIGINT) AS n1,
+               CAST(sum(1 - t) AS BIGINT) AS n0,
+               CAST(sum(t * y) AS BIGINT) AS s1,
+               CAST(sum((1 - t) * y) AS BIGINT) AS s0,
+               CAST(sum(t * y * y) AS BIGINT) AS ss1,
+               CAST(sum((1 - t) * y * y) AS BIGINT) AS ss0
+        FROM base GROUP BY priority, segment
+    ),
+    zs AS (
+        SELECT priority, segment, n1, n0,
+               (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+               / sqrt((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+                      / (n1 - 1) / n1
+                      + (CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0 / n0)
+                        / (n0 - 1) / n0) AS z
+        FROM cells
+    ),
+    ps AS (
+        SELECT priority, segment, n1, n0, z,
+               round({_ptail_sql("z")}, 8) AS p
+        FROM zs
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                   ORDER BY p ASC, priority ASC, segment ASC) AS rank,
+               CAST(count(*) OVER () AS BIGINT) AS m
+        FROM ps
+    ),
+    kmax AS (
+        SELECT coalesce(max(CASE WHEN p <= round(rank * 0.05 / m, 8)
+                                 THEN rank END), 0) AS k
+        FROM ranked
+    )
+    SELECT priority, segment, n1 AS n_treat, n0 AS n_control,
+           round(z, 4) AS z_stat, p AS p_value,
+           CAST(rank AS BIGINT) AS p_rank,
+           round(rank * 0.05 / m, 8) AS bh_cutoff,
+           rank <= kmax.k AS rejected_bh,
+           p <= 0.05 AS rejected_naive
+    FROM ranked CROSS JOIN kmax
+    ORDER BY priority, segment
+    """,
+)
+def q308_bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate correction across a
+    FAMILY of A/B readouts — the multiple-testing closure of the
+    experimentation stack (q150 runs ONE z-test; a real experiment
+    readout slices by segment×priority and runs 25, where naive
+    α=0.05 thresholding expects ~1 false positive): Welch z per
+    (priority, segment) cell from integer-dollar moments, two-sided
+    p-values via the portable A&S erfc polynomial (literal
+    constants in both engines — neither SQL dialect ships erf),
+    step-up BH at q=0.05. On this effect-free synthetic data the BH
+    set is empty while naive thresholding fires on chance — the
+    correction visibly working. All BH comparisons run on p-values
+    ROUNDED to 8 decimals, so the accept/reject boundary is
+    engine-exact (the q300 quantize discipline).
+
+    Scale: one broadcast dim join, ONE combining agg to 25 moment
+    cells, closed-form z/p per cell, and the BH rank runs on the
+    bounded test relation (25 rows — the q243 bounded-window
+    contract). The 100 TB cost is the scan, not the statistics.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    base = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == c.c_custkey,
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_orderkey") % 2).alias("t"),
+        F.round(F.col("o_totalprice"), 0).cast("long").alias("y"),
+    )
+    cells = base.groupBy("priority", "segment").agg(
+        F.sum("t").cast("long").alias("n1"),
+        F.sum(1 - F.col("t")).cast("long").alias("n0"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("s1"),
+        F.sum((1 - F.col("t")) * F.col("y")).cast("long").alias("s0"),
+        F.sum(F.col("t") * F.col("y") * F.col("y")).cast("long").alias("ss1"),
+        F.sum((1 - F.col("t")) * F.col("y") * F.col("y")).cast("long").alias("ss0"),
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    z = (
+        (d("s1") / F.col("n1") - d("s0") / F.col("n0"))
+        / F.sqrt(
+            (d("ss1") - d("s1") * F.col("s1") / F.col("n1"))
+            / (F.col("n1") - 1)
+            / F.col("n1")
+            + (d("ss0") - d("s0") * F.col("s0") / F.col("n0"))
+            / (F.col("n0") - 1)
+            / F.col("n0")
+        )
+    )
+    ps = cells.withColumn("z", z).select(
+        "priority", "segment", "n1", "n0", "z"
+    ).withColumn("p", F.round(F.expr(_ptail_sql("z")), 8))
+    wr = Window.orderBy(F.asc("p"), F.asc("priority"), F.asc("segment"))
+    ranked = ps.select(
+        "*",
+        F.row_number().over(wr).alias("rank"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("m"),
+    )
+    kmax = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p") <= F.round(F.col("rank") * 0.05 / F.col("m"), 8),
+                    F.col("rank"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kmax))
+        .select(
+            "priority",
+            "segment",
+            F.col("n1").alias("n_treat"),
+            F.col("n0").alias("n_control"),
+            F.round("z", 4).alias("z_stat"),
+            F.col("p").alias("p_value"),
+            F.col("rank").cast("long").alias("p_rank"),
+            F.round(F.col("rank") * 0.05 / F.col("m"), 8).alias("bh_cutoff"),
+            (F.col("rank") <= F.col("k")).alias("rejected_bh"),
+            (F.col("p") <= 0.05).alias("rejected_naive"),
+        )
+        .orderBy("priority", "segment")
+    )

@@ -5317,3 +5317,104 @@ def q306_ljung_box_residual_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         crit.alias("chi2_crit_95"),
         (F.col("q_stat") > crit).alias("autocorrelated"),
     ).orderBy("k")
+
+
+_INV_INIT = 50   # opening stock per part
+_INV_CAP = 100   # warehouse capacity clamp
+
+
+@register(
+    "q307_clamped_inventory_scan",
+    oracle=f"""
+    WITH RECURSIVE deltas AS (
+        SELECT l_partkey AS pk,
+               row_number() OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ) AS rn,
+               CAST(CASE WHEN l_returnflag = 'R' THEN round(l_quantity)
+                         ELSE -round(l_quantity) END AS BIGINT) AS delta
+        FROM lineitem
+    ),
+    counts AS (SELECT pk, max(rn) AS mx FROM deltas GROUP BY pk),
+    walk(pk, rn, bal, st, ch) AS (
+        SELECT pk, CAST(0 AS BIGINT), CAST({_INV_INIT} AS BIGINT),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        FROM counts
+        UNION ALL
+        SELECT w.pk, w.rn + 1,
+               greatest(least(w.bal + s.delta, {_INV_CAP}), 0),
+               w.st + CASE WHEN w.bal + s.delta < 0 THEN 1 ELSE 0 END,
+               w.ch + CASE WHEN w.bal + s.delta > {_INV_CAP} THEN 1 ELSE 0 END
+        FROM walk w JOIN deltas s ON s.pk = w.pk AND s.rn = w.rn + 1
+    )
+    SELECT w.pk AS l_partkey, w.bal AS final_balance,
+           w.st AS n_stockouts, w.ch AS n_caphits
+    FROM walk w JOIN counts c ON w.pk = c.pk AND w.rn = c.mx
+    ORDER BY l_partkey
+    """,
+)
+def q307_clamped_inventory_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running inventory balance per part — the
+    NON-ASSOCIATIVE scan class (balance_t = clamp(balance_{{t-1}} +
+    delta_t, 0, cap)) that plain window SUM cannot express because
+    every clamp event resets the linear recurrence: returns restock
+    (+qty), shipments draw down (−qty), the balance saturates at
+    [0, cap], and stockout/cap-hit events are counted as they happen.
+    Runs as one JVM F.aggregate fold over each part's
+    shipdate-ordered delta array (the q206/q237 recurrence recipe
+    with a STRUCT accumulator), against a recursive-CTE oracle.
+
+    Scale: one shuffle groups deltas per part; each fold is local and
+    sequential — which is fine, because clamp-scan functions
+    x ↦ min(max(x+a, lo), hi) COMPOSE associatively (each composite
+    is again shift+floor+ceiling, 3 numbers), so a part whose history
+    outgrows one task splits into blocks whose composed (a, lo, hi)
+    triples combine in a tree — the parallel-scan path documented
+    here and unit-testable against this exact fold. Balances are
+    integer units; no float enters the recurrence.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    delta = F.when(
+        F.col("l_returnflag") == "R", F.round(F.col("l_quantity"), 0)
+    ).otherwise(-F.round(F.col("l_quantity"), 0)).cast("long")
+    rows = li.select(
+        F.col("l_partkey"),
+        F.struct(
+            F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber"), delta.alias("delta")
+        ).alias("s"),
+    )
+    seqs = rows.groupBy("l_partkey").agg(
+        F.sort_array(F.collect_list("s")).alias("seq")
+    )
+    init = F.expr(
+        f"named_struct('bal', CAST({_INV_INIT} AS BIGINT),"
+        " 'st', CAST(0 AS BIGINT), 'ch', CAST(0 AS BIGINT))"
+    )
+    folded = seqs.select(
+        "l_partkey",
+        F.aggregate(
+            F.col("seq"),
+            init,
+            lambda acc, x: F.struct(
+                F.greatest(
+                    F.least(acc["bal"] + x["delta"], F.lit(_INV_CAP).cast("long")),
+                    F.lit(0).cast("long"),
+                ).alias("bal"),
+                (
+                    acc["st"]
+                    + F.when(acc["bal"] + x["delta"] < 0, 1).otherwise(0)
+                ).cast("long").alias("st"),
+                (
+                    acc["ch"]
+                    + F.when(acc["bal"] + x["delta"] > _INV_CAP, 1).otherwise(0)
+                ).cast("long").alias("ch"),
+            ),
+        ).alias("f"),
+    )
+    return folded.select(
+        "l_partkey",
+        F.col("f.bal").alias("final_balance"),
+        F.col("f.st").alias("n_stockouts"),
+        F.col("f.ch").alias("n_caphits"),
+    ).orderBy("l_partkey")

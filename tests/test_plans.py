@@ -3114,3 +3114,57 @@ def test_q306_ljung_box_shape(spark, qs):
         assert r["q_stat"] >= prev
         prev = r["q_stat"]
     assert rows[0]["chi2_crit_95"] == 3.841 and rows[6]["chi2_crit_95"] == 14.067
+
+
+def test_q307_inventory_fold_matches_python_replay(spark, qs):
+    """The clamped-scan fold must equal a driver-side sequential
+    replay on sampled parts, and all balances must live in [0, cap]."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    rows = {r["l_partkey"]: r for r in qs["q307_clamped_inventory_scan"](spark, SF_DIR).collect()}
+    li = load(spark, SF_DIR, "lineitem")
+    sample = sorted(rows)[:5] + sorted(rows)[-3:]
+    hist = (
+        li.filter(F.col("l_partkey").isin([int(p) for p in sample]))
+        .select("l_partkey", "l_shipdate", "l_orderkey", "l_linenumber",
+                "l_returnflag", "l_quantity")
+        .collect()
+    )
+    by_part = {}
+    for h in hist:
+        by_part.setdefault(h["l_partkey"], []).append(h)
+    for pk in sample:
+        seq = sorted(by_part[pk], key=lambda h: (h["l_shipdate"], h["l_orderkey"], h["l_linenumber"]))
+        bal, st, ch = 50, 0, 0
+        for h in seq:
+            d = round(h["l_quantity"]) * (1 if h["l_returnflag"] == "R" else -1)
+            nb = bal + d
+            st += nb < 0
+            ch += nb > 100
+            bal = max(0, min(100, nb))
+        r = rows[pk]
+        assert (r["final_balance"], r["n_stockouts"], r["n_caphits"]) == (bal, st, ch)
+    for r in rows.values():
+        assert 0 <= r["final_balance"] <= 100
+
+
+def test_q308_bh_is_step_up_and_conservative(spark, qs):
+    """BH invariants: p-values valid, ranks are the ascending-p
+    permutation, the BH rejection set is exactly ranks <= kmax, and
+    BH never rejects what naive alpha=0.05 accepts (cutoff k*a/m <= a)."""
+    rows = sorted(qs["q308_bh_fdr_correction"](spark, SF_DIR).collect(), key=lambda r: r["p_rank"])
+    m = len(rows)
+    assert m >= 20
+    for i, r in enumerate(rows):
+        assert 0.0 <= r["p_value"] <= 1.0
+        assert r["p_rank"] == i + 1
+        if i:
+            assert r["p_value"] >= rows[i - 1]["p_value"]
+        assert abs(r["bh_cutoff"] - round((i + 1) * 0.05 / m, 8)) < 1e-12
+        if r["rejected_bh"]:
+            assert r["rejected_naive"]
+    flags = [r["rejected_bh"] for r in rows]
+    if any(flags):
+        kmax = max(i + 1 for i, f in enumerate(flags) if f)
+        assert all(flags[:kmax]) and not any(flags[kmax:])
