@@ -3552,3 +3552,222 @@ def q286_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_leak_rate"),
         F.lit(0).cast("long").alias("leaked_by_content_split"),
     )
+
+
+_SWEEP_TS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+@register(
+    "q310_dedup_threshold_sweep",
+    oracle=f"""
+    WITH half AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    corpus AS (
+        SELECT doc_id, text FROM half
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id,
+               array_to_string(toks[1:greatest(len(toks) - 3, 1)], ' ') AS text
+        FROM (SELECT doc_id, {{toks}} AS toks FROM half)
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(length(s) - 3, 1)),
+                                            i -> substr(s, i, 5))) AS g
+        FROM (SELECT doc_id, lower(trim(text)) AS s FROM corpus)
+    ),
+    pairs AS (
+        SELECT id_a, id_b, j FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+                         len(list_distinct(list_concat(a.g, b.g))), 4) AS j
+            FROM grams a JOIN grams b
+              ON a.doc_id < b.doc_id
+             AND len(a.g) >= CAST(ceil(0.5 * len(b.g)) AS BIGINT)
+             AND len(b.g) >= CAST(ceil(0.5 * len(a.g)) AS BIGINT)
+        ) WHERE j >= 0.5
+    ),
+    truth AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM half),
+    sweep AS (SELECT unnest([{", ".join(str(t) for t in _SWEEP_TS)}]) AS threshold)
+    SELECT s.threshold,
+           CAST(count(CASE WHEN p.j >= s.threshold THEN 1 END) AS BIGINT)
+               AS n_pairs,
+           CAST(count(CASE WHEN p.j >= s.threshold
+                            AND p.id_b = p.id_a + 1000000 THEN 1 END) AS BIGINT)
+               AS n_true,
+           round(CAST(count(CASE WHEN p.j >= s.threshold
+                                  AND p.id_b = p.id_a + 1000000 THEN 1 END)
+                      AS DOUBLE)
+                 / greatest(count(CASE WHEN p.j >= s.threshold THEN 1 END), 1), 6)
+               AS precision,
+           round(CAST(count(CASE WHEN p.j >= s.threshold
+                                  AND p.id_b = p.id_a + 1000000 THEN 1 END)
+                      AS DOUBLE) / max(truth.n_truth), 6) AS recall
+    FROM sweep s
+    CROSS JOIN truth
+    LEFT JOIN pairs p ON TRUE
+    GROUP BY s.threshold
+    ORDER BY s.threshold
+    """.replace("{toks}", _TOKS),
+)
+def q310_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold operating curve: precision/recall of the
+    char-5-gram Jaccard detector (q55's machinery) at thresholds
+    0.5-0.9 against the planted tail-truncation truth — the
+    threshold-TUNING table q192/q199 (single-point evals) cannot
+    give. Production dedup picks its threshold off exactly this
+    curve: recall collapses once the threshold passes the planted
+    pairs' true Jaccard band while precision holds, so the knee is
+    visible. Candidate pairs are generated ONCE at the lowest swept
+    threshold (prefix filtering stays lossless at 0.5) and each
+    threshold is a conditional aggregate over that one pair
+    relation.
+
+    Scale: one prefix-filtered gram equi-join (the q55 bound — never
+    all-pairs), then a 5-row broadcast sweep with conditional
+    counts; the curve costs ONE candidate generation regardless of
+    how many thresholds are swept.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text"
+    )
+    toks = F.split(F.lower(F.trim(F.col("text"))), TOKEN_SPLIT)
+    near = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1))), " "
+        ).alias("text"),
+    )
+    corpus = d.unionByName(near)
+    pairs = D.ngram_jaccard_pairs(corpus, "doc_id", "text", n=5, threshold=0.5)
+    truth = d.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    sweep = d.sparkSession.createDataFrame(
+        [(t,) for t in _SWEEP_TS], "threshold double"
+    )
+    hit = F.col("jaccard") >= F.col("threshold")
+    true_hit = hit & (F.col("id_b") == F.col("id_a") + 1000000)
+    return (
+        sweep.crossJoin(F.broadcast(truth))
+        .join(pairs, F.lit(True), "left")
+        .groupBy("threshold")
+        .agg(
+            F.count(F.when(hit, 1)).cast("long").alias("n_pairs"),
+            F.count(F.when(true_hit, 1)).cast("long").alias("n_true"),
+            F.round(
+                F.count(F.when(true_hit, 1)).cast("double")
+                / F.greatest(F.count(F.when(hit, 1)), F.lit(1)),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.count(F.when(true_hit, 1)).cast("double") / F.max("n_truth"), 6
+            ).alias("recall"),
+        )
+        .orderBy("threshold")
+    )
+
+
+@register(
+    "q312_blocked_fuzzy_linkage",
+    oracle="""
+    WITH names AS (
+        SELECT c_custkey AS id,
+               substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS nm
+        FROM customer
+    ),
+    corpus AS (
+        SELECT id, nm FROM names
+        UNION ALL
+        SELECT id + 10000000 AS id,
+               substr(nm, 1, 5) || 'x' || substr(nm, 7, 6) AS nm
+        FROM names
+    ),
+    blocked AS (
+        SELECT id, nm, substr(nm, 1, 4) AS blk FROM corpus
+    ),
+    cand AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS lev,
+               round(1.0 - levenshtein(a.nm, b.nm) / 12.0, 4) AS sim
+        FROM blocked a JOIN blocked b
+          ON a.blk = b.blk AND a.id < b.id
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(CASE WHEN sim >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_matched,
+               CAST(sum(CASE WHEN sim >= 0.8 AND id_b = id_a + 10000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_true_matched
+        FROM cand
+    ),
+    truth AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM names)
+    SELECT agg.n_candidates, agg.n_matched, agg.n_true_matched, truth.n_truth,
+           round(CAST(agg.n_true_matched AS DOUBLE)
+                 / greatest(agg.n_matched, 1), 6) AS precision,
+           round(CAST(agg.n_true_matched AS DOUBLE) / truth.n_truth, 6) AS recall
+    FROM agg CROSS JOIN truth
+    """,
+)
+def q312_blocked_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage on EDIT DISTANCE — the string-
+    similarity leg q200's Fellegi-Sunter scorer treats as a feature:
+    per-record 12-char synthetic names (md5 of the key — the real
+    c_name column is 'Customer#NNNNNNNNN', where every in-block pair
+    is 1 edit apart and fuzzy matching is degenerate, so names with
+    realistic entropy are PLANTED, q298 precedent), one dirty twin
+    per record (char 6 replaced), blocking on the 4-char name prefix
+    (edits never touch it), Levenshtein similarity ≥ 0.8 to match.
+    Twins sit at ≥0.9167 similarity; random in-block hex collisions
+    sit near 0.3 — precision and recall 1.0 by construction, PINNED
+    in tests (a broken blocker or metric shows up as a miss).
+
+    Scale: the classic linkage shape — blocking turns |n|² into
+    Σ block² (prefix-4 hex blocks ≈ n²/65536 pairs), the refine is
+    JVM `levenshtein` in whole-stage codegen (integer edit counts,
+    engine-exact), and the verdict is one combining agg. Swap the
+    block key for q52's MinHash bands when names exceed one token.
+    """
+    c = load(spark, sf_dir, "customer")
+    names = c.select(
+        F.col("c_custkey").alias("id"),
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 12).alias("nm"),
+    )
+    twins = names.select(
+        (F.col("id") + 10_000_000).alias("id"),
+        F.concat(
+            F.substring("nm", 1, 5), F.lit("x"), F.substring("nm", 7, 6)
+        ).alias("nm"),
+    )
+    corpus = names.unionByName(twins).withColumn("blk", F.substring("nm", 1, 4))
+    a = corpus.select(
+        F.col("id").alias("id_a"), F.col("nm").alias("nma"), "blk"
+    )
+    b = corpus.select(
+        F.col("id").alias("id_b"), F.col("nm").alias("nmb"), F.col("blk").alias("blkb")
+    )
+    cand = a.join(
+        b, (F.col("blk") == F.col("blkb")) & (F.col("id_a") < F.col("id_b"))
+    ).select(
+        "id_a",
+        "id_b",
+        F.round(1.0 - F.levenshtein("nma", "nmb") / 12.0, 4).alias("sim"),
+    )
+    hit = F.col("sim") >= 0.8
+    true_hit = hit & (F.col("id_b") == F.col("id_a") + 10_000_000)
+    agg = cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_matched"),
+        F.sum(F.when(true_hit, 1).otherwise(0)).cast("long").alias("n_true_matched"),
+    )
+    truth = names.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    return agg.crossJoin(F.broadcast(truth)).select(
+        "n_candidates",
+        "n_matched",
+        "n_true_matched",
+        "n_truth",
+        F.round(
+            F.col("n_true_matched").cast("double")
+            / F.greatest(F.col("n_matched"), F.lit(1)),
+            6,
+        ).alias("precision"),
+        F.round(F.col("n_true_matched").cast("double") / F.col("n_truth"), 6).alias(
+            "recall"
+        ),
+    )

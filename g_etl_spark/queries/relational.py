@@ -6611,3 +6611,288 @@ def q308_bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "segment")
     )
+
+
+_ZM_FILE_ROWS = 1000            # rows per simulated parquet file
+_ZM_LO, _ZM_HI = 10_000_000, 11_000_000  # predicate: $100k..$110k in cents
+
+
+def _zm_oracle_block(layout: str, order_sql: str) -> str:
+    return f"""
+    SELECT '{layout}' AS layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN mx >= {_ZM_LO} AND mn <= {_ZM_HI}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+           CAST(sum(CASE WHEN mx >= {_ZM_LO} AND mn <= {_ZM_HI}
+                         THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+           CAST(max(nm) AS BIGINT) AS n_matching,
+           round(1.0 - CAST(sum(CASE WHEN mx >= {_ZM_LO} AND mn <= {_ZM_HI}
+                                     THEN 1 ELSE 0 END) AS DOUBLE)
+                       / count(*), 4) AS prune_ratio,
+           round(CAST(sum(CASE WHEN mx >= {_ZM_LO} AND mn <= {_ZM_HI}
+                               THEN n ELSE 0 END) AS DOUBLE)
+                 / greatest(max(nm), 1), 4) AS scan_amplification
+    FROM (
+        SELECT CAST((rn - 1) / {_ZM_FILE_ROWS} AS BIGINT) AS f,
+               min(cents) AS mn, max(cents) AS mx, count(*) AS n,
+               sum(sum(CASE WHEN cents BETWEEN {_ZM_LO} AND {_ZM_HI}
+                            THEN 1 ELSE 0 END)) OVER () AS nm
+        FROM (
+            SELECT cents,
+                   row_number() OVER (ORDER BY {order_sql}) AS rn
+            FROM (SELECT o_orderkey,
+                         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                  FROM orders)
+        ) GROUP BY 1
+    )"""
+
+
+@register(
+    "q311_zonemap_pruning_audit",
+    oracle=_zm_oracle_block("ingest", "o_orderkey")
+    + " UNION ALL "
+    + _zm_oracle_block("clustered", "cents, o_orderkey")
+    + " ORDER BY layout",
+)
+def q311_zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (file min/max) pruning effectiveness under two
+    physical layouts — the measurement behind the warehouse's
+    Z-order decision (q22/q299 assert the layout; this PRICES it):
+    simulate 1000-row parquet files in (a) ingest order and (b)
+    price-clustered order, record per-file min/max of the price
+    column, and count the files/rows a $100k-110k predicate must
+    scan under footer-level pruning. Ingest order interleaves the
+    whole price range into every file (prune_ratio ≈ 0); clustering
+    concentrates the band into ~contiguous files (prune_ratio → 1,
+    scan amplification → 1). The delta is the exact argument for
+    paying a one-time re-cluster of a 100 TB corpus.
+
+    Scale: file ids come from the operators/ranking TWO-PASS rank
+    (bucket-partitioned windows only — dogfooding the r8 retrofit
+    machinery on the layout simulator itself); per-file min/max is
+    one combining agg; the verdict row per layout is a second
+    |files|-row agg. The real engine gets this for free from parquet
+    footers — the query measures what those footers WILL deliver
+    before the corpus is rewritten.
+    """
+    from g_etl_spark.operators.ranking import global_rank_twopass, log2_bucket
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    layouts = [
+        ("ingest", ["o_orderkey"], log2_bucket(F.col("o_orderkey"))),
+        ("clustered", ["cents", "o_orderkey"], log2_bucket(F.col("cents"))),
+    ]
+    match = F.col("cents").between(_ZM_LO, _ZM_HI)
+    outs = []
+    for name, order_cols, bucket in layouts:
+        ranked = global_rank_twopass(o, order_cols, bucket, out="rn")
+        files = ranked.groupBy(
+            ((F.col("rn") - 1) / _ZM_FILE_ROWS).cast("long").alias("f")
+        ).agg(
+            F.min("cents").alias("mn"),
+            F.max("cents").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(match, 1).otherwise(0)).alias("nm_part"),
+        )
+        nm = files.agg(F.sum("nm_part").alias("nm"))
+        scanned = (F.col("mx") >= _ZM_LO) & (F.col("mn") <= _ZM_HI)
+        outs.append(
+            files.crossJoin(F.broadcast(nm)).agg(
+                F.lit(name).alias("layout"),
+                F.count(F.lit(1)).cast("long").alias("n_files"),
+                F.sum(F.when(scanned, 1).otherwise(0)).cast("long").alias(
+                    "files_scanned"
+                ),
+                F.sum(F.when(scanned, F.col("n")).otherwise(0)).cast("long").alias(
+                    "rows_scanned"
+                ),
+                F.max("nm").cast("long").alias("n_matching"),
+                F.round(
+                    1.0
+                    - F.sum(F.when(scanned, 1).otherwise(0)).cast("double")
+                    / F.count(F.lit(1)),
+                    4,
+                ).alias("prune_ratio"),
+                F.round(
+                    F.sum(F.when(scanned, F.col("n")).otherwise(0)).cast("double")
+                    / F.greatest(F.max("nm"), F.lit(1)),
+                    4,
+                ).alias("scan_amplification"),
+            )
+        )
+    out = outs[0]
+    for nxt in outs[1:]:
+        out = out.unionByName(nxt)
+    return out.orderBy("layout")
+
+
+@register(
+    "q313_median_order_stat_ci",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+    bounds AS (
+        SELECT n,
+               CAST(floor(n / 2.0 - 0.98 * sqrt(n)) AS BIGINT) AS lo_rank,
+               CAST(ceil(n / 2.0 + 1 + 0.98 * sqrt(n)) AS BIGINT) AS hi_rank,
+               CAST(floor((n + 1) / 2.0) AS BIGINT) AS med_rank
+        FROM n
+    ),
+    ranked AS (
+        SELECT cents, row_number() OVER (ORDER BY cents, o_orderkey) AS rn
+        FROM v
+    )
+    SELECT bounds.n,
+           round(max(CASE WHEN rn = med_rank THEN cents END) / 100.0, 2)
+               AS median_value,
+           round(max(CASE WHEN rn = lo_rank THEN cents END) / 100.0, 2) AS ci_lo,
+           round(max(CASE WHEN rn = hi_rank THEN cents END) / 100.0, 2) AS ci_hi,
+           bounds.lo_rank, bounds.hi_rank
+    FROM ranked CROSS JOIN bounds
+    GROUP BY bounds.n, bounds.lo_rank, bounds.hi_rank
+    """,
+)
+def q313_median_order_stat_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for the MEDIAN via
+    order statistics — the binomial-rank identity (CI endpoints are
+    the values at ranks n/2 ∓ z·√n/2; no normality, no bootstrap
+    replicates, no RNG): the uncertainty readout q39's exact
+    percentiles and q160's sketch quantiles both lack. Rank bounds
+    are integer arithmetic on n; endpoint values are exact integer
+    cents, so both engines emit identical intervals.
+
+    Scale: the global rank runs as the operators/ranking TWO-PASS
+    rank (bucket-partitioned windows only — the r8 retrofit
+    machinery dogfooded again), and only three ranks are ever looked
+    up, via conditional aggregation — no sorted relation is
+    materialized. At 100 TB the same three lookups ride the
+    mergeable log-histogram (q160) when one-pass matters more than
+    exactness.
+    """
+    from g_etl_spark.operators.ranking import global_rank_twopass, log2_bucket
+
+    o = load(spark, sf_dir, "orders")
+    v = o.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    n = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    bounds = n.select(
+        "n",
+        F.floor(F.col("n") / 2.0 - 0.98 * F.sqrt(F.col("n"))).cast("long").alias(
+            "lo_rank"
+        ),
+        F.ceil(F.col("n") / 2.0 + 1 + 0.98 * F.sqrt(F.col("n"))).cast("long").alias(
+            "hi_rank"
+        ),
+        F.floor((F.col("n") + 1) / 2.0).cast("long").alias("med_rank"),
+    )
+    ranked = global_rank_twopass(
+        v, ["cents", "o_orderkey"], log2_bucket(F.col("cents")), out="rn"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(bounds))
+        .groupBy("n", "lo_rank", "hi_rank")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("rn") == F.col("med_rank"), F.col("cents")))
+                / 100.0,
+                2,
+            ).alias("median_value"),
+            F.round(
+                F.max(F.when(F.col("rn") == F.col("lo_rank"), F.col("cents")))
+                / 100.0,
+                2,
+            ).alias("ci_lo"),
+            F.round(
+                F.max(F.when(F.col("rn") == F.col("hi_rank"), F.col("cents")))
+                / 100.0,
+                2,
+            ).alias("ci_hi"),
+        )
+        .select("n", "median_value", "ci_lo", "ci_hi", "lo_rank", "hi_rank")
+    )
+
+
+_KANON_K = 20
+
+
+@register(
+    "q314_kanon_suppressed_rollup",
+    oracle=f"""
+    WITH cells AS (
+        SELECT c_mktsegment AS segment, CAST(c_nationkey AS BIGINT) AS nationkey,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM customer GROUP BY 1, 2
+    ),
+    marked AS (
+        SELECT CASE WHEN n >= {_KANON_K} THEN segment
+                    ELSE '__suppressed__' END AS segment,
+               CASE WHEN n >= {_KANON_K} THEN CAST(nationkey AS VARCHAR)
+                    ELSE '__suppressed__' END AS nationkey,
+               n, cents
+        FROM cells
+    )
+    SELECT segment, nationkey,
+           CAST(sum(n) AS BIGINT) AS n,
+           round(CAST(sum(cents) AS DOUBLE) / sum(n) / 100.0, 4) AS avg_acctbal
+    FROM marked
+    GROUP BY segment, nationkey
+    HAVING sum(n) >= {_KANON_K}
+    ORDER BY segment, nationkey
+    """,
+)
+def q314_kanon_suppressed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymous publication rollup — the release-side counterpart
+    of q207's k-anonymity AUDIT: aggregate account balances over the
+    (segment, nation) quasi-identifier grid, but POOL every cell
+    with fewer than k=20 members into one '__suppressed__' bucket
+    before publishing, so no published row describes fewer than k
+    individuals (the data-clean-room / census suppression rule). A
+    trailing HAVING guards the edge where even the pooled bucket is
+    under k (it is then withheld entirely rather than published
+    small).
+
+    Scale: two combining aggs (cells, then the pooled re-roll) —
+    suppression never reshuffles the corpus, only the |cells|
+    relation. Sums carry integer cents end-to-end, so the published
+    averages are engine-exact.
+    """
+    c = load(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    small = F.col("n") < _KANON_K
+    marked = cells.select(
+        F.when(small, "__suppressed__").otherwise(F.col("segment")).alias("segment"),
+        F.when(small, "__suppressed__")
+        .otherwise(F.col("nationkey").cast("string"))
+        .alias("nationkey"),
+        "n",
+        "cents",
+    )
+    return (
+        marked.groupBy("segment", "nationkey")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.round(
+                F.sum("cents").cast("double") / F.sum("n") / 100.0, 4
+            ).alias("avg_acctbal"),
+        )
+        .filter(F.col("n") >= _KANON_K)
+        .orderBy("segment", "nationkey")
+    )

@@ -385,3 +385,112 @@ def q287_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_IPF_ROUNDS = 5
+_IPF_SEG_T = 0.2  # uniform market-segment target margin (5 segments)
+_IPF_NG_T = "CASE ng WHEN 0 THEN 0.3 WHEN 1 THEN 0.25 WHEN 2 THEN 0.2 WHEN 3 THEN 0.15 ELSE 0.1 END"
+
+
+def _ipf_oracle() -> str:
+    steps = []
+    prev = "r0"
+    for r in range(_IPF_ROUNDS):
+        a, b = f"r{2 * r + 1}", f"r{2 * r + 2}"
+        steps.append(
+            f"{a} AS MATERIALIZED (SELECT seg, ng, n, w * ({_IPF_SEG_T} * tn.nn)"
+            f" / sum(n * w) OVER (PARTITION BY seg) AS w FROM {prev} CROSS JOIN tn)"
+        )
+        steps.append(
+            f"{b} AS MATERIALIZED (SELECT seg, ng, n, w * (({_IPF_NG_T}) * tn.nn)"
+            f" / sum(n * w) OVER (PARTITION BY ng) AS w FROM {a} CROSS JOIN tn)"
+        )
+        prev = b
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH cells AS MATERIALIZED (
+        SELECT c_mktsegment AS seg, c_nationkey % 5 AS ng,
+               CAST(count(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1, 2
+    ),
+    tn AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM cells),
+    r0 AS (SELECT seg, ng, n, 1.0 AS w FROM cells),
+    {chain},
+    fin AS (SELECT seg, ng, n, w FROM {prev}),
+    tot AS (SELECT sum(n * w) AS tw FROM fin)
+    SELECT fin.seg, CAST(fin.ng AS BIGINT) AS ng, fin.n,
+           round(fin.w, 6) AS weight,
+           round(sum(fin.n * fin.w) OVER (PARTITION BY fin.seg) / tot.tw, 6)
+               AS seg_share,
+           round(sum(fin.n * fin.w) OVER (PARTITION BY fin.ng) / tot.tw, 6)
+               AS ng_share
+    FROM fin CROSS JOIN tot
+    ORDER BY seg, ng
+    """
+
+
+@register("q309_ipf_raking", oracle=_ipf_oracle())
+def q309_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking) of survey-style cell
+    weights to TWO target margins at once — the calibration step
+    between q84's rate-based resampling (one margin) and production
+    panel weighting: customers cell on (market segment × nation
+    group), start at weight 1, then alternately scale each segment
+    row to a uniform 20% margin and each nation-group column to a
+    declared (30/25/20/15/10)% margin for 5 rounds. IPF converges
+    geometrically when all cells are populated; after round 5 the
+    LAST-scaled margin holds exactly and the other to ~1e-6 (the
+    emitted shares show both). Weighted training mixtures (q228)
+    consume exactly these per-cell weights.
+
+    Scale: the corpus collapses to |seg×group| cells in ONE
+    combining agg; every IPF step is a partitioned window over that
+    bounded cell relation (5 cells per partition — never a corpus
+    shuffle, never a driver loop over rows). 10 chained MATERIALIZED
+    CTEs mirror the recurrence in the oracle (the q215/q266
+    bounded-matvec precedent).
+    """
+    c = load(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_mktsegment").alias("seg"),
+        (F.col("c_nationkey") % 5).cast("long").alias("ng"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tn = cells.agg(F.sum("n").cast("double").alias("nn"))
+    cur = cells.crossJoin(F.broadcast(tn)).withColumn("w", F.lit(1.0))
+    ng_t = F.expr(_IPF_NG_T)
+    from pyspark.sql import Window as W
+
+    for _ in range(_IPF_ROUNDS):
+        cur = cur.withColumn(
+            "w",
+            F.col("w")
+            * (F.lit(_IPF_SEG_T) * F.col("nn"))
+            / F.sum(F.col("n") * F.col("w")).over(W.partitionBy("seg")),
+        )
+        cur = cur.withColumn(
+            "w",
+            F.col("w")
+            * (ng_t * F.col("nn"))
+            / F.sum(F.col("n") * F.col("w")).over(W.partitionBy("ng")),
+        )
+    tot = cur.agg(F.sum(F.col("n") * F.col("w")).alias("tw"))
+    return (
+        cur.crossJoin(F.broadcast(tot))
+        .select(
+            "seg",
+            "ng",
+            "n",
+            F.round("w", 6).alias("weight"),
+            F.round(
+                F.sum(F.col("n") * F.col("w")).over(W.partitionBy("seg"))
+                / F.col("tw"),
+                6,
+            ).alias("seg_share"),
+            F.round(
+                F.sum(F.col("n") * F.col("w")).over(W.partitionBy("ng"))
+                / F.col("tw"),
+                6,
+            ).alias("ng_share"),
+        )
+        .orderBy("seg", "ng")
+    )

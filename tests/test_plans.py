@@ -3168,3 +3168,64 @@ def test_q308_bh_is_step_up_and_conservative(spark, qs):
     if any(flags):
         kmax = max(i + 1 for i, f in enumerate(flags) if f)
         assert all(flags[:kmax]) and not any(flags[kmax:])
+
+
+def test_q309_ipf_margins_converge(spark, qs):
+    """IPF invariants: the LAST-scaled margin (nation group) must hit
+    its targets exactly at display precision; segment margins within
+    1e-3 after 5 rounds; weights positive; cells partition customers."""
+    from g_etl_spark.tables import load
+
+    rows = qs["q309_ipf_raking"](spark, SF_DIR).collect()
+    n = load(spark, SF_DIR, "customer").count()
+    assert sum(r["n"] for r in rows) == n
+    ng_share = {}
+    seg_share = {}
+    for r in rows:
+        assert r["weight"] > 0
+        ng_share[r["ng"]] = r["ng_share"]
+        seg_share[r["seg"]] = r["seg_share"]
+    targets = {0: 0.3, 1: 0.25, 2: 0.2, 3: 0.15, 4: 0.1}
+    for g, t in targets.items():
+        assert abs(ng_share[g] - t) < 1e-5, (g, ng_share[g])
+    for s, v in seg_share.items():
+        assert abs(v - 0.2) < 1e-3, (s, v)
+
+
+def test_q310_sweep_monotone_and_anchored(spark, qs):
+    """Threshold-sweep invariants: pair and true counts are monotone
+    NON-INCREASING in the threshold, precision stays in (0, 1],
+    recall is monotone non-increasing, and the 0.8 row must agree
+    with q55's single-point detector output."""
+    rows = sorted(
+        qs["q310_dedup_threshold_sweep"](spark, SF_DIR).collect(),
+        key=lambda r: r["threshold"],
+    )
+    assert [r["threshold"] for r in rows] == [0.5, 0.6, 0.7, 0.8, 0.9]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_pairs"] <= a["n_pairs"]
+        assert b["n_true"] <= a["n_true"]
+        assert b["recall"] <= a["recall"]
+    for r in rows:
+        assert 0.0 <= r["precision"] <= 1.0 and 0.0 <= r["recall"] <= 1.0
+    q55_pairs = qs["q55_ngram_jaccard_dedup"](spark, SF_DIR).count()
+    assert rows[3]["n_pairs"] == q55_pairs
+
+
+def test_q311_zonemap_clustered_beats_ingest(spark, qs):
+    """Zone-map audit invariants: both layouts see the same matching
+    rows; the clustered layout must prune strictly more files and
+    scan fewer rows than ingest order; amplification >= 1; and its
+    plan must carry only partitioned windows (the two-pass rank)."""
+    df = qs["q311_zonemap_pruning_audit"](spark, SF_DIR)
+    _assert_windows_partitioned(plan_of(df))
+    rows = {r["layout"]: r for r in df.collect()}
+    ing, clu = rows["ingest"], rows["clustered"]
+    assert ing["n_matching"] == clu["n_matching"] > 0
+    assert ing["n_files"] == clu["n_files"]
+    assert clu["files_scanned"] <= ing["files_scanned"]
+    assert clu["rows_scanned"] <= ing["rows_scanned"]
+    assert clu["prune_ratio"] >= ing["prune_ratio"]
+    for r in rows.values():
+        assert r["scan_amplification"] >= 1.0 - 1e-9
+        assert r["rows_scanned"] >= r["n_matching"]
