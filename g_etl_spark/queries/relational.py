@@ -6633,7 +6633,7 @@ def _zm_oracle_block(layout: str, order_sql: str) -> str:
                                THEN n ELSE 0 END) AS DOUBLE)
                  / greatest(max(nm), 1), 4) AS scan_amplification
     FROM (
-        SELECT CAST((rn - 1) / {_ZM_FILE_ROWS} AS BIGINT) AS f,
+        SELECT CAST(floor((rn - 1) / {_ZM_FILE_ROWS}.0) AS BIGINT) AS f,
                min(cents) AS mn, max(cents) AS mx, count(*) AS n,
                sum(sum(CASE WHEN cents BETWEEN {_ZM_LO} AND {_ZM_HI}
                             THEN 1 ELSE 0 END)) OVER () AS nm
@@ -6690,7 +6690,7 @@ def q311_zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, order_cols, bucket in layouts:
         ranked = global_rank_twopass(o, order_cols, bucket, out="rn")
         files = ranked.groupBy(
-            ((F.col("rn") - 1) / _ZM_FILE_ROWS).cast("long").alias("f")
+            F.floor((F.col("rn") - 1) / _ZM_FILE_ROWS).cast("long").alias("f")
         ).agg(
             F.min("cents").alias("mn"),
             F.max("cents").alias("mx"),

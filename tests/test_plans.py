@@ -3229,3 +3229,48 @@ def test_q311_zonemap_clustered_beats_ingest(spark, qs):
     for r in rows.values():
         assert r["scan_amplification"] >= 1.0 - 1e-9
         assert r["rows_scanned"] >= r["n_matching"]
+
+
+def test_q312_linkage_perfect_on_planted_names(spark, qs):
+    """Fuzzy-linkage invariants: the planted twins are all found
+    (recall 1.0) with zero false matches (precision 1.0), and the
+    blocked candidate count stays far below n-squared."""
+    from g_etl_spark.tables import load
+
+    r = qs["q312_blocked_fuzzy_linkage"](spark, SF_DIR).collect()[0]
+    n = load(spark, SF_DIR, "customer").count()
+    assert r["n_truth"] == n
+    assert r["precision"] == 1.0 and r["recall"] == 1.0
+    assert r["n_matched"] == r["n_true_matched"] == n
+    assert r["n_candidates"] < (2 * n) * (2 * n) / 50  # blocking bites
+
+
+def test_q313_median_ci_brackets_exact_median(spark, qs):
+    """Order-statistic CI invariants: lo <= median <= hi, rank bounds
+    ordered, and the median matches the exact percentile."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    r = qs["q313_median_order_stat_ci"](spark, SF_DIR).collect()[0]
+    assert r["ci_lo"] <= r["median_value"] <= r["ci_hi"]
+    assert 1 <= r["lo_rank"] < r["hi_rank"] <= r["n"]
+    o = load(spark, SF_DIR, "orders")
+    lower_med = (
+        o.select(F.expr("percentile_approx(o_totalprice, 0.5, 100000)")).collect()[0][0]
+    )
+    assert abs(r["median_value"] - lower_med) < 0.02 * lower_med
+
+
+def test_q314_kanon_no_small_cells_and_conserves_where_published(spark, qs):
+    """K-anon invariants: every published row has n >= k; suppressed
+    cells pool into one bucket; published population never exceeds
+    the table population."""
+    from g_etl_spark.tables import load
+
+    rows = qs["q314_kanon_suppressed_rollup"](spark, SF_DIR).collect()
+    n = load(spark, SF_DIR, "customer").count()
+    assert sum(r["n"] for r in rows) <= n
+    for r in rows:
+        assert r["n"] >= 20
+    supp = [r for r in rows if r["segment"] == "__suppressed__"]
+    assert len(supp) <= 1
