@@ -6896,3 +6896,300 @@ def q314_kanon_suppressed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= _KANON_K)
         .orderBy("segment", "nationkey")
     )
+
+
+@register(
+    "q315_spearman_rank_corr",
+    oracle="""
+    WITH rows_v AS (
+        SELECT CAST(round(l_quantity) AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    mx AS (
+        SELECT x, count(*) AS cnt,
+               2 * coalesce(sum(count(*)) OVER (
+                   ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) + count(*) + 1 AS r2
+        FROM rows_v GROUP BY x
+    ),
+    my AS (
+        SELECT y, count(*) AS cnt,
+               2 * coalesce(sum(count(*)) OVER (
+                   ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) + count(*) + 1 AS r2
+        FROM rows_v GROUP BY y
+    ),
+    ranked AS (
+        SELECT mx.r2 AS rx, my.r2 AS ry, r.x, r.y
+        FROM rows_v r JOIN mx ON r.x = mx.x JOIN my ON r.y = my.y
+    ),
+    mo AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(rx) AS DOUBLE) AS sx, CAST(sum(ry) AS DOUBLE) AS sy,
+               CAST(sum(rx * ry) AS DOUBLE) AS sxy,
+               CAST(sum(rx * rx) AS DOUBLE) AS sxx,
+               CAST(sum(ry * ry) AS DOUBLE) AS syy,
+               CAST(sum(x) AS DOUBLE) AS px, CAST(sum(y) AS DOUBLE) AS py,
+               CAST(sum(x * y) AS DOUBLE) AS pxy,
+               CAST(sum(x * x) AS DOUBLE) AS pxx,
+               CAST(sum(y * y) AS DOUBLE) AS pyy
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+               AS spearman_rho,
+           round((n * pxy - px * py)
+                 / sqrt((n * pxx - px * px) * (n * pyy - py * py)), 6)
+               AS pearson_r
+    FROM mo
+    """,
+)
+def q315_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (tie-corrected, midrank convention)
+    between quantity and extended price, next to the plain Pearson r
+    — the robust-association readout (Spearman sees monotone
+    relationships Pearson's linearity misses, and survives the
+    heavy-tailed prices q231 diagnoses). Midranks come from the q177
+    collapsed-value prefix-sum trick: per distinct value,
+    2·midrank = 2·(count of smaller rows) + count + 1 is an exact
+    INTEGER, so the rank moments are integer-exact and both engines
+    agree bit-for-bit (doubled ranks cancel in the correlation).
+
+    Scale: two value rollups (|distinct| each — quantity has 50,
+    price ~|rows|·0.99 — both map-side combining), two equi-joins to
+    map rows to midranks, ONE moment aggregate. At corpus scale the
+    price rollup's prefix sum runs as the operators/ranking two-pass
+    (bounded here, plain window in the oracle); no corpus sort, no
+    pair join, no window over rows.
+    """
+    from g_etl_spark.operators.ranking import global_cumsum_twopass, log2_bucket
+
+    li = load(spark, sf_dir, "lineitem")
+    rows_v = li.select(
+        F.round(F.col("l_quantity"), 0).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+
+    def midrank_map(col: str):
+        counts = rows_v.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        pri = global_cumsum_twopass(
+            counts, "cnt", [col], log2_bucket(F.col(col)), out="prior",
+            inclusive=False,
+        )
+        return pri.select(
+            col, (2 * F.col("prior") + F.col("cnt") + 1).cast("long").alias("r2")
+        )
+
+    ranked = (
+        rows_v.join(F.broadcast(midrank_map("x").withColumnRenamed("r2", "rx")), "x")
+        .join(midrank_map("y").withColumnRenamed("r2", "ry"), "y")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mo = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec(F.col("rx"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("ry"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("rx") * F.col("ry"))).cast("double").alias("sxy"),
+        F.sum(dec(F.col("rx") * F.col("rx"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("ry") * F.col("ry"))).cast("double").alias("syy"),
+        F.sum(dec(F.col("x"))).cast("double").alias("px"),
+        F.sum(dec(F.col("y"))).cast("double").alias("py"),
+        F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("pxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("pxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("pyy"),
+    )
+    n = F.col("n")
+    return mo.select(
+        n.cast("long").alias("n"),
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("spearman_rho"),
+        F.round(
+            (n * F.col("pxy") - F.col("px") * F.col("py"))
+            / F.sqrt(
+                (n * F.col("pxx") - F.col("px") * F.col("px"))
+                * (n * F.col("pyy") - F.col("py") * F.col("py"))
+            ),
+            6,
+        ).alias("pearson_r"),
+    )
+
+
+@register(
+    "q317_twofactor_anova",
+    oracle="""
+    WITH base AS (
+        SELECT o.o_orderkey % 2 AS a, c.c_mktsegment AS b,
+               CAST(round(o.o_totalprice) AS BIGINT) AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cells AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS s,
+               CAST(sum(y * y) AS BIGINT) AS ssq
+        FROM base GROUP BY a, b
+    ),
+    lvl AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS DOUBLE) AS stot,
+               CAST(sum(ssq) AS DOUBLE) AS ssq_tot,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               count(DISTINCT a) AS ka, count(DISTINCT b) AS kb,
+               CAST(sum(CAST(round(CAST(s AS DOUBLE) * s / n * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS cell_term
+        FROM cells
+    ),
+    amarg AS (
+        SELECT CAST(sum(CAST(round(CAST(s AS DOUBLE) * s / n * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS a_term
+        FROM (SELECT a, CAST(sum(s) AS BIGINT) AS s, CAST(sum(n) AS BIGINT) AS n
+              FROM cells GROUP BY a)
+    ),
+    bmarg AS (
+        SELECT CAST(sum(CAST(round(CAST(s AS DOUBLE) * s / n * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS b_term
+        FROM (SELECT b, CAST(sum(s) AS BIGINT) AS s, CAST(sum(n) AS BIGINT) AS n
+              FROM cells GROUP BY b)
+    ),
+    ss AS (
+        SELECT lvl.nn,
+               lvl.ka - 1 AS df_a, lvl.kb - 1 AS df_b,
+               (lvl.ka - 1) * (lvl.kb - 1) AS df_ab,
+               lvl.nn - lvl.n_cells AS df_w, lvl.nn - 1 AS df_t,
+               amarg.a_term - lvl.stot * lvl.stot / lvl.nn AS ss_a,
+               bmarg.b_term - lvl.stot * lvl.stot / lvl.nn AS ss_b,
+               lvl.cell_term - amarg.a_term - bmarg.b_term
+                   + lvl.stot * lvl.stot / lvl.nn AS ss_ab,
+               lvl.ssq_tot - lvl.cell_term AS ss_w,
+               lvl.ssq_tot - lvl.stot * lvl.stot / lvl.nn AS ss_t
+        FROM lvl CROSS JOIN amarg CROSS JOIN bmarg
+    )
+    SELECT * FROM (
+        SELECT 'A(treatment)' AS source, round(ss_a, 2) AS ss,
+               CAST(df_a AS BIGINT) AS df, round(ss_a / df_a, 4) AS ms,
+               round((ss_a / df_a) / (ss_w / df_w), 4) AS f_ratio
+        FROM ss
+        UNION ALL
+        SELECT 'B(segment)', round(ss_b, 2), CAST(df_b AS BIGINT),
+               round(ss_b / df_b, 4), round((ss_b / df_b) / (ss_w / df_w), 4)
+        FROM ss
+        UNION ALL
+        SELECT 'AB(interaction)', round(ss_ab, 2), CAST(df_ab AS BIGINT),
+               round(ss_ab / df_ab, 4), round((ss_ab / df_ab) / (ss_w / df_w), 4)
+        FROM ss
+        UNION ALL
+        SELECT 'within', round(ss_w, 2), CAST(df_w AS BIGINT),
+               round(ss_w / df_w, 4), CAST(NULL AS DOUBLE)
+        FROM ss
+        UNION ALL
+        SELECT 'total', round(ss_t, 2), CAST(df_t AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM ss
+    ) ORDER BY source
+    """,
+)
+def q317_twofactor_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-factor ANOVA with interaction — the factorial-experiment
+    decomposition the pairwise family (q150 one factor, q221 DiD,
+    q284 Simpson cells) never totals: partition the outcome variance
+    into treatment main effect, segment main effect, their
+    INTERACTION (does the treatment effect differ by segment — the
+    question q240's uplift deciles eyeball), within-cell noise, and
+    total, with F ratios against the within mean square. Sums of
+    squares come from integer-dollar moment cells via the marginal
+    identity SS = Σ s²/n − S²/N; every cross-level sum is quantized
+    to integer hundredths first (the q301 discipline), so the
+    decomposition is engine-exact at display precision.
+
+    Scale: ONE broadcast dim join + ONE combining agg to |A×B|
+    cells; marginals and the five output rows are arithmetic on that
+    bounded relation. A 100 TB factorial readout costs one scan.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    base = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == c.c_custkey,
+    ).select(
+        (F.col("o_orderkey") % 2).alias("a"),
+        F.col("c_mktsegment").alias("b"),
+        F.round(F.col("o_totalprice"), 0).cast("long").alias("y"),
+    )
+    cells = base.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("ssq"),
+    )
+    qterm = F.round(F.col("s").cast("double") * F.col("s") / F.col("n") * 100, 0).cast(
+        "long"
+    )
+    lvl = cells.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("double").alias("stot"),
+        F.sum("ssq").cast("double").alias("ssq_tot"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.countDistinct("a").alias("ka"),
+        F.countDistinct("b").alias("kb"),
+        (F.sum(qterm).cast("double") / 100.0).alias("cell_term"),
+    )
+
+    def marg(col: str, out: str):
+        g = cells.groupBy(col).agg(
+            F.sum("s").cast("long").alias("s"), F.sum("n").cast("long").alias("n")
+        )
+        return g.agg((F.sum(qterm).cast("double") / 100.0).alias(out))
+
+    ss = (
+        lvl.crossJoin(F.broadcast(marg("a", "a_term")))
+        .crossJoin(F.broadcast(marg("b", "b_term")))
+        .select(
+            "nn",
+            (F.col("ka") - 1).cast("long").alias("df_a"),
+            (F.col("kb") - 1).cast("long").alias("df_b"),
+            ((F.col("ka") - 1) * (F.col("kb") - 1)).cast("long").alias("df_ab"),
+            (F.col("nn") - F.col("n_cells")).cast("long").alias("df_w"),
+            (F.col("nn") - 1).cast("long").alias("df_t"),
+            (F.col("a_term") - F.col("stot") * F.col("stot") / F.col("nn")).alias(
+                "ss_a"
+            ),
+            (F.col("b_term") - F.col("stot") * F.col("stot") / F.col("nn")).alias(
+                "ss_b"
+            ),
+            (
+                F.col("cell_term")
+                - F.col("a_term")
+                - F.col("b_term")
+                + F.col("stot") * F.col("stot") / F.col("nn")
+            ).alias("ss_ab"),
+            (F.col("ssq_tot") - F.col("cell_term")).alias("ss_w"),
+            (F.col("ssq_tot") - F.col("stot") * F.col("stot") / F.col("nn")).alias(
+                "ss_t"
+            ),
+        )
+    )
+    parts = ", ".join(
+        [
+            "'A(treatment)', round(ss_a, 2), df_a, round(ss_a / df_a, 4),"
+            " round((ss_a / df_a) / (ss_w / df_w), 4)",
+            "'B(segment)', round(ss_b, 2), df_b, round(ss_b / df_b, 4),"
+            " round((ss_b / df_b) / (ss_w / df_w), 4)",
+            "'AB(interaction)', round(ss_ab, 2), df_ab, round(ss_ab / df_ab, 4),"
+            " round((ss_ab / df_ab) / (ss_w / df_w), 4)",
+            "'within', round(ss_w, 2), df_w, round(ss_w / df_w, 4),"
+            " CAST(NULL AS DOUBLE)",
+            "'total', round(ss_t, 2), df_t, CAST(NULL AS DOUBLE),"
+            " CAST(NULL AS DOUBLE)",
+        ]
+    )
+    return (
+        ss.select(
+            F.expr(f"stack(5, {parts}) AS (source, ss, df, ms, f_ratio)")
+        )
+        .orderBy("source")
+    )

@@ -5418,3 +5418,124 @@ def q307_clamped_inventory_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f.st").alias("n_stockouts"),
         F.col("f.ch").alias("n_caphits"),
     ).orderBy("l_partkey")
+
+
+@register(
+    "q316_cross_correlation_leadlag",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS di,
+               CAST(sum(CASE WHEN event_type = 'view'
+                             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS a_c,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                    AS BIGINT) AS b_c
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a_c) AS DOUBLE) / count(*) AS ma,
+               CAST(sum(b_c) AS DOUBLE) / count(*) AS mb
+        FROM daily
+    ),
+    dev AS (
+        SELECT di,
+               CAST(round((a_c - m.ma) / 100.0) AS BIGINT) AS da,
+               CAST(round((b_c - m.mb) / 100.0) AS BIGINT) AS db
+        FROM daily CROSS JOIN m
+    ),
+    ss AS (
+        SELECT CAST(sum(da * da) AS BIGINT) AS sa,
+               CAST(sum(db * db) AS BIGINT) AS sb
+        FROM dev
+    ),
+    lags AS (
+        SELECT k.k, CAST(sum(a.da * b.db) AS BIGINT) AS sk
+        FROM (SELECT unnest(range(-3, 4)) AS k) k
+        JOIN dev a ON TRUE
+        JOIN dev b ON b.di = a.di + k.k
+        GROUP BY k.k
+    ),
+    r AS (
+        SELECT k, round(CAST(sk AS DOUBLE) / sqrt(CAST(sa AS DOUBLE) * sb), 6)
+                   AS xcorr
+        FROM lags CROSS JOIN ss
+    ),
+    best AS (
+        SELECT k AS best_lag FROM r
+        ORDER BY abs(xcorr) DESC, k ASC LIMIT 1
+    )
+    SELECT r.k AS lag, r.xcorr, best.best_lag
+    FROM r CROSS JOIN best
+    ORDER BY lag
+    """,
+)
+def q316_cross_correlation_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the daily 'view' and
+    'purchase' value series at lags −3..+3 — the LEAD-LAG detector
+    completing q176's autocorrelation and q306's Ljung-Box: a peak
+    at positive lag k means views PRECEDE purchases by k days (the
+    attribution-window evidence q255's decay constant assumes).
+    Deviations are mean-centered and quantized to integer dollars
+    before the lag products (q306's discipline), so every
+    correlation is a ratio of exact integers; best_lag breaks |r|
+    ties toward the smallest lag.
+
+    Scale: the corpus collapses to |days| two-column cells in one
+    combining agg; the 7 lag products are an equi-join of that
+    bounded relation against itself shifted by a broadcast lag set.
+    The CCF at 100 TB costs one scan plus |days|×7 arithmetic.
+    """
+    e = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("di")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", cents).otherwise(0))
+        .cast("long")
+        .alias("a_c"),
+        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0))
+        .cast("long")
+        .alias("b_c"),
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("a_c").cast("double") / F.count(F.lit(1))).alias("ma"),
+        (F.sum("b_c").cast("double") / F.count(F.lit(1))).alias("mb"),
+    )
+    dev = daily.crossJoin(F.broadcast(m)).select(
+        "di",
+        F.round((F.col("a_c") - F.col("ma")) / 100.0, 0).cast("long").alias("da"),
+        F.round((F.col("b_c") - F.col("mb")) / 100.0, 0).cast("long").alias("db"),
+    )
+    ss = dev.agg(
+        F.sum(F.col("da") * F.col("da")).cast("long").alias("sa"),
+        F.sum(F.col("db") * F.col("db")).cast("long").alias("sb"),
+    )
+    ks = daily.sparkSession.range(-3, 4).select(F.col("id").cast("long").alias("k"))
+    b = dev.select(F.col("di").alias("dib"), F.col("db").alias("dbb"))
+    lags = (
+        dev.crossJoin(F.broadcast(ks))
+        .join(b, F.col("dib") == F.col("di") + F.col("k"))
+        .groupBy("k")
+        .agg(F.sum(F.col("da") * F.col("dbb")).cast("long").alias("sk"))
+    )
+    r = lags.crossJoin(F.broadcast(ss)).select(
+        "k",
+        F.round(
+            F.col("sk").cast("double")
+            / F.sqrt(F.col("sa").cast("double") * F.col("sb")),
+            6,
+        ).alias("xcorr"),
+    )
+    best = r.orderBy(F.abs(F.col("xcorr")).desc(), F.asc("k")).limit(1).select(
+        F.col("k").alias("best_lag")
+    )
+    return (
+        r.crossJoin(F.broadcast(best))
+        .select(F.col("k").alias("lag"), "xcorr", "best_lag")
+        .orderBy("lag")
+    )

@@ -3274,3 +3274,55 @@ def test_q314_kanon_no_small_cells_and_conserves_where_published(spark, qs):
         assert r["n"] >= 20
     supp = [r for r in rows if r["segment"] == "__suppressed__"]
     assert len(supp) <= 1
+
+
+def test_q315_spearman_vs_builtin_corr(spark, qs):
+    """Spearman/Pearson invariants: both in [-1, 1], and the Pearson
+    column must match Spark's built-in corr() to rounding (the
+    synthetic generator draws quantity and price independently, so
+    both sit near 0 — the estimator harness is what's under test,
+    q177 convention)."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    r = qs["q315_spearman_rank_corr"](spark, SF_DIR).collect()[0]
+    assert -1.0 <= r["spearman_rho"] <= 1.0 and -1.0 <= r["pearson_r"] <= 1.0
+    builtin = (
+        load(spark, SF_DIR, "lineitem")
+        .select(
+            F.corr(
+                F.round("l_quantity", 0), F.round(F.col("l_extendedprice") * 100, 0)
+            ).alias("c")
+        )
+        .collect()[0]["c"]
+    )
+    assert abs(r["pearson_r"] - builtin) < 1e-4
+
+
+def test_q316_ccf_bounds_and_best_lag(spark, qs):
+    """CCF invariants: all correlations in [-1, 1]; best_lag is the
+    argmax of |xcorr| with smallest-lag tie-break; 7 lags emitted."""
+    rows = sorted(qs["q316_cross_correlation_leadlag"](spark, SF_DIR).collect(), key=lambda r: r["lag"])
+    assert [r["lag"] for r in rows] == [-3, -2, -1, 0, 1, 2, 3]
+    for r in rows:
+        assert -1.0 <= r["xcorr"] <= 1.0
+    best = rows[0]["best_lag"]
+    mx = max(abs(r["xcorr"]) for r in rows)
+    cands = [r["lag"] for r in rows if abs(abs(r["xcorr"]) - mx) < 1e-12]
+    assert best == min(cands)
+    assert len({r["best_lag"] for r in rows}) == 1
+
+
+def test_q317_anova_decomposition_adds_up(spark, qs):
+    """ANOVA invariants: SS_A + SS_B + SS_AB + SS_within = SS_total
+    (to rounding), dfs partition n-1, all SS non-negative, F ratios
+    positive."""
+    rows = {r["source"]: r for r in qs["q317_twofactor_anova"](spark, SF_DIR).collect()}
+    parts = ["A(treatment)", "B(segment)", "AB(interaction)", "within"]
+    total = rows["total"]
+    assert abs(sum(rows[p]["ss"] for p in parts) - total["ss"]) < 0.05
+    assert sum(rows[p]["df"] for p in parts) == total["df"]
+    for p in parts:
+        assert rows[p]["ss"] >= -1e-9
+    for p in parts[:3]:
+        assert rows[p]["f_ratio"] is not None and rows[p]["f_ratio"] >= 0
