@@ -7193,3 +7193,265 @@ def q317_twofactor_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q318_price_volume_mix",
+    oracle="""
+    WITH base AS (
+        SELECT c.c_mktsegment AS segment,
+               CASE WHEN year(o.o_orderdate) = 1996 THEN 2 ELSE 1 END AS period,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE year(o.o_orderdate) IN (1995, 1996)
+    ),
+    cells AS (
+        SELECT segment,
+               CAST(sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN period = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN period = 1 THEN cents ELSE 0 END) AS BIGINT) AS s1,
+               CAST(sum(CASE WHEN period = 2 THEN cents ELSE 0 END) AS BIGINT) AS s2
+        FROM base GROUP BY segment
+    )
+    SELECT segment, n1, n2,
+           round(s1 / 100.0, 2) AS rev1,
+           round(s2 / 100.0, 2) AS rev2,
+           round((s2 - s1) / 100.0, 2) AS delta_rev,
+           round((n2 - n1) * (CAST(s1 AS DOUBLE) / n1) / 100.0, 2)
+               AS volume_effect,
+           round(n2 * (CAST(s2 AS DOUBLE) / n2 - CAST(s1 AS DOUBLE) / n1)
+                 / 100.0, 2) AS price_effect
+    FROM cells
+    ORDER BY segment
+    """,
+)
+def q318_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume decomposition of the year-over-year revenue change
+    per segment — the finance/BI waterfall behind every "why did
+    revenue move" review (q280's Oaxaca-Blinder decomposes a RATE
+    between groups; this decomposes a TOTAL between periods):
+    Δrev = (Δn)·p̄₁ + n₂·(p̄₂ − p̄₁), volume at old price plus price
+    at new volume — an EXACT identity (the two terms telescope to
+    s₂ − s₁), pinned by test. Integer-cent sums end-to-end; the
+    averages are the only doubles and they divide exact integers.
+
+    Scale: one broadcast dim join, ONE combining agg to
+    |segments|×2 cells, closed-form arithmetic after. A 100 TB
+    revenue bridge costs one filtered scan (and the year filter
+    partition-prunes on a date-partitioned lake).
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    base = (
+        o.filter(F.year("o_orderdate").isin(1995, 1996))
+        .join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o.o_custkey == c.c_custkey,
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.when(F.year("o_orderdate") == 1996, 2).otherwise(1).alias("period"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    cells = base.groupBy("segment").agg(
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("period") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("period") == 1, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("period") == 2, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s2"),
+    )
+    p1 = F.col("s1").cast("double") / F.col("n1")
+    p2 = F.col("s2").cast("double") / F.col("n2")
+    return cells.select(
+        "segment",
+        "n1",
+        "n2",
+        F.round(F.col("s1") / 100.0, 2).alias("rev1"),
+        F.round(F.col("s2") / 100.0, 2).alias("rev2"),
+        F.round((F.col("s2") - F.col("s1")) / 100.0, 2).alias("delta_rev"),
+        F.round((F.col("n2") - F.col("n1")) * p1 / 100.0, 2).alias("volume_effect"),
+        F.round(F.col("n2") * (p2 - p1) / 100.0, 2).alias("price_effect"),
+    ).orderBy("segment")
+
+
+_IG_FEATURES = [
+    ("segment", "c_mktsegment"),
+    ("orderstatus", "o_orderstatus"),
+    ("orderyear", "CAST(year(o_orderdate) AS VARCHAR)"),
+    ("noise_custkey_mod10", "CAST(o_custkey % 10 AS VARCHAR)"),
+]
+
+
+def _ig_oracle_block(label: str, expr: str) -> str:
+    return f"""
+    SELECT '{label}' AS feature,
+           CAST(count(*) AS BIGINT) AS n_values,
+           round(max(hy), 6) AS label_entropy,
+           round(CAST(sum(CAST(round(nv * hv * 1000000000) AS BIGINT)) AS DOUBLE)
+                 / 1000000000 / max(n), 6) AS cond_entropy,
+           round(max(hy)
+                 - CAST(sum(CAST(round(nv * hv * 1000000000) AS BIGINT)) AS DOUBLE)
+                   / 1000000000 / max(n), 6) AS info_gain
+    FROM (
+        SELECT v, nv, pos,
+               CASE WHEN pos = 0 OR pos = nv THEN 0.0
+                    ELSE -(CAST(pos AS DOUBLE) / nv) * ln(CAST(pos AS DOUBLE) / nv)
+                         - (CAST(nv - pos AS DOUBLE) / nv)
+                           * ln(CAST(nv - pos AS DOUBLE) / nv)
+               END AS hv,
+               sum(nv) OVER () AS n,
+               CASE WHEN sum(pos) OVER () = 0
+                         OR sum(pos) OVER () = sum(nv) OVER () THEN 0.0
+                    ELSE -(CAST(sum(pos) OVER () AS DOUBLE) / sum(nv) OVER ())
+                          * ln(CAST(sum(pos) OVER () AS DOUBLE) / sum(nv) OVER ())
+                         - (CAST(sum(nv) OVER () - sum(pos) OVER () AS DOUBLE)
+                            / sum(nv) OVER ())
+                          * ln(CAST(sum(nv) OVER () - sum(pos) OVER () AS DOUBLE)
+                               / sum(nv) OVER ())
+               END AS hy
+        FROM (
+            SELECT {expr} AS v, CAST(count(*) AS BIGINT) AS nv,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        )
+    )"""
+
+
+@register(
+    "q319_information_gain_screen",
+    oracle=" UNION ALL ".join(
+        _ig_oracle_block(lbl, ex) for lbl, ex in _IG_FEATURES
+    )
+    + " ORDER BY feature",
+)
+def q319_information_gain_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-gain feature screening against the high-priority
+    label, across FOUR candidate categorical features at once (q193's
+    WOE/IV prices one numeric feature; this ranks a feature MENU the
+    way a tree split or feature-selection pass does), including a
+    deliberate noise feature (custkey mod 10) whose gain must sit at
+    ~0 — the null reference that makes the other gains readable.
+    IG = H(y) − Σ_v (n_v/n)·H(y|v); every per-value weighted entropy
+    term is quantized to integer nano-nats before the cross-value
+    sum (the q301 discipline), so the screen is engine-exact.
+
+    Scale: per feature, ONE combining (value, label) rollup —
+    |values| rows; all four features share one scan via multi-agg
+    pushdown at 100 TB. Entropies are closed-form on the bounded
+    rollup; the label entropy is a window over it (bounded, q243
+    contract).
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    joined = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == c.c_custkey,
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderstatus").alias("orderstatus"),
+        F.year("o_orderdate").cast("string").alias("orderyear"),
+        (F.col("o_custkey") % 10).cast("string").alias("noise_custkey_mod10"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("y"),
+    )
+
+    def h(p):  # binary entropy of a fraction column, 0 at the edges
+        return F.when((p <= 0.0) | (p >= 1.0), 0.0).otherwise(
+            -p * F.log(p) - (1 - p) * F.log(1 - p)
+        )
+
+    outs = []
+    for label, _ in _IG_FEATURES:
+        cells = joined.groupBy(F.col(label).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("nv"),
+            F.sum("y").cast("long").alias("pos"),
+        )
+        tot = cells.agg(
+            F.sum("nv").cast("long").alias("n"), F.sum("pos").cast("long").alias("tp")
+        )
+        hv = h(F.col("pos").cast("double") / F.col("nv"))
+        hy = h(F.col("tp").cast("double") / F.col("n"))
+        term_q = F.round(F.col("nv") * hv * 1e9, 0).cast("long")
+        outs.append(
+            cells.crossJoin(F.broadcast(tot)).agg(
+                F.lit(label).alias("feature"),
+                F.count(F.lit(1)).cast("long").alias("n_values"),
+                F.round(F.max(hy), 6).alias("label_entropy"),
+                F.round(
+                    F.sum(term_q).cast("double") / 1e9 / F.max("n"), 6
+                ).alias("cond_entropy"),
+                F.round(
+                    F.max(hy) - F.sum(term_q).cast("double") / 1e9 / F.max("n"), 6
+                ).alias("info_gain"),
+            )
+        )
+    out = outs[0]
+    for nxt in outs[1:]:
+        out = out.unionByName(nxt)
+    return out.orderBy("feature")
+
+
+_FRESH_SLA_HOURS = 24
+
+
+@register(
+    "q320_freshness_audit",
+    oracle=f"""
+    WITH per_type AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               epoch_us(max(ts)) AS last_us
+        FROM events GROUP BY event_type
+    ),
+    hw AS (SELECT max(last_us) AS hwm FROM per_type)
+    SELECT event_type, n_events, last_us,
+           round((hw.hwm - last_us) / 3600000000.0, 4) AS lag_hours,
+           (hw.hwm - last_us) > {_FRESH_SLA_HOURS} * 3600000000 AS stale
+    FROM per_type CROSS JOIN hw
+    ORDER BY event_type
+    """,
+)
+def q320_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness/staleness audit — the pipeline-operations
+    check that pages someone BEFORE q293's quality drift can even
+    accumulate: each event type's high-water mark (integer event-time
+    micros — a raw timestamp column would hit the ns-vs-us pandas
+    decode split between engines), its lag behind
+    the global high-water mark in hours, and a >24h SLA breach flag.
+    Lags are integer microsecond differences (engine-exact); the
+    flag compares integers, never floats.
+
+    Scale: ONE map-side-combining agg to |types| rows plus a 1-row
+    broadcast of the global high-water mark. On a date-partitioned
+    lake the same audit reads only each partition's footer max —
+    effectively free, which is why it runs every ingest cycle.
+    """
+    e = load(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.unix_micros(F.max("ts")).alias("last_us"),
+    )
+    hw = per_type.agg(F.max("last_us").alias("hwm"))
+    return (
+        per_type.crossJoin(F.broadcast(hw))
+        .select(
+            "event_type",
+            "n_events",
+            "last_us",
+            F.round((F.col("hwm") - F.col("last_us")) / 3600000000.0, 4).alias(
+                "lag_hours"
+            ),
+            (
+                (F.col("hwm") - F.col("last_us"))
+                > _FRESH_SLA_HOURS * 3600000000
+            ).alias("stale"),
+        )
+        .orderBy("event_type")
+    )

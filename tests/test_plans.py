@@ -3326,3 +3326,39 @@ def test_q317_anova_decomposition_adds_up(spark, qs):
         assert rows[p]["ss"] >= -1e-9
     for p in parts[:3]:
         assert rows[p]["f_ratio"] is not None and rows[p]["f_ratio"] >= 0
+
+
+def test_q318_pvm_identity(spark, qs):
+    """PVM invariants: volume + price effects telescope to the exact
+    revenue delta per segment (to cents rounding)."""
+    rows = qs["q318_price_volume_mix"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert abs(r["volume_effect"] + r["price_effect"] - r["delta_rev"]) < 0.05
+        assert abs((r["rev2"] - r["rev1"]) - r["delta_rev"]) < 0.01
+        assert r["n1"] > 0 and r["n2"] > 0
+
+
+def test_q319_noise_feature_gains_nothing(spark, qs):
+    """IG invariants: 0 <= IG <= H(y) for every feature; the planted
+    noise feature's gain is ~0; label entropy identical across rows."""
+    rows = {r["feature"]: r for r in qs["q319_information_gain_screen"](spark, SF_DIR).collect()}
+    assert len(rows) == 4
+    hy = {r["label_entropy"] for r in rows.values()}
+    assert len(hy) == 1
+    for r in rows.values():
+        assert -1e-9 <= r["info_gain"] <= r["label_entropy"] + 1e-9
+        assert abs(r["label_entropy"] - (r["cond_entropy"] + r["info_gain"])) < 1e-5
+    assert rows["noise_custkey_mod10"]["info_gain"] < 0.01
+
+
+def test_q320_freshness_hwm_and_flags(spark, qs):
+    """Freshness invariants: exactly one stream sits at lag 0 (the
+    high-water mark), lags non-negative, stale flag consistent."""
+    rows = qs["q320_freshness_audit"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    zeros = [r for r in rows if r["lag_hours"] == 0.0]
+    assert len(zeros) >= 1
+    for r in rows:
+        assert r["lag_hours"] >= 0.0
+        assert r["stale"] == (r["lag_hours"] > 24.0)
