@@ -7455,3 +7455,194 @@ def q320_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# (table, numeric+timestamp col count, string cols) — schema widths for
+# the planning advisor; strings are measured, fixed types are 8 bytes
+_ADVISOR_TABLES = [
+    ("orders", 4, ["o_orderstatus", "o_orderpriority"]),
+    ("lineitem", 9, ["l_returnflag", "l_linestatus"]),
+    ("customer", 3, ["c_name", "c_mktsegment"]),
+    ("events", 4, ["event_type", "props"]),
+    ("documents", 2, ["text", "lang", "source"]),
+]
+
+_TARGET_PART_BYTES = 128 * 1024 * 1024
+
+
+def _advisor_block(table: str, n_fixed: int, str_cols: list[str]) -> str:
+    sumlens = " + ".join(f"sum(length({c}))" for c in str_cols)
+    return f"""
+    SELECT '{table}' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST({8 * n_fixed} * count(*) + {sumlens}
+                + {4 * len(str_cols)} * count(*) AS BIGINT) AS est_bytes,
+           round(CAST({8 * n_fixed} * count(*) + {sumlens}
+                      + {4 * len(str_cols)} * count(*) AS DOUBLE)
+                 / count(*), 2) AS est_row_bytes,
+           CAST(greatest(ceil(CAST({8 * n_fixed} * count(*) + {sumlens}
+                                   + {4 * len(str_cols)} * count(*) AS DOUBLE)
+                              / {_TARGET_PART_BYTES}), 1) AS BIGINT)
+               AS partitions_128mb
+    FROM {table}"""
+
+
+@register(
+    "q321_partition_size_advisor",
+    oracle=" UNION ALL ".join(
+        _advisor_block(*t) for t in _ADVISOR_TABLES
+    )
+    + " ORDER BY table_name",
+)
+def q321_partition_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle/scan partition-count advisor from measured table
+    widths — the sizing arithmetic behind `spark.sql.shuffle.
+    partitions` and `files.maxPartitionBytes` that SCALE_NOTES does
+    by hand: estimate each table's in-memory bytes as 8 B per
+    fixed-width column plus measured string lengths (+4 B string
+    overhead), and emit the partition count that lands each table at
+    128 MB per partition. The estimate is INTEGER byte totals
+    (sums of lengths — no per-column averaged doubles crossing the
+    engines), so both engines agree exactly. q296 profiles column
+    STATS; this turns widths into the two knobs a job actually sets.
+
+    Scale: one combining agg per table (length sums ride any
+    existing scan). At 100 TB the same arithmetic runs on parquet
+    footer metadata instead of a scan — the numbers it emits are
+    the cluster-sizing inputs, which is the point.
+    """
+    outs = []
+    for table, n_fixed, str_cols in _ADVISOR_TABLES:
+        t = load(spark, sf_dir, table)
+        sumlen = None
+        for c in str_cols:
+            term = F.sum(F.length(c).cast("long"))
+            sumlen = term if sumlen is None else sumlen + term
+        n = F.count(F.lit(1))
+        est = (
+            F.lit(8 * n_fixed) * n + sumlen + F.lit(4 * len(str_cols)) * n
+        ).cast("long")
+        outs.append(
+            t.agg(
+                F.lit(table).alias("table_name"),
+                n.cast("long").alias("n_rows"),
+                est.alias("est_bytes"),
+                F.round(est.cast("double") / n, 2).alias("est_row_bytes"),
+                F.greatest(
+                    F.ceil(est.cast("double") / _TARGET_PART_BYTES), F.lit(1)
+                ).cast("long").alias("partitions_128mb"),
+            )
+        )
+    out = outs[0]
+    for nxt in outs[1:]:
+        out = out.unionByName(nxt)
+    return out.orderBy("table_name")
+
+
+@register(
+    "q322_join_order_cost_rank",
+    oracle="""
+    WITH stats AS (
+        SELECT (SELECT CAST(count(*) AS DOUBLE) FROM orders) AS n_o,
+               (SELECT CAST(count(DISTINCT o_custkey) AS DOUBLE) FROM orders) AS d_oc,
+               (SELECT CAST(count(*) AS DOUBLE) FROM customer) AS n_c,
+               (SELECT CAST(count(DISTINCT c_custkey) AS DOUBLE) FROM customer) AS d_cc,
+               (SELECT CAST(count(DISTINCT c_nationkey) AS DOUBLE) FROM customer) AS d_cn,
+               (SELECT CAST(count(*) AS DOUBLE) FROM nation) AS n_n,
+               (SELECT CAST(count(DISTINCT n_nationkey) AS DOUBLE) FROM nation) AS d_nn
+    ),
+    plans AS (
+        SELECT 'orders-customer_then_nation' AS plan,
+               n_o * n_c / greatest(d_oc, d_cc) AS first_join,
+               n_o * n_c / greatest(d_oc, d_cc) * n_n / greatest(d_cn, d_nn)
+                   AS final_rows
+        FROM stats
+        UNION ALL
+        SELECT 'customer-nation_then_orders',
+               n_c * n_n / greatest(d_cn, d_nn),
+               n_c * n_n / greatest(d_cn, d_nn) * n_o / greatest(d_oc, d_cc)
+        FROM stats
+        UNION ALL
+        SELECT 'orders-nation_cross_then_customer',
+               n_o * n_n,
+               n_o * n_n * n_c / greatest(d_oc, d_cc) / greatest(d_cn, d_nn)
+        FROM stats
+    )
+    SELECT plan,
+           CAST(round(first_join) AS BIGINT) AS est_intermediate_rows,
+           CAST(round(final_rows) AS BIGINT) AS est_final_rows,
+           CAST(row_number() OVER (
+               ORDER BY first_join + final_rows, plan) AS BIGINT) AS cost_rank
+    FROM plans
+    ORDER BY cost_rank
+    """,
+)
+def q322_join_order_cost_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-order cost ranking from catalog statistics — the
+    textbook System-R estimate |A⋈B| = |A|·|B| / max(ndv_A, ndv_B)
+    applied to the three left-deep orders of orders⋈customer⋈nation,
+    making the optimizer's choice INSPECTABLE (q194 estimates ONE
+    join's size by sampling; this ranks whole orders from NDV stats
+    — exactly what Catalyst's CBO consumes, fed here by q296's
+    profile). The no-shared-key order prices as a cross product and
+    must rank last; the dim-first order (customer⋈nation) wins
+    because its intermediate never exceeds |customer|.
+
+    Scale: the statistics are six scalar aggregates (exact here,
+    HLL NDVs at 100 TB — q296's exact_ndv flag); the ranking is
+    arithmetic on a 3-row relation (bounded window, q243 contract).
+    Nothing here touches more than one scan per statistic.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    stats = (
+        o.agg(
+            F.count(F.lit(1)).cast("double").alias("n_o"),
+            F.countDistinct("o_custkey").cast("double").alias("d_oc"),
+        )
+        .crossJoin(
+            F.broadcast(
+                c.agg(
+                    F.count(F.lit(1)).cast("double").alias("n_c"),
+                    F.countDistinct("c_custkey").cast("double").alias("d_cc"),
+                    F.countDistinct("c_nationkey").cast("double").alias("d_cn"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                n.agg(
+                    F.count(F.lit(1)).cast("double").alias("n_n"),
+                    F.countDistinct("n_nationkey").cast("double").alias("d_nn"),
+                )
+            )
+        )
+    )
+    oc = F.col("n_o") * F.col("n_c") / F.greatest(F.col("d_oc"), F.col("d_cc"))
+    cn = F.col("n_c") * F.col("n_n") / F.greatest(F.col("d_cn"), F.col("d_nn"))
+    plans = stats.select(
+        F.expr(
+            "stack(3, "
+            "'orders-customer_then_nation', "
+            "n_o * n_c / greatest(d_oc, d_cc), "
+            "n_o * n_c / greatest(d_oc, d_cc) * n_n / greatest(d_cn, d_nn), "
+            "'customer-nation_then_orders', "
+            "n_c * n_n / greatest(d_cn, d_nn), "
+            "n_c * n_n / greatest(d_cn, d_nn) * n_o / greatest(d_oc, d_cc), "
+            "'orders-nation_cross_then_customer', "
+            "n_o * n_n, "
+            "n_o * n_n * n_c / greatest(d_oc, d_cc) / greatest(d_cn, d_nn)"
+            ") AS (plan, first_join, final_rows)"
+        )
+    )
+    w = Window.orderBy(F.col("first_join") + F.col("final_rows"), F.col("plan"))
+    return (
+        plans.select(
+            "plan",
+            F.round("first_join", 0).cast("long").alias("est_intermediate_rows"),
+            F.round("final_rows", 0).cast("long").alias("est_final_rows"),
+            F.row_number().over(w).cast("long").alias("cost_rank"),
+        )
+        .orderBy("cost_rank")
+    )

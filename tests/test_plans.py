@@ -3362,3 +3362,30 @@ def test_q320_freshness_hwm_and_flags(spark, qs):
     for r in rows:
         assert r["lag_hours"] >= 0.0
         assert r["stale"] == (r["lag_hours"] > 24.0)
+
+
+def test_q321_advisor_widths_positive_and_scale(spark, qs):
+    """Advisor invariants: positive byte estimates; partitions >= 1;
+    lineitem (widest fact) dominates total bytes at any SF."""
+    rows = {r["table_name"]: r for r in qs["q321_partition_size_advisor"](spark, SF_DIR).collect()}
+    assert set(rows) == {"orders", "lineitem", "customer", "events", "documents"}
+    for r in rows.values():
+        assert r["est_bytes"] > 0 and r["est_row_bytes"] > 8
+        assert r["partitions_128mb"] >= 1
+        assert abs(r["est_row_bytes"] * r["n_rows"] - r["est_bytes"]) < r["n_rows"]
+    assert rows["lineitem"]["est_bytes"] == max(r["est_bytes"] for r in rows.values())
+
+
+def test_q322_cross_product_ranks_last(spark, qs):
+    """Cost-rank invariants: the no-shared-key order prices as a
+    cross product and must rank last; the dim-first order's
+    intermediate never exceeds |customer|; all three final estimates
+    agree (same join result, different order)."""
+    from g_etl_spark.tables import load
+
+    rows = {r["plan"]: r for r in qs["q322_join_order_cost_rank"](spark, SF_DIR).collect()}
+    assert rows["orders-nation_cross_then_customer"]["cost_rank"] == 3
+    n_c = load(spark, SF_DIR, "customer").count()
+    assert rows["customer-nation_then_orders"]["est_intermediate_rows"] <= n_c
+    finals = {r["est_final_rows"] for r in rows.values()}
+    assert len(finals) == 1
