@@ -3771,3 +3771,127 @@ def q312_blocked_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall"
         ),
     )
+
+
+@register(
+    "q323_survivorship_conflict_profile",
+    oracle="""
+    WITH members AS MATERIALIZED (
+        SELECT c_custkey AS k, c_name AS name,
+               c_acctbal AS bal, c_mktsegment AS seg
+        FROM customer
+        UNION ALL
+        SELECT c_custkey + 1000000, lower(c_name),
+               CASE WHEN c_custkey % 3 = 0 THEN NULL
+                    ELSE c_acctbal + 5.0 END,
+               CASE WHEN c_custkey % 4 = 0 THEN 'UNKNOWN'
+                    ELSE c_mktsegment END
+        FROM customer
+        UNION ALL
+        SELECT c_custkey + 2000000, upper(c_name),
+               c_acctbal - 2.5, c_mktsegment
+        FROM customer
+    ),
+    per_cluster AS (
+        SELECT lower(name) AS ck,
+               count(DISTINCT name) AS d_name,
+               count(DISTINCT bal) AS d_bal,
+               count(DISTINCT seg) AS d_seg,
+               CAST(sum(CASE WHEN name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z_name,
+               CAST(sum(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z_bal,
+               CAST(sum(CASE WHEN seg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS z_seg
+        FROM members GROUP BY 1
+    )
+    SELECT * FROM (
+        SELECT 'name' AS field,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(CASE WHEN d_name > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_conflicted,
+               round(CAST(sum(CASE WHEN d_name > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS conflict_rate,
+               CAST(sum(z_name) AS BIGINT) AS n_null_members,
+               round(avg(d_name), 4) AS avg_distinct_values
+        FROM per_cluster
+        UNION ALL
+        SELECT 'bal', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN d_bal > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               round(CAST(sum(CASE WHEN d_bal > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6),
+               CAST(sum(z_bal) AS BIGINT), round(avg(d_bal), 4)
+        FROM per_cluster
+        UNION ALL
+        SELECT 'seg', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN d_seg > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               round(CAST(sum(CASE WHEN d_seg > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6),
+               CAST(sum(z_seg) AS BIGINT), round(avg(d_seg), 4)
+        FROM per_cluster
+    ) ORDER BY field
+    """,
+)
+def q323_survivorship_conflict_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FIELD conflict profile across merge clusters — the audit a
+    steward reads BEFORE trusting q252's golden records (survivorship
+    silently picks a winner; this says how often it had to): on the
+    same three-source planted corpus, count clusters where a field
+    has >1 distinct value, its null-member total, and the average
+    distinct-value fan. The planted truth grades itself: name and
+    balance conflict in every cluster (case variants / ±offsets),
+    segment only where the planted 'UNKNOWN' source fires (~25%) —
+    so the three rates (1.0 / 1.0 / ~0.25) prove the profiler
+    separates fields rather than reporting a constant.
+
+    Scale: one cluster-keyed combining agg (count DISTINCT per field
+    inside the cluster — bounded by member count), then a 3-row
+    rollup. The report costs exactly one pass over the merge input.
+    """
+    c = load(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    v1 = c.select(
+        F.lower("c_name").alias("name"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("c_acctbal") + 5.0)
+        .alias("bal"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    v2 = c.select(
+        F.upper("c_name").alias("name"),
+        (F.col("c_acctbal") - 2.5).alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    members = base.unionByName(v1).unionByName(v2)
+    per_cluster = members.groupBy(F.lower("name").alias("ck")).agg(
+        F.countDistinct("name").alias("d_name"),
+        F.countDistinct("bal").alias("d_bal"),
+        F.countDistinct("seg").alias("d_seg"),
+        F.sum(F.when(F.col("name").isNull(), 1).otherwise(0)).cast("long").alias("z_name"),
+        F.sum(F.when(F.col("bal").isNull(), 1).otherwise(0)).cast("long").alias("z_bal"),
+        F.sum(F.when(F.col("seg").isNull(), 1).otherwise(0)).cast("long").alias("z_seg"),
+    )
+    outs = []
+    for field in ("name", "bal", "seg"):
+        d, z = F.col(f"d_{field}"), F.col(f"z_{field}")
+        outs.append(
+            per_cluster.agg(
+                F.lit(field).alias("field"),
+                F.count(F.lit(1)).cast("long").alias("n_clusters"),
+                F.sum(F.when(d > 1, 1).otherwise(0)).cast("long").alias("n_conflicted"),
+                F.round(
+                    F.sum(F.when(d > 1, 1).otherwise(0)).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("conflict_rate"),
+                F.sum(z).cast("long").alias("n_null_members"),
+                F.round(F.avg(d), 4).alias("avg_distinct_values"),
+            )
+        )
+    out = outs[0]
+    for nxt in outs[1:]:
+        out = out.unionByName(nxt)
+    return out.orderBy("field")

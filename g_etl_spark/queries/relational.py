@@ -7646,3 +7646,126 @@ def q322_join_order_cost_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cost_rank")
     )
+
+
+_TRIM_LEVELS = (0.0, 0.01, 0.05, 0.10)
+
+
+@register(
+    "q325_trimmed_effect_sensitivity",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey % 2 AS t,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS y
+        FROM orders
+    ),
+    bounds AS (
+        SELECT quantile_cont(y, [0.0, 0.01, 0.05, 0.10]) AS lo,
+               quantile_cont(y, [1.0, 0.99, 0.95, 0.90]) AS hi
+        FROM base
+    ),
+    lv AS (
+        SELECT unnest([{", ".join(str(t) for t in _TRIM_LEVELS)}]) AS trim_pct,
+               unnest(range(1, {len(_TRIM_LEVELS) + 1})) AS i
+    ),
+    cells AS (
+        SELECT lv.trim_pct,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(b.t) AS BIGINT) AS n1,
+               CAST(sum(b.t * b.y) AS BIGINT) AS s1,
+               CAST(sum(1 - b.t) AS BIGINT) AS n0,
+               CAST(sum((1 - b.t) * b.y) AS BIGINT) AS s0
+        FROM base b CROSS JOIN bounds CROSS JOIN lv
+        WHERE b.y >= bounds.lo[lv.i] AND b.y <= bounds.hi[lv.i]
+        GROUP BY lv.trim_pct
+    ),
+    eff AS (
+        SELECT trim_pct, n_kept,
+               round(CAST(s1 AS DOUBLE) / n1 / 100.0
+                     - CAST(s0 AS DOUBLE) / n0 / 100.0, 4) AS diff
+        FROM cells
+    ),
+    ref AS (SELECT diff AS d0 FROM eff WHERE trim_pct = 0.0)
+    SELECT eff.trim_pct, eff.n_kept, eff.diff,
+           round(eff.diff - ref.d0, 4) AS delta_vs_untrimmed
+    FROM eff CROSS JOIN ref
+    ORDER BY eff.trim_pct
+    """,
+)
+def q325_trimmed_effect_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-sensitivity sweep of the treatment effect — the
+    robustness table a reviewer demands before believing q150's
+    z-test on a heavy-tailed metric (q231 diagnoses the tail; this
+    shows whether the EFFECT depends on it): the diff-in-means
+    recomputed with the pooled outcome trimmed at 0/1/5/10% on both
+    ends, plus each level's drift from the untrimmed estimate. An
+    effect that flips sign or collapses under 1% trimming was an
+    outlier artifact, not a treatment effect. Trim bounds are exact
+    pooled quantiles (q182's convention — identical interpolation in
+    both engines on integer cents); kept-row sums are integer cents.
+
+    Scale: ONE pass computes all four exact bound pairs (one sort-
+    free percentile agg; t-digest sketch at 100 TB, q39's trade),
+    then one scan with a broadcast 4-row level set produces every
+    trimmed cell via conditional aggregation — the whole sweep costs
+    two scans regardless of how many levels are swept.
+    """
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        (F.col("o_orderkey") % 2).alias("t"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("y"),
+    )
+    los = [0.0, 0.01, 0.05, 0.10]
+    his = [1.0, 0.99, 0.95, 0.90]
+    bounds = base.agg(
+        *[
+            F.expr(f"percentile(y, {p}D)").alias(f"lo_{i}")
+            for i, p in enumerate(los)
+        ],
+        *[
+            F.expr(f"percentile(y, {p}D)").alias(f"hi_{i}")
+            for i, p in enumerate(his)
+        ],
+    )
+    lv = base.sparkSession.createDataFrame(
+        [(t, i) for i, t in enumerate(_TRIM_LEVELS)], "trim_pct double, i int"
+    )
+    lo = F.element_at(
+        F.array(*[F.col(f"lo_{i}") for i in range(len(los))]), F.col("i") + 1
+    )
+    hi = F.element_at(
+        F.array(*[F.col(f"hi_{i}") for i in range(len(his))]), F.col("i") + 1
+    )
+    cells = (
+        base.crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(lv))
+        .filter((F.col("y") >= lo) & (F.col("y") <= hi))
+        .groupBy("trim_pct")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("t").cast("long").alias("n1"),
+            F.sum(F.col("t") * F.col("y")).cast("long").alias("s1"),
+            F.sum(1 - F.col("t")).cast("long").alias("n0"),
+            F.sum((1 - F.col("t")) * F.col("y")).cast("long").alias("s0"),
+        )
+    )
+    eff = cells.select(
+        "trim_pct",
+        "n_kept",
+        F.round(
+            F.col("s1").cast("double") / F.col("n1") / 100.0
+            - F.col("s0").cast("double") / F.col("n0") / 100.0,
+            4,
+        ).alias("diff"),
+    )
+    ref = eff.filter(F.col("trim_pct") == 0.0).select(F.col("diff").alias("d0"))
+    return (
+        eff.crossJoin(F.broadcast(ref))
+        .select(
+            "trim_pct",
+            "n_kept",
+            "diff",
+            F.round(F.col("diff") - F.col("d0"), 4).alias("delta_vs_untrimmed"),
+        )
+        .orderBy("trim_pct")
+    )

@@ -5539,3 +5539,91 @@ def q316_cross_correlation_leadlag(spark: SparkSession, sf_dir: str) -> DataFram
         .select(F.col("k").alias("lag"), "xcorr", "best_lag")
         .orderBy("lag")
     )
+
+
+@register(
+    "q324_time_weighted_average",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+                   AS day,
+               epoch_us(ts) AS t_us,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, CAST(ts AS DATE)
+                   ORDER BY ts, event_id
+               ) AS next_us
+        FROM events
+    ),
+    segs AS (
+        SELECT user_id, day,
+               CAST(sum(cents * (next_us - t_us)) AS BIGINT) AS wsum,
+               CAST(sum(next_us - t_us) AS BIGINT) AS dur,
+               CAST(count(*) AS BIGINT) + 1 AS n_events
+        FROM seq WHERE next_us IS NOT NULL
+        GROUP BY user_id, day
+    )
+    SELECT user_id, day, n_events,
+           round(CAST(wsum AS DOUBLE) / dur / 100.0, 4) AS twap,
+           round(dur / 3600000000.0, 4) AS span_hours
+    FROM segs
+    WHERE dur > 0
+    ORDER BY user_id, day
+    """,
+)
+def q324_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP) per user-day — the step-
+    function integral ∫v dt / ∫dt that plain AVG gets WRONG on
+    irregularly-sampled observations (a value held for 6 hours must
+    weigh 360x one held for a minute — the financial TWAP / metrics
+    time-in-state convention; q125's EWMA weights by recency, this
+    weighs by DURATION). Each observation holds until the next one
+    in the same user-day; weights are integer microsecond durations
+    times integer cents (engine-exact products), so the only double
+    is the final division. Single-event days carry no interval and
+    drop out (dur > 0 guard).
+
+    Scale: ONE user/day-keyed exchange produces all hold intervals
+    (a lead() window, PARTITIONED — never global), then one
+    combining agg per user-day. This is the as-of/session family's
+    physical shape (q36/q213) pointed at weighted means; at 100 TB
+    the exchange partition-prunes on a date-partitioned log.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.col("ts").cast("date")).orderBy(
+        "ts", "event_id"
+    )
+    seq = e.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+        F.unix_micros("ts").alias("t_us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    )
+    segs = (
+        seq.filter(F.col("next_us").isNotNull())
+        .groupBy("user_id", "day")
+        .agg(
+            F.sum(F.col("cents") * (F.col("next_us") - F.col("t_us")))
+            .cast("long")
+            .alias("wsum"),
+            F.sum(F.col("next_us") - F.col("t_us")).cast("long").alias("dur"),
+            (F.count(F.lit(1)) + 1).cast("long").alias("n_events"),
+        )
+    )
+    return (
+        segs.filter(F.col("dur") > 0)
+        .select(
+            "user_id",
+            "day",
+            "n_events",
+            F.round(F.col("wsum").cast("double") / F.col("dur") / 100.0, 4).alias(
+                "twap"
+            ),
+            F.round(F.col("dur") / 3600000000.0, 4).alias("span_hours"),
+        )
+        .orderBy("user_id", "day")
+    )

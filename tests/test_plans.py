@@ -3389,3 +3389,68 @@ def test_q322_cross_product_ranks_last(spark, qs):
     assert rows["customer-nation_then_orders"]["est_intermediate_rows"] <= n_c
     finals = {r["est_final_rows"] for r in rows.values()}
     assert len(finals) == 1
+
+
+def test_q323_conflict_rates_separate_fields(spark, qs):
+    """Conflict-profile invariants: the planted corpus makes name and
+    balance conflict everywhere (rate 1.0) and segment only where the
+    'UNKNOWN' source fires (~0.25) — the profiler must separate them;
+    null members appear only on balance (%3 planted)."""
+    rows = {r["field"]: r for r in qs["q323_survivorship_conflict_profile"](spark, SF_DIR).collect()}
+    assert rows["name"]["conflict_rate"] == 1.0
+    assert rows["bal"]["conflict_rate"] == 1.0
+    assert 0.1 < rows["seg"]["conflict_rate"] < 0.5
+    assert rows["bal"]["n_null_members"] > 0
+    assert rows["name"]["n_null_members"] == rows["seg"]["n_null_members"] == 0
+    n = {r["n_clusters"] for r in rows.values()}
+    assert len(n) == 1
+
+
+def test_q324_twap_differs_from_plain_avg_and_bounded(spark, qs):
+    """TWAP invariants: every TWAP lies within the user-day's value
+    range (it is a convex combination), spans positive, and the
+    partitioned lead() window is the only window in the plan."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    df = qs["q324_time_weighted_average"](spark, SF_DIR)
+    _assert_windows_partitioned(plan_of(df))
+    rows = df.collect()
+    assert rows
+    e = load(spark, SF_DIR, "events").select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+        "value",
+    )
+    rng = {
+        (r["user_id"], r["day"]): (r["lo"], r["hi"])
+        for r in e.groupBy("user_id", "day")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in rows[:200]:
+        lo, hi = rng[(r["user_id"], r["day"])]
+        assert lo - 0.01 <= r["twap"] <= hi + 0.01
+        assert r["span_hours"] > 0 and r["n_events"] >= 2
+
+
+def test_q325_sensitivity_anchored_and_shrinking_n(spark, qs):
+    """Sensitivity-sweep invariants: kept counts strictly decrease
+    with trimming, the 0% row matches the plain diff-in-means, and
+    delta_vs_untrimmed is 0 at trim 0."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    rows = sorted(qs["q325_trimmed_effect_sensitivity"](spark, SF_DIR).collect(), key=lambda r: r["trim_pct"])
+    assert [r["trim_pct"] for r in rows] == [0.0, 0.01, 0.05, 0.10]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_kept"] < a["n_kept"]
+    assert rows[0]["delta_vs_untrimmed"] == 0.0
+    o = load(spark, SF_DIR, "orders").select(
+        (F.col("o_orderkey") % 2).alias("t"), F.col("o_totalprice").alias("y")
+    )
+    plain = o.groupBy("t").agg(F.avg("y").alias("m")).collect()
+    d = {r["t"]: r["m"] for r in plain}
+    assert abs((d[1] - d[0]) - rows[0]["diff"]) < 0.01
