@@ -3472,3 +3472,181 @@ def q303_cohens_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("p_expected"),
         F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
     )
+
+
+_CTX_SIZES = (64, 128, 256, 512)
+
+
+@register(
+    "q326_padding_waste_table",
+    oracle=f"""
+    WITH lens AS (
+        SELECT CAST(len({_TOKS}) AS BIGINT) AS n_tok FROM documents
+    ),
+    ctx AS (SELECT CAST(unnest([{", ".join(str(c) for c in _CTX_SIZES)}])
+                        AS BIGINT) AS ctx)
+    SELECT ctx.ctx,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST(ceil(CAST(n_tok AS DOUBLE) / ctx.ctx) AS BIGINT))
+                AS BIGINT) AS n_sequences,
+           CAST(sum(CAST(ceil(CAST(n_tok AS DOUBLE) / ctx.ctx) AS BIGINT)
+                    * ctx.ctx - n_tok) AS BIGINT) AS pad_tokens,
+           round(CAST(sum(CAST(ceil(CAST(n_tok AS DOUBLE) / ctx.ctx) AS BIGINT)
+                          * ctx.ctx - n_tok) AS DOUBLE)
+                 / sum(CAST(ceil(CAST(n_tok AS DOUBLE) / ctx.ctx) AS BIGINT)
+                       * ctx.ctx), 6) AS waste_ratio
+    FROM lens CROSS JOIN ctx
+    GROUP BY ctx.ctx
+    ORDER BY ctx.ctx
+    """,
+)
+def q326_padding_waste_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window padding-waste table — the capacity planning
+    BEFORE q129's sequence packing: if each document is padded up to
+    a multiple of the context size (the naive no-packing loader),
+    how many sequences and what fraction of compute is padding, for
+    context sizes 64-512? waste_ratio here is the packing
+    opportunity: q129's greedy packer recovers ~all of it, and this
+    table says which context size makes packing worth the shuffle.
+    Everything is integer token counts (ceil on an exact ratio), so
+    both engines agree bit-for-bit.
+
+    Scale: ONE map-side token count per doc (no explode — array
+    length only) crossed with a broadcast 4-row context set, one
+    combining agg. The whole table is a free rider on any tokenizing
+    scan at 100 TB.
+    """
+    d = load(spark, sf_dir, "documents")
+    lens = d.select(F.size(T.tokens(F.col("text"))).cast("long").alias("n_tok"))
+    ctx = d.sparkSession.createDataFrame(
+        [(c,) for c in _CTX_SIZES], "ctx long"
+    )
+    nseq = F.ceil(F.col("n_tok").cast("double") / F.col("ctx")).cast("long")
+    return (
+        lens.crossJoin(F.broadcast(ctx))
+        .groupBy("ctx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum(nseq).cast("long").alias("n_sequences"),
+            F.sum(nseq * F.col("ctx") - F.col("n_tok")).cast("long").alias(
+                "pad_tokens"
+            ),
+            F.round(
+                F.sum(nseq * F.col("ctx") - F.col("n_tok")).cast("double")
+                / F.sum(nseq * F.col("ctx")),
+                6,
+            ).alias("waste_ratio"),
+        )
+        .orderBy("ctx")
+    )
+
+
+@register(
+    "q327_jsd_source_matrix",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({_TOKS}) AS token FROM documents
+    ),
+    dist AS (
+        SELECT source, token, CAST(count(*) AS BIGINT) AS c,
+               CAST(sum(count(*)) OVER (PARTITION BY source) AS BIGINT) AS n
+        FROM tok GROUP BY source, token
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               coalesce(a.token, b.token) AS token,
+               coalesce(CAST(a.c AS DOUBLE) / a.n, 0.0) AS pa,
+               coalesce(CAST(b.c AS DOUBLE) / b.n, 0.0) AS pb
+        FROM (SELECT * FROM dist) a
+        FULL OUTER JOIN (SELECT * FROM dist) b
+          ON a.token = b.token AND a.source < b.source
+        WHERE a.source IS NOT NULL AND b.source IS NOT NULL
+    ),
+    terms AS (
+        SELECT source_a, source_b,
+               CAST(round(1000000000 * (
+                   CASE WHEN pa > 0
+                        THEN 0.5 * pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END
+                 + CASE WHEN pb > 0
+                        THEN 0.5 * pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END
+               )) AS BIGINT) AS tq
+        FROM pairs
+    )
+    SELECT source_a, source_b,
+           round(CAST(sum(tq) AS DOUBLE) / 1000000000, 6) AS jsd_nats,
+           round(sqrt(greatest(CAST(sum(tq) AS DOUBLE) / 1000000000, 0.0)
+                      / ln(2)), 6) AS jsd_distance
+    FROM terms
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def q327_jsd_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the sources'
+    unigram distributions — the SYMMETRIC, always-finite corpus-
+    similarity matrix (q122's KL explodes on any token one source
+    lacks; JSD's mixture midpoint never does), whose square root
+    (base 2) is a metric in [0, 1] — the distance that drives corpus
+    mixing and source clustering decisions (q228/q233 consume such
+    distances). Per-token JSD terms are quantized to integer
+    nano-nats before the per-pair sum (the q319 discipline), so the
+    matrix is engine-exact.
+
+    Scale: one explode + combining count to |source × vocab| cells;
+    the pair relation is a token equi-join over that rollup
+    (FULL OUTER so one-sided tokens contribute their half-term) —
+    Σ per-token source-pair fan, bounded by |sources|²·|vocab|,
+    never by corpus rows.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(T.tokens(F.col("text"))).alias("token"))
+    counts = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    dist = counts.join(F.broadcast(totals), "source")
+    a = dist.select(
+        F.col("source").alias("source_a"),
+        "token",
+        (F.col("c").cast("double") / F.col("n")).alias("pa"),
+    )
+    b = dist.select(
+        F.col("source").alias("source_b"),
+        F.col("token").alias("token_b"),
+        (F.col("c").cast("double") / F.col("n")).alias("pb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("token") == F.col("token_b"))
+            & (F.col("source_a") < F.col("source_b")),
+            "full",
+        )
+        .filter(F.col("source_a").isNotNull() & F.col("source_b").isNotNull())
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("pa", F.lit(0.0)).alias("pa"),
+            F.coalesce("pb", F.lit(0.0)).alias("pb"),
+        )
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    term = F.when(
+        F.col("pa") > 0, 0.5 * F.col("pa") * F.log(F.col("pa") / m)
+    ).otherwise(0.0) + F.when(
+        F.col("pb") > 0, 0.5 * F.col("pb") * F.log(F.col("pb") / m)
+    ).otherwise(0.0)
+    tq = F.round(term * 1e9, 0).cast("long")
+    jsd = F.sum(tq).cast("double") / 1e9
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(
+            F.round(jsd, 6).alias("jsd_nats"),
+            F.round(
+                F.sqrt(F.greatest(jsd, F.lit(0.0)) / F.lit(0.6931471805599453)), 6
+            ).alias("jsd_distance"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -3454,3 +3454,39 @@ def test_q325_sensitivity_anchored_and_shrinking_n(spark, qs):
     plain = o.groupBy("t").agg(F.avg("y").alias("m")).collect()
     d = {r["t"]: r["m"] for r in plain}
     assert abs((d[1] - d[0]) - rows[0]["diff"]) < 0.01
+
+
+def test_q326_waste_decreases_with_smaller_ctx(spark, qs):
+    """Padding-waste invariants: token totals constant across rows,
+    sequences x ctx >= tokens, waste in [0, 1) and monotone
+    NON-DECREASING in the context size on this short-doc corpus."""
+    rows = sorted(qs["q326_padding_waste_table"](spark, SF_DIR).collect(), key=lambda r: r["ctx"])
+    assert [r["ctx"] for r in rows] == [64, 128, 256, 512]
+    toks = {r["n_tokens"] for r in rows}
+    assert len(toks) == 1
+    for r in rows:
+        assert r["n_sequences"] * r["ctx"] == r["pad_tokens"] + r["n_tokens"]
+        assert 0.0 <= r["waste_ratio"] < 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b["waste_ratio"] >= a["waste_ratio"] - 1e-9
+
+
+def test_q327_jsd_metric_properties(spark, qs):
+    """JSD invariants: full pair matrix (k choose 2 rows), divergence
+    in [0, ln 2], distance in [0, 1], and distance monotone in
+    divergence."""
+    import math
+
+    rows = qs["q327_jsd_source_matrix"](spark, SF_DIR).collect()
+    srcs = {r["source_a"] for r in rows} | {r["source_b"] for r in rows}
+    k = len(srcs)
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert -1e-9 <= r["jsd_nats"] <= math.log(2) + 1e-9
+        assert 0.0 <= r["jsd_distance"] <= 1.0
+    ordered = sorted(rows, key=lambda r: r["jsd_nats"])
+    for a, b in zip(ordered, ordered[1:]):
+        # both columns are independently rounded to 6 decimals, so
+        # near-ties may flip by one rounding step
+        assert b["jsd_distance"] >= a["jsd_distance"] - 1e-4
