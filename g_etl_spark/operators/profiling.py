@@ -39,41 +39,51 @@ def profile_columns(
     the 100 TB path (no Expand, mergeable sketches)."""
     aggs = []
     ndv = F.countDistinct if exact_ndv else F.approx_count_distinct
-    for c, kind in kinds.items():
-        col = F.col(c)
+    # alias suffixes are POSITIONAL (i), never the raw column name —
+    # a name containing a quote/backtick/dot/space would break the
+    # generated stack() SQL and the later column references (r8
+    # ADVICE); df[c] (not F.col) resolves names with dots literally
+    names = list(kinds)
+    for i, c in enumerate(names):
+        kind = kinds[c]
+        # explicit backtick quoting (doubled inner backticks) so
+        # dots/spaces/quotes/backticks in the name resolve literally
+        col = F.col("`" + c.replace("`", "``") + "`")
         num = (
             col.cast("double")
             if kind == NUMERIC
             else (F.unix_timestamp(col).cast("double") if kind == TIMESTAMP else None)
         )
         aggs += [
-            F.count(F.lit(1)).alias(f"__n_{c}"),
-            F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("long").alias(f"__nn_{c}"),
-            ndv(col).cast("long").alias(f"__ndv_{c}"),
+            F.count(F.lit(1)).alias(f"__n_{i}"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).cast("long").alias(f"__nn_{i}"),
+            ndv(col).cast("long").alias(f"__ndv_{i}"),
             (F.min(num) if num is not None else F.lit(None).cast("double")).alias(
-                f"__mn_{c}"
+                f"__mn_{i}"
             ),
             (F.max(num) if num is not None else F.lit(None).cast("double")).alias(
-                f"__mx_{c}"
+                f"__mx_{i}"
             ),
             (F.min(col) if kind == STRING else F.lit(None).cast("string")).alias(
-                f"__ms_{c}"
+                f"__ms_{i}"
             ),
             (F.max(col) if kind == STRING else F.lit(None).cast("string")).alias(
-                f"__xs_{c}"
+                f"__xs_{i}"
             ),
             (
                 F.avg(F.length(col))
                 if kind == STRING
                 else F.lit(None).cast("double")
-            ).alias(f"__al_{c}"),
+            ).alias(f"__al_{i}"),
         ]
     wide = df.agg(*aggs)
-    # 1-row wide result → |cols| rows via stack (driver-free pivot)
+    # 1-row wide result → |cols| rows via stack (driver-free pivot);
+    # column-name literals are escaped for the SQL string
+    esc = lambda s: s.replace("\\", "\\\\").replace("'", "\\'")  # noqa: E731
     parts = ", ".join(
-        f"'{c}', __n_{c}, __nn_{c}, __ndv_{c}, __mn_{c}, __mx_{c},"
-        f" __ms_{c}, __xs_{c}, __al_{c}"
-        for c in kinds
+        f"'{esc(c)}', __n_{i}, __nn_{i}, __ndv_{i}, __mn_{i}, __mx_{i},"
+        f" __ms_{i}, __xs_{i}, __al_{i}"
+        for i, c in enumerate(names)
     )
     return wide.select(
         F.expr(

@@ -6258,8 +6258,9 @@ def q302_kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     scorer (q134/q229's operating points assume it was checked).
 
     Scale: moments are integer-exact map-side cells (x = days from a
-    baseline, y = cents; products bounded — at true 100 TB row
-    counts promote the moment sums to decimal(38)); residuals are
+    baseline, y = cents; products and sums run in decimal(38,0) with
+    an operand cast BEFORE each multiply, so nothing wraps at true
+    100 TB row counts); residuals are
     quantized to whole dollars per ROW and summed as integers, so
     every readout is engine-order-exact. The scoring pass is a
     |folds|-row broadcast against one scan — no shuffle grows with
@@ -6273,19 +6274,24 @@ def q302_kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x"),
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("y_c"),
     )
+    # moment sums in decimal(38,0), with ONE OPERAND cast before the
+    # product so the multiply itself never runs in long (r8 ADVICE —
+    # the sums wrap past ~1e9 rows otherwise, silently diverging from
+    # DuckDB's HUGEINT auto-promotion)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     fm = rows_x.groupBy("fold").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y_c").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y_c")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y_c"))).alias("sy"),
+        F.sum(dec(F.col("x")) * F.col("y_c")).alias("sxy"),
+        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
     )
     tm = fm.agg(
         F.sum("n").cast("long").alias("tn"),
-        F.sum("sx").cast("long").alias("tsx"),
-        F.sum("sy").cast("long").alias("tsy"),
-        F.sum("sxy").cast("long").alias("tsxy"),
-        F.sum("sxx").cast("long").alias("tsxx"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxy").alias("tsxy"),
+        F.sum("sxx").alias("tsxx"),
     )
     d = lambda c: c.cast("double")  # noqa: E731
     models = fm.crossJoin(F.broadcast(tm)).select(
@@ -6328,19 +6334,15 @@ def q302_kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(
                 F.col("row_fold") == F.col("model_fold"),
-                F.col("r_d") * F.col("r_d"),
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("sse_test"),
+                F.col("r_d").cast("decimal(38,0)") * F.col("r_d"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("sse_test"),
         F.sum(
             F.when(
                 F.col("row_fold") != F.col("model_fold"),
-                F.col("r_d") * F.col("r_d"),
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("sse_train"),
+                F.col("r_d").cast("decimal(38,0)") * F.col("r_d"),
+            ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        ).alias("sse_train"),
     )
     train_rmse = F.sqrt(F.col("sse_train").cast("double") / F.col("n_train"))
     test_rmse = F.sqrt(F.col("sse_test").cast("double") / F.col("n_test"))
@@ -6986,19 +6988,23 @@ def q315_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows_v.join(F.broadcast(midrank_map("x").withColumnRenamed("r2", "rx")), "x")
         .join(midrank_map("y").withColumnRenamed("r2", "ry"), "y")
     )
+    # cast ONE OPERAND to decimal BEFORE the multiply so the product
+    # itself is computed in decimal — dec(a * b) would run the
+    # long*long multiply first and wrap silently past ~1e9 rows on
+    # the ~2n-scale midranks (r8 ADVICE)
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     mo = ranked.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum(dec(F.col("rx"))).cast("double").alias("sx"),
         F.sum(dec(F.col("ry"))).cast("double").alias("sy"),
-        F.sum(dec(F.col("rx") * F.col("ry"))).cast("double").alias("sxy"),
-        F.sum(dec(F.col("rx") * F.col("rx"))).cast("double").alias("sxx"),
-        F.sum(dec(F.col("ry") * F.col("ry"))).cast("double").alias("syy"),
+        F.sum(dec(F.col("rx")) * F.col("ry")).cast("double").alias("sxy"),
+        F.sum(dec(F.col("rx")) * F.col("rx")).cast("double").alias("sxx"),
+        F.sum(dec(F.col("ry")) * F.col("ry")).cast("double").alias("syy"),
         F.sum(dec(F.col("x"))).cast("double").alias("px"),
         F.sum(dec(F.col("y"))).cast("double").alias("py"),
-        F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("pxy"),
-        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("pxx"),
-        F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("pyy"),
+        F.sum(dec(F.col("x")) * F.col("y")).cast("double").alias("pxy"),
+        F.sum(dec(F.col("x")) * F.col("x")).cast("double").alias("pxx"),
+        F.sum(dec(F.col("y")) * F.col("y")).cast("double").alias("pyy"),
     )
     n = F.col("n")
     return mo.select(
@@ -7619,23 +7625,35 @@ def q322_join_order_cost_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    oc = F.col("n_o") * F.col("n_c") / F.greatest(F.col("d_oc"), F.col("d_cc"))
-    cn = F.col("n_c") * F.col("n_n") / F.greatest(F.col("d_cn"), F.col("d_nn"))
-    plans = stats.select(
-        F.expr(
-            "stack(3, "
-            "'orders-customer_then_nation', "
-            "n_o * n_c / greatest(d_oc, d_cc), "
-            "n_o * n_c / greatest(d_oc, d_cc) * n_n / greatest(d_cn, d_nn), "
-            "'customer-nation_then_orders', "
-            "n_c * n_n / greatest(d_cn, d_nn), "
-            "n_c * n_n / greatest(d_cn, d_nn) * n_o / greatest(d_oc, d_cc), "
-            "'orders-nation_cross_then_customer', "
-            "n_o * n_n, "
-            "n_o * n_n * n_c / greatest(d_oc, d_cc) / greatest(d_cn, d_nn)"
-            ") AS (plan, first_join, final_rows)"
+    # selectivity factors built ONCE and reused by every plan row —
+    # the stack() string previously duplicated these formulas (r8
+    # ADVICE dead-code/duplication hazard)
+    sel_oc = 1 / F.greatest(F.col("d_oc"), F.col("d_cc"))
+    sel_cn = 1 / F.greatest(F.col("d_cn"), F.col("d_nn"))
+    oc = F.col("n_o") * F.col("n_c") * sel_oc
+    cn = F.col("n_c") * F.col("n_n") * sel_cn
+    on_x = F.col("n_o") * F.col("n_n")
+
+    def _plan(name, first, final):
+        return F.struct(
+            F.lit(name).alias("plan"),
+            first.alias("first_join"),
+            final.alias("final_rows"),
         )
-    )
+
+    plans = stats.select(
+        F.explode(
+            F.array(
+                _plan("orders-customer_then_nation", oc, oc * F.col("n_n") * sel_cn),
+                _plan("customer-nation_then_orders", cn, cn * F.col("n_o") * sel_oc),
+                _plan(
+                    "orders-nation_cross_then_customer",
+                    on_x,
+                    on_x * F.col("n_c") * sel_oc * sel_cn,
+                ),
+            )
+        ).alias("p")
+    ).select("p.plan", "p.first_join", "p.final_rows")
     w = Window.orderBy(F.col("first_join") + F.col("final_rows"), F.col("plan"))
     return (
         plans.select(

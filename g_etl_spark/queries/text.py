@@ -3554,32 +3554,47 @@ def q326_padding_waste_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(count(*)) OVER (PARTITION BY source) AS BIGINT) AS n
         FROM tok GROUP BY source, token
     ),
-    pairs AS (
+    totals AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+               FROM dist GROUP BY source),
+    shared AS (
         SELECT a.source AS source_a, b.source AS source_b,
-               coalesce(a.token, b.token) AS token,
-               coalesce(CAST(a.c AS DOUBLE) / a.n, 0.0) AS pa,
-               coalesce(CAST(b.c AS DOUBLE) / b.n, 0.0) AS pb
-        FROM (SELECT * FROM dist) a
-        FULL OUTER JOIN (SELECT * FROM dist) b
+               CAST(sum(CAST(round(1000000000 * (
+                   0.5 * (CAST(a.c AS DOUBLE) / a.n)
+                       * ln((CAST(a.c AS DOUBLE) / a.n)
+                            / ((CAST(a.c AS DOUBLE) / a.n
+                                + CAST(b.c AS DOUBLE) / b.n) / 2))
+                 + 0.5 * (CAST(b.c AS DOUBLE) / b.n)
+                       * ln((CAST(b.c AS DOUBLE) / b.n)
+                            / ((CAST(a.c AS DOUBLE) / a.n
+                                + CAST(b.c AS DOUBLE) / b.n) / 2))
+               )) AS BIGINT)) AS BIGINT) AS tq_shared,
+               CAST(sum(a.c) AS BIGINT) AS sca,
+               CAST(sum(b.c) AS BIGINT) AS scb
+        FROM dist a JOIN dist b
           ON a.token = b.token AND a.source < b.source
-        WHERE a.source IS NOT NULL AND b.source IS NOT NULL
+        GROUP BY a.source, b.source
+    ),
+    skel AS (
+        SELECT ta.source AS source_a, tb.source AS source_b,
+               ta.n AS na, tb.n AS nb
+        FROM totals ta JOIN totals tb ON ta.source < tb.source
     ),
     terms AS (
-        SELECT source_a, source_b,
-               CAST(round(1000000000 * (
-                   CASE WHEN pa > 0
-                        THEN 0.5 * pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END
-                 + CASE WHEN pb > 0
-                        THEN 0.5 * pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END
+        SELECT sk.source_a, sk.source_b,
+               coalesce(sh.tq_shared, 0)
+             + CAST(round(1000000000 * 0.5 * ln(2) * (
+                   CAST(sk.na - coalesce(sh.sca, 0) AS DOUBLE) / sk.na
+                 + CAST(sk.nb - coalesce(sh.scb, 0) AS DOUBLE) / sk.nb
                )) AS BIGINT) AS tq
-        FROM pairs
+        FROM skel sk
+        LEFT JOIN shared sh
+          ON sk.source_a = sh.source_a AND sk.source_b = sh.source_b
     )
     SELECT source_a, source_b,
-           round(CAST(sum(tq) AS DOUBLE) / 1000000000, 6) AS jsd_nats,
-           round(sqrt(greatest(CAST(sum(tq) AS DOUBLE) / 1000000000, 0.0)
+           round(CAST(tq AS DOUBLE) / 1000000000, 6) AS jsd_nats,
+           round(sqrt(greatest(CAST(tq AS DOUBLE) / 1000000000, 0.0)
                       / ln(2)), 6) AS jsd_distance
     FROM terms
-    GROUP BY source_a, source_b
     ORDER BY source_a, source_b
     """,
 )
@@ -3594,11 +3609,20 @@ def q327_jsd_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     nano-nats before the per-pair sum (the q319 discipline), so the
     matrix is engine-exact.
 
+    One-sided tokens (present in only one source of a pair) each
+    contribute exactly 0.5·p·ln2; rather than materializing anti-join
+    legs per token, their TOTAL per pair is computed integer-exactly
+    from the shared-token count sums: Σ_onesided pa = (n_a − Σ_shared
+    c_a)/n_a, so fully-disjoint source pairs land at JSD = ln 2 and
+    partially-overlapping vocabularies get the full mixture term —
+    with no engine-order-dependent double sum anywhere (the shared
+    per-token terms are nano-nat-quantized; the one-sided mass is one
+    double expression over exact BIGINT counts).
+
     Scale: one explode + combining count to |source × vocab| cells;
-    the pair relation is a token equi-join over that rollup
-    (FULL OUTER so one-sided tokens contribute their half-term) —
-    Σ per-token source-pair fan, bounded by |sources|²·|vocab|,
-    never by corpus rows.
+    shared terms come from a token equi-join over that rollup
+    (Σ per-token source-pair fan, bounded by |sources|²·|vocab|); the
+    pair skeleton is |sources|² rows. Never corpus × corpus.
     """
     d = load(spark, sf_dir, "documents")
     tok = d.select("source", F.explode(T.tokens(F.col("text"))).alias("token"))
@@ -3610,42 +3634,58 @@ def q327_jsd_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = dist.select(
         F.col("source").alias("source_a"),
         "token",
+        F.col("c").alias("ca"),
         (F.col("c").cast("double") / F.col("n")).alias("pa"),
     )
     b = dist.select(
         F.col("source").alias("source_b"),
         F.col("token").alias("token_b"),
+        F.col("c").alias("cb"),
         (F.col("c").cast("double") / F.col("n")).alias("pb"),
     )
-    pairs = (
+    m = (F.col("pa") + F.col("pb")) / 2
+    term = 0.5 * F.col("pa") * F.log(F.col("pa") / m) + 0.5 * F.col(
+        "pb"
+    ) * F.log(F.col("pb") / m)
+    shared = (
         a.join(
             b,
             (F.col("token") == F.col("token_b"))
             & (F.col("source_a") < F.col("source_b")),
-            "full",
         )
-        .filter(F.col("source_a").isNotNull() & F.col("source_b").isNotNull())
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.round(term * 1e9, 0).cast("long")).alias("tq_shared"),
+            F.sum("ca").cast("long").alias("sca"),
+            F.sum("cb").cast("long").alias("scb"),
+        )
+    )
+    ta = totals.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    tb = totals.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    skel = ta.join(tb, F.col("source_a") < F.col("source_b"))
+    ln2 = 0.6931471805599453
+    one_sided = F.round(
+        F.lit(1e9)
+        * 0.5
+        * F.lit(ln2)
+        * (
+            (F.col("na") - F.coalesce("sca", F.lit(0))).cast("double")
+            / F.col("na")
+            + (F.col("nb") - F.coalesce("scb", F.lit(0))).cast("double")
+            / F.col("nb")
+        ),
+        0,
+    ).cast("long")
+    tq = F.coalesce("tq_shared", F.lit(0)) + one_sided
+    jsd = tq.cast("double") / 1e9
+    return (
+        skel.join(shared, ["source_a", "source_b"], "left")
         .select(
             "source_a",
             "source_b",
-            F.coalesce("pa", F.lit(0.0)).alias("pa"),
-            F.coalesce("pb", F.lit(0.0)).alias("pb"),
-        )
-    )
-    m = (F.col("pa") + F.col("pb")) / 2
-    term = F.when(
-        F.col("pa") > 0, 0.5 * F.col("pa") * F.log(F.col("pa") / m)
-    ).otherwise(0.0) + F.when(
-        F.col("pb") > 0, 0.5 * F.col("pb") * F.log(F.col("pb") / m)
-    ).otherwise(0.0)
-    tq = F.round(term * 1e9, 0).cast("long")
-    jsd = F.sum(tq).cast("double") / 1e9
-    return (
-        pairs.groupBy("source_a", "source_b")
-        .agg(
             F.round(jsd, 6).alias("jsd_nats"),
             F.round(
-                F.sqrt(F.greatest(jsd, F.lit(0.0)) / F.lit(0.6931471805599453)), 6
+                F.sqrt(F.greatest(jsd, F.lit(0.0)) / F.lit(ln2)), 6
             ).alias("jsd_distance"),
         )
         .orderBy("source_a", "source_b")

@@ -2946,6 +2946,32 @@ def test_q296_profile_counts_match_table(spark, qs):
         assert rows[c]["min_num"] is not None and rows[c]["min_str"] is None
 
 
+def test_profile_columns_hostile_names(spark):
+    """profile_columns must survive column names containing quotes,
+    backticks, dots, and spaces (r8 ADVICE): the generated stack()
+    SQL uses positional alias suffixes and escaped name literals, so
+    hostile names flow through as data, never as unquoted SQL."""
+    from g_etl_spark.operators.profiling import NUMERIC, STRING, profile_columns
+
+    hostile = ["it's", "back`tick", "dot.ted", "spa ced", "plain"]
+    df = spark.createDataFrame(
+        [(1, "a", "b", "c", 2.5), (2, "d", "e", "f", 3.5)],
+        schema=hostile,
+    )
+    kinds = {
+        "it's": NUMERIC,
+        "back`tick": STRING,
+        "dot.ted": STRING,
+        "spa ced": STRING,
+        "plain": NUMERIC,
+    }
+    rows = {r["column_name"]: r for r in profile_columns(df, kinds).collect()}
+    assert set(rows) == set(hostile)
+    assert rows["it's"]["n"] == 2 and rows["it's"]["min_num"] == 1.0
+    assert rows["dot.ted"]["min_str"] == "b" and rows["dot.ted"]["ndv"] == 2
+    assert rows["plain"]["max_num"] == 3.5
+
+
 def test_q297_heaps_curve_monotone_and_plausible(spark, qs):
     """Vocab growth must be monotone non-decreasing in both N and V,
     end at the full corpus totals, and fit a sublinear exponent
@@ -3490,3 +3516,42 @@ def test_q327_jsd_metric_properties(spark, qs):
         # both columns are independently rounded to 6 decimals, so
         # near-ties may flip by one rounding step
         assert b["jsd_distance"] >= a["jsd_distance"] - 1e-4
+
+
+def test_q327_one_sided_tokens_contribute(spark, qs, tmp_path):
+    """One-sided-vocabulary semantics the shared-vocab synthetic
+    corpus cannot exercise (r8 ADVICE item): a token present in only
+    one source of a pair must contribute its 0.5·p·ln2 half-term.
+
+    Pins three regimes on an injected corpus:
+      - fully disjoint vocabularies -> JSD = ln 2 exactly, distance 1;
+      - identical distributions -> JSD = 0;
+      - partial overlap -> hand-computed mixture value.
+    """
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb", "en", "s1", 5),
+            (2, "cc dd", "en", "s2", 5),
+            (3, "aa bb", "en", "s3", 5),
+            (4, "aa cc", "en", "s4", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): r["jsd_nats"]
+        for r in qs["q327_jsd_source_matrix"](spark, str(tmp_path)).collect()
+    }
+    assert len(rows) == 6  # full 4-choose-2 skeleton incl. disjoint pairs
+    ln2 = math.log(2)
+    # s1={aa,bb} vs s2={cc,dd}: disjoint -> ln 2
+    assert abs(rows[("s1", "s2")] - ln2) < 1e-6
+    # s1 vs s3: identical -> 0
+    assert abs(rows[("s1", "s3")]) < 1e-6
+    # s1={aa:.5,bb:.5} vs s4={aa:.5,cc:.5}: shared aa term is 0
+    # (equal p), one-sided mass 0.5 each side -> 0.5*ln2
+    assert abs(rows[("s1", "s4")] - 0.5 * ln2) < 1e-6
