@@ -64,6 +64,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     trials_log: dict[str, list[float]] = {}
+    # host-load provenance (r8 verdict item: two rounds of verdicts
+    # litigated contention drift from SCALE_NOTES prose — the 1-min
+    # loadavg now lands IN the JSON, captured before every trial set)
+    loads_pre: dict[str, float] = {"_run_start": round(os.getloadavg()[0], 2)}
     # Per-query trial counts: 3 is the protocol default; the LSH
     # pipeline gets 5 because its JIT tail converges only at trial
     # 3-4 (measured fresh-session series at sf0.1:
@@ -75,6 +79,7 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
+        loads_pre[name] = round(os.getloadavg()[0], 2)
         best, rows = None, []
         # best-of-N: first executions pay one-time codegen/JIT per
         # query shape; steady-state latency is the comparable number
@@ -132,6 +137,7 @@ def main() -> None:
     # construction + Catalyst analysis every time (~120 ms of the
     # total at sf0.1). This was THE hot_polygon_query number through
     # r3; kept for round-over-round continuity.
+    loads_pre["hot_polygon"] = round(os.getloadavg()[0], 2)
     best = None
     per_trial = []
     for _ in range(5):
@@ -201,6 +207,7 @@ def main() -> None:
         "q205_kcore_membership",        # iterative degree peeling (r6)
         "q212_repeated_span_coverage",  # gram df + island merge (r6)
     ]:
+        loads_pre[name] = round(os.getloadavg()[0], 2)
         best = None
         per_trial = []
         for _ in range(EXT_TRIALS.get(name, 2)):
@@ -232,6 +239,7 @@ def main() -> None:
 
     with ThreadPoolExecutor(max_workers=len(conc_names)) as ex:  # warm trial
         list(ex.map(run_one, conc_names))
+    loads_pre["_concurrent_8q"] = round(os.getloadavg()[0], 2)
     t0 = time.time()
     with ThreadPoolExecutor(max_workers=len(conc_names)) as ex:
         list(ex.map(run_one, conc_names))
@@ -314,6 +322,15 @@ def main() -> None:
                 "queries": timings,
                 "extended": extended,
                 "sf": sf,
+                # contention-robust first-class series (r8 verdict
+                # item #3): the per-query BESTs already compose the
+                # headline, named explicitly here so the tracked
+                # series is unambiguous; concurrent wall measures the
+                # engine's own parallelism (external load shows up in
+                # load_1min_pre, not in a mystery drift)
+                "best_of_trials_total": round(total, 3),
+                "load_1min_pre": loads_pre,
+                "load_1min_post_run": round(os.getloadavg()[0], 2),
                 "concurrent_8q_wall_sec": conc_wall,
                 "concurrent_8q_serial_sum_sec": serial_sum,
                 "scale_probe": scale,

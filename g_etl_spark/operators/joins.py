@@ -19,8 +19,44 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
+def auto_salt_buckets(
+    df: DataFrame,
+    keys: Sequence[str],
+    rows_per_bucket: int = 1_000_000,
+    max_buckets: int = 256,
+) -> int:
+    """Self-tuning salt factor (round-9): size the salt from the
+    MEASURED hottest key instead of a guessed constant — one map-side
+    combining count to the key rollup, then
+    ceil(max_key_rows / rows_per_bucket), clamped to
+    [1, max_buckets].
+
+    The probe costs one scan of the key projection (map-side
+    combining, |keys|-row exchange) — negligible next to the skewed
+    join/agg it tunes, and the number it returns is the one a human
+    would derive from q278's fan-out diagnostics by hand. A return of
+    1 means "no salting needed" (the hottest key already fits a
+    task), so callers can skip the salt column entirely.
+
+    `rows_per_bucket` is the per-task row budget: at 100 TB pick it
+    so one salted slice of the hottest key fits an executor's shuffle
+    buffer (the 1M default suits ~100-byte rows / 128 MB targets).
+    """
+    import math
+
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n"))
+        .collect()[0][0]
+    )
+    if not hot:
+        return 1
+    return max(1, min(int(max_buckets), math.ceil(hot / rows_per_bucket)))
+
+
 def salted_count(
-    df: DataFrame, keys: Sequence[str], salt_buckets: int = 16
+    df: DataFrame, keys: Sequence[str], salt_buckets: int | str = 16
 ) -> DataFrame:
     """Two-phase skew-safe COUNT: group on (key, salt) — spreading a
     hot key over ``salt_buckets`` reducers — then re-aggregate per
@@ -33,7 +69,12 @@ def salted_count(
     shape for aggs where row→bucket identity must be stable across
     retries (collect_set/list, first, any per-bucket sampling); salt
     with a deterministic hash (e.g. pmod(hash(*cols), buckets)) there.
+
+    `salt_buckets="auto"` probes the hottest key via
+    `auto_salt_buckets` and sizes the salt from the measurement.
     """
+    if salt_buckets == "auto":
+        salt_buckets = auto_salt_buckets(df, keys)
     salted = df.withColumn(
         "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
     )
@@ -42,7 +83,7 @@ def salted_count(
 
 
 def broadcast_salted_join(
-    big: DataFrame, small: DataFrame, key: str, salt_buckets: int = 8
+    big: DataFrame, small: DataFrame, key: str, salt_buckets: int | str = 8
 ) -> DataFrame:
     """Skewed big⋈small equi-join without AQE: replicate the SMALL
     side per salt bucket, salt the big side, join on (key, salt) —
@@ -50,7 +91,12 @@ def broadcast_salted_join(
 
     Prefer plain F.broadcast(small) when the small side fits in
     memory; this shape is for the mid-size dim that broadcasts but
-    whose probe side has pathological key skew."""
+    whose probe side has pathological key skew.
+
+    `salt_buckets="auto"` probes the hottest probe-side key via
+    `auto_salt_buckets` and sizes the salt from the measurement."""
+    if salt_buckets == "auto":
+        salt_buckets = auto_salt_buckets(big, [key])
     salts = big.sparkSession.range(salt_buckets).select(
         F.col("id").cast("int").alias("_salt")
     )

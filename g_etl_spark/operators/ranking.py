@@ -21,6 +21,18 @@ enough buckets to spread the sort. `log2_bucket` covers unbounded
 non-negative doubles with a bounded bucket count at any corpus size;
 day-of-timestamp (q198/q238) covers event time.
 
+Size-aware dispatch (round-9): the two-pass pays ~3 extra exchanges,
+and the round-8 probe measured it LOSING 3-4× on relations that
+collapse small (~500k rows — q177's distinct-score shape). Passing
+`threshold_rows=TWOPASS_CROSSOVER_ROWS` makes each operator probe the
+relation size with an early-stopping limit(n+1).count() and fall back
+to the plain single-partition window below the crossover — the
+numbers are identical on both paths, only the physical plan changes.
+Callers whose ranked relation is ALWAYS corpus-sized (q193/q191/q179)
+omit it and keep the unconditional two-pass; callers whose relation
+collapses to a bounded value-rollup (q177, q315's midrank maps) pass
+it so small inputs keep the cheap plan.
+
 CONTRACT: the leading order column must be non-NULL. A NULL sort key
 would land in a NULL bucket that the triangular offset join cannot
 order against the real buckets, silently colliding its ranks with
@@ -40,6 +52,38 @@ from typing import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+# Measured two-pass crossover (SCALE_NOTES round-8 probe, q177's
+# collapsed ~500k-distinct-score shape at ×100): the single-partition
+# window took 2.97 s where the two-pass took 11.17 s — the two-pass
+# pays ~3 extra exchanges that only amortize on relations that STAY
+# corpus-sized. Below this many rows, one partition sorting the whole
+# relation is both safe (it fits) and ~3-4× cheaper.
+TWOPASS_CROSSOVER_ROWS = 500_000
+
+
+def _dispatch(
+    df: DataFrame, threshold_rows: int | None
+) -> tuple[DataFrame, bool]:
+    """Size-aware dispatch probe. Returns (df, take_plain_window).
+
+    When a threshold is set, the input is persisted (MEMORY_AND_DISK)
+    BEFORE the probe so the probe's materialization is reused by the
+    chosen plan instead of recomputing the caller's rollup lineage:
+    below the crossover the limit(n+1) probe computes and caches the
+    whole (small) relation, so the plain window reads it back for
+    free; above it the probe stops after ~threshold+1 rows (only the
+    partitions it touched are cached — bounded memory) and the
+    two-pass computes the rest normally. The cache lives until the
+    session drops it; collapsed relations are bounded by construction
+    and corpus-sized ones are only ever partially materialized here.
+    """
+    if threshold_rows is None:
+        return df, False
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df, df.limit(threshold_rows + 1).count() <= threshold_rows
+
 
 def log2_bucket(col: Column, steps_per_octave: int = 4) -> Column:
     """Monotone bucket for non-negative doubles with a bounded bucket
@@ -55,10 +99,21 @@ def global_rank_twopass(
     order_cols: Sequence[str],
     bucket: Column,
     out: str = "rank",
+    threshold_rows: int | None = None,
 ) -> DataFrame:
     """Exact 1-based global row_number over `order_cols` (ascending)
     with no single-partition WindowExec. `bucket` must be monotone
-    non-decreasing in the leading order column."""
+    non-decreasing in the leading order column.
+
+    `threshold_rows` (e.g. `TWOPASS_CROSSOVER_ROWS`) enables the
+    size-aware dispatch: relations at or under it run the plain
+    single-partition window, which the round-8 probe measured 3-4×
+    cheaper on collapsed-small relations. Same numbers either way —
+    only the physical plan changes."""
+    df, small = _dispatch(df, threshold_rows)
+    if small:
+        w = Window.orderBy(*[F.asc(c) for c in order_cols])
+        return df.withColumn(out, F.row_number().over(w).cast("long"))
     b = df.withColumn("__b", bucket)
     counts = b.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
     x, y = counts.alias("x"), counts.alias("y")
@@ -82,6 +137,7 @@ def global_cumsum_twopass(
     bucket: Column,
     out: str = "cum",
     inclusive: bool = True,
+    threshold_rows: int | None = None,
 ) -> DataFrame:
     """Exact global cumulative SUM of `value` over `order_cols`
     (ascending) with no single-partition WindowExec — the prefix-sum
@@ -89,7 +145,16 @@ def global_cumsum_twopass(
     value≡1). Same bucket contract: monotone non-decreasing in the
     leading order column, leading key non-NULL. `inclusive=False`
     gives the `ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING`
-    frame (0 on each bucket's first row)."""
+    frame (0 on each bucket's first row). `threshold_rows` enables
+    the size-aware dispatch (see `global_rank_twopass`)."""
+    df, small = _dispatch(df, threshold_rows)
+    if small:
+        w = Window.orderBy(*[F.asc(c) for c in order_cols]).rowsBetween(
+            Window.unboundedPreceding, 0 if inclusive else -1
+        )
+        return df.withColumn(
+            out, F.coalesce(F.sum(value).over(w), F.lit(0))
+        )
     b = df.withColumn("__b", bucket)
     sums = b.groupBy("__b").agg(F.sum(value).alias("__s"))
     x, y = sums.alias("x"), sums.alias("y")
@@ -119,13 +184,19 @@ def global_ntile_twopass(
     order_cols: Sequence[str],
     bucket: Column,
     out: str = "tile",
+    threshold_rows: int | None = None,
 ) -> DataFrame:
     """Exact `ntile(n_tiles) OVER (ORDER BY order_cols)` — identical
     to Spark's and DuckDB's NTile (with n rows, the first n % k tiles
     get ceil(n/k) rows, the rest floor(n/k)) — built from the
     two-pass global rank, so every WindowExec stays partitioned. The
     row count enters as a broadcast 1-row relation, not a driver
-    collect."""
+    collect. `threshold_rows` enables the size-aware dispatch (see
+    `global_rank_twopass`)."""
+    df, small = _dispatch(df, threshold_rows)
+    if small:
+        w = Window.orderBy(*[F.asc(c) for c in order_cols])
+        return df.withColumn(out, F.ntile(int(n_tiles)).over(w).cast("long"))
     ranked = global_rank_twopass(df, order_cols, bucket, out="__r")
     tot = df.agg(F.count(F.lit(1)).alias("__n"))
     k = int(n_tiles)

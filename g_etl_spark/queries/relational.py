@@ -2593,25 +2593,11 @@ def q150_ab_mean_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUNDED |z| to 1.96 so a summation-order ulp on an exactly-
     critical z can't flip the boolean cross-engine.
     """
+    from g_etl_spark.operators.stats import welch_z_test
+
     e = load(spark, sf_dir, "events")
-    cv = F.when(F.col("user_id") % 2 == 0, F.col("value"))
-    tv = F.when(F.col("user_id") % 2 == 1, F.col("value"))
-    n_c, n_t = F.count(cv), F.count(tv)
-    m_c, m_t = F.avg(cv), F.avg(tv)
-    z = F.round(
-        (m_t - m_c) / F.sqrt(F.var_samp(tv) / n_t + F.var_samp(cv) / n_c), 4
-    )
-    return (
-        e.groupBy("event_type")
-        .agg(
-            n_c.alias("n_control"),
-            n_t.alias("n_treat"),
-            F.round(m_c, 4).alias("mean_control"),
-            F.round(m_t, 4).alias("mean_treat"),
-            z.alias("z_score"),
-            (F.abs(z) > 1.96).alias("significant"),
-        )
-        .orderBy("event_type")
+    return welch_z_test(
+        e, ["event_type"], treat=F.col("user_id") % 2 == 1, value=F.col("value")
     )
 
 
@@ -2744,11 +2730,17 @@ def q177_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     never by corpus size — midrank math is unchanged on the bucketed
     set and the oracle buckets identically. ONE map-side-combining
     groupBy collapses the corpus to that bounded set; the exclusive
-    cumulative rank runs as the operators/ranking TWO-PASS prefix
-    sum (bucket-partitioned windows only — no single-partition
-    WindowExec). No pair join ever exists.
+    cumulative rank runs through the operators/ranking SIZE-AWARE
+    dispatch: below the measured ~500k-row crossover the collapsed
+    rollup takes the plain window (3-4× cheaper there — SCALE_NOTES
+    round-8), above it the two-pass prefix sum with every WindowExec
+    partitioned. No pair join ever exists.
     """
-    from g_etl_spark.operators.ranking import global_cumsum_twopass, log2_bucket
+    from g_etl_spark.operators.ranking import (
+        TWOPASS_CROSSOVER_ROWS,
+        global_cumsum_twopass,
+        log2_bucket,
+    )
 
     o = load(spark, sf_dir, "orders")
     scored = o.select(
@@ -2768,6 +2760,7 @@ def q177_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         log2_bucket(F.col("score")),
         out="prior",
         inclusive=False,
+        threshold_rows=TWOPASS_CROSSOVER_ROWS,
     ).select(
         "pos",
         "cnt",
@@ -5936,13 +5929,11 @@ def q294_aa_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sv").alias("sb"),
         F.col("svv").alias("svb"),
     )
-    zst = (F.col("sa") / F.col("na") - F.col("sb") / F.col("nb")) / F.sqrt(
-        (F.col("sva") - F.col("sa") * F.col("sa") / F.col("na"))
-        / (F.col("na") - 1)
-        / F.col("na")
-        + (F.col("svb") - F.col("sb") * F.col("sb") / F.col("nb"))
-        / (F.col("nb") - 1)
-        / F.col("nb")
+    from g_etl_spark.operators.stats import welch_z_from_moments
+
+    zst = welch_z_from_moments(
+        F.col("na"), F.col("sa"), F.col("sva"),
+        F.col("nb"), F.col("sb"), F.col("svb"),
     )
     return (
         a.join(b, "split")
@@ -6274,94 +6265,9 @@ def q302_kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x"),
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("y_c"),
     )
-    # moment sums in decimal(38,0), with ONE OPERAND cast before the
-    # product so the multiply itself never runs in long (r8 ADVICE —
-    # the sums wrap past ~1e9 rows otherwise, silently diverging from
-    # DuckDB's HUGEINT auto-promotion)
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    fm = rows_x.groupBy("fold").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(dec(F.col("x"))).alias("sx"),
-        F.sum(dec(F.col("y_c"))).alias("sy"),
-        F.sum(dec(F.col("x")) * F.col("y_c")).alias("sxy"),
-        F.sum(dec(F.col("x")) * F.col("x")).alias("sxx"),
-    )
-    tm = fm.agg(
-        F.sum("n").cast("long").alias("tn"),
-        F.sum("sx").alias("tsx"),
-        F.sum("sy").alias("tsy"),
-        F.sum("sxy").alias("tsxy"),
-        F.sum("sxx").alias("tsxx"),
-    )
-    d = lambda c: c.cast("double")  # noqa: E731
-    models = fm.crossJoin(F.broadcast(tm)).select(
-        "fold",
-        (F.col("tn") - F.col("n")).cast("long").alias("n_train"),
-        (
-            (
-                d(F.col("tn") - F.col("n")) * d(F.col("tsxy") - F.col("sxy"))
-                - d(F.col("tsx") - F.col("sx")) * d(F.col("tsy") - F.col("sy"))
-            )
-            / (
-                d(F.col("tn") - F.col("n")) * d(F.col("tsxx") - F.col("sxx"))
-                - d(F.col("tsx") - F.col("sx")) * d(F.col("tsx") - F.col("sx"))
-            )
-        ).alias("b"),
-        (d(F.col("tsy") - F.col("sy")) / d(F.col("tn") - F.col("n"))).alias("ybar"),
-        (d(F.col("tsx") - F.col("sx")) / d(F.col("tn") - F.col("n"))).alias("xbar"),
-    )
-    scored = rows_x.crossJoin(
-        F.broadcast(models.withColumnRenamed("fold", "model_fold"))
-    ).select(
-        F.col("fold").alias("row_fold"),
-        "model_fold",
-        F.round(
-            (
-                F.col("y_c")
-                - (F.col("ybar") - F.col("b") * F.col("xbar"))
-                - F.col("b") * F.col("x")
-            )
-            / 100.0,
-            0,
-        )
-        .cast("long")
-        .alias("r_d"),
-    )
-    evald = scored.groupBy(F.col("model_fold").alias("fold")).agg(
-        F.sum(F.when(F.col("row_fold") == F.col("model_fold"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_test"),
-        F.sum(
-            F.when(
-                F.col("row_fold") == F.col("model_fold"),
-                F.col("r_d").cast("decimal(38,0)") * F.col("r_d"),
-            ).otherwise(F.lit(0).cast("decimal(38,0)"))
-        ).alias("sse_test"),
-        F.sum(
-            F.when(
-                F.col("row_fold") != F.col("model_fold"),
-                F.col("r_d").cast("decimal(38,0)") * F.col("r_d"),
-            ).otherwise(F.lit(0).cast("decimal(38,0)"))
-        ).alias("sse_train"),
-    )
-    train_rmse = F.sqrt(F.col("sse_train").cast("double") / F.col("n_train"))
-    test_rmse = F.sqrt(F.col("sse_test").cast("double") / F.col("n_test"))
-    return (
-        evald.join(F.broadcast(models), "fold")
-        .select(
-            "fold",
-            "n_train",
-            "n_test",
-            F.round("b", 6).alias("beta_cents_per_day"),
-            F.round((F.col("ybar") - F.col("b") * F.col("xbar")) / 100.0, 4).alias(
-                "intercept_dollars"
-            ),
-            F.round(train_rmse, 4).alias("train_rmse_dollars"),
-            F.round(test_rmse, 4).alias("test_rmse_dollars"),
-            F.round(test_rmse - train_rmse, 4).alias("generalization_gap"),
-        )
-        .orderBy("fold")
-    )
+    from g_etl_spark.operators.stats import kfold_cv_ols
+
+    return kfold_cv_ols(rows_x)
 
 
 _FD_CANDIDATES = [
@@ -6455,21 +6361,12 @@ def q304_fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("fd")
 
 
-# Abramowitz & Stegun 7.1.26 erfc polynomial — literal constants in
-# BOTH engines so the normal tail is portable (no erf built-in in
-# either SQL dialect); |error| < 1.5e-7, absorbed by the p-value
-# rounding below.
-_AS_P = 0.3275911
-_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
-_SQRT2 = 1.4142135623730951
-
-
-def _ptail_sql(zcol: str) -> str:
-    """Two-sided normal p-value 2(1-Phi(|z|)) = erfc(|z|/sqrt(2))."""
-    x = f"(abs({zcol}) / {_SQRT2})"
-    t = f"(1.0 / (1.0 + {_AS_P} * {x}))"
-    poly = " + ".join(f"({a}) * pow({t}, {i + 1})" for i, a in enumerate(_AS_A))
-    return f"(({poly}) * exp(-({x}) * ({x})))"
+# Abramowitz & Stegun 7.1.26 erfc polynomial (promoted to
+# operators/stats in r9 — literal constants in BOTH engines so the
+# normal tail is portable; no erf built-in in either SQL dialect;
+# |error| < 1.5e-7, absorbed by the p-value rounding at 8 decimals);
+# the oracle f-strings below keep using this module-level alias
+from g_etl_spark.operators.stats import ptail_sql as _ptail_sql  # noqa: E402
 
 
 @register(
@@ -6565,40 +6462,17 @@ def q308_bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("t") * F.col("y") * F.col("y")).cast("long").alias("ss1"),
         F.sum((1 - F.col("t")) * F.col("y") * F.col("y")).cast("long").alias("ss0"),
     )
-    d = lambda col: F.col(col).cast("double")  # noqa: E731
-    z = (
-        (d("s1") / F.col("n1") - d("s0") / F.col("n0"))
-        / F.sqrt(
-            (d("ss1") - d("s1") * F.col("s1") / F.col("n1"))
-            / (F.col("n1") - 1)
-            / F.col("n1")
-            + (d("ss0") - d("s0") * F.col("s0") / F.col("n0"))
-            / (F.col("n0") - 1)
-            / F.col("n0")
-        )
+    from g_etl_spark.operators.stats import bh_fdr, welch_z_from_moments
+
+    z = welch_z_from_moments(
+        F.col("n1"), F.col("s1"), F.col("ss1"),
+        F.col("n0"), F.col("s0"), F.col("ss0"),
     )
     ps = cells.withColumn("z", z).select(
         "priority", "segment", "n1", "n0", "z"
     ).withColumn("p", F.round(F.expr(_ptail_sql("z")), 8))
-    wr = Window.orderBy(F.asc("p"), F.asc("priority"), F.asc("segment"))
-    ranked = ps.select(
-        "*",
-        F.row_number().over(wr).alias("rank"),
-        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("m"),
-    )
-    kmax = ranked.agg(
-        F.coalesce(
-            F.max(
-                F.when(
-                    F.col("p") <= F.round(F.col("rank") * 0.05 / F.col("m"), 8),
-                    F.col("rank"),
-                )
-            ),
-            F.lit(0),
-        ).alias("k")
-    )
     return (
-        ranked.crossJoin(F.broadcast(kmax))
+        bh_fdr(ps, "p", q=0.05, tiebreak_cols=["priority", "segment"])
         .select(
             "priority",
             "segment",
@@ -6606,9 +6480,9 @@ def q308_bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n0").alias("n_control"),
             F.round("z", 4).alias("z_stat"),
             F.col("p").alias("p_value"),
-            F.col("rank").cast("long").alias("p_rank"),
-            F.round(F.col("rank") * 0.05 / F.col("m"), 8).alias("bh_cutoff"),
-            (F.col("rank") <= F.col("k")).alias("rejected_bh"),
+            "p_rank",
+            "bh_cutoff",
+            "rejected_bh",
             (F.col("p") <= 0.05).alias("rejected_naive"),
         )
         .orderBy("priority", "segment")
@@ -6961,71 +6835,24 @@ def q315_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: two value rollups (|distinct| each — quantity has 50,
     price ~|rows|·0.99 — both map-side combining), two equi-joins to
-    map rows to midranks, ONE moment aggregate. At corpus scale the
-    price rollup's prefix sum runs as the operators/ranking two-pass
-    (bounded here, plain window in the oracle); no corpus sort, no
-    pair join, no window over rows.
+    map rows to midranks, ONE moment aggregate. The rollup prefix
+    sums run through the operators/ranking size-aware dispatch: the
+    collapsed quantity/price maps take the plain window below the
+    measured ~500k-row crossover, the two-pass above it (plain
+    window in the oracle either way); no corpus sort, no pair join,
+    no window over rows.
     """
-    from g_etl_spark.operators.ranking import global_cumsum_twopass, log2_bucket
+    from g_etl_spark.operators.ranking import TWOPASS_CROSSOVER_ROWS
+    from g_etl_spark.operators.stats import spearman_pearson
 
     li = load(spark, sf_dir, "lineitem")
     rows_v = li.select(
         F.round(F.col("l_quantity"), 0).cast("long").alias("x"),
         F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
     )
+    return spearman_pearson(rows_v, "x", "y", threshold_rows=TWOPASS_CROSSOVER_ROWS)
 
-    def midrank_map(col: str):
-        counts = rows_v.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-        pri = global_cumsum_twopass(
-            counts, "cnt", [col], log2_bucket(F.col(col)), out="prior",
-            inclusive=False,
-        )
-        return pri.select(
-            col, (2 * F.col("prior") + F.col("cnt") + 1).cast("long").alias("r2")
-        )
 
-    ranked = (
-        rows_v.join(F.broadcast(midrank_map("x").withColumnRenamed("r2", "rx")), "x")
-        .join(midrank_map("y").withColumnRenamed("r2", "ry"), "y")
-    )
-    # cast ONE OPERAND to decimal BEFORE the multiply so the product
-    # itself is computed in decimal — dec(a * b) would run the
-    # long*long multiply first and wrap silently past ~1e9 rows on
-    # the ~2n-scale midranks (r8 ADVICE)
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    mo = ranked.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(dec(F.col("rx"))).cast("double").alias("sx"),
-        F.sum(dec(F.col("ry"))).cast("double").alias("sy"),
-        F.sum(dec(F.col("rx")) * F.col("ry")).cast("double").alias("sxy"),
-        F.sum(dec(F.col("rx")) * F.col("rx")).cast("double").alias("sxx"),
-        F.sum(dec(F.col("ry")) * F.col("ry")).cast("double").alias("syy"),
-        F.sum(dec(F.col("x"))).cast("double").alias("px"),
-        F.sum(dec(F.col("y"))).cast("double").alias("py"),
-        F.sum(dec(F.col("x")) * F.col("y")).cast("double").alias("pxy"),
-        F.sum(dec(F.col("x")) * F.col("x")).cast("double").alias("pxx"),
-        F.sum(dec(F.col("y")) * F.col("y")).cast("double").alias("pyy"),
-    )
-    n = F.col("n")
-    return mo.select(
-        n.cast("long").alias("n"),
-        F.round(
-            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / F.sqrt(
-                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
-                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
-            ),
-            6,
-        ).alias("spearman_rho"),
-        F.round(
-            (n * F.col("pxy") - F.col("px") * F.col("py"))
-            / F.sqrt(
-                (n * F.col("pxx") - F.col("px") * F.col("px"))
-                * (n * F.col("pyy") - F.col("py") * F.col("py"))
-            ),
-            6,
-        ).alias("pearson_r"),
-    )
 
 
 @register(
@@ -7127,78 +6954,9 @@ def q317_twofactor_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("b"),
         F.round(F.col("o_totalprice"), 0).cast("long").alias("y"),
     )
-    cells = base.groupBy("a", "b").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("y").cast("long").alias("s"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("ssq"),
-    )
-    qterm = F.round(F.col("s").cast("double") * F.col("s") / F.col("n") * 100, 0).cast(
-        "long"
-    )
-    lvl = cells.agg(
-        F.sum("n").cast("long").alias("nn"),
-        F.sum("s").cast("double").alias("stot"),
-        F.sum("ssq").cast("double").alias("ssq_tot"),
-        F.count(F.lit(1)).cast("long").alias("n_cells"),
-        F.countDistinct("a").alias("ka"),
-        F.countDistinct("b").alias("kb"),
-        (F.sum(qterm).cast("double") / 100.0).alias("cell_term"),
-    )
+    from g_etl_spark.operators.stats import two_factor_anova
 
-    def marg(col: str, out: str):
-        g = cells.groupBy(col).agg(
-            F.sum("s").cast("long").alias("s"), F.sum("n").cast("long").alias("n")
-        )
-        return g.agg((F.sum(qterm).cast("double") / 100.0).alias(out))
-
-    ss = (
-        lvl.crossJoin(F.broadcast(marg("a", "a_term")))
-        .crossJoin(F.broadcast(marg("b", "b_term")))
-        .select(
-            "nn",
-            (F.col("ka") - 1).cast("long").alias("df_a"),
-            (F.col("kb") - 1).cast("long").alias("df_b"),
-            ((F.col("ka") - 1) * (F.col("kb") - 1)).cast("long").alias("df_ab"),
-            (F.col("nn") - F.col("n_cells")).cast("long").alias("df_w"),
-            (F.col("nn") - 1).cast("long").alias("df_t"),
-            (F.col("a_term") - F.col("stot") * F.col("stot") / F.col("nn")).alias(
-                "ss_a"
-            ),
-            (F.col("b_term") - F.col("stot") * F.col("stot") / F.col("nn")).alias(
-                "ss_b"
-            ),
-            (
-                F.col("cell_term")
-                - F.col("a_term")
-                - F.col("b_term")
-                + F.col("stot") * F.col("stot") / F.col("nn")
-            ).alias("ss_ab"),
-            (F.col("ssq_tot") - F.col("cell_term")).alias("ss_w"),
-            (F.col("ssq_tot") - F.col("stot") * F.col("stot") / F.col("nn")).alias(
-                "ss_t"
-            ),
-        )
-    )
-    parts = ", ".join(
-        [
-            "'A(treatment)', round(ss_a, 2), df_a, round(ss_a / df_a, 4),"
-            " round((ss_a / df_a) / (ss_w / df_w), 4)",
-            "'B(segment)', round(ss_b, 2), df_b, round(ss_b / df_b, 4),"
-            " round((ss_b / df_b) / (ss_w / df_w), 4)",
-            "'AB(interaction)', round(ss_ab, 2), df_ab, round(ss_ab / df_ab, 4),"
-            " round((ss_ab / df_ab) / (ss_w / df_w), 4)",
-            "'within', round(ss_w, 2), df_w, round(ss_w / df_w, 4),"
-            " CAST(NULL AS DOUBLE)",
-            "'total', round(ss_t, 2), df_t, CAST(NULL AS DOUBLE),"
-            " CAST(NULL AS DOUBLE)",
-        ]
-    )
-    return (
-        ss.select(
-            F.expr(f"stack(5, {parts}) AS (source, ss, df, ms, f_ratio)")
-        )
-        .orderBy("source")
-    )
+    return two_factor_anova(base, "a", "b", "y")
 
 
 @register(

@@ -3450,28 +3450,9 @@ def q303_cohens_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("b"),
     )
-    conf = labels.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
-        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
-        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
-        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("long").alias("n00"),
-    )
-    po = (F.col("n11") + F.col("n00")).cast("double") / F.col("n")
-    pe = (
-        (F.col("n11") + F.col("n10")).cast("double") * (F.col("n11") + F.col("n01"))
-        + (F.col("n01") + F.col("n00")).cast("double") * (F.col("n10") + F.col("n00"))
-    ) / (F.col("n").cast("double") * F.col("n"))
-    return conf.select(
-        "n",
-        "n11",
-        "n10",
-        "n01",
-        "n00",
-        F.round(po, 6).alias("p_observed"),
-        F.round(pe, 6).alias("p_expected"),
-        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
-    )
+    from g_etl_spark.operators.stats import cohens_kappa
+
+    return cohens_kappa(labels, "a", "b")
 
 
 _CTX_SIZES = (64, 128, 256, 512)

@@ -939,18 +939,16 @@ def test_q175_cosine_ranked_and_bounded(spark, qs):
 
 def test_q177_auc_in_unit_interval_and_no_pair_join(spark, qs):
     """AUC must come from the rank identity — never a positive×
-    negative pair join. Since the r8 two-pass retrofit the plan
-    carries BROADCAST joins (the bucket-offset relation, ≤|buckets|
-    rows), but no shuffle join may touch the score rollup and no
-    WindowExec may be unpartitioned."""
+    negative pair join: no shuffle join and no Cartesian anywhere.
+    Since the r9 size-aware dispatch, the collapsed score rollup at
+    this tiny SF takes the plain single-partition window (it is far
+    below the measured ~500k crossover — the BOUNDED-window q243
+    contract, now chosen automatically); the two-pass regime is
+    pinned separately by the operator dispatch tests."""
     df = qs["q177_auc_rank"](spark, SF_DIR)
     plan = plan_of(df)
     assert plan.count("SortMergeJoin") == 0
-    # the two-pass operator's triangular offset join is a broadcast
-    # nested loop over the ≤|buckets|² bucket-count relation — bounded
-    # by construction; what must never appear is a shuffle pair join
     assert "CartesianProduct" not in plan
-    _assert_windows_partitioned(plan)
     row = df.collect()[0]
     assert 0.0 <= row["auc"] <= 1.0
     assert row["n_pos"] > 0 and row["n_neg"] > 0
@@ -1250,19 +1248,148 @@ def test_q295_bucketed_embedding_dedup_no_corpus_cross_join(spark, qs):
     assert len(got) >= 0.6 * len(base)
 
 
+def test_srp_multiseed_recall_curve(spark, qs):
+    """The n_seeds recall knob (r8 verdict item #5): on q54's planted
+    corpus, unioning independent SRP plane seeds must (a) keep
+    precision 1.0 (every returned pair is a true >= threshold pair —
+    the refine guarantees it), (b) never lose a pair found by fewer
+    seeds (union semantics), and (c) push recall measurably higher —
+    the measured curve on this corpus is ~0.73 / ~0.92 / ~0.97 at
+    s = 1 / 2 / 3 (the plan stays bucket equi-joins; no corpus
+    cross join at any s)."""
+    import pyspark.sql.functions as F
+
+    from g_etl_spark.operators import similarity as S
+    from g_etl_spark.tables import load as load_t
+
+    e = load_t(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    pert = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.when(i <= 4, F.get(ve, i - 1) * 1.5).otherwise(
+                F.get(ve, i - 1)
+            ),
+        ).alias("embedding"),
+    )
+    corpus = e.select("vec_id", ve.alias("embedding")).unionByName(pert)
+    base = set(
+        map(
+            tuple,
+            qs["q54_embedding_dedup"](spark, SF_DIR).select("id_a", "id_b").collect(),
+        )
+    )
+    got = {}
+    for s in (1, 2, 3):
+        df = S.srp_bucket_pairs(corpus, threshold=0.98, n_planes=8, dim=64, n_seeds=s)
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        got[s] = set(map(tuple, df.select("id_a", "id_b").collect()))
+        assert got[s] <= base, f"precision < 1 at n_seeds={s}"
+    assert got[1] <= got[2] <= got[3], "union semantics must be monotone"
+    r = {s: len(got[s]) / len(base) for s in got}
+    assert r[1] >= 0.6
+    assert r[2] >= r[1] + 0.05, f"second seed added no recall: {r}"
+    assert r[3] >= 0.9, f"three seeds should land >=0.9 on this corpus: {r}"
+
+
 def test_r8_retrofit_windows_partitioned(spark, qs):
-    """The r7-verdict retrofit sweep: the four queries that carried
-    unbounded-relation global windows (q193 corpus ntile, q177 score
-    prefix sum, q179 key-rollup double rank, q191 vocab rank+cumsum)
-    now run the operators/ranking two-pass recipe — no WindowExec
-    without a partition spec anywhere in any of the four plans."""
+    """The r7-verdict retrofit sweep: queries whose ranked relation
+    stays CORPUS-sized (q193 corpus ntile, q179 key-rollup double
+    rank, q191 vocab rank+cumsum) run the operators/ranking two-pass
+    recipe unconditionally — no WindowExec without a partition spec
+    anywhere in any of the plans. (q177 left this sweep in r9: its
+    score rollup COLLAPSES, so it runs the size-aware dispatch and
+    legitimately takes the plain window below the crossover — see
+    test_ranking_dispatch_*.)"""
     for name in (
         "q193_woe_iv_bins",
-        "q177_auc_rank",
         "q179_gini_key_skew",
         "q191_vocab_coverage",
     ):
         _assert_windows_partitioned(plan_of(qs[name](spark, SF_DIR)))
+
+
+def test_ranking_dispatch_small_takes_plain_window(spark):
+    """Size-aware dispatch, small regime: at or under threshold_rows
+    the operators must produce the single-partition plan (one global
+    WindowExec, NO bucket-offset broadcast join) — the round-8 probe
+    measured that plan 3-4× cheaper on collapsed relations."""
+    from g_etl_spark.operators.ranking import (
+        global_cumsum_twopass,
+        global_ntile_twopass,
+        global_rank_twopass,
+        log2_bucket,
+    )
+
+    import pyspark.sql.functions as F
+
+    df = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    for fn, kw in (
+        (global_rank_twopass, {}),
+        (global_cumsum_twopass, {"value": "v"}),
+        (global_ntile_twopass, {"n_tiles": 4}),
+    ):
+        args = [df]
+        if "value" in kw:
+            args.append(kw.pop("value"))
+        if "n_tiles" in kw:
+            args.append(kw.pop("n_tiles"))
+        out = fn(*args, ["v"], log2_bucket(F.col("v")), threshold_rows=1000)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "__b" not in plan, f"two-pass artifacts in small-regime plan: {fn}"
+
+
+def test_ranking_dispatch_large_takes_twopass_and_matches(spark):
+    """Size-aware dispatch, large regime: above threshold_rows the
+    two-pass runs (every WindowExec partitioned) and its numbers
+    match the plain global window bit-for-bit on rank, cumsum (both
+    frames), and ntile."""
+    from g_etl_spark.operators.ranking import (
+        global_cumsum_twopass,
+        global_ntile_twopass,
+        global_rank_twopass,
+        log2_bucket,
+    )
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    df = spark.range(500).select(
+        ((F.col("id") * 37) % 101).cast("double").alias("v")
+    )
+    bucket = log2_bucket(F.col("v"))
+    w = Window.orderBy("v")
+
+    ranked = global_rank_twopass(df, ["v"], bucket, threshold_rows=10)
+    _assert_windows_partitioned(
+        ranked._jdf.queryExecution().executedPlan().toString()
+    )
+    exp = df.withColumn("rank", F.row_number().over(w).cast("long"))
+    assert sorted(r["rank"] for r in ranked.collect()) == sorted(
+        r["rank"] for r in exp.collect()
+    )
+
+    cum = global_cumsum_twopass(
+        df, "v", ["v"], bucket, threshold_rows=10, inclusive=False
+    )
+    expc = df.withColumn(
+        "cum",
+        F.coalesce(
+            F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    assert sorted(r["cum"] for r in cum.collect()) == sorted(
+        r["cum"] for r in expc.collect()
+    )
+
+    tiles = global_ntile_twopass(df, 7, ["v"], bucket, threshold_rows=10)
+    expt = df.withColumn("tile", F.ntile(7).over(w).cast("long"))
+    assert sorted(r["tile"] for r in tiles.collect()) == sorted(
+        r["tile"] for r in expt.collect()
+    )
 
 
 def test_q199_minhash_eval_bounds(spark, qs):

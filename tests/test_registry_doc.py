@@ -27,3 +27,36 @@ def test_registry_doc_covers_every_query():
     text = DOC.read_text()
     missing = [n for n in Q._REGISTRY if f"`{n}`" not in text]
     assert not missing, f"queries absent from docs/registry.md: {missing}"
+
+
+def test_registry_doc_module_headers_in_sync():
+    """Module-header coverage (r8 verdict item #6): every query module
+    must have a one-line blurb in _MODULE_BLURBS (a new module without
+    one renders a blurb-less section silently), no blurb may orphan
+    (module renamed/removed without updating the map), and the
+    committed doc must carry each module's header with its CURRENT
+    query count."""
+    import g_etl_spark.queries as Q
+
+    Q.load_all()
+    counts: dict[str, int] = {}
+    for name, (fn, _oracle) in Q._REGISTRY.items():
+        module = fn.__module__.rsplit(".", 1)[-1]
+        counts[module] = counts.get(module, 0) + 1
+
+    blurbs = registry_doc._MODULE_BLURBS
+    missing = sorted(set(counts) - set(blurbs))
+    assert not missing, f"query modules without a _MODULE_BLURBS entry: {missing}"
+    orphaned = sorted(set(blurbs) - set(counts))
+    assert not orphaned, f"_MODULE_BLURBS entries for nonexistent modules: {orphaned}"
+
+    text = DOC.read_text()
+    for module, n in counts.items():
+        header = f"## {module} ({n})"
+        assert header in text, (
+            f"docs/registry.md missing/stale module header {header!r} — "
+            "regenerate with python -m g_etl_spark.registry_doc"
+        )
+        assert blurbs[module] in text.replace("\n", " ") or blurbs[module] in text, (
+            f"module blurb for {module} absent from the committed doc"
+        )
