@@ -7545,3 +7545,288 @@ def q325_trimmed_effect_sensitivity(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("trim_pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-9 engine diagnostics: estimator-vs-truth audits
+# ---------------------------------------------------------------------------
+
+_QE_JOINS = [
+    # (label, left table, left key, right table, right key)
+    ("orders*customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem*orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem*part", "lineitem", "l_partkey", "part", "p_partkey"),
+]
+
+
+def _qerror_oracle_block(label: str, lt: str, lk: str, rt: str, rk: str) -> str:
+    return f"""
+    SELECT '{label}' AS join_name,
+           CAST((SELECT count(*) FROM {lt}) AS BIGINT) AS n_left,
+           CAST((SELECT count(*) FROM {rt}) AS BIGINT) AS n_right,
+           CAST(round(CAST((SELECT count(*) FROM {lt}) AS DOUBLE)
+                 * (SELECT count(*) FROM {rt})
+                 / greatest((SELECT count(DISTINCT {lk}) FROM {lt}),
+                            (SELECT count(DISTINCT {rk}) FROM {rt})))
+               AS BIGINT) AS est_rows,
+           (SELECT CAST(coalesce(sum(a.n * b.n), 0) AS BIGINT)
+            FROM (SELECT {lk} AS k, count(*) AS n FROM {lt} GROUP BY 1) a
+            JOIN (SELECT {rk} AS k, count(*) AS n FROM {rt} GROUP BY 1) b
+              ON a.k = b.k) AS actual_rows,
+           round(greatest(
+               CAST(round(CAST((SELECT count(*) FROM {lt}) AS DOUBLE)
+                     * (SELECT count(*) FROM {rt})
+                     / greatest((SELECT count(DISTINCT {lk}) FROM {lt}),
+                                (SELECT count(DISTINCT {rk}) FROM {rt})))
+                   AS DOUBLE)
+               / (SELECT coalesce(sum(a.n * b.n), 0)
+                  FROM (SELECT {lk} AS k, count(*) AS n FROM {lt} GROUP BY 1) a
+                  JOIN (SELECT {rk} AS k, count(*) AS n FROM {rt} GROUP BY 1) b
+                    ON a.k = b.k),
+               (SELECT coalesce(sum(a.n * b.n), 0)
+                FROM (SELECT {lk} AS k, count(*) AS n FROM {lt} GROUP BY 1) a
+                JOIN (SELECT {rk} AS k, count(*) AS n FROM {rt} GROUP BY 1) b
+                  ON a.k = b.k)
+               / CAST(round(CAST((SELECT count(*) FROM {lt}) AS DOUBLE)
+                     * (SELECT count(*) FROM {rt})
+                     / greatest((SELECT count(DISTINCT {lk}) FROM {lt}),
+                                (SELECT count(DISTINCT {rk}) FROM {rt})))
+                   AS DOUBLE)), 4) AS q_error
+    """
+
+
+@register(
+    "q328_join_qerror_audit",
+    oracle=" UNION ALL ".join(
+        _qerror_oracle_block(*j) for j in _QE_JOINS
+    )
+    + " ORDER BY join_name",
+)
+def q328_join_qerror_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality q-error audit — the ESTIMATOR-vs-TRUTH loop
+    q322 leaves open: q322 ranks plans by the System-R estimate
+    |A⋈B| ≈ n_a·n_b / max(d_a, d_b); this measures how wrong that
+    estimate is on three real joins, as q-error = max(est/act,
+    act/est) — the metric the learned-cardinality literature scores
+    optimizers with, and the number that says whether the q322
+    ranking can be trusted on this data.
+
+    The ACTUAL cardinality never executes the join row-wise: it is
+    Σ_k n_a(k)·n_b(k) over the two key-count rollups — collapsed
+    relations joined on the key, so the audit prices a join that
+    would produce billions of rows while touching only |keys| rows
+    (the q278 principle applied to ground truth).
+
+    Scale: per join, two map-side combining rollups + one equi-join
+    on the collapsed key relations + scalar counts; per-key products
+    are exact integers, so est (one rounded double) and actual
+    (exact BIGINT) agree cross-engine.
+    """
+    out = None
+    for label, lt, lk, rt, rk in _QE_JOINS:
+        left = load(spark, sf_dir, lt)
+        right = load(spark, sf_dir, rt)
+        lstats = left.agg(
+            F.count(F.lit(1)).cast("long").alias("n_left"),
+            F.countDistinct(lk).cast("long").alias("d_left"),
+        )
+        rstats = right.agg(
+            F.count(F.lit(1)).cast("long").alias("n_right"),
+            F.countDistinct(rk).cast("long").alias("d_right"),
+        )
+        a = left.groupBy(F.col(lk).alias("k")).agg(F.count(F.lit(1)).alias("n"))
+        b = right.groupBy(F.col(rk).alias("k")).agg(F.count(F.lit(1)).alias("n"))
+        actual = (
+            a.join(b.withColumnRenamed("n", "nb"), "k")
+            .agg(
+                F.coalesce(F.sum(F.col("n") * F.col("nb")), F.lit(0))
+                .cast("long")
+                .alias("actual_rows")
+            )
+        )
+        est = F.round(
+            F.col("n_left").cast("double")
+            * F.col("n_right")
+            / F.greatest(F.col("d_left"), F.col("d_right"))
+        ).cast("long")
+        row = (
+            lstats.crossJoin(F.broadcast(rstats))
+            .crossJoin(F.broadcast(actual))
+            .select(
+                F.lit(label).alias("join_name"),
+                "n_left",
+                "n_right",
+                est.alias("est_rows"),
+                "actual_rows",
+                F.round(
+                    F.greatest(
+                        est.cast("double") / F.col("actual_rows"),
+                        F.col("actual_rows") / est.cast("double"),
+                    ),
+                    4,
+                ).alias("q_error"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("join_name")
+
+
+_SEL_PREDICATES = [
+    # (label, lo cents, hi cents) — range predicates on o_totalprice
+    ("narrow_100k_110k", 10_000_000, 11_000_000),
+    ("mid_50k_150k", 5_000_000, 15_000_000),
+    ("tail_above_400k", 40_000_000, 60_000_000),
+]
+_SEL_BINS = 10
+
+
+def _sel_oracle() -> str:
+    preds = ", ".join(
+        f"('{lbl}', CAST({lo} AS BIGINT), CAST({hi} AS BIGINT))"
+        for lbl, lo, hi in _SEL_PREDICATES
+    )
+    return f"""
+    WITH cents_t AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    bounds AS (
+        SELECT CAST(min(cents) AS BIGINT) AS lo, CAST(max(cents) AS BIGINT) AS hi,
+               (CAST(max(cents) AS BIGINT) - min(cents)) / {_SEL_BINS}.0 AS w,
+               CAST(count(*) AS BIGINT) AS n_total
+        FROM cents_t
+    ),
+    hist AS (
+        SELECT least({_SEL_BINS - 1},
+                     CAST(floor((cents - bounds.lo) / bounds.w) AS BIGINT)) AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM cents_t CROSS JOIN bounds GROUP BY 1
+    ),
+    preds(label, plo, phi) AS (VALUES {preds}),
+    est AS (
+        SELECT p.label,
+               CAST(sum(CAST(round(1000000 * h.n * greatest(0.0,
+                   least(CAST(p.phi AS DOUBLE), b.lo + (h.bin + 1) * b.w)
+                   - greatest(CAST(p.plo AS DOUBLE), b.lo + h.bin * b.w))
+                   / b.w) AS BIGINT)) AS BIGINT) AS est_micro
+        FROM hist h CROSS JOIN bounds b CROSS JOIN preds p
+        GROUP BY p.label
+    ),
+    act AS (
+        SELECT p.label,
+               CAST(count(CASE WHEN c.cents >= p.plo AND c.cents < p.phi
+                          THEN 1 END) AS BIGINT) AS actual_rows
+        FROM cents_t c CROSS JOIN preds p GROUP BY p.label
+    )
+    SELECT est.label AS predicate,
+           b.n_total,
+           CAST(round(est.est_micro / 1000000.0) AS BIGINT) AS est_rows,
+           act.actual_rows,
+           round(est.est_micro / 1000000.0 / b.n_total, 6) AS est_fraction,
+           round(CAST(act.actual_rows AS DOUBLE) / b.n_total, 6) AS actual_fraction,
+           round(greatest((est.est_micro / 1000000.0 + 1.0)
+                          / (act.actual_rows + 1.0),
+                          (act.actual_rows + 1.0)
+                          / (est.est_micro / 1000000.0 + 1.0)), 4) AS q_error
+    FROM est JOIN act ON est.label = act.label CROSS JOIN bounds b
+    ORDER BY predicate
+    """
+
+
+@register("q329_selectivity_estimation_audit", oracle=_sel_oracle())
+def q329_selectivity_estimation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram selectivity-estimation audit — the single-table half
+    of the optimizer-statistics loop (q328 audits JOIN estimates):
+    build the 10-bucket equi-width histogram every engine keeps as
+    column statistics (q131's shape, integer-cent exact), estimate
+    each range predicate's row count under the uniform-within-bucket
+    assumption (fractional overlap of predicate and bucket), and
+    score it against the TRUE count — add-one q-error per predicate.
+    Wide mid-range predicates estimate well; the tail predicate is
+    where equi-width histograms break (one sparse bucket spans the
+    whole tail) — the measured motivation for equi-DEPTH statistics
+    (q189) and zone-map layouts (q311).
+
+    Per-bucket estimate contributions are quantized to integer
+    micro-rows before the cross-bucket sum (the q319 discipline), so
+    both engines sum identical integers in any order.
+
+    Scale: one min/max scan, one map-side histogram count, one
+    conditional-count scan for ground truth — three scans total,
+    none keyed by more than |bins| × |predicates| cells.
+    """
+    o = load(spark, sf_dir, "orders")
+    cents_t = o.select(F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"))
+    bounds = cents_t.agg(
+        F.min("cents").cast("long").alias("lo"),
+        F.max("cents").cast("long").alias("hi"),
+        ((F.max("cents") - F.min("cents")) / float(_SEL_BINS)).alias("w"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    )
+    hist = (
+        cents_t.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.lit(_SEL_BINS - 1),
+                F.floor((F.col("cents") - F.col("lo")) / F.col("w")),
+            )
+            .cast("long")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    preds = spark.createDataFrame(
+        [(lbl, lo, hi) for lbl, lo, hi in _SEL_PREDICATES],
+        "label string, plo long, phi long",
+    )
+    contrib = F.round(
+        F.lit(1e6)
+        * F.col("n")
+        * F.greatest(
+            F.lit(0.0),
+            F.least(F.col("phi").cast("double"), F.col("lo") + (F.col("bin") + 1) * F.col("w"))
+            - F.greatest(F.col("plo").cast("double"), F.col("lo") + F.col("bin") * F.col("w")),
+        )
+        / F.col("w"),
+        0,
+    ).cast("long")
+    est = (
+        hist.crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(preds))
+        .groupBy("label")
+        .agg(F.sum(contrib).cast("long").alias("est_micro"))
+    )
+    act = (
+        cents_t.crossJoin(F.broadcast(preds))
+        .groupBy("label")
+        .agg(
+            F.count(
+                F.when((F.col("cents") >= F.col("plo")) & (F.col("cents") < F.col("phi")), 1)
+            )
+            .cast("long")
+            .alias("actual_rows")
+        )
+    )
+    est_rows_d = F.col("est_micro") / 1e6
+    return (
+        est.join(act, "label")
+        .crossJoin(F.broadcast(bounds.select("n_total")))
+        .select(
+            F.col("label").alias("predicate"),
+            "n_total",
+            F.round(est_rows_d).cast("long").alias("est_rows"),
+            "actual_rows",
+            F.round(est_rows_d / F.col("n_total"), 6).alias("est_fraction"),
+            F.round(F.col("actual_rows").cast("double") / F.col("n_total"), 6).alias(
+                "actual_fraction"
+            ),
+            F.round(
+                F.greatest(
+                    (est_rows_d + 1.0) / (F.col("actual_rows") + 1.0),
+                    (F.col("actual_rows") + 1.0) / (est_rows_d + 1.0),
+                ),
+                4,
+            ).alias("q_error"),
+        )
+        .orderBy("predicate")
+    )

@@ -3671,3 +3671,296 @@ def q327_jsd_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "q330_bigram_lm_perplexity",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, source, {_TOKS} AS toks FROM documents
+        WHERE len({_TOKS}) >= 2
+    ),
+    bigrams AS (
+        SELECT doc_id, source, toks[i] AS prev, toks[i + 1] AS cur
+        FROM (SELECT doc_id, source, toks,
+                     unnest(range(1, len(toks))) AS i
+              FROM docs)
+    ),
+    bg AS (
+        SELECT prev, cur, CAST(count(*) AS BIGINT) AS c_ab
+        FROM bigrams GROUP BY prev, cur
+    ),
+    ctx AS (
+        SELECT prev, CAST(sum(c_ab) AS BIGINT) AS c_a FROM bg GROUP BY prev
+    ),
+    vocab AS (
+        SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+        FROM (SELECT unnest(toks) AS t FROM docs)
+    ),
+    model AS (
+        SELECT bg.prev, bg.cur,
+               CAST(round(ln(CAST(bg.c_ab + 1 AS DOUBLE)
+                             / CAST(ctx.c_a + vocab.v AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS q_lp
+        FROM bg JOIN ctx ON bg.prev = ctx.prev CROSS JOIN vocab
+    ),
+    per_doc AS (
+        SELECT b.doc_id, b.source,
+               CAST(round(CAST(-sum(m.q_lp) AS DOUBLE) / count(*)) AS BIGINT)
+                   AS xent_micro
+        FROM bigrams b
+        JOIN model m ON b.prev = m.prev AND b.cur = m.cur
+        GROUP BY b.doc_id, b.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(xent_micro) AS DOUBLE) / count(*) / 1000000, 6)
+               AS avg_xent_nats,
+           round(CAST(min(xent_micro) AS DOUBLE) / 1000000, 6) AS min_xent_nats,
+           round(CAST(max(xent_micro) AS DOUBLE) / 1000000, 6) AS max_xent_nats,
+           round(exp(CAST(sum(xent_micro) AS DOUBLE) / count(*) / 1000000), 4)
+               AS avg_perplexity
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q330_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model perplexity per source — the CCNet-style
+    quality signal (CCNet filters Common Crawl by KenLM perplexity;
+    the relational bigram LM is the same idea an engine can train in
+    one pass): add-one-smoothed conditional probabilities
+    p(b|a) = (c(ab)+1)/(c(a)+V) learned from the corpus itself, each
+    document scored by its mean token cross-entropy, rolled up to
+    per-source distribution stats and average perplexity. A source
+    whose documents surprise the corpus LM (high perplexity) is
+    boilerplate-free but possibly noisy; an unusually LOW-perplexity
+    source is templated/repetitive — both tails are what a pretraining
+    curator inspects (q41's heuristics and q58/q59's filters gate
+    rows; this gives the distributional lens).
+
+    Engine-exactness: per-bigram log-probs are quantized to integer
+    micro-nats BEFORE the per-doc sum, and the per-doc mean is rounded
+    back to integer micro-nats before the per-source rollup (the q300
+    discipline, one level deeper) — no engine-order-dependent double
+    sum anywhere. In-vocabulary scoring only (the model is trained on
+    the same corpus it scores, so every bigram is known — the
+    held-out OOV path is q300's coalesce recipe).
+
+    Scale: bigrams are a map-side transform over the token arrays (no
+    per-token shuffle until the combining count); the model is a
+    |bigram-vocab| relation equi-joined back (broadcast here, plain
+    hash join at 100 TB); two combining aggs end the plan. The LM
+    never lives on the driver.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    docs = d.select("doc_id", "source", toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bigrams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS prev,"
+                " element_at(toks, i + 1) AS cur))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "source", "b.prev", "b.cur")
+    bg = bigrams.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
+    )
+    ctx = bg.groupBy("prev").agg(F.sum("c_ab").cast("long").alias("c_a"))
+    vocab = docs.select(F.explode("toks").alias("t")).agg(
+        F.countDistinct("t").cast("long").alias("v")
+    )
+    model = (
+        bg.join(ctx, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "prev",
+            "cur",
+            F.round(
+                F.log(
+                    (F.col("c_ab") + 1).cast("double")
+                    / (F.col("c_a") + F.col("v")).cast("double")
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("q_lp"),
+        )
+    )
+    per_doc = (
+        bigrams.join(F.broadcast(model), ["prev", "cur"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round((-F.sum("q_lp")).cast("double") / F.count(F.lit(1)), 0)
+            .cast("long")
+            .alias("xent_micro")
+        )
+    )
+    avg_micro = F.sum("xent_micro").cast("double") / F.count(F.lit(1))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(avg_micro / 1e6, 6).alias("avg_xent_nats"),
+            F.round(F.min("xent_micro").cast("double") / 1e6, 6).alias("min_xent_nats"),
+            F.round(F.max("xent_micro").cast("double") / 1e6, 6).alias("max_xent_nats"),
+            F.round(F.exp(avg_micro / 1e6), 4).alias("avg_perplexity"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "q331_langid_eval_metrics",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang AS labeled_lang,
+               {_SCORE['en']} AS s_en, {_SCORE['de']} AS s_de,
+               {_SCORE['fr']} AS s_fr, {_SCORE['es']} AS s_es,
+               {_SCORE['zh']} AS s_zh
+        FROM documents
+    ),
+    detected AS (
+        SELECT labeled_lang,
+               CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+                    WHEN s_zh = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'zh'
+                    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                    WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                    WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                    ELSE 'de' END AS detected_lang
+        FROM scored
+    ),
+    conf AS (
+        SELECT labeled_lang, detected_lang, CAST(count(*) AS BIGINT) AS n
+        FROM detected GROUP BY 1, 2
+    ),
+    langs AS (
+        SELECT labeled_lang AS lang FROM conf
+        UNION
+        SELECT detected_lang FROM conf
+    ),
+    m AS (
+        SELECT l.lang,
+               CAST(coalesce(sum(CASE WHEN c.labeled_lang = l.lang
+                                       AND c.detected_lang = l.lang
+                                      THEN c.n END), 0) AS BIGINT) AS tp,
+               CAST(coalesce(sum(CASE WHEN c.detected_lang = l.lang
+                                       AND c.labeled_lang <> l.lang
+                                      THEN c.n END), 0) AS BIGINT) AS fp,
+               CAST(coalesce(sum(CASE WHEN c.labeled_lang = l.lang
+                                       AND c.detected_lang <> l.lang
+                                      THEN c.n END), 0) AS BIGINT) AS fn
+        FROM langs l LEFT JOIN conf c
+          ON c.labeled_lang = l.lang OR c.detected_lang = l.lang
+        GROUP BY l.lang
+    )
+    SELECT lang, tp + fn AS support, tp, fp, fn,
+           round(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 4) AS precision_,
+           round(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 4) AS recall_,
+           round(2.0 * tp / greatest(2 * tp + fp + fn, 1), 4) AS f1
+    FROM m
+    ORDER BY lang
+    """,
+)
+def q331_langid_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language precision/recall/F1 of the heuristic language
+    detector against the declared labels — the one-vs-rest EVAL
+    summary q43's raw confusion matrix leaves to the reader (and the
+    multi-class sibling of q229's binary operating points): per
+    language, support, the exact tp/fp/fn integers, and the derived
+    metrics. This is the gate a corpus curator reads before trusting
+    the detector to route documents (q300's learned NB and this
+    heuristic are alternatives; each needs the same report card).
+    F1 uses the integer identity 2tp/(2tp+fp+fn), so every metric is
+    one rounded division over exact counts. The metric columns carry
+    a trailing underscore (precision_/recall_) because PRECISION is a
+    reserved word in DuckDB.
+
+    Scale: the confusion rollup is one map-side combining agg to
+    |langs|² cells; the per-language marginals are arithmetic on that
+    bounded relation (the q303 2x2, generalized to k classes).
+    """
+    d = T.with_tokens(load(spark, sf_dir, "documents"))
+    detected = d.select(
+        F.col("lang").alias("labeled_lang"),
+        T.staged_detect_language().alias("detected_lang"),
+    )
+    conf = detected.groupBy("labeled_lang", "detected_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    langs = (
+        conf.select(F.col("labeled_lang").alias("lang"))
+        .union(conf.select("detected_lang"))
+        .distinct()
+    )
+    joined = langs.join(
+        conf,
+        (conf["labeled_lang"] == langs["lang"]) | (conf["detected_lang"] == langs["lang"]),
+        "left",
+    )
+    m = joined.groupBy("lang").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("labeled_lang") == F.col("lang"))
+                    & (F.col("detected_lang") == F.col("lang")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("tp"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("detected_lang") == F.col("lang"))
+                    & (F.col("labeled_lang") != F.col("lang")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("fp"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("labeled_lang") == F.col("lang"))
+                    & (F.col("detected_lang") != F.col("lang")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("fn"),
+    )
+    return m.select(
+        "lang",
+        (F.col("tp") + F.col("fn")).alias("support"),
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.col("tp").cast("double") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)),
+            4,
+        ).alias("precision_"),
+        F.round(
+            F.col("tp").cast("double") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)),
+            4,
+        ).alias("recall_"),
+        F.round(
+            2.0
+            * F.col("tp")
+            / F.greatest(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1)),
+            4,
+        ).alias("f1"),
+    ).orderBy("lang")
