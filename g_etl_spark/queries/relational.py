@@ -7830,3 +7830,144 @@ def q329_selectivity_estimation_audit(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("predicate")
     )
+
+
+@register(
+    "q335_incremental_view_maintenance",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderdate AS d,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE year(o_orderdate) < 1996
+    ),
+    delta AS (
+        SELECT o_orderdate AS d,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE year(o_orderdate) >= 1996
+    ),
+    view_base AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+        FROM base GROUP BY d
+    ),
+    view_delta AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+        FROM delta GROUP BY d
+    ),
+    merged AS (
+        SELECT coalesce(b.d, x.d) AS d,
+               coalesce(b.n, 0) + coalesce(x.n, 0) AS n,
+               coalesce(b.s, 0) + coalesce(x.s, 0) AS s,
+               CASE WHEN b.d IS NOT NULL AND x.d IS NOT NULL THEN 1 ELSE 0 END AS upd,
+               CASE WHEN b.d IS NULL THEN 1 ELSE 0 END AS new_day
+        FROM view_base b FULL OUTER JOIN view_delta x ON b.d = x.d
+    ),
+    full_v AS (
+        SELECT o_orderdate AS d, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s
+        FROM orders GROUP BY d
+    ),
+    cmp AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days_joined,
+               CAST(sum(CASE WHEN m.n = f.n THEN 1 ELSE 0 END) AS BIGINT) AS n_count_match,
+               CAST(sum(CASE WHEN m.s = f.s THEN 1 ELSE 0 END) AS BIGINT) AS n_sum_match
+        FROM merged m JOIN full_v f ON m.d = f.d
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM full_v) AS n_days_full,
+           (SELECT CAST(count(*) AS BIGINT) FROM merged) AS n_days_merged,
+           (SELECT CAST(sum(new_day) AS BIGINT) FROM merged) AS n_new_days,
+           (SELECT CAST(sum(upd) AS BIGINT) FROM merged) AS n_updated_days,
+           (SELECT CAST(sum(n) AS BIGINT) FROM view_delta) AS n_delta_rows,
+           cmp.n_days_joined = (SELECT count(*) FROM full_v)
+               AND cmp.n_days_joined = (SELECT count(*) FROM merged)
+               AND cmp.n_count_match = cmp.n_days_joined
+               AND cmp.n_sum_match = cmp.n_days_joined AS view_consistent
+    FROM cmp
+    """,
+)
+def q335_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of an aggregate view — the
+    dbt-incremental / Materialize contract the CDC family stops short
+    of (q277 replays ROW diffs; this maintains a ROLLUP without
+    re-reading history): the standing per-day (count, revenue) view
+    built from pre-1996 orders absorbs the 1996+ batch by MERGING
+    per-day partial aggregates (count/sum are mergeable, so the
+    update touches |delta days| cells — never the base corpus), and
+    the harness proves merged == full recompute on every day, by
+    exact integer count and cent checksum. Output: day/row tallies,
+    how many view cells the delta created vs updated, and the
+    consistency verdict — the audit an incremental pipeline runs
+    before cutting over from full recompute.
+
+    Scale: this is THE reason warehouse rollups are built from
+    mergeable partials (q22/A4's incremental refresh is this
+    operator in production form): the delta agg is one combining
+    pass over the NEW batch only, the merge is a FULL OUTER join on
+    the bounded day relation. The full recompute exists here only as
+    the verification oracle.
+    """
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    yr = F.year("o_orderdate")
+
+    def day_view(df):
+        return df.groupBy(F.col("o_orderdate").alias("d")).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents).cast("long").alias("s"),
+        )
+
+    view_base = day_view(o.filter(yr < 1996))
+    view_delta = day_view(o.filter(yr >= 1996))
+    b = view_base.select(
+        F.col("d").alias("db"), F.col("n").alias("nb"), F.col("s").alias("sb")
+    )
+    x = view_delta.select(
+        F.col("d").alias("dx"), F.col("n").alias("nx"), F.col("s").alias("sx")
+    )
+    merged = b.join(x, b["db"] == x["dx"], "full").select(
+        F.coalesce("db", "dx").alias("d"),
+        (F.coalesce("nb", F.lit(0)) + F.coalesce("nx", F.lit(0))).alias("n"),
+        (F.coalesce("sb", F.lit(0)) + F.coalesce("sx", F.lit(0))).alias("s"),
+        F.when(F.col("db").isNotNull() & F.col("dx").isNotNull(), 1)
+        .otherwise(0)
+        .alias("upd"),
+        F.when(F.col("db").isNull(), 1).otherwise(0).alias("new_day"),
+    )
+    full_v = day_view(o)
+    f = full_v.select(
+        F.col("d").alias("df_"), F.col("n").alias("nf"), F.col("s").alias("sf")
+    )
+    cmp = merged.join(f, merged["d"] == f["df_"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_joined"),
+        F.sum(F.when(F.col("n") == F.col("nf"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_count_match"),
+        F.sum(F.when(F.col("s") == F.col("sf"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_sum_match"),
+    )
+    tallies = (
+        full_v.agg(F.count(F.lit(1)).cast("long").alias("n_days_full"))
+        .crossJoin(
+            merged.agg(
+                F.count(F.lit(1)).cast("long").alias("n_days_merged"),
+                F.sum("new_day").cast("long").alias("n_new_days"),
+                F.sum("upd").cast("long").alias("n_updated_days"),
+            )
+        )
+        .crossJoin(
+            view_delta.agg(F.sum("n").cast("long").alias("n_delta_rows"))
+        )
+    )
+    return tallies.crossJoin(F.broadcast(cmp)).select(
+        "n_days_full",
+        "n_days_merged",
+        "n_new_days",
+        "n_updated_days",
+        "n_delta_rows",
+        (
+            (F.col("n_days_joined") == F.col("n_days_full"))
+            & (F.col("n_days_joined") == F.col("n_days_merged"))
+            & (F.col("n_count_match") == F.col("n_days_joined"))
+            & (F.col("n_sum_match") == F.col("n_days_joined"))
+        ).alias("view_consistent"),
+    )

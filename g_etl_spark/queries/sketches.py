@@ -1158,3 +1158,163 @@ def q204_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+_BFPR_CONFIGS = [
+    # (label, m bits, k hashes) — the calibration grid
+    ("m4096_k3", 4096, 3),
+    ("m16384_k1", 16384, 1),
+    ("m16384_k2", 16384, 2),
+    ("m16384_k3", 16384, 3),
+    ("m65536_k3", 65536, 3),
+]
+
+
+@register(
+    "q333_bloom_fpr_calibration",
+    oracle=f"""
+    WITH members AS (
+        SELECT CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)
+                    AS UBIGINT) AS BIGINT) % 2147483647 AS key
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    probes AS (
+        SELECT CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)
+                    AS UBIGINT) AS BIGINT) % 2147483647 AS key
+        FROM customer WHERE c_mktsegment <> 'BUILDING'
+    ),
+    cfg(label, m, k) AS (VALUES {", ".join(f"('{l}', CAST({m} AS BIGINT), CAST({k} AS BIGINT))" for l, m, k in _BFPR_CONFIGS)}),
+    hp(a, b, idx) AS (VALUES (CAST(2654435761 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+                             (97, 48611, 1), (104729, 12345, 2)),
+    words AS (
+        SELECT cfg.label,
+               (((key * a + b) % 2147483647) % cfg.m) // 63 AS word,
+               bit_or(CAST(1 AS BIGINT)
+                      << ((((key * a + b) % 2147483647) % cfg.m) % 63)) AS w
+        FROM members CROSS JOIN cfg JOIN hp ON hp.idx < cfg.k
+        GROUP BY 1, 2
+    ),
+    pp AS (
+        SELECT cfg.label, cfg.k, probes.key,
+               ((key * a + b) % 2147483647) % cfg.m AS pos
+        FROM probes CROSS JOIN cfg JOIN hp ON hp.idx < cfg.k
+    ),
+    hits AS (
+        SELECT pp.label, pp.key, max(pp.k) AS k, count(*) AS nhit
+        FROM pp JOIN words ON words.label = pp.label
+                          AND words.word = pp.pos // 63
+        WHERE (words.w & (CAST(1 AS BIGINT) << (pp.pos % 63))) != 0
+        GROUP BY 1, 2
+    ),
+    fp AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n_fp
+        FROM hits WHERE nhit = k GROUP BY label
+    ),
+    n AS (SELECT CAST((SELECT count(*) FROM members) AS BIGINT) AS n_members,
+                 CAST((SELECT count(*) FROM probes) AS BIGINT) AS n_probes)
+    SELECT cfg.label AS config, cfg.m, cfg.k, n.n_members, n.n_probes,
+           coalesce(fp.n_fp, 0) AS n_false_positives,
+           round(CAST(coalesce(fp.n_fp, 0) AS DOUBLE) / n.n_probes, 6)
+               AS measured_fpr,
+           round(pow(1.0 - pow(1.0 - 1.0 / cfg.m, cfg.k * n.n_members),
+                     cfg.k), 6) AS theoretical_fpr
+    FROM cfg LEFT JOIN fp ON fp.label = cfg.label CROSS JOIN n
+    ORDER BY config
+    """,
+)
+def q333_bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter false-positive-rate calibration across an (m, k)
+    grid — the sketch-quality eval that closes q119's loop the way
+    q264 closes q262's: q119 runs ONE filter configuration inside a
+    join; this measures the FPR of five configurations on known
+    non-members and prints it next to the theoretical
+    (1 − (1 − 1/m)^{{kn}})^k, so sizing a runtime filter for a 100 TB
+    scan is a table lookup on measured data instead of a formula
+    taken on faith. Same portable k=3 affine-hash family and
+    63-bit-word packing as q119 (no sign-bit shift in either
+    engine), with the integer keys MIXED through md5 first —
+    consecutive custkeys make the raw affine hash essentially
+    collision-free (measured FPR 0 vs theory 0.018 in the first cut
+    of this query: super-uniformity, not soundness), and the mix
+    restores the uniform-hashing regime the theory formula models.
+    Members = BUILDING customers, probes = every other customer
+    (disjoint custkeys; md5-mixed keys are collision-free on this
+    population, so every probe hit is a true false positive).
+
+    Scale: the filters are |m/63| words each regardless of member
+    count (one combining bit_or agg); probing is a broadcast word
+    join + bitmask test; the verdict per config is exact integer
+    counts. Measured-vs-theory divergence flags a bad hash family
+    before it silently under-prunes a production scan.
+    """
+    c = load(spark, sf_dir, "customer")
+    hkey = (
+        F.conv(F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2147483647
+    ).alias("key")
+    members = c.filter(F.col("c_mktsegment") == "BUILDING").select(hkey)
+    probes = c.filter(F.col("c_mktsegment") != "BUILDING").select(hkey)
+    cfg = spark.createDataFrame(
+        [(l, m, k) for l, m, k in _BFPR_CONFIGS], "label string, m long, k long"
+    )
+    hp = spark.createDataFrame(
+        [(2654435761, 1, 0), (97, 48611, 1), (104729, 12345, 2)],
+        "a long, b long, idx long",
+    )
+    pos = F.expr("((key * a + b) % 2147483647) % m")
+    words = (
+        members.crossJoin(F.broadcast(cfg))
+        .join(F.broadcast(hp), F.col("idx") < F.col("k"))
+        .select("label", pos.alias("pos"))
+        .groupBy("label", F.expr("pos div 63").alias("word"))
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), pos % 63))").alias("w"))
+    )
+    pp = (
+        probes.crossJoin(F.broadcast(cfg))
+        .join(F.broadcast(hp), F.col("idx") < F.col("k"))
+        .select("label", "k", "key", pos.alias("pos"))
+    )
+    wr = words.select(
+        F.col("label").alias("wlabel"), "word", "w"
+    )
+    hits = (
+        pp.join(
+            F.broadcast(wr),
+            (F.col("wlabel") == F.col("label")) & (F.col("word") == F.expr("pos div 63")),
+        )
+        .where(F.expr("(w & shiftleft(CAST(1 AS BIGINT), pos % 63)) != 0"))
+        .groupBy("label", "key")
+        .agg(F.max("k").alias("k"), F.count(F.lit(1)).alias("nhit"))
+    )
+    fp = (
+        hits.where(F.col("nhit") == F.col("k"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_fp"))
+    )
+    n = members.agg(F.count(F.lit(1)).cast("long").alias("n_members")).crossJoin(
+        probes.agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
+    )
+    return (
+        cfg.join(fp, "label", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("label").alias("config"),
+            "m",
+            "k",
+            "n_members",
+            "n_probes",
+            F.coalesce("n_fp", F.lit(0)).cast("long").alias("n_false_positives"),
+            F.round(
+                F.coalesce("n_fp", F.lit(0)).cast("double") / F.col("n_probes"), 6
+            ).alias("measured_fpr"),
+            F.round(
+                F.pow(
+                    1.0 - F.pow(1.0 - 1.0 / F.col("m"), F.col("k") * F.col("n_members")),
+                    F.col("k"),
+                ),
+                6,
+            ).alias("theoretical_fpr"),
+        )
+        .orderBy("config")
+    )

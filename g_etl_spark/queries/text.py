@@ -3964,3 +3964,149 @@ def q331_langid_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("f1"),
     ).orderBy("lang")
+
+
+_QL_MU = 2000.0
+
+
+@register(
+    "q332_dirichlet_ql_retrieval",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS} AS t, CAST(len({_TOKS}) AS DOUBLE) AS dl
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, dl, token, CAST(count(*) AS DOUBLE) AS tf
+        FROM (SELECT doc_id, dl, unnest(t) AS token FROM base)
+        GROUP BY doc_id, dl, token
+    ),
+    coll AS (SELECT CAST(sum(dl) AS DOUBLE) AS c_tokens FROM base),
+    cft AS (
+        SELECT token, CAST(sum(tf) AS DOUBLE) AS cf,
+               CAST(count(*) AS DOUBLE) AS df
+        FROM tf GROUP BY token
+    ),
+    qsel AS (
+        SELECT doc_id AS qid, token AS qterm
+        FROM (
+            SELECT tf.doc_id, tf.token,
+                   row_number() OVER (PARTITION BY tf.doc_id
+                                      ORDER BY cft.df, tf.token) AS rn
+            FROM tf JOIN cft USING (token) WHERE tf.doc_id % 41 = 0
+        ) WHERE rn = 1
+    ),
+    cand AS (
+        SELECT q.qid, c.doc_id,
+               ln((c.tf + {_QL_MU} * cft.cf / coll.c_tokens)
+                  / (c.dl + {_QL_MU})) AS s
+        FROM qsel q
+        JOIN tf c ON c.token = q.qterm
+        JOIN cft ON cft.token = q.qterm
+        CROSS JOIN coll
+    ),
+    ranks AS (
+        SELECT o.qid,
+               1 + CAST(sum(CASE WHEN c.s > o.s
+                                 OR (c.s = o.s AND c.doc_id < o.qid)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS rnk
+        FROM (SELECT qid, s FROM cand WHERE doc_id = qid) o
+        JOIN cand c ON c.qid = o.qid
+        GROUP BY o.qid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           round(avg(1.0 / rnk), 6) AS mrr,
+           round(avg(CASE WHEN rnk = 1 THEN 1.0 ELSE 0.0 END), 6)
+               AS recall_at_1,
+           round(avg(CASE WHEN rnk <= 10 THEN 1.0 ELSE 0.0 END), 6)
+               AS recall_at_10,
+           round(avg(CAST(rnk AS DOUBLE)), 4) AS mean_rank
+    FROM ranks
+    """,
+)
+def q332_dirichlet_ql_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval under the q263
+    self-retrieval harness — the LANGUAGE-MODEL ranking family next
+    to BM25 (Zhai & Lafferty's QL with Dirichlet prior is the other
+    canonical lexical scorer; an engine that can only rank one way
+    can't A/B its search surface): score(q,d) = ln((tf(q,d) +
+    μ·p(q|C)) / (|d| + μ)) with μ=2000 and the collection model
+    p(q|C) = cf(q)/|C|. Every 41st document issues its rarest term
+    as the query; MRR / recall@1 / recall@10 / mean rank of the
+    source doc among the docs CONTAINING the term (the inverted-index
+    candidate set — non-matching docs are not scored, the standard
+    postings-list shortcut). Comparing this table to q263's BM25 row
+    is the ranker A/B a retrieval stack runs before switching
+    scorers.
+
+    Scale: identical shape to q263 — one explode, two combining aggs
+    (tf, collection stats), a per-query candidate join bounded by
+    df(rarest term). No corpus × corpus stage.
+    """
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", T.tokens(F.col("text")).alias("t")).withColumn(
+        "dl", F.size("t").cast("double")
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("t").alias("token"))
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    coll = base.agg(F.sum("dl").cast("double").alias("c_tokens"))
+    cft = tf.groupBy("token").agg(
+        F.sum("tf").cast("double").alias("cf"),
+        F.count(F.lit(1)).cast("double").alias("df"),
+    )
+    wq = Window.partitionBy("doc_id").orderBy("df", "token")
+    qsel = (
+        tf.join(cft, "token")
+        .where(F.col("doc_id") % 41 == 0)
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") == 1)
+        .select(F.col("doc_id").alias("qid"), F.col("token").alias("qterm"))
+    )
+    qterm_stats = qsel.join(
+        cft.select(F.col("token").alias("qterm"), "cf"), "qterm"
+    )
+    cand = (
+        qterm_stats.join(tf, tf["token"] == qterm_stats["qterm"])
+        .crossJoin(F.broadcast(coll))
+        .select(
+            "qid",
+            "doc_id",
+            F.log(
+                (F.col("tf") + _QL_MU * F.col("cf") / F.col("c_tokens"))
+                / (F.col("dl") + _QL_MU)
+            ).alias("s"),
+        )
+    )
+    own = cand.where(F.col("doc_id") == F.col("qid")).select(
+        "qid", F.col("s").alias("qs")
+    )
+    ranks = (
+        cand.join(own, "qid")
+        .groupBy("qid")
+        .agg(
+            (
+                1
+                + F.sum(
+                    F.when(
+                        (F.col("s") > F.col("qs"))
+                        | ((F.col("s") == F.col("qs")) & (F.col("doc_id") < F.col("qid"))),
+                        1,
+                    ).otherwise(0)
+                )
+            ).alias("rnk")
+        )
+    )
+    return ranks.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg(1.0 / F.col("rnk")), 6).alias("mrr"),
+        F.round(F.avg(F.when(F.col("rnk") == 1, 1.0).otherwise(0.0)), 6).alias(
+            "recall_at_1"
+        ),
+        F.round(F.avg(F.when(F.col("rnk") <= 10, 1.0).otherwise(0.0)), 6).alias(
+            "recall_at_10"
+        ),
+        F.round(F.avg(F.col("rnk").cast("double")), 4).alias("mean_rank"),
+    )

@@ -5627,3 +5627,162 @@ def q324_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+_PH_DELTA_M = 10_000   # drift allowance per step, milli-cents (10 cents)
+_PH_LAMBDA_M = 2_500_000  # alarm threshold, milli-cents (2500 cents)
+_PH_BURN_IN = 5        # steps before the alarm may fire (running-mean warm-up)
+
+
+@register(
+    "q334_page_hinkley_drift",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS di,
+               CAST(round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                          / count(*)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT event_type, x,
+               row_number() OVER (PARTITION BY event_type ORDER BY di) AS rn
+        FROM daily
+    ),
+    counts AS (SELECT event_type, max(rn) AS mx FROM seq GROUP BY 1),
+    walk(event_type, rn, s, u, umin, phmax, alarm) AS (
+        SELECT event_type, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(0 AS BIGINT)
+        FROM counts
+        UNION ALL
+        SELECT w.event_type, w.rn + 1, w.s + q.x,
+               w.u + q.x * 1000
+                   - CAST(round(1000.0 * (w.s + q.x) / (w.rn + 1)) AS BIGINT)
+                   - {_PH_DELTA_M},
+               least(w.umin,
+                     w.u + q.x * 1000
+                         - CAST(round(1000.0 * (w.s + q.x) / (w.rn + 1)) AS BIGINT)
+                         - {_PH_DELTA_M}),
+               greatest(w.phmax,
+                        w.u + q.x * 1000
+                            - CAST(round(1000.0 * (w.s + q.x) / (w.rn + 1)) AS BIGINT)
+                            - {_PH_DELTA_M}
+                        - least(w.umin,
+                                w.u + q.x * 1000
+                                    - CAST(round(1000.0 * (w.s + q.x) / (w.rn + 1)) AS BIGINT)
+                                    - {_PH_DELTA_M})),
+               CASE WHEN w.alarm > 0 THEN w.alarm
+                    WHEN w.rn + 1 > {_PH_BURN_IN}
+                     AND w.u + q.x * 1000
+                             - CAST(round(1000.0 * (w.s + q.x) / (w.rn + 1)) AS BIGINT)
+                             - {_PH_DELTA_M}
+                         - least(w.umin,
+                                 w.u + q.x * 1000
+                                     - CAST(round(1000.0 * (w.s + q.x) / (w.rn + 1)) AS BIGINT)
+                                     - {_PH_DELTA_M})
+                         > {_PH_LAMBDA_M}
+                    THEN w.rn + 1 ELSE 0 END
+        FROM walk w JOIN seq q ON q.event_type = w.event_type
+                              AND q.rn = w.rn + 1
+    ),
+    final AS (
+        SELECT w.event_type AS et, w.rn, w.u, w.umin, w.phmax, w.alarm
+        FROM walk w JOIN counts c ON w.event_type = c.event_type
+                                 AND w.rn = c.mx
+    )
+    SELECT et AS event_type, rn AS n_days,
+           round((u - umin) / 1000.0, 3) AS ph_stat_cents,
+           round(phmax / 1000.0, 3) AS ph_max_cents,
+           alarm AS first_alarm_day,
+           alarm > 0 AS drifted
+    FROM final
+    ORDER BY event_type
+    """,
+)
+def q334_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detection over each event type's daily mean
+    value — the SEQUENTIAL mean-shift monitor the streaming-ML
+    literature runs on model inputs (CUSUM q155 detects level shifts
+    against a FIXED baseline; Page-Hinkley tracks the RUNNING mean,
+    so slow drift and late-onset shifts both register): per day t,
+    U_t = U_(t-1) + (x_t − x̄_t − δ) with x̄_t the running mean, and
+    the statistic PH_t = U_t − min_(i≤t) U_i alarms when it exceeds
+    λ. Output per type: final and max PH (cents), the first alarm
+    day (0 = never; suppressed for a 5-day burn-in while the running
+    mean warms up), and the drift verdict.
+
+    The recurrence is non-associative (running mean + running min),
+    so it runs as the q206/q237/q307 JVM F.aggregate fold over the
+    day-ordered value array with a STRUCT accumulator, against a
+    recursive-CTE oracle that replays the identical walk. Every step
+    quantizes the running-mean term to integer MILLI-cents
+    (round(1000·s/i)) before it enters the state, so both engines
+    carry identical integers — no float accumulates.
+
+    Scale: the fold runs on the |types| × |days| daily rollup (one
+    combining agg collapses the corpus), each type's walk is local
+    and bounded by the calendar, and the daily relation is the only
+    shuffle. The 100 TB cost is the rollup scan, as with every
+    monitor in this family.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("di"),
+    ).agg(
+        F.round(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            0,
+        )
+        .cast("long")
+        .alias("x")
+    )
+    seqs = daily.select(
+        "event_type", F.struct("di", "x").alias("s")
+    ).groupBy("event_type").agg(F.sort_array(F.collect_list("s")).alias("seq"))
+    init = F.expr(
+        "named_struct('i', CAST(0 AS BIGINT), 's', CAST(0 AS BIGINT),"
+        " 'u', CAST(0 AS BIGINT), 'umin', CAST(0 AS BIGINT),"
+        " 'phmax', CAST(0 AS BIGINT), 'alarm', CAST(0 AS BIGINT))"
+    )
+
+    def step(acc, row):
+        i = acc["i"] + 1
+        s = acc["s"] + row["x"]
+        u = (
+            acc["u"]
+            + row["x"] * 1000
+            - F.round(1000.0 * s.cast("double") / i, 0).cast("long")
+            - F.lit(_PH_DELTA_M).cast("long")
+        )
+        umin = F.least(acc["umin"], u)
+        ph = u - umin
+        return F.struct(
+            i.cast("long").alias("i"),
+            s.cast("long").alias("s"),
+            u.cast("long").alias("u"),
+            umin.cast("long").alias("umin"),
+            F.greatest(acc["phmax"], ph).cast("long").alias("phmax"),
+            F.when(acc["alarm"] > 0, acc["alarm"])
+            .when((i > _PH_BURN_IN) & (ph > _PH_LAMBDA_M), i)
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("alarm"),
+        )
+
+    folded = seqs.select(
+        "event_type", F.aggregate(F.col("seq"), init, step).alias("f")
+    )
+    return folded.select(
+        "event_type",
+        F.col("f.i").alias("n_days"),
+        F.round((F.col("f.u") - F.col("f.umin")) / 1000.0, 3).alias("ph_stat_cents"),
+        F.round(F.col("f.phmax") / 1000.0, 3).alias("ph_max_cents"),
+        F.col("f.alarm").alias("first_alarm_day"),
+        (F.col("f.alarm") > 0).alias("drifted"),
+    ).orderBy("event_type")
