@@ -122,6 +122,97 @@ def main() -> None:
     timed("probe_limit_count_sec", probe_overhead)
     timed("probe_full_count_sec", full_count)
 
+    # ---- q328 ground-truth audit vs executing the join ------------
+    small = max(factor // 4, 1)
+    reps_small = spark.range(small).select(F.col("id").alias("rep"))
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey")
+    o2 = load(spark, SF_DIR, "orders").select("o_orderkey")
+    big_li = li.crossJoin(reps_small).select(
+        (F.col("l_orderkey") + F.col("rep") * 100_000_000).alias("k")
+    )
+    big_o2 = o2.crossJoin(reps_small).select(
+        (F.col("o_orderkey") + F.col("rep") * 100_000_000).alias("k")
+    )
+
+    def qerror_rollup_truth():
+        a = big_li.groupBy("k").count().withColumnRenamed("count", "na")
+        b = big_o2.groupBy("k").count().withColumnRenamed("count", "nb")
+        return (
+            a.join(b, "k")
+            .agg(F.sum(F.col("na") * F.col("nb")).alias("actual"))
+            .collect()[0]["actual"]
+        )
+
+    def qerror_join_exec():
+        return big_li.join(big_o2, "k").count()
+
+    timed("qerror_rollup_truth_sec", qerror_rollup_truth)
+    timed("qerror_join_exec_sec", qerror_join_exec)
+
+    # fan-out (many-to-many) case: lineitem self-join on partkey —
+    # output is Σ n_k², where the rollup path's claim actually bites
+    big_pk = load(spark, SF_DIR, "lineitem").select("l_partkey").crossJoin(
+        reps_small
+    ).select((F.col("l_partkey") + F.col("rep") * 10_000_000).alias("k"))
+
+    def fanout_rollup_truth():
+        a = big_pk.groupBy("k").count()
+        return a.agg(F.sum(F.col("count") * F.col("count"))).collect()[0][0]
+
+    def fanout_join_exec():
+        return big_pk.join(
+            big_pk.withColumnRenamed("k", "k2"), F.col("k") == F.col("k2")
+        ).count()
+
+    timed("fanout_rollup_truth_sec", fanout_rollup_truth)
+    timed("fanout_join_exec_sec", fanout_join_exec)
+
+    # ---- q330 bigram LM at scale (rep-SALTED texts) ----------------
+    d = load(spark, SF_DIR, "documents").select("doc_id", "source", "text")
+    big_d = d.crossJoin(reps_small).select(
+        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+        "source",
+        # salt the text so replicas aren't byte-dups: prepend a
+        # rep-specific token (grows vocab linearly in reps)
+        F.concat(F.lit("rep"), F.col("rep").cast("string"), F.lit(" "), F.col("text")).alias("text"),
+    )
+
+    def lm_perplexity():
+        import g_etl_spark.queries.text as TXT
+
+        big_d.createOrReplaceTempView("___probe_docs")
+        # run the same plan body against the scaled relation
+        toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        docs = big_d.select("doc_id", "source", toks.alias("toks")).filter(
+            F.size("toks") >= 2
+        )
+        bigrams = docs.select(
+            "doc_id", "source",
+            F.explode(F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS prev,"
+                " element_at(toks, i + 1) AS cur))"
+            )).alias("b"),
+        ).select("doc_id", "source", "b.prev", "b.cur")
+        bg = bigrams.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_ab"))
+        ctx = bg.groupBy("prev").agg(F.sum("c_ab").alias("c_a"))
+        vocab = docs.select(F.explode("toks").alias("t")).agg(
+            F.countDistinct("t").alias("v")
+        )
+        model = bg.join(ctx, "prev").crossJoin(F.broadcast(vocab)).select(
+            "prev", "cur",
+            F.round(F.log((F.col("c_ab") + 1).cast("double")
+                          / (F.col("c_a") + F.col("v")).cast("double")) * 1e6, 0)
+            .cast("long").alias("q_lp"),
+        )
+        per_doc = bigrams.join(model, ["prev", "cur"]).groupBy("doc_id", "source").agg(
+            F.round((-F.sum("q_lp")).cast("double") / F.count(F.lit(1)), 0)
+            .cast("long").alias("x")
+        )
+        return per_doc.groupBy("source").agg(F.avg("x")).count()
+
+    timed("lm_perplexity_sec", lm_perplexity)
+
     print(json.dumps(out))
 
 

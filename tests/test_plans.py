@@ -3682,3 +3682,116 @@ def test_q327_one_sided_tokens_contribute(spark, qs, tmp_path):
     # s1={aa:.5,bb:.5} vs s4={aa:.5,cc:.5}: shared aa term is 0
     # (equal p), one-sided mass 0.5 each side -> 0.5*ln2
     assert abs(rows[("s1", "s4")] - 0.5 * ln2) < 1e-6
+
+
+def test_q328_qerror_properties(spark, qs):
+    """q-error >= 1 by definition; the FK joins' TRUE cardinality
+    equals the fact-side row count (every lineitem has an order /
+    part, every order a customer), which pins the rollup-product
+    ground-truth construction."""
+    rows = {r["join_name"]: r for r in qs["q328_join_qerror_audit"](spark, SF_DIR).collect()}
+    assert set(rows) == {"orders*customer", "lineitem*orders", "lineitem*part"}
+    for r in rows.values():
+        assert r["q_error"] >= 1.0
+        assert r["est_rows"] > 0 and r["actual_rows"] > 0
+    assert rows["lineitem*orders"]["actual_rows"] == rows["lineitem*orders"]["n_left"]
+    assert rows["orders*customer"]["actual_rows"] == rows["orders*customer"]["n_left"]
+
+
+def test_q329_selectivity_properties(spark, qs):
+    """Fractions in [0,1], add-one q-error >= 1, and the estimate
+    conserves mass: no predicate estimate exceeds the table."""
+    rows = qs["q329_selectivity_estimation_audit"](spark, SF_DIR).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 0.0 <= r["est_fraction"] <= 1.0
+        assert 0.0 <= r["actual_fraction"] <= 1.0
+        assert r["q_error"] >= 1.0
+        assert r["est_rows"] <= r["n_total"]
+
+
+def test_q330_perplexity_consistency(spark, qs):
+    """exp(avg cross-entropy) must equal the reported perplexity,
+    entropies must be positive and bounded by ln(V)+1 (add-one
+    smoothing can't exceed the uniform-over-vocab surprise by more
+    than the smoothing slack), and min <= avg <= max."""
+    import math
+
+    rows = qs["q330_bigram_lm_perplexity"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_docs"] > 0
+        assert 0.0 < r["avg_xent_nats"]
+        assert r["min_xent_nats"] <= r["avg_xent_nats"] <= r["max_xent_nats"]
+        assert abs(r["avg_perplexity"] - math.exp(r["avg_xent_nats"])) < max(
+            0.01 * r["avg_perplexity"], 0.01
+        )
+
+
+def test_q331_langid_metrics_consistency(spark, qs):
+    """support = tp + fn per language; Σ support = corpus size (every
+    labeled doc counted exactly once); metrics in [0,1]; F1 between
+    min and max of precision/recall."""
+    from g_etl_spark.tables import load as load_t
+
+    rows = qs["q331_langid_eval_metrics"](spark, SF_DIR).collect()
+    n_docs = load_t(spark, SF_DIR, "documents").count()
+    assert sum(r["support"] for r in rows) == n_docs
+    for r in rows:
+        assert r["support"] == r["tp"] + r["fn"]
+        for c in ("precision_", "recall_", "f1"):
+            assert 0.0 <= r[c] <= 1.0
+        if r["tp"] + r["fp"] > 0 and r["tp"] + r["fn"] > 0 and r["f1"] > 0:
+            lo = min(r["precision_"], r["recall_"])
+            hi = max(r["precision_"], r["recall_"])
+            assert lo - 1e-4 <= r["f1"] <= hi + 1e-4
+
+
+def test_q332_ql_retrieval_bounds(spark, qs):
+    """MRR in (0,1], recall@1 <= recall@10, mean rank >= 1 — and the
+    QL harness must rank the source doc well above chance (its tf of
+    its own rarest term is positive)."""
+    r = qs["q332_dirichlet_ql_retrieval"](spark, SF_DIR).collect()[0]
+    assert r["n_queries"] > 0
+    assert 0.0 < r["mrr"] <= 1.0
+    assert r["recall_at_1"] <= r["recall_at_10"] <= 1.0
+    assert r["mean_rank"] >= 1.0
+
+
+def test_q333_bloom_fpr_monotone(spark, qs):
+    """Calibration sanity: FPR is non-increasing in filter size at
+    fixed k, and in k at fixed m (for these occupancies); theory
+    follows the same order; measured stays within an order of
+    magnitude + slack of theory on the non-tiny configs."""
+    rows = {r["config"]: r for r in qs["q333_bloom_fpr_calibration"](spark, SF_DIR).collect()}
+    assert rows["m4096_k3"]["measured_fpr"] >= rows["m16384_k3"]["measured_fpr"]
+    assert rows["m16384_k3"]["measured_fpr"] >= 0.0
+    assert rows["m16384_k1"]["measured_fpr"] >= rows["m16384_k2"]["measured_fpr"]
+    for r in rows.values():
+        assert 0.0 <= r["measured_fpr"] <= 1.0
+        assert 0.0 <= r["theoretical_fpr"] <= 1.0
+        assert r["n_probes"] > 0 and r["n_members"] > 0
+
+
+def test_q334_page_hinkley_invariants(spark, qs):
+    """PH statistic is non-negative, the max dominates the final, the
+    alarm (when fired) respects the burn-in, and every type sees the
+    same calendar."""
+    rows = qs["q334_page_hinkley_drift"](spark, SF_DIR).collect()
+    days = {r["n_days"] for r in rows}
+    assert len(days) == 1 and days.pop() > 0
+    for r in rows:
+        assert r["ph_stat_cents"] >= 0.0
+        assert r["ph_max_cents"] >= r["ph_stat_cents"] - 1e-9
+        assert r["first_alarm_day"] == 0 or r["first_alarm_day"] > 5
+        assert bool(r["drifted"]) == (r["first_alarm_day"] > 0)
+
+
+def test_q335_ivm_consistent(spark, qs):
+    """The merged view must equal the full recompute (the whole point
+    of the operator), and the day tallies must reconcile."""
+    r = qs["q335_incremental_view_maintenance"](spark, SF_DIR).collect()[0]
+    assert bool(r["view_consistent"]) is True
+    assert r["n_days_merged"] == r["n_days_full"]
+    assert r["n_new_days"] >= 0 and r["n_updated_days"] >= 0
+    assert r["n_delta_rows"] > 0
