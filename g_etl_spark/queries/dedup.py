@@ -3898,3 +3898,123 @@ def q323_survivorship_conflict_profile(spark: SparkSession, sf_dir: str) -> Data
     for nxt in outs[1:]:
         out = out.unionByName(nxt)
     return out.orderBy("field")
+
+
+@register(
+    "q336_cluster_aware_split",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split_regex(lower(trim(text)), '\\s+'))), ' '))
+                   AS fingerprint
+        FROM corpus
+    ),
+    assigned AS (
+        SELECT doc_id, fingerprint,
+               CASE WHEN CAST(CAST('0x' || substr(md5(fingerprint), 1, 8)
+                              AS UBIGINT) AS BIGINT) < 3435973836 THEN 'train'
+                    WHEN CAST(CAST('0x' || substr(md5(fingerprint), 1, 8)
+                              AS UBIGINT) AS BIGINT) < 3865470566 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM fp
+    ),
+    cl AS (
+        SELECT fingerprint, split,
+               CAST(count(*) AS BIGINT) AS n_members
+        FROM assigned GROUP BY fingerprint, split
+    ),
+    straddle AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_leaked FROM (
+            SELECT fingerprint FROM cl GROUP BY fingerprint
+            HAVING count(DISTINCT split) > 1
+        )
+    )
+    SELECT cl.split,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cl.n_members) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN cl.n_members > 1 THEN cl.n_members ELSE 0 END)
+                AS BIGINT) AS n_docs_in_dup_clusters,
+           round(CAST(sum(cl.n_members) AS DOUBLE)
+                 / (SELECT count(*) FROM assigned), 4) AS doc_fraction,
+           straddle.n_leaked AS n_leaked_clusters
+    FROM cl CROSS JOIN straddle
+    GROUP BY cl.split, straddle.n_leaked
+    ORDER BY cl.split
+    """,
+)
+def q336_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test split — the FIX for the leakage
+    q286 measures (39% of dup clusters straddle q137's id-hashed
+    split on this corpus): assign every document the split of its
+    CONTENT fingerprint's hash, so all copies of a document travel
+    together and the eval set cannot contain a training document's
+    twin — zero straddling clusters BY CONSTRUCTION, and this query
+    materializes the verification (n_leaked_clusters is computed,
+    not asserted). Output per split: cluster and document tallies,
+    how many docs sit in multi-member clusters, the realized doc
+    fraction vs the 80/10/10 target (dup-cluster granularity skews
+    realized fractions — the exact skew a pipeline needs to see),
+    and the leakage counter.
+
+    Scale: one fingerprint projection (map-only), one (fingerprint,
+    split) combining rollup, one scalar straddle check over the
+    cluster relation — the same shuffle budget as q51's detector,
+    and the assignment column is stable under re-sharding and
+    incremental ingestion (the q137 hash-split property lifted from
+    id grain to cluster grain).
+    """
+    c = _corpus(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), TOKEN_SPLIT)
+    fp = c.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
+            "fingerprint"
+        ),
+    )
+    u = F.conv(F.substring(F.md5(F.col("fingerprint")), 1, 8), 16, 10).cast("long")
+    assigned = fp.select(
+        "doc_id",
+        "fingerprint",
+        F.when(u < 3435973836, "train")
+        .when(u < 3865470566, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    cl = assigned.groupBy("fingerprint", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    straddle = (
+        cl.groupBy("fingerprint")
+        .agg(F.countDistinct("split").alias("ns"))
+        .agg(
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_leaked")
+        )
+    )
+    total = assigned.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        cl.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("n_members").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_members") > 1, F.col("n_members")).otherwise(0))
+            .cast("long")
+            .alias("n_docs_in_dup_clusters"),
+        )
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(straddle))
+        .select(
+            "split",
+            "n_clusters",
+            "n_docs",
+            "n_docs_in_dup_clusters",
+            F.round(F.col("n_docs").cast("double") / F.col("n_total"), 4).alias(
+                "doc_fraction"
+            ),
+            F.col("n_leaked").alias("n_leaked_clusters"),
+        )
+        .orderBy("split")
+    )

@@ -3795,3 +3795,22 @@ def test_q335_ivm_consistent(spark, qs):
     assert r["n_days_merged"] == r["n_days_full"]
     assert r["n_new_days"] >= 0 and r["n_updated_days"] >= 0
     assert r["n_delta_rows"] > 0
+
+
+def test_q336_cluster_split_no_leakage(spark, qs):
+    """The cluster-aware split's defining guarantee: ZERO straddling
+    clusters (computed, not asserted), all three splits populated,
+    fractions sum to 1 and land near 80/10/10 at doc grain, and docs
+    reconcile to the corpus size (3x documents: base + exact + near)."""
+    from g_etl_spark.tables import load as load_t
+
+    rows = {r["split"]: r for r in qs["q336_cluster_aware_split"](spark, SF_DIR).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    n_docs_corpus = load_t(spark, SF_DIR, "documents").count() * 3
+    assert sum(r["n_docs"] for r in rows.values()) == n_docs_corpus
+    for r in rows.values():
+        assert r["n_leaked_clusters"] == 0
+        assert r["n_docs"] > 0
+    assert abs(sum(r["doc_fraction"] for r in rows.values()) - 1.0) < 0.001
+    assert rows["train"]["doc_fraction"] > rows["val"]["doc_fraction"]
+    assert rows["train"]["doc_fraction"] > rows["test"]["doc_fraction"]
