@@ -115,10 +115,75 @@ def render() -> str:
     return "\n".join(lines) + "\n"
 
 
+_OPS_HEADER = """# Operators API index
+
+<!-- GENERATED FILE — do not edit by hand.
+     Regenerate with: python -m g_etl_spark.registry_doc -->
+
+`g_etl_spark/operators/` is the REUSABLE surface beneath the query
+registry: functions a user calls directly on their own DataFrames
+(the qNN queries are oracle-gated exercises of these plus inline
+plans). One table per module, one row per public function/class with
+its signature and first docstring sentence.
+"""
+
+
+def _first_sentence(doc: str | None) -> str:
+    if not doc:
+        return "(undocumented)"
+    text = re.sub(r"\s+", " ", doc.strip().split("\n\n", 1)[0]).strip()
+    dot = text.find(". ")
+    return text[: dot + 1] if 0 < dot < 240 else (text[:240] if len(text) > 240 else text)
+
+
+def render_operators() -> str:
+    import importlib
+    import inspect
+    import pkgutil
+
+    import g_etl_spark.operators as ops_pkg
+
+    lines = [_OPS_HEADER]
+    modules = sorted(
+        m.name for m in pkgutil.iter_modules(ops_pkg.__path__) if not m.name.startswith("_")
+    )
+    for modname in modules:
+        mod = importlib.import_module(f"g_etl_spark.operators.{modname}")
+        pub = [
+            (n, obj)
+            for n, obj in vars(mod).items()
+            if not n.startswith("_")
+            and (inspect.isfunction(obj) or inspect.isclass(obj))
+            and getattr(obj, "__module__", None) == mod.__name__
+        ]
+        if not pub:
+            continue
+        blurb = _first_sentence(mod.__doc__)
+        lines.append(f"\n## operators.{modname}\n")
+        lines.append(f"{blurb}\n")
+        lines.append("| Symbol | Signature | Does |")
+        lines.append("|---|---|---|")
+        for n, obj in sorted(pub):
+            try:
+                sig = str(inspect.signature(obj))
+            except (TypeError, ValueError):
+                sig = "(…)"
+            sig = re.sub(r"\s+", " ", sig)
+            if len(sig) > 110:
+                sig = sig[:107] + "…"
+            doc = _first_sentence(obj.__doc__).replace("|", "\\|")
+            lines.append(f"| `{n}` | `{sig}` | {doc} |")
+    return "\n".join(lines) + "\n"
+
+
 def main() -> None:
-    out = Path(__file__).resolve().parents[1] / "docs" / "registry.md"
+    docs = Path(__file__).resolve().parents[1] / "docs"
+    out = docs / "registry.md"
     out.write_text(render())
     print(f"wrote {out}")
+    ops_out = docs / "operators.md"
+    ops_out.write_text(render_operators())
+    print(f"wrote {ops_out}")
 
 
 if __name__ == "__main__":

@@ -60,3 +60,44 @@ def test_registry_doc_module_headers_in_sync():
         assert blurbs[module] in text.replace("\n", " ") or blurbs[module] in text, (
             f"module blurb for {module} absent from the committed doc"
         )
+
+
+OPS_DOC = Path(__file__).resolve().parents[1] / "docs" / "operators.md"
+
+
+def test_operators_doc_in_sync():
+    """docs/operators.md is generated from the operators package —
+    adding/renaming a public operator function without regenerating
+    fails here (same contract as the registry index)."""
+    assert OPS_DOC.exists(), (
+        "docs/operators.md missing — run python -m g_etl_spark.registry_doc"
+    )
+    assert OPS_DOC.read_text() == registry_doc.render_operators(), (
+        "docs/operators.md is stale — regenerate with "
+        "python -m g_etl_spark.registry_doc"
+    )
+
+
+def test_operators_doc_covers_every_public_symbol():
+    import importlib
+    import inspect
+    import pkgutil
+
+    import g_etl_spark.operators as ops_pkg
+
+    text = OPS_DOC.read_text()
+    missing = []
+    for m in pkgutil.iter_modules(ops_pkg.__path__):
+        if m.name.startswith("_"):
+            continue
+        mod = importlib.import_module(f"g_etl_spark.operators.{m.name}")
+        for n, obj in vars(mod).items():
+            if n.startswith("_"):
+                continue
+            if not (inspect.isfunction(obj) or inspect.isclass(obj)):
+                continue
+            if getattr(obj, "__module__", None) != mod.__name__:
+                continue
+            if f"| `{n}` |" not in text:
+                missing.append(f"{m.name}.{n}")
+    assert not missing, f"operators absent from docs/operators.md: {missing}"
