@@ -4018,3 +4018,190 @@ def q336_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    """4 synchronous label-propagation rounds, unrolled: per round,
+    each node takes the modal label among its neighbors (ties to the
+    SMALLEST label), computed over the support->=2 co-purchase graph."""
+    rounds = []
+    prev = "l0"
+    for r in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+    l{r} AS MATERIALIZED (
+        SELECT node, label FROM (
+            SELECT sym.a AS node, p.label,
+                   row_number() OVER (
+                       PARTITION BY sym.a
+                       ORDER BY count(*) DESC, p.label
+                   ) AS rn
+            FROM sym JOIN {prev} p ON p.node = sym.b
+            GROUP BY sym.a, p.label
+        ) WHERE rn = 1
+    )""")
+        prev = f"l{r}"
+    return f"""
+    WITH pairs AS (
+        SELECT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(DISTINCT a.l_orderkey) >= 2
+    ),
+    sym AS (
+        SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),
+    {", ".join(rounds)}
+    SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(node) AS BIGINT) AS min_member
+    FROM {prev}
+    GROUP BY label
+    HAVING count(*) >= 2
+    ORDER BY n_members DESC, community
+    """
+
+
+@register("q337_label_propagation_communities", oracle=_lpa_oracle())
+def q337_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the support≥2 co-purchase graph — the
+    COMMUNITY semantics the graph family lacks (q56/q76 find
+    connectivity, q205 finds cores, q227 SCORES a given partition;
+    LPA produces the partition): every part starts as its own label,
+    and for 4 synchronous rounds each node adopts the modal label
+    among its neighbors, ties broken to the smallest label — fully
+    deterministic, so both engines replay the identical walk. Output:
+    communities of size ≥ 2 with their sizes.
+
+    Fixed rounds instead of a convergence test, deliberately: LPA's
+    fixpoint can oscillate under synchronous updates (the known
+    bipartite 2-cycle), so production LPA runs bounded rounds — and
+    bounded rounds are exactly what an unrolled MATERIALIZED-CTE
+    oracle can mirror (the q215/q266 precedent).
+
+    Scale: per round, ONE join of the edge relation to the label
+    relation + ONE modal groupBy (count desc, label asc argmax via a
+    min-struct — no per-node window over corpus rows); the edge
+    relation is Σ basket² bounded with support pruning, labels are
+    |nodes| rows, lineage truncated per round via localCheckpoint
+    (the q56/q118 iterative-plan discipline).
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    pairs = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .groupBy(
+            F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
+        )
+        .agg(F.countDistinct("l1.l_orderkey").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("a", "b")
+    )
+    sym = pairs.unionAll(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LPA_ROUNDS):
+        nbr = sym.join(
+            labels.withColumnRenamed("node", "b"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        counts = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            counts.groupBy("node")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("m"))
+            .select("node", F.col("m.label").alias("label"))
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("node").cast("long").alias("min_member"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .orderBy(F.desc("n_members"), "community")
+    )
+
+
+@register(
+    "q338_effective_token_audit",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    docs AS (
+        SELECT doc_id,
+               md5(text) AS content_hash,
+               CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                    AS BIGINT) AS n_tok
+        FROM corpus
+    ),
+    cl AS (
+        SELECT content_hash,
+               CAST(count(*) AS BIGINT) AS sz,
+               CAST(sum(n_tok) AS BIGINT) AS raw_tok,
+               CAST(min(n_tok) AS BIGINT) AS uniq_tok
+        FROM docs GROUP BY content_hash
+    )
+    SELECT sz AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(sum(raw_tok) AS BIGINT) AS raw_tokens,
+           CAST(sum(uniq_tok) AS BIGINT) AS effective_tokens,
+           round(CAST(sum(raw_tok) AS DOUBLE)
+                 / greatest(sum(uniq_tok), 1), 4) AS duplication_factor
+    FROM cl
+    GROUP BY sz
+    ORDER BY sz
+    """,
+)
+def q338_effective_token_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective (dedup-weighted) token inventory by duplicate-cluster
+    size — the capacity question a pretraining plan starts from: raw
+    token counts overstate how much DATA a corpus holds when clusters
+    repeat (training on k copies ≈ k epochs of one copy — the Lee et
+    al. dedup motivation in planning-table form). Per exact-content
+    cluster size: cluster/doc tallies, raw tokens, effective tokens
+    (one representative per cluster — min is exact because members
+    are byte-identical), and the duplication factor the mixture
+    planner (q228) must divide by before allocating epochs.
+
+    Scale: one map-side (md5, token-count) projection — token counts
+    are array lengths, no explode — one combining cluster rollup,
+    one |distinct sizes| rollup. Free rider on any dedup scan; the
+    same shuffle as q50's detector.
+    """
+    c = _corpus(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), TOKEN_SPLIT)
+    docs = c.select(
+        F.md5("text").alias("content_hash"),
+        F.size(toks).cast("long").alias("n_tok"),
+    )
+    cl = docs.groupBy("content_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("sz"),
+        F.sum("n_tok").cast("long").alias("raw_tok"),
+        F.min("n_tok").cast("long").alias("uniq_tok"),
+    )
+    return (
+        cl.groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.sum("raw_tok").cast("long").alias("raw_tokens"),
+            F.sum("uniq_tok").cast("long").alias("effective_tokens"),
+            F.round(
+                F.sum("raw_tok").cast("double")
+                / F.greatest(F.sum("uniq_tok"), F.lit(1)),
+                4,
+            ).alias("duplication_factor"),
+        )
+        .orderBy("cluster_size")
+    )

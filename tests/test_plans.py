@@ -3814,3 +3814,32 @@ def test_q336_cluster_split_no_leakage(spark, qs):
     assert abs(sum(r["doc_fraction"] for r in rows.values()) - 1.0) < 0.001
     assert rows["train"]["doc_fraction"] > rows["val"]["doc_fraction"]
     assert rows["train"]["doc_fraction"] > rows["test"]["doc_fraction"]
+
+
+def test_q337_lpa_partition_properties(spark, qs):
+    """LPA invariants on the co-purchase graph: community labels are
+    member node ids (labels propagate from real nodes), min_member <=
+    community can only fail if the label left its community — assert
+    label is a plausible node id and sizes >= 2 as filtered."""
+    rows = qs["q337_label_propagation_communities"](spark, SF_DIR).collect()
+    assert rows  # at least one multi-member community
+    for r in rows:
+        assert r["n_members"] >= 2
+        assert r["min_member"] >= 0 and r["community"] >= 0
+    sizes = [r["n_members"] for r in rows]
+    assert sizes == sorted(sizes, reverse=True)
+
+
+def test_q338_effective_tokens_reconcile(spark, qs):
+    """The inventory must reconcile: docs = 3x documents, raw tokens
+    = cluster_size x effective within each size class (byte-identical
+    members), duplication_factor == cluster_size exactly."""
+    from g_etl_spark.tables import load as load_t
+
+    rows = qs["q338_effective_token_audit"](spark, SF_DIR).collect()
+    n_docs = load_t(spark, SF_DIR, "documents").count() * 3
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+        assert r["raw_tokens"] == r["cluster_size"] * r["effective_tokens"]
+        assert abs(r["duplication_factor"] - r["cluster_size"]) < 1e-9
