@@ -4205,3 +4205,87 @@ def q338_effective_token_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+def _q339_oracle() -> str:
+    """q339 oracle: q295's planted corpus, candidates from the UNION
+    of two independent SRP seeds (the multi-seed recall knob),
+    deduped before the exact-cosine refine."""
+    from g_etl_spark.queries.similarity import _srp_bucket_sql
+
+    b0 = _srp_bucket_sql(8, 64, col="ve", seed="srp")
+    b1 = _srp_bucket_sql(8, 64, col="ve", seed="srp:1")
+    return f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+        FROM embeddings
+    ),
+    corpus AS (
+        SELECT vec_id, ve FROM base
+        UNION ALL
+        SELECT vec_id + 100000,
+               list_transform(range(1, 65),
+                              i -> CASE WHEN i <= 4 THEN ve[i] * 1.5 ELSE ve[i] END)
+        FROM base
+    ),
+    n AS (
+        SELECT vec_id, ve,
+               sqrt(list_aggregate(list_transform(ve, x -> x * x), 'sum')) AS nrm,
+               {b0} AS b0, {b1} AS b1
+        FROM corpus
+    ),
+    cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM n a JOIN n b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+        UNION
+        SELECT a.vec_id, b.vec_id
+        FROM n a JOIN n b ON a.b1 = b.b1 AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM (
+        SELECT c.id_a, c.id_b,
+               round(list_aggregate(list_transform(range(1, 65),
+                                                   i -> a.ve[i] * b.ve[i]), 'sum')
+                     / (a.nrm * b.nrm), 4) AS cosine
+        FROM cand c
+        JOIN n a ON a.vec_id = c.id_a
+        JOIN n b ON b.vec_id = c.id_b
+    ) WHERE cosine >= 0.98
+    ORDER BY id_a, id_b
+    """
+
+
+@register("q339_embedding_dedup_multiseed", oracle=_q339_oracle())
+def q339_embedding_dedup_multiseed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q295's bucketed embedding dedup with the MULTI-SEED recall
+    knob engaged (n_seeds=2): candidates are the union of two
+    independent 8-plane SRP bucket equi-joins, deduplicated before
+    the exact-cosine refine — this GATES the union path itself
+    against a DuckDB oracle that replays both hyperplane sets as
+    literal constants (measured on this corpus: recall 0.73 → 0.93
+    over the single seed at precision 1.0; the full curve is in
+    SCALE_NOTES round-9 and the recall test). q295 stays the
+    single-seed default so its r8 oracle rows are byte-stable; this
+    is the gated sibling for pipelines that buy the ~2× candidate
+    cost for the extra recall.
+
+    Scale: everything q295 argues, times the seed count on the
+    candidate-generation side only — the refine touches each unique
+    candidate once (the union dedup is one shuffle on the pair id),
+    and no corpus × corpus stage exists at any seed count.
+    """
+    from g_etl_spark.operators import similarity as S
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    pert = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.when(i <= 4, F.get(ve, i - 1) * 1.5).otherwise(F.get(ve, i - 1)),
+        ).alias("embedding"),
+    )
+    corpus = e.select("vec_id", ve.alias("embedding")).unionByName(pert)
+    return S.srp_bucket_pairs(
+        corpus, threshold=0.98, n_planes=8, dim=64, n_seeds=2
+    ).orderBy("id_a", "id_b")

@@ -106,11 +106,15 @@ def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(e, q, k=10)
 
 
-def _srp_bucket_sql(n_planes: int = 6, dim: int = 64, col: str = "embedding") -> str:
+def _srp_bucket_sql(
+    n_planes: int = 6, dim: int = 64, col: str = "embedding", seed: str = "srp"
+) -> str:
     """DuckDB expression for the SRP bucket of `col` — the SAME
     md5-derived hyperplanes as operators/similarity, embedded as
-    literal constants so both engines compute identical sign bits."""
-    planes = S.random_hyperplanes(n_planes, dim)
+    literal constants so both engines compute identical sign bits.
+    `seed` selects the hyperplane set (seed 0 of the multi-seed
+    operator is "srp"; seed i>0 is "srp:i")."""
+    planes = S.random_hyperplanes(n_planes, dim, seed=seed)
     bits = []
     for p, plane in enumerate(planes):
         arr = ", ".join(repr(v) for v in plane)
