@@ -206,6 +206,8 @@ def main() -> None:
         "q170_grid_hotspot_clusters",   # grid rollup + dense-cell CC (r5)
         "q205_kcore_membership",        # iterative degree peeling (r6)
         "q212_repeated_span_coverage",  # gram df + island merge (r6)
+        "q330_bigram_lm_perplexity",    # corpus LM train+score (r9)
+        "q337_label_propagation_communities",  # 4-round LPA (r9)
     ]:
         loads_pre[name] = round(os.getloadavg()[0], 2)
         best = None

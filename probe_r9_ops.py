@@ -213,6 +213,47 @@ def main() -> None:
 
     timed("lm_perplexity_sec", lm_perplexity)
 
+    # ---- q337 LPA at scale: rep-shifted part keys ------------------
+    li2 = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    big_li2 = li2.crossJoin(reps_small).select(
+        (F.col("l_orderkey") + F.col("rep") * 100_000_000).alias("l_orderkey"),
+        (F.col("l_partkey") + F.col("rep") * 10_000_000).alias("l_partkey"),
+    )
+
+    def lpa_rounds():
+        l1, l2 = big_li2.alias("l1"), big_li2.alias("l2")
+        pairs = (
+            l1.join(
+                l2,
+                (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+                & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+            )
+            .groupBy(F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b"))
+            .agg(F.countDistinct("l1.l_orderkey").alias("sup"))
+            .filter(F.col("sup") >= 2)
+            .select("a", "b")
+        )
+        sym = pairs.unionAll(
+            pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).localCheckpoint()
+        labels = sym.select(F.col("a").alias("node")).distinct().select(
+            "node", F.col("node").alias("label")
+        )
+        for _ in range(4):
+            nbr = sym.join(labels.withColumnRenamed("node", "b"), "b").select(
+                F.col("a").alias("node"), "label"
+            )
+            counts = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+            labels = (
+                counts.groupBy("node")
+                .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("m"))
+                .select("node", F.col("m.label").alias("label"))
+                .localCheckpoint()
+            )
+        return labels.count()
+
+    timed("lpa_4rounds_sec", lpa_rounds)
+
     print(json.dumps(out))
 
 
