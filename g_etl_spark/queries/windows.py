@@ -5786,3 +5786,98 @@ def q334_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f.alarm").alias("first_alarm_day"),
         (F.col("f.alarm") > 0).alias("drifted"),
     ).orderBy("event_type")
+
+
+_CHURN_K = 20
+
+
+@register(
+    "q341_topk_churn",
+    oracle=f"""
+    WITH split AS (
+        SELECT user_id,
+               CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16' THEN 0 ELSE 1 END AS half
+        FROM events
+    ),
+    act AS (
+        SELECT half, user_id, CAST(count(*) AS BIGINT) AS n
+        FROM split GROUP BY half, user_id
+    ),
+    ranked AS (
+        SELECT half, user_id, n,
+               row_number() OVER (PARTITION BY half
+                                  ORDER BY n DESC, user_id) AS r
+        FROM act
+    ),
+    tops AS (SELECT half, user_id, r FROM ranked WHERE r <= {_CHURN_K}),
+    a AS (SELECT user_id, r AS ra FROM tops WHERE half = 0),
+    b AS (SELECT user_id, r AS rb FROM tops WHERE half = 1),
+    j AS (SELECT a.user_id, a.ra, b.rb
+          FROM a FULL OUTER JOIN b ON a.user_id = b.user_id)
+    SELECT CAST({_CHURN_K} AS BIGINT) AS k,
+           CAST(count(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL THEN 1 END)
+                AS BIGINT) AS n_stayed,
+           CAST(count(CASE WHEN ra IS NULL THEN 1 END) AS BIGINT) AS n_entered,
+           CAST(count(CASE WHEN rb IS NULL THEN 1 END) AS BIGINT) AS n_exited,
+           round(CAST(count(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+                            THEN 1 END) AS DOUBLE)
+                 / count(*), 4) AS jaccard,
+           round(avg(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+                          THEN CAST(abs(ra - rb) AS DOUBLE) END), 4)
+               AS mean_abs_rank_shift
+    FROM j
+    """,
+)
+def q341_topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k leaderboard churn between the two halves of the event
+    window — the monitoring readout behind "did our heavy hitters
+    change": rank users by activity in each half (deterministic
+    count-desc/id tiebreak), then measure how the top-20 sets moved —
+    stayed/entered/exited counts, the Jaccard of the two sets, and
+    the mean absolute rank displacement of the members that stayed.
+    A stable system churns slowly; a sudden low Jaccard is the alarm
+    that routes to q109's drift and q151's anomaly views (the
+    heavy-hitter SETS q204/q120 extract per window, compared ACROSS
+    windows).
+
+    Scale: per-half activity is a combining rollup to |users| cells;
+    the ranking window partitions by half over that collapsed
+    relation; the top-k join is k × k. Nothing corpus-sized sorts —
+    and at true 100 TB the per-half rollup is where a Misra-Gries
+    pass (q204) would pre-filter candidates before exact ranking.
+    """
+    e = load(spark, sf_dir, "events")
+    split = e.select(
+        "user_id",
+        F.when(F.col("ts").cast("date") < F.lit("2024-01-16").cast("date"), 0)
+        .otherwise(1)
+        .alias("half"),
+    )
+    act = split.groupBy("half", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("half").orderBy(F.desc("n"), F.asc("user_id"))
+    tops = act.withColumn("r", F.row_number().over(w)).filter(
+        F.col("r") <= _CHURN_K
+    )
+    a = tops.filter(F.col("half") == 0).select(
+        F.col("user_id").alias("ua"), F.col("r").alias("ra")
+    )
+    b = tops.filter(F.col("half") == 1).select(
+        F.col("user_id").alias("ub"), F.col("r").alias("rb")
+    )
+    j = a.join(b, a["ua"] == b["ub"], "full")
+    stayed = F.col("ra").isNotNull() & F.col("rb").isNotNull()
+    return j.agg(
+        F.lit(_CHURN_K).cast("long").alias("k"),
+        F.count(F.when(stayed, 1)).cast("long").alias("n_stayed"),
+        F.count(F.when(F.col("ra").isNull(), 1)).cast("long").alias("n_entered"),
+        F.count(F.when(F.col("rb").isNull(), 1)).cast("long").alias("n_exited"),
+        F.round(
+            F.count(F.when(stayed, 1)).cast("double") / F.count(F.lit(1)), 4
+        ).alias("jaccard"),
+        F.round(
+            F.avg(F.when(stayed, F.abs(F.col("ra") - F.col("rb")).cast("double"))),
+            4,
+        ).alias("mean_abs_rank_shift"),
+    )

@@ -3861,3 +3861,19 @@ def test_q340_selectivity_pair_agrees_on_benign_distribution(spark, qs):
         assert 1.0 <= ed[p]["q_error"] < 1.5
         assert 1.0 <= ew[p]["q_error"] < 1.5
         assert abs(ed[p]["q_error"] - ew[p]["q_error"]) < 0.1
+
+
+def test_q341_churn_set_algebra(spark, qs):
+    """Churn identities: jaccard = stayed/(stayed+entered+exited),
+    both half-sets bounded by k, entered/exited symmetric when both
+    halves fill their top-k, rank shift bounded by k-1."""
+    r = qs["q341_topk_churn"](spark, SF_DIR).collect()[0]
+    total = r["n_stayed"] + r["n_entered"] + r["n_exited"]
+    assert total > 0
+    assert abs(r["jaccard"] - r["n_stayed"] / total) < 1e-3
+    assert r["n_stayed"] + r["n_exited"] <= r["k"]
+    assert r["n_stayed"] + r["n_entered"] <= r["k"]
+    if r["n_stayed"] + r["n_exited"] == r["k"] and r["n_stayed"] + r["n_entered"] == r["k"]:
+        assert r["n_entered"] == r["n_exited"]
+    if r["mean_abs_rank_shift"] is not None:
+        assert 0.0 <= r["mean_abs_rank_shift"] <= r["k"] - 1
