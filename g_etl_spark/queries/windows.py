@@ -5881,3 +5881,150 @@ def q341_topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_abs_rank_shift"),
     )
+
+
+@register(
+    "q342_session_entropy_rate",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS session_id
+        FROM gaps
+    ),
+    trans AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id, session_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM sess
+    ),
+    counts AS (
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+        FROM trans WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_src FROM counts GROUP BY src),
+    terms AS (
+        SELECT c.src, t.n_src,
+               CAST(round(1000000.0 * c.n / t.n_src
+                          * ln(CAST(t.n_src AS DOUBLE) / c.n)) AS BIGINT)
+                   AS t_micro
+        FROM counts c JOIN tot t ON c.src = t.src
+    ),
+    per_src AS (
+        SELECT src, CAST(max(n_src) AS BIGINT) AS n_trans,
+               CAST(sum(t_micro) AS BIGINT) AS h_micro
+        FROM terms GROUP BY src
+    ),
+    grand AS (SELECT CAST(sum(n_trans) AS BIGINT) AS n_all FROM per_src),
+    overall AS (
+        SELECT '__rate__' AS state, grand.n_all AS n_trans,
+               CAST(sum(CAST(round(CAST(h_micro AS DOUBLE) * n_trans
+                                   / grand.n_all) AS BIGINT)) AS BIGINT)
+                   AS h_micro
+        FROM per_src CROSS JOIN grand
+        GROUP BY grand.n_all
+    )
+    SELECT state, n_trans,
+           round(h_micro / 1000000.0, 6) AS entropy_nats,
+           round(exp(h_micro / 1000000.0), 4) AS perplexity
+    FROM (
+        SELECT src AS state, n_trans, h_micro FROM per_src
+        UNION ALL
+        SELECT state, n_trans, h_micro FROM overall
+    )
+    ORDER BY state
+    """,
+)
+def q342_session_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the session Markov chain — the PREDICTABILITY
+    closure of the journey family (q127 estimates the transition
+    matrix, q215 its steady state, q186 backtests next-event
+    accuracy; this single number says how predictable the journeys
+    are at all): per source state, the conditional next-event entropy
+    H(dst|src) = Σ p·ln(1/p) and its perplexity (effective branching
+    factor), plus the plug-in entropy rate Σ π̂_src·H(dst|src) under
+    the empirical state frequencies as the '__rate__' row. An
+    entropy rate near ln(k) means journeys are noise (personalization
+    has nothing to learn); near 0 means deterministic funnels.
+
+    Per-transition entropy terms are quantized to integer micro-nats
+    before the per-state sum, and each state's rate contribution is
+    quantized before the cross-state sum (the q300/q330 discipline,
+    applied at both levels), so the output is engine-order-exact.
+
+    Scale: one sessionize+lead shuffle (shared, as in q127), one
+    combining count to |types|² cells, then arithmetic on that
+    bounded relation — the entropy rate of 100 TB of journeys costs
+    one corpus scan.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    sess = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    trans = sess.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(ws).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counts = trans.groupBy("src", "dst").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = counts.groupBy("src").agg(F.sum("n").cast("long").alias("n_src"))
+    terms = counts.join(tot, "src").select(
+        "src",
+        "n_src",
+        F.round(
+            F.lit(1e6)
+            * F.col("n")
+            / F.col("n_src")
+            * F.log(F.col("n_src").cast("double") / F.col("n")),
+            0,
+        )
+        .cast("long")
+        .alias("t_micro"),
+    )
+    per_src = terms.groupBy("src").agg(
+        F.max("n_src").cast("long").alias("n_trans"),
+        F.sum("t_micro").cast("long").alias("h_micro"),
+    )
+    grand = per_src.agg(F.sum("n_trans").cast("long").alias("n_all"))
+    overall = (
+        per_src.crossJoin(F.broadcast(grand))
+        .groupBy("n_all")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("h_micro").cast("double") * F.col("n_trans") / F.col("n_all"),
+                    0,
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("h_micro")
+        )
+        .select(
+            F.lit("__rate__").alias("state"),
+            F.col("n_all").alias("n_trans"),
+            "h_micro",
+        )
+    )
+    both = per_src.select(
+        F.col("src").alias("state"), "n_trans", "h_micro"
+    ).unionByName(overall)
+    return both.select(
+        "state",
+        "n_trans",
+        F.round(F.col("h_micro") / 1e6, 6).alias("entropy_nats"),
+        F.round(F.exp(F.col("h_micro") / 1e6), 4).alias("perplexity"),
+    ).orderBy("state")

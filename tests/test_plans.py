@@ -3877,3 +3877,23 @@ def test_q341_churn_set_algebra(spark, qs):
         assert r["n_entered"] == r["n_exited"]
     if r["mean_abs_rank_shift"] is not None:
         assert 0.0 <= r["mean_abs_rank_shift"] <= r["k"] - 1
+
+
+def test_q342_entropy_rate_bounds(spark, qs):
+    """Entropy identities: per-state conditional entropy in
+    [0, ln(k)] for k = number of next states (<= 5 types here), the
+    __rate__ row is the n_trans-weighted mean of the per-state rows
+    (within quantization), and perplexity = exp(entropy)."""
+    import math
+
+    rows = qs["q342_session_entropy_rate"](spark, SF_DIR).collect()
+    per = [r for r in rows if r["state"] != "__rate__"]
+    rate = [r for r in rows if r["state"] == "__rate__"][0]
+    assert per and rate["n_trans"] == sum(r["n_trans"] for r in per)
+    for r in rows:
+        assert 0.0 <= r["entropy_nats"] <= math.log(5) + 1e-6
+        assert abs(r["perplexity"] - math.exp(r["entropy_nats"])) < max(
+            0.01, 0.01 * r["perplexity"]
+        )
+    expected = sum(r["entropy_nats"] * r["n_trans"] for r in per) / rate["n_trans"]
+    assert abs(rate["entropy_nats"] - expected) < 1e-4
