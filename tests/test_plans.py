@@ -3897,3 +3897,24 @@ def test_q342_entropy_rate_bounds(spark, qs):
         )
     expected = sum(r["entropy_nats"] * r["n_trans"] for r in per) / rate["n_trans"]
     assert abs(rate["entropy_nats"] - expected) < 1e-4
+
+
+def test_r9_new_query_plans_no_cartesian(spark, qs):
+    """Plan hygiene sweep for the round-9 additions that join: no
+    CartesianProduct in any of them (broadcast nested loops over
+    1-row bounds/stat relations are fine; an unbounded cross product
+    is not)."""
+    for name in (
+        "q328_join_qerror_audit",
+        "q330_bigram_lm_perplexity",
+        "q331_langid_eval_metrics",
+        "q332_dirichlet_ql_retrieval",
+        "q333_bloom_fpr_calibration",
+        "q336_cluster_aware_split",
+        "q337_label_propagation_communities",
+        "q339_embedding_dedup_multiseed",
+        "q341_topk_churn",
+        "q342_session_entropy_rate",
+    ):
+        plan = plan_of(qs[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, f"cartesian in {name}"
