@@ -1819,3 +1819,138 @@ def q305_mutual_nearest_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "q343_semantic_source_distance",
+    oracle="""
+    WITH joined AS (
+        SELECT d.source,
+               list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    ),
+    dims AS (
+        SELECT source, i AS dim, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(v[i] * 1000000) AS BIGINT)) AS BIGINT)
+                   AS s_micro
+        FROM joined, unnest(range(1, 65)) AS t(i)
+        GROUP BY source, i
+    ),
+    cent AS (
+        SELECT source, dim,
+               CAST(s_micro AS DOUBLE) / n / 1000000 AS c
+        FROM dims
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(sum(CAST(round(a.c * b.c * 1e12) AS BIGINT)) AS DOUBLE)
+                   / 1e12 AS dot,
+               sqrt(CAST(sum(CAST(round(a.c * a.c * 1e12) AS BIGINT)) AS DOUBLE)
+                    / 1e12) AS na,
+               sqrt(CAST(sum(CAST(round(b.c * b.c * 1e12) AS BIGINT)) AS DOUBLE)
+                    / 1e12) AS nb
+        FROM cent a JOIN cent b
+          ON a.dim = b.dim AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b,
+           round(dot / (na * nb), 6) AS centroid_cosine,
+           round(1.0 - dot / (na * nb), 6) AS cosine_distance
+    FROM pairs
+    ORDER BY source_a, source_b
+    """,
+)
+def q343_semantic_source_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SEMANTIC source distance — the embedding-space
+    sibling of q327's lexical Jensen-Shannon matrix: per source, the
+    centroid of its documents' embeddings (the SemDeDup/q97 cluster
+    view lifted to source grain), then pairwise centroid cosine. A
+    source pair that is lexically far (q327) but semantically close
+    is paraphrase/translation overlap — exactly what cross-lingual
+    dedup (q305's MNN alignment) should be pointed at; both matrices
+    together are the corpus-similarity dashboard.
+
+    Engine-exactness: per-dimension coordinate sums are quantized to
+    integer micro-units BEFORE the per-source mean (the q300
+    discipline applied per dimension), so the centroids — and hence
+    every cosine — are identical integers-derived doubles in both
+    engines; the pairwise dot/norm terms are themselves quantized to
+    integer pico-units before the 64-term sums, so no
+    engine-order-dependent double sum exists anywhere. The pairwise
+    stage computes on the |sources| × 64 centroid relation only.
+
+    Scale: one broadcast-joinable doc→source map, one combining agg
+    to |sources|·64 cells (the dimension explode is map-side), and a
+    pairwise join on the TINY centroid relation — |sources|², never
+    corpus². The same shape serves any per-group embedding centroid
+    (topic, language, time-bucket).
+    """
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    joined = e.join(F.broadcast(d), "vec_id").select(
+        "source",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    dims = (
+        joined.select(
+            "source",
+            F.posexplode(F.col("v")).alias("dim0", "x"),
+        )
+        .select(
+            "source",
+            (F.col("dim0") + 1).alias("dim"),
+            F.round(F.col("x") * 1e6, 0).cast("long").alias("x_micro"),
+        )
+        .groupBy("source", "dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x_micro").cast("long").alias("s_micro"),
+        )
+    )
+    cent = dims.select(
+        "source",
+        "dim",
+        (F.col("s_micro").cast("double") / F.col("n") / 1e6).alias("c"),
+    )
+    a = cent.select(
+        F.col("source").alias("source_a"), "dim", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("source").alias("source_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("c").alias("cb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("dim") == F.col("dim_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            (
+                F.sum(F.round(F.col("ca") * F.col("cb") * 1e12, 0).cast("long"))
+                .cast("double")
+                / 1e12
+            ).alias("dot"),
+            F.sqrt(
+                F.sum(F.round(F.col("ca") * F.col("ca") * 1e12, 0).cast("long"))
+                .cast("double")
+                / 1e12
+            ).alias("na"),
+            F.sqrt(
+                F.sum(F.round(F.col("cb") * F.col("cb") * 1e12, 0).cast("long"))
+                .cast("double")
+                / 1e12
+            ).alias("nb"),
+        )
+    )
+    cos = F.col("dot") / (F.col("na") * F.col("nb"))
+    return pairs.select(
+        "source_a",
+        "source_b",
+        F.round(cos, 6).alias("centroid_cosine"),
+        F.round(1.0 - cos, 6).alias("cosine_distance"),
+    ).orderBy("source_a", "source_b")

@@ -3918,3 +3918,20 @@ def test_r9_new_query_plans_no_cartesian(spark, qs):
     ):
         plan = plan_of(qs[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, f"cartesian in {name}"
+
+
+def test_q343_semantic_distance_matrix_properties(spark, qs):
+    """Full k-choose-2 matrix, cosine in [-1, 1], distance = 1 -
+    cosine, and no corpus-sized pair join (the pair stage runs on the
+    |sources| x 64 centroid relation — plan must be free of
+    CartesianProduct and of any join keyed on vec_id x vec_id)."""
+    df = qs["q343_semantic_source_distance"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    srcs = {r["source_a"] for r in rows} | {r["source_b"] for r in rows}
+    k = len(srcs)
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["centroid_cosine"] <= 1.0 + 1e-9
+        assert abs((1.0 - r["centroid_cosine"]) - r["cosine_distance"]) < 2e-6
