@@ -6028,3 +6028,78 @@ def q342_session_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("h_micro") / 1e6, 6).alias("entropy_nats"),
         F.round(F.exp(F.col("h_micro") / 1e6), 4).alias("perplexity"),
     ).orderBy("state")
+
+
+@register(
+    "q344_user_growth_accounting",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
+        FROM events GROUP BY 1
+    ),
+    news AS (
+        SELECT first_day AS day, CAST(count(*) AS BIGINT) AS n_new_users
+        FROM firsts GROUP BY 1
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           d.n_events, d.n_active_users,
+           coalesce(n.n_new_users, 0) AS n_new_users,
+           CAST(sum(coalesce(n.n_new_users, 0))
+                OVER (ORDER BY d.day) AS BIGINT) AS cum_users,
+           round(CAST(coalesce(n.n_new_users, 0) AS DOUBLE)
+                 / d.n_active_users, 4) AS new_user_share
+    FROM daily d LEFT JOIN news n ON d.day = n.day
+    ORDER BY day
+    """,
+)
+def q344_user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily user-growth accounting — the acquisition curve every
+    product review starts from (q140's cohort retention slices the
+    SAME first-seen fact by cohort; this is its calendar view): per
+    day, events, active users, NEW users (first-ever-seen that day),
+    the cumulative user base, and the new-user share of actives (a
+    rising share means growth, a falling one means the base is
+    maturing — the context q147's DAU/WAU needs to be read in).
+
+    Scale: first-seen is ONE combining min per user (the q140 fact);
+    daily activity is one combining agg to |days| cells; the
+    cumulative sum runs on the bounded calendar relation (the q243
+    bounded-window contract — at an unbounded calendar the
+    operators/ranking two-pass is the swap-in, as everywhere).
+    Day strings are formatted identically in both engines (no raw
+    timestamps cross the compare).
+    """
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("first_day")
+    )
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_active_users"),
+    )
+    news = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    joined = daily.join(news, "day", "left").select(
+        "day",
+        "n_events",
+        "n_active_users",
+        F.coalesce("n_new_users", F.lit(0)).alias("n_new_users"),
+    )
+    return joined.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "n_active_users",
+        "n_new_users",
+        F.sum("n_new_users").over(w).cast("long").alias("cum_users"),
+        F.round(
+            F.col("n_new_users").cast("double") / F.col("n_active_users"), 4
+        ).alias("new_user_share"),
+    ).orderBy("day")

@@ -3935,3 +3935,27 @@ def test_q343_semantic_distance_matrix_properties(spark, qs):
     for r in rows:
         assert -1.0 - 1e-9 <= r["centroid_cosine"] <= 1.0 + 1e-9
         assert abs((1.0 - r["centroid_cosine"]) - r["cosine_distance"]) < 2e-6
+
+
+def test_q344_growth_accounting_conservation(spark, qs):
+    """Growth identities: Σ new users = final cumulative = total
+    distinct users, new <= active per day, cum monotone, share in
+    [0, 1]."""
+    from g_etl_spark.tables import load as load_t
+
+    rows = sorted(
+        qs["q344_user_growth_accounting"](spark, SF_DIR).collect(),
+        key=lambda r: r["day"],
+    )
+    total_users = (
+        load_t(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert sum(r["n_new_users"] for r in rows) == total_users
+    assert rows[-1]["cum_users"] == total_users
+    assert rows[0]["n_new_users"] == rows[0]["n_active_users"]  # day 1: all new
+    prev = 0
+    for r in rows:
+        assert r["n_new_users"] <= r["n_active_users"]
+        assert r["cum_users"] >= prev
+        prev = r["cum_users"]
+        assert 0.0 <= r["new_user_share"] <= 1.0
