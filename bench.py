@@ -44,6 +44,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # captured BEFORE any Spark work: a loaded host at this instant is
+    # EXTERNAL contention (the bench hasn't run anything yet), which
+    # arms the per-set load-gated retries below; once the bench is
+    # running, its own 32-thread bursts push the 1-min loadavg past
+    # any fixed gate, so mid-run load alone cannot distinguish self-
+    # load from contention (measured: a quiet-host sf0.001 run reads
+    # 4.0 by its own tail)
+    load_at_start = os.getloadavg()[0]
     spark = get_spark("g_etl_spark_bench")
     qs = load_queries()
 
@@ -67,7 +75,50 @@ def main() -> None:
     # host-load provenance (r8 verdict item: two rounds of verdicts
     # litigated contention drift from SCALE_NOTES prose — the 1-min
     # loadavg now lands IN the JSON, captured before every trial set)
-    loads_pre: dict[str, float] = {"_run_start": round(os.getloadavg()[0], 2)}
+    loads_pre: dict[str, float] = {"_run_start": round(load_at_start, 2)}
+    # Load-gated retry (r9 verdict item #3): when the host was ALREADY
+    # loaded before the bench did any work (external contention — the
+    # r9 driver run read 3.4-9.1 throughout and inflated every number
+    # 8-15%), every trial set whose own pre-load exceeds the gate is
+    # re-run once after it finishes — the union-best is recorded, plus
+    # the retry's own pre-load, so transient contention self-corrects
+    # and persistent contention is FLAGGED in the JSON instead of
+    # silently inherited. On a quiet-at-start host retries stay
+    # DISARMED: mid-run loadavg is dominated by the bench's own
+    # 32-thread bursts, which would fire the gate on every late set.
+    LOAD_GATE = 2.0
+    retry_armed = load_at_start > LOAD_GATE
+    load_retries: dict[str, dict] = {}
+
+    def run_trial_set(run, n):
+        best, per, out = None, [], None
+        for _ in range(n):
+            # drop operator-internal persists (q52's signature
+            # barrier) so every trial measures FRESH compute
+            spark.catalog.clearCache()
+            t0 = time.time()
+            out = run()
+            dt = time.time() - t0
+            per.append(round(dt, 3))
+            best = dt if best is None else min(best, dt)
+        return best, per, out
+
+    def measure(name, run, n):
+        load0 = os.getloadavg()[0]
+        loads_pre[name] = round(load0, 2)
+        best, per, out = run_trial_set(run, n)
+        if retry_armed and load0 > LOAD_GATE:
+            load1 = os.getloadavg()[0]
+            best2, per2, out = run_trial_set(run, n)
+            load_retries[name] = {
+                "load_pre_retry": round(load1, 2),
+                "still_loaded": load1 > LOAD_GATE,
+            }
+            per = per + per2
+            best = min(best, best2)
+        trials_log[name] = per
+        return round(best, 3), out
+
     # Per-query trial counts: 3 is the protocol default; the LSH
     # pipeline gets 5 because its JIT tail converges only at trial
     # 3-4 (measured fresh-session series at sf0.1:
@@ -79,27 +130,20 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
-        loads_pre[name] = round(os.getloadavg()[0], 2)
-        best, rows = None, []
         # best-of-N: first executions pay one-time codegen/JIT per
         # query shape; steady-state latency is the comparable number
         # (the reference baseline is a warm repeated query too).
         # Per-trial times land in the JSON (`trials`) so measurement
         # spread is distinguishable from a real regression.
-        per_trial: list[float] = []
-        for _ in range(TRIALS.get(name, 3)):
-            # drop operator-internal persists (q52's signature barrier)
-            # so every trial measures FRESH compute, not a cache hit
-            spark.catalog.clearCache()
-            t0 = time.time()
-            rows = fn(spark, sf_dir).collect()
-            dt = time.time() - t0
-            per_trial.append(round(dt, 3))
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        trials_log[name] = per_trial
+        best, rows = measure(
+            name, lambda: fn(spark, sf_dir).collect(), TRIALS.get(name, 3)
+        )
+        timings[name] = best
         total += best
-        print(f"# {name}: {len(rows)} rows in {best:.2f}s {per_trial}", file=sys.stderr)
+        print(
+            f"# {name}: {len(rows)} rows in {best:.2f}s {trials_log[name]}",
+            file=sys.stderr,
+        )
 
     # Hot polygon query — the reference's published benchmark shape
     # (H3_POLYGON_ANALYSIS.md:318-321: prebuilt warehouse, repeated
@@ -133,21 +177,41 @@ def main() -> None:
             .distinct()
         )
 
+    # same load-gated-retry protocol as measure(), but WITHOUT the
+    # per-trial clearCache — the hot-polygon paths measure a warm
+    # cached index by design
+    def measure_hot(name, run, n):
+        load0 = os.getloadavg()[0]
+        loads_pre[name] = round(load0, 2)
+        best, per = None, []
+        for _ in range(n):
+            t0 = time.time()
+            run()
+            dt = time.time() - t0
+            per.append(round(dt, 3))
+            best = dt if best is None else min(best, dt)
+        if retry_armed and load0 > LOAD_GATE:
+            load1 = os.getloadavg()[0]
+            load_retries[name] = {
+                "load_pre_retry": round(load1, 2),
+                "still_loaded": load1 > LOAD_GATE,
+            }
+            for _ in range(n):
+                t0 = time.time()
+                run()
+                dt = time.time() - t0
+                per.append(round(dt, 3))
+                best = min(best, dt)
+        trials_log[name] = per
+        return round(best, 3)
+
     # cold-plan path: DataFrame rebuilt per call — pays Python plan
     # construction + Catalyst analysis every time (~120 ms of the
     # total at sf0.1). This was THE hot_polygon_query number through
     # r3; kept for round-over-round continuity.
-    loads_pre["hot_polygon"] = round(os.getloadavg()[0], 2)
-    best = None
-    per_trial = []
-    for _ in range(5):
-        t0 = time.time()
-        n = hot_df().count()
-        dt = time.time() - t0
-        per_trial.append(round(dt, 3))
-        best = dt if best is None else min(best, dt)
-    timings["hot_polygon_cold_plan"] = round(best, 3)
-    trials_log["hot_polygon_cold_plan"] = per_trial
+    timings["hot_polygon_cold_plan"] = measure_hot(
+        "hot_polygon_cold_plan", lambda: hot_df().count(), 5
+    )
 
     # served path (since r4): the query.PolygonServer semantics — the
     # analyzed plan is prepared ONCE under serving confs (AQE off, one
@@ -166,24 +230,18 @@ def main() -> None:
     prepared._jdf.queryExecution().executedPlan()  # bake the plan
     for k, v in old_confs.items():
         spark.conf.set(k, v)
-    prepared.count()  # warm the prepared path once
-    best = None
-    per_trial = []
-    for _ in range(5):
-        t0 = time.time()
-        n = prepared.count()
-        dt = time.time() - t0
-        per_trial.append(round(dt, 3))
-        best = dt if best is None else min(best, dt)
+    n = prepared.count()  # warm the prepared path once
+    best = measure_hot("hot_polygon_query", lambda: prepared.count(), 5)
     indexed.unpersist()
-    timings["hot_polygon_query"] = round(best, 3)
-    trials_log["hot_polygon_query"] = per_trial
+    timings["hot_polygon_query"] = best
     total += best
     print(f"# hot_polygon_query: {n} rows in {best:.3f}s", file=sys.stderr)
 
     # --- extended families (round-3/4 operators) ------------------------
     # Timed separately so the headline metric stays comparable across
-    # rounds; best-of-2 fresh compute, same protocol.
+    # rounds; best-of-3 fresh compute (r9 verdict item #3: 2 trials
+    # could not separate load from regression for sub-2 s queries —
+    # q97's driver reading swung 2× round-over-round), same protocol.
     extended: dict[str, float] = {}
     # q101 is the heaviest query in the suite and showed a +16% drift
     # in r4 on only 2 recorded trials — it gets the q52 treatment
@@ -209,19 +267,14 @@ def main() -> None:
         "q330_bigram_lm_perplexity",    # corpus LM train+score (r9)
         "q337_label_propagation_communities",  # 4-round LPA (r9)
     ]:
-        loads_pre[name] = round(os.getloadavg()[0], 2)
-        best = None
-        per_trial = []
-        for _ in range(EXT_TRIALS.get(name, 2)):
-            spark.catalog.clearCache()
-            t0 = time.time()
-            n_rows = len(qs[name](spark, sf_dir).collect())
-            dt = time.time() - t0
-            per_trial.append(round(dt, 3))
-            best = dt if best is None else min(best, dt)
-        extended[name] = round(best, 3)
-        trials_log[name] = per_trial
-        print(f"# {name}: {n_rows} rows in {best:.2f}s (extended)", file=sys.stderr)
+        fn = qs[name]
+        best, rows = measure(
+            name, lambda: fn(spark, sf_dir).collect(), EXT_TRIALS.get(name, 3)
+        )
+        extended[name] = best
+        print(
+            f"# {name}: {len(rows)} rows in {best:.2f}s (extended)", file=sys.stderr
+        )
 
     # --- concurrent-queries run (FAIR scheduler) ------------------------
     # N queries submitted at once from threads: multi-tenant latency.
@@ -332,6 +385,13 @@ def main() -> None:
                 # load_1min_pre, not in a mystery drift)
                 "best_of_trials_total": round(total, 3),
                 "load_1min_pre": loads_pre,
+                # trial sets that started on a loaded host (>2.0
+                # loadavg) were re-run once; union-best recorded.
+                # still_loaded=true means the retry was loaded too —
+                # treat that query's number as host-noise-suspect.
+                "load_gate": LOAD_GATE,
+                "load_retry_armed": retry_armed,
+                "load_gated_retries": load_retries,
                 "load_1min_post_run": round(os.getloadavg()[0], 2),
                 "concurrent_8q_wall_sec": conc_wall,
                 "concurrent_8q_serial_sum_sec": serial_sum,

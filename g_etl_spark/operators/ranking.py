@@ -67,22 +67,35 @@ def _dispatch(
     """Size-aware dispatch probe. Returns (df, take_plain_window).
 
     When a threshold is set, the input is persisted (MEMORY_AND_DISK)
-    BEFORE the probe so the probe's materialization is reused by the
-    chosen plan instead of recomputing the caller's rollup lineage:
-    below the crossover the limit(n+1) probe computes and caches the
-    whole (small) relation, so the plain window reads it back for
-    free; above it the probe stops after ~threshold+1 rows (only the
-    partitions it touched are cached — bounded memory) and the
-    two-pass computes the rest normally. The cache lives until the
-    session drops it; collapsed relations are bounded by construction
-    and corpus-sized ones are only ever partially materialized here.
+    BEFORE the probe so the probe's materialization feeds the chosen
+    plan instead of recomputing the caller's rollup lineage — and the
+    probe cache is RELEASED before returning (r9 ADVICE: each
+    construction used to leave a session-lifetime cache entry, so
+    gate/bench sessions running hundreds of queries accumulated
+    unbounded cache/disk):
+
+    - small: the limit(n+1) probe computed and cached the whole
+      (bounded ≤ threshold) relation; it is eagerly localCheckpointed
+      FROM that cache (one cheap cache read, lineage truncated) and
+      the cache entry dropped. Checkpoint blocks are RDD-scoped, so
+      the ContextCleaner reclaims them when the result goes out of
+      scope — nothing outlives its query.
+    - large: the cache entry is dropped immediately; the partial
+      partitions the early-stopping probe touched were marginal to
+      the two-pass (which rescans the full lineage anyway).
     """
     if threshold_rows is None:
         return df, False
     from pyspark import StorageLevel
 
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    return df, df.limit(threshold_rows + 1).count() <= threshold_rows
+    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    small = cached.limit(threshold_rows + 1).count() <= threshold_rows
+    if small:
+        out = cached.localCheckpoint(eager=True)
+        cached.unpersist()
+        return out, True
+    cached.unpersist()
+    return df, False
 
 
 def log2_bucket(col: Column, steps_per_octave: int = 4) -> Column:

@@ -158,7 +158,15 @@ def bh_fdr(
     )
 
 
-def two_factor_anova(df: DataFrame, a: str, b: str, y: str) -> DataFrame:
+def two_factor_anova(
+    df: DataFrame,
+    a: str,
+    b: str,
+    y: str,
+    label_a: str | None = None,
+    label_b: str | None = None,
+    label_ab: str = "AB(interaction)",
+) -> DataFrame:
     """Two-factor ANOVA with interaction from integer moment cells
     (q317's shape): `y` MUST be an integer-quantized outcome column
     (whole units — the caller picks the quantum) so the sums of
@@ -167,8 +175,18 @@ def two_factor_anova(df: DataFrame, a: str, b: str, y: str) -> DataFrame:
     marginal identity SS = Σ s²/n − S²/N; every cross-level sum is
     quantized to integer hundredths first (the q301 discipline).
 
+    Row labels derive from the factor column names by default
+    (`A(<a>)` / `B(<b>)`) — callers with domain labels pass them
+    explicitly (q317 keeps its oracle's 'A(treatment)'/'B(segment)';
+    r9 ADVICE item #4: the first-class API must not hardcode one
+    query's labels). Labels land in SQL literals, so embedded quotes
+    are escaped.
+
     Scale: ONE combining agg to |A×B| cells; marginals and the five
     output rows are arithmetic on that bounded relation."""
+    la = (label_a if label_a is not None else f"A({a})").replace("'", "''")
+    lb = (label_b if label_b is not None else f"B({b})").replace("'", "''")
+    lab = label_ab.replace("'", "''")
     cells = df.groupBy(F.col(a).alias("a"), F.col(b).alias("b")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(y).cast("long").alias("s"),
@@ -223,11 +241,11 @@ def two_factor_anova(df: DataFrame, a: str, b: str, y: str) -> DataFrame:
     )
     parts = ", ".join(
         [
-            "'A(treatment)', round(ss_a, 2), df_a, round(ss_a / df_a, 4),"
+            f"'{la}', round(ss_a, 2), df_a, round(ss_a / df_a, 4),"
             " round((ss_a / df_a) / (ss_w / df_w), 4)",
-            "'B(segment)', round(ss_b, 2), df_b, round(ss_b / df_b, 4),"
+            f"'{lb}', round(ss_b, 2), df_b, round(ss_b / df_b, 4),"
             " round((ss_b / df_b) / (ss_w / df_w), 4)",
-            "'AB(interaction)', round(ss_ab, 2), df_ab, round(ss_ab / df_ab, 4),"
+            f"'{lab}', round(ss_ab, 2), df_ab, round(ss_ab / df_ab, 4),"
             " round((ss_ab / df_ab) / (ss_w / df_w), 4)",
             "'within', round(ss_w, 2), df_w, round(ss_w / df_w, 4),"
             " CAST(NULL AS DOUBLE)",
@@ -397,7 +415,11 @@ def spearman_pearson(
     Scale: two value rollups (map-side combining), two equi-joins to
     map rows to midranks, ONE moment aggregate; the rollup prefix
     sums run the operators/ranking size-aware dispatch via
-    `threshold_rows`."""
+    `threshold_rows`. The operator is SYMMETRIC in x and y: neither
+    midrank map carries a broadcast hint (a hinted broadcast of a
+    high-NDV column's map — price has ndv ≈ rows — would OOM the
+    driver instead of falling back; r9 ADVICE item #3). AQE
+    broadcasts either side at runtime when it actually fits."""
     from g_etl_spark.operators.ranking import global_cumsum_twopass, log2_bucket
 
     rows_v = df.select(F.col(x).alias("x"), F.col(y).alias("y"))
@@ -418,7 +440,7 @@ def spearman_pearson(
         )
 
     ranked = rows_v.join(
-        F.broadcast(midrank_map("x").withColumnRenamed("r2", "rx")), "x"
+        midrank_map("x").withColumnRenamed("r2", "rx"), "x"
     ).join(midrank_map("y").withColumnRenamed("r2", "ry"), "y")
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     mo = ranked.agg(

@@ -621,7 +621,10 @@ def q76_logstar_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
         )
         .join(
-            F.broadcast(d.select(F.col("doc_id").alias("id_b"))), "id_b", "inner"
+            # unhinted: the full doc-id set is corpus-grain (a forced
+            # broadcast OOMs at scale even though this edge build is
+            # test-fixture-shaped); AQE broadcasts when it fits
+            d.select(F.col("doc_id").alias("id_b")), "id_b", "inner"
         )
         .select("id_a", "id_b")
     )
@@ -1770,7 +1773,9 @@ def q180_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     da = deg.select(F.col("v").alias("a"), F.col("d").alias("dx"))
     db = deg.select(F.col("v").alias("b"), F.col("d").alias("dy"))
-    joined = edges.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    # unhinted degree attach: the degree map is node-grain (corpus at
+    # dedup-graph scale) — AQE broadcasts when it fits
+    joined = edges.join(da, "a").join(db, "b")
     ends = joined.select(
         F.col("dx").alias("x"), F.col("dy").alias("y")
     ).unionAll(joined.select(F.col("dy").alias("x"), F.col("dx").alias("y")))
@@ -2871,8 +2876,10 @@ def q227_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     core_u = cur.withColumnRenamed("u", "cu").withColumn("lu", F.lit(1))
     core_v = cur.withColumnRenamed("u", "cv").withColumn("lv", F.lit(1))
     lab = (
-        edges.join(F.broadcast(core_u), F.col("u") == F.col("cu"), "left")
-        .join(F.broadcast(core_v), F.col("v") == F.col("cv"), "left")
+        # unhinted membership attach: the surviving-core node set is
+        # node-grain — AQE broadcasts when it fits
+        edges.join(core_u, F.col("u") == F.col("cu"), "left")
+        .join(core_v, F.col("v") == F.col("cv"), "left")
         .select(
             F.coalesce("lu", F.lit(0)).alias("lu"),
             F.coalesce("lv", F.lit(0)).alias("lv"),

@@ -699,7 +699,7 @@ def q27_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(part_avg, "l_partkey")
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))  # part-grain: unhinted, AQE decides
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
@@ -2211,8 +2211,11 @@ def q112_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate a pipeline evaluates before publishing a snapshot.
 
     Scale: ONE job, zero driver actions. The referential check rides a
-    broadcast LEFT join (deduped dim keys, so row count is preserved
-    and a null probe key == anti-join membership); every constraint —
+    LEFT join onto the deduped dim key set (row count is preserved
+    and a null probe key == anti-join membership) — UNHINTED, since
+    the key set is dimension-grain and grows with the warehouse
+    (Catalyst/AQE broadcast it whenever it fits, which it does at
+    every tested SF); every constraint —
     the three row-local conditional counts, the uniqueness
     count-minus-distinct, and the null-probe referential count — then
     fuses into a SINGLE aggregate over that joined scan (the
@@ -2222,9 +2225,7 @@ def q112_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    dim = F.broadcast(
-        c.select(F.col("c_custkey").alias("ck")).dropDuplicates(["ck"])
-    )
+    dim = c.select(F.col("c_custkey").alias("ck")).dropDuplicates(["ck"])
     joined = o.join(dim, o["o_custkey"] == dim["ck"], "left")
     agg = joined.agg(
         F.count(F.lit(1)).alias("n_checked"),
@@ -4710,7 +4711,10 @@ def q260_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     tomb = c.where(F.col("c_custkey") % 97 == 0).select("c_custkey")
     po = o.join(
-        F.broadcast(tomb), o["o_custkey"] == tomb["c_custkey"], "left_semi"
+        # unhinted: the tombstone set is a corpus fraction (tiny in a
+        # real erasure workload, but not provably bounded) — AQE
+        # broadcasts when it fits
+        tomb, o["o_custkey"] == tomb["c_custkey"], "left_semi"
     ).select("o_orderkey")
     r1 = tomb.agg(
         F.lit("customer").alias("table_name"),
@@ -4718,7 +4722,7 @@ def q260_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("c_custkey"), F.lit(0)).cast("long").alias("key_checksum"),
     )
     r2 = li.join(
-        F.broadcast(po), li["l_orderkey"] == po["o_orderkey"], "left_semi"
+        po, li["l_orderkey"] == po["o_orderkey"], "left_semi"
     ).agg(
         F.lit("lineitem").alias("table_name"),
         F.count(F.lit(1)).alias("n_rows_to_purge"),
@@ -5825,7 +5829,7 @@ def q292_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
     obs = (
         li.where((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
-        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])  # part-grain: unhinted, AQE decides
         .select(
             "p_brand",
             F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("x"),
@@ -6104,7 +6108,7 @@ def q301_poststrat_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     base = o.join(
-        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        c.select("c_custkey", "c_mktsegment"),  # unhinted: customer-grain dim, AQE decides
         o.o_custkey == c.c_custkey,
     ).select(
         F.col("c_mktsegment").alias("stratum"),
@@ -6446,7 +6450,7 @@ def q308_bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     base = o.join(
-        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        c.select("c_custkey", "c_mktsegment"),  # unhinted: customer-grain dim, AQE decides
         o.o_custkey == c.c_custkey,
     ).select(
         F.col("o_orderpriority").alias("priority"),
@@ -6947,7 +6951,7 @@ def q317_twofactor_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     base = o.join(
-        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        c.select("c_custkey", "c_mktsegment"),  # unhinted: customer-grain dim, AQE decides
         o.o_custkey == c.c_custkey,
     ).select(
         (F.col("o_orderkey") % 2).alias("a"),
@@ -6956,7 +6960,9 @@ def q317_twofactor_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from g_etl_spark.operators.stats import two_factor_anova
 
-    return two_factor_anova(base, "a", "b", "y")
+    return two_factor_anova(
+        base, "a", "b", "y", label_a="A(treatment)", label_b="B(segment)"
+    )
 
 
 @register(
@@ -7009,7 +7015,7 @@ def q318_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         o.filter(F.year("o_orderdate").isin(1995, 1996))
         .join(
-            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            c.select("c_custkey", "c_mktsegment"),  # unhinted: customer-grain dim, AQE decides
             o.o_custkey == c.c_custkey,
         )
         .select(
@@ -7114,7 +7120,7 @@ def q319_information_gain_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     joined = o.join(
-        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        c.select("c_custkey", "c_mktsegment"),  # unhinted: customer-grain dim, AQE decides
         o.o_custkey == c.c_custkey,
     ).select(
         F.col("c_mktsegment").alias("segment"),
@@ -7383,13 +7389,17 @@ def q322_join_order_cost_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    # selectivity factors built ONCE and reused by every plan row —
-    # the stack() string previously duplicated these formulas (r8
-    # ADVICE dead-code/duplication hazard)
-    sel_oc = 1 / F.greatest(F.col("d_oc"), F.col("d_cc"))
-    sel_cn = 1 / F.greatest(F.col("d_cn"), F.col("d_nn"))
-    oc = F.col("n_o") * F.col("n_c") * sel_oc
-    cn = F.col("n_c") * F.col("n_n") * sel_cn
+    # shared intermediate-estimate expressions reused by every plan
+    # row (no duplicated formula strings — r8 ADVICE), expressed as
+    # DIRECT DIVISIONS in the oracle's exact operation order: a*b/c
+    # and a*b*(1/c) differ by an ulp under IEEE rounding, and both
+    # engines round the raw doubles to BIGINT before ranking, so the
+    # reciprocal form was a latent cross-engine parity hazard
+    # (r9 ADVICE item #1)
+    g_oc = F.greatest(F.col("d_oc"), F.col("d_cc"))
+    g_cn = F.greatest(F.col("d_cn"), F.col("d_nn"))
+    oc = F.col("n_o") * F.col("n_c") / g_oc
+    cn = F.col("n_c") * F.col("n_n") / g_cn
     on_x = F.col("n_o") * F.col("n_n")
 
     def _plan(name, first, final):
@@ -7402,12 +7412,12 @@ def q322_join_order_cost_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans = stats.select(
         F.explode(
             F.array(
-                _plan("orders-customer_then_nation", oc, oc * F.col("n_n") * sel_cn),
-                _plan("customer-nation_then_orders", cn, cn * F.col("n_o") * sel_oc),
+                _plan("orders-customer_then_nation", oc, oc * F.col("n_n") / g_cn),
+                _plan("customer-nation_then_orders", cn, cn * F.col("n_o") / g_oc),
                 _plan(
                     "orders-nation_cross_then_customer",
                     on_x,
-                    on_x * F.col("n_c") * sel_oc * sel_cn,
+                    on_x * F.col("n_c") / g_oc / g_cn,
                 ),
             )
         ).alias("p")

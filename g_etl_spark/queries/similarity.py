@@ -1879,8 +1879,11 @@ def q343_semantic_source_distance(spark: SparkSession, sf_dir: str) -> DataFrame
     engine-order-dependent double sum exists anywhere. The pairwise
     stage computes on the |sources| × 64 centroid relation only.
 
-    Scale: one broadcast-joinable doc→source map, one combining agg
-    to |sources|·64 cells (the dimension explode is map-side), and a
+    Scale: one doc→source equi-join (UNHINTED — the map is
+    corpus-grain, one row per document, so a forced broadcast would
+    OOM the driver at 100 TB; AQE broadcasts it at runtime when it
+    actually fits — r9 verdict item #2), one combining agg to
+    |sources|·64 cells (the dimension explode is map-side), and a
     pairwise join on the TINY centroid relation — |sources|², never
     corpus². The same shape serves any per-group embedding centroid
     (topic, language, time-bucket).
@@ -1889,7 +1892,7 @@ def q343_semantic_source_distance(spark: SparkSession, sf_dir: str) -> DataFrame
     d = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "source"
     )
-    joined = e.join(F.broadcast(d), "vec_id").select(
+    joined = e.join(d, "vec_id").select(
         "source",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
@@ -1954,3 +1957,131 @@ def q343_semantic_source_distance(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(cos, 6).alias("centroid_cosine"),
         F.round(1.0 - cos, 6).alias("cosine_distance"),
     ).orderBy("source_a", "source_b")
+
+
+def _q345_oracle() -> str:
+    """q345 oracle: SRP buckets from the same md5-derived hyperplane
+    literals as the operator; multiprobe candidacy expressed as a
+    Hamming-distance filter (bit_count of the XOR against the query
+    bucket) — semantically identical to the operator's explicit
+    bucket-id IN-set, which is the partition-prunable form."""
+    from math import comb
+
+    probed = {b: sum(comb(6, d) for d in range(b + 1)) for b in (0, 1, 2)}
+    probed_case = " ".join(
+        f"WHEN {b} THEN {n}" for b, n in probed.items()
+    )
+    return f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               {_srp_bucket_sql(6, 64)} AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT bucket AS qbucket,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM bucketed WHERE vec_id = 0
+    ),
+    scored AS (
+        SELECT b.vec_id, b.bucket,
+               round(list_aggregate(list_transform(range(1, 65),
+                                                   i -> CAST(b.embedding[i] AS DOUBLE) * q.qv[i]),
+                                    'sum')
+                     / (sqrt(list_aggregate(list_transform(b.embedding,
+                                                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                            'sum'))
+                        * sqrt(list_aggregate(list_transform(q.qv, x -> x * x), 'sum'))),
+                     3) AS cosine
+        FROM bucketed b, q
+    ),
+    brute AS (
+        SELECT vec_id FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
+    ),
+    cand AS (
+        SELECT l.n_probe_bits, s.vec_id, s.cosine
+        FROM (SELECT unnest([0, 1, 2]) AS n_probe_bits) l, scored s, q
+        WHERE bit_count(xor(s.bucket, q.qbucket)) <= l.n_probe_bits
+    ),
+    counts AS (
+        SELECT n_probe_bits, count(*) AS n_candidates
+        FROM cand GROUP BY n_probe_bits
+    ),
+    topk AS (
+        SELECT n_probe_bits, vec_id
+        FROM (SELECT n_probe_bits, vec_id,
+                     row_number() OVER (PARTITION BY n_probe_bits
+                                        ORDER BY cosine DESC, vec_id) AS rn
+              FROM cand)
+        WHERE rn <= 10
+    ),
+    hits AS (
+        SELECT t.n_probe_bits, count(*) AS n_hits
+        FROM topk t JOIN brute b USING (vec_id)
+        GROUP BY t.n_probe_bits
+    )
+    SELECT CAST(c.n_probe_bits AS BIGINT) AS n_probe_bits,
+           CAST(CASE c.n_probe_bits {probed_case} END AS BIGINT)
+               AS n_buckets_probed,
+           c.n_candidates,
+           h.n_hits,
+           round(h.n_hits / 10.0, 2) AS recall_at_10
+    FROM counts c JOIN hits h USING (n_probe_bits)
+    ORDER BY n_probe_bits
+    """
+
+
+@register("q345_ann_multiprobe_recall", oracle=_q345_oracle())
+def q345_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH recall curve for the SRP ANN serving path
+    (Lv et al., multi-probe LSH): at each probe radius b ∈ {0, 1, 2},
+    probe the query's bucket plus every bucket within Hamming
+    distance b (operators/similarity.srp_probe_buckets /
+    ann_topk_srp(n_probe_bits=b)) and report candidate count and
+    recall@10 against the exact brute-force top-10 — the measured
+    recall-vs-cost tradeoff of the serving path's one knob (the
+    query-side twin of the index-side n_seeds knob q339 gates). The
+    single-bucket probe (b = 0) is q61's plan; the curve shows what
+    each extra Hamming ring buys.
+
+    Scale: the probe set is an IN-set of Σ_{d≤b} C(n_planes, d)
+    bucket ids over the bucket-partitioned layout — a partition-
+    pruned scan of ~(probed/2^planes)·n vectors per radius, never a
+    corpus scan (the brute-force baseline here IS the documented
+    full-scan comparison, as in q54/q60). Top-k is TakeOrdered; the
+    recall join is 10×10 rows.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    if q is None:
+        return _empty(
+            spark,
+            "n_probe_bits bigint, n_buckets_probed bigint, "
+            "n_candidates bigint, n_hits bigint, recall_at_10 double",
+        )
+    planes = S.random_hyperplanes(6, 64)
+    bucketed = S.srp_buckets(e, 6, 64)
+    brute = S.cosine_topk(e, q, k=10).select("vec_id")
+    outs = []
+    for b in (0, 1, 2):
+        probes = S.srp_probe_buckets(q, planes, n_probe_bits=b)
+        cand = bucketed.filter(F.col("bucket").isin(probes))
+        approx = S.cosine_topk(cand, q, k=10).select("vec_id")
+        n_cand = cand.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates")
+        )
+        hits = approx.join(brute, "vec_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits")
+        )
+        outs.append(
+            n_cand.crossJoin(F.broadcast(hits)).select(
+                F.lit(b).cast("long").alias("n_probe_bits"),
+                F.lit(len(probes)).cast("long").alias("n_buckets_probed"),
+                "n_candidates",
+                "n_hits",
+                F.round(F.col("n_hits") / 10.0, 2).alias("recall_at_10"),
+            )
+        )
+    out = outs[0]
+    for nxt in outs[1:]:
+        out = out.unionAll(nxt)
+    return out.orderBy("n_probe_bits")

@@ -260,11 +260,11 @@ def q119_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_orders = o.agg(F.count(F.lit(1)).alias("n_orders"))
     n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
     n_mem = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["key"], "left_semi")
+        o.join(c, o["o_custkey"] == c["key"], "left_semi")  # member set is customer-grain: unhinted
         .agg(F.count(F.lit(1)).alias("n_members"))
     )
     n_fp = (
-        cand.join(F.broadcast(c), cand["o_custkey"] == c["key"], "left_anti")
+        cand.join(c, cand["o_custkey"] == c["key"], "left_anti")  # unhinted, AQE decides
         .agg(F.count(F.lit(1)).alias("n_false_positives"))
     )
     return (

@@ -653,7 +653,10 @@ def q75_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = grams.filter(F.col("doc_id") % _DECON_MOD != 0)
     per_doc = (
         train.join(
-            F.broadcast(eval_grams.withColumn("_hit", F.lit(1))), "g", "left"
+            # unhinted: the eval-split gram set grows with the corpus
+            # (a fixed fraction of documents) — AQE broadcasts when
+            # it fits; a forced broadcast OOMs at 100 TB
+            eval_grams.withColumn("_hit", F.lit(1)), "g", "left"
         )
         .groupBy("doc_id")
         .agg(
@@ -3356,7 +3359,10 @@ def q300_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "actual", F.explode("toks").alias("token")
     )
     scored = (
-        test_tok.join(F.broadcast(lp), "token", "left")
+        # unhinted model attach: the token log-prob map is
+        # vocabulary-grain (Heaps-law unbounded on natural text) —
+        # AQE broadcasts when it fits
+        test_tok.join(lp, "token", "left")
         .crossJoin(F.broadcast(defaults))
         .groupBy("doc_id", "actual")
         .agg(
@@ -3795,7 +3801,9 @@ def q330_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_doc = (
-        bigrams.join(F.broadcast(model), ["prev", "cur"])
+        # unhinted model attach: the bigram table is vocab²-grain —
+        # AQE broadcasts when it fits
+        bigrams.join(model, ["prev", "cur"])
         .groupBy("doc_id", "source")
         .agg(
             F.round((-F.sum("q_lp")).cast("double") / F.count(F.lit(1)), 0)

@@ -1731,12 +1731,21 @@ def q167_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak, so quartile boundaries are engine-stable.
 
     Scale: one purchase-keyed user aggregate (the corpus exchange),
-    then three ntile windows over the |purchasers| relation. A
-    global ntile is a range-partitioned rank at scale — or quartile
-    thresholds from q160's mergeable histogram applied map-side,
-    which avoids the global sort entirely; the segment rollup is 64
-    keys either way.
+    then three global ntiles over the |purchasers| relation, each
+    routed through the operators/ranking size-aware dispatch: below
+    the measured ~500k crossover they run the plain single-partition
+    window (3-4× cheaper on collapsed relations), above it the
+    two-pass bucket-offset recipe with every WindowExec partitioned —
+    the production choice modeled in the registry (r9 verdict item
+    #6; q196 remains the window-free sketch sibling). The segment
+    rollup is 64 keys either way.
     """
+    from g_etl_spark.operators.ranking import (
+        TWOPASS_CROSSOVER_ROWS,
+        global_ntile_twopass,
+        log2_bucket,
+    )
+
     e = load(spark, sf_dir, "events")
     p = e.filter(F.col("event_type") == "purchase")
     bound = p.agg(F.max(F.col("ts").cast("date")).alias("endd"))
@@ -1755,11 +1764,29 @@ def q167_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mon",
         )
     )
-    q = rfm.select(
-        "user_id",
-        F.ntile(4).over(Window.orderBy("rec", "user_id")).alias("r_q"),
-        F.ntile(4).over(Window.orderBy(F.desc("freq"), "user_id")).alias("f_q"),
-        F.ntile(4).over(Window.orderBy(F.desc("mon"), "user_id")).alias("m_q"),
+    q = global_ntile_twopass(
+        rfm,
+        4,
+        ["rec", "user_id"],
+        log2_bucket(F.col("rec")),
+        out="r_q",
+        threshold_rows=TWOPASS_CROSSOVER_ROWS,
+    ).withColumn("negf", -F.col("freq"))
+    q = global_ntile_twopass(
+        q,
+        4,
+        ["negf", "user_id"],
+        -log2_bucket(F.col("freq")),
+        out="f_q",
+        threshold_rows=TWOPASS_CROSSOVER_ROWS,
+    ).withColumn("negm", -F.col("mon"))
+    q = global_ntile_twopass(
+        q,
+        4,
+        ["negm", "user_id"],
+        -log2_bucket(F.col("mon")),
+        out="m_q",
+        threshold_rows=TWOPASS_CROSSOVER_ROWS,
     )
     seg = F.concat_ws(
         "-",
@@ -3502,8 +3529,10 @@ def q230_session_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ca = singles.select(F.col("item").alias("ia"), F.col("c").alias("n_a"))
     cb = singles.select(F.col("item").alias("ib"), F.col("c").alias("n_b"))
     out = (
-        pairs.join(F.broadcast(ca), "ia")
-        .join(F.broadcast(cb), "ib")
+        # unhinted: per-item session counts are catalog-grain (items
+        # grow with the catalog, not provably bounded) — AQE decides
+        pairs.join(ca, "ia")
+        .join(cb, "ib")
         .crossJoin(F.broadcast(n_sess))
         .select(
             "ia",

@@ -1,0 +1,64 @@
+"""Broadcast-hint discipline ledger (r9 verdict item #2).
+
+THE RULE: `F.broadcast(...)` may hint ONLY provably bounded
+relations — bounded by a constant independent of corpus size:
+literal/config frames, scalar or |types|/|sources|/|days|-grain
+rollups, top-k/LIMIT-capped sets, fixed term lists, sketch registers,
+two-pass bucket-offset maps, or an operator whose documented contract
+requires a broadcast-fit input (operators/joins' salted small side).
+
+Corpus-grain relations (doc/user/customer/order/part/item/node/vocab
+maps) must NOT be hinted even when tiny at tested SFs: a hinted
+broadcast bypasses the size check and OOMs the driver at 100 TB,
+where an unhinted equi-join lets Catalyst statics or AQE broadcast
+exactly when the relation actually fits. The r10 sweep removed every
+such hint (q343 doc→source map, q76 doc-id set, q180 degree maps,
+q205 core membership, q75 eval grams, q300/q330 vocab-grain models,
+q112 dim keys, q260 tombstone cascade, q27/q292 part dim, the five
+customer-dim projections, q119 member set, q230 item counts) —
+audited list in SCALE_NOTES.md round-10.
+
+This test is the enforcement: the per-file hint counts below are the
+audit ledger. Adding (or removing) an `F.broadcast(` anywhere in the
+package fails it until the new site is audited against the rule and
+the ledger is updated in the same change.
+"""
+
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parents[1] / "g_etl_spark"
+
+# file (relative to g_etl_spark/) -> audited F.broadcast( call count
+AUDITED_HINT_COUNTS = {
+    "operators/joins.py": 3,     # salted-join small side: documented broadcast-fit contract (1 doc mention + 2 calls)
+    "operators/ranking.py": 5,   # |buckets| offset maps + 1-row totals
+    "operators/sampling.py": 1,  # |strata| rate map
+    "operators/stats.py": 6,     # scalar aggs + |folds| model rows
+    "queries/dedup.py": 17,      # scalars, band index literals, |sources| rollups, planted-truth 1-rows
+    "queries/grid.py": 5,        # polyfill cell sets, POI literals, scalar thresholds
+    "queries/relational.py": 63, # nation/region dims, scalar aggs, bounded rollups, bucket offsets
+    "queries/sampling.py": 6,    # scalar totals, |sources| weights, literal index frames
+    "queries/similarity.py": 24, # k centroids/codebooks, top-k rows, scalar stats, |dims| rollups, q345's scalar hit-count row
+    "queries/sketches.py": 22,   # hash-param literals, register/counter frames, |sources|² pairs, MG cap-bounded candidates
+    "queries/streaming_equiv.py": 1,  # 25-row nation dim
+    "queries/text.py": 33,       # fixed term lists, scalar stats, |sources| rollups
+    "queries/windows.py": 52,    # per-type/dow/day/priority rollups, scalars, triangular offsets
+    "query.py": 2,               # polygon cell sets (bounded by query area)
+}
+
+
+def _count_hints(path: Path) -> int:
+    return path.read_text().count("F.broadcast(")
+
+
+def test_broadcast_hints_match_audited_ledger():
+    actual = {}
+    for p in sorted(PKG.rglob("*.py")):
+        n = _count_hints(p)
+        if n:
+            actual[str(p.relative_to(PKG))] = n
+    assert actual == AUDITED_HINT_COUNTS, (
+        "F.broadcast( call sites changed — audit each new/moved site "
+        "against the bounded-relation rule in this file's docstring, "
+        f"then update the ledger. diff: actual={actual}"
+    )

@@ -89,6 +89,40 @@ def test_srp_ann_recall(spark):
     approx = {r.vec_id for r in S.ann_topk_srp(df, base, k=10, n_planes=4).collect()}
     assert len(exact & approx) >= 7  # ≥70% recall with 4 planes
 
+    # multiprobe: recall must be monotone non-decreasing in the probe
+    # radius, and probing EVERY bucket (b = n_planes) must equal the
+    # exact brute-force answer (the candidate set is the full corpus)
+    prev = len(exact & approx)
+    for b in (1, 2, 4):
+        got = {
+            r.vec_id
+            for r in S.ann_topk_srp(
+                df, base, k=10, n_planes=4, n_probe_bits=b
+            ).collect()
+        }
+        hits = len(exact & got)
+        assert hits >= prev, f"recall dropped at n_probe_bits={b}"
+        prev = hits
+    assert prev == 10  # full-radius probe == brute force
+
+
+def test_srp_probe_buckets_enumeration():
+    """The probe set enumerates exactly the Hamming ball: C(n,0)+
+    C(n,1)+... ids, all within the radius, query bucket first."""
+    from math import comb
+
+    planes = S.random_hyperplanes(4, 8)
+    q = [1.0] * 8
+    b0 = S.srp_probe_buckets(q, planes, 0)
+    assert len(b0) == 1
+    for radius in (1, 2, 3, 4):
+        bs = S.srp_probe_buckets(q, planes, radius)
+        assert bs[0] == b0[0]
+        assert len(bs) == len(set(bs)) == sum(
+            comb(4, d) for d in range(radius + 1)
+        )
+        assert all(bin(x ^ b0[0]).count("1") <= radius for x in bs)
+
 
 def test_text_stats_and_langid(spark):
     df = spark.createDataFrame(

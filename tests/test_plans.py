@@ -1217,6 +1217,24 @@ def _assert_windows_partitioned(plan: str) -> None:
             assert len(groups) >= 3, f"global WindowExec in plan: {line.strip()}"
 
 
+def test_q167_dispatch_two_pass_above_crossover(spark, qs, monkeypatch):
+    """q167's three RFM ntiles route through the size-aware dispatch
+    (r9 verdict item #6): at gate SFs the |purchasers| rollup is far
+    below the crossover, so the plain window runs; forcing the
+    crossover down must flip all three ntiles to the two-pass plan
+    (every WindowExec partitioned) with BIT-IDENTICAL segment counts
+    — the production choice is modeled, not just available."""
+    import g_etl_spark.operators.ranking as R
+
+    baseline = sorted(
+        map(tuple, qs["q167_rfm_segments"](spark, SF_DIR).collect())
+    )
+    monkeypatch.setattr(R, "TWOPASS_CROSSOVER_ROWS", 5)
+    forced = qs["q167_rfm_segments"](spark, SF_DIR)
+    _assert_windows_partitioned(plan_of(forced))
+    assert sorted(map(tuple, forced.collect())) == baseline
+
+
 def test_q238_q240_ntile_windows_partitioned(spark, qs):
     """The r6 ADVICE item: the arrival/covariate ntiles must run as
     the two-pass bucket-partitioned rank — no WindowExec without a

@@ -79,20 +79,30 @@ def test_two_factor_anova_identity_and_balanced_case(spark):
     for a, b, mu in ((0, "x", 10), (0, "y", 20), (1, "x", 30), (1, "y", 40)):
         data += [(a, b, mu - 1), (a, b, mu + 1)]
     df = spark.createDataFrame(data, "a int, b string, y long")
+    # generic API: labels derive from the factor column names (the
+    # first-class operator no longer hardcodes q317's domain labels)
     rows = {r["source"]: r for r in two_factor_anova(df, "a", "b", "y").collect()}
     assert rows["within"]["df"] == 4 and rows["total"]["df"] == 7
     # ss_within = 8 * 1 = 8; ss_a = 8*(10)^2/... hand: means a0=15,a1=35
     # ss_a = 4*(15-25)^2 + 4*(35-25)^2 = 800; ss_b likewise 200; ss_ab 0
-    assert abs(rows["A(treatment)"]["ss"] - 800.0) < 1e-6
-    assert abs(rows["B(segment)"]["ss"] - 200.0) < 1e-6
+    assert abs(rows["A(a)"]["ss"] - 800.0) < 1e-6
+    assert abs(rows["B(b)"]["ss"] - 200.0) < 1e-6
     assert abs(rows["AB(interaction)"]["ss"] - 0.0) < 1e-6
     assert abs(rows["within"]["ss"] - 8.0) < 1e-6
     total = sum(
-        rows[k]["ss"] for k in ("A(treatment)", "B(segment)", "AB(interaction)", "within")
+        rows[k]["ss"] for k in ("A(a)", "B(b)", "AB(interaction)", "within")
     )
     assert abs(total - rows["total"]["ss"]) < 1e-6
     # F_a = (800/1)/(8/4) = 400
-    assert abs(rows["A(treatment)"]["f_ratio"] - 400.0) < 1e-6
+    assert abs(rows["A(a)"]["f_ratio"] - 400.0) < 1e-6
+    # explicit labels flow through verbatim, quote-escaped
+    lbl = {
+        r["source"]
+        for r in two_factor_anova(
+            df, "a", "b", "y", label_a="A(treat'ment)", label_b="B(seg)"
+        ).collect()
+    }
+    assert "A(treat'ment)" in lbl and "B(seg)" in lbl
 
 
 def test_cohens_kappa_hand_computed(spark):
