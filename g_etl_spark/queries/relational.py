@@ -8157,3 +8157,135 @@ def q340_equidepth_selectivity_audit(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("predicate")
     )
+
+
+@register(
+    "q349_kruskal_wallis",
+    oracle="""
+    WITH base AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    vals AS (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY y),
+    pri AS (
+        SELECT y, cnt,
+               coalesce(sum(cnt) OVER (ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prior
+        FROM vals
+    ),
+    r2 AS (SELECT y, CAST(2 * prior + cnt + 1 AS BIGINT) AS r2 FROM pri),
+    g AS (
+        SELECT b.seg,
+               CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(r.r2) AS BIGINT) AS s2r
+        FROM base b JOIN r2 r ON b.y = r.y
+        GROUP BY b.seg
+    ),
+    gq AS (
+        SELECT CAST(sum(n_g) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(CAST(round((s2r / 2.0) * (s2r / 2.0) / n_g)
+                        AS BIGINT)) AS BIGINT) AS rterm
+        FROM g
+    ),
+    tie AS (
+        SELECT CAST(coalesce(sum(cnt * cnt * cnt - cnt), 0) AS BIGINT) AS tt
+        FROM vals WHERE cnt > 1
+    )
+    SELECT gq.n AS n_total, gq.k AS k_groups, gq.k - 1 AS df,
+           round(12.0 / (gq.n * (gq.n + 1.0)) * gq.rterm
+                 - 3.0 * (gq.n + 1), 4) AS h,
+           round((12.0 / (gq.n * (gq.n + 1.0)) * gq.rterm
+                  - 3.0 * (gq.n + 1))
+                 / (1.0 - tie.tt
+                    / (CAST(gq.n AS DOUBLE) * gq.n * gq.n - gq.n)), 4)
+               AS h_tie_corrected
+    FROM gq CROSS JOIN tie
+    """,
+)
+def q349_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test: does order value DIFFER across the five
+    market segments, rank-based — the k-group generalization of the
+    rank tests the suite already carries (q177's two-group rank-sum
+    AUC, q315's Spearman): H = 12/(N(N+1)) Σ n_g·R̄_g² − 3(N+1) with
+    the standard tie divisor 1 − Σ(t³−t)/(N³−N). Midranks use the
+    q315 collapsed-value prefix-sum trick (2·midrank = 2·prior + cnt
+    + 1 — exact integers), per-group rank sums are exact integer
+    sums, and the 5-term Σ n_g·R̄_g² is quantized per-term to whole
+    units before summation (bigint), so both engines derive H from
+    identical integers.
+
+    Scale: one value rollup (map-side combining) whose prefix sum
+    runs the operators/ranking size-aware dispatch (plain window
+    below the measured ~500k crossover, partitioned two-pass above
+    — q315's exact shape), one equi-join back to rows, one combining
+    agg to |segments| cells. No corpus sort, no pair join.
+    """
+    from g_etl_spark.operators.ranking import (
+        TWOPASS_CROSSOVER_ROWS,
+        global_cumsum_twopass,
+        log2_bucket,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    base = o.join(
+        c.select("c_custkey", "c_mktsegment"),  # unhinted: customer-grain dim
+        o["o_custkey"] == c["c_custkey"],
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("y"),
+    )
+    vals = base.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    pri = global_cumsum_twopass(
+        vals,
+        "cnt",
+        ["y"],
+        log2_bucket(F.col("y")),
+        out="prior",
+        inclusive=False,
+        threshold_rows=TWOPASS_CROSSOVER_ROWS,
+    )
+    r2 = pri.select("y", (2 * F.col("prior") + F.col("cnt") + 1).cast("long").alias("r2"))
+    g = (
+        base.join(r2, "y")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_g"),
+            F.sum("r2").cast("long").alias("s2r"),
+        )
+    )
+    gq = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            F.round((F.col("s2r") / 2.0) * (F.col("s2r") / 2.0) / F.col("n_g"), 0)
+            .cast("long")
+        )
+        .cast("long")
+        .alias("rterm"),
+    )
+    tie = vals.filter(F.col("cnt") > 1).agg(
+        F.coalesce(
+            F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("tt")
+    )
+    h_raw = (
+        12.0 / (F.col("n") * (F.col("n") + 1.0)) * F.col("rterm")
+        - 3.0 * (F.col("n") + 1)
+    )
+    c_div = 1.0 - F.col("tt") / (
+        F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n")
+    )
+    return gq.crossJoin(F.broadcast(tie)).select(
+        F.col("n").alias("n_total"),
+        F.col("k").alias("k_groups"),
+        (F.col("k") - 1).alias("df"),
+        F.round(h_raw, 4).alias("h"),
+        F.round(h_raw / c_div, 4).alias("h_tie_corrected"),
+    )

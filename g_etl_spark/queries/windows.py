@@ -6132,3 +6132,304 @@ def q344_user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_new_users").cast("double") / F.col("n_active_users"), 4
         ).alias("new_user_share"),
     ).orderBy("day")
+
+
+def _q346_oracle() -> str:
+    """q346 oracle: the same exact-Shapley computation — per-user
+    pre-conversion channel bitmask, coalition value v(S) = converting
+    users whose touched set ⊆ S, and the 4-channel Shapley sum with
+    factorial weights in integer 24ths (4! = 24), so every phi is an
+    exact integer before the final division."""
+    return """
+    WITH conv AS (
+        SELECT user_id, min(ts) AS pts
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touched AS (
+        SELECT e.user_id,
+               max(CASE WHEN e.event_type = 'view'   THEN 1 ELSE 0 END) AS bv,
+               max(CASE WHEN e.event_type = 'click'  THEN 2 ELSE 0 END) AS bc,
+               max(CASE WHEN e.event_type = 'signup' THEN 4 ELSE 0 END) AS bs,
+               max(CASE WHEN e.event_type = 'error'  THEN 8 ELSE 0 END) AS be
+        FROM events e JOIN conv c USING (user_id)
+        WHERE e.ts < c.pts
+        GROUP BY e.user_id
+    ),
+    masks AS (
+        SELECT coalesce(t.bv + t.bc + t.bs + t.be, 0) AS mask,
+               count(*) AS n
+        FROM conv c LEFT JOIN touched t USING (user_id)
+        GROUP BY 1
+    ),
+    subsets AS (SELECT unnest(range(0, 16)) AS s),
+    v AS (
+        SELECT s.s,
+               coalesce(sum(CASE WHEN (m.mask & xor(15, s.s)) = 0
+                                 THEN m.n ELSE 0 END), 0) AS v
+        FROM subsets s CROSS JOIN masks m
+        GROUP BY s.s
+    ),
+    chans AS (
+        SELECT unnest([0, 1, 2, 3]) AS ci,
+               unnest(['view', 'click', 'signup', 'error']) AS channel
+    ),
+    sh AS (
+        SELECT c.ci, c.channel,
+               CAST(sum(CASE bit_count(vs.s)
+                        WHEN 0 THEN 6 WHEN 1 THEN 2
+                        WHEN 2 THEN 2 ELSE 6 END
+                        * (vi.v - vs.v)) AS BIGINT) AS phi_24
+        FROM chans c
+        JOIN v vs ON (vs.s & (1 << c.ci)) = 0
+        JOIN v vi ON vi.s = (vs.s | (1 << c.ci))
+        GROUP BY c.ci, c.channel
+    ),
+    tot AS (SELECT sum(phi_24) AS t FROM sh)
+    SELECT channel, phi_24,
+           round(phi_24 / 24.0, 4) AS shapley_conversions,
+           round(CASE WHEN tot.t > 0
+                      THEN phi_24 / CAST(tot.t AS DOUBLE) ELSE 0.0 END,
+                 6) AS share
+    FROM sh CROSS JOIN tot
+    ORDER BY channel
+    """
+
+
+@register("q346_shapley_attribution", oracle=_q346_oracle())
+def q346_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value channel attribution over the four
+    non-purchase channels — the game-theoretic closure of the
+    attribution family (q154 last-touch, q246 positional, q255
+    time-decay, q266 Markov removal effect): v(S) counts converting
+    users whose pre-conversion channel set ⊆ S, and each channel's
+    Shapley value averages its marginal contribution over all
+    orderings. With 4 channels the factorial weights |S|!(3−|S|)!
+    are the integers 6/2/2/6 over 4! = 24, so every phi is an EXACT
+    integer in 24ths before display division — no sampling, no
+    permutation Monte Carlo, engine-identical. Monotone coalition
+    values (v(S) ⊆-monotone by construction) make every phi ≥ 0;
+    efficiency (Σ phi = v(N) − v(∅)) is pinned by test.
+
+    Scale: one corpus pass to per-user bitmasks, ONE combining agg to
+    the ≤16-row mask rollup; everything after (the 16-subset value
+    table, 4×8 marginal sum) is arithmetic on bounded literals. The
+    channel set is fixed; 100 TB costs the two corpus exchanges only.
+    """
+    e = load(spark, sf_dir, "events")
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    touched = (
+        e.join(conv, "user_id")
+        .filter(F.col("ts") < F.col("pts"))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("bv"),
+            F.max(F.when(F.col("event_type") == "click", 2).otherwise(0)).alias("bc"),
+            F.max(F.when(F.col("event_type") == "signup", 4).otherwise(0)).alias("bs"),
+            F.max(F.when(F.col("event_type") == "error", 8).otherwise(0)).alias("be"),
+        )
+    )
+    masks = (
+        conv.join(touched, "user_id", "left")
+        .select(
+            F.coalesce(
+                F.col("bv") + F.col("bc") + F.col("bs") + F.col("be"), F.lit(0)
+            ).alias("mask")
+        )
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    subsets = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    # masks is ≤16 rows by construction (4-bit key) — bounded broadcast
+    v = (
+        subsets.crossJoin(F.broadcast(masks))
+        .groupBy("s")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.expr("(mask & (15 ^ s)) = 0"), F.col("n")
+                    ).otherwise(F.lit(0).cast("long"))
+                ),
+                F.lit(0).cast("long"),
+            ).alias("v")
+        )
+    )
+    chans = spark.createDataFrame(
+        [(0, "view"), (1, "click"), (2, "signup"), (3, "error")],
+        "ci int, channel string",
+    )
+    vs = v.select(F.col("s").alias("s0"), F.col("v").alias("v0"))
+    vi = v.select(F.col("s").alias("s1"), F.col("v").alias("v1"))
+    w24 = (
+        F.when(F.bit_count(F.col("s0")) == 0, 6)
+        .when(F.bit_count(F.col("s0")) == 1, 2)
+        .when(F.bit_count(F.col("s0")) == 2, 2)
+        .otherwise(6)
+    )
+    sh = (
+        chans.join(F.broadcast(vs), F.expr("(s0 & shiftleft(1, ci)) = 0"))
+        .join(F.broadcast(vi), F.expr("s1 = (s0 | shiftleft(1, ci))"))
+        .groupBy("ci", "channel")
+        .agg(
+            F.sum(w24 * (F.col("v1") - F.col("v0"))).cast("long").alias("phi_24")
+        )
+    )
+    tot = sh.agg(F.sum("phi_24").alias("t"))
+    return (
+        sh.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "phi_24",
+            F.round(F.col("phi_24") / 24.0, 4).alias("shapley_conversions"),
+            F.round(
+                F.when(
+                    F.col("t") > 0,
+                    F.col("phi_24") / F.col("t").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("share"),
+        )
+        .orderBy("channel")
+    )
+
+
+@register(
+    "q348_mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(ts AS DATE) AS day,
+               CAST(round(sum(value) * 100) AS BIGINT) AS cents
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    s AS (
+        SELECT a.event_type,
+               CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                             WHEN b.cents < a.cents THEN -1
+                             ELSE 0 END) AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+        GROUP BY a.event_type
+    ),
+    nn AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM daily GROUP BY event_type
+    ),
+    ties AS (
+        SELECT event_type,
+               CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                   AS tie_term
+        FROM (SELECT event_type, cents, count(*) AS t
+              FROM daily GROUP BY event_type, cents)
+        WHERE t > 1
+        GROUP BY event_type
+    )
+    SELECT s.event_type, nn.n AS n_days, s.s_stat,
+           round((nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                  - coalesce(ties.tie_term, 0)) / 18.0, 6) AS var_s,
+           round(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                      WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                      ELSE 0 END
+                 / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                         - coalesce(ties.tie_term, 0)) / 18.0), 4) AS z,
+           CASE WHEN abs(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                              WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                              ELSE 0 END
+                         / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                                 - coalesce(ties.tie_term, 0)) / 18.0)) > 1.96
+                THEN CASE WHEN s.s_stat > 0 THEN 'increasing'
+                          ELSE 'decreasing' END
+                ELSE 'no_trend' END AS verdict
+    FROM s JOIN nn USING (event_type)
+    LEFT JOIN ties USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def q348_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall non-parametric trend test per event type over the
+    daily revenue series — the hypothesis-test companion of q166's
+    Theil-Sen slope (same pairwise skeleton; Theil-Sen estimates the
+    magnitude, Mann-Kendall decides significance without assuming
+    normality or linearity): S = Σ_{i<j} sign(x_j − x_i), exact
+    integer; Var(S) with the standard tie correction
+    Σ t(t−1)(2t+5) over tie groups (exact integers — the series is
+    cent-quantized first); z continuity-corrected by ∓1.
+
+    Scale: ONE corpus exchange to the |types|×|days| rollup; the
+    pairwise join is |days|² per type on that bounded relation (q166
+    precedent) and the tie rollup is a second bounded agg. Verdict
+    thresholds at z = 1.96 (two-sided 5%).
+    """
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.round(F.sum("value") * 100, 0).cast("long").alias("cents"))
+    )
+    a = daily.select("event_type", F.col("day").alias("da"), F.col("cents").alias("ca"))
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("day").alias("db"),
+        F.col("cents").alias("cb"),
+    )
+    s = (
+        a.join(b, (F.col("event_type") == F.col("et_b")) & (F.col("da") < F.col("db")))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("cb") > F.col("ca"), 1)
+                .when(F.col("cb") < F.col("ca"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        daily.groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.coalesce(F.col("tie_term"), F.lit(0))
+    ) / 18.0
+    s_corr = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(0)
+    )
+    z = s_corr / F.sqrt(var_s)
+    return (
+        s.join(nn, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "s_stat",
+            F.round(var_s, 6).alias("var_s"),
+            F.round(z, 4).alias("z"),
+            F.when(
+                F.abs(z) > 1.96,
+                F.when(F.col("s_stat") > 0, F.lit("increasing")).otherwise(
+                    F.lit("decreasing")
+                ),
+            )
+            .otherwise(F.lit("no_trend"))
+            .alias("verdict"),
+        )
+        .orderBy("event_type")
+    )

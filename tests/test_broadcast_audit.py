@@ -36,13 +36,13 @@ AUDITED_HINT_COUNTS = {
     "operators/stats.py": 6,     # scalar aggs + |folds| model rows
     "queries/dedup.py": 17,      # scalars, band index literals, |sources| rollups, planted-truth 1-rows
     "queries/grid.py": 5,        # polyfill cell sets, POI literals, scalar thresholds
-    "queries/relational.py": 63, # nation/region dims, scalar aggs, bounded rollups, bucket offsets
+    "queries/relational.py": 64, # nation/region dims, scalar aggs, bounded rollups, bucket offsets
     "queries/sampling.py": 6,    # scalar totals, |sources| weights, literal index frames
     "queries/similarity.py": 24, # k centroids/codebooks, top-k rows, scalar stats, |dims| rollups, q345's scalar hit-count row
     "queries/sketches.py": 22,   # hash-param literals, register/counter frames, |sources|² pairs, MG cap-bounded candidates
     "queries/streaming_equiv.py": 1,  # 25-row nation dim
     "queries/text.py": 33,       # fixed term lists, scalar stats, |sources| rollups
-    "queries/windows.py": 52,    # per-type/dow/day/priority rollups, scalars, triangular offsets
+    "queries/windows.py": 56,    # per-type/dow/day/priority rollups, scalars, triangular offsets, q346's ≤16-row mask/subset tables
     "query.py": 2,               # polygon cell sets (bounded by query area)
 }
 

@@ -3977,3 +3977,103 @@ def test_q344_growth_accounting_conservation(spark, qs):
         assert r["cum_users"] >= prev
         prev = r["cum_users"]
         assert 0.0 <= r["new_user_share"] <= 1.0
+
+
+def test_q346_shapley_efficiency_and_bounds(spark, qs):
+    """Shapley axioms on the exact 4-channel computation: every phi
+    ≥ 0 (coalition values are ⊆-monotone by construction), shares
+    sum to 1, and Σ phi equals v(N) − v(∅) = converting users with
+    ≥1 prior touch (efficiency) — recomputed independently here."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    rows = qs["q346_shapley_attribution"](spark, SF_DIR).collect()
+    assert len(rows) == 4
+    assert all(r["phi_24"] >= 0 for r in rows)
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+    e = load(spark, SF_DIR, "events")
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    touched_users = (
+        e.join(conv, "user_id")
+        .filter(
+            (F.col("ts") < F.col("pts")) & (F.col("event_type") != "purchase")
+        )
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["phi_24"] for r in rows) == 24 * touched_users
+
+
+def test_q348_mann_kendall_invariants(spark, qs):
+    """S is bounded by the pair count, Var(S) > 0, and the verdict is
+    consistent with the two-sided 1.96 cut."""
+    rows = qs["q348_mann_kendall_trend"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        n = r["n_days"]
+        assert abs(r["s_stat"]) <= n * (n - 1) // 2
+        assert r["var_s"] > 0
+        expected = (
+            ("increasing" if r["s_stat"] > 0 else "decreasing")
+            if abs(r["z"]) > 1.96
+            else "no_trend"
+        )
+        assert r["verdict"] == expected
+
+
+def test_q349_kruskal_wallis_matches_scipy_formula(spark, qs):
+    """H recomputed from raw data with an independent python
+    implementation (midranks via sorting) must match to display
+    precision, and the two-pass dispatch path (forced crossover)
+    must yield bit-identical output."""
+    import g_etl_spark.operators.ranking as R
+    from g_etl_spark.tables import load
+
+    row = qs["q349_kruskal_wallis"](spark, SF_DIR).collect()[0]
+    o = load(spark, SF_DIR, "orders")
+    c = load(spark, SF_DIR, "customer")
+    import pyspark.sql.functions as F
+
+    data = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("y"),
+        )
+        .collect()
+    )
+    ys = sorted(r["y"] for r in data)
+    from collections import Counter, defaultdict
+
+    cnt = Counter(ys)
+    rank = {}
+    prior = 0
+    for v in sorted(cnt):
+        rank[v] = prior + (cnt[v] + 1) / 2.0
+        prior += cnt[v]
+    n = len(ys)
+    groups = defaultdict(list)
+    for r in data:
+        groups[r["seg"]].append(rank[r["y"]])
+    h = 12.0 / (n * (n + 1)) * sum(
+        len(v) * (sum(v) / len(v)) ** 2 for v in groups.values()
+    ) - 3 * (n + 1)
+    tt = sum(t**3 - t for t in cnt.values() if t > 1)
+    hc = h / (1 - tt / (n**3 - n))
+    assert abs(row["h"] - h) < 2e-3 and abs(row["h_tie_corrected"] - hc) < 2e-3
+    assert row["n_total"] == n and row["k_groups"] == len(groups)
+
+    baseline = tuple(row)
+    try:
+        old = R.TWOPASS_CROSSOVER_ROWS
+        R.TWOPASS_CROSSOVER_ROWS = 5
+        # the query reads the module attr at call time via import
+        forced = qs["q349_kruskal_wallis"](spark, SF_DIR).collect()[0]
+    finally:
+        R.TWOPASS_CROSSOVER_ROWS = old
+    assert tuple(forced) == baseline
