@@ -104,3 +104,150 @@ def q100_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     )
     return M.sample_frames(d).orderBy("doc_id", "frame_idx")
+
+
+_AHASH_PX = (
+    "transform(sequence(0, 63), k -> CAST(ascii(substr(text, "
+    "CAST(k * 7 % greatest(length(text), 1) AS INT) + 1, 1)) AS BIGINT))"
+)
+
+
+def _ahash_band_sql(j: int) -> str:
+    """Spark SQL for 16-bit aHash band j (bits 16j..16j+15): bit k is
+    1 when pixel 16j+k exceeds the 64-pixel mean (compared as
+    64·px > sum — integer-exact, no division)."""
+    return (
+        "aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, k) -> "
+        f"acc | shiftleft(CAST(CASE WHEN 64 * element_at(px, 16 * {j} + k + 1)"
+        " > sump THEN 1 ELSE 0 END AS BIGINT), CAST(k AS INT)))"
+    )
+
+
+def _q353_oracle() -> str:
+    """q353 oracle: the same deterministic pixel sampling, integer
+    mean-threshold bits, 16-bit bands, band-bucket candidates and
+    Hamming refine — list indexing is 1-based in BOTH engines here
+    (element_at / list_extract), and every quantity is an exact
+    integer."""
+    px = (
+        "list_transform(range(0, 64), k -> CAST(ascii(substr(text, "
+        "CAST(k * 7 % greatest(length(text), 1) AS INT) + 1, 1)) AS BIGINT))"
+    )
+    band = (
+        "list_aggregate(list_transform(range(0, 16), k -> "
+        "CASE WHEN 64 * px[16 * {j} + k + 1] > sump THEN (CAST(1 AS BIGINT) << k) "
+        "ELSE 0 END), 'sum')"
+    )
+    bands = ", ".join(
+        f"CAST(coalesce({band.format(j=j)}, 0) AS BIGINT) AS b{j}" for j in range(4)
+    )
+    return f"""
+    WITH s1 AS (SELECT doc_id, {px} AS px FROM documents),
+    s2 AS (
+        SELECT doc_id, px, list_aggregate(px, 'sum') AS sump FROM s1
+    ),
+    hashes AS (SELECT doc_id, {bands} FROM s2),
+    bands_long AS (
+        SELECT doc_id, j,
+               CASE j WHEN 0 THEN b0 WHEN 1 THEN b1
+                      WHEN 2 THEN b2 ELSE b3 END AS bv
+        FROM hashes, (SELECT unnest([0, 1, 2, 3]) AS j)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands_long a JOIN bands_long b
+          ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    refined AS (
+        SELECT c.id_a, c.id_b,
+               CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+                  + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+                  AS BIGINT) AS hamming
+        FROM cand c
+        JOIN hashes ha ON ha.doc_id = c.id_a
+        JOIN hashes hb ON hb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, hamming
+    FROM refined WHERE hamming <= 3
+    ORDER BY id_a, id_b
+    """
+
+
+@register("q353_media_ahash_near_dups", oracle=_q353_oracle())
+def q353_media_ahash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash (average-hash) near-duplicate detection for
+    the MEDIA column — the dedup story the multimodal family lacked
+    (q70 metadata, q71 decode, q100 keyframes; this is what a real
+    pipeline runs on decoded thumbnails to kill re-encoded/resized
+    copies that byte-level q50 can never match): 64 deterministic
+    'pixels' sampled from the payload (the container's honest fake
+    decode — a real 8×8 grayscale thumbnail drops into the same
+    expressions), thresholded at the integer mean (64·px > Σpx — no
+    division), packed into four 16-bit bands. Near-dups = Hamming
+    distance ≤ 3, found by the banded-LSH pigeonhole (distance ≤ 3
+    over 4 bands ⇒ at least one band identical — candidates come
+    from 4 band equi-joins, Σ bucket², never corpus²), then the
+    exact Hamming refine.
+
+    Scale: hashing is map-only whole-stage codegen (one projection
+    chain — px staged once, q96's CodegenFallback hygiene);
+    candidates are hash equi-joins on 16-bit band buckets; the
+    refine touches only candidate pairs. The same shape runs q52's
+    minhash pipeline — this is its pixel-space twin.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    s1 = d.select("doc_id", F.expr(_AHASH_PX).alias("px"))
+    s2 = s1.select(
+        "doc_id",
+        "px",
+        F.expr("aggregate(px, CAST(0 AS BIGINT), (acc, x) -> acc + x)").alias(
+            "sump"
+        ),
+    )
+    hashes = s2.select(
+        "doc_id",
+        *[F.expr(_ahash_band_sql(j)).cast("long").alias(f"b{j}") for j in range(4)],
+    ).localCheckpoint()
+    bands_long = hashes.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("j"), F.col(f"b{j}").alias("bv"))
+                for j in range(4)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "band.j", "band.bv")
+    a = bands_long.select(
+        F.col("doc_id").alias("id_a"), F.col("j").alias("ja"), F.col("bv").alias("va")
+    )
+    b = bands_long.select(
+        F.col("doc_id").alias("id_b"), F.col("j").alias("jb"), F.col("bv").alias("vb")
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("ja") == F.col("jb"))
+            & (F.col("va") == F.col("vb"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"b{j}").alias(f"a{j}") for j in range(4)],
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"b{j}").alias(f"bb{j}") for j in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"bb{j}"))) for j in range(4)
+    ).cast("long")
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .orderBy("id_a", "id_b")
+    )

@@ -2085,3 +2085,323 @@ def q345_ann_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for nxt in outs[1:]:
         out = out.unionAll(nxt)
     return out.orderBy("n_probe_bits")
+
+
+_MMR_COS = """round(list_aggregate(list_transform(range(1, 65),
+                   i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)),
+                   'sum')
+         / (sqrt(list_aggregate(list_transform({a}.embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+            * sqrt(list_aggregate(list_transform({b},
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 3)"""
+
+
+def _q350_oracle(k_sel: int = 5) -> str:
+    """q350 oracle: the same greedy MMR selection unrolled into one
+    chained CTE pair (candidate rescore + argmax) per step. Scores
+    are exact integers (milli-unit relevance/similarity, score10 =
+    7·rel − 3·maxsim) so every argmax is engine-identical."""
+    qcos = _MMR_COS.format(a="e", b="q.qv")
+    pcos = _MMR_COS.format(a="a", b="b.embedding")
+    steps = []
+    for s in range(2, k_sel + 1):
+        sel = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, s)
+        )
+        steps.append(f"""
+    r{s} AS (
+        SELECT c.vec_id, c.rel_m, max(p.sim_m) AS maxsim_m
+        FROM cand c
+        JOIN pairs p ON p.ia = c.vec_id
+        JOIN ({sel}) sel ON p.ib = sel.vec_id
+        WHERE c.vec_id NOT IN ({sel})
+        GROUP BY c.vec_id, c.rel_m
+    ),
+    s{s} AS (
+        SELECT vec_id, rel_m, maxsim_m,
+               7 * rel_m - 3 * maxsim_m AS score10
+        FROM r{s} ORDER BY score10 DESC, vec_id LIMIT 1
+    )""")
+    finals = " UNION ALL ".join(
+        f"SELECT {j} AS rank, vec_id, rel_m, maxsim_m, score10 FROM s{j}"
+        for j in range(1, k_sel + 1)
+    )
+    return f"""
+    WITH q AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM embeddings WHERE vec_id = 0
+    ),
+    cand AS (
+        SELECT e.vec_id, e.embedding,
+               CAST(round({qcos} * 1000) AS BIGINT) AS rel_m
+        FROM embeddings e, q
+        ORDER BY rel_m DESC, vec_id
+        LIMIT 20
+    ),
+    pairs AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               CAST(round({pcos} * 1000) AS BIGINT) AS sim_m
+        FROM cand a JOIN cand b ON a.vec_id != b.vec_id
+    ),
+    s1 AS (
+        SELECT vec_id, rel_m, CAST(0 AS BIGINT) AS maxsim_m,
+               7 * rel_m AS score10
+        FROM cand ORDER BY rel_m DESC, vec_id LIMIT 1
+    ),{",".join(steps)}
+    SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+           round(rel_m / 1000.0, 3) AS relevance,
+           round(maxsim_m / 1000.0, 3) AS max_sim_prior,
+           CAST(score10 AS BIGINT) AS mmr_score10
+    FROM ({finals}) ORDER BY rank
+    """
+
+
+@register("q350_mmr_rerank", oracle=_q350_oracle())
+def q350_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking of the retrieval top-20
+    (Carbonell & Goldstein): greedily pick 5 results maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-picked (λ = 0.7) —
+    the diversification step a RAG pipeline runs between ANN
+    retrieval (q60/q345) and context assembly, so near-duplicate
+    passages don't crowd out coverage. Relevance and pairwise
+    similarity are milli-quantized integers and the greedy score is
+    the exact integer 7·rel − 3·maxsim, so all five argmax picks are
+    engine-identical (vec_id tiebreak).
+
+    Scale: ONE brute/ANN pass bounds the working set to k=20 rows;
+    the 20×19 pairwise matrix and the 5 greedy steps are arithmetic
+    on that bounded relation (q243 contract) — selection cost is
+    independent of corpus size. The candidate fetch is the only
+    corpus-touching stage and is exactly the q345 serving path.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    if q is None:
+        return _empty(
+            spark,
+            "rank bigint, vec_id bigint, relevance double, "
+            "max_sim_prior double, mmr_score10 bigint",
+        )
+    top = S.cosine_topk(e, q, k=20)
+    cand = (
+        top.join(e, "vec_id")
+        .select(
+            "vec_id",
+            F.round(F.col("cosine") * 1000, 0).cast("long").alias("rel_m"),
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+        )
+        .localCheckpoint()
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    a = cand.select(F.col("vec_id").alias("ia"), F.col("v").alias("v_a"))
+    b = cand.select(F.col("vec_id").alias("ib"), F.col("v").alias("v_b"))
+    # 20×19 bounded pair matrix (LIMIT-capped — broadcast-safe)
+    pairs = (
+        a.join(F.broadcast(b), F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.round(F.round(dot / (nrm(F.col("v_a")) * nrm(F.col("v_b"))), 3) * 1000, 0)
+            .cast("long")
+            .alias("sim_m"),
+        )
+        .localCheckpoint()
+    )
+    base = cand.select("vec_id", "rel_m")
+    s1 = (
+        base.orderBy(F.desc("rel_m"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("rank"),
+            "vec_id",
+            "rel_m",
+            F.lit(0).cast("long").alias("maxsim_m"),
+            (7 * F.col("rel_m")).cast("long").alias("score10"),
+        )
+    )
+    selected = [s1]
+    for step in range(2, 6):
+        sel_ids = selected[0].select("vec_id")
+        for s_ in selected[1:]:
+            sel_ids = sel_ids.unionAll(s_.select("vec_id"))
+        sel_ids = sel_ids.localCheckpoint()
+        remaining = base.join(sel_ids, "vec_id", "left_anti")
+        rescored = (
+            remaining.join(pairs, remaining["vec_id"] == pairs["ia"])
+            .join(
+                sel_ids.withColumnRenamed("vec_id", "sel_id"),
+                F.col("ib") == F.col("sel_id"),
+            )
+            .groupBy("vec_id", "rel_m")
+            .agg(F.max("sim_m").alias("maxsim_m"))
+            .select(
+                "vec_id",
+                "rel_m",
+                "maxsim_m",
+                (7 * F.col("rel_m") - 3 * F.col("maxsim_m"))
+                .cast("long")
+                .alias("score10"),
+            )
+        )
+        pick = (
+            rescored.orderBy(F.desc("score10"), F.asc("vec_id"))
+            .limit(1)
+            .select(
+                F.lit(step).cast("long").alias("rank"),
+                "vec_id",
+                "rel_m",
+                "maxsim_m",
+                "score10",
+            )
+        )
+        selected.append(pick.localCheckpoint())
+    out = selected[0]
+    for s_ in selected[1:]:
+        out = out.unionAll(s_)
+    return out.select(
+        "rank",
+        "vec_id",
+        F.round(F.col("rel_m") / 1000.0, 3).alias("relevance"),
+        F.round(F.col("maxsim_m") / 1000.0, 3).alias("max_sim_prior"),
+        F.col("score10").alias("mmr_score10"),
+    ).orderBy("rank")
+
+
+def _q351_oracle() -> str:
+    """q351 oracle: q345's multiprobe skeleton with DCG on top —
+    graded relevance = clamped milli-cosine, each rel/log2(rank+1)
+    term micro-quantized to bigint before the 10-term sum, so DCG,
+    IDCG and their ratio derive from identical integers."""
+    return f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               {_srp_bucket_sql(6, 64)} AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT bucket AS qbucket,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        FROM bucketed WHERE vec_id = 0
+    ),
+    scored AS (
+        SELECT b.vec_id, b.bucket,
+               CAST(round(list_aggregate(list_transform(range(1, 65),
+                          i -> CAST(b.embedding[i] AS DOUBLE) * q.qv[i]), 'sum')
+                     / (sqrt(list_aggregate(list_transform(b.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                        * sqrt(list_aggregate(list_transform(q.qv, x -> x * x),
+                                              'sum'))) * 1000)
+                    AS BIGINT) AS rel_m
+        FROM bucketed b, q
+    ),
+    ideal AS (
+        SELECT rel_m,
+               row_number() OVER (ORDER BY rel_m DESC, vec_id) AS rn
+        FROM scored QUALIFY rn <= 10
+    ),
+    idcg AS (
+        SELECT CAST(sum(CAST(round(greatest(rel_m, 0) * 1e6
+                                   / log2(rn + 1)) AS BIGINT)) AS BIGINT)
+                   AS idcg_micro
+        FROM ideal
+    ),
+    approx AS (
+        SELECT l.n_probe_bits, s.vec_id, s.rel_m,
+               row_number() OVER (PARTITION BY l.n_probe_bits
+                                  ORDER BY s.rel_m DESC, s.vec_id) AS rn
+        FROM (SELECT unnest([0, 1, 2]) AS n_probe_bits) l, scored s, q
+        WHERE bit_count(xor(s.bucket, q.qbucket)) <= l.n_probe_bits
+        QUALIFY rn <= 10
+    ),
+    dcg AS (
+        SELECT n_probe_bits,
+               CAST(sum(CAST(round(greatest(rel_m, 0) * 1e6
+                                   / log2(rn + 1)) AS BIGINT)) AS BIGINT)
+                   AS dcg_micro
+        FROM approx GROUP BY n_probe_bits
+    )
+    SELECT CAST(d.n_probe_bits AS BIGINT) AS n_probe_bits,
+           d.dcg_micro, i.idcg_micro,
+           round(d.dcg_micro / CAST(i.idcg_micro AS DOUBLE), 4) AS ndcg_at_10
+    FROM dcg d CROSS JOIN idcg i
+    ORDER BY n_probe_bits
+    """
+
+
+@register("q351_ann_multiprobe_ndcg", oracle=_q351_oracle())
+def q351_ann_multiprobe_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the multiprobe ANN serving path — the GRADED
+    ranking metric beside q345's set-overlap recall: recall treats
+    every true top-10 item equally, nDCG weights getting the MOST
+    similar items near the top (rel = clamped milli-cosine,
+    discounted 1/log2(rank+1)), which is what a RAG context
+    assembler actually cares about. Each rel/discount term is
+    micro-quantized to bigint before the 10-term sum (the q343
+    discipline), so DCG/IDCG are exact integers in both engines.
+
+    Scale: identical probe economics to q345 — per radius b, a
+    partition-pruned IN-set scan of Σ_{d≤b} C(6, d) buckets; the
+    DCG arithmetic runs on ≤10-row relations (bounded windows,
+    q243 contract).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    q = _query_vector(spark, sf_dir)
+    if q is None:
+        return _empty(
+            spark,
+            "n_probe_bits bigint, dcg_micro bigint, idcg_micro bigint, "
+            "ndcg_at_10 double",
+        )
+    planes = S.random_hyperplanes(6, 64)
+    bucketed = S.srp_buckets(e, 6, 64)
+
+    def dcg_micro(top10: DataFrame) -> F.Column:
+        ranked = top10.select(
+            F.round(F.col("cosine") * 1000, 0).cast("long").alias("rel_m"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
+            .alias("rn"),
+        )
+        return ranked.agg(
+            F.sum(
+                F.round(
+                    F.greatest(F.col("rel_m"), F.lit(0)) * 1e6
+                    / F.log2(F.col("rn") + 1),
+                    0,
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("m")
+        )
+
+    idcg = dcg_micro(S.cosine_topk(e, q, k=10)).withColumnRenamed(
+        "m", "idcg_micro"
+    )
+    outs = []
+    for b in (0, 1, 2):
+        probes = S.srp_probe_buckets(q, planes, n_probe_bits=b)
+        approx = S.cosine_topk(
+            bucketed.filter(F.col("bucket").isin(probes)), q, k=10
+        )
+        dcg = dcg_micro(approx).withColumnRenamed("m", "dcg_micro")
+        outs.append(
+            dcg.crossJoin(F.broadcast(idcg)).select(
+                F.lit(b).cast("long").alias("n_probe_bits"),
+                "dcg_micro",
+                "idcg_micro",
+                F.round(
+                    F.col("dcg_micro") / F.col("idcg_micro").cast("double"), 4
+                ).alias("ndcg_at_10"),
+            )
+        )
+    out = outs[0]
+    for nxt in outs[1:]:
+        out = out.unionAll(nxt)
+    return out.orderBy("n_probe_bits")

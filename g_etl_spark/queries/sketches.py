@@ -1318,3 +1318,193 @@ def q333_bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("config")
     )
+
+
+_THETA_M = 4294967296.0  # hash domain size (32-bit md5 prefix)
+
+
+@register(
+    "q352_kmv_set_operations",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT source,
+               CAST(CAST('0x' || substr(md5(text), 1, 8) AS UBIGINT) AS BIGINT) AS h
+        FROM documents
+    ),
+    sig AS (
+        SELECT source, h FROM (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM h
+        ) WHERE rn <= {_KMV_K}
+    ),
+    pairs AS (
+        SELECT a.source AS sa, b.source AS sb
+        FROM (SELECT DISTINCT source FROM documents) a
+        JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source
+    ),
+    uni AS (
+        SELECT p.sa, p.sb, s.h, count(*) AS n_sides
+        FROM pairs p JOIN sig s ON s.source IN (p.sa, p.sb)
+        GROUP BY p.sa, p.sb, s.h
+    ),
+    ranked AS (
+        SELECT sa, sb, h, n_sides,
+               row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+        FROM uni
+    ),
+    est AS (
+        SELECT sa, sb,
+               CAST(count(*) AS BIGINT) AS m,
+               CAST(max(h) AS BIGINT) AS theta,
+               CAST(sum(CASE WHEN n_sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_both
+        FROM ranked WHERE rn <= {_KMV_K}
+        GROUP BY sa, sb
+    ),
+    srcbit AS (
+        SELECT source,
+               CAST(dense_rank() OVER (ORDER BY source) - 1 AS BIGINT) AS bit
+        FROM (SELECT DISTINCT source FROM documents)
+    ),
+    masks AS (
+        SELECT mask, CAST(count(*) AS BIGINT) AS n FROM (
+            SELECT h.h, CAST(sum(1 << b.bit) AS BIGINT) AS mask
+            FROM h JOIN srcbit b USING (source)
+            GROUP BY h.h
+        ) GROUP BY mask
+    ),
+    exact AS (
+        SELECT p.sa, p.sb,
+               CAST(sum(CASE WHEN (m.mask & ((1 << ba.bit) | (1 << bb.bit))) != 0
+                        THEN m.n ELSE 0 END) AS BIGINT) AS exact_union,
+               CAST(sum(CASE WHEN (m.mask & (1 << ba.bit)) != 0
+                             AND  (m.mask & (1 << bb.bit)) != 0
+                        THEN m.n ELSE 0 END) AS BIGINT) AS exact_intersection
+        FROM pairs p
+        JOIN srcbit ba ON ba.source = p.sa
+        JOIN srcbit bb ON bb.source = p.sb
+        CROSS JOIN masks m
+        GROUP BY p.sa, p.sb
+    )
+    SELECT e.sa AS source_a, e.sb AS source_b,
+           round(CASE WHEN e.m < {_KMV_K} THEN CAST(e.m AS DOUBLE)
+                      ELSE ({_KMV_K} - 1) * {_THETA_M} / e.theta END, 2)
+               AS est_union,
+           x.exact_union,
+           round(CASE WHEN e.m < {_KMV_K} THEN CAST(e.n_both AS DOUBLE)
+                      ELSE e.n_both * (({_KMV_K} - 1) * {_THETA_M} / e.theta)
+                           / e.m END, 2) AS est_intersection,
+           x.exact_intersection
+    FROM est e JOIN exact x ON x.sa = e.sa AND x.sb = e.sb
+    ORDER BY source_a, source_b
+    """,
+)
+def q352_kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta-sketch SET ALGEBRA: per source pair, estimate the
+    DISTINCT-COUNT of the union and intersection from the merged
+    bottom-k signatures (q149 estimates the Jaccard ratio; this is
+    the Datasketches layer on top — the absolute counts a capacity
+    plan needs): est_union = (k−1)·M/θ with θ = the k-th smallest
+    union hash (exact count when the union retains < k values),
+    est_intersection = n_both/m · est_union. Exact union/intersection
+    counts ride along for the measured error — computed from a
+    source-BITMASK rollup (hash → which-sources mask → ≤2^|sources|
+    mask cells), never a per-pair corpus join.
+
+    Every sketch quantity is an exact integer (32-bit md5-prefix
+    hashes, ranks, θ, n_both) so both engines derive identical
+    estimates; the merge property (bottom-k of a union = bottom-k of
+    merged signatures) is what makes the sketch refreshable per
+    ingest at 100 TB — signatures are |sources|·k rows, pair
+    arithmetic never touches the corpus.
+    """
+    d = load(spark, sf_dir, "documents")
+    h = d.select(
+        "source",
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long").alias("h"),
+    ).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    sig = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("source", "h")
+    )
+    srcs = d.select("source").distinct()
+    a, b = srcs.alias("a"), srcs.alias("b")
+    pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("sa"), F.col("b.source").alias("sb")
+    )
+    uni = (
+        F.broadcast(pairs)
+        .join(sig, (sig["source"] == F.col("sa")) | (sig["source"] == F.col("sb")))
+        .groupBy("sa", "sb", "h")
+        .agg(F.count(F.lit(1)).alias("n_sides"))
+    )
+    wp = Window.partitionBy("sa", "sb").orderBy("h")
+    est = (
+        uni.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.max("h").cast("long").alias("theta"),
+            F.sum(F.when(F.col("n_sides") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_both"),
+        )
+    )
+    srcbit = srcs.select(
+        "source",
+        (F.dense_rank().over(Window.orderBy("source")) - 1)
+        .cast("long")
+        .alias("bit"),
+    )
+    masks = (
+        h.join(F.broadcast(srcbit), "source")
+        .groupBy("h")
+        .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).alias("mask"))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ba = srcbit.select(F.col("source").alias("sa"), F.col("bit").alias("bit_a"))
+    bb = srcbit.select(F.col("source").alias("sb"), F.col("bit").alias("bit_b"))
+    hit = lambda name: F.expr(  # noqa: E731
+        f"(mask & shiftleft(CAST(1 AS BIGINT), CAST({name} AS INT))) != 0"
+    )
+    exact = (
+        pairs.join(F.broadcast(ba), "sa")
+        .join(F.broadcast(bb), "sb")
+        .crossJoin(F.broadcast(masks))
+        .groupBy("sa", "sb")
+        .agg(
+            F.sum(
+                F.when(hit("bit_a") | hit("bit_b"), F.col("n")).otherwise(0)
+            )
+            .cast("long")
+            .alias("exact_union"),
+            F.sum(
+                F.when(hit("bit_a") & hit("bit_b"), F.col("n")).otherwise(0)
+            )
+            .cast("long")
+            .alias("exact_intersection"),
+        )
+    )
+    eu = F.when(F.col("m") < _KMV_K, F.col("m").cast("double")).otherwise(
+        (_KMV_K - 1) * _THETA_M / F.col("theta")
+    )
+    ei = F.when(F.col("m") < _KMV_K, F.col("n_both").cast("double")).otherwise(
+        F.col("n_both") * ((_KMV_K - 1) * _THETA_M / F.col("theta")) / F.col("m")
+    )
+    return (
+        est.join(exact, ["sa", "sb"])
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.round(eu, 2).alias("est_union"),
+            "exact_union",
+            F.round(ei, 2).alias("est_intersection"),
+            "exact_intersection",
+        )
+        .orderBy("source_a", "source_b")
+    )
