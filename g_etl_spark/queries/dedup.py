@@ -4296,3 +4296,117 @@ def q339_embedding_dedup_multiseed(spark: SparkSession, sf_dir: str) -> DataFram
     return S.srp_bucket_pairs(
         corpus, threshold=0.98, n_planes=8, dim=64, n_seeds=2
     ).orderBy("id_a", "id_b")
+
+
+def _q347_oracle() -> str:
+    """q347 oracle: the generic recursive-CTE reachability closure
+    over the user↔device bipartite edges (q56/q76 precedent — it
+    knows nothing about the household construction, so the hash
+    match proves the labeling), rolled up to the identity-size
+    histogram."""
+    return """
+    WITH RECURSIVE ev AS (
+        SELECT user_id, event_id FROM events
+    ),
+    edges0 AS (
+        SELECT DISTINCT user_id AS u,
+               2000000000 + user_id * 10 + event_id % 2 AS d
+        FROM ev
+        UNION
+        SELECT DISTINCT user_id AS u,
+               1000000000 + user_id // 4 AS d
+        FROM ev WHERE event_id % 5 = 0
+    ),
+    und AS (
+        SELECT u AS a, d AS b FROM edges0
+        UNION SELECT d AS a, u AS b FROM edges0
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM und),
+    reach AS (
+        SELECT node, node AS r FROM nodes
+        UNION
+        SELECT e.a AS node, reach.r
+        FROM und e JOIN reach ON reach.node = e.b
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    idents AS (
+        SELECT component,
+               CAST(sum(CASE WHEN node < 1000000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_users,
+               CAST(sum(CASE WHEN node >= 1000000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_devices
+        FROM comp GROUP BY component
+    )
+    SELECT n_users,
+           CAST(count(*) AS BIGINT) AS n_identities,
+           CAST(sum(n_devices) AS BIGINT) AS total_devices,
+           CAST(min(component) AS BIGINT) AS min_identity_id
+    FROM idents
+    GROUP BY n_users
+    ORDER BY n_users
+    """
+
+
+@register("q347_identity_stitching", oracle=_q347_oracle())
+def q347_identity_stitching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-device IDENTITY STITCHING — the identity-resolution
+    composition the CC machinery exists for in adtech/analytics
+    warehouses: users and devices form a bipartite graph (every user
+    touches two personal devices; every fifth event goes through a
+    shared household device covering four consecutive users), and an
+    identity is a connected component — users linked ONLY
+    transitively through a shared device land in one identity, which
+    per-user sessionization (q213) and per-user rollups structurally
+    miss. Deterministic synthetic device ids (personal ≥ 2e9,
+    household ≥ 1e9 — disjoint from user ids) make the stitching
+    verifiable: the oracle is the GENERIC recursive reachability
+    closure, so the hash match proves the distributed labeling, not
+    the construction. Output is the bounded identity-size histogram
+    (components labeled by min member = min user id, since user ids
+    sort below device ids).
+
+    Scale: edges are two distinct map-side projections of the event
+    scan; min-label propagation runs ONE equi-join + ONE groupBy-min
+    per round with lineage truncated per round
+    (operators/graph.connected_components; household stars have
+    single-digit diameter, the q76 log-star alternation is the
+    adversarial-diameter fallback); the histogram is a second
+    bounded agg. Nothing driver-side at any corpus size.
+    """
+    from g_etl_spark.operators import graph as G
+
+    e = load(spark, sf_dir, "events").select("user_id", "event_id")
+    personal = e.select(
+        F.col("user_id").alias("id_a"),
+        (F.lit(2_000_000_000) + F.col("user_id") * 10 + F.col("event_id") % 2)
+        .cast("long")
+        .alias("id_b"),
+    ).distinct()
+    household = (
+        e.filter(F.col("event_id") % 5 == 0)
+        .select(
+            F.col("user_id").alias("id_a"),
+            (F.lit(1_000_000_000) + F.floor(F.col("user_id") / 4))
+            .cast("long")
+            .alias("id_b"),
+        )
+        .distinct()
+    )
+    labels = G.connected_components(personal.unionAll(household).distinct())
+    idents = labels.groupBy("component").agg(
+        F.sum(F.when(F.col("node") < 1_000_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_users"),
+        F.sum(F.when(F.col("node") >= 1_000_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_devices"),
+    )
+    return (
+        idents.groupBy("n_users")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_identities"),
+            F.sum("n_devices").cast("long").alias("total_devices"),
+            F.min("component").cast("long").alias("min_identity_id"),
+        )
+        .orderBy("n_users")
+    )

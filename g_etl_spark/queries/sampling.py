@@ -494,3 +494,119 @@ def q309_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg", "ng")
     )
+
+
+_NEYMAN_N = 1000
+
+
+@register(
+    "q355_neyman_allocation",
+    oracle=f"""
+    WITH m AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_h,
+               CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS s1,
+               CAST(sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+                    AS BIGINT) AS s2
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_h,
+               round(sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n_h) / n_h), 4)
+                   AS sd_chars,
+               CAST(round(n_h * sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n_h)
+                                     / n_h) * 1000000) AS BIGINT) AS w_u
+        FROM m
+    ),
+    t AS (SELECT CAST(sum(w_u) AS BIGINT) AS tw FROM w),
+    alloc AS (
+        SELECT w.source, w.n_h, w.sd_chars, w.w_u,
+               CAST(({_NEYMAN_N} * w.w_u) // t.tw AS BIGINT) AS base_n,
+               CAST(({_NEYMAN_N} * w.w_u) % t.tw AS BIGINT) AS rem
+        FROM w CROSS JOIN t
+    ),
+    leftover AS (
+        SELECT CAST({_NEYMAN_N} - sum(base_n) AS BIGINT) AS k FROM alloc
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr
+        FROM alloc
+    )
+    SELECT r.source, r.n_h AS n_docs, r.sd_chars,
+           r.w_u AS neyman_weight_micro,
+           CAST(r.base_n + CASE WHEN r.rr <= l.k THEN 1 ELSE 0 END AS BIGINT)
+               AS alloc_n,
+           round(CAST(r.base_n + CASE WHEN r.rr <= l.k THEN 1 ELSE 0 END
+                      AS DOUBLE) / r.n_h, 6) AS sampling_rate
+    FROM ranked r CROSS JOIN leftover l
+    ORDER BY source
+    """,
+)
+def q355_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman OPTIMAL stratified-sample allocation — the survey-
+    statistics planning step before the family's samplers run (q48
+    enforces quotas, q49 thins at given rates; this computes the
+    rates that minimize estimator variance for a fixed budget):
+    allocate n = 1000 across sources ∝ N_h·σ_h, so big AND
+    high-variance strata get more of the budget than proportional
+    allocation would give. Weights are micro-quantized integers
+    (population σ from exact integer moments), the floor allocation
+    is pure integer arithmetic ((n·w) div Σw), and the leftover
+    seats go by LARGEST REMAINDER ((n·w) mod Σw, source tiebreak) —
+    so Σ alloc_n = n exactly and every engine derives the same seats
+    (no double in any comparison).
+
+    Scale: one combining moment agg to |sources| cells; allocation
+    is arithmetic + one bounded window on that rollup (q243
+    contract). The realized sample then runs q49's map-only
+    rate thinning at alloc_n/N_h per stratum.
+    """
+    d = load(spark, sf_dir, "documents")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum(dec(F.col("n_chars"))).cast("long").alias("s1"),
+        F.sum(dec(F.col("n_chars")) * F.col("n_chars")).cast("long").alias("s2"),
+    )
+    var = (
+        F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n_h")
+    ) / F.col("n_h")
+    w = m.select(
+        "source",
+        "n_h",
+        F.round(F.sqrt(var), 4).alias("sd_chars"),
+        F.round(F.col("n_h") * F.sqrt(var) * 1e6, 0).cast("long").alias("w_u"),
+    )
+    t = w.agg(F.sum("w_u").cast("long").alias("tw"))
+    alloc = w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_h",
+        "sd_chars",
+        "w_u",
+        F.expr(f"CAST(({_NEYMAN_N} * w_u) DIV tw AS BIGINT)").alias("base_n"),
+        F.expr(f"CAST(({_NEYMAN_N} * w_u) % tw AS BIGINT)").alias("rem"),
+    )
+    leftover = alloc.agg(
+        (F.lit(_NEYMAN_N) - F.sum("base_n")).cast("long").alias("k")
+    )
+    from pyspark.sql import Window
+
+    ranked = alloc.withColumn(
+        "rr", F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("source")))
+    )
+    out_n = (
+        F.col("base_n")
+        + F.when(F.col("rr") <= F.col("k"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        ranked.crossJoin(F.broadcast(leftover))
+        .select(
+            "source",
+            F.col("n_h").alias("n_docs"),
+            "sd_chars",
+            F.col("w_u").alias("neyman_weight_micro"),
+            out_n.alias("alloc_n"),
+            F.round(out_n.cast("double") / F.col("n_h"), 6).alias("sampling_rate"),
+        )
+        .orderBy("source")
+    )

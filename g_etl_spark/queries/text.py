@@ -4118,3 +4118,143 @@ def q332_dirichlet_ql_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.avg(F.col("rnk").cast("double")), 4).alias("mean_rank"),
     )
+
+
+@register(
+    "q354_kneser_ney_perplexity",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, source, {_TOKS} AS toks
+        FROM documents WHERE len({_TOKS}) >= 2
+    ),
+    bigrams AS (
+        SELECT doc_id, source, toks[i] AS prev, toks[i + 1] AS cur
+        FROM (SELECT doc_id, source, toks,
+                     unnest(range(1, len(toks))) AS i
+              FROM docs)
+    ),
+    bg AS (
+        SELECT prev, cur, CAST(count(*) AS BIGINT) AS c_ab
+        FROM bigrams GROUP BY prev, cur
+    ),
+    ctx AS (
+        SELECT prev, CAST(sum(c_ab) AS BIGINT) AS c_a,
+               CAST(count(*) AS BIGINT) AS n1f
+        FROM bg GROUP BY prev
+    ),
+    cont AS (
+        SELECT cur, CAST(count(*) AS BIGINT) AS n1b FROM bg GROUP BY cur
+    ),
+    types AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM bg),
+    model AS (
+        SELECT bg.prev, bg.cur,
+               CAST(round(ln(
+                   (bg.c_ab - 0.75) / ctx.c_a
+                   + 0.75 * ctx.n1f / ctx.c_a
+                     * (CAST(cont.n1b AS DOUBLE) / types.nt)
+               ) * 1000000) AS BIGINT) AS q_lp
+        FROM bg
+        JOIN ctx ON bg.prev = ctx.prev
+        JOIN cont ON bg.cur = cont.cur
+        CROSS JOIN types
+    ),
+    per_doc AS (
+        SELECT b.doc_id, b.source,
+               CAST(round(CAST(-sum(m.q_lp) AS DOUBLE) / count(*)) AS BIGINT)
+                   AS xent_micro
+        FROM bigrams b
+        JOIN model m ON b.prev = m.prev AND b.cur = m.cur
+        GROUP BY b.doc_id, b.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(xent_micro) AS DOUBLE) / count(*) / 1000000, 6)
+               AS avg_xent_kn_nats,
+           round(exp(CAST(sum(xent_micro) AS DOUBLE) / count(*) / 1000000), 4)
+               AS avg_perplexity_kn
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q354_kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram perplexity per source — the
+    production LM smoothing beside q330's add-one baseline (KenLM,
+    the CCNet filter's actual engine, is interpolated Kneser-Ney):
+    P(w|v) = max(c(vw)−D, 0)/c(v) + D·N1+(v·)/c(v) · Pcont(w) with
+    discount D = 0.75 and the CONTINUATION probability
+    Pcont(w) = N1+(·w)/N1+(··) — "how many contexts does w follow"
+    rather than "how often does w occur", which is what stops
+    high-frequency-but-single-context tokens from soaking up mass.
+    All KN statistics are bigram-TYPE counts (exact integers: N1+
+    forward per context, N1+ backward per word, total types); scoring
+    is in-vocabulary (trained on the scored corpus, c(vw) ≥ 1 so the
+    discounted term stays positive) with per-bigram log-probs
+    quantized to integer micro-nats before any sum (the q330
+    discipline).
+
+    Scale: identical plan shape to q330 — map-side bigram transform,
+    three combining TYPE rollups (bigram/context/continuation), one
+    vocab²-grain model equi-join back (unhinted; AQE broadcasts when
+    it fits), two combining aggs. The continuation table adds one
+    |vocab| rollup, nothing corpus-grain beyond the scan.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    docs = d.select("doc_id", "source", toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bigrams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS prev,"
+                " element_at(toks, i + 1) AS cur))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "source", "b.prev", "b.cur")
+    bg = bigrams.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
+    )
+    ctx = bg.groupBy("prev").agg(
+        F.sum("c_ab").cast("long").alias("c_a"),
+        F.count(F.lit(1)).cast("long").alias("n1f"),
+    )
+    cont = bg.groupBy("cur").agg(F.count(F.lit(1)).cast("long").alias("n1b"))
+    types = bg.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    p_kn = (
+        (F.col("c_ab") - 0.75) / F.col("c_a")
+        + 0.75 * F.col("n1f") / F.col("c_a")
+        * (F.col("n1b").cast("double") / F.col("nt"))
+    )
+    model = (
+        bg.join(ctx, "prev")  # vocab-grain rollups: unhinted, AQE decides
+        .join(cont, "cur")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "prev",
+            "cur",
+            F.round(F.log(p_kn) * 1e6, 0).cast("long").alias("q_lp"),
+        )
+    )
+    per_doc = (
+        bigrams.join(model, ["prev", "cur"])  # vocab²-grain: unhinted
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round((-F.sum("q_lp")).cast("double") / F.count(F.lit(1)), 0)
+            .cast("long")
+            .alias("xent_micro")
+        )
+    )
+    avg_micro = F.sum("xent_micro").cast("double") / F.count(F.lit(1))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(avg_micro / 1e6, 6).alias("avg_xent_kn_nats"),
+            F.round(F.exp(avg_micro / 1e6), 4).alias("avg_perplexity_kn"),
+        )
+        .orderBy("source")
+    )

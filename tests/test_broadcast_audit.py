@@ -37,11 +37,11 @@ AUDITED_HINT_COUNTS = {
     "queries/dedup.py": 17,      # scalars, band index literals, |sources| rollups, planted-truth 1-rows
     "queries/grid.py": 5,        # polyfill cell sets, POI literals, scalar thresholds
     "queries/relational.py": 64, # nation/region dims, scalar aggs, bounded rollups, bucket offsets
-    "queries/sampling.py": 6,    # scalar totals, |sources| weights, literal index frames
+    "queries/sampling.py": 8,    # scalar totals, |sources| weights, literal index frames, q355 scalar budget rows
     "queries/similarity.py": 26, # k centroids/codebooks, top-k rows, scalar stats, |dims| rollups, q345/q351 scalar rows, q350's LIMIT-20 pair side
     "queries/sketches.py": 27,   # hash-param literals, register/counter frames, |sources|² pairs, MG cap-bounded candidates, q352's |sources|-bit maps + ≤2^|sources| mask rollup
     "queries/streaming_equiv.py": 1,  # 25-row nation dim
-    "queries/text.py": 33,       # fixed term lists, scalar stats, |sources| rollups
+    "queries/text.py": 34,       # fixed term lists, scalar stats, |sources| rollups, q354 1-row type total
     "queries/windows.py": 56,    # per-type/dow/day/priority rollups, scalars, triangular offsets, q346's ≤16-row mask/subset tables
     "query.py": 2,               # polygon cell sets (bounded by query area)
 }

@@ -4077,3 +4077,43 @@ def test_q349_kruskal_wallis_matches_scipy_formula(spark, qs):
     finally:
         R.TWOPASS_CROSSOVER_ROWS = old
     assert tuple(forced) == baseline
+
+
+def test_q347_identity_histogram_invariants(spark, qs):
+    """Household construction caps identities at 4 users; every
+    identity owns at least one device; identity ids are user ids
+    (below the device id ranges)."""
+    rows = qs["q347_identity_stitching"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_users"] <= 4
+        assert r["total_devices"] >= r["n_identities"]
+        assert r["min_identity_id"] < 1_000_000_000
+
+
+def test_q355_neyman_allocation_sums_to_budget(spark, qs):
+    """Largest-remainder seats must conserve the budget exactly, and
+    every stratum's rate must be feasible (0 ≤ alloc ≤ N_h)."""
+    rows = qs["q355_neyman_allocation"](spark, SF_DIR).collect()
+    assert sum(r["alloc_n"] for r in rows) == 1000
+    for r in rows:
+        assert 0 <= r["alloc_n"] <= max(r["n_docs"], 1000)
+        assert r["neyman_weight_micro"] > 0
+
+
+def test_q354_kneser_ney_mass_sane(spark, qs):
+    """In-vocabulary KN scoring: cross-entropy strictly positive
+    (perplexity > 1) and finite for every source; and KN (which
+    reserves less mass for unseen events than add-one) should score
+    the corpus NO WORSE than q330's add-one baseline on average."""
+    kn = {r["source"]: r for r in qs["q354_kneser_ney_perplexity"](spark, SF_DIR).collect()}
+    a1 = {r["source"]: r for r in qs["q330_bigram_lm_perplexity"](spark, SF_DIR).collect()}
+    assert set(kn) == set(a1)
+    import math
+
+    for s, r in kn.items():
+        assert r["avg_perplexity_kn"] > 1.0
+        assert math.isfinite(r["avg_xent_kn_nats"])
+    mean_kn = sum(r["avg_xent_kn_nats"] for r in kn.values()) / len(kn)
+    mean_a1 = sum(r["avg_xent_nats"] for r in a1.values()) / len(a1)
+    assert mean_kn <= mean_a1 + 0.05
