@@ -4117,3 +4117,25 @@ def test_q354_kneser_ney_mass_sane(spark, qs):
     mean_kn = sum(r["avg_xent_kn_nats"] for r in kn.values()) / len(kn)
     mean_a1 = sum(r["avg_xent_nats"] for r in a1.values()) / len(a1)
     assert mean_kn <= mean_a1 + 0.05
+
+
+def test_r10_new_queries_plan_hygiene(spark, qs):
+    """Round-10 sweep: none of the new operators may plan a
+    cartesian product over an unbounded relation — q353's band
+    candidates and q348's pairwise skeleton must be (broadcast/sort-
+    merge) EQUI-joins; q346/q350/q352's nested-loop joins are only
+    over literal/LIMIT-bounded relations, so the only acceptable
+    NestedLoop inputs are broadcast ones."""
+    for name in (
+        "q353_media_ahash_near_dups",
+        "q348_mann_kendall_trend",
+        "q349_kruskal_wallis",
+    ):
+        plan = plan_of(qs[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, name
+    # q347's CC rounds localCheckpoint per round, so its RETURNED plan
+    # is rollups over the labeled RDD — just assert nothing cartesian
+    # leaked into the final aggregation stage
+    plan = plan_of(qs["q347_identity_stitching"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
