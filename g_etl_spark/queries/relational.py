@@ -8289,3 +8289,126 @@ def q349_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(h_raw, 4).alias("h"),
         F.round(h_raw / c_div, 4).alias("h_tie_corrected"),
     )
+
+
+@register(
+    "q357_incremental_join_view",
+    oracle="""
+    WITH a1 AS (SELECT * FROM orders   WHERE o_orderkey % 10 < 8),
+    da AS (SELECT * FROM orders   WHERE o_orderkey % 10 >= 8),
+    b1 AS (SELECT * FROM customer WHERE c_custkey % 7 != 0),
+    db AS (SELECT * FROM customer WHERE c_custkey % 7 = 0),
+    agg AS (
+        SELECT seg, CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM (
+            SELECT c.c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM a1 o JOIN b1 c ON o.o_custkey = c.c_custkey GROUP BY 1
+            UNION ALL
+            SELECT c.c_mktsegment, count(*),
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM da o JOIN b1 c ON o.o_custkey = c.c_custkey GROUP BY 1
+            UNION ALL
+            SELECT c.c_mktsegment, count(*),
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM a1 o JOIN db c ON o.o_custkey = c.c_custkey GROUP BY 1
+            UNION ALL
+            SELECT c.c_mktsegment, count(*),
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM da o JOIN db c ON o.o_custkey = c.c_custkey GROUP BY 1
+        ) GROUP BY seg
+    ),
+    full_v AS (
+        SELECT c.c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    )
+    SELECT a.seg AS segment, a.n AS n_orders_merged,
+           a.cents AS revenue_cents_merged,
+           f.n AS n_orders_recomputed,
+           f.cents AS revenue_cents_recomputed,
+           (a.n = f.n AND a.cents = f.cents) AS consistent
+    FROM agg a JOIN full_v f ON a.seg = f.seg
+    ORDER BY segment
+    """,
+)
+def q357_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view by the delta rule —
+    the join sibling of q335's aggregate IVM (together they cover the
+    materialized-view algebra: Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, then
+    merge the delta aggregates into the stored view by combining
+    sums). Orders and customers are each split into a day-1 snapshot
+    and a CDC delta (so BOTH one-sided terms and the delta×delta
+    corner are non-empty — including delta orders referencing delta
+    customers, the dangling-then-resolved case naive one-sided
+    maintenance loses). The merged view is VERIFIED equal to the
+    full recompute per segment — verified, not asserted: both paths
+    land in the output with a `consistent` verdict column, exact
+    integer cents.
+
+    Scale: the whole point — the incremental path touches
+    |ΔA|·|B| + |A|·|ΔB| + |ΔA|·|ΔB| join work instead of |A|·|B|;
+    at 100 TB with daily deltas that is the difference between a
+    view refresh and a full re-shuffle of the fact table. All four
+    terms are equi-joins; the merge is one combining agg on
+    |segments| cells.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    a1 = o.filter(F.col("o_orderkey") % 10 < 8)
+    da = o.filter(F.col("o_orderkey") % 10 >= 8)
+    b1 = c.filter(F.col("c_custkey") % 7 != 0)
+    db = c.filter(F.col("c_custkey") % 7 == 0)
+
+    def term(orders_df, cust_df):
+        return (
+            orders_df.join(
+                cust_df.select("c_custkey", "c_mktsegment"),
+                orders_df["o_custkey"] == cust_df["c_custkey"],
+            )
+            .groupBy(F.col("c_mktsegment").alias("seg"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+                .cast("long")
+                .alias("cents"),
+            )
+        )
+
+    merged = (
+        term(a1, b1)
+        .unionAll(term(da, b1))
+        .unionAll(term(a1, db))
+        .unionAll(term(da, db))
+        .groupBy("seg")
+        .agg(
+            F.sum("n").cast("long").alias("n_m"),
+            F.sum("cents").cast("long").alias("c_m"),
+        )
+    )
+    full_v = term(o, c).select(
+        F.col("seg").alias("seg_f"),
+        F.col("n").alias("n_f"),
+        F.col("cents").alias("c_f"),
+    )
+    return (
+        merged.join(full_v, merged["seg"] == full_v["seg_f"])
+        .select(
+            F.col("seg").alias("segment"),
+            F.col("n_m").alias("n_orders_merged"),
+            F.col("c_m").alias("revenue_cents_merged"),
+            F.col("n_f").alias("n_orders_recomputed"),
+            F.col("c_f").alias("revenue_cents_recomputed"),
+            (
+                (F.col("n_m") == F.col("n_f")) & (F.col("c_m") == F.col("c_f"))
+            ).alias("consistent"),
+        )
+        .orderBy("segment")
+    )

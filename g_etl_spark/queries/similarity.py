@@ -2405,3 +2405,74 @@ def q351_ann_multiprobe_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     for nxt in outs[1:]:
         out = out.unionAll(nxt)
     return out.orderBy("n_probe_bits")
+
+
+_SRP_PLANNER_PLANES = (4, 6, 8, 10)
+
+
+def _q358_oracle() -> str:
+    """q358 oracle: the same bucket-occupancy statistics per
+    hyperplane count, each plane set embedded as literals (q61's
+    device, four times)."""
+    parts = []
+    for p in _SRP_PLANNER_PLANES:
+        parts.append(f"""
+        SELECT CAST({p} AS BIGINT) AS n_planes,
+               CAST({1 << p} AS BIGINT) AS n_buckets_theoretical,
+               CAST(count(*) AS BIGINT) AS n_buckets_occupied,
+               CAST(max(b) AS BIGINT) AS max_bucket_size,
+               round(CAST(sum(b * b) AS DOUBLE) / sum(b), 2)
+                   AS exp_candidates_self_probe
+        FROM (
+            SELECT {_srp_bucket_sql(p, 64)} AS bucket,
+                   CAST(count(*) AS BIGINT) AS b
+            FROM embeddings GROUP BY 1
+        )""")
+    return " UNION ALL ".join(parts) + " ORDER BY n_planes"
+
+
+@register("q358_srp_index_planner", oracle=_q358_oracle())
+def q358_srp_index_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP index PLANNER: bucket-occupancy statistics of the ANN
+    index across hyperplane counts (4/6/8/10) — the tuning table an
+    operator reads before building the q345 serving layout (the SRP
+    twin of q262's MinHash (r, b) parameter planner):
+    `exp_candidates_self_probe` = Σ b²/n is the expected single-
+    bucket candidate count for a query drawn from the indexed
+    distribution (occupancy-weighted bucket size), so the table
+    shows directly how each extra plane halves expected probe cost
+    while q345's curve shows what it costs in recall — the two
+    tables together ARE the index-sizing decision. Max bucket size
+    exposes skew (a hot bucket is the q254 salting case applied to
+    vector space).
+
+    Scale: each plane count is ONE map-side bucket projection +
+    ONE combining rollup to ≤2^planes cells; the statistics
+    relation never exceeds a few thousand rows. At 100 TB this is
+    the same one-pass profile q296 runs for columns, applied to
+    the vector index.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    outs = []
+    for p in _SRP_PLANNER_PLANES:
+        bstats = (
+            S.srp_buckets(e, p, 64)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("b"))
+        )
+        outs.append(
+            bstats.agg(
+                F.lit(p).cast("long").alias("n_planes"),
+                F.lit(1 << p).cast("long").alias("n_buckets_theoretical"),
+                F.count(F.lit(1)).cast("long").alias("n_buckets_occupied"),
+                F.max("b").cast("long").alias("max_bucket_size"),
+                F.round(
+                    F.sum(F.col("b") * F.col("b")).cast("double") / F.sum("b"),
+                    2,
+                ).alias("exp_candidates_self_probe"),
+            )
+        )
+    out = outs[0]
+    for nxt in outs[1:]:
+        out = out.unionAll(nxt)
+    return out.orderBy("n_planes")

@@ -6433,3 +6433,185 @@ def q348_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q356_logrank_test",
+    oracle="""
+    WITH horizon AS (SELECT max(CAST(ts AS DATE)) AS hz FROM events),
+    span AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS grp,
+               date_diff('day', min(CAST(ts AS DATE)),
+                   coalesce(min(CASE WHEN event_type = 'purchase'
+                                     THEN CAST(ts AS DATE) END),
+                            (SELECT hz FROM horizon))) AS t,
+               CASE WHEN min(CASE WHEN event_type = 'purchase'
+                                  THEN CAST(ts AS DATE) END) IS NOT NULL
+                    THEN 1 ELSE 0 END AS observed
+        FROM events GROUP BY user_id
+    ),
+    days AS (SELECT DISTINCT t FROM span WHERE observed = 1),
+    leavers AS (
+        SELECT t, grp,
+               CAST(count(*) AS BIGINT) AS l,
+               CAST(sum(observed) AS BIGINT) AS d
+        FROM span GROUP BY t, grp
+    ),
+    totals AS (
+        SELECT grp, CAST(count(*) AS BIGINT) AS n FROM span GROUP BY grp
+    ),
+    risk AS (
+        SELECT dd.t,
+               (SELECT n FROM totals WHERE grp = 1)
+                 - coalesce(sum(CASE WHEN lv.grp = 1 THEN lv.l END), 0) AS n1,
+               (SELECT sum(n) FROM totals)
+                 - coalesce(sum(lv.l), 0) AS nt,
+               (SELECT coalesce(sum(d), 0) FROM leavers
+                 WHERE t = dd.t AND grp = 1) AS d1,
+               (SELECT coalesce(sum(d), 0) FROM leavers WHERE t = dd.t) AS dt
+        FROM days dd LEFT JOIN leavers lv ON lv.t < dd.t
+        GROUP BY dd.t
+    ),
+    terms AS (
+        SELECT t, d1, dt, n1, nt,
+               CAST(round(dt * (CAST(n1 AS DOUBLE) / nt) * 1e9) AS BIGINT)
+                   AS e1_nano,
+               CASE WHEN nt > 1 THEN
+                   CAST(round(dt * (CAST(n1 AS DOUBLE) / nt)
+                              * (1.0 - CAST(n1 AS DOUBLE) / nt)
+                              * (nt - dt) / (nt - 1) * 1e9) AS BIGINT)
+               ELSE 0 END AS v_nano
+        FROM risk WHERE nt > 0 AND dt > 0
+    )
+    SELECT (SELECT n FROM totals WHERE grp = 1) AS n_treated,
+           (SELECT n FROM totals WHERE grp = 0) AS n_control,
+           CAST(sum(d1) AS BIGINT) AS observed_treated,
+           round(CAST(sum(e1_nano) AS DOUBLE) / 1e9, 6) AS expected_treated,
+           round(pow(sum(d1) - CAST(sum(e1_nano) AS DOUBLE) / 1e9, 2)
+                 / (CAST(sum(v_nano) AS DOUBLE) / 1e9), 4) AS chi_sq
+    FROM terms
+    """,
+)
+def q356_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test between the two experiment arms'
+    retention curves — the hypothesis test the survival family lacked
+    (q157 draws the Kaplan-Meier curve, q245 fits a parametric rate;
+    this decides whether two curves DIFFER without assuming any
+    distribution, handling censoring correctly): per distinct event
+    time, compare observed group-1 conversions against the
+    hypergeometric expectation given the risk sets, then
+    χ² = (O−E)²/V. The survival event is TIME TO FIRST PURCHASE from
+    a user's first event; users who never purchase are CENSORED at
+    the corpus horizon (still at risk, never counted as converted —
+    q164 measures the converters' percentiles, this test uses
+    EVERYONE). Expectation and
+    variance terms are nano-quantized integers before their sums, so
+    the statistic derives from identical integers in both engines.
+
+    Scale: one user-grain combining agg, then everything runs on the
+    bounded |days|² risk-set grid (≤31 distinct span lengths — q243
+    bounded-window contract); at 100 TB the single corpus exchange
+    is the user rollup.
+    """
+    e = load(spark, sf_dir, "events")
+    horizon = e.agg(F.max(F.col("ts").cast("date")).alias("hz"))
+    span = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(F.col("ts").cast("date")).alias("d0"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("ts").cast("date")
+                )
+            ).alias("p0"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(F.col("user_id") % 2 == 1, 1).otherwise(0).alias("grp"),
+            F.datediff(F.coalesce("p0", "hz"), "d0").alias("t"),
+            F.when(F.col("p0").isNotNull(), 1).otherwise(0).alias("observed"),
+        )
+    )
+    leavers = span.groupBy("t", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("l"),
+        F.sum("observed").cast("long").alias("d"),
+    )
+    totals = span.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    n1_tot = totals.filter(F.col("grp") == 1).select(F.col("n").alias("n1_tot"))
+    n_all = totals.agg(F.sum("n").cast("long").alias("n_tot"))
+    days = leavers.filter(F.col("d") > 0).select("t").distinct()
+    lv = leavers.select(
+        F.col("t").alias("lt"), F.col("grp").alias("lgrp"), "l", "d"
+    )
+    risk = (
+        days.join(F.broadcast(lv), F.col("lt") < F.col("t"), "left")
+        .groupBy("t")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("lgrp") == 1, F.col("l"))), F.lit(0)
+            ).alias("gone1"),
+            F.coalesce(F.sum("l"), F.lit(0)).alias("gone"),
+        )
+        .crossJoin(F.broadcast(n1_tot))
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "t",
+            (F.col("n1_tot") - F.col("gone1")).alias("n1"),
+            (F.col("n_tot") - F.col("gone")).alias("nt"),
+        )
+    )
+    deaths = leavers.groupBy("t").agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("d")).otherwise(0))
+        .cast("long")
+        .alias("d1"),
+        F.sum("d").cast("long").alias("dt"),
+    )
+    p1 = F.col("n1").cast("double") / F.col("nt")
+    terms = (
+        risk.join(deaths, "t")
+        .filter((F.col("nt") > 0) & (F.col("dt") > 0))
+        .select(
+            "d1",
+            F.round(F.col("dt") * p1 * 1e9, 0).cast("long").alias("e1_nano"),
+            F.when(
+                F.col("nt") > 1,
+                F.round(
+                    F.col("dt") * p1 * (1.0 - p1)
+                    * (F.col("nt") - F.col("dt"))
+                    / (F.col("nt") - 1)
+                    * 1e9,
+                    0,
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("v_nano"),
+        )
+    )
+    o_minus_e = F.sum("d1") - F.sum("e1_nano").cast("double") / 1e9
+    return (
+        terms.agg(
+            F.sum("d1").cast("long").alias("observed_treated"),
+            F.round(F.sum("e1_nano").cast("double") / 1e9, 6).alias(
+                "expected_treated"
+            ),
+            F.round(
+                F.pow(o_minus_e, 2) / (F.sum("v_nano").cast("double") / 1e9), 4
+            ).alias("chi_sq"),
+        )
+        .crossJoin(F.broadcast(n1_tot))
+        .crossJoin(
+            F.broadcast(
+                totals.filter(F.col("grp") == 0).select(
+                    F.col("n").alias("n_control")
+                )
+            )
+        )
+        .select(
+            F.col("n1_tot").alias("n_treated"),
+            "n_control",
+            "observed_treated",
+            "expected_treated",
+            "chi_sq",
+        )
+    )

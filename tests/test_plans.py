@@ -4139,3 +4139,41 @@ def test_r10_new_queries_plan_hygiene(spark, qs):
     # leaked into the final aggregation stage
     plan = plan_of(qs["q347_identity_stitching"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
+
+
+def test_q356_logrank_invariants(spark, qs):
+    """O and E both count group-1 conversions, so E ∈ [0, total
+    conversions]; χ² ≥ 0; arm sizes partition the users."""
+    from g_etl_spark.tables import load
+
+    r = qs["q356_logrank_test"](spark, SF_DIR).collect()[0]
+    n_users = (
+        load(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert r["n_treated"] + r["n_control"] == n_users
+    assert 0 <= r["observed_treated"] <= n_users
+    assert 0.0 <= r["expected_treated"] <= float(n_users)
+    assert r["chi_sq"] >= 0.0
+
+
+def test_q357_join_ivm_consistent(spark, qs):
+    """The delta-rule merge must equal the full recompute on EVERY
+    segment — the verdict column is the contract."""
+    rows = qs["q357_incremental_join_view"](spark, SF_DIR).collect()
+    assert rows and all(r["consistent"] for r in rows)
+
+
+def test_q358_planner_monotone(spark, qs):
+    """More hyperplanes can only split buckets: expected self-probe
+    candidates must be non-increasing in n_planes, occupancy
+    non-decreasing and bounded by 2^planes."""
+    rows = qs["q358_srp_index_planner"](spark, SF_DIR).collect()
+    assert [r["n_planes"] for r in rows] == [4, 6, 8, 10]
+    for i, r in enumerate(rows):
+        assert r["n_buckets_occupied"] <= r["n_buckets_theoretical"]
+        if i:
+            assert (
+                r["exp_candidates_self_probe"]
+                <= rows[i - 1]["exp_candidates_self_probe"]
+            )
+            assert r["n_buckets_occupied"] >= rows[i - 1]["n_buckets_occupied"]
