@@ -2476,3 +2476,153 @@ def q358_srp_index_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     for nxt in outs[1:]:
         out = out.unionAll(nxt)
     return out.orderBy("n_planes")
+
+
+@register(
+    "q360_pq_reconstruction_error",
+    oracle="""
+    WITH cb AS (
+        SELECT vec_id AS c,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ce
+        FROM embeddings WHERE vec_id < 4
+    ),
+    d AS (
+        SELECT e.vec_id, s.s, cb.c,
+               round(list_aggregate(list_transform(range(1, 9),
+                     i -> pow(CAST(e.embedding[s.s * 8 + i] AS DOUBLE)
+                              - cb.ce[s.s * 8 + i], 2)), 'sum'), 9) AS dist
+        FROM embeddings e
+        CROSS JOIN cb
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS s) s
+    ),
+    best AS (
+        SELECT vec_id, s, CAST(round(dist * 1e9) AS BIGINT) AS dist_nano
+        FROM (SELECT vec_id, s, dist,
+                     row_number() OVER (PARTITION BY vec_id, s
+                                        ORDER BY dist, c) AS rn
+              FROM d)
+        WHERE rn = 1
+    ),
+    mse AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(dist_nano) AS BIGINT) AS sum_nano
+        FROM best GROUP BY s
+    ),
+    mom AS (
+        SELECT (g.i - 1) // 8 AS s,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(CAST(e.embedding[g.i] AS DOUBLE) * 1e6)
+                        AS BIGINT)) AS BIGINT) AS s1,
+               CAST(sum(CAST(round(CAST(e.embedding[g.i] AS DOUBLE) * 1e6)
+                        AS BIGINT)
+                        * CAST(round(CAST(e.embedding[g.i] AS DOUBLE) * 1e6)
+                        AS BIGINT)) AS BIGINT) AS s2
+        FROM embeddings e
+        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) g
+        GROUP BY (g.i - 1) // 8, g.i
+    ),
+    svar AS (
+        SELECT s,
+               round(sum((s2 - CAST(s1 AS DOUBLE) * s1 / n) / n) / 1e12, 6)
+                   AS subspace_variance
+        FROM mom GROUP BY s
+    )
+    SELECT CAST(m.s AS BIGINT) AS subspace, m.n_vecs,
+           round(CAST(m.sum_nano AS DOUBLE) / m.n_vecs / 1e9, 6) AS mse,
+           v.subspace_variance,
+           round(CAST(m.sum_nano AS DOUBLE) / m.n_vecs / 1e9
+                 / v.subspace_variance, 4) AS distortion_ratio
+    FROM mse m JOIN svar v ON v.s = m.s
+    ORDER BY subspace
+    """,
+)
+def q360_pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization RECONSTRUCTION-ERROR audit — the
+    compression-quality table behind q162's assignment pass (q162
+    reports which codewords are used; this reports what the
+    compression COSTS): per subspace, the mean squared error between
+    original subvectors and their assigned codewords, next to the
+    subspace's own signal variance, so `distortion_ratio` (MSE/var)
+    says directly how much of each subspace the 2-bit code destroys
+    — the number that decides codebook size before a 100 TB corpus
+    is compressed (ratio ≈ 1 means the codebook explains nothing;
+    q188's Matryoshka-truncation recall is the retrieval-side view
+    of the same tradeoff). Per-vector distances are rounded then
+    nano-quantized before corpus sums; subspace variances come from
+    micro-quantized integer moments — both engines derive every
+    readout from identical integers.
+
+    Scale: the assignment is q162's broadcast-codebook map-side pass
+    (JVM slice/zip_with, no Python); the audit adds one combining
+    agg to 8 cells and one integer-moment rollup per dimension — no
+    new shuffle grows with the corpus.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cast_d = lambda col: F.transform(col, lambda v: v.cast("double"))  # noqa: E731
+    cb = F.broadcast(
+        e.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("c"), cast_d(F.col("embedding")).alias("ce")
+        )
+    )
+    subs = F.broadcast(
+        spark.range(0, 8).select(F.col("id").cast("int").alias("s"))
+    )
+    j = (
+        e.select("vec_id", cast_d(F.col("embedding")).alias("x"))
+        .crossJoin(cb)
+        .crossJoin(subs)
+    )
+    sq = F.zip_with(
+        F.slice(F.col("x"), F.col("s") * 8 + 1, 8),
+        F.slice(F.col("ce"), F.col("s") * 8 + 1, 8),
+        lambda a, b: (a - b) * (a - b),
+    )
+    dist = F.round(F.aggregate(sq, F.lit(0.0), lambda acc, t: acc + t), 9)
+    best = (
+        j.select("vec_id", "s", "c", dist.alias("dist"))
+        .groupBy("vec_id", "s")
+        .agg(
+            F.round(F.min(F.struct("dist", "c"))["dist"] * 1e9, 0)
+            .cast("long")
+            .alias("dist_nano")
+        )
+    )
+    mse = best.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("dist_nano").cast("long").alias("sum_nano"),
+    )
+    xm = F.round(F.col("xd") * 1e6, 0).cast("long")
+    mom = (
+        e.select(F.posexplode(cast_d(F.col("embedding"))).alias("i0", "xd"))
+        .select(F.floor(F.col("i0") / 8).cast("int").alias("s"), "i0", xm.alias("xm"))
+        .groupBy("s", "i0")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("xm").cast("decimal(38,0)")).cast("long").alias("s1"),
+            F.sum(F.col("xm").cast("decimal(38,0)") * F.col("xm"))
+            .cast("long")
+            .alias("s2"),
+        )
+    )
+    svar = mom.groupBy("s").agg(
+        F.round(
+            F.sum(
+                (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n"))
+                / F.col("n")
+            )
+            / 1e12,
+            6,
+        ).alias("subspace_variance")
+    )
+    m = F.col("sum_nano").cast("double") / F.col("n_vecs") / 1e9
+    return (
+        mse.join(svar, "s")
+        .select(
+            F.col("s").cast("long").alias("subspace"),
+            "n_vecs",
+            F.round(m, 6).alias("mse"),
+            "subspace_variance",
+            F.round(m / F.col("subspace_variance"), 4).alias("distortion_ratio"),
+        )
+        .orderBy("subspace")
+    )

@@ -6615,3 +6615,106 @@ def q356_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi_sq",
         )
     )
+
+
+_ASOF_TOL_S = 3600
+
+
+@register(
+    "q359_asof_tolerance_directions",
+    oracle=f"""
+    WITH p AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'click'),
+    bwd AS (
+        SELECT c.event_id, c.user_id, c.ts,
+               p.event_id AS prev_id,
+               date_diff('second', p.ts, c.ts) AS d
+        FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    ),
+    fwd AS (
+        SELECT c.event_id,
+               p.event_id AS next_id,
+               date_diff('second', c.ts, p.ts) AS d
+        FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+    )
+    SELECT b.event_id, b.user_id,
+           CASE WHEN b.d <= {_ASOF_TOL_S} THEN b.prev_id END
+               AS prev_purchase_id,
+           CAST(CASE WHEN b.d <= {_ASOF_TOL_S} THEN b.d END AS BIGINT)
+               AS secs_since_prev,
+           CASE WHEN f.d <= {_ASOF_TOL_S} THEN f.next_id END
+               AS next_purchase_id,
+           CAST(CASE WHEN f.d <= {_ASOF_TOL_S} THEN f.d END AS BIGINT)
+               AS secs_until_next
+    FROM bwd b JOIN fwd f ON b.event_id = f.event_id
+    ORDER BY b.event_id
+    """,
+)
+def q359_asof_tolerance_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join with DIRECTION and TOLERANCE knobs — the pandas
+    merge_asof / kdb aj parameter surface on top of q36's basic
+    backward asof: every click gets BOTH its most recent prior
+    purchase (backward) and its next following purchase (forward),
+    each nulled when the gap exceeds the 1-hour tolerance (the left
+    row survives — tolerance filters the MATCH, not the row, exactly
+    merge_asof's contract). Backward and forward run off ONE
+    union+window pass per direction over the same user partitioning:
+    last(ignorenulls) over unbounded-preceding for backward,
+    first(ignorenulls) over unbounded-following for forward — one
+    shuffle total (same partitioning + same sort order, Spark reuses
+    the exchange and the sort), no inequality join, no row explosion.
+    The oracle runs DuckDB's native ASOF JOIN both ways, pinning
+    semantic parity with engines that ship the operator.
+
+    Scale: identical economics to q36 — |events| through one
+    user-partitioned sort; tolerance and direction are row-local
+    CASE arithmetic after the carry.
+    """
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("c_id"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("p_id"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("c_id"),
+    )
+    tagged = p.unionByName(c)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = tagged.withColumns(
+        {
+            "prev_id": F.last("p_id", ignorenulls=True).over(wb),
+            "prev_ts": F.last("p_ts", ignorenulls=True).over(wb),
+            "next_id": F.first("p_id", ignorenulls=True).over(wf),
+            "next_ts": F.first("p_ts", ignorenulls=True).over(wf),
+        }
+    ).filter(F.col("side") == 1)
+    d_prev = F.col("ts").cast("long") - F.col("prev_ts").cast("long")
+    d_next = F.col("next_ts").cast("long") - F.col("ts").cast("long")
+    return carried.select(
+        F.col("c_id").alias("event_id"),
+        "user_id",
+        F.when(d_prev <= _ASOF_TOL_S, F.col("prev_id")).alias("prev_purchase_id"),
+        F.when(d_prev <= _ASOF_TOL_S, d_prev).cast("long").alias("secs_since_prev"),
+        F.when(d_next <= _ASOF_TOL_S, F.col("next_id")).alias("next_purchase_id"),
+        F.when(d_next <= _ASOF_TOL_S, d_next).cast("long").alias("secs_until_next"),
+    ).orderBy("event_id")

@@ -4177,3 +4177,49 @@ def test_q358_planner_monotone(spark, qs):
                 <= rows[i - 1]["exp_candidates_self_probe"]
             )
             assert r["n_buckets_occupied"] >= rows[i - 1]["n_buckets_occupied"]
+
+
+def test_q359_asof_left_semantics_and_tolerance(spark, qs):
+    """merge_asof contract: every click row survives; tolerance
+    nulls the MATCH not the row; backward matches agree with q36's
+    plain asof wherever q36's gap is inside the tolerance."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    rows = qs["q359_asof_tolerance_directions"](spark, SF_DIR).collect()
+    n_clicks = (
+        load(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "click")
+        .count()
+    )
+    assert len(rows) == n_clicks
+    for r in rows:
+        if r["secs_since_prev"] is not None:
+            assert 0 <= r["secs_since_prev"] <= 3600
+            assert r["prev_purchase_id"] is not None
+        if r["secs_until_next"] is not None:
+            assert 0 <= r["secs_until_next"] <= 3600
+    base = {
+        r["event_id"]: r
+        for r in qs["q36_asof_join"](spark, SF_DIR).collect()
+    }
+    for r in rows:
+        b = base[r["event_id"]]
+        if (
+            b["secs_since_purchase"] is not None
+            and b["secs_since_purchase"] <= 3600
+        ):
+            assert r["prev_purchase_id"] == b["purchase_id"]
+            assert r["secs_since_prev"] == b["secs_since_purchase"]
+
+
+def test_q360_pq_distortion_bounds(spark, qs):
+    """Reconstruction MSE is non-negative and the codebook must
+    explain SOMETHING in every subspace (ratio strictly below the
+    all-in-one-cell bound); variances positive; 8 subspaces."""
+    rows = qs["q360_pq_reconstruction_error"](spark, SF_DIR).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r["mse"] >= 0.0
+        assert r["subspace_variance"] > 0.0
+        assert 0.0 <= r["distortion_ratio"] < 2.0
