@@ -4410,3 +4410,167 @@ def q347_identity_stitching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_users")
     )
+
+
+def _q361_oracle() -> str:
+    """q361 oracle: BOTH paths computed independently in SQL — the
+    full-recompute closure over all edges, and the incremental path
+    (closure over day-1 edges, then a second closure over the
+    component-projected delta edges) — rolled up to the size
+    histogram with a per-bucket consistency verdict."""
+    return """
+    WITH RECURSIVE d AS (SELECT doc_id FROM documents),
+    all_e AS (
+        SELECT a.doc_id AS u, a.doc_id + 1 AS v
+        FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 100 < 99
+    ),
+    e1 AS (SELECT u, v FROM all_e WHERE u % 7 != 0),
+    de AS (SELECT u, v FROM all_e WHERE u % 7 = 0),
+    nodes AS (SELECT DISTINCT u AS n FROM all_e
+              UNION SELECT DISTINCT v FROM all_e),
+    und1 AS (SELECT u AS a, v AS b FROM e1 UNION SELECT v, u FROM e1),
+    r1 AS (
+        SELECT n AS node, n AS r FROM nodes
+        UNION
+        SELECT e.a, r1.r FROM und1 e JOIN r1 ON r1.node = e.b
+    ),
+    c1 AS (SELECT node, min(r) AS lbl FROM r1 GROUP BY node),
+    proj AS (
+        SELECT DISTINCT ca.lbl AS u, cb.lbl AS v
+        FROM de JOIN c1 ca ON ca.node = de.u JOIN c1 cb ON cb.node = de.v
+    ),
+    und2 AS (SELECT u AS a, b FROM (SELECT u, v AS b FROM proj
+             UNION SELECT v, u FROM proj)),
+    lnodes AS (SELECT DISTINCT lbl AS n FROM c1),
+    r2 AS (
+        SELECT n AS node, n AS r FROM lnodes
+        UNION
+        SELECT e.a, r2.r FROM und2 e JOIN r2 ON r2.node = e.b
+    ),
+    c2 AS (SELECT node, min(r) AS lbl2 FROM r2 GROUP BY node),
+    inc AS (
+        SELECT c2.lbl2 AS component, count(*) AS sz
+        FROM c1 JOIN c2 ON c2.node = c1.lbl
+        GROUP BY c2.lbl2
+    ),
+    undf AS (SELECT u AS a, v AS b FROM all_e UNION SELECT v, u FROM all_e),
+    rf AS (
+        SELECT n AS node, n AS r FROM nodes
+        UNION
+        SELECT e.a, rf.r FROM undf e JOIN rf ON rf.node = e.b
+    ),
+    cf AS (SELECT node, min(r) AS lbl FROM rf GROUP BY node),
+    ful AS (SELECT lbl AS component, count(*) AS sz FROM cf GROUP BY lbl),
+    day1 AS (SELECT lbl AS component, count(*) AS sz FROM c1 GROUP BY lbl)
+    SELECT stage, CAST(sz AS BIGINT) AS component_size,
+           CAST(count(*) AS BIGINT) AS n_components
+    FROM (
+        SELECT 'a_day1' AS stage, sz FROM day1
+        UNION ALL SELECT 'b_incremental', sz FROM inc
+        UNION ALL SELECT 'c_recomputed', sz FROM ful
+    )
+    GROUP BY stage, sz
+    ORDER BY stage, component_size
+    """
+
+
+@register("q361_incremental_connected_components", oracle=_q361_oracle())
+def q361_incremental_connected_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL connected components — the dedup-cluster
+    maintenance operator (q56/q76 build clusters from scratch; q159
+    maintains the candidate INDEX; this maintains the CLUSTERS): new
+    edges are projected into the existing labeling's component space
+    (label(u), label(v)) and components are re-run on that TINY
+    component graph only, then composed with the stored labels —
+    daily ingest merges clusters without re-clustering the corpus.
+    Day-1 edges are the q76 chain with every 7th link withheld as
+    the delta, so applying the delta MERGES existing segments — the
+    hard case (label(u)=min is preserved under composition because
+    min-of-mins = global min, making incremental and full recompute
+    EXACTLY equal, which the output verifies rather
+    than asserts: the DAY-1, INCREMENTAL, and FULL-RECOMPUTE size
+    histograms all land in the output, each computed independently
+    in both engines — the incremental and recomputed stages must be
+    row-identical, and the day-1 stage shows the pre-merge segments
+    the delta stitched together).
+
+    Scale: the day-1 labeling is the stored state; the per-ingest
+    cost is |Δ| edge projections (two label-map equi-joins) + CC on
+    a component-graph whose node count is the number of AFFECTED
+    components — at 100 TB that is the difference between touching
+    the delta and re-shuffling every edge ever ingested. All three
+    CC runs here use the large-star/small-star O(log n) alternation
+    (the chain fixture's diameter defeats plain propagation — q76's
+    lesson; a real near-dup component graph is star-shaped and
+    either scheme converges in single digits).
+    """
+    from g_etl_spark.operators import graph as G
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    all_e = (
+        d.filter(F.col("doc_id") % 100 < 99)
+        .select(
+            F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+        )
+        .join(d.select(F.col("doc_id").alias("id_b")), "id_b", "inner")
+        .select("id_a", "id_b")
+    )
+    e1 = all_e.filter(F.col("id_a") % 7 != 0)
+    de = all_e.filter(F.col("id_a") % 7 == 0)
+    nodes = (
+        all_e.select(F.col("id_a").alias("node"))
+        .unionAll(all_e.select(F.col("id_b").alias("node")))
+        .distinct()
+    )
+    # stored state: day-1 labeling + singletons for nodes the day-1
+    # edges never saw (isolated until the delta arrives)
+    lbl1 = G.connected_components_logstar(e1)
+    c1 = (
+        nodes.join(lbl1, "node", "left")
+        .select("node", F.coalesce("component", F.col("node")).alias("lbl"))
+        .localCheckpoint()
+    )
+    la = c1.select(F.col("node").alias("id_a"), F.col("lbl").alias("lu"))
+    lb = c1.select(F.col("node").alias("id_b"), F.col("lbl").alias("lv"))
+    proj = (
+        de.join(la, "id_a")
+        .join(lb, "id_b")
+        .select(F.col("lu").alias("id_a"), F.col("lv").alias("id_b"))
+        .distinct()
+    )
+    lbl2 = G.connected_components_logstar(proj)
+    merged = (
+        c1.join(
+            lbl2.withColumnRenamed("node", "lbl").withColumnRenamed(
+                "component", "lbl2"
+            ),
+            "lbl",
+            "left",
+        )
+        .select("node", F.coalesce("lbl2", F.col("lbl")).alias("final"))
+    )
+    day1 = c1.groupBy("lbl").agg(F.count(F.lit(1)).alias("sz"))
+    inc = merged.groupBy("final").agg(F.count(F.lit(1)).alias("sz"))
+    full = G.connected_components_logstar(all_e).groupBy("component").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+
+    def hist(df, stage):
+        return df.groupBy("sz").agg(
+            F.count(F.lit(1)).cast("long").alias("n_components")
+        ).select(F.lit(stage).alias("stage"), "sz", "n_components")
+
+    return (
+        hist(day1, "a_day1")
+        .unionAll(hist(inc, "b_incremental"))
+        .unionAll(hist(full, "c_recomputed"))
+        .select(
+            "stage",
+            F.col("sz").cast("long").alias("component_size"),
+            "n_components",
+        )
+        .orderBy("stage", "component_size")
+    )

@@ -1508,3 +1508,110 @@ def q352_kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+_AMS_COUNTERS = 9
+
+
+@register(
+    "q362_ams_f2_sketch",
+    oracle=f"""
+    WITH sk AS (
+        SELECT j.j,
+               CAST(sum(CASE WHEN (CAST(CAST('0x' ||
+                        substr(md5(CAST(o_custkey AS VARCHAR) || ':' ||
+                               CAST(j.j AS VARCHAR)), 1, 8)
+                        AS UBIGINT) AS BIGINT) % 2) = 0
+                        THEN 1 ELSE -1 END) AS BIGINT) AS counter
+        FROM orders CROSS JOIN (SELECT unnest(range(0, {_AMS_COUNTERS})) AS j) j
+        GROUP BY j.j
+    ),
+    est AS (
+        SELECT CAST(counter * counter AS BIGINT) AS e FROM sk
+    ),
+    med AS (
+        SELECT CAST(quantile_disc(e, 0.5) AS BIGINT) AS est_f2 FROM est
+    ),
+    exact AS (
+        SELECT CAST(sum(f * f) AS BIGINT) AS exact_f2,
+               CAST(sum(f) AS BIGINT) AS n_rows
+        FROM (SELECT CAST(count(*) AS BIGINT) AS f
+              FROM orders GROUP BY o_custkey)
+    )
+    SELECT x.n_rows, x.exact_f2, m.est_f2,
+           round(greatest(CAST(m.est_f2 AS DOUBLE) / x.exact_f2,
+                          CAST(x.exact_f2 AS DOUBLE) / m.est_f2), 4)
+               AS q_error
+    FROM exact x CROSS JOIN med m
+    """,
+)
+def q362_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) F2 sketch: estimate the SECOND
+    frequency moment Σ f_k² of the order-customer key in ONE pass
+    from {_AMS_COUNTERS} ±1-signed counters — F2 IS the self-join
+    size, the quantity q278 computes exactly by shuffling the
+    rollup; the AMS estimate costs 9 running integers per stream and
+    is what a planner consults BEFORE committing to a self-join
+    (Count-Min q120 answers point frequencies; AMS answers the
+    aggregate join-size question). Counter j adds σ_j(k) ∈ {{±1}}
+    (an md5 bit — portable, engine-identical) per row; each
+    counter² is an unbiased F2 estimate and the MEDIAN of the 9
+    tames the variance. Exact F2 rides along with the q-error so
+    the sketch's accuracy is measured, not asserted.
+
+    Scale: the sketch is a 9-cell combining aggregate (map-side
+    partial counters, one 9-row exchange) — no per-key state at
+    all, which is the whole point versus the exact rollup; every
+    quantity is an exact integer in both engines (the median of 9
+    bigints is order-statistic-exact).
+    """
+    o = load(spark, sf_dir, "orders")
+    js = F.broadcast(
+        spark.range(_AMS_COUNTERS).select(F.col("id").cast("int").alias("j"))
+    )
+    sign = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("o_custkey"), F.col("j"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % 2
+        == 0,
+        1,
+    ).otherwise(-1)
+    sk = (
+        o.select("o_custkey")
+        .crossJoin(js)
+        .groupBy("j")
+        .agg(F.sum(sign).cast("long").alias("counter"))
+    )
+    est = sk.select((F.col("counter") * F.col("counter")).cast("long").alias("e"))
+    med = est.agg(
+        F.expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY e) AS BIGINT)")
+        .alias("est_f2")
+    )
+    exact = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .agg(
+            F.sum(F.col("f").cast("decimal(38,0)") * F.col("f"))
+            .cast("long")
+            .alias("exact_f2"),
+            F.sum("f").cast("long").alias("n_rows"),
+        )
+    )
+    return exact.crossJoin(F.broadcast(med)).select(
+        "n_rows",
+        "exact_f2",
+        "est_f2",
+        F.round(
+            F.greatest(
+                F.col("est_f2").cast("double") / F.col("exact_f2"),
+                F.col("exact_f2").cast("double") / F.col("est_f2"),
+            ),
+            4,
+        ).alias("q_error"),
+    )

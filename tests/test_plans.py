@@ -4223,3 +4223,28 @@ def test_q360_pq_distortion_bounds(spark, qs):
         assert r["mse"] >= 0.0
         assert r["subspace_variance"] > 0.0
         assert 0.0 <= r["distortion_ratio"] < 2.0
+
+
+def test_q361_incremental_equals_recompute(spark, qs):
+    """The incremental and full-recompute stages must carry
+    IDENTICAL size histograms (the operator's whole claim), and the
+    day-1 stage must show the smaller pre-merge segments."""
+    rows = qs["q361_incremental_connected_components"](spark, SF_DIR).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["stage"], {})[r["component_size"]] = r["n_components"]
+    assert by["b_incremental"] == by["c_recomputed"]
+    assert max(by["a_day1"]) < max(by["b_incremental"])
+    # node conservation across stages
+    tot = {
+        s: sum(k * v for k, v in h.items()) for s, h in by.items()
+    }
+    assert tot["a_day1"] == tot["b_incremental"] == tot["c_recomputed"]
+
+
+def test_q362_ams_estimate_sane(spark, qs):
+    """AMS estimate is positive, q_error ≥ 1 by construction, and the
+    exact F2 is at least n_rows (Σf² ≥ Σf)."""
+    r = qs["q362_ams_f2_sketch"](spark, SF_DIR).collect()[0]
+    assert r["est_f2"] >= 0 and r["exact_f2"] >= r["n_rows"]
+    assert r["q_error"] >= 1.0
