@@ -4258,3 +4258,94 @@ def q354_kneser_ney_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q363_source_loo_valuation",
+    oracle=f"""
+    WITH ttr AS (
+        SELECT source,
+               CAST(round(1e6 * len(list_distinct({_TOKS}))
+                          / greatest(len({_TOKS}), 1)) AS BIGINT) AS ttr_micro
+        FROM documents
+    ),
+    per_src AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_h,
+               CAST(sum(ttr_micro) AS BIGINT) AS s_h
+        FROM ttr GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(n_h) AS BIGINT) AS n, CAST(sum(s_h) AS BIGINT) AS s
+        FROM per_src
+    )
+    SELECT p.source, p.n_h AS n_docs,
+           round(CAST(p.s_h AS DOUBLE) / p.n_h / 1e6, 6) AS mean_ttr,
+           round(CAST(t.s AS DOUBLE) / t.n / 1e6, 6) AS corpus_mean_ttr,
+           round(CAST(t.s - p.s_h AS DOUBLE) / (t.n - p.n_h) / 1e6, 6)
+               AS loo_corpus_mean,
+           round(CAST(t.s - p.s_h AS DOUBLE) / (t.n - p.n_h) / 1e6
+                 - CAST(t.s AS DOUBLE) / t.n / 1e6, 6) AS removal_delta
+    FROM per_src p CROSS JOIN tot t
+    ORDER BY removal_delta DESC, source
+    """,
+)
+def q363_source_loo_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out DATA VALUATION: for every source, what
+    happens to the corpus-mean quality proxy (type-token ratio —
+    repetitive/templated text scores low) if that source is removed
+    — computed in closed form from SUBTRACTABLE moments
+    ((S − S_h)/(N − N_h), the q288/q302 device at source grain), so
+    valuing all sources costs ONE corpus pass, not |sources| reruns.
+    A POSITIVE removal_delta means dropping the source raises
+    corpus-mean quality — the candidate for down-weighting in
+    q228/q355's mixture plans; this is the marginal-contribution
+    table those allocators should consume (the 1-permutation
+    truncation of data Shapley, exact for the mean metric).
+
+    Per-doc TTR is micro-quantized to integers before every sum, so
+    both engines derive each LOO mean from identical integers.
+
+    Scale: one map-side TTR projection + one combining agg to
+    |sources| cells; the LOO arithmetic is |sources| rows of integer
+    subtraction. Nothing re-scans per source.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    ttr = d.select(
+        "source",
+        F.round(
+            1e6
+            * F.size(F.array_distinct(toks))
+            / F.greatest(F.size(toks), F.lit(1)),
+            0,
+        )
+        .cast("long")
+        .alias("ttr_micro"),
+    )
+    per_src = ttr.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum("ttr_micro").cast("long").alias("s_h"),
+    )
+    tot = per_src.agg(
+        F.sum("n_h").cast("long").alias("n"), F.sum("s_h").cast("long").alias("s")
+    )
+    full_mean = F.col("s").cast("double") / F.col("n") / 1e6
+    loo_mean = (
+        (F.col("s") - F.col("s_h")).cast("double")
+        / (F.col("n") - F.col("n_h"))
+        / 1e6
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_h").alias("n_docs"),
+            F.round(F.col("s_h").cast("double") / F.col("n_h") / 1e6, 6).alias(
+                "mean_ttr"
+            ),
+            F.round(full_mean, 6).alias("corpus_mean_ttr"),
+            F.round(loo_mean, 6).alias("loo_corpus_mean"),
+            F.round(loo_mean - full_mean, 6).alias("removal_delta"),
+        )
+        .orderBy(F.desc("removal_delta"), "source")
+    )

@@ -6718,3 +6718,118 @@ def q359_asof_tolerance_directions(spark: SparkSession, sf_dir: str) -> DataFram
         F.when(d_next <= _ASOF_TOL_S, F.col("next_id")).alias("next_purchase_id"),
         F.when(d_next <= _ASOF_TOL_S, d_next).cast("long").alias("secs_until_next"),
     ).orderBy("event_id")
+
+
+@register(
+    "q364_forecast_reconciliation",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(round(sum(value) * 100) AS BIGINT) AS cents
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    last_day AS (SELECT max(day) AS d FROM daily),
+    base AS (
+        SELECT d.event_type, d.cents AS base_fc_cents
+        FROM daily d JOIN last_day l ON d.day = l.d
+    ),
+    total_fc AS (
+        SELECT CAST(sum(cents) // 7 AS BIGINT) AS tf
+        FROM (SELECT day, sum(cents) AS cents FROM daily GROUP BY day)
+        WHERE day > (SELECT d - 7 FROM last_day)
+    ),
+    sums AS (SELECT CAST(sum(base_fc_cents) AS BIGINT) AS sb FROM base),
+    alloc AS (
+        SELECT b.event_type, b.base_fc_cents,
+               CAST((t.tf * b.base_fc_cents) // s.sb AS BIGINT) AS floor_c,
+               CAST((t.tf * b.base_fc_cents) % s.sb AS BIGINT) AS rem
+        FROM base b CROSS JOIN total_fc t CROSS JOIN sums s
+    ),
+    leftover AS (
+        SELECT (SELECT tf FROM total_fc) - CAST(sum(floor_c) AS BIGINT) AS k
+        FROM alloc
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY rem DESC, event_type) AS rr
+        FROM alloc
+    )
+    SELECT r.event_type, r.base_fc_cents,
+           CAST(r.floor_c + CASE WHEN r.rr <= l.k THEN 1 ELSE 0 END AS BIGINT)
+               AS reconciled_fc_cents,
+           round(CAST(r.base_fc_cents AS DOUBLE)
+                 / (SELECT sb FROM sums), 6) AS share
+    FROM ranked r CROSS JOIN leftover l
+    ORDER BY event_type
+    """,
+)
+def q364_forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical FORECAST RECONCILIATION (proportional top-down):
+    per-type naive forecasts (last observed day — any of q206/q237/
+    q257's models slots in) generally do NOT sum to the total-level
+    forecast, and downstream consumers need coherence; proportional
+    reconciliation scales each type to the total forecast by its
+    base-forecast share. Because forecasts are integer CENTS, the
+    scaling runs as exact integer floor division with LARGEST-
+    REMAINDER seat distribution (the q355 device), so
+    Σ reconciled == total forecast EXACTLY — coherence is an integer
+    identity, not a float approximation (pinned by test).
+
+    (Base forecasts are per-type last-value naive; the total-level
+    forecast is a DIFFERENT model — the 7-day mean of daily totals —
+    so the two levels genuinely disagree and reconciliation
+    redistributes real cents. MinT would weight by residual
+    covariances — the proportional method is its zero-covariance
+    special case.)
+
+    Scale: one |types|×|days| rollup (the corpus exchange), then
+    integer arithmetic + one bounded window on |types| rows.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.sum("value") * 100, 0).cast("long").alias("cents"))
+    last_day = daily.agg(F.max("day").alias("d"))
+    base = daily.join(
+        F.broadcast(last_day), daily["day"] == F.col("d")
+    ).select("event_type", F.col("cents").alias("base_fc_cents"))
+    total_fc = (
+        daily.join(F.broadcast(last_day), daily["day"] > F.date_sub(F.col("d"), 7))
+        .agg(F.floor(F.sum("cents") / 7).cast("long").alias("tf"))
+    )
+    sums = base.agg(F.sum("base_fc_cents").cast("long").alias("sb"))
+    alloc = (
+        base.crossJoin(F.broadcast(total_fc))
+        .crossJoin(F.broadcast(sums))
+        .select(
+            "event_type",
+            "base_fc_cents",
+            F.expr("CAST((tf * base_fc_cents) DIV sb AS BIGINT)").alias("floor_c"),
+            F.expr("CAST((tf * base_fc_cents) % sb AS BIGINT)").alias("rem"),
+            "tf",
+            "sb",
+        )
+    )
+    leftover = alloc.agg(
+        (F.max("tf") - F.sum("floor_c")).cast("long").alias("k")
+    )
+    ranked = alloc.withColumn(
+        "rr",
+        F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("event_type"))),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(leftover))
+        .select(
+            "event_type",
+            "base_fc_cents",
+            (
+                F.col("floor_c")
+                + F.when(F.col("rr") <= F.col("k"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("reconciled_fc_cents"),
+            F.round(
+                F.col("base_fc_cents").cast("double") / F.col("sb"), 6
+            ).alias("share"),
+        )
+        .orderBy("event_type")
+    )

@@ -41,8 +41,8 @@ AUDITED_HINT_COUNTS = {
     "queries/similarity.py": 28, # k centroids/codebooks, top-k rows, scalar stats, |dims| rollups, q345/q351 scalar rows, q350's LIMIT-20 pair side
     "queries/sketches.py": 29,   # hash-param literals, register/counter frames, |sources|² pairs, MG cap-bounded candidates, q352's |sources|-bit maps + ≤2^|sources| mask rollup
     "queries/streaming_equiv.py": 1,  # 25-row nation dim
-    "queries/text.py": 34,       # fixed term lists, scalar stats, |sources| rollups, q354 1-row type total
-    "queries/windows.py": 62,    # per-type/dow/day/priority rollups, scalars, triangular offsets, q346's ≤16-row mask/subset tables
+    "queries/text.py": 35,       # fixed term lists, scalar stats, |sources| rollups, q354 1-row type total
+    "queries/windows.py": 67,    # per-type/dow/day/priority rollups, scalars, triangular offsets, q346's ≤16-row mask/subset tables
     "query.py": 2,               # polygon cell sets (bounded by query area)
 }
 

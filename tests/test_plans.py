@@ -4248,3 +4248,41 @@ def test_q362_ams_estimate_sane(spark, qs):
     r = qs["q362_ams_f2_sketch"](spark, SF_DIR).collect()[0]
     assert r["est_f2"] >= 0 and r["exact_f2"] >= r["n_rows"]
     assert r["q_error"] >= 1.0
+
+
+def test_q363_loo_identity_and_signs(spark, qs):
+    """LOO means must reconstruct the corpus mean (Σ n_h·mean_h =
+    N·corpus_mean within quantization), and removal_delta must be
+    positive exactly for below-average sources."""
+    rows = qs["q363_source_loo_valuation"](spark, SF_DIR).collect()
+    n = sum(r["n_docs"] for r in rows)
+    weighted = sum(r["n_docs"] * r["mean_ttr"] for r in rows) / n
+    assert abs(weighted - rows[0]["corpus_mean_ttr"]) < 1e-4
+    for r in rows:
+        if r["mean_ttr"] < r["corpus_mean_ttr"] - 1e-9:
+            assert r["removal_delta"] > 0
+        elif r["mean_ttr"] > r["corpus_mean_ttr"] + 1e-9:
+            assert r["removal_delta"] < 0
+
+
+def test_q364_reconciliation_coherent(spark, qs):
+    """Coherence is an integer identity: Σ reconciled must equal the
+    independently recomputed total-level forecast exactly, and
+    shares must sum to 1."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    rows = qs["q364_forecast_reconciliation"](spark, SF_DIR).collect()
+    e = load(spark, SF_DIR, "events")
+    daily_tot = (
+        e.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.round(F.sum("value") * 100, 0).cast("long").alias("cents"))
+    )
+    last = daily_tot.agg(F.max("day").alias("d")).collect()[0]["d"]
+    tf = (
+        daily_tot.filter(F.col("day") > F.date_sub(F.lit(last), 7))
+        .agg(F.floor(F.sum("cents") / 7).cast("long").alias("tf"))
+        .collect()[0]["tf"]
+    )
+    assert sum(r["reconciled_fc_cents"] for r in rows) == tf
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
