@@ -90,12 +90,13 @@ def main() -> None:
     retry_armed = load_at_start > LOAD_GATE
     load_retries: dict[str, dict] = {}
 
-    def run_trial_set(run, n):
+    def run_trial_set(run, n, clear_cache=True):
         best, per, out = None, [], None
         for _ in range(n):
-            # drop operator-internal persists (q52's signature
-            # barrier) so every trial measures FRESH compute
-            spark.catalog.clearCache()
+            if clear_cache:
+                # drop operator-internal persists (q52's signature
+                # barrier) so every trial measures FRESH compute
+                spark.catalog.clearCache()
             t0 = time.time()
             out = run()
             dt = time.time() - t0
@@ -183,25 +184,16 @@ def main() -> None:
     def measure_hot(name, run, n):
         load0 = os.getloadavg()[0]
         loads_pre[name] = round(load0, 2)
-        best, per = None, []
-        for _ in range(n):
-            t0 = time.time()
-            run()
-            dt = time.time() - t0
-            per.append(round(dt, 3))
-            best = dt if best is None else min(best, dt)
+        best, per, _ = run_trial_set(run, n, clear_cache=False)
         if retry_armed and load0 > LOAD_GATE:
             load1 = os.getloadavg()[0]
             load_retries[name] = {
                 "load_pre_retry": round(load1, 2),
                 "still_loaded": load1 > LOAD_GATE,
             }
-            for _ in range(n):
-                t0 = time.time()
-                run()
-                dt = time.time() - t0
-                per.append(round(dt, 3))
-                best = min(best, dt)
+            best2, per2, _ = run_trial_set(run, n, clear_cache=False)
+            per = per + per2
+            best = min(best, best2)
         trials_log[name] = per
         return round(best, 3)
 

@@ -184,9 +184,14 @@ def two_factor_anova(
 
     Scale: ONE combining agg to |A×B| cells; marginals and the five
     output rows are arithmetic on that bounded relation."""
-    la = (label_a if label_a is not None else f"A({a})").replace("'", "''")
-    lb = (label_b if label_b is not None else f"B({b})").replace("'", "''")
-    lab = label_ab.replace("'", "''")
+    def _lit(s: str) -> str:
+        # Spark's default SQL parser treats backslash as an escape
+        # inside string literals — escape it BEFORE doubling quotes
+        return s.replace("\\", "\\\\").replace("'", "''")
+
+    la = _lit(label_a if label_a is not None else f"A({a})")
+    lb = _lit(label_b if label_b is not None else f"B({b})")
+    lab = _lit(label_ab)
     cells = df.groupBy(F.col(a).alias("a"), F.col(b).alias("b")).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(y).cast("long").alias("s"),

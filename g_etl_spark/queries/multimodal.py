@@ -123,6 +123,56 @@ def _ahash_band_sql(j: int) -> str:
     )
 
 
+def _ahash_hashes(d):
+    """Shared aHash stage: (doc_id, text) → (doc_id, b0..b3) —
+    pixels staged once, integer mean-threshold bits, four 16-bit
+    bands, localCheckpointed so both q353 and the scale probes
+    measure the SAME shipped pipeline."""
+    s1 = d.select("doc_id", F.expr(_AHASH_PX).alias("px"))
+    s2 = s1.select(
+        "doc_id",
+        "px",
+        F.expr("aggregate(px, CAST(0 AS BIGINT), (acc, x) -> acc + x)").alias(
+            "sump"
+        ),
+    )
+    return s2.select(
+        "doc_id",
+        *[F.expr(_ahash_band_sql(j)).cast("long").alias(f"b{j}") for j in range(4)],
+    ).localCheckpoint()
+
+
+def _ahash_candidate_pairs(hashes):
+    """Banded-LSH candidates from an _ahash_hashes relation:
+    distinct (id_a < id_b) pairs sharing ≥1 full 16-bit band
+    (pigeonhole guarantee for Hamming ≤ 3 over 4 bands)."""
+    bands_long = hashes.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("j"), F.col(f"b{j}").alias("bv"))
+                for j in range(4)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "band.j", "band.bv")
+    a = bands_long.select(
+        F.col("doc_id").alias("id_a"), F.col("j").alias("ja"), F.col("bv").alias("va")
+    )
+    b = bands_long.select(
+        F.col("doc_id").alias("id_b"), F.col("j").alias("jb"), F.col("bv").alias("vb")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("ja") == F.col("jb"))
+            & (F.col("va") == F.col("vb"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def _q353_oracle() -> str:
     """q353 oracle: the same deterministic pixel sampling, integer
     mean-threshold bits, 16-bit bands, band-bucket candidates and
@@ -196,43 +246,8 @@ def q353_media_ahash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash pipeline — this is its pixel-space twin.
     """
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    s1 = d.select("doc_id", F.expr(_AHASH_PX).alias("px"))
-    s2 = s1.select(
-        "doc_id",
-        "px",
-        F.expr("aggregate(px, CAST(0 AS BIGINT), (acc, x) -> acc + x)").alias(
-            "sump"
-        ),
-    )
-    hashes = s2.select(
-        "doc_id",
-        *[F.expr(_ahash_band_sql(j)).cast("long").alias(f"b{j}") for j in range(4)],
-    ).localCheckpoint()
-    bands_long = hashes.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(j).alias("j"), F.col(f"b{j}").alias("bv"))
-                for j in range(4)
-            ])
-        ).alias("band"),
-    ).select("doc_id", "band.j", "band.bv")
-    a = bands_long.select(
-        F.col("doc_id").alias("id_a"), F.col("j").alias("ja"), F.col("bv").alias("va")
-    )
-    b = bands_long.select(
-        F.col("doc_id").alias("id_b"), F.col("j").alias("jb"), F.col("bv").alias("vb")
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("ja") == F.col("jb"))
-            & (F.col("va") == F.col("vb"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    hashes = _ahash_hashes(d)
+    cand = _ahash_candidate_pairs(hashes)
     ha = hashes.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"b{j}").alias(f"a{j}") for j in range(4)],

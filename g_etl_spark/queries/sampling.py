@@ -583,8 +583,18 @@ def q355_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_h",
         "sd_chars",
         "w_u",
-        F.expr(f"CAST(({_NEYMAN_N} * w_u) DIV tw AS BIGINT)").alias("base_n"),
-        F.expr(f"CAST(({_NEYMAN_N} * w_u) % tw AS BIGINT)").alias("rem"),
+        # decimal(38,0) product: n*w_u wraps int64 at ~2e18 micro-
+        # weights (1e9 docs), exactly the scale the seats must stay
+        # exact at
+        F.expr(
+            f"CAST(FLOOR(CAST({_NEYMAN_N} AS DECIMAL(38,0)) * w_u / tw)"
+            " AS BIGINT)"
+        ).alias("base_n"),
+        F.expr(
+            f"CAST(CAST({_NEYMAN_N} AS DECIMAL(38,0)) * w_u"
+            f" - FLOOR(CAST({_NEYMAN_N} AS DECIMAL(38,0)) * w_u / tw) * tw"
+            " AS BIGINT)"
+        ).alias("rem"),
     )
     leftover = alloc.agg(
         (F.lit(_NEYMAN_N) - F.sum("base_n")).cast("long").alias("k")

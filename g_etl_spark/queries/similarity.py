@@ -2523,8 +2523,9 @@ def q358_srp_index_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     svar AS (
         SELECT s,
-               round(sum((s2 - CAST(s1 AS DOUBLE) * s1 / n) / n) / 1e12, 6)
-                   AS subspace_variance
+               round(CAST(sum(CAST(round((s2 - CAST(s1 AS DOUBLE) * s1 / n)
+                                         / n / 1e12 * 1e9) AS BIGINT))
+                          AS DOUBLE) / 1e9, 6) AS subspace_variance
         FROM mom GROUP BY s
     )
     SELECT CAST(m.s AS BIGINT) AS subspace, m.n_vecs,
@@ -2604,13 +2605,23 @@ def q360_pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("s2"),
         )
     )
+    # per-dimension variance terms nano-quantized to bigint BEFORE
+    # the 8-term sum (engine-order independence — the q343 discipline)
     svar = mom.groupBy("s").agg(
         F.round(
             F.sum(
-                (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n"))
-                / F.col("n")
-            )
-            / 1e12,
+                F.round(
+                    (
+                        F.col("s2")
+                        - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+                    )
+                    / F.col("n")
+                    / 1e12
+                    * 1e9,
+                    0,
+                ).cast("long")
+            ).cast("double")
+            / 1e9,
             6,
         ).alias("subspace_variance")
     )

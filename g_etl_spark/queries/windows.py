@@ -6661,10 +6661,12 @@ def q359_asof_tolerance_directions(spark: SparkSession, sf_dir: str) -> DataFram
     row survives — tolerance filters the MATCH, not the row, exactly
     merge_asof's contract). Backward and forward run off ONE
     union+window pass per direction over the same user partitioning:
-    last(ignorenulls) over unbounded-preceding for backward,
-    first(ignorenulls) over unbounded-following for forward — one
-    shuffle total (same partitioning + same sort order, Spark reuses
-    the exchange and the sort), no inequality join, no row explosion.
+    last(ignorenulls) over unbounded-preceding for backward (purchase
+    sorts first at equal ts — inclusive >=), first(ignorenulls) over
+    unbounded-following for forward with the side sort FLIPPED so an
+    equal-ts purchase lands inside the click's frame (inclusive <=) —
+    one shuffle total (same partitioning; the second ordering adds a
+    sort, not an exchange), no inequality join, no row explosion.
     The oracle runs DuckDB's native ASOF JOIN both ways, pinning
     semantic parity with engines that ship the operator.
 
@@ -6692,12 +6694,16 @@ def q359_asof_tolerance_directions(spark: SparkSession, sf_dir: str) -> DataFram
     tagged = p.unionByName(c)
     wb = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "side")
+        .orderBy("ts", "side", F.asc_nulls_last("p_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # forward ordering flips the side sort so a click precedes a
+    # SAME-ts purchase: ASOF's <= is inclusive, and the row-based
+    # [current, following] frame would otherwise exclude an equal-ts
+    # match that sorted before the click
     wf = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "side")
+        .orderBy("ts", F.desc("side"), F.asc_nulls_last("p_id"))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     carried = tagged.withColumns(
@@ -6741,8 +6747,10 @@ def q359_asof_tolerance_directions(spark: SparkSession, sf_dir: str) -> DataFram
     sums AS (SELECT CAST(sum(base_fc_cents) AS BIGINT) AS sb FROM base),
     alloc AS (
         SELECT b.event_type, b.base_fc_cents,
-               CAST((t.tf * b.base_fc_cents) // s.sb AS BIGINT) AS floor_c,
-               CAST((t.tf * b.base_fc_cents) % s.sb AS BIGINT) AS rem
+               CAST((CAST(t.tf AS HUGEINT) * b.base_fc_cents) // s.sb
+                    AS BIGINT) AS floor_c,
+               CAST((CAST(t.tf AS HUGEINT) * b.base_fc_cents) % s.sb
+                    AS BIGINT) AS rem
         FROM base b CROSS JOIN total_fc t CROSS JOIN sums s
     ),
     leftover AS (
@@ -6794,7 +6802,7 @@ def q364_forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", F.col("cents").alias("base_fc_cents"))
     total_fc = (
         daily.join(F.broadcast(last_day), daily["day"] > F.date_sub(F.col("d"), 7))
-        .agg(F.floor(F.sum("cents") / 7).cast("long").alias("tf"))
+        .agg(F.expr("CAST(sum(cents) DIV 7 AS BIGINT)").alias("tf"))
     )
     sums = base.agg(F.sum("base_fc_cents").cast("long").alias("sb"))
     alloc = (
@@ -6803,8 +6811,17 @@ def q364_forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "base_fc_cents",
-            F.expr("CAST((tf * base_fc_cents) DIV sb AS BIGINT)").alias("floor_c"),
-            F.expr("CAST((tf * base_fc_cents) % sb AS BIGINT)").alias("rem"),
+            # decimal(38,0) product: tf*base wraps int64 at the cent
+            # scales the docstring claims exactness for (~1e13 each)
+            F.expr(
+                "CAST(FLOOR(CAST(tf AS DECIMAL(38,0)) * base_fc_cents / sb)"
+                " AS BIGINT)"
+            ).alias("floor_c"),
+            F.expr(
+                "CAST(CAST(tf AS DECIMAL(38,0)) * base_fc_cents"
+                " - FLOOR(CAST(tf AS DECIMAL(38,0)) * base_fc_cents / sb) * sb"
+                " AS BIGINT)"
+            ).alias("rem"),
             "tf",
             "sb",
         )

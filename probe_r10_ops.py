@@ -67,9 +67,7 @@ def main():
         cand = bucketed.filter(F.col("bucket").isin(probes))
         t0 = time.time()
         nc = cand.count()
-        from g_etl_spark.operators.similarity import cosine_topk
-
-        top = cosine_topk(cand, q, k=10).collect()
+        S.cosine_topk(cand, q, k=10).collect()
         print(
             f"multiprobe b={b}: {len(probes)} buckets, {nc} candidates, "
             f"top10 in {time.time() - t0:.2f}s",
@@ -125,56 +123,14 @@ def main():
         .localCheckpoint()
     )
     print(f"documents x{FACTOR}: {big_d.count()} rows", flush=True)
-    from g_etl_spark.queries.multimodal import _AHASH_PX, _ahash_band_sql
+    from g_etl_spark.queries.multimodal import (
+        _ahash_candidate_pairs,
+        _ahash_hashes,
+    )
 
     def ahash():
-        s1 = big_d.select("doc_id", F.expr(_AHASH_PX).alias("px"))
-        s2 = s1.select(
-            "doc_id",
-            "px",
-            F.expr("aggregate(px, CAST(0 AS BIGINT), (acc, x) -> acc + x)").alias(
-                "sump"
-            ),
-        )
-        hashes = s2.select(
-            "doc_id",
-            *[
-                F.expr(_ahash_band_sql(j)).cast("long").alias(f"b{j}")
-                for j in range(4)
-            ],
-        ).localCheckpoint()
-        bands_long = hashes.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(j).alias("j"), F.col(f"b{j}").alias("bv"))
-                        for j in range(4)
-                    ]
-                )
-            ).alias("band"),
-        ).select("doc_id", "band.j", "band.bv")
-        a = bands_long.select(
-            F.col("doc_id").alias("id_a"),
-            F.col("j").alias("ja"),
-            F.col("bv").alias("va"),
-        )
-        b = bands_long.select(
-            F.col("doc_id").alias("id_b"),
-            F.col("j").alias("jb"),
-            F.col("bv").alias("vb"),
-        )
-        cand = (
-            a.join(
-                b,
-                (F.col("ja") == F.col("jb"))
-                & (F.col("va") == F.col("vb"))
-                & (F.col("id_a") < F.col("id_b")),
-            )
-            .select("id_a", "id_b")
-            .distinct()
-        )
-        return cand.count()
+        # the SHIPPED pipeline, not a copy — probes measure q353's code
+        return _ahash_candidate_pairs(_ahash_hashes(big_d)).count()
 
     timed("q353 aHash candidate pairs", ahash)
 

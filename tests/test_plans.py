@@ -4286,3 +4286,51 @@ def test_q364_reconciliation_coherent(spark, qs):
     )
     assert sum(r["reconciled_fc_cents"] for r in rows) == tf
     assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_q359_forward_matches_equal_timestamp(spark, qs, tmp_path):
+    """Regression (r10 review finding #1): DuckDB ASOF's <= is
+    INCLUSIVE, so a purchase at the click's EXACT timestamp is the
+    forward match with secs_until_next = 0 — the natural corpus has
+    unique (user_id, ts), so this injects the same-ts case. Also
+    pins: backward same-ts match (>= inclusive), and tolerance
+    nulling of a match just past one hour."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        # user 1: click and purchase at the IDENTICAL instant
+        (101, 1, "click", t0, 1.0, "{}"),
+        (102, 1, "purchase", t0, 9.0, "{}"),
+        # user 2: purchase 3601 s after the click -> outside tolerance
+        (201, 2, "click", t0, 1.0, "{}"),
+        (202, 2, "purchase", t0 + dt.timedelta(seconds=3601), 9.0, "{}"),
+        # user 3: purchase 10 s after the click -> inside tolerance
+        (301, 3, "click", t0, 1.0, "{}"),
+        (302, 3, "purchase", t0 + dt.timedelta(seconds=10), 9.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["event_id"]: r
+        for r in qs["q359_asof_tolerance_directions"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {101, 201, 301}
+    # same-ts: BOTH directions match at distance 0 (ASOF >= and <=)
+    assert out[101]["prev_purchase_id"] == 102
+    assert out[101]["secs_since_prev"] == 0
+    assert out[101]["next_purchase_id"] == 102
+    assert out[101]["secs_until_next"] == 0
+    # past tolerance: match nulled, row kept
+    assert out[201]["next_purchase_id"] is None
+    assert out[201]["secs_until_next"] is None
+    # inside tolerance
+    assert out[301]["next_purchase_id"] == 302
+    assert out[301]["secs_until_next"] == 10

@@ -103,6 +103,15 @@ def test_two_factor_anova_identity_and_balanced_case(spark):
         ).collect()
     }
     assert "A(treat'ment)" in lbl and "B(seg)" in lbl
+    # backslashes must survive too (Spark SQL literals treat \ as an
+    # escape; a column name like a\b reaches the default label path)
+    lbl2 = {
+        r["source"]
+        for r in two_factor_anova(
+            df, "a", "b", "y", label_a="A(x\\n)", label_b="B(y\\)"
+        ).collect()
+    }
+    assert "A(x\\n)" in lbl2 and "B(y\\)" in lbl2
 
 
 def test_cohens_kappa_hand_computed(spark):
