@@ -112,22 +112,29 @@ _AHASH_PX = (
 )
 
 
-def _ahash_band_sql(j: int) -> str:
-    """Spark SQL for 16-bit aHash band j (bits 16j..16j+15): bit k is
-    1 when pixel 16j+k exceeds the 64-pixel mean (compared as
+def _ahash_band_sql(j: int, band_bits: int = 16) -> str:
+    """Spark SQL for aHash band j of width band_bits (bits
+    band_bits·j .. band_bits·(j+1)−1): bit k is 1 when pixel
+    band_bits·j+k exceeds the 64-pixel mean (compared as
     64·px > sum — integer-exact, no division)."""
     return (
-        "aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, k) -> "
-        f"acc | shiftleft(CAST(CASE WHEN 64 * element_at(px, 16 * {j} + k + 1)"
+        f"aggregate(sequence(0, {band_bits - 1}), CAST(0 AS BIGINT), (acc, k) -> "
+        f"acc | shiftleft(CAST(CASE WHEN 64 * element_at(px, {band_bits} * {j} + k + 1)"
         " > sump THEN 1 ELSE 0 END AS BIGINT), CAST(k AS INT)))"
     )
 
 
-def _ahash_hashes(d):
-    """Shared aHash stage: (doc_id, text) → (doc_id, b0..b3) —
-    pixels staged once, integer mean-threshold bits, four 16-bit
-    bands, localCheckpointed so both q353 and the scale probes
-    measure the SAME shipped pipeline."""
+def _ahash_hashes(d, n_bands: int = 4, band_bits: int = 16):
+    """Shared aHash stage: (doc_id, text) → (doc_id, b0..b{n-1}) —
+    pixels staged once, integer mean-threshold bits, n_bands bands of
+    band_bits each (n_bands × band_bits == 64 — the (r, b) knob the
+    ×100 probe measured: 2×32 cuts candidates 3.8× on low-entropy
+    corpora, SCALE_NOTES round-10), localCheckpointed so q353/q365
+    and the scale probes measure the SAME shipped pipeline. Bands
+    coalesce to 0 so a NULL/empty text hashes like the oracle's
+    coalesced bands instead of silently dropping out of the band
+    join (NULL-text docs pair with each other, as in DuckDB)."""
+    assert n_bands * band_bits == 64, "bands must tile the 64-bit hash"
     s1 = d.select("doc_id", F.expr(_AHASH_PX).alias("px"))
     s2 = s1.select(
         "doc_id",
@@ -138,20 +145,26 @@ def _ahash_hashes(d):
     )
     return s2.select(
         "doc_id",
-        *[F.expr(_ahash_band_sql(j)).cast("long").alias(f"b{j}") for j in range(4)],
+        *[
+            F.coalesce(
+                F.expr(_ahash_band_sql(j, band_bits)).cast("long"),
+                F.lit(0).cast("long"),
+            ).alias(f"b{j}")
+            for j in range(n_bands)
+        ],
     ).localCheckpoint()
 
 
-def _ahash_candidate_pairs(hashes):
+def _ahash_candidate_pairs(hashes, n_bands: int = 4):
     """Banded-LSH candidates from an _ahash_hashes relation:
-    distinct (id_a < id_b) pairs sharing ≥1 full 16-bit band
-    (pigeonhole guarantee for Hamming ≤ 3 over 4 bands)."""
+    distinct (id_a < id_b) pairs sharing ≥1 full band (pigeonhole
+    guarantee for Hamming ≤ n_bands−1 over n_bands bands)."""
     bands_long = hashes.select(
         "doc_id",
         F.explode(
             F.array(*[
                 F.struct(F.lit(j).alias("j"), F.col(f"b{j}").alias("bv"))
-                for j in range(4)
+                for j in range(n_bands)
             ])
         ).alias("band"),
     ).select("doc_id", "band.j", "band.bv")

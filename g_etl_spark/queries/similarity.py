@@ -1997,9 +1997,10 @@ def _q345_oracle() -> str:
     brute AS (
         SELECT vec_id FROM scored ORDER BY cosine DESC, vec_id LIMIT 10
     ),
+    levels AS (SELECT unnest([0, 1, 2]) AS n_probe_bits),
     cand AS (
         SELECT l.n_probe_bits, s.vec_id, s.cosine
-        FROM (SELECT unnest([0, 1, 2]) AS n_probe_bits) l, scored s, q
+        FROM levels l, scored s, q
         WHERE bit_count(xor(s.bucket, q.qbucket)) <= l.n_probe_bits
     ),
     counts AS (
@@ -2019,13 +2020,18 @@ def _q345_oracle() -> str:
         FROM topk t JOIN brute b USING (vec_id)
         GROUP BY t.n_probe_bits
     )
-    SELECT CAST(c.n_probe_bits AS BIGINT) AS n_probe_bits,
-           CAST(CASE c.n_probe_bits {probed_case} END AS BIGINT)
+    -- LEFT JOINs from the level skeleton: a probe level with ZERO
+    -- candidates/hits must still emit its row (n = 0), matching the
+    -- Spark side's always-3-rows count aggregates
+    SELECT CAST(l.n_probe_bits AS BIGINT) AS n_probe_bits,
+           CAST(CASE l.n_probe_bits {probed_case} END AS BIGINT)
                AS n_buckets_probed,
-           c.n_candidates,
-           h.n_hits,
-           round(h.n_hits / 10.0, 2) AS recall_at_10
-    FROM counts c JOIN hits h USING (n_probe_bits)
+           CAST(coalesce(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n_hits, 0) / 10.0, 2) AS recall_at_10
+    FROM levels l
+    LEFT JOIN counts c USING (n_probe_bits)
+    LEFT JOIN hits h USING (n_probe_bits)
     ORDER BY n_probe_bits
     """
 
@@ -2312,11 +2318,12 @@ def _q351_oracle() -> str:
                    AS idcg_micro
         FROM ideal
     ),
+    levels AS (SELECT unnest([0, 1, 2]) AS n_probe_bits),
     approx AS (
         SELECT l.n_probe_bits, s.vec_id, s.rel_m,
                row_number() OVER (PARTITION BY l.n_probe_bits
                                   ORDER BY s.rel_m DESC, s.vec_id) AS rn
-        FROM (SELECT unnest([0, 1, 2]) AS n_probe_bits) l, scored s, q
+        FROM levels l, scored s, q
         WHERE bit_count(xor(s.bucket, q.qbucket)) <= l.n_probe_bits
         QUALIFY rn <= 10
     ),
@@ -2327,10 +2334,17 @@ def _q351_oracle() -> str:
                    AS dcg_micro
         FROM approx GROUP BY n_probe_bits
     )
-    SELECT CAST(d.n_probe_bits AS BIGINT) AS n_probe_bits,
-           d.dcg_micro, i.idcg_micro,
-           round(d.dcg_micro / CAST(i.idcg_micro AS DOUBLE), 4) AS ndcg_at_10
-    FROM dcg d CROSS JOIN idcg i
+    -- LEFT JOIN from the level skeleton: a zero-candidate probe
+    -- level still emits its row with dcg_micro = 0 (the Spark side
+    -- coalesces its empty-relation sum to 0 identically)
+    SELECT CAST(l.n_probe_bits AS BIGINT) AS n_probe_bits,
+           CAST(coalesce(d.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+           i.idcg_micro,
+           round(coalesce(d.dcg_micro, 0) / CAST(i.idcg_micro AS DOUBLE), 4)
+               AS ndcg_at_10
+    FROM levels l
+    LEFT JOIN dcg d USING (n_probe_bits)
+    CROSS JOIN idcg i
     ORDER BY n_probe_bits
     """
 
@@ -2370,15 +2384,18 @@ def q351_ann_multiprobe_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rn"),
         )
         return ranked.agg(
-            F.sum(
-                F.round(
-                    F.greatest(F.col("rel_m"), F.lit(0)) * 1e6
-                    / F.log2(F.col("rn") + 1),
-                    0,
-                ).cast("long")
-            )
-            .cast("long")
-            .alias("m")
+            F.coalesce(
+                F.sum(
+                    F.round(
+                        F.greatest(F.col("rel_m"), F.lit(0)) * 1e6
+                        / F.log2(F.col("rn") + 1),
+                        0,
+                    ).cast("long")
+                ).cast("long"),
+                # empty probe level: SUM yields NULL — pin dcg to 0 to
+                # match the oracle's coalesced LEFT JOIN row
+                F.lit(0).cast("long"),
+            ).alias("m")
         )
 
     idcg = dcg_micro(S.cosine_topk(e, q, k=10)).withColumnRenamed(

@@ -6623,8 +6623,8 @@ _ASOF_TOL_S = 3600
 @register(
     "q359_asof_tolerance_directions",
     oracle=f"""
-    WITH p AS (SELECT user_id, ts, event_id FROM events
-               WHERE event_type = 'purchase'),
+    WITH p AS (SELECT user_id, ts, min(event_id) AS event_id FROM events
+               WHERE event_type = 'purchase' GROUP BY user_id, ts),
          c AS (SELECT user_id, ts, event_id FROM events
                WHERE event_type = 'click'),
     bwd AS (
@@ -6667,6 +6667,11 @@ def q359_asof_tolerance_directions(spark: SparkSession, sf_dir: str) -> DataFram
     equal-ts purchase lands inside the click's frame (inclusive <=) —
     one shuffle total (same partitioning; the second ordering adds a
     sort, not an exchange), no inequality join, no row explosion.
+    Same-timestamp purchase ties resolve to the MIN event_id in both
+    directions — purchases are deduped per (user_id, ts) up front in
+    both engines, because DuckDB ASOF's choice among equal-ts matches
+    is unspecified (deterministic-by-construction, pinned by the
+    injected duplicate-ts regression test).
     The oracle runs DuckDB's native ASOF JOIN both ways, pinning
     semantic parity with engines that ship the operator.
 
@@ -6675,13 +6680,22 @@ def q359_asof_tolerance_directions(spark: SparkSession, sf_dir: str) -> DataFram
     CASE arithmetic after the carry.
     """
     e = load(spark, sf_dir, "events")
-    p = e.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.col("event_id").alias("p_id"),
-        F.col("ts").alias("p_ts"),
-        F.lit(0).alias("side"),
-        F.lit(None).cast("long").alias("c_id"),
+    # same-ts purchase ties broken DETERMINISTICALLY in both engines
+    # (min event_id per (user_id, ts)): DuckDB ASOF's pick among
+    # equal-ts matches is unspecified, so both sides dedup FIRST —
+    # the carry then never sees a tie in either direction
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("p_id"))
+        .select(
+            "user_id",
+            "ts",
+            "p_id",
+            F.col("ts").alias("p_ts"),
+            F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("c_id"),
+        )
     )
     c = e.filter(F.col("event_type") == "click").select(
         "user_id",
@@ -6802,7 +6816,16 @@ def q364_forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", F.col("cents").alias("base_fc_cents"))
     total_fc = (
         daily.join(F.broadcast(last_day), daily["day"] > F.date_sub(F.col("d"), 7))
-        .agg(F.expr("CAST(sum(cents) DIV 7 AS BIGINT)").alias("tf"))
+        # FLOOR over an exact decimal quotient, NOT integer DIV: DIV
+        # truncates toward zero while the oracle's // floors — they
+        # diverge on a negative 7-day revenue total (and floor keeps
+        # every largest-remainder remainder in [0, sb), so the seat
+        # arithmetic below stays sound for negative tf too)
+        .agg(
+            F.expr(
+                "CAST(FLOOR(CAST(sum(cents) AS DECIMAL(38,0)) / 7) AS BIGINT)"
+            ).alias("tf")
+        )
     )
     sums = base.agg(F.sum("base_fc_cents").cast("long").alias("sb"))
     alloc = (

@@ -4334,3 +4334,141 @@ def test_q359_forward_matches_equal_timestamp(spark, qs, tmp_path):
     # inside tolerance
     assert out[301]["next_purchase_id"] == 302
     assert out[301]["secs_until_next"] == 10
+
+
+def _duck_oracle_rows(name: str, data_dir: str, views: dict[str, str]):
+    """Run a registered query's DuckDB oracle against injected parquet
+    (the same side-by-side the driver gate runs, on a hand-built
+    corpus) and return its rows as a list of tuples."""
+    import sys
+    from pathlib import Path
+
+    import duckdb
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import __spark_entry__ as entry_mod
+
+    sql = entry_mod.oracle_sql()[name]
+    con = duckdb.connect()
+    for view, path in views.items():
+        con.execute(
+            f"CREATE VIEW {view} AS SELECT * "
+            f"FROM read_parquet('{path}/*.parquet')"
+        )
+    out = con.execute(sql).fetchall()
+    con.close()
+    return out
+
+
+def _canon_cell(v):
+    import math
+
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return None if math.isnan(v) else round(v, 9)
+    return v
+
+
+def test_q359_duplicate_ts_purchases_tie_break_min_id(spark, qs, tmp_path):
+    """Regression (r10 ADVICE): with DUPLICATE purchases at one
+    (user_id, ts), both directions must deterministically resolve to
+    the MIN event_id in BOTH engines (purchases dedup before the
+    asof) — previously backward picked max p_id, forward picked min,
+    and DuckDB ASOF's choice among equal-ts matches is unspecified."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        # user 4: click + TWO purchases at the identical instant
+        (401, 4, "click", t0, 1.0, "{}"),
+        (403, 4, "purchase", t0, 9.0, "{}"),
+        (402, 4, "purchase", t0, 9.0, "{}"),
+        # user 5: click, then two purchases tied 5 s later
+        (501, 5, "click", t0, 1.0, "{}"),
+        (503, 5, "purchase", t0 + dt.timedelta(seconds=5), 9.0, "{}"),
+        (502, 5, "purchase", t0 + dt.timedelta(seconds=5), 9.0, "{}"),
+        # user 6: two purchases tied 7 s BEFORE the click
+        (601, 6, "click", t0, 1.0, "{}"),
+        (603, 6, "purchase", t0 - dt.timedelta(seconds=7), 9.0, "{}"),
+        (602, 6, "purchase", t0 - dt.timedelta(seconds=7), 9.0, "{}"),
+    ]
+    events_path = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double, props string",
+    ).write.parquet(events_path)
+    out = {
+        r["event_id"]: r
+        for r in qs["q359_asof_tolerance_directions"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out[401]["prev_purchase_id"] == 402  # min of {402, 403}
+    assert out[401]["next_purchase_id"] == 402
+    assert out[401]["secs_since_prev"] == 0
+    assert out[501]["next_purchase_id"] == 502
+    assert out[501]["secs_until_next"] == 5
+    assert out[501]["prev_purchase_id"] is None
+    assert out[601]["prev_purchase_id"] == 602
+    assert out[601]["secs_since_prev"] == 7
+    # cross-engine pin: the DuckDB oracle (native ASOF over the SAME
+    # deduped purchase relation) must agree row-for-row
+    duck = _duck_oracle_rows(
+        "q359_asof_tolerance_directions",
+        str(tmp_path),
+        {"events": events_path},
+    )
+    spark_rows = sorted(
+        tuple(
+            _canon_cell(r[c])
+            for c in (
+                "event_id",
+                "user_id",
+                "prev_purchase_id",
+                "secs_since_prev",
+                "next_purchase_id",
+                "secs_until_next",
+            )
+        )
+        for r in out.values()
+    )
+    assert spark_rows == sorted(
+        tuple(_canon_cell(v) for v in row) for row in duck
+    )
+
+
+def test_q353_null_text_band_parity(spark, qs, tmp_path):
+    """Regression (r10 ADVICE): NULL-text docs must hash to 0-valued
+    bands in BOTH engines (they pair with each other at Hamming 0)
+    instead of Spark silently dropping them from the band join while
+    the DuckDB oracle coalesces their bands to 0."""
+    docs = [
+        (1, None, "xx", "s1", 0),
+        (2, None, "xx", "s1", 0),
+        (3, "the quick brown fox jumps over the lazy dog", "en", "s1", 43),
+        (4, "the quick brown fox jumps over the lazy dog", "en", "s2", 43),
+    ]
+    docs_path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(docs_path)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in qs["q353_media_ahash_near_dups"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[(1, 2)] == 0  # NULL-text docs pair at distance 0
+    assert got[(3, 4)] == 0  # identical real texts too
+    duck = _duck_oracle_rows(
+        "q353_media_ahash_near_dups",
+        str(tmp_path),
+        {"documents": docs_path},
+    )
+    assert sorted(got.items()) == sorted(
+        ((ia, ib), h) for ia, ib, h in duck
+    )
