@@ -279,3 +279,277 @@ def q353_media_ahash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .orderBy("id_a", "id_b")
     )
+
+
+def _q365_oracle() -> str:
+    """q365 oracle: the same 4×16 hash stage as q353 (coalesced
+    bands), the 2×32 layout DERIVED by bit-slicing (band32_j =
+    b_{2j} | b_{2j+1} << 16 — an exact identity, no second hashing
+    pass), per-layout bucket histograms, integer-exact pair fan-out
+    Σ n(n−1)/2 (HUGEINT — the overflow discipline), measured distinct
+    candidate pairs, and the deterministic argmin choice."""
+    px = (
+        "list_transform(range(0, 64), k -> CAST(ascii(substr(text, "
+        "CAST(k * 7 % greatest(length(text), 1) AS INT) + 1, 1)) AS BIGINT))"
+    )
+    band = (
+        "list_aggregate(list_transform(range(0, 16), k -> "
+        "CASE WHEN 64 * px[16 * {j} + k + 1] > sump THEN (CAST(1 AS BIGINT) << k) "
+        "ELSE 0 END), 'sum')"
+    )
+    bands = ", ".join(
+        f"CAST(coalesce({band.format(j=j)}, 0) AS BIGINT) AS b{j}" for j in range(4)
+    )
+    return f"""
+    WITH s1 AS (SELECT doc_id, {px} AS px FROM documents),
+    s2 AS (
+        SELECT doc_id, px, list_aggregate(px, 'sum') AS sump FROM s1
+    ),
+    h16 AS (SELECT doc_id, {bands} FROM s2),
+    long AS (
+        SELECT '4x16' AS layout, doc_id, j,
+               CASE j WHEN 0 THEN b0 WHEN 1 THEN b1
+                      WHEN 2 THEN b2 ELSE b3 END AS bv
+        FROM h16, (SELECT unnest([0, 1, 2, 3]) AS j)
+        UNION ALL
+        SELECT '2x32' AS layout, doc_id, j,
+               CASE j WHEN 0 THEN b0 | (b1 << 16)
+                      ELSE b2 | (b3 << 16) END AS bv
+        FROM h16, (SELECT unnest([0, 1]) AS j)
+    ),
+    hist AS (
+        SELECT layout, j, bv, count(*) AS n FROM long GROUP BY layout, j, bv
+    ),
+    pre AS (
+        SELECT layout,
+               CAST(count(*) AS BIGINT) AS n_band_buckets,
+               CAST(max(n) AS BIGINT) AS max_bucket,
+               CAST(sum((CAST(n AS HUGEINT) * (n - 1)) // 2) AS BIGINT)
+                   AS fanout_pairs
+        FROM hist GROUP BY layout
+    ),
+    cand AS (
+        SELECT layout, CAST(count(*) AS BIGINT) AS nc FROM (
+            SELECT DISTINCT a.layout, a.doc_id AS ia, b.doc_id AS ib
+            FROM long a JOIN long b
+              ON a.layout = b.layout AND a.j = b.j AND a.bv = b.bv
+             AND a.doc_id < b.doc_id
+        ) GROUP BY layout
+    )
+    SELECT p.layout,
+           CAST(CASE p.layout WHEN '4x16' THEN 4 ELSE 2 END AS BIGINT)
+               AS n_bands,
+           CAST(CASE p.layout WHEN '4x16' THEN 16 ELSE 32 END AS BIGINT)
+               AS band_bits,
+           p.n_band_buckets, p.max_bucket, p.fanout_pairs,
+           CAST(coalesce(c.nc, 0) AS BIGINT) AS n_candidate_pairs,
+           rank() OVER (ORDER BY p.fanout_pairs, p.layout) = 1 AS chosen
+    FROM pre p LEFT JOIN cand c USING (layout)
+    ORDER BY layout
+    """
+
+
+@register("q365_ahash_band_planner", oracle=_q365_oracle())
+def q365_ahash_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aHash band-layout PLANNER — the measured band-entropy
+    pre-flight that picks the (n_bands × band_bits) operating point
+    for q353's perceptual near-dup LSH (r10 verdict: the ×100 probe
+    measured 4×16 going quadratic on low-entropy corpora — 9.13M
+    candidates at 50k docs vs 2.39M under 2×32, SCALE_NOTES — but the
+    layout was hardcoded prose, not a planned knob). For each layout,
+    the planner prices the band join from the bucket HISTOGRAM alone
+    (fanout_pairs = Σ_buckets n(n−1)/2 — the exact number of pair
+    incidences the band equi-join would generate, i.e. the Σ bucket²
+    bound the scale arguments rely on, computed without running the
+    join), reports occupancy (n_band_buckets, max_bucket), measures
+    the ACTUAL distinct candidate-pair count per layout, and CHOOSES
+    the layout with minimum fan-out (deterministic tie-break on
+    layout name). The 2×32 bands are derived from the 4×16 hash stage
+    by bit-slicing (band32_j = b_{2j} | b_{2j+1}<<16) — one hashing
+    pass prices every layout.
+
+    Trade-off being priced: 4 bands of 16 bits guarantee recall for
+    Hamming ≤ 3 but collide 2^16-way on low-entropy corpora; 2 bands
+    of 32 bits guarantee only Hamming ≤ 1 but cut candidates ~4×.
+    q353 is the 4×16 detector, q366 the 2×32 one; this row decides
+    between them from data, the q278 fan-out-pricing device.
+
+    Scale: the pre-flight is a groupBy on (layout, band, value) —
+    histogram-sized, no pair join; fan-out products run in
+    decimal(38,0) (Σ n² wraps int64 past ~3e9-row buckets). The
+    measured candidate join is the gate-time evidence column; a 100TB
+    deployment would trust the histogram price and skip it.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    h16 = _ahash_hashes(d)
+    l16 = h16.select(
+        F.lit("4x16").alias("layout"),
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("j"), F.col(f"b{j}").alias("bv"))
+                for j in range(4)
+            ])
+        ).alias("band"),
+    ).select("layout", "doc_id", "band.j", "band.bv")
+    h32 = h16.select(
+        "doc_id",
+        F.expr("b0 | shiftleft(b1, 16)").alias("c0"),
+        F.expr("b2 | shiftleft(b3, 16)").alias("c1"),
+    )
+    l32 = h32.select(
+        F.lit("2x32").alias("layout"),
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("j"), F.col(f"c{j}").alias("bv"))
+                for j in range(2)
+            ])
+        ).alias("band"),
+    ).select("layout", "doc_id", "band.j", "band.bv")
+    long = l16.unionByName(l32)
+    hist = long.groupBy("layout", "j", "bv").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pre = hist.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_band_buckets"),
+        F.max("n").cast("long").alias("max_bucket"),
+        F.sum(
+            F.expr("CAST(FLOOR(CAST(n AS DECIMAL(38,0)) * (n - 1) / 2)"
+                   " AS DECIMAL(38,0))")
+        )
+        .cast("long")
+        .alias("fanout_pairs"),
+    )
+    a = long.select(
+        "layout", F.col("doc_id").alias("ia"), F.col("j").alias("ja"),
+        F.col("bv").alias("va"),
+    )
+    b = long.select(
+        F.col("layout").alias("layout_b"), F.col("doc_id").alias("ib"),
+        F.col("j").alias("jb"), F.col("bv").alias("vb"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("layout") == F.col("layout_b"))
+            & (F.col("ja") == F.col("jb"))
+            & (F.col("va") == F.col("vb"))
+            & (F.col("ia") < F.col("ib")),
+        )
+        .select("layout", "ia", "ib")
+        .distinct()
+        .groupBy("layout")
+        .agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    )
+    from pyspark.sql import Window
+
+    out = (
+        pre.join(cand, "layout", "left")
+        .select(
+            "layout",
+            F.when(F.col("layout") == "4x16", 4).otherwise(2)
+            .cast("long")
+            .alias("n_bands"),
+            F.when(F.col("layout") == "4x16", 16).otherwise(32)
+            .cast("long")
+            .alias("band_bits"),
+            "n_band_buckets",
+            "max_bucket",
+            "fanout_pairs",
+            F.coalesce(F.col("nc"), F.lit(0)).cast("long")
+            .alias("n_candidate_pairs"),
+        )
+        .withColumn(
+            "chosen",
+            F.rank().over(Window.orderBy("fanout_pairs", "layout")) == 1,
+        )
+    )
+    return out.orderBy("layout")
+
+
+def _q366_oracle() -> str:
+    """q366 oracle: q353's pipeline at the 2×32 operating point —
+    32-bit bands built natively (bit k of band j = pixel 32j+k vs
+    mean), band-bucket candidates, exact Hamming refine ≤ 1."""
+    px = (
+        "list_transform(range(0, 64), k -> CAST(ascii(substr(text, "
+        "CAST(k * 7 % greatest(length(text), 1) AS INT) + 1, 1)) AS BIGINT))"
+    )
+    band = (
+        "list_aggregate(list_transform(range(0, 32), k -> "
+        "CASE WHEN 64 * px[32 * {j} + k + 1] > sump THEN (CAST(1 AS BIGINT) << k) "
+        "ELSE 0 END), 'sum')"
+    )
+    bands = ", ".join(
+        f"CAST(coalesce({band.format(j=j)}, 0) AS BIGINT) AS b{j}" for j in range(2)
+    )
+    return f"""
+    WITH s1 AS (SELECT doc_id, {px} AS px FROM documents),
+    s2 AS (
+        SELECT doc_id, px, list_aggregate(px, 'sum') AS sump FROM s1
+    ),
+    hashes AS (SELECT doc_id, {bands} FROM s2),
+    bands_long AS (
+        SELECT doc_id, j, CASE j WHEN 0 THEN b0 ELSE b1 END AS bv
+        FROM hashes, (SELECT unnest([0, 1]) AS j)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands_long a JOIN bands_long b
+          ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ),
+    refined AS (
+        SELECT c.id_a, c.id_b,
+               CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+                  AS BIGINT) AS hamming
+        FROM cand c
+        JOIN hashes ha ON ha.doc_id = c.id_a
+        JOIN hashes hb ON hb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, hamming
+    FROM refined WHERE hamming <= 1
+    ORDER BY id_a, id_b
+    """
+
+
+@register("q366_ahash_near_dups_2x32", oracle=_q366_oracle())
+def q366_ahash_near_dups_2x32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs at the 2×32 BAND OPERATING POINT —
+    the alternate layout q365's planner prices (and chooses on
+    low-entropy corpora), now a first-class gated path instead of
+    SCALE_NOTES prose: two 32-bit bands (built natively through the
+    parameterized _ahash_hashes — the same expressions q353
+    instantiates at 16 bits), band-bucket candidates, exact Hamming
+    refine at threshold 1 (the pigeonhole guarantee two bands give:
+    Hamming ≤ 1 ⇒ one band identical — a TIGHTER detector than
+    q353's ≤ 3, trading recall on 2-3-bit variants for the measured
+    ~4× candidate cut on hot-bucket corpora).
+
+    Scale: identical shape to q353 — map-only whole-stage-codegen
+    hashing, Σ bucket² band equi-join (with 2^32 buckets instead of
+    2^16, which is exactly why hot buckets shatter), candidate-only
+    refine. The planner row (q365) decides which of the two
+    detectors a corpus should run.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    hashes = _ahash_hashes(d, n_bands=2, band_bits=32)
+    cand = _ahash_candidate_pairs(hashes, n_bands=2)
+    ha = hashes.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"b{j}").alias(f"a{j}") for j in range(2)],
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"b{j}").alias(f"bb{j}") for j in range(2)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"bb{j}"))) for j in range(2)
+    ).cast("long")
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 1)
+        .orderBy("id_a", "id_b")
+    )

@@ -4472,3 +4472,60 @@ def test_q353_null_text_band_parity(spark, qs, tmp_path):
     assert sorted(got.items()) == sorted(
         ((ia, ib), h) for ia, ib, h in duck
     )
+
+
+def test_q365_planner_prices_and_chooses(spark, qs):
+    """The histogram price must upper-bound the measured distinct
+    candidates (incidences >= distinct pairs), exactly one layout is
+    chosen, and the chosen one has the minimum fan-out."""
+    rows = qs["q365_ahash_band_planner"](spark, SF_DIR).collect()
+    assert sorted(r["layout"] for r in rows) == ["2x32", "4x16"]
+    for r in rows:
+        assert r["n_bands"] * r["band_bits"] == 64
+        assert r["fanout_pairs"] >= r["n_candidate_pairs"]
+        assert r["max_bucket"] >= 1
+    chosen = [r for r in rows if r["chosen"]]
+    assert len(chosen) == 1
+    assert chosen[0]["fanout_pairs"] == min(r["fanout_pairs"] for r in rows)
+
+
+def test_ahash_band_slicing_identity(spark):
+    """q365 derives the 2x32 layout from the 4x16 hash stage by
+    bit-slicing; the parameterized native 2x32 hashes (q366's path)
+    must be bit-identical — band32_j == b_{2j} | b_{2j+1} << 16."""
+    import pyspark.sql.functions as F
+
+    from g_etl_spark.queries.multimodal import _ahash_hashes
+    from g_etl_spark.tables import load
+
+    d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    h16 = _ahash_hashes(d)
+    derived = h16.select(
+        "doc_id",
+        F.expr("b0 | shiftleft(b1, 16)").alias("b0"),
+        F.expr("b2 | shiftleft(b3, 16)").alias("b1"),
+    )
+    native = _ahash_hashes(d, n_bands=2, band_bits=32)
+    assert derived.exceptAll(native).count() == 0
+    assert native.exceptAll(derived).count() == 0
+
+
+def test_q366_subset_of_q353_at_hamming_1(spark, qs):
+    """The 2x32 detector's pairs are exactly q353's pairs with
+    Hamming <= 1 PLUS any 2-3-distance pairs q353's 16-bit bands
+    happened to catch are absent — i.e. q366 ⊆ q353-pairs, and every
+    q353 pair at distance <= 1 appears in q366 (pigeonhole)."""
+    p353 = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in qs["q353_media_ahash_near_dups"](spark, SF_DIR).collect()
+    }
+    p366 = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in qs["q366_ahash_near_dups_2x32"](spark, SF_DIR).collect()
+    }
+    for pair, h in p366.items():
+        assert h <= 1
+        assert p353.get(pair) == h  # same exact Hamming, found by both
+    for pair, h in p353.items():
+        if h <= 1:
+            assert pair in p366
