@@ -4574,3 +4574,241 @@ def q361_incremental_connected_components(
         )
         .orderBy("stage", "component_size")
     )
+
+
+# Weighted corpus: documents ∪ exact copies ∪ a REWEIGHTED variant
+# whose distinct-token SET is unchanged (first token appended 10 more
+# times) — set-Jaccard sees 1.0, only a weighted detector separates it.
+_WCORPUS_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           text || ' ' ||
+           array_to_string(list_transform(range(0, 10), x -> toks[1]), ' ')
+               AS text
+    FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+"""
+
+
+def _weighted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies ∪ tf-reweighted variants (same token
+    set, first token's count +10)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    toks = F.split(F.lower(F.trim(F.col("text"))), TOKEN_SPLIT)
+    rew = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.array_join(F.array_repeat(F.element_at(toks, 1), 10), " "),
+        ).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(rew)
+
+
+def _q368_oracle() -> str:
+    """q368 oracle: identical occurrence-replicated weighted MinHash —
+    tf per (doc, token), elements (token, k<tf), md5-based base hash
+    per OCCURRENCE, the same MINHASH_SALTS affine permutations as
+    q52, 4×2 banding, exact integer weighted-Jaccard refine
+    (Σmin / (n_a + n_b − Σmin)) with the threshold compared as
+    2·inter ≥ union — no doubles in any decision."""
+    h = (
+        "CAST(CAST('0x' || substr(md5(tok || '#' || CAST(k AS VARCHAR)), 1, 8)"
+        f" AS UBIGINT) AS BIGINT) % {D.MINHASH_P}"
+    )
+    sig_cols = ", ".join(
+        f"min((h * {a} + {b}) % {D.MINHASH_P}) AS s{i}"
+        for i, (a, b) in enumerate(D.MINHASH_SALTS)
+    )
+    even = "CASE b WHEN 0 THEN s0 WHEN 1 THEN s2 WHEN 2 THEN s4 ELSE s6 END"
+    odd = "CASE b WHEN 0 THEN s1 WHEN 1 THEN s3 WHEN 2 THEN s5 ELSE s7 END"
+    return f"""
+    WITH corpus AS ({_WCORPUS_SQL}),
+    tf AS (
+        SELECT doc_id, tok, count(*) AS tf
+        FROM (SELECT doc_id,
+                     unnest(list_filter({_TOKS}, t -> length(t) > 0)) AS tok
+              FROM corpus)
+        GROUP BY doc_id, tok
+    ),
+    ntok AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n FROM tf
+             GROUP BY doc_id),
+    elements AS (
+        SELECT doc_id, tok, unnest(range(0, tf)) AS k FROM tf
+    ),
+    hashes AS (SELECT doc_id, {h} AS h FROM elements),
+    sig AS (SELECT doc_id, {sig_cols} FROM hashes GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, b AS band_idx,
+               md5(CAST(b AS VARCHAR) || '|' || CAST({even} AS VARCHAR)
+                   || '|' || CAST({odd} AS VARCHAR)) AS band
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)
+    ),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               count(*) AS n_shared_bands
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band = b.band
+                     AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, c.n_shared_bands,
+               CAST(sum(least(ta.tf, tb.tf)) AS BIGINT) AS inter_tf
+        FROM cand c
+        JOIN tf ta ON ta.doc_id = c.id_a
+        JOIN tf tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+        GROUP BY 1, 2, 3
+    )
+    SELECT i.id_a, i.id_b, i.n_shared_bands, i.inter_tf,
+           CAST(na.n + nb.n - i.inter_tf AS BIGINT) AS union_tf,
+           round(CAST(i.inter_tf AS DOUBLE)
+                 / (na.n + nb.n - i.inter_tf), 6) AS weighted_jaccard
+    FROM inter i
+    JOIN ntok na ON na.doc_id = i.id_a
+    JOIN ntok nb ON nb.doc_id = i.id_b
+    WHERE 2 * i.inter_tf >= na.n + nb.n - i.inter_tf
+    ORDER BY id_a, id_b
+    """
+
+
+@register("q368_weighted_minhash_pairs", oracle=_q368_oracle())
+def q368_weighted_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED MinHash near-dup pairs — importance-weighted Jaccard
+    J_w = Σ_t min(tf_a, tf_b) / Σ_t max(tf_a, tf_b) over token
+    multisets (r10 verdict #4: the dedup family treated all shingles
+    equally; a crawler that boilerplate-spams one phrase, or a doc
+    that repeats its title 50×, is INVISIBLE to set-Jaccard). The
+    sketch is consistent weighted sampling realized for integer
+    weights by OCCURRENCE REPLICATION (Haveliwala/Broder): element
+    (t, k) for k < tf(t), hashed per occurrence, then q52's exact
+    affine-permutation MinHash machinery (same MINHASH_SALTS, 8
+    hashes, 4×2 bands) — MinHash over the replicated sets is an
+    unbiased J_w estimator because |A∩B| = Σmin and |A∪B| = Σmax.
+    The refine is EXACT integer arithmetic: Σmin over shared tokens
+    via one tf equi-join, union = n_a + n_b − Σmin, and the ≥ 0.5
+    gate compared as 2·inter ≥ union (no doubles decide membership).
+    The planted corpus proves the weighted separation: reweighted
+    variants (same token SET, first token +10) score J_w = n/(n+10)
+    < 1 here while q52's set-Jaccard calls them identical.
+
+    Scale: |elements| = total corpus TOKEN COUNT (one row per
+    occurrence — replication costs exactly what q53's per-occurrence
+    simhash already pays, nothing extra for the weighting); the
+    signature is a map-side 8-way min agg on doc_id; candidates come
+    from the Σ bucket² band join; the refine joins tf vectors only
+    for candidate pairs. ICWS generalizes this to real weights with
+    the same banding — the integer-tf case needs no float sampling.
+    """
+    corpus = _weighted_corpus(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), TOKEN_SPLIT)
+    tf = (
+        corpus.select("doc_id", F.explode(toks).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ntok = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("n"))
+    elements = tf.select(
+        "doc_id",
+        "tok",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("tf") - 1)).alias("k"),
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("tok"), F.lit("#"), F.col("k").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % D.MINHASH_P
+    )
+    hashed = elements.select("doc_id", h.alias("h"))
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % D.MINHASH_P).alias(f"s{i}")
+            for i, (a, b) in enumerate(D.MINHASH_SALTS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(b).cast("string"),
+                            F.col(f"s{2 * b}").cast("string"),
+                            F.col(f"s{2 * b + 1}").cast("string"),
+                        )
+                    ).alias("band"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band_idx", "bb.band")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("band_idx").alias("bia"),
+        F.col("band").alias("ba"),
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("band_idx").alias("bib"),
+        F.col("band").alias("bbv"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("bia") == F.col("bib"))
+            & (F.col("ba") == F.col("bbv"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    ta = tf.select(
+        F.col("doc_id").alias("id_a"), "tok", F.col("tf").alias("tfa")
+    )
+    tb = tf.select(
+        F.col("doc_id").alias("id_b2"),
+        F.col("tok").alias("tok_b"),
+        F.col("tf").alias("tfb"),
+    )
+    inter = (
+        cand.join(ta, "id_a")
+        .join(
+            tb,
+            (F.col("id_b") == F.col("id_b2")) & (F.col("tok") == F.col("tok_b")),
+        )
+        .groupBy("id_a", "id_b", "n_shared_bands")
+        .agg(F.sum(F.least("tfa", "tfb")).cast("long").alias("inter_tf"))
+    )
+    na = ntok.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = ntok.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    union_tf = F.col("n_a") + F.col("n_b") - F.col("inter_tf")
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(2 * F.col("inter_tf") >= union_tf)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared_bands",
+            "inter_tf",
+            union_tf.cast("long").alias("union_tf"),
+            F.round(
+                F.col("inter_tf").cast("double") / union_tf, 6
+            ).alias("weighted_jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -4529,3 +4529,64 @@ def test_q366_subset_of_q353_at_hamming_1(spark, qs):
     for pair, h in p353.items():
         if h <= 1:
             assert pair in p366
+
+
+def test_q367_ivf_recall_monotone(spark, qs):
+    """More probed cells can only add candidates: n_candidates and
+    recall@10 must be non-decreasing in nprobe, and the query's own
+    cell is always probed so it always hits itself."""
+    rows = qs["q367_ivf_multiprobe_recall"](spark, SF_DIR).collect()
+    assert [r["nprobe"] for r in rows] == [1, 2, 4]
+    for i, r in enumerate(rows):
+        assert r["n_hits"] >= 1
+        assert r["n_candidates"] >= 1
+        assert abs(r["recall_at_10"] - r["n_hits"] / 10.0) < 1e-9
+        if i:
+            assert r["n_candidates"] >= rows[i - 1]["n_candidates"]
+            assert r["n_hits"] >= rows[i - 1]["n_hits"]
+
+
+def test_q368_weighted_jaccard_planted(spark, qs):
+    """Planted-truth contract: every exact copy pair (d, d+2000000)
+    shares all 4 bands with weighted Jaccard exactly 1; every FOUND
+    reweighted pair (d, d+1000000 — same token SET, first token +10)
+    scores exactly n/(n+10), strictly below 1 — the separation plain
+    set-Jaccard cannot see (q52 calls those docs identical)."""
+    import pyspark.sql.functions as F
+
+    from g_etl_spark.operators.text import TOKEN_SPLIT
+    from g_etl_spark.tables import load
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in qs["q368_weighted_minhash_pairs"](spark, SF_DIR).collect()
+    }
+    d = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    toks = F.split(F.lower(F.trim(F.col("text"))), TOKEN_SPLIT)
+    n_by_doc = {
+        r["doc_id"]: r["n"]
+        for r in d.select(
+            "doc_id",
+            F.size(F.filter(toks, lambda t: F.length(t) > 0)).alias("n"),
+        ).collect()
+    }
+    found_exact = 0
+    found_rew = 0
+    for doc_id, n in n_by_doc.items():
+        exact = pairs.get((doc_id, doc_id + 2000000))
+        assert exact is not None, f"exact copy pair missing for {doc_id}"
+        assert exact["n_shared_bands"] == 4
+        assert exact["weighted_jaccard"] == 1.0
+        assert exact["inter_tf"] == exact["union_tf"] == n
+        found_exact += 1
+        rew = pairs.get((doc_id, doc_id + 1000000))
+        if rew is not None:
+            found_rew += 1
+            assert rew["inter_tf"] == n
+            assert rew["union_tf"] == n + 10
+            assert rew["weighted_jaccard"] == round(n / (n + 10), 6)
+            assert rew["weighted_jaccard"] < 1.0
+    assert found_exact == len(n_by_doc)
+    # LSH recall on the reweighted pairs (J_w ~ 0.5-0.9): banding is
+    # probabilistic, but the 4x2 S-curve should catch well over half
+    assert found_rew >= 0.5 * len(n_by_doc)
