@@ -8412,3 +8412,196 @@ def q357_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---- q369: Selinger DP over the 4-relation join lattice ----------------
+# Relations bit-coded region=1, nation=2, customer=4, orders=8; the join
+# graph is the chain region–nation–customer–orders. Estimate and DP
+# expressions are generated ONCE here and fed verbatim to BOTH engines
+# (F.expr and DuckDB parse the identical text), so every double is
+# produced by the same operation order before integer rounding.
+_SEL_RELS = ((1, "region", "n_r"), (2, "nation", "n_n"),
+             (4, "customer", "n_c"), (8, "orders", "n_o"))
+_SEL_EDGES = ((3, "greatest(d_rr, d_nr)"), (6, "greatest(d_nn, d_cn)"),
+              (12, "greatest(d_cc, d_oc)"))
+_SEL_PAIRS = (3, 5, 6, 9, 10, 12)
+_SEL_TRIPLES = (7, 11, 13, 14)
+_SEL_BUSHY = ((3, 12), (5, 10), (6, 9))
+
+
+def _sel_est_sql(mask: int) -> str:
+    """System-R size estimate for a subset: Π cards / Π max-NDV over
+    join edges INSIDE the subset (disconnected subsets keep the full
+    cross product — no edge divides them)."""
+    e = " * ".join(c for bit, _, c in _SEL_RELS if mask & bit)
+    for em, g in _SEL_EDGES:
+        if mask & em == em:
+            e = f"({e}) / {g}"
+    return e
+
+
+def _sel_label(mask: int) -> str:
+    return "+".join(name for bit, name, _ in _SEL_RELS if mask & bit)
+
+
+def _sel_triple_cost_sql(mask: int) -> str:
+    pairs = [p for p in _SEL_PAIRS if mask & p == p]
+    return f"e{mask} + least(" + ", ".join(f"e{p}" for p in pairs) + ")"
+
+
+_SEL_C15_SQL = (
+    "e15 + least(c7, c11, c13, c14, "
+    + ", ".join(f"e{p} + e{q}" for p, q in _SEL_BUSHY)
+    + ")"
+)
+_SEL_EXHAUSTIVE_SQL = "least(" + ", ".join(
+    [f"e{p} + e{t} + e15" for p in _SEL_PAIRS for t in _SEL_TRIPLES
+     if t & p == p]
+    + [f"e{p} + e{q} + e15" for p, q in _SEL_BUSHY]
+) + ")"
+
+
+def _q369_oracle() -> str:
+    ests = ", ".join(
+        f"CAST(round({_sel_est_sql(m)}) AS BIGINT) AS e{m}"
+        for m in (*_SEL_PAIRS, *_SEL_TRIPLES, 15)
+    )
+    trips = ", ".join(
+        f"{_sel_triple_cost_sql(m)} AS c{m}" for m in _SEL_TRIPLES
+    )
+    rows = []
+    for m in _SEL_PAIRS:
+        rows.append(f"SELECT '{_sel_label(m)}' AS subset, 2 AS n_rels,"
+                    f" e{m} AS est_rows, e{m} AS dp_cost,"
+                    " c15, ex FROM dp")
+    for m in _SEL_TRIPLES:
+        rows.append(f"SELECT '{_sel_label(m)}', 3, e{m}, c{m}, c15, ex FROM dp")
+    rows.append(f"SELECT '{_sel_label(15)}', 4, e15, c15, c15, ex FROM dp")
+    body = " UNION ALL ".join(rows)
+    return f"""
+    WITH stats AS (
+        SELECT (SELECT CAST(count(*) AS DOUBLE) FROM region) AS n_r,
+               (SELECT CAST(count(DISTINCT r_regionkey) AS DOUBLE) FROM region) AS d_rr,
+               (SELECT CAST(count(*) AS DOUBLE) FROM nation) AS n_n,
+               (SELECT CAST(count(DISTINCT n_regionkey) AS DOUBLE) FROM nation) AS d_nr,
+               (SELECT CAST(count(DISTINCT n_nationkey) AS DOUBLE) FROM nation) AS d_nn,
+               (SELECT CAST(count(*) AS DOUBLE) FROM customer) AS n_c,
+               (SELECT CAST(count(DISTINCT c_nationkey) AS DOUBLE) FROM customer) AS d_cn,
+               (SELECT CAST(count(DISTINCT c_custkey) AS DOUBLE) FROM customer) AS d_cc,
+               (SELECT CAST(count(*) AS DOUBLE) FROM orders) AS n_o,
+               (SELECT CAST(count(DISTINCT o_custkey) AS DOUBLE) FROM orders) AS d_oc
+    ),
+    est AS (SELECT {ests} FROM stats),
+    dp1 AS (SELECT *, {trips} FROM est),
+    dp AS (SELECT *, {_SEL_C15_SQL} AS c15, {_SEL_EXHAUSTIVE_SQL} AS ex
+           FROM dp1)
+    SELECT subset, CAST(n_rels AS BIGINT) AS n_rels, est_rows, dp_cost,
+           c15 AS dp_optimum, ex AS exhaustive_optimum,
+           c15 = ex AS dp_matches_exhaustive
+    FROM ({body})
+    ORDER BY n_rels, subset
+    """
+
+
+@register("q369_selinger_join_order", oracle=_q369_oracle())
+def q369_selinger_join_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selinger dynamic-programming join ordering over the FULL
+    4-relation subset lattice (region⋈nation⋈customer⋈orders chain) —
+    the lattice-complete sibling of q322's three hand-picked orders
+    (r10 verdict #5): every subset's System-R size estimate
+    (Π cards / Π max-NDV over internal edges; disconnected subsets
+    price as cross products), then the textbook recurrence
+    cost(S) = est(S) + min over splits [cost(S₁) + cost(S₂)]
+    including the bushy 2+2 splits, audited by an INDEPENDENT
+    exhaustive enumeration of all 12 distinct left-deep prefixes plus
+    the 3 bushy partitions — dp_matches_exhaustive is the contract
+    column (for 4 leaves every binary plan is left-deep or 2+2, so
+    equality is an identity the query VERIFIES rather than asserts).
+    All costs are integer cents of the same rounded estimates
+    (additions of pre-rounded BIGINTs — associativity-safe, so the
+    DP's (a+b)+c and the enumerator's c+(b+a) cannot drift an ulp
+    apart, and both engines agree bit-for-bit).
+
+    Scale: ten scalar statistics (exact NDVs here; q296's HLL NDVs at
+    100 TB), then pure arithmetic on a single row — the 2⁴ lattice is
+    16 expressions, not 16 scans. This is the optimizer-diagnostic
+    shape: run it BEFORE submitting a 4-way join to see whether
+    Catalyst's CBO order (q322's inspection) matches the DP optimum.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    stats = (
+        r.agg(
+            F.count(F.lit(1)).cast("double").alias("n_r"),
+            F.countDistinct("r_regionkey").cast("double").alias("d_rr"),
+        )
+        .crossJoin(
+            F.broadcast(
+                n.agg(
+                    F.count(F.lit(1)).cast("double").alias("n_n"),
+                    F.countDistinct("n_regionkey").cast("double").alias("d_nr"),
+                    F.countDistinct("n_nationkey").cast("double").alias("d_nn"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                c.agg(
+                    F.count(F.lit(1)).cast("double").alias("n_c"),
+                    F.countDistinct("c_nationkey").cast("double").alias("d_cn"),
+                    F.countDistinct("c_custkey").cast("double").alias("d_cc"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                o.agg(
+                    F.count(F.lit(1)).cast("double").alias("n_o"),
+                    F.countDistinct("o_custkey").cast("double").alias("d_oc"),
+                )
+            )
+        )
+    )
+    est = stats.selectExpr(
+        *[
+            f"CAST(round({_sel_est_sql(m)}) AS BIGINT) AS e{m}"
+            for m in (*_SEL_PAIRS, *_SEL_TRIPLES, 15)
+        ]
+    )
+    dp1 = est.selectExpr(
+        "*", *[f"{_sel_triple_cost_sql(m)} AS c{m}" for m in _SEL_TRIPLES]
+    )
+    dp = dp1.selectExpr(
+        "*",
+        f"{_SEL_C15_SQL} AS c15",
+        f"{_SEL_EXHAUSTIVE_SQL} AS ex",
+    )
+
+    def _row(m: int, nrels: int, cost_sql: str):
+        return F.struct(
+            F.lit(_sel_label(m)).alias("subset"),
+            F.lit(nrels).cast("long").alias("n_rels"),
+            F.col(f"e{m}").alias("est_rows"),
+            F.expr(cost_sql).alias("dp_cost"),
+        )
+
+    rows = (
+        [_row(m, 2, f"e{m}") for m in _SEL_PAIRS]
+        + [_row(m, 3, f"c{m}") for m in _SEL_TRIPLES]
+        + [_row(15, 4, "c15")]
+    )
+    return (
+        dp.select(F.explode(F.array(*rows)).alias("s"), "c15", "ex")
+        .select(
+            "s.subset",
+            "s.n_rels",
+            "s.est_rows",
+            "s.dp_cost",
+            F.col("c15").alias("dp_optimum"),
+            F.col("ex").alias("exhaustive_optimum"),
+            (F.col("c15") == F.col("ex")).alias("dp_matches_exhaustive"),
+        )
+        .orderBy("n_rels", "subset")
+    )

@@ -469,3 +469,186 @@ def q271_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = _run_stream(spark, events, build, "complete")
     return out.orderBy("n_name")
+
+
+_FANIN_CHUNKS = 4
+_FANIN_WIN_US = 6 * 3600 * 1_000_000          # 6-hour tumbling windows
+_FANIN_JIT_A_US = 60_000_000                  # clicks: ≤88 min jitter
+_FANIN_JIT_B_US = 600_000_000                 # purchases: ≤5.5 days jitter
+_FANIN_DELAY_A_US = 3600 * 1_000_000          # withWatermark 1 hour
+_FANIN_DELAY_B_US = 12 * 3600 * 1_000_000     # withWatermark 12 hours
+
+
+@register(
+    "q370_stream_union_watermarks",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, event_type AS source, epoch_us(ts) AS ts_us,
+               CASE WHEN event_type = 'click'
+                    THEN epoch_us(ts) + (event_id % 89) * {_FANIN_JIT_A_US}
+                    ELSE epoch_us(ts) + (event_id % 797) * {_FANIN_JIT_B_US}
+               END AS ak,
+               CASE WHEN event_type = 'click'
+                    THEN {_FANIN_DELAY_A_US} ELSE {_FANIN_DELAY_B_US}
+               END AS delay
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    chunked AS (
+        SELECT event_id, source, ts_us, delay,
+               ntile({_FANIN_CHUNKS}) OVER (PARTITION BY source
+                                            ORDER BY ak, event_id) AS k
+        FROM ev
+    ),
+    srcwm AS MATERIALIZED (
+        -- per-source watermark after chunk k: cummax(event time seen
+        -- by THAT source's watermark node) - its own delay
+        SELECT source, k,
+               max(mx) OVER (PARTITION BY source
+                             ORDER BY k ROWS UNBOUNDED PRECEDING)
+                   - any_value(delay) AS wm_src
+        FROM (SELECT source, k, max(ts_us) AS mx, any_value(delay) AS delay
+              FROM chunked GROUP BY source, k)
+        GROUP BY source, k, delay, mx
+    ),
+    gwm AS MATERIALIZED (
+        -- the union's GLOBAL watermark = min over source nodes
+        -- (spark.sql.streaming.multipleWatermarkPolicy = min default)
+        SELECT k, min(wm_src) AS wm_after FROM srcwm GROUP BY k
+    ),
+    kept AS (
+        SELECT c.source, c.ts_us - c.ts_us % {_FANIN_WIN_US} AS win_start_us
+        FROM chunked c
+        LEFT JOIN gwm ON gwm.k = c.k - 1
+        WHERE gwm.wm_after IS NULL
+           OR (c.ts_us - c.ts_us % {_FANIN_WIN_US}) + {_FANIN_WIN_US}
+              > gwm.wm_after
+    ),
+    final_wm AS (SELECT wm_after FROM gwm WHERE k = {_FANIN_CHUNKS}),
+    kept_counts AS (
+        SELECT win_start_us, source, CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept
+        WHERE win_start_us + {_FANIN_WIN_US} <= (SELECT wm_after FROM final_wm)
+        GROUP BY win_start_us, source
+    ),
+    arrived AS (
+        SELECT ts_us - ts_us % {_FANIN_WIN_US} AS win_start_us, source,
+               CAST(count(*) AS BIGINT) AS n_arrived
+        FROM ev GROUP BY 1, 2
+    )
+    SELECT k.win_start_us, k.source, k.n_kept, a.n_arrived,
+           a.n_arrived - k.n_kept AS n_dropped
+    FROM kept_counts k JOIN arrived a USING (win_start_us, source)
+    ORDER BY win_start_us, source
+    """,
+)
+def q370_stream_union_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE WATERMARK FAN-IN, hash-gated (r10 verdict #6): two
+    file-source streams with genuinely different lateness profiles —
+    clicks nearly in-order (≤88 min jitter, 1-hour watermark) and
+    purchases wildly out-of-order (≤5.5 days jitter, 12-hour
+    watermark) — each carrying its OWN withWatermark, unioned
+    (unionByName) into one 6-hour windowed per-source rollup. This is
+    the real multi-topic ingest shape: Spark tracks one watermark per
+    source node and gates the union's stateful agg on their MINIMUM
+    (multipleWatermarkPolicy=min, the default), so the laggy source
+    holds windows open for the prompt one — exactly what the oracle
+    simulates chunk-by-chunk (per-source cummax − per-source delay,
+    global = min, rows judged against the post-previous-chunk global
+    watermark, only globally-closed windows emitted). Four arrival
+    chunks PER SOURCE run as availableNow restarts against one
+    durable checkpoint (q222's recovery loop, now with two sources
+    advancing independently); the output also carries the late-row
+    accounting in-band: n_arrived (batch truth) vs n_kept (stream
+    sink) vs n_dropped per (window, source).
+
+    Scale: state is |open windows| × |sources| — and the min policy
+    makes the LAGGIEST source the state bound, which is the actual
+    capacity lesson of multi-topic fan-in (a 5-day-late topic holds
+    5 days of windows for everyone; fixing it means per-source jobs
+    or a dropped-lateness SLA, q217's audit). Staging windows are
+    per-source ntiles (harness-only, the q222 exemption — production
+    chunks are the ingest files themselves).
+    """
+    events = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    ak = F.unix_micros("ts") + F.when(
+        F.col("event_type") == "click", (F.col("event_id") % 89) * _FANIN_JIT_A_US
+    ).otherwise((F.col("event_id") % 797) * _FANIN_JIT_B_US)
+    chunked = events.select(
+        "event_id", "event_type", "ts",
+        F.ntile(_FANIN_CHUNKS)
+        .over(Window.partitionBy("event_type").orderBy(ak.asc(), F.col("event_id")))
+        .alias("k"),
+    )
+    run = next(_RUN_IDS)
+    src_a = tempfile.mkdtemp(prefix=f"g_etl_fanin_a_{run}_")
+    src_b = tempfile.mkdtemp(prefix=f"g_etl_fanin_b_{run}_")
+    ckpt = tempfile.mkdtemp(prefix=f"g_etl_fanin_ckpt_{run}_")
+    sink = tempfile.mkdtemp(prefix=f"g_etl_fanin_sink_{run}_")
+    schema = "event_id long, ts timestamp"
+    try:
+        for k in range(1, _FANIN_CHUNKS + 1):
+            for etype, src in (("click", src_a), ("purchase", src_b)):
+                chunked.where(
+                    (F.col("k") == k) & (F.col("event_type") == etype)
+                ).select("event_id", "ts").coalesce(1).write.mode(
+                    "append"
+                ).parquet(src)
+            sa = (
+                sp.read_parquet_stream(
+                    spark, src_a, schema=schema, max_files_per_trigger=10_000
+                )
+                .withWatermark("ts", "1 hour")
+                .withColumn("source", F.lit("click"))
+            )
+            sb = (
+                sp.read_parquet_stream(
+                    spark, src_b, schema=schema, max_files_per_trigger=10_000
+                )
+                .withWatermark("ts", "12 hours")
+                .withColumn("source", F.lit("purchase"))
+            )
+            q = (
+                sa.unionByName(sb)
+                .groupBy(F.window("ts", "6 hours").alias("w"), "source")
+                .agg(F.count(F.lit(1)).alias("n_kept"))
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                q.awaitTermination(30)
+                raise RuntimeError("fan-in stream did not finish in 300s")
+        kept = spark.read.parquet(sink).select(
+            F.unix_micros("w.start").alias("win_start_us"),
+            "source",
+            F.col("n_kept").cast("long").alias("n_kept"),
+        )
+        arrived = events.groupBy(
+            (
+                F.unix_micros("ts") - F.unix_micros("ts") % _FANIN_WIN_US
+            ).alias("win_start_us"),
+            F.col("event_type").alias("source"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_arrived"))
+        out = (
+            kept.join(arrived, ["win_start_us", "source"])
+            .select(
+                "win_start_us",
+                "source",
+                "n_kept",
+                "n_arrived",
+                (F.col("n_arrived") - F.col("n_kept")).alias("n_dropped"),
+            )
+            .orderBy("win_start_us", "source")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src_a, ignore_errors=True)
+        shutil.rmtree(src_b, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)

@@ -4590,3 +4590,46 @@ def test_q368_weighted_jaccard_planted(spark, qs):
     # LSH recall on the reweighted pairs (J_w ~ 0.5-0.9): banding is
     # probabilistic, but the 4x2 S-curve should catch well over half
     assert found_rew >= 0.5 * len(n_by_doc)
+
+
+def test_q369_dp_matches_and_chain_wins(spark, qs):
+    """The DP optimum must equal the independent exhaustive
+    enumeration on every row; the chain order (region+nation first,
+    the smallest intermediate) must be on the optimal path; and the
+    cross-product pair (region+orders shares no key with nation) must
+    price above its connected siblings of the same tables' grain."""
+    rows = {r["subset"]: r for r in
+            qs["q369_selinger_join_order"](spark, SF_DIR).collect()}
+    assert len(rows) == 11
+    assert all(r["dp_matches_exhaustive"] for r in rows.values())
+    full = rows["region+nation+customer+orders"]
+    assert full["dp_cost"] == full["dp_optimum"]
+    # the chain DP optimum is exactly the sum of the chain's
+    # intermediates: (r⋈n) + (r⋈n⋈c) + final
+    chain = (
+        rows["region+nation"]["est_rows"]
+        + rows["region+nation+customer"]["est_rows"]
+        + full["est_rows"]
+    )
+    assert full["dp_optimum"] == chain
+    # disconnected subsets price as cross products
+    assert (
+        rows["region+orders"]["est_rows"]
+        >= rows["customer+orders"]["est_rows"]
+    )
+
+
+def test_q370_fanin_accounting(spark, qs):
+    """Late-row accounting is internally consistent: kept + dropped
+    == arrived per emitted (window, source); drops are non-vacuous
+    (the jittered purchase source genuinely loses late rows); the
+    near-in-order click source loses nothing (the 12h purchase
+    watermark holds the global min low, sheltering clicks)."""
+    rows = qs["q370_stream_union_watermarks"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_kept"] >= 1
+        assert r["n_dropped"] >= 0
+        assert r["n_kept"] + r["n_dropped"] == r["n_arrived"]
+    assert sum(r["n_dropped"] for r in rows) >= 1
+    assert sum(r["n_dropped"] for r in rows if r["source"] == "click") == 0
