@@ -4812,3 +4812,199 @@ def q368_weighted_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+def _q373_oracle() -> str:
+    """q373 oracle: full 8-hash signatures (the q52 machinery), the
+    2-bit truncated signatures (s mod 4), band-bucket candidates, and
+    the EXACT shingle-set Jaccard refine from distinct base-hash
+    sets — all agreement counts and set sizes are integers; the
+    membership gate is the integer compare 5·inter ≥ 2·union."""
+    sig_cols = ", ".join(
+        f"min((h * {a} + {b}) % {D.MINHASH_P}) AS s{i}"
+        for i, (a, b) in enumerate(D.MINHASH_SALTS)
+    )
+    even = "CASE b WHEN 0 THEN s0 WHEN 1 THEN s2 WHEN 2 THEN s4 ELSE s6 END"
+    odd = "CASE b WHEN 0 THEN s1 WHEN 1 THEN s3 WHEN 2 THEN s5 ELSE s7 END"
+    full = " + ".join(f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END"
+                      for i in range(8))
+    twob = " + ".join(
+        f"CASE WHEN sa.s{i} % 4 = sb.s{i} % 4 THEN 1 ELSE 0 END"
+        for i in range(8)
+    )
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    toks AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+    hashes AS (
+        SELECT doc_id, unnest(list_transform(
+                   range(0, greatest(len(t) - 2, 0)),
+                   i -> {_BASE_HASH_SQL})) AS h
+        FROM toks WHERE len(t) >= 3
+    ),
+    dh AS (SELECT DISTINCT doc_id, h FROM hashes),
+    dsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM dh
+            GROUP BY doc_id),
+    sig AS (SELECT doc_id, {sig_cols} FROM hashes GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, b AS band_idx,
+               md5(CAST(b AS VARCHAR) || '|' || CAST({even} AS VARCHAR)
+                   || '|' || CAST({odd} AS VARCHAR)) AS band
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)
+    ),
+    cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               count(*) AS n_shared_bands
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band = b.band
+                     AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, c.n_shared_bands,
+               CAST(count(*) AS BIGINT) AS i_sz
+        FROM cand c
+        JOIN dh da ON da.doc_id = c.id_a
+        JOIN dh db ON db.doc_id = c.id_b AND db.h = da.h
+        GROUP BY 1, 2, 3
+    )
+    SELECT i.id_a, i.id_b, i.n_shared_bands,
+           round(CAST(i.i_sz AS DOUBLE) / (za.sz + zb.sz - i.i_sz), 4)
+               AS jaccard_exact,
+           CAST({full} AS BIGINT) AS n_match_full,
+           CAST({twob} AS BIGINT) AS n_match_2bit,
+           round(({full}) / 8.0, 4) AS est_full,
+           round((({twob}) / 8.0 - 0.25) / 0.75, 4) AS est_2bit
+    FROM inter i
+    JOIN dsz za ON za.doc_id = i.id_a
+    JOIN dsz zb ON zb.doc_id = i.id_b
+    JOIN sig sa ON sa.doc_id = i.id_a
+    JOIN sig sb ON sb.doc_id = i.id_b
+    WHERE 5 * i.i_sz >= 2 * (za.sz + zb.sz - i.i_sz)
+    ORDER BY id_a, id_b
+    """
+
+
+@register("q373_bbit_minhash_accuracy", oracle=_q373_oracle())
+def q373_bbit_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-BIT MinHash accuracy audit (Li & König): storing only the
+    low b bits of each minhash cuts signature storage 32/b× — the
+    difference between a 100 TB dedup index that fits in RAM and one
+    that doesn't — at the cost of RANDOM COLLISIONS a correction
+    must remove: E[match] = C + (1−C)·J with C = 2^−b, so
+    Ĵ_b = (match_rate − ¼)/¾ at b = 2. This query measures that
+    tradeoff on the planted dup corpus: for every banded candidate
+    pair with exact shingle Jaccard ≥ 0.4, the full-signature
+    estimate (agreements/8), the 2-bit estimate with the Li-König
+    correction, and the exact Jaccard from distinct shingle-hash
+    sets — three columns the test compares for bias (the 2-bit
+    estimator must track exact J on the exact-copy pairs where
+    J = 1 and every truncated slot agrees).
+
+    Scale: the 2-bit signatures are derived map-side from the same
+    8-min agg q52/q368 already compute (s mod 4 — no extra hashing);
+    candidates are the Σ bucket² band join; the exact refine joins
+    distinct-hash sets only for candidates. At the 100 TB grain the
+    full signatures never materialize — the point of the audit is to
+    certify the 2-bit index BEFORE throwing the other 30 bits away.
+    """
+    corpus = _corpus(spark, sf_dir)
+    base = corpus.select(
+        "doc_id",
+        F.explode(
+            F.transform(D.shingles(F.col("text")), D.base_shingle_hash)
+        ).alias("h"),
+    )
+    dh = base.distinct()
+    dsz = dh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    sig = base.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % D.MINHASH_P).alias(f"s{i}")
+            for i, (a, b) in enumerate(D.MINHASH_SALTS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(b).cast("string"),
+                            F.col(f"s{2 * b}").cast("string"),
+                            F.col(f"s{2 * b + 1}").cast("string"),
+                        )
+                    ).alias("band"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band_idx", "bb.band")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("band_idx").alias("bia"),
+        F.col("band").alias("ba"),
+    )
+    b2 = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("band_idx").alias("bib"),
+        F.col("band").alias("bbv"),
+    )
+    cand = (
+        a.join(
+            b2,
+            (F.col("bia") == F.col("bib"))
+            & (F.col("ba") == F.col("bbv"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    da = dh.select(F.col("doc_id").alias("id_a"), "h")
+    db = dh.select(F.col("doc_id").alias("id_b2"), F.col("h").alias("h_b"))
+    inter = (
+        cand.join(da, "id_a")
+        .join(db, (F.col("id_b") == F.col("id_b2")) & (F.col("h") == F.col("h_b")))
+        .groupBy("id_a", "id_b", "n_shared_bands")
+        .agg(F.count(F.lit(1)).cast("long").alias("i_sz"))
+    )
+    za = dsz.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    zb = dsz.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"s{i}").alias(f"sa{i}") for i in range(8)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"s{i}").alias(f"sb{i}") for i in range(8)],
+    )
+    n_full = sum(
+        F.when(F.col(f"sa{i}") == F.col(f"sb{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    n_2bit = sum(
+        F.when(F.col(f"sa{i}") % 4 == F.col(f"sb{i}") % 4, 1).otherwise(0)
+        for i in range(8)
+    )
+    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("i_sz")
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(5 * F.col("i_sz") >= 2 * union_sz)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared_bands",
+            F.round(F.col("i_sz").cast("double") / union_sz, 4).alias(
+                "jaccard_exact"
+            ),
+            n_full.cast("long").alias("n_match_full"),
+            n_2bit.cast("long").alias("n_match_2bit"),
+            F.round(n_full / 8.0, 4).alias("est_full"),
+            F.round((n_2bit / 8.0 - 0.25) / 0.75, 4).alias("est_2bit"),
+        )
+        .orderBy("id_a", "id_b")
+    )

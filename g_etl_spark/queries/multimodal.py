@@ -10,7 +10,7 @@ the schema/batch contract is verified end-to-end, and a real decoder
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from g_etl_spark.operators import multimodal as M
 from g_etl_spark.queries import register
@@ -552,4 +552,119 @@ def q366_ahash_near_dups_2x32(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 1)
         .orderBy("id_a", "id_b")
+    )
+
+
+_VAD_SAMPLES = 256          # fake PCM length per payload (bounded)
+_VAD_FRAME = 16             # samples per frame
+_VAD_CUTOFF = 16000         # active frame: Σ(s−96)² below cutoff
+
+
+def _q374_oracle() -> str:
+    """q374 oracle: identical deterministic fake-PCM samples
+    (ascii stride-11 over the payload), integer frame energies,
+    the same activity cutoff, and gaps-and-islands segmentation via
+    frame_idx − row_number per doc — every quantity an integer."""
+    n = f"least(length(text), {_VAD_SAMPLES})"
+    return f"""
+    WITH pcm AS (
+        SELECT doc_id, k,
+               CAST(ascii(substr(text,
+                    CAST(k * 11 % greatest(length(text), 1) AS INT) + 1, 1))
+                    AS BIGINT) AS s
+        FROM (SELECT doc_id, text, unnest(range(0, {n})) AS k
+              FROM documents WHERE doc_id < 100)
+    ),
+    frames AS (
+        SELECT doc_id, k // {_VAD_FRAME} AS f,
+               CAST(sum((s - 96) * (s - 96)) AS BIGINT) AS energy
+        FROM pcm GROUP BY doc_id, k // {_VAD_FRAME}
+    ),
+    active AS (
+        SELECT doc_id, f, energy,
+               f - row_number() OVER (PARTITION BY doc_id ORDER BY f)
+                   AS island
+        FROM frames WHERE energy < {_VAD_CUTOFF}
+    ),
+    segs AS (
+        SELECT doc_id,
+               CAST(min(f) AS BIGINT) AS start_frame,
+               CAST(max(f) AS BIGINT) AS end_frame,
+               CAST(count(*) AS BIGINT) AS n_frames,
+               CAST(sum(energy) AS BIGINT) AS energy_sum
+        FROM active GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY start_frame) AS BIGINT) AS seg_idx,
+           start_frame, end_frame, n_frames, energy_sum
+    FROM segs
+    WHERE n_frames >= 2
+    ORDER BY doc_id, seg_idx
+    """
+
+
+@register("q374_audio_vad_segments", oracle=_q374_oracle())
+def q374_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation over the audio-shaped payload —
+    the canonical first step of every speech-data pipeline (silence
+    stripping before ASR/diarization), composed relationally: decode
+    PCM frames, score frame energy, threshold into active frames,
+    then gaps-and-islands (q213's device) merges consecutive active
+    frames into segments with start/end/duration/energy. The decode
+    is the container's honest fake (deterministic stride-11 ascii
+    samples from the payload — a real soundfile/ffmpeg read drops
+    into the same per-frame schema; the q71 stub pattern), so the
+    whole distributed contract — bounded fan-out per payload, integer
+    frame energies, per-doc island windows — is oracle-verified
+    end-to-end.
+
+    Scale: the fan-out is BOUNDED ({_VAD_SAMPLES} samples → 16 frames
+    per payload, never corpus-dependent); frame scoring is map-side
+    integer arithmetic; the island window partitions by doc_id (q243
+    contract — no global window); segments collapse 16× before any
+    exchange. At 100 TB the frames would come from mapInPandas over
+    binary chunks (q100's fan-out plumbing) with identical downstream
+    shapes.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pcm = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, least(length(text), {_VAD_SAMPLES}) - 1),"
+                " k -> named_struct('k', k, 's',"
+                " CAST(ascii(substr(text,"
+                " CAST(k * 11 % greatest(length(text), 1) AS INT) + 1, 1))"
+                " AS BIGINT)))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.k", "p.s")
+    frames = pcm.groupBy(
+        "doc_id", F.floor(F.col("k") / _VAD_FRAME).alias("f")
+    ).agg(
+        F.sum((F.col("s") - 96) * (F.col("s") - 96)).cast("long").alias("energy")
+    )
+    w = Window.partitionBy("doc_id").orderBy("f")
+    active = frames.filter(F.col("energy") < _VAD_CUTOFF).withColumn(
+        "island", F.col("f") - F.row_number().over(w)
+    )
+    segs = active.groupBy("doc_id", "island").agg(
+        F.min("f").cast("long").alias("start_frame"),
+        F.max("f").cast("long").alias("end_frame"),
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum("energy").cast("long").alias("energy_sum"),
+    )
+    ws = Window.partitionBy("doc_id").orderBy("start_frame")
+    return (
+        segs.filter(F.col("n_frames") >= 2)
+        .select(
+            "doc_id",
+            F.row_number().over(ws).cast("long").alias("seg_idx"),
+            "start_frame",
+            "end_frame",
+            "n_frames",
+            "energy_sum",
+        )
+        .orderBy("doc_id", "seg_idx")
     )

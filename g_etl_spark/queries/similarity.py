@@ -2806,3 +2806,196 @@ def q367_ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for nxt in outs[1:]:
         out = out.unionAll(nxt)
     return out.orderBy("nprobe")
+
+
+def _q371_oracle() -> str:
+    """q371 oracle: coarse assign (full-vector L2 argmin over the 8
+    fixed centroids, 9-rounded, cid tiebreak) → residual vectors →
+    per-subspace argmin over the 5-word residual codebook (zero word
+    + residuals of vecs 0-3), every per-vector distance nano-
+    quantized before corpus sums — q360's discipline, two stages
+    deep."""
+    dist64 = (
+        "round(list_aggregate(list_transform(range(1, 65),"
+        " i -> pow(CAST(e.embedding[i] AS DOUBLE) - cb.ce[i], 2)), 'sum'), 9)"
+    )
+    return f"""
+    WITH cb AS (
+        SELECT vec_id AS cid,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ce
+        FROM embeddings WHERE vec_id < 8
+    ),
+    coarse AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, cb.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {dist64}, cb.cid) AS rn
+            FROM embeddings e CROSS JOIN cb
+        ) WHERE rn = 1
+    ),
+    resid AS (
+        SELECT e.vec_id,
+               list_transform(range(1, 65),
+                   i -> CAST(e.embedding[i] AS DOUBLE) - cb.ce[i]) AS rx
+        FROM embeddings e
+        JOIN coarse ON coarse.vec_id = e.vec_id
+        JOIN cb ON cb.cid = coarse.cid
+    ),
+    rcb AS (
+        SELECT 0 AS w, list_transform(range(1, 65), i -> 0.0) AS rc
+        UNION ALL
+        SELECT vec_id + 1 AS w, rx AS rc FROM resid WHERE vec_id < 4
+    ),
+    cells AS (
+        SELECT r.vec_id, s.s, c.w,
+               round(list_aggregate(list_transform(range(1, 9),
+                     i -> pow(r.rx[s.s * 8 + i] - c.rc[s.s * 8 + i], 2)),
+                     'sum'), 9) AS dist,
+               round(list_aggregate(list_transform(range(1, 9),
+                     i -> pow(r.rx[s.s * 8 + i], 2)), 'sum'), 9) AS cdist
+        FROM resid r
+        CROSS JOIN rcb c
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS s) s
+    ),
+    best AS (
+        SELECT vec_id, s,
+               CAST(round(dist * 1e9) AS BIGINT) AS rq_nano,
+               CAST(round(cdist * 1e9) AS BIGINT) AS coarse_nano
+        FROM (SELECT vec_id, s, dist, cdist,
+                     row_number() OVER (PARTITION BY vec_id, s
+                                        ORDER BY dist, w) AS rn
+              FROM cells)
+        WHERE rn = 1
+    )
+    SELECT CAST(s AS BIGINT) AS subspace,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(sum(coarse_nano) AS DOUBLE) / count(*) / 1e9, 6)
+               AS mse_coarse,
+           round(CAST(sum(rq_nano) AS DOUBLE) / count(*) / 1e9, 6) AS mse_rq,
+           round(CAST(sum(rq_nano) AS DOUBLE)
+                 / greatest(CAST(sum(coarse_nano) AS DOUBLE), 1e-9), 4)
+               AS rq_ratio
+    FROM best GROUP BY s
+    ORDER BY subspace
+    """
+
+
+@register("q371_residual_quantization", oracle=_q371_oracle())
+def q371_residual_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL quantization (RQ) distortion audit — the two-stage
+    compression between q108's coarse IVF and q162/q360's one-shot PQ
+    (FAISS IVF-PQ encodes exactly this: PQ runs on the RESIDUAL
+    x − centroid, whose energy is far below the raw vector's, so the
+    same code bits buy more precision): stage 1 assigns each vector
+    to its nearest of 8 coarse centroids (full-vector L2, the q360
+    rounding discipline), stage 2 product-quantizes the residual per
+    8-dim subspace against a 5-word residual codebook that INCLUDES
+    THE ZERO WORD — so stage 2 can never do worse than coarse-only
+    (rq_ratio ≤ 1 is a structural guarantee, pinned by test, because
+    picking the zero word keeps the coarse reconstruction). Output:
+    per-subspace residual energy before (mse_coarse) and after
+    (mse_rq) the residual code, and their ratio — read beside q360's
+    distortion_ratio, this is the measured answer to 'does the
+    residual stage pay for its extra code byte?'.
+
+    Scale: both codebooks broadcast (8 + 5 rows); assignment and
+    residual arithmetic are map-side JVM slice/zip_with; the audit
+    collapses to 8 subspace cells before any exchange — identical
+    economics to q360 with one more broadcast fan-out.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cast_d = lambda col: F.transform(col, lambda v: v.cast("double"))  # noqa: E731
+    cb = F.broadcast(
+        e.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cid"), cast_d(F.col("embedding")).alias("ce")
+        )
+    )
+    x = e.select("vec_id", cast_d(F.col("embedding")).alias("x"))
+    d64 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("x"), F.col("ce"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        9,
+    )
+    coarse = (
+        x.crossJoin(cb)
+        .select("vec_id", "cid", d64.alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid"))["cid"].alias("cid"))
+    )
+    resid = (
+        x.join(coarse, "vec_id")
+        .join(cb, "cid")
+        .select(
+            "vec_id",
+            F.zip_with(F.col("x"), F.col("ce"), lambda a, b: a - b).alias("rx"),
+        )
+        .localCheckpoint()
+    )
+    zero_word = resid.sparkSession.range(1).select(
+        F.lit(0).cast("long").alias("w"),
+        F.array_repeat(F.lit(0.0), 64).alias("rc"),
+    )
+    rcb = F.broadcast(
+        zero_word.unionByName(
+            resid.filter(F.col("vec_id") < 4).select(
+                (F.col("vec_id") + 1).alias("w"), F.col("rx").alias("rc")
+            )
+        )
+    )
+    subs = F.broadcast(
+        resid.sparkSession.range(0, 8).select(F.col("id").cast("int").alias("s"))
+    )
+    j = resid.crossJoin(rcb).crossJoin(subs)
+    rslice = F.slice(F.col("rx"), F.col("s") * 8 + 1, 8)
+    cslice = F.slice(F.col("rc"), F.col("s") * 8 + 1, 8)
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(rslice, cslice, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        9,
+    )
+    cdist = F.round(
+        F.aggregate(
+            F.transform(rslice, lambda a: a * a), F.lit(0.0), lambda acc, t: acc + t
+        ),
+        9,
+    )
+    best = (
+        j.select("vec_id", "s", "w", dist.alias("dist"), cdist.alias("cdist"))
+        .groupBy("vec_id", "s")
+        .agg(
+            F.round(F.min(F.struct("dist", "w"))["dist"] * 1e9, 0)
+            .cast("long")
+            .alias("rq_nano"),
+            F.round(F.max("cdist") * 1e9, 0).cast("long").alias("coarse_nano"),
+        )
+    )
+    return (
+        best.groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("coarse_nano").cast("long").alias("c_sum"),
+            F.sum("rq_nano").cast("long").alias("r_sum"),
+        )
+        .select(
+            F.col("s").cast("long").alias("subspace"),
+            "n_vecs",
+            F.round(F.col("c_sum").cast("double") / F.col("n_vecs") / 1e9, 6).alias(
+                "mse_coarse"
+            ),
+            F.round(F.col("r_sum").cast("double") / F.col("n_vecs") / 1e9, 6).alias(
+                "mse_rq"
+            ),
+            F.round(
+                F.col("r_sum").cast("double")
+                / F.greatest(F.col("c_sum").cast("double"), F.lit(1e-9)),
+                4,
+            ).alias("rq_ratio"),
+        )
+        .orderBy("subspace")
+    )

@@ -4349,3 +4349,151 @@ def q363_source_loo_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("removal_delta"), "source")
     )
+
+
+_DSIR_BUCKETS = 256
+
+
+def _q372_oracle() -> str:
+    """q372 oracle: the same hashed-unigram importance weights —
+    md5-bucketed tokens, add-one-smoothed target (lang='en') and
+    overall models, per-bucket log-ratios rounded to micro-nats
+    BEFORE the per-doc tf-weighted integer sum (q330's quantization
+    discipline, so engine-order and libm ulps cannot differ)."""
+    b = _DSIR_BUCKETS
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source,
+               CAST(CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT)
+                    AS BIGINT) % {b} AS bkt
+        FROM (SELECT doc_id, lang, source,
+                     unnest(list_filter({_TOKS}, t -> length(t) > 0)) AS tok
+              FROM documents)
+    ),
+    doc_tf AS (
+        SELECT doc_id, lang, source, bkt, count(*) AS tf
+        FROM toks GROUP BY doc_id, lang, source, bkt
+    ),
+    all_model AS (SELECT bkt, count(*) AS c_a FROM toks GROUP BY bkt),
+    t_model AS (
+        SELECT bkt, count(*) AS c_t FROM toks WHERE lang = 'en' GROUP BY bkt
+    ),
+    totals AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_t
+        FROM toks
+    ),
+    model AS (
+        SELECT a.bkt,
+               CAST(round(ln((coalesce(t.c_t, 0) + 1.0) / (tt.n_t + {b}))
+                          * 1e6) AS BIGINT) AS lt_micro,
+               CAST(round(ln((a.c_a + 1.0) / (tt.n_a + {b}))
+                          * 1e6) AS BIGINT) AS la_micro
+        FROM all_model a
+        LEFT JOIN t_model t USING (bkt)
+        CROSS JOIN totals tt
+    )
+    SELECT d.doc_id, any_value(d.lang) AS lang, any_value(d.source) AS source,
+           CAST(sum(d.tf) AS BIGINT) AS n_toks,
+           CAST(sum(d.tf * (m.lt_micro - m.la_micro)) AS BIGINT)
+               AS logw_micro,
+           CAST(sum(d.tf * (m.lt_micro - m.la_micro)) AS BIGINT) > 0 AS keep
+    FROM doc_tf d JOIN model m USING (bkt)
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """
+
+
+@register("q372_dsir_importance_weights", oracle=_q372_oracle())
+def q372_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection with importance resampling (Xie et
+    al.): score every document by how much more likely its tokens are
+    under a TARGET distribution (here the lang='en' slice — in
+    production, a high-quality seed corpus) than under the overall
+    raw distribution, using HASHED unigram models — the device that
+    makes the estimator corpus-size-independent: tokens hash into
+    {_DSIR_BUCKETS} md5 buckets, both models are bucket-count vectors
+    with add-one smoothing, and the per-doc log importance weight is
+    Σ_b tf(b)·(ln p_target(b) − ln p_raw(b)). Log-ratios are rounded
+    to integer MICRO-NATS per bucket before the tf-weighted sum, so
+    the weight is an exact integer in both engines (q330's
+    discipline). `keep` is the zero-threshold selection the resampler
+    would apply; the weight column feeds q84/q355's samplers for a
+    rate-controlled selection.
+
+    Scale: the model is a {_DSIR_BUCKETS}-row relation (CONSTANT-
+    bounded — that is DSIR's point: the target model never grows with
+    the corpus); the per-doc sum is one equi-join on the hashed
+    bucket and a doc-grain agg — map-side combinable, no window, no
+    corpus shuffle beyond the tf rollup it shares with every text
+    query.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    toks = F.split(F.lower(F.trim(F.col("text"))), T.TOKEN_SPLIT)
+    tok_rows = (
+        d.select("doc_id", "lang", "source", F.explode(toks).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+                % _DSIR_BUCKETS
+            ).alias("bkt"),
+        )
+    )
+    doc_tf = tok_rows.groupBy("doc_id", "lang", "source", "bkt").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    all_model = tok_rows.groupBy("bkt").agg(F.count(F.lit(1)).alias("c_a"))
+    t_model = (
+        tok_rows.filter(F.col("lang") == "en")
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    totals = tok_rows.agg(
+        F.count(F.lit(1)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("n_t"),
+    )
+    model = (
+        all_model.join(t_model, "bkt", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bkt",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1.0)
+                    / (F.col("n_t") + _DSIR_BUCKETS)
+                )
+                * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("lt_micro"),
+            F.round(
+                F.log((F.col("c_a") + 1.0) / (F.col("n_a") + _DSIR_BUCKETS)) * 1e6,
+                0,
+            )
+            .cast("long")
+            .alias("la_micro"),
+        )
+    )
+    logw = F.sum(
+        F.col("tf") * (F.col("lt_micro") - F.col("la_micro"))
+    ).cast("long")
+    return (
+        doc_tf.join(model, "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value(F.col("lang")).alias("lang"),
+            F.any_value(F.col("source")).alias("source"),
+            F.sum("tf").cast("long").alias("n_toks"),
+            logw.alias("logw_micro"),
+            (logw > 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

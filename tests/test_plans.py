@@ -4633,3 +4633,73 @@ def test_q370_fanin_accounting(spark, qs):
         assert r["n_kept"] + r["n_dropped"] == r["n_arrived"]
     assert sum(r["n_dropped"] for r in rows) >= 1
     assert sum(r["n_dropped"] for r in rows if r["source"] == "click") == 0
+
+
+def test_q371_rq_never_worse_than_coarse(spark, qs):
+    """The residual codebook includes the zero word, so the RQ stage
+    can never lose to coarse-only reconstruction: mse_rq <= mse_coarse
+    and rq_ratio <= 1 on every subspace; 8 subspaces present."""
+    rows = qs["q371_residual_quantization"](spark, SF_DIR).collect()
+    assert [r["subspace"] for r in rows] == list(range(8))
+    for r in rows:
+        assert r["mse_rq"] <= r["mse_coarse"] + 1e-9
+        assert r["rq_ratio"] <= 1.0 + 1e-9
+        assert r["mse_coarse"] >= 0.0 and r["mse_rq"] >= 0.0
+
+
+def test_q372_dsir_targets_score_higher(spark, qs):
+    """Directional contract: target-language (en) documents must
+    carry a higher mean importance weight than every other language,
+    and keep must be exactly the logw > 0 threshold."""
+    rows = qs["q372_dsir_importance_weights"](spark, SF_DIR).collect()
+    by_lang = {}
+    for r in rows:
+        assert r["keep"] == (r["logw_micro"] > 0)
+        assert r["n_toks"] >= 1
+        by_lang.setdefault(r["lang"], []).append(r["logw_micro"])
+    assert "en" in by_lang
+    en_mean = sum(by_lang["en"]) / len(by_lang["en"])
+    for lang, ws in by_lang.items():
+        if lang != "en":
+            assert en_mean > sum(ws) / len(ws), lang
+
+
+def test_q373_bbit_exact_on_copies(spark, qs):
+    """Exact-copy pairs have identical signatures: every slot agrees
+    at full width AND at 2 bits, so both estimators read exactly 1.0
+    where exact Jaccard is 1.0; everywhere the corrected 2-bit
+    estimate stays in its algebraic range [-1/3, 1]."""
+    rows = qs["q373_bbit_minhash_accuracy"](spark, SF_DIR).collect()
+    assert rows
+    exact_pairs = [r for r in rows if r["id_b"] - r["id_a"] == 2000000]
+    assert exact_pairs
+    for r in exact_pairs:
+        assert r["jaccard_exact"] == 1.0
+        assert r["n_match_full"] == 8
+        assert r["n_match_2bit"] == 8
+        assert r["est_full"] == 1.0
+        assert r["est_2bit"] == 1.0
+    for r in rows:
+        assert r["n_match_2bit"] >= r["n_match_full"]  # truncation only adds collisions
+        assert -0.3334 <= r["est_2bit"] <= 1.0001
+
+
+def test_q374_vad_segments_well_formed(spark, qs):
+    """Islands are maximal runs: n_frames == end − start + 1, frames
+    stay inside the bounded 16-frame fan-out, seg_idx is dense from
+    1, and consecutive segments per doc do not touch (a gap of at
+    least one inactive frame separates them — else they'd be one
+    island)."""
+    rows = qs["q374_audio_vad_segments"](spark, SF_DIR).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        assert r["n_frames"] == r["end_frame"] - r["start_frame"] + 1
+        assert 0 <= r["start_frame"] <= r["end_frame"] < 16
+        assert r["energy_sum"] >= 0
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for segs in by_doc.values():
+        segs.sort(key=lambda r: r["seg_idx"])
+        assert [s["seg_idx"] for s in segs] == list(range(1, len(segs) + 1))
+        for prev, nxt in zip(segs, segs[1:]):
+            assert nxt["start_frame"] > prev["end_frame"] + 1
