@@ -5008,3 +5008,185 @@ def q373_bbit_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+def _q375_oracle() -> str:
+    """q375 oracle: q137's md5 id-hash split over the planted dup
+    corpus, q52's signature/band machinery run once, BIPARTITE
+    train×eval band join (never train×train), exact shingle-set
+    Jaccard refine gated as the integer compare 10·inter ≥ 7·union."""
+    sig_cols = ", ".join(
+        f"min((h * {a} + {b}) % {D.MINHASH_P}) AS s{i}"
+        for i, (a, b) in enumerate(D.MINHASH_SALTS)
+    )
+    even = "CASE b WHEN 0 THEN s0 WHEN 1 THEN s2 WHEN 2 THEN s4 ELSE s6 END"
+    odd = "CASE b WHEN 0 THEN s1 WHEN 1 THEN s3 WHEN 2 THEN s5 ELSE s7 END"
+    split = (
+        "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)"
+        " AS UBIGINT) AS BIGINT) % 10"
+    )
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sides AS (
+        SELECT doc_id, text,
+               CASE WHEN {split} < 8 THEN 'train' ELSE 'eval' END AS side
+        FROM corpus
+    ),
+    toks AS (SELECT doc_id, side, {_TOKS} AS t FROM sides),
+    hashes AS (
+        SELECT doc_id, side, unnest(list_transform(
+                   range(0, greatest(len(t) - 2, 0)),
+                   i -> {_BASE_HASH_SQL})) AS h
+        FROM toks WHERE len(t) >= 3
+    ),
+    dh AS (SELECT DISTINCT doc_id, h FROM hashes),
+    dsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM dh
+            GROUP BY doc_id),
+    sig AS (SELECT doc_id, any_value(side) AS side, {sig_cols}
+            FROM hashes GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, side, b AS band_idx,
+               md5(CAST(b AS VARCHAR) || '|' || CAST({even} AS VARCHAR)
+                   || '|' || CAST({odd} AS VARCHAR)) AS band
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)
+    ),
+    cand AS (
+        SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+               count(*) AS n_shared_bands
+        FROM bands e
+        JOIN bands t ON e.band_idx = t.band_idx AND e.band = t.band
+        WHERE e.side = 'eval' AND t.side = 'train'
+        GROUP BY 1, 2
+    ),
+    inter AS (
+        SELECT c.eval_id, c.train_id, c.n_shared_bands,
+               CAST(count(*) AS BIGINT) AS i_sz
+        FROM cand c
+        JOIN dh de ON de.doc_id = c.eval_id
+        JOIN dh dt ON dt.doc_id = c.train_id AND dt.h = de.h
+        GROUP BY 1, 2, 3
+    )
+    SELECT i.eval_id, i.train_id, i.n_shared_bands,
+           round(CAST(i.i_sz AS DOUBLE) / (ze.sz + zt.sz - i.i_sz), 4)
+               AS jaccard
+    FROM inter i
+    JOIN dsz ze ON ze.doc_id = i.eval_id
+    JOIN dsz zt ON zt.doc_id = i.train_id
+    WHERE 10 * i.i_sz >= 7 * (ze.sz + zt.sz - i.i_sz)
+    ORDER BY eval_id, train_id
+    """
+
+
+@register("q375_fuzzy_decontamination", oracle=_q375_oracle())
+def q375_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY train/eval decontamination — the near-duplicate closure
+    of q75's exact-bigram check (GPT-3's 13-gram exact match misses
+    re-wrapped or truncated eval leaks; production decontamination —
+    The Pile, Llama — runs MinHash between splits): q137's id-hash
+    split lands the planted dup families on BOTH sides (the leakage
+    q286 measured at 39% of clusters), and a BIPARTITE MinHash-LSH
+    band join (eval side × train side — never train×train, the index
+    side a real run would precompute and keep standing) surfaces
+    every eval document whose shingle-set Jaccard with some train
+    document is ≥ 0.7, with the exact-refine gate as pure integer
+    arithmetic (10·inter ≥ 7·union). Output = the contamination
+    manifest: (eval_id, train_id, shared bands, exact Jaccard) —
+    exactly what gets quarantined before an evaluation is trusted.
+
+    Scale: signatures and bands are computed ONCE over the corpus
+    (map-side min-aggs); the bipartite band join is Σ (train-bucket ×
+    eval-bucket), strictly smaller than the self-join's Σ bucket²;
+    the refine joins distinct-hash sets only for cross-split
+    candidates. The standing-index variant (q159's shape) lets daily
+    eval drops re-check in O(|eval|) without touching train again.
+    """
+    corpus = _corpus(spark, sf_dir)
+    side = F.when(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+        < 8,
+        F.lit("train"),
+    ).otherwise(F.lit("eval"))
+    sides = corpus.select("doc_id", "text", side.alias("side"))
+    base = sides.select(
+        "doc_id",
+        "side",
+        F.explode(
+            F.transform(D.shingles(F.col("text")), D.base_shingle_hash)
+        ).alias("h"),
+    )
+    dh = base.select("doc_id", "h").distinct()
+    dsz = dh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    sig = base.groupBy("doc_id").agg(
+        F.any_value(F.col("side")).alias("side"),
+        *[
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % D.MINHASH_P).alias(f"s{i}")
+            for i, (a, b) in enumerate(D.MINHASH_SALTS)
+        ],
+    )
+    bands = sig.select(
+        "doc_id",
+        "side",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(b).cast("string"),
+                            F.col(f"s{2 * b}").cast("string"),
+                            F.col(f"s{2 * b + 1}").cast("string"),
+                        )
+                    ).alias("band"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "side", "bb.band_idx", "bb.band")
+    ev = bands.filter(F.col("side") == "eval").select(
+        F.col("doc_id").alias("eval_id"),
+        F.col("band_idx").alias("bie"),
+        F.col("band").alias("be"),
+    )
+    tr = bands.filter(F.col("side") == "train").select(
+        F.col("doc_id").alias("train_id"),
+        F.col("band_idx").alias("bit"),
+        F.col("band").alias("bt"),
+    )
+    cand = (
+        ev.join(
+            tr,
+            (F.col("bie") == F.col("bit")) & (F.col("be") == F.col("bt")),
+        )
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    de = dh.select(F.col("doc_id").alias("eval_id"), "h")
+    dt = dh.select(F.col("doc_id").alias("train_id2"), F.col("h").alias("h_t"))
+    inter = (
+        cand.join(de, "eval_id")
+        .join(
+            dt,
+            (F.col("train_id") == F.col("train_id2"))
+            & (F.col("h") == F.col("h_t")),
+        )
+        .groupBy("eval_id", "train_id", "n_shared_bands")
+        .agg(F.count(F.lit(1)).cast("long").alias("i_sz"))
+    )
+    ze = dsz.select(F.col("doc_id").alias("eval_id"), F.col("sz").alias("sz_e"))
+    zt = dsz.select(F.col("doc_id").alias("train_id"), F.col("sz").alias("sz_t"))
+    union_sz = F.col("sz_e") + F.col("sz_t") - F.col("i_sz")
+    return (
+        inter.join(ze, "eval_id")
+        .join(zt, "train_id")
+        .filter(10 * F.col("i_sz") >= 7 * union_sz)
+        .select(
+            "eval_id",
+            "train_id",
+            "n_shared_bands",
+            F.round(F.col("i_sz").cast("double") / union_sz, 4).alias("jaccard"),
+        )
+        .orderBy("eval_id", "train_id")
+    )

@@ -1253,3 +1253,103 @@ def q299_zorder_scan_amplification(spark: SparkSession, sf_dir: str) -> DataFram
             4,
         ).alias("scan_amplification"),
     )
+
+
+# q376: bounding box around the KNN query point (57.7, 12.0) — sized
+# so the 20th neighbour provably lies inside (the test asserts pruned
+# == brute): the measured 20th-NN distance is 68.7 km at sf0.001 /
+# 18.7 km at sf0.01, while the nearest EXCLUDED region sits ≥89 km
+# away (east edge 1.5° lng ≈ 89 km at this latitude; north/south
+# 0.9° lat ≈ 100 km; the west edge is the data domain's lng floor —
+# no points exist beyond it). Polyfill only ADDS edge cells, so the
+# cell cover can never shrink the guarantee.
+_KNN_BOX_RING = [(11.0, 56.8), (13.5, 56.8), (13.5, 58.6),
+                 (11.0, 58.6), (11.0, 56.8)]
+
+
+def _knn_cells_sql_values() -> str:
+    cells = sorted(grid.polyfill(_KNN_BOX_RING, QUERY_POLY_RES))
+    return ", ".join(f"({c})" for c in cells)
+
+
+@register(
+    "q376_knn_grid_pruned",
+    oracle=f"""
+    WITH query_cells(q_cell) AS (VALUES {_knn_cells_sql_values()}),
+    indexed AS (
+        SELECT event_id, event_type,
+               {grid.cell_sql(LAT_SQL, LNG_SQL, QUERY_POLY_RES)} AS cell_id
+        FROM events
+    ),
+    cand AS (
+        SELECT i.event_id, i.event_type
+        FROM indexed i JOIN query_cells ON i.cell_id = q_cell
+    ),
+    sizes AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+               (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_total
+    )
+    SELECT c.event_id, c.event_type, {_HAVERSINE_SQL.replace("events", "cand")} AS dist_m,
+           s.n_candidates, s.n_total
+    FROM cand c CROSS JOIN sizes s
+    ORDER BY dist_m, event_id
+    LIMIT 20
+    """,
+)
+def q376_knn_grid_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-pruned spatial KNN — the 100 TB serving path q144's
+    docstring promises: instead of scanning every point, polyfill a
+    cell ring around the query point (driver-side, bounded — the
+    polygon family's J4 device), equi-join the broadcast cell set
+    against the grid index to get CANDIDATES, and haversine-rank only
+    those. The result rows are IDENTICAL to q144's brute top-20
+    (pinned by test), and the audit columns ride along in-band:
+    n_candidates vs n_total is the measured scan reduction the prune
+    bought (the box covers ~3.75% of the bbox — a ~27× cut). The box
+    is sized so the 20th neighbour provably lies inside (nearest
+    excluded region ≥89 km vs 68.7 km to the 20th hit at the sparsest
+    SF); a production server grows the ring and
+    re-queries when the k-th distance reaches the box edge — the
+    H3 ring-search loop, one iteration of which this is.
+
+    Scale: the cell set broadcasts (a few hundred longs); the
+    candidate join partition-prunes on the cell-partitioned layout
+    exactly like the polygon path (q21/q26); TakeOrdered runs on
+    candidates only. The brute q144 stays as the oracle baseline,
+    the same contract as q54/q61 and q345's probe-vs-scan split.
+    """
+    pts = _points(spark, sf_dir)
+    cells = sorted(grid.polyfill(_KNN_BOX_RING, QUERY_POLY_RES))
+    qc = spark.createDataFrame([(c,) for c in cells], "q_cell bigint")
+    indexed = pts.select(
+        "event_id",
+        "event_type",
+        "lat",
+        "lng",
+        grid.cell(F.col("lat"), F.col("lng"), QUERY_POLY_RES).alias("cell_id"),
+    )
+    cand = indexed.join(
+        F.broadcast(qc), indexed.cell_id == qc.q_cell, "inner"
+    )
+    sizes = cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    ).crossJoin(
+        F.broadcast(
+            pts.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+        )
+    )
+    dlat = F.radians((F.col("lat") - F.lit(57.7)) / 2)
+    dlng = F.radians((F.col("lng") - F.lit(12.0)) / 2)
+    h = (
+        F.pow(F.sin(dlat), 2)
+        + F.cos(F.radians(F.lit(57.7)))
+        * F.cos(F.radians(F.col("lat")))
+        * F.pow(F.sin(dlng), 2)
+    )
+    dist = F.round(2.0 * 6371000.0 * F.asin(F.sqrt(h)), 1)
+    return (
+        cand.select("event_id", "event_type", dist.alias("dist_m"))
+        .crossJoin(F.broadcast(sizes))
+        .orderBy("dist_m", "event_id")
+        .limit(20)
+    )

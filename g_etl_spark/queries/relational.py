@@ -8605,3 +8605,93 @@ def q369_selinger_join_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_rels", "subset")
     )
+
+
+_Q377_KEYS = (
+    ("event_type", "event_type"),
+    ("day", "CAST(ts AS DATE)"),
+    ("user_id", "user_id"),
+    ("user_id,day", "user_id || '|' || CAST(CAST(ts AS DATE) AS VARCHAR)"),
+    ("event_id", "event_id"),
+)
+
+
+def _q377_oracle() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT '{name}' AS group_key,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_rows,"
+        f" CAST(count(DISTINCT {expr}) AS BIGINT) AS ndv FROM events"
+        for name, expr in _Q377_KEYS
+    )
+    return f"""
+    SELECT group_key, n_rows, ndv,
+           round(CAST(n_rows AS DOUBLE) / ndv, 2) AS reduction_x,
+           n_rows >= 8 * ndv AS combine_pays
+    FROM ({rows})
+    ORDER BY group_key
+    """
+
+
+@register("q377_partial_agg_advisor", oracle=_q377_oracle())
+def q377_partial_agg_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-aggregation (map-side combine) ADVISOR — prices, per
+    candidate group-by key, how much a pre-shuffle partial aggregate
+    would collapse the exchange: reduction_x = rows/NDV is exactly
+    the expected rows-per-key a combiner merges before shuffling, and
+    combine_pays (the integer gate n ≥ 8·ndv) marks keys where the
+    partial agg is worth its hash-table CPU. The two failure modes
+    this catches are real at 100 TB: grouping by a near-unique key
+    (event_id: reduction 1× — the combiner hashes every row for
+    nothing, the case Spark's `spark.sql.aggregate.partialAggregation
+    SkipEnabled` adaptive skip exists for) and grouping by a low-NDV
+    key (event_type: reduction ≈ n/|types| — the exchange shrinks to
+    almost nothing, partial agg is mandatory). Completes the
+    engine-diagnostic family: q321 sizes partitions, q322/q369 order
+    joins, q328/q329/q340 audit selectivity estimates; this prices
+    the aggregation side.
+
+    Scale: one COUNT(DISTINCT) per candidate key (exact here —
+    q296's HLL NDV at 100 TB, where ±2% error cannot flip an 8×
+    gate) and a 5-row arithmetic readout; nothing touches more than
+    one scan per statistic.
+    """
+    e = load(spark, sf_dir, "events")
+    n_rows = e.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    key_cols = {
+        "event_type": F.col("event_type"),
+        "day": F.col("ts").cast("date"),
+        "user_id": F.col("user_id"),
+        "user_id,day": F.concat_ws(
+            "|", F.col("user_id").cast("string"),
+            F.col("ts").cast("date").cast("string"),
+        ),
+        "event_id": F.col("event_id"),
+    }
+    ndvs = e.agg(
+        *[
+            F.countDistinct(c).cast("long").alias(f"ndv_{i}")
+            for i, (_, c) in enumerate(sorted(key_cols.items()))
+        ]
+    )
+    names = [name for name, _ in sorted(key_cols.items())]
+    rows = n_rows.crossJoin(F.broadcast(ndvs)).select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(name).alias("group_key"),
+                    F.col("n_rows").alias("n_rows"),
+                    F.col(f"ndv_{i}").alias("ndv"),
+                )
+                for i, name in enumerate(names)
+            ])
+        ).alias("s")
+    )
+    return rows.select(
+        "s.group_key",
+        "s.n_rows",
+        "s.ndv",
+        F.round(F.col("s.n_rows").cast("double") / F.col("s.ndv"), 2).alias(
+            "reduction_x"
+        ),
+        (F.col("s.n_rows") >= 8 * F.col("s.ndv")).alias("combine_pays"),
+    ).orderBy("group_key")

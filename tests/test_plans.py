@@ -4703,3 +4703,54 @@ def test_q374_vad_segments_well_formed(spark, qs):
         assert [s["seg_idx"] for s in segs] == list(range(1, len(segs) + 1))
         for prev, nxt in zip(segs, segs[1:]):
             assert nxt["start_frame"] > prev["end_frame"] + 1
+
+
+def test_q375_decontamination_is_bipartite_and_finds_copies(spark, qs):
+    """Every reported pair must genuinely straddle the split (the
+    eval side is the id-hash >= 8 bucket, recomputed here), carry
+    jaccard >= 0.7, and the exact-copy leaks (jaccard == 1.0) must
+    be present — the planted families straddle the id-hash split."""
+    import hashlib
+
+    def side(doc_id: int) -> str:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        return "train" if h % 10 < 8 else "eval"
+
+    rows = qs["q375_fuzzy_decontamination"](spark, SF_DIR).collect()
+    assert rows
+    assert any(r["jaccard"] == 1.0 for r in rows)
+    for r in rows:
+        assert r["jaccard"] >= 0.7
+        assert side(r["eval_id"]) == "eval"
+        assert side(r["train_id"]) == "train"
+
+
+def test_q376_pruned_knn_equals_brute(spark, qs):
+    """The grid prune must be lossless: identical rows to q144's
+    full-scan top-20, while scanning a strict subset of the corpus."""
+    brute = [
+        (r["event_id"], r["event_type"], r["dist_m"])
+        for r in qs["q144_knn_haversine"](spark, SF_DIR).collect()
+    ]
+    pruned_rows = qs["q376_knn_grid_pruned"](spark, SF_DIR).collect()
+    pruned = [
+        (r["event_id"], r["event_type"], r["dist_m"]) for r in pruned_rows
+    ]
+    assert pruned == brute
+    for r in pruned_rows:
+        assert 20 <= r["n_candidates"] < r["n_total"]
+
+
+def test_q377_advisor_poles(spark, qs):
+    """The unique key prices at exactly 1x (combine never pays); the
+    |types|-grain key prices high (combine mandatory); NDV is always
+    bounded by the row count."""
+    rows = {r["group_key"]: r for r in
+            qs["q377_partial_agg_advisor"](spark, SF_DIR).collect()}
+    assert rows["event_id"]["reduction_x"] == 1.0
+    assert not rows["event_id"]["combine_pays"]
+    assert rows["event_type"]["combine_pays"]
+    assert rows["event_type"]["reduction_x"] > rows["user_id"]["reduction_x"]
+    for r in rows.values():
+        assert 1 <= r["ndv"] <= r["n_rows"]
+        assert r["combine_pays"] == (r["n_rows"] >= 8 * r["ndv"])
