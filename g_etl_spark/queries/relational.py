@@ -8616,6 +8616,48 @@ _Q377_KEYS = (
 )
 
 
+def _events_key_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared scaffold for the aggregation-pricing advisors (q377,
+    q378): one events scan → (group_key, n_rows, ndv) rows for the
+    five candidate group-by keys in `_Q377_KEYS`. All five exact
+    COUNT(DISTINCT)s ride one aggregate; the 1-row NDV frame fans
+    out against the scalar row count (both broadcast-bounded), then
+    explodes to a 5-row literal lattice — no corpus-grain exchange
+    beyond the distinct aggregation itself.
+    """
+    e = load(spark, sf_dir, "events")
+    n_rows = e.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    key_cols = {
+        "event_type": F.col("event_type"),
+        "day": F.col("ts").cast("date"),
+        "user_id": F.col("user_id"),
+        "user_id,day": F.concat_ws(
+            "|", F.col("user_id").cast("string"),
+            F.col("ts").cast("date").cast("string"),
+        ),
+        "event_id": F.col("event_id"),
+    }
+    ndvs = e.agg(
+        *[
+            F.countDistinct(c).cast("long").alias(f"ndv_{i}")
+            for i, (_, c) in enumerate(sorted(key_cols.items()))
+        ]
+    )
+    names = [name for name, _ in sorted(key_cols.items())]
+    return n_rows.crossJoin(F.broadcast(ndvs)).select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(name).alias("group_key"),
+                    F.col("n_rows").alias("n_rows"),
+                    F.col(f"ndv_{i}").alias("ndv"),
+                )
+                for i, name in enumerate(names)
+            ])
+        ).alias("s")
+    )
+
+
 def _q377_oracle() -> str:
     rows = " UNION ALL ".join(
         f"SELECT '{name}' AS group_key,"
@@ -8655,37 +8697,7 @@ def q377_partial_agg_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate) and a 5-row arithmetic readout; nothing touches more than
     one scan per statistic.
     """
-    e = load(spark, sf_dir, "events")
-    n_rows = e.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
-    key_cols = {
-        "event_type": F.col("event_type"),
-        "day": F.col("ts").cast("date"),
-        "user_id": F.col("user_id"),
-        "user_id,day": F.concat_ws(
-            "|", F.col("user_id").cast("string"),
-            F.col("ts").cast("date").cast("string"),
-        ),
-        "event_id": F.col("event_id"),
-    }
-    ndvs = e.agg(
-        *[
-            F.countDistinct(c).cast("long").alias(f"ndv_{i}")
-            for i, (_, c) in enumerate(sorted(key_cols.items()))
-        ]
-    )
-    names = [name for name, _ in sorted(key_cols.items())]
-    rows = n_rows.crossJoin(F.broadcast(ndvs)).select(
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(name).alias("group_key"),
-                    F.col("n_rows").alias("n_rows"),
-                    F.col(f"ndv_{i}").alias("ndv"),
-                )
-                for i, name in enumerate(names)
-            ])
-        ).alias("s")
-    )
+    rows = _events_key_cardinalities(spark, sf_dir)
     return rows.select(
         "s.group_key",
         "s.n_rows",
@@ -8695,3 +8707,497 @@ def q377_partial_agg_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("s.n_rows") >= 8 * F.col("s.ndv")).alias("combine_pays"),
     ).orderBy("group_key")
+
+
+def _q378_oracle() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT '{name}' AS group_key,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_rows,"
+        f" CAST(count(DISTINCT {expr}) AS BIGINT) AS ndv FROM events"
+        for name, expr in _Q377_KEYS
+    )
+    return f"""
+    SELECT group_key, n_rows, ndv,
+           round(ndv * 48 / 1048576.0, 3) AS hash_table_mb,
+           ndv * 48 > 64 * 1048576 AS hash_spills,
+           CAST(n_rows + ndv AS BIGINT) AS hash_cost,
+           CAST(n_rows * length(bin(n_rows - 1)) AS BIGINT) AS sort_cost,
+           CASE WHEN ndv * 48 > 64 * 1048576 THEN 'sort' ELSE 'hash' END
+               AS chosen
+    FROM ({rows})
+    ORDER BY group_key
+    """
+
+
+@register("q378_sort_vs_hash_agg_advisor", oracle=_q378_oracle())
+def q378_sort_vs_hash_agg_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-vs-hash aggregation strategy ADVISOR — the aggregation
+    twin of q322/q369's join-order pricing (the remaining
+    engine-diagnostic from NEXT.md's round-11 list). Per candidate
+    group-by key it prices both physical strategies from the same
+    two statistics q377 measures (rows, exact NDV):
+
+    - hash_cost  = n + ndv           (one probe per row, one entry
+      per group: HashAggregateExec's work when the table fits)
+    - sort_cost  = n * ceil(log2 n)  (comparison volume of the sort
+      SortAggregateExec needs first)
+    - hash_table_mb = ndv * 48B      (entry = key ptr + 2 agg slots
+      + bucket overhead) — when this exceeds the 64 MB per-task
+      budget the hash table spills and re-merges, and the advisor
+      flips to 'sort', exactly the case Spark itself handles with
+      ObjectHashAggregate → sort-based fallback.
+
+    ceil(log2 n) is computed INTEGER-EXACTLY as length(bin(n-1)) in
+    both engines (bit length of n-1) — a float log2 at an exact
+    power of two rounds differently per libm and would flip the
+    cost row (the q163 integer-digit lesson).
+
+    The 100 TB read: grouping by event_id (ndv ≈ n) prices a
+    ~45 GB hash table per task — hash_spills=true, sort wins (and
+    upstream, q377 already said to skip the partial agg); grouping
+    by event_type prices a 48-byte table — hash wins by n·(log2 n −
+    1) comparisons. The advisor's two gates are exactly the inputs
+    a 1000-executor job needs to pick `spark.sql.
+    objectHashAggregate.sortBased.fallbackThreshold`.
+
+    Scale: identical economics to q377 — one events scan carrying
+    all five exact NDVs, a broadcast scalar fan-out, and a 5-row
+    literal lattice; the pricing arithmetic never touches the
+    corpus again.
+    """
+    rows = _events_key_cardinalities(spark, sf_dir)
+    n, ndv = F.col("s.n_rows"), F.col("s.ndv")
+    spills = ndv * 48 > 64 * 1048576
+    return rows.select(
+        "s.group_key",
+        "s.n_rows",
+        "s.ndv",
+        F.round(ndv * 48 / F.lit(1048576.0), 3).alias("hash_table_mb"),
+        spills.alias("hash_spills"),
+        (n + ndv).cast("long").alias("hash_cost"),
+        (n * F.length(F.bin(n - 1))).cast("long").alias("sort_cost"),
+        F.when(spills, F.lit("sort")).otherwise(F.lit("hash")).alias("chosen"),
+    ).orderBy("group_key")
+
+
+@register(
+    "q380_bayesian_ab_posterior",
+    oracle="""
+    WITH conv AS (
+        SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+               count(DISTINCT user_id) AS n,
+               count(DISTINCT CASE WHEN event_type = 'purchase'
+                                   THEN user_id END) AS k
+        FROM events GROUP BY 1
+    ),
+    grid AS (SELECT unnest(generate_series(1, 100)) AS j),
+    w AS (
+        SELECT c.arm, g.j,
+               c.k * ln((2 * g.j - 1) / 200.0)
+               + (c.n - c.k) * ln(1.0 - (2 * g.j - 1) / 200.0) AS la
+        FROM conv c, grid g
+    ),
+    wn AS (
+        SELECT arm, j,
+               CAST(round(exp(la - max(la) OVER (PARTITION BY arm)) * 1e12)
+                    AS BIGINT) AS wn
+        FROM w
+    ),
+    cum AS (
+        SELECT arm, j, wn,
+               coalesce(sum(wn) OVER (PARTITION BY arm ORDER BY j
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS cum_lt
+        FROM wn
+    ),
+    tot AS (SELECT arm, sum(CAST(wn AS HUGEINT)) AS t FROM wn GROUP BY arm),
+    pairs AS (
+        SELECT a.arm,
+               sum(CAST(a.wn AS HUGEINT) * CAST(b.cum_lt AS HUGEINT)) AS num
+        FROM cum a JOIN cum b ON b.arm = 1 - a.arm AND b.j = a.j
+        GROUP BY a.arm
+    )
+    SELECT CASE WHEN c.arm = 0 THEN 'control' ELSE 'treat' END AS arm,
+           CAST(c.n AS BIGINT) AS n_users,
+           CAST(c.k AS BIGINT) AS k_conv,
+           round((c.k + 1.0) / (c.n + 2.0), 6) AS post_mean,
+           round(CAST(p.num AS DOUBLE)
+                 / (CAST(ta.t AS DOUBLE) * CAST(tb.t AS DOUBLE)),
+                 5) AS prob_beats_other
+    FROM conv c
+    JOIN pairs p ON p.arm = c.arm
+    JOIN tot ta ON ta.arm = c.arm
+    JOIN tot tb ON tb.arm = 1 - c.arm
+    ORDER BY arm
+    """,
+)
+def q380_bayesian_ab_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B readout — P(arm beats the other) under
+    independent Beta(k+1, n−k+1) conversion posteriors (uniform
+    prior), integrated DETERMINISTICALLY on a 100-point midpoint
+    grid instead of Monte Carlo, so the answer is reproducible and
+    oracle-checkable (no RNG anywhere — the q150 z-test's Bayesian
+    sibling; 'converted' = user has ≥1 purchase event, arms = the
+    same even/odd user split).
+
+    Numerical discipline (the q360 nano-quantization device): each
+    arm's posterior mass at grid point j is computed in log space,
+    max-shifted (softmax trick — no underflow for any n), then
+    quantized to INTEGER nanos wn = round(exp(la−max)·1e12). From
+    there every sum is integer-exact and summation-order-free
+    (Spark's partial aggs can merge in any order without drifting a
+    double), the cross-mass P(A>B) = Σ_j wnA_j·cumB_{<j} accumulates
+    in decimal(38,0)/HUGEINT (products ≤1e26 — exact), and only the
+    final ratio returns to double, rounded at 5 dp — ulp noise from
+    the two engines' ln/exp sits ~7 orders below the rounding grain.
+    Same-grid-cell mass is a tie and counts for neither arm, so
+    prob_control + prob_treat + P(tie) = 1.
+
+    Scale: one events scan collapses to a 2-row (arm, n, k) frame
+    map-side (countDistinct over the user grain is the only
+    exchange); the grid fan-out is 2×100 literal rows and every
+    window/join below it is bounded arithmetic — the corpus is
+    never touched again, identical economics at 100 TB.
+    """
+    e = load(spark, sf_dir, "events")
+    conv = e.groupBy(
+        (F.col("user_id") % 2).cast("long").alias("arm")
+    ).agg(
+        F.countDistinct("user_id").alias("n"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("k"),
+    )
+    grid = spark.range(1, 101).select(F.col("id").cast("int").alias("j"))
+    p = (2 * F.col("j") - 1) / F.lit(200.0)
+    w = conv.crossJoin(F.broadcast(grid)).select(
+        "arm",
+        "j",
+        "n",
+        "k",
+        (F.col("k") * F.log(p) + (F.col("n") - F.col("k")) * F.log(1.0 - p))
+        .alias("la"),
+    )
+    arm_w = Window.partitionBy("arm")
+    wn = w.select(
+        "arm",
+        "j",
+        F.round(F.exp(F.col("la") - F.max("la").over(arm_w)) * 1e12)
+        .cast("long")
+        .alias("wn"),
+    )
+    cum_w = (
+        Window.partitionBy("arm")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = wn.select(
+        "arm", "j", "wn",
+        F.coalesce(F.sum("wn").over(cum_w), F.lit(0)).alias("cum_lt"),
+    )
+    tot = cum.groupBy("arm").agg(
+        F.sum(F.col("wn").cast("decimal(38,0)")).alias("t")
+    )
+    other = cum.select(
+        (1 - F.col("arm")).alias("arm"),
+        F.col("j").alias("oj"),
+        F.col("cum_lt").alias("o_cum_lt"),
+    )
+    pairs = (
+        cum.join(other, (cum.arm == other.arm) & (cum.j == other.oj))
+        .groupBy(cum.arm)
+        .agg(
+            F.sum(
+                F.col("wn").cast("decimal(38,0)")
+                * F.col("o_cum_lt").cast("decimal(38,0)")
+            ).alias("num")
+        )
+    )
+    tot_other = tot.select(
+        (1 - F.col("arm")).alias("arm"), F.col("t").alias("t_other")
+    )
+    return (
+        conv.join(pairs, "arm")
+        .join(tot, "arm")
+        .join(tot_other, "arm")
+        .select(
+            F.when(F.col("arm") == 0, F.lit("control"))
+            .otherwise(F.lit("treat"))
+            .alias("arm"),
+            F.col("n").cast("long").alias("n_users"),
+            F.col("k").cast("long").alias("k_conv"),
+            F.round((F.col("k") + 1.0) / (F.col("n") + 2.0), 6).alias(
+                "post_mean"
+            ),
+            F.round(
+                F.col("num").cast("double")
+                / (F.col("t").cast("double") * F.col("t_other").cast("double")),
+                5,
+            ).alias("prob_beats_other"),
+        )
+        .orderBy("arm")
+    )
+
+
+_Q382_DP_LAYER = """
+    dp{t} AS (
+        SELECT j, cost, split FROM (
+            SELECT c.j, d.cost + c.sse AS cost, d.j AS split,
+                   row_number() OVER (PARTITION BY c.j
+                                      ORDER BY d.cost + c.sse, d.j) AS rn
+            FROM dp{p} d JOIN cost c ON c.i = d.j + 1
+        ) WHERE rn = 1
+    )"""
+
+
+_Q382_ORACLE = f"""
+    WITH vals AS (
+        SELECT CAST(round(value * 1e6) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    ext AS (SELECT min(v) AS lo, max(v) AS hi FROM vals),
+    binned AS (
+        SELECT least(15, ((v - lo) * 16) // (hi - lo + 1)) AS b
+             , v
+        FROM vals, ext
+    ),
+    micro AS (
+        SELECT b, count(*) AS c, sum(v) AS s,
+               sum(CAST(v AS HUGEINT) * v) AS q
+        FROM binned GROUP BY b
+    ),
+    dense AS (
+        SELECT g.b, coalesce(m.c, 0) AS c,
+               coalesce(m.s, 0) AS s, coalesce(m.q, 0) AS q
+        FROM (SELECT unnest(generate_series(0, 15)) AS b) g
+        LEFT JOIN micro m USING (b)
+    ),
+    pre AS (
+        SELECT b, sum(c) OVER (ORDER BY b) AS cc,
+               sum(s) OVER (ORDER BY b) AS cs,
+               sum(q) OVER (ORDER BY b) AS cq
+        FROM dense
+    ),
+    cost AS (
+        SELECT lo.i, pj.b AS j,
+               CAST(pj.cc - coalesce(pi.cc, 0) AS BIGINT) AS c,
+               CASE WHEN pj.cc - coalesce(pi.cc, 0) = 0 THEN 0.0
+                    ELSE CAST(pj.cq - coalesce(pi.cq, 0) AS DOUBLE)
+                         - CAST(pj.cs - coalesce(pi.cs, 0) AS DOUBLE)
+                           * CAST(pj.cs - coalesce(pi.cs, 0) AS DOUBLE)
+                           / CAST(pj.cc - coalesce(pi.cc, 0) AS DOUBLE)
+               END AS sse
+        FROM (SELECT unnest(generate_series(0, 15)) AS i) lo
+        JOIN pre pj ON pj.b >= lo.i
+        LEFT JOIN pre pi ON pi.b = lo.i - 1
+    ),
+    dp1 AS (SELECT j, sse AS cost, CAST(NULL AS BIGINT) AS split
+            FROM cost WHERE i = 0),
+    {_Q382_DP_LAYER.format(t=2, p=1)},
+    {_Q382_DP_LAYER.format(t=3, p=2)},
+    {_Q382_DP_LAYER.format(t=4, p=3)},
+    s3 AS (SELECT split AS e3, cost AS dp_total FROM dp4 WHERE j = 15),
+    s2 AS (SELECT dp3.split AS e2, s3.e3, s3.dp_total
+           FROM dp3, s3 WHERE dp3.j = s3.e3),
+    s1 AS (SELECT dp2.split AS e1, s2.e2, s2.e3, s2.dp_total
+           FROM dp2, s2 WHERE dp2.j = s2.e2),
+    eq AS (
+        SELECT sum(sse) AS ew_total FROM cost
+        WHERE (i, j) IN ((0, 3), (4, 7), (8, 11), (12, 15))
+    ),
+    buckets AS (
+        SELECT 1 AS bucket, 0 AS lo_bin, e1 AS hi_bin FROM s1
+        UNION ALL SELECT 2, e1 + 1, e2 FROM s1
+        UNION ALL SELECT 3, e2 + 1, e3 FROM s1
+        UNION ALL SELECT 4, e3 + 1, 15 FROM s1
+    )
+    SELECT CAST(b.bucket AS BIGINT) AS bucket,
+           CAST(b.lo_bin AS BIGINT) AS lo_bin,
+           CAST(b.hi_bin AS BIGINT) AS hi_bin,
+           c.c AS n_rows,
+           round(c.sse / 1e12, 4) AS bucket_sse,
+           round(s1.dp_total / 1e12, 4) AS dp_total_sse,
+           round(eq.ew_total / 1e12, 4) AS equiwidth_total_sse,
+           round(CASE WHEN eq.ew_total <= 0 THEN 0.0
+                      ELSE 100.0 * (1.0 - s1.dp_total / eq.ew_total)
+                 END, 2) AS gain_pct
+    FROM buckets b
+    JOIN cost c ON c.i = b.lo_bin AND c.j = b.hi_bin
+    CROSS JOIN s1 CROSS JOIN eq
+    ORDER BY bucket
+"""
+
+
+@register("q382_voptimal_histogram", oracle=_Q382_ORACLE)
+def q382_voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-OPTIMAL histogram construction (Jagadish et al., VLDB'98) —
+    the optimizer-statistics builder: partition the value domain
+    into B=4 buckets minimizing total within-bucket variance (SSE),
+    solved EXACTLY by dynamic programming over 16 equi-width
+    micro-bins, and priced against the plain equi-width-4 layout
+    (gain_pct — how much estimation error the optimal boundaries
+    remove). Completes the histogram family: q131/q189 build
+    equi-width/equi-depth, q340 audits equi-depth's selectivity
+    error; this one builds the ERROR-OPTIMAL histogram those are
+    approximations of.
+
+    Exactness discipline: values quantize to integer micro-nanos
+    (×1e6) at the scan, so every micro-bin moment (count, Σv, Σv²)
+    is an integer (decimal-38/HUGEINT — Σv² terms reach 1e18) and
+    the bin assignment uses INTEGER floor-division (both operands
+    nonnegative, so DuckDB `//` == Spark `div` — the q364 lesson).
+    Interval SSE = Q − S²/C then converts those exact integers to
+    double with identical IEEE arithmetic in both engines — no libm
+    anywhere — so the DP's argmin comparisons (ties → smaller
+    split) cannot fork. Reported SSEs rescale by 1e12 back to
+    value² units.
+
+    Scale: ONE corpus scan collapses map-side to ≤16 micro-bin
+    moment rows; the interval lattice (136 rows), three DP layers
+    (≤16 rows each), and the backtrack are literal-bounded joins —
+    the classic sketch-then-solve split: corpus work is mergeable
+    moments, the optimization runs on the sketch. B or N grow ×10
+    without touching the scan.
+    """
+    e = load(spark, sf_dir, "events")
+    vals = e.filter(F.col("value").isNotNull()).select(
+        F.round(F.col("value") * 1e6).cast("long").alias("v")
+    )
+    ext = vals.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    binned = vals.crossJoin(F.broadcast(ext)).select(
+        F.least(
+            F.lit(15),
+            F.expr("(v - lo) * 16 div (hi - lo + 1)"),
+        ).alias("b"),
+        "v",
+    )
+    v38 = F.col("v").cast("decimal(38,0)")
+    micro = binned.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(v38).alias("s"),
+        F.sum(v38 * v38).alias("q"),
+    )
+    bins = spark.range(0, 16).select(F.col("id").alias("b"))
+    zero = F.lit(0).cast("decimal(38,0)")
+    dense = bins.join(micro, "b", "left").select(
+        "b",
+        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        F.coalesce(F.col("s"), zero).alias("s"),
+        F.coalesce(F.col("q"), zero).alias("q"),
+    )
+    wp = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    pre = dense.select(
+        "b",
+        F.sum("c").over(wp).alias("cc"),
+        F.sum("s").over(wp).alias("cs"),
+        F.sum("q").over(wp).alias("cq"),
+    )
+    lo = spark.range(0, 16).select(F.col("id").alias("i"))
+    pi = pre.select(
+        F.col("b").alias("pb"),
+        F.col("cc").alias("pcc"),
+        F.col("cs").alias("pcs"),
+        F.col("cq").alias("pcq"),
+    )
+    iv = (
+        lo.join(pre, pre.b >= lo.i)
+        .join(pi, pi.pb == lo.i - 1, "left")
+        .select(
+            "i",
+            F.col("b").alias("j"),
+            (F.col("cc") - F.coalesce(F.col("pcc"), F.lit(0)))
+            .cast("long")
+            .alias("c"),
+            (F.col("cs") - F.coalesce(F.col("pcs"), zero))
+            .cast("double")
+            .alias("s"),
+            (F.col("cq") - F.coalesce(F.col("pcq"), zero))
+            .cast("double")
+            .alias("q"),
+        )
+    )
+    cost = iv.select(
+        "i",
+        "j",
+        "c",
+        F.when(F.col("c") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("q") - F.col("s") * F.col("s") / F.col("c").cast("double")
+        )
+        .alias("sse"),
+    ).localCheckpoint()
+
+    dp = cost.filter(F.col("i") == 0).select(
+        "j", F.col("sse").alias("cost"), F.lit(None).cast("long").alias("split")
+    )
+    nxt = cost.select(
+        F.col("i").alias("ni"), F.col("j").alias("nj"), F.col("sse").alias("nsse")
+    )
+    dp_frames: dict[int, DataFrame] = {}
+    for t in (2, 3, 4):
+        wr = Window.partitionBy("nj").orderBy(
+            (F.col("cost") + F.col("nsse")).asc(), F.col("j").asc()
+        )
+        dp = (
+            dp.join(nxt, F.col("ni") == F.col("j") + 1)
+            .withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("nj").alias("j"),
+                (F.col("cost") + F.col("nsse")).alias("cost"),
+                F.col("j").alias("split"),
+            )
+        )
+        dp_frames[t] = dp
+    dp4 = dp_frames[4].filter(F.col("j") == 15).select(
+        F.col("split").alias("e3"), F.col("cost").alias("dp_total")
+    )
+    s2 = dp4.join(dp_frames[3], dp_frames[3]["j"] == dp4["e3"]).select(
+        F.col("split").alias("e2"), "e3", "dp_total"
+    )
+    s1 = s2.join(dp_frames[2], dp_frames[2]["j"] == s2["e2"]).select(
+        F.col("split").alias("e1"), "e2", "e3", "dp_total"
+    )
+    eq = (
+        cost.filter(
+            ((F.col("i") == 0) & (F.col("j") == 3))
+            | ((F.col("i") == 4) & (F.col("j") == 7))
+            | ((F.col("i") == 8) & (F.col("j") == 11))
+            | ((F.col("i") == 12) & (F.col("j") == 15))
+        )
+        .agg(F.sum("sse").alias("ew_total"))
+    )
+    buckets = s1.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("bucket"), F.lit(0).cast("long").alias("lo_bin"), F.col("e1").alias("hi_bin")),
+                F.struct(F.lit(2).alias("bucket"), (F.col("e1") + 1).alias("lo_bin"), F.col("e2").alias("hi_bin")),
+                F.struct(F.lit(3).alias("bucket"), (F.col("e2") + 1).alias("lo_bin"), F.col("e3").alias("hi_bin")),
+                F.struct(F.lit(4).alias("bucket"), (F.col("e3") + 1).alias("lo_bin"), F.lit(15).cast("long").alias("hi_bin")),
+            )
+        ).alias("bk"),
+        "dp_total",
+    ).select("bk.*", "dp_total")
+    return (
+        buckets.join(
+            cost,
+            (cost.i == buckets.lo_bin) & (cost.j == buckets.hi_bin),
+        )
+        .crossJoin(eq)
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("lo_bin").cast("long").alias("lo_bin"),
+            F.col("hi_bin").cast("long").alias("hi_bin"),
+            F.col("c").alias("n_rows"),
+            F.round(F.col("sse") / 1e12, 4).alias("bucket_sse"),
+            F.round(F.col("dp_total") / 1e12, 4).alias("dp_total_sse"),
+            F.round(F.col("ew_total") / 1e12, 4).alias("equiwidth_total_sse"),
+            F.round(
+                F.when(F.col("ew_total") <= 0, F.lit(0.0)).otherwise(
+                    100.0 * (1.0 - F.col("dp_total") / F.col("ew_total"))
+                ),
+                2,
+            ).alias("gain_pct"),
+        )
+        .orderBy("bucket")
+    )

@@ -2999,3 +2999,255 @@ def q371_residual_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subspace")
     )
+
+
+def _q379_dist_cte(name: str, center_sel: str) -> str:
+    """One Gonzalez round's distance CTE: squared euclidean of every
+    vector to the single center row `center_sel` yields, rounded to
+    3 dp (the cross-engine comparison grain every argmax below
+    uses)."""
+    return f"""
+    {name} AS (
+        SELECT v.vec_id,
+               round(list_aggregate(list_transform(range(1, 65),
+                     i -> (v.x[i] - c.x[i]) * (v.x[i] - c.x[i])), 'sum'),
+                     3) AS d
+        FROM v JOIN v c ON c.vec_id = ({center_sel})
+    )"""
+
+
+_Q379_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+        FROM embeddings
+    ),
+    {_q379_dist_cte("d1", "SELECT 0")},
+    c2 AS (SELECT vec_id, d FROM d1 ORDER BY d DESC, vec_id LIMIT 1),
+    {_q379_dist_cte("d2", "SELECT vec_id FROM c2")},
+    m2 AS (SELECT d1.vec_id, least(d1.d, d2.d) AS d
+           FROM d1 JOIN d2 USING (vec_id)),
+    c3 AS (SELECT vec_id, d FROM m2 ORDER BY d DESC, vec_id LIMIT 1),
+    {_q379_dist_cte("d3", "SELECT vec_id FROM c3")},
+    m3 AS (SELECT m2.vec_id, least(m2.d, d3.d) AS d
+           FROM m2 JOIN d3 USING (vec_id)),
+    c4 AS (SELECT vec_id, d FROM m3 ORDER BY d DESC, vec_id LIMIT 1),
+    {_q379_dist_cte("d4", "SELECT vec_id FROM c4")},
+    m4 AS (SELECT m3.vec_id, least(m3.d, d4.d) AS d
+           FROM m3 JOIN d4 USING (vec_id))
+    SELECT step, center_id, sel_dist,
+           (SELECT round(max(d), 3) FROM m4) AS final_radius
+    FROM (
+        SELECT CAST(1 AS BIGINT) AS step, CAST(0 AS BIGINT) AS center_id,
+               CAST(0.0 AS DOUBLE) AS sel_dist
+        UNION ALL SELECT 2, (SELECT vec_id FROM c2), (SELECT d FROM c2)
+        UNION ALL SELECT 3, (SELECT vec_id FROM c3), (SELECT d FROM c3)
+        UNION ALL SELECT 4, (SELECT vec_id FROM c4), (SELECT d FROM c4)
+    )
+    ORDER BY step
+"""
+
+
+@register("q379_kcenter_coreset", oracle=_Q379_ORACLE)
+def q379_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gonzalez greedy k-center CORESET selection (k=4, seeded at
+    vec_id 0) — the max-diversity data-selection primitive: each
+    round picks the vector FARTHEST (squared euclidean, min over
+    the chosen set, ties to the smaller vec_id) from everything
+    selected so far, the classic 2-approximation to the k-center
+    optimum. The selected rows are the diversity coreset a training
+    pipeline seeds curriculum / active-learning batches with —
+    the complement of the near-dup family (q52/q54 drop redundancy;
+    this MAXIMIZES spread). final_radius is the k-center objective:
+    every corpus vector lies within it of some chosen center.
+
+    Per-round distances are rounded to 3 dp BEFORE the argmax and
+    min-fold in both engines — the same comparison-grain discipline
+    as q97/q135 — so the greedy trajectory cannot fork on libm
+    noise.
+
+    Scale: k map-side passes, each a fold over ≤k literal 64-d
+    vectors (no join, no shuffle); the argmax is orderBy+limit 1 =
+    TakeOrderedAndProject (per-partition max, driver merge of 32
+    rows). Driver state is k vectors + k ids — the same bounded
+    per-round fetch as _query_vector. Lineage is re-evaluated per
+    round (k·corpus map work, never materialized); at k beyond
+    ~16 you'd persist the running min column instead.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    seed = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    if seed is None:
+        return _empty(
+            spark,
+            "step bigint, center_id bigint, sel_dist double,"
+            " final_radius double",
+        )
+
+    cast_d = lambda col: F.transform(col, lambda x: x.cast("double"))  # noqa: E731
+
+    def dist2(center: list[float]):
+        arr = F.array(*[F.lit(c) for c in center])
+        return F.round(
+            F.aggregate(
+                F.zip_with(F.col("x"), arr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+            3,
+        )
+
+    vecs = e.select("vec_id", cast_d(F.col("embedding")).alias("x"))
+    centers = [[float(v) for v in seed[0]]]
+    chosen: list[tuple[int, int, float]] = [(1, 0, 0.0)]
+    df = vecs.withColumn("mind", dist2(centers[0]))
+    for step in (2, 3, 4):
+        top = df.orderBy(F.desc("mind"), F.asc("vec_id")).select(
+            "vec_id", "mind"
+        ).head()
+        if top is None:
+            break
+        crow = (
+            e.filter(F.col("vec_id") == int(top[0]))
+            .select("embedding")
+            .head()
+        )
+        centers.append([float(v) for v in crow[0]])
+        chosen.append((step, int(top[0]), float(top[1])))
+        df = df.withColumn("mind", F.least(F.col("mind"), dist2(centers[-1])))
+    radius = df.agg(F.round(F.max("mind"), 3).alias("r")).head()[0]
+    out = spark.createDataFrame(
+        [(s, c, d, float(radius)) for s, c, d in chosen],
+        "step bigint, center_id bigint, sel_dist double, final_radius double",
+    )
+    return out.orderBy("step")
+
+
+@register(
+    "q381_hard_negative_mining",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x,
+               sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                   AS nrm
+        FROM embeddings
+    ),
+    a AS (
+        SELECT vec_id AS a_id, label AS a_label, x AS ax, nrm AS anrm
+        FROM v WHERE vec_id < 10
+    ),
+    s AS (
+        SELECT a.a_id, a.a_label, v.vec_id, v.label,
+               round(list_aggregate(list_transform(range(1, 65),
+                     i -> v.x[i] * a.ax[i]), 'sum') / (v.nrm * a.anrm),
+                     3) AS cos
+        FROM v, a WHERE v.vec_id <> a.a_id
+    ),
+    pos AS (
+        SELECT a_id, vec_id, cos,
+               row_number() OVER (PARTITION BY a_id
+                                  ORDER BY cos DESC, vec_id) AS rn
+        FROM s WHERE label = a_label
+    ),
+    neg AS (
+        SELECT a_id, vec_id, cos,
+               row_number() OVER (PARTITION BY a_id
+                                  ORDER BY cos DESC, vec_id) AS rn
+        FROM s WHERE label <> a_label
+    )
+    SELECT p.a_id AS anchor_id, p.vec_id AS pos_id, p.cos AS pos_cos,
+           n.vec_id AS neg_id, n.cos AS neg_cos,
+           round(p.cos - n.cos, 3) AS margin
+    FROM pos p JOIN neg n ON n.a_id = p.a_id AND n.rn = 1
+    WHERE p.rn = 1
+    ORDER BY anchor_id
+    """,
+)
+def q381_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair MINING for embedding training — per anchor
+    (the first 10 vectors), the hardest positive (nearest neighbor
+    sharing its label) and the hardest negative (nearest neighbor of
+    a DIFFERENT label), with the triplet margin pos_cos − neg_cos.
+    A negative margin is exactly the 'hard triplet' a contrastive
+    fine-tune batches first (FaceNet semi-hard mining, applied at
+    corpus scale); anchors whose label is NULL match neither side
+    and drop identically in both engines.
+
+    Scale: the anchor set is a bounded literal slice (10 rows) —
+    broadcast fan-out against the corpus is map-side cosine
+    arithmetic on staged norms (the q97/q135 discipline: norms
+    computed once per side BEFORE the fan-out, never inside it).
+    The per-anchor argmax is a 10-partition window over the scored
+    stream — rank-1 rows only, so the exchange after scoring
+    carries top candidates, never the corpus² pair matrix (anchors
+    × corpus = 10n, not n²).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cast_d = lambda col: F.transform(col, lambda x: x.cast("double"))  # noqa: E731
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, t: a + t
+        )
+    )
+    vecs = e.select(
+        "vec_id",
+        "label",
+        cast_d(F.col("embedding")).alias("x"),
+        norm(cast_d(F.col("embedding"))).alias("nrm"),
+    )
+    anchors = vecs.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("x").alias("ax"),
+        F.col("nrm").alias("anrm"),
+    ).filter(F.col("a_id") < 10)
+    dot = F.aggregate(
+        F.zip_with(F.col("x"), F.col("ax"), lambda u, w: u * w),
+        F.lit(0.0),
+        lambda a, t: a + t,
+    )
+    scored = (
+        vecs.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("a_id"))
+        .select(
+            "a_id",
+            "a_label",
+            "vec_id",
+            "label",
+            F.round(dot / (F.col("nrm") * F.col("anrm")), 3).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    pos = (
+        scored.filter(F.col("label") == F.col("a_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("a_id").alias("anchor_id"),
+            F.col("vec_id").alias("pos_id"),
+            F.col("cos").alias("pos_cos"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("label") != F.col("a_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("a_id").alias("anchor_id"),
+            F.col("vec_id").alias("neg_id"),
+            F.col("cos").alias("neg_cos"),
+        )
+    )
+    return (
+        pos.join(neg, "anchor_id")
+        .select(
+            "anchor_id",
+            "pos_id",
+            "pos_cos",
+            "neg_id",
+            "neg_cos",
+            F.round(F.col("pos_cos") - F.col("neg_cos"), 3).alias("margin"),
+        )
+        .orderBy("anchor_id")
+    )

@@ -4497,3 +4497,132 @@ def q372_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _q383_oracle(steps: int = 5) -> str:
+    ctes = ["""w0 AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS f,
+               '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS repr
+        FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))
+                     AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY word
+    )"""]
+    for t in range(1, steps + 1):
+        ctes.append(f"""p{t} AS (
+        SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
+            SELECT f, unnest(list_transform(range(1, len(s)),
+                             i -> s[i] || ' ' || s[i + 1])) AS pair
+            FROM (SELECT f, string_split(trim(repr), '  ') AS s
+                  FROM w{t - 1})
+        ) GROUP BY pair
+    ),
+    b{t} AS (SELECT pair, cnt FROM p{t} ORDER BY cnt DESC, pair LIMIT 1),
+    w{t} AS (
+        SELECT w.word, w.f,
+               replace(w.repr, ' ' || replace(b.pair, ' ', '  ') || ' ',
+                       ' ' || replace(b.pair, ' ', '') || ' ') AS repr
+        FROM w{t - 1} w, b{t} b
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS step, pair AS merged_pair,"
+        f" replace(pair, ' ', '') AS new_symbol, cnt AS pair_count"
+        f" FROM b{t}"
+        for t in range(1, steps + 1)
+    )
+    return f"WITH {', '.join(ctes)} {union} ORDER BY step"
+
+
+@register("q383_bpe_merge_trainer", oracle=_q383_oracle())
+def q383_bpe_merge_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINER — five greedy merge rounds of
+    byte-pair encoding over the document corpus (Sennrich et al.
+    2016), the algorithm behind every production subword
+    vocabulary. Each round counts weighted adjacent-symbol pairs on
+    the word-frequency table, merges the most frequent pair
+    (ties → lexicographically smaller), and rewrites every word's
+    symbol sequence — q130 counts one round's pairs; this runs the
+    actual training loop and emits the learned merge list in order.
+
+    Symbol sequences are flat strings with a TWO-space separator
+    and double-space sentinels at both ends, so the merge rewrite
+    is a plain (JVM whole-stage) string replace of
+    ' a␣␣b ' → ' ab ': each match consumes one space from each
+    side, leaving the neighbor spacing intact — adjacent pair
+    occurrences ('x a b a b') merge in one pass exactly like the
+    reference algorithm's left-to-right non-overlapping scan,
+    where a single-space layout would silently skip every second
+    occurrence (shared-delimiter bug).
+
+    Scale: the corpus collapses ONCE to the |vocab|-grain
+    word-frequency table; each round is a map-side pair explode +
+    hash agg over that table, a 1-row argmax (TakeOrderedAndProject)
+    broadcast back, and a map-side rewrite — the table is
+    localCheckpointed per round so round t never replays rounds
+    1..t-1. Driver state: nothing (the best pair never leaves the
+    cluster). At 100 TB the vocab table is the only shuffled
+    relation, millions of rows, not the corpus.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .select(
+            "f",
+            F.concat(
+                F.lit("  "), F.regexp_replace(F.col("word"), "(.)", "$1  ")
+            ).alias("repr"),
+        )
+        .localCheckpoint()
+    )
+    pair_expr = F.expr(
+        "zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1),"
+        " (a, b) -> concat(a, ' ', b))"
+    )
+    outs = []
+    for step in (1, 2, 3, 4, 5):
+        pairs = (
+            words.select(
+                "f", F.split(F.trim(F.col("repr")), "  ").alias("s")
+            )
+            .select("f", F.explode(pair_expr).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("f").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
+        outs.append(
+            best.select(
+                F.lit(step).cast("long").alias("step"),
+                F.col("pair").alias("merged_pair"),
+                F.regexp_replace(F.col("pair"), " ", "").alias("new_symbol"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        words = (
+            words.crossJoin(F.broadcast(best))
+            .select(
+                "f",
+                F.replace(
+                    F.col("repr"),
+                    F.concat(
+                        F.lit(" "),
+                        F.regexp_replace(F.col("pair"), " ", "  "),
+                        F.lit(" "),
+                    ),
+                    F.concat(
+                        F.lit(" "),
+                        F.regexp_replace(F.col("pair"), " ", ""),
+                        F.lit(" "),
+                    ),
+                ).alias("repr"),
+            )
+            .localCheckpoint()
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("step")
