@@ -5190,3 +5190,264 @@ def q375_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("eval_id", "train_id")
     )
+
+
+def _q384_oracle(k_picks: int = 3) -> str:
+    ctes = [f"""sh AS (
+        SELECT DISTINCT doc_id, g
+        FROM (
+            SELECT doc_id,
+                   array_to_string(t[i.i : i.i + 2], ' ') AS g
+            FROM (SELECT doc_id, {_TOKS} AS t FROM documents),
+                 LATERAL (SELECT unnest(generate_series(
+                     1, greatest(len(t) - 2, 0))) AS i) AS i
+        )
+    ),
+    u1 AS (SELECT doc_id, g FROM sh)"""]
+    for t in range(1, k_picks + 1):
+        ctes.append(f"""c{t} AS (
+        SELECT doc_id, count(*) AS cnt FROM u{t} GROUP BY doc_id
+    ),
+    p{t} AS (SELECT doc_id, CAST(cnt AS BIGINT) AS cnt FROM c{t}
+             ORDER BY cnt DESC, doc_id LIMIT 1),
+    cov{t} AS (
+        {"SELECT g FROM cov" + str(t - 1) + " UNION " if t > 1 else ""}
+        SELECT sh.g FROM sh JOIN p{t} USING (doc_id)
+    ),
+    u{t + 1} AS (
+        SELECT u.doc_id, u.g FROM u{t} u
+        WHERE u.doc_id NOT IN (SELECT doc_id FROM p{t})
+          AND u.g NOT IN (SELECT g FROM cov{t})
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS step, p{t}.doc_id,"
+        f" p{t}.cnt AS new_shingles,"
+        f" (SELECT CAST(count(DISTINCT g) AS BIGINT) FROM cov{t})"
+        f" AS total_covered FROM p{t}"
+        for t in range(1, k_picks + 1)
+    )
+    return f"WITH {', '.join(ctes)} {union} ORDER BY step"
+
+
+@register("q384_greedy_max_coverage", oracle=_q384_oracle())
+def q384_greedy_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MAX-COVERAGE document selection (the (1−1/e)-optimal
+    submodular greedy) — pick 3 documents that together cover the
+    most distinct 3-token shingles: each round scores every
+    remaining document by its count of still-UNCOVERED shingles,
+    takes the argmax (ties → smaller doc_id), and retires its
+    shingles. This is the eval-set / seed-corpus selection dual of
+    q379's k-center (geometric diversity): coverage diversity over
+    the same shingle space the dedup family (q52/q153) hashes —
+    facility-location-style data selection for training pipelines.
+
+    Scale: the corpus collapses once to the DISTINCT (doc, shingle)
+    incidence table (the q153 relation); each round is one hash agg
+    over the still-uncovered incidence, a 1-row argmax
+    (TakeOrderedAndProject), and two anti-joins (picked docs,
+    covered shingles) — the incidence shrinks monotonically, and
+    nothing is ever collected: the covered-shingle set stays a
+    distributed relation (doc-grain, NOT broadcast-hinted — one
+    giant doc must not OOM the driver; AQE broadcasts it only if it
+    measures small). localCheckpoint truncates the per-round
+    lineage.
+    """
+    from g_etl_spark.operators.dedup import shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.explode(shingles(F.col("text"))).alias("g"))
+        .distinct()
+        .localCheckpoint()
+    )
+    uncovered = sh
+    picks = None
+    covered = None
+    outs = []
+    for step in (1, 2, 3):
+        cnt = uncovered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("cnt"))
+        pick = cnt.orderBy(F.desc("cnt"), F.asc("doc_id")).limit(1).select(
+            "doc_id", F.col("cnt").cast("long").alias("cnt")
+        ).localCheckpoint()
+        new_cov = sh.join(pick.select("doc_id"), "doc_id").select("g")
+        covered = (
+            new_cov if covered is None
+            else covered.unionByName(new_cov).distinct()
+        ).localCheckpoint()
+        total = covered.agg(
+            F.countDistinct("g").cast("long").alias("total_covered")
+        )
+        outs.append(
+            pick.crossJoin(total).select(
+                F.lit(step).cast("long").alias("step"),
+                "doc_id",
+                F.col("cnt").alias("new_shingles"),
+                "total_covered",
+            )
+        )
+        picks = pick if picks is None else picks.unionByName(pick)
+        uncovered = (
+            uncovered.join(picks.select("doc_id"), "doc_id", "left_anti")
+            .join(covered, "g", "left_anti")
+            .localCheckpoint()
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("step")
+
+
+@register(
+    "q385_apriori_triples",
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    isup AS (SELECT p, count(*) AS s FROM b GROUP BY p),
+    bb AS (SELECT b.o, b.p FROM b JOIN isup ON isup.p = b.p
+           WHERE isup.s >= 2),
+    occ2 AS (
+        SELECT x.o, x.p AS a, y.p AS bp
+        FROM bb x JOIN bb y ON x.o = y.o AND x.p < y.p
+    ),
+    l2 AS (
+        SELECT a, bp, count(*) AS s FROM occ2 GROUP BY a, bp
+        HAVING count(*) >= 2
+    ),
+    c3 AS (
+        SELECT u.a, u.bp AS b2, v.bp AS c2
+        FROM l2 u JOIN l2 v ON v.a = u.a AND v.bp > u.bp
+        WHERE EXISTS (SELECT 1 FROM l2 w
+                      WHERE w.a = u.bp AND w.bp = v.bp)
+    ),
+    occ3 AS (
+        SELECT o2.o, c3.a, c3.b2, c3.c2
+        FROM c3
+        JOIN occ2 o2 ON o2.a = c3.a AND o2.bp = c3.b2
+        JOIN bb z ON z.o = o2.o AND z.p = c3.c2
+    ),
+    l3 AS (
+        SELECT a, b2, c2, CAST(count(*) AS BIGINT) AS support
+        FROM occ3 GROUP BY a, b2, c2 HAVING count(*) >= 2
+    ),
+    n AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS n FROM b),
+    meta AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM l2) AS n_l2,
+               (SELECT CAST(count(*) AS BIGINT) FROM c3) AS n_c3
+    )
+    SELECT l3.a AS item_a, l3.b2 AS item_b, l3.c2 AS item_c,
+           l3.support,
+           round(l3.support * n.n * n.n
+                 / (sa.s * sb.s * sc.s), 4) AS lift3,
+           meta.n_l2, meta.n_c3
+    FROM l3
+    JOIN isup sa ON sa.p = l3.a
+    JOIN isup sb ON sb.p = l3.b2
+    JOIN isup sc ON sc.p = l3.c2
+    CROSS JOIN n CROSS JOIN meta
+    ORDER BY support DESC, item_a, item_b, item_c
+    """,
+)
+def q385_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori level-3 frequent-itemset mining — frequent part
+    TRIPLES in order baskets at minsup 2, with the candidate
+    generation that makes the algorithm survive scale: C3 triples
+    are built ONLY from frequent-pair (L2) joins and pruned by the
+    downward-closure check that ALL three sub-pairs are frequent,
+    so the support-counting join touches |C3| candidates instead of
+    the |parts|³ cross space (n_l2 / n_c3 ride along as the
+    measured pruning telemetry — the q278-style fan-out audit).
+    lift3 = n²·supp(abc)/(supp(a)·supp(b)·supp(c)) flags triples
+    co-bought beyond independence; extends q141's pair rules one
+    lattice level up.
+
+    Scale: baskets dedup once; pair occurrences shuffle on order
+    key (basket-local explode, bounded by per-order item count);
+    L2/C3 live at the pair/triple grain; support counting re-joins
+    candidates to pair occurrences + one item probe (never a 3-way
+    basket cross). All thresholds integer-exact; lift's doubles come
+    from exact counts so the 4-dp round cannot fork cross-engine.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    isup = b.groupBy("p").agg(F.count(F.lit(1)).alias("s"))
+    bb = (
+        b.join(isup.filter(F.col("s") >= 2).select("p"), "p", "left_semi")
+        .localCheckpoint()
+    )
+    x = bb.select(F.col("o"), F.col("p").alias("a"))
+    y = bb.select(F.col("o").alias("oy"), F.col("p").alias("bp"))
+    occ2 = (
+        x.join(y, (F.col("o") == F.col("oy")) & (F.col("a") < F.col("bp")))
+        .select("o", "a", "bp")
+        .localCheckpoint()
+    )
+    l2 = (
+        occ2.groupBy("a", "bp")
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= 2)
+        .select("a", "bp")
+        .localCheckpoint()
+    )
+    u = l2.select("a", F.col("bp").alias("b2"))
+    v = l2.select(F.col("a").alias("va"), F.col("bp").alias("c2"))
+    w = l2.select(F.col("a").alias("wa"), F.col("bp").alias("wb"))
+    c3 = (
+        u.join(v, (F.col("va") == F.col("a")) & (F.col("c2") > F.col("b2")))
+        .select("a", "b2", "c2")
+        .join(
+            w,
+            (F.col("wa") == F.col("b2")) & (F.col("wb") == F.col("c2")),
+            "left_semi",
+        )
+        .localCheckpoint()
+    )
+    z = bb.select(F.col("o").alias("oz"), F.col("p").alias("zc"))
+    o2 = occ2.select(
+        F.col("o"), F.col("a").alias("o2a"), F.col("bp").alias("o2b")
+    )
+    occ3 = (
+        c3.join(o2, (F.col("o2a") == F.col("a")) & (F.col("o2b") == F.col("b2")))
+        .join(z, (F.col("oz") == F.col("o")) & (F.col("zc") == F.col("c2")))
+        .select("a", "b2", "c2", "o")
+    )
+    l3 = (
+        occ3.groupBy("a", "b2", "c2")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    n = b.agg(F.countDistinct("o").cast("double").alias("n"))
+    meta = (
+        l2.agg(F.count(F.lit(1)).cast("long").alias("n_l2"))
+        .crossJoin(
+            F.broadcast(c3.agg(F.count(F.lit(1)).cast("long").alias("n_c3")))
+        )
+    )
+    sa = isup.select(F.col("p").alias("pa"), F.col("s").alias("s_a"))
+    sb = isup.select(F.col("p").alias("pb"), F.col("s").alias("s_b"))
+    sc = isup.select(F.col("p").alias("pc"), F.col("s").alias("s_c"))
+    return (
+        l3.join(sa, F.col("pa") == F.col("a"))
+        .join(sb, F.col("pb") == F.col("b2"))
+        .join(sc, F.col("pc") == F.col("c2"))
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(meta))
+        .select(
+            F.col("a").alias("item_a"),
+            F.col("b2").alias("item_b"),
+            F.col("c2").alias("item_c"),
+            "support",
+            F.round(
+                F.col("support")
+                * F.col("n")
+                * F.col("n")
+                / (F.col("s_a") * F.col("s_b") * F.col("s_c")),
+                4,
+            ).alias("lift3"),
+            "n_l2",
+            "n_c3",
+        )
+        .orderBy(F.desc("support"), "item_a", "item_b", "item_c")
+    )

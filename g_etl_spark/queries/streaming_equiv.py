@@ -652,3 +652,150 @@ def q370_stream_union_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src_b, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
+
+
+_TTL_CHUNKS = 4
+_TTL_GAP_MIN = 1440            # session gap: 24 h
+_TTL_GAP_MS = _TTL_GAP_MIN * 60 * 1000
+_TTL_GAP_US = _TTL_GAP_MS * 1000
+_TTL_DELAY_MS = 6 * 3600 * 1000  # watermark delay: 6 h
+
+
+@register(
+    "q386_stream_state_ttl_audit",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us FROM events
+    ),
+    chunked AS (
+        SELECT user_id, event_id, ts_us,
+               ntile({_TTL_CHUNKS}) OVER (ORDER BY ts, event_id) AS k
+        FROM ev
+    ),
+    wm AS (
+        SELECT k,
+               max(mx) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) // 1000
+                   - {_TTL_DELAY_MS} AS wm_ms
+        FROM (SELECT k, max(ts_us) AS mx FROM chunked GROUP BY k)
+    ),
+    gaps AS (
+        SELECT user_id, ts_us, event_id, k,
+               CASE WHEN lag(ts_us) OVER w IS NULL
+                         OR ts_us - lag(ts_us) OVER w > {_TTL_GAP_US}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM chunked
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts_us, k,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gaps
+    ),
+    agg AS (
+        SELECT user_id, sid,
+               min(ts_us) AS start_us, max(ts_us) AS end_us,
+               CAST(count(*) AS BIGINT) AS n_events,
+               min(k) AS c_first
+        FROM sess GROUP BY user_id, sid
+    ),
+    nxt AS (
+        SELECT *,
+               lead(c_first) OVER (PARTITION BY user_id ORDER BY sid)
+                   AS c_next
+        FROM agg
+    ),
+    kto AS (
+        SELECT n.user_id, n.sid, min(wm.k) AS k_to
+        FROM nxt n JOIN wm
+          ON n.end_us // 1000 + {_TTL_GAP_MS} < wm.wm_ms
+        GROUP BY n.user_id, n.sid
+    )
+    SELECT n.user_id, n.start_us, n.end_us, n.n_events,
+           CASE WHEN n.c_next IS NOT NULL
+                     AND (k.k_to IS NULL OR n.c_next <= k.k_to)
+                THEN 'data' ELSE 'timeout' END AS via
+    FROM nxt n
+    LEFT JOIN kto k ON k.user_id = n.user_id AND k.sid = n.sid
+    WHERE n.c_next IS NOT NULL OR k.k_to IS NOT NULL
+    ORDER BY n.user_id, n.start_us
+    """,
+)
+def q386_stream_state_ttl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-TTL SEMANTICS AUDIT for applyInPandasWithState
+    (NEXT.md round-11 item): per-user 24 h-gap sessionization with a
+    6 h watermark runs over FOUR ts-ordered arrival chunks
+    (availableNow restarts against one durable checkpoint, q370's
+    recovery loop), and every emitted session is LABELED with its
+    eviction path — 'data' when a later event of the same user
+    closed it inside a data batch, 'timeout' when the
+    EventTimeTimeout reaper fired because the watermark passed
+    last_seen + gap while the group sat idle. The oracle replays
+    Spark's exact timeout algebra chunk-by-chunk: wm_after(k) =
+    cummax(event-time ms) − 6 h; a session times out at the first
+    k with end_ms + gap_ms < wm_after(k) (strict, ms resolution —
+    the q139 contract) and is 'data'-closed instead iff its user's
+    next event arrives in a chunk ≤ that k (a group with data in
+    the batch is never timed out — Spark checks timeouts against
+    the batch-START watermark, so the previous run's no-data sweep
+    is the only eviction point between chunks). Trailing sessions
+    inside the final watermark horizon stay in state and are
+    correctly absent from both sides.
+
+    Why it matters at 100 TB: 'timeout'-path volume IS the state
+    reaper's throughput — a job whose sessions mostly close by
+    timeout (sparse users) holds |active users| state entries for
+    gap + delay long, and this audit measures that mix exactly;
+    ts-ordered chunks also pin the setTimeoutTimestamp > watermark
+    invariant (an out-of-order restart would throw — the staging
+    order is part of the contract). State per user stays one
+    (start, last, n) triple; the Arrow batch path is q139's.
+    """
+    events = load(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    chunked = events.select(
+        "user_id", "ts", "event_id",
+        F.ntile(_TTL_CHUNKS)
+        .over(Window.orderBy(F.col("ts").asc(), F.col("event_id").asc()))
+        .alias("k"),
+    )
+    run = next(_RUN_IDS)
+    src = tempfile.mkdtemp(prefix=f"g_etl_ttl_src_{run}_")
+    ckpt = tempfile.mkdtemp(prefix=f"g_etl_ttl_ckpt_{run}_")
+    sink = tempfile.mkdtemp(prefix=f"g_etl_ttl_sink_{run}_")
+    schema = "user_id long, ts timestamp, event_id long"
+    try:
+        for k in range(1, _TTL_CHUNKS + 1):
+            chunked.where(F.col("k") == k).select(
+                "user_id", "ts", "event_id"
+            ).coalesce(1).write.mode("append").parquet(src)
+            stream = sp.read_parquet_stream(
+                spark, src, schema=schema, max_files_per_trigger=10_000
+            )
+            q = (
+                sp.streaming_sessionize_labeled(
+                    stream, gap_minutes=_TTL_GAP_MIN, watermark="6 hours"
+                )
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                q.awaitTermination(30)
+                raise RuntimeError("TTL-audit stream did not finish in 300s")
+        out = spark.read.parquet(sink).select(
+            "user_id",
+            F.unix_micros("session_start").alias("start_us"),
+            F.unix_micros("session_end").alias("end_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "via",
+        ).orderBy("user_id", "start_us")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)

@@ -312,3 +312,100 @@ def streaming_sessionize(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def streaming_sessionize_labeled(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """``streaming_sessionize`` with the EMISSION PATH exposed: each
+    closed session carries ``via`` = 'data' (a later event of the
+    same user exceeded the gap inside a data batch) or 'timeout'
+    (the EventTimeTimeout fired — the watermark passed last_seen +
+    gap while the group had no new data). The label is the state-TTL
+    audit surface: it distinguishes sessions evicted by the reaper
+    from sessions closed by arrival, which is exactly the state-size
+    vs emission-latency contract a production job tunes
+    (gap vs watermark delay).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    output_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+            StructField("via", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("session_start", LongType()),  # epoch micros
+            StructField("last_seen", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                closed.append((user_id, start, last, n, "timeout"))
+                state.remove()
+        else:
+            ts_us = []
+            for pdf in pdf_iter:
+                ts_us.extend(
+                    int(t.value // 1000) for t in pd.to_datetime(pdf["ts"])
+                )
+            ts_us.sort()
+            if state.exists:
+                start, last, n = state.get
+            else:
+                start, last, n = None, None, 0
+            for t in ts_us:
+                if last is None:
+                    start, last, n = t, t, 1
+                elif t - last > gap_us:
+                    closed.append((user_id, start, last, n, "data"))
+                    start, last, n = t, t, 1
+                else:
+                    last, n = t, n + 1
+            if last is not None:
+                state.update((start, last, n))
+                state.setTimeoutTimestamp(last // 1000 + gap_minutes * 60 * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+                    "n_events": [c[3] for c in closed],
+                    "via": [c[4] for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

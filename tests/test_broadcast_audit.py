@@ -37,7 +37,7 @@ AUDITED_HINT_COUNTS = {
     "operators/ranking.py": 5,   # |buckets| offset maps + 1-row totals
     "operators/sampling.py": 1,  # |strata| rate map
     "operators/stats.py": 6,     # scalar aggs + |folds| model rows
-    "queries/dedup.py": 17,      # scalars, band index literals, |sources| rollups, planted-truth 1-rows
+    "queries/dedup.py": 20,      # scalars, band index literals, |sources| rollups, planted-truth 1-rows, q385's 3 scalar count rows
     "queries/grid.py": 8,        # polyfill cell sets, POI literals, scalar thresholds, q376's fixed query-ring cell set + 2 scalar count rows
     "queries/relational.py": 70, # nation/region dims, scalar aggs, bounded rollups, bucket offsets, q369's 3 per-relation scalar stat rows, q377's 1-row NDV frame, q380's 100-row literal grid, q382's 1-row min/max extent
     "queries/sampling.py": 8,    # scalar totals, |sources| weights, literal index frames, q355 scalar budget rows
