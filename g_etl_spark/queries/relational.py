@@ -9201,3 +9201,421 @@ def q382_voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# q388: table -> (n_fixed_cols, string_cols) width specs (the q321
+# formula: 8 B per fixed col + measured string lengths + 4 B string
+# overhead) for every relation the join advisor prices.
+_Q388_WIDTHS = {
+    "region": (1, ["r_name"]),
+    "nation": (2, ["n_name"]),
+    "supplier": (3, ["s_name"]),
+    "part": (3, ["p_name", "p_brand", "p_type"]),
+    "customer": (3, ["c_name", "c_mktsegment"]),
+    "orders": (4, ["o_orderstatus", "o_orderpriority"]),
+    "lineitem": (9, ["l_returnflag", "l_linestatus"]),
+}
+
+# candidate equi-joins: (name, left table, right table)
+_Q388_JOINS = [
+    ("customer_nation", "customer", "nation"),
+    ("lineitem_orders", "lineitem", "orders"),
+    ("lineitem_part", "lineitem", "part"),
+    ("nation_region", "nation", "region"),
+    ("orders_customer", "orders", "customer"),
+    ("supplier_nation", "supplier", "nation"),
+]
+
+_Q388_BCAST_LIMIT = 10 * 1024 * 1024  # autoBroadcastJoinThreshold default
+_Q388_SHUFFLE_PARTS = 32
+
+
+def _q388_bytes_sql(table: str) -> str:
+    n_fixed, str_cols = _Q388_WIDTHS[table]
+    sumlens = " + ".join(f"sum(length({c}))" for c in str_cols)
+    return (
+        f"SELECT CAST({8 * n_fixed} * count(*) + {sumlens}"
+        f" + {4 * len(str_cols)} * count(*) AS BIGINT) AS b FROM {table}"
+    )
+
+
+def _q388_oracle() -> str:
+    blocks = " UNION ALL ".join(
+        f"""SELECT '{name}' AS join_name,
+                  ({_q388_bytes_sql(lt)}) AS left_bytes,
+                  ({_q388_bytes_sql(rt)}) AS right_bytes"""
+        for name, lt, rt in _Q388_JOINS
+    )
+    return f"""
+    SELECT join_name, left_bytes, right_bytes,
+           CASE WHEN least(left_bytes, right_bytes) <= {_Q388_BCAST_LIMIT}
+                THEN CASE WHEN left_bytes <= right_bytes
+                          THEN 'left' ELSE 'right' END
+                WHEN least(left_bytes, right_bytes) * 3
+                     <= greatest(left_bytes, right_bytes)
+                 AND least(left_bytes, right_bytes)
+                     < CAST({_Q388_BCAST_LIMIT} AS BIGINT)
+                       * {_Q388_SHUFFLE_PARTS}
+                THEN CASE WHEN left_bytes <= right_bytes
+                          THEN 'left' ELSE 'right' END
+                ELSE 'none' END AS build_side,
+           CASE WHEN least(left_bytes, right_bytes) <= {_Q388_BCAST_LIMIT}
+                THEN 'broadcast_hash'
+                WHEN least(left_bytes, right_bytes) * 3
+                     <= greatest(left_bytes, right_bytes)
+                 AND least(left_bytes, right_bytes)
+                     < CAST({_Q388_BCAST_LIMIT} AS BIGINT)
+                       * {_Q388_SHUFFLE_PARTS}
+                THEN 'shuffle_hash'
+                ELSE 'sort_merge' END AS strategy,
+           CASE WHEN least(left_bytes, right_bytes) <= {_Q388_BCAST_LIMIT}
+                THEN least(left_bytes, right_bytes) * {_Q388_SHUFFLE_PARTS}
+                ELSE left_bytes + right_bytes END AS exchanged_bytes
+    FROM ({blocks})
+    ORDER BY join_name
+    """
+
+
+@register("q388_join_strategy_advisor", oracle=_q388_oracle())
+def q388_join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical JOIN-STRATEGY advisor — replays Spark's own
+    JoinSelection decision rules over measured table widths: pick
+    broadcast-hash when the smaller side fits the 10 MB
+    autoBroadcastJoinThreshold, else shuffle-hash when one side is
+    ≥3× smaller (`muchSmaller`) AND its per-partition slice fits a
+    local hash map (bytes < threshold × shuffle partitions —
+    `canBuildLocalHashMap`), else sort-merge. exchanged_bytes prices
+    the network: a broadcast ships the small side to every one of
+    the {32} executors, a shuffle moves each side once — the
+    crossover (small × P vs L+R) is exactly why broadcasting a
+    'small' 50 GB dim at 1000 executors is a catastrophe while
+    broadcasting 5 MB is free. Byte estimates are q321's
+    integer-exact width formula (8 B/fixed col + measured string
+    lengths + 4 B overhead), so both engines price identically with
+    no doubles. Completes the physical-strategy advisor family:
+    q322/q369 order the joins, q378 picks the agg algorithm, this
+    picks the join algorithm — together the cost-based layer a
+    100 TB plan review walks through.
+
+    Scale: one combining length-sum agg per relation (6 scans of
+    dims + 2 fact scans, each collapsing map-side to one row);
+    the decision table is 6 literal rows of arithmetic.
+    """
+    stats = {}
+    for t in {lt for _, lt, _ in _Q388_JOINS} | {
+        rt for _, _, rt in _Q388_JOINS
+    }:
+        n_fixed, str_cols = _Q388_WIDTHS[t]
+        df = load(spark, sf_dir, t)
+        sumlen = None
+        for c in str_cols:
+            term = F.sum(F.length(c).cast("long"))
+            sumlen = term if sumlen is None else sumlen + term
+        n = F.count(F.lit(1))
+        stats[t] = df.agg(
+            (F.lit(8 * n_fixed) * n + sumlen + F.lit(4 * len(str_cols)) * n)
+            .cast("long")
+            .alias(f"b_{t}")
+        )
+    base = None
+    for t, sdf in sorted(stats.items()):
+        base = sdf if base is None else base.crossJoin(F.broadcast(sdf))
+    rows = base.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(name).alias("join_name"),
+                    F.col(f"b_{lt}").alias("left_bytes"),
+                    F.col(f"b_{rt}").alias("right_bytes"),
+                )
+                for name, lt, rt in _Q388_JOINS
+            ])
+        ).alias("s")
+    ).select("s.*")
+    small = F.least(F.col("left_bytes"), F.col("right_bytes"))
+    big = F.greatest(F.col("left_bytes"), F.col("right_bytes"))
+    fits_bcast = small <= _Q388_BCAST_LIMIT
+    fits_shash = (small * 3 <= big) & (
+        small < F.lit(_Q388_BCAST_LIMIT).cast("long") * _Q388_SHUFFLE_PARTS
+    )
+    side = F.when(
+        F.col("left_bytes") <= F.col("right_bytes"), F.lit("left")
+    ).otherwise(F.lit("right"))
+    return rows.select(
+        "join_name",
+        "left_bytes",
+        "right_bytes",
+        F.when(fits_bcast, side)
+        .when(fits_shash, side)
+        .otherwise(F.lit("none"))
+        .alias("build_side"),
+        F.when(fits_bcast, F.lit("broadcast_hash"))
+        .when(fits_shash, F.lit("shuffle_hash"))
+        .otherwise(F.lit("sort_merge"))
+        .alias("strategy"),
+        F.when(fits_bcast, small * _Q388_SHUFFLE_PARTS)
+        .otherwise(F.col("left_bytes") + F.col("right_bytes"))
+        .alias("exchanged_bytes"),
+    ).orderBy("join_name")
+
+
+_Q387_P = 8          # range partitions
+_Q387_SAMPLE = "0c"  # md5 2-hex-char cutoff ≈ 5% deterministic sample
+
+
+def _q387_boundary_sql(src: str, name: str) -> str:
+    """Equi-depth boundary CTEs over `src` (a relation with a value
+    column): distinct-value cumulative counts → the 7 order
+    statistics at ranks (i·n)//8, collected to an ascending list."""
+    return f"""
+    {name}_n AS (SELECT count(*) AS n FROM {src}),
+    {name}_vc AS (SELECT value, count(*) AS c FROM {src} GROUP BY value),
+    {name}_cum AS (
+        SELECT value, sum(c) OVER (ORDER BY value) AS cc FROM {name}_vc
+    ),
+    {name}_b AS (
+        SELECT i.i, min(value) AS b
+        FROM (SELECT unnest(generate_series(1, {_Q387_P - 1})) AS i) i,
+             {name}_cum, {name}_n
+        WHERE {name}_cum.cc >= (i.i * {name}_n.n) // {_Q387_P}
+        GROUP BY i.i
+    ),
+    {name}_arr AS (SELECT list(b ORDER BY i) AS bs FROM {name}_b)"""
+
+
+_Q387_ORACLE = f"""
+    WITH ev AS (SELECT event_id, value FROM events),
+    samp AS (
+        SELECT value FROM ev
+        WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2)
+              <= '{_Q387_SAMPLE}'
+    ),
+    {_q387_boundary_sql("ev", "ex")},
+    {_q387_boundary_sql("samp", "sm")},
+    parts AS (
+        SELECT 'exact' AS method,
+               len(list_filter(ex_arr.bs, x -> e.value > x)) AS part_id
+        FROM ev e, ex_arr
+        UNION ALL
+        SELECT 'sampled',
+               len(list_filter(sm_arr.bs, x -> e.value > x))
+        FROM ev e, sm_arr
+    ),
+    counts AS (
+        SELECT method, CAST(part_id AS BIGINT) AS part_id,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM parts GROUP BY method, part_id
+    )
+    SELECT method, part_id, n_rows,
+           round(CAST(max(n_rows) OVER (PARTITION BY method) AS DOUBLE)
+                 * {_Q387_P} / (SELECT n FROM ex_n), 4) AS method_skew_x
+    FROM counts
+    ORDER BY method, part_id
+"""
+
+
+@register("q387_range_partition_balance", oracle=_Q387_ORACLE)
+def q387_range_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RangePartitioner BALANCE AUDIT — the physics behind every
+    `orderBy`/`repartitionByRange` at scale: Spark picks range split
+    points from a SAMPLE, and the audit measures what that costs.
+    Two 8-way range layouts over events.value are compared: 'exact'
+    boundaries (true order statistics at ranks i·n/8, computed from
+    the distinct-value cumulative histogram — the q39 device) and
+    'sampled' boundaries (the same algebra on a deterministic ~5%
+    md5 sample, q17's stable-sampling convention — the stand-in for
+    RangePartitioner's reservoir). Every row is then assigned by
+    boundary comparison (ties left), and the per-partition counts +
+    max/ideal skew ratio quantify the imbalance the sample's rank
+    error introduces — the number that decides whether a 100 TB
+    sort gets straggler tasks (skew 1.0 = perfect; production lore
+    says samples keep it under ~1.2, and this measures it).
+
+    Scale: boundary construction is values-grain (distinct-value
+    histogram + a 7-row rank probe), never a corpus-wide window;
+    assignment is a map-side array scan against the broadcast 7-
+    boundary list; counts are one hash agg. The sampled path reads
+    the 5% slice with a pushed-down md5 filter.
+    """
+    e = load(spark, sf_dir, "events").select("event_id", "value")
+    samp = e.filter(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 2)
+        <= _Q387_SAMPLE
+    ).select("value")
+
+    def boundaries(src: DataFrame) -> DataFrame:
+        n = src.agg(F.count(F.lit(1)).alias("n"))
+        vc = src.groupBy("value").agg(F.count(F.lit(1)).alias("c"))
+        cum = vc.select(
+            "value",
+            F.sum("c")
+            .over(Window.orderBy("value").rowsBetween(
+                Window.unboundedPreceding, 0))
+            .alias("cc"),
+        )
+        ranks = (
+            spark.range(1, _Q387_P)
+            .select(F.col("id").alias("i"))
+            .crossJoin(F.broadcast(n))
+            .selectExpr("i", f"(i * n) div {_Q387_P} AS r")
+        )
+        bex = (
+            cum.join(F.broadcast(ranks), F.col("cc") >= F.col("r"))
+            .groupBy("i")
+            .agg(F.min("value").alias("b"))
+        )
+        return bex.agg(F.sort_array(F.collect_list("b")).alias("bs"))
+
+    def assign(bs_frame: DataFrame, method: str) -> DataFrame:
+        return e.crossJoin(F.broadcast(bs_frame)).select(
+            F.lit(method).alias("method"),
+            F.size(F.filter(F.col("bs"), lambda x: F.col("value") > x))
+            .cast("long")
+            .alias("part_id"),
+        )
+
+    parts = assign(boundaries(e), "exact").unionByName(
+        assign(boundaries(samp), "sampled")
+    )
+    counts = parts.groupBy("method", "part_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    total = e.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "method",
+            "part_id",
+            "n_rows",
+            F.round(
+                F.max("n_rows").over(Window.partitionBy("method")).cast(
+                    "double"
+                )
+                * _Q387_P
+                / F.col("n_total"),
+                4,
+            ).alias("method_skew_x"),
+        )
+        .orderBy("method", "part_id")
+    )
+
+
+_Q389_NPART = 32          # shuffle partitions being simulated
+_Q389_FACTOR = 5          # skewedPartitionFactor (Spark default)
+_Q389_FLOOR = 4096        # skewedPartitionThresholdInBytes, fixture-scaled
+_Q389_TARGET = 8192       # advisoryPartitionSizeInBytes, fixture-scaled
+
+
+@register(
+    "q389_aqe_skew_split_sim",
+    oracle=f"""
+    WITH rw AS (
+        SELECT CAST(CAST('0x' || substr(md5(CAST(
+                   CASE WHEN user_id % 10 < 7 THEN 0
+                        ELSE user_id % 25 END AS VARCHAR)), 1, 8)
+                   AS UBIGINT) % {_Q389_NPART} AS BIGINT) AS part_id,
+               32 + 8 + length(event_type) + length(props) AS rb
+        FROM events
+    ),
+    parts AS (
+        SELECT part_id, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(rb) AS BIGINT) AS est_bytes
+        FROM rw GROUP BY part_id
+    ),
+    med AS (
+        SELECT est_bytes AS m FROM (
+            SELECT est_bytes,
+                   row_number() OVER (ORDER BY est_bytes, part_id) AS rn,
+                   count(*) OVER () AS cnt
+            FROM parts
+        ) WHERE rn = (cnt + 1) // 2
+    )
+    SELECT p.part_id, p.n_rows, p.est_bytes, med.m AS median_bytes,
+           p.est_bytes > greatest({_Q389_FLOOR},
+                                  {_Q389_FACTOR} * med.m) AS is_skewed,
+           CASE WHEN p.est_bytes > greatest({_Q389_FLOOR},
+                                            {_Q389_FACTOR} * med.m)
+                THEN CAST(ceil(CAST(p.est_bytes AS DOUBLE)
+                               / {_Q389_TARGET}) AS BIGINT)
+                ELSE 1 END AS n_splits
+    FROM parts p, med
+    ORDER BY p.part_id
+    """,
+)
+def q389_aqe_skew_split_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE SKEW-SPLIT decision replay — simulates exactly the rule
+    `OptimizeSkewedJoin` applies at runtime: a shuffle partition is
+    skewed when its size exceeds max(skewedPartitionThresholdInBytes,
+    skewedPartitionFactor × median partition size), and a skewed
+    partition splits into ceil(size / advisoryPartitionSizeInBytes)
+    reader slices. The input is q254's planted hot key (~70% of
+    events on one join key) hashed into {_Q389_NPART} shuffle
+    partitions (md5-derived — engine-portable, unlike Murmur3),
+    per-partition bytes from q321's integer width formula, and the
+    median as an exact order statistic (lower median, rank
+    (n+1)//2 — no averaging doubles). The output is the split
+    schedule AQE would produce: the hot partition fans out into
+    dozens of slices while the long tail stays at 1 — the runtime
+    complement to the PROACTIVE salting q105/q254 implement, and the
+    audit that says whether `spark.sql.adaptive.skewJoin` alone
+    would save a given 100 TB join (thresholds here are
+    fixture-scaled; production defaults are 256 MB floor / 64 MB
+    advisory — same algebra).
+
+    Scale: one scan collapsing map-side to ≤{_Q389_NPART} partition
+    rows; the decision table is bounded arithmetic on those rows.
+    """
+    e = load(spark, sf_dir, "events")
+    nk = F.when(F.col("user_id") % 10 < 7, F.lit(0)).otherwise(
+        F.col("user_id") % 25
+    )
+    rw = e.select(
+        (
+            F.conv(F.substring(F.md5(nk.cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % _Q389_NPART
+        ).alias("part_id"),
+        (
+            F.lit(32 + 8)
+            + F.length("event_type").cast("long")
+            + F.length("props").cast("long")
+        ).alias("rb"),
+    )
+    parts = rw.groupBy("part_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("rb").cast("long").alias("est_bytes"),
+    )
+    ranked = parts.select(
+        "est_bytes",
+        F.row_number()
+        .over(Window.orderBy("est_bytes", "part_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("cnt"),
+    )
+    # integer lower-median rank: (cnt + 1) div 2
+    med = ranked.filter(
+        F.expr("rn = (cnt + 1) div 2")
+    ).select(F.col("est_bytes").alias("median_bytes"))
+    skewed = F.col("est_bytes") > F.greatest(
+        F.lit(_Q389_FLOOR).cast("long"),
+        F.lit(_Q389_FACTOR) * F.col("median_bytes"),
+    )
+    return (
+        parts.crossJoin(F.broadcast(med))
+        .select(
+            "part_id",
+            "n_rows",
+            "est_bytes",
+            "median_bytes",
+            skewed.alias("is_skewed"),
+            F.when(
+                skewed,
+                F.ceil(
+                    F.col("est_bytes").cast("double") / _Q389_TARGET
+                ).cast("long"),
+            )
+            .otherwise(F.lit(1).cast("long"))
+            .alias("n_splits"),
+        )
+        .orderBy("part_id")
+    )
