@@ -9619,3 +9619,190 @@ def q389_aqe_skew_split_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_id")
     )
+
+
+@register(
+    "q391_oof_target_encoding",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type,
+               CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                        1, 8) AS UBIGINT) % 4 AS BIGINT)
+                   AS fold,
+               value
+        FROM events WHERE value IS NOT NULL
+    ),
+    cell AS (
+        SELECT event_type, fold, count(*) AS c, sum(value) AS s
+        FROM ev GROUP BY event_type, fold
+    ),
+    tot AS (
+        SELECT event_type, sum(c) AS ct, sum(s) AS st
+        FROM cell GROUP BY event_type
+    ),
+    g AS (SELECT sum(c) AS cg, sum(s) AS sg FROM cell)
+    SELECT c.event_type, c.fold,
+           CAST(c.c AS BIGINT) AS n_in_fold,
+           round((t.st - c.s) / (t.ct - c.c), 6) AS oof_encoding,
+           round((g.sg - c.s) / (g.cg - c.c), 6) AS oof_global_mean,
+           round(t.st / t.ct, 6) AS leaky_encoding
+    FROM cell c JOIN tot t USING (event_type) CROSS JOIN g
+    ORDER BY c.event_type, c.fold
+    """,
+)
+def q391_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-FOLD target encoding — the leakage-safe categorical
+    feature every tabular training pipeline needs at scale: encode
+    event_type by the mean target (value) computed WITHOUT the
+    current fold's rows, oof = (Σ_total − Σ_fold)/(n_total −
+    n_fold). Folds come from the q137/q17 deterministic md5 split
+    (4 folds), and the leaky full-data encoding rides along so the
+    output quantifies exactly what leaks (leaky − oof per cell).
+    The subtract-own-contribution identity is the same subtractable-
+    moment device as q363's leave-one-source-out valuation — one
+    pass, no per-fold rescan.
+
+    Scale: ONE aggregate to the (category × fold) grain — 20 cells
+    here, |categories|×K anywhere — then bounded arithmetic; the
+    encode-train-rows join back (not materialized here) is a
+    broadcast of those cells. No row-level window, no K passes.
+    The sums stay raw doubles until the final 6-dp round; counts
+    are exact, and both engines subtract identical scalars, so the
+    division is bit-identical.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 4
+    )
+    cell = e.groupBy("event_type", fold.alias("fold")).agg(
+        F.count(F.lit(1)).alias("c"), F.sum("value").alias("s")
+    )
+    tot = cell.groupBy("event_type").agg(
+        F.sum("c").alias("ct"), F.sum("s").alias("st")
+    )
+    g = cell.agg(F.sum("c").alias("cg"), F.sum("s").alias("sg"))
+    return (
+        cell.join(tot, "event_type")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "fold",
+            F.col("c").cast("long").alias("n_in_fold"),
+            F.round(
+                (F.col("st") - F.col("s")) / (F.col("ct") - F.col("c")), 6
+            ).alias("oof_encoding"),
+            F.round(
+                (F.col("sg") - F.col("s")) / (F.col("cg") - F.col("c")), 6
+            ).alias("oof_global_mean"),
+            F.round(F.col("st") / F.col("ct"), 6).alias("leaky_encoding"),
+        )
+        .orderBy("event_type", "fold")
+    )
+
+
+@register(
+    "q392_learned_cdf_audit",
+    oracle="""
+    WITH vc AS (
+        SELECT value AS v, count(*) AS c FROM events
+        WHERE value IS NOT NULL GROUP BY value
+    ),
+    cum AS (
+        SELECT v, CAST(sum(c) OVER (ORDER BY v) AS DOUBLE) AS r FROM vc
+    ),
+    fit AS (
+        SELECT count(*) AS d, sum(v) AS sv, sum(r) AS sr,
+               sum(v * v) AS svv, sum(v * r) AS svr,
+               max(r) AS n
+        FROM cum
+    ),
+    ab AS (
+        SELECT n, d,
+               (d * svr - sv * sr) / (d * svv - sv * sv) AS b,
+               (sr - (d * svr - sv * sr) / (d * svv - sv * sv) * sv) / d
+                   AS a
+        FROM fit
+    ),
+    err AS (
+        SELECT max(abs(cum.r - (ab.a + ab.b * cum.v))) AS mx
+        FROM cum, ab
+    )
+    SELECT CAST(ab.n AS BIGINT) AS n_rows,
+           CAST(ab.d AS BIGINT) AS n_distinct,
+           round(ab.b, 6) AS slope,
+           round(ab.a, 4) AS intercept,
+           round(err.mx, 2) AS learned_max_rank_err,
+           round(ab.n / 32.0, 2) AS hist16_halfbin_err,
+           err.mx < ab.n / 32.0 AS learned_beats_hist
+    FROM ab, err
+    """,
+)
+def q392_learned_cdf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED-INDEX audit (Kraska et al.'s RMI, stage-0) — fit the
+    empirical CDF of events.value with one least-squares line
+    rank ≈ a + b·value over the distinct-value cumulative histogram
+    and measure its MAX rank error, against the analytic error of a
+    16-bucket equi-depth histogram (half a bucket, n/32). This is
+    the zone-map-vs-model question storage engines now ask: a
+    learned CDF whose max error beats the histogram's locates a key
+    in a narrower scan window with two multiplies instead of a bin
+    search — learned_beats_hist is the verdict for THIS column's
+    distribution (near-uniform values → the line wins; q382's
+    V-optimal buckets are the classical counterattack for skewed
+    ones). Closes the statistics-construction arc: q131/q189/q382
+    build histograms, q340 audits their selectivity error, this
+    audits the model alternative on equal terms.
+
+    Scale: the corpus collapses once to the distinct-value
+    histogram; the OLS moments are one mergeable aggregate over it
+    (q115's device), and the error pass is a second values-grain
+    map — nothing at corpus grain after the first agg. The same
+    two-pass shape fits per-partition zone maps at 100 TB (fit per
+    file, error per file, worst-case rollup).
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vc = e.groupBy(F.col("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cum = vc.select(
+        "v",
+        F.sum("c")
+        .over(Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("r"),
+    )
+    fit = cum.agg(
+        F.count(F.lit(1)).cast("double").alias("d"),
+        F.sum("v").alias("sv"),
+        F.sum("r").alias("sr"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+        F.sum(F.col("v") * F.col("r")).alias("svr"),
+        F.max("r").alias("n"),
+    )
+    b = (F.col("d") * F.col("svr") - F.col("sv") * F.col("sr")) / (
+        F.col("d") * F.col("svv") - F.col("sv") * F.col("sv")
+    )
+    ab = fit.select(
+        "n", "d", b.alias("b"), ((F.col("sr") - b * F.col("sv")) / F.col("d")).alias("a")
+    )
+    err = cum.crossJoin(F.broadcast(ab)).agg(
+        F.max(
+            F.abs(F.col("r") - (F.col("a") + F.col("b") * F.col("v")))
+        ).alias("mx"),
+        F.first("n").alias("n"),
+        F.first("d").alias("d"),
+        F.first("a").alias("a"),
+        F.first("b").alias("b"),
+    )
+    return err.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("d").cast("long").alias("n_distinct"),
+        F.round(F.col("b"), 6).alias("slope"),
+        F.round(F.col("a"), 4).alias("intercept"),
+        F.round(F.col("mx"), 2).alias("learned_max_rank_err"),
+        F.round(F.col("n") / 32.0, 2).alias("hist16_halfbin_err"),
+        (F.col("mx") < F.col("n") / 32.0).alias("learned_beats_hist"),
+    )

@@ -6873,3 +6873,85 @@ def q364_forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q390_sequence_edit_distance",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               substr(string_agg(substr(event_type, 1, 1), ''
+                                 ORDER BY ts, event_id), 1, 50) AS sq
+        FROM events
+        WHERE user_id < 20
+        GROUP BY user_id
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           CAST(length(a.sq) AS BIGINT) AS len_a,
+           CAST(length(b.sq) AS BIGINT) AS len_b,
+           CAST(levenshtein(a.sq, b.sq) AS BIGINT) AS edit_dist,
+           round(1.0 - CAST(levenshtein(a.sq, b.sq) AS DOUBLE)
+                       / greatest(length(a.sq), length(b.sq)), 4)
+               AS seq_sim
+    FROM seqs a JOIN seqs b ON a.user_id < b.user_id
+    ORDER BY seq_sim DESC, user_a, user_b
+    LIMIT 30
+    """,
+)
+def q390_sequence_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-sequence NEAR-DUP detection by edit distance —
+    each user's event stream becomes a character sequence (first
+    letter of event_type, ts order, capped at 50 events) and user
+    pairs are scored by Levenshtein similarity 1 − d/max(len): the
+    bot/replay-detection primitive (two accounts replaying the same
+    click script align at high seq_sim even with insertions) and
+    the sequence-level complement of the token-level dedup family
+    (q52 hashes content, this aligns ORDER). Both engines run their
+    native integer Levenshtein, so the DP is exact cross-engine;
+    the 50-event cap bounds the O(len²) cell count per pair.
+
+    Scale: sequences build with one user-grain ordered agg
+    (collect+sort inside the group, never a corpus window); the
+    pair stage here is a bounded 20-user study set (×100 probe:
+    blocked pairing — LSH over q53's SimHash of the sequence string
+    — replaces the quadratic pair join; the scorer itself is
+    map-side and reusable unchanged).
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    seqs = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("ts"),
+                                F.col("event_id"),
+                                F.substring("event_type", 1, 1).alias("c"),
+                            )
+                        )
+                    ),
+                    lambda s: s["c"],
+                ),
+                "",
+            ).substr(1, 50).alias("sq")
+        )
+    )
+    a = seqs.select(F.col("user_id").alias("user_a"), F.col("sq").alias("sa"))
+    b = seqs.select(F.col("user_id").alias("user_b"), F.col("sq").alias("sb"))
+    d = F.levenshtein(F.col("sa"), F.col("sb"))
+    mx = F.greatest(F.length("sa"), F.length("sb"))
+    return (
+        a.join(b, F.col("user_a") < F.col("user_b"))
+        .select(
+            "user_a",
+            "user_b",
+            F.length("sa").cast("long").alias("len_a"),
+            F.length("sb").cast("long").alias("len_b"),
+            d.cast("long").alias("edit_dist"),
+            F.round(1.0 - d.cast("double") / mx, 4).alias("seq_sim"),
+        )
+        .orderBy(F.desc("seq_sim"), "user_a", "user_b")
+        .limit(30)
+    )
