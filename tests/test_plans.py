@@ -4754,3 +4754,203 @@ def test_q377_advisor_poles(spark, qs):
     for r in rows.values():
         assert 1 <= r["ndv"] <= r["n_rows"]
         assert r["combine_pays"] == (r["n_rows"] >= 8 * r["ndv"])
+
+
+# ---- round-11 batch 2: q378-q392 property pins ----------------------
+
+
+def test_q378_strategy_matches_rule(spark, qs):
+    """chosen is a pure function of the spill gate; event_id prices
+    the largest hash table; costs are positive and sort pays the
+    log factor over hash on every key."""
+    rows = {r["group_key"]: r for r in
+            qs["q378_sort_vs_hash_agg_advisor"](spark, SF_DIR).collect()}
+    assert set(rows) == {"event_type", "day", "user_id", "user_id,day",
+                         "event_id"}
+    biggest = max(rows.values(), key=lambda r: r["hash_table_mb"])
+    assert biggest["group_key"] == "event_id"
+    for r in rows.values():
+        assert r["chosen"] == ("sort" if r["hash_spills"] else "hash")
+        assert 0 < r["hash_cost"] < r["sort_cost"]
+
+
+def test_q379_gonzalez_monotone(spark, qs):
+    """Greedy max-min selection distances are non-increasing, the
+    seed is vec 0 at distance 0, and the final covering radius is
+    bounded by the last selection distance."""
+    rows = sorted(qs["q379_kcenter_coreset"](spark, SF_DIR).collect(),
+                  key=lambda r: r["step"])
+    assert rows[0]["step"] == 1 and rows[0]["center_id"] == 0
+    assert rows[0]["sel_dist"] == 0.0
+    dists = [r["sel_dist"] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
+    assert rows[-1]["final_radius"] <= dists[-1]
+    assert len({r["center_id"] for r in rows}) == len(rows)
+
+
+def test_q380_posterior_sane(spark, qs):
+    """Probabilities live in [0,1], sum to ≤1 (tie mass excluded),
+    and the arm with the larger posterior mean beats the other."""
+    rows = qs["q380_bayesian_ab_posterior"](spark, SF_DIR).collect()
+    assert len(rows) == 2
+    total = sum(r["prob_beats_other"] for r in rows)
+    # same-grid-cell mass is a tie and counts for neither arm; with
+    # concentrated posteriors on a 100-point grid it reaches a few %
+    assert 0.85 <= total <= 1.0
+    hi = max(rows, key=lambda r: r["post_mean"])
+    lo = min(rows, key=lambda r: r["post_mean"])
+    if hi["post_mean"] > lo["post_mean"]:
+        assert hi["prob_beats_other"] > lo["prob_beats_other"]
+
+
+def test_q381_triplets_well_formed(spark, qs):
+    rows = qs["q381_hard_negative_mining"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["pos_id"] != r["anchor_id"]
+        assert r["neg_id"] != r["anchor_id"]
+        assert abs(r["margin"] - round(r["pos_cos"] - r["neg_cos"], 3)) < 1e-9
+
+
+def test_q382_dp_beats_equiwidth(spark, qs):
+    """Buckets tile [0,15] contiguously; bucket SSEs sum to the DP
+    total; the DP optimum never loses to the fixed equi-width-4
+    layout (it's in the DP's search space)."""
+    rows = sorted(qs["q382_voptimal_histogram"](spark, SF_DIR).collect(),
+                  key=lambda r: r["bucket"])
+    assert rows[0]["lo_bin"] == 0 and rows[-1]["hi_bin"] == 15
+    for a, b in zip(rows, rows[1:]):
+        assert b["lo_bin"] == a["hi_bin"] + 1
+    assert abs(sum(r["bucket_sse"] for r in rows)
+               - rows[0]["dp_total_sse"]) < 0.01
+    assert rows[0]["dp_total_sse"] <= rows[0]["equiwidth_total_sse"] + 1e-9
+    assert rows[0]["gain_pct"] >= 0.0
+
+
+def test_q383_bpe_counts_monotone(spark, qs):
+    """Greedy BPE best-pair counts never increase (old pairs only
+    lose occurrences; pairs born from a merge are bounded by the
+    merged pair's count), and new_symbol is the concatenation."""
+    rows = sorted(qs["q383_bpe_merge_trainer"](spark, SF_DIR).collect(),
+                  key=lambda r: r["step"])
+    assert len(rows) == 5
+    counts = [r["pair_count"] for r in rows]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    for r in rows:
+        assert r["new_symbol"] == r["merged_pair"].replace(" ", "")
+    assert len({r["merged_pair"] for r in rows}) == 5
+
+
+def test_q384_submodular_gains(spark, qs):
+    """Greedy max-coverage marginal gains are non-increasing
+    (submodularity) and total coverage is their running sum."""
+    rows = sorted(qs["q384_greedy_max_coverage"](spark, SF_DIR).collect(),
+                  key=lambda r: r["step"])
+    gains = [r["new_shingles"] for r in rows]
+    assert all(a >= b for a, b in zip(gains, gains[1:]))
+    run = 0
+    for r in rows:
+        run += r["new_shingles"]
+        assert r["total_covered"] == run
+
+
+def test_q385_apriori_invariants(spark, qs):
+    rows = qs["q385_apriori_triples"](spark, SF_DIR).collect()
+    assert rows, "sf0.001 plants 94 frequent triples"
+    for r in rows:
+        assert r["item_a"] < r["item_b"] < r["item_c"]
+        assert r["support"] >= 2
+        assert r["lift3"] > 0
+        assert r["n_c3"] >= len(rows)
+
+
+def test_q386_ttl_audit_labels(spark, qs):
+    """Both eviction paths fire; sessions are well-formed and
+    per-user non-overlapping in time."""
+    rows = qs["q386_stream_state_ttl_audit"](spark, SF_DIR).collect()
+    vias = {r["via"] for r in rows}
+    assert vias == {"data", "timeout"}
+    by_user = {}
+    for r in rows:
+        assert r["start_us"] <= r["end_us"] and r["n_events"] >= 1
+        by_user.setdefault(r["user_id"], []).append(
+            (r["start_us"], r["end_us"])
+        )
+    for spans in by_user.values():
+        spans.sort()
+        for a, b in zip(spans, spans[1:]):
+            assert a[1] < b[0]
+
+
+def test_q387_sample_costs_balance(spark, qs):
+    """Both layouts assign every row; exact boundaries land near the
+    ideal 1.0 skew and the sampled layout is not better than exact
+    beyond rounding."""
+    rows = qs["q387_range_partition_balance"](spark, SF_DIR).collect()
+    by_m = {}
+    for r in rows:
+        by_m.setdefault(r["method"], []).append(r)
+    n_exact = sum(r["n_rows"] for r in by_m["exact"])
+    n_samp = sum(r["n_rows"] for r in by_m["sampled"])
+    assert n_exact == n_samp
+    skew_exact = by_m["exact"][0]["method_skew_x"]
+    skew_samp = by_m["sampled"][0]["method_skew_x"]
+    assert skew_exact <= 1.1
+    assert skew_samp >= skew_exact - 0.05
+
+
+def test_q388_small_dims_broadcast(spark, qs):
+    """At fixture scale every candidate fits the 10 MB threshold —
+    the advisor must say broadcast with the smaller side building."""
+    rows = qs["q388_join_strategy_advisor"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r["strategy"] == "broadcast_hash"
+        small = min(r["left_bytes"], r["right_bytes"])
+        assert r["exchanged_bytes"] == small * 32
+        assert r["build_side"] == (
+            "left" if r["left_bytes"] <= r["right_bytes"] else "right"
+        )
+
+
+def test_q389_hot_partition_splits(spark, qs):
+    """The planted hot key's partition is flagged and fans out; the
+    tail stays at one slice."""
+    rows = qs["q389_aqe_skew_split_sim"](spark, SF_DIR).collect()
+    hot = max(rows, key=lambda r: r["est_bytes"])
+    assert hot["is_skewed"] and hot["n_splits"] >= 2
+    for r in rows:
+        if not r["is_skewed"]:
+            assert r["n_splits"] == 1
+        assert r["median_bytes"] == rows[0]["median_bytes"]
+
+
+def test_q390_edit_distance_bounds(spark, qs):
+    rows = qs["q390_sequence_edit_distance"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["user_a"] < r["user_b"]
+        assert max(r["len_a"], r["len_b"]) <= 50
+        assert abs(r["len_a"] - r["len_b"]) <= r["edit_dist"]
+        assert r["edit_dist"] <= max(r["len_a"], r["len_b"])
+        assert 0.0 <= r["seq_sim"] <= 1.0
+
+
+def test_q391_oof_excludes_own_fold(spark, qs):
+    """Cells exist for every (type, fold); the leaky encoding is
+    shared per type while OOF varies by fold unless the folds are
+    identical by chance."""
+    rows = qs["q391_oof_target_encoding"](spark, SF_DIR).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        assert len({r["leaky_encoding"] for r in rs}) == 1
+        assert len({r["fold"] for r in rs}) == len(rs)
+
+
+def test_q392_cdf_fit_sane(spark, qs):
+    r = qs["q392_learned_cdf_audit"](spark, SF_DIR).collect()[0]
+    assert r["slope"] > 0
+    assert r["n_distinct"] <= r["n_rows"]
+    assert r["learned_max_rank_err"] >= 0
+    assert r["hist16_halfbin_err"] == round(r["n_rows"] / 32.0, 2)
