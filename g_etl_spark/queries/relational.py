@@ -9806,3 +9806,248 @@ def q392_learned_cdf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") / 32.0, 2).alias("hist16_halfbin_err"),
         (F.col("mx") < F.col("n") / 32.0).alias("learned_beats_hist"),
     )
+
+
+@register(
+    "q393_tcloseness_audit",
+    oracle="""
+    WITH base AS (
+        SELECT c_mktsegment, c_nationkey,
+               CAST(least(3, greatest(0,
+                    floor((c_acctbal + 1000.0) / 2750.0))) AS BIGINT) AS sb
+        FROM customer
+    ),
+    cell AS (
+        SELECT c_mktsegment, c_nationkey, sb, count(*) AS c
+        FROM base GROUP BY 1, 2, 3
+    ),
+    bins AS (SELECT unnest(generate_series(0, 3)) AS sb),
+    grp AS (
+        SELECT c_mktsegment, c_nationkey, sum(c) AS g
+        FROM cell GROUP BY 1, 2
+    ),
+    gdist AS (SELECT sb, sum(c) AS gc FROM cell GROUP BY sb),
+    n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cell),
+    dense AS (
+        SELECT grp.c_mktsegment, grp.c_nationkey, bins.sb, grp.g,
+               coalesce(cell.c, 0) AS c, gdist.gc
+        FROM grp CROSS JOIN bins
+        JOIN gdist ON gdist.sb = bins.sb
+        LEFT JOIN cell ON cell.c_mktsegment = grp.c_mktsegment
+                      AND cell.c_nationkey = grp.c_nationkey
+                      AND cell.sb = bins.sb
+    ),
+    cums AS (
+        SELECT c_mktsegment, c_nationkey, sb, g,
+               sum(CAST(c AS DOUBLE) / g) OVER w AS cp,
+               sum(CAST(gc AS DOUBLE) / (SELECT n FROM n)) OVER w AS cq
+        FROM dense
+        WINDOW w AS (PARTITION BY c_mktsegment, c_nationkey
+                     ORDER BY sb ROWS UNBOUNDED PRECEDING)
+    ),
+    emd AS (
+        SELECT c_mktsegment, c_nationkey,
+               CAST(any_value(g) AS BIGINT) AS class_size,
+               round(sum(CASE WHEN sb < 3
+                              THEN abs(cp - cq) ELSE 0 END) / 3.0, 6)
+                   AS t_emd
+        FROM cums GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           class_size, t_emd,
+           t_emd > 0.2 AS exceeds_t
+    FROM emd
+    ORDER BY t_emd DESC, c_mktsegment, c_nationkey
+    LIMIT 40
+    """,
+)
+def q393_tcloseness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-CLOSENESS audit (Li et al., ICDE'07) — the third rung of
+    the anonymization ladder the engine already climbs (q207
+    k-anonymity: class sizes; q251 l-diversity: sensitive-value
+    variety): for each quasi-identifier class (mktsegment × nation),
+    the Earth Mover's Distance between its SENSITIVE-attribute
+    distribution (4 ordered balance bands) and the global one —
+    EMD over an ordered attribute with unit ground distance is the
+    mean absolute difference of the cumulative distributions,
+    (1/(m−1))·Σ|P≤i − Q≤i|. A class can be 5-anonymous and diverse
+    yet still leak ('this nation's segment skews rich'); t_emd > 0.2
+    flags exactly that, and the top-40 worst classes are the
+    suppression worklist.
+
+    Scale: one pass to the (class × band) cells, densified against
+    a 4-row literal band frame; cumulative sums run at class grain
+    (bounded partitions of 4 rows), never over the corpus. Counts
+    are exact integers; the only doubles are the final two divisions
+    and the 6-dp-rounded EMD, identical in both engines.
+    """
+    c = load(spark, sf_dir, "customer")
+    sb = F.least(
+        F.lit(3),
+        F.greatest(
+            F.lit(0), F.floor((F.col("c_acctbal") + 1000.0) / 2750.0)
+        ),
+    ).cast("long")
+    cell = c.groupBy("c_mktsegment", "c_nationkey", sb.alias("sb")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bins = spark.range(0, 4).select(F.col("id").alias("sb"))
+    grp = cell.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.sum("c").alias("g")
+    )
+    glob = cell.groupBy("sb").agg(F.sum("c").alias("gc"))
+    n = cell.agg(F.sum("c").cast("double").alias("n"))
+    dense = (
+        grp.crossJoin(F.broadcast(bins))
+        .join(F.broadcast(glob), "sb")
+        .join(cell, ["c_mktsegment", "c_nationkey", "sb"], "left")
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "sb",
+            "g",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            "gc",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    w = (
+        Window.partitionBy("c_mktsegment", "c_nationkey")
+        .orderBy("sb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = dense.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "sb",
+        "g",
+        F.sum(F.col("c").cast("double") / F.col("g")).over(w).alias("cp"),
+        F.sum(F.col("gc").cast("double") / F.col("n")).over(w).alias("cq"),
+    )
+    emd = cums.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.any_value("g").cast("long").alias("class_size"),
+        F.round(
+            F.sum(
+                F.when(F.col("sb") < 3, F.abs(F.col("cp") - F.col("cq")))
+                .otherwise(F.lit(0.0))
+            )
+            / 3.0,
+            6,
+        ).alias("t_emd"),
+    )
+    return (
+        emd.select(
+            "c_mktsegment",
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            "class_size",
+            "t_emd",
+            (F.col("t_emd") > 0.2).alias("exceeds_t"),
+        )
+        .orderBy(F.desc("t_emd"), "c_mktsegment", "c_nationkey")
+        .limit(40)
+    )
+
+
+_Q396_TARGET = 16 * 1024  # target output bytes, fixture-scaled (prod: 128 MB)
+
+
+@register(
+    "q396_compaction_planner",
+    oracle=f"""
+    WITH fg AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(32 + 8 + length(event_type) + length(props))
+                    AS BIGINT) AS bytes
+        FROM events GROUP BY 1, 2
+    ),
+    ord AS (
+        SELECT *,
+               coalesce(sum(bytes) OVER (ORDER BY day, event_type
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS cumb
+        FROM fg
+    ),
+    asg AS (SELECT *, cumb // {_Q396_TARGET} AS out_file FROM ord),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_groups,
+               sum(bytes) AS tb
+        FROM fg
+    )
+    SELECT CAST(out_file AS BIGINT) AS out_file,
+           CAST(count(*) AS BIGINT) AS n_inputs,
+           CAST(sum(bytes) AS BIGINT) AS out_bytes,
+           round(100.0 * sum(bytes) / {_Q396_TARGET}, 2) AS fill_pct,
+           tot.n_groups AS n_input_groups,
+           CAST(ceil(CAST(tot.tb AS DOUBLE) / {_Q396_TARGET}) AS BIGINT)
+               AS ideal_files
+    FROM asg, tot
+    GROUP BY out_file, tot.n_groups, tot.tb
+    ORDER BY out_file
+    """,
+)
+def q396_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILE COMPACTION planner — the maintenance job every
+    partitioned lake needs: (event_type × day) ingest partitions
+    (the small-file shape daily ingest produces — 150 input groups
+    here) are packed into target-sized output files by NEXT-FIT on
+    the layout-ordered running byte total: out_file = floor(Σ
+    previous bytes / target). Next-fit keeps input order, so each
+    output file covers a CONTIGUOUS (day, type) range — zone maps
+    and partition pruning survive the rewrite (the same reason
+    OPTIMIZE in lakehouse engines compacts within, not across,
+    partition boundaries). Per-file fill % and the ideal file count
+    quantify the packing loss (next-fit wastes at most one group per
+    bin over the Σ/target lower bound). Byte estimates are q321's
+    integer width formula; completes the layout family — q299 scan
+    amplification, q311 zone maps, q321 partition sizing, q389 AQE
+    splits, and now the compaction rewrite plan itself.
+
+    Scale: one scan collapses map-side to the file-group grain
+    (|types|×|days| rows); the running total is a file-group-grain
+    window (150 rows here, thousands at 100 TB — never corpus) and
+    the plan is pure integer arithmetic on it.
+    """
+    e = load(spark, sf_dir, "events")
+    fg = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.lit(32 + 8)
+            + F.length("event_type").cast("long")
+            + F.length("props").cast("long")
+        )
+        .cast("long")
+        .alias("bytes")
+    )
+    wo = Window.orderBy("day", "event_type").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    asg = fg.select(
+        "bytes",
+        F.coalesce(F.sum("bytes").over(wo), F.lit(0)).alias("cumb"),
+    ).selectExpr("bytes", f"cumb div {_Q396_TARGET} AS out_file")
+    tot = fg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_input_groups"),
+        F.sum("bytes").alias("tb"),
+    )
+    return (
+        asg.groupBy("out_file")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_inputs"),
+            F.sum("bytes").cast("long").alias("out_bytes"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("out_file").cast("long").alias("out_file"),
+            "n_inputs",
+            "out_bytes",
+            F.round(100.0 * F.col("out_bytes") / _Q396_TARGET, 2).alias(
+                "fill_pct"
+            ),
+            "n_input_groups",
+            F.ceil(F.col("tb").cast("double") / _Q396_TARGET)
+            .cast("long")
+            .alias("ideal_files"),
+        )
+        .orderBy("out_file")
+    )

@@ -4626,3 +4626,166 @@ def q383_bpe_merge_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("step")
+
+
+_RM3_ALPHA = 0.5   # feedback interpolation weight
+_RM3_FB_DOCS = 10  # pseudo-relevant depth
+_RM3_TOP = 15      # expansion terms emitted
+_RM3_MINLEN = 3    # drop sub-3-char tokens from the feedback model
+
+
+@register(
+    "q394_rm3_query_expansion",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, len({_TOKS}) AS dl, {_TOKS} AS t FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base),
+    tf AS (
+        SELECT doc_id, dl, token, count(*) AS tf
+        FROM (SELECT doc_id, dl,
+                     unnest(list_filter(t, x -> x IN {_BM25_IN})) AS token
+              FROM base)
+        GROUP BY doc_id, dl, token
+    ),
+    dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(
+                   ln((CAST(stats.n_docs AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5)
+                      / (CAST(dft.df AS DOUBLE) + 0.5) + 1.0)
+                   * CAST(tf.tf AS DOUBLE) * ({_BM25_K1} + 1.0)
+                   / (CAST(tf.tf AS DOUBLE)
+                      + {_BM25_K1} * (1.0 - {_BM25_B}
+                                      + {_BM25_B} * CAST(tf.dl AS DOUBLE)
+                                        / CAST(stats.avgdl AS DOUBLE)))
+               ) AS bm25
+        FROM tf JOIN dft ON tf.token = dft.token CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ),
+    fb AS (
+        SELECT doc_id FROM scored
+        ORDER BY round(bm25, 4) DESC, doc_id LIMIT {_RM3_FB_DOCS}
+    ),
+    fbtf AS (
+        SELECT b.doc_id, b.dl, token, count(*) AS tf
+        FROM (SELECT doc_id, dl, unnest(t) AS token
+              FROM base JOIN fb USING (doc_id)) b
+        WHERE length(token) >= {_RM3_MINLEN}
+        GROUP BY b.doc_id, b.dl, token
+    ),
+    nfb AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM fb),
+    pr AS (
+        SELECT token,
+               sum(CAST(tf AS DOUBLE) / dl) / (SELECT k FROM nfb) AS p_r,
+               CAST(count(*) AS BIGINT) AS fb_df
+        FROM fbtf GROUP BY token
+    )
+    SELECT token,
+           round({1 - _RM3_ALPHA} * (CASE WHEN token IN {_BM25_IN}
+                                          THEN 1.0 / {len(_BM25_TERMS)}
+                                          ELSE 0.0 END)
+                 + {_RM3_ALPHA} * p_r, 6) AS rm3_weight,
+           token IN {_BM25_IN} AS in_original,
+           fb_df
+    FROM pr
+    ORDER BY rm3_weight DESC, token
+    LIMIT {_RM3_TOP}
+    """,
+)
+def q394_rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 PSEUDO-RELEVANCE-FEEDBACK query expansion (Lavrenko &
+    Croft relevance models, the Anserini/Indri default) — run the
+    seed query through q74's BM25, take the top-{_RM3_FB_DOCS}
+    feedback documents, estimate the relevance model P(w|R) as the
+    mean per-doc term frequency (uniform doc weights, length-
+    normalized tf/dl), and interpolate with the original query's
+    uniform distribution at α={_RM3_ALPHA}. The emitted top-
+    {_RM3_TOP} weighted terms ARE the expanded query a second-pass
+    retrieval runs — closing the retrieval loop the engine already
+    scores (q74 BM25 → this expansion → q332's QL re-scoring), the
+    classic recall lever when training-data mining needs 'more
+    documents like these'.
+
+    Scale: pass 1 is exactly q74's bounded-explode plan (terms
+    filtered BEFORE explode); the feedback explode touches only
+    {_RM3_FB_DOCS} documents (semi-join then full unnest of just
+    those rows), so the relevance model is built from a bounded
+    slice no matter the corpus; the final interpolation is
+    |feedback vocab| rows. Weights are sums over ≤{_RM3_FB_DOCS}
+    exact tf/dl ratios, 6-dp rounded — tie order on the rounded
+    weight then token, stable cross-engine.
+    """
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.size(T.tokens(F.col("text"))).alias("dl"),
+        T.tokens(F.col("text")).alias("t"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.filter(F.col("t"), lambda x: x.isin(*_BM25_TERMS))
+            ).alias("token"),
+        )
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dft), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                T.bm25_term_score(
+                    F.col("tf"), F.col("df"), F.col("dl"),
+                    F.col("n_docs"), F.col("avgdl"),
+                    k1=_BM25_K1, b=_BM25_B,
+                )
+            ).alias("bm25")
+        )
+    )
+    fb = (
+        scored.orderBy(F.desc(F.round(F.col("bm25"), 4)), F.asc("doc_id"))
+        .limit(_RM3_FB_DOCS)
+        .select("doc_id")
+    )
+    fbtf = (
+        base.join(fb, "doc_id", "left_semi")
+        .select("doc_id", "dl", F.explode("t").alias("token"))
+        .filter(F.length("token") >= _RM3_MINLEN)
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    nfb = fb.agg(F.count(F.lit(1)).cast("double").alias("k"))
+    pr = (
+        fbtf.groupBy("token")
+        .agg(
+            F.sum(F.col("tf").cast("double") / F.col("dl")).alias("s"),
+            F.count(F.lit(1)).cast("long").alias("fb_df"),
+        )
+        .crossJoin(F.broadcast(nfb))
+        .select("token", (F.col("s") / F.col("k")).alias("p_r"), "fb_df")
+    )
+    in_q = F.col("token").isin(*_BM25_TERMS)
+    return (
+        pr.select(
+            "token",
+            F.round(
+                (1 - _RM3_ALPHA)
+                * F.when(in_q, F.lit(1.0 / len(_BM25_TERMS))).otherwise(0.0)
+                + _RM3_ALPHA * F.col("p_r"),
+                6,
+            ).alias("rm3_weight"),
+            in_q.alias("in_original"),
+            "fb_df",
+        )
+        .orderBy(F.desc("rm3_weight"), "token")
+        .limit(_RM3_TOP)
+    )

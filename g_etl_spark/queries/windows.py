@@ -6955,3 +6955,186 @@ def q390_sequence_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("seq_sim"), "user_a", "user_b")
         .limit(30)
     )
+
+
+_Q395_SESS_GAP_US = 1_800_000_000     # 30-min session gap
+_Q395_OUTAGE_GAP_US = 3_600_000_000   # merge errors within 1 h
+_Q395_BUCKET_US = 6 * 3600 * 1_000_000  # 6-h join buckets (Spark side)
+
+
+@register(
+    "q395_interval_overlap_join",
+    oracle=f"""
+    WITH err AS (
+        SELECT epoch_us(ts) AS ts_us FROM events
+        WHERE event_type = 'error'
+    ),
+    og AS (
+        SELECT ts_us,
+               CASE WHEN lag(ts_us) OVER (ORDER BY ts_us) IS NULL
+                         OR ts_us - lag(ts_us) OVER (ORDER BY ts_us)
+                            > {_Q395_OUTAGE_GAP_US}
+                    THEN 1 ELSE 0 END AS brk
+        FROM err
+    ),
+    oid AS (
+        SELECT ts_us,
+               sum(brk) OVER (ORDER BY ts_us ROWS UNBOUNDED PRECEDING)
+                   AS oid
+        FROM og
+    ),
+    outage AS (
+        SELECT oid, min(ts_us) AS o_start, max(ts_us) AS o_end
+        FROM oid GROUP BY oid
+    ),
+    sgap AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                            > {_Q395_SESS_GAP_US}
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sid AS (
+        SELECT user_id, ts_us,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM sgap
+    ),
+    sess AS (
+        SELECT user_id, sid, min(ts_us) AS s_start, max(ts_us) AS s_end
+        FROM sid GROUP BY user_id, sid
+    ),
+    pairs AS (
+        SELECT o.oid, o.o_start, o.o_end,
+               least(o.o_end, s.s_end) - greatest(o.o_start, s.s_start)
+                   AS ov
+        FROM outage o JOIN sess s
+          ON s.s_start <= o.o_end AND o.o_start <= s.s_end
+    )
+    SELECT CAST(oid AS BIGINT) AS outage_id,
+           o_start AS o_start_us, o_end AS o_end_us,
+           CAST(count(*) AS BIGINT) AS n_sessions_hit,
+           CAST(sum(ov) AS BIGINT) AS overlap_us
+    FROM pairs GROUP BY oid, o_start, o_end
+    ORDER BY outage_id
+    """,
+)
+def q395_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP JOIN, bucketed — the general interval×interval
+    join the time family was missing (q36 as-of joins points, q37
+    joins points into ranges, q116 merges, q173 sweeps; this joins
+    RANGES to RANGES): user sessions (30-min gap) against global
+    outage windows (error events merged within 1 h), reporting per
+    outage how many sessions it touched and the total overlapped
+    time — the blast-radius readout incident review asks for.
+
+    The Spark plan is the scalable shape: each interval explodes
+    into the 6-h epoch buckets it spans, the join runs as a bucket
+    EQUI-join (shuffle on bucket id, no range predicate in the join
+    condition, no cartesian), and each qualifying pair is counted
+    exactly once via the emit-once rule (only in the bucket of
+    max(starts), which both intervals provably span). The DuckDB
+    oracle states the SEMANTIC truth as the quadratic inequality
+    join — the gate proves bucketed == quadratic, which is the whole
+    point of the pattern.
+
+    Scale: bucket fan-out is span/6 h per interval (sessions ≈1
+    bucket; outages a handful); the bucket join's key cardinality
+    grows with the timeline, so partitions stay balanced as the
+    corpus grows. The outage construction windows only the ERROR
+    subset on the global timeline (incident streams are inherently
+    global; at 100 TB you'd pre-slice by day exactly like the
+    events here span 30 of them).
+    """
+    e = load(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        F.unix_micros("ts").alias("ts_us")
+    )
+    wo = Window.orderBy("ts_us")
+    og = err.select(
+        "ts_us",
+        F.when(
+            F.lag("ts_us").over(wo).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(wo)
+               > _Q395_OUTAGE_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    outage = (
+        og.select(
+            "ts_us",
+            F.sum("brk")
+            .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("oid"),
+        )
+        .groupBy("oid")
+        .agg(F.min("ts_us").alias("o_start"), F.max("ts_us").alias("o_end"))
+    )
+    ws = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    sgap = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    ).withColumn(
+        "brk",
+        F.when(
+            F.lag("ts_us").over(ws).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(ws) > _Q395_SESS_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = (
+        sgap.select(
+            "user_id",
+            "ts_us",
+            F.sum("brk")
+            .over(ws.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("sid"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts_us").alias("s_start"), F.max("ts_us").alias("s_end"))
+    )
+    bk = lambda lo, hi: F.explode(  # noqa: E731
+        F.sequence(
+            F.expr(f"{lo} div {_Q395_BUCKET_US}"),
+            F.expr(f"{hi} div {_Q395_BUCKET_US}"),
+        )
+    ).alias("bk")
+    sb = sess.select("s_start", "s_end", bk("s_start", "s_end"))
+    ob = outage.select("oid", "o_start", "o_end", bk("o_start", "o_end"))
+    pairs = (
+        sb.join(ob, "bk")
+        .filter(
+            (F.col("s_start") <= F.col("o_end"))
+            & (F.col("o_start") <= F.col("s_end"))
+        )
+        .filter(
+            F.col("bk")
+            == F.expr(
+                f"greatest(s_start, o_start) div {_Q395_BUCKET_US}"
+            )
+        )
+    )
+    return (
+        pairs.groupBy("oid", "o_start", "o_end")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions_hit"),
+            F.sum(
+                F.least("o_end", "s_end") - F.greatest("o_start", "s_start")
+            )
+            .cast("long")
+            .alias("overlap_us"),
+        )
+        .select(
+            F.col("oid").cast("long").alias("outage_id"),
+            F.col("o_start").alias("o_start_us"),
+            F.col("o_end").alias("o_end_us"),
+            "n_sessions_hit",
+            "overlap_us",
+        )
+        .orderBy("outage_id")
+    )
