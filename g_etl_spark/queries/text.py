@@ -4499,6 +4499,71 @@ def q372_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_word_table(d: DataFrame) -> DataFrame:
+    """(f, repr) word-frequency table with the double-space symbol
+    layout q383's docstring derives: '  h  e  l  l  o  ' — each merge
+    rewrite consumes one space per side so neighbor spacing survives
+    adjacent occurrences."""
+    return (
+        d.select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias(
+                "word"
+            )
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .select(
+            "f",
+            F.concat(
+                F.lit("  "), F.regexp_replace(F.col("word"), "(.)", "$1  ")
+            ).alias("repr"),
+        )
+    )
+
+
+def _bpe_pair_expr():
+    # built lazily: constructing a Column requires an active session,
+    # and this module imports during pytest collection without one
+    return F.expr(
+        "zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1),"
+        " (a, b) -> concat(a, ' ', b))"
+    )
+
+
+def _bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """Weighted adjacent-symbol pair counts of a (f, repr) table."""
+    return (
+        words.select("f", F.split(F.trim(F.col("repr")), "  ").alias("s"))
+        .select("f", F.explode(_bpe_pair_expr()).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("f").alias("cnt"))
+    )
+
+
+def _bpe_apply_merge(
+    df: DataFrame, best: DataFrame, keep: list[str]
+) -> DataFrame:
+    """Rewrite every repr by merging the 1-row `best` frame's pair
+    (broadcast scalar — the pair never leaves the cluster)."""
+    return df.crossJoin(F.broadcast(best.select("pair"))).select(
+        *keep,
+        F.replace(
+            F.col("repr"),
+            F.concat(
+                F.lit(" "),
+                F.regexp_replace(F.col("pair"), " ", "  "),
+                F.lit(" "),
+            ),
+            F.concat(
+                F.lit(" "),
+                F.regexp_replace(F.col("pair"), " ", ""),
+                F.lit(" "),
+            ),
+        ).alias("repr"),
+    )
+
+
 def _q383_oracle(steps: int = 5) -> str:
     ctes = ["""w0 AS (
         SELECT word, CAST(count(*) AS BIGINT) AS f,
@@ -4564,36 +4629,14 @@ def q383_bpe_merge_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation, millions of rows, not the corpus.
     """
     d = load(spark, sf_dir, "documents")
-    words = (
-        d.select(
-            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word")
-        )
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("f"))
-        .select(
-            "f",
-            F.concat(
-                F.lit("  "), F.regexp_replace(F.col("word"), "(.)", "$1  ")
-            ).alias("repr"),
-        )
-        .localCheckpoint()
-    )
-    pair_expr = F.expr(
-        "zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1),"
-        " (a, b) -> concat(a, ' ', b))"
-    )
+    words = _bpe_word_table(d).localCheckpoint()
     outs = []
     for step in (1, 2, 3, 4, 5):
-        pairs = (
-            words.select(
-                "f", F.split(F.trim(F.col("repr")), "  ").alias("s")
-            )
-            .select("f", F.explode(pair_expr).alias("pair"))
-            .groupBy("pair")
-            .agg(F.sum("f").alias("cnt"))
+        best = (
+            _bpe_pair_counts(words)
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
         )
-        best = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
         outs.append(
             best.select(
                 F.lit(step).cast("long").alias("step"),
@@ -4602,26 +4645,7 @@ def q383_bpe_merge_trainer(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("cnt").alias("pair_count"),
             )
         )
-        words = (
-            words.crossJoin(F.broadcast(best))
-            .select(
-                "f",
-                F.replace(
-                    F.col("repr"),
-                    F.concat(
-                        F.lit(" "),
-                        F.regexp_replace(F.col("pair"), " ", "  "),
-                        F.lit(" "),
-                    ),
-                    F.concat(
-                        F.lit(" "),
-                        F.regexp_replace(F.col("pair"), " ", ""),
-                        F.lit(" "),
-                    ),
-                ).alias("repr"),
-            )
-            .localCheckpoint()
-        )
+        words = _bpe_apply_merge(words, best, ["f"]).localCheckpoint()
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -4789,3 +4813,258 @@ def q394_rm3_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rm3_weight"), "token")
         .limit(_RM3_TOP)
     )
+
+
+def _q397_oracle(steps: int = 5) -> str:
+    ctes = ["""tw0 AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS f,
+               '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS repr
+        FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))
+                     AS word
+              FROM documents WHERE doc_id % 10 <> 7)
+        WHERE word <> '' GROUP BY word
+    ),
+    hw0 AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS f,
+               '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS repr
+        FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))
+                     AS word
+              FROM documents WHERE doc_id % 10 = 7)
+        WHERE word <> '' GROUP BY word
+    )"""]
+    for t in range(1, steps + 1):
+        ctes.append(f"""tp{t} AS (
+        SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
+            SELECT f, unnest(list_transform(range(1, len(s)),
+                             i -> s[i] || ' ' || s[i + 1])) AS pair
+            FROM (SELECT f, string_split(trim(repr), '  ') AS s
+                  FROM tw{t - 1})
+        ) GROUP BY pair
+    ),
+    tb{t} AS (SELECT pair FROM tp{t} ORDER BY cnt DESC, pair LIMIT 1),
+    tw{t} AS (
+        SELECT w.word, w.f,
+               replace(w.repr, ' ' || replace(b.pair, ' ', '  ') || ' ',
+                       ' ' || replace(b.pair, ' ', '') || ' ') AS repr
+        FROM tw{t - 1} w, tb{t} b
+    ),
+    hw{t} AS (
+        SELECT w.word, w.f,
+               replace(w.repr, ' ' || replace(b.pair, ' ', '  ') || ' ',
+                       ' ' || replace(b.pair, ' ', '') || ' ') AS repr
+        FROM hw{t - 1} w, tb{t} b
+    )""")
+    counts = ", ".join(
+        f"c{t} AS (SELECT CAST(sum(f * len(string_split(trim(repr), '  ')))"
+        f" AS BIGINT) AS n FROM hw{t})"
+        for t in range(0, steps + 1)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS step,"
+        + ("'' AS merged_pair" if t == 0
+           else f"(SELECT pair FROM tb{t}) AS merged_pair")
+        + f", (SELECT n FROM c{t}) AS held_tokens,"
+        f" round(100.0 * (1.0 - CAST((SELECT n FROM c{t}) AS DOUBLE)"
+        f" / (SELECT n FROM c0)), 4) AS saved_pct"
+        for t in range(0, steps + 1)
+    )
+    return f"WITH {', '.join(ctes)}, {counts} {rows} ORDER BY step"
+
+
+@register("q397_bpe_encode_compression", oracle=_q397_oracle())
+def q397_bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODER application + compression audit — closes q383's
+    train→apply loop the way a real tokenizer pipeline does: train
+    the 5 merges on 90% of documents (doc_id % 10 ≠ 7, the q137
+    deterministic split), APPLY them in order to the HELD-OUT 10%,
+    and report the held-out token count after each merge with the
+    cumulative compression (saved_pct vs character-level step 0).
+    This is the honest generalization measurement — merges learned
+    on train must pay on unseen text, and a merge whose saved_pct
+    step is ~0 has memorized train-only adjacency (the overfit
+    signal a vocab-size sweep watches for, q191's curve).
+
+    Scale: both word tables collapse their corpora once to vocab
+    grain; each round reuses q383's machinery (shared helpers — one
+    pair-agg on the TRAIN table, broadcast 1-row argmax, map-side
+    rewrite applied to BOTH tables, localCheckpoint per round).
+    Token counts are exact integer Σ f·|symbols|.
+    """
+    d = load(spark, sf_dir, "documents")
+    train = _bpe_word_table(d.filter(F.col("doc_id") % 10 != 7)).localCheckpoint()
+    held = _bpe_word_table(d.filter(F.col("doc_id") % 10 == 7)).localCheckpoint()
+
+    def held_tokens() -> DataFrame:
+        return held.agg(
+            F.sum(
+                F.col("f")
+                * F.size(F.split(F.trim(F.col("repr")), "  "))
+            ).cast("long").alias("n")
+        )
+
+    c0 = held_tokens().localCheckpoint()
+    outs = [
+        c0.select(
+            F.lit(0).cast("long").alias("step"),
+            F.lit("").alias("merged_pair"),
+            F.col("n").alias("held_tokens"),
+        )
+    ]
+    for step in (1, 2, 3, 4, 5):
+        best = (
+            _bpe_pair_counts(train)
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        train = _bpe_apply_merge(train, best, ["f"]).localCheckpoint()
+        held = _bpe_apply_merge(held, best, ["f"]).localCheckpoint()
+        outs.append(
+            best.select(F.col("pair").alias("merged_pair"))
+            .crossJoin(held_tokens())
+            .select(
+                F.lit(step).cast("long").alias("step"),
+                "merged_pair",
+                F.col("n").alias("held_tokens"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return (
+        out.crossJoin(F.broadcast(c0.select(F.col("n").alias("n0"))))
+        .select(
+            "step",
+            "merged_pair",
+            "held_tokens",
+            F.round(
+                100.0
+                * (1.0 - F.col("held_tokens").cast("double") / F.col("n0")),
+                4,
+            ).alias("saved_pct"),
+        )
+        .orderBy("step")
+    )
+
+
+_Q398_ITERS = 3
+_Q398_EDGE_SQL = f"""
+        SELECT t[i.i] AS a, t[i.i + 1] AS b, count(*) AS w
+        FROM (SELECT {_TOKS} AS t FROM documents),
+             LATERAL (SELECT unnest(generate_series(
+                 1, greatest(len(t) - 1, 0))) AS i) AS i
+        WHERE length(t[i.i]) >= 3 AND length(t[i.i + 1]) >= 3
+          AND t[i.i] <> t[i.i + 1]
+        GROUP BY a, b
+"""
+
+
+def _q398_oracle() -> str:
+    its = []
+    for t in range(1, _Q398_ITERS + 1):
+        its.append(f"""it{t} AS (
+        SELECT e.v AS node,
+               0.15e0 / (SELECT cnt FROM n)
+               + 0.85e0 * sum(i.pr * e.w / d.wd) AS pr
+        FROM edges e
+        JOIN it{t - 1} i ON e.u = i.node
+        JOIN deg d ON d.u = e.u
+        GROUP BY e.v
+    )""")
+    return f"""
+    WITH bi AS ({_Q398_EDGE_SQL}),
+    edges AS (
+        SELECT a AS u, b AS v, CAST(w AS DOUBLE) AS w FROM bi
+        UNION ALL
+        SELECT b AS u, a AS v, CAST(w AS DOUBLE) AS w FROM bi
+    ),
+    deg AS (SELECT u, sum(w) AS wd FROM edges GROUP BY u),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM deg),
+    it0 AS (SELECT u AS node, 1e0 / (SELECT cnt FROM n) AS pr FROM deg),
+    {', '.join(its)}
+    SELECT node AS keyword, round(pr * 1000, 6) AS rank_milli
+    FROM it{_Q398_ITERS}
+    ORDER BY round(pr * 1000, 6) DESC, node
+    LIMIT 20
+    """
+
+
+@register("q398_textrank_keywords", oracle=_q398_oracle())
+def q398_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank KEYWORD extraction (Mihalcea & Tarau 2004) —
+    weighted PageRank over the word co-occurrence graph: adjacent
+    token pairs (both ≥3 chars, self-loops dropped) are undirected
+    edges weighted by corpus co-occurrence count, and 3 damped
+    iterations (d=0.85, uniform init) propagate importance
+    pr·w(u,v)/wdeg(u). Top-20 words by rank are the corpus keywords
+    — the unsupervised complement of q233's class-contrastive
+    c-TF-IDF (no labels needed) and the WEIGHTED-graph variant of
+    q118's unweighted PageRank. Ranks are scaled ×1000 and rounded
+    at 6 dp before the ordering so float-summation order can never
+    reorder the emitted list.
+
+    Scale: the bigram edge list collapses the corpus once at
+    (word-pair) grain; each iteration is one edge⋈rank equi-join +
+    partial-agg sum (edges/deg/weighted-edges persisted so the
+    explode materializes once, q118's discipline); vocabulary-grain
+    relations everywhere — nothing corpus-grain after the first agg.
+    """
+    from g_etl_spark.operators import text as T
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(T.tokens(F.col("text")).alias("t"))
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1),"
+                    " slice(t, 2, size(t) - 1), (a, b) -> struct(a, b))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter(
+            (F.length("a") >= 3)
+            & (F.length("b") >= 3)
+            & (F.col("a") != F.col("b"))
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    edges = (
+        bi.select(F.col("a").alias("u"), F.col("b").alias("v"), "w")
+        .unionAll(bi.select(F.col("b").alias("u"), F.col("a").alias("v"), "w"))
+        .persist()
+    )
+    deg = edges.groupBy("u").agg(F.sum("w").alias("wd")).persist()
+    nn = deg.agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    pr = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("u").alias("node"), (F.lit(1.0) / F.col("cnt")).alias("pr")
+    )
+    ew = edges.join(deg, "u").persist()
+    for _ in range(_Q398_ITERS):
+        contrib = ew.join(pr, ew["u"] == pr["node"]).select(
+            "v", (F.col("pr") * F.col("w") / F.col("wd")).alias("c")
+        )
+        pr = (
+            contrib.groupBy("v")
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("v").alias("node"),
+                (F.lit(0.15) / F.col("cnt") + F.lit(0.85) * F.col("s"))
+                .alias("pr"),
+            )
+        )
+    out = (
+        pr.select(
+            F.col("node").alias("keyword"),
+            F.round(F.col("pr") * 1000, 6).alias("rank_milli"),
+        )
+        .orderBy(F.desc("rank_milli"), "keyword")
+        .limit(20)
+    )
+    final = out.localCheckpoint(eager=True)
+    for df in (ew, deg, edges):
+        df.unpersist()
+    return final.orderBy(F.desc("rank_milli"), "keyword")

@@ -7138,3 +7138,169 @@ def q395_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("outage_id")
     )
+
+
+@register(
+    "q399_delong_auc_ci",
+    oracle="""
+    WITH s AS (
+        SELECT value AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    n AS (
+        SELECT CAST(sum(y) AS DOUBLE) AS n1,
+               CAST(count(*) - sum(y) AS DOUBLE) AS n0
+        FROM s
+    ),
+    vs AS (
+        SELECT v,
+               CAST(count(*) FILTER (y = 0) AS DOUBLE) AS c0,
+               CAST(count(*) FILTER (y = 1) AS DOUBLE) AS c1
+        FROM s GROUP BY v
+    ),
+    cum AS (
+        SELECT v, c0, c1,
+               coalesce(sum(c0) OVER w, 0) AS c0_lt,
+               coalesce(sum(c1) OVER w, 0) AS c1_lt
+        FROM vs
+        WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING)
+    ),
+    v10 AS (
+        SELECT (c0_lt + 0.5 * c0) / (SELECT n0 FROM n) AS p, c1 AS wgt
+        FROM cum WHERE c1 > 0
+    ),
+    v01 AS (
+        SELECT ((SELECT n1 FROM n) - c1_lt - c1 + 0.5 * c1)
+                   / (SELECT n1 FROM n) AS p,
+               c0 AS wgt
+        FROM cum WHERE c0 > 0
+    ),
+    auc AS (SELECT sum(p * wgt) / (SELECT n1 FROM n) AS a FROM v10),
+    s10 AS (
+        SELECT sum(wgt * (p - (SELECT a FROM auc))
+                   * (p - (SELECT a FROM auc)))
+               / ((SELECT n1 FROM n) - 1) AS s
+        FROM v10
+    ),
+    s01 AS (
+        SELECT sum(wgt * ((1 - p) - (SELECT a FROM auc))
+                   * ((1 - p) - (SELECT a FROM auc)))
+               / ((SELECT n0 FROM n) - 1) AS s
+        FROM v01
+    )
+    SELECT CAST(n.n1 AS BIGINT) AS n_pos, CAST(n.n0 AS BIGINT) AS n_neg,
+           round(auc.a, 6) AS auc,
+           round(sqrt(s10.s / n.n1 + s01.s / n.n0), 6) AS se,
+           round(auc.a - 1.96 * sqrt(s10.s / n.n1 + s01.s / n.n0), 6)
+               AS ci_lo,
+           round(auc.a + 1.96 * sqrt(s10.s / n.n1 + s01.s / n.n0), 6)
+               AS ci_hi,
+           abs(auc.a - 0.5)
+               > 1.96 * sqrt(s10.s / n.n1 + s01.s / n.n0)
+               AS separates
+    FROM n, auc, s10, s01
+    """,
+)
+def q399_delong_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong AUC CONFIDENCE INTERVAL — the inference layer q177's
+    point-estimate AUC lacks: the DeLong (1988) structural-component
+    variance S10/n1 + S01/n0, where V10 per positive is its
+    mid-rank placement among negatives (ties at 0.5) and V01
+    symmetrically — computed entirely at DISTINCT-SCORE grain from
+    cumulative class counts (V10 for every positive sharing a score
+    is identical, so the per-observation components collapse to the
+    score histogram with class-count weights: no n1×n0 pair join,
+    no per-row pass). Emits the 95% CI and the 'separates' verdict
+    (CI excludes 0.5) — the difference between 'AUC 0.52' and 'AUC
+    0.52 ± 0.04, i.e. noise', which is what a model-gating pipeline
+    actually needs. Note V01 = 1 − V10 at the same score under the
+    mid-rank convention; both are materialized anyway to keep the
+    estimator in DeLong's stated form.
+
+    Scale: one pass to the score histogram (values grain), one
+    values-grain cumulative window, three scalar aggregates.
+    Weighted moments are exact-count-weighted sums of ~|distinct
+    scores| doubles, rounded at 6 dp.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = e.select(
+        F.col("value").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    n = s.agg(
+        F.sum("y").cast("double").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("double").alias("n0"),
+    )
+    vs = s.groupBy("v").agg(
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0))
+        .cast("double")
+        .alias("c0"),
+        F.sum("y").cast("double").alias("c1"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = vs.select(
+        "v",
+        "c0",
+        "c1",
+        F.coalesce(F.sum("c0").over(w), F.lit(0.0)).alias("c0_lt"),
+        F.coalesce(F.sum("c1").over(w), F.lit(0.0)).alias("c1_lt"),
+    ).crossJoin(F.broadcast(n))
+    v10 = cum.filter(F.col("c1") > 0).select(
+        ((F.col("c0_lt") + 0.5 * F.col("c0")) / F.col("n0")).alias("p"),
+        F.col("c1").alias("wgt"),
+        "n1",
+    )
+    v01 = cum.filter(F.col("c0") > 0).select(
+        (
+            (F.col("n1") - F.col("c1_lt") - F.col("c1") + 0.5 * F.col("c1"))
+            / F.col("n1")
+        ).alias("p"),
+        F.col("c0").alias("wgt"),
+    )
+    auc = v10.agg(
+        (F.sum(F.col("p") * F.col("wgt")) / F.first("n1")).alias("a")
+    )
+    s10 = (
+        v10.crossJoin(F.broadcast(auc))
+        .agg(
+            (
+                F.sum(
+                    F.col("wgt")
+                    * (F.col("p") - F.col("a"))
+                    * (F.col("p") - F.col("a"))
+                )
+                / (F.first("n1") - 1)
+            ).alias("s10")
+        )
+    )
+    s01 = (
+        v01.crossJoin(F.broadcast(auc))
+        .crossJoin(F.broadcast(n))
+        .agg(
+            (
+                F.sum(
+                    F.col("wgt")
+                    * ((1 - F.col("p")) - F.col("a"))
+                    * ((1 - F.col("p")) - F.col("a"))
+                )
+                / (F.first("n0") - 1)
+            ).alias("s01")
+        )
+    )
+    se = F.sqrt(F.col("s10") / F.col("n1") + F.col("s01") / F.col("n0"))
+    return (
+        n.crossJoin(F.broadcast(auc))
+        .crossJoin(F.broadcast(s10))
+        .crossJoin(F.broadcast(s01))
+        .select(
+            F.col("n1").cast("long").alias("n_pos"),
+            F.col("n0").cast("long").alias("n_neg"),
+            F.round(F.col("a"), 6).alias("auc"),
+            F.round(se, 6).alias("se"),
+            F.round(F.col("a") - 1.96 * se, 6).alias("ci_lo"),
+            F.round(F.col("a") + 1.96 * se, 6).alias("ci_hi"),
+            (F.abs(F.col("a") - 0.5) > 1.96 * se).alias("separates"),
+        )
+    )
