@@ -5451,3 +5451,204 @@ def q385_apriori_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("support"), "item_a", "item_b", "item_c")
     )
+
+
+_Q400_STAGES = ("input", "quality", "exact_dedup", "fingerprint_dedup",
+                "holdout", "decontam")
+_Q400_STOP_IN = "('the','a','of','and','is','in','to')"
+_Q400_QUALITY_SQL = f"""
+    round(0.4 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
+        + 0.4 * (CAST(len(list_distinct(t)) AS DOUBLE)
+                 / greatest(len(t), 1))
+        + 0.2 * (1.0 - abs(CAST(len(list_filter(t, x -> x IN {_Q400_STOP_IN}))
+                                AS DOUBLE)
+                           / greatest(len(t), 1) - 0.3)), 4)
+"""
+
+
+def _q400_oracle() -> str:
+    counts = ", ".join(
+        f"c{i} AS (SELECT CAST(count(*) AS BIGINT) AS d,"
+        f" CAST(coalesce(sum(len(t)), 0) AS BIGINT) AS tok FROM s{i})"
+        for i in range(len(_Q400_STAGES))
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS stage_ord,"
+        f" '{name}' AS stage,"
+        f" (SELECT d FROM c{i}) AS docs_out,"
+        f" (SELECT tok FROM c{i}) AS tokens_out,"
+        + (
+            f" (SELECT d FROM c{i - 1}) - (SELECT d FROM c{i}) AS dropped"
+            if i else " CAST(0 AS BIGINT) AS dropped"
+        )
+        for i, name in enumerate(_Q400_STAGES)
+    )
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    s0 AS (SELECT doc_id, text, {_TOKS} AS t FROM corpus),
+    s1 AS (
+        SELECT * FROM s0
+        WHERE len(t) BETWEEN 30 AND 1000
+          AND CAST(len(list_filter(t, x -> x IN {_Q400_STOP_IN})) AS DOUBLE)
+              / greatest(len(t), 1) <= 0.6
+          AND {_Q400_QUALITY_SQL} >= 0.55
+    ),
+    s2 AS (
+        SELECT s1.* FROM s1
+        JOIN (SELECT md5(text) AS h, min(doc_id) AS keep
+              FROM s1 GROUP BY 1) k
+          ON md5(s1.text) = k.h AND s1.doc_id = k.keep
+    ),
+    s3 AS (
+        SELECT s2.* FROM s2
+        JOIN (SELECT md5(array_to_string(list_sort(list_distinct(t)), ' '))
+                     AS fp,
+                     min(doc_id) AS keep
+              FROM s2 GROUP BY 1) k
+          ON md5(array_to_string(list_sort(list_distinct(s2.t)), ' ')) = k.fp
+         AND s2.doc_id = k.keep
+    ),
+    s4 AS (SELECT * FROM s3 WHERE doc_id % {25} <> 0),
+    eg AS (
+        SELECT DISTINCT array_to_string(t[i.i : i.i + 4], ' ') AS g
+        FROM s0, LATERAL (SELECT unnest(generate_series(
+                 1, greatest(len(t) - 4, 0))) AS i) AS i
+        WHERE doc_id % 25 = 0
+    ),
+    contam AS (
+        SELECT doc_id,
+               CAST(count(*) FILTER (g IN (SELECT g FROM eg)) AS DOUBLE)
+                   / count(*) AS ratio
+        FROM (
+            SELECT doc_id,
+                   array_to_string(t[i.i : i.i + 4], ' ') AS g
+            FROM s4, LATERAL (SELECT unnest(generate_series(
+                     1, greatest(len(t) - 4, 0))) AS i) AS i
+        ) GROUP BY doc_id
+    ),
+    s5 AS (
+        SELECT s4.* FROM s4
+        LEFT JOIN contam USING (doc_id)
+        WHERE coalesce(contam.ratio, 0.0) < 0.05
+    ),
+    {counts}
+    {rows} ORDER BY stage_ord
+    """
+
+
+@register("q400_training_data_funnel", oracle=_q400_oracle())
+def q400_training_data_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE TRAINING-DATA FUNNEL — the engine's flagship composition:
+    one pass of the full corpus-build pipeline over the planted
+    dedup corpus, emitting the per-stage survival table every data
+    card publishes. Stages, each applied to the previous stage's
+    survivors, all reusing the registry's own primitives:
+
+      input → quality (q58's C4 chain: length window, stopword cap,
+      composite floor) → exact_dedup (q50: md5(text), min-id keeper)
+      → fingerprint_dedup (q51: sorted-distinct-token md5) →
+      holdout (q75's doc_id % 25 eval slice removed) → decontam
+      (q75: drop docs whose 5-gram overlap with the eval slice is
+      ≥ 5%).
+
+    Output: docs_out, tokens_out, dropped per stage — the funnel a
+    reviewer reads to see WHERE the corpus went; the oracle pins the
+    exact composition semantics, so any drift in stage ordering or
+    survivor propagation (e.g. deduping before filtering, the
+    classic pipeline bug that changes keeper choice) breaks the
+    hash.
+
+    Scale: every stage is a hash-agg or equi-join at doc grain over
+    a monotonically shrinking relation — the same shapes its parent
+    queries ship individually; tokens stay an array column staged
+    ONCE at s0 (tokenize a doc exactly once, the pipeline-fusion
+    rule). The eval gram set is corpus-fraction-sized and stays
+    unhinted (q75's discipline: AQE broadcasts it only when it
+    fits).
+    """
+    from g_etl_spark.operators import text as T
+
+    c = _corpus(spark, sf_dir)
+    s0 = c.select(
+        "doc_id", "text", T.tokens(F.col("text")).alias("t")
+    ).localCheckpoint()
+    n_tok = F.size("t")
+    stop_ratio = F.size(
+        F.filter(F.col("t"), lambda x: x.isin("the", "a", "of", "and",
+                                              "is", "in", "to"))
+    ).cast("double") / F.greatest(n_tok, F.lit(1))
+    quality = F.round(
+        0.4 * F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
+        + 0.4
+        * (
+            F.size(F.array_distinct("t")).cast("double")
+            / F.greatest(n_tok, F.lit(1))
+        )
+        + 0.2 * (1.0 - F.abs(stop_ratio - 0.3)),
+        4,
+    )
+    s1 = s0.filter(
+        n_tok.between(30, 1000) & (stop_ratio <= 0.6) & (quality >= 0.55)
+    )
+    keep_h = s1.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep")
+    )
+    s2 = s1.join(
+        keep_h,
+        (F.md5(s1.text) == keep_h.h) & (s1.doc_id == keep_h.keep),
+    ).select("doc_id", "text", "t")
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct("t")), " "))
+    keep_fp = s2.groupBy(fp.alias("fp")).agg(F.min("doc_id").alias("keep"))
+    s3 = s2.join(
+        keep_fp,
+        (fp == keep_fp.fp) & (s2.doc_id == keep_fp.keep),
+    ).select("doc_id", "text", "t")
+    s4 = s3.filter(F.col("doc_id") % 25 != 0).localCheckpoint()
+    grams = lambda df: df.select(  # noqa: E731
+        "doc_id", F.explode(T.word_ngrams(F.col("t"), 5)).alias("g")
+    )
+    eg = grams(s0.filter(F.col("doc_id") % 25 == 0)).select("g").distinct()
+    contam = (
+        grams(s4)
+        .join(eg.withColumn("_hit", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            (F.count("_hit").cast("double") / F.count(F.lit(1))).alias(
+                "ratio"
+            )
+        )
+    )
+    s5 = (
+        s4.join(contam, "doc_id", "left")
+        .filter(F.coalesce(F.col("ratio"), F.lit(0.0)) < 0.05)
+        .select("doc_id", "text", "t")
+    )
+    stages = [s0, s1, s2, s3, s4, s5]
+    outs = []
+    for i, (name, df) in enumerate(zip(_Q400_STAGES, stages)):
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).cast("long").alias("docs_out"),
+                F.coalesce(F.sum(F.size("t")), F.lit(0))
+                .cast("long")
+                .alias("tokens_out"),
+            ).select(
+                F.lit(i).cast("long").alias("stage_ord"),
+                F.lit(name).alias("stage"),
+                "docs_out",
+                "tokens_out",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    w = Window.orderBy("stage_ord")
+    return out.select(
+        "stage_ord",
+        "stage",
+        "docs_out",
+        "tokens_out",
+        F.coalesce(
+            F.lag("docs_out").over(w) - F.col("docs_out"), F.lit(0)
+        ).cast("long").alias("dropped"),
+    ).orderBy("stage_ord")

@@ -4954,3 +4954,22 @@ def test_q392_cdf_fit_sane(spark, qs):
     assert r["n_distinct"] <= r["n_rows"]
     assert r["learned_max_rank_err"] >= 0
     assert r["hist16_halfbin_err"] == round(r["n_rows"] / 32.0, 2)
+
+
+def test_q400_funnel_monotone(spark, qs):
+    """Survivors shrink monotonically, dropped reconciles adjacent
+    stages, and tokens never grow."""
+    rows = sorted(qs["q400_training_data_funnel"](spark, SF_DIR).collect(),
+                  key=lambda r: r["stage_ord"])
+    assert [r["stage"] for r in rows] == [
+        "input", "quality", "exact_dedup", "fingerprint_dedup",
+        "holdout", "decontam",
+    ]
+    for a, b in zip(rows, rows[1:]):
+        assert b["docs_out"] <= a["docs_out"]
+        assert b["tokens_out"] <= a["tokens_out"]
+        assert b["dropped"] == a["docs_out"] - b["docs_out"]
+    assert rows[0]["dropped"] == 0
+    assert rows[1]["dropped"] > 0  # quality chain bites
+    assert rows[2]["dropped"] > 0  # planted exact dups removed
+    assert rows[3]["dropped"] > 0  # planted near-dups removed
