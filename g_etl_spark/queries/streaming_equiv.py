@@ -799,3 +799,181 @@ def q386_stream_state_ttl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
+
+
+_SSJ_CHUNKS = 4
+_SSJ_W_US = 6 * 3600 * 1_000_000            # join window: purchase ≤ 6 h after click
+_SSJ_JIT_C_US = 60_000_000                  # clicks: ≤88 min arrival jitter
+_SSJ_JIT_P_US = 600_000_000                 # purchases: ≤5.5 days arrival jitter
+_SSJ_DELAY_C_MS = 3600 * 1000               # click watermark 1 h
+_SSJ_DELAY_P_MS = 12 * 3600 * 1000          # purchase watermark 12 h
+
+
+@register(
+    "q401_stream_stream_join_eviction",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_id AS cid, user_id, epoch_us(ts) AS cts,
+               epoch_us(ts) + (event_id % 89) * {_SSJ_JIT_C_US} AS ak
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT event_id AS pid, user_id, epoch_us(ts) AS pts,
+               epoch_us(ts) + (event_id % 797) * {_SSJ_JIT_P_US} AS ak
+        FROM events WHERE event_type = 'purchase'
+    ),
+    ck AS (
+        SELECT cid, user_id, cts,
+               ntile({_SSJ_CHUNKS}) OVER (ORDER BY ak, cid) AS k
+        FROM c
+    ),
+    pk AS (
+        SELECT pid, user_id, pts,
+               ntile({_SSJ_CHUNKS}) OVER (ORDER BY ak, pid) AS k
+        FROM p
+    ),
+    cwm AS (
+        SELECT k, max(mx) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+                   // 1000 - {_SSJ_DELAY_C_MS} AS wm
+        FROM (SELECT k, max(cts) AS mx FROM ck GROUP BY k)
+    ),
+    pwm AS (
+        SELECT k, max(mx) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+                   // 1000 - {_SSJ_DELAY_P_MS} AS wm
+        FROM (SELECT k, max(pts) AS mx FROM pk GROUP BY k)
+    ),
+    gwm AS (
+        SELECT cwm.k, least(cwm.wm, pwm.wm) AS wm
+        FROM cwm JOIN pwm USING (k)
+    ),
+    pairs AS (
+        SELECT ck.cid, pk.pid, ck.cts, pk.pts,
+               greatest(ck.k, pk.k) AS kmax
+        FROM ck JOIN pk USING (user_id)
+        WHERE pk.pts >= ck.cts AND pk.pts <= ck.cts + {_SSJ_W_US}
+    )
+    SELECT pr.cid, pr.pid, pr.cts AS cts_us, pr.pts AS pts_us
+    FROM pairs pr
+    LEFT JOIN gwm ON gwm.k = pr.kmax - 1
+    WHERE gwm.wm IS NULL
+       OR (pr.cts + {_SSJ_W_US} >= gwm.wm * 1000
+           AND pr.pts >= gwm.wm * 1000)
+    ORDER BY cid, pid
+    """,
+)
+def q401_stream_stream_join_eviction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-STREAM JOIN with mid-stream state eviction, hash-gated —
+    the missing cell of the streaming matrix (q93 proved the join in
+    ONE batch where nothing evicts; q370 proved multi-source
+    watermark fan-in for AGGREGATION; this runs click⋈purchase
+    [same user, purchase ≤6 h after click] across four jittered
+    arrival chunks per side with REAL state reaping between them).
+    Clicks arrive nearly in-order (1 h watermark), purchases up to
+    5.5 days late (12 h watermark); the durable-checkpoint
+    availableNow restart loop advances the GLOBAL watermark
+    (min over both sides) between chunks, so late rows get dropped
+    at the gate and old click state is evicted before its partner
+    arrives — matches genuinely lost, not simulated.
+
+    The oracle states the eviction algebra this distills to: a
+    candidate pair (c, p) survives iff BOTH sides clear the global
+    watermark as of the later row's arrival chunk —
+    cts + W ≥ wm·1000 (click state not yet reaped: no purchase in
+    [cts, cts+W] can come once wm passes cts+W — the same bound the
+    late-input filter applies) and pts ≥ wm·1000 (purchase side's
+    own bound, since a matching click can be as late as pts). One
+    inequality pair replaces the whole per-batch state machine
+    because late-filter-at-arrival and eviction-before-arrival
+    both reduce to the wm at kmax−1 (wm is monotone) — validated
+    against live Spark behavior on a hand-built 4-chunk fixture
+    before wiring the oracle.
+
+    Scale: join state is bounded by the watermark horizon per side
+    (clicks: W + 1 h of events; purchases: 12 h) — the laggiest
+    side's delay, not the stream length; the staging ntile is
+    harness-only (q222's exemption).
+    """
+    events = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    jit = F.when(
+        F.col("event_type") == "click",
+        (F.col("event_id") % 89) * _SSJ_JIT_C_US,
+    ).otherwise((F.col("event_id") % 797) * _SSJ_JIT_P_US)
+    ak = F.unix_micros("ts") + jit
+    chunked = events.select(
+        "event_id", "user_id", "event_type", "ts",
+        F.ntile(_SSJ_CHUNKS)
+        .over(Window.partitionBy("event_type").orderBy(ak.asc(), "event_id"))
+        .alias("k"),
+    )
+    run = next(_RUN_IDS)
+    src_c = tempfile.mkdtemp(prefix=f"g_etl_ssj_c_{run}_")
+    src_p = tempfile.mkdtemp(prefix=f"g_etl_ssj_p_{run}_")
+    ckpt = tempfile.mkdtemp(prefix=f"g_etl_ssj_ckpt_{run}_")
+    sink = tempfile.mkdtemp(prefix=f"g_etl_ssj_sink_{run}_")
+    schema = "event_id long, user_id long, ts timestamp"
+    try:
+        for k in range(1, _SSJ_CHUNKS + 1):
+            for etype, src in (("click", src_c), ("purchase", src_p)):
+                chunked.where(
+                    (F.col("k") == k) & (F.col("event_type") == etype)
+                ).select("event_id", "user_id", "ts").coalesce(1).write.mode(
+                    "append"
+                ).parquet(src)
+            cs = (
+                sp.read_parquet_stream(
+                    spark, src_c, schema=schema, max_files_per_trigger=10_000
+                )
+                .withWatermark("ts", "1 hour")
+                .select(
+                    F.col("event_id").alias("cid"),
+                    F.col("user_id").alias("cuid"),
+                    F.col("ts").alias("cts"),
+                )
+            )
+            ps = (
+                sp.read_parquet_stream(
+                    spark, src_p, schema=schema, max_files_per_trigger=10_000
+                )
+                .withWatermark("ts", "12 hours")
+                .select(
+                    F.col("event_id").alias("pid"),
+                    F.col("user_id").alias("puid"),
+                    F.col("ts").alias("pts"),
+                )
+            )
+            j = cs.join(
+                ps,
+                F.expr(
+                    "cuid = puid AND pts >= cts"
+                    " AND pts <= cts + interval 6 hours"
+                ),
+                "inner",
+            )
+            q = (
+                j.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                q.awaitTermination(30)
+                raise RuntimeError("ssj stream did not finish in 300s")
+        out = spark.read.parquet(sink).select(
+            "cid",
+            "pid",
+            F.unix_micros("cts").alias("cts_us"),
+            F.unix_micros("pts").alias("pts_us"),
+        ).orderBy("cid", "pid")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src_c, ignore_errors=True)
+        shutil.rmtree(src_p, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)

@@ -4973,3 +4973,27 @@ def test_q400_funnel_monotone(spark, qs):
     assert rows[1]["dropped"] > 0  # quality chain bites
     assert rows[2]["dropped"] > 0  # planted exact dups removed
     assert rows[3]["dropped"] > 0  # planted near-dups removed
+
+
+def test_q401_stream_subset_of_batch(spark, qs):
+    """Every emitted stream match is a true batch match, and the
+    jittered chunking genuinely evicts some (stream < batch)."""
+    import pyspark.sql.functions as F
+    from g_etl_spark.tables import load
+
+    got = {(r["cid"], r["pid"]) for r in
+           qs["q401_stream_stream_join_eviction"](spark, SF_DIR).collect()}
+    e = load(spark, SF_DIR, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), "user_id",
+        F.unix_micros("ts").alias("cts"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id",
+        F.unix_micros("ts").alias("pts"))
+    batch = {(r["cid"], r["pid"]) for r in
+             c.join(p, "user_id").filter(
+                 (F.col("pts") >= F.col("cts"))
+                 & (F.col("pts") <= F.col("cts") + 6 * 3600 * 1_000_000)
+             ).collect()}
+    assert got <= batch
+    assert len(got) < len(batch)  # mid-stream eviction really bites
