@@ -10051,3 +10051,217 @@ def q396_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("out_file")
     )
+
+
+@register(
+    "q404_delta_encoding_audit",
+    oracle="""
+    WITH s AS (
+        SELECT event_id,
+               row_number() OVER (ORDER BY ts, event_id) AS rn,
+               epoch_us(ts) AS ts_us
+        FROM events
+    ),
+    d AS (
+        SELECT ts_us - lag(ts_us) OVER (ORDER BY rn) AS delta
+        FROM s
+    ),
+    blocks AS (
+        SELECT (rn - 1) // 128 AS blk,
+               ts_us - lag(ts_us) OVER (ORDER BY rn) AS delta
+        FROM s
+    ),
+    bw AS (
+        SELECT blk,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(max(length(bin(greatest(delta, 1) - 1)) + 1)
+                    AS BIGINT) AS bits
+        FROM blocks WHERE delta IS NOT NULL
+        GROUP BY blk
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(n) AS BIGINT) AS n_values,
+           CAST(sum(n * bits) // 8 AS BIGINT) AS packed_bytes,
+           CAST(sum(n) * 8 AS BIGINT) AS raw_bytes,
+           round(CAST(sum(n) * 8 AS DOUBLE)
+                 / (sum(n * bits) / 8.0), 2) AS compression_x,
+           round(avg(bits), 2) AS avg_bits_per_value,
+           CAST(max(bits) AS BIGINT) AS worst_block_bits
+    FROM bw
+    """,
+)
+def q404_delta_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA/BIT-PACKING encoding audit — measures, on the engine's
+    own data, the storage physics parquet's DELTA_BINARY_PACKED
+    exploits: sort events by time, take per-row timestamp deltas,
+    and price each 128-value block at the bit width of its WORST
+    delta (bit length of max(delta−1) + 1 sign/zero slack — integer
+    exact, q378's length(bin(·)) device). compression_x vs raw
+    8-byte longs is the answer to 'does keeping this table
+    time-sorted pay at the storage layer?' — the write-side
+    complement of the read-side layout audits (q299 Z-order scan
+    amplification, q311 zone maps, q396 compaction): time-sorted
+    deltas pack ~6-8 bits, shuffled data packs ~40+, and this
+    number is why ingest pipelines sort before write.
+
+    Scale: the global sort is the audited layout itself (an ingest
+    writer orders within partitions, so per-partition row_number is
+    the production form); everything after is a 128-row-block
+    rollup collapsing map-side to |blocks| rows, then one scalar
+    aggregate.
+    """
+    e = load(spark, sf_dir, "events")
+    wo = Window.orderBy("ts", "event_id")
+    s = e.select(
+        F.row_number().over(wo).alias("rn"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    wd = Window.orderBy("rn")
+    blocks = s.select(
+        ((F.col("rn") - 1) / 128).cast("long").alias("blk"),
+        (F.col("ts_us") - F.lag("ts_us").over(wd)).alias("delta"),
+    ).filter(F.col("delta").isNotNull())
+    bw = blocks.groupBy("blk").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.max(F.length(F.bin(F.greatest(F.col("delta"), F.lit(1)) - 1)))
+            + 1
+        )
+        .cast("long")
+        .alias("bits"),
+    )
+    return bw.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum("n").cast("long").alias("n_values"),
+        F.expr("sum(n * bits) div 8").cast("long").alias("packed_bytes"),
+        (F.sum("n") * 8).cast("long").alias("raw_bytes"),
+        F.round(
+            (F.sum("n") * 8).cast("double")
+            / (F.sum(F.col("n") * F.col("bits")) / 8.0),
+            2,
+        ).alias("compression_x"),
+        F.round(F.avg("bits"), 2).alias("avg_bits_per_value"),
+        F.max("bits").cast("long").alias("worst_block_bits"),
+    )
+
+
+_Q405_CUT = 250.0
+_Q405_BW = 100.0
+
+
+def _q405_side_sql(name: str, cond: str) -> str:
+    return f"""{name} AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               sum(x) AS sx, sum(x * x) AS sxx,
+               sum(y) AS sy, sum(x * y) AS sxy, sum(y * y) AS syy
+        FROM base WHERE {cond}
+    ),
+    {name}f AS (
+        SELECT n,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+               (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                   AS a,
+               sxx, sx, sy, sxy, syy
+        FROM {name}
+    ),
+    {name}v AS (
+        SELECT n, a, b,
+               (syy - a * sy - b * sxy) / (n - 2) * sxx
+               / (n * sxx - sx * sx) AS va
+        FROM {name}f
+    )"""
+
+
+@register(
+    "q405_regression_discontinuity",
+    oracle=f"""
+    WITH base AS (
+        SELECT value - {_Q405_CUT} AS x,
+               CAST(length(props) AS DOUBLE) AS y
+        FROM events
+        WHERE value >= {_Q405_CUT - _Q405_BW}
+          AND value < {_Q405_CUT + _Q405_BW}
+          AND props IS NOT NULL
+    ),
+    {_q405_side_sql("l", "x < 0")},
+    {_q405_side_sql("r", "x >= 0")}
+    SELECT CAST(l.n AS BIGINT) AS n_left,
+           CAST(r.n AS BIGINT) AS n_right,
+           round(l.a, 4) AS intercept_left,
+           round(r.a, 4) AS intercept_right,
+           round(r.a - l.a, 4) AS rd_effect,
+           round(sqrt(l.va + r.va), 4) AS se_effect,
+           abs(r.a - l.a) > 1.96 * sqrt(l.va + r.va) AS significant
+    FROM lv l, rv r
+    """,
+)
+def q405_regression_discontinuity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REGRESSION DISCONTINUITY estimator — the sharp-RD design that
+    completes the causal family (q221 DiD, q265 interrupted time
+    series, q225 CUPED, q301 IPW, q270 QTE, q240/q285 uplift): at a
+    policy cutoff on a running variable (value = {_Q405_CUT},
+    bandwidth ±{_Q405_BW}), fit a LOCAL LINEAR regression on each
+    side and read the treatment effect as the intercept gap at the
+    cutoff, with the standard OLS intercept variance on each side
+    giving the z-gate. On this observational fixture the honest
+    answer is ≈0 with a CI that says so — the estimator's null
+    behavior is exactly what the oracle pins (a fabricated jump
+    would be the bug).
+
+    Scale: BOTH side-fits come from ONE conditional-aggregate pass
+    (six mergeable moments per side — the q115/q392 OLS device);
+    no sort, no window, no second scan. The bandwidth filter is
+    pushed to the parquet scan.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        (F.col("value") >= _Q405_CUT - _Q405_BW)
+        & (F.col("value") < _Q405_CUT + _Q405_BW)
+        & F.col("props").isNotNull()
+    )
+    base = e.select(
+        (F.col("value") - _Q405_CUT).alias("x"),
+        F.length("props").cast("double").alias("y"),
+    )
+
+    def side(cond):
+        m = base.filter(cond).agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+        b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+        )
+        a = (F.col("sy") - b * F.col("sx")) / F.col("n")
+        return m.select(
+            "n",
+            a.alias("a"),
+            (
+                (F.col("syy") - a * F.col("sy") - b * F.col("sxy"))
+                / (F.col("n") - 2)
+                * F.col("sxx")
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            ).alias("va"),
+        )
+
+    left = side(F.col("x") < 0).select(
+        F.col("n").alias("nl"), F.col("a").alias("al"), F.col("va").alias("vl")
+    )
+    right = side(F.col("x") >= 0).select(
+        F.col("n").alias("nr"), F.col("a").alias("ar"), F.col("va").alias("vr")
+    )
+    se = F.sqrt(F.col("vl") + F.col("vr"))
+    return left.crossJoin(F.broadcast(right)).select(
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("nr").cast("long").alias("n_right"),
+        F.round(F.col("al"), 4).alias("intercept_left"),
+        F.round(F.col("ar"), 4).alias("intercept_right"),
+        F.round(F.col("ar") - F.col("al"), 4).alias("rd_effect"),
+        F.round(se, 4).alias("se_effect"),
+        (F.abs(F.col("ar") - F.col("al")) > 1.96 * se).alias("significant"),
+    )

@@ -620,3 +620,61 @@ def q355_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q402_weighted_sample_aes",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS w,
+               ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8) AS UBIGINT) AS DOUBLE)
+                   + 1.0) / 4294967297.0)
+               / CAST(n_chars AS DOUBLE) AS k
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, CAST(w AS BIGINT) AS weight,
+           round(k * 1e6, 6) AS key_micro
+    FROM keyed
+    ORDER BY round(k * 1e6, 6) DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q402_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES, 2006) — the importance-weighted corpus subsampler: each
+    document draws u from its md5 (deterministic, q17's convention
+    — no RNG, reproducible at any scale) and ranks by u^(1/w),
+    computed in the log domain as ln(u)/w (same ordering, no
+    underflow for large weights); the top-k by key IS an exact
+    weight-proportional sample without replacement. Here w =
+    n_chars, so long documents are proportionally favored — the
+    length-balanced pick a token-budgeted corpus build uses (q102
+    samples WITH replacement; q84's mixture resampler works at
+    source grain; this is the per-document without-replacement
+    rung). Keys are scaled ×1e6 and rounded at 6 dp before the
+    ordering so the cross-engine compare never rides libm's last
+    ulp.
+
+    Scale: map-side key computation fused into the scan + one
+    TakeOrderedAndProject — no shuffle at all; k grows to millions
+    by swapping the limit for a per-partition heap (same plan).
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + 1.0
+    ) / F.lit(4294967297.0)
+    k = F.log(u) / F.col("n_chars").cast("double")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            F.round(k * 1e6, 6).alias("key_micro"),
+        )
+        .orderBy(F.desc("key_micro"), "doc_id")
+        .limit(20)
+    )

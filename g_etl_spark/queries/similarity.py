@@ -3251,3 +3251,140 @@ def q381_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id")
     )
+
+
+def _q403_round_cte(t: int) -> str:
+    prev = f"cand{t - 1}" if t > 1 else "cand"
+    return f"""lb{t} AS (
+        SELECT l, r, s,
+               row_number() OVER (PARTITION BY l ORDER BY s DESC, r) AS rn
+        FROM {prev}
+    ),
+    rb{t} AS (
+        SELECT l, r,
+               row_number() OVER (PARTITION BY r ORDER BY s DESC, l) AS rn
+        FROM {prev}
+    ),
+    m{t} AS (
+        SELECT lb{t}.l, lb{t}.r, lb{t}.s
+        FROM lb{t} JOIN rb{t} ON lb{t}.l = rb{t}.l AND lb{t}.r = rb{t}.r
+        WHERE lb{t}.rn = 1 AND rb{t}.rn = 1
+    ),
+    cand{t} AS (
+        SELECT c.* FROM {prev} c
+        WHERE c.l NOT IN (SELECT l FROM m{t})
+          AND c.r NOT IN (SELECT r FROM m{t})
+    )"""
+
+
+_Q403_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x,
+               sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                   AS nrm
+        FROM embeddings WHERE vec_id < 40
+    ),
+    cand AS (
+        SELECT a.vec_id AS l, b.vec_id AS r,
+               round(list_aggregate(list_transform(range(1, 65),
+                     i -> a.x[i] * b.x[i]), 'sum') / (a.nrm * b.nrm),
+                     3) AS s
+        FROM v a JOIN v b
+          ON a.label = b.label
+         AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+    ),
+    {_q403_round_cte(1)},
+    {_q403_round_cte(2)},
+    {_q403_round_cte(3)}
+    SELECT CAST(1 AS BIGINT) AS round, l AS left_id, r AS right_id,
+           s AS score FROM m1
+    UNION ALL SELECT 2, l, r, s FROM m2
+    UNION ALL SELECT 3, l, r, s FROM m3
+    ORDER BY round, left_id
+"""
+
+
+@register("q403_mutual_best_matching", oracle=_Q403_ORACLE)
+def q403_mutual_best_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1:1 ENTITY ASSIGNMENT by parallel mutual-best rounds — the
+    conflict-resolution stage record linkage needs after candidate
+    scoring (q312 finds scored pairs; q252 merges attributes; this
+    decides WHO matches WHOM when several candidates compete): in
+    each round, a pair matches iff each side is the other's best
+    remaining candidate (ties → smaller id), matched nodes retire,
+    and the next round re-ranks the survivors. Three rounds of this
+    Luby-style symmetric matching resolve chains that one-shot
+    mutual-NN (q305) leaves dangling, with NO sequential greedy scan
+    — every round is two window argmaxes + an equi-join, fully
+    parallel (the distributed stand-in for Hungarian assignment,
+    exact whenever preferences are strict along the chain).
+    Candidates here are label-blocked cosine pairs over a 40-vector
+    study slice (even ids left, odd right).
+
+    Scale: the candidate relation is whatever the blocking stage
+    emits (pair grain, never n²); each round is two
+    rank-1-per-partition windows over it plus anti-joins that only
+    SHRINK it. Round count is the only sequential dimension —
+    O(log n) rounds suffice in practice.
+    """
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    cast_d = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0),
+                    lambda a, t: a + t)
+    )
+    v = e.select(
+        "vec_id",
+        "label",
+        cast_d(F.col("embedding")).alias("x"),
+        norm(cast_d(F.col("embedding"))).alias("nrm"),
+    )
+    a = v.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("l"), F.col("label").alias("ll"),
+        F.col("x").alias("ax"), F.col("nrm").alias("an"),
+    )
+    b = v.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("r"), F.col("label").alias("rl"),
+        F.col("x").alias("bx"), F.col("nrm").alias("bn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("ax"), F.col("bx"), lambda u, w: u * w),
+        F.lit(0.0), lambda acc, t: acc + t,
+    )
+    cand = (
+        a.join(b, F.col("ll") == F.col("rl"))
+        .select("l", "r", F.round(dot / (F.col("an") * F.col("bn")), 3)
+                .alias("s"))
+        .localCheckpoint()
+    )
+    outs = []
+    for t in (1, 2, 3):
+        wl = Window.partitionBy("l").orderBy(F.desc("s"), F.asc("r"))
+        wr = Window.partitionBy("r").orderBy(F.desc("s"), F.asc("l"))
+        ranked = cand.select(
+            "l", "r", "s",
+            F.row_number().over(wl).alias("lrn"),
+            F.row_number().over(wr).alias("rrn"),
+        )
+        m = ranked.filter(
+            (F.col("lrn") == 1) & (F.col("rrn") == 1)
+        ).select("l", "r", "s").localCheckpoint()
+        outs.append(
+            m.select(
+                F.lit(t).cast("long").alias("round"),
+                F.col("l").alias("left_id"),
+                F.col("r").alias("right_id"),
+                F.col("s").alias("score"),
+            )
+        )
+        cand = (
+            cand.join(m.select("l"), "l", "left_anti")
+            .join(m.select("r"), "r", "left_anti")
+            .localCheckpoint()
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("round", "left_id")
