@@ -668,3 +668,109 @@ def q374_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "seg_idx")
     )
+
+
+_CHUNK_W = 6   # ASR inference window, frames
+_CHUNK_O = 1   # overlap between consecutive windows, frames
+
+
+def _q406_oracle() -> str:
+    stride = _CHUNK_W - _CHUNK_O
+    return f"""
+    WITH seg AS ({_q374_oracle()}),
+    nch AS (
+        SELECT *, (n_frames - {_CHUNK_O} - 1) // {stride} + 1 AS n_chunks
+        FROM seg
+    ),
+    ch AS (
+        SELECT doc_id, seg_idx,
+               CAST(i.i AS BIGINT) AS chunk_idx,
+               start_frame + i.i * {stride} AS c_start,
+               least(end_frame, start_frame + i.i * {stride}
+                     + {_CHUNK_W - 1}) AS c_end
+        FROM nch,
+             LATERAL (SELECT unnest(range(0, n_chunks)) AS i) AS i
+    ),
+    m AS (
+        SELECT doc_id, seg_idx, chunk_idx, c_start, c_end,
+               c_end - c_start + 1 AS n_frames_chunk,
+               {_CHUNK_W} - (c_end - c_start + 1) AS pad_frames
+        FROM ch
+    ),
+    tot AS (
+        SELECT round(100.0 * sum(pad_frames)
+                     / sum(n_frames_chunk + pad_frames), 2) AS pad_pct
+        FROM m
+    )
+    SELECT m.*, tot.pad_pct FROM m, tot
+    ORDER BY doc_id, seg_idx, chunk_idx
+    """
+
+
+@register("q406_audio_chunk_manifest", oracle=_q406_oracle())
+def q406_audio_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASR INFERENCE-CHUNK manifest — the step between q374's VAD and
+    a speech model: every voice segment splits into fixed
+    {_CHUNK_W}-frame inference windows with {_CHUNK_O}-frame overlap
+    (the boundary-word insurance every streaming-ASR batcher uses),
+    and the final window pads up to the fixed size. The manifest
+    (doc, segment, chunk, frame range, pad) is exactly what a
+    mapInPandas decode stage consumes per batch, and the global
+    pad_pct rides along — the audio twin of q326's token-padding
+    waste table, the number that decides the window size. Composes
+    the registered q374 operator unchanged (segments are its
+    oracle-gated output).
+
+    Scale: chunk fan-out is ceil(seg/{_CHUNK_W - _CHUNK_O}) rows per
+    segment — bounded by audio duration, independent of corpus
+    size; the expansion is a map-side sequence explode on the
+    segment relation; one scalar aggregate for the waste ratio.
+    """
+    seg = q374_audio_vad_segments(spark, sf_dir)
+    stride = _CHUNK_W - _CHUNK_O
+    nch = seg.withColumn(
+        "n_chunks",
+        F.expr(f"(n_frames - {_CHUNK_O} - 1) div {stride} + 1"),
+    )
+    ch = nch.select(
+        "doc_id",
+        "seg_idx",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
+            "chunk_i"
+        ),
+        "start_frame",
+        "end_frame",
+    ).withColumn("chunk_idx", F.col("chunk_i").cast("long")).select(
+        "doc_id",
+        "seg_idx",
+        "chunk_idx",
+        (F.col("start_frame") + F.col("chunk_idx") * stride).alias("c_start"),
+        F.least(
+            F.col("end_frame"),
+            F.col("start_frame") + F.col("chunk_idx") * stride
+            + (_CHUNK_W - 1),
+        ).alias("c_end"),
+    )
+    m = ch.select(
+        "doc_id",
+        "seg_idx",
+        "chunk_idx",
+        "c_start",
+        "c_end",
+        (F.col("c_end") - F.col("c_start") + 1).alias("n_frames_chunk"),
+        (F.lit(_CHUNK_W) - (F.col("c_end") - F.col("c_start") + 1)).alias(
+            "pad_frames"
+        ),
+    )
+    tot = m.agg(
+        F.round(
+            100.0
+            * F.sum("pad_frames")
+            / F.sum(F.col("n_frames_chunk") + F.col("pad_frames")),
+            2,
+        ).alias("pad_pct")
+    )
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .orderBy("doc_id", "seg_idx", "chunk_idx")
+    )

@@ -10265,3 +10265,162 @@ def q405_regression_discontinuity(
         F.round(se, 4).alias("se_effect"),
         (F.abs(F.col("ar") - F.col("al")) > 1.96 * se).alias("significant"),
     )
+
+
+_Q407_VNODES = 8
+_Q407_H32 = "CAST(CAST('0x' || substr(md5({expr}), 1, 8) AS UBIGINT) AS BIGINT)"
+
+
+def _q407_ring_sql(n_srv: int, name: str) -> str:
+    h = _Q407_H32.format(
+        expr="'srv:' || CAST(s.s AS VARCHAR) || ':' || CAST(v.v AS VARCHAR)"
+    )
+    return f"""{name} AS (
+        SELECT s.s AS server, {h} AS pos
+        FROM (SELECT unnest(range(0, {n_srv})) AS s) s,
+             (SELECT unnest(range(0, {_Q407_VNODES})) AS v) v
+    ),
+    {name}_asg AS (
+        SELECT k.user_id, server FROM (
+            SELECT k.user_id, r.server,
+                   row_number() OVER (PARTITION BY k.user_id
+                                      ORDER BY (r.pos < k.h), r.pos,
+                                               r.server) AS rn
+            FROM keys k, {name} r
+        ) k WHERE rn = 1
+    )"""
+
+
+@register(
+    "q407_consistent_hash_rebalance",
+    oracle=f"""
+    WITH keys AS (
+        SELECT DISTINCT user_id,
+               {_Q407_H32.format(expr="CAST(user_id AS VARCHAR)")} AS h
+        FROM events
+    ),
+    {_q407_ring_sql(4, "r4")},
+    {_q407_ring_sql(5, "r5")},
+    assigned AS (
+        SELECT a.user_id, a.server AS s_before, b.server AS s_after
+        FROM r4_asg a JOIN r5_asg b USING (user_id)
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_keys,
+               round(100.0 * sum(CASE WHEN s_before <> s_after
+                                      THEN 1 ELSE 0 END) / count(*), 2)
+                   AS moved_pct
+        FROM assigned
+    ),
+    srv AS (SELECT unnest(range(0, 5)) AS server)
+    SELECT CAST(srv.server AS BIGINT) AS server,
+           CAST(coalesce(b.nb, 0) AS BIGINT) AS n_before,
+           CAST(coalesce(a.na, 0) AS BIGINT) AS n_after,
+           CAST(coalesce(m.mi, 0) AS BIGINT) AS moved_in,
+           tot.moved_pct, tot.n_keys
+    FROM srv
+    LEFT JOIN (SELECT s_before AS server, count(*) AS nb FROM assigned
+               GROUP BY 1) b ON b.server = srv.server
+    LEFT JOIN (SELECT s_after AS server, count(*) AS na FROM assigned
+               GROUP BY 1) a ON a.server = srv.server
+    LEFT JOIN (SELECT s_after AS server, count(*) AS mi FROM assigned
+               WHERE s_before <> s_after GROUP BY 1) m
+           ON m.server = srv.server
+    CROSS JOIN tot
+    ORDER BY server
+    """,
+)
+def q407_consistent_hash_rebalance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONSISTENT-HASH RING rebalance audit — q242 prices rendezvous
+    (HRW) sharding; this prices the ring: 4 servers × {_Q407_VNODES}
+    md5 vnodes each, every user key owned by the first vnode
+    clockwise from its hash (wraparound to the ring's minimum), then
+    a FIFTH server joins and the audit measures exactly what moved.
+    Consistent hashing's contract is that only ~1/(n+1) of keys move
+    (here ≈20%, all INTO the new server — moved_in must be 0 for
+    old servers: a key's owner changes only if a new vnode lands
+    between the key and its old owner); vnode count controls the
+    balance spread. moved_pct vs the 80% a mod-N reshard would move
+    is the whole argument for rings in shuffle-less key-value
+    placement (state-store assignment, cache shards, q242's
+    alternative).
+
+    Scale: the ring is a 32/40-row literal relation fanned against
+    the distinct-key set map-side (broadcast); assignment is a
+    rank-1 window per key over ≤40 candidates; both layouts and the
+    movement matrix come from one keys-grain pass each.
+    """
+    e = load(spark, sf_dir, "events")
+    h32 = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")  # noqa: E731
+    keys = e.select("user_id").distinct().select(
+        "user_id", h32(F.col("user_id").cast("string")).alias("h")
+    )
+
+    def ring(n_srv: int) -> DataFrame:
+        srv = spark.range(n_srv).select(F.col("id").alias("server"))
+        vn = spark.range(_Q407_VNODES).select(F.col("id").alias("v"))
+        return srv.crossJoin(vn).select(
+            "server",
+            h32(
+                F.concat(
+                    F.lit("srv:"),
+                    F.col("server").cast("string"),
+                    F.lit(":"),
+                    F.col("v").cast("string"),
+                )
+            ).alias("pos"),
+        )
+
+    def assign(r: DataFrame, out: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            (F.col("pos") < F.col("h")).asc(), F.col("pos").asc(),
+            F.col("server").asc(),
+        )
+        return (
+            keys.crossJoin(F.broadcast(r))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("server").alias(out))
+        )
+
+    both = assign(ring(4), "s_before").join(
+        assign(ring(5), "s_after"), "user_id"
+    )
+    tot = both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.round(
+            100.0
+            * F.sum((F.col("s_before") != F.col("s_after")).cast("int"))
+            / F.count(F.lit(1)),
+            2,
+        ).alias("moved_pct"),
+    )
+    srv = spark.range(5).select(F.col("id").alias("server"))
+    nb = both.groupBy(F.col("s_before").alias("server")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    na = both.groupBy(F.col("s_after").alias("server")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    mi = (
+        both.filter(F.col("s_before") != F.col("s_after"))
+        .groupBy(F.col("s_after").alias("server"))
+        .agg(F.count(F.lit(1)).alias("mi"))
+    )
+    return (
+        srv.join(nb, "server", "left")
+        .join(na, "server", "left")
+        .join(mi, "server", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("server").cast("long").alias("server"),
+            F.coalesce("nb", F.lit(0)).cast("long").alias("n_before"),
+            F.coalesce("na", F.lit(0)).cast("long").alias("n_after"),
+            F.coalesce("mi", F.lit(0)).cast("long").alias("moved_in"),
+            "moved_pct",
+            "n_keys",
+        )
+        .orderBy("server")
+    )
