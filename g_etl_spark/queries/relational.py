@@ -10424,3 +10424,109 @@ def q407_consistent_hash_rebalance(
         )
         .orderBy("server")
     )
+
+
+# q409: per string column, the parquet-writer dictionary decision.
+_Q409_COLS = [
+    ("documents", "lang"),
+    ("documents", "source"),
+    ("documents", "text"),
+    ("events", "event_type"),
+    ("events", "props"),
+    ("orders", "o_orderpriority"),
+    ("part", "p_type"),
+]
+
+
+def _q409_block(table: str, col: str) -> str:
+    return f"""
+    SELECT '{table}.{col}' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT {col}) AS BIGINT) AS ndv,
+           CAST(sum(length({col})) AS BIGINT) AS plain_bytes,
+           CAST((SELECT sum(length(v))
+                 FROM (SELECT DISTINCT {col} AS v
+                       FROM {table} WHERE {col} IS NOT NULL))
+                + (count(*) * length(bin(
+                       greatest(count(DISTINCT {col}), 2) - 1)) + 7) // 8
+                AS BIGINT) AS dict_bytes
+    FROM {table} WHERE {col} IS NOT NULL"""
+
+
+@register(
+    "q409_dictionary_encoding_advisor",
+    oracle="SELECT column_name, n_rows, ndv, plain_bytes, dict_bytes,"
+    " dict_bytes < plain_bytes AS use_dict,"
+    " round(100.0 * (plain_bytes - dict_bytes) / plain_bytes, 2)"
+    " AS savings_pct FROM ("
+    + " UNION ALL ".join(_q409_block(t, c) for t, c in _Q409_COLS)
+    + ") ORDER BY column_name",
+)
+def q409_dictionary_encoding_advisor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DICTIONARY-ENCODING advisor — the string-column counterpart
+    of q404's delta audit, replaying the decision every parquet
+    writer makes per column chunk: dictionary encoding costs the
+    distinct-value page (Σ distinct lengths) plus bit-packed indexes
+    (n · bitwidth(ndv−1), ceil to bytes — integer-exact via the
+    length(bin(·)) device), against plain encoding's Σ lengths.
+    Low-cardinality columns (event_type, lang, priority) compress
+    30-50×; near-unique ones (text, props) cost MORE than plain —
+    use_dict flips exactly where parquet's writer falls back, and
+    savings_pct is the column-level answer to 'why is this file so
+    big'. Together q404/q409/q321/q396 are the storage-layer audit
+    kit: encodings, sizing, compaction.
+
+    Scale: one combining aggregate per column (count, NDV, length
+    sum) plus one distinct-value length sum — every statistic
+    mergeable, shuffle bounded by NDV; at 100 TB the same numbers
+    read from parquet footer stats without a scan.
+    """
+    outs = []
+    for table, col in _Q409_COLS:
+        df = load(spark, sf_dir, table).filter(F.col(col).isNotNull())
+        base = df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(col).cast("long").alias("ndv"),
+            F.sum(F.length(col)).cast("long").alias("plain_bytes"),
+        )
+        dpage = (
+            df.select(F.col(col).alias("v"))
+            .distinct()
+            .agg(F.sum(F.length("v")).cast("long").alias("dict_page"))
+        )
+        outs.append(
+            base.crossJoin(F.broadcast(dpage)).select(
+                F.lit(f"{table}.{col}").alias("column_name"),
+                "n_rows",
+                "ndv",
+                "plain_bytes",
+                (
+                    F.col("dict_page")
+                    + F.expr(
+                        "(n_rows * length(bin(greatest(ndv, 2) - 1)) + 7)"
+                        " div 8"
+                    )
+                )
+                .cast("long")
+                .alias("dict_bytes"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(
+        "column_name",
+        "n_rows",
+        "ndv",
+        "plain_bytes",
+        "dict_bytes",
+        (F.col("dict_bytes") < F.col("plain_bytes")).alias("use_dict"),
+        F.round(
+            100.0
+            * (F.col("plain_bytes") - F.col("dict_bytes"))
+            / F.col("plain_bytes"),
+            2,
+        ).alias("savings_pct"),
+    ).orderBy("column_name")

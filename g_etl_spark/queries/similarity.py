@@ -3388,3 +3388,92 @@ def q403_mutual_best_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("round", "left_id")
+
+
+@register(
+    "q411_uncertainty_sampling",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id AS cid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT e.vec_id, c.cid,
+               round(list_aggregate(list_transform(range(1, 65),
+                     i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]), 'sum')
+                     / (sqrt(list_aggregate(list_transform(e.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                            'sum'))
+                        * sqrt(list_aggregate(list_transform(c.cv,
+                            x -> x * x), 'sum'))), 3) AS cos
+        FROM embeddings e, c WHERE e.vec_id >= 8
+    ),
+    ranked AS (
+        SELECT vec_id, cid, cos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM scored
+    )
+    SELECT b.vec_id, b.cid AS best_cid, s.cid AS second_cid,
+           b.cos AS best_cos,
+           round(b.cos - s.cos, 3) AS margin
+    FROM ranked b JOIN ranked s
+      ON s.vec_id = b.vec_id AND b.rn = 1 AND s.rn = 2
+    ORDER BY round(b.cos - s.cos, 3), b.vec_id
+    LIMIT 15
+    """,
+)
+def q411_uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTIVE-LEARNING batch selection by margin uncertainty — the
+    label-efficiently-next primitive: score every corpus vector
+    against the 8 shared centroids (q97/q135's quantizer), and
+    surface the 15 vectors whose top-1 vs top-2 centroid margin is
+    SMALLEST — the points sitting on cluster boundaries, exactly
+    where a labeling budget or a human-review queue buys the most
+    information (q379's k-center picks for COVERAGE; this picks for
+    CONFUSION — the two standard acquisition functions, now both in
+    the registry). Margins are 3-dp-rounded cosines (q135's
+    comparison grain) with deterministic cid/vec_id tie-breaks.
+
+    Scale: the centroid fan-out is the staged-norm broadcast
+    map-side scoring shared with q97/q108/q135; the two ranks come
+    from one 8-row-per-vector window; the final pick is
+    TakeOrderedAndProject. Nothing pairs corpus×corpus.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cents, vecs, dot = _staged_centroid_relations(e)
+    scored = (
+        vecs.filter(F.col("vec_id") >= 8)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cid",
+            F.round(dot / (F.col("e_norm") * F.col("c_norm")), 3).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    b = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("cid").alias("best_cid"), F.col("cos").alias("best_cos")
+    )
+    s = ranked.filter(F.col("rn") == 2).select(
+        "vec_id", F.col("cid").alias("second_cid"),
+        F.col("cos").alias("second_cos"),
+    )
+    return (
+        b.join(s, "vec_id")
+        .select(
+            "vec_id",
+            "best_cid",
+            "second_cid",
+            "best_cos",
+            F.round(F.col("best_cos") - F.col("second_cos"), 3).alias(
+                "margin"
+            ),
+        )
+        .orderBy("margin", "vec_id")
+        .limit(15)
+    )

@@ -5068,3 +5068,172 @@ def q398_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in (ew, deg, edges):
         df.unpersist()
     return final.orderBy(F.desc("rank_milli"), "keyword")
+
+
+_Q410_PERDOC_SQL = f"""
+    docs AS (
+        SELECT doc_id, source, {_TOKS} AS toks FROM documents
+        WHERE len({_TOKS}) >= 2
+    ),
+    bigrams AS (
+        SELECT doc_id, source, toks[i] AS prev, toks[i + 1] AS cur
+        FROM (SELECT doc_id, source, toks,
+                     unnest(range(1, len(toks))) AS i
+              FROM docs)
+    ),
+    bg AS (
+        SELECT prev, cur, CAST(count(*) AS BIGINT) AS c_ab
+        FROM bigrams GROUP BY prev, cur
+    ),
+    ctx AS (
+        SELECT prev, CAST(sum(c_ab) AS BIGINT) AS c_a FROM bg GROUP BY prev
+    ),
+    vocab AS (
+        SELECT CAST(count(DISTINCT t) AS BIGINT) AS v
+        FROM (SELECT unnest(toks) AS t FROM docs)
+    ),
+    model AS (
+        SELECT bg.prev, bg.cur,
+               CAST(round(ln(CAST(bg.c_ab + 1 AS DOUBLE)
+                             / CAST(ctx.c_a + vocab.v AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS q_lp
+        FROM bg JOIN ctx ON bg.prev = ctx.prev CROSS JOIN vocab
+    ),
+    per_doc AS (
+        SELECT b.doc_id, b.source,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(round(CAST(-sum(m.q_lp) AS DOUBLE) / count(*)) AS BIGINT)
+                   AS xent_micro
+        FROM bigrams b
+        JOIN model m ON b.prev = m.prev AND b.cur = m.cur
+        GROUP BY b.doc_id, b.source
+    )"""
+
+
+@register(
+    "q410_perplexity_filter",
+    oracle=f"""
+    WITH {_Q410_PERDOC_SQL},
+    cut AS (
+        SELECT xent_micro AS c FROM (
+            SELECT xent_micro,
+                   row_number() OVER (ORDER BY xent_micro, doc_id) AS rn,
+                   count(*) OVER () AS n
+            FROM per_doc
+        ) WHERE rn = (n + 1) // 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (xent_micro <= (SELECT c FROM cut))
+                AS BIGINT) AS n_kept,
+           round(CAST(count(*) FILTER (xent_micro <= (SELECT c FROM cut))
+                      AS DOUBLE) / count(*), 4) AS keep_rate,
+           CAST(sum(CASE WHEN xent_micro <= (SELECT c FROM cut)
+                         THEN n_bigrams + 1 ELSE 0 END) AS BIGINT)
+               AS kept_tokens,
+           (SELECT c FROM cut) AS cutoff_micro
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q410_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERPLEXITY-based quality FILTER (the CCNet recipe) — score
+    every document with the corpus bigram LM (q330's add-one model,
+    micro-nat quantized so the cross-engine join and cutoff compare
+    on integers), set the cutoff at the exact LOWER-MEDIAN per-doc
+    cross-entropy (integer order statistic, no interpolation), and
+    keep the fluent half. The per-source keep-rate and surviving
+    token budget are the mixture-shift readout that matters: a
+    perplexity filter silently reweights sources (fluent-register
+    sources survive disproportionately — CCNet's documented 'head'
+    bias), and this table is where that shows up BEFORE training.
+    Composes the LM family into the filter family: q330 scores,
+    q410 decides; q58/q59 are the heuristic rungs this replaces.
+
+    Scale: the LM is a |bigram-vocab| relation equi-joined back
+    (never driver-side); per-doc scores collapse map-side; the
+    median is a doc-grain order statistic (window over per_doc, the
+    corpus already reduced ~100×); the final rollup is |sources|
+    rows.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    docs = d.select("doc_id", "source", toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bigrams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS prev,"
+                " element_at(toks, i + 1) AS cur))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "source", "b.prev", "b.cur")
+    bg = bigrams.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
+    )
+    ctx = bg.groupBy("prev").agg(F.sum("c_ab").cast("long").alias("c_a"))
+    vocab = docs.select(F.explode("toks").alias("t")).agg(
+        F.countDistinct("t").cast("long").alias("v")
+    )
+    model = (
+        bg.join(ctx, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "prev",
+            "cur",
+            F.round(
+                F.log(
+                    (F.col("c_ab") + 1).cast("double")
+                    / (F.col("c_a") + F.col("v")).cast("double")
+                )
+                * 1000000
+            )
+            .cast("long")
+            .alias("q_lp"),
+        )
+    )
+    per_doc = (
+        bigrams.join(model, ["prev", "cur"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                (-F.sum("q_lp")).cast("double") / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("xent_micro"),
+        )
+    )
+    wn = Window.orderBy("xent_micro", "doc_id")
+    cut = (
+        per_doc.select(
+            "xent_micro",
+            F.row_number().over(wn).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select(F.col("xent_micro").alias("cutoff_micro"))
+    )
+    keep = F.col("xent_micro") <= F.col("cutoff_micro")
+    return (
+        per_doc.crossJoin(F.broadcast(cut))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(keep.cast("int")).cast("long").alias("n_kept"),
+            F.round(
+                F.sum(keep.cast("int")).cast("double") / F.count(F.lit(1)),
+                4,
+            ).alias("keep_rate"),
+            F.sum(F.when(keep, F.col("n_bigrams") + 1).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.first("cutoff_micro").alias("cutoff_micro"),
+        )
+        .orderBy("source")
+    )

@@ -7304,3 +7304,97 @@ def q399_delong_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("a") - 0.5) > 1.96 * se).alias("separates"),
         )
     )
+
+
+@register(
+    "q408_bandit_replay_eval",
+    oracle="""
+    WITH logged AS (
+        SELECT user_id, event_type AS arm, value AS reward
+        FROM events WHERE value IS NOT NULL
+    ),
+    prop AS (
+        SELECT arm, CAST(count(*) AS DOUBLE)
+                    / (SELECT count(*) FROM logged) AS p
+        FROM logged GROUP BY arm
+    ),
+    pol AS (
+        SELECT l.user_id, l.arm, l.reward, prop.p,
+               CASE CAST(l.user_id % 5 AS INTEGER)
+                    WHEN 0 THEN 'click' WHEN 1 THEN 'purchase'
+                    WHEN 2 THEN 'view' WHEN 3 THEN 'signup'
+                    ELSE 'error' END AS target_arm
+        FROM logged l JOIN prop ON prop.arm = l.arm
+    )
+    SELECT target_arm,
+           CAST(count(*) FILTER (arm = target_arm) AS BIGINT) AS n_matched,
+           round(avg(reward) FILTER (arm = target_arm), 4) AS replay_value,
+           round(sum(CASE WHEN arm = target_arm
+                          THEN reward / p ELSE 0 END) / count(*), 4)
+               AS ips_value,
+           round(avg(reward), 4) AS logging_value
+    FROM pol
+    GROUP BY target_arm
+    ORDER BY target_arm
+    """,
+)
+def q408_bandit_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFF-POLICY bandit evaluation — scores a TARGET policy (a
+    deterministic user→arm map) on logged interaction data without
+    deploying it, by the two standard estimators: REPLAY (Li et al.
+    2011 — average reward over the logged rounds where the logger
+    happened to pick the policy's arm; unbiased when logging is
+    uniform) and IPS (reward / empirical logging propensity on
+    matches, averaged over ALL rounds — unbiased under any logged
+    propensity, higher variance). logging_value is the behavior
+    policy's own average, the baseline the candidate must beat.
+    Both estimators disagreeing is itself the diagnostic (propensity
+    skew). This is the counterfactual-eval primitive every
+    recommendation/training-mix decision pipeline needs before an
+    A/B slot (q150/q380 test AFTER deployment; this triages BEFORE).
+
+    Scale: one scan → |arms| propensity rows (broadcast back by
+    AQE), one conditional aggregate at target-arm grain — the
+    estimator is a groupBy, not a simulation loop.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    logged = e.select(
+        "user_id", F.col("event_type").alias("arm"),
+        F.col("value").alias("reward"),
+    )
+    n = logged.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    prop = (
+        logged.groupBy("arm")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .crossJoin(F.broadcast(n))
+        .select("arm", (F.col("c") / F.col("n")).alias("p"))
+    )
+    target = (
+        F.when(F.col("user_id") % 5 == 0, "click")
+        .when(F.col("user_id") % 5 == 1, "purchase")
+        .when(F.col("user_id") % 5 == 2, "view")
+        .when(F.col("user_id") % 5 == 3, "signup")
+        .otherwise("error")
+    )
+    pol = logged.join(prop, "arm").select(
+        "arm", "reward", "p", target.alias("target_arm")
+    )
+    hit = F.col("arm") == F.col("target_arm")
+    return (
+        pol.groupBy("target_arm")
+        .agg(
+            F.sum(hit.cast("int")).cast("long").alias("n_matched"),
+            F.round(F.avg(F.when(hit, F.col("reward"))), 4).alias(
+                "replay_value"
+            ),
+            F.round(
+                F.sum(
+                    F.when(hit, F.col("reward") / F.col("p")).otherwise(0.0)
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("ips_value"),
+            F.round(F.avg("reward"), 4).alias("logging_value"),
+        )
+        .orderBy("target_arm")
+    )

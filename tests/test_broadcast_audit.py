@@ -39,14 +39,14 @@ AUDITED_HINT_COUNTS = {
     "operators/stats.py": 6,     # scalar aggs + |folds| model rows
     "queries/dedup.py": 20,      # scalars, band index literals, |sources| rollups, planted-truth 1-rows, q385's 3 scalar count rows
     "queries/grid.py": 8,        # polyfill cell sets, POI literals, scalar thresholds, q376's fixed query-ring cell set + 2 scalar count rows
-    "queries/relational.py": 85, # nation/region dims, scalar aggs, bounded rollups, bucket offsets, q369's 3 per-relation scalar stat rows, q377's 1-row NDV frame, q380's 100-row literal grid, q382's 1-row min/max extent, q387's rank/boundary/total frames (≤7 rows), q388's 1-row byte stats, q389's 1-row median, q391's 1-row global moments, q392's 1-row fit, q393's 4-row band frame + |bands| global dist + scalar n, q396's 1-row totals, q405's 1-row side fit, q407's ≤40-row vnode ring + 1-row movement totals
+    "queries/relational.py": 86, # nation/region dims, scalar aggs, bounded rollups, bucket offsets, q369's 3 per-relation scalar stat rows, q377's 1-row NDV frame, q380's 100-row literal grid, q382's 1-row min/max extent, q387's rank/boundary/total frames (≤7 rows), q388's 1-row byte stats, q389's 1-row median, q391's 1-row global moments, q392's 1-row fit, q393's 4-row band frame + |bands| global dist + scalar n, q396's 1-row totals, q405's 1-row side fit, q407's ≤40-row vnode ring + 1-row movement totals, q409's 1-row dict-page sums
     "queries/multimodal.py": 1,  # q406's 1-row pad-ratio scalar
     "queries/sampling.py": 8,    # scalar totals, |sources| weights, literal index frames, q355 scalar budget rows
-    "queries/similarity.py": 35, # k centroids/codebooks, top-k rows, scalar stats, |dims| rollups, q345/q351 scalar rows, q350's LIMIT-20 pair side, q367's k-row centroids + nprobe(≤4)-row probe sets + scalar hit rows, q371's 8-row + 5-row codebooks + 8-row subspace index, q381's 10-row anchor slice
+    "queries/similarity.py": 36, # k centroids/codebooks, top-k rows, scalar stats, |dims| rollups, q345/q351 scalar rows, q350's LIMIT-20 pair side, q367's k-row centroids + nprobe(≤4)-row probe sets + scalar hit rows, q371's 8-row + 5-row codebooks + 8-row subspace index, q381's 10-row anchor slice, q411's k-row centroids
     "queries/sketches.py": 29,   # hash-param literals, register/counter frames, |sources|² pairs, MG cap-bounded candidates, q352's |sources|-bit maps + ≤2^|sources| mask rollup
     "queries/streaming_equiv.py": 1,  # 25-row nation dim
-    "queries/text.py": 43,       # fixed term lists, scalar stats, |sources| rollups, q354 1-row type total, q375's 1-row token-total frame, q383's 1-row best-pair argmax, q394's |terms| df + 1-row stats + 1-row feedback count, q397's 1-row baseline count, q398's 2 scalar node counts
-    "queries/windows.py": 74,    # per-type/dow/day/priority rollups, scalars, triangular offsets, q346's ≤16-row mask/subset tables, q399's 1-row n/auc/s10/s01 moments (7 sites)
+    "queries/text.py": 45,       # fixed term lists, scalar stats, |sources| rollups, q354 1-row type total, q375's 1-row token-total frame, q383's 1-row best-pair argmax, q394's |terms| df + 1-row stats + 1-row feedback count, q397's 1-row baseline count, q398's 2 scalar node counts, q410's 1-row vocab count + 1-row median cutoff
+    "queries/windows.py": 75,    # per-type/dow/day/priority rollups, scalars, triangular offsets, q346's ≤16-row mask/subset tables, q399's 1-row n/auc/s10/s01 moments (7 sites), q408's 1-row total
     "query.py": 2,               # polygon cell sets (bounded by query area)
 }
 
