@@ -977,3 +977,148 @@ def q401_stream_stream_join_eviction(
         shutil.rmtree(src_p, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
+
+
+_DDW_TILES = 3                          # original thirds -> chunks 1,3,5
+_DDW_SHIFT_US = 2 * 3600 * 1_000_000    # retry re-sent 2 h later (event time)
+_DDW_DELAY_MS = 30 * 60 * 1000          # dedup watermark delay 30 min
+
+
+@register(
+    "q412_dedup_within_watermark",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_id, epoch_us(ts) AS ts_us,
+               ntile({_DDW_TILES}) OVER (ORDER BY ts, event_id) AS tile
+        FROM events WHERE event_type = 'signup'
+    ),
+    arrivals AS (
+        SELECT event_id, ts_us, 2 * tile - 1 AS k, 0 AS is_retry
+        FROM base
+        UNION ALL
+        SELECT event_id, ts_us + {_DDW_SHIFT_US}, 2 * tile, 1
+        FROM base
+    ),
+    wm AS (
+        SELECT k, max(mx) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+                   // 1000 - {_DDW_DELAY_MS} AS wm_ms
+        FROM (SELECT k, max(ts_us) AS mx FROM arrivals GROUP BY k)
+    ),
+    j AS (
+        SELECT b.event_id, b.ts_us AS o_ts, b.ts_us + {_DDW_SHIFT_US} AS r_ts,
+               ow.wm_ms AS wm_o, rw.wm_ms AS wm_r
+        FROM base b
+        LEFT JOIN wm ow ON ow.k = 2 * b.tile - 2
+        LEFT JOIN wm rw ON rw.k = 2 * b.tile - 1
+    ),
+    lab AS (
+        SELECT event_id, o_ts, r_ts,
+               (wm_o IS NULL OR o_ts >= wm_o * 1000) AS o_ok,
+               r_ts >= wm_r * 1000 AS r_not_late,
+               wm_r * 1000 <= o_ts + {_DDW_DELAY_MS} * 1000 AS o_state_alive
+        FROM j
+    )
+    SELECT event_id, o_ts AS ts_us, CAST(0 AS BIGINT) AS is_retry
+    FROM lab WHERE o_ok
+    UNION ALL
+    SELECT event_id, r_ts, 1
+    FROM lab
+    WHERE r_not_late AND (NOT o_ok OR NOT o_state_alive)
+    ORDER BY event_id, ts_us
+    """,
+)
+def q412_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark SEMANTICS AUDIT — the streaming
+    dedup API q92's plain dropDuplicates (infinite state) does NOT
+    cover: state per key lives only `delay` past the FIRST
+    occurrence's event time, so a retry re-sent later than that
+    horizon is re-emitted (at-least-once ingest's visible seam).
+    Every signup event is re-sent once with event time +2 h,
+    arriving two chunks after its original (six ts-ordered
+    availableNow restarts, one durable checkpoint; delay 30 min <
+    shift 2 h so all three outcomes occur). The oracle states the
+    full rule, probed against live Spark on a hand fixture first:
+    an arrival is LATE-dropped when its event time sits below the
+    batch-start watermark (originals can be late too — the earlier
+    retry chunk pushes the watermark above the next original
+    third's oldest rows, and then the RETRY becomes the key's first
+    occurrence); a non-late second occurrence is dup-dropped iff
+    the watermark hasn't passed first_ts + delay, else re-emitted.
+    Keys are staged to never repeat within one chunk — within-batch
+    dedup keeps the ARRIVAL-order first (probe-verified), which is
+    partition-order-dependent and therefore deliberately excluded
+    from the gated contract.
+
+    Scale: dedup state is |keys in the delay horizon| — bounded by
+    ingest rate × delay, not stream length (the whole point vs
+    q92); the staging ntile is harness-only (q222's exemption).
+    """
+    base = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            "event_id", "ts",
+            F.ntile(_DDW_TILES)
+            .over(Window.orderBy("ts", "event_id"))
+            .alias("tile"),
+        )
+    )
+    run = next(_RUN_IDS)
+    src = tempfile.mkdtemp(prefix=f"g_etl_ddw_src_{run}_")
+    ckpt = tempfile.mkdtemp(prefix=f"g_etl_ddw_ckpt_{run}_")
+    sink = tempfile.mkdtemp(prefix=f"g_etl_ddw_sink_{run}_")
+    try:
+        for k in range(1, 2 * _DDW_TILES + 1):
+            tile = (k + 1) // 2
+            is_retry = k % 2 == 0
+            chunk = base.filter(F.col("tile") == tile).select(
+                "event_id",
+                (
+                    F.col("ts")
+                    + F.expr(f"interval {_DDW_SHIFT_US // 1_000_000} seconds")
+                    if is_retry
+                    else F.col("ts")
+                ).alias("ts"),
+            )
+            chunk.coalesce(1).write.mode("append").parquet(src)
+            s = (
+                sp.read_parquet_stream(
+                    spark, src, schema="event_id long, ts timestamp",
+                    max_files_per_trigger=10_000,
+                )
+                .withWatermark("ts", "30 minutes")
+                .dropDuplicatesWithinWatermark(["event_id"])
+            )
+            q = (
+                s.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                q.awaitTermination(30)
+                raise RuntimeError("ddw stream did not finish in 300s")
+        out = spark.read.parquet(sink)
+        orig_ts = base.select(
+            "event_id", F.unix_micros("ts").alias("o_ts")
+        )
+        res = (
+            out.select("event_id", F.unix_micros("ts").alias("ts_us"))
+            .join(orig_ts, "event_id")
+            .select(
+                "event_id",
+                "ts_us",
+                (F.col("ts_us") != F.col("o_ts"))
+                .cast("long")
+                .alias("is_retry"),
+            )
+            .orderBy("event_id", "ts_us")
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
