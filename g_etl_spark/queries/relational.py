@@ -10530,3 +10530,98 @@ def q409_dictionary_encoding_advisor(
             2,
         ).alias("savings_pct"),
     ).orderBy("column_name")
+
+
+_Q414_MEMS = (64, 256, 1024)  # per-task sort memory, MB
+_Q414_FANIN = 64              # merge fan-in per pass
+
+
+@register(
+    "q414_external_sort_planner",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT table_name, est_bytes, CAST({mem} AS BIGINT) AS mem_mb,
+           n_runs,
+           CASE WHEN n_runs <= 1 THEN 0
+                ELSE CAST(ceil(ln(CAST(n_runs AS DOUBLE))
+                               / ln({_Q414_FANIN}.0)) AS BIGINT)
+           END AS merge_passes,
+           est_bytes * (1 + 2 * CASE WHEN n_runs <= 1 THEN 0
+                ELSE CAST(ceil(ln(CAST(n_runs AS DOUBLE))
+                               / ln({_Q414_FANIN}.0)) AS BIGINT) END)
+               AS io_bytes
+    FROM (
+        SELECT '{t}' AS table_name,
+               CAST({8 * nf} * count(*) + {" + ".join(f"sum(length({c}))" for c in sc)}
+                    + {4 * len(sc)} * count(*) AS BIGINT) AS est_bytes,
+               CAST(ceil(CAST({8 * nf} * count(*) + {" + ".join(f"sum(length({c}))" for c in sc)}
+                    + {4 * len(sc)} * count(*) AS DOUBLE)
+                    / ({mem} * 1048576.0)) AS BIGINT) AS n_runs
+        FROM {t}
+    )"""
+        for t, nf, sc in _ADVISOR_TABLES
+        for mem in _Q414_MEMS
+    )
+    + " ORDER BY table_name, mem_mb",
+)
+def q414_external_sort_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTERNAL-SORT SPILL planner — the I/O bill for sorting each
+    table under three per-task memory budgets: initial sorted runs
+    n_runs = ceil(bytes / mem), merge passes = ceil(log_{_Q414_FANIN}
+    n_runs) (Spark's UnsafeExternalSorter merges spill files with a
+    bounded fan-in), and io_bytes = data × (1 + 2·passes) — each
+    merge pass rereads and rewrites everything. The planner makes
+    the memory-vs-I/O tradeoff explicit: the q321 byte estimates
+    that fit 64 MB sort in memory cost zero extra I/O, while a
+    table 100× the budget pays one full extra read+write — the
+    number that justifies `spark.memory.fraction` bumps or
+    pre-partitioning before a global sort (q387's range layout).
+    Completes the sizing kit: q321 partition counts, q378 agg
+    strategy, q388 join strategy, q389 skew splits, q414 sort
+    spills.
+
+    Scale: reuses q321's one-aggregate-per-table width measurement;
+    the planning table is |tables|×|budgets| literal arithmetic.
+    ln-ratio log is safe here: ceil(ln n/ln 64) flips only when
+    n_runs crosses an exact power of 64 — unreachable from the
+    ceil'd integer run counts these inputs produce.
+    """
+    import math
+
+    outs = []
+    for t, n_fixed, str_cols in _ADVISOR_TABLES:
+        df = load(spark, sf_dir, t)
+        sumlen = None
+        for c in str_cols:
+            term = F.sum(F.length(c).cast("long"))
+            sumlen = term if sumlen is None else sumlen + term
+        n = F.count(F.lit(1))
+        est = (
+            F.lit(8 * n_fixed) * n + sumlen + F.lit(4 * len(str_cols)) * n
+        ).cast("long")
+        base = df.agg(est.alias("est_bytes"))
+        for mem in _Q414_MEMS:
+            runs = F.ceil(
+                F.col("est_bytes").cast("double") / (mem * 1048576.0)
+            ).cast("long")
+            passes = F.when(runs <= 1, F.lit(0).cast("long")).otherwise(
+                F.ceil(
+                    F.log(runs.cast("double")) / math.log(_Q414_FANIN)
+                ).cast("long")
+            )
+            outs.append(
+                base.select(
+                    F.lit(t).alias("table_name"),
+                    "est_bytes",
+                    F.lit(mem).cast("long").alias("mem_mb"),
+                    runs.alias("n_runs"),
+                    passes.alias("merge_passes"),
+                    (F.col("est_bytes") * (1 + 2 * passes)).alias(
+                        "io_bytes"
+                    ),
+                )
+            )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("table_name", "mem_mb")

@@ -9,7 +9,7 @@ source at its own rate, reproducibly.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from g_etl_spark.operators import sampling as S
 from g_etl_spark.queries import register
@@ -677,4 +677,164 @@ def q402_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("key_micro"), "doc_id")
         .limit(20)
+    )
+
+
+@register(
+    "q413_token_budget_waterfill",
+    oracle="""
+    WITH src AS (
+        SELECT source,
+               CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+')))
+                    AS DOUBLE) AS cap,
+               avg(CAST(n_chars AS DOUBLE)) / 1000.0 AS w
+        FROM documents GROUP BY source
+    ),
+    b AS (SELECT 0.5 * sum(cap) AS budget FROM src),
+    ranked AS (
+        SELECT source, cap, w, cap / w AS r,
+               row_number() OVER (ORDER BY cap / w, source) AS k,
+               count(*) OVER () AS n
+        FROM src
+    ),
+    lam AS (
+        SELECT g.k AS k0,
+               (b.budget - coalesce(p.pcap, 0)) / s.swt AS lam,
+               p2.rk AS r_k, s2.rk1 AS r_k1
+        FROM (SELECT unnest(range(0, (SELECT CAST(n AS BIGINT) FROM ranked
+                                      LIMIT 1))) AS k) g
+        CROSS JOIN b
+        LEFT JOIN (SELECT k, sum(cap) OVER (ORDER BY k) AS pcap
+                   FROM ranked) p ON p.k = g.k
+        JOIN (SELECT g2.k AS k, sum(r2.w) AS swt
+              FROM (SELECT unnest(range(0, (SELECT CAST(n AS BIGINT)
+                                            FROM ranked LIMIT 1))) AS k) g2
+              JOIN ranked r2 ON r2.k > g2.k GROUP BY g2.k) s
+          ON s.k = g.k
+        LEFT JOIN (SELECT k, r AS rk FROM ranked) p2 ON p2.k = g.k
+        LEFT JOIN (SELECT k - 1 AS k, r AS rk1 FROM ranked) s2
+          ON s2.k = g.k
+    ),
+    chosen AS (
+        SELECT k0, lam FROM lam
+        WHERE (k0 = 0 OR r_k <= lam) AND (r_k1 IS NULL OR r_k1 > lam)
+        ORDER BY k0 LIMIT 1
+    )
+    SELECT r.source,
+           CAST(r.cap AS BIGINT) AS cap_tokens,
+           round(r.w, 4) AS weight,
+           CAST(round(CASE WHEN r.k <= c.k0 THEN r.cap
+                           ELSE c.lam * r.w END) AS BIGINT)
+               AS allocated_tokens,
+           r.k <= c.k0 AS saturated,
+           round(c.lam, 4) AS lam
+    FROM ranked r CROSS JOIN chosen c
+    ORDER BY r.source
+    """,
+)
+def q413_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET WATER-FILLING — the training-mixture allocator:
+    spend a token budget (here 50% of the corpus) across sources
+    proportionally to a quality weight w_i, subject to each source's
+    available-token cap c_i: a_i = min(c_i, λ·w_i) with λ solving
+    Σa_i = budget. Solved EXACTLY (no iteration): sort sources by
+    saturation ratio c_i/w_i ascending; for each prefix size k,
+    λ_k = (B − Σ_{j≤k} c_j)/(Σ_{j>k} w_j); the unique k where the
+    k-th source saturates (r_k ≤ λ_k) and the (k+1)-th doesn't is
+    the answer — the closed-form the mixture family was missing
+    (q228 allocates by variance, q84 resamples to target shares,
+    q372 reweights by DSIR; this respects CAPS, which is what real
+    corpora have: you cannot sample more arxiv than exists).
+    Σ allocated == budget by construction; `saturated` marks the
+    sources the budget exhausts.
+
+    Scale: the corpus collapses once to |sources| rows (token sums
+    + mean quality); the λ search is a |sources|-grain sorted scan
+    with prefix/suffix sums — arithmetic identical in both engines
+    (no libm), rounded only at the emitted columns.
+    """
+    from g_etl_spark.operators import text as T
+
+    d = load(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.size(T.tokens(F.col("text"))))
+        .cast("double")
+        .alias("cap"),
+        (F.avg(F.col("n_chars").cast("double")) / 1000.0).alias("w"),
+    )
+    b = src.agg((0.5 * F.sum("cap")).alias("budget"))
+    wk = Window.orderBy((F.col("cap") / F.col("w")).asc(), F.col("source"))
+    ranked = src.select(
+        "source", "cap", "w",
+        (F.col("cap") / F.col("w")).alias("r"),
+        F.row_number().over(wk).alias("k"),
+    ).localCheckpoint()
+    pre = ranked.select(
+        "k", "r",
+        F.sum("cap").over(Window.orderBy("k").rowsBetween(
+            Window.unboundedPreceding, 0)).alias("pcap"),
+        F.sum("w").over(Window.orderBy("k").rowsBetween(
+            1, Window.unboundedFollowing)).alias("swt_after"),
+        F.lead("r").over(Window.orderBy("k")).alias("r_next"),
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("n"))
+    # candidate k = 0..n-1 saturated prefixes: k=0 row synthesized
+    k0 = (
+        n.crossJoin(F.broadcast(b))
+        .crossJoin(
+            F.broadcast(
+                ranked.agg(F.sum("w").alias("tot_w"))
+            )
+        )
+        .select(
+            F.lit(0).alias("k0"),
+            (F.col("budget") / F.col("tot_w")).alias("lam"),
+            F.lit(None).cast("double").alias("r_k"),
+        )
+        .join(
+            ranked.filter(F.col("k") == 1).select(
+                F.col("r").alias("r_k1")
+            ),
+            how="cross",
+        )
+    )
+    kpos = (
+        pre.crossJoin(F.broadcast(b))
+        .filter(F.col("swt_after").isNotNull())
+        .select(
+            F.col("k").alias("k0"),
+            ((F.col("budget") - F.col("pcap")) / F.col("swt_after")).alias(
+                "lam"
+            ),
+            F.col("r").alias("r_k"),
+            F.col("r_next").alias("r_k1"),
+        )
+    )
+    cands = k0.unionByName(kpos)
+    chosen = (
+        cands.filter(
+            (F.col("r_k").isNull() | (F.col("r_k") <= F.col("lam")))
+            & (F.col("r_k1").isNull() | (F.col("r_k1") > F.col("lam")))
+        )
+        .orderBy("k0")
+        .limit(1)
+        .select("k0", "lam")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(chosen))
+        .select(
+            "source",
+            F.col("cap").cast("long").alias("cap_tokens"),
+            F.round("w", 4).alias("weight"),
+            F.round(
+                F.when(F.col("k") <= F.col("k0"), F.col("cap")).otherwise(
+                    F.col("lam") * F.col("w")
+                )
+            )
+            .cast("long")
+            .alias("allocated_tokens"),
+            (F.col("k") <= F.col("k0")).alias("saturated"),
+            F.round("lam", 4).alias("lam"),
+        )
+        .orderBy("source")
     )
