@@ -49,6 +49,13 @@ PROBES = [
     ("q382_voptimal_histogram", ["events"]),
     ("q387_range_partition_balance", ["events"]),
     ("q390_sequence_edit_distance", ["events"]),
+    ("q395_interval_overlap_join", ["events"]),
+    ("q397_bpe_encode_compression", ["documents"]),
+    ("q398_textrank_keywords", ["documents"]),
+    ("q400_training_data_funnel", ["documents"]),
+    ("q403_mutual_best_matching", ["embeddings"]),
+    ("q410_perplexity_filter", ["documents"]),
+    ("q413_token_budget_waterfill", ["documents"]),
 ]
 
 
