@@ -548,3 +548,45 @@ def chunk_dedup(
             F.coalesce("kept_text", F.lit("")).alias("kept_text"),
         )
     )
+
+
+def affine_min_sig_aggs() -> list[Column]:
+    """The MINHASH_SALTS affine min-hash AGGREGATES over a base-hash
+    column named ``h``, aliased s0..s{n-1} — the signature reduction
+    every custom-base-hash MinHash variant shares (q368's
+    occurrence-weighted hashes, q373's b-bit truncation study,
+    q375's bipartite decontamination). One definition so a salt or
+    permutation-count change cannot drift between the variants and
+    `minhash_candidates` (which inlines the same maps over its
+    staged text path).
+    """
+    return [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"s{i}")
+        for i, (a, b) in enumerate(MINHASH_SALTS)
+    ]
+
+
+def sig_band_struct_array(
+    bands: int = DEFAULT_BANDS, rows_per_band: int = 2
+) -> Column:
+    """explode-ready array<struct(band_idx, band)> over signature
+    columns s0..s{bands·rows_per_band−1}: band b hashes its
+    contiguous signature rows as md5('b|s_{rb}|…') — the banded-LSH
+    bucket key format shared by q368/q373/q375 (and mirrored
+    verbatim in their DuckDB oracles)."""
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(b).cast("string"),
+                    *[
+                        F.col(f"s{rows_per_band * b + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("band"),
+        )
+        for b in range(bands)
+    ])

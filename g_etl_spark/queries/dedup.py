@@ -4731,30 +4731,10 @@ def q368_weighted_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         % D.MINHASH_P
     )
     hashed = elements.select("doc_id", h.alias("h"))
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min((F.col("h") * F.lit(a) + F.lit(b)) % D.MINHASH_P).alias(f"s{i}")
-            for i, (a, b) in enumerate(D.MINHASH_SALTS)
-        ]
-    )
+    sig = hashed.groupBy("doc_id").agg(*D.affine_min_sig_aggs())
     bands = sig.select(
         "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_idx"),
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            F.lit(b).cast("string"),
-                            F.col(f"s{2 * b}").cast("string"),
-                            F.col(f"s{2 * b + 1}").cast("string"),
-                        )
-                    ).alias("band"),
-                )
-                for b in range(4)
-            ])
-        ).alias("bb"),
+        F.explode(D.sig_band_struct_array()).alias("bb"),
     ).select("doc_id", "bb.band_idx", "bb.band")
     a = bands.select(
         F.col("doc_id").alias("id_a"),
@@ -4916,30 +4896,10 @@ def q373_bbit_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dh = base.distinct()
     dsz = dh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
-    sig = base.groupBy("doc_id").agg(
-        *[
-            F.min((F.col("h") * F.lit(a) + F.lit(b)) % D.MINHASH_P).alias(f"s{i}")
-            for i, (a, b) in enumerate(D.MINHASH_SALTS)
-        ]
-    )
+    sig = base.groupBy("doc_id").agg(*D.affine_min_sig_aggs())
     bands = sig.select(
         "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_idx"),
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            F.lit(b).cast("string"),
-                            F.col(f"s{2 * b}").cast("string"),
-                            F.col(f"s{2 * b + 1}").cast("string"),
-                        )
-                    ).alias("band"),
-                )
-                for b in range(4)
-            ])
-        ).alias("bb"),
+        F.explode(D.sig_band_struct_array()).alias("bb"),
     ).select("doc_id", "bb.band_idx", "bb.band")
     a = bands.select(
         F.col("doc_id").alias("id_a"),
@@ -5119,31 +5079,12 @@ def q375_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     dh = base.select("doc_id", "h").distinct()
     dsz = dh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
     sig = base.groupBy("doc_id").agg(
-        F.any_value(F.col("side")).alias("side"),
-        *[
-            F.min((F.col("h") * F.lit(a) + F.lit(b)) % D.MINHASH_P).alias(f"s{i}")
-            for i, (a, b) in enumerate(D.MINHASH_SALTS)
-        ],
+        F.any_value(F.col("side")).alias("side"), *D.affine_min_sig_aggs()
     )
     bands = sig.select(
         "doc_id",
         "side",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band_idx"),
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            F.lit(b).cast("string"),
-                            F.col(f"s{2 * b}").cast("string"),
-                            F.col(f"s{2 * b + 1}").cast("string"),
-                        )
-                    ).alias("band"),
-                )
-                for b in range(4)
-            ])
-        ).alias("bb"),
+        F.explode(D.sig_band_struct_array()).alias("bb"),
     ).select("doc_id", "side", "bb.band_idx", "bb.band")
     ev = bands.filter(F.col("side") == "eval").select(
         F.col("doc_id").alias("eval_id"),

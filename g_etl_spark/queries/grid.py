@@ -1289,7 +1289,7 @@ def _knn_cells_sql_values() -> str:
         SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
                (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_total
     )
-    SELECT c.event_id, c.event_type, {_HAVERSINE_SQL.replace("events", "cand")} AS dist_m,
+    SELECT c.event_id, c.event_type, {_HAVERSINE_SQL} AS dist_m,  -- expression-only (no table refs)
            s.n_candidates, s.n_total
     FROM cand c CROSS JOIN sizes s
     ORDER BY dist_m, event_id

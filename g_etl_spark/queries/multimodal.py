@@ -442,8 +442,6 @@ def q365_ahash_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("layout")
         .agg(F.count(F.lit(1)).cast("long").alias("nc"))
     )
-    from pyspark.sql import Window
-
     out = (
         pre.join(cand, "layout", "left")
         .select(
@@ -573,7 +571,7 @@ def _q374_oracle() -> str:
                     CAST(k * 11 % greatest(length(text), 1) AS INT) + 1, 1))
                     AS BIGINT) AS s
         FROM (SELECT doc_id, text, unnest(range(0, {n})) AS k
-              FROM documents WHERE doc_id < 100)
+              FROM documents WHERE doc_id < 100 AND length(text) > 0)
     ),
     frames AS (
         SELECT doc_id, k // {_VAD_FRAME} AS f,
@@ -627,7 +625,14 @@ def q374_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary chunks (q100's fan-out plumbing) with identical downstream
     shapes.
     """
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    # length(text) > 0 gate: Spark's sequence(0, -1) is a DESCENDING
+    # [0, -1] for an empty payload (phantom frames) where the oracle's
+    # range(0, 0) is empty — filter empties identically in both engines
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .filter(F.length("text") > 0)
+    )
     pcm = d.select(
         "doc_id",
         F.explode(

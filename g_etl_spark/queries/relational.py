@@ -7284,14 +7284,8 @@ def q321_partition_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     outs = []
     for table, n_fixed, str_cols in _ADVISOR_TABLES:
         t = load(spark, sf_dir, table)
-        sumlen = None
-        for c in str_cols:
-            term = F.sum(F.length(c).cast("long"))
-            sumlen = term if sumlen is None else sumlen + term
         n = F.count(F.lit(1))
-        est = (
-            F.lit(8 * n_fixed) * n + sumlen + F.lit(4 * len(str_cols)) * n
-        ).cast("long")
+        est = _table_bytes_est(n_fixed, str_cols)
         outs.append(
             t.agg(
                 F.lit(table).alias("table_name"),
@@ -9206,15 +9200,37 @@ def q382_voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q388: table -> (n_fixed_cols, string_cols) width specs (the q321
 # formula: 8 B per fixed col + measured string lengths + 4 B string
 # overhead) for every relation the join advisor prices.
-_Q388_WIDTHS = {
+# dim-only width specs; fact/customer specs come from _ADVISOR_TABLES
+# (ONE source of truth for the 8B-fixed + string-length formula —
+# q321/q388/q414 must price a table identically).
+_Q388_DIM_WIDTHS = {
     "region": (1, ["r_name"]),
     "nation": (2, ["n_name"]),
     "supplier": (3, ["s_name"]),
     "part": (3, ["p_name", "p_brand", "p_type"]),
-    "customer": (3, ["c_name", "c_mktsegment"]),
-    "orders": (4, ["o_orderstatus", "o_orderpriority"]),
-    "lineitem": (9, ["l_returnflag", "l_linestatus"]),
 }
+_Q388_WIDTHS = {
+    **_Q388_DIM_WIDTHS,
+    **{
+        t: (nf, sc)
+        for t, nf, sc in _ADVISOR_TABLES
+        if t in ("orders", "lineitem", "customer")
+    },
+}
+
+
+def _table_bytes_est(n_fixed: int, str_cols: list[str]):
+    """The q321 byte-estimate Column (8 B per fixed col + measured
+    string lengths + 4 B string overhead) — shared by q321/q388/q414
+    so the three planners can never price one table differently."""
+    sumlen = None
+    for c in str_cols:
+        term = F.sum(F.length(c).cast("long"))
+        sumlen = term if sumlen is None else sumlen + term
+    n = F.count(F.lit(1))
+    return (
+        F.lit(8 * n_fixed) * n + sumlen + F.lit(4 * len(str_cols)) * n
+    ).cast("long")
 
 # candidate equi-joins: (name, left table, right table)
 _Q388_JOINS = [
@@ -9307,16 +9323,7 @@ def q388_join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     }:
         n_fixed, str_cols = _Q388_WIDTHS[t]
         df = load(spark, sf_dir, t)
-        sumlen = None
-        for c in str_cols:
-            term = F.sum(F.length(c).cast("long"))
-            sumlen = term if sumlen is None else sumlen + term
-        n = F.count(F.lit(1))
-        stats[t] = df.agg(
-            (F.lit(8 * n_fixed) * n + sumlen + F.lit(4 * len(str_cols)) * n)
-            .cast("long")
-            .alias(f"b_{t}")
-        )
+        stats[t] = df.agg(_table_bytes_est(n_fixed, str_cols).alias(f"b_{t}"))
     base = None
     for t, sdf in sorted(stats.items()):
         base = sdf if base is None else base.crossJoin(F.broadcast(sdf))
@@ -9384,7 +9391,8 @@ def _q387_boundary_sql(src: str, name: str) -> str:
 
 
 _Q387_ORACLE = f"""
-    WITH ev AS (SELECT event_id, value FROM events),
+    WITH ev AS (SELECT event_id, value FROM events
+                WHERE value IS NOT NULL),
     samp AS (
         SELECT value FROM ev
         WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2)
@@ -9437,7 +9445,15 @@ def q387_range_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary list; counts are one hash agg. The sampled path reads
     the 5% slice with a pushed-down md5 filter.
     """
-    e = load(spark, sf_dir, "events").select("event_id", "value")
+    e = (
+        load(spark, sf_dir, "events")
+        # NULL values ride differently through the two engines' ORDER
+        # BY (Spark windows: NULLS FIRST; DuckDB: NULLS LAST) and
+        # would shift every cumulative boundary rank — exclude them
+        # identically, like q382/q392/q399 do
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "value")
+    )
     samp = e.filter(
         F.substring(F.md5(F.col("event_id").cast("string")), 1, 2)
         <= _Q387_SAMPLE
@@ -10591,15 +10607,7 @@ def q414_external_sort_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     outs = []
     for t, n_fixed, str_cols in _ADVISOR_TABLES:
         df = load(spark, sf_dir, t)
-        sumlen = None
-        for c in str_cols:
-            term = F.sum(F.length(c).cast("long"))
-            sumlen = term if sumlen is None else sumlen + term
-        n = F.count(F.lit(1))
-        est = (
-            F.lit(8 * n_fixed) * n + sumlen + F.lit(4 * len(str_cols)) * n
-        ).cast("long")
-        base = df.agg(est.alias("est_bytes"))
+        base = df.agg(_table_bytes_est(n_fixed, str_cols).alias("est_bytes"))
         for mem in _Q414_MEMS:
             runs = F.ceil(
                 F.col("est_bytes").cast("double") / (mem * 1048576.0)

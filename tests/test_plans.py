@@ -4997,3 +4997,71 @@ def test_q401_stream_subset_of_batch(spark, qs):
              ).collect()}
     assert got <= batch
     assert len(got) < len(batch)  # mid-stream eviction really bites
+
+
+def test_q374_empty_text_no_phantom_frames(spark, qs, tmp_path):
+    """Regression (r11 review): an empty text made Spark's
+    sequence(0, -1) produce DESCENDING [0, -1] — two phantom PCM
+    samples and a phantom segment at start_frame=-1 the DuckDB
+    oracle (range(0,0) = empty) never emits. Both engines must now
+    skip empty payloads identically."""
+    docs = [
+        (1, "", "en", "s1", 0),
+        (2, "the quick brown fox jumps over the lazy dog " * 8,
+         "en", "s1", 352),
+    ]
+    docs_path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        docs,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(docs_path)
+    rows = qs["q374_audio_vad_segments"](spark, str(tmp_path)).collect()
+    assert all(r["doc_id"] == 2 for r in rows)
+    assert all(r["start_frame"] >= 0 for r in rows)
+    duck = _duck_oracle_rows(
+        "q374_audio_vad_segments", str(tmp_path),
+        {"documents": docs_path},
+    )
+    got = sorted(tuple(r) for r in rows)
+    assert got == sorted(duck)
+
+
+def test_q387_null_values_excluded_both_engines(spark, qs, tmp_path):
+    """Regression (r11 review): NULL event values sort FIRST in
+    Spark's window ORDER BY but LAST in DuckDB's, shifting every
+    cumulative boundary rank. Both engines must exclude NULLs
+    before computing the equi-depth boundaries."""
+    rows = [
+        (i, "2024-01-01 00:00:00", i % 10, "click",
+         None if i % 7 == 0 else float(i), "{}")
+        for i in range(1, 201)
+    ]
+    ev_path = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props",
+    ).write.parquet(ev_path)
+    got = sorted(
+        tuple(r)
+        for r in qs["q387_range_partition_balance"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    duck = sorted(
+        tuple(r)
+        for r in _duck_oracle_rows(
+            "q387_range_partition_balance", str(tmp_path),
+            {"events": ev_path},
+        )
+    )
+    assert got == duck
+    n_nonnull = sum(1 for r in rows if r[4] is not None)
+    per_method = {}
+    for m, pid, n, skew in got:
+        per_method[m] = per_method.get(m, 0) + n
+    assert per_method == {"exact": n_nonnull, "sampled": n_nonnull}
