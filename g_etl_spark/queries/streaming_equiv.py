@@ -1122,3 +1122,185 @@ def q412_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
+
+
+@register(
+    "q416_stream_left_outer_timing",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_id AS cid, user_id, epoch_us(ts) AS cts,
+               epoch_us(ts) + (event_id % 89) * {_SSJ_JIT_C_US} AS ak
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT event_id AS pid, user_id, epoch_us(ts) AS pts,
+               epoch_us(ts) + (event_id % 797) * {_SSJ_JIT_P_US} AS ak
+        FROM events WHERE event_type = 'purchase'
+    ),
+    ck AS (
+        SELECT cid, user_id, cts,
+               ntile({_SSJ_CHUNKS}) OVER (ORDER BY ak, cid) AS k
+        FROM c
+    ),
+    pk AS (
+        SELECT pid, user_id, pts,
+               ntile({_SSJ_CHUNKS}) OVER (ORDER BY ak, pid) AS k
+        FROM p
+    ),
+    cwm AS (
+        SELECT k, max(mx) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+                   // 1000 - {_SSJ_DELAY_C_MS} AS wm
+        FROM (SELECT k, max(cts) AS mx FROM ck GROUP BY k)
+    ),
+    pwm AS (
+        SELECT k, max(mx) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+                   // 1000 - {_SSJ_DELAY_P_MS} AS wm
+        FROM (SELECT k, max(pts) AS mx FROM pk GROUP BY k)
+    ),
+    gwm AS (
+        SELECT cwm.k, least(cwm.wm, pwm.wm) AS wm
+        FROM cwm JOIN pwm USING (k)
+    ),
+    matches AS (
+        SELECT ck.cid, pk.pid, ck.cts, pk.pts
+        FROM ck JOIN pk USING (user_id)
+        LEFT JOIN gwm ON gwm.k = greatest(ck.k, pk.k) - 1
+        WHERE pk.pts >= ck.cts AND pk.pts <= ck.cts + {_SSJ_W_US}
+          AND (gwm.wm IS NULL
+               OR (ck.cts + {_SSJ_W_US} >= gwm.wm * 1000
+                   AND pk.pts >= gwm.wm * 1000))
+    ),
+    accepted_clicks AS (
+        -- the OUTER side's late filter is stricter than the inner
+        -- join's state bound: a click arriving with cts below the
+        -- batch-start watermark is dropped silently (no state, no
+        -- NULL row) even though cts+W would still clear it
+        -- (empirically pinned: click 5069 at sf0.01)
+        SELECT ck.cid, ck.cts FROM ck
+        LEFT JOIN gwm ON gwm.k = ck.k - 1
+        WHERE gwm.wm IS NULL
+           OR (ck.cts >= gwm.wm * 1000
+               AND ck.cts + {_SSJ_W_US} >= gwm.wm * 1000)
+    ),
+    final_wm AS (SELECT wm FROM gwm WHERE k = {_SSJ_CHUNKS})
+    SELECT cid, CAST(NULL AS BIGINT) AS pid, cts AS cts_us,
+           CAST(NULL AS BIGINT) AS pts_us
+    FROM accepted_clicks ac
+    WHERE ac.cid NOT IN (SELECT cid FROM matches)
+      AND ac.cts + {_SSJ_W_US} < (SELECT wm FROM final_wm) * 1000
+    UNION ALL
+    SELECT cid, pid, cts, pts FROM matches
+    ORDER BY cid, pid
+    """,
+)
+def q416_stream_left_outer_timing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join NULL-EMISSION timing — the
+    outer-join half of q401's eviction algebra: a click with no
+    surviving match emits its NULL row only when the reaper EVICTS
+    its state (global watermark passes cts + window), never while
+    the state could still match — so trailing clicks inside the
+    final watermark horizon are correctly ABSENT from the sink (the
+    eventually-consistent seam every streaming outer join ships:
+    'no match yet' is indistinguishable from 'still waiting' until
+    the horizon passes). Inner matches follow q401's validated pair
+    rule verbatim; a NULL row requires the click to have been
+    ACCEPTED at arrival — and the OUTER side's late filter is
+    empirically STRICTER than the inner join's: a click arriving
+    below the batch-start watermark (cts < wm) is dropped silently
+    even when its match window still clears it (cts + W ≥ wm), so
+    it produces neither state nor a NULL row (pinned by the sf0.01
+    fixture's click 5069; the inner q401 path keeps such rows) —
+    plus NO emitted match anywhere, and the FINAL watermark past
+    cts + W. The fixture
+    drops real matches mid-stream (q401), so some NULL rows here
+    are clicks whose true partner was evicted — the
+    outer-join-visible face of those losses.
+
+    Scale: identical state economics to q401 (horizon-bounded both
+    sides); the NULL-row set adds no state, only the eviction-time
+    emission.
+    """
+    events = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    jit = F.when(
+        F.col("event_type") == "click",
+        (F.col("event_id") % 89) * _SSJ_JIT_C_US,
+    ).otherwise((F.col("event_id") % 797) * _SSJ_JIT_P_US)
+    ak = F.unix_micros("ts") + jit
+    chunked = events.select(
+        "event_id", "user_id", "event_type", "ts",
+        F.ntile(_SSJ_CHUNKS)
+        .over(Window.partitionBy("event_type").orderBy(ak.asc(), "event_id"))
+        .alias("k"),
+    )
+    run = next(_RUN_IDS)
+    src_c = tempfile.mkdtemp(prefix=f"g_etl_ssjo_c_{run}_")
+    src_p = tempfile.mkdtemp(prefix=f"g_etl_ssjo_p_{run}_")
+    ckpt = tempfile.mkdtemp(prefix=f"g_etl_ssjo_ckpt_{run}_")
+    sink = tempfile.mkdtemp(prefix=f"g_etl_ssjo_sink_{run}_")
+    schema = "event_id long, user_id long, ts timestamp"
+    try:
+        for k in range(1, _SSJ_CHUNKS + 1):
+            for etype, src in (("click", src_c), ("purchase", src_p)):
+                chunked.where(
+                    (F.col("k") == k) & (F.col("event_type") == etype)
+                ).select("event_id", "user_id", "ts").coalesce(1).write.mode(
+                    "append"
+                ).parquet(src)
+            cs = (
+                sp.read_parquet_stream(
+                    spark, src_c, schema=schema, max_files_per_trigger=10_000
+                )
+                .withWatermark("ts", "1 hour")
+                .select(
+                    F.col("event_id").alias("cid"),
+                    F.col("user_id").alias("cuid"),
+                    F.col("ts").alias("cts"),
+                )
+            )
+            ps = (
+                sp.read_parquet_stream(
+                    spark, src_p, schema=schema, max_files_per_trigger=10_000
+                )
+                .withWatermark("ts", "12 hours")
+                .select(
+                    F.col("event_id").alias("pid"),
+                    F.col("user_id").alias("puid"),
+                    F.col("ts").alias("pts"),
+                )
+            )
+            j = cs.join(
+                ps,
+                F.expr(
+                    "cuid = puid AND pts >= cts"
+                    " AND pts <= cts + interval 6 hours"
+                ),
+                "left_outer",
+            )
+            q = (
+                j.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                q.awaitTermination(30)
+                raise RuntimeError("ssjo stream did not finish in 300s")
+        out = spark.read.parquet(sink).select(
+            "cid",
+            "pid",
+            F.unix_micros("cts").alias("cts_us"),
+            F.unix_micros("pts").alias("pts_us"),
+        ).orderBy("cid", "pid")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src_c, ignore_errors=True)
+        shutil.rmtree(src_p, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
