@@ -10633,3 +10633,155 @@ def q414_external_sort_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("table_name", "mem_mb")
+
+
+_Q415_NPART = 200        # initial shuffle partitions being coalesced
+_Q415_ADVISORY = 8192    # advisoryPartitionSizeInBytes, fixture-scaled
+
+
+@register(
+    "q415_aqe_coalesce_replay",
+    oracle=f"""
+    WITH RECURSIVE rw AS (
+        SELECT CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                   1, 8) AS UBIGINT) % {_Q415_NPART} AS BIGINT) AS pid,
+               32 + 8 + length(event_type) + length(props) AS rb
+        FROM events
+    ),
+    parts AS (
+        SELECT g.pid AS idx, CAST(coalesce(p.b, 0) AS BIGINT) AS bytes
+        FROM (SELECT unnest(range(0, {_Q415_NPART})) AS pid) g
+        LEFT JOIN (SELECT pid, sum(rb) AS b FROM rw GROUP BY pid) p
+               ON p.pid = g.pid
+    ),
+    walk AS (
+        SELECT CAST(0 AS BIGINT) AS idx, CAST(1 AS BIGINT) AS grp,
+               bytes AS gb
+        FROM parts WHERE idx = 0
+        UNION ALL
+        SELECT p.idx,
+               CASE WHEN w.gb + p.bytes > {_Q415_ADVISORY}
+                    THEN w.grp + 1 ELSE w.grp END,
+               CASE WHEN w.gb + p.bytes > {_Q415_ADVISORY}
+                    THEN p.bytes ELSE w.gb + p.bytes END
+        FROM walk w JOIN parts p ON p.idx = w.idx + 1
+    ),
+    groups AS (
+        SELECT grp AS group_id,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(max(gb) AS BIGINT) AS group_bytes
+        FROM walk GROUP BY grp
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_groups,
+               CAST({_Q415_NPART} AS BIGINT) AS n_initial
+        FROM groups
+    )
+    SELECT g.group_id, g.n_parts, g.group_bytes,
+           round(100.0 * g.group_bytes / {_Q415_ADVISORY}, 2) AS fill_pct,
+           tot.n_groups, tot.n_initial
+    FROM groups g CROSS JOIN tot
+    ORDER BY group_id
+    """,
+)
+def q415_aqe_coalesce_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE COALESCE-PARTITIONS replay — the shrink-side twin of
+    q389's skew split, simulating `CoalesceShufflePartitions`: walk
+    the {_Q415_NPART} post-shuffle partitions IN ORDER and greedily
+    pack consecutive ones into reader groups, starting a new group
+    exactly when adding the next partition would exceed
+    advisoryPartitionSizeInBytes (an oversized partition forms its
+    own group; empty partitions merge for free — why AQE makes
+    over-partitioning cheap and under-partitioning not). Output is
+    the coalesce schedule: {_Q415_NPART} map outputs collapse to a
+    handful of right-sized reader tasks, the exact mechanism that
+    lets `spark.sql.shuffle.partitions` stay high as a ceiling.
+
+    The walk is inherently sequential but PARTITION-grain (bounded
+    by the shuffle partition count, never rows): the oracle runs it
+    as a {_Q415_NPART}-step recursive CTE, the Spark side as a
+    single-row array fold (collect the ≤{_Q415_NPART} sizes to one
+    array, aggregate() with a struct accumulator) — both integer-
+    exact, byte estimates from q321's width formula.
+
+    Scale: one scan collapses map-side to partition-grain sizes;
+    the fold's input array is |shuffle partitions| (hundreds to low
+    thousands at 100 TB — driver-side AQE does literally this).
+    """
+    e = load(spark, sf_dir, "events")
+    rw = e.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("long")
+            % _Q415_NPART
+        ).alias("pid"),
+        (
+            F.lit(32 + 8)
+            + F.length("event_type").cast("long")
+            + F.length("props").cast("long")
+        ).alias("rb"),
+    )
+    sized = rw.groupBy("pid").agg(F.sum("rb").alias("b"))
+    dense = (
+        spark.range(_Q415_NPART)
+        .select(F.col("id").alias("idx"))
+        .join(sized, F.col("pid") == F.col("idx"), "left")
+        .select("idx", F.coalesce("b", F.lit(0)).cast("long").alias("bytes"))
+    )
+    packed = dense.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("idx"), F.col("bytes")))
+        ).alias("ps")
+    ).select(
+        F.explode(
+            F.expr(
+                f"""aggregate(
+                    ps,
+                    struct(CAST(0 AS BIGINT) AS grp,
+                           CAST(0 AS BIGINT) AS gb,
+                           CAST(array() AS array<struct<idx: bigint,
+                                grp: bigint, gb: bigint>>) AS out),
+                    (acc, p) -> CASE
+                        WHEN acc.grp = 0
+                             OR acc.gb + p.bytes > {_Q415_ADVISORY}
+                        THEN struct(acc.grp + 1 AS grp,
+                                    p.bytes AS gb,
+                                    array_append(acc.out,
+                                        struct(p.idx AS idx,
+                                               acc.grp + 1 AS grp,
+                                               p.bytes AS gb)) AS out)
+                        ELSE struct(acc.grp AS grp,
+                                    acc.gb + p.bytes AS gb,
+                                    array_append(acc.out,
+                                        struct(p.idx AS idx,
+                                               acc.grp AS grp,
+                                               acc.gb + p.bytes AS gb)) AS out)
+                        END,
+                    acc -> acc.out)"""
+            )
+        ).alias("w")
+    ).select("w.idx", "w.grp", "w.gb")
+    groups = packed.groupBy(F.col("grp").alias("group_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.max("gb").cast("long").alias("group_bytes"),
+    )
+    tot = groups.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.lit(_Q415_NPART).cast("long").alias("n_initial"),
+    )
+    return (
+        groups.crossJoin(F.broadcast(tot))
+        .select(
+            "group_id",
+            "n_parts",
+            "group_bytes",
+            F.round(100.0 * F.col("group_bytes") / _Q415_ADVISORY, 2).alias(
+                "fill_pct"
+            ),
+            "n_groups",
+            "n_initial",
+        )
+        .orderBy("group_id")
+    )
