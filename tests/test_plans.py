@@ -5065,3 +5065,83 @@ def test_q387_null_values_excluded_both_engines(spark, qs, tmp_path):
     for m, pid, n, skew in got:
         per_method[m] = per_method.get(m, 0) + n
     assert per_method == {"exact": n_nonnull, "sampled": n_nonnull}
+
+
+def test_q407_ring_contract(spark, qs):
+    """Consistent hashing's contract: keys move only INTO the new
+    server; accounting reconciles."""
+    rows = qs["q407_consistent_hash_rebalance"](spark, SF_DIR).collect()
+    for r in rows:
+        if r["server"] < 4:
+            assert r["moved_in"] == 0
+        else:
+            assert r["n_before"] == 0 and r["moved_in"] == r["n_after"]
+    assert sum(r["n_before"] for r in rows) == rows[0]["n_keys"]
+    assert sum(r["n_after"] for r in rows) == rows[0]["n_keys"]
+
+
+def test_q410_median_cutoff_splits_docs(spark, qs):
+    """The lower-median cutoff keeps ~half the documents overall."""
+    rows = qs["q410_perplexity_filter"](spark, SF_DIR).collect()
+    n = sum(r["n_docs"] for r in rows)
+    kept = sum(r["n_kept"] for r in rows)
+    assert abs(kept - n / 2) <= n * 0.02 + 1
+    assert all(0.0 <= r["keep_rate"] <= 1.0 for r in rows)
+
+
+def test_q412_retry_emissions_consistent(spark, qs):
+    """Every emitted row is either an original at its own ts or a
+    retry at ts+2h; a key never emits both its original AND its
+    retry unless the state expired between them — and never emits
+    the same (key, ts) twice."""
+    rows = qs["q412_dedup_within_watermark"](spark, SF_DIR).collect()
+    seen = set()
+    for r in rows:
+        key = (r["event_id"], r["ts_us"])
+        assert key not in seen
+        seen.add(key)
+        assert r["is_retry"] in (0, 1)
+    vias = {r["is_retry"] for r in rows}
+    assert vias == {0, 1}  # both original and re-emitted paths occur
+
+
+def test_q413_waterfill_exhausts_budget(spark, qs):
+    """Σ allocated == the 50% token budget (±rounding), saturated
+    sources sit exactly at their caps, unsaturated ones at λ·w."""
+    rows = qs["q413_token_budget_waterfill"](spark, SF_DIR).collect()
+    total_cap = sum(r["cap_tokens"] for r in rows)
+    alloc = sum(r["allocated_tokens"] for r in rows)
+    assert abs(alloc - total_cap / 2) <= len(rows)  # integer rounding
+    lam = rows[0]["lam"]
+    for r in rows:
+        if r["saturated"]:
+            assert r["allocated_tokens"] == r["cap_tokens"]
+        else:
+            assert r["allocated_tokens"] <= r["cap_tokens"]
+            assert abs(r["allocated_tokens"] - lam * r["weight"]) < max(
+                1.0, 0.01 * r["allocated_tokens"]
+            )
+
+
+def test_q415_groups_respect_advisory(spark, qs):
+    """Each coalesced group stays ≤ advisory unless it is a single
+    oversized partition; groups tile all initial partitions."""
+    rows = qs["q415_aqe_coalesce_replay"](spark, SF_DIR).collect()
+    assert sum(r["n_parts"] for r in rows) == rows[0]["n_initial"]
+    for r in rows:
+        assert r["group_bytes"] <= 8192 or r["n_parts"] == 1
+    assert rows[0]["n_groups"] == len(rows)
+    assert len(rows) < rows[0]["n_initial"]  # it actually coalesced
+
+
+def test_q416_outer_extends_inner(spark, qs):
+    """The left-outer sink's match set equals q401's inner result;
+    NULL rows are disjoint from matched clicks."""
+    outer = qs["q416_stream_left_outer_timing"](spark, SF_DIR).collect()
+    inner = {(r["cid"], r["pid"]) for r in
+             qs["q401_stream_stream_join_eviction"](spark, SF_DIR).collect()}
+    matches = {(r["cid"], r["pid"]) for r in outer if r["pid"] is not None}
+    nulls = {r["cid"] for r in outer if r["pid"] is None}
+    assert matches == inner
+    assert not (nulls & {c for c, _ in matches})
+    assert nulls  # eviction-timed null rows exist
