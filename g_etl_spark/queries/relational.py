@@ -10785,3 +10785,125 @@ def q415_aqe_coalesce_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_id")
     )
+
+
+_Q417_SALTS = (1, 2, 4, 8, 16)
+_Q417_NPART = 32
+_Q417_SKEW_OK = 1.5  # accept the smallest salt landing max/ideal below this
+
+
+def _q417_block(s: int) -> str:
+    return f"""
+    SELECT CAST({s} AS BIGINT) AS salt,
+           CAST(max(pb) AS BIGINT) AS max_task_bytes,
+           CAST(sum(pb) AS BIGINT) AS total_bytes,
+           round(CAST(max(pb) AS DOUBLE)
+                 / (CAST(sum(pb) AS DOUBLE) / {_Q417_NPART}), 3) AS skew_x,
+           CAST(25 * {s} AS BIGINT) AS dim_replicas
+    FROM (
+        SELECT CAST(CAST('0x' || substr(md5(
+                   CAST(CASE WHEN user_id % 10 < 7 THEN 0
+                        ELSE user_id % 25 END AS VARCHAR)
+                   || ':' ||
+                   CAST(CAST(CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                        1, 8) AS UBIGINT) % {s} AS BIGINT) AS VARCHAR)),
+                   1, 8) AS UBIGINT) % {_Q417_NPART} AS BIGINT) AS pid,
+               sum(32 + 8 + length(event_type) + length(props)) AS pb
+        FROM events
+        GROUP BY 1
+    )"""
+
+
+@register(
+    "q417_salt_factor_advisor",
+    oracle=f"""
+    WITH sweep AS ({" UNION ALL ".join(_q417_block(s) for s in _Q417_SALTS)}),
+    pick AS (
+        SELECT coalesce(
+            (SELECT min(salt) FROM sweep WHERE skew_x <= {_Q417_SKEW_OK}),
+            (SELECT salt FROM sweep ORDER BY skew_x, salt LIMIT 1)
+        ) AS chosen
+    )
+    SELECT sweep.*, pick.chosen AS chosen_salt
+    FROM sweep CROSS JOIN pick
+    ORDER BY salt
+    """,
+)
+def q417_salt_factor_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALT-FACTOR advisor — the missing decision in the skew kit:
+    q105/q254 IMPLEMENT salted agg/join at a fixed fan-out, q389
+    replays AQE's runtime split; this one CHOOSES the salt by
+    measurement. For each candidate fan-out s ∈ {_Q417_SALTS}, the
+    planted hot key (q254's 70%-on-one-key shape) is split into s
+    md5 salt buckets, re-hashed into {_Q417_NPART} shuffle
+    partitions, and priced: max task bytes, skew ratio vs ideal,
+    and the dim-replication cost a salted JOIN pays (|dim|·s rows —
+    the side effect that says don't over-salt). chosen_salt is the
+    SMALLEST s whose skew ratio clears {_Q417_SKEW_OK} — bigger
+    salts buy nothing but replication (when no salt clears the bar,
+    the min-skew point is chosen). The sweep shows the real curve:
+    skew halves per doubling while the hot key dominates, then
+    REGRESSES at s=16 — more shards mean more chances two of them
+    hash-collide into one of the 32 reducers — which is exactly why
+    a measured sweep beats the folklore 'salt by 16'.
+
+    Scale: each sweep point is one map-side keyed rollup (the
+    (key, salt) grain is ≤ 25·s rows, partitions {_Q417_NPART}) —
+    the sweep costs |salts| aggregates over the SAME scan,
+    integer-exact end to end.
+    """
+    e = load(spark, sf_dir, "events")
+    nk = F.when(F.col("user_id") % 10 < 7, F.lit(0)).otherwise(
+        F.col("user_id") % 25
+    )
+    rb = (
+        F.lit(32 + 8)
+        + F.length("event_type").cast("long")
+        + F.length("props").cast("long")
+    )
+    h32 = lambda c: F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")  # noqa: E731
+    outs = []
+    for s in _Q417_SALTS:
+        salt_id = (h32(F.col("event_id").cast("string")) % s).cast("long")
+        pid = (
+            h32(F.concat(nk.cast("string"), F.lit(":"),
+                         salt_id.cast("string")))
+            % _Q417_NPART
+        )
+        per_part = e.select(pid.alias("pid"), rb.alias("rb")).groupBy(
+            "pid"
+        ).agg(F.sum("rb").alias("pb"))
+        outs.append(
+            per_part.agg(
+                F.lit(s).cast("long").alias("salt"),
+                F.max("pb").cast("long").alias("max_task_bytes"),
+                F.sum("pb").cast("long").alias("total_bytes"),
+                F.round(
+                    F.max("pb").cast("double")
+                    / (F.sum("pb").cast("double") / _Q417_NPART),
+                    3,
+                ).alias("skew_x"),
+                F.lit(25 * s).cast("long").alias("dim_replicas"),
+            )
+        )
+    sweep = outs[0]
+    for o in outs[1:]:
+        sweep = sweep.unionByName(o)
+    ok = sweep.filter(F.col("skew_x") <= _Q417_SKEW_OK).agg(
+        F.min("salt").alias("ok_salt")
+    )
+    fallback = (
+        sweep.orderBy("skew_x", "salt").limit(1)
+        .select(F.col("salt").alias("fb_salt"))
+    )
+    pick = ok.crossJoin(F.broadcast(fallback)).select(
+        F.coalesce("ok_salt", "fb_salt").alias("chosen_salt")
+    )
+    return (
+        sweep.crossJoin(F.broadcast(pick))
+        .select(
+            "salt", "max_task_bytes", "total_bytes", "skew_x",
+            "dim_replicas", "chosen_salt",
+        )
+        .orderBy("salt")
+    )
