@@ -5593,3 +5593,98 @@ def q400_training_data_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lag("docs_out").over(w) - F.col("docs_out"), F.lit(0)
         ).cast("long").alias("dropped"),
     ).orderBy("stage_ord")
+
+
+@register(
+    "q419_hash_width_collision_audit",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT array_to_string(t[i.i : i.i + 2], ' ') AS g
+        FROM (SELECT {_TOKS} AS t FROM documents),
+             LATERAL (SELECT unnest(generate_series(
+                 1, greatest(len(t) - 2, 0))) AS i) AS i
+    ),
+    hashed AS (
+        SELECT g,
+               CAST(CAST('0x' || substr(md5(g), 1, 8) AS UBIGINT)
+                    % {D.MINHASH_P} AS BIGINT) AS h
+        FROM sh
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(count(DISTINCT h) AS BIGINT) AS n_hashes
+        FROM hashed
+    )
+    SELECT n_shingles, n_hashes,
+           n_shingles - n_hashes AS collisions_observed,
+           round(CAST(n_shingles AS DOUBLE) * (n_shingles - 1)
+                 / 2.0 / {D.MINHASH_P}, 3) AS collisions_expected,
+           CAST(length(bin(n_shingles * n_shingles - 1)) - 1 AS BIGINT)
+               AS bits_for_lt1_collision,
+           n_shingles - n_hashes
+               <= 8 * greatest(CAST(round(CAST(n_shingles AS DOUBLE)
+                      * (n_shingles - 1) / 2.0 / {D.MINHASH_P})
+                      AS BIGINT), 1) AS within_8x_expected
+    FROM stats
+    """,
+)
+def q419_hash_width_collision_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HASH-WIDTH collision audit — the engine measuring its OWN
+    hashing: every dedup/LSH pipeline here rides the 31-bit base
+    shingle hash (operators/dedup.base_shingle_hash, md5-derived mod
+    2³¹−1), and a hash collision is a silent FALSE DUPLICATE (two
+    different shingles counted as one — inflating Jaccard, merging
+    clusters). The audit counts observed collisions exactly
+    (distinct shingles − distinct hashes), compares with the
+    birthday bound n(n−1)/2p, checks the generator behaves like a
+    random function (within_8x_expected — a Poisson-tail sanity
+    gate that survives fixture growth), and emits
+    bits_for_lt1_collision = ⌈log₂ n²⌉−1, the hash width at which
+    the expected collision count drops below one for THIS corpus's
+    type count — the number that says when to move the pipelines
+    from 32-bit to 64-bit keys (at 10⁹ shingles, 31 bits expect
+    ~2·10⁸ collisions: unusable, exactly why q373's b-bit study
+    keeps full-width keys for the refine stage).
+
+    Scale: one shingle-distinct pass + one combining aggregate —
+    the audit rides any existing dedup run's relations; all counts
+    exact integers (the expectation is the only double, 3-dp).
+    """
+    sh = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(D.shingles(F.col("text"))).alias("g"))
+        .distinct()
+    )
+    hashed = sh.select(D.base_shingle_hash(F.col("g")).alias("h"))
+    stats = hashed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.countDistinct("h").cast("long").alias("n_hashes"),
+    )
+    exp = (
+        F.col("n_shingles").cast("double")
+        * (F.col("n_shingles") - 1)
+        / 2.0
+        / D.MINHASH_P
+    )
+    return stats.select(
+        "n_shingles",
+        "n_hashes",
+        (F.col("n_shingles") - F.col("n_hashes")).alias(
+            "collisions_observed"
+        ),
+        F.round(exp, 3).alias("collisions_expected"),
+        (
+            F.length(
+                F.bin(F.col("n_shingles") * F.col("n_shingles") - 1)
+            )
+            - 1
+        )
+        .cast("long")
+        .alias("bits_for_lt1_collision"),
+        (
+            F.col("n_shingles") - F.col("n_hashes")
+            <= 8 * F.greatest(F.round(exp).cast("long"), F.lit(1))
+        ).alias("within_8x_expected"),
+    )

@@ -5237,3 +5237,101 @@ def q410_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q418_good_turing_smoothing",
+    oracle=f"""
+    WITH tokc AS (
+        SELECT g AS t, CAST(count(*) AS BIGINT) AS r
+        FROM (
+            SELECT array_to_string(t[i.i : i.i + 2], ' ') AS g
+            FROM (SELECT {_TOKS} AS t FROM documents),
+                 LATERAL (SELECT unnest(generate_series(
+                     1, greatest(len(t) - 2, 0))) AS i) AS i
+        )
+        GROUP BY g
+    ),
+    fof AS (
+        SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM tokc GROUP BY r
+    ),
+    n AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens FROM fof)
+    SELECT f.r, f.n_r,
+           round((f.r + 1) * CAST(coalesce(f2.n_r, 0) AS DOUBLE)
+                 / f.n_r, 6) AS r_star,
+           round((f.r + 1) * CAST(coalesce(f2.n_r, 0) AS DOUBLE)
+                 / f.n_r / (SELECT n_tokens FROM n), 9) AS p_gt,
+           round(CAST(f.r AS DOUBLE) / (SELECT n_tokens FROM n), 9)
+               AS p_mle,
+           round((SELECT CAST(n_r AS DOUBLE) FROM fof WHERE r = 1)
+                 / (SELECT n_tokens FROM n), 6) AS unseen_mass
+    FROM fof f LEFT JOIN fof f2 ON f2.r = f.r + 1
+    WHERE f.r <= 5
+    ORDER BY f.r
+    """,
+)
+def q418_good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOOD–TURING smoothing table — the frequency-of-frequencies
+    estimator the LM family was missing (q330 add-one, q354
+    Kneser–Ney, q332 Dirichlet): for each observed count r ≤ 5, the
+    adjusted count r* = (r+1)·N_{r+1}/N_r and the smoothed
+    probability p_gt = r*/N, against the MLE r/N it discounts —
+    plus the Turing unseen-mass estimate N_1/N, the probability
+    budget reserved for words never seen (the quantity every
+    open-vocabulary perplexity depends on, and the statistic behind
+    q244's capture-recapture). Types are 3-token SHINGLES (the q153
+    relation) — the fixture's unigram vocabulary is deliberately
+    tiny (31 types, min count 26: no rare events), while the
+    shingle space has the heavy singleton tail Good–Turing exists
+    for. Low-r cells are exactly where MLE is worst and N_r
+    largest — the sparsity fingerprint (q297's Heaps-law cousin).
+
+    Scale: one token explode → vocab-grain counts → |distinct r|
+    rows (dozens); the self-join on r+1 and the scalar totals are
+    bounded arithmetic. Counts exact; the only doubles are the
+    final divisions, 6/9-dp rounded.
+    """
+    from g_etl_spark.operators.dedup import shingles
+
+    d = load(spark, sf_dir, "documents")
+    tokc = (
+        d.select(F.explode(shingles(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    fof = tokc.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    n = fof.agg(F.sum(F.col("r") * F.col("n_r")).alias("n_tokens"))
+    n1 = fof.filter(F.col("r") == 1).select(
+        F.col("n_r").cast("double").alias("n1")
+    )
+    f2 = fof.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next")
+    )
+    return (
+        fof.join(f2, "r", "left")
+        .filter(F.col("r") <= 5)
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            F.col("r").cast("long").alias("r"),
+            F.col("n_r").cast("long").alias("n_r"),
+            F.round(
+                (F.col("r") + 1)
+                * F.coalesce(F.col("n_r_next"), F.lit(0)).cast("double")
+                / F.col("n_r"),
+                6,
+            ).alias("r_star"),
+            F.round(
+                (F.col("r") + 1)
+                * F.coalesce(F.col("n_r_next"), F.lit(0)).cast("double")
+                / F.col("n_r")
+                / F.col("n_tokens"),
+                9,
+            ).alias("p_gt"),
+            F.round(F.col("r").cast("double") / F.col("n_tokens"), 9).alias(
+                "p_mle"
+            ),
+            F.round(F.col("n1") / F.col("n_tokens"), 6).alias("unseen_mass"),
+        )
+        .orderBy("r")
+    )
