@@ -5145,3 +5145,27 @@ def test_q416_outer_extends_inner(spark, qs):
     assert matches == inner
     assert not (nulls & {c for c, _ in matches})
     assert nulls  # eviction-timed null rows exist
+
+
+def test_q418_good_turing_discounts(spark, qs):
+    """GT discounts low counts (r* < r for a heavy singleton tail),
+    probabilities are consistent, and unseen mass is positive."""
+    rows = sorted(qs["q418_good_turing_smoothing"](spark, SF_DIR).collect(),
+                  key=lambda r: r["r"])
+    assert rows and rows[0]["r"] == 1
+    assert rows[0]["unseen_mass"] > 0
+    for r in rows:
+        assert r["p_gt"] >= 0 and r["p_mle"] > 0
+    # Zipf-ish tail: singletons outnumber doubletons etc.
+    counts = [r["n_r"] for r in rows]
+    assert counts[0] >= counts[-1]
+
+
+def test_q419_collision_audit_sane(spark, qs):
+    r = qs["q419_hash_width_collision_audit"](spark, SF_DIR).collect()[0]
+    assert r["n_hashes"] <= r["n_shingles"]
+    assert r["collisions_observed"] == r["n_shingles"] - r["n_hashes"]
+    assert r["within_8x_expected"]
+    # 31-bit space: a fixture-scale corpus expects ~0 collisions
+    assert r["collisions_expected"] < 10
+    assert r["bits_for_lt1_collision"] >= 20
