@@ -7398,3 +7398,130 @@ def q408_bandit_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("target_arm")
     )
+
+
+@register(
+    "q420_brier_decomposition",
+    oracle="""
+    WITH scored AS (
+        SELECT least(greatest(value / 500.0, 0.0), 1.0) AS p,
+               CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END
+                   AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    binned AS (
+        SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin, p, y
+        FROM scored
+    ),
+    cells AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               avg(p) AS pbar, avg(y) AS ybar
+        FROM binned GROUP BY bin
+    ),
+    g AS (SELECT CAST(sum(n) AS DOUBLE) AS nt,
+                 sum(n * ybar) / sum(n) AS ybar_g
+          FROM cells),
+    parts AS (
+        SELECT sum(n * (pbar - ybar) * (pbar - ybar)) / (SELECT nt FROM g)
+                   AS reliability,
+               sum(n * (ybar - (SELECT ybar_g FROM g))
+                   * (ybar - (SELECT ybar_g FROM g))) / (SELECT nt FROM g)
+                   AS resolution
+        FROM cells
+    ),
+    brier AS (
+        SELECT avg((p - y) * (p - y)) AS bs FROM scored
+    )
+    SELECT CAST((SELECT nt FROM g) AS BIGINT) AS n,
+           round(brier.bs, 6) AS brier_score,
+           round(parts.reliability, 6) AS reliability,
+           round(parts.resolution, 6) AS resolution,
+           round((SELECT ybar_g FROM g) * (1 - (SELECT ybar_g FROM g)), 6)
+               AS uncertainty,
+           round(parts.reliability - parts.resolution
+                 + (SELECT ybar_g FROM g) * (1 - (SELECT ybar_g FROM g)),
+                 6) AS decomposed_bs,
+           abs(brier.bs - (parts.reliability - parts.resolution
+               + (SELECT ybar_g FROM g) * (1 - (SELECT ybar_g FROM g))))
+               < 0.01 AS decomposition_holds
+    FROM brier, parts
+    """,
+)
+def q420_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRIER-SCORE DECOMPOSITION (Murphy 1973) — the three-way split
+    every probabilistic-forecast review wants: BS ≈ reliability
+    (calibration error: Σn_k(p̄_k−ȳ_k)²/N, what q243's isotonic fit
+    removes) − resolution (how much the bins separate outcomes —
+    the part worth keeping) + uncertainty (ȳ(1−ȳ), the floor no
+    model beats). Computed over 10 equal-width score bins (q178's
+    binning; score = the clamped value/500 proxy, outcome =
+    purchase), with the within-bin variance term making the binned
+    identity approximate — decomposition_holds pins it to 1e-2,
+    which is itself the diagnostic that the binning is fine enough.
+    Completes the calibration picture: q178 shows the curve, q243
+    recalibrates, q226 scores quantiles, this attributes the score.
+
+    Scale: one scan → 10 bin moments (+ one scalar Brier pass);
+    everything mergeable, shuffle carries 10 rows.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    scored = e.select(
+        F.least(F.greatest(F.col("value") / 500.0, F.lit(0.0)), F.lit(1.0))
+        .alias("p"),
+        F.when(F.col("event_type") == "purchase", 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("long").alias("bin"),
+        "p",
+        "y",
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("p").alias("pbar"),
+        F.avg("y").alias("ybar"),
+    )
+    g = cells.agg(
+        F.sum("n").cast("double").alias("nt"),
+        (F.sum(F.col("n") * F.col("ybar")) / F.sum("n")).alias("ybar_g"),
+    )
+    parts = cells.crossJoin(F.broadcast(g)).agg(
+        (
+            F.sum(
+                F.col("n")
+                * (F.col("pbar") - F.col("ybar"))
+                * (F.col("pbar") - F.col("ybar"))
+            )
+            / F.first("nt")
+        ).alias("reliability"),
+        (
+            F.sum(
+                F.col("n")
+                * (F.col("ybar") - F.col("ybar_g"))
+                * (F.col("ybar") - F.col("ybar_g"))
+            )
+            / F.first("nt")
+        ).alias("resolution"),
+        F.first("nt").alias("nt"),
+        F.first("ybar_g").alias("ybar_g"),
+    )
+    brier = scored.agg(
+        F.avg((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).alias(
+            "bs"
+        )
+    )
+    unc = F.col("ybar_g") * (1 - F.col("ybar_g"))
+    dec = F.col("reliability") - F.col("resolution") + unc
+    return (
+        parts.crossJoin(F.broadcast(brier))
+        .select(
+            F.col("nt").cast("long").alias("n"),
+            F.round(F.col("bs"), 6).alias("brier_score"),
+            F.round(F.col("reliability"), 6).alias("reliability"),
+            F.round(F.col("resolution"), 6).alias("resolution"),
+            F.round(unc, 6).alias("uncertainty"),
+            F.round(dec, 6).alias("decomposed_bs"),
+            (F.abs(F.col("bs") - dec) < 0.01).alias("decomposition_holds"),
+        )
+    )
