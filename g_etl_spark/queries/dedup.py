@@ -5688,3 +5688,156 @@ def q419_hash_width_collision_audit(
             <= 8 * F.greatest(F.round(exp).cast("long"), F.lit(1))
         ).alias("within_8x_expected"),
     )
+
+
+_Q421_T = 0.7  # Jaccard threshold
+
+
+@register(
+    "q421_prefix_filter_jaccard_join",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sh AS (
+        SELECT DISTINCT doc_id, g
+        FROM (
+            SELECT doc_id,
+                   array_to_string(t[i.i : i.i + 2], ' ') AS g
+            FROM (SELECT doc_id, {_TOKS} AS t FROM corpus),
+                 LATERAL (SELECT unnest(generate_series(
+                     1, greatest(len(t) - 2, 0))) AS i) AS i
+        )
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+              FROM sh GROUP BY doc_id),
+    dfreq AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+    ranked AS (
+        SELECT sh.doc_id, sh.g,
+               row_number() OVER (PARTITION BY sh.doc_id
+                                  ORDER BY dfreq.df, sh.g) AS rk
+        FROM sh JOIN dfreq USING (g)
+    ),
+    pref AS (
+        SELECT r.doc_id, r.g
+        FROM ranked r JOIN sizes s USING (doc_id)
+        WHERE r.rk <= s.sz - CAST(ceil({_Q421_T} * s.sz) AS BIGINT) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM pref a JOIN pref b
+          ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS i_sz
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.id_a
+        JOIN sh y ON y.doc_id = c.id_b AND y.g = x.g
+        GROUP BY c.id_a, c.id_b
+    ),
+    meta AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+               (SELECT CAST(count(*) * (count(*) - 1) AS BIGINT) // 2
+                FROM sizes) AS n_all_pairs
+    )
+    SELECT i.id_a, i.id_b,
+           round(CAST(i.i_sz AS DOUBLE) / (sa.sz + sb.sz - i.i_sz), 4)
+               AS jaccard,
+           meta.n_candidates, meta.n_all_pairs
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    CROSS JOIN meta
+    WHERE 10 * i.i_sz >= 7 * (sa.sz + sb.sz - i.i_sz)
+    ORDER BY i.id_a, i.id_b
+    """,
+)
+def q421_prefix_filter_jaccard_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT set-similarity join via PREFIX FILTERING (AllPairs /
+    PPJoin, Bayardo et al. WWW'07) — the exact counterpart of the
+    LSH family: MinHash banding (q52) finds near-dups
+    probabilistically; this finds EVERY pair with Jaccard ≥ 0.7,
+    guaranteed, without the n² pair space. The filter: order each
+    doc's shingles by ascending global document frequency
+    (rare-first — the canonical ordering that shrinks prefixes
+    most), keep only the first |S| − ⌈t·|S|⌉ + 1 tokens as the
+    PREFIX; two sets with Jaccard ≥ t provably share a prefix
+    token, so the candidate join runs on the prefix relation only
+    — n_candidates vs n_all_pairs rides along as the measured
+    pruning (the same telemetry discipline as q385's Apriori).
+    Survivors verify with exact intersection counts; the threshold
+    compare is integer cross-multiplied (10·i ≥ 7·u — no float
+    boundary), over the planted near-dup corpus so real pairs
+    exist.
+
+    Scale: df ordering is a vocab-grain rollup; the prefix relation
+    is a ~(1−t) fraction of the shingle incidence; the candidate
+    equi-join costs Σ bucket² over PREFIX tokens — rare tokens by
+    construction, the whole point of the ordering. Verification
+    joins only candidate pairs. This is the standard exact-dedup
+    endgame when LSH recall < 1 is not acceptable (legal/eval
+    dedup).
+    """
+    c = _corpus(spark, sf_dir)
+    sh = (
+        c.select("doc_id", F.explode(D.shingles(F.col("text"))).alias("g"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    dfreq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    wr = Window.partitionBy("doc_id").orderBy("df", "g")
+    ranked = (
+        sh.join(dfreq, "g")
+        .select("doc_id", "g", F.row_number().over(wr).alias("rk"))
+    )
+    pref = (
+        ranked.join(sizes, "doc_id")
+        .filter(
+            F.col("rk")
+            <= F.col("sz") - F.ceil(_Q421_T * F.col("sz")).cast("long") + 1
+        )
+        .select("doc_id", "g")
+        .localCheckpoint()
+    )
+    a = pref.select(F.col("doc_id").alias("id_a"), "g")
+    b = pref.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    cand = (
+        a.join(b, (F.col("g") == F.col("gb")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+        .localCheckpoint()
+    )
+    x = sh.select(F.col("doc_id").alias("id_a"), "g")
+    y = sh.select(F.col("doc_id").alias("yid"), F.col("g").alias("gy"))
+    inter = (
+        cand.join(x, "id_a")
+        .join(y, (F.col("id_b") == F.col("yid")) & (F.col("g") == F.col("gy")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("i_sz"))
+    )
+    meta = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates")).crossJoin(
+        F.broadcast(
+            sizes.agg(
+                F.expr("CAST(count(*) * (count(*) - 1) AS BIGINT) div 2")
+                .alias("n_all_pairs")
+            )
+        )
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    un = F.col("sz_a") + F.col("sz_b") - F.col("i_sz")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(10 * F.col("i_sz") >= 7 * un)
+        .crossJoin(F.broadcast(meta))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("i_sz").cast("double") / un, 4).alias("jaccard"),
+            "n_candidates",
+            "n_all_pairs",
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -5169,3 +5169,17 @@ def test_q419_collision_audit_sane(spark, qs):
     # 31-bit space: a fixture-scale corpus expects ~0 collisions
     assert r["collisions_expected"] < 10
     assert r["bits_for_lt1_collision"] >= 20
+
+
+def test_q421_prefix_filter_guarantee(spark, qs):
+    """Exactness: every emitted pair clears the threshold, the
+    candidate set is a tiny fraction of the pair space, and the
+    candidate count bounds the emitted count (filter ⊆ candidates)."""
+    rows = qs["q421_prefix_filter_jaccard_join"](spark, SF_DIR).collect()
+    assert rows
+    cand = rows[0]["n_candidates"]
+    allp = rows[0]["n_all_pairs"]
+    assert len(rows) <= cand < allp / 100  # ≥100x pruning
+    for r in rows:
+        assert r["jaccard"] >= 0.7
+        assert r["id_a"] < r["id_b"]
