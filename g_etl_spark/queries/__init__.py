@@ -97,9 +97,25 @@ def _driver_row_ages() -> dict[str, int]:
     return ages
 
 
+def _qid(name: str) -> int:
+    """Numeric registration id (qNNN prefix).
+
+    Query ids are assigned sequentially as operators are added, so the
+    id IS the registration chronology across rounds. Unnumbered names
+    sort last within their age band.
+    """
+    m = re.match(r"q(\d+)", name)
+    return int(m.group(1)) if m else 10**9
+
+
 def _driver_order(names) -> list[str]:
+    # Never-checked queries (age 0) sort first, OLDEST-REGISTERED
+    # first (r11 verdict item #2): a plain name sort would let new
+    # additions like q42x alphabetically starve e.g. q415-q421 of
+    # their first driver row whenever the never-checked set exceeds
+    # the driver's 50-slot sample window.
     ages = _driver_row_ages()
-    return sorted(names, key=lambda n: (ages.get(n, 0), n))
+    return sorted(names, key=lambda n: (ages.get(n, 0), _qid(n), n))
 
 
 def queries() -> dict[str, QueryFn]:
