@@ -5619,7 +5619,7 @@ def q400_training_data_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
            n_shingles - n_hashes AS collisions_observed,
            round(CAST(n_shingles AS DOUBLE) * (n_shingles - 1)
                  / 2.0 / {D.MINHASH_P}, 3) AS collisions_expected,
-           CAST(length(bin(n_shingles * n_shingles - 1)) - 1 AS BIGINT)
+           CAST(2 * length(bin(greatest(n_shingles, 2) - 1)) - 1 AS BIGINT)
                AS bits_for_lt1_collision,
            n_shingles - n_hashes
                <= 8 * greatest(CAST(round(CAST(n_shingles AS DOUBLE)
@@ -5641,9 +5641,11 @@ def q419_hash_width_collision_audit(
     birthday bound n(n−1)/2p, checks the generator behaves like a
     random function (within_8x_expected — a Poisson-tail sanity
     gate that survives fixture growth), and emits
-    bits_for_lt1_collision = ⌈log₂ n²⌉−1, the hash width at which
-    the expected collision count drops below one for THIS corpus's
-    type count — the number that says when to move the pipelines
+    bits_for_lt1_collision = 2·bitlen(n−1)−1 (≥ ⌈log₂ n²⌉−1, at
+    most one bit conservative, computed without ever squaring n so
+    the advisor column cannot wrap at 1e9+ shingles), the hash
+    width at which the expected collision count drops below one
+    for THIS corpus's type count — the number that says when to move the pipelines
     from 32-bit to 64-bit keys (at 10⁹ shingles, 31 bits expect
     ~2·10⁸ collisions: unusable, exactly why q373's b-bit study
     keeps full-width keys for the refine stage).
@@ -5675,9 +5677,13 @@ def q419_hash_width_collision_audit(
             "collisions_observed"
         ),
         F.round(exp, 3).alias("collisions_expected"),
+        # 2·bitlen(n−1) − 1 ≥ ⌈log₂ n²⌉ − 1: a ≤1-bit-conservative
+        # width that never squares n — bin(n*n−1) wraps 64-bit
+        # beyond ~3.04e9 shingles, exactly the 1e9+ regime this
+        # audit advises on (r11 ADVICE).
         (
-            F.length(
-                F.bin(F.col("n_shingles") * F.col("n_shingles") - 1)
+            2 * F.length(
+                F.bin(F.greatest(F.col("n_shingles"), F.lit(2)) - 1)
             )
             - 1
         )

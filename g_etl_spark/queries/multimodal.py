@@ -553,6 +553,194 @@ def q366_ahash_near_dups_2x32(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q422_oracle() -> str:
+    """q422 oracle: q365's histogram pricing verbatim (same CTEs),
+    the argmin pick as a 1-row CTE, then q353/q366's candidate join
+    RESTRICTED to the picked layout and the exact 64-bit Hamming
+    refine at the picked layout's pigeonhole threshold (4×16 → 3,
+    2×32 → 1)."""
+    px = (
+        "list_transform(range(0, 64), k -> CAST(ascii(substr(text, "
+        "CAST(k * 7 % greatest(length(text), 1) AS INT) + 1, 1)) AS BIGINT))"
+    )
+    band = (
+        "list_aggregate(list_transform(range(0, 16), k -> "
+        "CASE WHEN 64 * px[16 * {j} + k + 1] > sump THEN (CAST(1 AS BIGINT) << k) "
+        "ELSE 0 END), 'sum')"
+    )
+    bands = ", ".join(
+        f"CAST(coalesce({band.format(j=j)}, 0) AS BIGINT) AS b{j}" for j in range(4)
+    )
+    return f"""
+    WITH s1 AS (SELECT doc_id, {px} AS px FROM documents),
+    s2 AS (
+        SELECT doc_id, px, list_aggregate(px, 'sum') AS sump FROM s1
+    ),
+    h16 AS (SELECT doc_id, {bands} FROM s2),
+    long AS (
+        SELECT '4x16' AS layout, doc_id, j,
+               CASE j WHEN 0 THEN b0 WHEN 1 THEN b1
+                      WHEN 2 THEN b2 ELSE b3 END AS bv
+        FROM h16, (SELECT unnest([0, 1, 2, 3]) AS j)
+        UNION ALL
+        SELECT '2x32' AS layout, doc_id, j,
+               CASE j WHEN 0 THEN b0 | (b1 << 16)
+                      ELSE b2 | (b3 << 16) END AS bv
+        FROM h16, (SELECT unnest([0, 1]) AS j)
+    ),
+    hist AS (
+        SELECT layout, j, bv, count(*) AS n FROM long GROUP BY layout, j, bv
+    ),
+    pre AS (
+        SELECT layout,
+               CAST(sum((CAST(n AS HUGEINT) * (n - 1)) // 2) AS BIGINT)
+                   AS fanout_pairs
+        FROM hist GROUP BY layout
+    ),
+    pick AS (
+        SELECT layout, fanout_pairs FROM pre
+        ORDER BY fanout_pairs, layout LIMIT 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM long a JOIN long b
+          ON a.layout = b.layout AND a.j = b.j AND a.bv = b.bv
+         AND a.doc_id < b.doc_id
+        WHERE a.layout = (SELECT layout FROM pick)
+    ),
+    refined AS (
+        SELECT c.id_a, c.id_b,
+               CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+                  + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+                  AS BIGINT) AS hamming
+        FROM cand c
+        JOIN h16 ha ON ha.doc_id = c.id_a
+        JOIN h16 hb ON hb.doc_id = c.id_b
+    )
+    SELECT (SELECT layout FROM pick) AS layout,
+           CAST((SELECT fanout_pairs FROM pick) AS BIGINT) AS fanout_pairs,
+           id_a, id_b, hamming
+    FROM refined
+    WHERE hamming <= CASE (SELECT layout FROM pick)
+                          WHEN '4x16' THEN 3 ELSE 1 END
+    ORDER BY id_a, id_b
+    """
+
+
+@register("q422_ahash_adaptive_near_dups", oracle=_q422_oracle())
+def q422_ahash_adaptive_near_dups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SELF-TUNING perceptual near-dup detector — the query that
+    EXECUTES q365's plan choice instead of only reporting it (r11
+    verdict item #3: q353/q366 are fixed-layout twins and q365 picks
+    between them, but nothing ran the pick). Adaptive shape: (1)
+    price both band layouts from the bucket HISTOGRAM alone
+    (fanout_pairs = Σ n(n−1)/2 — no pair join), (2) observe the
+    2-row price at the driver, (3) build the detector plan for the
+    CHOSEN layout only — the returned DataFrame provably contains
+    one band equi-join, not two (plan-asserted in
+    tests/test_plans.py), at the chosen layout's pigeonhole
+    threshold (4×16 → Hamming ≤ 3, 2×32 → ≤ 1). The Hamming refine
+    always reads the full 64-bit hash (layout-independent), so only
+    the CANDIDATE stage — the part the histogram prices — adapts.
+    The pick and its price ride along as constant columns, making
+    the gate assert the planner arithmetic AND the dispatched
+    detector in one row set.
+
+    Scale: the pre-flight is histogram-grain (the q365/q278
+    fan-out-pricing device); the driver observation is a bounded
+    2-row collect (|layouts|, corpus-independent — collected to
+    dispatch, exactly what AQE does with runtime stats); the
+    detector that runs is q353/q366's shape verbatim: map-only
+    hashing, Σ bucket² band equi-join, candidate-only refine. On an
+    empty corpus the price relation is empty and the default 4×16
+    path runs (both engines emit zero pairs).
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    h16 = _ahash_hashes(d)
+    l16 = h16.select(
+        F.lit("4x16").alias("layout"),
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("j"), F.col(f"b{j}").alias("bv"))
+                for j in range(4)
+            ])
+        ).alias("band"),
+    ).select("layout", "doc_id", "band.j", "band.bv")
+    l32 = h16.select(
+        F.lit("2x32").alias("layout"),
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("j"),
+                    F.expr("b0 | shiftleft(b1, 16)").alias("bv"),
+                ),
+                F.struct(
+                    F.lit(1).alias("j"),
+                    F.expr("b2 | shiftleft(b3, 16)").alias("bv"),
+                ),
+            )
+        ).alias("band"),
+    ).select("layout", "doc_id", "band.j", "band.bv")
+    price_rows = (
+        l16.unionByName(l32)
+        .groupBy("layout", "j", "bv")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("layout")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(FLOOR(CAST(n AS DECIMAL(38,0)) * (n - 1) / 2)"
+                    " AS DECIMAL(38,0))"
+                )
+            )
+            .cast("long")
+            .alias("fanout_pairs")
+        )
+        .collect()  # bounded: one row per layout (2), corpus-independent
+    )
+    price = {r["layout"]: r["fanout_pairs"] for r in price_rows}
+    chosen = min(price, key=lambda l: (price[l], l), default="4x16")
+    if chosen == "4x16":
+        hashes, n_bands, thr = h16, 4, 3
+    else:
+        hashes = h16.select(
+            "doc_id",
+            F.expr("b0 | shiftleft(b1, 16)").alias("b0"),
+            F.expr("b2 | shiftleft(b3, 16)").alias("b1"),
+        )
+        n_bands, thr = 2, 1
+    cand = _ahash_candidate_pairs(hashes, n_bands=n_bands)
+    ha = h16.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"b{j}").alias(f"a{j}") for j in range(4)],
+    )
+    hb = h16.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"b{j}").alias(f"bb{j}") for j in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"bb{j}")))
+        for j in range(4)
+    ).cast("long")
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            F.lit(chosen).alias("layout"),
+            F.lit(price.get(chosen)).cast("long").alias("fanout_pairs"),
+            "id_a",
+            "id_b",
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= thr)
+        .orderBy("id_a", "id_b")
+    )
+
+
 _VAD_SAMPLES = 256          # fake PCM length per payload (bounded)
 _VAD_FRAME = 16             # samples per frame
 _VAD_CUTOFF = 16000         # active frame: Σ(s−96)² below cutoff

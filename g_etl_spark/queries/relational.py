@@ -9387,7 +9387,10 @@ def _q387_boundary_sql(src: str, name: str) -> str:
         WHERE {name}_cum.cc >= (i.i * {name}_n.n) // {_Q387_P}
         GROUP BY i.i
     ),
-    {name}_arr AS (SELECT list(b ORDER BY i) AS bs FROM {name}_b)"""
+    {name}_arr AS (
+        SELECT coalesce(list(b ORDER BY i), CAST([] AS DOUBLE[])) AS bs
+        FROM {name}_b
+    )"""
 
 
 _Q387_ORACLE = f"""
@@ -9443,7 +9446,11 @@ def q387_range_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram + a 7-row rank probe), never a corpus-wide window;
     assignment is a map-side array scan against the broadcast 7-
     boundary list; counts are one hash agg. The sampled path reads
-    the 5% slice with a pushed-down md5 filter.
+    the 5% slice with a pushed-down md5 filter. Degenerate sample
+    (zero rows on a tiny/heavily-filtered fixture): the oracle
+    coalesces the boundary list to [] so both engines agree on
+    one all-rows partition 0 — DuckDB's list() over zero rows is
+    NULL while collect_list is [] (r11 ADVICE).
     """
     e = (
         load(spark, sf_dir, "events")
@@ -9649,7 +9656,8 @@ def q389_aqe_skew_split_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE value IS NOT NULL
     ),
     cell AS (
-        SELECT event_type, fold, count(*) AS c, sum(value) AS s
+        SELECT event_type, fold, count(*) AS c,
+               sum(CAST(round(value * 100) AS HUGEINT)) AS s
         FROM ev GROUP BY event_type, fold
     ),
     tot AS (
@@ -9659,9 +9667,12 @@ def q389_aqe_skew_split_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (SELECT sum(c) AS cg, sum(s) AS sg FROM cell)
     SELECT c.event_type, c.fold,
            CAST(c.c AS BIGINT) AS n_in_fold,
-           round((t.st - c.s) / (t.ct - c.c), 6) AS oof_encoding,
-           round((g.sg - c.s) / (g.cg - c.c), 6) AS oof_global_mean,
-           round(t.st / t.ct, 6) AS leaky_encoding
+           round(CAST(t.st - c.s AS DOUBLE)
+                 / (100.0 * (t.ct - c.c)), 6) AS oof_encoding,
+           round(CAST(g.sg - c.s AS DOUBLE)
+                 / (100.0 * (g.cg - c.c)), 6) AS oof_global_mean,
+           round(CAST(t.st AS DOUBLE) / (100.0 * t.ct), 6)
+               AS leaky_encoding
     FROM cell c JOIN tot t USING (event_type) CROSS JOIN g
     ORDER BY c.event_type, c.fold
     """,
@@ -9682,9 +9693,11 @@ def q391_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     here, |categories|×K anywhere — then bounded arithmetic; the
     encode-train-rows join back (not materialized here) is a
     broadcast of those cells. No row-level window, no K passes.
-    The sums stay raw doubles until the final 6-dp round; counts
-    are exact, and both engines subtract identical scalars, so the
-    division is bit-identical.
+    Target sums are quantized to centi-units (value is 2-dp) and
+    summed as exact decimal integers, so the moments are
+    order-independent — a raw double sum would differ between
+    Spark's partial-merge order and DuckDB's sequential fold and
+    could flake the 6-dp gate on a rounding boundary (r11 ADVICE).
     """
     e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     fold = (
@@ -9694,7 +9707,10 @@ def q391_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 4
     )
     cell = e.groupBy("event_type", fold.alias("fold")).agg(
-        F.count(F.lit(1)).alias("c"), F.sum("value").alias("s")
+        F.count(F.lit(1)).alias("c"),
+        F.sum(
+            F.round(F.col("value") * 100).cast("decimal(38,0)")
+        ).alias("s"),
     )
     tot = cell.groupBy("event_type").agg(
         F.sum("c").alias("ct"), F.sum("s").alias("st")
@@ -9708,12 +9724,18 @@ def q391_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fold",
             F.col("c").cast("long").alias("n_in_fold"),
             F.round(
-                (F.col("st") - F.col("s")) / (F.col("ct") - F.col("c")), 6
+                (F.col("st") - F.col("s")).cast("double")
+                / (100.0 * (F.col("ct") - F.col("c"))),
+                6,
             ).alias("oof_encoding"),
             F.round(
-                (F.col("sg") - F.col("s")) / (F.col("cg") - F.col("c")), 6
+                (F.col("sg") - F.col("s")).cast("double")
+                / (100.0 * (F.col("cg") - F.col("c"))),
+                6,
             ).alias("oof_global_mean"),
-            F.round(F.col("st") / F.col("ct"), 6).alias("leaky_encoding"),
+            F.round(
+                F.col("st").cast("double") / (100.0 * F.col("ct")), 6
+            ).alias("leaky_encoding"),
         )
         .orderBy("event_type", "fold")
     )
@@ -9730,8 +9752,15 @@ def q391_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT v, CAST(sum(c) OVER (ORDER BY v) AS DOUBLE) AS r FROM vc
     ),
     fit AS (
-        SELECT count(*) AS d, sum(v) AS sv, sum(r) AS sr,
-               sum(v * v) AS svv, sum(v * r) AS svr,
+        SELECT count(*) AS d,
+               CAST(sum(CAST(round(v * 100) AS HUGEINT)) AS DOUBLE)
+                   / 100.0 AS sv,
+               CAST(sum(CAST(r AS HUGEINT)) AS DOUBLE) AS sr,
+               CAST(sum(CAST(round(v * 100) AS HUGEINT)
+                        * CAST(round(v * 100) AS HUGEINT)) AS DOUBLE)
+                   / 10000.0 AS svv,
+               CAST(sum(CAST(round(v * 100) AS HUGEINT)
+                        * CAST(r AS HUGEINT)) AS DOUBLE) / 100.0 AS svr,
                max(r) AS n
         FROM cum
     ),
@@ -9790,12 +9819,18 @@ def q392_learned_cdf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("r"),
     )
+    # OLS moments as exact decimal-integer sums over centi-unit
+    # values (value is 2-dp) and integer ranks: order-independent,
+    # so both engines derive bit-identical a/b (r11 ADVICE — raw
+    # double sums merge in partial-agg order and can flake the gate).
+    vc = F.round(F.col("v") * 100).cast("decimal(38,0)")
+    rc = F.col("r").cast("decimal(38,0)")
     fit = cum.agg(
         F.count(F.lit(1)).cast("double").alias("d"),
-        F.sum("v").alias("sv"),
-        F.sum("r").alias("sr"),
-        F.sum(F.col("v") * F.col("v")).alias("svv"),
-        F.sum(F.col("v") * F.col("r")).alias("svr"),
+        (F.sum(vc).cast("double") / 100.0).alias("sv"),
+        F.sum(rc).cast("double").alias("sr"),
+        (F.sum(vc * vc).cast("double") / 10000.0).alias("svv"),
+        (F.sum(vc * rc).cast("double") / 100.0).alias("svr"),
         F.max("r").alias("n"),
     )
     b = (F.col("d") * F.col("svr") - F.col("sv") * F.col("sr")) / (
@@ -10166,10 +10201,17 @@ _Q405_BW = 100.0
 
 
 def _q405_side_sql(name: str, cond: str) -> str:
+    # Moments as exact integer sums over centi-unit x (value is 2-dp)
+    # and integer y — order-independent, so both engines fit from
+    # bit-identical scalars (r11 ADVICE: raw double sums merge in
+    # partial-agg order and can flake the 4-dp gate).
     return f"""{name} AS (
         SELECT CAST(count(*) AS DOUBLE) AS n,
-               sum(x) AS sx, sum(x * x) AS sxx,
-               sum(y) AS sy, sum(x * y) AS sxy, sum(y * y) AS syy
+               CAST(sum(xc) AS DOUBLE) / 100.0 AS sx,
+               CAST(sum(xc * xc) AS DOUBLE) / 10000.0 AS sxx,
+               CAST(sum(yc) AS DOUBLE) AS sy,
+               CAST(sum(xc * yc) AS DOUBLE) / 100.0 AS sxy,
+               CAST(sum(yc * yc) AS DOUBLE) AS syy
         FROM base WHERE {cond}
     ),
     {name}f AS (
@@ -10192,15 +10234,15 @@ def _q405_side_sql(name: str, cond: str) -> str:
     "q405_regression_discontinuity",
     oracle=f"""
     WITH base AS (
-        SELECT value - {_Q405_CUT} AS x,
-               CAST(length(props) AS DOUBLE) AS y
+        SELECT CAST(round((value - {_Q405_CUT}) * 100) AS HUGEINT) AS xc,
+               CAST(length(props) AS HUGEINT) AS yc
         FROM events
         WHERE value >= {_Q405_CUT - _Q405_BW}
           AND value < {_Q405_CUT + _Q405_BW}
           AND props IS NOT NULL
     ),
-    {_q405_side_sql("l", "x < 0")},
-    {_q405_side_sql("r", "x >= 0")}
+    {_q405_side_sql("l", "xc < 0")},
+    {_q405_side_sql("r", "xc >= 0")}
     SELECT CAST(l.n AS BIGINT) AS n_left,
            CAST(r.n AS BIGINT) AS n_right,
            round(l.a, 4) AS intercept_left,
@@ -10236,19 +10278,26 @@ def q405_regression_discontinuity(
         & (F.col("value") < _Q405_CUT + _Q405_BW)
         & F.col("props").isNotNull()
     )
+    # Centi-unit x / integer y: the six moments are exact decimal
+    # sums (order-independent) scaled back to doubles — see
+    # _q405_side_sql for the matching oracle device.
     base = e.select(
-        (F.col("value") - _Q405_CUT).alias("x"),
-        F.length("props").cast("double").alias("y"),
+        F.round((F.col("value") - _Q405_CUT) * 100)
+        .cast("decimal(38,0)")
+        .alias("xc"),
+        F.length("props").cast("decimal(38,0)").alias("yc"),
     )
 
     def side(cond):
         m = base.filter(cond).agg(
             F.count(F.lit(1)).cast("double").alias("n"),
-            F.sum("x").alias("sx"),
-            F.sum(F.col("x") * F.col("x")).alias("sxx"),
-            F.sum("y").alias("sy"),
-            F.sum(F.col("x") * F.col("y")).alias("sxy"),
-            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            (F.sum("xc").cast("double") / 100.0).alias("sx"),
+            (F.sum(F.col("xc") * F.col("xc")).cast("double") / 10000.0)
+            .alias("sxx"),
+            F.sum("yc").cast("double").alias("sy"),
+            (F.sum(F.col("xc") * F.col("yc")).cast("double") / 100.0)
+            .alias("sxy"),
+            F.sum(F.col("yc") * F.col("yc")).cast("double").alias("syy"),
         )
         b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
             F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -10265,10 +10314,10 @@ def q405_regression_discontinuity(
             ).alias("va"),
         )
 
-    left = side(F.col("x") < 0).select(
+    left = side(F.col("xc") < 0).select(
         F.col("n").alias("nl"), F.col("a").alias("al"), F.col("va").alias("vl")
     )
-    right = side(F.col("x") >= 0).select(
+    right = side(F.col("xc") >= 0).select(
         F.col("n").alias("nr"), F.col("a").alias("ar"), F.col("va").alias("vr")
     )
     se = F.sqrt(F.col("vl") + F.col("vr"))

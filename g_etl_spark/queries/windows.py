@@ -6878,12 +6878,17 @@ def q364_forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q390_sequence_edit_distance",
     oracle="""
-    WITH seqs AS (
-        SELECT user_id,
-               substr(string_agg(substr(event_type, 1, 1), ''
-                                 ORDER BY ts, event_id), 1, 50) AS sq
+    WITH ranked AS (
+        SELECT user_id, substr(event_type, 1, 1) AS c, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
         FROM events
         WHERE user_id < 20
+    ),
+    seqs AS (
+        SELECT user_id,
+               string_agg(c, '' ORDER BY ts, event_id) AS sq
+        FROM ranked WHERE rn <= 50
         GROUP BY user_id
     )
     SELECT a.user_id AS user_a, b.user_id AS user_b,
@@ -6910,32 +6915,40 @@ def q390_sequence_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     native integer Levenshtein, so the DP is exact cross-engine;
     the 50-event cap bounds the O(len²) cell count per pair.
 
-    Scale: sequences build with one user-grain ordered agg
-    (collect+sort inside the group, never a corpus window); the
-    pair stage here is a bounded 20-user study set (×100 probe:
-    blocked pairing — LSH over q53's SimHash of the sequence string
-    — replaces the quadratic pair join; the scorer itself is
-    map-side and reusable unchanged).
+    Scale: the cap is applied BEFORE aggregation — a per-user
+    row_number window keeps rn ≤ 50, so the per-group collect state
+    is bounded at 50 structs regardless of how heavy a user's event
+    stream is (r11 ADVICE: a post-agg substr(1,50) would still
+    buffer the whole stream in one group). The pair stage here is a
+    bounded 20-user study set (×100 probe: blocked pairing — LSH
+    over q53's SimHash of the sequence string — replaces the
+    quadratic pair join; the scorer itself is map-side and reusable
+    unchanged).
     """
     e = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w50 = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seqs = (
-        e.groupBy("user_id")
+        e.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.substring("event_type", 1, 1).alias("c"),
+            F.row_number().over(w50).alias("rn"),
+        )
+        .filter(F.col("rn") <= 50)
+        .groupBy("user_id")
         .agg(
             F.array_join(
                 F.transform(
                     F.array_sort(
                         F.collect_list(
-                            F.struct(
-                                F.col("ts"),
-                                F.col("event_id"),
-                                F.substring("event_type", 1, 1).alias("c"),
-                            )
+                            F.struct(F.col("ts"), F.col("event_id"), F.col("c"))
                         )
                     ),
                     lambda s: s["c"],
                 ),
                 "",
-            ).substr(1, 50).alias("sq")
+            ).alias("sq")
         )
     )
     a = seqs.select(F.col("user_id").alias("user_a"), F.col("sq").alias("sa"))
@@ -7155,8 +7168,8 @@ def q395_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     vs AS (
         SELECT v,
-               CAST(count(*) FILTER (y = 0) AS DOUBLE) AS c0,
-               CAST(count(*) FILTER (y = 1) AS DOUBLE) AS c1
+               CAST(count(*) FILTER (y = 0) AS BIGINT) AS c0,
+               CAST(count(*) FILTER (y = 1) AS BIGINT) AS c1
         FROM s GROUP BY v
     ),
     cum AS (
@@ -7167,26 +7180,35 @@ def q395_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
                      AND 1 PRECEDING)
     ),
+    auc AS (
+        SELECT CAST(sum(CAST(2 * c0_lt + c0 AS HUGEINT) * c1) AS DOUBLE)
+               / (2.0 * (SELECT n0 FROM n) * (SELECT n1 FROM n)) AS a
+        FROM cum WHERE c1 > 0
+    ),
     v10 AS (
-        SELECT (c0_lt + 0.5 * c0) / (SELECT n0 FROM n) AS p, c1 AS wgt
+        SELECT (c0_lt + 0.5 * c0) / (SELECT n0 FROM n) AS p,
+               CAST(c1 AS DOUBLE) AS wgt
         FROM cum WHERE c1 > 0
     ),
     v01 AS (
         SELECT ((SELECT n1 FROM n) - c1_lt - c1 + 0.5 * c1)
                    / (SELECT n1 FROM n) AS p,
-               c0 AS wgt
+               CAST(c0 AS DOUBLE) AS wgt
         FROM cum WHERE c0 > 0
     ),
-    auc AS (SELECT sum(p * wgt) / (SELECT n1 FROM n) AS a FROM v10),
     s10 AS (
-        SELECT sum(wgt * (p - (SELECT a FROM auc))
-                   * (p - (SELECT a FROM auc)))
+        SELECT CAST(sum(CAST(round(
+                   wgt * (p - (SELECT a FROM auc))
+                       * (p - (SELECT a FROM auc)) * 1e12)
+               AS HUGEINT)) AS DOUBLE) / 1e12
                / ((SELECT n1 FROM n) - 1) AS s
         FROM v10
     ),
     s01 AS (
-        SELECT sum(wgt * ((1 - p) - (SELECT a FROM auc))
-                   * ((1 - p) - (SELECT a FROM auc)))
+        SELECT CAST(sum(CAST(round(
+                   wgt * ((1 - p) - (SELECT a FROM auc))
+                       * ((1 - p) - (SELECT a FROM auc)) * 1e12)
+               AS HUGEINT)) AS DOUBLE) / 1e12
                / ((SELECT n0 FROM n) - 1) AS s
         FROM v01
     )
@@ -7220,9 +7242,10 @@ def q399_delong_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator in DeLong's stated form.
 
     Scale: one pass to the score histogram (values grain), one
-    values-grain cumulative window, three scalar aggregates.
-    Weighted moments are exact-count-weighted sums of ~|distinct
-    scores| doubles, rounded at 6 dp.
+    values-grain cumulative window, three scalar aggregates. The
+    AUC numerator is an exact integer sum and the variance terms
+    are 1e-12-grid-quantized before summing, so every moment is
+    order-independent across partial-agg merge orders.
     """
     e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     s = e.select(
@@ -7235,21 +7258,35 @@ def q399_delong_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vs = s.groupBy("v").agg(
         F.sum(F.when(F.col("y") == 0, 1).otherwise(0))
-        .cast("double")
+        .cast("long")
         .alias("c0"),
-        F.sum("y").cast("double").alias("c1"),
+        F.sum("y").cast("long").alias("c1"),
     )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     cum = vs.select(
         "v",
         "c0",
         "c1",
-        F.coalesce(F.sum("c0").over(w), F.lit(0.0)).alias("c0_lt"),
-        F.coalesce(F.sum("c1").over(w), F.lit(0.0)).alias("c1_lt"),
+        F.coalesce(F.sum("c0").over(w), F.lit(0)).alias("c0_lt"),
+        F.coalesce(F.sum("c1").over(w), F.lit(0)).alias("c1_lt"),
     ).crossJoin(F.broadcast(n))
+    # AUC numerator as an exact decimal-integer sum (2·c0_lt + c0 per
+    # positive score, weighted by c1) so `a` is order-independent;
+    # the variance terms are then quantized to a 1e-12 grid before
+    # summing — raw double sums merge in partial-agg order and could
+    # flake the 6-dp gate on a rounding boundary (r11 ADVICE).
+    auc = cum.filter(F.col("c1") > 0).agg(
+        (
+            F.sum(
+                (2 * F.col("c0_lt") + F.col("c0")).cast("decimal(38,0)")
+                * F.col("c1")
+            ).cast("double")
+            / (2.0 * F.first("n0") * F.first("n1"))
+        ).alias("a")
+    )
     v10 = cum.filter(F.col("c1") > 0).select(
         ((F.col("c0_lt") + 0.5 * F.col("c0")) / F.col("n0")).alias("p"),
-        F.col("c1").alias("wgt"),
+        F.col("c1").cast("double").alias("wgt"),
         "n1",
     )
     v01 = cum.filter(F.col("c0") > 0).select(
@@ -7257,16 +7294,19 @@ def q399_delong_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n1") - F.col("c1_lt") - F.col("c1") + 0.5 * F.col("c1"))
             / F.col("n1")
         ).alias("p"),
-        F.col("c0").alias("wgt"),
+        F.col("c0").cast("double").alias("wgt"),
     )
-    auc = v10.agg(
-        (F.sum(F.col("p") * F.col("wgt")) / F.first("n1")).alias("a")
-    )
+
+    def _gridded(term):
+        return F.sum(
+            F.round(term * F.lit(1e12)).cast("decimal(38,0)")
+        ).cast("double") / 1e12
+
     s10 = (
         v10.crossJoin(F.broadcast(auc))
         .agg(
             (
-                F.sum(
+                _gridded(
                     F.col("wgt")
                     * (F.col("p") - F.col("a"))
                     * (F.col("p") - F.col("a"))
@@ -7280,7 +7320,7 @@ def q399_delong_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .agg(
             (
-                F.sum(
+                _gridded(
                     F.col("wgt")
                     * ((1 - F.col("p")) - F.col("a"))
                     * ((1 - F.col("p")) - F.col("a"))
@@ -7404,33 +7444,39 @@ def q408_bandit_replay_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q420_brier_decomposition",
     oracle="""
     WITH scored AS (
-        SELECT least(greatest(value / 500.0, 0.0), 1.0) AS p,
-               CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END
-                   AS y
+        SELECT least(greatest(CAST(round(value * 100) AS HUGEINT), 0),
+                     50000) AS pc,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
         FROM events WHERE value IS NOT NULL
     ),
-    binned AS (
-        SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin, p, y
-        FROM scored
-    ),
     cells AS (
-        SELECT bin, CAST(count(*) AS BIGINT) AS n,
-               avg(p) AS pbar, avg(y) AS ybar
-        FROM binned GROUP BY bin
+        SELECT least(pc // 5000, 9) AS bin, CAST(count(*) AS BIGINT) AS n,
+               sum(pc) AS spc, sum(y) AS sy
+        FROM scored GROUP BY 1
     ),
-    g AS (SELECT CAST(sum(n) AS DOUBLE) AS nt,
-                 sum(n * ybar) / sum(n) AS ybar_g
-          FROM cells),
-    parts AS (
-        SELECT sum(n * (pbar - ybar) * (pbar - ybar)) / (SELECT nt FROM g)
-                   AS reliability,
-               sum(n * (ybar - (SELECT ybar_g FROM g))
-                   * (ybar - (SELECT ybar_g FROM g))) / (SELECT nt FROM g)
-                   AS resolution
+    dcell AS (
+        SELECT bin, n,
+               CAST(spc AS DOUBLE) / (50000.0 * n) AS pbar,
+               CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar
         FROM cells
     ),
+    g AS (SELECT CAST(sum(n) AS DOUBLE) AS nt,
+                 CAST(sum(sy) AS DOUBLE) / sum(n) AS ybar_g
+          FROM cells),
+    parts AS (
+        SELECT CAST(sum(CAST(round(n * (pbar - ybar) * (pbar - ybar)
+                                   * 1e12) AS HUGEINT)) AS DOUBLE)
+                   / 1e12 / (SELECT nt FROM g) AS reliability,
+               CAST(sum(CAST(round(n * (ybar - (SELECT ybar_g FROM g))
+                                   * (ybar - (SELECT ybar_g FROM g))
+                                   * 1e12) AS HUGEINT)) AS DOUBLE)
+                   / 1e12 / (SELECT nt FROM g) AS resolution
+        FROM dcell
+    ),
     brier AS (
-        SELECT avg((p - y) * (p - y)) AS bs FROM scored
+        SELECT CAST(sum((pc - 50000 * y) * (pc - 50000 * y)) AS DOUBLE)
+               / (2500000000.0 * count(*)) AS bs
+        FROM scored
     )
     SELECT CAST((SELECT nt FROM g) AS BIGINT) AS n,
            round(brier.bs, 6) AS brier_score,
@@ -7465,30 +7511,51 @@ def q420_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything mergeable, shuffle carries 10 rows.
     """
     e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # Scores quantized to centi-units (value is 2-dp; p = pc/50000):
+    # bin ids, per-bin score/outcome sums and the Brier numerator are
+    # then exact integers — order-independent across partial-agg
+    # merge orders — and the two ≤10-term decomposition sums are
+    # 1e-12-grid-quantized (r11 ADVICE: raw double sums can flake
+    # the 6-dp gate on a rounding boundary).
     scored = e.select(
-        F.least(F.greatest(F.col("value") / 500.0, F.lit(0.0)), F.lit(1.0))
-        .alias("p"),
-        F.when(F.col("event_type") == "purchase", 1.0)
-        .otherwise(0.0)
-        .alias("y"),
+        F.least(
+            F.greatest(
+                F.round(F.col("value") * 100).cast("long"), F.lit(0)
+            ),
+            F.lit(50000),
+        ).alias("pc"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
     )
-    binned = scored.select(
-        F.least(F.floor(F.col("p") * 10), F.lit(9)).cast("long").alias("bin"),
-        "p",
-        "y",
-    )
-    cells = binned.groupBy("bin").agg(
+    cells = scored.groupBy(
+        F.least(F.floor(F.col("pc") / 5000), F.lit(9))
+        .cast("long")
+        .alias("bin")
+    ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.avg("p").alias("pbar"),
-        F.avg("y").alias("ybar"),
+        F.sum("pc").alias("spc"),
+        F.sum("y").alias("sy"),
+    )
+    dcell = cells.select(
+        "bin",
+        "n",
+        (F.col("spc").cast("double") / (50000.0 * F.col("n"))).alias("pbar"),
+        (F.col("sy").cast("double") / F.col("n").cast("double")).alias(
+            "ybar"
+        ),
     )
     g = cells.agg(
         F.sum("n").cast("double").alias("nt"),
-        (F.sum(F.col("n") * F.col("ybar")) / F.sum("n")).alias("ybar_g"),
+        (F.sum("sy").cast("double") / F.sum("n")).alias("ybar_g"),
     )
-    parts = cells.crossJoin(F.broadcast(g)).agg(
+
+    def _gridded(term):
+        return F.sum(
+            F.round(term * F.lit(1e12)).cast("decimal(38,0)")
+        ).cast("double") / 1e12
+
+    parts = dcell.crossJoin(F.broadcast(g)).agg(
         (
-            F.sum(
+            _gridded(
                 F.col("n")
                 * (F.col("pbar") - F.col("ybar"))
                 * (F.col("pbar") - F.col("ybar"))
@@ -7496,7 +7563,7 @@ def q420_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.first("nt")
         ).alias("reliability"),
         (
-            F.sum(
+            _gridded(
                 F.col("n")
                 * (F.col("ybar") - F.col("ybar_g"))
                 * (F.col("ybar") - F.col("ybar_g"))
@@ -7506,10 +7573,12 @@ def q420_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("nt").alias("nt"),
         F.first("ybar_g").alias("ybar_g"),
     )
+    dev = F.col("pc") - 50000 * F.col("y")
     brier = scored.agg(
-        F.avg((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).alias(
-            "bs"
-        )
+        (
+            F.sum((dev * dev).cast("decimal(38,0)")).cast("double")
+            / (2500000000.0 * F.count(F.lit(1)))
+        ).alias("bs")
     )
     unc = F.col("ybar_g") * (1 - F.col("ybar_g"))
     dec = F.col("reliability") - F.col("resolution") + unc

@@ -5183,3 +5183,32 @@ def test_q421_prefix_filter_guarantee(spark, qs):
     for r in rows:
         assert r["jaccard"] >= 0.7
         assert r["id_a"] < r["id_b"]
+
+
+def test_q422_adaptive_detector_runs_one_band_join(spark, qs):
+    """The self-tuning detector (r11 verdict item #3) must DISPATCH:
+    its returned plan contains the chosen layout's band join only —
+    no two-layout Union (that is the pricing stage, which runs
+    eagerly before the plan is built) — while the planner row q365,
+    which prices BOTH layouts in one relation, does contain a Union.
+    Also: the executed pick must agree with q365's chosen row, and
+    every emitted pair clears the chosen layout's pigeonhole
+    threshold."""
+    df = qs["q422_ahash_adaptive_near_dups"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Union" not in plan, "detector plan still carries both layouts"
+    planner_plan = plan_of(qs["q365_ahash_band_planner"](spark, SF_DIR))
+    assert "Union" in planner_plan  # the assertion above has teeth
+    chosen_365 = [
+        r["layout"]
+        for r in qs["q365_ahash_band_planner"](spark, SF_DIR).collect()
+        if r["chosen"]
+    ]
+    rows = df.collect()
+    assert rows, "fixture corpus should contain aHash near-dups"
+    thr = {"4x16": 3, "2x32": 1}[rows[0]["layout"]]
+    assert [rows[0]["layout"]] == chosen_365
+    for r in rows:
+        assert r["hamming"] <= thr
+        assert r["id_a"] < r["id_b"]
+        assert r["fanout_pairs"] >= 0
