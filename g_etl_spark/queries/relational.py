@@ -8601,6 +8601,286 @@ def q369_selinger_join_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- q423: cardinality-feedback re-cost (q328 ∘ q369) -----------------
+# The adaptive-optimizer loop: measure each chain edge's TRUE join
+# cardinality with q328's collapsed-rollup device, convert it to a
+# corrected per-edge selectivity a_e/(n_l·n_r), and re-run q369's
+# Selinger DP on the corrected estimates. Expressions are generated
+# once and fed verbatim to both engines (q369's discipline).
+_SEL_EDGE_ACTUALS = (
+    (3, "a3", "n_r", "n_n"),     # region ⋈ nation
+    (6, "a6", "n_n", "n_c"),     # nation ⋈ customer
+    (12, "a12", "n_c", "n_o"),   # customer ⋈ orders
+)
+
+
+def _sel_corr_est_sql(mask: int) -> str:
+    """Re-costed subset estimate: Π cards × Π_{edges inside}
+    a_e/(n_l·n_r). Substituting the measured actual a_e for the
+    System-R guess n_l·n_r/maxNDV is exactly replacing the estimated
+    edge selectivity 1/maxNDV with the TRUE one a_e/(n_l·n_r) — the
+    independence assumption stays, the NDV guess goes."""
+    e = " * ".join(c for bit, _, c in _SEL_RELS if mask & bit)
+    for em, a, nl, nr in _SEL_EDGE_ACTUALS:
+        if mask & em == em:
+            e = f"({e}) * ({a} / ({nl} * {nr}))"
+    return e
+
+
+def _sel_triple_cost_sfx(mask: int, sfx: str) -> str:
+    pairs = [p for p in _SEL_PAIRS if mask & p == p]
+    return (
+        f"e{mask}{sfx} + least("
+        + ", ".join(f"e{p}{sfx}" for p in pairs)
+        + ")"
+    )
+
+
+def _sel_c15_sfx(sfx: str) -> str:
+    return (
+        f"e15{sfx} + least("
+        + ", ".join(f"c{t}{sfx}" for t in _SEL_TRIPLES)
+        + ", "
+        + ", ".join(f"e{p}{sfx} + e{q}{sfx}" for p, q in _SEL_BUSHY)
+        + ")"
+    )
+
+
+def _sel_exhaustive_sfx(sfx: str) -> str:
+    return "least(" + ", ".join(
+        [f"e{p}{sfx} + e{t}{sfx} + e15{sfx}"
+         for p in _SEL_PAIRS for t in _SEL_TRIPLES if t & p == p]
+        + [f"e{p}{sfx} + e{q}{sfx} + e15{sfx}" for p, q in _SEL_BUSHY]
+    ) + ")"
+
+
+_Q423_ACTUAL_SQL = {
+    "a3": ("region", "r_regionkey", "nation", "n_regionkey"),
+    "a6": ("nation", "n_nationkey", "customer", "c_nationkey"),
+    "a12": ("customer", "c_custkey", "orders", "o_custkey"),
+}
+
+
+def _q423_oracle() -> str:
+    actuals = ", ".join(
+        f"""(SELECT CAST(coalesce(sum(a.n * b.n), 0) AS DOUBLE)
+            FROM (SELECT {lk} AS k, count(*) AS n FROM {lt} GROUP BY 1) a
+            JOIN (SELECT {rk} AS k, count(*) AS n FROM {rt} GROUP BY 1) b
+              ON a.k = b.k) AS {name}"""
+        for name, (lt, lk, rt, rk) in _Q423_ACTUAL_SQL.items()
+    )
+    ests = ", ".join(
+        f"CAST(round({_sel_est_sql(m)}) AS BIGINT) AS e{m}, "
+        f"CAST(round({_sel_corr_est_sql(m)}) AS BIGINT) AS e{m}k"
+        for m in (*_SEL_PAIRS, *_SEL_TRIPLES, 15)
+    )
+    trips = ", ".join(
+        f"{_sel_triple_cost_sql(m)} AS c{m}, "
+        f"{_sel_triple_cost_sfx(m, 'k')} AS c{m}k"
+        for m in _SEL_TRIPLES
+    )
+    rows = []
+    for m in _SEL_PAIRS:
+        rows.append(
+            f"SELECT '{_sel_label(m)}' AS subset, 2 AS n_rels,"
+            f" e{m} AS est_rows, e{m}k AS est_rows_corrected,"
+            f" e{m} AS dp_cost, e{m}k AS dp_cost_corrected,"
+            " c15k, exk FROM dp"
+        )
+    for m in _SEL_TRIPLES:
+        rows.append(
+            f"SELECT '{_sel_label(m)}', 3, e{m}, e{m}k, c{m}, c{m}k,"
+            " c15k, exk FROM dp"
+        )
+    rows.append(
+        f"SELECT '{_sel_label(15)}', 4, e15, e15k, c15, c15k, c15k, exk"
+        " FROM dp"
+    )
+    body = " UNION ALL ".join(rows)
+    return f"""
+    WITH stats AS (
+        SELECT (SELECT CAST(count(*) AS DOUBLE) FROM region) AS n_r,
+               (SELECT CAST(count(DISTINCT r_regionkey) AS DOUBLE) FROM region) AS d_rr,
+               (SELECT CAST(count(*) AS DOUBLE) FROM nation) AS n_n,
+               (SELECT CAST(count(DISTINCT n_regionkey) AS DOUBLE) FROM nation) AS d_nr,
+               (SELECT CAST(count(DISTINCT n_nationkey) AS DOUBLE) FROM nation) AS d_nn,
+               (SELECT CAST(count(*) AS DOUBLE) FROM customer) AS n_c,
+               (SELECT CAST(count(DISTINCT c_nationkey) AS DOUBLE) FROM customer) AS d_cn,
+               (SELECT CAST(count(DISTINCT c_custkey) AS DOUBLE) FROM customer) AS d_cc,
+               (SELECT CAST(count(*) AS DOUBLE) FROM orders) AS n_o,
+               (SELECT CAST(count(DISTINCT o_custkey) AS DOUBLE) FROM orders) AS d_oc,
+               {actuals}
+    ),
+    est AS (SELECT {ests} FROM stats),
+    dp1 AS (SELECT *, {trips} FROM est),
+    dp AS (SELECT *, {_SEL_C15_SQL} AS c15, {_sel_c15_sfx("k")} AS c15k,
+           {_sel_exhaustive_sfx("k")} AS exk FROM dp1)
+    SELECT subset, CAST(n_rels AS BIGINT) AS n_rels,
+           est_rows, est_rows_corrected, dp_cost, dp_cost_corrected,
+           CAST(rank() OVER (PARTITION BY n_rels
+                             ORDER BY dp_cost, subset) AS BIGINT)
+               AS rank_orig,
+           CAST(rank() OVER (PARTITION BY n_rels
+                             ORDER BY dp_cost_corrected, subset) AS BIGINT)
+               AS rank_corrected,
+           rank() OVER (PARTITION BY n_rels ORDER BY dp_cost, subset)
+               <> rank() OVER (PARTITION BY n_rels
+                               ORDER BY dp_cost_corrected, subset)
+               AS rank_changed,
+           c15k AS dp_optimum_corrected,
+           exk AS exhaustive_optimum_corrected,
+           c15k = exk AS dp_matches_exhaustive
+    FROM ({body})
+    ORDER BY n_rels, subset
+    """
+
+
+@register("q423_cardinality_feedback_recost", oracle=_q423_oracle())
+def q423_cardinality_feedback_recost(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CARDINALITY-FEEDBACK re-costing — the run → observe → re-plan
+    loop that completes the engine-diagnostic family (r11 verdict
+    item #4): q322/q369 cost plans from System-R NDV estimates, q328
+    measures how wrong those estimates are; this query CLOSES the
+    loop by measuring each chain edge's TRUE cardinality with q328's
+    collapsed-rollup device (Σ_k n_l(k)·n_r(k) — never the row-wise
+    join) and re-running q369's full-lattice Selinger DP with the
+    corrected per-edge selectivity a_e/(n_l·n_r) in place of the
+    1/maxNDV guess. Output per subset: original vs corrected
+    estimate and DP cost, the within-level cost RANKINGS before and
+    after feedback (rank_changed is the 'would the optimizer pick a
+    different order now' bit), and the corrected DP re-audited
+    against an independent exhaustive enumeration
+    (dp_matches_exhaustive). Cost/estimate expressions are generated
+    once and fed verbatim to both engines (q369's discipline), all
+    costs integer-rounded before the DP sums, so both engines agree
+    bit-for-bit.
+
+    Scale: three collapsed-key equi-joins (|keys| rows each — the
+    feedback observations a real system reads from runtime metrics
+    for free) + ten scalar statistics, then pure single-row
+    arithmetic; the 2⁴ lattice is expressions, not scans.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    tables = {"region": r, "nation": n, "customer": c, "orders": o}
+
+    def actual(name: str) -> DataFrame:
+        lt, lk, rt, rk = _Q423_ACTUAL_SQL[name]
+        a = tables[lt].groupBy(F.col(lk).alias("k")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        b = tables[rt].groupBy(F.col(rk).alias("k")).agg(
+            F.count(F.lit(1)).alias("nb")
+        )
+        return a.join(b, "k").agg(
+            F.coalesce(F.sum(F.col("n") * F.col("nb")), F.lit(0))
+            .cast("double")
+            .alias(name)
+        )
+
+    stats = (
+        r.agg(
+            F.count(F.lit(1)).cast("double").alias("n_r"),
+            F.countDistinct("r_regionkey").cast("double").alias("d_rr"),
+        )
+        .crossJoin(
+            F.broadcast(
+                n.agg(
+                    F.count(F.lit(1)).cast("double").alias("n_n"),
+                    F.countDistinct("n_regionkey").cast("double").alias("d_nr"),
+                    F.countDistinct("n_nationkey").cast("double").alias("d_nn"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                c.agg(
+                    F.count(F.lit(1)).cast("double").alias("n_c"),
+                    F.countDistinct("c_nationkey").cast("double").alias("d_cn"),
+                    F.countDistinct("c_custkey").cast("double").alias("d_cc"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                o.agg(
+                    F.count(F.lit(1)).cast("double").alias("n_o"),
+                    F.countDistinct("o_custkey").cast("double").alias("d_oc"),
+                )
+            )
+        )
+        .crossJoin(F.broadcast(actual("a3")))
+        .crossJoin(F.broadcast(actual("a6")))
+        .crossJoin(F.broadcast(actual("a12")))
+    )
+    est = stats.selectExpr(
+        *[
+            f"CAST(round({_sel_est_sql(m)}) AS BIGINT) AS e{m}"
+            for m in (*_SEL_PAIRS, *_SEL_TRIPLES, 15)
+        ],
+        *[
+            f"CAST(round({_sel_corr_est_sql(m)}) AS BIGINT) AS e{m}k"
+            for m in (*_SEL_PAIRS, *_SEL_TRIPLES, 15)
+        ],
+    )
+    dp1 = est.selectExpr(
+        "*",
+        *[f"{_sel_triple_cost_sql(m)} AS c{m}" for m in _SEL_TRIPLES],
+        *[f"{_sel_triple_cost_sfx(m, 'k')} AS c{m}k" for m in _SEL_TRIPLES],
+    )
+    dp = dp1.selectExpr(
+        "*",
+        f"{_SEL_C15_SQL} AS c15",
+        f"{_sel_c15_sfx('k')} AS c15k",
+        f"{_sel_exhaustive_sfx('k')} AS exk",
+    )
+
+    def _row(m: int, nrels: int, cost: str, costk: str):
+        return F.struct(
+            F.lit(_sel_label(m)).alias("subset"),
+            F.lit(nrels).cast("long").alias("n_rels"),
+            F.col(f"e{m}").alias("est_rows"),
+            F.col(f"e{m}k").alias("est_rows_corrected"),
+            F.expr(cost).alias("dp_cost"),
+            F.expr(costk).alias("dp_cost_corrected"),
+        )
+
+    rows = (
+        [_row(m, 2, f"e{m}", f"e{m}k") for m in _SEL_PAIRS]
+        + [_row(m, 3, f"c{m}", f"c{m}k") for m in _SEL_TRIPLES]
+        + [_row(15, 4, "c15", "c15k")]
+    )
+    w_orig = Window.partitionBy("n_rels").orderBy("dp_cost", "subset")
+    w_corr = Window.partitionBy("n_rels").orderBy(
+        "dp_cost_corrected", "subset"
+    )
+    return (
+        dp.select(F.explode(F.array(*rows)).alias("s"), "c15k", "exk")
+        .select("s.*", "c15k", "exk")
+        .select(
+            "subset",
+            "n_rels",
+            "est_rows",
+            "est_rows_corrected",
+            "dp_cost",
+            "dp_cost_corrected",
+            F.rank().over(w_orig).cast("long").alias("rank_orig"),
+            F.rank().over(w_corr).cast("long").alias("rank_corrected"),
+            (F.rank().over(w_orig) != F.rank().over(w_corr)).alias(
+                "rank_changed"
+            ),
+            F.col("c15k").alias("dp_optimum_corrected"),
+            F.col("exk").alias("exhaustive_optimum_corrected"),
+            (F.col("c15k") == F.col("exk")).alias("dp_matches_exhaustive"),
+        )
+        .orderBy("n_rels", "subset")
+    )
+
+
 _Q377_KEYS = (
     ("event_type", "event_type"),
     ("day", "CAST(ts AS DATE)"),

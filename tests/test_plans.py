@@ -5212,3 +5212,53 @@ def test_q422_adaptive_detector_runs_one_band_join(spark, qs):
         assert r["hamming"] <= thr
         assert r["id_a"] < r["id_b"]
         assert r["fanout_pairs"] >= 0
+
+
+def test_q423_feedback_rerank_on_dangling_fks(spark, qs, tmp_path):
+    """The correction path must have TEETH: on uniform TPC-H PK-FK
+    edges the measured actual equals the System-R estimate (q328's
+    q-errors are 1.0), so the shipped fixture shows corrected ==
+    original — the honest no-op. This fixture engineers dangling FKs
+    (40/50 nations point at a nonexistent region; half the orders at
+    nonexistent customers), where the NDV guess overprices both
+    edges; feedback must shrink those estimates and FLIP the
+    within-level cost ranking, while the corrected DP still matches
+    the exhaustive enumeration and still hash-matches DuckDB on the
+    same corpus."""
+    spark.createDataFrame(
+        [(i,) for i in range(5)], "r_regionkey long"
+    ).write.parquet(str(tmp_path / "region.parquet"))
+    spark.createDataFrame(
+        [(i, i % 5 if i < 10 else 9) for i in range(50)],
+        "n_nationkey long, n_regionkey long",
+    ).write.parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(
+        [(i, i) for i in range(40)], "c_custkey long, c_nationkey long"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(i, i % 40 if i < 30 else 1000 + i) for i in range(60)],
+        "o_orderkey long, o_custkey long",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    rows = qs["q423_cardinality_feedback_recost"](
+        spark, str(tmp_path)
+    ).collect()
+    by = {r["subset"]: r for r in rows}
+    rn = by["region+nation"]
+    assert rn["est_rows_corrected"] < rn["est_rows"]  # 10 actual vs ~42
+    co = by["customer+orders"]
+    assert co["est_rows_corrected"] < co["est_rows"]  # 30 actual vs 40
+    assert any(r["rank_changed"] for r in rows), "feedback never re-ranked"
+    assert all(r["dp_matches_exhaustive"] for r in rows)
+    got = sorted(tuple(r) for r in rows)
+    duck = sorted(
+        tuple(r)
+        for r in _duck_oracle_rows(
+            "q423_cardinality_feedback_recost",
+            str(tmp_path),
+            {
+                t: str(tmp_path / f"{t}.parquet")
+                for t in ("region", "nation", "customer", "orders")
+            },
+        )
+    )
+    assert got == duck
