@@ -838,3 +838,194 @@ def q413_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- q425: multi-epoch token budgeting (data-constrained scaling) ------
+_Q425_EPOCHS = 4        # max repeat epochs priced
+_Q425_DECAY = 0.125     # per-epoch utility decay (exact binary fraction)
+_Q425_BUDGET_X = 1.5    # training budget as a multiple of unique tokens
+
+
+@register(
+    "q425_multi_epoch_token_budget",
+    oracle=f"""
+    WITH src AS (
+        SELECT source,
+               CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+')))
+                    AS DOUBLE) AS cap,
+               avg(CAST(n_chars AS DOUBLE)) / 1000.0 AS w
+        FROM documents GROUP BY source
+    ),
+    cells AS (
+        SELECT s.source, CAST(e.epoch AS BIGINT) AS epoch, s.cap,
+               s.w * power({_Q425_DECAY}, e.epoch - 1) AS we
+        FROM src s,
+             (SELECT unnest(range(1, {_Q425_EPOCHS} + 1)) AS epoch) e
+    ),
+    b AS (SELECT {_Q425_BUDGET_X} * sum(cap) AS budget FROM src),
+    ranked AS (
+        SELECT source, epoch, cap, we, cap / we AS r,
+               row_number() OVER (ORDER BY cap / we, source, epoch) AS k
+        FROM cells
+    ),
+    pre AS (
+        SELECT k, r,
+               sum(cap) OVER (ORDER BY k) AS pcap,
+               sum(we) OVER (ORDER BY k ROWS BETWEEN 1 FOLLOWING AND
+                             UNBOUNDED FOLLOWING) AS swt_after,
+               lead(r) OVER (ORDER BY k) AS r_next
+        FROM ranked
+    ),
+    cands AS (
+        SELECT CAST(0 AS BIGINT) AS k0,
+               b.budget / (SELECT sum(we) FROM cells) AS lam,
+               CAST(NULL AS DOUBLE) AS r_k,
+               (SELECT r FROM ranked WHERE k = 1) AS r_k1
+        FROM b
+        UNION ALL
+        SELECT k, (b.budget - pcap) / swt_after, r, r_next
+        FROM pre, b WHERE swt_after IS NOT NULL
+    ),
+    chosen AS (
+        SELECT k0, lam FROM cands
+        WHERE (r_k IS NULL OR r_k <= lam)
+          AND (r_k1 IS NULL OR r_k1 > lam)
+        ORDER BY k0 LIMIT 1
+    )
+    SELECT r.source, r.epoch,
+           CAST(r.cap AS BIGINT) AS cap_tokens,
+           round(r.we, 4) AS eff_weight,
+           CAST(round(CASE WHEN r.k <= c.k0 THEN r.cap
+                           ELSE c.lam * r.we END) AS BIGINT)
+               AS allocated_tokens,
+           r.k <= c.k0 AS saturated,
+           round(c.lam, 4) AS lam
+    FROM ranked r CROSS JOIN chosen c
+    ORDER BY r.source, r.epoch
+    """,
+)
+def q425_multi_epoch_token_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-EPOCH token budgeting — q413's capped water-fill
+    extended to REPEATED data (the data-constrained-scaling
+    allocation shape, Muennighoff et al. 2023: when the training
+    budget exceeds the unique corpus, repeating data still helps
+    but with decaying returns). Each (source, epoch ≤ {_Q425_EPOCHS})
+    cell offers the source's unique tokens again at utility
+    w_i·δ^(e−1) (δ = {_Q425_DECAY}, an exact binary fraction, so the
+    decay multiplies losslessly in both engines); the training
+    budget ({_Q425_BUDGET_X}× the unique corpus) water-fills the
+    cells with the SAME closed-form λ search as q413 — rank cells
+    by saturation ratio cap/w_e, prefix/suffix sums price every
+    candidate saturation prefix, the unique crossing fixes λ. High-
+    quality sources fund 2-3 epochs; low-quality ones don't earn a
+    second pass — exactly the mixture decision a budget-constrained
+    pretraining run makes. Σ allocated == budget by construction.
+
+    Scale: the corpus collapses once to |sources| rows; the cell
+    grid is |sources|×{_Q425_EPOCHS} — the λ search is a bounded-
+    grain sorted scan (arithmetic identical in both engines, no
+    libm beyond power on exact fractions), rounded only at the
+    emitted columns.
+    """
+    from g_etl_spark.operators import text as T
+
+    d = load(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.size(T.tokens(F.col("text"))))
+        .cast("double")
+        .alias("cap"),
+        (F.avg(F.col("n_chars").cast("double")) / 1000.0).alias("w"),
+    )
+    epochs = spark.range(1, _Q425_EPOCHS + 1).select(
+        F.col("id").cast("long").alias("epoch")
+    )
+    cells = src.crossJoin(F.broadcast(epochs)).select(
+        "source",
+        "epoch",
+        "cap",
+        (F.col("w") * F.pow(F.lit(_Q425_DECAY), F.col("epoch") - 1)).alias(
+            "we"
+        ),
+    )
+    b = src.agg((_Q425_BUDGET_X * F.sum("cap")).alias("budget"))
+    wk = Window.orderBy(
+        (F.col("cap") / F.col("we")).asc(), F.col("source"), F.col("epoch")
+    )
+    ranked = cells.select(
+        "source",
+        "epoch",
+        "cap",
+        "we",
+        (F.col("cap") / F.col("we")).alias("r"),
+        F.row_number().over(wk).alias("k"),
+    ).localCheckpoint()
+    pre = ranked.select(
+        "k",
+        "r",
+        F.sum("cap")
+        .over(Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("pcap"),
+        F.sum("we")
+        .over(Window.orderBy("k").rowsBetween(1, Window.unboundedFollowing))
+        .alias("swt_after"),
+        F.lead("r").over(Window.orderBy("k")).alias("r_next"),
+    )
+    k0 = (
+        b.crossJoin(F.broadcast(ranked.agg(F.sum("we").alias("tot_w"))))
+        .crossJoin(
+            F.broadcast(
+                ranked.filter(F.col("k") == 1).select(
+                    F.col("r").alias("r_k1")
+                )
+            )
+        )
+        .select(
+            F.lit(0).cast("long").alias("k0"),
+            (F.col("budget") / F.col("tot_w")).alias("lam"),
+            F.lit(None).cast("double").alias("r_k"),
+            "r_k1",
+        )
+    )
+    kpos = (
+        pre.crossJoin(F.broadcast(b))
+        .filter(F.col("swt_after").isNotNull())
+        .select(
+            F.col("k").cast("long").alias("k0"),
+            ((F.col("budget") - F.col("pcap")) / F.col("swt_after")).alias(
+                "lam"
+            ),
+            F.col("r").alias("r_k"),
+            F.col("r_next").alias("r_k1"),
+        )
+    )
+    chosen = (
+        k0.unionByName(kpos)
+        .filter(
+            (F.col("r_k").isNull() | (F.col("r_k") <= F.col("lam")))
+            & (F.col("r_k1").isNull() | (F.col("r_k1") > F.col("lam")))
+        )
+        .orderBy("k0")
+        .limit(1)
+        .select("k0", "lam")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(chosen))
+        .select(
+            "source",
+            "epoch",
+            F.col("cap").cast("long").alias("cap_tokens"),
+            F.round("we", 4).alias("eff_weight"),
+            F.round(
+                F.when(F.col("k") <= F.col("k0"), F.col("cap")).otherwise(
+                    F.col("lam") * F.col("we")
+                )
+            )
+            .cast("long")
+            .alias("allocated_tokens"),
+            (F.col("k") <= F.col("k0")).alias("saturated"),
+            F.round("lam", 4).alias("lam"),
+        )
+        .orderBy("source", "epoch")
+    )

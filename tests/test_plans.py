@@ -5280,3 +5280,25 @@ def test_q424_em_improves_and_segments_exactly(spark, qs):
     for r in rows:
         assert r["cnt1"] <= r["cnt0"]  # usage can't exceed occurrences
         assert r["cost1_micro"] > 0 and r["cost0_micro"] > 0
+
+
+def test_q425_epoch_budget_conservation(spark, qs):
+    """Water-fill identities at (source × epoch) grain: Σ allocated
+    equals the 1.5× budget (to rounding), every epoch-1 cell is
+    fully funded under the 0.125 decay (the tuned regime), epoch
+    allocations are non-increasing within a source, and no cell
+    exceeds its cap."""
+    rows = qs["q425_multi_epoch_token_budget"](spark, SF_DIR).collect()
+    assert rows
+    uniq = sum(r["cap_tokens"] for r in rows if r["epoch"] == 1)
+    alloc = sum(r["allocated_tokens"] for r in rows)
+    assert abs(alloc - 1.5 * uniq) <= len(rows)  # per-cell rounding only
+    by_src = {}
+    for r in rows:
+        assert r["allocated_tokens"] <= r["cap_tokens"]
+        if r["epoch"] == 1:
+            assert r["saturated"], f"epoch-1 cell unfunded: {r['source']}"
+        by_src.setdefault(r["source"], {})[r["epoch"]] = r["allocated_tokens"]
+    for src, eps in by_src.items():
+        seq = [eps[e] for e in sorted(eps)]
+        assert seq == sorted(seq, reverse=True), (src, seq)
