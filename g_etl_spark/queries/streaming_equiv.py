@@ -1304,3 +1304,214 @@ def q416_stream_left_outer_timing(
         shutil.rmtree(src_p, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
+
+
+# ---- q426: the watermark TRAJECTORY itself, hash-gated -----------------
+_TRAJ_DELAY_A_MS = 3_600_000          # clicks: 1-hour watermark
+_TRAJ_DELAY_B_MS = 43_200_000         # purchases: 12-hour watermark
+
+
+@register(
+    "q426_stream_watermark_trajectory",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, event_type AS source, epoch_us(ts) AS ts_us,
+               CASE WHEN event_type = 'click'
+                    THEN epoch_us(ts) + (event_id % 89) * {_FANIN_JIT_A_US}
+                    ELSE epoch_us(ts) + (event_id % 797) * {_FANIN_JIT_B_US}
+               END AS ak,
+               CASE WHEN event_type = 'click'
+                    THEN {_TRAJ_DELAY_A_MS} ELSE {_TRAJ_DELAY_B_MS}
+               END AS dms
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    chunked AS (
+        SELECT event_id, source, ts_us, dms,
+               ntile({_FANIN_CHUNKS}) OVER (PARTITION BY source
+                                            ORDER BY ak, event_id) AS k
+        FROM ev
+    ),
+    per AS (
+        SELECT source, k, max(ts_us) AS mx, any_value(dms) AS dms
+        FROM chunked GROUP BY source, k
+    ),
+    srcwm AS (
+        SELECT source, k,
+               max(mx) OVER (PARTITION BY source ORDER BY k
+                             ROWS UNBOUNDED PRECEDING) // 1000 - dms
+                   AS wm_ms
+        FROM per
+    ),
+    gwm AS (SELECT k, min(wm_ms) AS wm_ms FROM srcwm GROUP BY k),
+    kept AS (
+        SELECT c.source, c.ts_us - c.ts_us % {_FANIN_WIN_US} AS win_start_us
+        FROM chunked c LEFT JOIN gwm ON gwm.k = c.k - 1
+        WHERE gwm.wm_ms IS NULL
+           OR (c.ts_us - c.ts_us % {_FANIN_WIN_US}) + {_FANIN_WIN_US}
+              > gwm.wm_ms * 1000
+    ),
+    closed AS (
+        SELECT win_start_us, source, CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY 1, 2
+    ),
+    emit AS (
+        SELECT w.win_start_us, min(gwm.k) AS emitted_at
+        FROM (SELECT DISTINCT win_start_us FROM kept) w
+        JOIN gwm ON w.win_start_us + {_FANIN_WIN_US} <= gwm.wm_ms * 1000
+        GROUP BY w.win_start_us
+    )
+    SELECT c.win_start_us, c.source, c.n_kept,
+           CAST(e.emitted_at AS BIGINT) AS emitted_at_restart,
+           CAST(g.wm_ms * 1000 AS BIGINT) AS wm_committed_us
+    FROM closed c
+    JOIN emit e USING (win_start_us)
+    JOIN gwm g ON g.k = e.emitted_at
+    ORDER BY c.win_start_us, c.source
+    """,
+)
+def q426_stream_watermark_trajectory(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The GLOBAL WATERMARK TRAJECTORY itself, hash-gated (r11
+    verdict item #7): q370 gates what the fan-in union KEEPS; this
+    gates WHEN — per availableNow restart, the engine's actual
+    committed watermark (read from the final StreamingQueryProgress)
+    and the restart at which each window flushed, both predicted
+    exactly by the min-policy simulation: per source,
+    wm_src(k) = cummax(event time)//1ms − its own delay (watermarks
+    are millisecond-granular in the engine — the simulation runs in
+    the ms domain for exactly that reason); global = MIN over source
+    nodes (multipleWatermarkPolicy=min default); a window flushes at
+    the first restart whose committed watermark passes its end. The
+    probe run that pinned these semantics (r12 notes): the flush
+    batch of restart k emits under the watermark COMMITTED by k's
+    own data — while the LATE filter for k's rows judges against
+    restart k−1's committed value (the SCALE_NOTES r11
+    instrumentation note, now oracle-encoded). Unequal deltas
+    (1 h vs 12 h) keep the min switching sources mid-run — restart 3
+    is click-limited on this fixture, 1/2/4 purchase-limited — so
+    the gate covers both regimes of the policy.
+
+    Scale: identical state economics to q370 (the laggiest source
+    bounds open-window state). The per-restart sink diff and
+    progress read are driver-side but bounded: |6-hour windows in
+    the event timeline| × |sources| keys and one ISO timestamp per
+    restart — timeline-grain, corpus-independent (the |days|-rollup
+    boundedness class).
+    """
+    from datetime import datetime, timezone
+
+    events = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    ak = F.unix_micros("ts") + F.when(
+        F.col("event_type") == "click",
+        (F.col("event_id") % 89) * _FANIN_JIT_A_US,
+    ).otherwise((F.col("event_id") % 797) * _FANIN_JIT_B_US)
+    chunked = events.select(
+        "event_id", "event_type", "ts",
+        F.ntile(_FANIN_CHUNKS)
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                ak.asc(), F.col("event_id")
+            )
+        )
+        .alias("k"),
+    )
+    run = next(_RUN_IDS)
+    src_a = tempfile.mkdtemp(prefix=f"g_etl_traj_a_{run}_")
+    src_b = tempfile.mkdtemp(prefix=f"g_etl_traj_b_{run}_")
+    ckpt = tempfile.mkdtemp(prefix=f"g_etl_traj_ckpt_{run}_")
+    sink = tempfile.mkdtemp(prefix=f"g_etl_traj_sink_{run}_")
+    schema = "event_id long, ts timestamp"
+
+    def _wm_us(q) -> int:
+        lp = q.lastProgress
+        iso = (lp or {}).get("eventTime", {}).get("watermark")
+        if not iso:
+            return 0
+        dt = datetime.strptime(iso, "%Y-%m-%dT%H:%M:%S.%fZ").replace(
+            tzinfo=timezone.utc
+        )
+        return int(dt.timestamp() * 1000) * 1000
+
+    try:
+        wm_after: dict[int, int] = {}
+        emitted_at: dict[tuple[int, str], int] = {}
+        seen: set[tuple[int, str]] = set()
+        for k in range(1, _FANIN_CHUNKS + 1):
+            for etype, src in (("click", src_a), ("purchase", src_b)):
+                chunked.where(
+                    (F.col("k") == k) & (F.col("event_type") == etype)
+                ).select("event_id", "ts").coalesce(1).write.mode(
+                    "append"
+                ).parquet(src)
+            sa = (
+                sp.read_parquet_stream(
+                    spark, src_a, schema=schema, max_files_per_trigger=10_000
+                )
+                .withWatermark("ts", "1 hour")
+                .withColumn("source", F.lit("click"))
+            )
+            sb = (
+                sp.read_parquet_stream(
+                    spark, src_b, schema=schema, max_files_per_trigger=10_000
+                )
+                .withWatermark("ts", "12 hours")
+                .withColumn("source", F.lit("purchase"))
+            )
+            q = (
+                sa.unionByName(sb)
+                .groupBy(F.window("ts", "6 hours").alias("w"), "source")
+                .agg(F.count(F.lit(1)).alias("n_kept"))
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                q.awaitTermination(30)
+                raise RuntimeError("trajectory stream did not finish in 300s")
+            wm_after[k] = _wm_us(q)
+            cur = {
+                (r["ws"], r["source"])
+                for r in spark.read.parquet(sink)
+                .select(F.unix_micros("w.start").alias("ws"), "source")
+                .collect()  # bounded: |timeline windows| × |sources|
+            }
+            for key in cur - seen:
+                emitted_at[key] = k
+            seen = cur
+        emap = spark.createDataFrame(
+            [
+                (ws, source, k, wm_after[k])
+                for (ws, source), k in sorted(emitted_at.items())
+            ],
+            "win_start_us long, source string, emitted_at_restart long,"
+            " wm_committed_us long",
+        )
+        kept = spark.read.parquet(sink).select(
+            F.unix_micros("w.start").alias("win_start_us"),
+            "source",
+            F.col("n_kept").cast("long").alias("n_kept"),
+        )
+        out = (
+            kept.join(F.broadcast(emap), ["win_start_us", "source"])
+            .select(
+                "win_start_us",
+                "source",
+                "n_kept",
+                "emitted_at_restart",
+                "wm_committed_us",
+            )
+            .orderBy("win_start_us", "source")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src_a, ignore_errors=True)
+        shutil.rmtree(src_b, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
