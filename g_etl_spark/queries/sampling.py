@@ -1029,3 +1029,148 @@ def q425_multi_epoch_token_budget(
         )
         .orderBy("source", "epoch")
     )
+
+
+# ---- q427: context-window sequence packing audit -----------------------
+_PACK_C = 512          # context length (tokens)
+_PACK_SHARD = 512      # docs per packing shard (bounds group state)
+
+
+@register(
+    "q427_sequence_packing_audit",
+    oracle=f"""
+    WITH RECURSIVE docs AS (
+        SELECT source, doc_id, doc_id // {_PACK_SHARD} AS shard,
+               least(coalesce(len(string_split_regex(lower(trim(text)),
+                                                     '\\s+')), 0),
+                     {_PACK_C}) AS len_eff,
+               row_number() OVER (PARTITION BY source,
+                                  doc_id // {_PACK_SHARD}
+                                  ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    shards AS (SELECT DISTINCT source, shard FROM docs),
+    rec AS (
+        SELECT source, shard, 0 AS r, CAST(0 AS BIGINT) AS bins,
+               CAST({_PACK_C + 1} AS BIGINT) AS load
+        FROM shards
+        UNION ALL
+        SELECT rec.source, rec.shard, rec.r + 1,
+               CASE WHEN rec.load + d.len_eff > {_PACK_C}
+                    THEN rec.bins + 1 ELSE rec.bins END,
+               CASE WHEN rec.load + d.len_eff > {_PACK_C}
+                    THEN d.len_eff ELSE rec.load + d.len_eff END
+        FROM rec JOIN docs d
+          ON d.source = rec.source AND d.shard = rec.shard
+         AND d.rn = rec.r + 1
+    ),
+    final AS (
+        SELECT source, shard, bins FROM (
+            SELECT source, shard, bins,
+                   row_number() OVER (PARTITION BY source, shard
+                                      ORDER BY r DESC) AS pick
+            FROM rec
+        ) WHERE pick = 1
+    ),
+    per_shard AS (
+        SELECT d.source, d.shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(d.len_eff) AS BIGINT) AS toks
+        FROM docs d GROUP BY d.source, d.shard
+    )
+    SELECT p.source,
+           CAST(sum(p.n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(f.bins) AS BIGINT) AS n_bins,
+           CAST(sum(p.toks) AS BIGINT) AS total_tokens,
+           CAST(sum(f.bins) * {_PACK_C} - sum(p.toks) AS BIGINT)
+               AS waste_tokens,
+           round(100.0 * sum(p.toks) / (sum(f.bins) * {_PACK_C}), 2)
+               AS util_pct
+    FROM per_shard p JOIN final f USING (source, shard)
+    GROUP BY p.source
+    ORDER BY p.source
+    """,
+)
+def q427_sequence_packing_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEQUENCE-PACKING audit — the context-window packing every
+    pretraining data loader runs (concat docs into fixed
+    {_PACK_C}-token contexts, greedy NO-SPLIT: a doc that would
+    cross the boundary closes the bin and opens the next; overlong
+    docs truncate to one full context). Packing is inherently
+    SEQUENTIAL state, so this is the registry's canonical
+    applyInPandas operator: docs shard into bounded
+    ({_PACK_SHARD}-doc) deterministic groups, each group packs in
+    one Arrow batch with a plain Python fold (the state is two
+    integers), and shard summaries roll up to source grain. Bins
+    never span shards — the standard per-shard packing contract
+    that makes the operator embarrassingly parallel at 100 TB
+    (shard = file/date partition in production; doc_id blocks
+    here). The oracle replays the same greedy fold as a recursive
+    CTE, so the emitted bin counts / waste / utilization are exact
+    integers both sides — a wrong fold order or split policy
+    hash-fails.
+
+    Scale: one map-side projection to (group key, token count) —
+    the text never reaches Python; Arrow groups are ≤{_PACK_SHARD}
+    rows regardless of corpus size; the rollup shuffles
+    |sources|×|shards| summary rows. The util_pct emitted is the
+    number that prices padding waste on a training run (97%+ with
+    packing vs ~45% naive one-doc-per-context on typical web text).
+    """
+    import pandas as pd
+
+    from g_etl_spark.operators import text as T
+
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        (F.col("doc_id") / _PACK_SHARD).cast("long").alias("shard"),
+        F.least(
+            F.coalesce(F.size(T.tokens(F.col("text"))), F.lit(0)),
+            F.lit(_PACK_C),
+        ).alias("len_eff"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        bins, loadv = 0, _PACK_C + 1
+        for ln in pdf["len_eff"]:
+            ln = int(ln)
+            if loadv + ln > _PACK_C:
+                bins += 1
+                loadv = ln
+            else:
+                loadv += ln
+        return pd.DataFrame(
+            [
+                {
+                    "source": pdf["source"].iloc[0],
+                    "shard": int(pdf["shard"].iloc[0]),
+                    "n_docs": len(pdf),
+                    "n_bins": bins,
+                    "toks": int(pdf["len_eff"].sum()),
+                }
+            ]
+        )
+
+    per_shard = d.groupBy("source", "shard").applyInPandas(
+        _pack,
+        "source string, shard long, n_docs long, n_bins long, toks long",
+    )
+    return (
+        per_shard.groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_bins").cast("long").alias("n_bins"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+            (F.sum("n_bins") * _PACK_C - F.sum("toks"))
+            .cast("long")
+            .alias("waste_tokens"),
+            F.round(
+                100.0 * F.sum("toks") / (F.sum("n_bins") * _PACK_C), 2
+            ).alias("util_pct"),
+        )
+        .orderBy("source")
+    )

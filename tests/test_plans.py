@@ -5302,3 +5302,24 @@ def test_q425_epoch_budget_conservation(spark, qs):
     for src, eps in by_src.items():
         seq = [eps[e] for e in sorted(eps)]
         assert seq == sorted(seq, reverse=True), (src, seq)
+
+
+def test_q427_packing_invariants(spark, qs):
+    """Greedy no-split packing bounds: bins ≥ ceil(tokens/C) (you
+    can't beat perfect packing), bins ≤ n_docs (at worst one doc per
+    bin), waste identity, util ≤ 100, and the plan keeps text out of
+    Python (only the 4-column projection reaches the Arrow stage)."""
+    import math
+
+    C = 512
+    rows = qs["q427_sequence_packing_audit"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_bins"] >= math.ceil(r["total_tokens"] / C)
+        assert r["n_bins"] <= r["n_docs"]
+        assert r["waste_tokens"] == r["n_bins"] * C - r["total_tokens"]
+        assert 0 < r["util_pct"] <= 100.0
+    plan = plan_of(qs["q427_sequence_packing_audit"](spark, SF_DIR))
+    assert "text" not in plan.split("FlatMapGroupsInPandas")[0].split(
+        "ReadSchema"
+    )[-1], "document text must not reach the Arrow stage"
