@@ -11236,3 +11236,225 @@ def q417_salt_factor_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("salt")
     )
+
+
+# ---- q428: Bradley-Terry preference strengths (2 MM iterations) --------
+_BT_K = 1_000_000  # micro fixed-point for strengths
+
+
+@register(
+    "q428_bradley_terry_preferences",
+    oracle=f"""
+    WITH ut AS (
+        SELECT user_id, event_type AS t, count(*) AS n,
+               sum(CAST(round(value * 100) AS HUGEINT)) AS s
+        FROM events WHERE value IS NOT NULL
+        GROUP BY user_id, event_type
+    ),
+    duels AS (
+        SELECT CASE WHEN a.s * b.n > b.s * a.n THEN a.t ELSE b.t END AS w,
+               CASE WHEN a.s * b.n > b.s * a.n THEN b.t ELSE a.t END AS l
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.t < b.t
+        WHERE a.s * b.n <> b.s * a.n
+    ),
+    m AS (SELECT w AS i, l AS j, CAST(count(*) AS BIGINT) AS nij
+          FROM duels GROUP BY w, l),
+    cm AS (
+        SELECT coalesce(a.i, b.j) AS i, coalesce(a.j, b.i) AS j,
+               coalesce(a.nij, 0) + coalesce(b.nij, 0) AS c
+        FROM m a FULL JOIN m b ON a.i = b.j AND a.j = b.i
+    ),
+    ty AS (
+        SELECT i AS t, CAST(sum(c) AS BIGINT) AS comps FROM cm GROUP BY i
+    ),
+    wins AS (
+        SELECT i AS t, CAST(sum(nij) AS BIGINT) AS w FROM m GROUP BY i
+    ),
+    base AS (
+        SELECT ty.t, coalesce(wins.w, 0) AS w, ty.comps,
+               CAST(round(1000000.0 * 2 * coalesce(wins.w, 0) / ty.comps)
+                    AS BIGINT) AS w1raw
+        FROM ty LEFT JOIN wins USING (t)
+    ),
+    k AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(w1raw) AS BIGINT) AS s1 FROM base),
+    w1 AS (
+        SELECT t, w, comps,
+               CAST(round(1000000.0 * k.k * w1raw / k.s1) AS BIGINT)
+                   AS w1m
+        FROM base, k
+    ),
+    terms AS (
+        SELECT cm.i AS t,
+               CAST(round(1000000000000.0 * cm.c / (wa.w1m + wb.w1m))
+                    AS BIGINT) AS term
+        FROM cm JOIN w1 wa ON wa.t = cm.i JOIN w1 wb ON wb.t = cm.j
+    ),
+    d2 AS (SELECT t, CAST(sum(term) AS BIGINT) AS denom FROM terms
+           GROUP BY t),
+    r2 AS (
+        SELECT w1.t, w1.w, w1.comps, w1.w1m,
+               CAST(round(1000000000000.0 * w1.w / d2.denom) AS BIGINT)
+                   AS w2raw
+        FROM w1 JOIN d2 USING (t)
+    ),
+    k2 AS (SELECT CAST(sum(w2raw) AS BIGINT) AS s2 FROM r2)
+    SELECT CAST(row_number() OVER (ORDER BY
+                round(1000000.0 * k.k * w2raw / k2.s2) DESC, r2.t)
+                AS BIGINT) AS pref_rank,
+           r2.t AS event_type,
+           r2.w AS n_wins, r2.comps AS n_comparisons,
+           r2.w1m AS w1_micro,
+           CAST(round(1000000.0 * k.k * w2raw / k2.s2) AS BIGINT)
+               AS w2_micro
+    FROM r2, k, k2
+    ORDER BY pref_rank
+    """,
+)
+def q428_bradley_terry_preferences(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BRADLEY-TERRY preference-strength fit — the pairwise-
+    preference primitive under every reward model / RLHF data
+    pipeline and ranking eval (Chatbot-Arena-style): users 'duel'
+    event types (i beats j for a user when its mean value is higher
+    — compared as the exact integer cross-product s_i·n_j > s_j·n_i
+    in centi-units, no division), duels aggregate to the |types|²
+    wins matrix, and TWO minorization-maximization iterations
+    (Hunter 2004: w_i ← W_i / Σ_j c_ij/(w_i+w_j)) fit the
+    strengths. Every cross-row sum is an integer sum: strengths are
+    micro fixed-point between iterations, each MM term is
+    pico-quantized before the denominator sum, and each iteration
+    re-normalizes to Σw = K on integer totals — so both engines
+    produce bit-identical strengths and the final ranking. Ties
+    (exact equal means) are excluded as in the standard model.
+
+    Scale: one pass to (user × type) cells, one self-equi-join on
+    user at that grain (|users|·|types|, never events²), then
+    everything lives at the |types|² ≤ 25-cell matrix — pure
+    bounded arithmetic, the q380/q391 quantization discipline.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ut = e.groupBy("user_id", F.col("event_type").alias("t")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("decimal(38,0)")).alias(
+            "s"
+        ),
+    )
+    a = ut.select(
+        "user_id",
+        F.col("t").alias("ta"),
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+    )
+    b = ut.select(
+        "user_id",
+        F.col("t").alias("tb"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+    )
+    duels = (
+        a.join(b, ["user_id"])
+        .filter(F.col("ta") < F.col("tb"))
+        .filter(F.col("sa") * F.col("nb") != F.col("sb") * F.col("na"))
+        .select(
+            F.when(
+                F.col("sa") * F.col("nb") > F.col("sb") * F.col("na"),
+                F.col("ta"),
+            )
+            .otherwise(F.col("tb"))
+            .alias("w"),
+            F.when(
+                F.col("sa") * F.col("nb") > F.col("sb") * F.col("na"),
+                F.col("tb"),
+            )
+            .otherwise(F.col("ta"))
+            .alias("l"),
+        )
+    )
+    m = duels.groupBy(F.col("w").alias("i"), F.col("l").alias("j")).agg(
+        F.count(F.lit(1)).cast("long").alias("nij")
+    )
+    mr = m.select(
+        F.col("j").alias("i"), F.col("i").alias("j"),
+        F.col("nij").alias("nji"),
+    )
+    cm = (
+        m.join(mr, ["i", "j"], "full")
+        .select(
+            F.coalesce(F.col("i"), F.col("i")).alias("i"),
+            "j",
+            (
+                F.coalesce(F.col("nij"), F.lit(0))
+                + F.coalesce(F.col("nji"), F.lit(0))
+            ).alias("c"),
+        )
+    )
+    ty = cm.groupBy(F.col("i").alias("t")).agg(
+        F.sum("c").cast("long").alias("comps")
+    )
+    wins = m.groupBy(F.col("i").alias("t")).agg(
+        F.sum("nij").cast("long").alias("w")
+    )
+    base = ty.join(wins, "t", "left").select(
+        "t",
+        F.coalesce(F.col("w"), F.lit(0)).alias("w"),
+        "comps",
+        F.expr(
+            "CAST(round(1000000.0 * 2 * coalesce(w, 0) / comps) AS BIGINT)"
+        ).alias("w1raw"),
+    )
+    k = base.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("w1raw").cast("long").alias("s1"),
+    )
+    w1 = base.crossJoin(F.broadcast(k)).select(
+        "t",
+        "w",
+        "comps",
+        F.expr("CAST(round(1000000.0 * k * w1raw / s1) AS BIGINT)").alias(
+            "w1m"
+        ),
+        "k",
+    )
+    wa = w1.select(F.col("t").alias("i"), F.col("w1m").alias("w1a"))
+    wb = w1.select(F.col("t").alias("j"), F.col("w1m").alias("w1b"))
+    terms = (
+        cm.join(F.broadcast(wa), "i")
+        .join(F.broadcast(wb), "j")
+        .select(
+            F.col("i").alias("t"),
+            F.expr(
+                "CAST(round(1000000000000.0 * c / (w1a + w1b)) AS BIGINT)"
+            ).alias("term"),
+        )
+    )
+    d2 = terms.groupBy("t").agg(F.sum("term").cast("long").alias("denom"))
+    r2 = w1.join(d2, "t").select(
+        "t",
+        "w",
+        "comps",
+        "w1m",
+        "k",
+        F.expr(
+            "CAST(round(1000000000000.0 * w / denom) AS BIGINT)"
+        ).alias("w2raw"),
+    )
+    k2 = r2.agg(F.sum("w2raw").cast("long").alias("s2"))
+    w2m = F.expr("CAST(round(1000000.0 * k * w2raw / s2) AS BIGINT)")
+    return (
+        r2.crossJoin(F.broadcast(k2))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(w2m.desc(), F.col("t")))
+            .cast("long")
+            .alias("pref_rank"),
+            F.col("t").alias("event_type"),
+            F.col("w").alias("n_wins"),
+            F.col("comps").alias("n_comparisons"),
+            F.col("w1m").alias("w1_micro"),
+            w2m.alias("w2_micro"),
+        )
+        .orderBy("pref_rank")
+    )

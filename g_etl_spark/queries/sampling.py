@@ -1174,3 +1174,156 @@ def q427_sequence_packing_audit(
         )
         .orderBy("source")
     )
+
+
+# ---- q429: epoch-shuffle source-interleaving audit ---------------------
+@register(
+    "q429_shuffle_interleave_audit",
+    oracle="""
+    WITH ordered AS (
+        SELECT source,
+               row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                  doc_id) AS pos
+        FROM documents
+    ),
+    runs AS (
+        SELECT source, pos,
+               CASE WHEN lag(source) OVER (ORDER BY pos) IS DISTINCT
+                         FROM source THEN 1 ELSE 0 END AS brk
+        FROM ordered
+    ),
+    rid AS (
+        SELECT source, sum(brk) OVER (ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS rid
+        FROM runs
+    ),
+    per_run AS (
+        SELECT source, rid, CAST(count(*) AS BIGINT) AS run_len
+        FROM rid GROUP BY source, rid
+    ),
+    per_src AS (
+        SELECT source,
+               CAST(sum(run_len) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_runs_src,
+               CAST(max(run_len) AS BIGINT) AS longest_run
+        FROM per_run GROUP BY source
+    ),
+    g AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+               CAST(sum(n_runs_src) AS BIGINT) AS r,
+               CAST(sum(n_docs * n_docs) AS HUGEINT) AS s2,
+               CAST(sum(n_docs * n_docs * n_docs) AS HUGEINT) AS s3
+        FROM per_src
+    ),
+    z AS (
+        SELECT n, r,
+               CAST(round(1000000.0 * (n * (n + 1) - s2) / n) AS BIGINT)
+                   AS e_micro,
+               (CAST(s2 AS DOUBLE) * (s2 + n * (n + 1))
+                - 2.0 * n * s3 - CAST(n AS DOUBLE) * n * n)
+               / (CAST(n AS DOUBLE) * n * (n - 1)) AS var
+        FROM g
+    )
+    SELECT p.source, p.n_docs, p.n_runs_src, p.longest_run,
+           z.r AS total_runs, z.e_micro AS expected_runs_micro,
+           CAST(round(1000.0 * (z.r - z.e_micro / 1000000.0)
+                      / sqrt(z.var)) AS BIGINT) AS z_milli,
+           z.r * 1000000 >= z.e_micro - CAST(round(1960.0 * sqrt(z.var)
+                                                   * 1000.0) AS BIGINT)
+                            * 1000 AS well_mixed
+    FROM per_src p, z
+    ORDER BY p.source
+    """,
+)
+def q429_shuffle_interleave_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EPOCH-SHUFFLE interleaving audit — does the deterministic
+    training order actually MIX the sources? Training on
+    source-clumped batches biases gradients, so loaders shuffle
+    (here the q17 md5 hash order — seedable, resumable) and this
+    audit scores the result with the multi-category WALD-WOLFOWITZ
+    runs test: per source the run structure (count, longest clump),
+    globally the observed runs R vs the exact finite-sample
+    E[R] = (n(n+1) − Σn_i²)/n and its variance, with z in
+    milli-units and a 95% one-sided 'well_mixed' verdict (clumping
+    LOWERS R; a hash order should sit within noise of random).
+    Moments are exact integer sums (HUGEINT/decimal for Σn_i³ —
+    the overflow discipline), so the z pin is bit-stable.
+
+    Scale: the order is a hash sort the loader performs anyway; run
+    detection is one lag window over it; everything after lives at
+    |sources| grain. At 100 TB the same audit runs per shard and
+    the per-shard z's combine (Stouffer), shard-grain rows only.
+    """
+    d = load(spark, sf_dir, "documents")
+    ordered = d.select(
+        "source",
+        F.row_number()
+        .over(Window.orderBy(F.md5(F.col("doc_id").cast("string")),
+                             F.col("doc_id")))
+        .alias("pos"),
+    )
+    wp = Window.orderBy("pos")
+    rid = ordered.select(
+        "source",
+        F.sum(
+            F.when(
+                ~F.lag("source").over(wp).eqNullSafe(F.col("source")), 1
+            ).otherwise(0)
+        )
+        .over(wp.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("rid"),
+    )
+    per_run = rid.groupBy("source", "rid").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    per_src = per_run.groupBy("source").agg(
+        F.sum("run_len").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_runs_src"),
+        F.max("run_len").cast("long").alias("longest_run"),
+    )
+    g = per_src.agg(
+        F.sum("n_docs").cast("long").alias("n"),
+        F.sum("n_runs_src").cast("long").alias("r"),
+        F.sum(
+            (F.col("n_docs") * F.col("n_docs")).cast("decimal(38,0)")
+        ).alias("s2"),
+        F.sum(
+            (
+                F.col("n_docs") * F.col("n_docs") * F.col("n_docs")
+            ).cast("decimal(38,0)")
+        ).alias("s3"),
+    )
+    z = g.select(
+        "n",
+        "r",
+        F.expr(
+            "CAST(round(1000000.0 * (n * (n + 1) - s2) / n) AS BIGINT)"
+        ).alias("e_micro"),
+        F.expr(
+            "(CAST(s2 AS DOUBLE) * (s2 + n * (n + 1))"
+            " - 2.0 * n * s3 - CAST(n AS DOUBLE) * n * n)"
+            " / (CAST(n AS DOUBLE) * n * (n - 1))"
+        ).alias("var"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_runs_src",
+            "longest_run",
+            F.col("r").alias("total_runs"),
+            F.col("e_micro").alias("expected_runs_micro"),
+            F.expr(
+                "CAST(round(1000.0 * (r - e_micro / 1000000.0)"
+                " / sqrt(var)) AS BIGINT)"
+            ).alias("z_milli"),
+            F.expr(
+                "r * 1000000 >= e_micro - CAST(round(1960.0 * sqrt(var)"
+                " * 1000.0) AS BIGINT) * 1000"
+            ).alias("well_mixed"),
+        )
+        .orderBy("source")
+    )

@@ -5323,3 +5323,36 @@ def test_q427_packing_invariants(spark, qs):
     assert "text" not in plan.split("FlatMapGroupsInPandas")[0].split(
         "ReadSchema"
     )[-1], "document text must not reach the Arrow stage"
+
+
+def test_q428_bt_fit_properties(spark, qs):
+    """BT sanity: ranks are a permutation, strengths normalize to
+    K·1e6 within per-row rounding, more wins → higher strength
+    (single round-robin design here), and both MM iterates move in
+    the same direction from uniform."""
+    rows = qs["q428_bradley_terry_preferences"](spark, SF_DIR).collect()
+    assert sorted(r["pref_rank"] for r in rows) == list(
+        range(1, len(rows) + 1)
+    )
+    k = len(rows)
+    assert abs(sum(r["w2_micro"] for r in rows) - k * 1_000_000) <= k
+    by_wins = sorted(rows, key=lambda r: -r["n_wins"])
+    strengths = [r["w2_micro"] for r in by_wins]
+    assert strengths == sorted(strengths, reverse=True)
+    for r in rows:
+        up = r["w1_micro"] > 1_000_000
+        assert (r["w2_micro"] > r["w1_micro"]) == up or r["n_wins"] * 2 == r[
+            "n_comparisons"
+        ]
+
+
+def test_q429_runs_test_sane(spark, qs):
+    """Runs-test identities: Σ per-source runs == total_runs, the
+    hash order of the synthetic corpus must be well mixed (z within
+    the 95% band), and longest_run ≥ 1 for every source."""
+    rows = qs["q429_shuffle_interleave_audit"](spark, SF_DIR).collect()
+    assert rows
+    assert sum(r["n_runs_src"] for r in rows) == rows[0]["total_runs"]
+    assert all(r["well_mixed"] for r in rows)
+    assert all(r["longest_run"] >= 1 for r in rows)
+    assert abs(rows[0]["z_milli"]) < 3000  # |z| < 3 on a real shuffle
