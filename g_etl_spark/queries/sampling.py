@@ -1327,3 +1327,191 @@ def q429_shuffle_interleave_audit(
         )
         .orderBy("source")
     )
+
+
+# ---- q430: first-fit-decreasing packing vs the greedy baseline ---------
+@register(
+    "q430_ffd_packing_comparison",
+    oracle=f"""
+    WITH RECURSIVE docs AS (
+        SELECT source, doc_id, doc_id // {_PACK_SHARD} AS shard,
+               least(coalesce(len(string_split_regex(lower(trim(text)),
+                                                     '\\s+')), 0),
+                     {_PACK_C}) AS len_eff
+        FROM documents
+    ),
+    seq AS (
+        SELECT source, shard, len_eff,
+               row_number() OVER (PARTITION BY source, shard
+                                  ORDER BY doc_id) AS rn,
+               row_number() OVER (PARTITION BY source, shard
+                                  ORDER BY len_eff DESC, doc_id) AS rnf
+        FROM docs
+    ),
+    shards AS (SELECT DISTINCT source, shard FROM seq),
+    recg AS (
+        SELECT source, shard, 0 AS r, CAST(0 AS BIGINT) AS bins,
+               CAST({_PACK_C + 1} AS BIGINT) AS load
+        FROM shards
+        UNION ALL
+        SELECT recg.source, recg.shard, recg.r + 1,
+               CASE WHEN recg.load + d.len_eff > {_PACK_C}
+                    THEN recg.bins + 1 ELSE recg.bins END,
+               CASE WHEN recg.load + d.len_eff > {_PACK_C}
+                    THEN d.len_eff ELSE recg.load + d.len_eff END
+        FROM recg JOIN seq d
+          ON d.source = recg.source AND d.shard = recg.shard
+         AND d.rn = recg.r + 1
+    ),
+    recf AS (
+        SELECT source, shard, 0 AS r, CAST([] AS BIGINT[]) AS loads
+        FROM shards
+        UNION ALL
+        SELECT source, shard, r + 1,
+               CASE WHEN idx IS NULL THEN list_append(loads, len_eff)
+                    ELSE list_transform(range(1, len(loads) + 1),
+                         i -> CASE WHEN i = idx THEN loads[i] + len_eff
+                                   ELSE loads[i] END)
+               END
+        FROM (
+            SELECT recf.source, recf.shard, recf.r, recf.loads, d.len_eff,
+                   list_filter(range(1, len(recf.loads) + 1),
+                       i -> recf.loads[i] + d.len_eff <= {_PACK_C})[1]
+                       AS idx
+            FROM recf JOIN seq d
+              ON d.source = recf.source AND d.shard = recf.shard
+             AND d.rnf = recf.r + 1
+        )
+    ),
+    lastg AS (
+        SELECT source, shard, bins FROM (
+            SELECT source, shard, bins,
+                   row_number() OVER (PARTITION BY source, shard
+                                      ORDER BY r DESC) AS pick
+            FROM recg
+        ) WHERE pick = 1
+    ),
+    lastf AS (
+        SELECT source, shard, CAST(len(loads) AS BIGINT) AS bins FROM (
+            SELECT source, shard, loads,
+                   row_number() OVER (PARTITION BY source, shard
+                                      ORDER BY r DESC) AS pick
+            FROM recf
+        ) WHERE pick = 1
+    ),
+    per_shard AS (
+        SELECT source, shard, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len_eff) AS BIGINT) AS toks
+        FROM seq GROUP BY source, shard
+    )
+    SELECT p.source,
+           CAST(sum(p.n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(g.bins) AS BIGINT) AS n_bins_greedy,
+           CAST(sum(f.bins) AS BIGINT) AS n_bins_ffd,
+           CAST(sum(g.bins) - sum(f.bins) AS BIGINT) AS bins_saved,
+           round(100.0 * sum(p.toks) / (sum(g.bins) * {_PACK_C}), 2)
+               AS util_greedy_pct,
+           round(100.0 * sum(p.toks) / (sum(f.bins) * {_PACK_C}), 2)
+               AS util_ffd_pct
+    FROM per_shard p
+    JOIN lastg g USING (source, shard)
+    JOIN lastf f USING (source, shard)
+    GROUP BY p.source
+    ORDER BY p.source
+    """,
+)
+def q430_ffd_packing_comparison(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FIRST-FIT-DECREASING packing vs q427's greedy — the classic
+    bin-packing upgrade (FFD ≤ 11/9·OPT + 2/3) priced against the
+    order-preserving baseline on the same shards: FFD sorts each
+    shard's docs by token count descending and drops each into the
+    first context with room (state = the open-bin load list),
+    closing the question q427 leaves open — how many contexts does
+    preserving document order COST? The trade is real: greedy keeps
+    curriculum/position structure, FFD shuffles docs within the
+    shard for tighter packing; bins_saved is the price tag per
+    source. Both folds run in the SAME Arrow batch per shard (one
+    applyInPandas, two accumulators) and the oracle replays both as
+    recursive CTEs — the FFD recursion carries the load list and
+    does the first-fit probe with a list_filter, so a wrong
+    fit-order or tie-break hash-fails.
+
+    Scale: q427's economics exactly (bounded {_PACK_SHARD}-doc
+    Arrow groups, text never in Python, |sources|×|shards| summary
+    shuffle); FFD's in-group cost is O(docs·bins) on ≤512-doc
+    shards.
+    """
+    import pandas as pd
+
+    from g_etl_spark.operators import text as T
+
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        (F.col("doc_id") / _PACK_SHARD).cast("long").alias("shard"),
+        F.least(
+            F.coalesce(F.size(T.tokens(F.col("text"))), F.lit(0)),
+            F.lit(_PACK_C),
+        ).alias("len_eff"),
+    )
+
+    def _pack2(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        bins_g, loadv = 0, _PACK_C + 1
+        for ln in pdf["len_eff"]:
+            ln = int(ln)
+            if loadv + ln > _PACK_C:
+                bins_g += 1
+                loadv = ln
+            else:
+                loadv += ln
+        loads: list[int] = []
+        ffd = pdf.sort_values(
+            ["len_eff", "doc_id"], ascending=[False, True]
+        )
+        for ln in ffd["len_eff"]:
+            ln = int(ln)
+            for i, lv in enumerate(loads):
+                if lv + ln <= _PACK_C:
+                    loads[i] = lv + ln
+                    break
+            else:
+                loads.append(ln)
+        return pd.DataFrame(
+            [
+                {
+                    "source": pdf["source"].iloc[0],
+                    "shard": int(pdf["shard"].iloc[0]),
+                    "n_docs": len(pdf),
+                    "bins_g": bins_g,
+                    "bins_f": len(loads),
+                    "toks": int(pdf["len_eff"].sum()),
+                }
+            ]
+        )
+
+    per_shard = d.groupBy("source", "shard").applyInPandas(
+        _pack2,
+        "source string, shard long, n_docs long, bins_g long,"
+        " bins_f long, toks long",
+    )
+    return (
+        per_shard.groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("bins_g").cast("long").alias("n_bins_greedy"),
+            F.sum("bins_f").cast("long").alias("n_bins_ffd"),
+            (F.sum("bins_g") - F.sum("bins_f"))
+            .cast("long")
+            .alias("bins_saved"),
+            F.round(
+                100.0 * F.sum("toks") / (F.sum("bins_g") * _PACK_C), 2
+            ).alias("util_greedy_pct"),
+            F.round(
+                100.0 * F.sum("toks") / (F.sum("bins_f") * _PACK_C), 2
+            ).alias("util_ffd_pct"),
+        )
+        .orderBy("source")
+    )

@@ -1515,3 +1515,213 @@ def q426_stream_watermark_trajectory(
         shutil.rmtree(src_b, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
+
+
+# ---- q431: state-store capacity, engine-reported vs simulated ----------
+@register(
+    "q431_stream_state_capacity",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, event_type AS source, epoch_us(ts) AS ts_us,
+               CASE WHEN event_type = 'click'
+                    THEN epoch_us(ts) + (event_id % 89) * {_FANIN_JIT_A_US}
+                    ELSE epoch_us(ts) + (event_id % 797) * {_FANIN_JIT_B_US}
+               END AS ak,
+               CASE WHEN event_type = 'click'
+                    THEN {_TRAJ_DELAY_A_MS} ELSE {_TRAJ_DELAY_B_MS}
+               END AS dms
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    chunked AS (
+        SELECT event_id, source, ts_us, dms,
+               ntile({_FANIN_CHUNKS}) OVER (PARTITION BY source
+                                            ORDER BY ak, event_id) AS k
+        FROM ev
+    ),
+    per AS (
+        SELECT source, k, max(ts_us) AS mx, any_value(dms) AS dms
+        FROM chunked GROUP BY source, k
+    ),
+    srcwm AS (
+        SELECT source, k,
+               max(mx) OVER (PARTITION BY source ORDER BY k
+                             ROWS UNBOUNDED PRECEDING) // 1000 - dms
+                   AS wm_ms
+        FROM per
+    ),
+    gwm AS (SELECT k, min(wm_ms) AS wm_ms FROM srcwm GROUP BY k),
+    accepted AS (
+        SELECT c.source, c.k,
+               c.ts_us - c.ts_us % {_FANIN_WIN_US} AS ws
+        FROM chunked c LEFT JOIN gwm ON gwm.k = c.k - 1
+        WHERE gwm.wm_ms IS NULL
+           OR (c.ts_us - c.ts_us % {_FANIN_WIN_US}) + {_FANIN_WIN_US}
+              > gwm.wm_ms * 1000
+    ),
+    cells AS (
+        SELECT source, ws, min(k) AS k_min
+        FROM accepted GROUP BY source, ws
+    ),
+    restarts AS (
+        SELECT unnest(range(1, {_FANIN_CHUNKS} + 1)) AS k
+    ),
+    wmb AS (
+        SELECT r.k, g.wm_ms,
+               coalesce(gp.wm_ms, -1000000000000000) AS wm_prev
+        FROM restarts r
+        JOIN gwm g ON g.k = r.k
+        LEFT JOIN gwm gp ON gp.k = r.k - 1
+    ),
+    stats AS (
+        SELECT w.k,
+               CAST(w.wm_ms * 1000 AS BIGINT) AS wm_committed_us,
+               CAST(count(*) FILTER (c.k_min <= w.k
+                    AND c.ws + {_FANIN_WIN_US} > w.wm_prev * 1000)
+                    AS BIGINT) AS peak_cells,
+               CAST(count(*) FILTER (c.k_min <= w.k
+                    AND c.ws + {_FANIN_WIN_US} <= w.wm_ms * 1000
+                    AND c.ws + {_FANIN_WIN_US} > w.wm_prev * 1000)
+                    AS BIGINT) AS flushed_cells,
+               CAST(count(*) FILTER (c.k_min <= w.k
+                    AND c.ws + {_FANIN_WIN_US} > w.wm_ms * 1000)
+                    AS BIGINT) AS open_cells
+        FROM wmb w CROSS JOIN cells c
+        GROUP BY w.k, w.wm_ms, w.wm_prev
+    )
+    SELECT CAST(k AS BIGINT) AS restart, wm_committed_us,
+           peak_cells, flushed_cells, open_cells
+    FROM stats ORDER BY restart
+    """,
+)
+def q431_stream_state_capacity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STATE-STORE CAPACITY, engine-reported vs predicted — the
+    q217/q426 composition the r12 roadmap sketched: for each
+    availableNow restart of the two-source fan-in union, the
+    engine's OWN StateOperatorProgress numbers (numRowsTotal of the
+    data batch = peak state, Σ numRowsRemoved = cells evicted,
+    final numRowsTotal = cells left open) are hash-gated against
+    the pure-batch simulation: a (window, source) cell is in state
+    iff some chunk ≤ k row survived the late filter (window end
+    above the PREVIOUS restart's committed watermark — q426's
+    timing pin) and it hasn't flushed (window end above restart
+    k's own committed watermark). peak = open(k−1 boundary) +
+    chunk-k arrivals; flushed + open = peak, an identity both
+    engines must agree on cell-by-cell. This is the capacity
+    planner's number: open_cells × bytes/cell is the state store a
+    100 TB deployment provisions, and the min-policy makes the
+    LAGGIEST source set it (the purchase stream's 12-h delay holds
+    clicks' windows open here).
+
+    Scale: the simulation is timeline-grain (cells =
+    |6-h windows| × |sources|); the engine side reads four
+    progress dicts — no extra state, no extra pass. Driver
+    materialization is the bounded 4-row metrics list (the q426
+    boundedness class).
+    """
+    events = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    ak = F.unix_micros("ts") + F.when(
+        F.col("event_type") == "click",
+        (F.col("event_id") % 89) * _FANIN_JIT_A_US,
+    ).otherwise((F.col("event_id") % 797) * _FANIN_JIT_B_US)
+    chunked = events.select(
+        "event_id", "event_type", "ts",
+        F.ntile(_FANIN_CHUNKS)
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                ak.asc(), F.col("event_id")
+            )
+        )
+        .alias("k"),
+    )
+    run = next(_RUN_IDS)
+    src_a = tempfile.mkdtemp(prefix=f"g_etl_cap_a_{run}_")
+    src_b = tempfile.mkdtemp(prefix=f"g_etl_cap_b_{run}_")
+    ckpt = tempfile.mkdtemp(prefix=f"g_etl_cap_ckpt_{run}_")
+    sink = tempfile.mkdtemp(prefix=f"g_etl_cap_sink_{run}_")
+    schema = "event_id long, ts timestamp"
+
+    def _wm_us(q) -> int:
+        from datetime import datetime, timezone
+
+        lp = q.lastProgress
+        iso = (lp or {}).get("eventTime", {}).get("watermark")
+        if not iso:
+            return 0
+        dt = datetime.strptime(iso, "%Y-%m-%dT%H:%M:%S.%fZ").replace(
+            tzinfo=timezone.utc
+        )
+        return int(dt.timestamp() * 1000) * 1000
+
+    try:
+        metrics = []
+        for k in range(1, _FANIN_CHUNKS + 1):
+            for etype, src in (("click", src_a), ("purchase", src_b)):
+                chunked.where(
+                    (F.col("k") == k) & (F.col("event_type") == etype)
+                ).select("event_id", "ts").coalesce(1).write.mode(
+                    "append"
+                ).parquet(src)
+            sa = (
+                sp.read_parquet_stream(
+                    spark, src_a, schema=schema, max_files_per_trigger=10_000
+                )
+                .withWatermark("ts", "1 hour")
+                .withColumn("source", F.lit("click"))
+            )
+            sb = (
+                sp.read_parquet_stream(
+                    spark, src_b, schema=schema, max_files_per_trigger=10_000
+                )
+                .withWatermark("ts", "12 hours")
+                .withColumn("source", F.lit("purchase"))
+            )
+            q = (
+                sa.unionByName(sb)
+                .groupBy(F.window("ts", "6 hours").alias("w"), "source")
+                .agg(F.count(F.lit(1)).alias("n_kept"))
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                q.awaitTermination(30)
+                raise RuntimeError("capacity stream did not finish in 300s")
+            prog = q.recentProgress
+            rows_tot = [
+                (p.get("stateOperators") or [{}])[0].get("numRowsTotal", 0)
+                for p in prog
+            ]
+            removed = sum(
+                (p.get("stateOperators") or [{}])[0].get(
+                    "numRowsRemoved", 0
+                )
+                for p in prog
+            )
+            metrics.append(
+                (
+                    k,
+                    _wm_us(q),
+                    max(rows_tot) if rows_tot else 0,
+                    removed,
+                    rows_tot[-1] if rows_tot else 0,
+                )
+            )
+        out = spark.createDataFrame(
+            metrics,
+            "restart long, wm_committed_us long, peak_cells long,"
+            " flushed_cells long, open_cells long",
+        ).orderBy("restart")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src_a, ignore_errors=True)
+        shutil.rmtree(src_b, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)

@@ -5356,3 +5356,36 @@ def test_q429_runs_test_sane(spark, qs):
     assert all(r["well_mixed"] for r in rows)
     assert all(r["longest_run"] >= 1 for r in rows)
     assert abs(rows[0]["z_milli"]) < 3000  # |z| < 3 on a real shuffle
+
+
+def test_q430_ffd_never_worse(spark, qs):
+    """FFD can only match or beat the order-preserving greedy on
+    every source (same items, same capacity), and both sides obey
+    the perfect-packing lower bound."""
+    import math
+
+    C = 512
+    rows = qs["q430_ffd_packing_comparison"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_bins_ffd"] <= r["n_bins_greedy"]
+        assert r["bins_saved"] == r["n_bins_greedy"] - r["n_bins_ffd"]
+        assert r["util_ffd_pct"] >= r["util_greedy_pct"]
+
+
+def test_q431_state_identities(spark, qs):
+    """Engine-reported state algebra: peak = flushed + open at every
+    restart, watermarks non-decreasing, and state drains by the end
+    (the final restart's open set is the watermark horizon's tail,
+    strictly smaller than its peak)."""
+    rows = sorted(
+        qs["q431_stream_state_capacity"](spark, SF_DIR).collect(),
+        key=lambda r: r["restart"],
+    )
+    assert len(rows) == 4
+    prev_wm = -1
+    for r in rows:
+        assert r["peak_cells"] == r["flushed_cells"] + r["open_cells"]
+        assert r["wm_committed_us"] >= prev_wm
+        prev_wm = r["wm_committed_us"]
+        assert r["open_cells"] < r["peak_cells"]
