@@ -5110,53 +5110,11 @@ _Q410_PERDOC_SQL = f"""
     )"""
 
 
-@register(
-    "q410_perplexity_filter",
-    oracle=f"""
-    WITH {_Q410_PERDOC_SQL},
-    cut AS (
-        SELECT xent_micro AS c FROM (
-            SELECT xent_micro,
-                   row_number() OVER (ORDER BY xent_micro, doc_id) AS rn,
-                   count(*) OVER () AS n
-            FROM per_doc
-        ) WHERE rn = (n + 1) // 2
-    )
-    SELECT source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(count(*) FILTER (xent_micro <= (SELECT c FROM cut))
-                AS BIGINT) AS n_kept,
-           round(CAST(count(*) FILTER (xent_micro <= (SELECT c FROM cut))
-                      AS DOUBLE) / count(*), 4) AS keep_rate,
-           CAST(sum(CASE WHEN xent_micro <= (SELECT c FROM cut)
-                         THEN n_bigrams + 1 ELSE 0 END) AS BIGINT)
-               AS kept_tokens,
-           (SELECT c FROM cut) AS cutoff_micro
-    FROM per_doc
-    GROUP BY source
-    ORDER BY source
-    """,
-)
-def q410_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PERPLEXITY-based quality FILTER (the CCNet recipe) — score
-    every document with the corpus bigram LM (q330's add-one model,
-    micro-nat quantized so the cross-engine join and cutoff compare
-    on integers), set the cutoff at the exact LOWER-MEDIAN per-doc
-    cross-entropy (integer order statistic, no interpolation), and
-    keep the fluent half. The per-source keep-rate and surviving
-    token budget are the mixture-shift readout that matters: a
-    perplexity filter silently reweights sources (fluent-register
-    sources survive disproportionately — CCNet's documented 'head'
-    bias), and this table is where that shows up BEFORE training.
-    Composes the LM family into the filter family: q330 scores,
-    q410 decides; q58/q59 are the heuristic rungs this replaces.
-
-    Scale: the LM is a |bigram-vocab| relation equi-joined back
-    (never driver-side); per-doc scores collapse map-side; the
-    median is a doc-grain order statistic (window over per_doc, the
-    corpus already reduced ~100×); the final rollup is |sources|
-    rows.
-    """
+def _q410_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared q410/q432 per-document bigram-LM cross-entropy
+    relation (doc_id, source, n_bigrams, xent_micro) — the add-one
+    corpus bigram model scored back onto each >=2-token document,
+    micro-nat quantized (see q410 docstring for the algebra)."""
     d = load(spark, sf_dir, "documents")
     toks = T.tokens(F.col("text"))
     docs = d.select("doc_id", "source", toks.alias("toks")).filter(
@@ -5209,6 +5167,57 @@ def q410_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("xent_micro"),
         )
     )
+    return per_doc
+
+
+@register(
+    "q410_perplexity_filter",
+    oracle=f"""
+    WITH {_Q410_PERDOC_SQL},
+    cut AS (
+        SELECT xent_micro AS c FROM (
+            SELECT xent_micro,
+                   row_number() OVER (ORDER BY xent_micro, doc_id) AS rn,
+                   count(*) OVER () AS n
+            FROM per_doc
+        ) WHERE rn = (n + 1) // 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (xent_micro <= (SELECT c FROM cut))
+                AS BIGINT) AS n_kept,
+           round(CAST(count(*) FILTER (xent_micro <= (SELECT c FROM cut))
+                      AS DOUBLE) / count(*), 4) AS keep_rate,
+           CAST(sum(CASE WHEN xent_micro <= (SELECT c FROM cut)
+                         THEN n_bigrams + 1 ELSE 0 END) AS BIGINT)
+               AS kept_tokens,
+           (SELECT c FROM cut) AS cutoff_micro
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q410_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERPLEXITY-based quality FILTER (the CCNet recipe) — score
+    every document with the corpus bigram LM (q330's add-one model,
+    micro-nat quantized so the cross-engine join and cutoff compare
+    on integers), set the cutoff at the exact LOWER-MEDIAN per-doc
+    cross-entropy (integer order statistic, no interpolation), and
+    keep the fluent half. The per-source keep-rate and surviving
+    token budget are the mixture-shift readout that matters: a
+    perplexity filter silently reweights sources (fluent-register
+    sources survive disproportionately — CCNet's documented 'head'
+    bias), and this table is where that shows up BEFORE training.
+    Composes the LM family into the filter family: q330 scores,
+    q410 decides; q58/q59 are the heuristic rungs this replaces.
+
+    Scale: the LM is a |bigram-vocab| relation equi-joined back
+    (never driver-side); per-doc scores collapse map-side; the
+    median is a doc-grain order statistic (window over per_doc, the
+    corpus already reduced ~100×); the final rollup is |sources|
+    rows.
+    """
+    per_doc = _q410_per_doc(spark, sf_dir)
     wn = Window.orderBy("xent_micro", "doc_id")
     cut = (
         per_doc.select(
@@ -5613,4 +5622,197 @@ def q424_unigram_lm_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cnt1"), F.asc("piece"))
         .limit(_ULM_OUT)
+    )
+
+
+# ---- q432: mixture-of-filters agreement audit --------------------------
+@register(
+    "q432_filter_agreement_matrix",
+    oracle=f"""
+    WITH {_Q410_PERDOC_SQL},
+    cut AS (
+        SELECT xent_micro AS c FROM (
+            SELECT xent_micro,
+                   row_number() OVER (ORDER BY xent_micro, doc_id) AS rn,
+                   count(*) OVER () AS n
+            FROM per_doc
+        ) WHERE rn = (n + 1) // 2
+    ),
+    flags AS (
+        SELECT d.doc_id,
+               len({_TOKS}) BETWEEN 30 AND 1000
+               AND CAST(len(list_filter({_TOKS}, t -> t IN {_STOP_IN}))
+                        AS DOUBLE) / greatest(len({_TOKS}), 1) <= 0.6
+               AND {_QUALITY_SQL} >= 0.55 AS keep_h,
+               CASE WHEN len({_TOKS}) >= 2
+                    THEN round(1.0 - CAST(len(list_distinct(
+                             list_transform(range(1, len({_TOKS})),
+                                 i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1])))
+                             AS DOUBLE)
+                         / (len({_TOKS}) - 1), 4) <= 0.05
+                    ELSE true END AS keep_r,
+               coalesce(p.xent_micro <= (SELECT c FROM cut), false)
+                   AS keep_p
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ),
+    cells AS (
+        SELECT keep_h, keep_r, keep_p, CAST(count(*) AS BIGINT) AS n
+        FROM flags GROUP BY 1, 2, 3
+    ),
+    k AS (
+        SELECT CAST(sum(n) AS BIGINT) AS nt,
+               CAST(sum(CASE WHEN keep_h = keep_r THEN n ELSE 0 END)
+                    AS BIGINT) AS ag_hr,
+               CAST(sum(CASE WHEN keep_h = keep_p THEN n ELSE 0 END)
+                    AS BIGINT) AS ag_hp,
+               CAST(sum(CASE WHEN keep_r = keep_p THEN n ELSE 0 END)
+                    AS BIGINT) AS ag_rp,
+               CAST(sum(CASE WHEN keep_h THEN n ELSE 0 END) AS BIGINT)
+                   AS h1,
+               CAST(sum(CASE WHEN keep_r THEN n ELSE 0 END) AS BIGINT)
+                   AS r1,
+               CAST(sum(CASE WHEN keep_p THEN n ELSE 0 END) AS BIGINT)
+                   AS p1
+        FROM cells
+    ),
+    kap AS (
+        SELECT
+            CAST(round(1000.0
+                 * (1.0 * ag_hr / nt
+                    - (1.0 * h1 * r1 + 1.0 * (nt - h1) * (nt - r1))
+                      / nt / nt)
+                 / (1.0 - (1.0 * h1 * r1 + 1.0 * (nt - h1) * (nt - r1))
+                          / nt / nt)) AS BIGINT) AS kappa_hr_milli,
+            CAST(round(1000.0
+                 * (1.0 * ag_hp / nt
+                    - (1.0 * h1 * p1 + 1.0 * (nt - h1) * (nt - p1))
+                      / nt / nt)
+                 / (1.0 - (1.0 * h1 * p1 + 1.0 * (nt - h1) * (nt - p1))
+                          / nt / nt)) AS BIGINT) AS kappa_hp_milli,
+            CAST(round(1000.0
+                 * (1.0 * ag_rp / nt
+                    - (1.0 * r1 * p1 + 1.0 * (nt - r1) * (nt - p1))
+                      / nt / nt)
+                 / (1.0 - (1.0 * r1 * p1 + 1.0 * (nt - r1) * (nt - p1))
+                          / nt / nt)) AS BIGINT) AS kappa_rp_milli,
+            nt
+        FROM k
+    )
+    SELECT c.keep_h AS keep_heuristic, c.keep_r AS keep_repetition,
+           c.keep_p AS keep_perplexity, c.n AS n_docs,
+           round(100.0 * c.n / kap.nt, 2) AS share_pct,
+           kap.kappa_hr_milli, kap.kappa_hp_milli, kap.kappa_rp_milli
+    FROM cells c, kap
+    ORDER BY keep_heuristic, keep_repetition, keep_perplexity
+    """,
+)
+def q432_filter_agreement_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MIXTURE-OF-FILTERS agreement audit — the Venn diagram of the
+    three quality-filter families before a corpus build commits to
+    one: the C4-style heuristic chain (q58's keeps), the Gopher
+    repetition filter (q59, kept = dup ratio ≤ 0.05; sub-2-token
+    docs trivially pass), and the CCNet perplexity filter (q410's
+    lower-median cutoff; docs too short to score are NOT kept by
+    it — the choice a real perplexity filter makes, encoded
+    identically in both engines). Output: all 2³ agreement cells
+    with doc counts and shares, plus the three pairwise COHEN'S κ
+    (milli-pinned, from exact integer agreement/marginal counts) —
+    the statistic that separates 'filters agree because both keep
+    90%' from genuine correlation. Low κ between heuristic and
+    perplexity filters is the published finding (they remove
+    DIFFERENT documents); this measures it on YOUR corpus, which is
+    what decides whether to chain them or pick one.
+
+    Scale: the heuristic/repetition flags are map-only array math;
+    the perplexity flag reuses q410's |bigram-vocab| model join and
+    doc-grain median; the agreement matrix is 8 cells and κ is
+    arithmetic on one row of integer totals.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    hflag = d.select(
+        "doc_id",
+        (
+            F.size(toks).between(30, 1000)
+            & (T.stopword_ratio(F.col("text")) <= 0.6)
+            & (T.quality_score(F.col("text")) >= 0.55)
+        ).alias("keep_h"),
+        (
+            F.when(
+                F.size(toks) >= 2,
+                T.dup_ratio_of(T.bigrams(F.col("text"))) <= 0.05,
+            ).otherwise(F.lit(True))
+        ).alias("keep_r"),
+    )
+    per_doc = _q410_per_doc(spark, sf_dir)
+    wn = Window.orderBy("xent_micro", "doc_id")
+    cut = (
+        per_doc.select(
+            "xent_micro",
+            F.row_number().over(wn).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select(F.col("xent_micro").alias("c"))
+    )
+    pflag = per_doc.crossJoin(F.broadcast(cut)).select(
+        "doc_id", (F.col("xent_micro") <= F.col("c")).alias("keep_p")
+    )
+    flags = hflag.join(pflag, "doc_id", "left").select(
+        "doc_id",
+        "keep_h",
+        "keep_r",
+        F.coalesce("keep_p", F.lit(False)).alias("keep_p"),
+    )
+    cells = flags.groupBy("keep_h", "keep_r", "keep_p").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    k = cells.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum(F.when(F.col("keep_h") == F.col("keep_r"), F.col("n"))
+              .otherwise(0)).cast("long").alias("ag_hr"),
+        F.sum(F.when(F.col("keep_h") == F.col("keep_p"), F.col("n"))
+              .otherwise(0)).cast("long").alias("ag_hp"),
+        F.sum(F.when(F.col("keep_r") == F.col("keep_p"), F.col("n"))
+              .otherwise(0)).cast("long").alias("ag_rp"),
+        F.sum(F.when(F.col("keep_h"), F.col("n")).otherwise(0))
+        .cast("long").alias("h1"),
+        F.sum(F.when(F.col("keep_r"), F.col("n")).otherwise(0))
+        .cast("long").alias("r1"),
+        F.sum(F.when(F.col("keep_p"), F.col("n")).otherwise(0))
+        .cast("long").alias("p1"),
+    )
+
+    def kappa(ag: str, a1: str, b1: str):
+        pe = (
+            1.0 * F.col(a1) * F.col(b1)
+            + 1.0 * (F.col("nt") - F.col(a1)) * (F.col("nt") - F.col(b1))
+        ) / F.col("nt") / F.col("nt")
+        return F.round(
+            1000.0 * (1.0 * F.col(ag) / F.col("nt") - pe) / (1.0 - pe)
+        ).cast("long")
+
+    kap = k.select(
+        kappa("ag_hr", "h1", "r1").alias("kappa_hr_milli"),
+        kappa("ag_hp", "h1", "p1").alias("kappa_hp_milli"),
+        kappa("ag_rp", "r1", "p1").alias("kappa_rp_milli"),
+        "nt",
+    )
+    return (
+        cells.crossJoin(F.broadcast(kap))
+        .select(
+            F.col("keep_h").alias("keep_heuristic"),
+            F.col("keep_r").alias("keep_repetition"),
+            F.col("keep_p").alias("keep_perplexity"),
+            F.col("n").alias("n_docs"),
+            F.round(100.0 * F.col("n") / F.col("nt"), 2).alias(
+                "share_pct"
+            ),
+            "kappa_hr_milli",
+            "kappa_hp_milli",
+            "kappa_rp_milli",
+        )
+        .orderBy("keep_heuristic", "keep_repetition", "keep_perplexity")
     )

@@ -5389,3 +5389,24 @@ def test_q431_state_identities(spark, qs):
         assert r["wm_committed_us"] >= prev_wm
         prev_wm = r["wm_committed_us"]
         assert r["open_cells"] < r["peak_cells"]
+
+
+def test_q432_agreement_cells_partition(spark, qs):
+    """The 2³ cells partition the corpus exactly; κ bounded in
+    [-1, 1]; and the filters genuinely disagree on this corpus
+    (off-diagonal mass exists — the audit's reason to exist)."""
+    from g_etl_spark.tables import load as load_t
+
+    rows = qs["q432_filter_agreement_matrix"](spark, SF_DIR).collect()
+    total = load_t(spark, SF_DIR, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == total
+    r0 = rows[0]
+    for kcol in ("kappa_hr_milli", "kappa_hp_milli", "kappa_rp_milli"):
+        assert -1000 <= r0[kcol] <= 1000
+    disagree = sum(
+        r["n_docs"]
+        for r in rows
+        if len({r["keep_heuristic"], r["keep_repetition"],
+                r["keep_perplexity"]}) > 1
+    )
+    assert disagree > 0
