@@ -11458,3 +11458,186 @@ def q428_bradley_terry_preferences(
         )
         .orderBy("pref_rank")
     )
+
+
+# ---- q433: partition-layout advisor (workload-priced pruning) ----------
+# Layouts × workload cells are generated ONCE here; each cell knows
+# whether the layout's partition key can prune the predicate and, if
+# so, the key-granular scan condition (partition grain: a partition
+# is read iff its key COULD contain matching rows).
+_Q433_TS1 = "TIMESTAMP '2024-01-08 00:00:00'"
+_Q433_TS2 = "TIMESTAMP '2024-01-15 00:00:00'"
+_Q433_TS3 = "TIMESTAMP '2024-01-10 00:00:00'"
+_Q433_TS4 = "TIMESTAMP '2024-01-13 00:00:00'"
+
+_Q433_LAYOUTS = {
+    "by_day": "CAST(ts AS DATE)",
+    "by_type": "event_type",
+    "by_user64": "user_id % 64",
+}
+_Q433_WORKLOAD = {
+    "day_range_7d": f"ts >= {_Q433_TS1} AND ts < {_Q433_TS2}",
+    "type_point": "event_type = 'purchase'",
+    "user_point": "user_id = 42",
+    "type_in_3d": "event_type IN ('click', 'view') AND "
+                  f"ts >= {_Q433_TS3} AND ts < {_Q433_TS4}",
+}
+# scan condition per (layout, workload): None = no pruning possible
+# (every partition read). Day ranges sit on midnight boundaries, so
+# day-partition pruning is exact for them.
+_Q433_SCAN = {
+    ("by_day", "day_range_7d"):
+        f"CAST(ts AS DATE) >= CAST({_Q433_TS1} AS DATE) AND "
+        f"CAST(ts AS DATE) < CAST({_Q433_TS2} AS DATE)",
+    ("by_day", "type_in_3d"):
+        f"CAST(ts AS DATE) >= CAST({_Q433_TS3} AS DATE) AND "
+        f"CAST(ts AS DATE) < CAST({_Q433_TS4} AS DATE)",
+    ("by_type", "type_point"): "event_type = 'purchase'",
+    ("by_type", "type_in_3d"): "event_type IN ('click', 'view')",
+    ("by_user64", "user_point"): "user_id % 64 = 42 % 64",
+}
+
+
+def _q433_cells():
+    for layout, key in _Q433_LAYOUTS.items():
+        for wname, pred in _Q433_WORKLOAD.items():
+            scan = _Q433_SCAN.get((layout, wname))
+            yield layout, key, wname, pred, scan
+
+
+def _q433_oracle() -> str:
+    aggs = ["CAST(count(*) AS BIGINT) AS n_rows"]
+    for layout, key in _Q433_LAYOUTS.items():
+        aggs.append(
+            f"CAST(count(DISTINCT {key}) AS BIGINT) AS np_{layout}"
+        )
+    for wname, pred in _Q433_WORKLOAD.items():
+        aggs.append(
+            f"CAST(count(*) FILTER ({pred}) AS BIGINT) AS m_{wname}"
+        )
+    for layout, key, wname, pred, scan in _q433_cells():
+        if scan is not None:
+            aggs.append(
+                f"CAST(count(*) FILTER ({scan}) AS BIGINT)"
+                f" AS s_{layout}_{wname}"
+            )
+            aggs.append(
+                f"CAST(count(DISTINCT CASE WHEN {scan} THEN {key} END)"
+                f" AS BIGINT) AS p_{layout}_{wname}"
+            )
+    rows = []
+    for layout, key, wname, pred, scan in _q433_cells():
+        scanned = f"s_{layout}_{wname}" if scan else "n_rows"
+        parts = f"p_{layout}_{wname}" if scan else f"np_{layout}"
+        rows.append(
+            f"SELECT '{layout}' AS layout, '{wname}' AS workload,"
+            f" np_{layout} AS n_partitions, {parts} AS partitions_read,"
+            f" {scanned} AS rows_scanned, m_{wname} AS rows_matching"
+            " FROM stats"
+        )
+    body = " UNION ALL ".join(rows)
+    return f"""
+    WITH stats AS (SELECT {', '.join(aggs)} FROM events),
+    cells AS ({body})
+    SELECT layout, workload, n_partitions, partitions_read,
+           rows_scanned, rows_matching,
+           round(CAST(rows_scanned AS DOUBLE)
+                 / greatest(rows_matching, 1), 2) AS read_amp_x,
+           rank() OVER (PARTITION BY workload
+                        ORDER BY rows_scanned, layout) = 1
+               AS best_for_workload
+    FROM cells
+    ORDER BY layout, workload
+    """
+
+
+@register("q433_partition_layout_advisor", oracle=_q433_oracle())
+def q433_partition_layout_advisor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION-LAYOUT advisor — the physical-design decision every
+    100 TB table gets exactly once, priced from data instead of
+    folklore: three candidate partition keys (day, event_type,
+    64-bucket user hash) against a four-predicate workload (7-day
+    range, type point, user point, type+3-day compound), with EXACT
+    partition-pruning arithmetic: a partition is read iff its key
+    could contain matching rows, so rows_scanned is the true
+    post-pruning scan cost, partitions_read the file-listing cost,
+    and read_amp_x (scanned / matching) the wasted-IO multiplier a
+    layout leaves on each query shape. best_for_workload marks the
+    per-predicate winner (rank by scan cost, deterministic
+    tie-break) — the table showing WHY multi-tenant tables end up
+    day-partitioned (the day layout wins range scans outright and
+    loses point lookups only by the pruning it can't do). Day-range
+    predicates sit on midnight boundaries so day-grain pruning is
+    exact; a mid-day boundary would make the day layout scan one
+    partial partition — the fencepost the advisor's scan conditions
+    encode at PARTITION grain, not row grain.
+
+    Scale: ONE scan computes every cell (conditional counts +
+    conditional distinct keys — 3 layouts × 4 predicates, generated
+    once and fed to both engines); the advisor output is 12 rows of
+    integer arithmetic. At 100 TB the same statistics come from the
+    partition manifest for free.
+    """
+    e = load(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for layout, key in _Q433_LAYOUTS.items():
+        aggs.append(
+            F.countDistinct(F.expr(key)).cast("long").alias(f"np_{layout}")
+        )
+    for wname, pred in _Q433_WORKLOAD.items():
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias(f"m_{wname}")
+        )
+    for layout, key, wname, pred, scan in _q433_cells():
+        if scan is not None:
+            aggs.append(
+                F.sum(F.expr(f"CASE WHEN {scan} THEN 1 ELSE 0 END"))
+                .cast("long")
+                .alias(f"s_{layout}_{wname}")
+            )
+            aggs.append(
+                F.countDistinct(
+                    F.expr(f"CASE WHEN {scan} THEN {key} END")
+                )
+                .cast("long")
+                .alias(f"p_{layout}_{wname}")
+            )
+    stats = e.agg(*aggs)
+    cells = []
+    for layout, key, wname, pred, scan in _q433_cells():
+        scanned = f"s_{layout}_{wname}" if scan else "n_rows"
+        parts = f"p_{layout}_{wname}" if scan else f"np_{layout}"
+        cells.append(
+            F.struct(
+                F.lit(layout).alias("layout"),
+                F.lit(wname).alias("workload"),
+                F.col(f"np_{layout}").alias("n_partitions"),
+                F.col(parts).alias("partitions_read"),
+                F.col(scanned).alias("rows_scanned"),
+                F.col(f"m_{wname}").alias("rows_matching"),
+            )
+        )
+    w = Window.partitionBy("workload").orderBy("rows_scanned", "layout")
+    return (
+        stats.select(F.explode(F.array(*cells)).alias("c"))
+        .select("c.*")
+        .select(
+            "layout",
+            "workload",
+            "n_partitions",
+            "partitions_read",
+            "rows_scanned",
+            "rows_matching",
+            F.round(
+                F.col("rows_scanned").cast("double")
+                / F.greatest(F.col("rows_matching"), F.lit(1)),
+                2,
+            ).alias("read_amp_x"),
+            (F.rank().over(w) == 1).alias("best_for_workload"),
+        )
+        .orderBy("layout", "workload")
+    )

@@ -5410,3 +5410,23 @@ def test_q432_agreement_cells_partition(spark, qs):
                 r["keep_perplexity"]}) > 1
     )
     assert disagree > 0
+
+
+def test_q433_pruning_arithmetic(spark, qs):
+    """Pruning identities: scanned ⊇ matching always; non-prunable
+    cells scan everything; each workload has exactly one winner and
+    the winner is the intuitive layout (day wins ranges, type wins
+    the type point, user bucket wins the user point)."""
+    rows = qs["q433_partition_layout_advisor"](spark, SF_DIR).collect()
+    assert len(rows) == 12
+    total = max(r["rows_scanned"] for r in rows)
+    for r in rows:
+        assert r["rows_scanned"] >= r["rows_matching"]
+        assert r["partitions_read"] <= r["n_partitions"]
+    winners = {
+        r["workload"]: r["layout"] for r in rows if r["best_for_workload"]
+    }
+    assert len(winners) == 4
+    assert winners["day_range_7d"] == "by_day"
+    assert winners["type_point"] == "by_type"
+    assert winners["user_point"] == "by_user64"
