@@ -11641,3 +11641,75 @@ def q433_partition_layout_advisor(
         )
         .orderBy("layout", "workload")
     )
+
+
+# ---- q434: Python Data Source scan, hash-gated -------------------------
+_Q434_ROWS = 5000
+_Q434_LO, _Q434_HI = 500, 4000
+
+
+@register(
+    "q434_python_datasource_scan",
+    oracle=f"""
+    WITH gen AS (
+        SELECT i AS id,
+               CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8)
+                         AS UBIGINT) % 1000 AS BIGINT) AS v,
+               'cat' || CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR)),
+                                                 1, 8)
+                                  AS UBIGINT) % 7 AS VARCHAR) AS cat
+        FROM (SELECT unnest(range(0, {_Q434_ROWS})) AS i)
+    )
+    SELECT cat,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS sum_v,
+           CAST(min(id) AS BIGINT) AS min_id,
+           CAST(max(id) AS BIGINT) AS max_id
+    FROM gen
+    WHERE id >= {_Q434_LO} AND id < {_Q434_HI}
+    GROUP BY cat
+    ORDER BY cat
+    """,
+)
+def q434_python_datasource_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PYTHON DATA SOURCE scan, hash-gated — Spark 4's
+    `pyspark.sql.datasource` surface exercised end-to-end: a custom
+    source (sources/pygen.py) shards a deterministic md5-derived
+    row generator into InputPartitions, CONSUMES the id-range
+    predicate in pushFilters (so fully-excluded shards are never
+    scheduled — partition pruning inside the Python source, and the
+    post-scan Filter node carries only the residual isnotnull), and
+    the scan's aggregate hash-matches DuckDB replaying the same
+    arithmetic over range(). This is the Spark-native shape for
+    every imperative connector the reference ships as plugins
+    (WFS pagination, REST fetchers): pages become partitions read
+    in parallel on executors, server-evaluable predicates move into
+    pushFilters, and the rest of the engine composes unchanged.
+
+    Scale: the source declares {_Q434_ROWS // 8}-row shards here; a
+    real deployment sizes shards to the backend's page size and
+    gets executor-parallel ingest with predicate pruning for free.
+    The only shuffle is the |cats|-grain aggregate.
+    """
+    from g_etl_spark.sources import pygen
+
+    pygen.register(spark)
+    df = (
+        spark.read.format("g_etl_gen")
+        .option("rows", _Q434_ROWS)
+        .option("parts", 8)
+        .load()
+    )
+    return (
+        df.filter((F.col("id") >= _Q434_LO) & (F.col("id") < _Q434_HI))
+        .groupBy("cat")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("long").alias("sum_v"),
+            F.min("id").cast("long").alias("min_id"),
+            F.max("id").cast("long").alias("max_id"),
+        )
+        .orderBy("cat")
+    )

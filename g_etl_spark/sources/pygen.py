@@ -1,0 +1,108 @@
+"""Python Data Source API (Spark 4) — a deterministic distributed
+row GENERATOR with filter pushdown, the registry's gateable example
+of the `pyspark.sql.datasource` surface (the same mechanism a real
+REST/paginated connector would ship on: partitions = shards/pages,
+pushFilters = server-side predicates).
+
+The generated rows are pure arithmetic on the row id (md5-derived),
+so a SQL engine can replay them exactly — q434 hash-gates a scan
+through this source against DuckDB over range().
+
+Reference parity: the reference's pluggable source plugins
+(/root/reference/src/g_etl/plugins/wfs.py:69-201 pagination, tested
+here via sources/wfs.py) fetch pages imperatively; this is the
+Spark-native shape — each page/shard is an InputPartition read in
+parallel on executors, and predicates the backend can evaluate are
+consumed in pushFilters instead of post-scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+GEN_SCHEMA = "id bigint, v bigint, cat string"
+
+
+def gen_row(i: int) -> tuple[int, int, str]:
+    """The row at id `i` — md5-derived so DuckDB replays it exactly:
+    h = first 8 hex chars of md5(str(i)); v = h % 1000;
+    cat = 'cat' || h % 7."""
+    h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+    return (i, h % 1000, f"cat{h % 7}")
+
+
+class GenShard(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class GenReader(DataSourceReader):
+    """Shards [0, rows) into `parts` ranges; consumes id-range
+    predicates in pushFilters so fully-excluded shards are never
+    scheduled (partition pruning inside the Python source)."""
+
+    def __init__(self, options):
+        self.n = int(options.get("rows", 1000))
+        self.nparts = int(options.get("parts", 8))
+        self.lo, self.hi = 0, self.n
+
+    def pushFilters(self, filters):
+        rest = []
+        for f in filters:
+            if getattr(f, "attribute", None) == ("id",):
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, int(f.value))
+                    continue
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, int(f.value) + 1)
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, int(f.value))
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, int(f.value) + 1)
+                    continue
+            rest.append(f)
+        return rest
+
+    def partitions(self):
+        step = max(1, self.n // self.nparts)
+        out = []
+        for s in range(0, self.n, step):
+            e = min(self.n, s + step)
+            if e > self.lo and s < self.hi:
+                out.append(GenShard(max(s, self.lo), min(e, self.hi)))
+        return out
+
+    def read(self, part: GenShard):
+        for i in range(part.start, part.end):
+            yield gen_row(i)
+
+
+class GenSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "g_etl_gen"
+
+    def schema(self) -> str:
+        return GEN_SCHEMA
+
+    def reader(self, schema):
+        return GenReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the source and enable Python filter
+    pushdown on the session (runtime-settable SQL conf)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(GenSource)

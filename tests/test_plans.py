@@ -5430,3 +5430,32 @@ def test_q433_pruning_arithmetic(spark, qs):
     assert winners["day_range_7d"] == "by_day"
     assert winners["type_point"] == "by_type"
     assert winners["user_point"] == "by_user64"
+
+
+def test_q434_pushdown_consumed_and_prunes(spark, qs):
+    """The Python source must CONSUME the id-range predicate: the
+    physical plan's residual Filter carries no id comparison (only
+    the isnotnull residue), and the reader's partition list shrinks
+    to the shards overlapping the range (pure-Python check of the
+    same class the executor runs)."""
+    from g_etl_spark.sources.pygen import GenReader
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    df = qs["q434_python_datasource_scan"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BatchScan g_etl_gen" in plan
+    assert "PushedFilters: [GreaterThanOrEqual(id,500), LessThan(id,4000)]" in plan
+    cond = [ln for ln in plan.splitlines() if ln.startswith("Condition")]
+    assert cond and "isnotnull" in cond[0]
+    assert ">= 500" not in cond[0] and "< 4000" not in cond[0], (
+        "id-range predicate survived past the scan — pushdown broke"
+    )
+    r = GenReader({"rows": "5000", "parts": "8"})
+    assert len(r.partitions()) == 8
+    rest = r.pushFilters(
+        [GreaterThanOrEqual(("id",), 500), LessThan(("id",), 4000)]
+    )
+    assert list(rest) == []
+    parts = r.partitions()
+    assert len(parts) == 6  # shards [625..4000) clipped; [0,500)/[4375+) gone
+    assert parts[0].start == 500 and parts[-1].end == 4000
