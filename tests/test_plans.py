@@ -5457,5 +5457,7 @@ def test_q434_pushdown_consumed_and_prunes(spark, qs):
     )
     assert list(rest) == []
     parts = r.partitions()
-    assert len(parts) == 6  # shards [625..4000) clipped; [0,500)/[4375+) gone
+    # 8 shards of 625; [4375,5000) is fully excluded, the edge shards
+    # clip to the pushed range
+    assert len(parts) == 7
     assert parts[0].start == 500 and parts[-1].end == 4000
