@@ -11713,3 +11713,84 @@ def q434_python_datasource_scan(
         )
         .orderBy("cat")
     )
+
+
+# ---- q435: Python Data Source JSONL sink roundtrip ---------------------
+@register(
+    "q435_python_datasource_sink",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT))
+                AS BIGINT) AS price_cents
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q435_python_datasource_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PYTHON DATA SOURCE SINK roundtrip, hash-gated — the writer
+    half of q434's surface: a filtered lineitem slice goes through
+    the custom `g_etl_jsonl` sink (sources/pygen.JsonlWriter —
+    executor-parallel shard files, task-unique names, a commit-time
+    manifest published only from the successful attempt's commit
+    messages: Spark's own commit-protocol shape in miniature), is
+    read BACK with Spark's JSON reader against the manifest's shard
+    list, and the q01-style rollup over the roundtripped rows must
+    hash-match DuckDB over the ORIGINAL parquet — any row lost,
+    duplicated, or mangled by the sink (or a torn shard surviving
+    abort) breaks the gate. Price survives JSON exactly via
+    centi-unit integers.
+
+    Scale: the sink is embarrassingly parallel (one file per task,
+    no coordination until the O(|tasks|) commit); the roundtrip
+    read is a plain distributed JSON scan. The gate runs the full
+    write-commit-read cycle every time — it IS the sink test.
+    """
+    import json as _json
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from g_etl_spark.sources import pygen
+
+    pygen.register_sink(spark)
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")
+    )
+    out_dir = _tempfile.mkdtemp(prefix="g_etl_jsonl_sink_")
+    try:
+        (
+            li.select(
+                "l_orderkey",
+                "l_linenumber",
+                "l_returnflag",
+                "l_linestatus",
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("long")
+                .alias("price_cents"),
+            )
+            .write.format("g_etl_jsonl")
+            .option("path", out_dir)
+            .mode("append")
+            .save()
+        )
+        with open(f"{out_dir}/_MANIFEST.json") as f:
+            manifest = _json.load(f)
+        back = spark.read.schema(
+            "l_orderkey long, l_linenumber long, l_returnflag string,"
+            " l_linestatus string, price_cents long"
+        ).json(manifest["shards"])
+        res = (
+            back.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("price_cents").cast("long").alias("price_cents"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(out_dir, ignore_errors=True)

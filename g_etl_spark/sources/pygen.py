@@ -106,3 +106,70 @@ def register(spark) -> None:
     pushdown on the session (runtime-settable SQL conf)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(GenSource)
+
+
+# ---- JSONL writer: the sink half of the Python Data Source API ---------
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class JsonlCommit(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class JsonlWriter(DataSourceWriter):
+    """Executor-parallel JSONL sink: each task writes one shard file
+    (task-unique name — idempotent under retries because commit()
+    publishes ONLY the shard list the successful attempt returns,
+    into a manifest the reader side treats as the source of truth,
+    exactly Spark's own _SUCCESS/commit-protocol shape)."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl writer requires a 'path' option")
+
+    def write(self, iterator):
+        os.makedirs(self.path, exist_ok=True)
+        shard = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(shard, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), sort_keys=True,
+                                   default=str) + "\n")
+                n += 1
+        return JsonlCommit(path=shard, n_rows=n)
+
+    def commit(self, messages):
+        manifest = {
+            "shards": sorted(m.path for m in messages),
+            "n_rows": sum(m.n_rows for m in messages),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        for m in messages:
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass
+
+
+class JsonlSink(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "g_etl_jsonl"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonlWriter(self.options, overwrite)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonlSink)

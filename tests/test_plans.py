@@ -5461,3 +5461,32 @@ def test_q434_pushdown_consumed_and_prunes(spark, qs):
     # clip to the pushed range
     assert len(parts) == 7
     assert parts[0].start == 500 and parts[-1].end == 4000
+
+
+def test_q435_sink_manifest_protocol(spark, qs, tmp_path):
+    """Sink protocol: the manifest lists exactly the committed
+    shards, their row counts sum to the input, and abort removes a
+    shard file (the torn-write cleanup path)."""
+    import json, os
+
+    from g_etl_spark.sources.pygen import JsonlWriter, JsonlCommit
+
+    w = JsonlWriter({"path": str(tmp_path / "out")}, overwrite=False)
+
+    class _Row:
+        def __init__(self, **kw):
+            self._d = kw
+
+        def asDict(self):
+            return self._d
+
+    m1 = w.write(iter([_Row(a=1), _Row(a=2)]))
+    m2 = w.write(iter([_Row(a=3)]))
+    assert m1.n_rows == 2 and m2.n_rows == 1
+    w.commit([m1, m2])
+    man = json.load(open(tmp_path / "out" / "_MANIFEST.json"))
+    assert sorted(man["shards"]) == sorted([m1.path, m2.path])
+    assert man["n_rows"] == 3
+    m3 = w.write(iter([_Row(a=9)]))
+    w.abort([m3])
+    assert not os.path.exists(m3.path)
