@@ -1725,3 +1725,93 @@ def q431_stream_state_capacity(
         shutil.rmtree(src_b, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
+
+
+# ---- q436: Python streaming source, paginated backfill -----------------
+_Q436_ROWS = 2000
+_Q436_PAGE = 500
+
+
+@register(
+    "q436_python_stream_source",
+    oracle=f"""
+    WITH gen AS (
+        SELECT i AS id,
+               CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8)
+                         AS UBIGINT) % 1000 AS BIGINT) AS v,
+               'cat' || CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR)),
+                                                 1, 8)
+                                  AS UBIGINT) % 7 AS VARCHAR) AS cat
+        FROM (SELECT unnest(range(0, {_Q436_ROWS})) AS i)
+    )
+    SELECT cat,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS sum_v,
+           CAST(count(DISTINCT id) AS BIGINT) AS n_distinct_ids
+    FROM gen
+    GROUP BY cat
+    ORDER BY cat
+    """,
+)
+def q436_python_stream_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PYTHON STREAMING SOURCE, paginated backfill, hash-gated —
+    the third face of the `pyspark.sql.datasource` surface (q434
+    batch scan, q435 sink): a SimpleDataSourceStreamReader serves
+    the deterministic generator one PAGE per read() with a
+    dict-offset cursor; PythonMicroBatchStream doesn't implement
+    AvailableNow, so each trigger(availableNow) restart falls back
+    to single-batch execution (engine-logged) and drains exactly
+    one page against the shared checkpoint — four restarts backfill
+    the full {_Q436_ROWS}-row range — and the
+    sink rollup (including count(DISTINCT id), which doubles on any
+    replayed page) must hash-match DuckDB replaying the generator
+    arithmetic over range(). This is the REST-backfill shape every
+    API connector needs: the cursor lives in the checkpoint, crash
+    recovery replays readBetweenOffsets for the in-flight page, and
+    exactly-once falls out of the offset protocol rather than
+    application dedup.
+
+    Scale: page size is the backend's; pages stream through without
+    accumulating state (no watermark, no agg in-flight — the rollup
+    here is on the SINK, post-hoc). The gate runs the full
+    4-restart cycle every time.
+    """
+    from g_etl_spark.sources import pygen
+
+    pygen.register_stream(spark)
+    run = next(_RUN_IDS)
+    ckpt = tempfile.mkdtemp(prefix=f"g_etl_pages_ckpt_{run}_")
+    sink = tempfile.mkdtemp(prefix=f"g_etl_pages_sink_{run}_")
+    try:
+        for _ in range(_Q436_ROWS // _Q436_PAGE):
+            q = (
+                spark.readStream.format("g_etl_pages")
+                .option("rows", _Q436_ROWS)
+                .option("page", _Q436_PAGE)
+                .load()
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                q.awaitTermination(30)
+                raise RuntimeError("page stream did not finish in 300s")
+        out = (
+            spark.read.parquet(sink)
+            .groupBy("cat")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("v").cast("long").alias("sum_v"),
+                F.countDistinct("id").cast("long").alias("n_distinct_ids"),
+            )
+            .orderBy("cat")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)

@@ -173,3 +173,51 @@ class JsonlSink(DataSource):
 
 def register_sink(spark) -> None:
     spark.dataSource.register(JsonlSink)
+
+
+# ---- streaming source: paginated backfill across restarts --------------
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class GenPageStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked paginated stream over the same deterministic
+    generator rows: each read() serves ONE page and advances the
+    offset — PythonMicroBatchStream doesn't implement AvailableNow,
+    so trigger(availableNow=True) falls back to SINGLE-BATCH
+    execution (engine-logged) and one restart drains exactly one
+    page; the engine's checkpoint replays `readBetweenOffsets`
+    exactly on recovery, so a multi-restart backfill is
+    exactly-once by construction (q436's gate)."""
+
+    def __init__(self, options):
+        self.n = int(options.get("rows", 1000))
+        self.page = int(options.get("page", 250))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        s = int(start["pos"])
+        e = min(self.n, s + self.page)
+        return iter([gen_row(i) for i in range(s, e)]), {"pos": e}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [gen_row(i) for i in range(int(start["pos"]), int(end["pos"]))]
+        )
+
+
+class GenStreamSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "g_etl_pages"
+
+    def schema(self) -> str:
+        return GEN_SCHEMA
+
+    def simpleStreamReader(self, schema):
+        return GenPageStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(GenStreamSource)
