@@ -5370,7 +5370,10 @@ def _ulm_lstar_sql(pos: str, dl: str, cv: str) -> str:
     return "CASE " + " ".join(conds[:-1]) + f" ELSE {_ULM_MAXP} END"
 
 
-def _q424_oracle() -> str:
+def _q424_oracle_ctes() -> str:
+    """Shared q424/q437 oracle CTE chain: word table -> candidate
+    vocab -> integer-cost Viterbi (recursive CTEs) -> M-step usage
+    and likelihoods. Callers append their own final SELECT."""
     big = _ULM_BIG
     mp = _ULM_MAXP
     fwd_terms = ", ".join(
@@ -5463,6 +5466,11 @@ def _q424_oracle() -> str:
     ll0 AS (SELECT CAST(sum(f * dl[length(w) + 1]) AS BIGINT) AS v
             FROM done),
     ll1 AS (SELECT CAST(sum(cnt1 * c1) AS BIGINT) AS v FROM v1)
+"""
+
+
+def _q424_oracle() -> str:
+    return _q424_oracle_ctes() + f"""
     SELECT CAST(row_number() OVER (ORDER BY v1.cnt1 DESC, v1.piece)
                 AS BIGINT) AS piece_rank,
            v1.piece,
@@ -5475,38 +5483,12 @@ def _q424_oracle() -> str:
     """
 
 
-@register("q424_unigram_lm_em_round", oracle=_q424_oracle())
-def q424_unigram_lm_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNIGRAM-LM tokenizer, one full EM round (Kudo 2018 — the
-    SentencePiece algorithm, the standard counterpart of q383's BPE
-    trainer): candidate vocabulary = every character plus the top
-    {_ULM_TOPV} substrings (length ≤ {_ULM_MAXP}) by corpus
-    frequency; E-step = exact VITERBI segmentation of every word
-    under the initial unigram probabilities; M-step = piece-usage
-    counts re-normalized into the next model. All piece costs are
-    integer MICRO-NATS (round(1e6·ln(T/cnt)) of exact integer
-    counts), so the DP, its argmin tie-break (smallest piece length
-    achieving exact integer equality), and both corpus likelihoods
-    are bit-identical across engines — the integer-pinned
-    likelihood compare: ll1 ≤ ll0 is Gibbs' inequality made
-    auditable (the M-step MLE can only improve the cross-entropy of
-    the fixed segmentation).
 
-    The DP runs entirely inside array HOFs: per word (truncated at
-    {_ULM_MAXW} chars — the bound both engines apply BEFORE
-    grouping), piece costs land in a (pos,len)-keyed map and one
-    `aggregate` fold builds the distance list, a second fold walks
-    the backtrace — no per-position join rounds, no UDF. The oracle
-    runs the same integer DP as recursive CTEs.
-
-    Scale: the corpus collapses ONCE to the word-frequency table
-    (the q383 device); candidates/vocab are |vocab|-grain with a
-    bounded (≤ 26 + {_ULM_TOPV} + punctuationless) piece list that
-    broadcasts by contract; the E-step is map-side per-word compute;
-    the M-step is one explode(≤{_ULM_MAXW} pieces/word) + hash agg.
-    At 100 TB only the word table shuffles — millions of rows, not
-    the corpus.
-    """
+def _ulm_model(spark: SparkSession, sf_dir: str) -> dict:
+    """Shared q424/q437 unigram-LM machinery: returns the initial
+    vocab costs (v0), the post-M-step usage/costs (v1), and the
+    scalar likelihood frames (ll0, ll1) — see q424 for the
+    algebra."""
     d = load(spark, sf_dir, "documents")
     words = (
         d.select(
@@ -5602,6 +5584,43 @@ def q424_unigram_lm_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     ll1 = v1.agg(
         F.sum(F.col("cnt1") * F.col("c1")).cast("long").alias("ll1_micro")
     )
+    return {"v0": v0, "v1": v1, "ll0": ll0, "ll1": ll1}
+
+
+@register("q424_unigram_lm_em_round", oracle=_q424_oracle())
+def q424_unigram_lm_em_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIGRAM-LM tokenizer, one full EM round (Kudo 2018 — the
+    SentencePiece algorithm, the standard counterpart of q383's BPE
+    trainer): candidate vocabulary = every character plus the top
+    {_ULM_TOPV} substrings (length ≤ {_ULM_MAXP}) by corpus
+    frequency; E-step = exact VITERBI segmentation of every word
+    under the initial unigram probabilities; M-step = piece-usage
+    counts re-normalized into the next model. All piece costs are
+    integer MICRO-NATS (round(1e6·ln(T/cnt)) of exact integer
+    counts), so the DP, its argmin tie-break (smallest piece length
+    achieving exact integer equality), and both corpus likelihoods
+    are bit-identical across engines — the integer-pinned
+    likelihood compare: ll1 ≤ ll0 is Gibbs' inequality made
+    auditable (the M-step MLE can only improve the cross-entropy of
+    the fixed segmentation).
+
+    The DP runs entirely inside array HOFs: per word (truncated at
+    {_ULM_MAXW} chars — the bound both engines apply BEFORE
+    grouping), piece costs land in a (pos,len)-keyed map and one
+    `aggregate` fold builds the distance list, a second fold walks
+    the backtrace — no per-position join rounds, no UDF. The oracle
+    runs the same integer DP as recursive CTEs.
+
+    Scale: the corpus collapses ONCE to the word-frequency table
+    (the q383 device); candidates/vocab are |vocab|-grain with a
+    bounded (≤ 26 + {_ULM_TOPV} + punctuationless) piece list that
+    broadcasts by contract; the E-step is map-side per-word compute;
+    the M-step is one explode(≤{_ULM_MAXW} pieces/word) + hash agg.
+    At 100 TB only the word table shuffles — millions of rows, not
+    the corpus.
+    """
+    m = _ulm_model(spark, sf_dir)
+    v0, v1, ll0, ll1 = m["v0"], m["v1"], m["ll0"], m["ll1"]
     return (
         v1.join(v0, "piece")
         .crossJoin(F.broadcast(ll0))
@@ -5815,4 +5834,128 @@ def q432_filter_agreement_matrix(
             "kappa_rp_milli",
         )
         .orderBy("keep_heuristic", "keep_repetition", "keep_perplexity")
+    )
+
+
+# ---- q437: unigram-LM vocabulary pruning round -------------------------
+_Q437_PRUNE_PCT = 40  # prune the lowest-loss X% of used multi-char pieces
+
+
+def _q437_oracle() -> str:
+    return _q424_oracle_ctes() + f"""
+    , multi AS (
+        SELECT v1.piece, v1.cnt1, v1.c1
+        FROM v1 WHERE length(v1.piece) >= 2
+    ),
+    spell AS (
+        SELECT m.piece,
+               CAST(sum(cv1.c1) AS BIGINT) AS spell_micro,
+               CAST(count(*) AS BIGINT) AS n_chars_priced
+        FROM (SELECT piece, unnest(list_transform(
+                  range(1, length(piece) + 1), i -> piece[i]))
+                  AS ch FROM multi) m
+        JOIN v1 cv1 ON cv1.piece = m.ch
+        GROUP BY m.piece
+    ),
+    loss AS (
+        SELECT m.piece, m.cnt1, m.c1, s.spell_micro,
+               m.cnt1 * (s.spell_micro - m.c1) AS loss_micro
+        FROM multi m JOIN spell s USING (piece)
+        WHERE s.n_chars_priced = length(m.piece)
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY loss_micro, piece) AS rn,
+               count(*) OVER () AS nm
+        FROM loss
+    )
+    SELECT piece, cnt1, c1 AS cost1_micro, spell_micro, loss_micro,
+           rn <= nm * {_Q437_PRUNE_PCT} // 100 AS pruned,
+           CAST(nm AS BIGINT) AS n_multi_priced,
+           CAST(nm * {_Q437_PRUNE_PCT} // 100 AS BIGINT) AS n_pruned
+    FROM ranked
+    ORDER BY loss_micro DESC, piece
+    LIMIT 25
+    """
+
+
+@register("q437_unigram_lm_prune", oracle=_q437_oracle())
+def q437_unigram_lm_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIGRAM-LM vocabulary PRUNING — the other half of the
+    SentencePiece EM loop (q424 fits; this shrinks): every USED
+    multi-char piece is priced by its likelihood LOSS if removed,
+    upper-bounded by the character spell-out — loss(s) = cnt1(s) ·
+    (Σ_{{c∈s}} cost1(c) − cost1(s)) in exact integer micro-nats
+    (the optimal re-segmentation can only beat spelling by chars,
+    so the bound is sound and monotone in what pruning actually
+    costs). The bottom {_Q437_PRUNE_PCT}% by loss are marked pruned
+    (integer order-statistic cut, deterministic tie-break) — the
+    SentencePiece shrink step with its per-piece evidence in-row.
+    Pieces whose characters aren't all in the fitted model are
+    excluded identically in both engines (a char never used by any
+    Viterbi path has no next-model cost).
+
+    Scale: everything after q424's machinery lives at the bounded
+    vocab grain (≤{_ULM_TOPV} multi-char pieces × ≤{_ULM_MAXP}
+    chars); the loss join and the percentile cut shuffle hundreds
+    of rows, not the corpus.
+    """
+    m = _ulm_model(spark, sf_dir)
+    v1 = m["v1"]
+    multi = v1.filter(F.length("piece") >= 2).select(
+        "piece", "cnt1", "c1"
+    )
+    chars = multi.select(
+        "piece",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(piece)),"
+                " i -> substr(piece, i, 1))"
+            )
+        ).alias("ch"),
+    )
+    cv1 = v1.select(F.col("piece").alias("ch"), F.col("c1").alias("cc1"))
+    spell = (
+        chars.join(cv1, "ch")
+        .groupBy("piece")
+        .agg(
+            F.sum("cc1").cast("long").alias("spell_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_chars_priced"),
+        )
+    )
+    loss = (
+        multi.join(spell, "piece")
+        .filter(F.col("n_chars_priced") == F.length("piece"))
+        .select(
+            "piece",
+            "cnt1",
+            "c1",
+            "spell_micro",
+            (F.col("cnt1") * (F.col("spell_micro") - F.col("c1"))).alias(
+                "loss_micro"
+            ),
+        )
+    )
+    wr = Window.orderBy("loss_micro", "piece")
+    ranked = loss.select(
+        "*",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nm"),
+    )
+    return (
+        ranked.select(
+            "piece",
+            "cnt1",
+            F.col("c1").alias("cost1_micro"),
+            "spell_micro",
+            "loss_micro",
+            F.expr(f"rn <= nm * {_Q437_PRUNE_PCT} div 100").alias(
+                "pruned"
+            ),
+            F.col("nm").cast("long").alias("n_multi_priced"),
+            F.expr(f"CAST(nm * {_Q437_PRUNE_PCT} div 100 AS BIGINT)").alias(
+                "n_pruned"
+            ),
+        )
+        .orderBy(F.desc("loss_micro"), "piece")
+        .limit(25)
     )

@@ -5490,3 +5490,26 @@ def test_q435_sink_manifest_protocol(spark, qs, tmp_path):
     m3 = w.write(iter([_Row(a=9)]))
     w.abort([m3])
     assert not os.path.exists(m3.path)
+
+
+def test_q437_prune_marks_lowest_loss(spark, qs):
+    """Prune accounting: exactly n_pruned pieces are marked, they
+    are the minimal-loss ones, and every priced piece's spell-out
+    bound is coherent (loss = cnt1 · (spell − cost1))."""
+    rows = qs["q437_unigram_lm_prune"](spark, SF_DIR).collect()
+    assert rows
+    n_pruned = rows[0]["n_pruned"]
+    nm = rows[0]["n_multi_priced"]
+    assert n_pruned == nm * 40 // 100
+    marked = [r for r in rows if r["pruned"]]
+    if marked:  # top-25 cut may hide the low-loss tail
+        max_pruned = max(r["loss_micro"] for r in marked)
+        kept_min = min(
+            (r["loss_micro"] for r in rows if not r["pruned"]),
+            default=None,
+        )
+        assert kept_min is None or max_pruned <= kept_min
+    for r in rows:
+        assert r["loss_micro"] == r["cnt1"] * (
+            r["spell_micro"] - r["cost1_micro"]
+        )
