@@ -11794,3 +11794,160 @@ def q435_python_datasource_sink(
         return res.localCheckpoint(eager=True)
     finally:
         _shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# ---- q438: differential-privacy release-budget accountant --------------
+_Q438_EPS_TOTAL_MICRO = 1_000_000   # ε = 1.0 across the workload
+_Q438_CLIP = 500                    # value clip for the sum release
+# (release, grain sql is engine-specific; sensitivity of one event row)
+_Q438_RELEASES = (
+    ("count_by_type", 1),
+    ("count_by_day", 1),
+    ("clipped_sum_by_type", _Q438_CLIP),
+)
+
+
+@register(
+    "q438_dp_budget_accountant",
+    oracle=f"""
+    WITH cells AS (
+        SELECT 'count_by_type' AS release,
+               CAST(min(c) AS BIGINT) AS min_cell
+        FROM (SELECT count(*) AS c FROM events GROUP BY event_type)
+        UNION ALL
+        SELECT 'count_by_day',
+               CAST(min(c) AS BIGINT)
+        FROM (SELECT count(*) AS c FROM events GROUP BY CAST(ts AS DATE))
+        UNION ALL
+        SELECT 'clipped_sum_by_type',
+               CAST(min(s) AS BIGINT)
+        FROM (SELECT CAST(round(sum(least(coalesce(value, 0),
+                                          {_Q438_CLIP}))) AS BIGINT) AS s
+              FROM events GROUP BY event_type)
+    ),
+    sens AS (
+        SELECT * FROM (VALUES
+            ('count_by_type', CAST(1 AS BIGINT)),
+            ('count_by_day', CAST(1 AS BIGINT)),
+            ('clipped_sum_by_type', CAST({_Q438_CLIP} AS BIGINT))
+        ) AS t(release, sensitivity)
+    ),
+    tot AS (SELECT CAST(sum(sensitivity) AS BIGINT) AS st,
+                   CAST(count(*) AS BIGINT) AS k FROM sens),
+    pol AS (
+        SELECT s.release, s.sensitivity, 'equal_split' AS policy,
+               CAST({_Q438_EPS_TOTAL_MICRO} // tot.k AS BIGINT)
+                   AS eps_micro
+        FROM sens s, tot
+        UNION ALL
+        SELECT s.release, s.sensitivity, 'sensitivity_weighted',
+               CAST({_Q438_EPS_TOTAL_MICRO} * s.sensitivity // tot.st
+                    AS BIGINT)
+        FROM sens s, tot
+    )
+    SELECT p.release, p.policy, p.sensitivity, p.eps_micro,
+           CAST(round(1000000.0 * p.sensitivity
+                      / (p.eps_micro / 1000000.0)) AS BIGINT)
+               AS lap_scale_micro,
+           c.min_cell,
+           round(100.0 * (p.sensitivity / (p.eps_micro / 1000000.0))
+                 / c.min_cell, 2) AS worst_rel_err_pct,
+           100.0 * (p.sensitivity / (p.eps_micro / 1000000.0))
+               / c.min_cell <= 10.0 AS usable
+    FROM pol p JOIN cells c USING (release)
+    ORDER BY p.release, p.policy
+    """,
+)
+def q438_dp_budget_accountant(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DIFFERENTIAL-PRIVACY budget accountant — the pre-release
+    arithmetic a corpus-statistics endpoint runs BEFORE adding
+    noise: a workload of three releases over events (counts by
+    type, counts by day, value sums clipped at {_Q438_CLIP} — the
+    clip IS the sum's L1 sensitivity) under sequential composition
+    of a total ε = 1, split two ways (equal, and
+    sensitivity-weighted — which equalizes the Laplace scales).
+    For each (release, policy): the Laplace scale b = Δ/ε
+    (micro-pinned), the workload's SMALLEST true cell (from data —
+    the cell noise hurts most), the worst-case expected relative
+    error b/min_cell, and the ≤10% usable verdict. This is the
+    deterministic half of DP — the noise itself is sampled at
+    serving time; what the engine owns is the sensitivity/budget
+    algebra and the utility triage, which is exactly what this row
+    pins. Completes the governance family: q393 audits
+    k-anonymity/t-closeness of microdata, this prices the noisy-
+    aggregate alternative.
+
+    Scale: three bounded-grain rollups (|types|, |days|) reduced to
+    min-cells, then pure arithmetic on a 3×2 literal workload.
+    """
+    e = load(spark, sf_dir, "events")
+    c1 = (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.min("c").cast("long").alias("min_cell"))
+        .select(F.lit("count_by_type").alias("release"), "min_cell")
+    )
+    c2 = (
+        e.groupBy(F.col("ts").cast("date"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.min("c").cast("long").alias("min_cell"))
+        .select(F.lit("count_by_day").alias("release"), "min_cell")
+    )
+    c3 = (
+        e.groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(
+                    F.least(
+                        F.coalesce(F.col("value"), F.lit(0.0)),
+                        F.lit(float(_Q438_CLIP)),
+                    )
+                )
+            )
+            .cast("long")
+            .alias("s")
+        )
+        .agg(F.min("s").cast("long").alias("min_cell"))
+        .select(
+            F.lit("clipped_sum_by_type").alias("release"), "min_cell"
+        )
+    )
+    cells = c1.unionByName(c2).unionByName(c3)
+    sens = spark.createDataFrame(
+        list(_Q438_RELEASES), "release string, sensitivity long"
+    )
+    st = sum(s for _, s in _Q438_RELEASES)
+    k = len(_Q438_RELEASES)
+    pol = sens.selectExpr(
+        "release",
+        "sensitivity",
+        "'equal_split' AS policy",
+        f"CAST({_Q438_EPS_TOTAL_MICRO} div {k} AS BIGINT) AS eps_micro",
+    ).unionByName(
+        sens.selectExpr(
+            "release",
+            "sensitivity",
+            "'sensitivity_weighted' AS policy",
+            f"CAST({_Q438_EPS_TOTAL_MICRO} * sensitivity div {st}"
+            " AS BIGINT) AS eps_micro",
+        )
+    )
+    b = F.col("sensitivity") / (F.col("eps_micro") / 1000000.0)
+    return (
+        pol.join(F.broadcast(cells), "release")
+        .select(
+            "release",
+            "policy",
+            "sensitivity",
+            "eps_micro",
+            F.round(1000000.0 * b).cast("long").alias("lap_scale_micro"),
+            "min_cell",
+            F.round(100.0 * b / F.col("min_cell"), 2).alias(
+                "worst_rel_err_pct"
+            ),
+            (100.0 * b / F.col("min_cell") <= 10.0).alias("usable"),
+        )
+        .orderBy("release", "policy")
+    )

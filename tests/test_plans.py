@@ -5513,3 +5513,25 @@ def test_q437_prune_marks_lowest_loss(spark, qs):
         assert r["loss_micro"] == r["cnt1"] * (
             r["spell_micro"] - r["cost1_micro"]
         )
+
+
+def test_q438_dp_accounting_identities(spark, qs):
+    """Composition: per-policy ε sums to the total (up to integer
+    division); sensitivity-weighted scales are all equal; equal-split
+    scales are proportional to sensitivity."""
+    rows = qs["q438_dp_budget_accountant"](spark, SF_DIR).collect()
+    by_pol = {}
+    for r in rows:
+        by_pol.setdefault(r["policy"], []).append(r)
+    for pol, rs in by_pol.items():
+        assert sum(r["eps_micro"] for r in rs) <= 1_000_000
+        assert sum(r["eps_micro"] for r in rs) >= 1_000_000 - 3
+    sw = by_pol["sensitivity_weighted"]
+    scales = [r["lap_scale_micro"] for r in sw]
+    # equalized up to the integer floor in the ε split
+    assert max(scales) - min(scales) <= max(scales) // 1000
+    eq = {r["release"]: r for r in by_pol["equal_split"]}
+    assert (
+        eq["clipped_sum_by_type"]["lap_scale_micro"]
+        == 500 * eq["count_by_type"]["lap_scale_micro"]
+    )
