@@ -5167,7 +5167,9 @@ def _q410_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("xent_micro"),
         )
     )
-    return per_doc
+    # every caller consumes per_doc at least twice (cutoff + final
+    # pass); checkpoint so the bigram-model join materializes once
+    return per_doc.localCheckpoint()
 
 
 @register(

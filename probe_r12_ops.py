@@ -14,8 +14,14 @@ Probed (the round's scale-sensitive additions):
 - q427 sequence packing    bounded-shard applyInPandas fold
 - q428 Bradley-Terry       (user x type) duels -> 25-cell MM
 - q429 interleave audit    corpus hash-order window + runs test
-- q426 is probed at gate SF only (stream restarts dominate wall,
-  the q386/q395 exemption)
+- q430 FFD packing          second fold, same Arrow groups
+- q432 filter agreement     3 filters + |bigram-vocab| LM join
+- q433 layout advisor       one scan, 12-cell conditional aggs
+- q437 unigram prune        q424 machinery + vocab-grain loss
+- q438 DP accountant        3 bounded rollups + literal workload
+- q426/q431/q436 are probed at gate SF only (stream restarts
+  dominate wall, the q386/q395 exemption); q434/q435 generate
+  their own input (corpus-independent)
 """
 
 from __future__ import annotations
@@ -45,6 +51,11 @@ PROBES = [
     ("q427_sequence_packing_audit", ["documents"]),
     ("q428_bradley_terry_preferences", ["events"]),
     ("q429_shuffle_interleave_audit", ["documents"]),
+    ("q430_ffd_packing_comparison", ["documents"]),
+    ("q432_filter_agreement_matrix", ["documents"]),
+    ("q433_partition_layout_advisor", ["events"]),
+    ("q437_unigram_lm_prune", ["documents"]),
+    ("q438_dp_budget_accountant", ["events"]),
 ]
 
 
