@@ -68,13 +68,29 @@ def exact_dedup(df: DataFrame, cols: Sequence[str], id_col: str) -> DataFrame:
 
 
 def shingles(text: Column, k: int = DEFAULT_SHINGLE) -> Column:
-    """k-token shingles of lowercased text (array<string>)."""
+    """k-token shingles of lowercased text (array<string>).
+
+    The token array is LET-BOUND through a single-element transform
+    (the lambda variable `t`) before the per-shingle lambda touches
+    it: HOFs are CodegenFallback with no CSE, so referencing the
+    split expression directly inside the inner lambda would re-split
+    the text on every element access — O(tokens²·len) per doc, the
+    same trap measured and fixed in operators/text.bigrams (r12
+    ×25 probe). A lambda-variable access is O(1)."""
     toks = F.split(F.lower(F.trim(text)), TOKEN_SPLIT)
-    idx = F.sequence(F.lit(0), F.size(toks) - k)
-    make = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(k)])
+    return F.get(
+        F.transform(
+            F.array(toks),
+            lambda t: F.when(
+                F.size(t) >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - k),
+                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+        0,
     )
-    return F.when(F.size(toks) >= k, make).otherwise(F.array().cast("array<string>"))
 
 
 def base_shingle_hash(s: Column) -> Column:

@@ -287,15 +287,25 @@ def q54_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥0.6, precision 1.0 vs this baseline — tests/test_plans.py);
     q61/q97 are the top-k/assign siblings."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    pert = e.select(
+    # cast staged through a projection: referencing the transform
+    # expression inside the perturbation lambda would re-cast the
+    # whole array per element access (CodegenFallback, no CSE — the
+    # r12 bigrams/shingles lesson at 64x scale)
+    ev = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    vc = F.col("embedding")
+    pert = ev.select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform(
             F.sequence(F.lit(1), F.lit(64)),
-            lambda i: F.when(i <= 4, F.get(ve, i - 1) * 1.5).otherwise(F.get(ve, i - 1)),
+            lambda i: F.when(i <= 4, F.get(vc, i - 1) * 1.5).otherwise(F.get(vc, i - 1)),
         ).alias("embedding"),
     )
-    corpus = e.select("vec_id", ve.alias("embedding")).unionByName(pert)
+    corpus = ev.unionByName(pert)
     return D.embedding_cosine_pairs(corpus, threshold=0.98).orderBy("id_a", "id_b")
 
 
@@ -364,15 +374,25 @@ def q295_embedding_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
     from g_etl_spark.operators import similarity as S
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    pert = e.select(
+    # cast staged through a projection: referencing the transform
+    # expression inside the perturbation lambda would re-cast the
+    # whole array per element access (CodegenFallback, no CSE — the
+    # r12 bigrams/shingles lesson at 64x scale)
+    ev = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    vc = F.col("embedding")
+    pert = ev.select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform(
             F.sequence(F.lit(1), F.lit(64)),
-            lambda i: F.when(i <= 4, F.get(ve, i - 1) * 1.5).otherwise(F.get(ve, i - 1)),
+            lambda i: F.when(i <= 4, F.get(vc, i - 1) * 1.5).otherwise(F.get(vc, i - 1)),
         ).alias("embedding"),
     )
-    corpus = e.select("vec_id", ve.alias("embedding")).unionByName(pert)
+    corpus = ev.unionByName(pert)
     return S.srp_bucket_pairs(corpus, threshold=0.98, n_planes=8, dim=64).orderBy(
         "id_a", "id_b"
     )
@@ -4284,15 +4304,25 @@ def q339_embedding_dedup_multiseed(spark: SparkSession, sf_dir: str) -> DataFram
     from g_etl_spark.operators import similarity as S
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    ve = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    pert = e.select(
+    # cast staged through a projection: referencing the transform
+    # expression inside the perturbation lambda would re-cast the
+    # whole array per element access (CodegenFallback, no CSE — the
+    # r12 bigrams/shingles lesson at 64x scale)
+    ev = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    vc = F.col("embedding")
+    pert = ev.select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform(
             F.sequence(F.lit(1), F.lit(64)),
-            lambda i: F.when(i <= 4, F.get(ve, i - 1) * 1.5).otherwise(F.get(ve, i - 1)),
+            lambda i: F.when(i <= 4, F.get(vc, i - 1) * 1.5).otherwise(F.get(vc, i - 1)),
         ).alias("embedding"),
     )
-    corpus = e.select("vec_id", ve.alias("embedding")).unionByName(pert)
+    corpus = ev.unionByName(pert)
     return S.srp_bucket_pairs(
         corpus, threshold=0.98, n_planes=8, dim=64, n_seeds=2
     ).orderBy("id_a", "id_b")
