@@ -417,7 +417,12 @@ def main() -> None:
         "full_payload_in": "BENCH_LOCAL.json",
     }
     line = json.dumps(compact, separators=(",", ":"))
-    assert len(line) < 1500, f"compact bench line {len(line)} chars (cap 1500)"
+    if len(line) >= 1500:
+        # degrade, never die: a missing final line is exactly the
+        # parsed:null failure this summary exists to prevent
+        compact["queries"] = {}
+        compact["truncated"] = "queries-map-dropped-over-1500-chars"
+        line = json.dumps(compact, separators=(",", ":"))
     sys.stdout.flush()
     print(line)
 

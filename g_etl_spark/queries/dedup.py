@@ -48,6 +48,34 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(exact).unionByName(near)
 
 
+def _perturbed_embedding_corpus(spark, sf_dir: str) -> DataFrame:
+    """Shared q54/q295/q305/q339 fixture builder: the embeddings
+    corpus plus a +100000-id copy with dims 1-4 scaled 1.5× — the
+    planted near-duplicates every embedding-dedup variant detects.
+    The double-cast is staged through a projection: referencing the
+    transform expression inside the perturbation lambda would
+    re-cast the whole array per element access (CodegenFallback, no
+    CSE — the r12 bigrams/shingles lesson at 64× scale)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ev = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    vc = F.col("embedding")
+    pert = ev.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.when(i <= 4, F.get(vc, i - 1) * 1.5).otherwise(
+                F.get(vc, i - 1)
+            ),
+        ).alias("embedding"),
+    )
+    return ev.unionByName(pert)
+
+
 @register(
     "q50_exact_dedup",
     oracle=f"""
@@ -286,26 +314,7 @@ def q54_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q295 (srp_bucket_pairs on this same corpus; measured recall
     ≥0.6, precision 1.0 vs this baseline — tests/test_plans.py);
     q61/q97 are the top-k/assign siblings."""
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # cast staged through a projection: referencing the transform
-    # expression inside the perturbation lambda would re-cast the
-    # whole array per element access (CodegenFallback, no CSE — the
-    # r12 bigrams/shingles lesson at 64x scale)
-    ev = e.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
-            "embedding"
-        ),
-    )
-    vc = F.col("embedding")
-    pert = ev.select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform(
-            F.sequence(F.lit(1), F.lit(64)),
-            lambda i: F.when(i <= 4, F.get(vc, i - 1) * 1.5).otherwise(F.get(vc, i - 1)),
-        ).alias("embedding"),
-    )
-    corpus = ev.unionByName(pert)
+    corpus = _perturbed_embedding_corpus(spark, sf_dir)
     return D.embedding_cosine_pairs(corpus, threshold=0.98).orderBy("id_a", "id_b")
 
 
@@ -373,26 +382,7 @@ def q295_embedding_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     from g_etl_spark.operators import similarity as S
 
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # cast staged through a projection: referencing the transform
-    # expression inside the perturbation lambda would re-cast the
-    # whole array per element access (CodegenFallback, no CSE — the
-    # r12 bigrams/shingles lesson at 64x scale)
-    ev = e.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
-            "embedding"
-        ),
-    )
-    vc = F.col("embedding")
-    pert = ev.select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform(
-            F.sequence(F.lit(1), F.lit(64)),
-            lambda i: F.when(i <= 4, F.get(vc, i - 1) * 1.5).otherwise(F.get(vc, i - 1)),
-        ).alias("embedding"),
-    )
-    corpus = ev.unionByName(pert)
+    corpus = _perturbed_embedding_corpus(spark, sf_dir)
     return S.srp_bucket_pairs(corpus, threshold=0.98, n_planes=8, dim=64).orderBy(
         "id_a", "id_b"
     )
@@ -4303,26 +4293,7 @@ def q339_embedding_dedup_multiseed(spark: SparkSession, sf_dir: str) -> DataFram
     """
     from g_etl_spark.operators import similarity as S
 
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # cast staged through a projection: referencing the transform
-    # expression inside the perturbation lambda would re-cast the
-    # whole array per element access (CodegenFallback, no CSE — the
-    # r12 bigrams/shingles lesson at 64x scale)
-    ev = e.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
-            "embedding"
-        ),
-    )
-    vc = F.col("embedding")
-    pert = ev.select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform(
-            F.sequence(F.lit(1), F.lit(64)),
-            lambda i: F.when(i <= 4, F.get(vc, i - 1) * 1.5).otherwise(F.get(vc, i - 1)),
-        ).alias("embedding"),
-    )
-    corpus = ev.unionByName(pert)
+    corpus = _perturbed_embedding_corpus(spark, sf_dir)
     return S.srp_bucket_pairs(
         corpus, threshold=0.98, n_planes=8, dim=64, n_seeds=2
     ).orderBy("id_a", "id_b")

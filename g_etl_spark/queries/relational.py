@@ -11799,11 +11799,16 @@ def q435_python_datasource_sink(
 # ---- q438: differential-privacy release-budget accountant --------------
 _Q438_EPS_TOTAL_MICRO = 1_000_000   # ε = 1.0 across the workload
 _Q438_CLIP = 500                    # value clip for the sum release
-# (release, grain sql is engine-specific; sensitivity of one event row)
+# (release, L1 sensitivity of one event row). The sum release works
+# in CENTI-units end-to-end (value is 2-dp): the clip is two-sided
+# ([0, 500] — a one-sided clip would leave the sensitivity unbounded
+# below), its sensitivity is 500·100 cents, and the per-cell sums
+# are exact integer cents, so min_cell can never flake on a
+# partial-agg merge-order rounding boundary (r12 review).
 _Q438_RELEASES = (
     ("count_by_type", 1),
     ("count_by_day", 1),
-    ("clipped_sum_by_type", _Q438_CLIP),
+    ("clipped_sum_by_type", _Q438_CLIP * 100),
 )
 
 
@@ -11821,39 +11826,42 @@ _Q438_RELEASES = (
         UNION ALL
         SELECT 'clipped_sum_by_type',
                CAST(min(s) AS BIGINT)
-        FROM (SELECT CAST(round(sum(least(coalesce(value, 0),
-                                          {_Q438_CLIP}))) AS BIGINT) AS s
+        FROM (SELECT CAST(sum(CAST(round(greatest(least(
+                              coalesce(value, 0), {_Q438_CLIP}), 0) * 100)
+                              AS HUGEINT)) AS BIGINT) AS s
               FROM events GROUP BY event_type)
     ),
     sens AS (
         SELECT * FROM (VALUES
             ('count_by_type', CAST(1 AS BIGINT)),
             ('count_by_day', CAST(1 AS BIGINT)),
-            ('clipped_sum_by_type', CAST({_Q438_CLIP} AS BIGINT))
+            ('clipped_sum_by_type', CAST({_Q438_CLIP} * 100 AS BIGINT))
         ) AS t(release, sensitivity)
     ),
     tot AS (SELECT CAST(sum(sensitivity) AS BIGINT) AS st,
                    CAST(count(*) AS BIGINT) AS k FROM sens),
     pol AS (
+        -- bfac = the EXACT Laplace scale b = Δ/ε_i in raw units
+        -- (ε_total = 1.0 exactly): equal split → Δ·k, weighted →
+        -- Σ Δ (constant — the policy's defining equalization, held
+        -- exactly instead of to the floored-ε display precision)
         SELECT s.release, s.sensitivity, 'equal_split' AS policy,
                CAST({_Q438_EPS_TOTAL_MICRO} // tot.k AS BIGINT)
-                   AS eps_micro
+                   AS eps_micro,
+               CAST(s.sensitivity * tot.k AS BIGINT) AS bfac
         FROM sens s, tot
         UNION ALL
         SELECT s.release, s.sensitivity, 'sensitivity_weighted',
                CAST({_Q438_EPS_TOTAL_MICRO} * s.sensitivity // tot.st
-                    AS BIGINT)
+                    AS BIGINT),
+               tot.st
         FROM sens s, tot
     )
     SELECT p.release, p.policy, p.sensitivity, p.eps_micro,
-           CAST(round(1000000.0 * p.sensitivity
-                      / (p.eps_micro / 1000000.0)) AS BIGINT)
-               AS lap_scale_micro,
+           CAST(p.bfac * 1000000 AS BIGINT) AS lap_scale_micro,
            c.min_cell,
-           round(100.0 * (p.sensitivity / (p.eps_micro / 1000000.0))
-                 / c.min_cell, 2) AS worst_rel_err_pct,
-           100.0 * (p.sensitivity / (p.eps_micro / 1000000.0))
-               / c.min_cell <= 10.0 AS usable
+           round(100.0 * p.bfac / c.min_cell, 2) AS worst_rel_err_pct,
+           100.0 * p.bfac / c.min_cell <= 10.0 AS usable
     FROM pol p JOIN cells c USING (release)
     ORDER BY p.release, p.policy
     """,
@@ -11898,13 +11906,17 @@ def q438_dp_budget_accountant(
     c3 = (
         e.groupBy("event_type")
         .agg(
-            F.round(
-                F.sum(
-                    F.least(
-                        F.coalesce(F.col("value"), F.lit(0.0)),
-                        F.lit(float(_Q438_CLIP)),
+            F.sum(
+                F.round(
+                    F.greatest(
+                        F.least(
+                            F.coalesce(F.col("value"), F.lit(0.0)),
+                            F.lit(float(_Q438_CLIP)),
+                        ),
+                        F.lit(0.0),
                     )
-                )
+                    * 100
+                ).cast("decimal(38,0)")
             )
             .cast("long")
             .alias("s")
@@ -11925,6 +11937,7 @@ def q438_dp_budget_accountant(
         "sensitivity",
         "'equal_split' AS policy",
         f"CAST({_Q438_EPS_TOTAL_MICRO} div {k} AS BIGINT) AS eps_micro",
+        f"CAST(sensitivity * {k} AS BIGINT) AS bfac",
     ).unionByName(
         sens.selectExpr(
             "release",
@@ -11932,9 +11945,9 @@ def q438_dp_budget_accountant(
             "'sensitivity_weighted' AS policy",
             f"CAST({_Q438_EPS_TOTAL_MICRO} * sensitivity div {st}"
             " AS BIGINT) AS eps_micro",
+            f"CAST({st} AS BIGINT) AS bfac",
         )
     )
-    b = F.col("sensitivity") / (F.col("eps_micro") / 1000000.0)
     return (
         pol.join(F.broadcast(cells), "release")
         .select(
@@ -11942,12 +11955,16 @@ def q438_dp_budget_accountant(
             "policy",
             "sensitivity",
             "eps_micro",
-            F.round(1000000.0 * b).cast("long").alias("lap_scale_micro"),
+            (F.col("bfac") * 1000000).cast("long").alias(
+                "lap_scale_micro"
+            ),
             "min_cell",
-            F.round(100.0 * b / F.col("min_cell"), 2).alias(
+            F.round(100.0 * F.col("bfac") / F.col("min_cell"), 2).alias(
                 "worst_rel_err_pct"
             ),
-            (100.0 * b / F.col("min_cell") <= 10.0).alias("usable"),
+            (100.0 * F.col("bfac") / F.col("min_cell") <= 10.0).alias(
+                "usable"
+            ),
         )
         .orderBy("release", "policy")
     )

@@ -1036,6 +1036,21 @@ _PACK_C = 512          # context length (tokens)
 _PACK_SHARD = 512      # docs per packing shard (bounds group state)
 
 
+def _greedy_pack_bins(lengths) -> int:
+    """q427/q430's shared order-preserving greedy fold: close the
+    open context when the next doc would cross it (state = two
+    integers)."""
+    bins, loadv = 0, _PACK_C + 1
+    for ln in lengths:
+        ln = int(ln)
+        if loadv + ln > _PACK_C:
+            bins += 1
+            loadv = ln
+        else:
+            loadv += ln
+    return bins
+
+
 @register(
     "q427_sequence_packing_audit",
     oracle=f"""
@@ -1135,21 +1150,13 @@ def q427_sequence_packing_audit(
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
-        bins, loadv = 0, _PACK_C + 1
-        for ln in pdf["len_eff"]:
-            ln = int(ln)
-            if loadv + ln > _PACK_C:
-                bins += 1
-                loadv = ln
-            else:
-                loadv += ln
         return pd.DataFrame(
             [
                 {
                     "source": pdf["source"].iloc[0],
                     "shard": int(pdf["shard"].iloc[0]),
                     "n_docs": len(pdf),
-                    "n_bins": bins,
+                    "n_bins": _greedy_pack_bins(pdf["len_eff"]),
                     "toks": int(pdf["len_eff"].sum()),
                 }
             ]
@@ -1211,8 +1218,10 @@ def q427_sequence_packing_audit(
     g AS (
         SELECT CAST(sum(n_docs) AS BIGINT) AS n,
                CAST(sum(n_runs_src) AS BIGINT) AS r,
-               CAST(sum(n_docs * n_docs) AS HUGEINT) AS s2,
-               CAST(sum(n_docs * n_docs * n_docs) AS HUGEINT) AS s3
+               CAST(sum(CAST(n_docs AS HUGEINT) * n_docs) AS HUGEINT)
+                   AS s2,
+               CAST(sum(CAST(n_docs AS HUGEINT) * n_docs * n_docs)
+                    AS HUGEINT) AS s3
         FROM per_src
     ),
     z AS (
@@ -1287,12 +1296,12 @@ def q429_shuffle_interleave_audit(
         F.sum("n_docs").cast("long").alias("n"),
         F.sum("n_runs_src").cast("long").alias("r"),
         F.sum(
-            (F.col("n_docs") * F.col("n_docs")).cast("decimal(38,0)")
+            F.col("n_docs").cast("decimal(38,0)") * F.col("n_docs")
         ).alias("s2"),
         F.sum(
-            (
-                F.col("n_docs") * F.col("n_docs") * F.col("n_docs")
-            ).cast("decimal(38,0)")
+            F.col("n_docs").cast("decimal(38,0)")
+            * F.col("n_docs")
+            * F.col("n_docs")
         ).alias("s3"),
     )
     z = g.select(
@@ -1432,7 +1441,10 @@ def q430_ffd_packing_comparison(
     preserving document order COST? The trade is real: greedy keeps
     curriculum/position structure, FFD shuffles docs within the
     shard for tighter packing; bins_saved is the price tag per
-    source. Both folds run in the SAME Arrow batch per shard (one
+    source. (FFD's guarantee is vs OPT, not vs next-fit — an
+    adversarial document ORDER can let the order-preserving greedy
+    beat FFD, so bins_saved is measured, not assumed non-negative;
+    on natural length distributions FFD wins or ties.) Both folds run in the SAME Arrow batch per shard (one
     applyInPandas, two accumulators) and the oracle replays both as
     recursive CTEs — the FFD recursion carries the load list and
     does the first-fit probe with a list_filter, so a wrong
@@ -1459,14 +1471,7 @@ def q430_ffd_packing_comparison(
 
     def _pack2(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
-        bins_g, loadv = 0, _PACK_C + 1
-        for ln in pdf["len_eff"]:
-            ln = int(ln)
-            if loadv + ln > _PACK_C:
-                bins_g += 1
-                loadv = ln
-            else:
-                loadv += ln
+        bins_g = _greedy_pack_bins(pdf["len_eff"])
         loads: list[int] = []
         ffd = pdf.sort_values(
             ["len_eff", "doc_id"], ascending=[False, True]

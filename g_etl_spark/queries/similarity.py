@@ -1753,26 +1753,9 @@ def q305_mutual_nearest_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame
     three shuffles, all key-bounded. Multi-probe (several plane
     seeds) raises recall at constant asymptotics.
     """
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # cast staged through a projection: referencing the transform
-    # expression inside the perturbation lambda would re-cast the
-    # whole array per element access (CodegenFallback, no CSE — the
-    # r12 bigrams/shingles lesson at 64x scale)
-    ev = e.select(
-        "vec_id",
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
-            "embedding"
-        ),
-    )
-    vc = F.col("embedding")
-    pert = ev.select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform(
-            F.sequence(F.lit(1), F.lit(64)),
-            lambda i: F.when(i <= 4, F.get(vc, i - 1) * 1.5).otherwise(F.get(vc, i - 1)),
-        ).alias("embedding"),
-    )
-    corpus = ev.unionByName(pert)
+    from g_etl_spark.queries.dedup import _perturbed_embedding_corpus
+
+    corpus = _perturbed_embedding_corpus(spark, sf_dir)
     planes = S.random_hyperplanes(8, 64)
     n = corpus.select(
         "vec_id",

@@ -1306,6 +1306,84 @@ def q416_stream_left_outer_timing(
         shutil.rmtree(sink, ignore_errors=True)
 
 
+def _progress_wm_us(q) -> int:
+    """Engine-reported watermark of a finished run's last progress,
+    in µs (ms-granular — watermarks are ms in the engine; 0 when the
+    watermark never advanced). Shared by q426/q431."""
+    from datetime import datetime, timezone
+
+    lp = q.lastProgress
+    iso = (lp or {}).get("eventTime", {}).get("watermark")
+    if not iso:
+        return 0
+    dt = datetime.strptime(iso, "%Y-%m-%dT%H:%M:%S.%fZ").replace(
+        tzinfo=timezone.utc
+    )
+    return int(dt.timestamp() * 1000) * 1000
+
+
+def _fanin_chunked(events):
+    """q370/q426/q431's shared per-source arrival chunking."""
+    ak = F.unix_micros("ts") + F.when(
+        F.col("event_type") == "click",
+        (F.col("event_id") % 89) * _FANIN_JIT_A_US,
+    ).otherwise((F.col("event_id") % 797) * _FANIN_JIT_B_US)
+    return events.select(
+        "event_id", "event_type", "ts",
+        F.ntile(_FANIN_CHUNKS)
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                ak.asc(), F.col("event_id")
+            )
+        )
+        .alias("k"),
+    )
+
+
+def _fanin_restart(spark, chunked, k, src_a, src_b, sink, ckpt, tag):
+    """Stage chunk k's files for both sources and run one
+    availableNow restart of the fan-in union rollup against the
+    shared checkpoint; returns the finished StreamingQuery (q426
+    reads its watermark, q431 its state metrics)."""
+    schema = "event_id long, ts timestamp"
+    for etype, src in (("click", src_a), ("purchase", src_b)):
+        chunked.where(
+            (F.col("k") == k) & (F.col("event_type") == etype)
+        ).select("event_id", "ts").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    sa = (
+        sp.read_parquet_stream(
+            spark, src_a, schema=schema, max_files_per_trigger=10_000
+        )
+        .withWatermark("ts", "1 hour")
+        .withColumn("source", F.lit("click"))
+    )
+    sb = (
+        sp.read_parquet_stream(
+            spark, src_b, schema=schema, max_files_per_trigger=10_000
+        )
+        .withWatermark("ts", "12 hours")
+        .withColumn("source", F.lit("purchase"))
+    )
+    q = (
+        sa.unionByName(sb)
+        .groupBy(F.window("ts", "6 hours").alias("w"), "source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        q.awaitTermination(30)
+        raise RuntimeError(f"{tag} stream did not finish in 300s")
+    return q
+
+
 # ---- q426: the watermark TRAJECTORY itself, hash-gated -----------------
 _TRAJ_DELAY_A_MS = 3_600_000          # clicks: 1-hour watermark
 _TRAJ_DELAY_B_MS = 43_200_000         # purchases: 12-hour watermark
@@ -1399,83 +1477,24 @@ def q426_stream_watermark_trajectory(
     restart — timeline-grain, corpus-independent (the |days|-rollup
     boundedness class).
     """
-    from datetime import datetime, timezone
-
     events = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
     )
-    ak = F.unix_micros("ts") + F.when(
-        F.col("event_type") == "click",
-        (F.col("event_id") % 89) * _FANIN_JIT_A_US,
-    ).otherwise((F.col("event_id") % 797) * _FANIN_JIT_B_US)
-    chunked = events.select(
-        "event_id", "event_type", "ts",
-        F.ntile(_FANIN_CHUNKS)
-        .over(
-            Window.partitionBy("event_type").orderBy(
-                ak.asc(), F.col("event_id")
-            )
-        )
-        .alias("k"),
-    )
+    chunked = _fanin_chunked(events)
     run = next(_RUN_IDS)
     src_a = tempfile.mkdtemp(prefix=f"g_etl_traj_a_{run}_")
     src_b = tempfile.mkdtemp(prefix=f"g_etl_traj_b_{run}_")
     ckpt = tempfile.mkdtemp(prefix=f"g_etl_traj_ckpt_{run}_")
     sink = tempfile.mkdtemp(prefix=f"g_etl_traj_sink_{run}_")
-    schema = "event_id long, ts timestamp"
-
-    def _wm_us(q) -> int:
-        lp = q.lastProgress
-        iso = (lp or {}).get("eventTime", {}).get("watermark")
-        if not iso:
-            return 0
-        dt = datetime.strptime(iso, "%Y-%m-%dT%H:%M:%S.%fZ").replace(
-            tzinfo=timezone.utc
-        )
-        return int(dt.timestamp() * 1000) * 1000
-
     try:
         wm_after: dict[int, int] = {}
         emitted_at: dict[tuple[int, str], int] = {}
         seen: set[tuple[int, str]] = set()
         for k in range(1, _FANIN_CHUNKS + 1):
-            for etype, src in (("click", src_a), ("purchase", src_b)):
-                chunked.where(
-                    (F.col("k") == k) & (F.col("event_type") == etype)
-                ).select("event_id", "ts").coalesce(1).write.mode(
-                    "append"
-                ).parquet(src)
-            sa = (
-                sp.read_parquet_stream(
-                    spark, src_a, schema=schema, max_files_per_trigger=10_000
-                )
-                .withWatermark("ts", "1 hour")
-                .withColumn("source", F.lit("click"))
+            q = _fanin_restart(
+                spark, chunked, k, src_a, src_b, sink, ckpt, "trajectory"
             )
-            sb = (
-                sp.read_parquet_stream(
-                    spark, src_b, schema=schema, max_files_per_trigger=10_000
-                )
-                .withWatermark("ts", "12 hours")
-                .withColumn("source", F.lit("purchase"))
-            )
-            q = (
-                sa.unionByName(sb)
-                .groupBy(F.window("ts", "6 hours").alias("w"), "source")
-                .agg(F.count(F.lit(1)).alias("n_kept"))
-                .writeStream.outputMode("append")
-                .format("parquet")
-                .option("path", sink)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            if not q.awaitTermination(300):
-                q.stop()
-                q.awaitTermination(30)
-                raise RuntimeError("trajectory stream did not finish in 300s")
-            wm_after[k] = _wm_us(q)
+            wm_after[k] = _progress_wm_us(q)
             cur = {
                 (r["ws"], r["source"])
                 for r in spark.read.parquet(sink)
@@ -1623,77 +1642,18 @@ def q431_stream_state_capacity(
     events = load(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
     )
-    ak = F.unix_micros("ts") + F.when(
-        F.col("event_type") == "click",
-        (F.col("event_id") % 89) * _FANIN_JIT_A_US,
-    ).otherwise((F.col("event_id") % 797) * _FANIN_JIT_B_US)
-    chunked = events.select(
-        "event_id", "event_type", "ts",
-        F.ntile(_FANIN_CHUNKS)
-        .over(
-            Window.partitionBy("event_type").orderBy(
-                ak.asc(), F.col("event_id")
-            )
-        )
-        .alias("k"),
-    )
+    chunked = _fanin_chunked(events)
     run = next(_RUN_IDS)
     src_a = tempfile.mkdtemp(prefix=f"g_etl_cap_a_{run}_")
     src_b = tempfile.mkdtemp(prefix=f"g_etl_cap_b_{run}_")
     ckpt = tempfile.mkdtemp(prefix=f"g_etl_cap_ckpt_{run}_")
     sink = tempfile.mkdtemp(prefix=f"g_etl_cap_sink_{run}_")
-    schema = "event_id long, ts timestamp"
-
-    def _wm_us(q) -> int:
-        from datetime import datetime, timezone
-
-        lp = q.lastProgress
-        iso = (lp or {}).get("eventTime", {}).get("watermark")
-        if not iso:
-            return 0
-        dt = datetime.strptime(iso, "%Y-%m-%dT%H:%M:%S.%fZ").replace(
-            tzinfo=timezone.utc
-        )
-        return int(dt.timestamp() * 1000) * 1000
-
     try:
         metrics = []
         for k in range(1, _FANIN_CHUNKS + 1):
-            for etype, src in (("click", src_a), ("purchase", src_b)):
-                chunked.where(
-                    (F.col("k") == k) & (F.col("event_type") == etype)
-                ).select("event_id", "ts").coalesce(1).write.mode(
-                    "append"
-                ).parquet(src)
-            sa = (
-                sp.read_parquet_stream(
-                    spark, src_a, schema=schema, max_files_per_trigger=10_000
-                )
-                .withWatermark("ts", "1 hour")
-                .withColumn("source", F.lit("click"))
+            q = _fanin_restart(
+                spark, chunked, k, src_a, src_b, sink, ckpt, "capacity"
             )
-            sb = (
-                sp.read_parquet_stream(
-                    spark, src_b, schema=schema, max_files_per_trigger=10_000
-                )
-                .withWatermark("ts", "12 hours")
-                .withColumn("source", F.lit("purchase"))
-            )
-            q = (
-                sa.unionByName(sb)
-                .groupBy(F.window("ts", "6 hours").alias("w"), "source")
-                .agg(F.count(F.lit(1)).alias("n_kept"))
-                .writeStream.outputMode("append")
-                .format("parquet")
-                .option("path", sink)
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            if not q.awaitTermination(300):
-                q.stop()
-                q.awaitTermination(30)
-                raise RuntimeError("capacity stream did not finish in 300s")
             prog = q.recentProgress
             rows_tot = [
                 (p.get("stateOperators") or [{}])[0].get("numRowsTotal", 0)
@@ -1708,7 +1668,7 @@ def q431_stream_state_capacity(
             metrics.append(
                 (
                     k,
-                    _wm_us(q),
+                    _progress_wm_us(q),
                     max(rows_tot) if rows_tot else 0,
                     removed,
                     rows_tot[-1] if rows_tot else 0,

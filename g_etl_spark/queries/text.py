@@ -5753,6 +5753,9 @@ def q432_filter_agreement_matrix(
     """
     d = load(spark, sf_dir, "documents")
     toks = T.tokens(F.col("text"))
+    # gram array staged through a projection: dup_ratio_of consumes
+    # it three times (q59's documented discipline — CodegenFallback
+    # HOFs get no CSE)
     hflag = d.select(
         "doc_id",
         (
@@ -5760,12 +5763,16 @@ def q432_filter_agreement_matrix(
             & (T.stopword_ratio(F.col("text")) <= 0.6)
             & (T.quality_score(F.col("text")) >= 0.55)
         ).alias("keep_h"),
-        (
-            F.when(
-                F.size(toks) >= 2,
-                T.dup_ratio_of(T.bigrams(F.col("text"))) <= 0.05,
-            ).otherwise(F.lit(True))
-        ).alias("keep_r"),
+        F.size(toks).alias("_nt"),
+        T.bigrams(F.col("text")).alias("_grams"),
+    ).select(
+        "doc_id",
+        "keep_h",
+        F.when(
+            F.col("_nt") >= 2, T.dup_ratio_of(F.col("_grams")) <= 0.05
+        )
+        .otherwise(F.lit(True))
+        .alias("keep_r"),
     )
     per_doc = _q410_per_doc(spark, sf_dir)
     wn = Window.orderBy("xent_micro", "doc_id")

@@ -5358,19 +5358,20 @@ def test_q429_runs_test_sane(spark, qs):
     assert abs(rows[0]["z_milli"]) < 3000  # |z| < 3 on a real shuffle
 
 
-def test_q430_ffd_never_worse(spark, qs):
-    """FFD can only match or beat the order-preserving greedy on
-    every source (same items, same capacity), and both sides obey
-    the perfect-packing lower bound."""
-    import math
-
-    C = 512
+def test_q430_ffd_comparison_identities(spark, qs):
+    """Identities that hold regardless of which packer wins (FFD's
+    guarantee is vs OPT, not vs next-fit, so per-source dominance is
+    NOT asserted): bins_saved arithmetic, utilization coherence with
+    the bin counts, and the fixture-level expectation that FFD does
+    not lose in aggregate on a natural length distribution."""
     rows = qs["q430_ffd_packing_comparison"](spark, SF_DIR).collect()
     assert rows
     for r in rows:
-        assert r["n_bins_ffd"] <= r["n_bins_greedy"]
         assert r["bins_saved"] == r["n_bins_greedy"] - r["n_bins_ffd"]
-        assert r["util_ffd_pct"] >= r["util_greedy_pct"]
+        assert (r["util_ffd_pct"] >= r["util_greedy_pct"]) == (
+            r["n_bins_ffd"] <= r["n_bins_greedy"]
+        )
+    assert sum(r["bins_saved"] for r in rows) >= 0
 
 
 def test_q431_state_identities(spark, qs):
@@ -5528,10 +5529,11 @@ def test_q438_dp_accounting_identities(spark, qs):
         assert sum(r["eps_micro"] for r in rs) >= 1_000_000 - 3
     sw = by_pol["sensitivity_weighted"]
     scales = [r["lap_scale_micro"] for r in sw]
-    # equalized up to the integer floor in the ε split
-    assert max(scales) - min(scales) <= max(scales) // 1000
+    # exact equalization: scales come from the rational split, not
+    # the floored-ε display value
+    assert len(set(scales)) == 1
     eq = {r["release"]: r for r in by_pol["equal_split"]}
     assert (
         eq["clipped_sum_by_type"]["lap_scale_micro"]
-        == 500 * eq["count_by_type"]["lap_scale_micro"]
+        == 500 * 100 * eq["count_by_type"]["lap_scale_micro"]
     )
