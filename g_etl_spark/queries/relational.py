@@ -11968,3 +11968,109 @@ def q438_dp_budget_accountant(
         )
         .orderBy("release", "policy")
     )
+
+
+# ---- q440: group-relative advantage normalization (GRPO shape) ---------
+@register(
+    "q440_group_relative_advantage",
+    oracle="""
+    WITH r AS (
+        SELECT event_id, user_id,
+               CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(vc) AS HUGEINT) AS s,
+               CAST(sum(CAST(vc AS HUGEINT) * vc) AS HUGEINT) AS ss
+        FROM r GROUP BY user_id
+    ),
+    stats AS (
+        SELECT user_id, n,
+               s / (100.0 * n) AS mean,
+               ss / 10000.0 / n - (s / (100.0 * n)) * (s / (100.0 * n))
+                   AS var
+        FROM g WHERE n >= 2
+    ),
+    adv AS (
+        SELECT r.event_id, r.user_id, r.vc, st.n,
+               CAST(round(1000000 * st.mean) AS BIGINT) AS mean_micro,
+               CAST(round(1000000 * sqrt(st.var)) AS BIGINT) AS std_micro,
+               CAST(round(1000 * (r.vc / 100.0 - st.mean)
+                          / sqrt(st.var)) AS BIGINT) AS advantage_milli
+        FROM r JOIN stats st USING (user_id)
+        WHERE st.var > 0
+    )
+    SELECT event_id, user_id, vc AS value_centi, n AS group_n,
+           mean_micro, std_micro, advantage_milli
+    FROM adv
+    ORDER BY abs(advantage_milli) DESC, event_id
+    LIMIT 20
+    """,
+)
+def q440_group_relative_advantage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GROUP-RELATIVE advantage normalization — the GRPO/RLOO reward
+    shape: each sample's reward is z-scored WITHIN ITS PROMPT GROUP
+    (user here), advantage = (r − mean_g)/std_g, killing the
+    per-prompt reward offset without a learned value baseline. The
+    registry shape matters at corpus scale: one combining pass to
+    |groups| exact integer moments (centi-unit sums, HUGEINT/decimal
+    squares — the overflow discipline), one broadcast-eligible join
+    back, map-side arithmetic — no window over the corpus, no
+    second scan. Moments are exact integers so mean/var/z are
+    bit-identical cross-engine (milli-pinned); degenerate groups
+    (n < 2 or zero variance) are excluded by the same integer-exact
+    predicate in both engines. Emits the 20 largest |advantages| —
+    the outlier samples a reward-hacking review reads first.
+
+    Completes the preference family: q428 fits inter-ITEM strengths
+    from duels; this normalizes intra-GROUP rewards for the policy
+    gradient.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    r = e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    g = r.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("vc").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("vc").cast("decimal(38,0)") * F.col("vc")
+        ).alias("ss"),
+    )
+    mean = F.col("s") / (100.0 * F.col("n"))
+    stats = g.filter(F.col("n") >= 2).select(
+        "user_id",
+        "n",
+        mean.alias("mean"),
+        (F.col("ss") / 10000.0 / F.col("n") - mean * mean).alias("var"),
+    )
+    return (
+        r.join(stats, "user_id")
+        .filter(F.col("var") > 0)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("vc").alias("value_centi"),
+            F.col("n").alias("group_n"),
+            F.round(1000000 * F.col("mean")).cast("long").alias(
+                "mean_micro"
+            ),
+            F.round(1000000 * F.sqrt(F.col("var"))).cast("long").alias(
+                "std_micro"
+            ),
+            F.round(
+                1000
+                * (F.col("vc") / 100.0 - F.col("mean"))
+                / F.sqrt(F.col("var"))
+            )
+            .cast("long")
+            .alias("advantage_milli"),
+        )
+        .orderBy(F.abs(F.col("advantage_milli")).desc(), "event_id")
+        .limit(20)
+    )

@@ -1775,3 +1775,148 @@ def q436_python_stream_source(
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
+
+
+# ---- q439: the MAX multipleWatermarkPolicy trajectory ------------------
+@register(
+    "q439_stream_watermark_max_policy",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, event_type AS source, epoch_us(ts) AS ts_us,
+               CASE WHEN event_type = 'click'
+                    THEN epoch_us(ts) + (event_id % 89) * {_FANIN_JIT_A_US}
+                    ELSE epoch_us(ts) + (event_id % 797) * {_FANIN_JIT_B_US}
+               END AS ak,
+               CASE WHEN event_type = 'click'
+                    THEN {_TRAJ_DELAY_A_MS} ELSE {_TRAJ_DELAY_B_MS}
+               END AS dms
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    chunked AS (
+        SELECT event_id, source, ts_us, dms,
+               ntile({_FANIN_CHUNKS}) OVER (PARTITION BY source
+                                            ORDER BY ak, event_id) AS k
+        FROM ev
+    ),
+    per AS (
+        SELECT source, k, max(ts_us) AS mx, any_value(dms) AS dms
+        FROM chunked GROUP BY source, k
+    ),
+    srcwm AS (
+        SELECT source, k,
+               max(mx) OVER (PARTITION BY source ORDER BY k
+                             ROWS UNBOUNDED PRECEDING) // 1000 - dms
+                   AS wm_ms
+        FROM per
+    ),
+    gwm AS (SELECT k, max(wm_ms) AS wm_ms FROM srcwm GROUP BY k),
+    kept AS (
+        SELECT c.source, c.ts_us - c.ts_us % {_FANIN_WIN_US} AS win_start_us
+        FROM chunked c LEFT JOIN gwm ON gwm.k = c.k - 1
+        WHERE gwm.wm_ms IS NULL
+           OR (c.ts_us - c.ts_us % {_FANIN_WIN_US}) + {_FANIN_WIN_US}
+              > gwm.wm_ms * 1000
+    ),
+    closed AS (
+        SELECT win_start_us, source, CAST(count(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY 1, 2
+    ),
+    emit AS (
+        SELECT w.win_start_us, min(gwm.k) AS emitted_at
+        FROM (SELECT DISTINCT win_start_us FROM kept) w
+        JOIN gwm ON w.win_start_us + {_FANIN_WIN_US} <= gwm.wm_ms * 1000
+        GROUP BY w.win_start_us
+    )
+    SELECT c.win_start_us, c.source, c.n_kept,
+           CAST(e.emitted_at AS BIGINT) AS emitted_at_restart,
+           CAST(g.wm_ms * 1000 AS BIGINT) AS wm_committed_us
+    FROM closed c
+    JOIN emit e USING (win_start_us)
+    JOIN gwm g ON g.k = e.emitted_at
+    ORDER BY c.win_start_us, c.source
+    """,
+)
+def q439_stream_watermark_max_policy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MAX multipleWatermarkPolicy trajectory — q426's twin with
+    the non-default policy the fan-in union can opt into
+    (spark.sql.streaming.multipleWatermarkPolicy=max, set for this
+    run and restored after): the global watermark tracks the
+    FASTEST source node, so the laggy purchase stream's late rows
+    are DROPPED instead of holding every window open — the
+    throughput-over-completeness trade, and the policy's cost shows
+    up directly in this gate's n_kept vs q426's (same corpus, same
+    windows, fewer rows kept and earlier flush restarts). The
+    simulation flips exactly one aggregate (min → max over source
+    watermarks); everything else — the ms domain, the k−1 late
+    filter, the own-k flush — carries over, which is itself the
+    semantic pin: the policy changes WHICH watermark, never WHEN
+    it's applied.
+
+    Scale: state is bounded by the FASTEST source's horizon under
+    max (vs the laggiest under min — the q431 capacity argument
+    inverted); the gate runs the full 4-restart cycle with the conf
+    scoped to this query and restored in finally.
+    """
+    events = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    chunked = _fanin_chunked(events)
+    run = next(_RUN_IDS)
+    src_a = tempfile.mkdtemp(prefix=f"g_etl_maxp_a_{run}_")
+    src_b = tempfile.mkdtemp(prefix=f"g_etl_maxp_b_{run}_")
+    ckpt = tempfile.mkdtemp(prefix=f"g_etl_maxp_ckpt_{run}_")
+    sink = tempfile.mkdtemp(prefix=f"g_etl_maxp_sink_{run}_")
+    policy_key = "spark.sql.streaming.multipleWatermarkPolicy"
+    prev_policy = spark.conf.get(policy_key, "min")
+    try:
+        spark.conf.set(policy_key, "max")
+        wm_after: dict[int, int] = {}
+        emitted_at: dict[tuple[int, str], int] = {}
+        seen: set[tuple[int, str]] = set()
+        for k in range(1, _FANIN_CHUNKS + 1):
+            q = _fanin_restart(
+                spark, chunked, k, src_a, src_b, sink, ckpt, "max-policy"
+            )
+            wm_after[k] = _progress_wm_us(q)
+            cur = {
+                (r["ws"], r["source"])
+                for r in spark.read.parquet(sink)
+                .select(F.unix_micros("w.start").alias("ws"), "source")
+                .collect()  # bounded: |timeline windows| × |sources|
+            }
+            for key in cur - seen:
+                emitted_at[key] = k
+            seen = cur
+        emap = spark.createDataFrame(
+            [
+                (ws, source, k, wm_after[k])
+                for (ws, source), k in sorted(emitted_at.items())
+            ],
+            "win_start_us long, source string, emitted_at_restart long,"
+            " wm_committed_us long",
+        )
+        kept = spark.read.parquet(sink).select(
+            F.unix_micros("w.start").alias("win_start_us"),
+            "source",
+            F.col("n_kept").cast("long").alias("n_kept"),
+        )
+        out = (
+            kept.join(F.broadcast(emap), ["win_start_us", "source"])
+            .select(
+                "win_start_us",
+                "source",
+                "n_kept",
+                "emitted_at_restart",
+                "wm_committed_us",
+            )
+            .orderBy("win_start_us", "source")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(policy_key, prev_policy)
+        shutil.rmtree(src_a, ignore_errors=True)
+        shutil.rmtree(src_b, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)

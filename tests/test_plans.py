@@ -5537,3 +5537,44 @@ def test_q438_dp_accounting_identities(spark, qs):
         eq["clipped_sum_by_type"]["lap_scale_micro"]
         == 500 * 100 * eq["count_by_type"]["lap_scale_micro"]
     )
+
+
+def test_q439_max_policy_trades_completeness_for_latency(spark, qs):
+    """Policy contrast on identical inputs: max tracks the fastest
+    source, so it can never keep MORE rows than min and never
+    flushes LATER — Σ n_kept(max) ≤ Σ n_kept(min), and for every
+    window present in both runs the max-policy flush restart ≤ the
+    min-policy one."""
+    min_rows = {
+        (r["win_start_us"], r["source"]): r
+        for r in qs["q426_stream_watermark_trajectory"](spark, SF_DIR)
+        .collect()
+    }
+    max_rows = {
+        (r["win_start_us"], r["source"]): r
+        for r in qs["q439_stream_watermark_max_policy"](spark, SF_DIR)
+        .collect()
+    }
+    assert sum(r["n_kept"] for r in max_rows.values()) <= sum(
+        r["n_kept"] for r in min_rows.values()
+    )
+    for key in set(min_rows) & set(max_rows):
+        assert (
+            max_rows[key]["emitted_at_restart"]
+            <= min_rows[key]["emitted_at_restart"]
+        )
+        assert max_rows[key]["n_kept"] <= min_rows[key]["n_kept"]
+
+
+def test_q440_advantage_zscore_properties(spark, qs):
+    """Emitted advantages are the extreme tail: all |z| well above 0,
+    groups have n ≥ 2 and positive variance, and the z arithmetic is
+    self-consistent (value − mean ≈ z · std at milli precision)."""
+    rows = qs["q440_group_relative_advantage"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["group_n"] >= 2
+        assert r["std_micro"] > 0
+        lhs = r["value_centi"] * 10000 - r["mean_micro"]  # micro units
+        rhs = r["advantage_milli"] * r["std_micro"] / 1000.0
+        assert abs(lhs - rhs) <= r["std_micro"] / 1000.0 + 1
