@@ -19,7 +19,8 @@ Probed (the round's scale-sensitive additions):
 - q433 layout advisor       one scan, 12-cell conditional aggs
 - q437 unigram prune        q424 machinery + vocab-grain loss
 - q438 DP accountant        3 bounded rollups + literal workload
-- q426/q431/q436 are probed at gate SF only (stream restarts
+- q440 GRPO advantage       |groups| moments + join back
+- q426/q431/q436/q439 are probed at gate SF only (stream restarts
   dominate wall, the q386/q395 exemption); q434/q435 generate
   their own input (corpus-independent)
 """
@@ -56,6 +57,7 @@ PROBES = [
     ("q433_partition_layout_advisor", ["events"]),
     ("q437_unigram_lm_prune", ["documents"]),
     ("q438_dp_budget_accountant", ["events"]),
+    ("q440_group_relative_advantage", ["events"]),
 ]
 
 
