@@ -5586,7 +5586,16 @@ def _ulm_model(spark: SparkSession, sf_dir: str) -> dict:
     ll1 = v1.agg(
         F.sum(F.col("cnt1") * F.col("c1")).cast("long").alias("ll1_micro")
     )
-    return {"v0": v0, "v1": v1, "ll0": ll0, "ll1": ll1}
+    seg_sizes = wd.select(
+        "w", F.size(F.expr(back_sql)).alias("n_pieces")
+    )
+    return {
+        "v0": v0,
+        "v1": v1,
+        "ll0": ll0,
+        "ll1": ll1,
+        "seg_sizes": seg_sizes,
+    }
 
 
 @register("q424_unigram_lm_em_round", oracle=_q424_oracle())
@@ -5967,4 +5976,97 @@ def q437_unigram_lm_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("loss_micro"), "piece")
         .limit(25)
+    )
+
+
+# ---- q441: per-language tokenizer fertility ----------------------------
+def _q441_oracle() -> str:
+    return _q424_oracle_ctes() + f"""
+    , seglen AS (
+        SELECT w, CAST(len(ps) AS BIGINT) AS n_pieces
+        FROM back WHERE pos = 0
+    ),
+    wl AS (
+        SELECT lang, substr(word, 1, {_ULM_MAXW}) AS w,
+               CAST(count(*) AS BIGINT) AS f
+        FROM (SELECT lang,
+                     unnest(string_split_regex(lower(text), '[^a-z]+'))
+                         AS word
+              FROM documents)
+        WHERE word <> ''
+        GROUP BY lang, substr(word, 1, {_ULM_MAXW})
+    )
+    SELECT wl.lang,
+           CAST(sum(wl.f) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_distinct_words,
+           CAST(round(1000.0 * sum(wl.f * sl.n_pieces) / sum(wl.f))
+                AS BIGINT) AS pieces_per_word_milli,
+           CAST(round(1000.0 * sum(wl.f * length(wl.w))
+                      / sum(wl.f * sl.n_pieces)) AS BIGINT)
+               AS chars_per_piece_milli
+    FROM wl JOIN seglen sl USING (w)
+    GROUP BY wl.lang
+    ORDER BY wl.lang
+    """
+
+
+@register("q441_tokenizer_fertility_by_lang", oracle=_q441_oracle())
+def q441_tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TOKENIZER FERTILITY by language — the multilingual-equity
+    audit every shared-vocabulary tokenizer owes its users: under
+    q424's fitted unigram model, how many pieces does a word cost
+    per language (fertility = Σf·|seg| / Σf, milli-pinned) and how
+    many characters ride in each piece? High-fertility languages pay
+    more sequence length for the same text — the compute-equity gap
+    the multilingual-NLP literature measures — and because the vocab
+    here is fitted on the pooled corpus, any language whose word
+    stock diverges from the pool shows up immediately. Segmentations
+    come from the SAME integer-cost Viterbi as q424 (word-grain,
+    computed once); the per-language table is a (lang, word)
+    frequency join over it.
+
+    Scale: the corpus collapses once to (lang × word) and word
+    grains; the fertility rollup is |langs| rows; everything
+    downstream of the q424 machinery is bounded joins — no second
+    corpus pass.
+    """
+    m = _ulm_model(spark, sf_dir)
+    seg = m["seg_sizes"]
+    d = load(spark, sf_dir, "documents")
+    wl = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias(
+                "word"
+            ),
+        )
+        .filter(F.col("word") != "")
+        .select("lang", F.substring("word", 1, _ULM_MAXW).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    return (
+        wl.join(seg, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("f").cast("long").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+            F.round(
+                1000.0
+                * F.sum(F.col("f") * F.col("n_pieces"))
+                / F.sum("f")
+            )
+            .cast("long")
+            .alias("pieces_per_word_milli"),
+            F.round(
+                1000.0
+                * F.sum(F.col("f") * F.length("w"))
+                / F.sum(F.col("f") * F.col("n_pieces"))
+            )
+            .cast("long")
+            .alias("chars_per_piece_milli"),
+        )
+        .orderBy("lang")
     )

@@ -5578,3 +5578,28 @@ def test_q440_advantage_zscore_properties(spark, qs):
         lhs = r["value_centi"] * 10000 - r["mean_micro"]  # micro units
         rhs = r["advantage_milli"] * r["std_micro"] / 1000.0
         assert abs(lhs - rhs) <= r["std_micro"] / 1000.0 + 1
+
+
+def test_q441_fertility_identities(spark, qs):
+    """Fertility bounds: at least 1 piece per word, at most the
+    word's char count (every piece ≥1 char); chars/piece ≥ 1; and
+    the per-language word totals sum to the corpus word count."""
+    from g_etl_spark.tables import load as load_t
+    import pyspark.sql.functions as SF
+
+    rows = qs["q441_tokenizer_fertility_by_lang"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1000 <= r["pieces_per_word_milli"]
+        assert r["chars_per_piece_milli"] >= 1000
+    total = (
+        load_t(spark, SF_DIR, "documents")
+        .select(
+            SF.explode(
+                SF.split(SF.lower(SF.col("text")), "[^a-z]+")
+            ).alias("w")
+        )
+        .filter(SF.col("w") != "")
+        .count()
+    )
+    assert sum(r["n_words"] for r in rows) == total
