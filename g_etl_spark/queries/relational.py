@@ -11505,6 +11505,39 @@ def _q433_cells():
             yield layout, key, wname, pred, scan
 
 
+def _q433_agg_exprs():
+    """The ONE-scan statistics block both the advisor (q433) and its
+    executed closure (q442) price layouts from: total rows, per-layout
+    distinct-key counts, per-workload match counts, and per-prunable-
+    cell (rows-under-scan-condition, partitions-under-scan-condition)."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for layout, key in _Q433_LAYOUTS.items():
+        aggs.append(
+            F.countDistinct(F.expr(key)).cast("long").alias(f"np_{layout}")
+        )
+    for wname, pred in _Q433_WORKLOAD.items():
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias(f"m_{wname}")
+        )
+    for layout, key, wname, pred, scan in _q433_cells():
+        if scan is not None:
+            aggs.append(
+                F.sum(F.expr(f"CASE WHEN {scan} THEN 1 ELSE 0 END"))
+                .cast("long")
+                .alias(f"s_{layout}_{wname}")
+            )
+            aggs.append(
+                F.countDistinct(
+                    F.expr(f"CASE WHEN {scan} THEN {key} END")
+                )
+                .cast("long")
+                .alias(f"p_{layout}_{wname}")
+            )
+    return aggs
+
+
 def _q433_oracle() -> str:
     aggs = ["CAST(count(*) AS BIGINT) AS n_rows"]
     for layout, key in _Q433_LAYOUTS.items():
@@ -11581,32 +11614,7 @@ def q433_partition_layout_advisor(
     partition manifest for free.
     """
     e = load(spark, sf_dir, "events")
-    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
-    for layout, key in _Q433_LAYOUTS.items():
-        aggs.append(
-            F.countDistinct(F.expr(key)).cast("long").alias(f"np_{layout}")
-        )
-    for wname, pred in _Q433_WORKLOAD.items():
-        aggs.append(
-            F.sum(F.expr(f"CASE WHEN {pred} THEN 1 ELSE 0 END"))
-            .cast("long")
-            .alias(f"m_{wname}")
-        )
-    for layout, key, wname, pred, scan in _q433_cells():
-        if scan is not None:
-            aggs.append(
-                F.sum(F.expr(f"CASE WHEN {scan} THEN 1 ELSE 0 END"))
-                .cast("long")
-                .alias(f"s_{layout}_{wname}")
-            )
-            aggs.append(
-                F.countDistinct(
-                    F.expr(f"CASE WHEN {scan} THEN {key} END")
-                )
-                .cast("long")
-                .alias(f"p_{layout}_{wname}")
-            )
-    stats = e.agg(*aggs)
+    stats = e.agg(*_q433_agg_exprs())
     cells = []
     for layout, key, wname, pred, scan in _q433_cells():
         scanned = f"s_{layout}_{wname}" if scan else "n_rows"
@@ -12073,4 +12081,536 @@ def q440_group_relative_advantage(
         )
         .orderBy(F.abs(F.col("advantage_milli")).desc(), "event_id")
         .limit(20)
+    )
+
+
+# ---- q442: partition-layout advisor choice EXECUTED ---------------------
+# The q422 pattern applied to physical design (r12 verdict item #3):
+# q433 PRICES three candidate partition layouts; this query EXECUTES
+# the pick — writes the advisor-chosen layout to a temp warehouse and
+# gates the ENGINE-REPORTED partition pruning (FileSourceScanExec's
+# numPartitions/numFiles metrics after a real filtered scan) against
+# the advisor's predicted arithmetic. Any gap between priced and real
+# pruning (wrong scan condition, writer splitting files, partition
+# inference drift) breaks the hash gate.
+
+_Q442_PKEY_SCAN = {
+    # the advisor's scan conditions re-expressed on the written
+    # partition column (what a production query on the chosen layout
+    # would actually write)
+    ("by_day", "day_range_7d"):
+        f"pkey >= CAST({_Q433_TS1} AS DATE) AND "
+        f"pkey < CAST({_Q433_TS2} AS DATE)",
+    ("by_day", "type_in_3d"):
+        f"pkey >= CAST({_Q433_TS3} AS DATE) AND "
+        f"pkey < CAST({_Q433_TS4} AS DATE)",
+    ("by_type", "type_point"): "pkey = 'purchase'",
+    ("by_type", "type_in_3d"): "pkey IN ('click', 'view')",
+    ("by_user64", "user_point"): "pkey = 42",
+}
+
+
+def _q442_oracle() -> str:
+    # same statistics block as q433's oracle, then: total predicted
+    # scan cost per layout -> argmin (name tiebreak) -> the chosen
+    # layout's four workload rows with files_read == partitions_read
+    # (the writer produces exactly one file per partition directory).
+    aggs = ["CAST(count(*) AS BIGINT) AS n_rows"]
+    for layout, key in _Q433_LAYOUTS.items():
+        aggs.append(
+            f"CAST(count(DISTINCT {key}) AS BIGINT) AS np_{layout}"
+        )
+    for wname, pred in _Q433_WORKLOAD.items():
+        aggs.append(
+            f"CAST(count(*) FILTER ({pred}) AS BIGINT) AS m_{wname}"
+        )
+    for layout, key, wname, pred, scan in _q433_cells():
+        if scan is not None:
+            aggs.append(
+                f"CAST(count(*) FILTER ({scan}) AS BIGINT)"
+                f" AS s_{layout}_{wname}"
+            )
+            aggs.append(
+                f"CAST(count(DISTINCT CASE WHEN {scan} THEN {key} END)"
+                f" AS BIGINT) AS p_{layout}_{wname}"
+            )
+    rows = []
+    for layout, key, wname, pred, scan in _q433_cells():
+        scanned = f"s_{layout}_{wname}" if scan else "n_rows"
+        parts = f"p_{layout}_{wname}" if scan else f"np_{layout}"
+        rows.append(
+            f"SELECT '{layout}' AS layout, '{wname}' AS workload,"
+            f" np_{layout} AS n_partitions, {parts} AS partitions_read,"
+            f" {scanned} AS rows_scanned, m_{wname} AS rows_matching"
+            " FROM stats"
+        )
+    body = " UNION ALL ".join(rows)
+    return f"""
+    WITH stats AS (SELECT {', '.join(aggs)} FROM events),
+    cells AS ({body}),
+    choice AS (
+        SELECT layout FROM cells
+        GROUP BY layout
+        ORDER BY sum(rows_scanned), layout
+        LIMIT 1
+    )
+    SELECT c.layout, c.workload, c.n_partitions, c.partitions_read,
+           c.partitions_read AS files_read, c.rows_matching
+    FROM cells c JOIN choice ch ON c.layout = ch.layout
+    ORDER BY c.workload
+    """
+
+
+def _q442_scan_metrics(df) -> tuple[int, int]:
+    """Engine-reported (numPartitions, numFiles) summed over df's
+    executed scan leaves — call AFTER an action ran through df's OWN
+    plan (a separate .count() executes a different QueryExecution and
+    leaves these at zero)."""
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    parts = files = 0
+    for i in range(leaves.size()):
+        mets = leaves.apply(i).metrics()
+        it = mets.iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "numPartitions":
+                parts += kv._2().value()
+            elif kv._1() == "numFiles":
+                files += kv._2().value()
+    return parts, files
+
+
+@register("q442_partition_layout_executed", oracle=_q442_oracle())
+def q442_partition_layout_executed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION-LAYOUT choice EXECUTED, hash-gated — closes the loop
+    q433 opens: ONE scan prices the three candidate layouts over the
+    four-predicate workload, the total-scan-cost argmin is picked
+    (bounded 1-row driver observe, the q422 run->observe->act
+    precedent), events are WRITTEN hive-partitioned by the chosen key
+    to a temp warehouse (repartition by key first, so exactly one
+    file lands per partition directory), and every workload predicate
+    is re-run against the real layout with its partition-column scan
+    condition attached. The gate compares the ENGINE's own scan
+    metrics — FileSourceScanExec numPartitions/numFiles after the
+    filtered read executed — plus the on-disk directory count against
+    the advisor's predicted integers: real pruning must equal priced
+    pruning exactly, or the hash breaks (a torn write, a second file
+    per partition, date-inference drift on the partition column, or a
+    wrong scan condition are all loud).
+
+    Scale: the pricing scan is one pass (q433's block); the rewrite
+    is one shuffle by partition key (exactly the production backfill
+    cost of adopting the layout); the four probe queries read only
+    pruned partitions. The driver handles 1 stats row + 4 metric
+    pairs — nothing corpus-sized.
+    """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "user_id"
+    )
+    stats = e.agg(*_q433_agg_exprs()).collect()[0]
+
+    def _cell(layout, wname):
+        scan = _Q433_SCAN.get((layout, wname))
+        scanned = stats[f"s_{layout}_{wname}"] if scan else stats["n_rows"]
+        parts = (
+            stats[f"p_{layout}_{wname}"] if scan else stats[f"np_{layout}"]
+        )
+        return scanned, parts
+
+    totals = {
+        layout: sum(_cell(layout, w)[0] for w in _Q433_WORKLOAD)
+        for layout in _Q433_LAYOUTS
+    }
+    chosen = min(sorted(totals), key=lambda k: totals[k])
+
+    out_dir = _tempfile.mkdtemp(prefix="g_etl_layout_exec_")
+    try:
+        (
+            e.withColumn("pkey", F.expr(_Q433_LAYOUTS[chosen]))
+            .repartition("pkey")
+            .write.partitionBy("pkey")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        n_dirs = sum(
+            1 for d in _os.listdir(out_dir) if d.startswith("pkey=")
+        )
+        back = spark.read.parquet(out_dir)
+        rows = []
+        # AQE wraps the executed plan in AdaptiveSparkPlanExec whose
+        # collectLeaves() are not the executed scan instances (their
+        # metrics stay zero); the probes are tiny pruned scans, so run
+        # them with AQE off and restore the conf after.
+        aqe_key = "spark.sql.adaptive.enabled"
+        aqe_old = spark.conf.get(aqe_key)
+        spark.conf.set(aqe_key, "false")
+        try:
+            for wname, pred in _Q433_WORKLOAD.items():
+                full = pred
+                pkey_cond = _Q442_PKEY_SCAN.get((chosen, wname))
+                if pkey_cond is not None:
+                    full = f"({pred}) AND ({pkey_cond})"
+                probe = back.filter(F.expr(full)).agg(
+                    F.count(F.lit(1)).cast("long").alias("n")
+                )
+                n_match = probe.collect()[0]["n"]
+                parts_real, files_real = _q442_scan_metrics(probe)
+                rows.append(
+                    (chosen, wname, n_dirs, parts_real, files_real, n_match)
+                )
+        finally:
+            spark.conf.set(aqe_key, aqe_old)
+        return spark.createDataFrame(
+            sorted(rows, key=lambda r: r[1]),
+            "layout string, workload string, n_partitions long,"
+            " partitions_read long, files_read long, rows_matching long",
+        )
+    finally:
+        _shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# ---- q443: Davidson tie-model preference fit ----------------------------
+# The preference family's ties closure (r12 verdict item #5): q428
+# EXCLUDES exact-equal-mean duels; Davidson (1970) models them —
+# P(i>j) = p_i/D_ij, P(tie) = nu*sqrt(p_i p_j)/D_ij with
+# D_ij = p_i + p_j + nu*sqrt(p_i p_j). Two MM rounds (Hunter 2004's
+# AM-GM minorization of the sqrt coupling), every cross-row quantity
+# integer-quantized between steps so both engines are bit-identical.
+# The quantized expression TEXT is shared between the Spark plan and
+# the DuckDB oracle (same IEEE double ops in the same order).
+
+# s: micro-unit sqrt(p_i*p_j) (product of two <=~1e7 micro ints is
+# exact in double; sqrt is correctly rounded; one round() to integer)
+_Q443_S = ("CAST(round(sqrt(CAST({pi} AS DOUBLE) * {pj})) AS BIGINT)")
+# D: micro units; nu*s/1e6 keeps micro scale
+_Q443_D = ("({pi} + {pj} + CAST(round(CAST({nu} AS DOUBLE) * {s} "
+           "/ 1000000.0) AS BIGINT))")
+# nu-stationarity denominator term per pair (pico-quantized)
+_Q443_NUT = ("CAST(round(1000000000000.0 * {n} * {s} / {d}) AS BIGINT)")
+# nu update from total ties tt and the pico denominator sum dn
+_Q443_NU = ("CAST(round(1000000.0 * {tt} / (CAST({dn} AS DOUBLE) "
+            "/ 1000000000000.0)) AS BIGINT)")
+# p-update denominator term for the pair-side whose strength is {pi}
+_Q443_PT = ("CAST(round(1000000000000.0 * ({n} * (2000000.0 * {pi} "
+            "+ CAST({nu} AS DOUBLE) * {s})) / (2000000.0 * {pi} * {d})) "
+            "AS BIGINT)")
+# raw strength from half-unit numerator hn (2*wins + ties) and the
+# pico denominator sum dd
+# 1e6 prefactor (NOT 1e12): dd is pico-quantized, so the real
+# denominator is dd/1e12 ~ O(n * 5e-7) and hn/denom is scale-free in
+# the duel count — 1e6 keeps praw ~1e12-1e13 at EVERY sf (a 1e12
+# prefactor overflowed BIGINT at sf0.001 already).
+_Q443_PRAW = ("CAST(round(1000000.0 * {hn} / (CAST({dd} AS DOUBLE) "
+              "/ 1000000000000.0)) AS BIGINT)")
+# renormalize so sum(p) == k (micro): identical to q428's step
+_Q443_PNORM = ("CAST(round(1000000.0 * {k} * {praw} / {sp}) AS BIGINT)")
+
+
+def _q443_oracle() -> str:
+    # one MM round as chained CTEs, parameterized by suffix r:
+    # inputs p{r-1} (t, p) and nu{r-1} (nu); outputs p{r}, nu{r}
+    def mm_round(r: int) -> str:
+        q = r - 1
+        s0 = _Q443_S.format(pi="pa.p", pj="pb.p")
+        d0 = _Q443_D.format(pi="pa.p", pj="pb.p", nu=f"nu{q}.nu", s="s")
+        nut = _Q443_NUT.format(n="n", s="s", d="d")
+        nu = _Q443_NU.format(tt="tt.tt", dn="dn")
+        d1 = _Q443_D.format(pi="pa.p", pj="pb.p", nu=f"nu{r}.nu", s="s")
+        pti = _Q443_PT.format(n="n", pi="pi", nu=f"nu{r}.nu", s="s", d="d")
+        praw = _Q443_PRAW.format(hn="it.hn", dd="dd")
+        pnorm = _Q443_PNORM.format(k="norm.k", praw="praw", sp="norm.sp")
+        return f"""
+    sd{r} AS MATERIALIZED (
+        SELECT pr.i, pr.j, pr.n, {s0} AS s
+        FROM pairs pr
+        JOIN p{q} pa ON pa.t = pr.i JOIN p{q} pb ON pb.t = pr.j
+    ),
+    sdd{r} AS MATERIALIZED (
+        SELECT sd{r}.i, sd{r}.j, sd{r}.n, sd{r}.s, {d0} AS d
+        FROM sd{r}
+        JOIN p{q} pa ON pa.t = sd{r}.i JOIN p{q} pb ON pb.t = sd{r}.j
+        CROSS JOIN nu{q}
+    ),
+    nud{r} AS MATERIALIZED (SELECT CAST(sum({nut}) AS BIGINT) AS dn FROM sdd{r}),
+    nu{r} AS MATERIALIZED (SELECT {nu} AS nu FROM nud{r}, tt),
+    pd{r} AS MATERIALIZED (
+        SELECT sd{r}.i, sd{r}.j, sd{r}.n, sd{r}.s, {d1} AS d
+        FROM sd{r}
+        JOIN p{q} pa ON pa.t = sd{r}.i JOIN p{q} pb ON pb.t = sd{r}.j
+        CROSS JOIN nu{r}
+    ),
+    pterm{r} AS MATERIALIZED (
+        SELECT side.t, {pti} AS term
+        FROM pd{r}, nu{r},
+        LATERAL (SELECT pd{r}.i AS t, pa.p AS pi
+                 FROM p{q} pa WHERE pa.t = pd{r}.i
+                 UNION ALL
+                 SELECT pd{r}.j AS t, pb.p AS pi
+                 FROM p{q} pb WHERE pb.t = pd{r}.j) side(t, pi)
+    ),
+    pden{r} AS MATERIALIZED (SELECT t, CAST(sum(term) AS BIGINT) AS dd
+                FROM pterm{r} GROUP BY t),
+    praw{r} AS MATERIALIZED (
+        SELECT it.t, {praw} AS praw
+        FROM items it JOIN pden{r} USING (t)
+    ),
+    norm{r} AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS k,
+                       CAST(sum(praw) AS BIGINT) AS sp FROM praw{r}),
+    p{r} AS MATERIALIZED (
+        SELECT t, {pnorm} AS p
+        FROM praw{r}, norm{r} norm
+    )"""
+
+    return f"""
+    WITH ut AS MATERIALIZED (
+        SELECT user_id, event_type AS t, count(*) AS n,
+               sum(CAST(round(value * 100) AS HUGEINT)) AS s
+        FROM events WHERE value IS NOT NULL
+        GROUP BY user_id, event_type
+    ),
+    duels AS MATERIALIZED (
+        -- duel outcomes at 10-whole-unit mean grain: the winner must
+        -- lead by a full bucket; anything finer is a TIE (the
+        -- indistinguishable-preference reading Davidson models --
+        -- exact centi-unit equality never fires on this data, which
+        -- would leave the tie machinery vacuous). Integer mean
+        -- buckets: s // n // 1000 in centi-units, truncation-
+        -- division on both engines (DuckDB // == Spark div).
+        SELECT a.t AS i, b.t AS j,
+               CASE WHEN (a.s // a.n) // 1000 > (b.s // b.n) // 1000
+                    THEN 1 ELSE 0 END AS wi,
+               CASE WHEN (a.s // a.n) // 1000 < (b.s // b.n) // 1000
+                    THEN 1 ELSE 0 END AS wj,
+               CASE WHEN (a.s // a.n) // 1000 = (b.s // b.n) // 1000
+                    THEN 1 ELSE 0 END AS tie
+        FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.t < b.t
+    ),
+    pairs AS MATERIALIZED (
+        SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(wi) AS BIGINT) AS wi,
+               CAST(sum(wj) AS BIGINT) AS wj,
+               CAST(sum(tie) AS BIGINT) AS t
+        FROM duels GROUP BY i, j
+    ),
+    tt AS MATERIALIZED (SELECT CAST(sum(t) AS BIGINT) AS tt FROM pairs),
+    items AS MATERIALIZED (
+        SELECT t,
+               CAST(sum(w) AS BIGINT) AS w,
+               CAST(sum(ties) AS BIGINT) AS ties,
+               CAST(sum(n) AS BIGINT) AS comps,
+               CAST(sum(2 * w + ties) AS BIGINT) AS hn
+        FROM (
+            SELECT i AS t, wi AS w, t AS ties, n FROM pairs
+            UNION ALL
+            SELECT j AS t, wj AS w, t AS ties, n FROM pairs
+        ) GROUP BY t
+    ),
+    p0 AS MATERIALIZED (SELECT t, CAST(1000000 AS BIGINT) AS p FROM items),
+    nu0 AS MATERIALIZED (SELECT CAST(1000000 AS BIGINT) AS nu),
+    {mm_round(1).lstrip()},
+    {mm_round(2).lstrip()}
+    SELECT CAST(row_number() OVER (ORDER BY p2.p DESC, items.t)
+                AS BIGINT) AS pref_rank,
+           items.t AS event_type,
+           items.w AS n_wins, items.ties AS n_ties,
+           items.comps AS n_comparisons,
+           p2.p AS p_micro, nu2.nu AS nu_micro
+    FROM items JOIN p2 ON p2.t = items.t CROSS JOIN nu2
+    ORDER BY pref_rank
+    """
+
+
+def _q443_mm_round(pairs: DataFrame, p_df: DataFrame, nu_df: DataFrame,
+                   tt: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One Davidson MM round at the bounded |types|² pair grain:
+    (p, nu) -> (p', nu'). Every quantized expression is a shared
+    template (_Q443_*) so the oracle's doubles are bit-identical."""
+    pa = p_df.select(F.col("t").alias("i"), F.col("p").alias("p_i"))
+    pb = p_df.select(F.col("t").alias("j"), F.col("p").alias("p_j"))
+    sd = (
+        pairs.join(F.broadcast(pa), "i")
+        .join(F.broadcast(pb), "j")
+        .withColumn("s", F.expr(_Q443_S.format(pi="p_i", pj="p_j")))
+    )
+    sdd = sd.crossJoin(F.broadcast(nu_df)).withColumn(
+        "d", F.expr(_Q443_D.format(pi="p_i", pj="p_j", nu="nu", s="s"))
+    )
+    nud = sdd.agg(
+        F.sum(F.expr(_Q443_NUT.format(n="n", s="s", d="d")))
+        .cast("long")
+        .alias("dn")
+    )
+    nu_next = nud.crossJoin(F.broadcast(tt)).select(
+        F.expr(_Q443_NU.format(tt="tt", dn="dn")).alias("nu")
+    )
+    pd = sd.crossJoin(F.broadcast(nu_next)).withColumn(
+        "d", F.expr(_Q443_D.format(pi="p_i", pj="p_j", nu="nu", s="s"))
+    )
+    sides = pd.select(
+        "n",
+        "s",
+        "d",
+        "nu",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("i").alias("t"), F.col("p_i").alias("pi")
+                ),
+                F.struct(
+                    F.col("j").alias("t"), F.col("p_j").alias("pi")
+                ),
+            )
+        ).alias("side"),
+    ).select("n", "s", "d", "nu", "side.t", "side.pi")
+    pden = (
+        sides.select(
+            "t",
+            F.expr(
+                _Q443_PT.format(n="n", pi="pi", nu="nu", s="s", d="d")
+            ).alias("term"),
+        )
+        .groupBy("t")
+        .agg(F.sum("term").cast("long").alias("dd"))
+    )
+    return pden, nu_next
+
+
+@register("q443_davidson_tie_preferences", oracle=_q443_oracle())
+def q443_davidson_tie_preferences(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DAVIDSON TIE-MODEL preference fit — the ties closure of q428's
+    Bradley-Terry: P(i>j) = p_i/D_ij, P(tie) = ν·√(p_i p_j)/D_ij,
+    D_ij = p_i + p_j + ν·√(p_i p_j) (Davidson 1970), fit by two MM
+    rounds (Hunter 2004's AM-GM minorization of the √ coupling:
+    ν ← T / Σ N_ij·√(p_i p_j)/D_ij, then
+    p_i ← (2W_i + T_i) / Σ_j N_ij·(2p_i + ν√(p_i p_j))/(2p_i·D_ij)
+    with re-normalization to Σp = k each round). Duels compare
+    per-user mean value at 10-whole-unit integer grain — a winner
+    must lead by a full bucket, finer differences are TIES (17–20%
+    of duels on this data), which is exactly the indistinguishable-
+    preference regime the tie parameter ν measures; q428 throws that
+    signal away. Every cross-row quantity is integer-quantized
+    (strengths micro, MM terms pico) through SHARED expression
+    templates so Spark and DuckDB produce bit-identical fits.
+
+    Scale: one pass to (user × type) cells, one user-grain self-join
+    (|users|·|types|², never events²), then the whole fit lives on
+    the ≤|types|² pair matrix — broadcast joins and two bounded MM
+    rounds, the q428/q380 discipline.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ut = e.groupBy("user_id", F.col("event_type").alias("t")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("decimal(38,0)")).alias(
+            "s"
+        ),
+    )
+    a = ut.select(
+        "user_id",
+        F.col("t").alias("ta"),
+        F.expr("(s div n) div 1000").alias("ba"),
+    )
+    b = ut.select(
+        "user_id",
+        F.col("t").alias("tb"),
+        F.expr("(s div n) div 1000").alias("bb"),
+    )
+    duels = (
+        a.join(b, ["user_id"])
+        .filter(F.col("ta") < F.col("tb"))
+        .select(
+            F.col("ta").alias("i"),
+            F.col("tb").alias("j"),
+            F.when(F.col("ba") > F.col("bb"), 1).otherwise(0).alias("wi"),
+            F.when(F.col("ba") < F.col("bb"), 1).otherwise(0).alias("wj"),
+            F.when(F.col("ba") == F.col("bb"), 1).otherwise(0).alias(
+                "tie"
+            ),
+        )
+    )
+    pairs = duels.groupBy("i", "j").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("wi").cast("long").alias("wi"),
+        F.sum("wj").cast("long").alias("wj"),
+        F.sum("tie").cast("long").alias("tn"),
+    )
+    pairs = pairs.localCheckpoint(eager=True)  # tiny; reused 4x/round
+    tt = pairs.agg(F.sum("tn").cast("long").alias("tt"))
+    items = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("i").alias("t"),
+                        F.col("wi").alias("w"),
+                        F.col("tn").alias("ties"),
+                        F.col("n").alias("n"),
+                    ),
+                    F.struct(
+                        F.col("j").alias("t"),
+                        F.col("wj").alias("w"),
+                        F.col("tn").alias("ties"),
+                        F.col("n").alias("n"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .groupBy("t")
+        .agg(
+            F.sum("w").cast("long").alias("w"),
+            F.sum("ties").cast("long").alias("ties"),
+            F.sum("n").cast("long").alias("comps"),
+            F.sum(F.expr("2 * w + ties")).cast("long").alias("hn"),
+        )
+    )
+    items = items.localCheckpoint(eager=True)  # |types| rows
+    p_df = items.select("t", F.lit(1000000).cast("long").alias("p"))
+    nu_df = spark.range(1).select(
+        F.lit(1000000).cast("long").alias("nu")
+    )
+    for _ in range(2):
+        pden, nu_df = _q443_mm_round(pairs, p_df, nu_df, tt)
+        praw = items.join(pden, "t").select(
+            "t",
+            F.expr(_Q443_PRAW.format(hn="hn", dd="dd")).alias("praw"),
+        )
+        norm = praw.agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum("praw").cast("long").alias("sp"),
+        )
+        p_df = praw.crossJoin(F.broadcast(norm)).select(
+            "t",
+            F.expr(_Q443_PNORM.format(k="k", praw="praw", sp="sp")).alias(
+                "p"
+            ),
+        )
+        # truncate lineage: each round's plan would otherwise nest the
+        # previous round's joins (the CC per-round lesson); both
+        # relations are |types|-row tiny
+        p_df = p_df.localCheckpoint(eager=True)
+        nu_df = nu_df.localCheckpoint(eager=True)
+    return (
+        items.join(p_df, "t")
+        .crossJoin(F.broadcast(nu_df))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("p").desc(), F.col("t")))
+            .cast("long")
+            .alias("pref_rank"),
+            F.col("t").alias("event_type"),
+            F.col("w").alias("n_wins"),
+            F.col("ties").alias("n_ties"),
+            F.col("comps").alias("n_comparisons"),
+            F.col("p").alias("p_micro"),
+            F.col("nu").alias("nu_micro"),
+        )
+        .orderBy("pref_rank")
     )

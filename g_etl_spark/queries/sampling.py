@@ -1141,7 +1141,7 @@ def q427_sequence_packing_audit(
     d = load(spark, sf_dir, "documents").select(
         "source",
         "doc_id",
-        (F.col("doc_id") / _PACK_SHARD).cast("long").alias("shard"),
+        F.expr(f"doc_id div {_PACK_SHARD}").alias("shard"),
         F.least(
             F.coalesce(F.size(T.tokens(F.col("text"))), F.lit(0)),
             F.lit(_PACK_C),
@@ -1462,7 +1462,7 @@ def q430_ffd_packing_comparison(
     d = load(spark, sf_dir, "documents").select(
         "source",
         "doc_id",
-        (F.col("doc_id") / _PACK_SHARD).cast("long").alias("shard"),
+        F.expr(f"doc_id div {_PACK_SHARD}").alias("shard"),
         F.least(
             F.coalesce(F.size(T.tokens(F.col("text"))), F.lit(0)),
             F.lit(_PACK_C),

@@ -57,6 +57,11 @@ class GenReader(DataSourceReader):
         self.lo, self.hi = 0, self.n
 
     def pushFilters(self, filters):
+        # Reset to the full range first: pushFilters folds the CURRENT
+        # scan's predicate list only. Without this, a reader instance
+        # reused across scans (or a second pushFilters call on the same
+        # instance) would keep previously-consumed bounds and over-prune.
+        self.lo, self.hi = 0, self.n
         rest = []
         for f in filters:
             if getattr(f, "attribute", None) == ("id",):
@@ -134,6 +139,12 @@ class JsonlWriter(DataSourceWriter):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl writer requires a 'path' option")
+        # Honored in commit(): overwrite swaps the published shard set
+        # atomically-at-the-manifest AND clears superseded part files,
+        # so directory globs agree with the manifest. Clearing must NOT
+        # happen here — __init__ runs before any task succeeds, and a
+        # failed overwrite job must leave the previous publish intact.
+        self.overwrite = bool(overwrite)
 
     def write(self, iterator):
         os.makedirs(self.path, exist_ok=True)
@@ -147,15 +158,38 @@ class JsonlWriter(DataSourceWriter):
         return JsonlCommit(path=shard, n_rows=n)
 
     def commit(self, messages):
+        new_shards = sorted(m.path for m in messages if m is not None)
         manifest = {
-            "shards": sorted(m.path for m in messages),
-            "n_rows": sum(m.n_rows for m in messages),
+            "shards": new_shards,
+            "n_rows": sum(m.n_rows for m in messages if m is not None),
         }
         with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
             json.dump(manifest, f)
+        if self.overwrite:
+            # Publish-then-clear: once the new manifest is durable, drop
+            # every part file it does not own (prior publishes and any
+            # orphans), so .mode('overwrite') is a real directory-level
+            # replace, not an append hidden behind the manifest.
+            import glob
+
+            keep = set(new_shards)
+            for p in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                if p not in keep:
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
 
     def abort(self, messages):
+        # Spark's contract passes None for each FAILED task's message —
+        # and abort only runs when at least one task failed, so None
+        # entries are the norm here, not the exception. Remove only the
+        # shards that successful tasks reported; the failed task's torn
+        # file (if any) was never reported and is invisible to the
+        # manifest-gated reader regardless.
         for m in messages:
+            if m is None:
+                continue
             try:
                 os.remove(m.path)
             except OSError:

@@ -5433,6 +5433,32 @@ def test_q433_pruning_arithmetic(spark, qs):
     assert winners["user_point"] == "by_user64"
 
 
+def test_q442_layout_choice_really_prunes(spark, qs):
+    """The executed layout must show REAL engine pruning: for the
+    chosen layout's prunable workloads, partitions_read (the engine's
+    own FileSourceScanExec numPartitions after the probe ran) is
+    strictly below n_partitions; non-prunable workloads read every
+    partition; files_read == partitions_read (one file per partition
+    directory by construction)."""
+    rows = qs["q442_partition_layout_executed"](spark, SF_DIR).collect()
+    assert len(rows) == 4
+    chosen = rows[0]["layout"]
+    assert all(r["layout"] == chosen for r in rows)
+    # on this workload mix the day layout wins the total-scan argmin
+    assert chosen == "by_day"
+    by_w = {r["workload"]: r for r in rows}
+    for w in ("day_range_7d", "type_in_3d"):  # prunable under by_day
+        r = by_w[w]
+        assert 0 < r["partitions_read"] < r["n_partitions"], (
+            f"{w}: engine read {r['partitions_read']}/{r['n_partitions']}"
+            " partitions — pruning did not happen on the real layout"
+        )
+    for w in ("type_point", "user_point"):  # not prunable under by_day
+        assert by_w[w]["partitions_read"] == by_w[w]["n_partitions"]
+    for r in rows:
+        assert r["files_read"] == r["partitions_read"]
+
+
 def test_q434_pushdown_consumed_and_prunes(spark, qs):
     """The Python source must CONSUME the id-range predicate: the
     physical plan's residual Filter carries no id comparison (only
@@ -5491,6 +5517,172 @@ def test_q435_sink_manifest_protocol(spark, qs, tmp_path):
     m3 = w.write(iter([_Row(a=9)]))
     w.abort([m3])
     assert not os.path.exists(m3.path)
+
+
+class _FakeRow:
+    def __init__(self, **kw):
+        self._d = kw
+
+    def asDict(self):
+        return self._d
+
+
+def _torn_iter(n_good, **kw):
+    """Yield n_good rows then die mid-stream — a torn write attempt."""
+    for i in range(n_good):
+        yield _FakeRow(a=i, **kw)
+    raise RuntimeError("executor died mid-write")
+
+
+def test_q435_sink_abort_with_failed_task_none(tmp_path):
+    """Spark's DataSourceWriter.abort contract passes None for each
+    FAILED task's commit message — and abort only runs when a task
+    failed, so a None entry is essentially guaranteed. abort must
+    skip the Nones, still remove every successful-task shard, and
+    never write a manifest."""
+    import json, os
+
+    from g_etl_spark.sources.pygen import JsonlWriter
+
+    w = JsonlWriter({"path": str(tmp_path / "out")}, overwrite=False)
+    m1 = w.write(iter([_FakeRow(a=1), _FakeRow(a=2)]))
+    m2 = w.write(iter([_FakeRow(a=3)]))
+    # task 3 fails mid-write: torn shard on disk, no commit message
+    try:
+        w.write(_torn_iter(1))
+    except RuntimeError:
+        pass
+    torn = [
+        p
+        for p in os.listdir(tmp_path / "out")
+        if p.startswith("part-")
+        and os.path.join(str(tmp_path / "out"), p) not in (m1.path, m2.path)
+    ]
+    assert len(torn) == 1  # the torn attempt left a partial file
+    w.abort([m1, None, m2])  # None = the failed task, per contract
+    assert not os.path.exists(m1.path)
+    assert not os.path.exists(m2.path)
+    assert not os.path.exists(tmp_path / "out" / "_MANIFEST.json")
+
+
+def test_q435_sink_failed_then_retried_task(tmp_path):
+    """A task attempt tears mid-write, its RETRY succeeds, commit
+    publishes only reported shards: the torn file never enters
+    _MANIFEST.json, and the manifest-gated read sees exactly the
+    retry's rows (idempotent-under-retry, Spark's commit-protocol
+    guarantee restated for this sink)."""
+    import json, os
+
+    from g_etl_spark.sources.pygen import JsonlWriter
+
+    w = JsonlWriter({"path": str(tmp_path / "out")}, overwrite=False)
+    try:
+        w.write(_torn_iter(2))  # attempt 0: dies after 2 rows
+    except RuntimeError:
+        pass
+    m_retry = w.write(iter([_FakeRow(a=0), _FakeRow(a=1), _FakeRow(a=2)]))
+    w.commit([m_retry])
+    man = json.load(open(tmp_path / "out" / "_MANIFEST.json"))
+    assert man["shards"] == [m_retry.path]
+    assert man["n_rows"] == 3
+    # torn file is still on disk (append mode) but invisible to the gate
+    on_disk = {
+        os.path.join(str(tmp_path / "out"), p)
+        for p in os.listdir(tmp_path / "out")
+        if p.startswith("part-")
+    }
+    assert len(on_disk) == 2 and m_retry.path in on_disk
+    rows = [
+        json.loads(ln) for s in man["shards"] for ln in open(s)
+    ]
+    assert sorted(r["a"] for r in rows) == [0, 1, 2]
+
+
+def test_q435_sink_abort_executed_by_spark(spark, tmp_path):
+    """End-to-end abort: a real .write through the registered sink
+    where partition 0 COMMITS (no marker rows, finishes fast) and
+    partition 1 sleeps then raises mid-iteration. Spark's driver-side
+    abort() then runs with [commit, None] — it must delete the
+    committed shard, tolerate the None (the r12 ADVICE crash), and
+    never publish a manifest, so the gated reader sees nothing from
+    the failed job."""
+    import os
+    import time
+
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+    from pyspark.errors import PySparkException
+
+    from g_etl_spark.sources.pygen import register_sink
+
+    register_sink(spark)
+    out = tmp_path / "sink_abort"
+
+    @F.udf(StringType())
+    def _slow_boom(i):
+        if i == 9:
+            time.sleep(4)  # let partition 0's task write + commit first
+            raise RuntimeError("boom")
+        return "ok"
+
+    df = spark.range(0, 10, 1, 2).select("id", _slow_boom("id").alias("s"))
+    with pytest.raises(PySparkException):
+        (
+            df.write.format("g_etl_jsonl")
+            .option("path", str(out))
+            .mode("append")
+            .save()
+        )
+    assert not os.path.exists(out / "_MANIFEST.json")
+    leftover = [p for p in os.listdir(out) if p.startswith("part-")]
+    # Driver abort removed partition 0's committed shard; at most the
+    # failing attempt's own torn file remains (its task never returned
+    # a commit message, so abort cannot know its name — and it is
+    # unreachable through the manifest gate regardless).
+    assert len(leftover) <= 1
+
+
+def test_q435_sink_overwrite_clears_previous_publish(tmp_path):
+    """.mode('overwrite') must be a directory-level replace: after the
+    second publish, the manifest lists only the new shards AND the
+    superseded part files are gone from the directory (no stale files
+    visible to globbing readers)."""
+    import json, os
+
+    from g_etl_spark.sources.pygen import JsonlWriter
+
+    w1 = JsonlWriter({"path": str(tmp_path / "out")}, overwrite=False)
+    a = w1.write(iter([_FakeRow(a=1)]))
+    b = w1.write(iter([_FakeRow(a=2)]))
+    w1.commit([a, b])
+    w2 = JsonlWriter({"path": str(tmp_path / "out")}, overwrite=True)
+    c = w2.write(iter([_FakeRow(a=7), _FakeRow(a=8)]))
+    w2.commit([c])
+    man = json.load(open(tmp_path / "out" / "_MANIFEST.json"))
+    assert man["shards"] == [c.path] and man["n_rows"] == 2
+    on_disk = [
+        p for p in os.listdir(tmp_path / "out") if p.startswith("part-")
+    ]
+    assert len(on_disk) == 1
+    assert os.path.join(str(tmp_path / "out"), on_disk[0]) == c.path
+
+
+def test_q434_pushfilters_resets_bounds_between_scans():
+    """pushFilters must fold only the CURRENT scan's predicates: a
+    second call on the same reader instance with a laxer (or absent)
+    range must not inherit the first scan's bounds."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from g_etl_spark.sources.pygen import GenReader
+
+    r = GenReader({"rows": "5000", "parts": "8"})
+    r.pushFilters([GreaterThanOrEqual(("id",), 500), LessThan(("id",), 4000)])
+    assert (r.lo, r.hi) == (500, 4000)
+    r.pushFilters([])  # a new scan with no pushable predicates
+    assert (r.lo, r.hi) == (0, 5000), "stale bounds survived re-push"
+    parts = r.partitions()
+    assert parts[0].start == 0 and parts[-1].end == 5000
 
 
 def test_q437_prune_marks_lowest_loss(spark, qs):
@@ -5603,3 +5795,109 @@ def test_q441_fertility_identities(spark, qs):
         .count()
     )
     assert sum(r["n_words"] for r in rows) == total
+
+
+def test_q443_davidson_ties_non_vacuous_and_coherent(spark, qs):
+    """The tie machinery must actually fire on this corpus (the
+    whole point of q443 over q428): n_ties > 0, nu_micro > 0, the
+    strengths renormalize to sum == k (to integer rounding), and the
+    rank order is consistent with the fitted strengths."""
+    rows = qs["q443_davidson_tie_preferences"](spark, SF_DIR).collect()
+    k = len(rows)
+    assert k >= 2
+    assert sum(r["n_ties"] for r in rows) > 0, "tie path vacuous"
+    assert rows[0]["nu_micro"] > 0
+    assert len({r["nu_micro"] for r in rows}) == 1  # global parameter
+    assert abs(sum(r["p_micro"] for r in rows) - k * 1_000_000) <= k
+    ps = [r["p_micro"] for r in rows]  # already rank-ordered
+    assert ps == sorted(ps, reverse=True)
+    assert [r["pref_rank"] for r in rows] == list(range(1, k + 1))
+
+
+def test_q443_mm_round_all_ties_degenerates_to_uniform(spark):
+    """Injected corpus: if EVERY duel is a tie, Davidson has no win
+    signal — one MM round must keep the strengths uniform (equal
+    denominators, hn = ties) and push nu UP (ties outnumber the
+    uniform model's expectation)."""
+    import pyspark.sql.functions as F
+
+    from g_etl_spark.queries.relational import (
+        _Q443_PNORM,
+        _Q443_PRAW,
+        _q443_mm_round,
+    )
+
+    pairs = spark.createDataFrame(
+        [("a", "b", 10, 0, 0, 10), ("a", "c", 10, 0, 0, 10),
+         ("b", "c", 10, 0, 0, 10)],
+        "i string, j string, n long, wi long, wj long, tn long",
+    )
+    items = spark.createDataFrame(
+        [("a", 0, 20, 20, 20), ("b", 0, 20, 20, 20), ("c", 0, 20, 20, 20)],
+        "t string, w long, ties long, comps long, hn long",
+    )
+    tt = pairs.agg(F.sum("tn").cast("long").alias("tt"))
+    p_df = items.select("t", F.lit(1000000).cast("long").alias("p"))
+    nu_df = spark.range(1).select(F.lit(1000000).cast("long").alias("nu"))
+    pden, nu1 = _q443_mm_round(pairs, p_df, nu_df, tt)
+    nu_val = nu1.collect()[0]["nu"]
+    # uniform p: P(tie) = nu/(2+nu) = 1/3 at nu=1, but ALL duels tied
+    # -> stationarity pushes nu to T / sum(N*s/D) = 30/(30*1/3) = 3
+    assert nu_val == 3_000_000
+    praw = items.join(pden, "t").select(
+        "t", F.expr(_Q443_PRAW.format(hn="hn", dd="dd")).alias("praw")
+    )
+    norm = praw.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("praw").cast("long").alias("sp"),
+    )
+    p1 = praw.crossJoin(F.broadcast(norm)).select(
+        "t",
+        F.expr(_Q443_PNORM.format(k="k", praw="praw", sp="sp")).alias("p"),
+    )
+    assert {r["p"] for r in p1.collect()} == {1_000_000}
+
+
+def test_q443_mm_round_dominant_winner_rises(spark):
+    """Injected corpus: one item wins every decided duel — after one
+    MM round its strength must strictly exceed the others'."""
+    import pyspark.sql.functions as F
+
+    from g_etl_spark.queries.relational import (
+        _Q443_PNORM,
+        _Q443_PRAW,
+        _q443_mm_round,
+    )
+
+    pairs = spark.createDataFrame(
+        [("a", "b", 10, 9, 0, 1), ("a", "c", 10, 9, 0, 1),
+         ("b", "c", 10, 4, 4, 2)],
+        "i string, j string, n long, wi long, wj long, tn long",
+    )
+    items = spark.createDataFrame(
+        [("a", 18, 2, 20, 38), ("b", 4, 3, 20, 11), ("c", 4, 3, 20, 11)],
+        "t string, w long, ties long, comps long, hn long",
+    )
+    tt = pairs.agg(F.sum("tn").cast("long").alias("tt"))
+    p_df = items.select("t", F.lit(1000000).cast("long").alias("p"))
+    nu_df = spark.range(1).select(F.lit(1000000).cast("long").alias("nu"))
+    pden, nu1 = _q443_mm_round(pairs, p_df, nu_df, tt)
+    praw = items.join(pden, "t").select(
+        "t", F.expr(_Q443_PRAW.format(hn="hn", dd="dd")).alias("praw")
+    )
+    norm = praw.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("praw").cast("long").alias("sp"),
+    )
+    got = {
+        r["t"]: r["p"]
+        for r in praw.crossJoin(F.broadcast(norm))
+        .select(
+            "t",
+            F.expr(
+                _Q443_PNORM.format(k="k", praw="praw", sp="sp")
+            ).alias("p"),
+        )
+        .collect()
+    }
+    assert got["a"] > got["b"] == got["c"]
