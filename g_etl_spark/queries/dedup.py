@@ -5848,3 +5848,148 @@ def q421_prefix_filter_jaccard_join(
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# ---- q444: maximal cross-document exact substrings ----------------------
+_Q444_W = 8        # anchor window (tokens) — the suffix-gram grain
+_Q444_MIN = 12     # report spans of at least this many tokens
+
+
+@register(
+    "q444_maximal_shared_substrings",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks
+        FROM documents
+        WHERE len(string_split(trim(text), ' ')) >= {_Q444_W}
+    ),
+    g AS MATERIALIZED (
+        SELECT doc_id, u.i AS pos,
+               array_to_string(toks[u.i:u.i + {_Q444_W} - 1], ' ') AS gram
+        FROM t, LATERAL (
+            SELECT unnest(range(1, len(toks) - {_Q444_W} + 2)) AS i) u
+    ),
+    hits AS MATERIALIZED (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               a.pos - b.pos AS off, a.pos AS pa
+        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT da, db, off, pa,
+               CASE WHEN lag(pa) OVER w IS NULL
+                         OR pa <> lag(pa) OVER w + 1 THEN 1 ELSE 0
+               END AS brk
+        FROM hits
+        WINDOW w AS (PARTITION BY da, db, off ORDER BY pa)
+    ),
+    ids AS (
+        SELECT da, db, off, pa,
+               sum(brk) OVER (PARTITION BY da, db, off ORDER BY pa
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM runs
+    ),
+    spans AS (
+        SELECT da, db, off, run_id,
+               max(pa) - min(pa) + {_Q444_W} AS span_len
+        FROM ids GROUP BY 1, 2, 3, 4
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(max(span_len) AS BIGINT) AS longest_span,
+           CAST(sum(span_len) AS BIGINT) AS shared_tokens
+    FROM spans
+    WHERE span_len >= {_Q444_MIN}
+    GROUP BY da, db
+    ORDER BY da, db
+    """,
+)
+def q444_maximal_shared_substrings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MAXIMAL cross-document exact substrings — the suffix-array
+    dedup result of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better", ExactSubstr) re-expressed as
+    bucketed suffix grams + alignment-space islands. Every
+    8-token window is an anchor; two documents sharing a window at
+    positions (pa, pb) are a hit at alignment off = pa − pb; within
+    one (doc_a, doc_b, off) alignment a TRUE match of length L
+    produces hits at EXACTLY the consecutive anchors pa..pa+L−8
+    (any interior window of a matching region matches too), so
+    maximal shared substrings are precisely the pa-consecutive runs,
+    with exact length max(pa) − min(pa) + 8. Distinct from q212,
+    which merges per-doc coverage regardless of partner and
+    alignment — this emits per-PAIR maximal spans ≥ 12 tokens with
+    their exact lengths, i.e. what a span-removal pass deletes and
+    where. shared_tokens counts alignment-grain span lengths (text
+    self-repeated under several alignments counts once per
+    alignment, as in the suffix-array formulation).
+
+    Scale: the candidate bound is Σ_gram occ(gram)² (bucketed block
+    join), never corpus² — probed at ×25 in probe_r13_ops.py; the
+    island windows partition by (doc_a, doc_b, off), bounded by
+    per-pair hit counts. At 100 TB the gram key becomes a 64-bit
+    rolling hash (q51's device) and ultra-hot boilerplate grams get
+    a loud df-cap before the self-join (the q153/q96 discipline) —
+    both adaptations change constants, not the plan shape.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("toks")
+    )
+    t = d.where(F.size("toks") >= _Q444_W)
+    g = t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks") - _Q444_W + 1)
+        ).alias("pos"),
+        "toks",
+    ).select(
+        "doc_id",
+        "pos",
+        F.concat_ws(" ", F.slice("toks", F.col("pos"), _Q444_W)).alias(
+            "gram"
+        ),
+    )
+    a = g.select(
+        F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "gram"
+    )
+    b = g.select(
+        F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "gram"
+    )
+    hits = (
+        a.join(b, "gram")
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db", (F.col("pa") - F.col("pb")).alias("off"), "pa")
+    )
+    w = Window.partitionBy("da", "db", "off").orderBy("pa")
+    runs = hits.withColumn(
+        "brk",
+        F.when(
+            F.lag("pa").over(w).isNull()
+            | (F.col("pa") != F.lag("pa").over(w) + 1),
+            1,
+        ).otherwise(0),
+    )
+    ids = runs.withColumn(
+        "run_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = ids.groupBy("da", "db", "off", "run_id").agg(
+        (F.max("pa") - F.min("pa") + _Q444_W).alias("span_len")
+    )
+    return (
+        spans.where(F.col("span_len") >= _Q444_MIN)
+        .groupBy("da", "db")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.max("span_len").cast("long").alias("longest_span"),
+            F.sum("span_len").cast("long").alias("shared_tokens"),
+        )
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            "n_spans",
+            "longest_span",
+            "shared_tokens",
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -5486,11 +5486,63 @@ def _q424_oracle() -> str:
 
 
 
+def _ulm_subs(words: DataFrame) -> DataFrame:
+    """Every (start, len ≤ _ULM_MAXP) substring of every word — the
+    candidate-piece fan-out (map-side explode, w/f carried along)."""
+    return words.select(
+        "w",
+        "f",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, length(w)), i ->"
+                f" transform(sequence(1, least({_ULM_MAXP},"
+                f" length(w) - i + 1)), l ->"
+                " named_struct('i', i, 'l', l, 's', substr(w, i, l)))))"
+            )
+        ).alias("p"),
+    ).select("w", "f", "p.i", "p.l", "p.s")
+
+
+def _ulm_estep(words: DataFrame, costs: DataFrame) -> DataFrame:
+    """VITERBI E-step under an arbitrary (piece, cost) model: per
+    word, piece costs land in a (pos,len)-keyed map and one
+    `aggregate` fold builds the integer DP distance list. Returns
+    (w, f, cm, dl), eagerly checkpointed (q424's device, reused by
+    the q445 prune→refit pass with the pruned cost set)."""
+    edges = (
+        _ulm_subs(words)
+        .join(F.broadcast(costs), F.col("s") == costs["piece"])
+        .select(
+            "w",
+            "f",
+            ((F.col("i") - 1) * _ULM_MAXP + F.col("l")).alias("idx"),
+            "cost",
+        )
+    )
+    wc = edges.groupBy("w", "f").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("idx"), F.col("cost")))
+        ).alias("cm")
+    )
+    big = _ULM_BIG
+    fwd_terms = ", ".join(
+        f"IF({l} <= j, element_at(acc, j - {l} + 1)"
+        f" + coalesce(element_at(cm, (j - {l}) * {_ULM_MAXP} + {l}),"
+        f" {big}), {big})"
+        for l in range(1, _ULM_MAXP + 1)
+    )
+    dl_sql = (
+        "aggregate(sequence(1, length(w)), array(CAST(0 AS BIGINT)),"
+        f" (acc, j) -> array_append(acc, least({fwd_terms})))"
+    )
+    return wc.select("w", "f", "cm", F.expr(dl_sql).alias("dl")).localCheckpoint()
+
+
 def _ulm_model(spark: SparkSession, sf_dir: str) -> dict:
-    """Shared q424/q437 unigram-LM machinery: returns the initial
-    vocab costs (v0), the post-M-step usage/costs (v1), and the
-    scalar likelihood frames (ll0, ll1) — see q424 for the
-    algebra."""
+    """Shared q424/q437/q445 unigram-LM machinery: returns the word
+    table, the initial vocab costs (v0), the post-M-step
+    usage/costs (v1), and the scalar likelihood frames (ll0, ll1) —
+    see q424 for the algebra."""
     d = load(spark, sf_dir, "documents")
     words = (
         d.select(
@@ -5503,19 +5555,7 @@ def _ulm_model(spark: SparkSession, sf_dir: str) -> dict:
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("f"))
     )
-    subs = words.select(
-        "w",
-        "f",
-        F.explode(
-            F.expr(
-                f"flatten(transform(sequence(1, length(w)), i ->"
-                f" transform(sequence(1, least({_ULM_MAXP},"
-                f" length(w) - i + 1)), l ->"
-                " named_struct('i', i, 'l', l, 's', substr(w, i, l)))))"
-            )
-        ).alias("p"),
-    ).select("w", "f", "p.i", "p.l", "p.s")
-    cnt = subs.groupBy(F.col("s").alias("piece")).agg(
+    cnt = _ulm_subs(words).groupBy(F.col("s").alias("piece")).agg(
         F.sum("f").cast("long").alias("cnt0")
     )
     vocab = cnt.filter(F.length("piece") == 1).unionByName(
@@ -5532,29 +5572,7 @@ def _ulm_model(spark: SparkSession, sf_dir: str) -> dict:
         ).alias("c0"),
     )
     # vocab is bounded (≤ alphabet + _ULM_TOPV rows) by construction
-    edges = subs.join(F.broadcast(v0), subs["s"] == v0["piece"]).select(
-        "w",
-        "f",
-        ((F.col("i") - 1) * _ULM_MAXP + F.col("l")).alias("idx"),
-        "c0",
-    )
-    wc = edges.groupBy("w", "f").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("idx"), F.col("c0")))
-        ).alias("cm")
-    )
-    big = _ULM_BIG
-    fwd_terms = ", ".join(
-        f"IF({l} <= j, element_at(acc, j - {l} + 1)"
-        f" + coalesce(element_at(cm, (j - {l}) * {_ULM_MAXP} + {l}),"
-        f" {big}), {big})"
-        for l in range(1, _ULM_MAXP + 1)
-    )
-    dl_sql = (
-        "aggregate(sequence(1, length(w)), array(CAST(0 AS BIGINT)),"
-        f" (acc, j) -> array_append(acc, least({fwd_terms})))"
-    )
-    wd = wc.select("w", "f", "cm", F.expr(dl_sql).alias("dl")).localCheckpoint()
+    wd = _ulm_estep(words, v0.select("piece", F.col("c0").alias("cost")))
     lstar = _ulm_lstar_sql(
         "acc.pos", "dl", "element_at(cm, {idx})"
     )
@@ -5590,6 +5608,7 @@ def _ulm_model(spark: SparkSession, sf_dir: str) -> dict:
         "w", F.size(F.expr(back_sql)).alias("n_pieces")
     )
     return {
+        "words": words,
         "v0": v0,
         "v1": v1,
         "ll0": ll0,
@@ -5859,6 +5878,53 @@ def q432_filter_agreement_matrix(
 _Q437_PRUNE_PCT = 40  # prune the lowest-loss X% of used multi-char pieces
 
 
+def _ulm_prune_ranked(v1: DataFrame) -> DataFrame:
+    """q437's loss pricing at the bounded vocab grain: every USED
+    multi-char piece with all chars priced in v1 gets
+    loss = cnt1 · (spell − c1) and a deterministic rank (shared by
+    q437's report and q445's executed prune)."""
+    multi = v1.filter(F.length("piece") >= 2).select(
+        "piece", "cnt1", "c1"
+    )
+    chars = multi.select(
+        "piece",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(piece)),"
+                " i -> substr(piece, i, 1))"
+            )
+        ).alias("ch"),
+    )
+    cv1 = v1.select(F.col("piece").alias("ch"), F.col("c1").alias("cc1"))
+    spell = (
+        chars.join(cv1, "ch")
+        .groupBy("piece")
+        .agg(
+            F.sum("cc1").cast("long").alias("spell_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_chars_priced"),
+        )
+    )
+    loss = (
+        multi.join(spell, "piece")
+        .filter(F.col("n_chars_priced") == F.length("piece"))
+        .select(
+            "piece",
+            "cnt1",
+            "c1",
+            "spell_micro",
+            (F.col("cnt1") * (F.col("spell_micro") - F.col("c1"))).alias(
+                "loss_micro"
+            ),
+        )
+    )
+    wr = Window.orderBy("loss_micro", "piece")
+    return loss.select(
+        "*",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nm"),
+    )
+
+
 def _q437_oracle() -> str:
     return _q424_oracle_ctes() + f"""
     , multi AS (
@@ -5918,47 +5984,7 @@ def q437_unigram_lm_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     of rows, not the corpus.
     """
     m = _ulm_model(spark, sf_dir)
-    v1 = m["v1"]
-    multi = v1.filter(F.length("piece") >= 2).select(
-        "piece", "cnt1", "c1"
-    )
-    chars = multi.select(
-        "piece",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(piece)),"
-                " i -> substr(piece, i, 1))"
-            )
-        ).alias("ch"),
-    )
-    cv1 = v1.select(F.col("piece").alias("ch"), F.col("c1").alias("cc1"))
-    spell = (
-        chars.join(cv1, "ch")
-        .groupBy("piece")
-        .agg(
-            F.sum("cc1").cast("long").alias("spell_micro"),
-            F.count(F.lit(1)).cast("long").alias("n_chars_priced"),
-        )
-    )
-    loss = (
-        multi.join(spell, "piece")
-        .filter(F.col("n_chars_priced") == F.length("piece"))
-        .select(
-            "piece",
-            "cnt1",
-            "c1",
-            "spell_micro",
-            (F.col("cnt1") * (F.col("spell_micro") - F.col("c1"))).alias(
-                "loss_micro"
-            ),
-        )
-    )
-    wr = Window.orderBy("loss_micro", "piece")
-    ranked = loss.select(
-        "*",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("nm"),
-    )
+    ranked = _ulm_prune_ranked(m["v1"])
     return (
         ranked.select(
             "piece",
@@ -6069,4 +6095,155 @@ def q441_tokenizer_fertility_by_lang(
             .alias("chars_per_piece_milli"),
         )
         .orderBy("lang")
+    )
+
+
+# ---- q445: unigram-LM prune EXECUTED + re-fit (bound audit) -------------
+def _q445_oracle() -> str:
+    big = _ULM_BIG
+    mp = _ULM_MAXP
+    fwd_terms = ", ".join(
+        f"CASE WHEN {l} <= j + 1 THEN dl[j + 1 - {l} + 1]"
+        f" + coalesce(cv[(j + 1 - {l}) * {mp} + {l}], {big})"
+        f" ELSE {big} END"
+        for l in range(1, mp + 1)
+    )
+    return _q424_oracle_ctes() + f"""
+    , multi AS (
+        SELECT v1.piece, v1.cnt1, v1.c1
+        FROM v1 WHERE length(v1.piece) >= 2
+    ),
+    spell AS (
+        SELECT m.piece,
+               CAST(sum(cv1.c1) AS BIGINT) AS spell_micro,
+               CAST(count(*) AS BIGINT) AS n_chars_priced
+        FROM (SELECT piece, unnest(list_transform(
+                  range(1, length(piece) + 1), i -> piece[i]))
+                  AS ch FROM multi) m
+        JOIN v1 cv1 ON cv1.piece = m.ch
+        GROUP BY m.piece
+    ),
+    loss AS (
+        SELECT m.piece, m.cnt1, m.c1, s.spell_micro,
+               m.cnt1 * (s.spell_micro - m.c1) AS loss_micro
+        FROM multi m JOIN spell s USING (piece)
+        WHERE s.n_chars_priced = length(m.piece)
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY loss_micro, piece) AS rn,
+               count(*) OVER () AS nm
+        FROM loss
+    ),
+    pruned AS (
+        SELECT piece, loss_micro FROM ranked
+        WHERE rn <= nm * {_Q437_PRUNE_PCT} // 100
+    ),
+    npr AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(coalesce(sum(loss_micro), 0) AS BIGINT) AS s
+            FROM pruned),
+    surv AS (
+        SELECT v1.piece, v1.c1 FROM v1
+        ANTI JOIN pruned USING (piece)
+    ),
+    nk AS (SELECT CAST(count(*) AS BIGINT) AS n FROM surv),
+    wc2 AS (
+        SELECT g.w, g.f, list(surv.c1 ORDER BY (g.i - 1) * {mp} + g.l)
+                   AS cv
+        FROM (SELECT w, f, i.i AS i, l.l AS l FROM words,
+                   LATERAL (SELECT unnest(range(1, {_ULM_MAXW} + 1))
+                            AS i) i,
+                   LATERAL (SELECT unnest(range(1, {mp} + 1)) AS l) l) g
+        LEFT JOIN surv
+          ON surv.piece = substr(g.w, g.i, g.l)
+         AND length(substr(g.w, g.i, g.l)) = g.l
+        GROUP BY g.w, g.f
+    ),
+    fwd2 AS (
+        SELECT w, f, cv, 0 AS j, [CAST(0 AS BIGINT)] AS dl FROM wc2
+        UNION ALL
+        SELECT w, f, cv, j + 1, list_append(dl, least({fwd_terms}))
+        FROM fwd2 WHERE j < length(w)
+    ),
+    done2 AS (SELECT w, f, dl FROM fwd2 WHERE j = length(w)),
+    ll2 AS (SELECT CAST(sum(f * dl[length(w) + 1]) AS BIGINT) AS v
+            FROM done2)
+    SELECT npr.n AS n_pruned, nk.n AS n_kept_pieces,
+           ll1.v AS ll_ref_micro, ll2.v AS ll_pruned_micro,
+           ll2.v - ll1.v AS degrade_micro,
+           npr.s AS sum_loss_bound_micro,
+           (ll2.v - ll1.v) <= npr.s AS bound_ok,
+           npr.s - (ll2.v - ll1.v) AS bound_slack_micro
+    FROM npr, nk, ll1, ll2
+    """
+
+
+@register("q445_unigram_lm_prune_refit", oracle=_q445_oracle())
+def q445_unigram_lm_prune_refit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UNIGRAM-LM prune EXECUTED + re-fit — the loop closure that
+    turns q437's spell-out bound into an AUDITED claim (r12 verdict
+    item #7): fit (q424's EM machinery), mark the bottom
+    {_Q437_PRUNE_PCT}% of priced multi-char pieces by loss (q437's
+    cut, exactly), then RE-RUN the Viterbi E-step with the pruned
+    vocabulary (survivor costs c1 fixed) and compare corpus
+    likelihoods. The output gates the whole algebra: degrade =
+    ll_pruned − ll_ref must be ≤ Σ loss bounds of the pruned pieces
+    (sound because the old segmentation with each pruned occurrence
+    spelled out by its chars — all priced, hence all surviving — is
+    a feasible segmentation costing exactly ll_ref + Σ losses, and
+    Viterbi can only do better; degrade may even be NEGATIVE when
+    re-segmentation under the M-step costs beats the stale E-step
+    paths). bound_slack_micro records how loose the spell-out bound
+    ran on this corpus — the audited margin.
+
+    Scale: q424's economics twice (word-table grain, map-side DP
+    folds, bounded broadcast vocab); the prune arithmetic is vocab-
+    grain; the comparison is two scalars. No corpus pass is added —
+    the E-step re-run IS the second pass a real SentencePiece shrink
+    iteration performs.
+    """
+    m = _ulm_model(spark, sf_dir)
+    v1, words, ll1 = m["v1"], m["words"], m["ll1"]
+    ranked = _ulm_prune_ranked(v1)
+    pruned = ranked.filter(
+        F.expr(f"rn <= nm * {_Q437_PRUNE_PCT} div 100")
+    ).select("piece", "loss_micro")
+    pruned = pruned.localCheckpoint(eager=True)  # vocab-grain, reused 3x
+    surv = v1.join(pruned, "piece", "left_anti").select(
+        "piece", F.col("c1").alias("cost")
+    )
+    wd2 = _ulm_estep(words, surv)
+    ll2 = wd2.agg(
+        F.sum(F.col("f") * F.expr("element_at(dl, length(w) + 1)"))
+        .cast("long")
+        .alias("ll2")
+    )
+    npr = pruned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pruned"),
+        F.coalesce(F.sum("loss_micro"), F.lit(0))
+        .cast("long")
+        .alias("sum_loss_bound_micro"),
+    )
+    nk = surv.agg(F.count(F.lit(1)).cast("long").alias("n_kept_pieces"))
+    return (
+        npr.crossJoin(F.broadcast(nk))
+        .crossJoin(F.broadcast(ll1))
+        .crossJoin(F.broadcast(ll2))
+        .select(
+            "n_pruned",
+            "n_kept_pieces",
+            F.col("ll1_micro").alias("ll_ref_micro"),
+            F.col("ll2").alias("ll_pruned_micro"),
+            (F.col("ll2") - F.col("ll1_micro")).alias("degrade_micro"),
+            "sum_loss_bound_micro",
+            (
+                (F.col("ll2") - F.col("ll1_micro"))
+                <= F.col("sum_loss_bound_micro")
+            ).alias("bound_ok"),
+            (
+                F.col("sum_loss_bound_micro")
+                - (F.col("ll2") - F.col("ll1_micro"))
+            ).alias("bound_slack_micro"),
+        )
     )

@@ -5901,3 +5901,105 @@ def test_q443_mm_round_dominant_winner_rises(spark):
         .collect()
     }
     assert got["a"] > got["b"] == got["c"]
+
+
+def test_q444_maximal_spans_hand_corpus(spark, qs, tmp_path):
+    """Injected corpus with KNOWN maximal shared substrings: the
+    alignment-island construction must report exactly the hand-
+    computed spans — maximality (runs don't split or merge), the
+    ≥12-token threshold, multi-occurrence alignments (a doc
+    containing the shared block twice yields TWO spans per partner),
+    and sub-threshold runs excluded. Spark and the DuckDB oracle
+    must agree on the same corpus."""
+    S = [f"s{i}" for i in range(1, 21)]       # the 20-token shared block
+    docs = [
+        (0, " ".join([f"a{i}" for i in range(1, 31)] + S
+                     + [f"b{i}" for i in range(1, 11)])),
+        (1, " ".join([f"c{i}" for i in range(1, 6)] + S
+                     + [f"d{i}" for i in range(1, 16)])),
+        # shares only s1..s12 (12 tokens — exactly at threshold)
+        (2, " ".join([f"e{i}" for i in range(1, 8)] + S[:12]
+                     + [f"f{i}" for i in range(1, 8)])),
+        # contains the shared block TWICE (two alignments)
+        (3, " ".join([f"g{i}" for i in range(1, 6)] + S
+                     + [f"h{i}" for i in range(1, 6)] + S
+                     + [f"i{i}" for i in range(1, 6)])),
+        # shares only s1..s11 (11 tokens — below threshold everywhere)
+        (4, " ".join([f"j{i}" for i in range(1, 7)] + S[:11]
+                     + [f"k{i}" for i in range(1, 7)])),
+    ]
+    ddir = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [(i, t, "hand", 0) for i, t in docs],
+        "doc_id long, text string, source string, lang_hint long",
+    ).coalesce(1).write.parquet(ddir)
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["n_spans"], r["longest_span"], r["shared_tokens"]
+        )
+        for r in qs["q444_maximal_shared_substrings"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    want = {
+        (0, 1): (1, 20, 20),
+        (0, 2): (1, 12, 12),
+        (1, 2): (1, 12, 12),
+        (0, 3): (2, 20, 40),
+        (1, 3): (2, 20, 40),
+        (2, 3): (2, 12, 24),
+    }
+    assert got == want
+    duck = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in _duck_oracle_rows(
+            "q444_maximal_shared_substrings",
+            str(tmp_path),
+            {"documents": ddir},
+        )
+    }
+    assert duck == want
+
+
+def test_q445_prune_refit_bound_audited(spark, qs):
+    """The executed prune: bound holds (degrade ≤ Σ loss bounds),
+    slack is the recorded margin, counts reconcile with q437's cut,
+    and the arithmetic columns are internally consistent."""
+    r = qs["q445_unigram_lm_prune_refit"](spark, SF_DIR).collect()[0]
+    assert r["bound_ok"]
+    assert r["bound_slack_micro"] >= 0
+    assert (
+        r["degrade_micro"]
+        == r["ll_pruned_micro"] - r["ll_ref_micro"]
+    )
+    assert (
+        r["bound_slack_micro"]
+        == r["sum_loss_bound_micro"] - r["degrade_micro"]
+    )
+    assert r["n_pruned"] >= 1 and r["n_kept_pieces"] >= 26
+    q437 = qs["q437_unigram_lm_prune"](spark, SF_DIR).collect()
+    assert r["n_pruned"] == q437[0]["n_pruned"]
+
+
+def test_q445_estep_reroutes_cheaper_than_spellout(spark):
+    """Hand-cost DP: pruning a piece re-routes through the cheapest
+    SURVIVING segmentation, which can beat the char spell-out — the
+    case where q437's bound is strictly loose. Word 'abcd', costs
+    a=b=c=d=10, abc=12, ab=15, cd=15: full-vocab optimum is
+    abc+d = 22; without 'abc' the optimum is ab+cd = 30 (NOT the
+    40-cost spell-out), so the realized degrade 8 undercuts the
+    spell-out bound 18."""
+    from g_etl_spark.queries.text import _ulm_estep
+
+    words = spark.createDataFrame([("abcd", 1)], "w string, f long")
+
+    def run(costs):
+        cdf = spark.createDataFrame(costs, "piece string, cost long")
+        wd = _ulm_estep(words, cdf)
+        return wd.collect()[0]["dl"][-1]
+
+    base = [("a", 10), ("b", 10), ("c", 10), ("d", 10),
+            ("abc", 12), ("ab", 15), ("cd", 15)]
+    assert run(base) == 22                      # abc + d
+    pruned = [p for p in base if p[0] != "abc"]
+    assert run(pruned) == 30                    # ab + cd, not 40 spell
