@@ -12614,3 +12614,313 @@ def q443_davidson_tie_preferences(
         )
         .orderBy("pref_rank")
     )
+
+
+# ---- q447: position-bias-corrected Bradley-Terry ------------------------
+# The order-effect model (Agresti 1990; MM updates in Hunter 2004's
+# home-advantage section): P(home wins) = γ·p_h / (γ·p_h + p_a).
+# "Home" = the type the user encountered FIRST (min event ts) — the
+# primacy position. γ > 1 means first-encountered types win more than
+# their strengths explain: the position bias a duel-based reward
+# model must correct for. Shared quantized templates as q443.
+
+# D = γ·p_h/1e6 + p_a (micro)
+_Q447_D = ("(CAST(round(CAST({g} AS DOUBLE) * {ph} / 1000000.0)"
+           " AS BIGINT) + {pa})")
+# γ-stationarity denominator term per ordered pair (pico)
+_Q447_GT = ("CAST(round(1000000000000.0 * {n} * {ph} / {d}) AS BIGINT)")
+# γ update from total home wins hw and the pico denominator sum dn
+_Q447_G = ("CAST(round(1000000.0 * {hw} / (CAST({dn} AS DOUBLE)"
+           " / 1000000000000.0)) AS BIGINT)")
+# p-update terms: home side n·(γ/1e6)/D, away side n/D (both pico)
+_Q447_PTH = ("CAST(round(1000000000000.0 * {n} * {g}"
+             " / (1000000.0 * {d})) AS BIGINT)")
+_Q447_PTA = ("CAST(round(1000000000000.0 * {n} / CAST({d} AS DOUBLE))"
+             " AS BIGINT)")
+# raw strength from total wins w and the pico denominator sum dd
+_Q447_PRAW = ("CAST(round(1000000.0 * {w} / (CAST({dd} AS DOUBLE)"
+              " / 1000000000000.0)) AS BIGINT)")
+
+
+def _q447_oracle() -> str:
+    def mm_round(r: int) -> str:
+        q = r - 1
+        d0 = _Q447_D.format(g=f"g{q}.g", ph="ph.p", pa="pa.p")
+        gt = _Q447_GT.format(n="n", ph="ph.p", d="d")
+        gu = _Q447_G.format(hw="hw.hw", dn="dn")
+        d1 = _Q447_D.format(g=f"g{r}.g", ph="ph.p", pa="pa.p")
+        pth = _Q447_PTH.format(n="n", g=f"g{r}.g", d="d")
+        pta = _Q447_PTA.format(n="n", d="d")
+        praw = _Q447_PRAW.format(w="it.w", dd="dd")
+        pnorm = _Q443_PNORM.format(k="norm.k", praw="praw", sp="norm.sp")
+        return f"""
+    pd{r} AS MATERIALIZED (
+        SELECT pr.h, pr.aw, pr.n, ph.p AS php, {d0} AS d
+        FROM pairs pr
+        JOIN p{q} ph ON ph.t = pr.h JOIN p{q} pa ON pa.t = pr.aw
+        CROSS JOIN g{q}
+    ),
+    gden{r} AS MATERIALIZED (
+        SELECT CAST(sum({gt}) AS BIGINT) AS dn
+        FROM (SELECT h, aw, n, php AS p, d FROM pd{r}) x
+        JOIN p{q} ph ON ph.t = x.h
+    ),
+    g{r} AS MATERIALIZED (SELECT {gu} AS g FROM gden{r}, hw),
+    pd2{r} AS MATERIALIZED (
+        SELECT pr.h, pr.aw, pr.n, {d1} AS d
+        FROM pairs pr
+        JOIN p{q} ph ON ph.t = pr.h JOIN p{q} pa ON pa.t = pr.aw
+        CROSS JOIN g{r}
+    ),
+    pterm{r} AS MATERIALIZED (
+        SELECT h AS t, {pth} AS term FROM pd2{r}, g{r}
+        UNION ALL
+        SELECT aw AS t, {pta} AS term FROM pd2{r}
+    ),
+    pden{r} AS MATERIALIZED (
+        SELECT t, CAST(sum(term) AS BIGINT) AS dd
+        FROM pterm{r} GROUP BY t
+    ),
+    praw{r} AS MATERIALIZED (
+        SELECT it.t, {praw} AS praw
+        FROM items it JOIN pden{r} USING (t)
+    ),
+    norm{r} AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(praw) AS BIGINT) AS sp FROM praw{r}
+    ),
+    p{r} AS MATERIALIZED (
+        SELECT t, {pnorm} AS p
+        FROM praw{r}, norm{r} norm
+    )"""
+
+    return f"""
+    WITH ut AS MATERIALIZED (
+        SELECT user_id, event_type AS t, count(*) AS n,
+               sum(CAST(round(value * 100) AS HUGEINT)) AS s,
+               min(epoch_us(ts)) AS ft
+        FROM events WHERE value IS NOT NULL
+        GROUP BY user_id, event_type
+    ),
+    duels AS MATERIALIZED (
+        SELECT CASE WHEN a.ft < b.ft OR (a.ft = b.ft AND a.t < b.t)
+                    THEN a.t ELSE b.t END AS h,
+               CASE WHEN a.ft < b.ft OR (a.ft = b.ft AND a.t < b.t)
+                    THEN b.t ELSE a.t END AS aw,
+               CASE WHEN a.s * b.n > b.s * a.n THEN a.t ELSE b.t END AS wt
+        FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.t < b.t
+        WHERE a.s * b.n <> b.s * a.n
+    ),
+    pairs AS MATERIALIZED (
+        SELECT h, aw, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN wt = h THEN 1 ELSE 0 END) AS BIGINT)
+                   AS w
+        FROM duels GROUP BY h, aw
+    ),
+    hw AS MATERIALIZED (SELECT CAST(sum(w) AS BIGINT) AS hw FROM pairs),
+    items AS MATERIALIZED (
+        SELECT t, CAST(sum(w) AS BIGINT) AS w,
+               CAST(sum(nh) AS BIGINT) AS n_home,
+               CAST(sum(na) AS BIGINT) AS n_away
+        FROM (
+            SELECT h AS t, w, n AS nh, 0 AS na FROM pairs
+            UNION ALL
+            SELECT aw AS t, n - w, 0, n FROM pairs
+        ) GROUP BY t
+    ),
+    p0 AS MATERIALIZED (
+        SELECT t, CAST(1000000 AS BIGINT) AS p FROM items),
+    g0 AS MATERIALIZED (SELECT CAST(1000000 AS BIGINT) AS g),
+    {mm_round(1).lstrip()},
+    {mm_round(2).lstrip()}
+    SELECT CAST(row_number() OVER (ORDER BY p2.p DESC, items.t)
+                AS BIGINT) AS pref_rank,
+           items.t AS event_type,
+           items.w AS n_wins,
+           items.n_home AS n_home_duels,
+           items.n_away AS n_away_duels,
+           p2.p AS p_micro, g2.g AS gamma_micro
+    FROM items JOIN p2 ON p2.t = items.t CROSS JOIN g2
+    ORDER BY pref_rank
+    """
+
+
+def _q447_mm_round(
+    pairs: DataFrame, items: DataFrame, p_df: DataFrame, g_df: DataFrame,
+    hw: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """One order-effect MM round at the ordered-pair grain:
+    (p, γ) -> (p', γ'). Templates shared with the oracle."""
+    ph = p_df.select(F.col("t").alias("h"), F.col("p").alias("php"))
+    pa = p_df.select(F.col("t").alias("aw"), F.col("p").alias("pap"))
+    base = pairs.join(F.broadcast(ph), "h").join(F.broadcast(pa), "aw")
+    d0 = base.crossJoin(F.broadcast(g_df)).withColumn(
+        "d", F.expr(_Q447_D.format(g="g", ph="php", pa="pap"))
+    )
+    gden = d0.agg(
+        F.sum(F.expr(_Q447_GT.format(n="n", ph="php", d="d")))
+        .cast("long")
+        .alias("dn")
+    )
+    g_next = gden.crossJoin(F.broadcast(hw)).select(
+        F.expr(_Q447_G.format(hw="hw", dn="dn")).alias("g")
+    )
+    d1 = base.crossJoin(F.broadcast(g_next)).withColumn(
+        "d", F.expr(_Q447_D.format(g="g", ph="php", pa="pap"))
+    )
+    home_terms = d1.select(
+        F.col("h").alias("t"),
+        F.expr(_Q447_PTH.format(n="n", g="g", d="d")).alias("term"),
+    )
+    away_terms = d1.select(
+        F.col("aw").alias("t"),
+        F.expr(_Q447_PTA.format(n="n", d="d")).alias("term"),
+    )
+    pden = (
+        home_terms.unionByName(away_terms)
+        .groupBy("t")
+        .agg(F.sum("term").cast("long").alias("dd"))
+    )
+    praw = items.join(pden, "t").select(
+        "t", F.expr(_Q447_PRAW.format(w="w", dd="dd")).alias("praw")
+    )
+    norm = praw.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("praw").cast("long").alias("sp"),
+    )
+    p_next = praw.crossJoin(F.broadcast(norm)).select(
+        "t",
+        F.expr(_Q443_PNORM.format(k="k", praw="praw", sp="sp")).alias(
+            "p"
+        ),
+    )
+    return p_next.localCheckpoint(eager=True), g_next.localCheckpoint(
+        eager=True
+    )
+
+
+@register("q447_position_bias_bradley_terry", oracle=_q447_oracle())
+def q447_position_bias_bradley_terry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """POSITION-BIAS-corrected Bradley-Terry — the order-effect model
+    (Agresti 1990; MM in Hunter 2004): P(home wins) =
+    γ·p_h / (γ·p_h + p_a), where "home" is the type the user
+    ENCOUNTERED FIRST (min event ts — the primacy position) and
+    duels are q428's exact integer mean comparisons. γ is the
+    global primacy multiplier a duel-based reward model must divide
+    out before its strengths mean anything — preference datasets
+    collected with a fixed presentation order bake exactly this bias
+    in (the known first-position advantage in human A/B preference
+    labels). Two MM rounds: γ ← H / Σ n_ha·p_h/D_ha, then
+    p_i ← W_i / [Σ_a n_ia·γ/D_ia + Σ_h n_hi/D_hi], re-normalized to
+    Σp = k; every cross-row quantity integer-quantized through
+    templates shared with the oracle (micro strengths, pico terms).
+    Completes the preference trio: q428 (plain BT), q443 (ties),
+    q447 (position bias).
+
+    Scale: identical economics to q428/q443 — one user-grain
+    self-join to duels, then everything at the ordered |types)²
+    pair grain with broadcast strength maps; two bounded MM rounds.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ut = e.groupBy("user_id", F.col("event_type").alias("t")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("decimal(38,0)")).alias(
+            "s"
+        ),
+        F.min(F.unix_micros("ts")).alias("ft"),
+    )
+    a = ut.select(
+        "user_id",
+        F.col("t").alias("ta"),
+        F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+        F.col("ft").alias("fa"),
+    )
+    b = ut.select(
+        "user_id",
+        F.col("t").alias("tb"),
+        F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+        F.col("ft").alias("fb"),
+    )
+    a_first = (F.col("fa") < F.col("fb")) | (
+        (F.col("fa") == F.col("fb")) & (F.col("ta") < F.col("tb"))
+    )
+    duels = (
+        a.join(b, ["user_id"])
+        .filter(F.col("ta") < F.col("tb"))
+        .filter(F.col("sa") * F.col("nb") != F.col("sb") * F.col("na"))
+        .select(
+            F.when(a_first, F.col("ta")).otherwise(F.col("tb")).alias(
+                "h"
+            ),
+            F.when(a_first, F.col("tb")).otherwise(F.col("ta")).alias(
+                "aw"
+            ),
+            F.when(
+                F.col("sa") * F.col("nb") > F.col("sb") * F.col("na"),
+                F.col("ta"),
+            )
+            .otherwise(F.col("tb"))
+            .alias("wt"),
+        )
+    )
+    pairs = duels.groupBy("h", "aw").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("wt") == F.col("h"), 1).otherwise(0))
+        .cast("long")
+        .alias("w"),
+    )
+    pairs = pairs.localCheckpoint(eager=True)  # |types|² rows
+    hw = pairs.agg(F.sum("w").cast("long").alias("hw"))
+    items = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("h").alias("t"),
+                        F.col("w").alias("w"),
+                        F.col("n").alias("nh"),
+                        F.lit(0).cast("long").alias("na"),
+                    ),
+                    F.struct(
+                        F.col("aw").alias("t"),
+                        (F.col("n") - F.col("w")).alias("w"),
+                        F.lit(0).cast("long").alias("nh"),
+                        F.col("n").alias("na"),
+                    ),
+                )
+            ).alias("s")
+        )
+        .select("s.*")
+        .groupBy("t")
+        .agg(
+            F.sum("w").cast("long").alias("w"),
+            F.sum("nh").cast("long").alias("n_home"),
+            F.sum("na").cast("long").alias("n_away"),
+        )
+    )
+    items = items.localCheckpoint(eager=True)
+    p_df = items.select("t", F.lit(1000000).cast("long").alias("p"))
+    g_df = spark.range(1).select(F.lit(1000000).cast("long").alias("g"))
+    for _ in range(2):
+        p_df, g_df = _q447_mm_round(pairs, items, p_df, g_df, hw)
+    return (
+        items.join(p_df, "t")
+        .crossJoin(F.broadcast(g_df))
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("p").desc(), F.col("t")))
+            .cast("long")
+            .alias("pref_rank"),
+            F.col("t").alias("event_type"),
+            F.col("w").alias("n_wins"),
+            F.col("n_home").alias("n_home_duels"),
+            F.col("n_away").alias("n_away_duels"),
+            F.col("p").alias("p_micro"),
+            F.col("g").alias("gamma_micro"),
+        )
+        .orderBy("pref_rank")
+    )

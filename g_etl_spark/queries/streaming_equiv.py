@@ -1745,6 +1745,11 @@ def q436_python_stream_source(
     ckpt = tempfile.mkdtemp(prefix=f"g_etl_pages_ckpt_{run}_")
     sink = tempfile.mkdtemp(prefix=f"g_etl_pages_sink_{run}_")
     try:
+        # serial restart loop: _Q436_ROWS // _Q436_PAGE restarts × 300 s
+        # timeout each = 20 min worst-case driver wall at the shipped
+        # page count of 4 IF the stream wedges (it raises, never hangs
+        # past that). Keep the page count low — each added page adds a
+        # full restart + another 300 s worst-case to this bound.
         for _ in range(_Q436_ROWS // _Q436_PAGE):
             q = (
                 spark.readStream.format("g_etl_pages")
@@ -1920,3 +1925,246 @@ def q439_stream_watermark_max_policy(
         shutil.rmtree(src_b, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
+
+# ---- q446: state-capacity ADVISOR from the watermark trajectory --------
+_Q446_BYTES_PER_KEY = 144  # window-agg state row: 2 ts bounds + source
+#                            + count + store metadata (sizing constant,
+#                            the per-key cost q431's engine numbers
+#                            bound from above at this operator shape)
+
+
+@register(
+    "q446_stream_state_capacity_advisor",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, event_type AS source, epoch_us(ts) AS ts_us,
+               CASE WHEN event_type = 'click'
+                    THEN epoch_us(ts) + (event_id % 89) * {_FANIN_JIT_A_US}
+                    ELSE epoch_us(ts) + (event_id % 797) * {_FANIN_JIT_B_US}
+               END AS ak,
+               CASE WHEN event_type = 'click'
+                    THEN {_TRAJ_DELAY_A_MS} ELSE {_TRAJ_DELAY_B_MS}
+               END AS dms
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    chunked AS (
+        SELECT event_id, source, ts_us, dms,
+               ntile({_FANIN_CHUNKS}) OVER (PARTITION BY source
+                                            ORDER BY ak, event_id) AS k
+        FROM ev
+    ),
+    per AS (
+        SELECT source, k, max(ts_us) AS mx, any_value(dms) AS dms
+        FROM chunked GROUP BY source, k
+    ),
+    srcwm AS (
+        SELECT source, k,
+               max(mx) OVER (PARTITION BY source ORDER BY k
+                             ROWS UNBOUNDED PRECEDING) // 1000 - dms
+                   AS wm_ms
+        FROM per
+    ),
+    gwm AS (SELECT k, min(wm_ms) AS wm_ms FROM srcwm GROUP BY k),
+    kept AS (
+        SELECT c.source, c.k,
+               c.ts_us - c.ts_us % {_FANIN_WIN_US} AS win_start_us
+        FROM chunked c LEFT JOIN gwm ON gwm.k = c.k - 1
+        WHERE gwm.wm_ms IS NULL
+           OR (c.ts_us - c.ts_us % {_FANIN_WIN_US}) + {_FANIN_WIN_US}
+              > gwm.wm_ms * 1000
+    ),
+    winlife AS (
+        SELECT w.source, w.win_start_us, w.first_k,
+               (SELECT min(g.k) FROM gwm g
+                WHERE w.win_start_us + {_FANIN_WIN_US} <= g.wm_ms * 1000)
+                   AS flush_k
+        FROM (SELECT source, win_start_us, min(k) AS first_k
+              FROM kept GROUP BY source, win_start_us) w
+    ),
+    skel AS (
+        SELECT r.k, s.source
+        FROM (SELECT unnest(range(1, {_FANIN_CHUNKS} + 1)) AS k) r,
+             (SELECT unnest(['click', 'purchase']) AS source) s
+    ),
+    cap AS (
+        SELECT sk.k, sk.source,
+               CAST(count(wl.win_start_us) FILTER (
+                   wl.first_k <= sk.k
+                   AND (wl.flush_k IS NULL OR wl.flush_k > sk.k))
+                   AS BIGINT) AS open_windows,
+               CAST(count(wl.win_start_us) FILTER (wl.first_k = sk.k)
+                   AS BIGINT) AS admitted_windows,
+               CAST(count(wl.win_start_us) FILTER (wl.flush_k = sk.k)
+                   AS BIGINT) AS evicted_windows
+        FROM skel sk
+        LEFT JOIN winlife wl ON wl.source = sk.source
+        GROUP BY sk.k, sk.source
+    ),
+    tot AS (
+        SELECT k, CAST(sum(open_windows) AS BIGINT) AS total_open
+        FROM cap GROUP BY k
+    )
+    SELECT cap.k AS restart, cap.source,
+           CAST(gwm.wm_ms * 1000 AS BIGINT) AS wm_committed_us,
+           cap.open_windows, cap.admitted_windows, cap.evicted_windows,
+           CAST(cap.open_windows * {_Q446_BYTES_PER_KEY} AS BIGINT)
+               AS est_state_bytes,
+           CAST(round(1000.0 * cap.open_windows
+                      / greatest(tot.total_open, 1)) AS BIGINT)
+               AS state_share_milli,
+           tot.total_open = (SELECT max(total_open) FROM tot)
+               AS is_peak_restart
+    FROM cap JOIN gwm ON gwm.k = cap.k JOIN tot ON tot.k = cap.k
+    ORDER BY restart, source
+    """,
+)
+def q446_stream_state_capacity_advisor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STATE-CAPACITY ADVISOR from the watermark trajectory — the
+    q217 shape applied to the fan-in union (the r12 NEXT.md
+    candidate): q426 hash-gated that the min-policy ms-domain
+    simulation reproduces the ENGINE's committed watermark per
+    restart, and q431 that simulated state counts match the engine's
+    StateOperatorProgress; this advisor runs the SAME validated
+    model PURELY AS BATCH ARITHMETIC and prices the capacity plan a
+    deployment needs BEFORE running the stream: per restart and
+    source, the open-window state rows (admitted when their first
+    surviving arrival lands, evicted when the committed watermark
+    passes the window end, judged against the PREVIOUS restart's
+    watermark exactly as the engine does), the byte estimate at
+    {_Q446_BYTES_PER_KEY} B/key, each source's share of the store,
+    and the peak restart — the number an executor-memory plan and a
+    RocksDB-vs-heap store choice are made from. The laggy 12-hour
+    purchase source dominating the store is the capacity story the
+    (1 h, 12 h) delta split creates.
+
+    Scale: a one-pass rollup to (source × chunk) then window-grain
+    life intervals — the |timeline windows| × |sources| grain of
+    q426, no streaming run, no corpus-sized state. At 100 TB this is
+    exactly the cheap pre-flight that sizes the expensive always-on
+    job.
+    """
+    events = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    chunked = _fanin_chunked(events).select(
+        F.col("event_type").alias("source"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(
+            F.col("event_type") == "click", F.lit(_TRAJ_DELAY_A_MS)
+        ).otherwise(F.lit(_TRAJ_DELAY_B_MS)).alias("dms"),
+        "k",
+    )
+    per = chunked.groupBy("source", "k").agg(
+        F.max("ts_us").alias("mx"), F.first("dms").alias("dms")
+    )
+    wsrc = Window.partitionBy("source").orderBy("k").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    srcwm = per.select(
+        "source",
+        "k",
+        F.expr("max(mx)").over(wsrc).alias("cmx_us"),
+        "dms",
+    ).select(
+        "source",
+        "k",
+        # integer division, matching the oracle's `// 1000` exactly
+        # (a double /1000 + cast can truncate across an integer
+        # boundary the other way at µs magnitudes)
+        F.expr("cmx_us div 1000 - dms").alias("wm_ms"),
+    )
+    gwm = srcwm.groupBy("k").agg(F.min("wm_ms").alias("wm_ms"))
+    gprev = gwm.select((F.col("k") + 1).alias("k"), F.col("wm_ms").alias("wm_prev_ms"))
+    win_us = F.lit(_FANIN_WIN_US)
+    kept = (
+        chunked.join(F.broadcast(gprev), "k", "left")
+        .withColumn(
+            "win_start_us", F.col("ts_us") - F.col("ts_us") % win_us
+        )
+        .where(
+            F.col("wm_prev_ms").isNull()
+            | (
+                F.col("win_start_us") + win_us
+                > F.col("wm_prev_ms") * 1000
+            )
+        )
+        .select("source", "k", "win_start_us")
+    )
+    firstk = kept.groupBy("source", "win_start_us").agg(
+        F.min("k").alias("first_k")
+    )
+    # flush restart: min k whose committed watermark passes window end
+    flush = (
+        firstk.crossJoin(F.broadcast(gwm))
+        .where(
+            F.col("win_start_us") + win_us <= F.col("wm_ms") * 1000
+        )
+        .groupBy("source", "win_start_us")
+        .agg(F.min("k").alias("flush_k"))
+    )
+    winlife = firstk.join(flush, ["source", "win_start_us"], "left")
+    skel = (
+        spark.range(1, _FANIN_CHUNKS + 1)
+        .select(F.col("id").cast("int").alias("restart"))
+        .crossJoin(
+            spark.createDataFrame(
+                [("click",), ("purchase",)], "source string"
+            )
+        )
+    )
+    cap = (
+        skel.join(F.broadcast(winlife), "source", "left")
+        .groupBy("restart", "source")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("first_k") <= F.col("restart"))
+                    & (
+                        F.col("flush_k").isNull()
+                        | (F.col("flush_k") > F.col("restart"))
+                    ),
+                    1,
+                )
+            ).cast("long").alias("open_windows"),
+            F.count(
+                F.when(F.col("first_k") == F.col("restart"), 1)
+            ).cast("long").alias("admitted_windows"),
+            F.count(
+                F.when(F.col("flush_k") == F.col("restart"), 1)
+            ).cast("long").alias("evicted_windows"),
+        )
+    )
+    tot = cap.groupBy("restart").agg(
+        F.sum("open_windows").cast("long").alias("total_open")
+    )
+    peak = tot.agg(F.max("total_open").alias("peak_open"))
+    return (
+        cap.join(
+            F.broadcast(gwm.select(F.col("k").alias("restart"), "wm_ms")),
+            "restart",
+        )
+        .join(F.broadcast(tot), "restart")
+        .crossJoin(F.broadcast(peak))
+        .select(
+            F.col("restart").cast("long").alias("restart"),
+            "source",
+            (F.col("wm_ms") * 1000).cast("long").alias("wm_committed_us"),
+            "open_windows",
+            "admitted_windows",
+            "evicted_windows",
+            (F.col("open_windows") * _Q446_BYTES_PER_KEY)
+            .cast("long")
+            .alias("est_state_bytes"),
+            F.round(
+                1000.0
+                * F.col("open_windows")
+                / F.greatest(F.col("total_open"), F.lit(1))
+            ).cast("long").alias("state_share_milli"),
+            (F.col("total_open") == F.col("peak_open")).alias(
+                "is_peak_restart"
+            ),
+        )
+        .orderBy("restart", "source")
+    )

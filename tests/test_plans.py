@@ -6003,3 +6003,104 @@ def test_q445_estep_reroutes_cheaper_than_spellout(spark):
     assert run(base) == 22                      # abc + d
     pruned = [p for p in base if p[0] != "abc"]
     assert run(pruned) == 30                    # ab + cd, not 40 spell
+
+
+def test_q446_capacity_bookkeeping_and_dominance(spark, qs):
+    """Advisor coherence: per source the open count evolves as
+    open(k) = open(k-1) + admitted(k) − evicted(k); the committed
+    watermark is one GLOBAL value per restart (min policy — the
+    laggy source delays eviction for BOTH sources) and never
+    regresses; the peak flag marks the max-total restart(s);
+    bytes = open × 144."""
+    rows = qs["q446_stream_state_capacity_advisor"](
+        spark, SF_DIR
+    ).collect()
+    assert len(rows) == 8
+    by = {}
+    for r in rows:
+        by.setdefault(r["source"], {})[r["restart"]] = r
+    for src, ks in by.items():
+        prev = 0
+        for k in sorted(ks):
+            r = ks[k]
+            assert (
+                r["open_windows"]
+                == prev + r["admitted_windows"] - r["evicted_windows"]
+            ), f"{src}@{k}: state bookkeeping broken"
+            assert r["est_state_bytes"] == r["open_windows"] * 144
+            prev = r["open_windows"]
+    wm_seq = []
+    for k in sorted(by["click"]):
+        assert (
+            by["click"][k]["wm_committed_us"]
+            == by["purchase"][k]["wm_committed_us"]
+        ), "watermark must be GLOBAL (min policy), not per-source"
+        wm_seq.append(by["click"][k]["wm_committed_us"])
+    assert wm_seq == sorted(wm_seq), "committed watermark regressed"
+    totals = {
+        k: by["click"][k]["open_windows"]
+        + by["purchase"][k]["open_windows"]
+        for k in by["click"]
+    }
+    peak = max(totals.values())
+    for k, t in totals.items():
+        assert by["click"][k]["is_peak_restart"] == (t == peak)
+
+
+def _q447_fixture(spark, w_xy, w_yx, n=10):
+    import pyspark.sql.functions as F
+
+    pairs = spark.createDataFrame(
+        [("x", "y", n, w_xy), ("y", "x", n, w_yx)],
+        "h string, aw string, n long, w long",
+    )
+    items = spark.createDataFrame(
+        [("x", w_xy + (n - w_yx), n, n), ("y", w_yx + (n - w_xy), n, n)],
+        "t string, w long, n_home long, n_away long",
+    )
+    hw = pairs.agg(F.sum("w").cast("long").alias("hw"))
+    p0 = items.select("t", F.lit(1000000).cast("long").alias("p"))
+    g0 = spark.range(1).select(F.lit(1000000).cast("long").alias("g"))
+    return pairs, items, hw, p0, g0
+
+
+def test_q447_gamma_neutral_under_symmetric_wins(spark):
+    """Symmetric fixture (each side wins half at home and half away):
+    one MM round must keep γ exactly 1.0 and strengths uniform —
+    no position signal, no strength signal."""
+    from g_etl_spark.queries.relational import _q447_mm_round
+
+    pairs, items, hw, p0, g0 = _q447_fixture(spark, 5, 5)
+    p1, g1 = _q447_mm_round(pairs, items, p0, g0, hw)
+    assert g1.collect()[0]["g"] == 1_000_000
+    assert {r["p"] for r in p1.collect()} == {1_000_000}
+
+
+def test_q447_gamma_rises_when_home_always_wins(spark):
+    """If the first-seen side wins EVERY duel in both directions,
+    that is pure position signal: γ doubles (H=2n vs the uniform
+    model's expectation n) while strengths stay uniform."""
+    from g_etl_spark.queries.relational import _q447_mm_round
+
+    pairs, items, hw, p0, g0 = _q447_fixture(spark, 10, 10)
+    p1, g1 = _q447_mm_round(pairs, items, p0, g0, hw)
+    assert g1.collect()[0]["g"] == 2_000_000
+    assert {r["p"] for r in p1.collect()} == {1_000_000}
+
+
+def test_q447_registered_output_coherent(spark, qs):
+    """On the real corpus: γ > 0, one global γ, ranks 1..k, Σp = k
+    micro (to rounding), and home+away duel counts reconcile with
+    total comparisons."""
+    rows = qs["q447_position_bias_bradley_terry"](
+        spark, SF_DIR
+    ).collect()
+    k = len(rows)
+    assert k >= 2
+    assert len({r["gamma_micro"] for r in rows}) == 1
+    assert rows[0]["gamma_micro"] > 0
+    assert abs(sum(r["p_micro"] for r in rows) - k * 1_000_000) <= k
+    assert [r["pref_rank"] for r in rows] == list(range(1, k + 1))
+    assert sum(r["n_home_duels"] for r in rows) == sum(
+        r["n_away_duels"] for r in rows
+    )
