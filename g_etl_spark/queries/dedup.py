@@ -5993,3 +5993,176 @@ def q444_maximal_shared_substrings(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---- q448: eval-set n-gram decontamination report -----------------------
+_Q448_W = 13   # the GPT-3/Brown et al. decontamination gram width
+_Q448_EVAL_MOD, _Q448_EVAL_BUCKET = 10, 7   # eval split: doc_id%10 == 7
+
+
+@register(
+    "q448_eval_decontamination_report",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+        SELECT doc_id, doc_id % {_Q448_EVAL_MOD} = {_Q448_EVAL_BUCKET}
+                   AS is_eval,
+               string_split(trim(text), ' ') AS toks
+        FROM documents
+        WHERE len(string_split(trim(text), ' ')) >= {_Q448_W}
+    ),
+    g AS MATERIALIZED (
+        SELECT doc_id, is_eval, u.i AS pos,
+               array_to_string(toks[u.i:u.i + {_Q448_W} - 1], ' ')
+                   AS gram
+        FROM t, LATERAL (
+            SELECT unnest(range(1, len(toks) - {_Q448_W} + 2)) AS i) u
+    ),
+    ng AS MATERIALIZED (
+        SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_grams
+        FROM g WHERE is_eval GROUP BY doc_id
+    ),
+    hits AS MATERIALIZED (
+        SELECT e.doc_id AS ev, tr.doc_id AS tr, e.gram,
+               e.pos - tr.pos AS off, e.pos AS pe
+        FROM g e JOIN g tr ON e.gram = tr.gram
+        WHERE e.is_eval AND NOT tr.is_eval
+    ),
+    runs AS (
+        SELECT ev, tr, off, pe,
+               CASE WHEN lag(pe) OVER w IS NULL
+                         OR pe <> lag(pe) OVER w + 1 THEN 1 ELSE 0
+               END AS brk
+        FROM (SELECT DISTINCT ev, tr, off, pe FROM hits)
+        WINDOW w AS (PARTITION BY ev, tr, off ORDER BY pe)
+    ),
+    ids AS (
+        SELECT ev, tr, off, pe,
+               sum(brk) OVER (PARTITION BY ev, tr, off ORDER BY pe
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM runs
+    ),
+    spans AS (
+        SELECT ev, max(mx) AS longest FROM (
+            SELECT ev, tr, off, run_id,
+                   max(pe) - min(pe) + {_Q448_W} AS mx
+            FROM ids GROUP BY 1, 2, 3, 4
+        ) GROUP BY ev
+    ),
+    agg AS (
+        SELECT ev AS doc_id,
+               CAST(count(DISTINCT gram) AS BIGINT) AS n_shared_grams,
+               CAST(count(DISTINCT tr) AS BIGINT) AS n_train_docs
+        FROM hits GROUP BY ev
+    )
+    SELECT a.doc_id, ng.n_grams, a.n_shared_grams,
+           CAST(round(1000.0 * a.n_shared_grams / ng.n_grams) AS BIGINT)
+               AS shared_milli,
+           a.n_train_docs,
+           CAST(s.longest AS BIGINT) AS longest_shared_run
+    FROM agg a JOIN ng USING (doc_id) JOIN spans s ON s.ev = a.doc_id
+    ORDER BY doc_id
+    """,
+)
+def q448_eval_decontamination_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EVAL-SET DECONTAMINATION report — the n-gram overlap audit
+    every benchmark-honest training run owes its eval split (Brown
+    et al. 2020's 13-gram rule): with a deterministic hash split
+    (doc_id % {_Q448_EVAL_MOD} == {_Q448_EVAL_BUCKET} is eval), every
+    13-token gram of every eval document is probed against the TRAIN
+    side's grams; contaminated eval docs are reported with the
+    distinct-gram hit count, the contaminated fraction (milli), the
+    number of train documents implicated, and — via q444's
+    alignment-island device restricted to eval×train pairs — the
+    LONGEST exactly-shared token run (the number that distinguishes
+    a quoted sentence from a wholesale copy). Complements q375
+    (fuzzy MinHash decontamination) with the exact-gram standard,
+    and q336 (which builds splits that avoid this) with the audit
+    that catches splits that didn't.
+
+    Scale: Σ_gram occ_eval(gram)·occ_train(gram) candidate bound —
+    the eval side is a small fixed fraction of the corpus, so the
+    bucket join is ~|eval docs|-proportional; islands partition by
+    (eval, train, off) as in q444. At 100 TB: rolling-hash gram
+    keys + a df-cap on boilerplate grams, constants not plan shape.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % _Q448_EVAL_MOD == _Q448_EVAL_BUCKET).alias(
+            "is_eval"
+        ),
+        F.split(F.trim("text"), " ").alias("toks"),
+    )
+    t = d.where(F.size("toks") >= _Q448_W)
+    g = t.select(
+        "doc_id",
+        "is_eval",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks") - _Q448_W + 1)
+        ).alias("pos"),
+        "toks",
+    ).select(
+        "doc_id",
+        "is_eval",
+        "pos",
+        F.concat_ws(" ", F.slice("toks", F.col("pos"), _Q448_W)).alias(
+            "gram"
+        ),
+    )
+    ev = g.where("is_eval").select(
+        F.col("doc_id").alias("ev"), F.col("pos").alias("pe"), "gram"
+    )
+    tr = g.where(~F.col("is_eval")).select(
+        F.col("doc_id").alias("tr"), F.col("pos").alias("pt"), "gram"
+    )
+    ng = (
+        ev.groupBy("ev")
+        .agg(F.countDistinct("gram").cast("long").alias("n_grams"))
+    )
+    hits = ev.join(tr, "gram").select(
+        "ev", "tr", "gram", (F.col("pe") - F.col("pt")).alias("off"), "pe"
+    )
+    hits = hits.localCheckpoint(eager=True)  # reused by agg + islands
+    w = Window.partitionBy("ev", "tr", "off").orderBy("pe")
+    runs = (
+        hits.select("ev", "tr", "off", "pe")
+        .distinct()
+        .withColumn(
+            "brk",
+            F.when(
+                F.lag("pe").over(w).isNull()
+                | (F.col("pe") != F.lag("pe").over(w) + 1),
+                1,
+            ).otherwise(0),
+        )
+    )
+    ids = runs.withColumn(
+        "run_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = (
+        ids.groupBy("ev", "tr", "off", "run_id")
+        .agg((F.max("pe") - F.min("pe") + _Q448_W).alias("mx"))
+        .groupBy("ev")
+        .agg(F.max("mx").alias("longest"))
+    )
+    agg = hits.groupBy("ev").agg(
+        F.countDistinct("gram").cast("long").alias("n_shared_grams"),
+        F.countDistinct("tr").cast("long").alias("n_train_docs"),
+    )
+    return (
+        agg.join(ng, "ev")
+        .join(spans, "ev")
+        .select(
+            F.col("ev").alias("doc_id"),
+            "n_grams",
+            "n_shared_grams",
+            F.round(
+                1000.0 * F.col("n_shared_grams") / F.col("n_grams")
+            ).cast("long").alias("shared_milli"),
+            "n_train_docs",
+            F.col("longest").cast("long").alias("longest_shared_run"),
+        )
+        .orderBy("doc_id")
+    )

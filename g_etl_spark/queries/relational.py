@@ -12924,3 +12924,246 @@ def q447_position_bias_bradley_terry(
         )
         .orderBy("pref_rank")
     )
+
+
+# ---- q449: preference intransitivity (circular triad) audit -------------
+@register(
+    "q449_preference_cycle_audit",
+    oracle="""
+    WITH ut AS MATERIALIZED (
+        SELECT user_id, event_type AS t, count(*) AS n,
+               sum(CAST(round(value * 100) AS HUGEINT)) AS s
+        FROM events WHERE value IS NOT NULL
+        GROUP BY user_id, event_type
+    ),
+    duels AS MATERIALIZED (
+        SELECT CASE WHEN a.s * b.n > b.s * a.n THEN a.t ELSE b.t END AS w,
+               CASE WHEN a.s * b.n > b.s * a.n THEN b.t ELSE a.t END AS l
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.t < b.t
+        WHERE a.s * b.n <> b.s * a.n
+    ),
+    m AS MATERIALIZED (
+        SELECT w AS i, l AS j, CAST(count(*) AS BIGINT) AS nij
+        FROM duels GROUP BY w, l
+    ),
+    dirs AS MATERIALIZED (
+        -- majority direction per unordered pair, canonicalized to
+        -- (least, greatest) BEFORE aggregation so one-sided pairs
+        -- (all wins in one direction -> only the reversed row exists
+        -- in m) are not dropped; exact-split pairs are UNDECIDED and
+        -- excluded from the tournament
+        SELECT least(i, j) AS i, greatest(i, j) AS j,
+               CASE WHEN sum(CASE WHEN i < j THEN nij ELSE -nij END) > 0
+                    THEN 1 ELSE -1 END AS d
+        FROM m
+        GROUP BY least(i, j), greatest(i, j)
+        HAVING sum(CASE WHEN i < j THEN nij ELSE -nij END) <> 0
+    ),
+    types AS MATERIALIZED (
+        SELECT DISTINCT t FROM (
+            SELECT i AS t FROM dirs UNION ALL SELECT j FROM dirs)
+    ),
+    outdeg AS MATERIALIZED (
+        SELECT t, CAST(sum(o) AS BIGINT) AS wins_majority FROM (
+            SELECT i AS t, CASE WHEN d = 1 THEN 1 ELSE 0 END AS o
+            FROM dirs
+            UNION ALL
+            SELECT j, CASE WHEN d = -1 THEN 1 ELSE 0 END FROM dirs
+        ) GROUP BY t
+    ),
+    triads AS MATERIALIZED (
+        SELECT ab.i AS a, ab.j AS b, bc.j AS c,
+               (ab.d = bc.d AND ac.d = -ab.d) AS cyc
+        FROM dirs ab
+        JOIN dirs bc ON bc.i = ab.j
+        JOIN dirs ac ON ac.i = ab.i AND ac.j = bc.j
+    ),
+    gstat AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS n_triads_decided,
+               CAST(sum(CASE WHEN cyc THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_cyclic,
+               (SELECT CAST(count(*) AS BIGINT) FROM types) AS m
+        FROM triads
+    ),
+    pertype AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS n_cycles_through FROM (
+            SELECT a AS t FROM triads WHERE cyc
+            UNION ALL SELECT b FROM triads WHERE cyc
+            UNION ALL SELECT c FROM triads WHERE cyc
+        ) GROUP BY t
+    )
+    SELECT ty.t AS event_type,
+           od.wins_majority,
+           coalesce(pt.n_cycles_through, 0) AS n_cycles_through,
+           g.n_triads_decided, g.n_cyclic,
+           CAST(round(1000.0 * (1.0 - g.n_cyclic /
+                CASE WHEN g.m % 2 = 1
+                     THEN (g.m * g.m * g.m - g.m) / 24.0
+                     ELSE (g.m * g.m * g.m - 4 * g.m) / 24.0 END))
+                AS BIGINT) AS zeta_milli
+    FROM types ty
+    JOIN outdeg od ON od.t = ty.t
+    LEFT JOIN pertype pt ON pt.t = ty.t
+    CROSS JOIN gstat g
+    ORDER BY event_type
+    """,
+)
+def q449_preference_cycle_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PREFERENCE INTRANSITIVITY audit — the data-quality gate a
+    duel-based reward model needs BEFORE q428/q443/q447 fit anything:
+    take the majority direction of every decided type pair (the
+    3-node tournament), count CIRCULAR TRIADS i→j→k→i (a 3-tournament
+    is cyclic iff the two chain edges agree and the closing edge
+    opposes them), and report Kendall's coefficient of consistency
+    ζ = 1 − d/d_max (d_max = (m³−m)/24 for odd m, (m³−4m)/24 even).
+    ζ = 1 means a clean total order exists; every cycle is a set of
+    preferences NO Bradley-Terry strengths can explain — per type,
+    n_cycles_through localizes which items sit inside the
+    contradictions (the labels to re-collect or the duel design to
+    fix).
+
+    Scale: the duel matrix is |types|² and the triad join |types|³ —
+    both broadcast-tiny at any corpus size (the corpus touches only
+    the one user-grain pass q428 already prices). For item
+    catalogs instead of types, the same audit runs on a sampled
+    pair subset; the algebra is unchanged.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ut = e.groupBy("user_id", F.col("event_type").alias("t")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("decimal(38,0)")).alias(
+            "s"
+        ),
+    )
+    a = ut.select(
+        "user_id", F.col("t").alias("ta"), F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+    )
+    b = ut.select(
+        "user_id", F.col("t").alias("tb"), F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+    )
+    duels = (
+        a.join(b, ["user_id"])
+        .filter(F.col("ta") < F.col("tb"))
+        .filter(F.col("sa") * F.col("nb") != F.col("sb") * F.col("na"))
+        .select(
+            F.when(
+                F.col("sa") * F.col("nb") > F.col("sb") * F.col("na"),
+                F.col("ta"),
+            ).otherwise(F.col("tb")).alias("w"),
+            F.when(
+                F.col("sa") * F.col("nb") > F.col("sb") * F.col("na"),
+                F.col("tb"),
+            ).otherwise(F.col("ta")).alias("l"),
+        )
+    )
+    m = duels.groupBy(F.col("w").alias("i"), F.col("l").alias("j")).agg(
+        F.count(F.lit(1)).cast("long").alias("nij")
+    )
+    # canonicalize each directed win row to (least, greatest) with a
+    # SIGNED count, THEN aggregate: one-sided pairs (only the reversed
+    # row present in m) survive — the planted-cycle fixture caught the
+    # i<j-filter-first version dropping them (in both engines).
+    dirs = (
+        m.select(
+            F.least("i", "j").alias("i"),
+            F.greatest("i", "j").alias("j"),
+            F.when(F.col("i") < F.col("j"), F.col("nij"))
+            .otherwise(-F.col("nij"))
+            .alias("sw"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("sw").alias("sw"))
+        .where(F.col("sw") != 0)
+        .select(
+            "i", "j",
+            F.when(F.col("sw") > 0, 1).otherwise(-1).alias("d"),
+        )
+    )
+    dirs = dirs.localCheckpoint(eager=True)  # |types|² rows, joined 3x
+    types = (
+        dirs.select(F.col("i").alias("t"))
+        .unionByName(dirs.select(F.col("j").alias("t")))
+        .distinct()
+    )
+    outdeg = (
+        dirs.select(
+            F.col("i").alias("t"),
+            F.when(F.col("d") == 1, 1).otherwise(0).alias("o"),
+        )
+        .unionByName(
+            dirs.select(
+                F.col("j").alias("t"),
+                F.when(F.col("d") == -1, 1).otherwise(0).alias("o"),
+            )
+        )
+        .groupBy("t")
+        .agg(F.sum("o").cast("long").alias("wins_majority"))
+    )
+    ab = dirs.select(
+        F.col("i").alias("a"), F.col("j").alias("b"),
+        F.col("d").alias("dab"),
+    )
+    bc = dirs.select(
+        F.col("i").alias("b"), F.col("j").alias("c"),
+        F.col("d").alias("dbc"),
+    )
+    ac = dirs.select(
+        F.col("i").alias("a"), F.col("j").alias("c"),
+        F.col("d").alias("dac"),
+    )
+    triads = (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"])
+        .select(
+            "a",
+            "b",
+            "c",
+            (
+                (F.col("dab") == F.col("dbc"))
+                & (F.col("dac") == -F.col("dab"))
+            ).alias("cyc"),
+        )
+    )
+    triads = triads.localCheckpoint(eager=True)
+    nty = types.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    glob = triads.agg(
+        F.count(F.lit(1)).cast("long").alias("n_triads_decided"),
+        F.sum(F.when(F.col("cyc"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cyclic"),
+    ).crossJoin(F.broadcast(nty))
+    pertype = (
+        triads.where("cyc")
+        .select(F.explode(F.array("a", "b", "c")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cycles_through"))
+    )
+    dmax = F.when(
+        F.col("m") % 2 == 1,
+        (F.col("m") * F.col("m") * F.col("m") - F.col("m")) / 24.0,
+    ).otherwise(
+        (F.col("m") * F.col("m") * F.col("m") - 4 * F.col("m")) / 24.0
+    )
+    return (
+        types.join(outdeg, "t")
+        .join(pertype, "t", "left")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            F.col("t").alias("event_type"),
+            "wins_majority",
+            F.coalesce(F.col("n_cycles_through"), F.lit(0))
+            .cast("long")
+            .alias("n_cycles_through"),
+            "n_triads_decided",
+            "n_cyclic",
+            F.round(
+                1000.0 * (1.0 - F.col("n_cyclic") / dmax)
+            ).cast("long").alias("zeta_milli"),
+        )
+        .orderBy("event_type")
+    )

@@ -6104,3 +6104,60 @@ def test_q447_registered_output_coherent(spark, qs):
     assert sum(r["n_home_duels"] for r in rows) == sum(
         r["n_away_duels"] for r in rows
     )
+
+
+def test_q449_planted_cycle_detected(spark, qs, tmp_path):
+    """Rock-paper-scissors corpus: three users each decide one pair
+    (X beats Y, Y beats Z, Z beats X) — exactly one triad, cyclic, so
+    ζ = 0 and every type sits in 1 cycle. Spark and the DuckDB
+    oracle must agree on the fixture."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows, eid = [], 0
+    for uid, (hi, lo) in enumerate(
+        [("X", "Y"), ("Y", "Z"), ("Z", "X")], start=1
+    ):
+        for typ, val in ((hi, 30.0), (lo, 10.0)):
+            eid += 1
+            rows.append((eid, uid, typ, t0, val, "{}"))
+    epath = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double, props string",
+    ).write.parquet(epath)
+    got = {
+        r["event_type"]: r
+        for r in qs["q449_preference_cycle_audit"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {"X", "Y", "Z"}
+    for t, r in got.items():
+        assert r["wins_majority"] == 1
+        assert r["n_cycles_through"] == 1
+        assert r["n_triads_decided"] == 1
+        assert r["n_cyclic"] == 1
+        assert r["zeta_milli"] == 0
+    duck = _duck_oracle_rows(
+        "q449_preference_cycle_audit", str(tmp_path), {"events": epath}
+    )
+    assert sorted(duck) == sorted(
+        (t, r["wins_majority"], r["n_cycles_through"],
+         r["n_triads_decided"], r["n_cyclic"], r["zeta_milli"])
+        for t, r in got.items()
+    )
+
+
+def test_q449_corpus_consistency(spark, qs):
+    """On the real corpus: triads with all edges decided ≤ C(m,3),
+    ζ within [0, 1000], per-type cycle counts sum to 3 × n_cyclic."""
+    rows = qs["q449_preference_cycle_audit"](spark, SF_DIR).collect()
+    m = len(rows)
+    assert rows[0]["n_triads_decided"] <= m * (m - 1) * (m - 2) // 6
+    assert 0 <= rows[0]["zeta_milli"] <= 1000
+    assert (
+        sum(r["n_cycles_through"] for r in rows)
+        == 3 * rows[0]["n_cyclic"]
+    )
