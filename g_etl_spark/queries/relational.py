@@ -13167,3 +13167,141 @@ def q449_preference_cycle_audit(
         )
         .orderBy("event_type")
     )
+
+
+# ---- q450: DP noisy release EXECUTED ------------------------------------
+# The serving-time half of q438: the accountant priced the budget;
+# this RELEASES the workload's cells with Laplace noise drawn by
+# inverse-CDF from a DETERMINISTIC md5-uniform (seeded by release +
+# cell key), so both engines sample the exact same noise and the
+# whole release hash-gates. Equal-split policy: eps_i = eps/3,
+# b_i = sensitivity_i * 3 in each release's raw units.
+_Q450_U_DEN = 281474976710656.0  # 16^12 — 12 hex chars of md5 -> U[0,1)
+# inverse-CDF Laplace, guarded at the u∈{0,1} measure-zero edge with
+# an identical epsilon in both engines
+_Q450_LAP = (
+    "(-CAST({b} AS DOUBLE) * (CASE WHEN {u} >= 0.5 THEN 1.0 ELSE -1.0"
+    " END) * ln(greatest(1e-15, 1.0 - 2.0 * abs({u} - 0.5))))"
+)
+
+
+@register(
+    "q450_dp_noisy_release",
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+        SELECT 'count_by_type' AS release, event_type AS cell,
+               CAST(count(*) AS BIGINT) AS true_value,
+               CAST(1 * 3 AS BIGINT) AS b
+        FROM events GROUP BY event_type
+        UNION ALL
+        SELECT 'count_by_day', CAST(CAST(ts AS DATE) AS VARCHAR),
+               CAST(count(*) AS BIGINT), CAST(1 * 3 AS BIGINT)
+        FROM events GROUP BY CAST(ts AS DATE)
+        UNION ALL
+        SELECT 'clipped_sum_by_type', event_type,
+               CAST(sum(CAST(round(greatest(least(
+                        coalesce(value, 0), {_Q438_CLIP}), 0) * 100)
+                        AS HUGEINT)) AS BIGINT),
+               CAST({_Q438_CLIP} * 100 * 3 AS BIGINT)
+        FROM events GROUP BY event_type
+    ),
+    seeded AS (
+        SELECT release, cell, true_value, b,
+               CAST(CAST('0x' || substr(md5(release || '|' || cell),
+                                        1, 12) AS UBIGINT) AS BIGINT)
+                   / {_Q450_U_DEN} AS u
+        FROM cells
+    )
+    SELECT release, cell, true_value,
+           CAST({_Q438_EPS_TOTAL_MICRO} // 3 AS BIGINT) AS eps_micro,
+           CAST(b * 1000000 AS BIGINT) AS b_micro,
+           CAST(round(1000000000.0 * u) AS BIGINT) AS u_nano,
+           CAST(round(1000000.0 * {_Q450_LAP.format(b="b", u="u")})
+                AS BIGINT) AS noise_micro,
+           CAST(true_value * 1000000
+                + round(1000000.0 * {_Q450_LAP.format(b="b", u="u")})
+                AS BIGINT) AS noisy_micro
+    FROM seeded
+    ORDER BY release, cell
+    """,
+)
+def q450_dp_noisy_release(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DP NOISY RELEASE, executed — q438 priced the budget; this
+    query SERVES the workload: every cell of the three releases
+    (counts by type/day, clipped value sums) is published with
+    Laplace noise at the equal-split scale b = 3·Δ (ε/3 per release,
+    sequential composition of ε = 1), where the noise is drawn by
+    inverse-CDF from an md5-seeded uniform (12 hex chars → U[0,1))
+    so the sample is DETERMINISTIC and bit-identical across engines
+    — the device that makes a randomized mechanism hash-gateable:
+    the gate proves the sensitivity algebra, the seeding, the
+    inverse-CDF transform, and the quantization all agree, which is
+    every deterministic part of the mechanism (a production release
+    swaps the seed source for a CSPRNG and nothing else). u_nano
+    rides along per cell so an auditor can re-derive each draw.
+
+    Scale: bounded-grain rollups (|types|, |days|) then map-side
+    per-cell arithmetic — release serving is O(cells), independent
+    of corpus size; the one corpus pass is the clipped rollup
+    itself.
+    """
+    e = load(spark, sf_dir, "events")
+    c1 = e.groupBy(F.col("event_type").alias("cell")).agg(
+        F.count(F.lit(1)).cast("long").alias("true_value")
+    ).select(
+        F.lit("count_by_type").alias("release"), "cell", "true_value",
+        F.lit(3).cast("long").alias("b"),
+    )
+    c2 = e.groupBy(
+        F.col("ts").cast("date").cast("string").alias("cell")
+    ).agg(F.count(F.lit(1)).cast("long").alias("true_value")).select(
+        F.lit("count_by_day").alias("release"), "cell", "true_value",
+        F.lit(3).cast("long").alias("b"),
+    )
+    c3 = e.groupBy(F.col("event_type").alias("cell")).agg(
+        F.sum(
+            F.round(
+                F.greatest(
+                    F.least(
+                        F.coalesce(F.col("value"), F.lit(0.0)),
+                        F.lit(float(_Q438_CLIP)),
+                    ),
+                    F.lit(0.0),
+                )
+                * 100
+            ).cast("decimal(38,0)")
+        ).cast("long").alias("true_value")
+    ).select(
+        F.lit("clipped_sum_by_type").alias("release"), "cell",
+        "true_value",
+        F.lit(_Q438_CLIP * 100 * 3).cast("long").alias("b"),
+    )
+    seeded = (
+        c1.unionByName(c2)
+        .unionByName(c3)
+        .withColumn(
+            "u",
+            F.expr(
+                "CAST(conv(substring(md5(concat(release, '|', cell)),"
+                f" 1, 12), 16, 10) AS BIGINT) / {_Q450_U_DEN}"
+            ),
+        )
+    )
+    lap = _Q450_LAP.format(b="b", u="u")
+    return seeded.select(
+        "release",
+        "cell",
+        "true_value",
+        F.lit(_Q438_EPS_TOTAL_MICRO // 3).cast("long").alias("eps_micro"),
+        (F.col("b") * 1000000).cast("long").alias("b_micro"),
+        F.expr("CAST(round(1000000000.0 * u) AS BIGINT)").alias("u_nano"),
+        F.expr(f"CAST(round(1000000.0 * {lap}) AS BIGINT)").alias(
+            "noise_micro"
+        ),
+        F.expr(
+            f"CAST(true_value * 1000000 + round(1000000.0 * {lap})"
+            " AS BIGINT)"
+        ).alias("noisy_micro"),
+    ).orderBy("release", "cell")

@@ -6161,3 +6161,26 @@ def test_q449_corpus_consistency(spark, qs):
         sum(r["n_cycles_through"] for r in rows)
         == 3 * rows[0]["n_cyclic"]
     )
+
+
+def test_q450_noise_is_laplace_shaped_and_reconciles(spark, qs):
+    """Executed release coherence: noisy = true·1e6 + noise for every
+    cell; both noise signs occur across the workload (the md5
+    uniforms straddle 0.5); count-release noise lives at the b=3
+    scale (|noise| < 3·20 micro-units of ln-tail — P(|X|>20b) ≈
+    2e-9, so a violation means the transform broke, not bad luck);
+    u_nano is in [0, 1e9)."""
+    rows = qs["q450_dp_noisy_release"](spark, SF_DIR).collect()
+    assert len(rows) >= 7
+    signs = set()
+    for r in rows:
+        assert (
+            r["noisy_micro"]
+            == r["true_value"] * 1_000_000 + r["noise_micro"]
+        )
+        assert 0 <= r["u_nano"] < 1_000_000_000
+        signs.add(r["noise_micro"] > 0)
+        if r["release"].startswith("count"):
+            assert abs(r["noise_micro"]) < 3 * 20 * 1_000_000
+            assert r["b_micro"] == 3_000_000
+    assert signs == {True, False}
