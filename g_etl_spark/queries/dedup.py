@@ -6166,3 +6166,198 @@ def q448_eval_decontamination_report(
         )
         .orderBy("doc_id")
     )
+
+
+# ---- q451: policy propagation through near-dup clusters ------------------
+_Q451_MIN = 20   # cluster edge: docs sharing an exact span ≥ this many tokens
+# license class rides the SOURCE (how real corpora are licensed);
+# strictness ladder: permissive(0) < attribution(1) < restricted(2)
+_Q451_LIC = ("CAST(substr(source, 4) AS INT) % 3",
+             "CAST(substring(source, 4, 10) AS INT) % 3")
+_Q451_LIC_NAME = (
+    "CASE {r} WHEN 0 THEN 'permissive' WHEN 1 THEN 'attribution'"
+    " ELSE 'restricted' END"
+)
+
+
+@register(
+    "q451_cluster_policy_propagation",
+    oracle=f"""
+    WITH RECURSIVE t AS MATERIALIZED (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks
+        FROM documents
+        WHERE len(string_split(trim(text), ' ')) >= {_Q444_W}
+    ),
+    g AS MATERIALIZED (
+        SELECT doc_id, u.i AS pos,
+               array_to_string(toks[u.i:u.i + {_Q444_W} - 1], ' ') AS gram
+        FROM t, LATERAL (
+            SELECT unnest(range(1, len(toks) - {_Q444_W} + 2)) AS i) u
+    ),
+    hits AS MATERIALIZED (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               a.pos - b.pos AS o, a.pos AS pa
+        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT da, db, o, pa,
+               CASE WHEN lag(pa) OVER w IS NULL
+                         OR pa <> lag(pa) OVER w + 1 THEN 1 ELSE 0
+               END AS brk
+        FROM hits
+        WINDOW w AS (PARTITION BY da, db, o ORDER BY pa)
+    ),
+    ids AS (
+        SELECT da, db, o, pa,
+               sum(brk) OVER (PARTITION BY da, db, o ORDER BY pa
+                              ROWS UNBOUNDED PRECEDING) AS rid
+        FROM runs
+    ),
+    spans AS (
+        SELECT da, db, max(pa) - min(pa) + {_Q444_W} AS ln
+        FROM ids GROUP BY da, db, o, rid
+    ),
+    pairs AS MATERIALIZED (
+        SELECT DISTINCT da, db FROM spans WHERE ln >= {_Q451_MIN}
+    ),
+    edges AS (
+        SELECT da AS a, db AS b FROM pairs
+        UNION SELECT db, da FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    meta AS (
+        SELECT c.component, c.node, d.source, d.lang,
+               {_Q451_LIC[0]} AS lic
+        FROM comp c JOIN documents d ON d.doc_id = c.node
+    )
+    SELECT CAST(component AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(node) AS BIGINT) AS keeper_doc,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           {_Q451_LIC_NAME.format(r="max(lic)")} AS effective_license,
+           count(DISTINCT lic) > 1 AS license_conflict,
+           array_to_string(list_sort(list(node)), ',') AS member_ids
+    FROM meta GROUP BY component ORDER BY cluster_id
+    """,
+)
+def q451_cluster_policy_propagation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """POLICY PROPAGATION through near-dup clusters — the governance
+    step dedup pipelines skip at their peril: when a cluster of
+    near-duplicate documents collapses to one keeper, the keeper must
+    inherit the STRICTEST policy of the cluster, not its own — the
+    same text is out there under the restricted license even if the
+    kept copy arrived through a permissive source. Edges = document
+    pairs sharing an exact token run ≥ {_Q451_MIN} (q444's
+    alignment-island machinery — content-grounded, not metadata),
+    clusters by distributed connected components (recursive-closure
+    oracle, the q56 device), and per cluster: the keeper (min id),
+    source/language spread (cross-lingual members = translation-ish
+    propagation), the effective license under the
+    permissive < attribution < restricted ladder (license rides the
+    SOURCE, as licensing actually does), and a conflict flag marking
+    clusters whose members disagree — the rows a legal review reads.
+
+    Scale: q444's Σ occ(gram)² pair bound + CC rounds = cluster
+    diameter (near-dup clusters are shallow); the policy rollup is
+    cluster-grain. The one corpus pass is the gram fan-out.
+    """
+    from g_etl_spark.operators import graph as G
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("toks")
+    )
+    t = d.where(F.size("toks") >= _Q444_W)
+    g = t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks") - _Q444_W + 1)
+        ).alias("pos"),
+        "toks",
+    ).select(
+        "doc_id",
+        "pos",
+        F.concat_ws(" ", F.slice("toks", F.col("pos"), _Q444_W)).alias(
+            "gram"
+        ),
+    )
+    a = g.select(
+        F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "gram"
+    )
+    b = g.select(
+        F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "gram"
+    )
+    hits = (
+        a.join(b, "gram")
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db", (F.col("pa") - F.col("pb")).alias("o"), "pa")
+    )
+    w = Window.partitionBy("da", "db", "o").orderBy("pa")
+    spans = (
+        hits.withColumn(
+            "brk",
+            F.when(
+                F.lag("pa").over(w).isNull()
+                | (F.col("pa") != F.lag("pa").over(w) + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "rid",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("da", "db", "o", "rid")
+        .agg((F.max("pa") - F.min("pa") + _Q444_W).alias("ln"))
+    )
+    pairs = (
+        spans.where(F.col("ln") >= _Q451_MIN)
+        .select(F.col("da").alias("id_a"), F.col("db").alias("id_b"))
+        .distinct()
+    )
+    comp = G.connected_components(pairs)
+    meta = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.expr(_Q451_LIC[1]).alias("lic"),
+    )
+    lab = comp.selectExpr("node", "component").join(
+        meta, F.col("node") == meta["doc_id"]
+    )
+    return (
+        lab.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.min("node").cast("long").alias("keeper_doc"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.expr(
+                _Q451_LIC_NAME.format(r="max(lic)")
+            ).alias("effective_license"),
+            (F.countDistinct("lic") > 1).alias("license_conflict"),
+            F.array_join(
+                F.array_sort(F.collect_list("node")), ","
+            ).alias("member_ids"),
+        )
+        .select(
+            F.col("component").cast("long").alias("cluster_id"),
+            "n_members",
+            "keeper_doc",
+            "n_sources",
+            "n_langs",
+            "effective_license",
+            "license_conflict",
+            "member_ids",
+        )
+        .orderBy("cluster_id")
+    )

@@ -6247,3 +6247,179 @@ def q445_unigram_lm_prune_refit(
             ).alias("bound_slack_micro"),
         )
     )
+
+
+# ---- q452: cross-lingual LM confusion matrix -----------------------------
+@register(
+    "q452_crosslingual_lm_matrix",
+    oracle=f"""
+    WITH docs AS MATERIALIZED (
+        SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+        WHERE len({_TOKS}) >= 2
+    ),
+    bigrams AS MATERIALIZED (
+        SELECT lang, toks[i] AS prev, toks[i + 1] AS cur,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT lang, toks, unnest(range(1, len(toks))) AS i
+              FROM docs)
+        GROUP BY lang, prev, cur
+    ),
+    ctx AS MATERIALIZED (
+        SELECT lang, prev, CAST(sum(n) AS BIGINT) AS c_a
+        FROM bigrams GROUP BY lang, prev
+    ),
+    vocab AS MATERIALIZED (
+        SELECT lang, CAST(count(DISTINCT t) AS BIGINT) AS v
+        FROM (SELECT lang, unnest(toks) AS t FROM docs) GROUP BY lang
+    ),
+    langs AS (SELECT DISTINCT lang FROM docs),
+    scored AS MATERIALIZED (
+        -- every eval-side bigram TYPE (with its count) under every
+        -- model: add-one smoothing handles unseen bigrams AND unseen
+        -- contexts in one formula (c_ab=0, c_a=0 -> 1/V)
+        SELECT m.lang AS model_lang, e.lang AS eval_lang, e.n,
+               CAST(round(1000000 * ln(
+                   (coalesce(bg.n, 0) + 1)
+                   / CAST(coalesce(cx.c_a, 0) + v.v AS DOUBLE)))
+                   AS BIGINT) AS q_lp
+        FROM bigrams e
+        CROSS JOIN langs m
+        LEFT JOIN bigrams bg ON bg.lang = m.lang
+                            AND bg.prev = e.prev AND bg.cur = e.cur
+        LEFT JOIN ctx cx ON cx.lang = m.lang AND cx.prev = e.prev
+        JOIN vocab v ON v.lang = m.lang
+    ),
+    mat AS MATERIALIZED (
+        SELECT model_lang, eval_lang,
+               CAST(sum(n) AS BIGINT) AS n_bigrams,
+               CAST(round(CAST(-sum(n * q_lp) AS DOUBLE) / sum(n))
+                    AS BIGINT) AS xent_micro
+        FROM scored GROUP BY model_lang, eval_lang
+    )
+    SELECT m.model_lang, m.eval_lang, m.n_bigrams, m.xent_micro,
+           m.xent_micro - s.xent_micro AS excess_vs_self_micro,
+           m.xent_micro = (SELECT min(x2.xent_micro) FROM mat x2
+                           WHERE x2.eval_lang = m.eval_lang)
+               AS is_best_model
+    FROM mat m JOIN mat s
+      ON s.eval_lang = m.eval_lang AND s.model_lang = m.eval_lang
+    ORDER BY m.eval_lang, m.model_lang
+    """,
+)
+def q452_crosslingual_lm_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CROSS-LINGUAL LM confusion matrix — the language-distance
+    table multilingual data curation reads before sharing tokenizers
+    or mixing corpora: one add-one bigram LM per language (q330's
+    device, per-lang), every language's bigram stream scored under
+    EVERY model. The diagonal should win its column
+    (is_best_model) — when it doesn't, two languages are near-mutual
+    (shared script/loanwords) or a label set is dirty (q331's langid
+    failure mode seen from the LM side); excess_vs_self_micro is the
+    KL-flavored penalty for serving language e from model m — the
+    number that justifies (or kills) a shared multilingual model.
+    One smoothing formula covers unseen bigrams AND unseen contexts
+    ((c+1)/(c_a+V) with both coalesced to 0 — q300's recipe), so the
+    matrix is total: no OOV row is dropped.
+
+    Scale: the corpus collapses once to (lang × bigram-type) counts;
+    the cross-scoring is |langs| × that bounded relation (map-side
+    fan-out of a vocab²-grain table, never the corpus); the matrix
+    is |langs|² rows of integer micro-nats.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = T.tokens(F.col("text"))
+    docs = d.select("lang", toks.alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bigrams = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(element_at(toks, i) AS prev,"
+                    " element_at(toks, i + 1) AS cur))"
+                )
+            ).alias("b"),
+        )
+        .groupBy("lang", "b.prev", "b.cur")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    bigrams = bigrams.localCheckpoint(eager=True)  # vocab²-grain, reused
+    ctx = bigrams.groupBy("lang", "prev").agg(
+        F.sum("n").cast("long").alias("c_a")
+    )
+    vocab = (
+        docs.select("lang", F.explode("toks").alias("t"))
+        .groupBy("lang")
+        .agg(F.countDistinct("t").cast("long").alias("v"))
+    )
+    langs = bigrams.select("lang").distinct().select(
+        F.col("lang").alias("model_lang")
+    )
+    e = bigrams.select(
+        F.col("lang").alias("eval_lang"), "prev", "cur", "n"
+    )
+    bg_m = bigrams.select(
+        F.col("lang").alias("model_lang"),
+        "prev",
+        "cur",
+        F.col("n").alias("c_ab"),
+    )
+    ctx_m = ctx.select(
+        F.col("lang").alias("model_lang"), "prev", "c_a"
+    )
+    v_m = vocab.select(F.col("lang").alias("model_lang"), "v")
+    scored = (
+        e.crossJoin(F.broadcast(langs))
+        .join(bg_m, ["model_lang", "prev", "cur"], "left")
+        .join(ctx_m, ["model_lang", "prev"], "left")
+        .join(F.broadcast(v_m), "model_lang")
+        .select(
+            "model_lang",
+            "eval_lang",
+            "n",
+            F.expr(
+                "CAST(round(1000000 * ln((coalesce(c_ab, 0) + 1)"
+                " / CAST(coalesce(c_a, 0) + v AS DOUBLE))) AS BIGINT)"
+            ).alias("q_lp"),
+        )
+    )
+    mat = scored.groupBy("model_lang", "eval_lang").agg(
+        F.sum("n").cast("long").alias("n_bigrams"),
+        F.expr(
+            "CAST(round(CAST(-sum(n * q_lp) AS DOUBLE) / sum(n))"
+            " AS BIGINT)"
+        ).alias("xent_micro"),
+    )
+    mat = mat.localCheckpoint(eager=True)  # |langs|² rows, reused 3x
+    self_m = mat.where(
+        F.col("model_lang") == F.col("eval_lang")
+    ).select(
+        F.col("eval_lang").alias("e2"),
+        F.col("xent_micro").alias("self_xent"),
+    )
+    best = mat.groupBy("eval_lang").agg(
+        F.min("xent_micro").alias("best_xent")
+    )
+    return (
+        mat.join(
+            F.broadcast(self_m), mat["eval_lang"] == self_m["e2"]
+        )
+        .join(F.broadcast(best), "eval_lang")
+        .select(
+            "model_lang",
+            "eval_lang",
+            "n_bigrams",
+            "xent_micro",
+            (F.col("xent_micro") - F.col("self_xent")).alias(
+                "excess_vs_self_micro"
+            ),
+            (F.col("xent_micro") == F.col("best_xent")).alias(
+                "is_best_model"
+            ),
+        )
+        .orderBy("eval_lang", "model_lang")
+    )

@@ -6184,3 +6184,60 @@ def test_q450_noise_is_laplace_shaped_and_reconciles(spark, qs):
             assert abs(r["noise_micro"]) < 3 * 20 * 1_000_000
             assert r["b_micro"] == 3_000_000
     assert signs == {True, False}
+
+
+def test_q451_strictest_license_wins(spark, qs, tmp_path):
+    """Hand corpus: docs 1 (src1=attribution) and 2 (src2=restricted)
+    share a 25-token span → one cluster, effective license must be
+    the STRICTER restricted with conflict flagged; docs 3/4 share
+    only 15 tokens (< 20 threshold) → no cluster; doc 5 shares with
+    1 via a 20-token run from a permissive source → joins the
+    cluster transitively and cannot dilute the restricted verdict."""
+    S = [f"s{i}" for i in range(1, 26)]      # 25-token shared block
+    T = [f"t{i}" for i in range(1, 16)]      # 15-token (sub-threshold)
+    docs = [
+        (1, " ".join(["a1", "a2"] + S + ["a3"]), "src1", "en"),
+        (2, " ".join(["b1"] + S + ["b2", "b3"]), "src2", "de"),
+        (3, " ".join([f"c{i}" for i in range(1, 6)] + T), "src0", "en"),
+        (4, " ".join(T + [f"d{i}" for i in range(1, 6)]), "src2", "en"),
+        (5, " ".join(["e1"] + S[:20] + ["e2"]), "src0", "fr"),
+    ]
+    ddir = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [(i, t, src, lang, len(t)) for i, t, src, lang in docs],
+        "doc_id long, text string, source string, lang string,"
+        " n_chars long",
+    ).write.parquet(ddir)
+    rows = qs["q451_cluster_policy_propagation"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["member_ids"] == "1,2,5"
+    assert r["keeper_doc"] == 1
+    assert r["effective_license"] == "restricted"
+    assert r["license_conflict"]
+    assert r["n_sources"] == 3 and r["n_langs"] == 3
+    duck = _duck_oracle_rows(
+        "q451_cluster_policy_propagation", str(tmp_path),
+        {"documents": ddir},
+    )
+    assert len(duck) == 1 and duck[0][7] == "1,2,5"
+    assert duck[0][5] == "restricted" and duck[0][6]
+
+
+def test_q452_diagonal_wins_and_matrix_total(spark, qs):
+    """Language-distance coherence: the matrix is total (|langs|²
+    rows, every cell scored — the OOV coalesce keeps unseen bigrams
+    in), each language's own model is its best (diagonal wins the
+    column), self-excess is 0 and off-diagonal excess positive."""
+    rows = qs["q452_crosslingual_lm_matrix"](spark, SF_DIR).collect()
+    langs = {r["eval_lang"] for r in rows}
+    assert len(rows) == len(langs) ** 2
+    for r in rows:
+        if r["model_lang"] == r["eval_lang"]:
+            assert r["is_best_model"]
+            assert r["excess_vs_self_micro"] == 0
+        else:
+            assert r["excess_vs_self_micro"] > 0
+            assert not r["is_best_model"]
