@@ -6423,3 +6423,253 @@ def q452_crosslingual_lm_matrix(
         )
         .orderBy("eval_lang", "model_lang")
     )
+
+
+# ---- q453: BPE merge-depth scaling (16 merges + sizing curve) -----------
+_Q453_STEPS = 16
+
+
+def _q453_oracle() -> str:
+    # chained rounds MUST be MATERIALIZED: w{t} is referenced by both
+    # p{t+1} and w{t+1}, so inlined CTEs replay the whole prefix 2^t
+    # times (fine at q383's 5 steps, fatal at 16)
+    ctes = ["""w0 AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS f,
+               '  ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS repr
+        FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+'))
+                     AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY word
+    ),
+    tk0 AS MATERIALIZED (
+        SELECT CAST(sum(f * len(string_split(trim(repr), '  ')))
+                    AS BIGINT) AS tok FROM w0
+    )"""]
+    for t in range(1, _Q453_STEPS + 1):
+        ctes.append(f"""p{t} AS MATERIALIZED (
+        SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
+            SELECT f, unnest(list_transform(range(1, len(s)),
+                             i -> s[i] || ' ' || s[i + 1])) AS pair
+            FROM (SELECT f, string_split(trim(repr), '  ') AS s
+                  FROM w{t - 1})
+        ) GROUP BY pair
+    ),
+    b{t} AS MATERIALIZED (
+        SELECT pair, cnt FROM p{t} ORDER BY cnt DESC, pair LIMIT 1),
+    w{t} AS MATERIALIZED (
+        SELECT w.word, w.f,
+               replace(w.repr, ' ' || replace(b.pair, ' ', '  ') || ' ',
+                       ' ' || replace(b.pair, ' ', '') || ' ') AS repr
+        FROM w{t - 1} w, b{t} b
+    ),
+    tk{t} AS MATERIALIZED (
+        SELECT CAST(sum(f * len(string_split(trim(repr), '  ')))
+                    AS BIGINT) AS tok FROM w{t}
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS step, pair AS merged_pair,"
+        f" replace(pair, ' ', '') AS new_symbol, cnt AS pair_count,"
+        f" tk{t}.tok AS corpus_tokens_after,"
+        f" tk{t - 1}.tok - tk{t}.tok AS tokens_saved"
+        f" FROM b{t}, tk{t}, tk{t - 1}"
+        for t in range(1, _Q453_STEPS + 1)
+    )
+    return f"WITH {', '.join(ctes)} {union} ORDER BY step"
+
+
+@register("q453_bpe_merge_depth_curve", oracle=_q453_oracle())
+def q453_bpe_merge_depth_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BPE MERGE-DEPTH scaling curve — q383's trainer run to
+    {_Q453_STEPS} merges with the sizing evidence a vocabulary
+    decision needs in-row: per merge step, the learned pair, its
+    weighted count, the corpus token count AFTER the rewrite, and
+    the realized tokens_saved. pair_count counts every adjacent
+    occurrence while the rewrite merges the left-to-right
+    NON-OVERLAPPING scan, so tokens_saved ≤ pair_count with equality
+    iff no occurrence overlaps another ('a a a' has two 'a a' pairs
+    but one merge) — the gap is in the data, and the cumulative
+    tokens_saved trajectory is the diminishing-returns curve that
+    says when to stop growing the vocab (the knee every tokenizer
+    paper plots). The merge loop, two-space sentinel layout, and
+    tie-breaks are exactly q383's (shared helpers); the 16-round
+    oracle chain is MATERIALIZED per round — inlined CTEs would
+    replay the prefix 2^t times.
+
+    Scale: q383's economics × {_Q453_STEPS} — each round is a
+    map-side pair explode + hash agg over the |vocab|-grain word
+    table, a 1-row argmax broadcast back, and a map-side rewrite;
+    the table is localCheckpointed per round so round t never
+    replays rounds 1..t−1. Merge depth scales the round COUNT, not
+    any relation's size.
+    """
+    d = load(spark, sf_dir, "documents")
+    words = _bpe_word_table(d).localCheckpoint()
+
+    def tok_count(w):
+        return w.select(
+            F.sum(
+                F.col("f")
+                * F.size(F.split(F.trim(F.col("repr")), "  "))
+            ).cast("long").alias("tok")
+        )
+
+    prev_tok = tok_count(words)
+    outs = []
+    for step in range(1, _Q453_STEPS + 1):
+        best = (
+            _bpe_pair_counts(words)
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+        )
+        words = _bpe_apply_merge(words, best, ["f"]).localCheckpoint()
+        cur_tok = tok_count(words)
+        outs.append(
+            best.select(
+                F.lit(step).cast("long").alias("step"),
+                F.col("pair").alias("merged_pair"),
+                F.regexp_replace(F.col("pair"), " ", "").alias(
+                    "new_symbol"
+                ),
+                F.col("cnt").alias("pair_count"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    cur_tok.select(
+                        F.col("tok").alias("corpus_tokens_after")
+                    )
+                )
+            )
+            .crossJoin(
+                F.broadcast(prev_tok.select(F.col("tok").alias("pt")))
+            )
+            .select(
+                "step",
+                "merged_pair",
+                "new_symbol",
+                "pair_count",
+                "corpus_tokens_after",
+                (F.col("pt") - F.col("corpus_tokens_after")).alias(
+                    "tokens_saved"
+                ),
+            )
+        )
+        prev_tok = cur_tok
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("step")
+
+
+# ---- q454: curriculum-batch source-mixture audit -------------------------
+_Q454_BATCHES = 8
+
+
+@register(
+    "q454_curriculum_mixture_audit",
+    oracle=f"""
+    WITH {_Q410_PERDOC_SQL},
+    tiled AS (
+        SELECT doc_id, source, xent_micro,
+               ntile({_Q454_BATCHES}) OVER (ORDER BY xent_micro, doc_id)
+                   AS batch
+        FROM per_doc
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per_doc),
+    gshare AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS gn FROM per_doc
+        GROUP BY source
+    ),
+    cells AS (
+        SELECT batch, source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(round(avg(xent_micro)) AS BIGINT)
+                   AS batch_mean_xent_micro
+        FROM tiled GROUP BY batch, source
+    ),
+    bsz AS (
+        SELECT batch, CAST(sum(n_docs) AS BIGINT) AS bn FROM cells
+        GROUP BY batch
+    )
+    SELECT CAST(c.batch AS BIGINT) AS batch, c.source, c.n_docs,
+           CAST(round(1000.0 * c.n_docs / bsz.bn) AS BIGINT)
+               AS share_milli,
+           CAST(round(1000.0 * g.gn / tot.n) AS BIGINT)
+               AS global_share_milli,
+           CAST(round(1000.0 * c.n_docs / bsz.bn)
+                - round(1000.0 * g.gn / tot.n) AS BIGINT) AS dev_milli,
+           c.batch_mean_xent_micro
+    FROM cells c
+    JOIN bsz USING (batch)
+    JOIN gshare g ON g.source = c.source
+    CROSS JOIN tot
+    ORDER BY batch, c.source
+    """,
+)
+def q454_curriculum_mixture_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CURRICULUM-BATCH mixture audit — the difficulty-source
+    confound check a curriculum schedule needs before anyone trains
+    on it: order the corpus by per-document LM cross-entropy (q410's
+    shared difficulty signal, integer micro-nats) into
+    {_Q454_BATCHES} difficulty-ascending batches via the exact
+    two-pass global ntile (operators/ranking — no single-partition
+    window at corpus grain), then audit each batch's SOURCE mixture
+    against the global shares. A source whose text is systematically
+    easy floods the early batches (dev_milli ≫ 0 there and ≪ 0
+    late) — the known curriculum-learning failure where "easy first"
+    silently becomes "source X first" and the model sees a skewed
+    distribution exactly when it is most plastic. Per-cell mean
+    difficulty rides along, so monotonicity of the curriculum itself
+    is auditable in the same table.
+
+    Scale: the difficulty signal is q410's one corpus pass + vocab²
+    model join; the tiling is the two-pass global rank (partitioned
+    windows only); the audit is |batches| × |sources| cells.
+    """
+    from g_etl_spark.operators import ranking as R
+
+    per_doc = _q410_per_doc(spark, sf_dir)
+    tiled = R.global_ntile_twopass(
+        per_doc,
+        _Q454_BATCHES,
+        ["xent_micro", "doc_id"],
+        F.floor(F.col("xent_micro") / 100000).cast("long"),
+        out="batch",
+    )
+    tot = per_doc.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    gshare = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("gn")
+    )
+    cells = tiled.groupBy("batch", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("xent_micro")).cast("long").alias(
+            "batch_mean_xent_micro"
+        ),
+    )
+    bsz = cells.groupBy("batch").agg(
+        F.sum("n_docs").cast("long").alias("bn")
+    )
+    return (
+        cells.join(F.broadcast(bsz), "batch")
+        .join(F.broadcast(gshare), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("batch").cast("long").alias("batch"),
+            "source",
+            "n_docs",
+            F.round(1000.0 * F.col("n_docs") / F.col("bn"))
+            .cast("long")
+            .alias("share_milli"),
+            F.round(1000.0 * F.col("gn") / F.col("n"))
+            .cast("long")
+            .alias("global_share_milli"),
+            (
+                F.round(1000.0 * F.col("n_docs") / F.col("bn"))
+                - F.round(1000.0 * F.col("gn") / F.col("n"))
+            ).cast("long").alias("dev_milli"),
+            "batch_mean_xent_micro",
+        )
+        .orderBy("batch", "source")
+    )

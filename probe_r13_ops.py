@@ -14,6 +14,8 @@ Probed (the round's scale-sensitive additions):
 - q448 decontamination     eval-gram x train-gram bucket join + islands
 - q449 cycle audit         |types|³ triad join (corpus pass = q428's)
 - q450 DP noisy release    bounded rollups + per-cell md5 Laplace
+- q451 CC + policy rollup, q452 |langs|x bigram cross-score,
+- q453 16-round BPE, q454 two-pass-ntile curriculum cells
 - q446 is probed at gate SF only (pure |chunks|x|sources| arithmetic;
   its corpus pass is one rollup — the q426 exemption class)
 """
@@ -45,6 +47,10 @@ PROBES = [
     ("q448_eval_decontamination_report", ["documents"]),
     ("q449_preference_cycle_audit", ["events"]),
     ("q450_dp_noisy_release", ["events"]),
+    ("q451_cluster_policy_propagation", ["documents"]),
+    ("q452_crosslingual_lm_matrix", ["documents"]),
+    ("q453_bpe_merge_depth_curve", ["documents"]),
+    ("q454_curriculum_mixture_audit", ["documents"]),
 ]
 
 

@@ -6241,3 +6241,50 @@ def test_q452_diagonal_wins_and_matrix_total(spark, qs):
         else:
             assert r["excess_vs_self_micro"] > 0
             assert not r["is_best_model"]
+
+
+def test_q453_merge_curve_monotone_and_bounded(spark, qs):
+    """Sizing-curve invariants: corpus token count strictly falls
+    each merge, tokens_saved ≤ pair_count (non-overlapping scan vs
+    raw adjacency count), pair counts non-increasing is NOT required
+    (later merges create new frequent pairs) but every saved amount
+    is positive and steps are 1..16."""
+    rows = qs["q453_bpe_merge_depth_curve"](spark, SF_DIR).collect()
+    assert [r["step"] for r in rows] == list(range(1, 17))
+    prev = None
+    for r in rows:
+        assert r["tokens_saved"] > 0
+        assert r["tokens_saved"] <= r["pair_count"]
+        if prev is not None:
+            assert r["corpus_tokens_after"] == (
+                prev - r["tokens_saved"]
+            )
+        prev = r["corpus_tokens_after"]
+
+
+def test_q454_curriculum_monotone_and_shares_coherent(spark, qs):
+    """Curriculum audit invariants: batch mean difficulty is
+    non-decreasing in the batch index (it IS a difficulty
+    curriculum); per-batch shares sum to ~1000 milli; dev = share −
+    global share; batch-mixture deviations must sum to ~0 per
+    source across batches (what floods early drains late)."""
+    rows = qs["q454_curriculum_mixture_audit"](spark, SF_DIR).collect()
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r["batch"], []).append(r)
+    means = []
+    for b in sorted(by_batch):
+        cells = by_batch[b]
+        assert abs(sum(c["share_milli"] for c in cells) - 1000) <= len(
+            cells
+        )
+        wm = sum(
+            c["batch_mean_xent_micro"] * c["n_docs"] for c in cells
+        ) / sum(c["n_docs"] for c in cells)
+        means.append(wm)
+        for c in cells:
+            assert (
+                c["dev_milli"]
+                == c["share_milli"] - c["global_share_milli"]
+            )
+    assert means == sorted(means), "batches are not difficulty-ascending"
