@@ -12213,6 +12213,8 @@ def q442_partition_layout_executed(
     e = load(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "user_id"
     )
+    # bounded driver observe (q422 precedent): ONE row of layout
+    # statistics drives the argmin choice
     stats = e.agg(*_q433_agg_exprs()).collect()[0]
 
     def _cell(layout, wname):
@@ -12221,13 +12223,30 @@ def q442_partition_layout_executed(
         parts = (
             stats[f"p_{layout}_{wname}"] if scan else stats[f"np_{layout}"]
         )
-        return scanned, parts
+        # SUM over an empty corpus is NULL, not 0
+        return scanned or 0, parts or 0
 
     totals = {
         layout: sum(_cell(layout, w)[0] for w in _Q433_WORKLOAD)
         for layout in _Q433_LAYOUTS
     }
     chosen = min(sorted(totals), key=lambda k: totals[k])
+
+    schema = (
+        "layout string, workload string, n_partitions long,"
+        " partitions_read long, files_read long, rows_matching long"
+    )
+    if stats["n_rows"] == 0:
+        # empty corpus: a partitionBy write of zero rows produces no
+        # partition directories and an unreadable (schema-less)
+        # parquet dir, so skip the write and emit what the real run
+        # would observe — zero partitions read, zero matches — for
+        # the argmin layout (all-zero totals tie -> lexicographic
+        # first), exactly the oracle's arithmetic on empty input
+        return spark.createDataFrame(
+            [(chosen, w, 0, 0, 0, 0) for w in sorted(_Q433_WORKLOAD)],
+            schema,
+        )
 
     out_dir = _tempfile.mkdtemp(prefix="g_etl_layout_exec_")
     try:
@@ -12259,6 +12278,9 @@ def q442_partition_layout_executed(
                 probe = back.filter(F.expr(full)).agg(
                     F.count(F.lit(1)).cast("long").alias("n")
                 )
+                # 1-row aggregate per workload probe (bounded);
+                # collect() (not count()) so the metrics populate on
+                # THIS plan's QueryExecution
                 n_match = probe.collect()[0]["n"]
                 parts_real, files_real = _q442_scan_metrics(probe)
                 rows.append(
@@ -12267,9 +12289,7 @@ def q442_partition_layout_executed(
         finally:
             spark.conf.set(aqe_key, aqe_old)
         return spark.createDataFrame(
-            sorted(rows, key=lambda r: r[1]),
-            "layout string, workload string, n_partitions long,"
-            " partitions_read long, files_read long, rows_matching long",
+            sorted(rows, key=lambda r: r[1]), schema
         )
     finally:
         _shutil.rmtree(out_dir, ignore_errors=True)
