@@ -82,8 +82,10 @@ def main() -> None:
     # headline_normalized = headline / floor is the host-comparable
     # series. (BASELINE.md's r4 decomposition measured the same class
     # of job at ~160 ms cold-analyzed / ~10 ms pre-analyzed at the
-    # trivial size; this floor uses a bigger fixed fold so the compute
-    # term dominates scheduler jitter.)
+    # trivial size; this 1024M-id fold mixes ~40 ms compute with ~20 ms
+    # scheduling — BOTH scale with host speed, which is what the
+    # normalization wants; min-of-7 repeats within ~±8% on a quiet
+    # host.)
     def _cpu_mhz() -> float | None:
         try:
             vals = [
@@ -96,11 +98,16 @@ def main() -> None:
             return None
 
     cpu_mhz_start = _cpu_mhz()
-    _floor_df = spark.range(0, 512_000_000, 1, 32).select(
+    _floor_df = spark.range(0, 1_024_000_000, 1, 32).select(
         F.sum((F.col("id") * 2654435761) % 1000003).alias("s")
     )
     _floor_df._jdf.queryExecution().executedPlan()  # bake the plan
-    _floor_df.collect()  # warm (JIT the codegen'd stage)
+    # warm (JIT the codegen'd stage) AND pin correctness: the fold is
+    # pure integer arithmetic with one exact answer — id*K stays under
+    # 2^63 at this size (at >=8G ids it wraps and the 'floor' silently
+    # measures garbage, observed while sizing this)
+    _v = _floor_df.collect()[0][0]
+    assert _v == 512001028978971, f"floor job computed {_v}"
     floor_trials = []
     for _ in range(7):
         t0 = time.time()
@@ -435,7 +442,7 @@ def main() -> None:
                 # /proc/cpuinfo mean at run start/end (clock pinning at
                 # 2100 MHz inflated r12's wall ~35% on byte-identical
                 # code); floor_sec is the best-of-7 pre-analyzed fixed
-                # integer fold (512M ids, whole-stage codegen, no I/O);
+                # integer fold (1024M ids, whole-stage codegen, no I/O);
                 # headline_normalized = value / floor_sec is the
                 # host-comparable round-over-round series.
                 "cpu_mhz": cpu_mhz_start,
