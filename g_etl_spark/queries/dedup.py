@@ -6361,3 +6361,178 @@ def q451_cluster_policy_propagation(
         )
         .orderBy("cluster_id")
     )
+
+
+# ---- q456: dedup-threshold sensitivity curve -----------------------------
+_Q456_GRID = (8, 12, 16, 24, 32, 48)
+
+
+@register(
+    "q456_dedup_threshold_curve",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks
+        FROM documents
+        WHERE len(string_split(trim(text), ' ')) >= {_Q444_W}
+    ),
+    g AS MATERIALIZED (
+        SELECT doc_id, u.i AS pos,
+               array_to_string(toks[u.i:u.i + {_Q444_W} - 1], ' ') AS gram
+        FROM t, LATERAL (
+            SELECT unnest(range(1, len(toks) - {_Q444_W} + 2)) AS i) u
+    ),
+    hits AS MATERIALIZED (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               a.pos - b.pos AS o, a.pos AS pa
+        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT da, db, o, pa,
+               CASE WHEN lag(pa) OVER w IS NULL
+                         OR pa <> lag(pa) OVER w + 1 THEN 1 ELSE 0
+               END AS brk
+        FROM hits
+        WINDOW w AS (PARTITION BY da, db, o ORDER BY pa)
+    ),
+    ids AS (
+        SELECT da, db, o, pa,
+               sum(brk) OVER (PARTITION BY da, db, o ORDER BY pa
+                              ROWS UNBOUNDED PRECEDING) AS rid
+        FROM runs
+    ),
+    spans AS MATERIALIZED (
+        SELECT da, db, max(pa) - min(pa) + {_Q444_W} AS ln
+        FROM ids GROUP BY da, db, o, rid
+    ),
+    grid AS (SELECT unnest({list(_Q456_GRID)}) AS thr),
+    sw AS MATERIALIZED (
+        SELECT grid.thr, s.da, s.db, s.ln
+        FROM spans s JOIN grid ON s.ln >= grid.thr
+    ),
+    pairstats AS (
+        SELECT thr,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(count(DISTINCT (da, db)) AS BIGINT) AS n_pairs,
+               CAST(sum(ln) AS BIGINT) AS shared_tokens
+        FROM sw GROUP BY thr
+    ),
+    docstats AS (
+        SELECT thr, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+        FROM (SELECT thr, da AS d FROM sw
+              UNION SELECT thr, db FROM sw)
+        GROUP BY thr
+    )
+    SELECT g2.thr AS min_span_tokens,
+           coalesce(p.n_spans, 0) AS n_spans,
+           coalesce(p.n_pairs, 0) AS n_pairs,
+           coalesce(d.n_docs, 0) AS n_affected_docs,
+           coalesce(p.shared_tokens, 0) AS shared_tokens
+    FROM (SELECT CAST(thr AS BIGINT) AS thr FROM grid) g2
+    LEFT JOIN pairstats p ON p.thr = g2.thr
+    LEFT JOIN docstats d ON d.thr = g2.thr
+    ORDER BY min_span_tokens
+    """,
+)
+def q456_dedup_threshold_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DEDUP-THRESHOLD sensitivity curve — the aggressiveness dial
+    every exact-substring dedup deployment has to set once (Lee et
+    al. used 50 tokens; nobody's corpus is theirs): q444's maximal
+    shared spans computed ONCE, then swept over a threshold grid
+    {_Q456_GRID} in a single map-side grid join — per candidate
+    threshold, how many spans/pairs/documents a span-removal pass
+    would touch and how many tokens it would delete. The curve's
+    knee (shared_tokens collapsing while n_pairs holds) separates
+    boilerplate-grade sharing from wholesale copies; picking the
+    threshold OFF this table replaces the folklore constant with a
+    measured one. Monotone by construction: every column is
+    non-increasing in the threshold (test-pinned).
+
+    Scale: identical to q444 (Σ occ² anchors + alignment islands) —
+    the sweep adds |grid| map-side replicas of the SPANS relation
+    (alignment-grain, tiny), not of the corpus.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("toks")
+    )
+    t = d.where(F.size("toks") >= _Q444_W)
+    g = t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks") - _Q444_W + 1)
+        ).alias("pos"),
+        "toks",
+    ).select(
+        "doc_id",
+        "pos",
+        F.concat_ws(" ", F.slice("toks", F.col("pos"), _Q444_W)).alias(
+            "gram"
+        ),
+    )
+    a = g.select(
+        F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "gram"
+    )
+    b = g.select(
+        F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "gram"
+    )
+    hits = (
+        a.join(b, "gram")
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db", (F.col("pa") - F.col("pb")).alias("o"), "pa")
+    )
+    w = Window.partitionBy("da", "db", "o").orderBy("pa")
+    spans = (
+        hits.withColumn(
+            "brk",
+            F.when(
+                F.lag("pa").over(w).isNull()
+                | (F.col("pa") != F.lag("pa").over(w) + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "rid",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("da", "db", "o", "rid")
+        .agg((F.max("pa") - F.min("pa") + _Q444_W).alias("ln"))
+    )
+    spans = spans.localCheckpoint(eager=True)  # alignment-grain, swept 2x
+    grid = spark.createDataFrame(
+        [(int(x),) for x in _Q456_GRID], "thr long"
+    )
+    sw = spans.crossJoin(F.broadcast(grid)).where(
+        F.col("ln") >= F.col("thr")
+    )
+    pairstats = sw.groupBy("thr").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.countDistinct(F.struct("da", "db")).cast("long").alias(
+            "n_pairs"
+        ),
+        F.sum("ln").cast("long").alias("shared_tokens"),
+    )
+    docstats = (
+        sw.select("thr", F.explode(F.array("da", "db")).alias("d"))
+        .distinct()
+        .groupBy("thr")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    return (
+        grid.join(pairstats, "thr", "left")
+        .join(docstats, "thr", "left")
+        .select(
+            F.col("thr").alias("min_span_tokens"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+            F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+            F.coalesce(F.col("n_docs"), F.lit(0)).alias(
+                "n_affected_docs"
+            ),
+            F.coalesce(F.col("shared_tokens"), F.lit(0)).alias(
+                "shared_tokens"
+            ),
+        )
+        .orderBy("min_span_tokens")
+    )

@@ -13325,3 +13325,406 @@ def q450_dp_noisy_release(
             " AS BIGINT)"
         ).alias("noisy_micro"),
     ).orderBy("release", "cell")
+
+
+# ---- q455: Plackett-Luce listwise preference fit -------------------------
+# The listwise closure of the preference family: each user RANKS the
+# event types (Copeland order of the user's exact pairwise-mean
+# tournament — division-free, integer-exact, deterministic
+# tie-break), and Plackett-Luce strengths are fit by Hunter 2004's MM:
+#   w_i <- W_i / sum_{u} sum_{p<=min(pos_i, k_u - 1)} 1 / D_{u,p},
+# D_{u,p} = sum of w over the items still in the pool at stage p.
+# Quantization: strengths micro; 1/D terms pico-per-micro; renorm to
+# sum(w) = k via the shared _Q443_PNORM template.
+_Q455_INV = ("CAST(round(1000000000000.0 / CAST({d} AS DOUBLE))"
+             " AS BIGINT)")
+_Q455_PRAW = ("CAST(round(1000000.0 * {wn} / (CAST({dd} AS DOUBLE)"
+              " / 1000000000000.0)) AS BIGINT)")
+
+
+def _q455_oracle() -> str:
+    def mm_round(r: int) -> str:
+        q = r - 1
+        inv = _Q455_INV.format(d="d")
+        praw = _Q455_PRAW.format(wn="it.wn", dd="dd")
+        pnorm = _Q443_PNORM.format(k="norm.k", praw="praw", sp="norm.sp")
+        return f"""
+    dsum{r} AS MATERIALIZED (
+        -- D_(u,p): suffix sum of CURRENT strengths over pos >= p
+        SELECT ps.user_id, ps.pos AS p,
+               CAST(sum(pw.p) OVER (PARTITION BY ps.user_id
+                                    ORDER BY ps.pos DESC
+                                    ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS d
+        FROM positions ps JOIN p{q} pw ON pw.t = ps.t
+    ),
+    contrib{r} AS MATERIALIZED (
+        SELECT ps.t, {inv} AS term
+        FROM positions ps
+        JOIN dsum{r} ds ON ds.user_id = ps.user_id
+                       AND ds.p <= ps.pos
+        JOIN ks ON ks.user_id = ps.user_id AND ds.p <= ks.k_u - 1
+    ),
+    pden{r} AS MATERIALIZED (
+        SELECT t, CAST(sum(term) AS BIGINT) AS dd
+        FROM contrib{r} GROUP BY t
+    ),
+    praw{r} AS MATERIALIZED (
+        SELECT it.t, {praw} AS praw
+        FROM items it JOIN pden{r} USING (t)
+    ),
+    norm{r} AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(praw) AS BIGINT) AS sp FROM praw{r}
+    ),
+    p{r} AS MATERIALIZED (
+        SELECT t, {pnorm} AS p FROM praw{r}, norm{r} norm
+    )"""
+
+    return f"""
+    WITH ut AS MATERIALIZED (
+        SELECT user_id, event_type AS t, count(*) AS n,
+               sum(CAST(round(value * 100) AS HUGEINT)) AS s
+        FROM events WHERE value IS NOT NULL
+        GROUP BY user_id, event_type
+    ),
+    cope AS MATERIALIZED (
+        -- Copeland score inside each user's exact tournament
+        SELECT a.user_id, a.t,
+               CAST(sum(CASE WHEN a.s * b.n > b.s * a.n THEN 1
+                             ELSE 0 END) AS BIGINT) AS score
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.t <> b.t
+        GROUP BY a.user_id, a.t
+    ),
+    positions AS MATERIALIZED (
+        SELECT user_id, t,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY score DESC, t)
+                    AS BIGINT) AS pos
+        FROM cope
+    ),
+    ks AS MATERIALIZED (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS k_u
+        FROM positions GROUP BY user_id
+    ),
+    items AS MATERIALIZED (
+        SELECT ps.t,
+               CAST(count(*) AS BIGINT) AS n_rankings,
+               CAST(sum(CASE WHEN ps.pos <= ks.k_u - 1 THEN 1
+                             ELSE 0 END) AS BIGINT) AS wn,
+               CAST(sum(CASE WHEN ps.pos = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_top1
+        FROM positions ps JOIN ks USING (user_id)
+        GROUP BY ps.t
+    ),
+    p0 AS MATERIALIZED (
+        SELECT t, CAST(1000000 AS BIGINT) AS p FROM items),
+    {mm_round(1).lstrip()},
+    {mm_round(2).lstrip()}
+    SELECT CAST(row_number() OVER (ORDER BY p2.p DESC, items.t)
+                AS BIGINT) AS pref_rank,
+           items.t AS event_type,
+           items.n_rankings, items.wn AS n_chosen, items.n_top1,
+           p2.p AS w_micro
+    FROM items JOIN p2 ON p2.t = items.t
+    ORDER BY pref_rank
+    """
+
+
+def _q455_mm_round(
+    positions: DataFrame, ks: DataFrame, items: DataFrame,
+    p_df: DataFrame,
+) -> DataFrame:
+    """One Plackett-Luce MM round at (user × |types|) grain:
+    w -> w'. Suffix sums run in a per-user window (partitioned);
+    the stage-membership join is a per-user pos range join."""
+    pw = p_df.select(F.col("t"), F.col("p").alias("w"))
+    wsuf = Window.partitionBy("user_id").orderBy(
+        F.col("pos").desc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    dsum = (
+        positions.join(F.broadcast(pw), "t")
+        .select(
+            "user_id",
+            F.col("pos").alias("p"),
+            F.sum("w").over(wsuf).cast("long").alias("d"),
+        )
+    )
+    contrib = (
+        positions.join(dsum, "user_id")
+        .where(F.col("p") <= F.col("pos"))
+        .join(ks, "user_id")
+        .where(F.col("p") <= F.col("k_u") - 1)
+        .select(
+            "t", F.expr(_Q455_INV.format(d="d")).alias("term")
+        )
+    )
+    pden = contrib.groupBy("t").agg(
+        F.sum("term").cast("long").alias("dd")
+    )
+    praw = items.join(pden, "t").select(
+        "t", F.expr(_Q455_PRAW.format(wn="wn", dd="dd")).alias("praw")
+    )
+    norm = praw.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("praw").cast("long").alias("sp"),
+    )
+    return (
+        praw.crossJoin(F.broadcast(norm))
+        .select(
+            "t",
+            F.expr(
+                _Q443_PNORM.format(k="k", praw="praw", sp="sp")
+            ).alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+@register("q455_plackett_luce_listwise", oracle=_q455_oracle())
+def q455_plackett_luce_listwise(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PLACKETT-LUCE listwise preference fit — the k-way closure of
+    the preference family (q428 pairwise → q443 ties → q447 position
+    → q455 listwise): every user contributes a full RANKING of the
+    event types (the Copeland order of the user's exact pairwise-mean
+    tournament — division-free integer cross-products, deterministic
+    tie-break), and PL strengths are fit by two Hunter 2004 MM
+    rounds: w_i ← W_i / Σ_u Σ_{{stages p where i is in the pool}}
+    1/D_{{u,p}}, with D the still-in-pool strength suffix sum. A
+    ranking is worth k−1 choice events (the last pick is forced) —
+    strictly more signal per user than any pairwise scheme extracts,
+    which is why listwise fits dominate when full orderings exist.
+    n_top1 rides along as the raw first-choice count the fitted
+    strengths should (and here do) re-order only when later stages
+    disagree.
+
+    Scale: (user × |types|) grain end-to-end — the Copeland join is
+    |types|² per user, the suffix sums are per-user partitioned
+    windows, the stage join ≤|types|²/2 rows per user; strengths are
+    broadcast maps and the MM rounds are bounded. Nothing
+    corpus-sized shuffles beyond the one (user × type) rollup.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ut = e.groupBy("user_id", F.col("event_type").alias("t")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("decimal(38,0)")).alias(
+            "s"
+        ),
+    )
+    a = ut.select(
+        "user_id", F.col("t").alias("ta"), F.col("n").alias("na"),
+        F.col("s").alias("sa"),
+    )
+    b = ut.select(
+        "user_id", F.col("t").alias("tb"), F.col("n").alias("nb"),
+        F.col("s").alias("sb"),
+    )
+    cope = (
+        a.join(b, ["user_id"])
+        .where(F.col("ta") != F.col("tb"))
+        .groupBy("user_id", F.col("ta").alias("t"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("sa") * F.col("nb") > F.col("sb") * F.col("na"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("score")
+        )
+    )
+    wpos = Window.partitionBy("user_id").orderBy(
+        F.col("score").desc(), F.col("t")
+    )
+    positions = cope.select(
+        "user_id", "t", F.row_number().over(wpos).cast("long").alias("pos")
+    )
+    positions = positions.localCheckpoint(eager=True)  # reused 2x/round
+    ks = positions.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k_u")
+    )
+    ks = ks.localCheckpoint(eager=True)
+    items = (
+        positions.join(ks, "user_id")
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rankings"),
+            F.sum(
+                F.when(F.col("pos") <= F.col("k_u") - 1, 1).otherwise(0)
+            ).cast("long").alias("wn"),
+            F.sum(F.when(F.col("pos") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_top1"),
+        )
+    )
+    items = items.localCheckpoint(eager=True)
+    p_df = items.select("t", F.lit(1000000).cast("long").alias("p"))
+    for _ in range(2):
+        p_df = _q455_mm_round(positions, ks, items, p_df)
+    return (
+        items.join(p_df, "t")
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("p").desc(), F.col("t")))
+            .cast("long")
+            .alias("pref_rank"),
+            F.col("t").alias("event_type"),
+            "n_rankings",
+            F.col("wn").alias("n_chosen"),
+            "n_top1",
+            F.col("p").alias("w_micro"),
+        )
+        .orderBy("pref_rank")
+    )
+
+
+# ---- q457: repeated session-script (bot/replay) detection ----------------
+_Q457_GAP_US = 30 * 60 * 1_000_000   # session break: 30-min inactivity
+_Q457_BUCKET_US = 60 * 1_000_000     # gap fingerprint grain: 1 minute
+_Q457_TOP = 25
+
+
+@register(
+    "q457_session_script_replay",
+    oracle=f"""
+    WITH ev AS MATERIALIZED (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM events
+    ),
+    brk AS (
+        SELECT user_id, event_id, event_type, ts_us,
+               CASE WHEN lag(ts_us) OVER w IS NULL
+                         OR ts_us - lag(ts_us) OVER w > {_Q457_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new,
+               coalesce(ts_us - lag(ts_us) OVER w, 0) AS gap_us
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_id, event_type, ts_us,
+               CASE WHEN is_new = 1 THEN 0 ELSE gap_us END AS gap_us,
+               sum(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM brk
+    ),
+    scripts AS MATERIALIZED (
+        SELECT user_id, sid,
+               string_agg(event_type || '|' ||
+                          CAST(gap_us // {_Q457_BUCKET_US} AS VARCHAR),
+                          '>' ORDER BY ts_us, event_id) AS script,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, sid
+    ),
+    rep AS (
+        SELECT script, any_value(n_events) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM scripts GROUP BY script
+    )
+    SELECT md5(script) AS fingerprint, script,
+           CAST(n_events AS BIGINT) AS n_events, n_sessions, n_users
+    FROM rep
+    WHERE n_sessions >= 2 AND n_users >= 2
+    ORDER BY n_sessions DESC, script
+    LIMIT {_Q457_TOP}
+    """,
+)
+def q457_session_script_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REPEATED SESSION-SCRIPT detection — the bot/replay screen a
+    production event pipeline runs before any engagement metric is
+    trusted: sessions (30-min inactivity rule, q213's boundary
+    semantics) are fingerprinted by their full behavioral script —
+    the ordered event-type sequence WITH minute-bucketed inter-event
+    gaps — and scripts executed by MULTIPLE users across multiple
+    sessions are exactly what organic behavior doesn't produce:
+    humans share coarse paths (q127's Markov view) but not
+    gap-faithful replays. Emits the top {_Q457_TOP} shared scripts
+    with session/user counts; the md5 fingerprint column is the key
+    a blocklist or downstream join consumes. Timing buckets make the
+    fingerprint robust to sub-minute jitter while still separating a
+    10-second script from a 10-minute one — the dial between
+    'same funnel' and 'same macro'.
+
+    Scale: one per-user windowed pass to sessionize (partitioned by
+    user — no global window), one hash agg to scripts (session
+    grain), one to shared scripts; the report is top-{_Q457_TOP}
+    (TakeOrdered). Script strings stay bounded by session length;
+    at 100 TB the string_agg becomes the md5-chain rolling hash
+    (q51's device) with identical semantics.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    brk = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_us",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > _Q457_GAP_US),
+            1,
+        ).otherwise(0).alias("is_new"),
+        F.coalesce(
+            F.col("ts_us") - F.lag("ts_us").over(w), F.lit(0)
+        ).alias("gap_us"),
+    )
+    sess = brk.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts_us",
+        F.when(F.col("is_new") == 1, F.lit(0))
+        .otherwise(F.col("gap_us"))
+        .alias("gap_us"),
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    tok = F.concat_ws(
+        "|",
+        F.col("event_type"),
+        F.expr(f"CAST(gap_us div {_Q457_BUCKET_US} AS STRING)"),
+    )
+    scripts = (
+        sess.select("user_id", "sid", "ts_us", "event_id", tok.alias("tok"))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts_us", "event_id", "tok")
+                        )
+                    ),
+                    lambda s: s["tok"],
+                ),
+                ">",
+            ).alias("script"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    rep = scripts.groupBy("script").agg(
+        F.first("n_events").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    return (
+        rep.where((F.col("n_sessions") >= 2) & (F.col("n_users") >= 2))
+        .select(
+            F.md5("script").alias("fingerprint"),
+            "script",
+            "n_events",
+            "n_sessions",
+            "n_users",
+        )
+        .orderBy(F.desc("n_sessions"), "script")
+        .limit(_Q457_TOP)
+    )

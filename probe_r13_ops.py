@@ -51,6 +51,9 @@ PROBES = [
     ("q452_crosslingual_lm_matrix", ["documents"]),
     ("q453_bpe_merge_depth_curve", ["documents"]),
     ("q454_curriculum_mixture_audit", ["documents"]),
+    ("q455_plackett_luce_listwise", ["events"]),
+    ("q456_dedup_threshold_curve", ["documents"]),
+    ("q457_session_script_replay", ["events"]),
 ]
 
 

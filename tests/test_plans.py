@@ -6288,3 +6288,136 @@ def test_q454_curriculum_monotone_and_shares_coherent(spark, qs):
                 == c["share_milli"] - c["global_share_milli"]
             )
     assert means == sorted(means), "batches are not difficulty-ascending"
+
+
+def _q455_fixture(spark, orderings):
+    import pyspark.sql.functions as F
+
+    rows = []
+    for uid, order in enumerate(orderings, start=1):
+        for pos, t in enumerate(order, start=1):
+            rows.append((uid, t, pos))
+    positions = spark.createDataFrame(
+        rows, "user_id long, t string, pos long"
+    )
+    ks = positions.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k_u")
+    )
+    items = (
+        positions.join(ks, "user_id")
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rankings"),
+            F.sum(
+                F.when(F.col("pos") <= F.col("k_u") - 1, 1).otherwise(0)
+            ).cast("long").alias("wn"),
+            F.sum(F.when(F.col("pos") == 1, 1).otherwise(0))
+            .cast("long").alias("n_top1"),
+        )
+    )
+    p0 = items.select("t", F.lit(1000000).cast("long").alias("p"))
+    return positions, ks, items, p0
+
+
+def test_q455_mm_uniform_under_symmetric_rankings(spark):
+    """All 3! orderings equally represented: perfect symmetry, so one
+    MM round must return exactly uniform strengths."""
+    from itertools import permutations
+
+    from g_etl_spark.queries.relational import _q455_mm_round
+
+    positions, ks, items, p0 = _q455_fixture(
+        spark, list(permutations(["a", "b", "c"]))
+    )
+    p1 = _q455_mm_round(positions, ks, items, p0)
+    assert {r["p"] for r in p1.collect()} == {1_000_000}
+
+
+def test_q455_mm_unanimous_ranking_orders_strengths(spark):
+    """Every user ranks A > B > C: after one MM round the strengths
+    must strictly order A > B > C, with C exactly 0 (never chosen at
+    any stage — the PL MLE for an always-last item), and the
+    strengths still renormalize to k million."""
+    from g_etl_spark.queries.relational import _q455_mm_round
+
+    positions, ks, items, p0 = _q455_fixture(
+        spark, [("a", "b", "c")] * 3
+    )
+    got = {
+        r["t"]: r["p"]
+        for r in _q455_mm_round(positions, ks, items, p0).collect()
+    }
+    assert got["a"] > got["b"] > got["c"] == 0
+    assert abs(sum(got.values()) - 3_000_000) <= 3
+
+
+def test_q455_registered_output_coherent(spark, qs):
+    """Real corpus: ranks 1..k, Σw = k micro (to rounding), n_top1
+    sums to the user count implied by n_rankings (every user has
+    exactly one first pick), and w is rank-ordered."""
+    rows = qs["q455_plackett_luce_listwise"](spark, SF_DIR).collect()
+    k = len(rows)
+    assert [r["pref_rank"] for r in rows] == list(range(1, k + 1))
+    ws = [r["w_micro"] for r in rows]
+    assert ws == sorted(ws, reverse=True)
+    assert abs(sum(ws) - k * 1_000_000) <= k
+    assert sum(r["n_top1"] for r in rows) > 0
+
+
+def test_q456_curve_monotone_in_threshold(spark, qs):
+    """Raising the minimum span can only shrink the affected set:
+    every column non-increasing in the threshold; grid rows always
+    present (zero-filled when the corpus has no such spans); the
+    8-token row dominates (every anchor window is itself a span)."""
+    rows = qs["q456_dedup_threshold_curve"](spark, SF_DIR).collect()
+    assert [r["min_span_tokens"] for r in rows] == [8, 12, 16, 24, 32, 48]
+    for col in ("n_spans", "n_pairs", "n_affected_docs", "shared_tokens"):
+        seq = [r[col] for r in rows]
+        assert seq == sorted(seq, reverse=True), f"{col} not monotone"
+    assert rows[0]["n_spans"] >= rows[1]["n_spans"] > 0
+
+
+def test_q457_planted_replay_detected(spark, qs, tmp_path):
+    """Planted bot: three users replay the identical 4-event script
+    with identical (minute-grain) timing; two organic users run the
+    same TYPE path with different gaps. The replay must surface as
+    ONE shared fingerprint with n_sessions=3/n_users=3; the organic
+    pair must NOT merge with it (different gap buckets)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    rows, eid = [], 0
+    script_gaps = [0, 65, 130, 10]  # seconds between events
+    for uid in (1, 2, 3):           # bot replicas (same gaps)
+        t = t0 + dt.timedelta(hours=uid)
+        for i, g in enumerate(script_gaps):
+            t = t + dt.timedelta(seconds=g)
+            eid += 1
+            rows.append((eid, uid, ["view", "click", "view", "purchase"][i], t, 1.0, "{}"))
+    for uid in (4, 5):              # organic: same types, other gaps
+        t = t0 + dt.timedelta(hours=10 + uid)
+        for i, g in enumerate([0, 200, 400, 500]):
+            t = t + dt.timedelta(seconds=g)
+            eid += 1
+            rows.append((eid, uid, ["view", "click", "view", "purchase"][i], t, 1.0, "{}"))
+    epath = str(tmp_path / "events.parquet")
+    spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double, props string",
+    ).write.parquet(epath)
+    got = qs["q457_session_script_replay"](spark, str(tmp_path)).collect()
+    bots = [r for r in got if r["n_sessions"] == 3]
+    assert len(bots) == 1
+    assert bots[0]["n_users"] == 3 and bots[0]["n_events"] == 4
+    assert bots[0]["script"].startswith("view|0>click|1>view|2>")
+    # organic pair shares type path but different gap buckets
+    organics = [r for r in got if r["n_sessions"] == 2]
+    assert len(organics) == 1 and organics[0]["n_users"] == 2
+    assert organics[0]["script"] != bots[0]["script"]
+    duck = _duck_oracle_rows(
+        "q457_session_script_replay", str(tmp_path), {"events": epath}
+    )
+    assert sorted((r[1], r[3], r[4]) for r in duck) == sorted(
+        (r["script"], r["n_sessions"], r["n_users"]) for r in got
+    )
