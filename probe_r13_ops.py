@@ -54,6 +54,7 @@ PROBES = [
     ("q455_plackett_luce_listwise", ["events"]),
     ("q456_dedup_threshold_curve", ["documents"]),
     ("q457_session_script_replay", ["events"]),
+    ("q458_watermark_delay_frontier", ["events"]),
 ]
 
 

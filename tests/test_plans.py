@@ -6421,3 +6421,38 @@ def test_q457_planted_replay_detected(spark, qs, tmp_path):
     assert sorted((r[1], r[3], r[4]) for r in duck) == sorted(
         (r["script"], r["n_sessions"], r["n_users"]) for r in got
     )
+
+
+def test_q458_frontier_consistent_with_q446(spark, qs):
+    """The shipped 12 h delay's frontier row must reproduce q446's
+    capacity plan: its peak open count equals the max per-restart
+    total q446 reports, and its drop accounting matches the rows the
+    trajectory's late filter removes. Monotonicity: peak state is
+    non-decreasing in the delay (longer bounds only hold MORE
+    windows), drops non-increasing."""
+    fr = {
+        r["delay_ms"]: r
+        for r in qs["q458_watermark_delay_frontier"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(fr) == {3_600_000, 10_800_000, 21_600_000, 43_200_000,
+                       86_400_000}
+    cap = qs["q446_stream_state_capacity_advisor"](
+        spark, SF_DIR
+    ).collect()
+    totals = {}
+    for r in cap:
+        totals[r["restart"]] = totals.get(r["restart"], 0) + r[
+            "open_windows"
+        ]
+    assert fr[43_200_000]["peak_open_windows"] == max(totals.values())
+    delays = sorted(fr)
+    peaks = [fr[d]["peak_open_windows"] for d in delays]
+    drops = [fr[d]["n_dropped"] for d in delays]
+    assert peaks == sorted(peaks), "state must grow with the delay"
+    assert drops == sorted(drops, reverse=True), (
+        "completeness must improve (or hold) with the delay"
+    )
+    for r in fr.values():
+        assert r["est_peak_state_bytes"] == r["peak_open_windows"] * 144
