@@ -5538,9 +5538,40 @@ def _ulm_estep(words: DataFrame, costs: DataFrame) -> DataFrame:
     return wc.select("w", "f", "cm", F.expr(dl_sql).alias("dl")).localCheckpoint()
 
 
+# Session-scoped memo for the unigram-LM machinery (r13 verdict item
+# #7): q424/q437/q441/q445 each need the SAME model frames and each
+# registry row must stand alone, so the builder stays callable per
+# query — but within one session the E-step localCheckpoint (the
+# expensive part, ~2.5 s/build at sf0.01) is shared. Keyed by
+# (applicationId, sf_dir); a cached entry is probed with a 1-row
+# action before reuse and rebuilt on ANY failure (a restarted context
+# invalidates checkpointed RDDs), so the fallback is per-query rebuild
+# — standalone-ness is preserved.
+_ULM_CACHE: dict[tuple[str, str], dict] = {}
+
+
 def _ulm_model(spark: SparkSession, sf_dir: str) -> dict:
-    """Shared q424/q437/q445 unigram-LM machinery: returns the word
-    table, the initial vocab costs (v0), the post-M-step
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _ULM_CACHE.get(key)
+    if cached is not None:
+        try:
+            cached["ll1"].first()  # checkpoint liveness probe (1 row)
+            return cached
+        except Exception:
+            _ULM_CACHE.pop(key, None)
+    m = _ulm_model_build(spark, sf_dir)
+    # eagerly pin the small frames too (vocab-grain / 1-row): the
+    # consumers re-aggregate them, and without this each consumer
+    # would re-run the vocab fan-out above the shared wd checkpoint
+    for k in ("words", "v0", "v1", "ll0", "ll1"):
+        m[k] = m[k].localCheckpoint(eager=True)
+    _ULM_CACHE[key] = m
+    return m
+
+
+def _ulm_model_build(spark: SparkSession, sf_dir: str) -> dict:
+    """Shared q424/q437/q441/q445 unigram-LM machinery: returns the
+    word table, the initial vocab costs (v0), the post-M-step
     usage/costs (v1), and the scalar likelihood frames (ll0, ll1) —
     see q424 for the algebra."""
     d = load(spark, sf_dir, "documents")
