@@ -143,10 +143,14 @@ def file_stats(path: str, cols: Sequence[str]) -> list[dict]:
     import os
 
     out = []
-    for name in sorted(os.listdir(path)):
-        if not name.endswith(".parquet"):
-            continue
-        md = pq.ParquetFile(os.path.join(path, name)).metadata
+    files = sorted(
+        os.path.join(root, name)
+        for root, _, names in os.walk(path)
+        for name in names
+        if name.endswith(".parquet")
+    )
+    for fpath in files:
+        md = pq.ParquetFile(fpath).metadata
         schema_names = md.schema.names
         env: dict = {}
         for rg in range(md.num_row_groups):

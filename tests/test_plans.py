@@ -6456,3 +6456,48 @@ def test_q458_frontier_consistent_with_q446(spark, qs):
     )
     for r in fr.values():
         assert r["est_peak_state_bytes"] == r["peak_open_windows"] * 144
+
+
+def test_q459_zorder_choice_really_prunes(spark, qs):
+    """The executed Z-order layout must show REAL footer pruning: the
+    Z-curve wins the workload argmin (narrow envelopes on BOTH axes),
+    every workload's engine-materialized row count (scan
+    numOutputRows after footer skipping) sits between the match count
+    and the corpus, and every workload skips files (files_read <
+    n_files) — single-sort layouts can't do that for the off-axis
+    predicate, which is the multi-column claim."""
+    from g_etl_spark.tables import load
+
+    corpus = load(spark, SF_DIR, "events").count()
+    rows = qs["q459_zorder_layout_executed"](spark, SF_DIR).collect()
+    assert len(rows) == 3
+    assert all(r["layout"] == "zorder_uv" for r in rows)
+    assert all(r["n_files"] == 16 for r in rows)
+    for r in rows:
+        assert r["n_match"] <= r["rows_scanned"]
+        assert 0 < r["files_read"] < r["n_files"], (
+            f"{r['workload']}: no file skipped"
+        )
+        # rows materialized = surviving files only, strictly < corpus
+        assert r["rows_scanned"] < corpus
+
+
+def test_q459_filter_pushed_to_clustered_scan(spark, qs, tmp_path):
+    """The probe's predicate must reach the parquet reader
+    (PushedFilters) on a recursiveFileLookup read of a clustered
+    layout — no pushdown, no footer pruning."""
+    import pyspark.sql.functions as F
+
+    from g_etl_spark.tables import load
+
+    p = str(tmp_path / "clustered")
+    (
+        load(spark, SF_DIR, "events")
+        .select("event_id", "user_id")
+        .coalesce(4)
+        .write.parquet(p)
+    )
+    back = spark.read.option("recursiveFileLookup", "true").parquet(p)
+    txt = plan_of(back.filter(F.col("user_id").between(3, 7)))
+    assert "PushedFilters" in txt
+    assert "GreaterThanOrEqual(user_id,3)" in txt
