@@ -6536,3 +6536,342 @@ def q456_dedup_threshold_curve(
         )
         .orderBy("min_span_tokens")
     )
+
+
+# ---- q460 / q462: weighted cluster cohesion + span-removal pass ---------
+# Shared device: q444's alignment-island spans WITH positions (pmin
+# carried through so q462 can locate each span inside the later doc).
+def _q444_spans_with_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(da, db, off, pmin, ln): every maximal cross-document exact
+    token run, q444's machinery (8-token anchor grams, per-(pair,
+    alignment) consecutive-run islands, exact lengths) plus the run's
+    start anchor position in da — enough to place the span in either
+    document (start in db = pmin − off)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("toks")
+    )
+    t = d.where(F.size("toks") >= _Q444_W)
+    g = t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks") - _Q444_W + 1)
+        ).alias("pos"),
+        "toks",
+    ).select(
+        "doc_id",
+        "pos",
+        F.concat_ws(" ", F.slice("toks", F.col("pos"), _Q444_W)).alias(
+            "gram"
+        ),
+    )
+    a = g.select(
+        F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "gram"
+    )
+    b = g.select(
+        F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "gram"
+    )
+    hits = (
+        a.join(b, "gram")
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db", (F.col("pa") - F.col("pb")).alias("off"), "pa")
+    )
+    w = Window.partitionBy("da", "db", "off").orderBy("pa")
+    return (
+        hits.withColumn(
+            "brk",
+            F.when(
+                F.lag("pa").over(w).isNull()
+                | (F.col("pa") != F.lag("pa").over(w) + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "rid",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("da", "db", "off", "rid")
+        .agg(
+            F.min("pa").alias("pmin"),
+            (F.max("pa") - F.min("pa") + _Q444_W).alias("ln"),
+        )
+    )
+
+
+_Q460_SPANS_SQL = f"""
+    t AS MATERIALIZED (
+        SELECT doc_id, string_split(trim(text), ' ') AS toks
+        FROM documents),
+    tw AS MATERIALIZED (
+        SELECT doc_id, toks FROM t WHERE len(toks) >= {_Q444_W}),
+    g AS MATERIALIZED (
+        SELECT doc_id, u.i AS pos,
+               array_to_string(toks[u.i:u.i + {_Q444_W} - 1], ' ') AS gram
+        FROM tw, LATERAL (
+            SELECT unnest(range(1, len(toks) - {_Q444_W} + 2)) AS i) u),
+    hits AS MATERIALIZED (
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               a.pos - b.pos AS off, a.pos AS pa
+        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    runs AS (
+        SELECT da, db, off, pa,
+               CASE WHEN lag(pa) OVER w IS NULL
+                         OR pa <> lag(pa) OVER w + 1 THEN 1 ELSE 0
+               END AS brk
+        FROM hits
+        WINDOW w AS (PARTITION BY da, db, off ORDER BY pa)),
+    ids AS (
+        SELECT da, db, off, pa,
+               sum(brk) OVER (PARTITION BY da, db, off ORDER BY pa
+                              ROWS UNBOUNDED PRECEDING) AS rid
+        FROM runs),
+    spans AS (
+        SELECT da, db, off, min(pa) AS pmin,
+               max(pa) - min(pa) + {_Q444_W} AS ln
+        FROM ids GROUP BY da, db, off, rid)
+"""
+
+
+@register(
+    "q460_weighted_cluster_cohesion",
+    oracle=f"""
+    WITH RECURSIVE {_Q460_SPANS_SQL},
+    wedges AS MATERIALIZED (
+        SELECT da, db, CAST(sum(ln) AS BIGINT) AS w_tokens
+        FROM spans WHERE ln >= {_Q451_MIN} GROUP BY da, db),
+    edges AS (SELECT da AS a, db AS b FROM wedges
+              UNION SELECT db, da FROM wedges),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    cl AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members
+           FROM comp GROUP BY component),
+    eagg AS (
+        SELECT c.component, CAST(count(*) AS BIGINT) AS n_edges,
+               CAST(sum(w.w_tokens) AS BIGINT) AS total_shared_tokens,
+               CAST(min(w.w_tokens) AS BIGINT) AS weakest_edge_tokens,
+               CAST(max(w.w_tokens) AS BIGINT) AS strongest_edge_tokens
+        FROM wedges w JOIN comp c ON c.node = w.da
+        GROUP BY c.component)
+    SELECT CAST(cl.component AS BIGINT) AS cluster_id, cl.n_members,
+           e.n_edges,
+           CAST(round(1000.0 * e.n_edges
+                      / (cl.n_members * (cl.n_members - 1) / 2))
+               AS BIGINT) AS density_milli,
+           e.n_edges = cl.n_members - 1 AS is_chain,
+           e.total_shared_tokens, e.weakest_edge_tokens,
+           e.strongest_edge_tokens
+    FROM cl JOIN eagg e USING (component) ORDER BY cluster_id
+    """,
+)
+def q460_weighted_cluster_cohesion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WEIGHTED cluster cohesion — q451's governance table learns to
+    tell tight duplicate clusters from chained weak links (r13
+    verdict item #2): the same exact-run edges (shared span ≥
+    {_Q451_MIN} tokens, q444's alignment islands) now CARRY their
+    island mass as an edge weight (total shared tokens per pair), and
+    each connected component reports the numbers a collapse decision
+    reads: edge count vs possible pairs (density — 1000 = clique,
+    every member directly shares text with every other), the
+    is_chain flag (edges == members − 1: the cluster holds together
+    only transitively), and the weakest edge's token mass — a
+    100-member "cluster" chained through one 20-token boilerplate
+    link is a very different object from a 4-member clique sharing
+    80-token runs pairwise, and q451's strictest-license propagation
+    is arguably wrong for the former (the conservative reviewer
+    splits at the weak link; this table is where they'd see it).
+
+    Scale: identical to q451 (Σ occ(gram)² pair bound, CC rounds =
+    cluster diameter) plus one cluster-grain weighted rollup — the
+    weights ride the existing pair rows, nothing new shuffles at
+    corpus grain.
+    """
+    from g_etl_spark.operators import graph as G
+
+    spans = _q444_spans_with_pos(spark, sf_dir)
+    wedges = (
+        spans.where(F.col("ln") >= _Q451_MIN)
+        .groupBy("da", "db")
+        .agg(F.sum("ln").cast("long").alias("w_tokens"))
+        .localCheckpoint()
+    )
+    comp = G.connected_components(
+        wedges.select(
+            F.col("da").alias("id_a"), F.col("db").alias("id_b")
+        )
+    )
+    cl = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    eagg = (
+        wedges.join(comp, wedges["da"] == comp["node"])
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.sum("w_tokens").cast("long").alias("total_shared_tokens"),
+            F.min("w_tokens").cast("long").alias("weakest_edge_tokens"),
+            F.max("w_tokens").cast("long").alias("strongest_edge_tokens"),
+        )
+    )
+    return (
+        cl.join(eagg, "component")
+        .select(
+            F.col("component").cast("long").alias("cluster_id"),
+            "n_members",
+            "n_edges",
+            F.round(
+                1000.0
+                * F.col("n_edges")
+                / (F.col("n_members") * (F.col("n_members") - 1) / 2)
+            ).cast("long").alias("density_milli"),
+            (F.col("n_edges") == F.col("n_members") - 1).alias("is_chain"),
+            "total_shared_tokens",
+            "weakest_edge_tokens",
+            "strongest_edge_tokens",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# ---- q462: exact-substring REMOVAL pass (Lee et al.'s output) -----------
+_Q462_MIN = 50   # delete shared spans of at least this many tokens —
+#                  Lee et al. 2022's published ExactSubstr threshold
+
+
+@register(
+    "q462_exact_substring_removal",
+    oracle=f"""
+    WITH {_Q460_SPANS_SQL},
+    iv AS MATERIALIZED (
+        SELECT db AS doc_id, pmin - off AS s, pmin - off + ln - 1 AS e
+        FROM spans WHERE ln >= {_Q462_MIN}),
+    o AS (SELECT doc_id, s, e,
+          max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS pm
+          FROM iv),
+    isl AS (SELECT doc_id, s, e,
+            sum(CASE WHEN pm IS NULL OR s > pm + 1 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS UNBOUNDED PRECEDING) AS k
+            FROM o),
+    merged AS MATERIALIZED (
+        SELECT doc_id, k, min(s) AS s0, max(e) AS e0
+        FROM isl GROUP BY doc_id, k),
+    kept AS (
+        SELECT t.doc_id, u.i AS pos, t.toks[u.i] AS tok
+        FROM t, LATERAL (
+            SELECT unnest(range(1, len(toks) + 1)) AS i) u
+        WHERE NOT EXISTS (SELECT 1 FROM merged m
+                          WHERE m.doc_id = t.doc_id
+                            AND u.i BETWEEN m.s0 AND m.e0)),
+    acc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+            string_agg(tok, ' ' ORDER BY pos) AS cleaned
+            FROM kept GROUP BY doc_id),
+    rem AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_removed,
+            CAST(sum(e0 - s0 + 1) AS BIGINT) AS n_tokens_removed
+            FROM merged GROUP BY doc_id)
+    SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           coalesce(r.n_spans_removed, 0) AS n_spans_removed,
+           coalesce(r.n_tokens_removed, 0) AS n_tokens_removed,
+           coalesce(a.n_kept, 0) AS n_tokens_kept,
+           coalesce(a.n_kept, 0) + coalesce(r.n_tokens_removed, 0)
+               = len(t.toks) AS roundtrip_ok,
+           md5(coalesce(a.cleaned, '')) AS cleaned_md5
+    FROM t LEFT JOIN rem r USING (doc_id) LEFT JOIN acc a USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+)
+def q462_exact_substring_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT-SUBSTRING REMOVAL — the find→act closure of the
+    suffix-array family (r13 verdict item #5): q444 FINDS the
+    maximal cross-document runs; this pass EMITS the cleaned corpus,
+    Lee et al. 2022's actual ExactSubstr output — every shared span
+    of ≥ {_Q462_MIN} tokens is deleted from the LATER document (the
+    pair's larger doc_id; the earlier copy survives, so every span
+    keeps exactly one corpus occurrence), overlapping/adjacent
+    deletions from different partners are interval-MERGED per doc,
+    and each document is reconstructed from its surviving tokens
+    (q57's reconstruction device at token grain). The row carries
+    the audit a removal pass must ship with: tokens before /
+    removed / kept, the merged-island count, an in-band round-trip
+    check (kept + removed == before — torn reconstruction breaks
+    the hash), and the cleaned text's md5 (exact copies of earlier
+    docs come back EMPTY — md5('') — the full-delete case).
+
+    Scale: span discovery is q444's Σ occ(gram)² bucketed join; the
+    merged islands per doc are FEW (bounded by that doc's span
+    count), collected into a per-doc array and applied MAP-SIDE with
+    one filter() HOF over the token array — reconstruction never
+    shuffles at token grain, and the output is corpus-shaped (one
+    row per document), exactly what the next pipeline stage reads.
+    At 100 TB the gram key becomes a 64-bit rolling hash and hot
+    boilerplate grams get the q444 df-cap — same constants-only
+    adaptations.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("toks")
+    )
+    spans = _q444_spans_with_pos(spark, sf_dir)
+    iv = spans.where(F.col("ln") >= _Q462_MIN).select(
+        F.col("db").alias("doc_id"),
+        (F.col("pmin") - F.col("off")).alias("s"),
+        (F.col("pmin") - F.col("off") + F.col("ln") - 1).alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    pm = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = iv.withColumn(
+        "k",
+        F.sum(
+            F.when(pm.isNull() | (F.col("s") > pm + 1), 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = isl.groupBy("doc_id", "k").agg(
+        F.min("s").alias("s0"), F.max("e").alias("e0")
+    )
+    rem = merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans_removed"),
+        F.sum(F.col("e0") - F.col("s0") + 1)
+        .cast("long")
+        .alias("n_tokens_removed"),
+        F.sort_array(
+            F.collect_list(F.struct("s0", "e0"))
+        ).alias("ivs"),  # few islands per doc — bounded array
+    )
+    joined = d.join(rem, "doc_id", "left")
+    cleaned = F.when(F.col("ivs").isNull(), F.col("toks")).otherwise(
+        F.expr(
+            "filter(toks, (x, i) -> NOT exists(ivs,"
+            " v -> i + 1 >= v.s0 AND i + 1 <= v.e0))"
+        )
+    )
+    return (
+        joined.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.coalesce("n_spans_removed", F.lit(0))
+            .cast("long")
+            .alias("n_spans_removed"),
+            F.coalesce("n_tokens_removed", F.lit(0))
+            .cast("long")
+            .alias("n_tokens_removed"),
+            F.size(cleaned).cast("long").alias("n_tokens_kept"),
+            (
+                F.size(cleaned).cast("long")
+                + F.coalesce("n_tokens_removed", F.lit(0))
+                == F.size("toks").cast("long")
+            ).alias("roundtrip_ok"),
+            F.md5(F.concat_ws(" ", cleaned)).alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )

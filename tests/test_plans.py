@@ -6501,3 +6501,101 @@ def test_q459_filter_pushed_to_clustered_scan(spark, qs, tmp_path):
     txt = plan_of(back.filter(F.col("user_id").between(3, 7)))
     assert "PushedFilters" in txt
     assert "GreaterThanOrEqual(user_id,3)" in txt
+
+
+def test_q460_cohesion_consistent_with_q451(spark, qs):
+    """Same edge rule, same clusters: q460's (cluster_id, n_members)
+    must equal q451's; the cohesion columns obey their invariants
+    (edges between spanning tree and clique, density ≤ 1000, chain
+    flag ⟺ tree edge count, weakest ≤ strongest ≤ total)."""
+    coh = qs["q460_weighted_cluster_cohesion"](spark, SF_DIR).collect()
+    pol = qs["q451_cluster_policy_propagation"](spark, SF_DIR).collect()
+    assert {(r["cluster_id"], r["n_members"]) for r in coh} == {
+        (r["cluster_id"], r["n_members"]) for r in pol
+    }
+    for r in coh:
+        n, e = r["n_members"], r["n_edges"]
+        assert n - 1 <= e <= n * (n - 1) // 2
+        assert 0 < r["density_milli"] <= 1000
+        assert r["is_chain"] == (e == n - 1)
+        assert (
+            r["weakest_edge_tokens"]
+            <= r["strongest_edge_tokens"]
+            <= r["total_shared_tokens"]
+        )
+
+
+def test_q462_removal_hand_corpus(spark, qs, tmp_path):
+    """Planted removal semantics: the later doc loses every ≥50-token
+    shared span, the earlier copy survives byte-identical, an exact
+    copy empties entirely, a 49-token share stays untouched, and the
+    reconstruction round-trips. Spark and the DuckDB oracle agree."""
+    import hashlib
+
+    A = [f"a{i}" for i in range(1, 31)]
+    S = [f"s{i}" for i in range(1, 61)]       # the 60-token shared block
+    B = [f"b{i}" for i in range(1, 11)]
+    C = [f"c{i}" for i in range(1, 6)]
+    D = [f"d{i}" for i in range(1, 16)]
+    E = [f"e{i}" for i in range(1, 11)]
+    Fx = [f"f{i}" for i in range(1, 11)]
+    docs = [
+        (0, " ".join(A + S + B)),             # earlier: survives whole
+        (1, " ".join(C + S + D)),             # later: S deleted
+        (2, " ".join(A + S + B)),             # exact copy: fully deleted
+        (3, " ".join(E + S[:49] + Fx)),       # 49 tokens: below threshold
+    ]
+    ddir = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [(i, t, "hand", 0) for i, t in docs],
+        "doc_id long, text string, source string, lang_hint long",
+    ).coalesce(1).write.parquet(ddir)
+
+    def m(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_spans_removed"], r["n_tokens_removed"],
+            r["n_tokens_kept"], r["roundtrip_ok"], r["cleaned_md5"],
+        )
+        for r in qs["q462_exact_substring_removal"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    want = {
+        0: (100, 0, 0, 100, True, m(docs[0][1])),
+        1: (80, 1, 60, 20, True, m(" ".join(C + D))),
+        2: (100, 1, 100, 0, True, m("")),
+        3: (69, 0, 0, 69, True, m(docs[3][1])),
+    }
+    assert got == want
+    duck = {
+        r[0]: (r[1], r[2], r[3], r[4], r[5], r[6])
+        for r in _duck_oracle_rows(
+            "q462_exact_substring_removal",
+            str(tmp_path),
+            {"documents": ddir},
+        )
+    }
+    assert duck == want
+
+
+def test_q462_only_later_docs_lose_spans(spark, qs):
+    """On the real corpus: every doc that lost tokens is the LATER
+    side of a q444 pair whose longest span ≥ 50; surviving-token
+    accounting reconciles in every row."""
+    rows = qs["q462_exact_substring_removal"](spark, SF_DIR).collect()
+    removed = {r["doc_id"] for r in rows if r["n_spans_removed"] > 0}
+    assert removed, "fixture corpus must contain ≥50-token shares"
+    later = {
+        r["doc_b"]
+        for r in qs["q444_maximal_shared_substrings"](
+            spark, SF_DIR
+        ).collect()
+        if r["longest_span"] >= 50
+    }
+    assert removed <= later
+    for r in rows:
+        assert r["roundtrip_ok"]
+        assert r["n_tokens_kept"] + r["n_tokens_removed"] == r["n_tokens"]
