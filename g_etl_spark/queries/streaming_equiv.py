@@ -2417,3 +2417,262 @@ def q458_watermark_delay_frontier(
         )
         .orderBy("delay_ms")
     )
+
+
+# ---- q461: watermark-delay frontier under the MAX policy -----------------
+@register(
+    "q461_watermark_frontier_max_policy",
+    oracle=f"""
+    WITH ev AS MATERIALIZED (
+        SELECT event_id, event_type AS source, epoch_us(ts) AS ts_us,
+               CASE WHEN event_type = 'click'
+                    THEN epoch_us(ts) + (event_id % 89) * {_FANIN_JIT_A_US}
+                    ELSE epoch_us(ts) + (event_id % 797) * {_FANIN_JIT_B_US}
+               END AS ak
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    chunked AS MATERIALIZED (
+        SELECT event_id, source, ts_us,
+               ntile({_FANIN_CHUNKS}) OVER (PARTITION BY source
+                                            ORDER BY ak, event_id) AS k
+        FROM ev
+    ),
+    per AS MATERIALIZED (
+        SELECT source, k, max(ts_us) AS mx
+        FROM chunked GROUP BY source, k
+    ),
+    cmx AS MATERIALIZED (
+        SELECT source, k,
+               max(mx) OVER (PARTITION BY source ORDER BY k
+                             ROWS UNBOUNDED PRECEDING) // 1000 AS cm_ms
+        FROM per
+    ),
+    grid AS (SELECT unnest({list(_Q458_GRID_MS)}) AS delay_ms),
+    gwm AS MATERIALIZED (
+        -- MAX policy per candidate delay: the global watermark tracks
+        -- the FASTEST source node (q439's conf), so the laggy
+        -- purchase bound binds only while its watermark EXCEEDS the
+        -- click one
+        SELECT g.delay_ms, c.k,
+               max(c.cm_ms - CASE WHEN c.source = 'click'
+                                  THEN {_TRAJ_DELAY_A_MS}
+                                  ELSE g.delay_ms END) AS wm_ms
+        FROM cmx c CROSS JOIN grid g
+        GROUP BY g.delay_ms, c.k
+    ),
+    judged AS MATERIALIZED (
+        SELECT g.delay_ms, c.source, c.k,
+               c.ts_us - c.ts_us % {_FANIN_WIN_US} AS win_start_us,
+               (gw.wm_ms IS NOT NULL
+                AND (c.ts_us - c.ts_us % {_FANIN_WIN_US})
+                    + {_FANIN_WIN_US} <= gw.wm_ms * 1000) AS dropped
+        FROM chunked c
+        CROSS JOIN grid g
+        LEFT JOIN gwm gw ON gw.delay_ms = g.delay_ms AND gw.k = c.k - 1
+    ),
+    winlife AS MATERIALIZED (
+        SELECT w.delay_ms, w.source, w.win_start_us, w.first_k,
+               (SELECT min(g2.k) FROM gwm g2
+                WHERE g2.delay_ms = w.delay_ms
+                  AND w.win_start_us + {_FANIN_WIN_US}
+                      <= g2.wm_ms * 1000) AS flush_k
+        FROM (SELECT delay_ms, source, win_start_us, min(k) AS first_k
+              FROM judged WHERE NOT dropped
+              GROUP BY delay_ms, source, win_start_us) w
+    ),
+    cap AS MATERIALIZED (
+        SELECT wl.delay_ms, r.k,
+               CAST(count(*) FILTER (
+                   wl.first_k <= r.k
+                   AND (wl.flush_k IS NULL OR wl.flush_k > r.k))
+                   AS BIGINT) AS open_w
+        FROM winlife wl,
+             (SELECT unnest(range(1, {_FANIN_CHUNKS} + 1)) AS k) r
+        GROUP BY wl.delay_ms, r.k
+    ),
+    peak AS (
+        SELECT delay_ms, CAST(mx AS BIGINT) AS peak_open,
+               CAST(min(k) AS BIGINT) AS peak_restart
+        FROM (SELECT delay_ms, k, open_w,
+                     max(open_w) OVER (PARTITION BY delay_ms) AS mx
+              FROM cap)
+        WHERE open_w = mx
+        GROUP BY delay_ms, mx
+    ),
+    drops AS (
+        SELECT delay_ms,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped
+        FROM judged GROUP BY delay_ms
+    ),
+    fin AS (
+        SELECT delay_ms, CAST(wm_ms AS BIGINT) AS final_wm_ms
+        FROM gwm WHERE k = {_FANIN_CHUNKS}
+    )
+    SELECT CAST(d.delay_ms AS BIGINT) AS delay_ms,
+           p.peak_open AS peak_open_windows, p.peak_restart,
+           CAST(p.peak_open * {_Q446_BYTES_PER_KEY} AS BIGINT)
+               AS est_peak_state_bytes,
+           d.n_rows, d.n_dropped,
+           CAST(round(1000.0 * d.n_dropped / d.n_rows) AS BIGINT)
+               AS drop_milli,
+           f.final_wm_ms
+    FROM drops d JOIN peak p USING (delay_ms) JOIN fin f USING (delay_ms)
+    ORDER BY delay_ms
+    """,
+)
+def q461_watermark_frontier_max_policy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WATERMARK-DELAY frontier under the MAX multipleWatermarkPolicy
+    — q458's policy twin (r13 verdict item #3, q439's trajectory as
+    a sweep): the same 1h→24h purchase-delay grid, but the global
+    watermark is the MAX over source watermarks (the engine conf
+    q439 gates), so the laggy source's bound binds only while its
+    watermark EXCEEDS the click one. The trade INVERTS at the
+    crossover: under min (q458) a longer purchase delay buys
+    completeness and pays state; under max, SHORTENING the purchase
+    delay past the crossover changes nothing (click binds — the
+    frontier rows go flat, final_wm_ms pinned to the click
+    watermark), while lengthening it past the crossover re-binds the
+    laggy source and starts dropping MORE click-side rows — the
+    multi-source sizing decision reads BOTH frontiers side by side:
+    q458 prices the min policy's state, this table shows where max
+    stops being the cheap-state option and starts being the
+    data-loss option. Per delay the row also carries the final
+    committed watermark (final_wm_ms) — the quantity q439's real
+    engine restarts commit, which the consistency test pins.
+
+    Scale: identical to q458 — per-source cummax once,
+    |grid|×|chunks| map fan-out, window lifetimes at
+    (delay × timeline-window) grain; the policy changes ONE
+    aggregate (min → max over source watermarks), never when it's
+    applied (q439's semantic pin, now sweep-wide).
+    """
+    events = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    chunked = _fanin_chunked(events).select(
+        F.col("event_type").alias("source"),
+        F.unix_micros("ts").alias("ts_us"),
+        "k",
+    )
+    per = chunked.groupBy("source", "k").agg(F.max("ts_us").alias("mx"))
+    wsrc = Window.partitionBy("source").orderBy("k").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cmx = per.select(
+        "source", "k",
+        F.expr("max(mx)").over(wsrc).alias("cmx_us"),
+    ).select("source", "k", F.expr("cmx_us div 1000").alias("cm_ms"))
+    grid = spark.createDataFrame(
+        [(int(x),) for x in _Q458_GRID_MS], "delay_ms long"
+    )
+    gwm = (
+        cmx.crossJoin(F.broadcast(grid))
+        .select(
+            "delay_ms",
+            "k",
+            (
+                F.col("cm_ms")
+                - F.when(
+                    F.col("source") == "click", F.lit(_TRAJ_DELAY_A_MS)
+                ).otherwise(F.col("delay_ms"))
+            ).alias("wm_src"),
+        )
+        .groupBy("delay_ms", "k")
+        .agg(F.max("wm_src").alias("wm_ms"))
+    )
+    gwm = gwm.localCheckpoint(eager=True)  # |grid|×|chunks| rows
+    gprev = gwm.select(
+        "delay_ms", (F.col("k") + 1).alias("k"),
+        F.col("wm_ms").alias("wm_prev_ms"),
+    )
+    win_us = F.lit(_FANIN_WIN_US)
+    judged = (
+        chunked.crossJoin(F.broadcast(grid))
+        .join(F.broadcast(gprev), ["delay_ms", "k"], "left")
+        .select(
+            "delay_ms",
+            "source",
+            "k",
+            (F.col("ts_us") - F.col("ts_us") % win_us).alias(
+                "win_start_us"
+            ),
+            (
+                F.col("wm_prev_ms").isNotNull()
+                & (
+                    F.col("ts_us") - F.col("ts_us") % win_us + win_us
+                    <= F.col("wm_prev_ms") * 1000
+                )
+            ).alias("dropped"),
+        )
+    )
+    firstk = (
+        judged.where(~F.col("dropped"))
+        .groupBy("delay_ms", "source", "win_start_us")
+        .agg(F.min("k").alias("first_k"))
+    )
+    flush = (
+        firstk.join(
+            F.broadcast(gwm.select("delay_ms", "k", "wm_ms")),
+            "delay_ms",
+        )
+        .where(F.col("win_start_us") + win_us <= F.col("wm_ms") * 1000)
+        .groupBy("delay_ms", "source", "win_start_us")
+        .agg(F.min("k").alias("flush_k"))
+    )
+    winlife = firstk.join(
+        flush, ["delay_ms", "source", "win_start_us"], "left"
+    )
+    restarts = spark.range(1, _FANIN_CHUNKS + 1).select(
+        F.col("id").alias("rk")
+    )
+    cap = (
+        winlife.crossJoin(F.broadcast(restarts))
+        .where(
+            (F.col("first_k") <= F.col("rk"))
+            & (F.col("flush_k").isNull() | (F.col("flush_k") > F.col("rk")))
+        )
+        .groupBy("delay_ms", "rk")
+        .agg(F.count(F.lit(1)).cast("long").alias("open_w"))
+    )
+    wmax = Window.partitionBy("delay_ms")
+    peak = (
+        cap.withColumn("mx", F.max("open_w").over(wmax))
+        .where(F.col("open_w") == F.col("mx"))
+        .groupBy("delay_ms")
+        .agg(
+            F.first("mx").cast("long").alias("peak_open"),
+            F.min("rk").cast("long").alias("peak_restart"),
+        )
+    )
+    drops = judged.groupBy("delay_ms").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("dropped"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+    fin = gwm.where(F.col("k") == _FANIN_CHUNKS).select(
+        "delay_ms", F.col("wm_ms").cast("long").alias("final_wm_ms")
+    )
+    return (
+        drops.join(peak, "delay_ms")
+        .join(F.broadcast(fin), "delay_ms")
+        .select(
+            "delay_ms",
+            F.col("peak_open").alias("peak_open_windows"),
+            "peak_restart",
+            (F.col("peak_open") * _Q446_BYTES_PER_KEY)
+            .cast("long")
+            .alias("est_peak_state_bytes"),
+            "n_rows",
+            "n_dropped",
+            F.round(1000.0 * F.col("n_dropped") / F.col("n_rows"))
+            .cast("long")
+            .alias("drop_milli"),
+            "final_wm_ms",
+        )
+        .orderBy("delay_ms")
+    )

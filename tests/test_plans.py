@@ -6599,3 +6599,58 @@ def test_q462_only_later_docs_lose_spans(spark, qs):
     for r in rows:
         assert r["roundtrip_ok"]
         assert r["n_tokens_kept"] + r["n_tokens_removed"] == r["n_tokens"]
+
+
+def test_q461_max_policy_frontier_inverts(spark, qs):
+    """Policy dominance per delay on identical inputs: max's global
+    watermark ≥ min's, so at EVERY candidate delay the max frontier
+    drops at least as many rows and holds at most as much state as
+    q458's min frontier; under max the drop count IMPROVES
+    (non-increases) as the purchase delay grows, and the final
+    watermark goes FLAT past the crossover where the click source
+    binds — the inversion the side-by-side read is for. The shipped
+    12 h row's final watermark must agree with what q439's REAL
+    engine restarts committed (same policy, same corpus)."""
+    fr = {
+        r["delay_ms"]: r
+        for r in qs["q461_watermark_frontier_max_policy"](
+            spark, SF_DIR
+        ).collect()
+    }
+    mn = {
+        r["delay_ms"]: r
+        for r in qs["q458_watermark_delay_frontier"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(fr) == set(mn)
+    for d in fr:
+        assert fr[d]["n_dropped"] >= mn[d]["n_dropped"]
+        assert fr[d]["peak_open_windows"] <= mn[d]["peak_open_windows"]
+    assert any(
+        fr[d]["n_dropped"] > mn[d]["n_dropped"] for d in fr
+    ), "max policy must actually cost completeness somewhere"
+    delays = sorted(fr)
+    drops = [fr[d]["n_dropped"] for d in delays]
+    wms = [fr[d]["final_wm_ms"] for d in delays]
+    assert drops == sorted(drops, reverse=True), (
+        "under max, longer purchase delay cannot drop MORE rows"
+    )
+    assert wms == sorted(wms, reverse=True)
+    assert wms[-1] == wms[-2], (
+        "crossover not reached: click should bind the tail of the grid"
+    )
+    for r in fr.values():
+        assert r["est_peak_state_bytes"] == r["peak_open_windows"] * 144
+
+    # engine consistency: q439 runs the REAL max-policy restarts at
+    # the shipped 12 h purchase bound; its committed watermarks are
+    # the simulation's gwm trajectory at delay_ms = 43_200_000
+    rows439 = qs["q439_stream_watermark_max_policy"](
+        spark, SF_DIR
+    ).collect()
+    committed = [r["wm_committed_us"] for r in rows439]
+    final_us = fr[43_200_000]["final_wm_ms"] * 1000
+    assert final_us >= max(committed)
+    if any(r["emitted_at_restart"] == 4 for r in rows439):
+        assert final_us == max(committed)
