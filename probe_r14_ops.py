@@ -1,0 +1,94 @@
+"""Round-14 scale probes: the new operators at ×N replicated inputs,
+wall-clock recorded in SCALE_NOTES.md. Run: python probe_r14_ops.py [factor]
+
+Same protocol as probe_r13_ops: stage a REPLICATED sf-dir on disk
+(rep-salted so replicas aren't byte-duplicates) and run the
+REGISTERED query functions unchanged.
+
+Probed (the round's scale-sensitive additions):
+- q459 zorder executed    3 rank sorts + envelope pricing + 16-file
+                          clustered rewrite + 3 engine-metric probes
+- q460 weighted cohesion  q444 gram join + CC + weighted rollup
+- q461 max-policy frontier |grid|x|chunks| sweep (q458's twin)
+- q462 substring removal  q444 gram join + interval merge + HOF rebuild
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F
+
+from g_etl_spark.session import get_spark
+from g_etl_spark.tables import load
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 25
+
+PROBES = [
+    ("q459_zorder_layout_executed", ["events"]),
+    ("q460_weighted_cluster_cohesion", ["documents"]),
+    ("q461_watermark_frontier_max_policy", ["events"]),
+    ("q462_exact_substring_removal", ["documents"]),
+]
+
+
+def stage(spark, tmp: str) -> None:
+    reps = spark.range(FACTOR).select(F.col("id").alias("rep"))
+    d = load(spark, SF_DIR, "documents")
+    (
+        d.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+        .write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    )
+    ev = load(spark, SF_DIR, "events")
+    (
+        ev.crossJoin(reps)
+        .select(
+            (F.col("event_id") + F.col("rep") * 100_000_000).alias(
+                "event_id"
+            ),
+            "ts",
+            (F.col("user_id") + F.col("rep") * 10_000).alias("user_id"),
+            "event_type",
+            (F.col("value") + F.col("rep") * 0.001).alias("value"),
+            "props",
+        )
+        .write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    )
+
+
+def main() -> None:
+    from g_etl_spark.queries import queries as load_queries
+
+    spark = get_spark("probe_r14")
+    qs = load_queries()
+    tmp = tempfile.mkdtemp(prefix="g_etl_probe_r14_")
+    try:
+        t0 = time.time()
+        stage(spark, tmp)
+        print(f"staged x{FACTOR} tables in {time.time() - t0:.1f}s",
+              flush=True)
+        for name, tables in PROBES:
+            t0 = time.time()
+            rows = qs[name](spark, tmp).collect()
+            print(
+                f"{name} x{FACTOR}: {len(rows)} rows "
+                f"in {time.time() - t0:.2f}s",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
