@@ -6654,3 +6654,27 @@ def test_q461_max_policy_frontier_inverts(spark, qs):
     assert final_us >= max(committed)
     if any(r["emitted_at_restart"] == 4 for r in rows439):
         assert final_us == max(committed)
+
+
+def test_q463_range_split_is_exact(spark, qs):
+    """The Morton decomposition must be EXACT: disjoint sorted
+    ranges, per-range counts summing to the box count (split
+    amplification pinned at 1000 milli), and the single-range
+    numbers reproducing q299's measured amplification."""
+    rows = qs["q463_morton_range_split_serving"](spark, SF_DIR).collect()
+    assert len(rows) == rows[0]["n_ranges"] == 144
+    prev_hi = -1
+    for r in sorted(rows, key=lambda r: r["morton_lo"]):
+        assert r["morton_lo"] > prev_hi, "ranges overlap or touch unmerged"
+        assert r["morton_lo"] <= r["morton_hi"]
+        prev_hi = r["morton_hi"]
+    tot = sum(r["n_points"] for r in rows)
+    assert tot == rows[0]["n_points_box"]
+    assert rows[0]["amplification_split_milli"] == 1000
+    assert (
+        rows[0]["amplification_single_milli"]
+        >= rows[0]["amplification_split_milli"]
+    )
+    q299 = qs["q299_zorder_scan_amplification"](spark, SF_DIR).collect()[0]
+    assert rows[0]["n_points_box"] == q299["n_points_box"]
+    assert rows[0]["n_points_single_range"] == q299["n_points_zrange"]
