@@ -1520,3 +1520,168 @@ def q430_ffd_packing_comparison(
         )
         .orderBy("source")
     )
+
+
+# ---- q464: DoReMi-style domain reweighting (one MW step) -----------------
+_Q464_ETA = 50   # linearized-MW step size per micro-nat of excess loss
+
+
+@register(
+    "q464_doremi_domain_reweight",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+        SELECT source, w FROM (
+            SELECT source,
+                   unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+            FROM documents) WHERE w <> ''
+    ),
+    wc AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w),
+    tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM wc),
+    cost AS MATERIALIZED (
+        SELECT w, cnt,
+               CAST(round(1000000 * ln(CAST(tt.t AS DOUBLE) / cnt))
+                   AS BIGINT) AS c
+        FROM wc, tt
+    ),
+    swc AS MATERIALIZED (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS scnt
+        FROM tok GROUP BY source, w
+    ),
+    dom AS MATERIALIZED (
+        SELECT s.source, CAST(sum(s.scnt) AS BIGINT) AS n_tokens,
+               CAST(round(CAST(sum(s.scnt * c.c) AS DOUBLE)
+                          / sum(s.scnt)) AS BIGINT) AS ce_micro
+        FROM swc s JOIN cost c USING (w) GROUP BY s.source
+    ),
+    gl AS (
+        SELECT CAST(round(CAST(sum(cnt * c) AS DOUBLE) / sum(cnt))
+                   AS BIGINT) AS ce_global_micro,
+               CAST(sum(cnt) AS BIGINT) AS t
+        FROM cost
+    ),
+    step AS (
+        SELECT d.source, d.n_tokens, d.ce_micro, g.ce_global_micro,
+               CAST(greatest(d.ce_micro - g.ce_global_micro, 0)
+                   AS BIGINT) AS excess_micro,
+               CAST(round(1000000.0 * d.n_tokens / g.t) AS BIGINT)
+                   AS w0_micro,
+               CAST(round(1000000.0 * d.n_tokens / g.t) AS BIGINT)
+                   * (1000000 + greatest(d.ce_micro - g.ce_global_micro, 0)
+                      * {_Q464_ETA}) AS w1raw
+        FROM dom d, gl g
+    ),
+    norm AS (SELECT CAST(sum(w1raw) AS BIGINT) AS sw FROM step)
+    SELECT s.source, s.n_tokens, s.w0_micro, s.ce_micro,
+           s.ce_global_micro, s.excess_micro,
+           CAST(round(1000000.0 * s.w1raw / n.sw) AS BIGINT) AS w1_micro,
+           CAST(round(1000000.0 * s.w1raw / n.sw) AS BIGINT) > s.w0_micro
+               AS upweighted
+    FROM step s, norm n ORDER BY s.source
+    """,
+)
+def q464_doremi_domain_reweight(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DOREMI-STYLE domain reweighting, one multiplicative-weights
+    step (Xie et al. 2023's loop body, the data-mixing decision the
+    mixture family executes): per-domain (source) excess loss —
+    average unigram cross-entropy under the GLOBAL corpus model
+    (q424's exact micro-nat cost device) minus the corpus-wide
+    average, floored at 0 — drives the linearized exponentiated-
+    gradient update w₁ ∝ w₀·(1 + η·excess), normalized back to a
+    distribution. Domains whose text the shared model finds HARD get
+    upweighted, the DoReMi signal, computed here with pure integer
+    arithmetic (exact token counts, micro-nat ln costs, one final
+    double division of exact bigints) so both engines agree
+    bit-for-bit — the linearized update replaces exp(η·excess)
+    precisely to stay inside the cross-engine-exact envelope; at
+    small η they differ at O(η²·excess²), far below a micro.
+
+    Scale: one corpus pass to token grain, then everything is
+    vocab-grain (global counts), (source × vocab)-grain (domain
+    counts — the join is vocab-keyed, NOT broadcast: vocab is
+    corpus-grain), and |sources|-grain. The DoReMi outer loop at
+    100 TB re-runs exactly this plan per round with the proxy
+    model's losses swapped in for the unigram costs — the update
+    arithmetic and the rollup grains are unchanged.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    wc = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tt = wc.agg(F.sum("cnt").cast("long").alias("t"))
+    cost = wc.crossJoin(F.broadcast(tt)).select(
+        "w",
+        "cnt",
+        F.expr(
+            "CAST(round(1000000 * ln(CAST(t AS DOUBLE) / cnt)) AS BIGINT)"
+        ).alias("c"),
+    )
+    swc = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("scnt")
+    )
+    dom = (
+        swc.join(cost.select("w", "c"), "w")
+        .groupBy("source")
+        .agg(
+            F.sum("scnt").cast("long").alias("n_tokens"),
+            F.expr(
+                "CAST(round(CAST(sum(scnt * c) AS DOUBLE) / sum(scnt))"
+                " AS BIGINT)"
+            ).alias("ce_micro"),
+        )
+    )
+    gl = cost.agg(
+        F.expr(
+            "CAST(round(CAST(sum(cnt * c) AS DOUBLE) / sum(cnt)) AS BIGINT)"
+        ).alias("ce_global_micro"),
+        F.sum("cnt").cast("long").alias("t"),
+    )
+    step = dom.crossJoin(F.broadcast(gl)).select(
+        "source",
+        "n_tokens",
+        "ce_micro",
+        "ce_global_micro",
+        F.greatest(
+            F.col("ce_micro") - F.col("ce_global_micro"), F.lit(0)
+        ).cast("long").alias("excess_micro"),
+        F.expr(
+            "CAST(round(1000000.0 * n_tokens / t) AS BIGINT)"
+        ).alias("w0_micro"),
+        (
+            F.expr("CAST(round(1000000.0 * n_tokens / t) AS BIGINT)")
+            * (
+                F.lit(1000000)
+                + F.greatest(
+                    F.col("ce_micro") - F.col("ce_global_micro"), F.lit(0)
+                )
+                * _Q464_ETA
+            )
+        ).alias("w1raw"),
+    )
+    norm = step.agg(F.sum("w1raw").cast("long").alias("sw"))
+    return (
+        step.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_tokens",
+            "w0_micro",
+            "ce_micro",
+            "ce_global_micro",
+            "excess_micro",
+            F.expr(
+                "CAST(round(1000000.0 * w1raw / sw) AS BIGINT)"
+            ).alias("w1_micro"),
+            (
+                F.expr("CAST(round(1000000.0 * w1raw / sw) AS BIGINT)")
+                > F.col("w0_micro")
+            ).alias("upweighted"),
+        )
+        .orderBy("source")
+    )

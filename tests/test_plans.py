@@ -6678,3 +6678,29 @@ def test_q463_range_split_is_exact(spark, qs):
     q299 = qs["q299_zorder_scan_amplification"](spark, SF_DIR).collect()[0]
     assert rows[0]["n_points_box"] == q299["n_points_box"]
     assert rows[0]["n_points_single_range"] == q299["n_points_zrange"]
+
+
+def test_q464_mw_step_properties(spark, qs):
+    """The MW update is a distribution step: w0 and w1 both sum to
+    1e6 within per-source rounding; zero-excess domains can only be
+    DOWN-weighted (their factor is the minimum), the max-excess
+    domain is upweighted; the global CE sits inside the per-domain
+    CE envelope."""
+    rows = qs["q464_doremi_domain_reweight"](spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    n = len(rows)
+    assert abs(sum(r["w0_micro"] for r in rows) - 1_000_000) <= n
+    assert abs(sum(r["w1_micro"] for r in rows) - 1_000_000) <= n
+    assert any(r["excess_micro"] > 0 for r in rows)
+    for r in rows:
+        if r["excess_micro"] == 0:
+            assert not r["upweighted"]
+        else:
+            assert (
+                r["excess_micro"]
+                == r["ce_micro"] - r["ce_global_micro"]
+            )
+    top = max(rows, key=lambda r: r["excess_micro"])
+    assert top["upweighted"]
+    ces = [r["ce_micro"] for r in rows]
+    assert min(ces) <= rows[0]["ce_global_micro"] <= max(ces)
