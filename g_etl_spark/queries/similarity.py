@@ -3470,3 +3470,120 @@ def q411_uncertainty_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("margin", "vec_id")
         .limit(15)
     )
+
+
+# ---- q465: simplified silhouette of the centroid clustering --------------
+@register(
+    "q465_cluster_silhouette",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id AS cid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT e.vec_id, c.cid,
+               round(list_aggregate(list_transform(range(1, 65),
+                                                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]),
+                                    'sum')
+                     / (sqrt(list_aggregate(list_transform(e.embedding,
+                                                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                            'sum'))
+                        * sqrt(list_aggregate(list_transform(c.cv, x -> x * x), 'sum'))),
+                     3) AS cosine
+        FROM embeddings e, c
+    ),
+    best AS (
+        SELECT vec_id, cid, cosine,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cosine DESC, cid) AS rn
+        FROM scored
+    ),
+    sil AS (
+        SELECT b1.vec_id, b1.cid AS cluster_id,
+               CAST(round(1000.0
+                          * (CAST(round(b1.cosine * 1000) AS BIGINT)
+                             - CAST(round(b2.cosine * 1000) AS BIGINT))
+                          / greatest(1000 - CAST(round(b2.cosine * 1000)
+                                                AS BIGINT), 1))
+                   AS BIGINT) AS s_milli
+        FROM best b1 JOIN best b2
+          ON b1.vec_id = b2.vec_id AND b1.rn = 1 AND b2.rn = 2
+    )
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(round(avg(s_milli)) AS BIGINT) AS mean_sil_milli,
+           CAST(min(s_milli) AS BIGINT) AS min_sil_milli,
+           CAST(max(s_milli) AS BIGINT) AS max_sil_milli,
+           CAST(count(*) FILTER (s_milli < 100) AS BIGINT) AS n_boundary
+    FROM sil GROUP BY cluster_id ORDER BY cluster_id
+    """,
+)
+def q465_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPLIFIED SILHOUETTE of the centroid clustering — the cluster-
+    quality gauge the SemDeDup/IVF family (q97/q108/q162) ships
+    without: per vector, a = cosine distance to its OWN (nearest)
+    centroid and b = distance to the nearest OTHER centroid, s =
+    (b − a)/max(a, b) ∈ [0, 1] under argmax assignment (full-corpus
+    pairwise silhouette is O(n²); the centroid form is the standard
+    O(nk) approximation, and for IVF it is EXACTLY the quantity that
+    prices multi-probe: a boundary point — s near 0 — is the point
+    whose neighbors live in the second-nearest list, q367's recall
+    argument made per-point). Cosines are 3dp-rounded (q97's
+    contract), so a and b are exact milli integers and the silhouette
+    is pure integer arithmetic — bit-identical across engines. Per
+    cluster: member count, mean/min/max silhouette, and the boundary
+    count (s < 0.1) — the rows that tell a curator which clusters are
+    real and which are centroid artifacts.
+
+    Scale: the scaffold is q97's broadcast-centroid scan (k=8
+    centroid rows fan out, norms staged once); best + runner-up come
+    from ONE bounded per-key sort of k structs (sort_array of the
+    collect_list — no corpus-wide window); the rollup is
+    |clusters|-grain.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cents, vecs, dot = _staged_centroid_relations(e)
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        F.round(dot / (F.col("e_norm") * F.col("c_norm")), 3).alias("cosine"),
+    )
+    top2 = scored.groupBy("vec_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("cosine"), (-F.col("cid")).alias("neg_cid"))
+            )
+        ).alias("arr")
+    ).select(
+        "vec_id",
+        (-F.element_at("arr", -1).getField("neg_cid")).alias("cluster_id"),
+        F.round(F.element_at("arr", -1).getField("cosine") * 1000)
+        .cast("long")
+        .alias("c1m"),
+        F.round(F.element_at("arr", -2).getField("cosine") * 1000)
+        .cast("long")
+        .alias("c2m"),
+    )
+    sil = top2.select(
+        "vec_id",
+        "cluster_id",
+        F.round(
+            1000.0
+            * (F.col("c1m") - F.col("c2m"))
+            / F.greatest(F.lit(1000) - F.col("c2m"), F.lit(1))
+        ).cast("long").alias("s_milli"),
+    )
+    return (
+        sil.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.round(F.avg("s_milli")).cast("long").alias("mean_sil_milli"),
+            F.min("s_milli").cast("long").alias("min_sil_milli"),
+            F.max("s_milli").cast("long").alias("max_sil_milli"),
+            F.sum(F.when(F.col("s_milli") < 100, 1).otherwise(0))
+            .cast("long")
+            .alias("n_boundary"),
+        )
+        .orderBy("cluster_id")
+    )

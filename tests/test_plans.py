@@ -6704,3 +6704,22 @@ def test_q464_mw_step_properties(spark, qs):
     assert top["upweighted"]
     ces = [r["ce_micro"] for r in rows]
     assert min(ces) <= rows[0]["ce_global_micro"] <= max(ces)
+
+
+def test_q465_silhouette_consistent_with_q97(spark, qs):
+    """Same assignment, same clusters: member counts match q97's;
+    silhouettes are in [0, 1000] (argmax assignment makes b ≥ a);
+    boundary counts never exceed members; the mean sits inside the
+    min/max envelope."""
+    sil = {
+        r["cluster_id"]: r
+        for r in qs["q465_cluster_silhouette"](spark, SF_DIR).collect()
+    }
+    q97 = {
+        r["cluster_id"]: r["n_members"]
+        for r in qs["q97_semantic_cluster_assign"](spark, SF_DIR).collect()
+    }
+    assert {c: r["n_members"] for c, r in sil.items()} == q97
+    for r in sil.values():
+        assert 0 <= r["min_sil_milli"] <= r["mean_sil_milli"] <= r["max_sil_milli"] <= 1000
+        assert 0 <= r["n_boundary"] <= r["n_members"]
