@@ -1685,3 +1685,172 @@ def q464_doremi_domain_reweight(
         )
         .orderBy("source")
     )
+
+
+# ---- q466: context-length packing frontier ------------------------------
+_Q466_GRID = (256, 512, 1024, 2048, 4096)
+
+
+@register(
+    "q466_context_length_frontier",
+    oracle=f"""
+    WITH RECURSIVE grid(ctx) AS (
+        VALUES {", ".join(f"({c})" for c in _Q466_GRID)}
+    ),
+    docs AS (
+        SELECT doc_id, doc_id // {_PACK_SHARD} AS shard,
+               coalesce(len(string_split_regex(lower(trim(text)),
+                                               '\\s+')), 0) AS len_raw,
+               row_number() OVER (PARTITION BY doc_id // {_PACK_SHARD}
+                                  ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    shards AS (SELECT DISTINCT shard FROM docs),
+    rec AS (
+        SELECT s.shard, g.ctx, 0 AS r, CAST(0 AS BIGINT) AS bins,
+               CAST(g.ctx + 1 AS BIGINT) AS load
+        FROM shards s CROSS JOIN grid g
+        UNION ALL
+        SELECT rec.shard, rec.ctx, rec.r + 1,
+               CASE WHEN rec.load + least(d.len_raw, rec.ctx) > rec.ctx
+                    THEN rec.bins + 1 ELSE rec.bins END,
+               CASE WHEN rec.load + least(d.len_raw, rec.ctx) > rec.ctx
+                    THEN least(d.len_raw, rec.ctx)
+                    ELSE rec.load + least(d.len_raw, rec.ctx) END
+        FROM rec JOIN docs d
+          ON d.shard = rec.shard AND d.rn = rec.r + 1
+    ),
+    final AS (
+        SELECT shard, ctx, bins FROM (
+            SELECT shard, ctx, bins,
+                   row_number() OVER (PARTITION BY shard, ctx
+                                      ORDER BY r DESC) AS pick
+            FROM rec
+        ) WHERE pick = 1
+    ),
+    stats AS (
+        SELECT g.ctx,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(least(d.len_raw, g.ctx)) AS BIGINT) AS toks,
+               CAST(sum(CASE WHEN d.len_raw > g.ctx THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_truncated,
+               CAST(sum(greatest(d.len_raw - g.ctx, 0)) AS BIGINT)
+                   AS tokens_truncated
+        FROM docs d CROSS JOIN grid g GROUP BY g.ctx
+    ),
+    packed AS (
+        SELECT ctx, CAST(sum(bins) AS BIGINT) AS n_bins
+        FROM final GROUP BY ctx
+    )
+    SELECT CAST(s.ctx AS BIGINT) AS ctx_len, s.n_docs, s.n_truncated,
+           s.tokens_truncated, p.n_bins,
+           s.toks AS total_tokens,
+           CAST(p.n_bins * s.ctx - s.toks AS BIGINT) AS waste_tokens,
+           round(100.0 * s.toks / (p.n_bins * s.ctx), 2) AS util_pct,
+           round(100.0 * s.toks / (s.n_docs * s.ctx), 2)
+               AS naive_util_pct
+    FROM stats s JOIN packed p USING (ctx)
+    ORDER BY ctx_len
+    """,
+)
+def q466_context_length_frontier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONTEXT-LENGTH packing frontier — the sizing sweep BEFORE
+    q427's audit fixes L: the same order-preserving greedy NO-SPLIT
+    packing fold run at every candidate context length
+    {_Q466_GRID}, emitting per L the two costs a context-window
+    decision trades: TRUNCATION (docs longer than L lose their tail
+    — count and token mass, the information loss) vs PADDING
+    (bins × L − packed tokens, the compute loss), plus the packed
+    utilization against the one-doc-per-context naive bound. Small
+    L packs tight but beheads long documents; large L keeps them
+    whole but pads — this table is the whole decision as
+    measurements (the q458 frontier discipline applied to the data
+    loader).
+
+    Scale: ONE corpus pass projects (shard, token count) — the text
+    never reaches Python; each Arrow group (≤{_PACK_SHARD} docs)
+    folds ALL {len(_Q466_GRID)} candidate lengths in one pass
+    (state = two integers per L); the rollup is |grid| rows. The
+    oracle replays the identical fold as one recursive CTE with L
+    carried in the recursion state.
+    """
+    import pandas as pd
+
+    from g_etl_spark.operators import text as T
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"doc_id div {_PACK_SHARD}").alias("shard"),
+        F.coalesce(F.size(T.tokens(F.col("text"))), F.lit(0)).alias(
+            "len_raw"
+        ),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        out = []
+        for ctx in _Q466_GRID:
+            lens = pdf["len_raw"].clip(upper=ctx)
+            bins, loadv = 0, ctx + 1
+            for ln in lens:
+                ln = int(ln)
+                if loadv + ln > ctx:
+                    bins += 1
+                    loadv = ln
+                else:
+                    loadv += ln
+            out.append(
+                {
+                    "shard": int(pdf["shard"].iloc[0]),
+                    "ctx": ctx,
+                    "n_docs": len(pdf),
+                    "n_bins": bins,
+                    "toks": int(lens.sum()),
+                    "n_truncated": int((pdf["len_raw"] > ctx).sum()),
+                    "tokens_truncated": int(
+                        (pdf["len_raw"] - ctx).clip(lower=0).sum()
+                    ),
+                }
+            )
+        return pd.DataFrame(out)
+
+    per_shard = d.groupBy("shard").applyInPandas(
+        _pack,
+        "shard long, ctx long, n_docs long, n_bins long, toks long,"
+        " n_truncated long, tokens_truncated long",
+    )
+    return (
+        per_shard.groupBy("ctx")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_truncated").cast("long").alias("n_truncated"),
+            F.sum("tokens_truncated")
+            .cast("long")
+            .alias("tokens_truncated"),
+            F.sum("n_bins").cast("long").alias("n_bins"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+            (F.sum("n_bins") * F.col("ctx") - F.sum("toks"))
+            .cast("long")
+            .alias("waste_tokens"),
+            F.round(
+                100.0 * F.sum("toks") / (F.sum("n_bins") * F.col("ctx")), 2
+            ).alias("util_pct"),
+            F.round(
+                100.0 * F.sum("toks") / (F.sum("n_docs") * F.col("ctx")), 2
+            ).alias("naive_util_pct"),
+        )
+        .select(
+            F.col("ctx").cast("long").alias("ctx_len"),
+            "n_docs",
+            "n_truncated",
+            "tokens_truncated",
+            "n_bins",
+            "total_tokens",
+            "waste_tokens",
+            "util_pct",
+            "naive_util_pct",
+        )
+        .orderBy("ctx_len")
+    )

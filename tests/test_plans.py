@@ -6723,3 +6723,23 @@ def test_q465_silhouette_consistent_with_q97(spark, qs):
     for r in sil.values():
         assert 0 <= r["min_sil_milli"] <= r["mean_sil_milli"] <= r["max_sil_milli"] <= 1000
         assert 0 <= r["n_boundary"] <= r["n_members"]
+
+
+def test_q466_frontier_invariants(spark, qs):
+    """The L-sweep's physics: truncation monotonically shrinks as L
+    grows; packed utilization beats (or ties) one-doc-per-context;
+    waste reconciles exactly; bins respect the concat lower bound
+    ceil(tokens/L)."""
+    rows = qs["q466_context_length_frontier"](spark, SF_DIR).collect()
+    assert [r["ctx_len"] for r in rows] == [256, 512, 1024, 2048, 4096]
+    prev_trunc = None
+    for r in rows:
+        L = r["ctx_len"]
+        assert r["waste_tokens"] == r["n_bins"] * L - r["total_tokens"]
+        assert r["n_bins"] >= -(-r["total_tokens"] // L)  # ceil bound
+        assert r["util_pct"] >= r["naive_util_pct"]
+        if prev_trunc is not None:
+            assert r["n_truncated"] <= prev_trunc[0]
+            assert r["tokens_truncated"] <= prev_trunc[1]
+        prev_trunc = (r["n_truncated"], r["tokens_truncated"])
+    assert rows[0]["n_truncated"] >= rows[-1]["n_truncated"]
