@@ -14031,3 +14031,144 @@ def q459_zorder_layout_executed(
         )
     finally:
         _shutil.rmtree(out_dir, ignore_errors=True)
+
+
+# ---- q467: partition-layout drift monitor --------------------------------
+# q433 prices layouts on the WHOLE corpus; a deployed layout must be
+# re-checked as data arrives. Fixed epoch boundary (mid-corpus):
+_Q467_SPLIT = "TIMESTAMP '2024-01-15 00:00:00'"
+_Q467_HALVES = {
+    "early": f"ts < {_Q467_SPLIT}",
+    "late": f"ts >= {_Q467_SPLIT}",
+}
+
+
+def _q467_oracle() -> str:
+    aggs = []
+    for h, hp in _Q467_HALVES.items():
+        aggs.append(f"CAST(count(*) FILTER ({hp}) AS BIGINT) AS n_{h}")
+        for layout, key in _Q433_LAYOUTS.items():
+            aggs.append(
+                f"CAST(count(DISTINCT CASE WHEN {hp} THEN {key} END)"
+                f" AS BIGINT) AS np_{h}_{layout}"
+            )
+            for wname in _Q433_WORKLOAD:
+                scan = _Q433_SCAN.get((layout, wname))
+                if scan is not None:
+                    aggs.append(
+                        f"CAST(count(*) FILTER (({hp}) AND ({scan}))"
+                        f" AS BIGINT) AS s_{h}_{layout}_{wname}"
+                    )
+    cells = []
+    for h in _Q467_HALVES:
+        for layout in _Q433_LAYOUTS:
+            terms = []
+            for wname in _Q433_WORKLOAD:
+                if (layout, wname) in _Q433_SCAN:
+                    terms.append(f"s_{h}_{layout}_{wname}")
+                else:
+                    terms.append(f"n_{h}")
+            cells.append(
+                f"SELECT '{h}' AS half, '{layout}' AS layout,"
+                f" CAST({' + '.join(terms)} AS BIGINT) AS rows_scanned,"
+                f" np_{h}_{layout} AS n_partitions FROM stats"
+            )
+    return f"""
+    WITH stats AS (SELECT {", ".join(aggs)} FROM events),
+    cells AS ({" UNION ALL ".join(cells)}),
+    choice AS (
+        SELECT half, layout AS chosen FROM (
+            SELECT half, layout,
+                   row_number() OVER (PARTITION BY half
+                                      ORDER BY rows_scanned, layout) AS rn
+            FROM cells) WHERE rn = 1
+    ),
+    flip AS (
+        SELECT count(DISTINCT chosen) > 1 AS layout_flipped FROM choice
+    )
+    SELECT c.half, c.layout, c.rows_scanned, c.n_partitions,
+           c.layout = ch.chosen AS is_chosen, f.layout_flipped
+    FROM cells c JOIN choice ch USING (half) CROSS JOIN flip f
+    ORDER BY c.half, c.layout
+    """
+
+
+@register("q467_layout_drift_monitor", oracle=_q467_oracle())
+def q467_layout_drift_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION-LAYOUT DRIFT monitor — the maintenance loop around
+    q433/q442: a layout chosen once is a bet that the workload-vs-
+    data geometry stays put, so the advisor's pricing block is
+    re-run PER EPOCH (here: the corpus split at {_Q467_SPLIT} — in
+    production, yesterday vs history) and the argmin compared. Each
+    (epoch, layout) row carries the priced scan cost and partition
+    count; is_chosen marks each epoch's winner and layout_flipped is
+    the row a scheduler alerts on — a flip means the deployed layout
+    is now paying the wrong pruning — and this fixture genuinely
+    flips (type → day): the workload's date predicates live in the
+    early half, so in the late epoch the day layout prunes them to
+    ZERO rows and overtakes the type layout, exactly how a
+    time-boxed dashboard mix re-prices layouts as data ages past
+    its date windows.
+
+    Scale: ONE scan computes every (epoch × layout × workload)
+    statistic as FILTERed aggregates (q433's one-pass block, halved
+    — still a single combining aggregate, no second corpus pass);
+    the argmin/flip assembly is |epochs|×|layouts| arithmetic on a
+    1-row observe (q442's bounded-collect precedent).
+    """
+    e = load(spark, sf_dir, "events")
+    aggs = []
+    for h, hp in _Q467_HALVES.items():
+        aggs.append(
+            F.sum(F.expr(f"CASE WHEN {hp} THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias(f"n_{h}")
+        )
+        for layout, key in _Q433_LAYOUTS.items():
+            aggs.append(
+                F.countDistinct(
+                    F.expr(f"CASE WHEN {hp} THEN {key} END")
+                ).cast("long").alias(f"np_{h}_{layout}")
+            )
+            for wname in _Q433_WORKLOAD:
+                scan = _Q433_SCAN.get((layout, wname))
+                if scan is not None:
+                    aggs.append(
+                        F.sum(
+                            F.expr(
+                                f"CASE WHEN ({hp}) AND ({scan})"
+                                " THEN 1 ELSE 0 END"
+                            )
+                        ).cast("long").alias(f"s_{h}_{layout}_{wname}")
+                    )
+    stats = e.agg(*aggs).collect()[0]  # 1-row bounded observe
+
+    cells = []
+    for h in _Q467_HALVES:
+        for layout in _Q433_LAYOUTS:
+            total = 0
+            for wname in _Q433_WORKLOAD:
+                if (layout, wname) in _Q433_SCAN:
+                    total += stats[f"s_{h}_{layout}_{wname}"] or 0
+                else:
+                    total += stats[f"n_{h}"] or 0
+            cells.append(
+                (h, layout, total, stats[f"np_{h}_{layout}"] or 0)
+            )
+    chosen = {
+        h: min(
+            (c for c in cells if c[0] == h), key=lambda c: (c[2], c[1])
+        )[1]
+        for h in _Q467_HALVES
+    }
+    flipped = len(set(chosen.values())) > 1
+    return spark.createDataFrame(
+        [
+            (h, layout, total, np, layout == chosen[h], flipped)
+            for h, layout, total, np in sorted(cells)
+        ],
+        "half string, layout string, rows_scanned long,"
+        " n_partitions long, is_chosen boolean, layout_flipped boolean",
+    )

@@ -6743,3 +6743,24 @@ def test_q466_frontier_invariants(spark, qs):
             assert r["tokens_truncated"] <= prev_trunc[1]
         prev_trunc = (r["n_truncated"], r["tokens_truncated"])
     assert rows[0]["n_truncated"] >= rows[-1]["n_truncated"]
+
+
+def test_q467_drift_monitor_detects_the_flip(spark, qs):
+    """The fixture genuinely re-prices across epochs: early data
+    (where the workload's date windows live) chooses the type
+    layout, the late epoch prunes those windows to zero under the
+    day layout and flips to it; exactly one winner per epoch, flip
+    flag consistent, and each epoch's winner is its scan-cost
+    argmin."""
+    rows = qs["q467_layout_drift_monitor"](spark, SF_DIR).collect()
+    assert len(rows) == 6
+    winners = {
+        r["half"]: r["layout"] for r in rows if r["is_chosen"]
+    }
+    assert sum(r["is_chosen"] for r in rows) == 2
+    assert winners == {"early": "by_type", "late": "by_day"}
+    assert all(r["layout_flipped"] for r in rows)
+    for half in ("early", "late"):
+        cells = [r for r in rows if r["half"] == half]
+        best = min(cells, key=lambda r: (r["rows_scanned"], r["layout"]))
+        assert best["is_chosen"]
