@@ -6875,3 +6875,113 @@ def q462_exact_substring_removal(
         )
         .orderBy("doc_id")
     )
+
+
+# ---- q468: duplication epoch accounting (data-constrained scaling) ------
+_Q468_CAP = 4   # repetition cap: epochs of repeated data counted as
+#                 useful (the Muennighoff et al. 2023 knee — repeated
+#                 tokens hold near-fresh value up to ~4 epochs)
+
+
+@register(
+    "q468_duplication_epoch_accounting",
+    oracle=f"""
+    WITH d AS MATERIALIZED (
+        SELECT doc_id, source, md5(text) AS h,
+               coalesce(len(string_split_regex(lower(trim(text)),
+                                               '\\s+')), 0) AS toks
+        FROM documents
+    ),
+    grp AS MATERIALIZED (
+        SELECT scope, h, count(*) AS c, min(toks) AS toks
+        FROM (
+            SELECT source AS scope, h, toks FROM d
+            UNION ALL SELECT 'ALL', h, toks FROM d
+        ) GROUP BY scope, h
+    )
+    SELECT scope,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(round(1000.0 * sum(c) / count(*)) AS BIGINT)
+               AS dup_factor_milli,
+           CAST(sum(c * toks) AS BIGINT) AS total_tokens,
+           CAST(sum(toks) AS BIGINT) AS unique_tokens,
+           CAST(sum(least(c, {_Q468_CAP}) * toks) AS BIGINT)
+               AS effective_tokens_cap{_Q468_CAP},
+           CAST(sum(c * toks) - sum(least(c, {_Q468_CAP}) * toks)
+               AS BIGINT) AS excess_tokens,
+           CAST(round(1000.0 * sum(least(c, {_Q468_CAP}) * toks)
+                      / greatest(sum(c * toks), 1)) AS BIGINT)
+               AS effective_fraction_milli
+    FROM grp GROUP BY scope ORDER BY scope
+    """,
+)
+def q468_duplication_epoch_accounting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DUPLICATION EPOCH ACCOUNTING — the data-constrained scaling
+    bookkeeping (Muennighoff et al. 2023): repeated data behaves
+    like fresh data for only ~{_Q468_CAP} epochs, so a corpus's
+    TRAINABLE token budget is not its raw size but
+    Σ_groups len·min(copies, {_Q468_CAP}) over exact-duplicate
+    groups (q50's md5 grouping). Per source (within-source
+    duplication — what a single-crawl curator controls) and for the
+    whole corpus ('ALL', cross-source duplication included): doc and
+    unique counts, the duplication factor, raw vs unique vs
+    effective token mass under the cap, and the excess — the tokens
+    a scaling-law budget should NOT count. A source with
+    effective_fraction well below 1000 is buying epochs, not data;
+    the ALL row vs the per-source sum isolates CROSS-source
+    duplication (mirrors/syndication) that no per-source view sees.
+
+    Scale: one corpus pass to (scope, hash) grain — the md5 groupBy
+    q50 already prices as the canonical dedup shuffle, doubled by
+    the two scopes; everything after is |groups|-grain integer
+    arithmetic. The group length uses min(toks) (copies of identical
+    text tie except degenerate whitespace variants — min is the
+    deterministic pick both engines share).
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.coalesce(
+            F.size(F.split(F.lower(F.trim("text")), r"\s+")), F.lit(0)
+        ).alias("toks"),
+    )
+    both = d.select(F.col("source").alias("scope"), "h", "toks").unionByName(
+        d.select(F.lit("ALL").alias("scope"), "h", "toks")
+    )
+    grp = both.groupBy("scope", "h").agg(
+        F.count(F.lit(1)).alias("c"), F.min("toks").alias("toks")
+    )
+    cap = F.least(F.col("c"), F.lit(_Q468_CAP))
+    return (
+        grp.groupBy("scope")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_unique"),
+            F.round(1000.0 * F.sum("c") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("dup_factor_milli"),
+            F.sum(F.col("c") * F.col("toks"))
+            .cast("long")
+            .alias("total_tokens"),
+            F.sum("toks").cast("long").alias("unique_tokens"),
+            F.sum(cap * F.col("toks"))
+            .cast("long")
+            .alias(f"effective_tokens_cap{_Q468_CAP}"),
+            (
+                F.sum(F.col("c") * F.col("toks"))
+                - F.sum(cap * F.col("toks"))
+            ).cast("long").alias("excess_tokens"),
+            F.round(
+                1000.0
+                * F.sum(cap * F.col("toks"))
+                / F.greatest(
+                    F.sum(F.col("c") * F.col("toks")), F.lit(1)
+                )
+            ).cast("long").alias("effective_fraction_milli"),
+        )
+        .orderBy("scope")
+    )

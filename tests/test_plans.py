@@ -6764,3 +6764,29 @@ def test_q467_drift_monitor_detects_the_flip(spark, qs):
         cells = [r for r in rows if r["half"] == half]
         best = min(cells, key=lambda r: (r["rows_scanned"], r["layout"]))
         assert best["is_chosen"]
+
+
+def test_q468_epoch_accounting_reconciles(spark, qs):
+    """The ALL row vs per-source rows: doc counts sum exactly;
+    unique counts can only SHRINK corpus-wide (cross-source dups
+    merge); the cap arithmetic is internally consistent in every
+    row (unique ≤ effective ≤ total, excess = total − effective,
+    dup_factor ≥ 1000)."""
+    rows = qs["q468_duplication_epoch_accounting"](spark, SF_DIR).collect()
+    all_row = next(r for r in rows if r["scope"] == "ALL")
+    srcs = [r for r in rows if r["scope"] != "ALL"]
+    assert srcs
+    assert sum(r["n_docs"] for r in srcs) == all_row["n_docs"]
+    assert sum(r["n_unique"] for r in srcs) >= all_row["n_unique"]
+    for r in rows:
+        assert r["dup_factor_milli"] >= 1000
+        assert (
+            r["unique_tokens"]
+            <= r["effective_tokens_cap4"]
+            <= r["total_tokens"]
+        )
+        assert (
+            r["excess_tokens"]
+            == r["total_tokens"] - r["effective_tokens_cap4"]
+        )
+        assert 0 < r["effective_fraction_milli"] <= 1000
