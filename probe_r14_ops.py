@@ -11,6 +11,13 @@ Probed (the round's scale-sensitive additions):
 - q460 weighted cohesion  q444 gram join + CC + weighted rollup
 - q461 max-policy frontier |grid|x|chunks| sweep (q458's twin)
 - q462 substring removal  q444 gram join + interval merge + HOF rebuild
+- q463 morton range split broadcast binary search + |ranges| rollup
+- q464 doremi reweight    vocab-grain model join + |sources| MW step
+- q466 ctx-len frontier   per-shard Arrow fold x |grid| lengths
+- q467 layout drift       one filtered-agg scan, 1-row observe
+- q468 epoch accounting   md5 groupBy x 2 scopes
+(q465 silhouette probes at gate SF only: embeddings are a fixed
+1k-row table at every sf — the |corpus|-scaling input is absent.)
 """
 
 from __future__ import annotations
@@ -36,6 +43,11 @@ PROBES = [
     ("q460_weighted_cluster_cohesion", ["documents"]),
     ("q461_watermark_frontier_max_policy", ["events"]),
     ("q462_exact_substring_removal", ["documents"]),
+    ("q463_morton_range_split_serving", ["events"]),
+    ("q464_doremi_domain_reweight", ["documents"]),
+    ("q466_context_length_frontier", ["documents"]),
+    ("q467_layout_drift_monitor", ["events"]),
+    ("q468_duplication_epoch_accounting", ["documents"]),
 ]
 
 
