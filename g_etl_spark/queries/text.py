@@ -6704,3 +6704,129 @@ def q454_curriculum_mixture_audit(
         )
         .orderBy("batch", "source")
     )
+
+
+# ---- q469: Luhn-validated card-number detection --------------------------
+def _luhn16_sql(s: str) -> str:
+    """Luhn checksum validity of a 16-digit string column — the same
+    expression TEXT for both engines (fixed length unrolls the
+    position loop into 16 integer terms; odd positions from the left
+    are doubled at even length)."""
+    terms = []
+    for i in range(1, 17):
+        d = f"CAST(substr({s}, {i}, 1) AS INT)"
+        if i % 2 == 1:
+            terms.append(
+                f"(CASE WHEN 2 * {d} > 9 THEN 2 * {d} - 9"
+                f" ELSE 2 * {d} END)"
+            )
+        else:
+            terms.append(d)
+    return f"(({' + '.join(terms)}) % 10 = 0)"
+
+
+_Q469_CORPUS = """
+    SELECT doc_id, source,
+           text || ' card 453900' || lpad(CAST(doc_id AS VARCHAR), 9, '0')
+                || CAST(doc_id % 10 AS VARCHAR) AS text
+    FROM documents WHERE doc_id < 300
+"""
+
+
+@register(
+    "q469_luhn_card_detection",
+    oracle=f"""
+    WITH corpus AS ({_Q469_CORPUS}),
+    cand AS (
+        SELECT doc_id, source,
+               unnest(regexp_extract_all(text, '[0-9]{{16}}')) AS num
+        FROM corpus
+    ),
+    judged AS (
+        SELECT doc_id, source, num, {_luhn16_sql("num")} AS ok
+        FROM cand
+    )
+    SELECT c.source,
+           CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(j.num) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN j.ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_luhn_valid,
+           CAST(round(1000.0 * sum(CASE WHEN j.ok THEN 1 ELSE 0 END)
+                      / greatest(count(j.num), 1)) AS BIGINT)
+               AS valid_milli,
+           md5(coalesce(array_to_string(
+                   list_sort(list(j.num) FILTER (j.ok)), ','), ''))
+               AS valid_digest
+    FROM (SELECT DISTINCT doc_id, source FROM corpus) c
+    LEFT JOIN judged j USING (doc_id, source)
+    GROUP BY c.source ORDER BY c.source
+    """,
+)
+def q469_luhn_card_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LUHN-VALIDATED card-number detection — the checksum step that
+    separates a real PII hit from sixteen random digits (q46's regex
+    pass alone flags both; production redaction pipelines gate on
+    the check digit precisely to keep the false-positive rate from
+    swamping review queues). Deterministic planted corpus (the q46
+    device): every doc < 300 carries one synthetic 16-digit
+    candidate whose last digit is doc_id-derived, so ~10% pass Luhn
+    by construction and the validator provably REJECTS the rest —
+    per source: docs, regex candidates, checksum-valid count and
+    rate, and an order-independent digest of the validated numbers
+    (the review-queue content, hash-pinned). The checksum is the
+    fixed-length Luhn unroll — 16 integer terms, identical
+    expression text in both engines, no UDF.
+
+    Scale: regex extraction + 16 integer ops per candidate, all
+    map-side in whole-stage codegen; the rollup is |sources|-grain.
+    The validator composes with q46's redaction (validate, then
+    redact only validated spans) without changing either plan.
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            "source",
+            F.concat(
+                F.col("text"),
+                F.lit(" card 453900"),
+                F.lpad(F.col("doc_id").cast("string"), 9, "0"),
+                (F.col("doc_id") % 10).cast("string"),
+            ).alias("text"),
+        )
+    )
+    cand = d.select(
+        "doc_id",
+        "source",
+        F.explode_outer(
+            F.expr("regexp_extract_all(text, '[0-9]{16}', 0)")
+        ).alias("num"),
+    )
+    judged = cand.withColumn(
+        "ok", F.when(F.col("num").isNotNull(), F.expr(_luhn16_sql("num")))
+    )
+    return (
+        judged.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("num").cast("long").alias("n_candidates"),
+            F.sum(F.when(F.col("ok"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_luhn_valid"),
+            F.round(
+                1000.0
+                * F.sum(F.when(F.col("ok"), 1).otherwise(0))
+                / F.greatest(F.count("num"), F.lit(1))
+            ).cast("long").alias("valid_milli"),
+            F.md5(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(F.when(F.col("ok"), F.col("num")))
+                    ),
+                    ",",
+                )
+            ).alias("valid_digest"),
+        )
+        .orderBy("source")
+    )

@@ -6790,3 +6790,43 @@ def test_q468_epoch_accounting_reconciles(spark, qs):
             == r["total_tokens"] - r["effective_tokens_cap4"]
         )
         assert 0 < r["effective_fraction_milli"] <= 1000
+
+
+def test_q469_luhn_math_is_right(spark, qs):
+    """Ground truth from Python's own Luhn: the per-source valid
+    counts must equal a reference implementation over the same
+    synthesized candidates, and only ~1 in 10 planted check digits
+    passes."""
+    def luhn_ok(num: str) -> bool:
+        tot = 0
+        for i, ch in enumerate(num):  # 16 digits, left-indexed
+            d = int(ch)
+            if i % 2 == 0:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            tot += d
+        return tot % 10 == 0
+
+    rows = qs["q469_luhn_card_detection"](spark, SF_DIR).collect()
+    assert rows
+    from g_etl_spark.tables import load as load_t
+
+    docs = (
+        load_t(spark, SF_DIR, "documents")
+        .where("doc_id < 300")
+        .select("doc_id", "source")
+        .collect()
+    )
+    import collections
+
+    want = collections.Counter()
+    for r in docs:
+        num = f"453900{r['doc_id']:09d}{r['doc_id'] % 10}"
+        if luhn_ok(num):
+            want[r["source"]] += 1
+    got = {r["source"]: r["n_luhn_valid"] for r in rows}
+    assert got == {r["source"]: want.get(r["source"], 0) for r in rows}
+    total_valid = sum(got.values())
+    total_cand = sum(r["n_candidates"] for r in rows)
+    assert 0 < total_valid < total_cand / 3  # check digit really gates
