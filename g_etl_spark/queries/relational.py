@@ -14172,3 +14172,155 @@ def q467_layout_drift_monitor(
         "half string, layout string, rows_scanned long,"
         " n_partitions long, is_chosen boolean, layout_flipped boolean",
     )
+
+
+# ---- q470: Kaplan-Meier product-limit survival table --------------------
+_Q470_TOP = 40   # first K event-time steps emitted
+
+
+@register(
+    "q470_kaplan_meier_gaps",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS ts_us FROM events
+    ),
+    gaps AS (
+        SELECT user_id,
+               (ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                         ORDER BY ts_us, user_id))
+                   // 3600000000 AS t_h,
+               FALSE AS censored
+        FROM ev
+        QUALIFY lag(ts_us) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, user_id) IS NOT NULL
+    ),
+    tail AS (
+        SELECT e.user_id,
+               ((SELECT max(ts_us) FROM ev) - max(e.ts_us))
+                   // 3600000000 AS t_h,
+               TRUE AS censored
+        FROM ev e GROUP BY e.user_id
+    ),
+    durs AS (
+        SELECT t_h, censored FROM gaps
+        UNION ALL SELECT t_h, censored FROM tail
+    ),
+    att AS (
+        SELECT t_h,
+               CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+                   AS d,
+               CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c
+        FROM durs GROUP BY t_h
+    ),
+    risk AS (
+        SELECT t_h, d, c,
+               CAST((SELECT count(*) FROM durs)
+                   - coalesce(sum(d + c) OVER (ORDER BY t_h
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        FROM att
+    ),
+    steps AS (
+        SELECT t_h, n_risk, d, c,
+               CAST(round(1000000 * ln(CAST(n_risk - d AS DOUBLE)
+                                       / n_risk)) AS BIGINT)
+                   AS ln_step_micro
+        FROM risk WHERE d > 0 AND n_risk > d
+    )
+    SELECT CAST(t_h AS BIGINT) AS t_hours, n_risk, d AS n_events,
+           c AS n_censored_at_t, ln_step_micro,
+           CAST(sum(ln_step_micro) OVER (ORDER BY t_h
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS ln_surv_micro
+    FROM steps ORDER BY t_hours LIMIT {_Q470_TOP}
+    """,
+)
+def q470_kaplan_meier_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER product-limit estimator over inter-event gaps —
+    the nonparametric companion to q245's exponential MLE (which
+    assumes constant hazard; K-M assumes nothing): durations = per-
+    user gaps between consecutive events (hour-quantized), right-
+    CENSORED by each user's tail (last event → corpus end, the
+    observation-window truncation a rate estimate must not count as
+    a real gap). At each event time t: n_risk (durations ≥ t), d
+    (events at t), and the survival curve as the running product
+    Π(1 − d/n) — carried in LOG space as exact micro-nat integers
+    (round(1e6·ln((n−d)/n)) per step, integer cumsum), the house
+    likelihood discipline: the curve is bit-identical across
+    engines with no libm exp in the gate. First {_Q470_TOP} steps
+    emitted — the short-gap region where retention decisions live.
+
+    Scale: gaps are one per-user window pass (user-partitioned);
+    the K-M table itself lives at |distinct hours| grain — the
+    unpartitioned risk-set window runs on that AGGREGATED relation,
+    not the corpus (the q429 audit-grain contract; per-cohort
+    production runs partition by cohort).
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts_us", "user_id")
+    gaps = (
+        ev.withColumn("prev", F.lag("ts_us").over(wu))
+        .where(F.col("prev").isNotNull())
+        .select(
+            F.expr("(ts_us - prev) div 3600000000").alias("t_h"),
+            F.lit(False).alias("censored"),
+        )
+    )
+    mx = ev.agg(F.max("ts_us").alias("mx"))
+    tail = (
+        ev.groupBy("user_id")
+        .agg(F.max("ts_us").alias("last_us"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.expr("(mx - last_us) div 3600000000").alias("t_h"),
+            F.lit(True).alias("censored"),
+        )
+    )
+    durs = gaps.unionByName(tail)
+    att = durs.groupBy("t_h").agg(
+        F.sum(F.when(F.col("censored"), 0).otherwise(1))
+        .cast("long")
+        .alias("d"),
+        F.sum(F.when(F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    tot = durs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    wt = Window.orderBy("t_h")
+    risk = att.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        F.col("n_total")
+        - F.coalesce(
+            F.sum(F.col("d") + F.col("c")).over(
+                wt.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    steps = risk.where(
+        (F.col("d") > 0) & (F.col("n_risk") > F.col("d"))
+    ).withColumn(
+        "ln_step_micro",
+        F.expr(
+            "CAST(round(1000000 * ln(CAST(n_risk - d AS DOUBLE) / n_risk))"
+            " AS BIGINT)"
+        ),
+    )
+    return (
+        steps.select(
+            F.col("t_h").cast("long").alias("t_hours"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d").alias("n_events"),
+            F.col("c").alias("n_censored_at_t"),
+            "ln_step_micro",
+            F.sum("ln_step_micro")
+            .over(wt.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            .alias("ln_surv_micro"),
+        )
+        .orderBy("t_hours")
+        .limit(_Q470_TOP)
+    )

@@ -6830,3 +6830,24 @@ def test_q469_luhn_math_is_right(spark, qs):
     total_valid = sum(got.values())
     total_cand = sum(r["n_candidates"] for r in rows)
     assert 0 < total_valid < total_cand / 3  # check digit really gates
+
+
+def test_q470_km_table_invariants(spark, qs):
+    """K-M physics: risk sets strictly decrease down the table, each
+    step's events fit inside its risk set, the log-survival curve is
+    non-increasing and equals the running sum of its steps."""
+    rows = qs["q470_kaplan_meier_gaps"](spark, SF_DIR).collect()
+    assert rows
+    run = 0
+    prev_n = None
+    prev_t = -1
+    for r in rows:
+        assert r["t_hours"] > prev_t
+        prev_t = r["t_hours"]
+        assert 0 < r["n_events"] < r["n_risk"]
+        if prev_n is not None:
+            assert r["n_risk"] < prev_n
+        prev_n = r["n_risk"]
+        assert r["ln_step_micro"] < 0
+        run += r["ln_step_micro"]
+        assert r["ln_surv_micro"] == run
