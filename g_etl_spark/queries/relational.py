@@ -14324,3 +14324,221 @@ def q470_kaplan_meier_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("t_hours")
         .limit(_Q470_TOP)
     )
+
+
+# ---- q471: two-sample log-rank test over the K-M risk tables ------------
+@register(
+    "q471_logrank_cohort_test",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, user_id % 2 = 1 AS b_cohort, epoch_us(ts) AS ts_us
+        FROM events
+    ),
+    gaps AS (
+        SELECT b_cohort,
+               (ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                                         ORDER BY ts_us, user_id))
+                   // 3600000000 AS t_h,
+               FALSE AS censored
+        FROM ev
+        QUALIFY lag(ts_us) OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, user_id) IS NOT NULL
+    ),
+    tail AS (
+        SELECT any_value(b_cohort) AS b_cohort,
+               ((SELECT max(ts_us) FROM ev) - max(ts_us)) // 3600000000
+                   AS t_h,
+               TRUE AS censored
+        FROM ev GROUP BY user_id
+    ),
+    durs AS (
+        SELECT b_cohort, t_h, censored FROM gaps
+        UNION ALL SELECT b_cohort, t_h, censored FROM tail
+    ),
+    att AS (
+        SELECT t_h,
+               CAST(sum(CASE WHEN NOT censored AND NOT b_cohort
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d_a,
+               CAST(sum(CASE WHEN NOT censored AND b_cohort
+                             THEN 1 ELSE 0 END) AS BIGINT) AS d_b,
+               CAST(sum(CASE WHEN NOT b_cohort THEN 1 ELSE 0 END)
+                   AS BIGINT) AS x_a,
+               CAST(sum(CASE WHEN b_cohort THEN 1 ELSE 0 END)
+                   AS BIGINT) AS x_b
+        FROM durs GROUP BY t_h
+    ),
+    risk AS (
+        SELECT t_h, d_a, d_b,
+               CAST((SELECT count(*) FROM durs WHERE NOT b_cohort)
+                   - coalesce(sum(x_a) OVER (ORDER BY t_h
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT) AS n_a,
+               CAST((SELECT count(*) FROM durs WHERE b_cohort)
+                   - coalesce(sum(x_b) OVER (ORDER BY t_h
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT) AS n_b
+        FROM att
+    ),
+    terms AS (
+        SELECT d_a, d_b, n_a, n_b, d_a + d_b AS d, n_a + n_b AS n,
+               CAST(round(1000000.0 * (d_a + d_b) * n_a / (n_a + n_b))
+                   AS BIGINT) AS e_a_micro,
+               CASE WHEN n_a + n_b > 1 THEN
+                   CAST(round(1000000.0 * (d_a + d_b)
+                              * (CAST(n_a AS DOUBLE) / (n_a + n_b))
+                              * (CAST(n_b AS DOUBLE) / (n_a + n_b))
+                              * (n_a + n_b - d_a - d_b)
+                              / (n_a + n_b - 1)) AS BIGINT)
+                   ELSE 0 END AS v_micro
+        FROM risk WHERE d_a + d_b > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_times,
+           CAST(sum(d_a) AS BIGINT) AS events_a,
+           CAST(sum(d_b) AS BIGINT) AS events_b,
+           CAST(sum(e_a_micro) AS BIGINT) AS expected_a_micro,
+           CAST(sum(v_micro) AS BIGINT) AS variance_micro,
+           CAST(round(1000.0
+                      * (CAST(sum(d_a) AS DOUBLE) * 1000000
+                         - sum(e_a_micro))
+                      * (CAST(sum(d_a) AS DOUBLE) * 1000000
+                         - sum(e_a_micro))
+                      / (CAST(sum(v_micro) AS DOUBLE) * 1000000))
+               AS BIGINT) AS chi2_milli,
+           round(1000.0 * (CAST(sum(d_a) AS DOUBLE) * 1000000
+                           - sum(e_a_micro))
+                 * (CAST(sum(d_a) AS DOUBLE) * 1000000 - sum(e_a_micro))
+                 / (CAST(sum(v_micro) AS DOUBLE) * 1000000))
+               > 3841 AS reject_5pct
+    FROM terms
+    """,
+)
+def q471_logrank_cohort_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SAMPLE LOG-RANK test — does cohort B's gap-survival curve
+    differ from cohort A's (q245's odd/even user split, q470's
+    censored durations)?  The Mantel-Cox machinery exactly: at each
+    event time, B and A share a risk table; under H₀ the d events
+    split between cohorts hypergeometrically, so O_A − E_A
+    accumulates with variance Σ d·(n_A/n)·(n_B/n)·(n−d)/(n−1), and
+    χ² = (O−E)²/V against 3.841 (5%, 1 dof). Every per-time term is
+    micro-quantized off exact integer risk counts BEFORE summation
+    (the q443 discipline), so the statistic is reproducible to the
+    milli across engines — no resampling, no libm beyond one final
+    division of exact sums.
+
+    Scale: identical grain to q470 — one per-user window pass for
+    gaps, then everything lives at |distinct hours| grain; the
+    result is ONE row. The test composes with any cohort key
+    (experiment arm, device class) by swapping the b_cohort
+    predicate.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("user_id") % 2 == 1).alias("b_cohort"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts_us", "user_id")
+    gaps = (
+        ev.withColumn("prev", F.lag("ts_us").over(wu))
+        .where(F.col("prev").isNotNull())
+        .select(
+            "b_cohort",
+            F.expr("(ts_us - prev) div 3600000000").alias("t_h"),
+            F.lit(False).alias("censored"),
+        )
+    )
+    mx = ev.agg(F.max("ts_us").alias("mx"))
+    tail = (
+        ev.groupBy("user_id")
+        .agg(
+            F.first("b_cohort").alias("b_cohort"),
+            F.max("ts_us").alias("last_us"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "b_cohort",
+            F.expr("(mx - last_us) div 3600000000").alias("t_h"),
+            F.lit(True).alias("censored"),
+        )
+    )
+    durs = gaps.unionByName(tail)
+    att = durs.groupBy("t_h").agg(
+        F.sum(
+            F.when(~F.col("censored") & ~F.col("b_cohort"), 1).otherwise(0)
+        ).cast("long").alias("d_a"),
+        F.sum(
+            F.when(~F.col("censored") & F.col("b_cohort"), 1).otherwise(0)
+        ).cast("long").alias("d_b"),
+        F.sum(F.when(~F.col("b_cohort"), 1).otherwise(0))
+        .cast("long")
+        .alias("x_a"),
+        F.sum(F.when(F.col("b_cohort"), 1).otherwise(0))
+        .cast("long")
+        .alias("x_b"),
+    )
+    tot = durs.agg(
+        F.sum(F.when(~F.col("b_cohort"), 1).otherwise(0))
+        .cast("long")
+        .alias("tot_a"),
+        F.sum(F.when(F.col("b_cohort"), 1).otherwise(0))
+        .cast("long")
+        .alias("tot_b"),
+    )
+    wt = Window.orderBy("t_h")
+    risk = (
+        att.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_a",
+            (
+                F.col("tot_a")
+                - F.coalesce(
+                    F.sum("x_a").over(
+                        wt.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+            ).cast("long"),
+        )
+        .withColumn(
+            "n_b",
+            (
+                F.col("tot_b")
+                - F.coalesce(
+                    F.sum("x_b").over(
+                        wt.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+            ).cast("long"),
+        )
+    )
+    terms = risk.where(F.col("d_a") + F.col("d_b") > 0).select(
+        "d_a",
+        "d_b",
+        F.expr(
+            "CAST(round(1000000.0 * (d_a + d_b) * n_a / (n_a + n_b))"
+            " AS BIGINT)"
+        ).alias("e_a_micro"),
+        F.expr(
+            "CASE WHEN n_a + n_b > 1 THEN"
+            " CAST(round(1000000.0 * (d_a + d_b)"
+            " * (CAST(n_a AS DOUBLE) / (n_a + n_b))"
+            " * (CAST(n_b AS DOUBLE) / (n_a + n_b))"
+            " * (n_a + n_b - d_a - d_b)"
+            " / (n_a + n_b - 1)) AS BIGINT) ELSE 0 END"
+        ).alias("v_micro"),
+    )
+    chi2 = (
+        "round(1000.0"
+        " * (CAST(sum(d_a) AS DOUBLE) * 1000000 - sum(e_a_micro))"
+        " * (CAST(sum(d_a) AS DOUBLE) * 1000000 - sum(e_a_micro))"
+        " / (CAST(sum(v_micro) AS DOUBLE) * 1000000))"
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_times"),
+        F.sum("d_a").cast("long").alias("events_a"),
+        F.sum("d_b").cast("long").alias("events_b"),
+        F.sum("e_a_micro").cast("long").alias("expected_a_micro"),
+        F.sum("v_micro").cast("long").alias("variance_micro"),
+        F.expr(f"CAST({chi2} AS BIGINT)").alias("chi2_milli"),
+        F.expr(f"{chi2} > 3841").alias("reject_5pct"),
+    )

