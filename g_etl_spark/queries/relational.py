@@ -14542,3 +14542,239 @@ def q471_logrank_cohort_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST({chi2} AS BIGINT)").alias("chi2_milli"),
         F.expr(f"{chi2} > 3841").alias("reject_5pct"),
     )
+
+
+# ---- q472: append-delta pruning debt (when to re-OPTIMIZE) --------------
+_Q472_SPLIT = _Q467_SPLIT          # base/delta epoch boundary
+_Q472_DELTA_NF = 4                 # unsorted delta files appended
+
+
+def _q472_oracle() -> str:
+    from g_etl_spark.queries.grid import _morton_sql
+
+    cells = " UNION ALL ".join(
+        f"""SELECT '{w}' AS workload,
+            CAST(count(*) FILTER ({surv}) AS BIGINT) AS files_read,
+            CAST(coalesce(sum(n) FILTER ({surv} AND grp = 'base'), 0)
+                AS BIGINT) AS rows_base,
+            CAST(coalesce(sum(n) FILTER ({surv} AND grp = 'delta'), 0)
+                AS BIGINT) AS rows_delta
+        FROM env"""
+        for w, surv in _Q459_SURVIVES.items()
+    )
+    matches = " UNION ALL ".join(
+        f"SELECT '{w}' AS workload, CAST(count(*) FILTER ({p}) AS BIGINT)"
+        " AS n_match FROM allrows"
+        for w, p in _Q459_WORKLOAD.items()
+    )
+    return f"""
+    WITH allrows AS MATERIALIZED (
+        SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS vc,
+               ts < {_Q472_SPLIT} AS is_base
+        FROM events WHERE value IS NOT NULL
+    ),
+    bkt AS MATERIALIZED (
+        SELECT event_id, user_id, vc,
+               ntile({_Q459_B}) OVER (ORDER BY vc, event_id) - 1 AS bx,
+               ntile({_Q459_B}) OVER (ORDER BY user_id, event_id) - 1
+                   AS by
+        FROM allrows WHERE is_base
+    ),
+    fids AS MATERIALIZED (
+        SELECT user_id, vc, 'base' AS grp,
+               ntile({_Q459_NF}) OVER (
+                   ORDER BY {_morton_sql("bx", "by", 8)}, event_id) - 1
+                   AS fid
+        FROM bkt
+        UNION ALL
+        SELECT user_id, vc, 'delta', event_id % {_Q472_DELTA_NF}
+        FROM allrows WHERE NOT is_base
+    ),
+    env AS MATERIALIZED (
+        SELECT grp, fid, min(user_id) AS ulo, max(user_id) AS uhi,
+               min(vc) AS vlo, max(vc) AS vhi, count(*) AS n
+        FROM fids GROUP BY grp, fid
+    ),
+    cells AS MATERIALIZED ({cells}),
+    matches AS ({matches}),
+    nf AS (SELECT CAST(count(*) AS BIGINT) AS n_files FROM env)
+    SELECT c.workload, nf.n_files, c.files_read,
+           CAST(c.rows_base + c.rows_delta AS BIGINT) AS rows_scanned,
+           c.rows_base, c.rows_delta, m.n_match,
+           CAST(round(1000.0 * c.rows_delta
+                      / greatest(c.rows_base + c.rows_delta, 1))
+               AS BIGINT) AS delta_scan_share_milli
+    FROM cells c JOIN matches m USING (workload) CROSS JOIN nf
+    ORDER BY c.workload
+    """
+
+
+@register("q472_append_delta_pruning_debt", oracle=_q472_oracle())
+def q472_append_delta_pruning_debt(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """APPEND-DELTA PRUNING DEBT, engine-measured — the layout
+    lifecycle's last gap: q459 writes the Z-ordered base, q467 says
+    WHEN the workload re-prices, and real tables decay between
+    rewrites because appends land UNSORTED. Here the early epoch is
+    written as q459's 16 Z-ordered files, the late epoch appended as
+    {_Q472_DELTA_NF} arrival-order files (event-hash assignment —
+    the shape a streaming sink actually produces), and every q459
+    workload predicate is re-run against the COMBINED read: the
+    engine's scan numOutputRows must equal base-envelope pruning
+    plus the delta's (unprunable) envelope arithmetic exactly, and
+    delta_scan_share_milli is the re-OPTIMIZE trigger — the fraction
+    of every query's scan that the unsorted tail now costs. A
+    compaction policy reads this row: when the share crosses its
+    budget, re-run q459's rewrite over base+delta.
+
+    Scale: identical machinery to q459 (exact ntile ranks for
+    cross-engine file contents, one clustered write + one append,
+    AQE-off probes, bounded metric collection); the combined read is
+    ONE multi-path scan, so the measured number is precisely what
+    production pays per query between compactions.
+    """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from g_etl_spark.queries.grid import _morton_sql
+
+    e = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("vc"),
+            F.expr(f"ts < {_Q472_SPLIT}").alias("is_base"),
+        )
+    )
+    schema = (
+        "workload string, n_files long, files_read long,"
+        " rows_scanned long, rows_base long, rows_delta long,"
+        " n_match long, delta_scan_share_milli long"
+    )
+    base = e.where("is_base")
+    if base.isEmpty() or e.where("NOT is_base").isEmpty():
+        return spark.createDataFrame([], schema)
+    wv = Window.orderBy("vc", "event_id")
+    wu = Window.orderBy("user_id", "event_id")
+    bkt = base.select(
+        "event_id",
+        "user_id",
+        "vc",
+        (F.ntile(_Q459_B).over(wv) - 1).alias("bx"),
+        (F.ntile(_Q459_B).over(wu) - 1).alias("by"),
+    ).withColumn("z", F.expr(_morton_sql("bx", "by", 8)))
+    bfid = bkt.select(
+        "event_id",
+        "user_id",
+        "vc",
+        (F.ntile(_Q459_NF).over(Window.orderBy("z", "event_id")) - 1)
+        .alias("fid"),
+    ).localCheckpoint()
+    dfid = e.where("NOT is_base").select(
+        "event_id",
+        "user_id",
+        "vc",
+        (F.col("event_id") % _Q472_DELTA_NF).alias("fid"),
+    )
+    base_dir = _tempfile.mkdtemp(prefix="g_etl_delta_base_")
+    delta_dir = _tempfile.mkdtemp(prefix="g_etl_delta_tail_")
+    try:
+        for frame, out in ((bfid, base_dir), (dfid, delta_dir)):
+            (
+                frame.repartition("fid")
+                .write.partitionBy("fid")
+                .mode("overwrite")
+                .parquet(out)
+            )
+        n_files = sum(
+            1
+            for d in (base_dir, delta_dir)
+            for root, _, names in _os.walk(d)
+            for nm in names
+            if nm.endswith(".parquet")
+        )
+        back = spark.read.option("recursiveFileLookup", "true").parquet(
+            base_dir, delta_dir
+        )
+        from g_etl_spark.operators import layout as L
+
+        stats = L.file_stats(base_dir, ["user_id", "vc"]) + L.file_stats(
+            delta_dir, ["user_id", "vc"]
+        )
+        base_stats = L.file_stats(base_dir, ["user_id", "vc"])
+        rows = []
+        aqe_key = "spark.sql.adaptive.enabled"
+        aqe_old = spark.conf.get(aqe_key)
+        spark.conf.set(aqe_key, "false")
+        try:
+            # per-file row counts for the predicted base/delta split
+            import pyarrow.parquet as _pq
+
+            def _file_rows(d):
+                # MUST mirror layout.file_stats' ordering exactly
+                # (full-path sort) — the envelopes and row counts zip
+                paths = sorted(
+                    _os.path.join(root, nm)
+                    for root, _, names in _os.walk(d)
+                    for nm in names
+                    if nm.endswith(".parquet")
+                )
+                return [
+                    _pq.ParquetFile(p).metadata.num_rows for p in paths
+                ]
+
+            base_rows = _file_rows(base_dir)
+            delta_rows = _file_rows(delta_dir)
+            delta_stats = stats[len(base_stats):]
+            for wname, pred in _Q459_WORKLOAD.items():
+                probe = back.filter(F.expr(pred)).agg(
+                    F.count(F.lit(1)).cast("long").alias("n")
+                )
+                n_match = probe.collect()[0]["n"]
+                scanned = _q459_scan_rows(probe)
+
+                def _surv(envf):
+                    return all(
+                        not (envf[c][1] < lo or envf[c][0] > hi)
+                        for axis, (lo, hi) in _Q459_BOX[wname].items()
+                        for c in (
+                            ("user_id",) if axis == "u" else ("vc",)
+                        )
+                    )
+
+                rb = sum(
+                    n
+                    for envf, n in zip(base_stats, base_rows)
+                    if _surv(envf)
+                )
+                rd = sum(
+                    n
+                    for envf, n in zip(delta_stats, delta_rows)
+                    if _surv(envf)
+                )
+                files_read = sum(1 for envf in stats if _surv(envf))
+                share = round(1000.0 * rd / max(rb + rd, 1))
+                rows.append(
+                    (
+                        wname,
+                        n_files,
+                        files_read,
+                        scanned,
+                        rb,
+                        rd,
+                        n_match,
+                        share,
+                    )
+                )
+        finally:
+            spark.conf.set(aqe_key, aqe_old)
+        return spark.createDataFrame(
+            sorted(rows, key=lambda r: r[0]), schema
+        )
+    finally:
+        _shutil.rmtree(base_dir, ignore_errors=True)
+        _shutil.rmtree(delta_dir, ignore_errors=True)

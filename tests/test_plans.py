@@ -6871,3 +6871,25 @@ def test_q471_logrank_reconciles_with_q470(spark, qs):
     assert lr["reject_5pct"] == (lr["chi2_milli"] > 3841)
     km = qs["q470_kaplan_meier_gaps"](spark, SF_DIR).collect()
     assert sum(r["n_events"] for r in km) <= lr["events_a"] + lr["events_b"]
+
+
+def test_q472_append_debt_measured(spark, qs):
+    """The unsorted tail must genuinely cost every workload: engine
+    rows reconcile with the base/delta split, the delta share is
+    strictly positive (appends broke pruning), and the base side
+    still prunes (rows_base < base corpus)."""
+    from g_etl_spark.tables import load as load_t
+
+    rows = qs["q472_append_delta_pruning_debt"](spark, SF_DIR).collect()
+    assert len(rows) == 3
+    e = load_t(spark, SF_DIR, "events").where("value IS NOT NULL")
+    n_base = e.where("ts < TIMESTAMP '2024-01-15 00:00:00'").count()
+    for r in rows:
+        assert r["rows_scanned"] == r["rows_base"] + r["rows_delta"]
+        assert r["rows_delta"] > 0
+        assert 0 < r["delta_scan_share_milli"] <= 1000
+        assert r["rows_base"] < n_base, (
+            f"{r['workload']}: base layout no longer prunes"
+        )
+        assert r["n_match"] <= r["rows_scanned"]
+        assert r["files_read"] <= r["n_files"] == 20
