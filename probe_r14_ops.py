@@ -16,6 +16,9 @@ Probed (the round's scale-sensitive additions):
 - q466 ctx-len frontier   per-shard Arrow fold x |grid| lengths
 - q467 layout drift       one filtered-agg scan, 1-row observe
 - q468 epoch accounting   md5 groupBy x 2 scopes
+- q469 luhn detection     map-side regex + 16-term checksum
+- q470/q471 K-M + logrank per-user window -> |hours|-grain tables
+- q472 append debt        q459 write + delta append + 3 probes
 (q465 silhouette probes at gate SF only: embeddings are a fixed
 1k-row table at every sf — the |corpus|-scaling input is absent.)
 """
@@ -48,6 +51,10 @@ PROBES = [
     ("q466_context_length_frontier", ["documents"]),
     ("q467_layout_drift_monitor", ["events"]),
     ("q468_duplication_epoch_accounting", ["documents"]),
+    ("q469_luhn_card_detection", ["documents"]),
+    ("q470_kaplan_meier_gaps", ["events"]),
+    ("q471_logrank_cohort_test", ["events"]),
+    ("q472_append_delta_pruning_debt", ["events"]),
 ]
 
 
