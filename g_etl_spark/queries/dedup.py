@@ -6985,3 +6985,196 @@ def q468_duplication_epoch_accounting(
         )
         .orderBy("scope")
     )
+
+
+# ---- q474: near-dup-aware train/eval split (leakage-free) ----------------
+_Q474_EVAL_DECILE = 7   # md5-hash decile held out for eval
+
+
+@register(
+    "q474_cluster_aware_split",
+    oracle=f"""
+    WITH RECURSIVE {_Q460_SPANS_SQL},
+    pairs AS MATERIALIZED (
+        SELECT DISTINCT da, db FROM spans WHERE ln >= {_Q451_MIN}
+    ),
+    edges AS (SELECT da AS a, db AS b FROM pairs
+              UNION SELECT db, da FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.a, reach.r FROM edges e JOIN reach ON reach.node = e.b),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    keyed AS (
+        SELECT t.doc_id, len(t.toks) AS toks,
+               coalesce(c.component, t.doc_id) AS ck
+        FROM t LEFT JOIN comp c ON c.node = t.doc_id
+    ),
+    assign AS (
+        SELECT doc_id, toks,
+               CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS UBIGINT) AS BIGINT) % 10
+                   = {_Q474_EVAL_DECILE} AS doc_eval,
+               CAST(CAST('0x' || substr(md5(CAST(ck AS VARCHAR)), 1, 8)
+                         AS UBIGINT) AS BIGINT) % 10
+                   = {_Q474_EVAL_DECILE} AS cluster_eval
+        FROM keyed
+    ),
+    leaks AS (
+        SELECT
+            CAST(count(*) FILTER (a.doc_eval <> b.doc_eval) AS BIGINT)
+                AS doc_leak_pairs,
+            CAST(count(*) FILTER (a.cluster_eval <> b.cluster_eval)
+                AS BIGINT) AS cluster_leak_pairs,
+            CAST(count(*) AS BIGINT) AS n_dup_pairs
+        FROM pairs p
+        JOIN assign a ON a.doc_id = p.da
+        JOIN assign b ON b.doc_id = p.db
+    )
+    SELECT scheme,
+           CAST(n_train AS BIGINT) AS n_train_docs,
+           CAST(n_eval AS BIGINT) AS n_eval_docs,
+           CAST(t_eval AS BIGINT) AS eval_tokens,
+           n_dup_pairs, leak_pairs,
+           leak_pairs = 0 AS leakage_free
+    FROM (
+        SELECT 'doc_hash' AS scheme,
+               count(*) FILTER (NOT doc_eval) AS n_train,
+               count(*) FILTER (doc_eval) AS n_eval,
+               coalesce(sum(toks) FILTER (doc_eval), 0) AS t_eval,
+               (SELECT n_dup_pairs FROM leaks) AS n_dup_pairs,
+               (SELECT doc_leak_pairs FROM leaks) AS leak_pairs
+        FROM assign
+        UNION ALL
+        SELECT 'cluster_hash',
+               count(*) FILTER (NOT cluster_eval),
+               count(*) FILTER (cluster_eval),
+               coalesce(sum(toks) FILTER (cluster_eval), 0),
+               (SELECT n_dup_pairs FROM leaks),
+               (SELECT cluster_leak_pairs FROM leaks)
+        FROM assign
+    ) ORDER BY scheme
+    """,
+)
+def q474_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP-AWARE train/eval split — the leakage-free holdout
+    construction an eval you can trust requires: hashing DOC ids
+    into splits leaks whenever two near-duplicates straddle the
+    boundary (the eval doc's answers are in training data — q448
+    measures that contamination after the fact; this op prevents
+    it). Clusters come from the exact-run edges (shared span ≥
+    {_Q451_MIN} tokens, q451's rule), every doc's split key is its
+    CLUSTER id (component min; singletons key on themselves), and
+    the md5 decile {_Q474_EVAL_DECILE} holds out eval. The row pair
+    is the audit: the doc_hash scheme's leak_pairs counts real
+    straddling duplicate pairs (nonzero on this corpus), the
+    cluster_hash scheme is leakage-free BY CONSTRUCTION — and the
+    gate pins leak_pairs = 0 through the hash, so a regression in
+    the cluster keying breaks correctness, not just a metric.
+
+    Scale: q444's Σ occ(gram)² edges + CC (cluster diameter rounds);
+    split assignment is one map-side md5 per doc; the leak audit
+    joins |dup pairs| (not corpus²). The same construction swaps in
+    q52's MinHash pairs for fuzzier edges unchanged.
+    """
+    from g_etl_spark.operators import graph as G
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("toks")
+    )
+    spans = _q444_spans_with_pos(spark, sf_dir)
+    pairs = (
+        spans.where(F.col("ln") >= _Q451_MIN)
+        .select(F.col("da").alias("id_a"), F.col("db").alias("id_b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    comp = G.connected_components(pairs)
+    keyed = d.join(
+        comp, d["doc_id"] == comp["node"], "left"
+    ).select(
+        "doc_id",
+        F.size("toks").alias("toks"),
+        F.coalesce("component", "doc_id").alias("ck"),
+    )
+
+    def eval_flag(col):
+        return (
+            F.conv(
+                F.substring(F.md5(col.cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % 10
+            == _Q474_EVAL_DECILE
+        )
+
+    assign = keyed.select(
+        "doc_id",
+        "toks",
+        eval_flag(F.col("doc_id")).alias("doc_eval"),
+        eval_flag(F.col("ck")).alias("cluster_eval"),
+    ).localCheckpoint()
+    a = assign.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("doc_eval").alias("a_doc"),
+        F.col("cluster_eval").alias("a_cl"),
+    )
+    b = assign.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("doc_eval").alias("b_doc"),
+        F.col("cluster_eval").alias("b_cl"),
+    )
+    leaks = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .agg(
+            F.sum(F.when(F.col("a_doc") != F.col("b_doc"), 1).otherwise(0))
+            .cast("long")
+            .alias("doc_leak_pairs"),
+            F.sum(F.when(F.col("a_cl") != F.col("b_cl"), 1).otherwise(0))
+            .cast("long")
+            .alias("cluster_leak_pairs"),
+            F.count(F.lit(1)).cast("long").alias("n_dup_pairs"),
+        )
+    )
+    rows = []
+    for scheme, flag in (("doc_hash", "doc_eval"), ("cluster_hash", "cluster_eval")):
+        rows.append(
+            assign.agg(
+                F.lit(scheme).alias("scheme"),
+                F.sum(F.when(~F.col(flag), 1).otherwise(0))
+                .cast("long")
+                .alias("n_train_docs"),
+                F.sum(F.when(F.col(flag), 1).otherwise(0))
+                .cast("long")
+                .alias("n_eval_docs"),
+                F.coalesce(
+                    F.sum(F.when(F.col(flag), F.col("toks"))), F.lit(0)
+                ).cast("long").alias("eval_tokens"),
+            )
+        )
+    per = rows[0].unionByName(rows[1])
+    lk = leaks.select(
+        F.lit("doc_hash").alias("scheme"),
+        "n_dup_pairs",
+        F.col("doc_leak_pairs").alias("leak_pairs"),
+    ).unionByName(
+        leaks.select(
+            F.lit("cluster_hash").alias("scheme"),
+            "n_dup_pairs",
+            F.col("cluster_leak_pairs").alias("leak_pairs"),
+        )
+    )
+    return (
+        per.join(F.broadcast(lk), "scheme")
+        .select(
+            "scheme",
+            "n_train_docs",
+            "n_eval_docs",
+            "eval_tokens",
+            "n_dup_pairs",
+            "leak_pairs",
+            (F.col("leak_pairs") == 0).alias("leakage_free"),
+        )
+        .orderBy("scheme")
+    )

@@ -6911,3 +6911,23 @@ def test_q473_hard_negatives_are_boundary_crossers(spark, qs):
         assert [r["rank"] for r in lst] == list(range(1, len(lst) + 1))
         cosines = [r["cos_to_centroid"] for r in lst]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_q474_cluster_split_prevents_leakage(spark, qs):
+    """The demonstration must be real on the fixture: the naive
+    doc-hash split leaks duplicate pairs across the boundary, the
+    cluster-keyed split leaks ZERO; doc totals agree between
+    schemes; every near-dup pair is counted once."""
+    rows = {
+        r["scheme"]: r
+        for r in qs["q474_cluster_aware_split"](spark, SF_DIR).collect()
+    }
+    doc, cl = rows["doc_hash"], rows["cluster_hash"]
+    assert doc["n_dup_pairs"] == cl["n_dup_pairs"] > 0
+    assert doc["leak_pairs"] > 0 and not doc["leakage_free"]
+    assert cl["leak_pairs"] == 0 and cl["leakage_free"]
+    assert (
+        doc["n_train_docs"] + doc["n_eval_docs"]
+        == cl["n_train_docs"] + cl["n_eval_docs"]
+    )
+    assert cl["n_eval_docs"] > 0  # the holdout is non-degenerate
