@@ -1854,3 +1854,142 @@ def q466_context_length_frontier(
         )
         .orderBy("ctx_len")
     )
+
+
+# ---- q475: temperature-scaled source sampling curve ---------------------
+# τ grid chosen so n^(1/τ) is a composition of CORRECTLY-ROUNDED IEEE
+# ops only (sqrt; sqrt∘sqrt): no libm pow in the gate.
+_Q475_TAUS = (1, 2, 4)
+
+
+def _q475_s_sql(tau: int, n: str) -> str:
+    if tau == 1:
+        return f"CAST({n} * 1000000 AS BIGINT)"
+    if tau == 2:
+        return f"CAST(round(1000000 * sqrt(CAST({n} AS DOUBLE))) AS BIGINT)"
+    return (
+        "CAST(round(1000000 * sqrt(sqrt(CAST("
+        f"{n} AS DOUBLE)))) AS BIGINT)"
+    )
+
+
+@register(
+    "q475_temperature_sampling_curve",
+    oracle=f"""
+    WITH src AS MATERIALIZED (
+        SELECT source,
+               CAST(sum(coalesce(len(string_split_regex(lower(trim(text)),
+                                                        '\\s+')), 0))
+                   AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    scaled AS (
+        {" UNION ALL ".join(
+            f"SELECT {tau} AS tau, source, n_tokens,"
+            f" {_q475_s_sql(tau, 'n_tokens')} AS s FROM src"
+            for tau in _Q475_TAUS
+        )}
+    ),
+    tot AS (
+        SELECT tau, CAST(sum(s) AS BIGINT) AS st,
+               CAST(sum(n_tokens) AS BIGINT) AS nt
+        FROM scaled GROUP BY tau
+    ),
+    w AS (
+        SELECT s.tau, s.source, s.n_tokens,
+               CAST(round(1000000.0 * s.n_tokens / t.nt) AS BIGINT)
+                   AS w_raw_micro,
+               CAST(round(1000000.0 * s.s / t.st) AS BIGINT) AS w_micro
+        FROM scaled s JOIN tot t USING (tau)
+    ),
+    ent AS (
+        SELECT tau,
+               CAST(sum(CASE WHEN w_micro > 0 THEN
+                   CAST(round(w_micro * ln(1000000.0 / w_micro))
+                       AS BIGINT) ELSE 0 END) AS BIGINT) AS entropy_micro
+        FROM w GROUP BY tau
+    )
+    SELECT CAST(w.tau AS BIGINT) AS tau, w.source, w.n_tokens,
+           w.w_raw_micro, w.w_micro, e.entropy_micro,
+           w.w_micro > w.w_raw_micro AS upsampled
+    FROM w JOIN ent e USING (tau)
+    ORDER BY tau, source
+    """,
+)
+def q475_temperature_sampling_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TEMPERATURE-SCALED source sampling — the α/τ-sampling every
+    multilingual/multi-source pretraining mix uses (XLM-R's
+    p_i ∝ n_i^(1/τ)): at τ=1 sources are sampled by size, higher τ
+    flattens the mixture toward uniform, upsampling the tail. The τ
+    grid {_Q475_TAUS} is chosen so every power is a composition of
+    CORRECTLY-ROUNDED IEEE ops (identity; sqrt; sqrt∘sqrt) — each
+    scaled mass is micro-quantized per source BEFORE the integer
+    normalizing sum, so the whole curve is bit-identical across
+    engines with no libm pow anywhere. Per (τ, source): raw vs
+    tempered weight and the upsampled flag; per τ the mixture
+    entropy in micro-nats — the single number (vs ln|sources|) that
+    says how far from uniform each temperature lands, which is how
+    a τ is actually picked.
+
+    Scale: one corpus pass to |sources| token counts; everything
+    after is |τ|×|sources| integer arithmetic. The chosen τ's
+    w_micro column feeds q84/q355's samplers directly.
+    """
+    d = load(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(
+            F.coalesce(
+                F.size(F.split(F.lower(F.trim("text")), r"\s+")), F.lit(0)
+            )
+        ).cast("long").alias("n_tokens")
+    )
+    scaled = None
+    for tau in _Q475_TAUS:
+        part = src.select(
+            F.lit(tau).cast("long").alias("tau"),
+            "source",
+            "n_tokens",
+            F.expr(_q475_s_sql(tau, "n_tokens")).alias("s"),
+        )
+        scaled = part if scaled is None else scaled.unionByName(part)
+    tot = scaled.groupBy("tau").agg(
+        F.sum("s").cast("long").alias("st"),
+        F.sum("n_tokens").cast("long").alias("nt"),
+    )
+    w = scaled.join(F.broadcast(tot), "tau").select(
+        "tau",
+        "source",
+        "n_tokens",
+        F.expr("CAST(round(1000000.0 * n_tokens / nt) AS BIGINT)").alias(
+            "w_raw_micro"
+        ),
+        F.expr("CAST(round(1000000.0 * s / st) AS BIGINT)").alias(
+            "w_micro"
+        ),
+    )
+    ent = w.groupBy("tau").agg(
+        F.sum(
+            F.when(
+                F.col("w_micro") > 0,
+                F.expr(
+                    "CAST(round(w_micro * ln(1000000.0 / w_micro))"
+                    " AS BIGINT)"
+                ),
+            ).otherwise(0)
+        ).cast("long").alias("entropy_micro")
+    )
+    return (
+        w.join(F.broadcast(ent), "tau")
+        .select(
+            "tau",
+            "source",
+            "n_tokens",
+            "w_raw_micro",
+            "w_micro",
+            "entropy_micro",
+            (F.col("w_micro") > F.col("w_raw_micro")).alias("upsampled"),
+        )
+        .orderBy("tau", "source")
+    )

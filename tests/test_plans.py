@@ -6931,3 +6931,27 @@ def test_q474_cluster_split_prevents_leakage(spark, qs):
         == cl["n_train_docs"] + cl["n_eval_docs"]
     )
     assert cl["n_eval_docs"] > 0  # the holdout is non-degenerate
+
+
+def test_q475_temperature_flattens_the_mixture(spark, qs):
+    """τ physics: at τ=1 tempered == raw weights (within rounding);
+    entropy is non-decreasing in τ (flattening); per τ the weights
+    sum to 1e6 within per-source rounding; higher τ upsamples
+    below-average sources and only those."""
+    rows = qs["q475_temperature_sampling_curve"](spark, SF_DIR).collect()
+    by_tau = {}
+    for r in rows:
+        by_tau.setdefault(r["tau"], []).append(r)
+    assert set(by_tau) == {1, 2, 4}
+    n = len(by_tau[1])
+    ent = {}
+    for tau, lst in by_tau.items():
+        assert abs(sum(r["w_micro"] for r in lst) - 1_000_000) <= n
+        ent[tau] = lst[0]["entropy_micro"]
+    for r in by_tau[1]:
+        assert abs(r["w_micro"] - r["w_raw_micro"]) <= 1
+    assert ent[1] <= ent[2] <= ent[4]
+    mean_w = 1_000_000 / n
+    for r in by_tau[4]:
+        if r["upsampled"]:
+            assert r["w_raw_micro"] < mean_w + 1
