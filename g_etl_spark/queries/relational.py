@@ -14778,3 +14778,143 @@ def q472_append_delta_pruning_debt(
     finally:
         _shutil.rmtree(base_dir, ignore_errors=True)
         _shutil.rmtree(delta_dir, ignore_errors=True)
+
+
+# ---- q476: best-of-n expected-max reward curve --------------------------
+_Q476_KS = (1, 2, 4, 8)
+
+
+def _q476_pow(p: str, k: int) -> str:
+    """p^k for k in {{1,2,4,8}} as explicit multiplication chains —
+    deterministic IEEE products, no libm pow."""
+    if k == 1:
+        return p
+    if k == 2:
+        return f"({p} * {p})"
+    if k == 4:
+        return f"(({p} * {p}) * ({p} * {p}))"
+    return (
+        f"((({p} * {p}) * ({p} * {p}))"
+        f" * (({p} * {p}) * ({p} * {p})))"
+    )
+
+
+def _q476_oracle() -> str:
+    ks = []
+    for k in _Q476_KS:
+        pk = _q476_pow("p", k)
+        qk = _q476_pow("q", k)
+        ks.append(
+            f"""SELECT {k} AS k,
+            CAST(sum(CAST(round(10000.0 * vc * ({pk} - {qk}))
+                AS BIGINT)) AS BIGINT) AS e_max_micro
+            FROM ecdf"""
+        )
+    return f"""
+    WITH r AS MATERIALIZED (
+        SELECT CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events WHERE value IS NOT NULL
+    ),
+    cnt AS (
+        SELECT vc, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY vc
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+    ecdf AS (
+        SELECT vc,
+               CAST(sum(c) OVER (ORDER BY vc ROWS UNBOUNDED PRECEDING)
+                   AS DOUBLE) / n.n AS p,
+               CAST(coalesce(sum(c) OVER (ORDER BY vc
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS DOUBLE) / n.n AS q
+        FROM cnt, n
+    ),
+    curve AS ({" UNION ALL ".join(ks)}),
+    base AS (SELECT e_max_micro AS e1 FROM curve WHERE k = 1)
+    SELECT CAST(c.k AS BIGINT) AS k, n.n AS n_samples, c.e_max_micro,
+           CAST(c.e_max_micro - b.e1 AS BIGINT) AS gain_vs_1_micro,
+           CAST(round(1000.0 * c.e_max_micro / b.e1) AS BIGINT)
+               AS gain_ratio_milli
+    FROM curve c, base b, n ORDER BY c.k
+    """
+
+
+@register("q476_best_of_n_reward_curve", oracle=_q476_oracle())
+def q476_best_of_n_reward_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BEST-OF-N expected-maximum reward curve — the number a
+    rejection-sampling / BoN pipeline reads to pick n: with rewards
+    drawn i.i.d. from the corpus's empirical distribution (value,
+    centi-quantized), E[max of k] = Σ x·(F(x)^k − F(x⁻)^k) computed
+    EXACTLY over the ECDF — no simulation, no randomness, the
+    order-statistics identity evaluated on exact integer counts.
+    Powers for k ∈ {_Q476_KS} are explicit multiplication chains
+    (p²; (p²)²; ((p²)²)² — correctly-rounded IEEE products, no libm
+    pow), each term micro-quantized before the integer sum, so the
+    whole curve is reproducible bit-for-bit. The emitted
+    gain-over-k=1 columns show the diminishing return that caps
+    useful n — the standard BoN scaling read.
+
+    Scale: one pass to |distinct reward values| counts; the ECDF
+    window runs on that AGGREGATED grain (q470's audit-grain
+    contract); the curve is |k| rows.
+    """
+    r = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(F.expr("CAST(round(value * 100) AS BIGINT)").alias("vc"))
+    )
+    cnt = r.groupBy("vc").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n = r.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wv = Window.orderBy("vc")
+    ecdf = cnt.crossJoin(F.broadcast(n)).select(
+        "vc",
+        "n",
+        (
+            F.sum("c")
+            .over(wv.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")
+            / F.col("n")
+        ).alias("p"),
+        (
+            F.coalesce(
+                F.sum("c").over(
+                    wv.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("double")
+            / F.col("n")
+        ).alias("q"),
+    )
+    curve = None
+    for k in _Q476_KS:
+        pk = _q476_pow("p", k)
+        qk = _q476_pow("q", k)
+        part = ecdf.agg(
+            F.lit(k).cast("long").alias("k"),
+            F.sum(
+                F.expr(
+                    f"CAST(round(10000.0 * vc * ({pk} - {qk})) AS BIGINT)"
+                )
+            ).cast("long").alias("e_max_micro"),
+        )
+        curve = part if curve is None else curve.unionByName(part)
+    base = curve.where(F.col("k") == 1).select(
+        F.col("e_max_micro").alias("e1")
+    )
+    return (
+        curve.crossJoin(F.broadcast(base))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "k",
+            F.col("n").alias("n_samples"),
+            "e_max_micro",
+            (F.col("e_max_micro") - F.col("e1"))
+            .cast("long")
+            .alias("gain_vs_1_micro"),
+            F.round(1000.0 * F.col("e_max_micro") / F.col("e1"))
+            .cast("long")
+            .alias("gain_ratio_milli"),
+        )
+        .orderBy("k")
+    )

@@ -39,7 +39,7 @@ AUDITED_HINT_COUNTS = {
     "operators/stats.py": 6,     # scalar aggs + |folds| model rows
     "queries/dedup.py": 24,      # scalars, band index literals, |sources| rollups, planted-truth 1-rows, q385's 3 scalar count rows, q421's 1-row pair-count scalars (2 sites), q456's 6-row threshold grid, q474's 2-row leak-scheme frame
     "queries/grid.py": 11,       # polyfill cell sets, POI literals, scalar thresholds, q376's fixed query-ring cell set + 2 scalar count rows, q463's 144-row literal range frame + 1-row box/split totals (3 sites)
-    "queries/relational.py": 122, # nation/region dims, scalar aggs, bounded rollups, bucket offsets, q369's 3 per-relation scalar stat rows, q377's 1-row NDV frame, q380's 100-row literal grid, q382's 1-row min/max extent, q387's rank/boundary/total frames (≤7 rows), q388's 1-row byte stats, q389's 1-row median, q391's 1-row global moments, q392's 1-row fit, q393's 4-row band frame + |bands| global dist + scalar n, q396's 1-row totals, q405's 1-row side fit, q407's ≤40-row vnode ring + 1-row movement totals, q409's 1-row dict-page sums, q415's 1-row group totals, q417's 1-row salt fallback + 1-row pick, q423's 3 per-relation scalar stat rows + 3 one-row measured-edge-cardinality scalars, q428's 2 scalar norm rows + 2 |types|-grain strength maps, q438's 3-row min-cell frame, q443's |types|-grain strength maps + 1-row nu/tt/norm frames (5 sites), q447's |types|-grain maps + 1-row gamma/hw/norm frames (7 sites), q449's 1-row type-count + |types|-grain glob/outdeg frames (2 sites) (q442/q450 add no hints: q442's stats row is a bounded collect); q455's |types|-grain strength map + 1-row norm frame (2 sites); q470's 1-row max-ts + 1-row duration-total scalars (2 sites); q471's 1-row max-ts + 1-row cohort-total scalars (2 sites)
+    "queries/relational.py": 125, # nation/region dims, scalar aggs, bounded rollups, bucket offsets, q369's 3 per-relation scalar stat rows, q377's 1-row NDV frame, q380's 100-row literal grid, q382's 1-row min/max extent, q387's rank/boundary/total frames (≤7 rows), q388's 1-row byte stats, q389's 1-row median, q391's 1-row global moments, q392's 1-row fit, q393's 4-row band frame + |bands| global dist + scalar n, q396's 1-row totals, q405's 1-row side fit, q407's ≤40-row vnode ring + 1-row movement totals, q409's 1-row dict-page sums, q415's 1-row group totals, q417's 1-row salt fallback + 1-row pick, q423's 3 per-relation scalar stat rows + 3 one-row measured-edge-cardinality scalars, q428's 2 scalar norm rows + 2 |types|-grain strength maps, q438's 3-row min-cell frame, q443's |types|-grain strength maps + 1-row nu/tt/norm frames (5 sites), q447's |types|-grain maps + 1-row gamma/hw/norm frames (7 sites), q449's 1-row type-count + |types|-grain glob/outdeg frames (2 sites) (q442/q450 add no hints: q442's stats row is a bounded collect); q455's |types|-grain strength map + 1-row norm frame (2 sites); q470's 1-row max-ts + 1-row duration-total scalars (2 sites); q471's 1-row max-ts + 1-row cohort-total scalars (2 sites); q476's 1-row n/base scalars + |k|-row curve base (3 sites)
     "queries/multimodal.py": 1,  # q406's 1-row pad-ratio scalar
     "queries/sampling.py": 23,    # scalar totals, |sources| weights, literal index frames, q355 scalar budget rows, q413's |sources|-grain budget/λ scalars (4 sites), q425's epoch literal frame + 4 scalar budget/λ rows, q429's 1-row runs-test moments, q464's 1-row token-total/global-CE/norm scalars (3 sites), q475's |τ|-row total/entropy frames (2 sites)
     "queries/similarity.py": 38, # k centroids/codebooks, top-k rows, scalar stats, |dims| rollups, q345/q351 scalar rows, q350's LIMIT-20 pair side, q367's k-row centroids + nprobe(≤4)-row probe sets + scalar hit rows, q371's 8-row + 5-row codebooks + 8-row subspace index, q381's 10-row anchor slice, q411's k-row centroids, q465/q473's k-row centroid scaffolds

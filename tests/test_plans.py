@@ -6955,3 +6955,33 @@ def test_q475_temperature_flattens_the_mixture(spark, qs):
     for r in by_tau[4]:
         if r["upsampled"]:
             assert r["w_raw_micro"] < mean_w + 1
+
+
+def test_q476_bon_curve_physics(spark, qs):
+    """Order-statistics sanity: E[max] strictly increases in k on a
+    non-degenerate distribution, with DIMINISHING increments; k=1
+    is the plain mean (cross-checked against the exact integer
+    mean); gains reconcile with the base row."""
+    rows = {
+        r["k"]: r
+        for r in qs["q476_best_of_n_reward_curve"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == {1, 2, 4, 8}
+    e = [rows[k]["e_max_micro"] for k in (1, 2, 4, 8)]
+    assert e[0] < e[1] < e[2] < e[3]
+    assert (e[1] - e[0]) > (e[2] - e[1]) / 2 > (e[3] - e[2]) / 4
+    for k, r in rows.items():
+        assert r["gain_vs_1_micro"] == r["e_max_micro"] - e[0]
+        assert r["gain_ratio_milli"] >= 1000
+    from g_etl_spark.tables import load as load_t
+    import pyspark.sql.functions as SF
+
+    vc = (
+        load_t(spark, SF_DIR, "events")
+        .where("value IS NOT NULL")
+        .select(SF.expr("CAST(round(value * 100) AS BIGINT)").alias("v"))
+        .agg(SF.sum("v").alias("s"), SF.count("*").alias("n"))
+        .collect()[0]
+    )
+    mean_micro = 10000.0 * vc["s"] / vc["n"]
+    assert abs(rows[1]["e_max_micro"] - mean_micro) < vc["n"]
