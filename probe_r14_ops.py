@@ -19,7 +19,10 @@ Probed (the round's scale-sensitive additions):
 - q469 luhn detection     map-side regex + 16-term checksum
 - q470/q471 K-M + logrank per-user window -> |hours|-grain tables
 - q472 append debt        q459 write + delta append + 3 probes
-(q465 silhouette probes at gate SF only: embeddings are a fixed
+- q474 cluster split      q444 edges + CC + md5 assignment
+- q475 temperature curve  |sources| rollup x |tau| arithmetic
+- q476 best-of-n curve    |distinct rewards| ECDF x |k|
+(q465 silhouette and q473 hard negatives probe at gate SF only: embeddings are a fixed
 1k-row table at every sf — the |corpus|-scaling input is absent.)
 """
 
@@ -55,6 +58,9 @@ PROBES = [
     ("q470_kaplan_meier_gaps", ["events"]),
     ("q471_logrank_cohort_test", ["events"]),
     ("q472_append_delta_pruning_debt", ["events"]),
+    ("q474_cluster_aware_split", ["documents"]),
+    ("q475_temperature_sampling_curve", ["documents"]),
+    ("q476_best_of_n_reward_curve", ["events"]),
 ]
 
 
