@@ -14918,3 +14918,227 @@ def q476_best_of_n_reward_curve(
         )
         .orderBy("k")
     )
+
+
+# ---- q477: compaction EXECUTED (q472's debt retired, engine-gated) ------
+def _q477_oracle() -> str:
+    from g_etl_spark.queries.grid import _morton_sql
+
+    cells_b = " UNION ALL ".join(
+        f"""SELECT '{w}' AS workload,
+            CAST(count(*) FILTER ({surv}) AS BIGINT) AS files_before,
+            CAST(coalesce(sum(n) FILTER ({surv}), 0) AS BIGINT)
+                AS rows_before
+        FROM benv"""
+        for w, surv in _Q459_SURVIVES.items()
+    )
+    cells_a = " UNION ALL ".join(
+        f"""SELECT '{w}' AS workload,
+            CAST(count(*) FILTER ({surv}) AS BIGINT) AS files_after,
+            CAST(coalesce(sum(n) FILTER ({surv}), 0) AS BIGINT)
+                AS rows_after
+        FROM aenv"""
+        for w, surv in _Q459_SURVIVES.items()
+    )
+    matches = " UNION ALL ".join(
+        f"SELECT '{w}' AS workload, CAST(count(*) FILTER ({p}) AS BIGINT)"
+        " AS n_match FROM allrows"
+        for w, p in _Q459_WORKLOAD.items()
+    )
+    m8 = _morton_sql("bx", "by", 8)
+    return f"""
+    WITH allrows AS MATERIALIZED (
+        SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS vc,
+               ts < {_Q472_SPLIT} AS is_base
+        FROM events WHERE value IS NOT NULL
+    ),
+    bbkt AS MATERIALIZED (
+        SELECT event_id, user_id, vc,
+               ntile({_Q459_B}) OVER (ORDER BY vc, event_id) - 1 AS bx,
+               ntile({_Q459_B}) OVER (ORDER BY user_id, event_id) - 1
+                   AS by
+        FROM allrows WHERE is_base
+    ),
+    bfids AS MATERIALIZED (
+        SELECT user_id, vc,
+               ntile({_Q459_NF}) OVER (ORDER BY {m8}, event_id) - 1
+                   AS fid, 'base' AS grp
+        FROM bbkt
+        UNION ALL
+        SELECT user_id, vc, event_id % {_Q472_DELTA_NF}, 'delta'
+        FROM allrows WHERE NOT is_base
+    ),
+    benv AS MATERIALIZED (
+        SELECT grp, fid, min(user_id) AS ulo, max(user_id) AS uhi,
+               min(vc) AS vlo, max(vc) AS vhi, count(*) AS n
+        FROM bfids GROUP BY grp, fid
+    ),
+    abkt AS MATERIALIZED (
+        SELECT event_id, user_id, vc,
+               ntile({_Q459_B}) OVER (ORDER BY vc, event_id) - 1 AS bx,
+               ntile({_Q459_B}) OVER (ORDER BY user_id, event_id) - 1
+                   AS by
+        FROM allrows
+    ),
+    afids AS MATERIALIZED (
+        SELECT user_id, vc,
+               ntile({_Q459_NF}) OVER (ORDER BY {m8}, event_id) - 1 AS fid
+        FROM abkt
+    ),
+    aenv AS MATERIALIZED (
+        SELECT fid, min(user_id) AS ulo, max(user_id) AS uhi,
+               min(vc) AS vlo, max(vc) AS vhi, count(*) AS n
+        FROM afids GROUP BY fid
+    ),
+    cb AS MATERIALIZED ({cells_b}),
+    ca AS MATERIALIZED ({cells_a}),
+    matches AS ({matches})
+    SELECT cb.workload, cb.files_before, cb.rows_before,
+           ca.files_after, ca.rows_after, m.n_match,
+           CAST(round(1000.0 * (cb.rows_before - ca.rows_after)
+                      / greatest(cb.rows_before, 1)) AS BIGINT)
+               AS recovered_milli
+    FROM cb JOIN ca USING (workload) JOIN matches m USING (workload)
+    ORDER BY cb.workload
+    """
+
+
+@register("q477_compaction_executed", oracle=_q477_oracle())
+def q477_compaction_executed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPACTION EXECUTED — the layout lifecycle's closing act:
+    q472 measures what the unsorted append tail costs per query;
+    this operator RETIRES the debt and proves it with the engine.
+    Both states are written for real: BEFORE (q472's Z-ordered base
+    + arrival-order delta) and AFTER (one fresh Z-order over the
+    whole corpus — exactly the rewrite a compaction job runs), and
+    every q459 workload predicate executes against both. The gate
+    compares the engine's scan numOutputRows for EACH state against
+    its envelope arithmetic — the before row must still show the
+    delta's unprunable cost, the after row must match the fresh
+    clustered pricing, and recovered_milli (scan rows eliminated by
+    compacting) is the column that justifies the rewrite's cost in
+    a maintenance budget: recovered scan × query frequency vs one
+    corpus shuffle.
+
+    Scale: the rewrite IS the production compaction cost (one
+    clustered write of base+delta); probes read pruned files only;
+    all metric collection is bounded (q442/q459/q472's discipline).
+    """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from g_etl_spark.queries.grid import _morton_sql
+
+    e = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("vc"),
+            F.expr(f"ts < {_Q472_SPLIT}").alias("is_base"),
+        )
+    )
+    schema = (
+        "workload string, files_before long, rows_before long,"
+        " files_after long, rows_after long, n_match long,"
+        " recovered_milli long"
+    )
+    if e.where("is_base").isEmpty() or e.where("NOT is_base").isEmpty():
+        return spark.createDataFrame([], schema)
+
+    def zfids(frame):
+        wv = Window.orderBy("vc", "event_id")
+        wu = Window.orderBy("user_id", "event_id")
+        bkt = frame.select(
+            "event_id",
+            "user_id",
+            "vc",
+            (F.ntile(_Q459_B).over(wv) - 1).alias("bx"),
+            (F.ntile(_Q459_B).over(wu) - 1).alias("by"),
+        ).withColumn("z", F.expr(_morton_sql("bx", "by", 8)))
+        return bkt.select(
+            "event_id",
+            "user_id",
+            "vc",
+            (
+                F.ntile(_Q459_NF).over(Window.orderBy("z", "event_id")) - 1
+            ).alias("fid"),
+        )
+
+    bfid = zfids(e.where("is_base")).localCheckpoint()
+    dfid = e.where("NOT is_base").select(
+        "event_id",
+        "user_id",
+        "vc",
+        (F.col("event_id") % _Q472_DELTA_NF).alias("fid"),
+    )
+    afid = zfids(e).localCheckpoint()
+    dirs = {
+        "base": _tempfile.mkdtemp(prefix="g_etl_cmp_base_"),
+        "delta": _tempfile.mkdtemp(prefix="g_etl_cmp_delta_"),
+        "after": _tempfile.mkdtemp(prefix="g_etl_cmp_after_"),
+    }
+    try:
+        for frame, key in ((bfid, "base"), (dfid, "delta"), (afid, "after")):
+            (
+                frame.repartition("fid")
+                .write.partitionBy("fid")
+                .mode("overwrite")
+                .parquet(dirs[key])
+            )
+        before = spark.read.option("recursiveFileLookup", "true").parquet(
+            dirs["base"], dirs["delta"]
+        )
+        after = spark.read.option("recursiveFileLookup", "true").parquet(
+            dirs["after"]
+        )
+        from g_etl_spark.operators import layout as L
+
+        st_before = L.file_stats(dirs["base"], ["user_id", "vc"]) + (
+            L.file_stats(dirs["delta"], ["user_id", "vc"])
+        )
+        st_after = L.file_stats(dirs["after"], ["user_id", "vc"])
+        rows = []
+        aqe_key = "spark.sql.adaptive.enabled"
+        aqe_old = spark.conf.get(aqe_key)
+        spark.conf.set(aqe_key, "false")
+        try:
+            for wname, pred in _Q459_WORKLOAD.items():
+
+                def _surv(envf):
+                    return all(
+                        not (envf[c][1] < lo or envf[c][0] > hi)
+                        for axis, (lo, hi) in _Q459_BOX[wname].items()
+                        for c in (
+                            ("user_id",) if axis == "u" else ("vc",)
+                        )
+                    )
+
+                pb = before.filter(F.expr(pred)).agg(
+                    F.count(F.lit(1)).cast("long").alias("n")
+                )
+                n_match = pb.collect()[0]["n"]
+                rows_b = _q459_scan_rows(pb)
+                pa = after.filter(F.expr(pred)).agg(
+                    F.count(F.lit(1)).cast("long").alias("n")
+                )
+                pa.collect()
+                rows_a = _q459_scan_rows(pa)
+                fb = sum(1 for envf in st_before if _surv(envf))
+                fa = sum(1 for envf in st_after if _surv(envf))
+                rec = round(1000.0 * (rows_b - rows_a) / max(rows_b, 1))
+                rows.append(
+                    (wname, fb, rows_b, fa, rows_a, n_match, rec)
+                )
+        finally:
+            spark.conf.set(aqe_key, aqe_old)
+        return spark.createDataFrame(
+            sorted(rows, key=lambda r: r[0]), schema
+        )
+    finally:
+        for d in dirs.values():
+            _shutil.rmtree(d, ignore_errors=True)

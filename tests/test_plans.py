@@ -6985,3 +6985,33 @@ def test_q476_bon_curve_physics(spark, qs):
     )
     mean_micro = 10000.0 * vc["s"] / vc["n"]
     assert abs(rows[1]["e_max_micro"] - mean_micro) < vc["n"]
+
+
+def test_q477_compaction_ties_the_lifecycle_together(spark, qs):
+    """The three layout queries must agree exactly: q477's before
+    state reproduces q472's measured debt, its after state
+    reproduces q459's fresh clustered pricing, and every workload
+    strictly recovers scan rows."""
+    cmp_rows = {
+        r["workload"]: r
+        for r in qs["q477_compaction_executed"](spark, SF_DIR).collect()
+    }
+    debt = {
+        r["workload"]: r
+        for r in qs["q472_append_delta_pruning_debt"](
+            spark, SF_DIR
+        ).collect()
+    }
+    fresh = {
+        r["workload"]: r
+        for r in qs["q459_zorder_layout_executed"](spark, SF_DIR).collect()
+    }
+    assert set(cmp_rows) == set(debt) == set(fresh)
+    for w, r in cmp_rows.items():
+        assert r["rows_before"] == debt[w]["rows_scanned"]
+        assert r["files_before"] == debt[w]["files_read"]
+        assert r["rows_after"] == fresh[w]["rows_scanned"]
+        assert r["files_after"] == fresh[w]["files_read"]
+        assert r["rows_after"] < r["rows_before"]
+        assert 0 < r["recovered_milli"] < 1000
+        assert r["n_match"] <= r["rows_after"]
