@@ -22,6 +22,7 @@ Probed (the round's scale-sensitive additions):
 - q474 cluster split      q444 edges + CC + md5 assignment
 - q475 temperature curve  |sources| rollup x |tau| arithmetic
 - q476 best-of-n curve    |distinct rewards| ECDF x |k|
+- q477 compaction         two clustered writes + 6 probes
 (q465 silhouette and q473 hard negatives probe at gate SF only: embeddings are a fixed
 1k-row table at every sf — the |corpus|-scaling input is absent.)
 """
@@ -61,6 +62,7 @@ PROBES = [
     ("q474_cluster_aware_split", ["documents"]),
     ("q475_temperature_sampling_curve", ["documents"]),
     ("q476_best_of_n_reward_curve", ["events"]),
+    ("q477_compaction_executed", ["events"]),
 ]
 
 
