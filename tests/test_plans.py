@@ -7015,3 +7015,21 @@ def test_q477_compaction_ties_the_lifecycle_together(spark, qs):
         assert r["rows_after"] < r["rows_before"]
         assert 0 < r["recovered_milli"] < 1000
         assert r["n_match"] <= r["rows_after"]
+
+
+def test_q463_plan_shape_hull_prune_then_broadcast(spark, qs):
+    """The scale claims in the docstring, pinned in the plan: the
+    Morton-hull BETWEEN filter prunes BEFORE the range join, the
+    144-row literal range frame arrives broadcast (BroadcastNestedLoop
+    join — no shuffle of the corpus against the ranges), and no
+    interpreted array lambda survives anywhere in the plan."""
+    from g_etl_spark.queries.grid import _Q463_RANGES
+
+    df = qs["q463_morton_range_split_serving"](spark, SF_DIR)
+    txt = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in txt
+    assert "ArrayFilter" not in txt and "lambdafunction" not in txt
+    hull_lo, hull_hi = _Q463_RANGES[0][0], _Q463_RANGES[-1][1]
+    assert str(hull_lo) in txt and str(hull_hi) in txt, (
+        "hull BETWEEN prune missing from the plan"
+    )
