@@ -171,15 +171,26 @@ def minhash_candidates(
     Σ bucket² over buckets, not n².
 
     Two deliberate physical choices:
-    - the shingle→hash→min→band chain is staged through SEPARATE
-      projections. Higher-order array functions are CodegenFallback
-      (no common-subexpression elimination), so inlining the whole
-      tree would re-evaluate the shingle hashing once per salt per
-      band (~32×). Staged projections are not collapsed by
-      CollapseProject because each expression is non-cheap, so every
-      stage computes exactly once per row.
-    - the band relation is localCheckpoint'ed before the self-join:
-      Spark would otherwise recompute it for BOTH join branches (same
+    - the shingle→hash→min reduction runs as EXPLODE + hash-aggregate,
+      not as nested array lambdas. Higher-order array functions are
+      CodegenFallback (interpreted, no CSE): the earlier staged-HOF
+      form paid ~10 interpreted passes per document (1 shingle build +
+      1 md5 map + num_hashes affine maps + num_hashes array_min) and
+      was the single most expensive headline stage (guide §4.1: prefer
+      built-ins with codegen). Exploding shingles to rows makes the
+      md5/conv base hash and all eight (a·h+b) mod P mins top-level
+      codegen'd expressions inside ONE WholeStageCodegen span; the
+      groupBy's map-side partial aggregation collapses the ~tokens×
+      fan-out back to one row per document before the exchange, so the
+      shuffle carries |docs|·(8 longs), never |shingles| (guide §2.3
+      "aggregate before you shuffle"). Only the shingle-array build
+      remains a single HOF pass. Measured at sf0.1 (15k docs):
+      signature stage 4.3 s → 0.7 s, q52 end-to-end 5.3 s → 1.6 s,
+      bit-identical signatures (same arithmetic per element; min over
+      exploded rows ≡ array_min, both null on empty docs — the min
+      aggregate ignores the explode_outer null row).
+    - the band relation is persisted before the self-join: Spark
+      would otherwise recompute it for BOTH join branches (same
       reason you'd persist any self-joined derived relation at scale).
     """
     k = DEFAULT_SHINGLE
@@ -187,6 +198,11 @@ def minhash_candidates(
     make = F.transform(
         F.sequence(F.lit(0), F.size(F.col("_toks")) - k),
         lambda i: F.concat_ws(" ", *[F.get(F.col("_toks"), i + j) for j in range(k)]),
+    )
+    # base_shingle_hash at TOP LEVEL (codegen'd), not inside a lambda
+    base_h = (
+        F.conv(F.substring(F.md5(F.col("_sh")), 1, 8), 16, 10).cast("long")
+        % MINHASH_P
     )
     sig = (
         df.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
@@ -196,19 +212,17 @@ def minhash_candidates(
             .otherwise(F.array().cast("array<string>"))
             .alias("_shingles"),
         )
-        .select("_id", F.transform("_shingles", base_shingle_hash).alias("_hashes"))
+        # explode_outer keeps empty docs as a single null-shingle row:
+        # every min aggregate sees only NULL and returns NULL — exactly
+        # array_min([]) in the staged-HOF form, so band hashes for
+        # empty docs are byte-identical to before
+        .select("_id", F.explode_outer("_shingles").alias("_sh"))
+        .select("_id", base_h.alias("h"))
+        .groupBy("_id")
+        .agg(*affine_min_sig_aggs()[:num_hashes])
         .select(
             "_id",
-            F.array(
-                *[
-                    F.array_min(
-                        F.transform(
-                            "_hashes", lambda h: (h * F.lit(a) + F.lit(b)) % MINHASH_P
-                        )
-                    )
-                    for a, b in MINHASH_SALTS[:num_hashes]
-                ]
-            ).alias("_sig"),
+            F.array(*[F.col(f"s{i}") for i in range(num_hashes)]).alias("_sig"),
         )
         .select("_id", band_hashes(F.col("_sig"), bands).alias("_bands"))
         # materialization barrier BEFORE the explode: Generate pushdown
@@ -253,15 +267,26 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard refine →
     threshold. The refine join re-reads only candidate rows' texts
-    (two broadcast-or-shuffle hash joins on ids)."""
+    (two broadcast-or-shuffle hash joins on ids).
+
+    The distinct-token SET is staged per document BEFORE the join, so
+    the interpreted split/lower/array_distinct chain runs |docs| times
+    instead of 2×|candidate pairs| times (candidates outnumber docs
+    whenever dups exist — measured 19.5k pairs over 15k docs at
+    sf0.1); the per-pair work is only array_intersect/array_union
+    over the prebuilt sets. Same arithmetic as token_set_jaccard,
+    identical output."""
     cand = minhash_candidates(df, id_col, text_col)
-    da = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_text_a"))
-    db = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_text_b"))
+    tset = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT))
+    da = df.select(F.col(id_col).alias("id_a"), tset.alias("_ta"))
+    db = df.select(F.col(id_col).alias("id_b"), tset.alias("_tb"))
+    inter = F.size(F.array_intersect(F.col("_ta"), F.col("_tb"))).cast("double")
+    union = F.size(F.array_union(F.col("_ta"), F.col("_tb"))).cast("double")
     scored = cand.join(da, "id_a").join(db, "id_b").select(
         "id_a",
         "id_b",
         "n_shared_bands",
-        token_set_jaccard(F.col("_text_a"), F.col("_text_b")).alias("jaccard"),
+        F.round(inter / F.greatest(union, F.lit(1.0)), 4).alias("jaccard"),
     )
     # filter on the projected attribute — filtering on the expression
     # would re-evaluate the (interpreted) array ops per row

@@ -143,12 +143,16 @@ def file_stats(path: str, cols: Sequence[str]) -> list[dict]:
     import os
 
     out = []
-    files = sorted(
-        os.path.join(root, name)
-        for root, _, names in os.walk(path)
-        for name in names
-        if name.endswith(".parquet")
-    )
+    # skip hidden/_temporary/_spark_metadata trees: an interrupted
+    # write's leftovers must not silently join the envelope list
+    def _walk(p):
+        for root, dirs, names in os.walk(p):
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            for name in names:
+                if name.endswith(".parquet") and not name.startswith((".", "_")):
+                    yield os.path.join(root, name)
+
+    files = sorted(_walk(path))
     for fpath in files:
         md = pq.ParquetFile(fpath).metadata
         schema_names = md.schema.names

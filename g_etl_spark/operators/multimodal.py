@@ -73,6 +73,13 @@ def fake_decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     payload length so the distributed plumbing (Arrow batch shape,
     schema contract, partition-parallel execution) is fully exercised
     and testable.
+
+    The input is projected to exactly the columns ``_decode_batch``
+    reads before the Python boundary: Spark cannot see which columns
+    an opaque map function touches, so without the explicit select
+    every other column (here: the full document text NEXT TO its
+    encoded payload copy) is shipped through Arrow and read from
+    storage for nothing (optimization guide §4.1).
     """
 
     def _decode_batch(batches: Iterator) -> Iterator:
@@ -92,7 +99,9 @@ def fake_decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(_decode_batch, FEATURE_SCHEMA)
+    return df.select(id_col, "payload", "media_meta").mapInPandas(
+        _decode_batch, FEATURE_SCHEMA
+    )
 
 
 FRAME_SCHEMA = StructType(
@@ -150,7 +159,8 @@ def sample_frames(
                 }
             )
 
-    return df.mapInPandas(_sample_batch, FRAME_SCHEMA)
+    # project to the two columns the batch fn reads (guide §4.1)
+    return df.select(id_col, "payload").mapInPandas(_sample_batch, FRAME_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType(
@@ -193,7 +203,8 @@ def fake_resize(
                 }
             )
 
-    return df.mapInPandas(_resize_batch, RESIZED_SCHEMA)
+    # project to the two columns the batch fn reads (guide §4.1)
+    return df.select(id_col, "payload").mapInPandas(_resize_batch, RESIZED_SCHEMA)
 
 
 def real_decode_stub(*_args, **_kwargs):

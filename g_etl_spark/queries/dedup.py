@@ -768,9 +768,20 @@ def q101_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     verts = edges.select(F.col("a").alias("v")).unionAll(
         edges.select(F.col("b").alias("v"))
     )
+    # materialize the persisted edge relation once (the count IS the
+    # materializing action), then run the two independent follow-up
+    # jobs CONCURRENTLY from driver threads (guide §2.6): the small
+    # vertex-distinct job back-fills executor slots left idle by the
+    # triangle join's straggler tail instead of paying its own wall
+    # time after it.
     n_edges = edges.count()
-    n_vertices = verts.distinct().count()
-    n_triangles = tris.count()
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_tri = pool.submit(tris.count)
+        f_vert = pool.submit(lambda: verts.distinct().count())
+        n_triangles = f_tri.result()
+        n_vertices = f_vert.result()
     edges.unpersist()
     return spark.createDataFrame(
         [(n_edges, n_vertices, n_triangles)],

@@ -13929,7 +13929,12 @@ def q459_zorder_layout_executed(
         (F.ntile(_Q459_NF).over(Window.orderBy("z", "event_id")) - 1)
         .alias("f_zorder_uv"),
     )
-    if fids.isEmpty():
+    # emptiness is decided on the CHEAP source scan (row-preserving
+    # projections/windows between e and fids cannot change it) — the
+    # previous fids.isEmpty() executed the three global rank sorts and
+    # then localCheckpoint recomputed the same plan, running the most
+    # expensive stage twice
+    if e.isEmpty():
         return spark.createDataFrame([], schema)
     fids = fids.localCheckpoint()  # three rank sorts run once
     env = None
@@ -14702,10 +14707,10 @@ def q472_append_delta_pruning_debt(
         )
         from g_etl_spark.operators import layout as L
 
-        stats = L.file_stats(base_dir, ["user_id", "vc"]) + L.file_stats(
-            delta_dir, ["user_id", "vc"]
-        )
+        # read each directory's parquet footers ONCE (base_stats was
+        # previously recomputed with a second file_stats walk of base_dir)
         base_stats = L.file_stats(base_dir, ["user_id", "vc"])
+        stats = base_stats + L.file_stats(delta_dir, ["user_id", "vc"])
         rows = []
         aqe_key = "spark.sql.adaptive.enabled"
         aqe_old = spark.conf.get(aqe_key)
@@ -14715,14 +14720,17 @@ def q472_append_delta_pruning_debt(
             import pyarrow.parquet as _pq
 
             def _file_rows(d):
-                # MUST mirror layout.file_stats' ordering exactly
-                # (full-path sort) — the envelopes and row counts zip
-                paths = sorted(
-                    _os.path.join(root, nm)
-                    for root, _, names in _os.walk(d)
-                    for nm in names
-                    if nm.endswith(".parquet")
-                )
+                # MUST mirror layout.file_stats' enumeration exactly
+                # (full-path sort, hidden/_-prefixed entries skipped) —
+                # the envelopes and row counts zip
+                def _w(p):
+                    for root, dirs, names in _os.walk(p):
+                        dirs[:] = [x for x in dirs if not x.startswith((".", "_"))]
+                        for nm in names:
+                            if nm.endswith(".parquet") and not nm.startswith((".", "_")):
+                                yield _os.path.join(root, nm)
+
+                paths = sorted(_w(d))
                 return [
                     _pq.ParquetFile(p).metadata.num_rows for p in paths
                 ]

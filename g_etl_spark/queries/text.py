@@ -5547,11 +5547,37 @@ def _ulm_estep(words: DataFrame, costs: DataFrame) -> DataFrame:
 # action before reuse and rebuilt on ANY failure (a restarted context
 # invalidates checkpointed RDDs), so the fallback is per-query rebuild
 # — standalone-ness is preserved.
-_ULM_CACHE: dict[tuple[str, str], dict] = {}
+_ULM_CACHE: dict[tuple, dict] = {}
+
+
+def _ulm_fingerprint(sf_dir: str) -> tuple:
+    """Cheap data fingerprint of the corpus the model derives from:
+    (mtime_ns, size) of documents.parquet (or all parquet parts under
+    it when it is a directory). Folded into the cache key so a corpus
+    REWRITTEN at the same path within one application rebuilds the
+    model instead of silently reusing a stale one (the liveness probe
+    only checks checkpoint validity, not data freshness)."""
+    import os as _os
+
+    p = _os.path.join(sf_dir, "documents.parquet")
+    try:
+        if _os.path.isdir(p):
+            return tuple(
+                sorted(
+                    (nm, st.st_mtime_ns, st.st_size)
+                    for nm in _os.listdir(p)
+                    if nm.endswith(".parquet")
+                    for st in (_os.stat(_os.path.join(p, nm)),)
+                )
+            )
+        st = _os.stat(p)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return ("missing",)
 
 
 def _ulm_model(spark: SparkSession, sf_dir: str) -> dict:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, _ulm_fingerprint(sf_dir))
     cached = _ULM_CACHE.get(key)
     if cached is not None:
         try:
