@@ -119,6 +119,20 @@ def main() -> None:
     # (`floor_probes`).
     floor_probes: list[list[float]] = []
 
+    # I/O floor (r14 verdict follow-up): the CPU-codegen floor alone
+    # could not explain r14's host drift (floor FASTER while the
+    # headline got slower — the headline adds I/O + Python workers).
+    # Second calibration series: a PRE-ANALYZED fixed parquet
+    # scan-and-count of the smallest stable table (customer: one file,
+    # one row group) — measures the storage+decode path the integer
+    # fold never touches. Recorded per probe group alongside the CPU
+    # floor; purely additive payload fields (io_floor_sec,
+    # io_floor_probes), existing fields unchanged.
+    _io_floor_df = spark.read.parquet(f"{sf_dir}/customer.parquet").groupBy().count()
+    _io_floor_df._jdf.queryExecution().executedPlan()  # bake the plan
+    _io_floor_df.collect()  # warm codegen; page cache state is the host's
+    io_floor_probes: list[list[float]] = []
+
     def probe_floor(n: int = 5) -> None:
         per = []
         for _ in range(n):
@@ -126,8 +140,15 @@ def main() -> None:
             _floor_df.collect()
             per.append(round(time.time() - t0, 4))
         floor_probes.append(per)
+        io_per = []
+        for _ in range(n):
+            t0 = time.time()
+            _io_floor_df.collect()
+            io_per.append(round(time.time() - t0, 4))
+        io_floor_probes.append(io_per)
         print(
-            f"# floor probe {len(floor_probes)}: min={min(per)}s {per}",
+            f"# floor probe {len(floor_probes)}: min={min(per)}s {per}"
+            f" | io min={min(io_per)}s {io_per}",
             file=sys.stderr,
         )
 
@@ -338,9 +359,12 @@ def main() -> None:
     import statistics
 
     floor_sec = round(statistics.median(min(p) for p in floor_probes), 4)
+    io_floor_sec = round(statistics.median(min(p) for p in io_floor_probes), 4)
     print(
         f"# floor median-of-{len(floor_probes)}-probes: {floor_sec}s "
-        f"(per-probe minima {[min(p) for p in floor_probes]})",
+        f"(per-probe minima {[min(p) for p in floor_probes]}); "
+        f"io_floor {io_floor_sec}s "
+        f"(per-probe minima {[min(p) for p in io_floor_probes]})",
         file=sys.stderr,
     )
 
@@ -479,6 +503,12 @@ def main() -> None:
                 "floor_sec": floor_sec,
                 "floor_protocol": "median-of-interleaved-probe-minima",
                 "floor_probes": floor_probes,
+                # I/O floor (additive since r15): pre-analyzed fixed
+                # parquet scan-and-count, same interleaved-median
+                # protocol — separates storage/decode host drift from
+                # CPU-codegen host drift (r14 showed they diverge).
+                "io_floor_sec": io_floor_sec,
+                "io_floor_probes": io_floor_probes,
                 "headline_normalized": round(total / floor_sec, 2)
                 if floor_sec
                 else None,
@@ -510,6 +540,7 @@ def main() -> None:
         "concurrent_8q_wall_sec": payload["concurrent_8q_wall_sec"],
         "cpu_mhz": payload["cpu_mhz"],
         "floor_sec": payload["floor_sec"],
+        "io_floor_sec": payload["io_floor_sec"],
         "headline_normalized": payload["headline_normalized"],
         "full_payload_in": "BENCH_LOCAL.json",
     }
