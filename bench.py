@@ -128,7 +128,16 @@ def main() -> None:
     # fold never touches. Recorded per probe group alongside the CPU
     # floor; purely additive payload fields (io_floor_sec,
     # io_floor_probes), existing fields unchanged.
-    _io_floor_df = spark.read.parquet(f"{sf_dir}/customer.parquet").groupBy().count()
+    # The probe aggregates a REAL numeric column (not groupBy().count(),
+    # which prunes every column so the vectorized reader returns only
+    # row-group counts — that measured file-open/footer/scheduling, not
+    # decode; r15 payload showed io_floor ≈ cpu floor for exactly this
+    # reason). sum(c_acctbal) forces column materialization and zstd
+    # decompression through the storage path. Field name unchanged;
+    # the level shift vs r15 is documented in OPTIMIZATION_r16.md.
+    _io_floor_df = spark.read.parquet(f"{sf_dir}/customer.parquet").agg(
+        F.sum("c_acctbal")
+    )
     _io_floor_df._jdf.queryExecution().executedPlan()  # bake the plan
     _io_floor_df.collect()  # warm codegen; page cache state is the host's
     io_floor_probes: list[list[float]] = []
@@ -174,6 +183,33 @@ def main() -> None:
     LOAD_GATE = 2.0
     retry_armed = load_at_start > LOAD_GATE
     load_retries: dict[str, dict] = {}
+    # Floor-gated retry (r15 verdict item #1): the load gate is BLIND
+    # to hypervisor CPU steal — r15's degradation ran with near-zero
+    # in-VM load while the calibration floor swung 25x on byte-
+    # identical code, and every committed number inherited it. The
+    # floor probes DID catch it but gated nothing. Now: a cheap
+    # pre-analyzed floor collect (best of 2, ~30 ms quiet) runs
+    # immediately before every trial set; if it exceeds FLOOR_GATE
+    # (quiet-host floors on this hardware class read 0.019-0.038 s
+    # across r13-r15; r15's steal windows read 0.094-0.70 s) the set
+    # is re-run once after it finishes and the union-best recorded —
+    # same self-correct-or-flag contract as the load gate, and the
+    # per-set quick-floor series lands in the payload so the judge
+    # can see WHICH sets ran degraded. Additions-only: base trial
+    # counts, cache clearing, and the timed regions are unchanged
+    # (the quick floor runs outside every timed window).
+    FLOOR_GATE = 0.08
+    floor_retries: dict[str, dict] = {}
+    floor_pre: dict[str, float] = {}
+
+    def quick_floor() -> float:
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            _floor_df.collect()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 4)
 
     def run_trial_set(run, n, clear_cache=True):
         best, per, out = None, [], None
@@ -192,6 +228,8 @@ def main() -> None:
     def measure(name, run, n):
         load0 = os.getloadavg()[0]
         loads_pre[name] = round(load0, 2)
+        qf0 = quick_floor()
+        floor_pre[name] = qf0
         best, per, out = run_trial_set(run, n)
         if retry_armed and load0 > LOAD_GATE:
             load1 = os.getloadavg()[0]
@@ -199,6 +237,15 @@ def main() -> None:
             load_retries[name] = {
                 "load_pre_retry": round(load1, 2),
                 "still_loaded": load1 > LOAD_GATE,
+            }
+            per = per + per2
+            best = min(best, best2)
+        if qf0 > FLOOR_GATE:
+            qf1 = quick_floor()
+            best2, per2, out = run_trial_set(run, n)
+            floor_retries[name] = {
+                "floor_pre_retry": qf1,
+                "still_degraded": qf1 > FLOOR_GATE,
             }
             per = per + per2
             best = min(best, best2)
@@ -271,6 +318,8 @@ def main() -> None:
     def measure_hot(name, run, n):
         load0 = os.getloadavg()[0]
         loads_pre[name] = round(load0, 2)
+        qf0 = quick_floor()
+        floor_pre[name] = qf0
         best, per, _ = run_trial_set(run, n, clear_cache=False)
         if retry_armed and load0 > LOAD_GATE:
             load1 = os.getloadavg()[0]
@@ -279,6 +328,15 @@ def main() -> None:
                 "still_loaded": load1 > LOAD_GATE,
             }
             best2, per2, _ = run_trial_set(run, n, clear_cache=False)
+            per = per + per2
+            best = min(best, best2)
+        if qf0 > FLOOR_GATE:
+            qf1 = quick_floor()
+            best2, per2, _ = run_trial_set(run, n, clear_cache=False)
+            floor_retries[name] = {
+                "floor_pre_retry": qf1,
+                "still_degraded": qf1 > FLOOR_GATE,
+            }
             per = per + per2
             best = min(best, best2)
         trials_log[name] = per
@@ -327,6 +385,15 @@ def main() -> None:
     # (5 trials) so spread is distinguishable from regression.
     EXT_TRIALS = {"q101_copurchase_triangles": 5}
     for name in [
+        # q52-family consumers of the shared MinHash signature helper
+        # (r15 verdict item #6): the signature pipeline is the
+        # engine's most-optimized path and q52 alone timed it —
+        # regressions in the band/cluster/eval consumers were
+        # invisible. Additions-only: new extended rows, every
+        # existing row and field unchanged.
+        "q56_near_dup_clusters",        # LSH candidates → CC clusters
+        "q199_minhash_eval_pr",         # signature eval vs exact Jaccard
+        "q264_lsh_calibration",         # band/row sweep calibration
         "q96_boilerplate_grams",   # gram fan-out + df threshold
         "q97_semantic_cluster_assign",  # broadcast-centroid argmax
         "q99_source_overlap_matrix",    # fingerprint self-join
@@ -484,6 +551,19 @@ def main() -> None:
                 "load_gate": LOAD_GATE,
                 "load_retry_armed": retry_armed,
                 "load_gated_retries": load_retries,
+                # floor-gated retry (r15 verdict item #1): per-set
+                # quick-floor (best-of-2 pre-analyzed integer fold,
+                # run OUTSIDE the timed window) in floor_pre; any set
+                # whose quick floor exceeded floor_gate was re-run
+                # once, union-best recorded. floor_retry_fired names
+                # the sets whose numbers self-corrected (or, if
+                # still_degraded, remain host-noise-suspect) — this
+                # gate sees hypervisor steal that the load gate is
+                # blind to (r15: near-zero in-VM load, 25x floor).
+                "floor_gate": FLOOR_GATE,
+                "floor_pre": floor_pre,
+                "floor_gated_retries": floor_retries,
+                "floor_retry_fired": sorted(floor_retries),
                 "load_1min_post_run": round(os.getloadavg()[0], 2),
                 "concurrent_8q_wall_sec": conc_wall,
                 "concurrent_8q_serial_sum_sec": serial_sum,

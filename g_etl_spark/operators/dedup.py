@@ -166,6 +166,12 @@ def minhash_candidates(
 ) -> DataFrame:
     """LSH candidate pairs: ids sharing at least one band bucket.
 
+    PRECONDITION: ``id_col`` must be unique per row. The signature
+    aggregation groups by id, so rows sharing an id would be blended
+    into one signature over the UNION of their shingles (a per-row
+    staged form would sign each row independently); every registry
+    consumer passes a primary key, and tests pin the precondition.
+
     Output: (id_a, id_b, n_shared_bands) with id_a < id_b. The
     explode → self-equi-join on band key is the scale path: cost is
     Σ bucket² over buckets, not n².

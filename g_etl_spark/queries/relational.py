@@ -13989,12 +13989,6 @@ def q459_zorder_layout_executed(
             .mode("overwrite")
             .parquet(out_dir)
         )
-        n_files = sum(
-            1
-            for root, _, names in _os.walk(out_dir)
-            for nm in names
-            if nm.endswith(".parquet")
-        )
         # recursiveFileLookup: NO partition-column inference — the fid
         # directory names carry no pruning power, footer stats are the
         # only prune available to the probe scans
@@ -14004,6 +13998,11 @@ def q459_zorder_layout_executed(
         from g_etl_spark.operators import layout as L
 
         stats = L.file_stats(out_dir, ["user_id", "vc"])
+        # n_files from the SAME pruned enumeration that produced the
+        # envelopes (one entry per file): a separate unpruned os.walk
+        # would desynchronize n_files from files_read if an
+        # interrupted write left _temporary/hidden files behind
+        n_files = len(stats)
         rows = []
         aqe_key = "spark.sql.adaptive.enabled"
         aqe_old = spark.conf.get(aqe_key)
@@ -14695,13 +14694,6 @@ def q472_append_delta_pruning_debt(
                 .mode("overwrite")
                 .parquet(out)
             )
-        n_files = sum(
-            1
-            for d in (base_dir, delta_dir)
-            for root, _, names in _os.walk(d)
-            for nm in names
-            if nm.endswith(".parquet")
-        )
         back = spark.read.option("recursiveFileLookup", "true").parquet(
             base_dir, delta_dir
         )
@@ -14711,6 +14703,10 @@ def q472_append_delta_pruning_debt(
         # previously recomputed with a second file_stats walk of base_dir)
         base_stats = L.file_stats(base_dir, ["user_id", "vc"])
         stats = base_stats + L.file_stats(delta_dir, ["user_id", "vc"])
+        # n_files from the SAME pruned enumeration that produced the
+        # envelopes (one entry per file) — keeps it in lockstep with
+        # files_read/_file_rows if leftovers exist under the dirs
+        n_files = len(stats)
         rows = []
         aqe_key = "spark.sql.adaptive.enabled"
         aqe_old = spark.conf.get(aqe_key)

@@ -24,6 +24,7 @@ batch shapes are q11 (rollup), q50 (dedup), q37/q90 (time joins).
 from __future__ import annotations
 
 import itertools
+import os
 import shutil
 import tempfile
 
@@ -36,6 +37,67 @@ from g_etl_spark.tables import load
 
 _RUN_IDS = itertools.count()
 
+_STREAM_PART_BYTES = 64 << 20  # ~64 MB of staged source per state partition
+
+
+def _stream_partitions(spark: SparkSession, src_bytes: int) -> int:
+    """Scale-adaptive shuffle/state partition count for a stream run
+    (guide §2.2 fewer-larger partitions, §6 small-files).
+
+    Every stateful streaming operator creates one state-store
+    instance PER shuffle partition PER micro-batch (delta + commit
+    files through the checkpoint file manager), so partition count is
+    pure fixed overhead when the staged source is small: at the
+    ambient 32 the state-commit I/O dominated the availableNow runs
+    (measured sf0.001: q401 46 s → 12 s, q386 20 s → 8 s at 4
+    partitions). Derive the count from the source bytes (~64 MB per
+    partition, floor 1) and NEVER raise it above the ambient session
+    setting — on a cluster the ambient (cluster-sized) value wins
+    untouched, so this is derive-down only, not a local[32] tuning;
+    SPARK_GRAFT_STREAM_PARTITIONS overrides for deployments that
+    size streaming state explicitly. Results are partition-count
+    independent (the whole family is oracle-hash-gated; watermarks
+    advance between micro-batches globally, never per-partition).
+    """
+    env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    ambient = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(ambient, src_bytes // _STREAM_PART_BYTES + 1))
+
+
+def _set_stream_shuffle(
+    spark: SparkSession, sf_dir: str | None = None, src_bytes: int | None = None
+) -> str:
+    """Apply the scale-adaptive stream partition count; returns the
+    previous setting for the caller's ``finally`` block
+    (``_restore_stream_shuffle`` is None-safe so a failure before
+    this call still restores cleanly)."""
+    if src_bytes is None:
+        src_bytes = 0
+        try:
+            p = os.path.join(sf_dir, "events.parquet")
+            src_bytes = (
+                os.path.getsize(p)
+                if os.path.isfile(p)
+                else sum(
+                    os.path.getsize(os.path.join(r, f))
+                    for r, _, fs in os.walk(p)
+                    for f in fs
+                )
+            )
+        except (OSError, TypeError):
+            pass
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(_stream_partitions(spark, src_bytes)))
+    return prev
+
+
+def _restore_stream_shuffle(spark: SparkSession, prev: str | None) -> None:
+    if prev is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
 
 def _run_stream(spark: SparkSession, source_df: DataFrame, build, mode: str) -> DataFrame:
     """Stage `source_df` as a single-file stream source, run the
@@ -44,8 +106,17 @@ def _run_stream(spark: SparkSession, source_df: DataFrame, build, mode: str) -> 
     run = next(_RUN_IDS)
     name = f"stream_equiv_{run}"
     src = tempfile.mkdtemp(prefix=f"g_etl_{name}_")
+    _prev_parts = None
     try:
         source_df.coalesce(1).write.mode("overwrite").parquet(src)
+        _prev_parts = _set_stream_shuffle(
+            spark,
+            src_bytes=sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(src)
+                for f in fs
+            ),
+        )
         stream = sp.read_parquet_stream(
             spark, src, schema=source_df.schema, max_files_per_trigger=10_000
         )
@@ -65,6 +136,7 @@ def _run_stream(spark: SparkSession, source_df: DataFrame, build, mode: str) -> 
             q.awaitTermination(30)
             raise RuntimeError(f"stream {name} did not finish within 300s")
     finally:
+        _restore_stream_shuffle(spark, _prev_parts)
         shutil.rmtree(src, ignore_errors=True)
     # the memory sink holds the rows driver-side after the query ends;
     # bounded by the aggregated/deduped result size, not the stream.
@@ -380,6 +452,7 @@ def q222_stream_watermark_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix=f"g_etl_wmdrop_ckpt_{run}_")
     sink = tempfile.mkdtemp(prefix=f"g_etl_wmdrop_sink_{run}_")
     schema = events.schema
+    _prev_parts = _set_stream_shuffle(spark, sf_dir)
     try:
         for k in range(1, _WMDROP_CHUNKS + 1):
             chunked.where(F.col("k") == k).select("event_id", "ts").coalesce(
@@ -409,6 +482,7 @@ def q222_stream_watermark_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return out.orderBy("win_start_us").localCheckpoint(eager=True)
     finally:
+        _restore_stream_shuffle(spark, _prev_parts)
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
@@ -587,6 +661,7 @@ def q370_stream_union_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix=f"g_etl_fanin_ckpt_{run}_")
     sink = tempfile.mkdtemp(prefix=f"g_etl_fanin_sink_{run}_")
     schema = "event_id long, ts timestamp"
+    _prev_parts = _set_stream_shuffle(spark, sf_dir)
     try:
         for k in range(1, _FANIN_CHUNKS + 1):
             for etype, src in (("click", src_a), ("purchase", src_b)):
@@ -648,6 +723,7 @@ def q370_stream_union_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return out.localCheckpoint(eager=True)
     finally:
+        _restore_stream_shuffle(spark, _prev_parts)
         shutil.rmtree(src_a, ignore_errors=True)
         shutil.rmtree(src_b, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -764,6 +840,7 @@ def q386_stream_state_ttl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix=f"g_etl_ttl_ckpt_{run}_")
     sink = tempfile.mkdtemp(prefix=f"g_etl_ttl_sink_{run}_")
     schema = "user_id long, ts timestamp, event_id long"
+    _prev_parts = _set_stream_shuffle(spark, sf_dir)
     try:
         for k in range(1, _TTL_CHUNKS + 1):
             chunked.where(F.col("k") == k).select(
@@ -796,6 +873,7 @@ def q386_stream_state_ttl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("user_id", "start_us")
         return out.localCheckpoint(eager=True)
     finally:
+        _restore_stream_shuffle(spark, _prev_parts)
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
@@ -915,6 +993,7 @@ def q401_stream_stream_join_eviction(
     ckpt = tempfile.mkdtemp(prefix=f"g_etl_ssj_ckpt_{run}_")
     sink = tempfile.mkdtemp(prefix=f"g_etl_ssj_sink_{run}_")
     schema = "event_id long, user_id long, ts timestamp"
+    _prev_parts = _set_stream_shuffle(spark, sf_dir)
     try:
         for k in range(1, _SSJ_CHUNKS + 1):
             for etype, src in (("click", src_c), ("purchase", src_p)):
@@ -973,6 +1052,7 @@ def q401_stream_stream_join_eviction(
         ).orderBy("cid", "pid")
         return out.localCheckpoint(eager=True)
     finally:
+        _restore_stream_shuffle(spark, _prev_parts)
         shutil.rmtree(src_c, ignore_errors=True)
         shutil.rmtree(src_p, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -1067,6 +1147,7 @@ def q412_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = tempfile.mkdtemp(prefix=f"g_etl_ddw_src_{run}_")
     ckpt = tempfile.mkdtemp(prefix=f"g_etl_ddw_ckpt_{run}_")
     sink = tempfile.mkdtemp(prefix=f"g_etl_ddw_sink_{run}_")
+    _prev_parts = _set_stream_shuffle(spark, sf_dir)
     try:
         for k in range(1, 2 * _DDW_TILES + 1):
             tile = (k + 1) // 2
@@ -1119,6 +1200,7 @@ def q412_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return res.localCheckpoint(eager=True)
     finally:
+        _restore_stream_shuffle(spark, _prev_parts)
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
@@ -1242,6 +1324,7 @@ def q416_stream_left_outer_timing(
     ckpt = tempfile.mkdtemp(prefix=f"g_etl_ssjo_ckpt_{run}_")
     sink = tempfile.mkdtemp(prefix=f"g_etl_ssjo_sink_{run}_")
     schema = "event_id long, user_id long, ts timestamp"
+    _prev_parts = _set_stream_shuffle(spark, sf_dir)
     try:
         for k in range(1, _SSJ_CHUNKS + 1):
             for etype, src in (("click", src_c), ("purchase", src_p)):
@@ -1300,6 +1383,7 @@ def q416_stream_left_outer_timing(
         ).orderBy("cid", "pid")
         return out.localCheckpoint(eager=True)
     finally:
+        _restore_stream_shuffle(spark, _prev_parts)
         shutil.rmtree(src_c, ignore_errors=True)
         shutil.rmtree(src_p, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -1486,6 +1570,7 @@ def q426_stream_watermark_trajectory(
     src_b = tempfile.mkdtemp(prefix=f"g_etl_traj_b_{run}_")
     ckpt = tempfile.mkdtemp(prefix=f"g_etl_traj_ckpt_{run}_")
     sink = tempfile.mkdtemp(prefix=f"g_etl_traj_sink_{run}_")
+    _prev_parts = _set_stream_shuffle(spark, sf_dir)
     try:
         wm_after: dict[int, int] = {}
         emitted_at: dict[tuple[int, str], int] = {}
@@ -1530,6 +1615,7 @@ def q426_stream_watermark_trajectory(
         )
         return out.localCheckpoint(eager=True)
     finally:
+        _restore_stream_shuffle(spark, _prev_parts)
         shutil.rmtree(src_a, ignore_errors=True)
         shutil.rmtree(src_b, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -1648,6 +1734,7 @@ def q431_stream_state_capacity(
     src_b = tempfile.mkdtemp(prefix=f"g_etl_cap_b_{run}_")
     ckpt = tempfile.mkdtemp(prefix=f"g_etl_cap_ckpt_{run}_")
     sink = tempfile.mkdtemp(prefix=f"g_etl_cap_sink_{run}_")
+    _prev_parts = _set_stream_shuffle(spark, sf_dir)
     try:
         metrics = []
         for k in range(1, _FANIN_CHUNKS + 1):
@@ -1681,6 +1768,7 @@ def q431_stream_state_capacity(
         ).orderBy("restart")
         return out.localCheckpoint(eager=True)
     finally:
+        _restore_stream_shuffle(spark, _prev_parts)
         shutil.rmtree(src_a, ignore_errors=True)
         shutil.rmtree(src_b, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -1744,6 +1832,7 @@ def q436_python_stream_source(
     run = next(_RUN_IDS)
     ckpt = tempfile.mkdtemp(prefix=f"g_etl_pages_ckpt_{run}_")
     sink = tempfile.mkdtemp(prefix=f"g_etl_pages_sink_{run}_")
+    _prev_parts = _set_stream_shuffle(spark, sf_dir)
     try:
         # serial restart loop: _Q436_ROWS // _Q436_PAGE restarts × 300 s
         # timeout each = 20 min worst-case driver wall at the shipped
@@ -1778,6 +1867,7 @@ def q436_python_stream_source(
         )
         return out.localCheckpoint(eager=True)
     finally:
+        _restore_stream_shuffle(spark, _prev_parts)
         shutil.rmtree(ckpt, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
 
@@ -1875,6 +1965,7 @@ def q439_stream_watermark_max_policy(
     sink = tempfile.mkdtemp(prefix=f"g_etl_maxp_sink_{run}_")
     policy_key = "spark.sql.streaming.multipleWatermarkPolicy"
     prev_policy = spark.conf.get(policy_key, "min")
+    _prev_parts = _set_stream_shuffle(spark, sf_dir)
     try:
         spark.conf.set(policy_key, "max")
         wm_after: dict[int, int] = {}
@@ -1920,6 +2011,7 @@ def q439_stream_watermark_max_policy(
         )
         return out.localCheckpoint(eager=True)
     finally:
+        _restore_stream_shuffle(spark, _prev_parts)
         spark.conf.set(policy_key, prev_policy)
         shutil.rmtree(src_a, ignore_errors=True)
         shutil.rmtree(src_b, ignore_errors=True)

@@ -5585,6 +5585,21 @@ def _ulm_model(spark: SparkSession, sf_dir: str) -> dict:
             return cached
         except Exception:
             _ULM_CACHE.pop(key, None)
+    # evict any stale entry for the same (applicationId, sf_dir) whose
+    # data fingerprint no longer matches (a corpus rewritten at the
+    # same path): without this the old entry's eagerly-pinned
+    # localCheckpoint frames stay referenced — and therefore pinned in
+    # executor storage — for the application lifetime. Dropping the
+    # reference lets ContextCleaner release the checkpoint blocks;
+    # unpersist() is called best-effort for the promptly-releasable
+    # part.
+    for stale in [k for k in _ULM_CACHE if k[:2] == key[:2] and k != key]:
+        old = _ULM_CACHE.pop(stale)
+        for f in old.values():
+            try:
+                f.unpersist()
+            except Exception:
+                pass
     m = _ulm_model_build(spark, sf_dir)
     # eagerly pin the small frames too (vocab-grain / 1-row): the
     # consumers re-aggregate them, and without this each consumer

@@ -1169,6 +1169,22 @@ def q147_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily rollup already materializes (warehouse pre-agg A4), and
     for approximate dashboards the HLL sketch (q113) makes the
     whole thing mergeable without the fan-out.
+
+    Physical shape (r16, guide §2.4 "remove shuffles outright"): DAU,
+    WAU and the day filter all come out of ONE aggregation over the
+    offset-tagged contribution expansion —
+      dau(d) = #contributions at d with offset 0 (≡ the du rows at d),
+      wau(d) = countDistinct(user) over all contributions at d,
+      d is a REAL day ⟺ dau(d) > 0 (every real day contributes to
+      itself at offset 0; a horizon day beyond the last real day has
+      only offset>0 contributions) — so the separate days/dau/wau
+      relations and their three joins collapse into one Expand-based
+      distinct aggregate plus a post-agg filter. The r15 form planned
+      11 exchanges and scanned events twice (du → days AND contrib);
+      this plans 4 (du distinct, the two-level countDistinct pair,
+      the final sort) with one events scan. Row-identical: du rows
+      are distinct, so the offset-0 count per day equals count(*) of
+      du at that day, and the day key sets of dau/wau/days coincide.
     """
     e = load(spark, sf_dir, "events")
     day_us = 86400 * 1_000_000
@@ -1179,22 +1195,22 @@ def q147_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    days = du.select("day").distinct()
     contrib = du.select(
         "user_id",
+        F.col("day").alias("src_day"),
         F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias(
             "target_day"
         ),
     )
-    wau = (
-        days.join(contrib, days["day"] == contrib["target_day"])
-        .groupBy("day")
-        .agg(F.countDistinct("user_id").alias("wau"))
-    )
-    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     return (
-        days.join(dau, "day")
-        .join(wau, "day")
+        contrib.groupBy(F.col("target_day").alias("day"))
+        .agg(
+            F.count(F.when(F.col("src_day") == F.col("target_day"), 1)).alias(
+                "dau"
+            ),
+            F.countDistinct("user_id").alias("wau"),
+        )
+        .filter(F.col("dau") > 0)
         .select(
             "day",
             "dau",

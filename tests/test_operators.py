@@ -373,3 +373,87 @@ def test_global_cumsum_twopass_matches_spark_window(spark):
     for line in plan.splitlines():
         if re.search(r"\bWindow\b", line) and "[" in line:
             assert len(re.findall(r"\[[^\[\]]*\]", line)) >= 3, line
+
+
+def test_minhash_agg_signature_bit_identical_to_per_row_form(spark):
+    """Pins the equivalence the r15 explode+aggregate rewrite rests on
+    (and its ADVICE-noted precondition): for UNIQUE ids the aggregated
+    signature (explode shingles -> min aggregate over affine maps) is
+    bit-identical to the per-row array_min HOF form, including the
+    empty / NULL / sub-k-token edge docs whose signature is NULL."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, ""),                    # empty -> no shingles -> NULL sig
+        (3, None),                  # NULL text -> NULL sig
+        (4, "two tokens"),          # sub-k (k=3) -> NULL sig
+        (5, "exactly three tokens"),  # single shingle
+        (6, "the quick brown fox jumps over the lazy dog"),  # dup text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    per_row = {
+        r.doc_id: r.s
+        for r in df.select(
+            "doc_id", D.minhash_signature(F.col("text")).alias("s")
+        ).collect()
+    }
+    # the aggregated pipeline form, exactly as minhash_candidates
+    # stages it: explode_outer(shingles) -> top-level base hash ->
+    # min-aggregate the affine maps
+    agg = (
+        df.select(
+            F.col("doc_id").alias("_id"),
+            F.explode_outer(D.shingles(F.col("text"))).alias("_sh"),
+        )
+        .select("_id", D.base_shingle_hash(F.col("_sh")).alias("h"))
+        .groupBy("_id")
+        .agg(*D.affine_min_sig_aggs())
+    )
+    agg_rows = {
+        r["_id"]: [r[f"s{i}"] for i in range(D.DEFAULT_NUM_HASHES)]
+        for r in agg.collect()
+    }
+    for doc_id, sig in per_row.items():
+        got = agg_rows[doc_id]
+        if sig is None or all(v is None for v in (sig or [])):
+            assert all(v is None for v in got), (doc_id, got)
+        else:
+            assert list(sig) == got, (doc_id, sig, got)
+    # identical texts -> identical signatures through both forms
+    assert agg_rows[1] == agg_rows[6]
+
+
+def test_minhash_candidates_requires_unique_ids(spark):
+    """The documented id-uniqueness PRECONDITION: rows sharing an id
+    are blended into ONE signature over the union of their shingles
+    (groupBy id), not signed per row — callers must pass a primary
+    key. This pins the behavior so a silent contract change fails."""
+    text_a = "the quick brown fox jumps over the lazy dog"
+    text_b = "sphinx of black quartz judge my vow tonight"
+    dup_ids = spark.createDataFrame(
+        [(1, text_a), (1, text_b)], "doc_id long, text string"
+    )
+    # min over the UNION of two shingle sets = elementwise min of the
+    # two per-row signatures — the exact blend the groupBy produces
+    per_row = (
+        spark.createDataFrame(
+            [(text_a,), (text_b,)], "text string"
+        )
+        .select(D.minhash_signature(F.col("text")).alias("s"))
+        .collect()
+    )
+    expected = [
+        min(per_row[0].s[i], per_row[1].s[i])
+        for i in range(D.DEFAULT_NUM_HASHES)
+    ]
+    blended = (
+        dup_ids.select(
+            F.col("doc_id").alias("_id"),
+            F.explode_outer(D.shingles(F.col("text"))).alias("_sh"),
+        )
+        .select("_id", D.base_shingle_hash(F.col("_sh")).alias("h"))
+        .groupBy("_id")
+        .agg(*D.affine_min_sig_aggs())
+        .collect()[0]
+    )
+    got = [blended[f"s{i}"] for i in range(D.DEFAULT_NUM_HASHES)]
+    assert got == expected
