@@ -725,21 +725,36 @@ def q101_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering-coefficient / community features, distinct from the
     component-finding family (q56/q76).
 
-    The edge orientation a < b makes each triangle count exactly once
-    via the standard two-join wedge-close: e1=(a,b), e2=(b,c) closes
-    iff (a,c) is an edge — no permutation dedup needed.
+    The edge orientation a < b makes each triangle count exactly once:
+    tri = Σ over edges (a,b) of |N⁺(a) ∩ N⁺(b)| where N⁺(v) is v's
+    out-neighbor set under the orientation — the adjacency-
+    intersection form of the classic wedge-close (e1=(a,b), e2=(b,c)
+    closes iff (a,c) is an edge; intersecting N⁺(a) with N⁺(b)
+    enumerates exactly the closing c > b).
+
+    Physical shape (r16): out-adjacency arrays are collected once per
+    vertex (collect_list over the persisted edge relation — edges are
+    distinct so no set semantics needed, and the intersection SIZE is
+    order-independent so no sort either), then each edge row joins its
+    two arrays (both joins broadcast: |V| rows ≈ |E| longs total) and
+    one codegen'd array_intersect per edge replaces two hash probes
+    per WEDGE. Work drops from 49M probe lookups to 1.2M set
+    intersections over the same Σ degree² elements with far better
+    locality — measured at sf0.1: 8.45 s → 4.36 s best-of-5
+    (probe_r16_q101.py; triangle/vertex/edge counts identical). The
+    r15 two-join wedge-close (8.9 s serial, 8.5 s overlapped — the
+    overlap is worth ~0.5 s and is kept here) and the degree-ordered
+    orientation (r6: wedges 49.28M → 49.19M, SLOWER — near-uniform
+    degree) both remain rejected on measurement.
 
     Scale: the per-order pair fan-out is Σ lines² per order (bounded
-    by basket size, never corpus²); the wedge join shuffles edges
-    twice on part keys. Degree-ORDERED orientation (count each
-    triangle at its lowest-degree vertex — the classic wedge
-    reducer) was TRIED AND REJECTED on measurement for this corpus:
-    at sf0.1 (1.2M edges) it cut wedges only 49.28M → 49.19M and ran
-    SLOWER (12.0 s vs 11.1 s) because the co-purchase degree
-    distribution is near-uniform, so the extra degree join buys
-    nothing. On a power-law graph the same plan with the
-    when(deg...)-swapped orientation is the right variant; AQE's
-    skew-join split covers the hub keys either way.
+    by basket size, never corpus²). The adjacency relation shuffles
+    |E| longs once (same bytes the wedge join shuffled), and the
+    per-vertex array is bounded by max out-degree — on a power-law
+    graph a hub row could concentrate memory, in which case the hedge
+    is a degree cap routing hub vertices through the probe-join path;
+    this corpus's near-uniform degree (r6 measurement) makes the
+    plain form strictly better here.
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     l1 = li.alias("l1")
@@ -757,14 +772,17 @@ def q101_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = edges.persist()
-    e1 = edges.alias("e1")
-    e2 = edges.alias("e2")
-    e3 = edges.alias("e3")
-    wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a"))
-    tris = wedges.join(
-        e3,
-        (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
-    )
+    adj = edges.groupBy("a").agg(F.collect_list("b").alias("nb"))
+    ea = edges.join(
+        adj.withColumnRenamed("a", "_k").withColumnRenamed("nb", "na"),
+        F.col("a") == F.col("_k"),
+    ).drop("_k")
+    eab = ea.join(
+        adj.withColumnRenamed("a", "_k"), F.col("b") == F.col("_k")
+    ).drop("_k")
+    tris = eab.select(
+        F.size(F.array_intersect("na", "nb")).alias("t")
+    ).agg(F.sum("t").alias("n"))
     verts = edges.select(F.col("a").alias("v")).unionAll(
         edges.select(F.col("b").alias("v"))
     )
@@ -772,13 +790,17 @@ def q101_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materializing action), then run the two independent follow-up
     # jobs CONCURRENTLY from driver threads (guide §2.6): the small
     # vertex-distinct job back-fills executor slots left idle by the
-    # triangle join's straggler tail instead of paying its own wall
+    # triangle job's straggler tail instead of paying its own wall
     # time after it.
     n_edges = edges.count()
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        f_tri = pool.submit(tris.count)
+        # sum over an empty relation is NULL where count() was 0 —
+        # the empty-corpus contract needs the explicit 0
+        f_tri = pool.submit(
+            lambda: int(tris.collect()[0]["n"] or 0)
+        )
         f_vert = pool.submit(lambda: verts.distinct().count())
         n_triangles = f_tri.result()
         n_vertices = f_vert.result()

@@ -6578,6 +6578,21 @@ def q453_bpe_merge_depth_curve(
     """
     d = load(spark, sf_dir, "documents")
     words = _bpe_word_table(d).localCheckpoint()
+    # Degenerate-input fast path (r16): with no words there is no
+    # best pair at any depth, so every step contributes 0 rows and
+    # the result is the 0-row frame below BY CONSTRUCTION (best =
+    # limit(1) of an empty pair table; every output row crossJoins
+    # best) — but the loop would still pay {_Q453_STEPS} eager
+    # localCheckpoint rounds to find that out (~2 s/round on empty
+    # partitions/days at scale, measured 34 s in the empty-corpus
+    # gate). Identical result, exact output schema.
+    if words.isEmpty():
+        return spark.createDataFrame(
+            [],
+            "step bigint, merged_pair string, new_symbol string, "
+            "pair_count bigint, corpus_tokens_after bigint, "
+            "tokens_saved bigint",
+        )
 
     def tok_count(w):
         return w.select(

@@ -17,7 +17,16 @@ from g_etl_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("g_etl_spark_tests")
+    # Test fixtures are tiny (≤ a few hundred rows; sf0.001 where real
+    # data is read), so 32 executor slots and 32 shuffle partitions are
+    # pure scheduling overhead here — a fixed 50-test slice measured
+    # 154 s at local[32]/32 vs 112 s at local[8]/8 vs 132 s at
+    # local[4]/4 (r16; the suite must fit the external verify window).
+    # Test-session-only: bench.py and the driver entry honor
+    # $SPARK_GRAFT_CPUS unchanged, and query results are partition-
+    # count independent (the whole registry is oracle-hash-gated).
+    s = get_spark("g_etl_spark_tests", master="local[8]")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     yield s
 
 
